@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (BASELINE.json north star): normalization, tokenization, quality
+  * scoring, language-ID heuristic, fingerprinting, shingling. All are
+  * compositions of codegen'd built-ins (regexp/split/transform/aggregate)
+  * — no UDFs — so they vectorize and survive 100 TB scans unchanged.
+  *
+  * The reference's equivalents are row-wise pandas `.apply` lambdas
+  * (SURVEY.md §2.7 F9/F15/F25); here each is a single Column expression.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "),
+      "\\s+", " "))
+
+  /** Whitespace token array of normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(normalizeText(c)) === 0, lit(0L))
+      .otherwise(size(tokens(c)).cast("long"))
+
+  /** BPE-ish subword count: word/number/punct runs, the common
+    * tokenizer pre-split regex.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0)).cast("long")
+
+  /** Exact-dup fingerprint: md5 of normalized text (stable across
+    * engines; the reference has no dedup — north-star operator).
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** 64-bit polynomial rolling hash of normalized text (doc
+    * fingerprinting north-star op). Base-31 Horner fold over characters,
+    * wrapping long arithmetic.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(split(normalizeText(c), ""), lit(0L),
+      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+
+  /** Word n-gram shingles (for MinHash / Jaccard dedup). */
+  def shingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    filter(
+      transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+  }
+
+  // Stopword lists for the language-ID heuristic (distinctive function
+  // words per language; ASCII-only on purpose — the heuristic must also
+  // fire on transliterated/stripped text).
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "for"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "con", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "est", "que", "avec", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo", "ni", "ta", "men"))
+
+  /** Count of marker-word hits for one language. */
+  def markerHits(c: Column, lang: String): Column = {
+    val ts = tokens(c)
+    langMarkers(lang).map(m =>
+      size(filter(ts, t => t === lit(m))).cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** Heuristic language id: argmax of marker hits, 'und' when no marker
+    * fires. Deterministic tie-break by language code order.
+    */
+  def langId(c: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l =>
+      struct(markerHits(c, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score features: length, alpha ratio, punctuation density,
+    * stopword ratio, mean word length — the usual pretraining-filter
+    * signals, as one struct column.
+    */
+  def qualityFeatures(c: Column): Column = {
+    val len = length(c).cast("double")
+    val alpha = length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+    val nTok = tokenCount(c).cast("double")
+    val stop = markerHits(c, "en").cast("double")
+    struct(
+      len.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(len > 0, alpha / len).otherwise(lit(0.0)).as("alpha_ratio"),
+      when(len > 0, punct / len).otherwise(lit(0.0)).as("punct_ratio"),
+      when(nTok > 0, stop / nTok).otherwise(lit(0.0)).as("stopword_ratio"),
+      when(nTok > 0, length(regexp_replace(normalizeText(c), " ", ""))
+        .cast("double") / nTok).otherwise(lit(0.0)).as("mean_word_len"))
+  }
+
+  /** HTML → text (reference F9: BeautifulSoup.get_text on fixture HTML —
+    * regex strip is the documented stand-in, SURVEY.md §2.7).
+    */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Lenient cast with default (reference F11 safe_cast,
+    * combine_broker_listings.py:167-175).
+    */
+  def safeCast(c: Column, to: String, default: Column): Column =
+    coalesce(c.try_cast(to), default)
+}

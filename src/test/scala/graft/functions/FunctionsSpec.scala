@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class ExactAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sumFx/avgFx are exact on cents") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("x")
+    val Row(s: Double, a: Double) =
+      df.agg(ExactAgg.sumFx($"x"), ExactAgg.avgFx($"x")).head()
+    assert(s == 0.6 && a == 0.2) // plain double sum would give 0.6000000000000001
+  }
+
+  test("stddevFx: n==1 -> 0.0 (reference rule), n>1 sample stddev") {
+    val one = Seq(5.0).toDF("x").agg(ExactAgg.stddevFx($"x")).head().getDouble(0)
+    assert(one == 0.0)
+    val s = Seq(2.0, 4.0).toDF("x").agg(ExactAgg.stddevFx($"x")).head().getDouble(0)
+    assert(math.abs(s - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("revenueFx multiplies in integers") {
+    val df = Seq((100.0, 0.05), (200.0, 0.10)).toDF("p", "d")
+    val r = df.agg(ExactAgg.revenueFx($"p", $"d")).head().getDouble(0)
+    assert(r == 95.0 + 180.0)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize/tokens/tokenCount") {
+    val df = Seq("  Hello, World!  It's 42. ").toDF("t")
+    val Row(norm: String, n: Long) = df.select(
+      TextFunctions.normalizeText($"t"),
+      TextFunctions.tokenCount($"t")).head()
+    assert(norm == "hello world it s 42")
+    assert(n == 5)
+    assert(Seq("").toDF("t").select(TextFunctions.tokenCount($"t"))
+      .head().getLong(0) == 0)
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("Hello  World", "hello world!")).toDF("a", "b")
+    val Row(fa: String, fb: String) = df.select(
+      TextFunctions.fingerprint($"a"), TextFunctions.fingerprint($"b")).head()
+    assert(fa == fb)
+  }
+
+  test("shingles: word 2-grams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 2).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+
+  test("langId picks the marker-dominant language") {
+    val df = Seq(
+      "the cat and the dog went to the park",
+      "el gato es que la casa con los perros",
+      "der hund ist mit der katze und nicht",
+      "xyzzy qwerty asdf").toDF("t")
+    val out = df.select(TextFunctions.langId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "de", "und"))
+  }
+
+  test("stripHtml") {
+    val out = Seq("<p>Hello <b>big</b> world</p>").toDF("t")
+      .select(TextFunctions.stripHtml($"t")).as[String].head()
+    assert(out == "Hello big world")
+  }
+
+  test("safeCast falls back to default") {
+    val df = Seq(("12", "x")).toDF("a", "b")
+    val Row(a: Int, b: Int) = df.select(
+      TextFunctions.safeCast($"a", "int", lit(0)),
+      TextFunctions.safeCast($"b", "int", lit(0))).head()
+    assert(a == 12 && b == 0)
+  }
+
+  test("qualityFeatures basic sanity") {
+    val Row(r: Row) = Seq("The quick brown fox, it jumps!").toDF("t")
+      .select(TextFunctions.qualityFeatures($"t").as("q")).head()
+    assert(r.getAs[Double]("n_tokens") == 6.0)
+    assert(r.getAs[Double]("alpha_ratio") > 0.7)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val Row(d: Double, na: Double, cos: Double) = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.norm2($"a"),
+      VectorFunctions.cosine($"a", $"b")).head()
+    assert(d == 2.0 && na == 3.0)
+    assert(math.abs(cos - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosine of zero vector is null") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("l2Sq and normalize") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.l2Sq($"a", $"b")).head().getDouble(0) == 25.0)
+    val n = df.select(VectorFunctions.normalize($"a")).as[Seq[Double]].head()
+    assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(n: Int) =
+    (1 to n).map(i => ("d1", i, s"t$i")).toDF("doc", "ts", "text")
+
+  test("n=5 overlap=2 over 10 rows: stride-3 windows incl. trailing partials") {
+    val out = Chunker.slidingChunks(mk(10), "doc", Seq("ts"), "text", 5, 2)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"n_items", $"text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, "t1 t2 t3 t4 t5"),
+      (1L, 5L, "t4 t5 t6 t7 t8"),
+      (2L, 4L, "t7 t8 t9 t10"),
+      (3L, 1L, "t10")))
+  }
+
+  test("every row lands in at least one chunk; full chunks have n items") {
+    val rows = 37; val n = 7; val ov = 3
+    val out = Chunker.slidingChunks(mk(rows), "doc", Seq("ts"), "text", n, ov)
+    val totalItems = out.agg(sum($"n_items")).as[Long].head()
+    // each row appears in (n/stride rounded) chunks; coverage check:
+    val distinctTexts = out.select(explode(split($"text", " ")))
+      .distinct().count()
+    assert(distinctTexts == rows)
+    assert(totalItems >= rows)
+    assert(out.filter($"n_items" > n).count() == 0)
+  }
+
+  test("zero overlap = disjoint partition") {
+    val out = Chunker.slidingChunks(mk(9), "doc", Seq("ts"), "text", 3, 0)
+    assert(out.count() == 3)
+    assert(out.agg(sum($"n_items")).as[Long].head() == 9)
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val existing = Seq((1, "a", 10), (2, "b", 20))
+    .toDF("k", "name", "v")
+
+  test("newRows drops conflicting keys and intra-batch dups") {
+    val incoming = Seq((2, "b2", 21), (3, "c", 30), (3, "c2", 31))
+      .toDF("k", "name", "v")
+    val out = Upsert.newRows(existing, incoming, Seq("k"), Seq("name"))
+      .orderBy($"k").as[(Int, String, Int)].collect().toSeq
+    assert(out == Seq((3, "c", 30)))
+  }
+
+  test("upsert is idempotent") {
+    val incoming = Seq((2, "b2", 21), (3, "c", 30)).toDF("k", "name", "v")
+    val once = Upsert.upsert(existing, incoming, Seq("k"), Seq("name"))
+    val twice = Upsert.upsert(once, incoming, Seq("k"), Seq("name"))
+    assert(once.count() == 3 && twice.count() == 3)
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+
+  test("delisted finds keys missing from current") {
+    val current = Seq((2, "x", 0)).toDF("k", "name", "v")
+    val out = Upsert.delisted(existing, current, Seq("k"))
+      .select($"k").as[Int].collect().toSeq
+    assert(out == Seq(1))
+  }
+
+  test("antiDelete keeps only non-matching keys") {
+    val del = Seq(Tuple1(1)).toDF("k")
+    val out = Upsert.antiDelete(existing, del, Seq("k"))
+      .select($"k").as[Int].collect().toSeq
+    assert(out == Seq(2))
+  }
+}
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-group top-k with tie-free ordering") {
+    val df = Seq(("g1", 5, 1), ("g1", 5, 2), ("g1", 3, 3),
+      ("g2", 9, 4)).toDF("g", "score", "id")
+    val out = TopK.perGroup(df, Seq($"g"),
+      Seq($"score".desc, $"id"), k = 2)
+      .select($"g", $"id", $"rk").orderBy($"g", $"rk")
+      .as[(String, Int, Int)].collect().toSeq
+    assert(out == Seq(("g1", 1, 1), ("g1", 2, 2), ("g2", 4, 1)))
+  }
+}
