@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication at pretraining-corpus scale (north-star
+  * operators; the reference's only dedup is key-based upsert, SURVEY.md
+  * §2.6 O4 — these generalize it to fuzzy text dedup).
+  *
+  * Scale design: every method is (a) a narrow per-row signature
+  * projection (codegen'd column algebra, no UDF, no shuffle), then (b)
+  * ONE shuffle on a bucket key to find candidates, then (c) exact
+  * verification within candidates only. Nothing is O(n²) in the corpus;
+  * the only quadratic term is within-bucket, bounded by band width.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup survivor set: min id per normalized-text fingerprint.
+    * One shuffle (groupBy md5). At 100 TB the map-side partial min makes
+    * the exchange carry only distinct fingerprints.
+    */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent minima of seeded 64-bit hashes of
+    * the shingle set. Narrow projection; k×|shingles| hashes per row.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices.
+    * Docs sharing any band key are candidate pairs.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Candidate id pairs (idA < idB) sharing at least one LSH band.
+    * One shuffle on the band key; distinct to merge multi-band hits.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4)
+      : DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleN))
+        .as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
+    val a = sigs.select(col("band"), col("id").as("id_a"))
+    val b = sigs.select(col("band"), col("id").as("id_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---------------------------------------------------- exact jaccard
+
+  /** Exact word-n-gram Jaccard similarity for all pairs sharing >= 1
+    * shingle (the inverted-index join — one shuffle on the shingle).
+    * Returns (id_a, id_b, inter, n_a, n_b, jaccard) for jaccard >=
+    * `threshold`. This is also the verifier stage after LSH.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+        .as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a token array: bit j of the result is 1 iff the
+    * sum over tokens of (bit j of xxhash64(token) ? +1 : -1) is positive.
+    * Pure column algebra — hashes each token once, then folds 64 bit
+    * planes (unrolled in Scala: Spark's shift builtins take only literal
+    * shift amounts); narrow, no shuffle. Bits are disjoint so the final
+    * recombination by + is exact, sign bit included.
+    */
+  def simhash(tokensCol: Column): Column = {
+    val hs = transform(tokensCol, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val mask = 1L << j
+      val vote = aggregate(hs, lit(0L),
+        (a, h) => a + when(h.bitwiseAND(lit(mask)) =!= 0L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(mask)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: bucket on `bands` bit-slices of the
+    * signature (a pair within hamming d < bands shares >= 1 exact band by
+    * pigeonhole), then exact hamming filter <= maxDist.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, sigCol: String,
+                   maxDist: Int, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+          .as("bits"))): _*)
+    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .withColumn("key", explode(bandKeys))
+    val a = banded.select(col("key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val bb = banded.select(col("key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(bb, Seq("key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

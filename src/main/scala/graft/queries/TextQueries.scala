@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Text-analysis + dedup coverage over the `documents` table (north-star
+  * LLM-pipeline operators). DuckDB mirrors are generated from the same
+  * marker tables / regex constants as the Column implementations so the
+  * two can't drift.
+  */
+object TextQueries {
+
+  // ---- SQL mirrors of TextFunctions (must stay formula-identical) ----
+  private def normSql(c: String) =
+    s"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER($c), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private def lenTokSql(toks: String, nrm: String) =
+    s"(CASE WHEN LENGTH($nrm) = 0 THEN CAST(0 AS BIGINT) ELSE LEN($toks) END)"
+  private def markerHitsSql(toks: String, lang: String) =
+    TextFunctions.langMarkers(lang)
+      .map(m => s"LEN(LIST_FILTER($toks, x -> x = '$m'))")
+      .mkString("(", " + ", ")")
+  private def langIdSql(toks: String): String = {
+    val structs = TextFunctions.langMarkers.keys.toSeq.sorted.map(l =>
+      s"struct_pack(hits := CAST(${markerHitsSql(toks, l)} AS BIGINT), lang := '$l')")
+    s"""(CASE WHEN list_aggregate([${structs.mkString(", ")}], 'max').hits > 0
+        THEN list_aggregate([${structs.mkString(", ")}], 'max').lang
+        ELSE 'und' END)"""
+  }
+  /** Word n-gram shingles mirror (distinct set). */
+  private def shinglesSql(toks: String, n: Int) =
+    s"""LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM(
+       RANGE(0, GREATEST(LEN($toks) - $n, 0) + 1),
+       i -> ARRAY_TO_STRING($toks[i + 1 : i + $n], ' ')),
+       s -> LENGTH(s) > 0))"""
+
+  /** q15 — language-ID + quality scoring + token counting per document
+    * (north-star text analysis). Narrow projection, zero shuffles; the
+    * ratios are single double divisions of exact integers so they match
+    * DuckDB bit-for-bit.
+    */
+  private val q15 = Q("q15_text_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("lang_detected"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"),
+        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+          length(col("text")).cast("double")).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        ${lenTokSql("toks", "nrm")} AS n_tokens,
+        ${langIdSql("toks")} AS lang_detected,
+        (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+          CAST(LENGTH(text) AS DOUBLE)) AS alpha_ratio,
+        (CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+          CAST(LENGTH(text) AS DOUBLE)) AS punct_ratio
+      FROM nt ORDER BY doc_id"""))
+
+  /** q16 — exact dedup by normalized-text fingerprint (north-star).
+    * One shuffle; map-side partial min collapses dup groups early.
+    */
+  private val q16 = Q("q16_dedup_exact",
+    (s, dir) => {
+      Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    },
+    Some(s"""SELECT MD5(${normSql("text")}) AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY fp ORDER BY keep_id"""))
+
+  /** q17 — n-gram Jaccard near-dup pairs via inverted-index join (the
+    * exact verifier; LSH (q18) prunes candidates at scale). Shuffles: one
+    * on the shingle (inverted index), one on the pair group.
+    */
+  private val q17 = Q("q17_dedup_jaccard",
+    (s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+          col("n_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+        (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+        >= 0.2
+      ORDER BY id_a, id_b"""))
+
+  /** q18 — MinHash+LSH candidate generation then exact-Jaccard verify:
+    * the 100 TB dedup path (xxhash64 signatures are not portable to
+    * DuckDB → rows-only check here; semantics pinned by DedupSpec, and
+    * the verified pairs are a subset of q17's oracle-checked output).
+    */
+  private val q18 = Q("q18_dedup_minhash_lsh",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4)
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+      cands.join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  /** q19 — SimHash near-dup pairs (band-bucketed hamming; rows-only for
+    * the same xxhash64 reason; semantics pinned by DedupSpec).
+    */
+  private val q19 = Q("q19_dedup_simhash",
+    (s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(TextFunctions.tokens(col("text"))).as("sig"))
+      Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 12, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFunctions
+
+/** Similarity-search coverage over the `embeddings` table (north-star
+  * ANN operators). Cosine oracles use the explicit
+  * dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) form on DOUBLE lists so both
+  * engines fold left-to-right in double — bit-equal (validated at
+  * sf0.01).
+  */
+object VectorQueries {
+
+
+  /** q20 — brute-force exact cosine top-k for a broadcast query batch:
+    * the correct 100 TB baseline (one corpus scan, one window shuffle).
+    */
+  private val q20 = Q("q20_knn_bruteforce",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        queries = e.filter(col("vec_id") < 5),
+        corpus = e, qidCol = "vec_id", idCol = "vec_id",
+        vecCol = "embedding", k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid,
+        CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS bv
+        FROM embeddings),
+      scored AS (SELECT qid, nid,
+        (list_dot_product(bv, av) /
+          (SQRT(list_dot_product(av, av)) * SQRT(list_dot_product(bv, bv))))
+          AS sim
+        FROM c, q),
+      ranked AS (SELECT qid, nid, sim,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        FROM scored WHERE sim IS NOT NULL)
+      SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""))
+
+  /** q21 — LSH-bucketed approximate top-k (random-hyperplane signatures,
+    * banded buckets): the scale path. Hyperplanes are seeded-deterministic
+    * but not portable SQL → rows-only; recall vs q20 is asserted in
+    * SimilaritySpec.
+    */
+  private val q21 = Q("q21_knn_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        queries = e.filter(col("vec_id") < 5),
+        corpus = e, qidCol = "vec_id", idCol = "vec_id",
+        vecCol = "embedding", k = 10, dim = 64, planes = 16, bandBits = 2)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    None)
+
+  /** q22 — embedding-cosine near-duplicate pairs above a threshold.
+    * Exact pairwise here (the oracle-checkable verifier); at corpus scale
+    * the LSH bucketing of q21 prunes the pair space first.
+    */
+  private val q22 = Q("q22_embed_neardup",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", VectorFunctions.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        (list_dot_product(a.vv, b.vv) /
+          (SQRT(list_dot_product(a.vv, a.vv)) *
+           SQRT(list_dot_product(b.vv, b.vv)))) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE (list_dot_product(a.vv, b.vv) /
+          (SQRT(list_dot_product(a.vv, a.vv)) *
+           SQRT(list_dot_product(b.vv, b.vv)))) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22)
+}

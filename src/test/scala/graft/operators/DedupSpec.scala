@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact dup of 1 after normalize
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exactSurvivors collapses normalization-equal docs") {
+    val out = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .orderBy($"keep_id")
+      .select($"keep_id", $"n_dups").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhashSignature: deterministic, k values, equal sets -> equal sigs") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(
+        array_distinct(TextFunctions.shingles($"text", 3)), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.values.forall(_.length == 16))
+    assert(sigs(1L) == sigs(2L)) // same shingle set after normalization
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("lshCandidatePairs surfaces exact and near dups, not unrelated") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val row = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.0)
+      .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(row == ((1L, 2L, 2L, 3L, 3L, 0.5)))
+  }
+
+  test("simhash: identical token arrays -> identical sigs; pairs found") {
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash(TextFunctions.tokens($"text")).as("sig"))
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 3)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("hamming distance") {
+    val d = Seq((0L, 7L)).toDF("a", "b")
+    assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) == 3)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteForceTopK: rank 1 is self with sim ~1") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "vec_id", "embedding", 5)
+    val top = out.filter($"rk" === 1)
+      .select($"qid", $"nid", $"sim").as[(Long, Long, Double)].collect()
+    assert(top.length == 3)
+    top.foreach { case (q, n, s) =>
+      assert(q == n && math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
+  test("lshTopK recall vs brute force") {
+    val k = 10
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k, dim = 64, planes = 16, bandBits = 2)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"LSH recall@$k = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+    // and LSH must examine fewer candidates than brute force by design;
+    // self always lands in the same bucket:
+    assert((0L until 20L).forall(i => approx.contains((i, i))))
+  }
+
+  test("planeSignature is deterministic for a fixed seed") {
+    val hp = Similarity.hyperplanes(8, 4, seed = 7L)
+    val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.0f))).toDF("id", "v")
+    val s1 = df.select(Similarity.planeSignature($"v", hp)).head().getLong(0)
+    val s2 = df.select(Similarity.planeSignature($"v", hp)).head().getLong(0)
+    assert(s1 == s2)
+  }
+}
