@@ -4,7 +4,8 @@ package graft.queries
   * driver-contract maps from this single list.
   */
 object Registry {
-  val all: Seq[Q] = CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
+  val all: Seq[Q] = CoreQueries.all ++ TextQueries.all ++
+    VectorQueries.all ++ GeoQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
