@@ -1,0 +1,97 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunker, TopK, Upsert}
+import graft.sources.TableStore
+
+/** The council-transcripts DAG (SURVEY.md §3.3,
+  * dags/DAG_get_city_council_transcripts.py) as one Spark job:
+  * ingest -> chunk+embed+index -> retrieve+summarize, with the
+  * reference's incremental-processing flags (vectorized/summarized,
+  * L6/K7) as anti-join + flag-flip on the table store.
+  *
+  * Embedding/LLM calls sit behind [[Enrichment]] stubs (U5): the plan
+  * shape — explode map, ONE shuffle for the per-transcript window, a
+  * narrow embed projection, top-k window for retrieval — is the
+  * production shape.
+  */
+final class Transcripts(spark: SparkSession, store: TableStore,
+                        embedDim: Int = 64) {
+
+  /** Ingest scraped transcripts (S9 output contract), skipping video
+    * urls already present (J7 semi/anti-join).
+    */
+  def ingest(scraped: DataFrame): Unit =
+    store.upsert("council_transcripts",
+      scraped
+        .withColumn("summarized", lit(0))
+        .withColumn("vectorized", lit(0)),
+      keys = Seq("video_url"), tieBreak = Seq("title"))
+
+  /** transcripts_to_vector_db.py:174-301: for not-yet-vectorized
+    * transcripts, explode the {seconds -> text} map, sliding-window chunk
+    * (W1: n=35 overlap 6 by default), embed each chunk (L2), append to
+    * the vector index table (K5), flip the flag (K7).
+    */
+  def vectorize(n: Int = 35, overlap: Int = 6): DataFrame = {
+    val todo = store.read("council_transcripts")
+      .filter(col("vectorized") === 0)
+    val snippets = todo.select(col("video_url"), col("date"),
+      explode(col("transcript")).as(Seq("ts", "text")))
+    val chunks = Chunker.slidingChunks(snippets, "video_url",
+      Seq("ts"), "text", n, overlap)
+      .withColumnRenamed("text", "chunk_text")
+    // localCheckpoint breaks lineage to the table files the flag-flip
+    // below rewrites — without it the returned frame re-reads replaced
+    // parquet on next evaluation
+    val vectors = chunks.select(
+      md5(concat(col("video_url"), lit("#"), col("chunk_id"))).as("id"),
+      col("video_url"), col("chunk_id"), col("n_items"), col("chunk_text"),
+      Enrichment.hashEmbedding(col("chunk_text"), embedDim).as("vector"))
+      .localCheckpoint(true)
+    store.append("transcript_vectors", vectors)
+    store.updateFlag("council_transcripts", todo.select("video_url"),
+      Seq("video_url"), "vectorized", 1)
+    vectors
+  }
+
+  /** transcript_summaries.py:259-288 + 174-253: for each non-summarized
+    * meeting, retrieve top-k chunks by cosine to the meeting's own query
+    * embedding (J8/A5, k=23 in the reference), "summarize" (L4 stub),
+    * extract topics (L5 stub), append + flag-flip.
+    */
+  def summarize(k: Int = 23): DataFrame = {
+    import graft.functions.VectorFunctions
+    val todo = store.read("council_transcripts")
+      .filter(col("summarized") === 0 && col("vectorized") === 1)
+      .select(col("video_url"), col("title"),
+        Enrichment.hashEmbedding(col("title"), embedDim).as("qv"))
+    val vectors = store.read("transcript_vectors")
+    val scored = vectors.join(broadcast(todo), Seq("video_url"))
+      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("vector")))
+      .filter(col("sim").isNotNull)
+    val topk = TopK.perGroup(scored, Seq(col("video_url")),
+      Seq(col("sim").desc, col("chunk_id")), k)
+    val summaries = topk.groupBy(col("video_url"))
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("rk"), col("chunk_text"))).getField("chunk_text")))
+        .as("context"))
+      .select(col("video_url"),
+        Enrichment.keywordSummary(col("context"), 40).as("summary"),
+        Enrichment.topics(col("context"), 5).as("topics"))
+      .localCheckpoint(true) // see vectorize: survives the flag-flip rewrite
+    store.append("transcript_summaries", summaries)
+    store.updateFlag("council_transcripts",
+      summaries.select("video_url"), Seq("video_url"), "summarized", 1)
+    summaries
+  }
+
+  /** Incremental guard for the scraper side (J7): urls not yet in the
+    * table.
+    */
+  def newUrls(candidate: DataFrame): DataFrame =
+    if (!store.exists("council_transcripts")) candidate
+    else Upsert.antiDelete(candidate,
+      store.read("council_transcripts"), Seq("video_url"))
+}
