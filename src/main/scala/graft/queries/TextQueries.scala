@@ -42,7 +42,7 @@ object TextQueries {
     */
   private val q15 = Q("q15_text_stats",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").repartition(col("doc_id"))
       d.select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -128,7 +128,9 @@ object TextQueries {
     */
   private val q19 = Q("q19_dedup_simhash",
     (s, dir) => {
-      val sigs = t(s, dir, "documents")
+      // repartition BEFORE the 64-bit-plane fold so it parallelizes even
+      // from a single input split
+      val sigs = t(s, dir, "documents").repartition(col("doc_id"))
         .select(col("doc_id"),
           Dedup.simhash(TextFunctions.tokens(col("text"))).as("sig"))
       Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 12, bands = 4)

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL(
+    "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+  private def writeBatch(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+  test("windowed counts finalize as the watermark advances across AvailableNow runs") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    writeBatch(in, "b1.json", Seq(
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2026-01-01T00:02:00Z","user_id":2,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2026-01-01T00:07:00Z","user_id":1,"event_type":"view","value":3.0}"""))
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.windowedEventCounts(
+        Streams.jsonStream(spark, schema, in),
+        "ts", "event_type", "5 minutes", "1 minute"), out, ckpt)
+    run()
+    // second batch far enough in event time to close the earlier windows
+    writeBatch(in, "b2.json", Seq(
+      """{"event_id":4,"ts":"2026-01-01T01:00:00Z","user_id":3,"event_type":"click","value":4.0}"""))
+    run()
+    val res = spark.read.schema(StructType.fromDDL(
+      "window_start timestamp, event_type string, n long, sum_value double"))
+      .parquet(out)
+      .select($"event_type", $"n", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(res.contains(("click", 2L, 3.0))) // 00:00-00:05 window closed
+    assert(res.contains(("view", 1L, 3.0)))  // 00:05-00:10 window closed
+  }
+
+  test("streaming dedup keeps first row per key within watermark") {
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    writeBatch(in, "b1.json", Seq(
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":1,"ts":"2026-01-01T00:01:30Z","user_id":1,"event_type":"click","value":9.9}""",
+      """{"event_id":2,"ts":"2026-01-01T00:02:00Z","user_id":2,"event_type":"view","value":2.0}"""))
+    Streams.runAvailableNow(
+      Streams.dedupStream(Streams.jsonStream(spark, schema, in),
+        "ts", "10 minutes", Seq("event_id")), out, ckpt)
+    val res = spark.read.schema(schema).parquet(out)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    assert(res == Set((1L, 1.0), (2L, 2.0)))
+  }
+}
