@@ -30,8 +30,13 @@ object Dedup {
 
   /** MinHash signature: k independent minima of seeded 64-bit hashes of
     * the shingle set. Narrow projection; k×|shingles| hashes per row.
+    * Native expression (bit-equal to [[minhashSignatureHof]]).
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
+    call_function("graft_minhash", shingleSet, lit(k))
+
+  /** Composed-builtin form the native expression is validated against. */
+  def minhashSignatureHof(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleSet, s => xxhash64(s, i))))
 
@@ -108,7 +113,11 @@ object Dedup {
     * shift amounts); narrow, no shuffle. Bits are disjoint so the final
     * recombination by + is exact, sign bit included.
     */
-  def simhash(tokensCol: Column): Column = {
+  def simhash(tokensCol: Column): Column =
+    call_function("graft_simhash", tokensCol)
+
+  /** Composed-builtin form the native expression is validated against. */
+  def simhashHof(tokensCol: Column): Column = {
     val hs = transform(tokensCol, t => xxhash64(t))
     (0 until 64).map { j =>
       val mask = 1L << j

@@ -19,6 +19,10 @@ object Enrichment {
     * equal text -> equal vector.
     */
   def hashEmbedding(text: Column, dim: Int): Column =
+    call_function("graft_hash_embedding", text, lit(dim))
+
+  /** Composed-builtin form the native expression is validated against. */
+  def hashEmbeddingHof(text: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(text, i), lit(1000000L)).cast("double") /
         lit(1000000.0)) - lit(0.5))

@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's native expressions with a SparkSession via the
+  * public `SparkSessionExtensions` mechanism — usable both as
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and through
+  * `SparkSession.builder().withExtensions(...)`. Callers reach them with
+  * `functions.call_function("graft_cosine", ...)` (keeps the engine on
+  * public API only).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      (c: Seq[Expression]) => CosineSimExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+      (c: Seq[Expression]) => MinHashSigExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
+      (c: Seq[Expression]) => SimHash64Expr(c(0))),
+    (FunctionIdentifier("graft_hash_embedding"), info("graft_hash_embedding"),
+      (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))))
+
+  def install(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+
+  /** Attach to the builder (the engine's standard session setup). */
+  def builder(b: SparkSession.Builder): SparkSession.Builder =
+    b.withExtensions(install)
+}

@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the measured hot paths (SURVEY.md §4:
+  * "promote hot ones to Expression if bench demands" — the bench did:
+  * the composed higher-order-function forms run interpreted per-element
+  * lambda dispatch; these evaluate as tight JVM loops, ~20-100× faster).
+  *
+  * Bit-compatibility contracts (verified by spec + DuckDB oracle):
+  *  - [[CosineSimExpr]] accumulates dot/norm² per index left-to-right in
+  *    double — identical values to fold(zip_with(...)) and to the
+  *    oracle's list_dot_product form.
+  *  - [[MinHashSigExpr]] chains xxhash64 exactly like the composed
+  *    `xxhash64(elem, seedIdx)` expression (seed 42, child order).
+  *  - [[SimHash64Expr]] matches the unrolled 64-bit-plane fold.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_cosine expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature: array of k minima of chained xxhash64(elem, i). */
+case class MinHashSigExpr(child: Expression, kExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(arr: Any, kAny: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < a.numElements()) {
+      val s = a.getUTF8String(e)
+      // identical to composed xxhash64(s, i): seed 42, then chain i
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      var i = 0
+      while (i < k) {
+        val h2 = XxHash64Function.hash(i, IntegerType, h1)
+        if (h2 < mins(i)) mins(i) = h2
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+/** 64-bit SimHash of a string array (xxhash64 per token, majority vote
+  * per bit plane).
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var e = 0
+    while (e < a.numElements()) {
+      val h = XxHash64Function.hash(a.getUTF8String(e), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      e += 1
+    }
+    var sig = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(n: Expression): SimHash64Expr =
+    copy(child = n)
+}
+
+/** Deterministic hash-embedding (the U5 stub) as one pass: element i =
+  * pmod(xxhash64(text, i), 1e6)/1e6 - 0.5 — identical to the composed
+  * transform(sequence(...)) form.
+  */
+case class HashEmbeddingExpr(child: Expression, dimExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = dimExpr
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_hash_embedding"
+
+  override def nullSafeEval(t: Any, dAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val dim = dAny.asInstanceOf[Int]
+    val h1 = XxHash64Function.hash(s, StringType, 42L)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val h2 = XxHash64Function.hash(i, IntegerType, h1)
+      val m = h2 % 1000000L
+      val pm = if (m < 0) m + 1000000L else m
+      out(i) = pm.toDouble / 1000000.0 - 0.5
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashEmbeddingExpr =
+    copy(child = newLeft, dimExpr = newRight)
+}
