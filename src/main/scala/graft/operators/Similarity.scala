@@ -56,6 +56,41 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
 
+  /** IVF-style approximate top-k: a deterministic subset of the corpus
+    * acts as coarse centroids; every vector is assigned to its best
+    * centroid by cosine (narrow projection over a broadcast centroid
+    * array); a query probes its own top-`nprobe` centroid lists and runs
+    * exact cosine only there. One shuffle (the centroid-id equi-join).
+    * Classic IVF trades recall for a corpus-scan reduction of
+    * ~nprobe/nCentroids.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qidCol: String, idCol: String, vecCol: String,
+              k: Int, centroidEvery: Int = 32, nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val cents = corpus
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    def assign(df: DataFrame, id: String, as: String, n: Int): DataFrame =
+      TopK.perGroup(
+        df.select(col(id).as(as), col(vecCol).as(s"${as}_v"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", cosine(col(s"${as}_v"), col("cent_v")))
+          .filter(col("csim").isNotNull),
+        Seq(col(as)), Seq(col("csim").desc, col("cent_id")), n)
+        .select(col(as), col(s"${as}_v"), col("cent_id"))
+    val corpusAssigned = assign(corpus, idCol, "nid", 1)
+    val queryProbes = assign(queries, qidCol, "qid", nprobe)
+    val cands = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
+      .select(col("qid"), col("nid"), col("qid_v"), col("nid_v"))
+      .distinct()
+      .withColumn("sim", cosine(col("qid_v"), col("nid_v")))
+      .filter(col("sim").isNotNull)
+    TopK.perGroup(cands, Seq(col("qid")),
+      Seq(col("sim").desc, col("nid")), k)
+      .select(col("qid"), col("nid"), col("sim"), col("rk"))
+  }
+
   /** Approximate top-k: candidates = corpus rows whose plane-signature
     * band matches the query's (bands of `bandBits` planes, pigeonhole:
     * any candidate differing in < nBands bands shares one). Exact cosine

@@ -86,5 +86,21 @@ object VectorQueries {
            SQRT(list_dot_product(b.vv, b.vv)))) >= 0.5
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22)
+  /** q31 — IVF-style ANN (coarse-centroid probe lists): the second
+    * approximate scale path beside LSH (q21). Deterministic centroid
+    * choice; rows-only (recall vs q20 asserted in IvfSpec).
+    */
+  private val q31 = Q("q31_knn_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        queries = e.filter(col("vec_id") < 5),
+        corpus = e, qidCol = "vec_id", idCol = "vec_id",
+        vecCol = "embedding", k = 10, centroidEvery = 16, nprobe = 8)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31)
 }

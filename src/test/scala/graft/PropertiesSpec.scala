@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.operators.Chunker
+
+/** Property-based checks (SURVEY.md §5.4): totality of lenient casts,
+  * chunker coverage/stride laws, grid-cell round-trip. Driven through
+  * Spark on generated batches (one pass per property, not per case, to
+  * keep the suite fast).
+  */
+class PropertiesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("safeCast is total on arbitrary strings and preserves parseable ints") {
+    val strs = Gen.listOfN(150, Gen.alphaNumStr).sample.getOrElse(Nil) ++
+      Seq("", "  42  ", "-0", "9999999999999999999999", "123", "-456",
+        "12.5", "0xff", "NaN", "+7", " -8 ", "1e3")
+    val out = strs.toDF("s")
+      .select($"s", TextFunctions.safeCast($"s", "int", lit(-1)).as("v"))
+      .as[(String, Int)].collect()
+    assert(out.length == strs.length) // no exceptions = total
+    out.foreach { case (s, v) =>
+      scala.util.Try(s.trim.toInt).toOption match {
+        case Some(i) => assert(v == i, s"'$s'")
+        case None => assert(v == -1, s"'$s'")
+      }
+    }
+  }
+
+  test("chunker: every element covered, sizes <= n, full chunks exactly n, stride respected") {
+    for ((rows, n, ov0) <- Seq((1, 2, 0), (5, 5, 4), (10, 5, 2), (37, 7, 3),
+      (60, 8, 6), (9, 3, 0), (13, 4, 1), (2, 2, 1), (30, 6, 5))) {
+      val ov = math.min(ov0, n - 1)
+      val stride = n - ov
+      val df = (1 to rows).map(i => ("d", i, s"t$i")).toDF("doc", "ts", "tx")
+      val chunks = Chunker.slidingChunks(df, "doc", Seq("ts"), "tx", n, ov)
+        .select($"chunk_id", $"n_items", $"text")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      // coverage: every element appears in some chunk
+      val seen = chunks.flatMap(_._3.split(" ")).toSet
+      assert(seen == (1 to rows).map(i => s"t$i").toSet)
+      // sizes
+      chunks.foreach { case (k, ni, text) =>
+        assert(ni <= n && text.split(" ").length == ni)
+        // chunk k holds rows (k*stride, k*stride + n]
+        val expected = ((k * stride + 1) to math.min(k * stride + n, rows))
+        assert(text == expected.map(i => s"t$i").mkString(" "))
+      }
+      // chunk ids are exactly 0..floor((rows-1)/stride)
+      assert(chunks.map(_._1).toSeq == (0L to ((rows - 1) / stride)).toSeq)
+    }
+  }
+
+  test("grid cell id round-trips: cell bounds contain the point") {
+    val pts = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(-1000.0, 1000.0)))
+      .sample.get
+    val cell = 37.5; val minX = -1000.0; val minY = -1000.0; val nx = 100L
+    val out = pts.toDF("x", "y")
+      .select($"x", $"y",
+        GeoFunctions.gridCellId($"x", $"y", minX, minY, cell, nx).as("c"))
+      .as[(Double, Double, Long)].collect()
+    out.foreach { case (x, y, c) =>
+      val cx = c % nx; val cy = c / nx
+      assert(x >= minX + cx * cell && x < minX + (cx + 1) * cell)
+      assert(y >= minY + cy * cell && y < minY + (cy + 1) * cell)
+    }
+  }
+
+  test("fingerprint: normalization-equivalent strings collide, distinct tokens don't") {
+    for (s <- Seq("abc", "Hello1", "ZZtop99", "q", "MixedCase42")) {
+      val df = Seq(s, s.toUpperCase, s + "!", s + " x").toDF("t")
+        .select(TextFunctions.fingerprint($"t").as("f")).as[String].collect()
+      assert(df(0) == df(1) && df(0) == df(2)) // case/punct-invariant
+      assert(df(0) != df(3)) // extra token changes it
+    }
+  }
+}
