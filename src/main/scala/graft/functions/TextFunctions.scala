@@ -19,8 +19,13 @@ object TextFunctions {
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "),
       "\\s+", " "))
 
-  /** Whitespace token array of normalized text. */
-  def tokens(c: Column): Column = split(normalizeText(c), " ")
+  /** Whitespace token array of normalized text (native kernel, bit-equal
+    * to [[tokensHof]]).
+    */
+  def tokens(c: Column): Column = call_function("graft_norm_tokens", c)
+
+  /** Composed-builtin form the native kernel is validated against. */
+  def tokensHof(c: Column): Column = split(normalizeText(c), " ")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
@@ -47,9 +52,15 @@ object TextFunctions {
     aggregate(split(normalizeText(c), ""), lit(0L),
       (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
 
-  /** Word n-gram shingles (for MinHash / Jaccard dedup). */
-  def shingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  /** Word n-gram shingles (for MinHash / Jaccard dedup) — native kernel,
+    * bit-equal to [[shinglesHof]].
+    */
+  def shingles(c: Column, n: Int): Column =
+    call_function("graft_shingles", tokens(c), lit(n))
+
+  /** Composed-builtin form the native kernel is validated against. */
+  def shinglesHof(c: Column, n: Int): Column = {
+    val ts = tokensHof(c)
     filter(
       transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
         i => array_join(slice(ts, i + 1, lit(n)), " ")),

@@ -30,7 +30,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
       (c: Seq[Expression]) => SimHash64Expr(c(0))),
     (FunctionIdentifier("graft_hash_embedding"), info("graft_hash_embedding"),
-      (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))))
+      (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_norm_tokens"), info("graft_norm_tokens"),
+      (c: Seq[Expression]) => NormTokensExpr(c(0))),
+    (FunctionIdentifier("graft_shingles"), info("graft_shingles"),
+      (c: Seq[Expression]) => ShinglesExpr(c(0), c(1))))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the dedup/text-analysis hot path.
+  *
+  * [[NormTokensExpr]] == split(trim(regexp_replace(regexp_replace(
+  * lower(text),'[^a-z0-9]+',' '),'\s+',' ')), ' ') — i.e.
+  * `TextFunctions.tokens`: lowercase, then maximal runs of [a-z0-9]
+  * become tokens. One byte scan instead of two regex passes + split.
+  * Empty input yields [""] to match split-on-empty-string semantics.
+  *
+  * [[ShinglesExpr]] == the `TextFunctions.shingles` composition
+  * (transform/sequence/slice/array_join, incl. its short-text edge case
+  * where a truncated final window is emitted).
+  */
+case class NormTokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_norm_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) {
+        tokens += UTF8String.fromString(sb.toString); sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) tokens += UTF8String.fromString(sb.toString)
+    if (tokens.isEmpty) tokens += UTF8String.EMPTY_UTF8 // split("") -> [""]
+    new GenericArrayData(tokens.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(n: Expression): NormTokensExpr =
+    copy(child = n)
+}
+
+/** Word n-gram shingles over a token array; n is a literal. */
+case class ShinglesExpr(child: Expression, nExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(arr: Any, nAny: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val len = a.numElements()
+    // mirrors sequence(0, greatest(len - n, 0)): always >= 1 window;
+    // slice clamps, so a short text emits one truncated shingle
+    val nWindows = math.max(len - n, 0) + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var w = 0
+    while (w < nWindows) {
+      val end = math.min(w + n, len)
+      val sb = new java.lang.StringBuilder
+      var i = w
+      while (i < end) {
+        if (i > w) sb.append(' ')
+        sb.append(a.getUTF8String(i).toString)
+        i += 1
+      }
+      if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+      w += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShinglesExpr =
+    copy(child = newLeft, nExpr = newRight)
+}

@@ -51,6 +51,28 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_norm_tokens == composed tokens, incl. empty/punct-only") {
+    val edge = Seq("", "!!!", "  A  b ", "héllo wörld", "a1b2").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val diff = df.select(
+        TextFunctions.tokens($"text").as("nat"),
+        TextFunctions.tokensHof($"text").as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(diff == 0)
+    }
+  }
+
+  test("graft_shingles == composed shingles, incl. short texts") {
+    val edge = Seq("", "one", "one two", "one two three four").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val diff = df.select(
+        TextFunctions.shingles($"text", 3).as("nat"),
+        TextFunctions.shinglesHof($"text", 3).as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(diff == 0)
+    }
+  }
+
   test("graft_hash_embedding == composed hash embedding") {
     val diff = docs.select(
       Enrichment.hashEmbedding($"text", 32).as("nat"),
