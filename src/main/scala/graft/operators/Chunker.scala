@@ -52,4 +52,64 @@ object Chunker {
             s => s(textCol)),
           " ").as("text"))
   }
+
+  /** Exact replica of the reference chunker's semantics
+    * (transcripts_to_vector_db.py:197-225): FULL windows only, at starts
+    * 0, stride, 2·stride … while start <= len−n, PLUS a tail window of
+    * the last n items emitted only when `len % stride != 0 AND
+    * pythonMod(len−n, stride) != 0` — including the quirk that some
+    * lengths (e.g. len=3, n=5, stride=3) emit NOTHING. Same single-
+    * exchange shape as [[slidingChunks]]; the tail is a second narrow
+    * branch over the same shuffled partition, unioned.
+    *
+    * @return (partCol, chunk_ts = order value of the window's first row,
+    *          n_items, text, is_tail)
+    */
+  def referenceChunks(df: DataFrame, partCol: String, tsCol: String,
+                      textCol: String, n: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < n, s"need 0 <= overlap < n, got $overlap/$n")
+    val stride = n - overlap
+    val w = Window.partitionBy(col(partCol)).orderBy(col(tsCol))
+    val wAll = Window.partitionBy(col(partCol))
+    val base = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+    val rn = col("__rn"); val cnt = col("__cnt")
+    def sortedText = array_join(
+      transform(array_sort(collect_list(struct(col("__rn"), col(textCol)))),
+        s => s(textCol)), " ")
+
+    // full windows: k in [max(0, ceil((rn-n)/stride)), min(floor((rn-1)/
+    // stride), floorDiv(cnt-n, stride))], nonempty only when cnt >= n
+    val kMin = greatest(lit(0L),
+      ceil((rn - lit(n)).cast("double") / lit(stride.toDouble)).cast("long"))
+    val kCap = floor((cnt - lit(n)).cast("double") / lit(stride.toDouble))
+      .cast("long")
+    val kMax = least(
+      floor((rn - lit(1)).cast("double") / lit(stride.toDouble)).cast("long"),
+      kCap)
+    val fulls = base
+      .withColumn("k",
+        explode(when(cnt >= n && kMax >= kMin, sequence(kMin, kMax))
+          .otherwise(array().cast("array<long>"))))
+      .groupBy(col(partCol), col("k"))
+      .agg(min(col(tsCol)).as("chunk_ts"), count(lit(1)).as("n_items"),
+        sortedText.as("text"))
+      .select(col(partCol), col("chunk_ts"), col("n_items"), col("text"),
+        lit(false).as("is_tail"))
+
+    // tail: last n rows, under the reference's double-modulo condition
+    // (python % semantics on the possibly-negative len-n => pmod)
+    val tails = base
+      .filter(pmod(cnt, lit(stride)) =!= 0 &&
+        pmod(cnt - lit(n), lit(stride)) =!= 0 &&
+        rn > cnt - lit(n))
+      .groupBy(col(partCol))
+      .agg(min(col(tsCol)).as("chunk_ts"), count(lit(1)).as("n_items"),
+        sortedText.as("text"))
+      .select(col(partCol), col("chunk_ts"), col("n_items"), col("text"),
+        lit(true).as("is_tail"))
+
+    fulls.unionByName(tails)
+  }
 }

@@ -93,5 +93,41 @@ object MiscQueries {
           '[\[\]'']', '', 'g'), ', ')) AS n_tags
       FROM e ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30)
+  /** q32 — W1 with the reference's EXACT window semantics (full windows
+    * + double-modulo tail, transcripts_to_vector_db.py:197-225), n=7
+    * overlap=3, oracle-mirrored including python-mod on negatives.
+    */
+  private val q32 = Q("q32_chunker_reference",
+    (s, dir) => {
+      graft.operators.Chunker.referenceChunks(t(s, dir, "events"),
+        partCol = "user_id", tsCol = "event_id", textCol = "event_type",
+        n = 7, overlap = 3)
+        .orderBy(col("user_id"), col("is_tail"), col("chunk_ts"))
+    },
+    Some("""WITH numbered AS (
+      SELECT user_id, event_type, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events),
+    fulls AS (
+      SELECT user_id, event_id, event_type, rn,
+        UNNEST(range(GREATEST(0, CAST(CEIL((rn - 7) / 4.0) AS BIGINT)),
+          LEAST(CAST(FLOOR((rn - 1) / 4.0) AS BIGINT),
+                CAST(FLOOR((cnt - 7) / 4.0) AS BIGINT)) + 1)) AS k
+      FROM numbered WHERE cnt >= 7),
+    fullc AS (
+      SELECT user_id, MIN(event_id) AS chunk_ts, COUNT(*) AS n_items,
+        STRING_AGG(event_type, ' ' ORDER BY rn) AS text, FALSE AS is_tail
+      FROM fulls GROUP BY user_id, k),
+    tails AS (
+      SELECT user_id, MIN(event_id) AS chunk_ts, COUNT(*) AS n_items,
+        STRING_AGG(event_type, ' ' ORDER BY rn) AS text, TRUE AS is_tail
+      FROM numbered
+      WHERE cnt % 4 <> 0 AND ((((cnt - 7) % 4) + 4) % 4) <> 0
+        AND rn > cnt - 7
+      GROUP BY user_id)
+    SELECT * FROM (SELECT * FROM fullc UNION ALL SELECT * FROM tails)
+    ORDER BY user_id, is_tail, chunk_ts"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32)
 }

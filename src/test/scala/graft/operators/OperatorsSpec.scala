@@ -33,6 +33,23 @@ class ChunkerSpec extends SparkSpec {
     assert(out.filter($"n_items" > n).count() == 0)
   }
 
+  test("referenceChunks: full windows + conditional tail, incl. the no-chunk quirk") {
+    // hand-checked against transcripts_to_vector_db.py:197-225 semantics
+    def run(rows: Int, n: Int, ov: Int) =
+      Chunker.referenceChunks(mk(rows), "doc", "ts", "text", n, ov)
+        .orderBy($"is_tail", $"chunk_ts")
+        .select($"chunk_ts", $"n_items", $"is_tail")
+        .as[(Int, Long, Boolean)].collect().toSeq
+    // len=12 N=5 stride=3: full starts 0,3,6; 12%3==0 -> no tail
+    assert(run(12, 5, 2) == Seq((1, 5, false), (4, 5, false), (7, 5, false)))
+    // len=10: full 0,3; tail (10%3=1, (10-5)%3=2) -> last 5 = rows 6..10
+    assert(run(10, 5, 2) == Seq((1, 5, false), (4, 5, false), (6, 5, true)))
+    // len=3 < N: no fulls; 3%3==0 -> NO tail either (reference quirk)
+    assert(run(3, 5, 2) == Seq())
+    // len=4 < N: pythonMod(4-5,3)=2 != 0, 4%3=1 != 0 -> tail of all 4
+    assert(run(4, 5, 2) == Seq((1, 4, true)))
+  }
+
   test("zero overlap = disjoint partition") {
     val out = Chunker.slidingChunks(mk(9), "doc", Seq("ts"), "text", 3, 0)
     assert(out.count() == 3)
