@@ -129,5 +129,52 @@ object MiscQueries {
     SELECT * FROM (SELECT * FROM fullc UNION ALL SELECT * FROM tails)
     ORDER BY user_id, is_tail, chunk_ts"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32)
+  /** q33 — A2 data-profile ratios (the reference's non-null percentage
+    * probes, get_AV_listings.py:118): exact integer counts divided once
+    * in double — bit-equal across engines without fixed-point tricks.
+    */
+  private val q33 = Q("q33_profile_ratios",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.agg(
+        count(lit(1)).as("n"),
+        (count(col("value")).cast("double") / count(lit(1)).cast("double"))
+          .as("value_nonnull_ratio"),
+        (count(when(col("event_type") === "error", 1)).cast("double") /
+          count(lit(1)).cast("double")).as("error_ratio"),
+        (countDistinct(col("user_id")).cast("double") /
+          count(lit(1)).cast("double")).as("user_card_ratio"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+      (CAST(COUNT(value) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        AS value_nonnull_ratio,
+      (CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE)) AS error_ratio,
+      (CAST(COUNT(DISTINCT user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        AS user_card_ratio
+      FROM events"""))
+
+  /** q34 — F10 dict→JSON serialization at the sink boundary
+    * (combine_broker_listings.py:98-99) + F20 read-back: to_json of a
+    * struct, then extraction from the serialized form.
+    */
+  private val q34 = Q("q34_to_json",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          to_json(struct(col("c_name").as("name"),
+            col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nation"))).as("doc"))
+        .withColumn("seg_back", get_json_object(col("doc"), "$.seg"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+      to_json(struct_pack(name := c_name, seg := c_mktsegment,
+        nation := CAST(c_nationkey AS BIGINT))) AS doc,
+      json_extract_string(to_json(struct_pack(name := c_name,
+        seg := c_mktsegment, nation := CAST(c_nationkey AS BIGINT))),
+        '$.seg') AS seg_back
+      FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34)
 }
