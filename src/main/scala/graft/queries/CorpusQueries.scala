@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** End-to-end training-corpus preparation passes — the composition the
+  * north-star operators exist for, each as one declarative plan.
+  */
+object CorpusQueries {
+
+  private def normSql(c: String) =
+    s"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER($c), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private def nTokSql(c: String) = {
+    val nrm = normSql(c)
+    s"(CASE WHEN LENGTH($nrm) = 0 THEN CAST(0 AS BIGINT) ELSE LEN(STRING_SPLIT($nrm, ' ')) END)"
+  }
+
+  /** q35 — the classic pretraining cleaning pass: quality filter
+    * (length + alpha ratio), then exact dedup (keep min doc_id per
+    * fingerprint), then per-source survivor stats. Narrow filter →
+    * one dedup exchange → one stats exchange.
+    */
+  private val q35 = Q("q35_corpus_clean",
+    (s, dir) => {
+      val d = t(s, dir, "documents").repartition(col("doc_id"))
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+        .withColumn("alpha",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            length(col("text")).cast("double"))
+        .filter(col("n_tok") >= 20 && col("alpha") >= 0.5)
+      val survivors = Dedup.exactSurvivors(d, "doc_id", "text")
+        .select(col("keep_id"))
+      survivors.join(t(s, dir, "documents"),
+          survivors("keep_id") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH filtered AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE ${nTokSql("text")} >= 20
+          AND (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+            AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) >= 0.5),
+      survivors AS (
+        SELECT MIN(doc_id) AS keep_id FROM filtered
+        GROUP BY MD5(${normSql("text")}))
+      SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS sum_chars
+      FROM survivors s JOIN documents d ON d.doc_id = s.keep_id
+      GROUP BY d.source ORDER BY d.source"""))
+
+  /** q36 — sequence packing: assign documents to fixed-token-budget
+    * packs via a running total windowed WITHIN each source shard (a
+    * global ordering would serialize on one task; per-shard packing is
+    * the scale form). The running sum is exact integer arithmetic; pack
+    * id is a closed-form projection of it (same trick as the spatial
+    * grid). One exchange (the window partition).
+    */
+  private val q36 = Q("q36_sequence_packing",
+    (s, dir) => {
+      val budget = 2048L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")).cast("double") / budget)
+            .cast("long"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("pack_id"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, source, ${nTokSql("text")} AS n_tok FROM documents),
+      packed AS (
+        SELECT doc_id, source, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks)
+      SELECT source,
+        CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT)
+          AS pack_id,
+        COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        MIN(doc_id) AS first_doc
+      FROM packed GROUP BY source, pack_id ORDER BY source, pack_id"""))
+
+  val all: Seq[Q] = Seq(q35, q36)
+}
