@@ -24,13 +24,22 @@ object ExactAgg {
   def ints(c: Column, scale: Long = 100L): Column =
     round(c * lit(scale.toDouble)).cast("long")
 
+  /** Exact integer SUM as decimal(38,0): long accumulation overflows at
+    * large SF (sum of squared cents blew past 2^63 at sf0.1 already);
+    * DuckDB's SUM(BIGINT) auto-promotes to HUGEINT, so the decimal
+    * accumulator keeps the two engines value-identical — both cast the
+    * same exact integer to double at the end.
+    */
+  private[functions] def sumExact(c: Column): Column =
+    sum(c.cast("decimal(38,0)"))
+
   /** Exact sum of a fixed-point double column, returned as double. */
   def sumFx(c: Column, scale: Long = 100L): Column =
-    sum(ints(c, scale)).cast("double") / lit(scale.toDouble)
+    sumExact(ints(c, scale)).cast("double") / lit(scale.toDouble)
 
   /** Exact mean: (sumCents / n) / scale, all in doubles at the end. */
   def avgFx(c: Column, scale: Long = 100L): Column =
-    sum(ints(c, scale)).cast("double") / count(lit(1)).cast("double") /
+    sumExact(ints(c, scale)).cast("double") / count(lit(1)).cast("double") /
       lit(scale.toDouble)
 
   /** Exact revenue-style sum: SUM(price * (1 - disc)) with price
@@ -38,7 +47,7 @@ object ExactAgg {
     * (no intermediate double rounding at all), /1e6 at the end.
     */
   def revenueFx(price: Column, disc: Column): Column =
-    sum(ints(price, 100L) * (lit(10000L) - ints(disc, 10000L)))
+    sumExact(ints(price, 100L) * (lit(10000L) - ints(disc, 10000L)))
       .cast("double") / lit(1e6)
 
   /** Sample stddev from exact integer sums, with the reference's
@@ -47,9 +56,10 @@ object ExactAgg {
     */
   def stddevFx(c: Column, scale: Long = 100L): Column = {
     val cc = ints(c, scale)
+    val cd = cc.cast("decimal(38,0)")
     val n  = count(lit(1)).cast("double")
-    val s  = sum(cc).cast("double")
-    val q  = sum(cc * cc).cast("double")
+    val s  = sum(cd).cast("double")
+    val q  = sum(cd * cd).cast("double")
     val v  = greatest((q - s * s / n) / (n - lit(1.0)), lit(0.0)) /
       lit((scale * scale).toDouble)
     when(count(lit(1)) <= 1, lit(0.0)).otherwise(sqrt(v))
