@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for the bench/verify harness: local[32] with cached
+  // localCheckpoint blocks needs real headroom, and the driver's own
+  // harness launches via `sbt runMain` (no spark-submit memory flags).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // 72 whole-stage-codegen compilations in one JVM overflow the default
+  // 240m code cache; once full, JIT stops and hot loops run interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

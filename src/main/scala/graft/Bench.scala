@@ -24,19 +24,42 @@ object Bench {
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // Queries that localCheckpoint intermediate frames (dedup, transcript,
+    // listing pipelines) leave cached RDD blocks behind; over 72 executions
+    // in one JVM that becomes storage-memory pressure that throttles every
+    // later query. Drop them once their query has finished.
+    def clearCaches(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(tag: String)(name: String): Double = {
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
+      try exec(name)
+      catch {
+        case t: Throwable =>
+          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
+          t.printStackTrace(System.err)
+      }
+      finally clearCaches()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench:$tag] $name $dt%.2fs")
+      System.err.println(f"[bench:$tag] $name $dt%.2fs" +
+        (if (errors.contains(name)) " FAILED" else ""))
       dt
     }
     names.foreach(timed("warmup")) // warmup
+    errors.clear()                 // only report steady-state failures
     val results = names.map(n => n -> timed("timed")(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) =>
+      // A failed query reports negative elapsed so it can never read as
+      // a legitimately fast result.
+      s"\"" + k + "\":" + (if (errors.contains(k)) -v else v)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

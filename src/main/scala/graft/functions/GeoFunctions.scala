@@ -92,9 +92,17 @@ object GeoFunctions {
 
   /** Ray-casting point-in-polygon over a ring encoded as
     * array<struct<x:double,y:double>> (closed or open ring both work).
-    * Pure Column algebra via aggregate over vertex pairs — no UDF.
+    * Delegates to the native [[graft.plans.PointInPolygonExpr]] (requires
+    * [[graft.plans.GraftExtensions]] on the session) — bit-equal to
+    * [[pointInPolygonHof]], which runs interpreted per-vertex lambdas.
     */
-  def pointInPolygon(px: Column, py: Column, ring: Column): Column = {
+  def pointInPolygon(px: Column, py: Column, ring: Column): Column =
+    call_function("graft_pip", px.cast("double"), py.cast("double"), ring)
+
+  /** Composed-builtin ray-cast (aggregate over vertex pairs) — the
+    * reference implementation the native expression is validated against.
+    */
+  def pointInPolygonHof(px: Column, py: Column, ring: Column): Column = {
     val n = size(ring)
     // edge i: ring[i] -> ring[(i+1) % n]; count crossings of the
     // horizontal ray from (px,py) to +inf

@@ -35,10 +35,16 @@ object Dedup {
   def minhashSignature(shingleSet: Column, k: Int): Column =
     call_function("graft_minhash", shingleSet, lit(k))
 
-  /** Composed-builtin form the native expression is validated against. */
+  /** Composed-builtin form the native expression is validated against.
+    * An empty shingle set (whitespace-only doc) is defined as a signature
+    * of k × Long.MaxValue — the identity of min — matching the native
+    * expression and the declared containsNull=false element type
+    * (array_min of an empty array would otherwise yield null).
+    */
   def minhashSignatureHof(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+      i => coalesce(array_min(transform(shingleSet, s => xxhash64(s, i))),
+        lit(Long.MaxValue)))
 
   /** LSH band keys: hash each of `bands` contiguous signature slices.
     * Docs sharing any band key are candidate pairs.
@@ -78,17 +84,34 @@ object Dedup {
     * shingle (the inverted-index join — one shuffle on the shingle).
     * Returns (id_a, id_b, inter, n_a, n_b, jaccard) for jaccard >=
     * `threshold`. This is also the verifier stage after LSH.
+    *
+    * `maxShingleDf` > 0 drops stop-shingles whose document frequency
+    * exceeds the cap BEFORE the self-join — the within-bucket term is
+    * quadratic in a shingle's df, so one boilerplate phrase shared by
+    * 10⁶ docs would otherwise cost 10¹² comparisons at corpus scale.
+    * Capped semantics are deterministic: Jaccard over the shingle sets
+    * with df <= cap (both intersection and sizes use the filtered sets).
+    * 0 disables (exact — the oracle-checked mode).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, threshold: Double): DataFrame = {
+                   shingleN: Int, threshold: Double,
+                   maxShingleDf: Int = 0): DataFrame = {
     // repartition: parallelize shingling regardless of input splits;
     // checkpoint: the inverted index feeds three consumers (both join
     // sides + sizes) — compute the heavy projection once.
-    val sh = df.repartition(col(idCol))
+    val shAll = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
           .as("sh"))
       .localCheckpoint(true)
+    val sh = if (maxShingleDf > 0) {
+      // Heavy hitters are few by construction (df > cap) — broadcast the
+      // hot set and anti-join it away without shuffling the index.
+      val hot = shAll.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select(col("sh"))
+      shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else shAll
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.id") < col("y.id"))

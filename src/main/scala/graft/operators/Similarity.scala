@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.plans.PlanShape.filterOnce
 
 /** Similarity search over embedding columns (north-star operator; the
   * reference delegates this to Pinecone,
@@ -18,6 +19,11 @@ import graft.functions.VectorFunctions
   *    same-bucket candidates get exact cosine. Recall is tunable by
   *    `planes` (bucket granularity) and `probes` (multi-probe on the
   *    query side flips low-|margin| bits).
+  *
+  * Shuffle discipline (the 100 TB contract): embedding arrays never ride
+  * an exchange. Band/centroid keys and candidate pairs move as bare ids;
+  * vectors are re-joined only for the final exact-cosine stage, and the
+  * top-k window sees (qid, nid, sim) rows only.
   */
 object Similarity {
 
@@ -30,9 +36,18 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector against the given hyperplanes,
-    * packed into a long (planes <= 63). Pure column algebra.
+    * packed into a long (planes <= 63). Delegates to the native
+    * [[graft.plans.PlaneSignatureExpr]] — one tight loop per row instead
+    * of `planes` interpreted dot-folds; bit-equal to [[planeSignatureHof]].
     */
   def planeSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    call_function("graft_plane_sig", vec,
+      typedLit(planes.map(_.toSeq).toSeq))
+
+  /** Composed-builtin signature (per-plane zip_with/fold dots): the
+    * reference implementation the native expression is validated against.
+    */
+  def planeSignatureHof(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       val d = VectorFunctions.dot(vec, planeCol)
@@ -48,10 +63,24 @@ object Similarity {
                      k: Int): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", VectorFunctions.cosine(col("qv"), col("nv")))
-      .filter(col("sim").isNotNull)
+    val scored = filterOnce(c.crossJoin(broadcast(q)),
+        "sim", VectorFunctions.cosine(col("qv"), col("nv")), _.isNotNull)
+      .select(col("qid"), col("nid"), col("sim")) // narrow into the window
     TopK.perGroup(scored, Seq(col("qid")),
+      Seq(col("sim").desc, col("nid")), k)
+      .select(col("qid"), col("nid"), col("sim"), col("rk"))
+  }
+
+  /** Candidate (qid, nid) pairs re-joined with their vectors, scored
+    * once, ranked per query. Shared tail of the LSH/IVF paths.
+    */
+  private def rankCandidates(candIds: DataFrame, cv: DataFrame,
+                             qv: DataFrame, k: Int): DataFrame = {
+    val cands = filterOnce(
+      candIds.join(cv, Seq("nid")).join(broadcast(qv), Seq("qid")),
+      "sim", VectorFunctions.cosine(col("qid_v"), col("nid_v")), _.isNotNull)
+      .select(col("qid"), col("nid"), col("sim"))
+    TopK.perGroup(cands, Seq(col("qid")),
       Seq(col("sim").desc, col("nid")), k)
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
@@ -60,9 +89,9 @@ object Similarity {
     * acts as coarse centroids; every vector is assigned to its best
     * centroid by cosine (narrow projection over a broadcast centroid
     * array); a query probes its own top-`nprobe` centroid lists and runs
-    * exact cosine only there. One shuffle (the centroid-id equi-join).
-    * Classic IVF trades recall for a corpus-scan reduction of
-    * ~nprobe/nCentroids.
+    * exact cosine only there. Corpus assignment is a map-side-combined
+    * max_by aggregation (one narrow row per corpus id crosses the wire);
+    * candidate pairs travel as bare ids and vectors re-join at the end.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
@@ -71,30 +100,33 @@ object Similarity {
     val cents = corpus
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    def assign(df: DataFrame, id: String, as: String, n: Int): DataFrame =
-      TopK.perGroup(
-        df.select(col(id).as(as), col(vecCol).as(s"${as}_v"))
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", cosine(col(s"${as}_v"), col("cent_v")))
-          .filter(col("csim").isNotNull),
-        Seq(col(as)), Seq(col("csim").desc, col("cent_id")), n)
-        .select(col(as), col(s"${as}_v"), col("cent_id"))
-    val corpusAssigned = assign(corpus, idCol, "nid", 1)
-    val queryProbes = assign(queries, qidCol, "qid", nprobe)
-    val cands = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
-      .select(col("qid"), col("nid"), col("qid_v"), col("nid_v"))
-      .distinct()
-      .withColumn("sim", cosine(col("qid_v"), col("nid_v")))
-      .filter(col("sim").isNotNull)
-    TopK.perGroup(cands, Seq(col("qid")),
-      Seq(col("sim").desc, col("nid")), k)
-      .select(col("qid"), col("nid"), col("sim"), col("rk"))
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    // Centroid scoring is narrow (broadcast nested loop); the vector is
+    // dropped before anything shuffles.
+    def scored(df: DataFrame, id: String): DataFrame =
+      filterOnce(df.crossJoin(broadcast(cents)),
+        "csim", cosine(col(s"${id}_v"), col("cent_v")), _.isNotNull)
+        .select(col(id), col("cent_id"), col("csim"))
+    // Best centroid per corpus row: max_by with the window's exact
+    // tie-break (csim desc, then min cent_id) — partial-aggregates
+    // map-side, unlike a row_number window.
+    val corpusAssigned = scored(cv, "nid").groupBy(col("nid"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("tb"))).as("cent_id"))
+    val queryProbes = TopK.perGroup(scored(qv, "qid"), Seq(col("qid")),
+      Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    val candIds = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
+      .select(col("qid"), col("nid")).distinct()
+    rankCandidates(candIds, cv, qv, k)
   }
 
   /** Approximate top-k: candidates = corpus rows whose plane-signature
     * band matches the query's (bands of `bandBits` planes, pigeonhole:
-    * any candidate differing in < nBands bands shares one). Exact cosine
-    * + window top-k on candidates only.
+    * any candidate differing in < nBands bands shares one). Band rows
+    * are (id, band) only — the explode never duplicates the embedding —
+    * and exact cosine runs once per distinct (qid, nid) candidate.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
@@ -104,24 +136,19 @@ object Similarity {
     val hp = hyperplanes(planes, dim, seed)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, as: String): DataFrame = {
-      val withSig = df.select(col(id).as(as), col(vecCol).as(s"${as}_v"))
-        .withColumn("__sig", planeSignature(col(s"${as}_v"), hp))
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val withSig = df
+        .withColumn("__sig", planeSignature(col(s"${id}_v"), hp))
       val keys = array((0 until nBands).map(b =>
         struct(lit(b).as("b"),
           shiftrightunsigned(col("__sig"), b * bandBits)
             .bitwiseAND(lit(mask)).as("bits"))): _*)
-      withSig.withColumn("band", explode(keys)).drop("__sig")
+      withSig.withColumn("band", explode(keys)).select(col(id), col("band"))
     }
-    val qb = banded(queries, qidCol, "qid")
-    val cb = banded(corpus, idCol, "nid")
-    val cands = cb.join(broadcast(qb), Seq("band"))
-      .select(col("qid"), col("nid"), col("qid_v"), col("nid_v"))
-      .distinct()
-      .withColumn("sim", VectorFunctions.cosine(col("qid_v"), col("nid_v")))
-      .filter(col("sim").isNotNull)
-    TopK.perGroup(cands, Seq(col("qid")),
-      Seq(col("sim").desc, col("nid")), k)
-      .select(col("qid"), col("nid"), col("sim"), col("rk"))
+    val candIds = banded(cv, "nid").join(broadcast(banded(qv, "qid")), Seq("band"))
+      .select(col("qid"), col("nid")).distinct()
+    rankCandidates(candIds, cv, qv, k)
   }
 }

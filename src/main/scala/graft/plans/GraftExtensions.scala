@@ -34,7 +34,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_norm_tokens"), info("graft_norm_tokens"),
       (c: Seq[Expression]) => NormTokensExpr(c(0))),
     (FunctionIdentifier("graft_shingles"), info("graft_shingles"),
-      (c: Seq[Expression]) => ShinglesExpr(c(0), c(1))))
+      (c: Seq[Expression]) => ShinglesExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_pip"), info("graft_pip"),
+      (c: Seq[Expression]) => PointInPolygonExpr(c(0), c(1), c(2))),
+    (FunctionIdentifier("graft_plane_sig"), info("graft_plane_sig"),
+      (c: Seq[Expression]) => PlaneSignatureExpr(c(0), c(1))))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -37,7 +37,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    // Mismatched dims: the composed zip_with form null-pads, poisoning
+    // the dot fold to null — mirror that instead of silently truncating.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
@@ -152,4 +155,102 @@ case class HashEmbeddingExpr(child: Expression, dimExpr: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HashEmbeddingExpr =
     copy(child = newLeft, dimExpr = newRight)
+}
+
+/** Ray-casting point-in-polygon over a ring of struct<x,y> vertices —
+  * bit-equal to the composed aggregate-HOF form
+  * ([[graft.functions.GeoFunctions.pointInPolygonHof]]): same edge
+  * order, same IEEE double intersection arithmetic, same closed/open
+  * ring handling (edge n-1 wraps to vertex 0).
+  */
+case class PointInPolygonExpr(first: Expression, second: Expression,
+                              third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pip"
+
+  private lazy val (ringStruct, xi, yi) = third.dataType match {
+    case ArrayType(s: StructType, _) =>
+      (s, s.fieldIndex("x"), s.fieldIndex("y"))
+    case t => throw new IllegalArgumentException(
+      s"graft_pip expects array<struct<x,y>> ring, got $t")
+  }
+
+  override def nullSafeEval(pxA: Any, pyA: Any, ringA: Any): Any = {
+    val px = pxA.asInstanceOf[Double]; val py = pyA.asInstanceOf[Double]
+    val ring = ringA.asInstanceOf[ArrayData]
+    val n = ring.numElements()
+    val nf = ringStruct.size
+    var crossings = 0L; var i = 0
+    while (i < n) {
+      val a = ring.getStruct(i, nf)
+      val b = ring.getStruct(if (i == n - 1) 0 else i + 1, nf)
+      val ay = a.getDouble(yi); val by = b.getDouble(yi)
+      if ((ay > py) != (by > py)) {
+        val ax = a.getDouble(xi); val bx = b.getDouble(xi)
+        val xInt = (bx - ax) * (py - ay) / (by - ay) + ax
+        if (px < xInt) crossings += 1
+      }
+      i += 1
+    }
+    crossings % 2 == 1
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PointInPolygonExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** Packed sign-bit signature of a vector against a literal hyperplane
+  * matrix (array<array<double>>, planes <= 63) — one pass over the
+  * vector per plane, bit-equal to the composed per-plane dot-fold form
+  * ([[graft.operators.Similarity.planeSignatureHof]]). The plane matrix
+  * is a foldable literal, decoded once per executor, not per row.
+  */
+case class PlaneSignatureExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_plane_sig"
+
+  private lazy val elemFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"graft_plane_sig expects array<float|double> vector, got $t")
+  }
+
+  private lazy val planeMatrix: Array[Array[Double]] = {
+    require(right.foldable, "graft_plane_sig planes must be a literal")
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  override def nullSafeEval(v: Any, planesIgnored: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    var sig = 0L; var p = 0
+    while (p < planeMatrix.length) {
+      val plane = planeMatrix(p)
+      // HOF semantics: zip_with null-pads a length mismatch, poisoning
+      // the dot to null, and `when(null > 0)` contributes bit 0.
+      if (plane.length == dim) {
+        var dot = 0.0; var i = 0
+        while (i < dim) {
+          val xi = if (elemFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          dot += xi * plane(i); i += 1
+        }
+        if (dot > 0) sig += (1L << p)
+      }
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlaneSignatureExpr =
+    copy(left = newLeft, right = newRight)
 }

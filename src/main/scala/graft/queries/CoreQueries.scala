@@ -226,7 +226,8 @@ object CoreQueries {
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type,
-      SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        AS BIGINT) AS sum_k,
       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 

@@ -47,7 +47,8 @@ object CorpusQueries {
       survivors AS (
         SELECT MIN(doc_id) AS keep_id FROM filtered
         GROUP BY MD5(${normSql("text")}))
-      SELECT d.source, COUNT(*) AS n_docs, SUM(d.n_chars) AS sum_chars
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
       FROM survivors s JOIN documents d ON d.doc_id = s.keep_id
       GROUP BY d.source ORDER BY d.source"""))
 
@@ -84,7 +85,7 @@ object CorpusQueries {
       SELECT source,
         CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT)
           AS pack_id,
-        COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         MIN(doc_id) AS first_doc
       FROM packed GROUP BY source, pack_id ORDER BY source, pack_id"""))
 

@@ -47,6 +47,28 @@ class DedupSpec extends SparkSpec {
     assert(row == ((1L, 2L, 2L, 3L, 3L, 0.5)))
   }
 
+  test("jaccardPairs df cap drops stop-shingle buckets, keeps rare-shingle pairs") {
+    // 90% skew: every doc shares the boilerplate prefix "terms of service
+    // apply here" (one hot shingle bucket -> quadratic without the cap);
+    // only docs 1/2 share real content beyond it.
+    val skewed = (1L to 40L).map { i =>
+      val tail = if (i <= 2) "identical real payload content"
+                 else s"unique payload number $i entry"
+      (i, s"terms of service apply here $tail")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(skewed, "doc_id", "text", 4, 0.05,
+      maxShingleDf = 5)
+    val pairs = capped.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    // The hot boilerplate shingles (df=40 > 5) are gone: the ~40²/2
+    // boilerplate-only pairs never materialize...
+    assert(pairs == Set((1L, 2L)))
+    // ...and the surviving pair is scored on the filtered sets only.
+    val r = capped.filter($"id_a" === 1L && $"id_b" === 2L)
+      .select($"jaccard").as[Double].head()
+    assert(r == 1.0) // identical once boilerplate shingles are dropped
+  }
+
   test("simhash: identical token arrays -> identical sigs; pairs found") {
     val sigs = docs.select($"doc_id",
       Dedup.simhash(TextFunctions.tokens($"text")).as("sig"))

@@ -80,4 +80,47 @@ class NativeExprsSpec extends SparkSpec {
       .filter(!($"nat" <=> $"hof")).count()
     assert(diff == 0)
   }
+
+  test("graft_cosine returns null on mismatched dimensions (zip_with parity)") {
+    val z = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
+    assert(z.select(VectorFunctions.cosineHof($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("graft_minhash empty shingle set == k x Long.MaxValue (HOF parity)") {
+    val empty = Seq(Seq.empty[String], Seq("a b c")).toDF("sh")
+    val rows = empty.select(
+      Dedup.minhashSignature($"sh", 4).as("nat"),
+      Dedup.minhashSignatureHof($"sh", 4).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(rows(0).getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("graft_pip == composed ray-cast PIP over random points") {
+    import graft.functions.GeoFunctions
+    // Non-convex ring (open form); grid of probe points crossing edges,
+    // vertices, and the concavity.
+    val ring = Seq((-3.0, -2.0), (4.0, -1.5), (4.5, 3.0), (0.5, 0.5),
+      (-1.0, 4.0), (-3.5, 2.0)).map { case (x, y) => (x, y) }
+    val ringDf = Seq(1).toDF("one").select(
+      array(ring.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*).as("ring"))
+    val pts = (for (i <- -60 to 60; j <- -60 to 60)
+      yield (i / 10.0, j / 10.0)).toDF("px", "py")
+    val diff = pts.crossJoin(ringDf).select(
+      GeoFunctions.pointInPolygon($"px", $"py", $"ring").as("nat"),
+      GeoFunctions.pointInPolygonHof($"px", $"py", $"ring").as("hof"))
+      .filter(!($"nat" <=> $"hof")).count()
+    assert(diff == 0)
+  }
+
+  test("graft_plane_sig == composed hyperplane signature over embeddings") {
+    import graft.operators.Similarity
+    val hp = Similarity.hyperplanes(16, 64)
+    val diff = emb.select(
+      Similarity.planeSignature($"embedding", hp).as("nat"),
+      Similarity.planeSignatureHof($"embedding", hp).as("hof"))
+      .filter(!($"nat" <=> $"hof")).count()
+    assert(diff == 0)
+  }
 }

@@ -2,7 +2,12 @@
 """Local mimic of the driver's correctness gate: for each query output
 parquet written by graft.Verify, run the matching oracle SQL in DuckDB
 over the same sf tables and compare (columns sorted by name, rows sorted,
-values rounded for doubles). Usage: localverify.py <sfDir> <outDir>
+values compared EXACTLY — the driver hashes value encodings, so a
+last-ulp double difference fails there too and must fail here).
+Also compares the physical DuckDB column types of both sides: pandas
+silently coerces e.g. HUGEINT (a bare SUM(BIGINT) in DuckDB) to the
+same int64/float as Spark's BIGINT, which hid three driver hash fails
+in round 1. Usage: localverify.py <sfDir> <outDir>
 """
 import sys, json, glob, os
 import duckdb
@@ -17,10 +22,14 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns sorted by name, every value canonicalized to its repr
+    string, rows sorted. repr-level compare mimics the driver's hash of
+    value encodings: int32 vs int64 both repr as '5' (driver passes),
+    but HUGEINT coerces to float64 and reprs as '5.0' vs '5' (driver
+    fails) — exactly the round-1 q10/q35/q36 signature."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(repr)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -28,9 +37,21 @@ fails = 0
 for name in sorted(oracle):
     res_dir = f"{out_dir}/{name}"
     try:
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df()
-        duck_df = con.execute(oracle[name]).df()
+        rel_a = con.sql(
+            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+        types_a = dict(zip(rel_a.columns, map(str, rel_a.types)))
+        spark_df = rel_a.df()
+        rel_b = con.sql(oracle[name])
+        types_b = dict(zip(rel_b.columns, map(str, rel_b.types)))
+        duck_df = rel_b.df()
+        type_diff = {c: (types_a.get(c), types_b.get(c))
+                     for c in set(types_a) | set(types_b)
+                     if types_a.get(c) != types_b.get(c)}
+        if type_diff:
+            # Raw-type drift is not necessarily fatal (the driver passes
+            # INTEGER vs BIGINT, JSON vs VARCHAR) but is the early-warning
+            # signal for HUGEINT-style value-encoding fails below.
+            print(f"WARN {name}: duckdb type drift (spark, oracle): {type_diff}")
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
