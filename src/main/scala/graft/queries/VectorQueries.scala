@@ -43,9 +43,14 @@ object VectorQueries {
       ORDER BY qid, rk"""))
 
   /** q21 — LSH-bucketed approximate top-k (random-hyperplane signatures,
-    * banded buckets): the scale path. Hyperplanes are seeded-deterministic
-    * but not portable SQL → rows-only; recall vs q20 is asserted in
-    * SimilaritySpec.
+    * banded buckets): the scale path. Unlike the xxhash64 dedup buckets,
+    * hyperplane signatures are pure double arithmetic, so the WHOLE
+    * pipeline — signatures, banding, candidate join, exact cosine, rank
+    * — is oracle-expressible: the seeded hyperplane matrix is embedded
+    * in the SQL as literal DOUBLE lists (Double.toString round-trips
+    * bit-exactly through DuckDB's literal parser, and list_dot_product
+    * folds left-to-right like the native expression — same contract q20
+    * already validates).
     */
   private val q21 = Q("q21_knn_lsh",
     (s, dir) => {
@@ -57,7 +62,40 @@ object VectorQueries {
         .withColumn("rk", col("rk").cast("long"))
         .orderBy(col("qid"), col("rk"))
     },
-    None)
+    Some {
+      val hp = Similarity.hyperplanes(16, 64)
+      val hpValues = hp.zipWithIndex.map { case (p, i) =>
+        s"(${i}, [${p.mkString(", ")}])"
+      }.mkString(",\n        ")
+      s"""WITH hp(plane_id, pv) AS (VALUES
+        $hpValues),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      sigs AS (SELECT v.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(v.vv, hp.pv) > 0
+            THEN (CAST(1 AS BIGINT) << hp.plane_id) ELSE 0 END) AS BIGINT)
+            AS sig
+        FROM v CROSS JOIN hp GROUP BY v.vec_id),
+      bands AS (SELECT UNNEST(RANGE(8)) AS b),
+      cb AS (SELECT s.vec_id AS nid, bands.b,
+          (s.sig >> (CAST(bands.b AS INTEGER) * 2)) & 3 AS bits
+        FROM sigs s CROSS JOIN bands),
+      qb AS (SELECT nid AS qid, b, bits FROM cb WHERE nid < 5),
+      cand AS (SELECT DISTINCT qb.qid, cb.nid
+        FROM cb JOIN qb ON cb.b = qb.b AND cb.bits = qb.bits),
+      scored AS (SELECT cand.qid, cand.nid,
+          (list_dot_product(qv.vv, nv.vv) /
+            (SQRT(list_dot_product(qv.vv, qv.vv)) *
+             SQRT(list_dot_product(nv.vv, nv.vv)))) AS sim
+        FROM cand
+        JOIN v nv ON nv.vec_id = cand.nid
+        JOIN v qv ON qv.vec_id = cand.qid),
+      ranked AS (SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        FROM scored WHERE sim IS NOT NULL)
+      SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""
+    })
 
   /** q22 — embedding-cosine near-duplicate pairs above a threshold.
     * Exact pairwise here (the oracle-checkable verifier); at corpus scale
@@ -89,8 +127,10 @@ object VectorQueries {
       ORDER BY id_a, id_b"""))
 
   /** q31 — IVF-style ANN (coarse-centroid probe lists): the second
-    * approximate scale path beside LSH (q21). Deterministic centroid
-    * choice; rows-only (recall vs q20 asserted in IvfSpec).
+    * approximate scale path beside LSH (q21). The centroid choice is a
+    * modulo of the corpus itself and assignment/probing is pure cosine
+    * arithmetic, so the whole pipeline is oracle-expressible in SQL —
+    * centroid assignment, probe lists, candidate join, exact rank.
     */
   private val q31 = Q("q31_knn_ivf",
     (s, dir) => {
@@ -102,7 +142,37 @@ object VectorQueries {
         .withColumn("rk", col("rk").cast("long"))
         .orderBy(col("qid"), col("rk"))
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cent_id, vv AS cv FROM v
+        WHERE vec_id % 16 = 0),
+      scored AS (SELECT v.vec_id, c.cent_id,
+          (list_dot_product(v.vv, c.cv) /
+            (SQRT(list_dot_product(v.vv, v.vv)) *
+             SQRT(list_dot_product(c.cv, c.cv)))) AS csim
+        FROM v CROSS JOIN c),
+      ranked_assign AS (SELECT vec_id, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cent_id) AS ark
+        FROM scored WHERE csim IS NOT NULL),
+      corpus_assign AS (SELECT vec_id AS nid, cent_id FROM ranked_assign
+        WHERE ark = 1),
+      qprobes AS (SELECT vec_id AS qid, cent_id FROM ranked_assign
+        WHERE vec_id < 5 AND ark <= 8),
+      cand AS (SELECT DISTINCT q.qid, ca.nid
+        FROM corpus_assign ca JOIN qprobes q ON ca.cent_id = q.cent_id),
+      simsc AS (SELECT cand.qid, cand.nid,
+          (list_dot_product(qv.vv, nv.vv) /
+            (SQRT(list_dot_product(qv.vv, qv.vv)) *
+             SQRT(list_dot_product(nv.vv, nv.vv)))) AS sim
+        FROM cand
+        JOIN v nv ON nv.vec_id = cand.nid
+        JOIN v qv ON qv.vec_id = cand.qid),
+      ranked AS (SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        FROM simsc WHERE sim IS NOT NULL)
+      SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""))
 
   val all: Seq[Q] = Seq(q20, q21, q22, q31)
 }

@@ -115,3 +115,42 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
   }
 }
+
+/** F13/F14 zoning-bylaw parsing against the reference's own cases
+  * (get_edm_zoning_bylaw_data.py:80-116, 254-264).
+  */
+class ZoningFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def storeys(s: String): Option[String] = {
+    val r = Seq(s).toDF("t")
+      .select(ZoningFunctions.storeysSummary($"t")).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("storeys cascade: all five cases in reference order, null fallback") {
+    assert(storeys("heights up to 6 or 8 storeys permitted") ==
+      Some("Up to 6 or 8"))
+    assert(storeys("buildings Up To 4 Storeys") == Some("Up to 4"))
+    assert(storeys("approximately 9 to 20 Storeys") == Some("9 to 20"))
+    assert(storeys("either 2 or 3 storeys") == Some("2 or 3"))
+    assert(storeys("a maximum of 12 storeys") == Some("12"))
+    assert(storeys("no height maximum applies") == None)
+    // case 1 shadows cases 2/4/5 on the same text, as in the reference
+    assert(storeys("up to 6 or 8 storeys, i.e. 6 storeys typical") ==
+      Some("Up to 6 or 8"))
+  }
+
+  test("zone title split and unparsable fallback") {
+    val parts = Seq("3.16 A6 - River Crossing Zone", "Direct Control Provision")
+      .toDF("t").select(ZoningFunctions.zoneTitleParts($"t").as("p"))
+      .select($"p.section", $"p.zone_code", $"p.zone_name")
+      .collect()
+    assert(parts(0).getString(0) == "3.16")
+    assert(parts(0).getString(1) == "A6")
+    assert(parts(0).getString(2) == "River Crossing Zone")
+    assert(parts(1).isNullAt(0))
+    assert(parts(1).getString(1) == "Direct Control Provision")
+    assert(parts(1).getString(2) == "Direct Control Provision")
+  }
+}
