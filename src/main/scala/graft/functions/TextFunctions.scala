@@ -127,4 +127,34 @@ object TextFunctions {
     */
   def safeCast(c: Column, to: String, default: Column): Column =
     coalesce(c.try_cast(to), default)
+
+  /** Seconds → "H:MM:SS" (hours unpadded, may exceed 24 — the
+    * reference folds timedelta days back into hours;
+    * transcript_summaries.py:144-149).
+    */
+  def formatTimestampStr(seconds: Long): String = {
+    val h = seconds / 3600; val m = (seconds % 3600) / 60
+    val s = seconds % 60
+    f"$h%d:$m%02d:$s%02d"
+  }
+
+  private val sourceLinkPattern =
+    """\[\[(\d+)]]\((https?://[^\s)]+?[&?]t=(\d+)s)\)""".r
+
+  /** F17 — per-match source-link rewrite: `[[N]](url...&t=Ss)` becomes
+    * `[[H:MM:SS]](url)` with the timestamp rendered from the url's `t=`
+    * seconds (transcript_summaries.py:151-159). The ONE Scala UDF in
+    * the engine: Spark's regexp_replace has no per-match callback and
+    * the replacement embeds a computed rendering of a captured group.
+    * Null-safe; narrow per-row work, no shuffle implications.
+    */
+  val rewriteSourceLinks: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null
+      else sourceLinkPattern.replaceAllIn(text, m => {
+        val ts = formatTimestampStr(m.group(3).toLong)
+        scala.util.matching.Regex.quoteReplacement(
+          s"[[$ts]](${m.group(2)})")
+      })
+    }
 }

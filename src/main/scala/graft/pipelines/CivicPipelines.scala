@@ -1,0 +1,156 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, ZoningFunctions}
+import graft.sources.TableStore
+
+/** The three thin civic-data DAGs (SURVEY.md §7.1.5) as single-stage
+  * Spark pipelines over the pieces the engine already has: safe casts
+  * (F11), date parts (F12), the geocode seam (U5), the bylaw parsers
+  * (F13/F14), disjunctive predicates (P6) and keyed upsert (K2/K4).
+  * Each is a narrow projection + one upsert anti-join — no other
+  * exchange, so all three hold their shape at any input size.
+  */
+
+/** Building permits (get_edm_building_permits.py:123-228): Socrata feed
+  * → safe-cast defaults → geocode fallback for (0,0) coordinates →
+  * drop still-unlocatable rows → ON CONFLICT DO NOTHING upsert on
+  * (latitude, longitude, issue_date). The reference's 500-row chunked
+  * insert (K4) is a partition-sized write here by design.
+  */
+final class BuildingPermits(spark: SparkSession, store: TableStore) {
+
+  import TextFunctions.safeCast
+
+  /** Server-side date filter (S7 `$where issue_date >= cutoff`) + the
+    * reference's per-field safe_cast defaults + day extraction.
+    */
+  def normalize(raw: DataFrame, cutoffDate: String): DataFrame = {
+    def s(c: String) = safeCast(col(c), "string", lit("Unknown"))
+    def d(c: String) = safeCast(col(c), "double", lit(0.0))
+    def i(c: String) = safeCast(col(c), "int", lit(0))
+    raw.filter(col("issue_date") >= lit(cutoffDate))
+      .select(
+        s("uuid").as("uuid"),
+        d("latitude").as("latitude"),
+        d("longitude").as("longitude"),
+        d("floor_area").as("floor_area"),
+        s("address").as("address"),
+        d("construction_value").as("construction_value"),
+        i("units_added").as("num_units"),
+        s("work_type").as("work_type"),
+        s("building_type").as("building_type"),
+        s("job_description").as("description"),
+        s("job_category").as("permit_type"),
+        i("month_number").as("permit_month"),
+        i("year").as("permit_year"),
+        // extract_day_from_issue_date: day-of-month or 0 on unparsable
+        coalesce(dayofmonth(to_date(substring(col("issue_date"), 1, 10))),
+          lit(0)).as("permit_day"),
+        s("issue_date").as("issue_date"),
+        s("neighbourhood").as("neighbourhood"),
+        s("zoning").as("zoning"))
+  }
+
+  /** Geocode fallback (ref :160-183): rows with (0,0) coordinates and a
+    * usable address get the geocoder seam's point; rows still at (0,0)
+    * are skipped entirely, as in the reference.
+    */
+  def withCoordinates(permits: DataFrame): DataFrame = {
+    val needsGeo = (col("latitude") === 0.0 || col("longitude") === 0.0) &&
+      col("address") =!= "Unknown"
+    val g = Enrichment.geocode(col("address"))
+    permits
+      .withColumn("latitude",
+        when(needsGeo, g.getField("lat")).otherwise(col("latitude")))
+      .withColumn("longitude",
+        when(needsGeo, g.getField("lon")).otherwise(col("longitude")))
+      .filter(col("latitude") =!= 0.0 && col("longitude") =!= 0.0)
+  }
+
+  def run(raw: DataFrame, cutoffDate: String): Unit =
+    store.upsert("building_permits", withCoordinates(normalize(raw, cutoffDate)),
+      keys = Seq("latitude", "longitude", "issue_date"),
+      tieBreak = Seq("uuid"))
+
+  /** The reference's rolling window: cutoff = clock minus 4 months
+    * (ref :130-132), with the clock injected (F3) instead of read from
+    * the wall.
+    */
+  def run(raw: DataFrame, clock: graft.functions.Clock): Unit =
+    run(raw, clock.monthsAgo(4))
+}
+
+/** Rezoning applications (get_edm_rezoning_data.py:52-116): the SODA
+  * disjunctive status/date predicate, the categorical application-type
+  * filter, defaulted projection, ON CONFLICT DO NOTHING upsert on
+  * (latitude, longitude, created_date).
+  */
+final class Rezoning(spark: SparkSession, store: TableStore) {
+
+  /** P6: status IN ('In Review') OR (status IN ('Approved','Refused')
+    * AND council_approval_date BETWEEN start AND end); P5: only
+    * application_type = 'Rezoning' survives (ref :85-87).
+    */
+  def normalize(raw: DataFrame, startDate: String, endDate: String): DataFrame = {
+    def s(c: String) = coalesce(col(c).cast("string"), lit(""))
+    raw
+      .filter(col("status") === "In Review" ||
+        (col("status").isin("Approved", "Refused") &&
+          col("council_approval_date").between(startDate, endDate)))
+      .filter(col("application_type") === "Rezoning")
+      .select(
+        s("uuid").as("uuid"),
+        s("file_number").as("file_number"),
+        s("created_date").as("created_date"),
+        s("application_type").as("application_type"),
+        s("address").as("address"),
+        s("city").as("city"),
+        s("province").as("province"),
+        TextFunctions.safeCast(col("latitude"), "double", lit(0.0))
+          .as("latitude"),
+        TextFunctions.safeCast(col("longitude"), "double", lit(0.0))
+          .as("longitude"),
+        s("zone_change").as("zone_change"),
+        s("status").as("status"),
+        s("council_public_hearing_date").as("council_public_hearing_date"),
+        s("council_approval_date").as("council_approval_date"),
+        s("planner_contact").as("planner_contact"))
+  }
+
+  def run(raw: DataFrame, startDate: String, endDate: String): Unit =
+    store.upsert("rezoned_properties", normalize(raw, startDate, endDate),
+      keys = Seq("latitude", "longitude", "created_date"),
+      tieBreak = Seq("uuid"))
+
+  /** end_date = "now" with the clock injected (F3, ref :52-66). */
+  def run(raw: DataFrame, startDate: String,
+          clock: graft.functions.Clock): Unit =
+    run(raw, startDate, clock.todayStr)
+}
+
+/** Zoning bylaws (get_edm_zoning_bylaw_data.py): scraped zone pages →
+  * F14 title split + F13 storeys cascade; map-modifier rows key the
+  * zone as "CODE MODIFIER" like the reference's merged dict keys
+  * (ref :240-250). The daily DAG fully refreshes → table rewrite (K6).
+  */
+final class ZoningBylaws(spark: SparkSession, store: TableStore) {
+
+  def parse(pages: DataFrame): DataFrame = {
+    val parts = ZoningFunctions.zoneTitleParts(col("zone_title"))
+    pages.select(
+      parts.getField("section").as("section"),
+      parts.getField("zone_code").as("zone_code"),
+      parts.getField("zone_name").as("zone_name"),
+      ZoningFunctions.storeysSummary(col("height_text")).as("storeys"),
+      col("modifier"))
+      .withColumn("zone_key",
+        when(col("modifier").isNotNull && col("modifier") =!= "",
+          concat_ws(" ", col("zone_code"), col("modifier")))
+          .otherwise(col("zone_code")))
+  }
+
+  def run(pages: DataFrame): Unit =
+    store.rewrite("zoning_bylaws", parse(pages))
+}

@@ -78,7 +78,10 @@ final class Transcripts(spark: SparkSession, store: TableStore,
         struct(col("rk"), col("chunk_text"))).getField("chunk_text")))
         .as("context"))
       .select(col("video_url"),
-        Enrichment.keywordSummary(col("context"), 40).as("summary"),
+        // F17: the reference rewrites [[N]](url&t=Ss) source links in
+        // the LLM summary to [[H:MM:SS]](url) before storing
+        graft.functions.TextFunctions.rewriteSourceLinks(
+          Enrichment.keywordSummary(col("context"), 40)).as("summary"),
         Enrichment.topics(col("context"), 5).as("topics"))
       .localCheckpoint(true) // see vectorize: survives the flag-flip rewrite
     store.append("transcript_summaries", summaries)

@@ -154,3 +154,35 @@ class ZoningFunctionsSpec extends SparkSpec {
     assert(parts(1).getString(2) == "Direct Control Provision")
   }
 }
+
+/** F17 link rewrite + F3 injectable clock. */
+class LinkRewriteAndClockSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rewriteSourceLinks renders t=Ns seconds as [[H:MM:SS]], leaves rest") {
+    val in = Seq(
+      "See [[83]](https://youtu.be/x?v=1&t=83s) and " +
+        "[[3601]](https://youtu.be/x?t=3601s) here",
+      "Day-long: [[90061]](https://youtu.be/y?t=90061s)",
+      "No links here; [[12]](not a url) stays",
+      null
+    ).toDF("text")
+    val out = in.select(
+      TextFunctions.rewriteSourceLinks($"text").as("t")).collect()
+    assert(out(0).getString(0) ==
+      "See [[0:01:23]](https://youtu.be/x?v=1&t=83s) and " +
+        "[[1:00:01]](https://youtu.be/x?t=3601s) here")
+    assert(out(1).getString(0) == // hours fold past 24, as in the reference
+      "Day-long: [[25:01:01]](https://youtu.be/y?t=90061s)")
+    assert(out(2).getString(0) == "No links here; [[12]](not a url) stays")
+    assert(out(3).isNullAt(0))
+  }
+
+  test("Clock: fixed date derives reproducible cutoffs") {
+    val c = Clock.fixed("2026-08-12")
+    assert(c.monthsAgo(4) == "2026-04-12")
+    assert(c.todayStr == "2026-08-12")
+    // leap/end-of-month clamping behaves like LocalDate
+    assert(Clock.fixed("2026-03-31").monthsAgo(1) == "2026-02-28")
+  }
+}

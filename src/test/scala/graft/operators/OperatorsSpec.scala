@@ -107,3 +107,22 @@ class TopKSpec extends SparkSpec {
     assert(out == Seq(("g1", 1, 1), ("g1", 2, 2), ("g2", 4, 1)))
   }
 }
+
+/** O1 limit: deterministic only under a total order — the engine's rule
+  * is limit-after-orderBy, which Spark executes as TakeOrderedAndProject
+  * (no full sort, no full shuffle).
+  */
+class LimitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("limit after total order returns the exact k-prefix") {
+    val df = (1 to 1000).map(i => (i * 37 % 1000, i)).toDF("k", "v")
+    val got = df.orderBy($"k", $"v").limit(5).as[(Int, Int)].collect().toSeq
+    val want = df.as[(Int, Int)].collect().sortBy(t => (t._1, t._2))
+      .take(5).toSeq
+    assert(got == want)
+    val plan = df.orderBy($"k", $"v").limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

@@ -162,3 +162,160 @@ class TranscriptsSpec extends SparkSpec with StoreFixture {
     }
   }
 }
+
+/** Thin civic pipelines (SURVEY.md §7.1.5): permits, rezoning, bylaws. */
+class BuildingPermitsSpec extends SparkSpec with StoreFixture {
+  import spark.implicits._
+
+  // Socrata feeds arrive as all-string JSON rows (F11 safe-cast surface)
+  private def raw = Seq(
+    // good row, full coordinates
+    ("p1", "53.5", "-113.5", "120.5", "1 Main St", "250000", "2",
+     "New", "House", "build a house", "Residential", "7", "2026",
+     "2026-07-15T00:00:00", "Downtown", "RS"),
+    // missing coords, geocodable address
+    ("p2", null, null, "80", "9 Yard Rd", "99000", "1",
+     "New", "Garage", "garage", "Residential", "7", "2026",
+     "2026-07-16T00:00:00", "Westmount", "RS"),
+    // missing coords AND no address -> reference skips the record
+    ("p3", "0.0", "0.0", "10", null, "5", "0",
+     "Demo", "Shed", "demo", "Commercial", "7", "2026",
+     "2026-07-17T00:00:00", "Oliver", "CB1"),
+    // predates the cutoff -> filtered server-side in the reference
+    ("p4", "53.1", "-113.1", "1", "2 Old Rd", "1", "0",
+     "Old", "House", "old", "Residential", "1", "2020",
+     "2020-01-01T00:00:00", "Oliver", "RS"),
+    // duplicate key-tuple of p1 -> ON CONFLICT DO NOTHING drops it
+    ("p5", "53.5", "-113.5", "999", "1 Main St", "1", "0",
+     "New", "House", "dup", "Residential", "7", "2026",
+     "2026-07-15T00:00:00", "Downtown", "RS")
+  ).toDF("uuid", "latitude", "longitude", "floor_area", "address",
+    "construction_value", "units_added", "work_type", "building_type",
+    "job_description", "job_category", "month_number", "year",
+    "issue_date", "neighbourhood", "zoning")
+
+  test("permits: safe casts, geocode fallback, skip rule, date parts, upsert") {
+    withStore { store =>
+      val p = new BuildingPermits(spark, store)
+      p.run(raw, cutoffDate = "2026-04-01")
+      p.run(raw, cutoffDate = "2026-04-01") // idempotent
+      val out = store.read("building_permits")
+      assert(out.count() == 2) // p1 (p5 deduped), p2 geocoded; p3, p4 gone
+      val p1 = out.filter($"uuid" === "p1").head()
+      assert(p1.getAs[Int]("permit_day") == 15)
+      assert(p1.getAs[Int]("num_units") == 2)
+      assert(p1.getAs[Double]("construction_value") == 250000.0)
+      val p2 = out.filter($"uuid" === "p2").head()
+      assert(p2.getAs[Double]("latitude") > 53.0) // geocoder stub filled it
+      assert(p2.getAs[Double]("longitude") < -113.0)
+    }
+  }
+}
+
+class RezoningSpec extends SparkSpec with StoreFixture {
+  import spark.implicits._
+
+  private def raw = Seq(
+    ("r1", "Rezoning", "In Review", "2010-01-01", "2026-01-05", "53.5", "-113.5"),
+    ("r2", "Rezoning", "Approved", "2026-07-01", "2026-01-06", "53.6", "-113.6"),
+    ("r3", "Rezoning", "Approved", "2019-01-01", "2026-01-07", "53.7", "-113.7"),
+    ("r4", "Rezoning", "Refused", "2026-06-30", "2026-01-08", "53.8", "-113.8"),
+    ("r5", "Road Closure", "In Review", "2026-07-01", "2026-01-09", "53.9", "-113.9")
+  ).toDF("uuid", "application_type", "status", "council_approval_date",
+    "created_date", "latitude", "longitude")
+    .withColumn("file_number", lit("f"))
+    .withColumn("address", lit("a")).withColumn("city", lit("Edmonton"))
+    .withColumn("province", lit("AB")).withColumn("zone_change", lit("RS->RM"))
+    .withColumn("council_public_hearing_date", lit(""))
+    .withColumn("planner_contact", lit(""))
+
+  test("rezoning: disjunctive status/date predicate + categorical filter + upsert") {
+    withStore { store =>
+      val rz = new Rezoning(spark, store)
+      rz.run(raw, startDate = "2025-06-18", endDate = "2026-08-01")
+      val kept = store.read("rezoned_properties")
+        .select($"uuid").as[String].collect().toSet
+      // r1 In Review (date irrelevant), r2/r4 decided within range;
+      // r3 decided out of range, r5 not a rezoning application
+      assert(kept == Set("r1", "r2", "r4"))
+    }
+  }
+}
+
+class ZoningBylawsSpec extends SparkSpec with StoreFixture {
+  import spark.implicits._
+
+  test("bylaws: title split + storeys cascade + modifier keying + rewrite") {
+    withStore { store =>
+      val pages = Seq(
+        ("3.16 A6 - River Crossing Zone", "buildings up to 6 or 8 storeys", null),
+        ("3.16 A6 - River Crossing Zone", "buildings up to 6 or 8 storeys", "f2.0"),
+        ("Direct Control Provision", "no height maximum", null)
+      ).toDF("zone_title", "height_text", "modifier")
+      val zb = new ZoningBylaws(spark, store)
+      zb.run(pages)
+      zb.run(pages) // rewrite is a full refresh, stays 3 rows
+      val out = store.read("zoning_bylaws").orderBy($"zone_key").collect()
+      assert(out.length == 3)
+      assert(out.map(_.getAs[String]("zone_key")).toSeq ==
+        Seq("A6", "A6 f2.0", "Direct Control Provision"))
+      assert(out(0).getAs[String]("section") == "3.16")
+      assert(out(0).getAs[String]("storeys") == "Up to 6 or 8")
+      assert(out(2).getAs[String]("section") == null)
+      assert(out(2).getAs[String]("storeys") == null)
+    }
+  }
+}
+
+/** REIT financial reports: PDF-text stand-in + keyword page sets +
+  * prompt templating + stubbed extraction (REIT_metrics.py:109-243).
+  */
+class FinancialReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reports = Seq(
+    ("r1", ("Annual results. Total debt of 1,234,567 held.\f" +
+      "Occupancy reached 95.4 percent this quarter.\f" +
+      "EBITDA was 42 this year; net income of 7 reported.")
+      .getBytes("UTF-8")),
+    ("r2", "A short letter mentioning net income of 10 only."
+      .getBytes("UTF-8"))
+  ).toDF("report_id", "pdf")
+
+  private def pipeline = new FinancialReports(spark)
+
+  test("pdfPages explodes form-feed pages with 1-based numbering") {
+    val pages = pipeline.pdfPages(reports, "report_id", "pdf")
+    assert(pages.count() == 4)
+    assert(pages.filter($"report_id" === "r1").count() == 3)
+    assert(pages.filter($"report_id" === "r2" && $"page_num" === 1).count() == 1)
+  }
+
+  test("metric page sets, prompts, extraction stub, missing metrics") {
+    val pages = pipeline.pdfPages(reports, "report_id", "pdf")
+    val mp = pipeline.metricPages(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Int](2)).toMap
+    assert(mp(("r1", "debt_balance")) == Seq(1))
+    assert(mp(("r1", "occupancy_rate")) == Seq(2))
+    assert(mp(("r1", "ebitda")) == Seq(3))
+    assert(mp(("r1", "net_income")) == Seq(3))
+    assert(mp(("r2", "net_income")) == Seq(1))
+    val vals = pipeline.extractMetrics(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("extracted_value")).toMap
+    assert(vals(("r1", "debt_balance")) == 1234567.0)
+    assert(vals(("r1", "occupancy_rate")) == 95.4)
+    assert(vals(("r2", "net_income")) == 10.0)
+    val missing = pipeline.missingMetrics(pages)
+      .filter($"report_id" === "r2").select($"metric").as[String]
+      .collect().toSet
+    assert(missing.size == 9 && !missing.contains("net_income"))
+    val prompt = pipeline.prompts(pipeline.metricPages(pages))
+      .filter($"report_id" === "r1" && $"metric" === "ebitda")
+      .select($"prompt").as[String].head()
+    assert(prompt.contains("EBITDA") && prompt.contains("number"))
+    val full = pipeline.run(reports, "report_id", "pdf")
+    assert(full.columns.toSet ==
+      Set("report_id", "metric", "pages", "prompt", "extracted_value"))
+  }
+}
