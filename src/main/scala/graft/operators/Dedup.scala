@@ -127,6 +127,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard verification restricted to the given candidate pairs
+    * — the scale-correct second stage after LSH: per-pair set
+    * intersection (codegen'd array_intersect), never the corpus-wide
+    * inverted-index join. Shuffles: the two id-equi-joins attaching
+    * shingle sets to candidate rows, both proportional to |candidates|.
+    * Values are identical to [[jaccardPairs]] for the same pair.
+    */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int,
+                    threshold: Double): DataFrame = {
+    val sets = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN))
+          .as("sh"))
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .drop("sh_a", "sh_b")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: bit j of the result is 1 iff the

@@ -119,9 +119,11 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
         shingleN = 3, k = 16, bands = 4)
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+      // exact scoring runs ONLY on candidate pairs (per-pair set
+      // intersection), never the corpus-wide inverted-index join —
+      // that is the entire point of the LSH stage at scale
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text",
         shingleN = 3, threshold = 0.2)
-      cands.join(exact, Seq("id_a", "id_b"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -47,6 +47,20 @@ class DedupSpec extends SparkSpec {
     assert(row == ((1L, 2L, 2L, 3L, 3L, 0.5)))
   }
 
+  test("verifyJaccard on candidate pairs matches the inverted-index values") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w e a"))
+      .toDF("doc_id", "text")
+    val full = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.0)
+      .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.0)
+      .select($"id_a", $"id_b")
+    val verified = Dedup.verifyJaccard(pairs, d, "doc_id", "text", 2, 0.0)
+      .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(verified == full)
+  }
+
   test("jaccardPairs df cap drops stop-shingle buckets, keeps rare-shingle pairs") {
     // 90% skew: every doc shares the boilerplate prefix "terms of service
     // apply here" (one hot shingle bucket -> quadratic without the cap);
