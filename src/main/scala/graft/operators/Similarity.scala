@@ -17,8 +17,11 @@ import graft.plans.PlanShape.filterOnce
   *  - [[lshTopK]]: approximate scale path. Random-hyperplane signatures
   *    bucket the corpus (narrow projection, deterministic seed); only
   *    same-bucket candidates get exact cosine. Recall is tunable by
-  *    `planes` (bucket granularity) and `probes` (multi-probe on the
-  *    query side flips low-|margin| bits).
+  *    `planes` (signature resolution) and `bandBits` (bucket width:
+  *    fewer bits per band = more permissive candidate matching).
+  *  - [[cosineNearDupPairs]]: corpus-wide near-duplicate PAIRS above a
+  *    cosine threshold via the same banded signatures — the scale
+  *    replacement for the exact O(n²) verifier (q22).
   *
   * Shuffle discipline (the 100 TB contract): embedding arrays never ride
   * an exchange. Band/centroid keys and candidate pairs move as bare ids;
@@ -150,5 +153,41 @@ object Similarity {
     val candIds = banded(cv, "nid").join(broadcast(banded(qv, "qid")), Seq("band"))
       .select(col("qid"), col("nid")).distinct()
     rankCandidates(candIds, cv, qv, k)
+  }
+
+  /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
+    * over banded hyperplane signatures: the 100 TB form of the exact
+    * pairwise verifier — candidates come from ONE band self-join of
+    * (id, band) rows (no vectors in the exchange, no cross join),
+    * exact cosine runs once per distinct candidate pair after the
+    * vectors re-join. Same banding math as [[lshTopK]], so the whole
+    * pipeline stays oracle-expressible in SQL.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, dim: Int, planes: Int = 16,
+                         bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bandBits == 0, "bandBits must divide planes")
+    val hp = hyperplanes(planes, dim, seed)
+    val nBands = planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keys = array((0 until nBands).map(b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("__sig"), b * bandBits)
+          .bitwiseAND(lit(mask)).as("bits"))): _*)
+    val banded = v
+      .withColumn("__sig", planeSignature(col("v"), hp))
+      .withColumn("band", explode(keys))
+      .select(col("id"), col("band"))
+    val candIds = banded.as("x").join(banded.as("y"), Seq("band"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val va = v.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("vb"))
+    filterOnce(candIds.join(va, Seq("id_a")).join(vb, Seq("id_b")),
+        "sim", VectorFunctions.cosine(col("va"), col("vb")),
+        _ >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -174,5 +174,50 @@ object VectorQueries {
       SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
       ORDER BY qid, rk"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31)
+  /** q38 — embedding near-dup pairs at scale: banded hyperplane LSH
+    * candidates + exact cosine threshold (the corpus-sized replacement
+    * for q22's O(n²) verifier). Like q21, the whole pipeline is pure
+    * double arithmetic, so the oracle replays it exactly — signatures,
+    * band self-join, threshold — with the hyperplane matrix inlined.
+    */
+  private val q38 = Q("q38_embed_neardup_lsh",
+    (s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4, dim = 64, planes = 16, bandBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hp = Similarity.hyperplanes(16, 64)
+      val hpValues = hp.zipWithIndex.map { case (p, i) =>
+        s"(${i}, [${p.mkString(", ")}])"
+      }.mkString(",\n        ")
+      s"""WITH hp(plane_id, pv) AS (VALUES
+        $hpValues),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      sigs AS (SELECT v.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(v.vv, hp.pv) > 0
+            THEN (CAST(1 AS BIGINT) << hp.plane_id) ELSE 0 END) AS BIGINT)
+            AS sig
+        FROM v CROSS JOIN hp GROUP BY v.vec_id),
+      bands AS (SELECT UNNEST(RANGE(4)) AS b),
+      banded AS (SELECT s.vec_id AS id, bands.b,
+          (s.sig >> (CAST(bands.b AS INTEGER) * 4)) & 15 AS bits
+        FROM sigs s CROSS JOIN bands),
+      cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.bits = y.bits AND x.id < y.id),
+      scored AS (SELECT cand.id_a, cand.id_b,
+          (list_dot_product(a.vv, b.vv) /
+            (SQRT(list_dot_product(a.vv, a.vv)) *
+             SQRT(list_dot_product(b.vv, b.vv)))) AS sim
+        FROM cand
+        JOIN v a ON a.vec_id = cand.id_a
+        JOIN v b ON b.vec_id = cand.id_b)
+      SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+      ORDER BY id_a, id_b"""
+    })
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38)
 }

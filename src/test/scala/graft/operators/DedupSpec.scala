@@ -134,6 +134,26 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 20L).forall(i => approx.contains((i, i))))
   }
 
+  test("cosineNearDupPairs ⊆ exact threshold pairs; banded recall reported") {
+    import graft.functions.VectorFunctions
+    val thr = 0.3
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("sim", VectorFunctions.cosine($"va", $"vb"))
+      .filter($"sim" >= thr)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      thr, dim = 64, planes = 16, bandBits = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact)) // verification stage admits no false positive
+    val recall =
+      if (exact.isEmpty) 1.0
+      else (exact intersect approx).size.toDouble / exact.size
+    info(s"near-dup banded recall = $recall over ${exact.size} exact pairs")
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("planeSignature is deterministic for a fixed seed") {
     val hp = Similarity.hyperplanes(8, 4, seed = 7L)
     val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.0f))).toDF("id", "v")
