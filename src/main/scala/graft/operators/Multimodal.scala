@@ -74,4 +74,89 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, featureType)
   }
+
+  // ------------------------------------------------------- frame sampling
+
+  /** Frame extraction contract: payload → (frameIdx, frameBytes) stream.
+    * Real video/audio needs a codec behind this seam (same policy as
+    * [[MediaDecoder]]); [[FixedSizeFrames]] is the deterministic
+    * stand-in that treats the payload as contiguous fixed-size frames.
+    */
+  trait FrameDecoder extends Serializable {
+    def frames(payload: Array[Byte]): Iterator[(Int, Array[Byte])]
+  }
+
+  final case class FixedSizeFrames(frameBytes: Int) extends FrameDecoder {
+    def frames(payload: Array[Byte]): Iterator[(Int, Array[Byte])] =
+      payload.grouped(frameBytes).zipWithIndex.map { case (b, i) => (i, b) }
+  }
+
+  val frameType: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Every `everyN`th frame of each payload as its own row — the
+    * frame-sampling stage of a video pipeline. Table-generating,
+    * per-partition streaming (no payload is ever materialized twice),
+    * and the sampled-out frames are dropped before any downstream
+    * exchange — at 100 TB the post-sample data volume is 1/everyN of
+    * the scan, which is the point.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  everyN: Int,
+                  decoder: FrameDecoder = FixedSizeFrames(256)): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(df(idCol).cast("long"), df(payloadCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decoder.frames(r.getAs[Array[Byte]](1))
+          .filter(_._1 % everyN == 0)
+          .map { case (i, b) => Row(r.getLong(0), i, b) }
+      }
+    }
+    spark.createDataFrame(rdd, frameType)
+  }
+
+  // --------------------------------------------------------------- resize
+
+  /** Resize contract — the image-resize stage. [[StrideResizer]] is the
+    * deterministic stand-in: byte subsampling at a fixed stride down to
+    * w*h bytes (a real implementation decodes, scales, re-encodes).
+    */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  object StrideResizer extends Resizer {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h
+      if (payload.length <= target) payload
+      else {
+        val stride = payload.length.toDouble / target
+        Array.tabulate(target)(i => payload((i * stride).toInt))
+      }
+    }
+  }
+
+  /** Payloads resized to (w, h) with refreshed metadata — batched per
+    * partition like [[extractFeatures]]. Output: (doc_id, payload,
+    * meta struct per [[mediaMetaType]]).
+    */
+  def resizeTo(df: DataFrame, idCol: String, payloadCol: String,
+               w: Int, h: Int, resizer: Resizer = StrideResizer): DataFrame = {
+    val spark = df.sparkSession
+    val outType = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val input = df.select(df(idCol).cast("long"), df(payloadCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val out = resizer.resize(r.getAs[Array[Byte]](1), w, h)
+        Row(r.getLong(0), out, Row("raw", w, h, out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outType)
+  }
 }
