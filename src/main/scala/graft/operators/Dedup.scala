@@ -166,6 +166,14 @@ object Dedup {
   def simhash(tokensCol: Column): Column =
     call_function("graft_simhash", tokensCol)
 
+  /** MD5-hash variant of [[simhash]] — identical votes computed from
+    * the first 8 MD5 digest bytes per token. ~2× the per-token hash cost
+    * of xxhash64 but portable to any engine with an MD5 builtin, which
+    * makes the whole banded-dedup pipeline externally verifiable.
+    */
+  def simhashMd5(tokensCol: Column): Column =
+    call_function("graft_simhash_md5", tokensCol)
+
   /** Composed-builtin form the native expression is validated against. */
   def simhashHof(tokensCol: Column): Column = {
     val hs = transform(tokensCol, t => xxhash64(t))

@@ -123,6 +123,53 @@ case class SimHash64Expr(child: Expression)
     copy(child = n)
 }
 
+/** 64-bit SimHash over MD5 token hashes (first 8 digest bytes,
+  * big-endian) — the cross-engine-portable variant: MD5 is identical in
+  * Spark (`md5`) and DuckDB (`md5`), so the whole simhash dedup pipeline
+  * (signature → 16-bit bands → hamming verify) is oracle-checkable
+  * end-to-end, unlike the xxhash64 [[SimHash64Expr]] (the faster
+  * production default; keep it for corpora that don't need a SQL twin).
+  * Spec pins this to a driver-side MessageDigest reference.
+  */
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val md = SimHashMd5Expr.digest.get()
+    var e = 0
+    while (e < a.numElements()) {
+      md.reset()
+      val d = md.digest(a.getUTF8String(e).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      e += 1
+    }
+    var sig = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(n: Expression): SimHashMd5Expr =
+    copy(child = n)
+}
+
+object SimHashMd5Expr {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** Deterministic hash-embedding (the U5 stub) as one pass: element i =
   * pmod(xxhash64(text, i), 1e6)/1e6 - 0.5 — identical to the composed
   * transform(sequence(...)) form.

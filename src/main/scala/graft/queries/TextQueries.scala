@@ -144,8 +144,14 @@ object TextQueries {
         >= 0.2
       ORDER BY id_a, id_b"""))
 
-  /** q19 — SimHash near-dup pairs (band-bucketed hamming; rows-only for
-    * the same xxhash64 reason; semantics pinned by DedupSpec).
+  /** q19 — SimHash near-dup pairs at the canonical 64-bit / hamming ≤ 3 /
+    * 4-band config (Manku et al., WWW'07): by pigeonhole a pair within
+    * hamming 3 shares ≥ 1 exact 16-bit band, so the banded candidate set
+    * is structurally complete and the result is EXACT, not approximate.
+    * Signatures use the MD5 token hash ([[Dedup.simhashMd5]]) so the
+    * oracle replays the entire pipeline — signature bits, banding, and
+    * hamming — in SQL (md5 is bit-identical across engines; xxhash64,
+    * the faster production hash, is not).
     */
   private val q19 = Q("q19_dedup_simhash",
     (s, dir) => {
@@ -153,11 +159,43 @@ object TextQueries {
       // from a single input split
       val sigs = t(s, dir, "documents").repartition(col("doc_id"))
         .select(col("doc_id"),
-          Dedup.simhash(TextFunctions.tokens(col("text"))).as("sig"))
-      Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 12, bands = 4)
+          Dedup.simhashMd5(TextFunctions.tokens(col("text"))).as("sig"))
+      Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 3, bands = 4)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      tok AS (SELECT doc_id, UNNEST(toks) AS t FROM nt),
+      th AS (SELECT doc_id, md5(t) AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          CASE WHEN ((STRPOS('0123456789abcdef',
+               SUBSTRING(h, CAST(16 - (j // 4) AS INT), 1)) - 1)
+               >> (j % 4)) & 1 = 1
+            THEN 1 ELSE -1 END AS v
+        FROM th CROSS JOIN (SELECT UNNEST(RANGE(64)) AS j)),
+      votes AS (SELECT doc_id, j, SUM(v) AS vote FROM bits
+        GROUP BY doc_id, j),
+      sigs AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 AND j >= 32
+            THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN vote > 0 AND j < 32
+            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo
+        FROM votes GROUP BY doc_id),
+      banded AS (SELECT doc_id, hi, lo, b,
+          CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                 WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bits
+        FROM sigs CROSS JOIN (SELECT UNNEST(RANGE(4)) AS b)),
+      cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.bits = y.bits
+          AND x.doc_id < y.doc_id)
+      SELECT c.id_a, c.id_b,
+        CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+          AS BIGINT) AS dist
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) <= 3
+      ORDER BY id_a, id_b"""))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19)
 }

@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("simhashPairs(maxDist=3, bands=4) is structurally complete") {
+    // pigeonhole: any pair within hamming 3 of a 64-bit sig shares one
+    // exact 16-bit band — banded candidates must equal brute force
+    val sigs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        Dedup.simhashMd5(TextFunctions.tokens($"text")).as("sig"))
+    val banded = Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 3)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = sigs.as("x").join(sigs.as("y"),
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        Dedup.hamming($"x.sig", $"y.sig").as("d"))
+      .filter($"d" <= 3).as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // fixture actually exercises the path
+  }
+
   test("hamming distance") {
     val d = Seq((0L, 7L)).toDF("a", "b")
     assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) == 3)

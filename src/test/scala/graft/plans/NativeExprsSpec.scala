@@ -51,6 +51,40 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_simhash_md5 == driver-side MessageDigest reference") {
+    // plain-Scala reference: first 8 MD5 digest bytes big-endian,
+    // ±1 vote per bit plane, multiset semantics
+    def ref(toks: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val v = (0 until 8).foldLeft(0L)((a, b) => (a << 8) | (d(b) & 0xffL))
+        (0 until 64).foreach(j =>
+          if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, j) => if (votes(j) > 0) s | (1L << j) else s)
+    }
+    val edge: Seq[Seq[String]] = Seq(
+      Seq("the", "quick", "brown", "fox", "the"), // duplicate votes count
+      Seq("émigré", "wörld"),                     // UTF-8 multibyte
+      Seq(""),                                    // split("") token
+      Seq())                                      // empty doc
+    val got = edge.toDF("t")
+      .select(Dedup.simhashMd5($"t").as("sig")).collect().map(_.getLong(0))
+    assert(got.toSeq == edge.map(ref))
+    // and over real corpus text end-to-end through the tokenizer
+    // (tokens themselves are pinned to the composed form elsewhere)
+    val fromDocs = docs.limit(20)
+      .select(TextFunctions.tokens($"text").as("toks"),
+        Dedup.simhashMd5(TextFunctions.tokens($"text")).as("sig"))
+      .collect()
+    fromDocs.foreach { r =>
+      assert(r.getLong(1) == ref(r.getSeq[String](0)))
+    }
+  }
+
   test("graft_norm_tokens == composed tokens, incl. empty/punct-only") {
     val edge = Seq("", "!!!", "  A  b ", "héllo wörld", "a1b2").toDF("text")
     for (df <- Seq(docs.select($"text"), edge)) {
