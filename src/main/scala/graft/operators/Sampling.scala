@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-addressed corpus sampling — the curation
+  * primitives a training-data pipeline needs (reproducible subsamples,
+  * held-out splits, domain re-weighting). No reference analog (the
+  * reference's pipelines always take whole tables); first-class here per
+  * the north-star brief.
+  *
+  * All of it is content-addressed Bernoulli: a row's fate depends only
+  * on (salt, key), never on partitioning, row order, executor count, or
+  * a prior run — so a 100 TB re-run with different parallelism selects
+  * the same rows, and an engine swap can be audited (the bucket is
+  * md5-derived, computable in any engine with an MD5 builtin; see q40's
+  * oracle). Every operator is a narrow codegen'd projection/filter —
+  * zero shuffles, fully pushdown-friendly.
+  */
+object Sampling {
+
+  /** 2^32 — bucket space size. */
+  val BucketSpace: Long = 4294967296L
+
+  /** Uniform bucket in [0, 2^32): the first 8 hex chars of
+    * md5("salt:key") as an integer. Buckets, not floats, so threshold
+    * comparisons are exact in every engine.
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Keep each row with probability `fraction`, decided by its key:
+    * bucket < fraction * 2^32. Changing the salt draws an independent
+    * sample; the same salt always draws the same one.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    df.filter(hashBucket(col(keyCol), salt) <
+      lit(math.round(fraction * BucketSpace)))
+  }
+
+  /** Disjoint named splits by cumulative bucket ranges, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Weights must sum
+    * to ≤ 1; rows past the last boundary get null (sum < 1 leaves a
+    * holdout). Adds `splitCol`.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)], salt: String,
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * BucketSpace))
+    val b = hashBucket(col(keyCol), salt)
+    val expr = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), bound), tail) => when(b < bound, lit(name)).otherwise(tail)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Domain re-weighting: keep a row of domain d with probability
+    * rates(d) (domains absent from the map get `defaultRate`). The
+    * standard mixture-adjustment step (up/down-weighting sources to hit
+    * a target composition); deterministic per key like everything here.
+    * The rates map rides along as a literal — no join, no shuffle.
+    */
+  def mixDomains(df: DataFrame, domainCol: String, keyCol: String,
+                 rates: Map[String, Double], salt: String,
+                 defaultRate: Double = 0.0): DataFrame = {
+    val rateCol =
+      if (rates.isEmpty) lit(math.round(defaultRate * BucketSpace))
+      else coalesce(
+        element_at(
+          map(rates.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+            Seq(lit(k), lit(math.round(v * BucketSpace)))
+          }: _*), col(domainCol)),
+        lit(math.round(defaultRate * BucketSpace)))
+    df.filter(hashBucket(col(keyCol), salt) < rateCol)
+  }
+}

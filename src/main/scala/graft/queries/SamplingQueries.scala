@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.Sampling
+
+/** Deterministic corpus-sampling coverage (reproducible subsample /
+  * split / domain-mix — north-star curation operators). The oracle
+  * replays the md5 bucket arithmetic digit-by-digit in SQL; thresholds
+  * are the SAME Scala-computed longs on both sides so float rounding
+  * can't drift.
+  */
+object SamplingQueries {
+
+  /** First 8 hex chars of `h` as an integer — SQL mirror of
+    * [[Sampling.hashBucket]]'s conv(substring(md5, 1, 8), 16, 10).
+    */
+  private def bucketSql(h: String): String =
+    (0 until 8).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTRING($h, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - i))}")
+      .mkString("(", " + ", ")")
+
+  private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val splitBounds: Seq[(String, Long)] = {
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.map(_._1).zip(cum.map(c => math.round(c * Sampling.BucketSpace)))
+  }
+
+  /** q40 — reproducible train/val/test assignment keyed on doc_id.
+    * Narrow projection, no shuffle; the oracle recomputes bucket and
+    * split from scratch, so a drifted hash or boundary fails the gate.
+    */
+  private val q40 = Q("q40_hash_split",
+    (s, dir) => {
+      val d = Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+        splits, salt = "graft")
+      d.select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), "graft").as("bucket"),
+          col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cases = splitBounds
+        .map { case (n, b) => s"WHEN bucket < $b THEN '$n'" }
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id,
+          md5(CONCAT('graft', ':', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents),
+      b AS (SELECT doc_id, CAST(${bucketSql("h")} AS BIGINT) AS bucket
+        FROM d)
+      SELECT doc_id, bucket, CASE $cases ELSE NULL END AS split
+      FROM b ORDER BY doc_id"""
+    })
+
+  /** Per-source keep rates for q41 — four tiers over the 20 sources. */
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(n => s"src$n" -> (n % 4 match {
+      case 0 => 1.0
+      case 1 => 0.5
+      case 2 => 0.25
+      case _ => 0.1
+    })).toMap
+
+  /** q41 — domain re-weighting then per-source survivor stats: the
+    * mixture-adjustment pass of corpus assembly. One narrow filter
+    * (rates as a map literal, no join) then one agg exchange.
+    */
+  private val q41 = Q("q41_domain_mix",
+    (s, dir) => {
+      val kept = Sampling.mixDomains(t(s, dir, "documents"),
+        "source", "doc_id", mixRates, salt = "mix")
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val cases = mixRates.toSeq.sortBy(_._1)
+        .map { case (src, r) =>
+          s"WHEN '$src' THEN ${math.round(r * Sampling.BucketSpace)}"
+        }
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+          md5(CONCAT('mix', ':', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents),
+      b AS (SELECT source, n_chars,
+          CAST(${bucketSql("h")} AS BIGINT) AS bucket,
+          CASE source $cases ELSE 0 END AS thr
+        FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM b WHERE bucket < thr
+      GROUP BY source ORDER BY source"""
+    })
+
+  val all: Seq[Q] = Seq(q40, q41)
+}

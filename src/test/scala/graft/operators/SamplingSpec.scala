@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5, "s1")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.5, "s1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // a different salt draws a genuinely different sample
+    val c = Sampling.hashSample(docs, "doc_id", 0.5, "s2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("hashSample rate is near the requested fraction") {
+    val n = docs.count().toDouble
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val kept = Sampling.hashSample(docs, "doc_id", f, "rate").count()
+      assert(math.abs(kept / n - f) < 0.1, s"fraction $f got ${kept / n}")
+    }
+    assert(Sampling.hashSample(docs, "doc_id", 0.0, "z").count() == 0)
+    assert(Sampling.hashSample(docs, "doc_id", 1.0, "z").count() == n)
+  }
+
+  test("assignSplits: disjoint, exhaustive when weights sum to 1") {
+    val s = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+    assert(s.filter($"split".isNull).count() == 0)
+    val byName = s.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val"))
+    // weights sum < 1 leaves a null holdout
+    val h = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.5), "graft")
+    assert(h.filter($"split".isNull).count() > 0)
+  }
+
+  test("mixDomains applies per-domain rates; defaultRate covers the rest") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val kept = Sampling.mixDomains(docs, "source", "doc_id", rates, "m")
+    val bySrc = kept.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    val n0 = docs.filter($"source" === "src0").count()
+    assert(bySrc.getOrElse("src0", 0L) == n0) // rate 1.0 keeps all
+    assert(!bySrc.contains("src1"))           // rate 0.0 drops all
+    assert(bySrc.keySet == Set("src0"))       // defaultRate 0 drops others
+    val withDefault = Sampling.mixDomains(docs, "source", "doc_id",
+      rates, "m", defaultRate = 1.0)
+    assert(withDefault.count() ==
+      docs.count() - docs.filter($"source" === "src1").count())
+  }
+
+  test("sampling filter is a narrow plan — no exchange") {
+    val plan = Sampling.hashSample(docs, "doc_id", 0.5, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
