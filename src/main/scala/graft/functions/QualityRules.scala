@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style quality-rule filtering (Rae et al. 2021 §A1.1 heuristics,
+  * the standard pretraining-corpus gate; north-star operator — the
+  * reference has no corpus filtering). A rule set is data: named
+  * (measure, pass) pairs over one document column, so callers can add,
+  * drop, or re-threshold rules and still get one narrow codegen'd
+  * projection — no UDFs, no shuffle, fully pushdown-friendly.
+  */
+object QualityRules {
+
+  /** Default thresholds ≈ Gopher's published ones (word count bounds,
+    * mean word length band, symbol-to-word ratio, alphabetic-word
+    * fraction, minimum stopword hits).
+    */
+  final case class Config(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Long = 2)
+
+  /** Per-document measures, each an exact-integer count or a single
+    * double division of exact integers (so any SQL mirror reproduces
+    * them bit-for-bit).
+    */
+  def measures(text: Column): Seq[(String, Column)] = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = TextFunctions.tokenCount(text)
+    val meanLen = when(nTok > 0,
+      length(regexp_replace(TextFunctions.normalizeText(text), " ", ""))
+        .cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    // Gopher's symbol signals: '#' and '...' occurrences per word
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(nTok > 0,
+      (hashes + ellipses).cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val alphaFrac = when(nTok > 0,
+      alphaWords.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    Seq(
+      "n_words" -> nTok,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio,
+      "alpha_word_frac" -> alphaFrac,
+      "stopword_hits" -> TextFunctions.markerHits(text, "en"))
+  }
+
+  /** Named pass/fail rules over the measure columns (by name, so they
+    * compose with [[annotate]]'s output or any frame carrying them).
+    */
+  def rules(cfg: Config): Seq[(String, Column)] = Seq(
+    "r_word_count" -> col("n_words").between(cfg.minWords, cfg.maxWords),
+    "r_mean_word_len" -> col("mean_word_len")
+      .between(cfg.minMeanWordLen, cfg.maxMeanWordLen),
+    "r_symbol_ratio" -> (col("symbol_ratio") <= cfg.maxSymbolRatio),
+    "r_alpha_words" -> (col("alpha_word_frac") >= cfg.minAlphaWordFrac),
+    "r_stopwords" -> (col("stopword_hits") >= cfg.minStopwordHits))
+
+  /** Measures + per-rule flags (1/0 longs — portable hashing) + overall
+    * `keep`. One projection; filter on `keep === 1` to gate.
+    */
+  def annotate(df: DataFrame, textCol: String,
+               cfg: Config = Config()): DataFrame = {
+    val withMeasures = measures(col(textCol)).foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val rs = rules(cfg)
+    val withFlags = rs.foldLeft(withMeasures) {
+      case (d, (n, c)) => d.withColumn(n, c.cast("long"))
+    }
+    withFlags.withColumn("keep",
+      rs.map { case (n, _) => col(n) === 1L }.reduce(_ && _).cast("long"))
+  }
+}

@@ -197,5 +197,61 @@ object TextQueries {
       WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) <= 3
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19)
+  /** q42 — Gopher-style quality-rule gate ([[graft.functions.QualityRules]]):
+    * per-doc measures, per-rule 1/0 flags, and the overall keep decision,
+    * all in one narrow projection. The oracle recomputes every measure
+    * and threshold from the same Config values.
+    */
+  private val q42 = {
+    val cfg = graft.functions.QualityRules.Config()
+    Q("q42_quality_rules",
+      (s, dir) => {
+        graft.functions.QualityRules
+          .annotate(t(s, dir, "documents").repartition(col("doc_id")), "text", cfg)
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("symbol_ratio"), col("alpha_word_frac"), col("stopword_hits"),
+            col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
+            col("r_alpha_words"), col("r_stopwords"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val n = lenTokSql("toks", "nrm")
+        s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        m AS (SELECT doc_id,
+          $n AS n_words,
+          CASE WHEN $n > 0 THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
+            / CAST($n AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+          CASE WHEN $n > 0 THEN
+            CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+              (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+              AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+          CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
+              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+            / CAST($n AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+          CAST(${markerHitsSql("toks", "en")} AS BIGINT) AS stopword_hits
+        FROM nt),
+        f AS (SELECT *,
+          CAST(n_words BETWEEN ${cfg.minWords} AND ${cfg.maxWords}
+            AS BIGINT) AS r_word_count,
+          CAST(mean_word_len BETWEEN ${cfg.minMeanWordLen}
+            AND ${cfg.maxMeanWordLen} AS BIGINT) AS r_mean_word_len,
+          CAST(symbol_ratio <= ${cfg.maxSymbolRatio} AS BIGINT)
+            AS r_symbol_ratio,
+          CAST(alpha_word_frac >= ${cfg.minAlphaWordFrac} AS BIGINT)
+            AS r_alpha_words,
+          CAST(stopword_hits >= ${cfg.minStopwordHits} AS BIGINT)
+            AS r_stopwords
+        FROM m)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+          alpha_word_frac, stopword_hits, r_word_count, r_mean_word_len,
+          r_symbol_ratio, r_alpha_words, r_stopwords,
+          CAST(r_word_count = 1 AND r_mean_word_len = 1 AND
+            r_symbol_ratio = 1 AND r_alpha_words = 1 AND r_stopwords = 1
+            AS BIGINT) AS keep
+        FROM f ORDER BY doc_id"""
+      })
+  }
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42)
 }
