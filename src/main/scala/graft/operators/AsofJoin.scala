@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — attach to each probe row the most recent
+  * reference row (same keys, reference ts ≤ probe ts, inclusive). The
+  * time-series enrichment operator Spark has no builtin for (north-star;
+  * no reference analog).
+  *
+  * Implementation is the scale-correct tagged-union form: reference and
+  * probe rows are unioned with a tag, hash-partitioned by key, and a
+  * single growing-frame window (`last(..., ignoreNulls)` over
+  * unboundedPreceding→currentRow) carries the latest reference payload
+  * forward. ONE shuffle on the key, no range-condition join (which
+  * Catalyst would execute as a per-key cartesian + filter), no per-key
+  * state on the driver. Reference payload rides in ONE struct so a null
+  * payload FIELD can't make `ignoreNulls` skip to an older row.
+  *
+  * At 100 TB: shuffle volume is |probe| + |reference| rows — the minimum
+  * any key-partitioned formulation can move; skewed keys can be salted
+  * upstream by splitting probe rows per salt and replicating reference
+  * rows per salt bucket.
+  */
+object AsofJoin {
+
+  /** @param payloadCols reference columns to attach (prefixed `r_`)
+    * @param tieCol      reference column breaking equal-ts ties
+    *                    (largest wins — make it unique for determinism)
+    * @param tolerance   max probe.ts − ref.ts (same units as tsCol);
+    *                    matches farther back are nulled out
+    */
+  def backward(probe: DataFrame, reference: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String], tieCol: String,
+               tolerance: Option[Column] = None,
+               prefix: String = "r_"): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val lStructT = probe.select(struct(probeCols.map(col): _*)).schema.head.dataType
+    val rPayload = (payloadCols :+ tsCol).distinct
+    val rStructT = reference
+      .select(struct(rPayload.map(col): _*)).schema.head.dataType
+
+    val rSel = reference.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__tag"),
+        col(tieCol).cast("long").as("__tie"),
+        lit(null).cast(lStructT).as("__l"),
+        struct(rPayload.map(col): _*).as("__r")): _*)
+    val lSel = probe.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__tag"),
+        lit(0L).as("__tie"),
+        struct(probeCols.map(col): _*).as("__l"),
+        lit(null).cast(rStructT).as("__r")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rSel.unionByName(lSel)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val inRange = tolerance match {
+      case Some(tol) => col("__m").isNotNull &&
+        (col("__ts") - col("__m").getField(tsCol)) <= tol
+      case None => col("__m").isNotNull
+    }
+    val out = probeCols.map(c => col("__l").getField(c).as(c)) ++
+      rPayload.map(p =>
+        when(inRange, col("__m").getField(p)).as(s"$prefix$p"))
+    matched.select(out: _*)
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.operators.AsofJoin
 
 /** Remaining scalar/aggregation surface from SURVEY.md §2 not covered by
   * earlier batches: A6 (sorted collect_set), F16/F17 (h:m:s <-> seconds),
@@ -176,5 +177,48 @@ object MiscQueries {
         '$.seg') AS seg_back
       FROM customer ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34)
+  /** q43 — backward as-of join ([[graft.operators.AsofJoin]]): each
+    * error event picks up the most recent prior click of the same user.
+    * Reference side is deduped to one row per (user, ts) so the equal-ts
+    * winner is deterministic in both engines. `ts` is nanos-as-long in
+    * Spark and TIMESTAMP in DuckDB; both project microseconds
+    * (`div 1000` / `epoch_us`) — order-isomorphic, no sub-µs same-user
+    * ties in this data.
+    */
+  private val q43 = Q("q43_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val probe = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ref = e.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.backward(probe, ref, keyCols = Seq("user_id"),
+        tsCol = "ts", payloadCols = Seq("event_id", "value"),
+        tieCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("r_event_id"), col("r_value"),
+          expr("r_ts div 1000").as("r_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ref AS (
+        SELECT user_id, ts, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click' QUALIFY rn = 1),
+      probe AS (SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'error')
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        r.event_id AS r_event_id, r.value AS r_value,
+        epoch_us(r.ts) AS r_ts_us
+      FROM probe p ASOF LEFT JOIN ref r
+        ON p.user_id = r.user_id AND p.ts >= r.ts
+      ORDER BY p.event_id"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, key, ts) probes; (key, ts, rid, px) references
+  private lazy val probe = Seq(
+    (1L, "a", 100L), (2L, "a", 250L), (3L, "a", 300L),
+    (4L, "b", 50L), (5L, "c", 10L))
+    .toDF("id", "k", "ts")
+  private lazy val ref = Seq(
+    ("a", 90L, 10L, 1.0), ("a", 200L, 11L, 2.0), ("a", 300L, 12L, 3.0),
+    ("b", 60L, 13L, 4.0))
+    .toDF("k", "ts", "rid", "px")
+
+  test("backward: most recent prior, inclusive, unmatched -> null") {
+    val out = AsofJoin.backward(probe, ref, Seq("k"), "ts",
+      payloadCols = Seq("rid", "px"), tieCol = "rid")
+      .orderBy($"id")
+      .select($"id", $"r_rid", $"r_px").collect()
+    assert(out(0).getLong(1) == 10L)      // 100 -> ref@90
+    assert(out(1).getLong(1) == 11L)      // 250 -> ref@200
+    assert(out(2).getLong(1) == 12L)      // 300 -> ref@300 (inclusive)
+    assert(out(3).isNullAt(1))            // b@50 precedes ref@60
+    assert(out(4).isNullAt(1))            // key c has no refs
+  }
+
+  test("equal-ts reference ties: largest tieCol wins") {
+    val dup = ref.union(Seq(("a", 200L, 99L, 9.9)).toDF("k", "ts", "rid", "px"))
+    val out = AsofJoin.backward(probe.filter($"id" === 2L), dup, Seq("k"),
+      "ts", Seq("rid", "px"), tieCol = "rid").head()
+    assert(out.getAs[Long]("r_rid") == 99L)
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsofJoin.backward(probe, ref, Seq("k"), "ts",
+      Seq("rid"), tieCol = "rid", tolerance = Some(lit(20L)))
+      .orderBy($"id").select($"id", $"r_rid").collect()
+    assert(out(0).getLong(1) == 10L)  // delta 10 <= 20
+    assert(out(1).isNullAt(1))        // delta 50 > 20
+  }
+
+  test("null payload FIELD does not fall back to an older reference row") {
+    val refNull = Seq(("a", 90L, 10L, Some(1.0)), ("a", 200L, 11L, None))
+      .toDF("k", "ts", "rid", "px")
+    val out = AsofJoin.backward(probe.filter($"id" === 2L), refNull,
+      Seq("k"), "ts", Seq("rid", "px"), tieCol = "rid").head()
+    assert(out.getAs[Long]("r_rid") == 11L) // latest row, not the non-null one
+    assert(out.isNullAt(out.fieldIndex("r_px")))
+  }
+
+  test("plan: single exchange on the key — no range join blowup") {
+    val plan = AsofJoin.backward(probe, ref, Seq("k"), "ts",
+      Seq("rid"), tieCol = "rid").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert("hashpartitioning".r.findAllIn(plan).size >= 1)
+  }
+}
