@@ -59,6 +59,21 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Exactly-k-per-stratum sample: rank rows within each stratum by
+    * their hash bucket (a deterministic "random" order) and keep the
+    * first k. Reproducible like everything here; one shuffle on the
+    * stratum key. Adds `bucket` and `strat_rank` columns.
+    */
+  def stratifiedTopK(df: DataFrame, strataCol: String, keyCol: String,
+                     k: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("bucket").asc, col(keyCol).asc)
+    df.withColumn("bucket", hashBucket(col(keyCol), salt))
+      .withColumn("strat_rank", row_number().over(w).cast("long"))
+      .filter(col("strat_rank") <= k)
+  }
+
   /** Domain re-weighting: keep a row of domain d with probability
     * rates(d) (domains absent from the map get `defaultRate`). The
     * standard mixture-adjustment step (up/down-weighting sources to hit

@@ -220,5 +220,41 @@ object MiscQueries {
         ON p.user_id = r.user_id AND p.ts >= r.ts
       ORDER BY p.event_id"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43)
+  /** q44 — gap-based sessionization ([[graft.operators.Sessionize]]):
+    * 30-minute-gap sessions per user, collapsed to per-session stats.
+    * Sessionizes on microsecond timestamps on BOTH sides (`ts div 1000`
+    * / `epoch_us`) so the gap comparison can't flip on sub-µs digits
+    * DuckDB's TIMESTAMP doesn't carry.
+    */
+  private val q44 = Q("q44_sessionize",
+    (s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.Sessionize
+        .stats(e, "user_id", "ts_us", gapUs, tieCol = "event_id")
+        .select(col("user_id"), col("session_ord"),
+          col("n_events"), col("start_ts").as("start_us"),
+          col("end_ts").as("end_us"), col("duration").as("duration_us"))
+        .orderBy(col("user_id"), col("session_ord"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events),
+      l AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+            OR ts_us - LAG(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, ts_us,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_ord
+        FROM l)
+      SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
+        COUNT(*) AS n_events, MIN(ts_us) AS start_us,
+        MAX(ts_us) AS end_us, MAX(ts_us) - MIN(ts_us) AS duration_us
+      FROM s GROUP BY user_id, session_ord
+      ORDER BY user_id, session_ord"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44)
 }

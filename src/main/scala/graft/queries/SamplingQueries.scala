@@ -94,5 +94,30 @@ object SamplingQueries {
       GROUP BY source ORDER BY source"""
     })
 
-  val all: Seq[Q] = Seq(q40, q41)
+  /** q45 — exactly-10-per-source stratified sample: deterministic
+    * bucket-ranked selection, reproducible at any partitioning. One
+    * window shuffle on the stratum.
+    */
+  private val q45 = Q("q45_stratified_sample",
+    (s, dir) => {
+      Sampling.stratifiedTopK(t(s, dir, "documents"), "source", "doc_id",
+        k = 10, salt = "strat")
+        .select(col("source"), col("doc_id"), col("bucket"),
+          col("strat_rank"))
+        .orderBy(col("source"), col("strat_rank"))
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+          md5(CONCAT('strat', ':', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents),
+      b AS (SELECT source, doc_id,
+          CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
+      r AS (SELECT source, doc_id, bucket,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY bucket, doc_id) AS BIGINT) AS strat_rank
+        FROM b)
+      SELECT source, doc_id, bucket, strat_rank
+      FROM r WHERE strat_rank <= 10
+      ORDER BY source, strat_rank"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45)
 }

@@ -60,6 +60,19 @@ class SamplingSpec extends SparkSpec {
       docs.count() - docs.filter($"source" === "src1").count())
   }
 
+  test("stratifiedTopK: exactly k per stratum, deterministic, disjoint salts") {
+    val a = Sampling.stratifiedTopK(docs, "source", "doc_id", 3, "s1")
+    val counts = a.groupBy($"source").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 == 3L))
+    val ids1 = a.select($"doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.stratifiedTopK(docs.repartition(5), "source",
+      "doc_id", 3, "s1").select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2) // partitioning-invariant
+    val ids3 = Sampling.stratifiedTopK(docs, "source", "doc_id", 3, "s2")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1 != ids3) // salt draws a different sample
+  }
+
   test("sampling filter is a narrow plan — no exchange") {
     val plan = Sampling.hashSample(docs, "doc_id", 0.5, "s")
       .queryExecution.executedPlan.toString
