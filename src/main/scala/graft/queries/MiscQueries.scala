@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin}
 
 /** Remaining scalar/aggregation surface from SURVEY.md §2 not covered by
   * earlier batches: A6 (sorted collect_set), F16/F17 (h:m:s <-> seconds),
@@ -256,5 +256,45 @@ object MiscQueries {
       FROM s GROUP BY user_id, session_ord
       ORDER BY user_id, session_ord"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44)
+  /** q46 — keyed interval join ([[graft.operators.RangeJoin]]): every
+    * error within one hour after a purchase by the same user. The naive
+    * inequality join is a per-user cartesian; the operator cells time at
+    * the interval width (replication ≤ 2×) and equi-joins on
+    * (user, cell) with exact containment as residual. Microsecond ts on
+    * both sides, as in q43/q44.
+    */
+  private val q46 = Q("q46_range_join",
+    (s, dir) => {
+      val hourUs = 3600000000L
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("err_ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"), col("user_id"),
+          col("ts_us").as("lo_us"),
+          (col("ts_us") + hourUs).as("hi_us"))
+      RangeJoin.pointInInterval(errors, purchases,
+          pointCol = "err_ts_us", loCol = "lo_us", hiCol = "hi_us",
+          cellWidth = hourUs, keyCols = Seq("user_id"))
+        .select(col("err_id"), col("user_id"), col("err_ts_us"),
+          col("pur_id"), col("lo_us").as("pur_ts_us"),
+          (col("err_ts_us") - col("lo_us")).as("delta_us"))
+        .orderBy(col("err_id"), col("pur_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        epoch_us(ts) AS ts_us FROM events)
+      SELECT err.event_id AS err_id, err.user_id,
+        err.ts_us AS err_ts_us, pur.event_id AS pur_id,
+        pur.ts_us AS pur_ts_us, err.ts_us - pur.ts_us AS delta_us
+      FROM (SELECT * FROM e WHERE event_type = 'error') err
+      JOIN (SELECT * FROM e WHERE event_type = 'purchase') pur
+        ON err.user_id = pur.user_id
+        AND err.ts_us >= pur.ts_us
+        AND err.ts_us <= pur.ts_us + 3600000000
+      ORDER BY err_id, pur_id"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46)
 }

@@ -253,5 +253,48 @@ object TextQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42)
+  /** q47 — exact per-source token-count quantiles (corpus profiling).
+    * Discrete rank-based definition (value at rank ⌈q·n⌉ in (n_tok,
+    * doc_id) order) instead of engine-specific interpolation, so both
+    * engines pick the same concrete row: one window partitioning +
+    * one agg exchange.
+    */
+  private val q47 = Q("q47_token_quantiles",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+      val d = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      def q(p: Double) =
+        max(when(col("rn") === ceil(col("n") * lit(p)).cast("long"),
+          col("n_tok")))
+      d.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), q(0.25).as("p25"),
+          q(0.5).as("p50"), q(0.75).as("p75"), q(0.95).as("p95"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH nt AS (SELECT source, doc_id, ${normSql("text")} AS nrm,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      tk AS (SELECT source, doc_id,
+          ${lenTokSql("toks", "nrm")} AS n_tok FROM nt),
+      r AS (SELECT source, doc_id, n_tok,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n FROM tk)
+      SELECT source, MAX(n) AS n_docs,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT)
+          THEN n_tok END) AS p25,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+          THEN n_tok END) AS p50,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT)
+          THEN n_tok END) AS p75,
+        MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT)
+          THEN n_tok END) AS p95
+      FROM r GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47)
 }

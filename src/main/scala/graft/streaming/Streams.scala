@@ -40,6 +40,22 @@ object Streams {
   private def functionsWindow(c: org.apache.spark.sql.Column, w: String) =
     org.apache.spark.sql.functions.window(c, w)
 
+  /** Event-time session windows (gap-based, the streaming twin of
+    * `operators.Sessionize`): a session closes once the watermark passes
+    * its last event + gap, so state stays bounded. Uses Spark's native
+    * `session_window` — dynamic-gap merging handled by the engine, no
+    * custom `flatMapGroupsWithState` needed.
+    */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+                   gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup on key columns with watermark-bounded state
     * (the streaming form of the K2 upsert / O4 dedup): first row per key
     * wins; state for a key is purged once the watermark passes it.

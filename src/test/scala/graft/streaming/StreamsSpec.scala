@@ -56,4 +56,32 @@ class StreamsSpec extends SparkSpec {
       .select($"event_id", $"value").as[(Long, Double)].collect().toSet
     assert(res == Set((1L, 1.0), (2L, 2.0)))
   }
+
+  test("session windows merge within gap and finalize past the watermark") {
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    // user 1: events 00:01 and 00:04 (gap 3m < 5m -> one session);
+    // user 2: 00:01 and 00:20 (gap 19m -> two sessions)
+    writeBatch(in, "b1.json", Seq(
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2026-01-01T00:04:00Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2026-01-01T00:01:00Z","user_id":2,"event_type":"view","value":3.0}""",
+      """{"event_id":4,"ts":"2026-01-01T00:20:00Z","user_id":2,"event_type":"view","value":4.0}"""))
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.sessionStats(Streams.jsonStream(spark, schema, in),
+        "ts", "user_id", gap = "5 minutes", watermark = "1 minute"), out, ckpt)
+    run()
+    // advance event time far enough to close all earlier sessions
+    writeBatch(in, "b2.json", Seq(
+      """{"event_id":5,"ts":"2026-01-01T02:00:00Z","user_id":3,"event_type":"click","value":5.0}"""))
+    run()
+    val res = spark.read.schema(StructType.fromDDL(
+      "session_start timestamp, session_end timestamp, user_id long, n_events long, sum_value double"))
+      .parquet(out)
+      .select($"user_id", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(res.contains((1L, 2L, 3.0))) // merged into one session
+    assert(res.contains((2L, 1L, 3.0)) && res.contains((2L, 1L, 4.0)))
+  }
 }
