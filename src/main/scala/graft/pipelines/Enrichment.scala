@@ -39,6 +39,28 @@ object Enrichment {
     slice(array_distinct(
       filter(TextFunctions.tokens(text), t => length(t) > 5)), 1, n)
 
+  /** Prompt templating (F26, transcript_summaries.py / REIT_metrics.py
+    * prompt builders): `{name}` placeholders filled from bound columns.
+    * The template is parsed ONCE at plan-build time into a concat chain
+    * of literals and columns — codegen'd, no regex at row time, no UDF.
+    * Null bindings render as "" (a null would otherwise null the whole
+    * prompt).
+    */
+  def promptTemplate(template: String, bindings: Map[String, Column]): Column = {
+    val ph = "\\{([A-Za-z0-9_]+)\\}".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var pos = 0
+    for (m <- ph.findAllMatchIn(template)) {
+      if (m.start > pos) parts += lit(template.substring(pos, m.start))
+      val name = m.group(1)
+      require(bindings.contains(name), s"unbound placeholder {$name}")
+      parts += coalesce(bindings(name).cast("string"), lit(""))
+      pos = m.end
+    }
+    if (pos < template.length) parts += lit(template.substring(pos))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
   /** Geocoder stub: deterministic jittered point from the address hash
     * (get_edm_building_permits.py:49-80 fallback geocode).
     */

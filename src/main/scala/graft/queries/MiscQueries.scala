@@ -296,5 +296,27 @@ object MiscQueries {
         AND err.ts_us <= pur.ts_us + 3600000000
       ORDER BY err_id, pur_id"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46)
+  /** q48 — salted two-phase aggregation ([[graft.operators.Skew]]) under
+    * the oracle gate: hot event-type groups spread over 16 salts in
+    * phase 1, re-aggregated in phase 2. Values quantized (ExactAgg) so
+    * the two-phase sum is bit-identical to the oracle's one-phase sum —
+    * the lossless-composition property that makes salting safe at all.
+    */
+  private val q48 = Q("q48_skew_salted_agg",
+    (s, dir) => {
+      import graft.functions.ExactAgg
+      graft.operators.Skew.saltedAggregate(
+        t(s, dir, "events"), keys = Seq("event_type"), salts = 16,
+        partialAggs = Seq(count(lit(1)).as("pn"),
+          sum(ExactAgg.ints(col("value")).cast("decimal(38,0)")).as("psum")),
+        finalAggs = Seq(sum(col("pn")).as("n_events"),
+          (sum(col("psum")).cast("double") / lit(100.0)).as("sum_value")))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+          AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46, q48)
 }
