@@ -219,5 +219,33 @@ object VectorQueries {
       ORDER BY id_a, id_b"""
     })
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38)
+  /** q49 — per-label element-wise centroid (the "train coarse
+    * centroids" step of IVF, and the classic label-profile op):
+    * posexplode to (label, pos, val), exact fixed-point mean per cell.
+    * One agg exchange over (label, pos) — at 100 TB the map-side
+    * partial sums of quantized longs compose losslessly, so the result
+    * is partitioning-invariant (a plain double mean is not).
+    */
+  private val q49 = Q("q49_label_centroids",
+    (s, dir) => {
+      import graft.functions.ExactAgg
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          ExactAgg.avgFx(col("val").cast("double"), 1000000L).as("mean"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""WITH x AS (SELECT label,
+        UNNEST(RANGE(LEN(embedding))) AS pos, embedding
+      FROM embeddings),
+      v AS (SELECT label, pos,
+        CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS val FROM x)
+      SELECT label, pos, COUNT(*) AS n,
+        (CAST(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) / 1000000.0) AS mean
+      FROM v GROUP BY label, pos ORDER BY label, pos"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49)
 }
