@@ -62,6 +62,19 @@ object QualityRules {
     "r_alpha_words" -> (col("alpha_word_frac") >= cfg.minAlphaWordFrac),
     "r_stopwords" -> (col("stopword_hits") >= cfg.minStopwordHits))
 
+  /** The whole rule set as one filter predicate (for pipelines that
+    * gate without materializing per-rule flags). Same measures, same
+    * thresholds, one codegen'd conjunction.
+    */
+  def keep(text: Column, cfg: Config = Config()): Column = {
+    val m = measures(text).toMap
+    m("n_words").between(cfg.minWords, cfg.maxWords) &&
+      m("mean_word_len").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+      (m("symbol_ratio") <= cfg.maxSymbolRatio) &&
+      (m("alpha_word_frac") >= cfg.minAlphaWordFrac) &&
+      (m("stopword_hits") >= cfg.minStopwordHits)
+  }
+
   /** Measures + per-rule flags (1/0 longs — portable hashing) + overall
     * `keep`. One projection; filter on `keep === 1` to gate.
     */

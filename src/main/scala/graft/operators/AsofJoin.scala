@@ -34,7 +34,27 @@ object AsofJoin {
   def backward(probe: DataFrame, reference: DataFrame, keyCols: Seq[String],
                tsCol: String, payloadCols: Seq[String], tieCol: String,
                tolerance: Option[Column] = None,
-               prefix: String = "r_"): DataFrame = {
+               prefix: String = "r_"): DataFrame =
+    join0(probe, reference, keyCols, tsCol, payloadCols, tieCol,
+      tolerance, prefix, forward = false)
+
+  /** Forward variant: the EARLIEST reference at or after the probe ts
+    * (inclusive; equal-ts ties still resolve to the largest `tieCol`).
+    * Same single-shuffle shape — the window just runs over descending
+    * time.
+    */
+  def forward(probe: DataFrame, reference: DataFrame, keyCols: Seq[String],
+              tsCol: String, payloadCols: Seq[String], tieCol: String,
+              tolerance: Option[Column] = None,
+              prefix: String = "r_"): DataFrame =
+    join0(probe, reference, keyCols, tsCol, payloadCols, tieCol,
+      tolerance, prefix, forward = true)
+
+  private def join0(probe: DataFrame, reference: DataFrame,
+                    keyCols: Seq[String], tsCol: String,
+                    payloadCols: Seq[String], tieCol: String,
+                    tolerance: Option[Column], prefix: String,
+                    forward: Boolean): DataFrame = {
     val probeCols = probe.columns.toSeq
     val lStructT = probe.select(struct(probeCols.map(col): _*)).schema.head.dataType
     val rPayload = (payloadCols :+ tsCol).distinct
@@ -54,16 +74,20 @@ object AsofJoin {
         struct(probeCols.map(col): _*).as("__l"),
         lit(null).cast(rStructT).as("__r")): _*)
 
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__tie").asc)
+      .orderBy(tsOrder, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rSel.unionByName(lSel)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
 
     val inRange = tolerance match {
-      case Some(tol) => col("__m").isNotNull &&
-        (col("__ts") - col("__m").getField(tsCol)) <= tol
+      case Some(tol) =>
+        val delta =
+          if (forward) col("__m").getField(tsCol) - col("__ts")
+          else col("__ts") - col("__m").getField(tsCol)
+        col("__m").isNotNull && delta <= tol
       case None => col("__m").isNotNull
     }
     val out = probeCols.map(c => col("__l").getField(c).as(c)) ++

@@ -89,5 +89,85 @@ object CorpusQueries {
         MIN(doc_id) AS first_doc
       FROM packed GROUP BY source, pack_id ORDER BY source, pack_id"""))
 
-  val all: Seq[Q] = Seq(q35, q36)
+  /** q50 — the full curation pipeline under one oracle: Gopher quality
+    * gate → exact dedup survivors → domain re-weighting → train/val/test
+    * split → per-(source, split) stats. Every stage is the portable
+    * operator proven alone in q42/q16/q41/q40; this gates their
+    * COMPOSITION (filter→dedup→mix→split ordering matters and the
+    * oracle replays it stage for stage). Plan: narrow gate, one dedup
+    * exchange, narrow mix+split, one stats exchange.
+    */
+  private val q50 = {
+    import graft.functions.QualityRules
+    import graft.operators.Sampling
+    val cfg = QualityRules.Config()
+    val rates: Map[String, Double] =
+      (0 until 20).map(n => s"src$n" -> (if (n % 2 == 0) 1.0 else 0.5)).toMap
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    Q("q50_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        val kept = docs.filter(QualityRules.keep(col("text"), cfg))
+        val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val enriched = surv.join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val mixed = Sampling.mixDomains(enriched, "source", "doc_id",
+          rates, salt = "cur")
+        Sampling.assignSplits(mixed, "doc_id", splits, salt = "cursplit")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some {
+        val n = TextQueries.lenTokSql("toks", "nrm")
+        val keepPred =
+          s"""($n BETWEEN ${cfg.minWords} AND ${cfg.maxWords}
+            AND (CASE WHEN $n > 0
+              THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
+                / CAST($n AS DOUBLE) ELSE 0.0 END)
+              BETWEEN ${cfg.minMeanWordLen} AND ${cfg.maxMeanWordLen}
+            AND (CASE WHEN $n > 0 THEN
+              CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+                (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+                AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END)
+              <= ${cfg.maxSymbolRatio}
+            AND (CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
+                x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / CAST($n AS DOUBLE) ELSE 0.0 END)
+              >= ${cfg.minAlphaWordFrac}
+            AND CAST(${TextQueries.markerHitsSql("toks", "en")} AS BIGINT)
+              >= ${cfg.minStopwordHits})"""
+        val rateCases = rates.toSeq.sortBy(_._1)
+          .map { case (src, r) =>
+            s"WHEN '$src' THEN ${math.round(r * Sampling.BucketSpace)}"
+          }.mkString(" ")
+        val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+          .map(c => math.round(c * Sampling.BucketSpace))
+        val splitCases = splits.map(_._1).zip(bounds)
+          .map { case (nm, b) => s"WHEN sb < $b THEN '$nm'" }.mkString(" ")
+        s"""WITH nt AS (SELECT doc_id, text, source, n_chars,
+            ${TextQueries.normSql("text")} AS nrm,
+            STRING_SPLIT(${TextQueries.normSql("text")}, ' ') AS toks
+          FROM documents),
+        kept AS (SELECT doc_id, text, nrm FROM nt WHERE $keepPred),
+        surv AS (SELECT MIN(doc_id) AS doc_id FROM kept
+          GROUP BY MD5(nrm)),
+        enriched AS (SELECT d.doc_id, d.source, d.n_chars,
+            md5(CONCAT('cur', ':', CAST(d.doc_id AS VARCHAR))) AS hm,
+            md5(CONCAT('cursplit', ':', CAST(d.doc_id AS VARCHAR))) AS hs
+          FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
+        mixed AS (SELECT doc_id, source, n_chars,
+            CAST(${SamplingQueries.bucketSql("hs")} AS BIGINT) AS sb
+          FROM enriched
+          WHERE CAST(${SamplingQueries.bucketSql("hm")} AS BIGINT) <
+            (CASE source $rateCases ELSE 0 END))
+        SELECT source, CASE $splitCases ELSE NULL END AS split,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM mixed GROUP BY source, split ORDER BY source, split"""
+      })
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q50)
 }

@@ -15,7 +15,7 @@ object SamplingQueries {
   /** First 8 hex chars of `h` as an integer — SQL mirror of
     * [[Sampling.hashBucket]]'s conv(substring(md5, 1, 8), 16, 10).
     */
-  private def bucketSql(h: String): String =
+  private[queries] def bucketSql(h: String): String =
     (0 until 8).map(i =>
       s"(STRPOS('0123456789abcdef', SUBSTRING($h, ${i + 1}, 1)) - 1)" +
         s" * ${1L << (4 * (7 - i))}")

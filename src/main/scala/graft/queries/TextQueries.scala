@@ -13,11 +13,11 @@ import graft.operators.Dedup
 object TextQueries {
 
   // ---- SQL mirrors of TextFunctions (must stay formula-identical) ----
-  private def normSql(c: String) =
+  private[queries] def normSql(c: String) =
     s"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER($c), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
-  private def lenTokSql(toks: String, nrm: String) =
+  private[queries] def lenTokSql(toks: String, nrm: String) =
     s"(CASE WHEN LENGTH($nrm) = 0 THEN CAST(0 AS BIGINT) ELSE LEN($toks) END)"
-  private def markerHitsSql(toks: String, lang: String) =
+  private[queries] def markerHitsSql(toks: String, lang: String) =
     TextFunctions.langMarkers(lang)
       .map(m => s"LEN(LIST_FILTER($toks, x -> x = '$m'))")
       .mkString("(", " + ", ")")

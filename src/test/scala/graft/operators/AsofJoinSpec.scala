@@ -52,6 +52,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("r_px")))
   }
 
+  test("forward: earliest reference at or after the probe ts") {
+    val out = AsofJoin.forward(probe, ref, Seq("k"), "ts",
+      Seq("rid"), tieCol = "rid")
+      .orderBy($"id").select($"id", $"r_rid").collect()
+    assert(out(0).getLong(1) == 11L)  // 100 -> next ref@200
+    assert(out(1).getLong(1) == 12L)  // 250 -> ref@300
+    assert(out(2).getLong(1) == 12L)  // 300 -> ref@300 (inclusive)
+    assert(out(3).getLong(1) == 13L)  // b@50 -> ref@60
+    assert(out(4).isNullAt(1))        // key c unmatched
+    // tolerance: 100 -> ref@200 is 100 away, cut at 50
+    val tol = AsofJoin.forward(probe, ref, Seq("k"), "ts",
+      Seq("rid"), "rid", tolerance = Some(lit(50L)))
+      .orderBy($"id").select($"id", $"r_rid").collect()
+    assert(tol(0).isNullAt(1))
+    assert(tol(1).getLong(1) == 12L)
+  }
+
   test("plan: single exchange on the key — no range join blowup") {
     val plan = AsofJoin.backward(probe, ref, Seq("k"), "ts",
       Seq("rid"), tieCol = "rid").queryExecution.executedPlan.toString
