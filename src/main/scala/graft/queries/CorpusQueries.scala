@@ -106,11 +106,14 @@ object CorpusQueries {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     Q("q50_curation_pipeline",
       (s, dir) => {
-        val docs = t(s, dir, "documents").repartition(col("doc_id"))
-        val kept = docs.filter(QualityRules.keep(col("text"), cfg))
+        val raw = t(s, dir, "documents")
+        // repartition only the CPU-heavy gate path; the join-back scan
+        // needs no redistribution (broadcast here, AQE-chosen SMJ at scale)
+        val kept = raw.repartition(col("doc_id"))
+          .filter(QualityRules.keep(col("text"), cfg))
         val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
-        val enriched = surv.join(docs, Seq("doc_id"))
+        val enriched = surv.join(raw, Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("n_chars"))
         val mixed = Sampling.mixDomains(enriched, "source", "doc_id",
           rates, salt = "cur")
