@@ -49,8 +49,10 @@ object TextFunctions {
     * wrapping long arithmetic.
     */
   def rollingHash(c: Column): Column =
-    aggregate(split(normalizeText(c), ""), lit(0L),
-      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+    call_function("graft_rolling_hash", normalizeText(c))
+  // (no composed twin: ANSI mode errors on the wrapping long multiply a
+  //  Horner fold needs — NativeExprsSpec pins the kernel to a driver-side
+  //  reference instead, and q51's oracle replays it in HUGEINT mod 2^64)
 
   /** Word n-gram shingles (for MinHash / Jaccard dedup) — native kernel,
     * bit-equal to [[shinglesHof]].

@@ -31,6 +31,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => SimHash64Expr(c(0))),
     (FunctionIdentifier("graft_simhash_md5"), info("graft_simhash_md5"),
       (c: Seq[Expression]) => SimHashMd5Expr(c(0))),
+    (FunctionIdentifier("graft_rolling_hash"), info("graft_rolling_hash"),
+      (c: Seq[Expression]) => RollingHashExpr(c(0))),
     (FunctionIdentifier("graft_hash_embedding"), info("graft_hash_embedding"),
       (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))),
     (FunctionIdentifier("graft_norm_tokens"), info("graft_norm_tokens"),

@@ -170,6 +170,31 @@ object SimHashMd5Expr {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Base-31 Horner rolling hash over the characters of an (already
+  * normalized, hence ASCII) string — wrapping 64-bit arithmetic,
+  * bit-equal to the composed aggregate(split(...)) form. One byte loop;
+  * for the ASCII alphabet of `normalizeText` output, byte == codepoint,
+  * matching `ascii()` per char.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    var v = 0L
+    var i = 0
+    while (i < bytes.length) { v = v * 31L + (bytes(i) & 0xffL); i += 1 }
+    v
+  }
+
+  override protected def withNewChildInternal(n: Expression): RollingHashExpr =
+    copy(child = n)
+}
+
 /** Deterministic hash-embedding (the U5 stub) as one pass: element i =
   * pmod(xxhash64(text, i), 1e6)/1e6 - 0.5 — identical to the composed
   * transform(sequence(...)) form.

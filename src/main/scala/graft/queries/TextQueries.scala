@@ -296,5 +296,38 @@ object TextQueries {
           THEN n_tok END) AS p95
       FROM r GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47)
+  /** q51 — BPE-ish subword counting + rolling-hash document fingerprint
+    * (the two remaining TextFunctions under the gate). The oracle
+    * rebuilds the lookaround-split count as alnum-runs + non-space
+    * punctuation chars (RE2 has no lookarounds) and replays the wrapping
+    * 64-bit Horner fold in HUGEINT mod 2^64 arithmetic.
+    */
+  private val q51 = Q("q51_subwords_fingerprint",
+    (s, dir) => {
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"),
+          TextFunctions.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm
+        FROM documents),
+      r AS (SELECT doc_id, list_reduce(
+          list_prepend(0::HUGEINT,
+            [unicode(x)::HUGEINT FOR x IN string_split_regex(nrm, '')]),
+          (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)
+          AS rr
+        FROM nt WHERE LENGTH(nrm) > 0)
+      SELECT nt.doc_id,
+        CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[^a-zA-Z0-9]+'),
+            x -> LENGTH(x) > 0))
+          + LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+          AS BIGINT) AS n_subwords,
+        COALESCE(CAST(CASE WHEN r.rr >= 9223372036854775808::HUGEINT
+          THEN r.rr - 18446744073709551616::HUGEINT ELSE r.rr END
+          AS BIGINT), 0) AS rhash
+      FROM nt LEFT JOIN r ON nt.doc_id = r.doc_id
+      ORDER BY nt.doc_id"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51)
 }

@@ -178,6 +178,19 @@ class LinkRewriteAndClockSpec extends SparkSpec {
     assert(out(3).isNullAt(0))
   }
 
+  test("subwordCount: alnum runs + each non-space punctuation char") {
+    val df = Seq(
+      ("hello world", 2L),         // plain words
+      ("don't stop-now!", 7L),     // don|'|t|stop|-|now|!
+      ("a,b,,c", 6L),              // a|,|b|,|,|c
+      ("", 0L), ("   ", 0L),       // space-only trims away
+      ("x9y", 1L))                 // alnum run stays one token
+      .toDF("text", "expected")
+    val bad = df.filter(
+      TextFunctions.subwordCount($"text") =!= $"expected").count()
+    assert(bad == 0)
+  }
+
   test("Clock: fixed date derives reproducible cutoffs") {
     val c = Clock.fixed("2026-08-12")
     assert(c.monthsAgo(4) == "2026-04-12")

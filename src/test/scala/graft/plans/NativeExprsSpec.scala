@@ -85,6 +85,23 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("graft_rolling_hash == driver-side wrapping Horner reference") {
+    // java-wrap reference over the normalized text (ASCII by invariant)
+    def ref(normalized: String): Long =
+      normalized.foldLeft(0L)((acc, ch) => acc * 31L + ch.toLong)
+    val edge = Seq("", "!!!", "a", "abc 123", "x" * 500).toDF("text")
+    for (df <- Seq(docs.limit(50).select($"text"), edge)) {
+      val rows = df.select(
+        TextFunctions.normalizeText($"text").as("nrm"),
+        TextFunctions.rollingHash($"text").as("nat")).collect()
+      rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+    }
+    // long texts wrap far past Long.MaxValue without erroring (ANSI-safe)
+    val wrapped = edge.filter(length($"text") === 500)
+      .select(TextFunctions.rollingHash($"text")).head().getLong(0)
+    assert(wrapped != ("x" * 13).foldLeft(0L)((a, c) => a * 31 + c))
+  }
+
   test("graft_norm_tokens == composed tokens, incl. empty/punct-only") {
     val edge = Seq("", "!!!", "  A  b ", "héllo wörld", "a1b2").toDF("text")
     for (df <- Seq(docs.select($"text"), edge)) {
