@@ -318,5 +318,35 @@ object MiscQueries {
           AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46, q48)
+  /** q52 — salted equi-join for a hot-key fact side
+    * ([[graft.operators.Skew]].saltedJoin): events (5 hot event_type
+    * keys) join a small per-type dim; left rows spread over 8 salts,
+    * dim replicated per salt, so no reducer sees a whole hot key.
+    * Salt assignment is nondeterministic but the JOIN RESULT is exact —
+    * which is precisely what the oracle (plain join) certifies.
+    */
+  private val q52 = Q("q52_skew_salted_join",
+    (s, dir) => {
+      import graft.functions.ExactAgg
+      val e = t(s, dir, "events")
+      val dim = e.select(col("event_type")).distinct()
+        .withColumn("type_weight", length(col("event_type")).cast("long"))
+      graft.operators.Skew.saltedJoin(e, dim, Seq("event_type"), salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum((ExactAgg.ints(col("value")) * col("type_weight"))
+            .cast("decimal(38,0)")).cast("double") / lit(100.0))
+            .as("weighted_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dim AS (SELECT DISTINCT event_type,
+          CAST(LENGTH(event_type) AS BIGINT) AS type_weight FROM events)
+      SELECT e.event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT) * d.type_weight)
+          AS DOUBLE) / 100.0 AS weighted_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
+    q48, q52)
 }
