@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-cardinality sketch (KMV / bottom-k): track the
+  * k smallest values of a uniform hash of the key; with m distinct keys
+  * the k-th minimum sits near k/m of the hash space, so
+  * m̂ = (k−1) · SPACE / kth_min. The classic alternative (HLL,
+  * `approx_count_distinct`) is register-layout-specific and cannot be
+  * verified by another engine; KMV over an md5-derived hash is exactly
+  * reproducible anywhere — the estimate itself is under the oracle gate
+  * (q53), not just "approximately right".
+  *
+  * Scale shape: hash projection (narrow) → distinct (one exchange,
+  * map-side combine) → per-group bottom-k (row_number ≤ k gets Spark's
+  * WindowGroupLimit rewrite: only k rows per group per partition reach
+  * the exchange) → tiny per-group aggregate. Sketch state is k longs
+  * per group regardless of m.
+  */
+object Sketches {
+
+  /** 2^60 — hash space for the 15-hex-char md5 prefix (fits a positive
+    * long; 60 bits keeps collisions negligible far past 10^8 distinct).
+    */
+  val KmvSpace: Double = 1152921504606846976.0
+
+  /** Uniform 60-bit hash of a key column: first 15 hex chars of
+    * md5("salt:key"), like [[Sampling.hashBucket]] but wider.
+    */
+  def hash60(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Per-group distinct-count estimate alongside the exact count (the
+    * exact side is what the oracle certifies the estimate against).
+    * Output: (groupCols…, n_exact, kth_min, est).
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  k: Int, salt: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select((groupCols.map(col) :+
+        hash60(col(keyCol), salt).as("__h")): _*)
+      .distinct()
+    // exact count rides along from a frame-less window over the same
+    // partitioning (no extra exchange) and MUST be computed before the
+    // bottom-k filter prunes rows
+    val withN = hashed.withColumn("n_exact",
+      count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    val bottomK = withN
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    bottomK.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n_exact")).as("n_exact"), max(col("__h")).as("kth_min"))
+      // groups with fewer than k distinct keys are exact, not estimated
+      .withColumn("est",
+        when(col("n_exact") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+            col("kth_min").cast("double")))
+  }
+}

@@ -21,6 +21,15 @@ object SamplingQueries {
         s" * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
 
+  /** First 15 hex chars (60 bits) — SQL mirror of
+    * [[graft.operators.Sketches.hash60]].
+    */
+  private[queries] def bucketSql15(h: String): String =
+    (0 until 15).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTRING($h, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (14 - i))}")
+      .mkString("(", " + ", ")")
+
   private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val splitBounds: Seq[(String, Long)] = {
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
@@ -119,5 +128,36 @@ object SamplingQueries {
       FROM r WHERE strat_rank <= 10
       ORDER BY source, strat_rank"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45)
+  /** q53 — KMV distinct sketch ([[graft.operators.Sketches]]): per-source
+    * estimate of distinct text fingerprints, with the exact count
+    * alongside. The md5-derived hash makes the ESTIMATE itself
+    * reproducible in SQL — a verifiable sketch, unlike HLL registers.
+    */
+  private val q53 = Q("q53_kmv_distinct",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("source"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      graft.operators.Sketches
+        .kmvDistinct(docs, Seq("source"), "fp", k = 16, salt = "kmv")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH fp AS (SELECT source,
+          MD5(${TextQueries.normSql("text")}) AS f FROM documents),
+      h AS (SELECT DISTINCT source,
+          CAST(${bucketSql15(s"md5(CONCAT('kmv', ':', f))")} AS BIGINT)
+            AS hh
+        FROM fp),
+      r AS (SELECT source, hh,
+          COUNT(*) OVER (PARTITION BY source) AS n_exact,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+        FROM h)
+      SELECT source, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+        MAX(hh) AS kth_min,
+        CASE WHEN MAX(n_exact) < 16 THEN CAST(MAX(n_exact) AS DOUBLE)
+          ELSE 15.0 * 1152921504606846976.0 / CAST(MAX(hh) AS DOUBLE)
+          END AS est
+      FROM r WHERE rn <= 16 GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53)
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct estimate lands near the true cardinality") {
+    // 8000 distinct keys in one group, k=256 → stderr ≈ 1/√k ≈ 6%
+    val df = (1 to 8000).map(i => ("g", s"key$i")).toDF("grp", "key")
+    val r = Sketches.kmvDistinct(df, Seq("grp"), "key", k = 256,
+      salt = "t").head()
+    val est = r.getAs[Double]("est")
+    assert(r.getAs[Long]("n_exact") == 8000L)
+    assert(math.abs(est - 8000.0) / 8000.0 < 0.2, s"est=$est")
+  }
+
+  test("groups under k report the exact count, duplicates collapse") {
+    val df = Seq("a", "a", "a", "b", "c").map(("g", _)).toDF("grp", "key")
+    val r = Sketches.kmvDistinct(df, Seq("grp"), "key", k = 16, "t").head()
+    assert(r.getAs[Long]("n_exact") == 3L)
+    assert(r.getAs[Double]("est") == 3.0)
+  }
+
+  test("deterministic across partitionings; salt changes the sketch") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", s"k$i")).toDF("grp", "key")
+    val a = Sketches.kmvDistinct(df, Seq("grp"), "key", 32, "s1")
+      .collect().map(_.toSeq).toSet
+    val b = Sketches.kmvDistinct(df.repartition(7), Seq("grp"), "key", 32, "s1")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    val c = Sketches.kmvDistinct(df, Seq("grp"), "key", 32, "s2")
+      .collect().map(r => r.getAs[Long]("kth_min")).toSet
+    assert(c != a.map(_(2)))
+  }
+
+  test("plan: bottom-k gets the WindowGroupLimit rewrite") {
+    val df = (1 to 100).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val plan = Sketches.kmvDistinct(df, Seq("grp"), "key", 8, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}
