@@ -106,6 +106,7 @@ object Multimodal {
   def frameSample(df: DataFrame, idCol: String, payloadCol: String,
                   everyN: Int,
                   decoder: FrameDecoder = FixedSizeFrames(256)): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val spark = df.sparkSession
     val input = df.select(df(idCol).cast("long"), df(payloadCol))
     val rdd = input.rdd.mapPartitions { rows =>

@@ -22,13 +22,18 @@ object Sampling {
   /** 2^32 — bucket space size. */
   val BucketSpace: Long = 4294967296L
 
-  /** Uniform bucket in [0, 2^32): the first 8 hex chars of
-    * md5("salt:key") as an integer. Buckets, not floats, so threshold
-    * comparisons are exact in every engine.
+  /** Uniform bucket in [0, 2^(4·hexChars)): the first `hexChars` hex
+    * chars of md5("salt:key") as an integer (default 8 → 32 bits; ≤ 15
+    * keeps the value a positive long). Buckets, not floats, so
+    * threshold comparisons are exact in every engine. The ONE hashing
+    * convention every sampling/sketch operator and SQL mirror derives
+    * from.
     */
-  def hashBucket(key: Column, salt: String): Column =
-    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8),
-      16, 10).cast("long")
+  def hashBucket(key: Column, salt: String, hexChars: Int = 8): Column = {
+    require(hexChars >= 1 && hexChars <= 15)
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))),
+      1, hexChars), 16, 10).cast("long")
+  }
 
   /** Keep each row with probability `fraction`, decided by its key:
     * bucket < fraction * 2^32. Changing the salt draws an independent

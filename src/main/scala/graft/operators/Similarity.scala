@@ -125,6 +125,18 @@ object Similarity {
     rankCandidates(candIds, cv, qv, k)
   }
 
+  /** Band-key array for a signature column: struct(b, bits) per band.
+    * ONE definition — the banding math is the contract the q21/q38 SQL
+    * oracles replay, so every caller must slice identically.
+    */
+  private def bandKeys(sigCol: Column, nBands: Int, bandBits: Int): Column = {
+    val mask = (1L << bandBits) - 1
+    array((0 until nBands).map(b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(sigCol, b * bandBits)
+          .bitwiseAND(lit(mask)).as("bits"))): _*)
+  }
+
   /** Approximate top-k: candidates = corpus rows whose plane-signature
     * band matches the query's (bands of `bandBits` planes, pigeonhole:
     * any candidate differing in < nBands bands shares one). Band rows
@@ -138,18 +150,12 @@ object Similarity {
     require(planes % bandBits == 0, "bandBits must divide planes")
     val hp = hyperplanes(planes, dim, seed)
     val nBands = planes / bandBits
-    val mask = (1L << bandBits) - 1
     val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
-    def banded(df: DataFrame, id: String): DataFrame = {
-      val withSig = df
-        .withColumn("__sig", planeSignature(col(s"${id}_v"), hp))
-      val keys = array((0 until nBands).map(b =>
-        struct(lit(b).as("b"),
-          shiftrightunsigned(col("__sig"), b * bandBits)
-            .bitwiseAND(lit(mask)).as("bits"))): _*)
-      withSig.withColumn("band", explode(keys)).select(col(id), col("band"))
-    }
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.withColumn("__sig", planeSignature(col(s"${id}_v"), hp))
+        .withColumn("band", explode(bandKeys(col("__sig"), nBands, bandBits)))
+        .select(col(id), col("band"))
     val candIds = banded(cv, "nid").join(broadcast(banded(qv, "qid")), Seq("band"))
       .select(col("qid"), col("nid")).distinct()
     rankCandidates(candIds, cv, qv, k)
@@ -169,15 +175,10 @@ object Similarity {
     require(planes % bandBits == 0, "bandBits must divide planes")
     val hp = hyperplanes(planes, dim, seed)
     val nBands = planes / bandBits
-    val mask = (1L << bandBits) - 1
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val keys = array((0 until nBands).map(b =>
-      struct(lit(b).as("b"),
-        shiftrightunsigned(col("__sig"), b * bandBits)
-          .bitwiseAND(lit(mask)).as("bits"))): _*)
     val banded = v
       .withColumn("__sig", planeSignature(col("v"), hp))
-      .withColumn("band", explode(keys))
+      .withColumn("band", explode(bandKeys(col("__sig"), nBands, bandBits)))
       .select(col("id"), col("band"))
     val candIds = banded.as("x").join(banded.as("y"), Seq("band"))
       .filter(col("x.id") < col("y.id"))

@@ -26,12 +26,11 @@ object Sketches {
     */
   val KmvSpace: Double = 1152921504606846976.0
 
-  /** Uniform 60-bit hash of a key column: first 15 hex chars of
-    * md5("salt:key"), like [[Sampling.hashBucket]] but wider.
+  /** Uniform 60-bit hash of a key column — [[Sampling.hashBucket]] at
+    * full 15-hex-char width (one shared hashing convention).
     */
   def hash60(key: Column, salt: String): Column =
-    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    Sampling.hashBucket(key, salt, hexChars = 15)
 
   /** Per-group distinct-count estimate alongside the exact count (the
     * exact side is what the oracle certifies the estimate against).

@@ -88,11 +88,15 @@ final class FinancialReports(spark: SparkSession) {
       .withColumn("extracted_value", col("first_val").cast("double"))
       .drop("first_val")
 
-  /** Full run: (report_id, metric, pages, prompt, extracted_value). */
+  /** Full run: (report_id, metric, pages, prompt, extracted_value).
+    * The page explode feeds three consumers — checkpoint it once so the
+    * PDF decode + explode doesn't run per branch.
+    */
   def run(reports: DataFrame, idCol: String, pdfCol: String): DataFrame = {
-    val pages = pdfPages(reports, idCol, pdfCol)
-    metricPages(pages)
-      .join(prompts(metricPages(pages)), Seq("report_id", "metric"))
+    val pages = pdfPages(reports, idCol, pdfCol).localCheckpoint(true)
+    val perMetric = metricPages(pages).localCheckpoint(true)
+    perMetric
+      .join(prompts(perMetric), Seq("report_id", "metric"))
       .join(extractMetrics(pages), Seq("report_id", "metric"), "left")
   }
 }

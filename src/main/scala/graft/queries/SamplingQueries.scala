@@ -12,23 +12,17 @@ import graft.operators.Sampling
   */
 object SamplingQueries {
 
-  /** First 8 hex chars of `h` as an integer — SQL mirror of
-    * [[Sampling.hashBucket]]'s conv(substring(md5, 1, 8), 16, 10).
+  /** First `n` hex chars of `h` as an integer — the ONE SQL mirror of
+    * [[Sampling.hashBucket]] (n=8) / [[graft.operators.Sketches.hash60]]
+    * (n=15).
     */
-  private[queries] def bucketSql(h: String): String =
-    (0 until 8).map(i =>
+  private[queries] def bucketSql(h: String, n: Int = 8): String =
+    (0 until n).map(i =>
       s"(STRPOS('0123456789abcdef', SUBSTRING($h, ${i + 1}, 1)) - 1)" +
-        s" * ${1L << (4 * (7 - i))}")
+        s" * ${1L << (4 * (n - 1 - i))}")
       .mkString("(", " + ", ")")
 
-  /** First 15 hex chars (60 bits) — SQL mirror of
-    * [[graft.operators.Sketches.hash60]].
-    */
-  private[queries] def bucketSql15(h: String): String =
-    (0 until 15).map(i =>
-      s"(STRPOS('0123456789abcdef', SUBSTRING($h, ${i + 1}, 1)) - 1)" +
-        s" * ${1L << (4 * (14 - i))}")
-      .mkString("(", " + ", ")")
+  private[queries] def bucketSql15(h: String): String = bucketSql(h, 15)
 
   private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val splitBounds: Seq[(String, Long)] = {
