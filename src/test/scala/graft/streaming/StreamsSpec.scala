@@ -57,6 +57,38 @@ class StreamsSpec extends SparkSpec {
     assert(res == Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("curation composes onto a stream: quality gate + dedup, incremental") {
+    val in = Files.createTempDirectory("graft_cur_in").toString
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+    val docSchema = StructType.fromDDL(
+      "doc_id long, ts timestamp, text string")
+    val good = ("the quality of the data is good and " * 8) +
+      "it works with that for this test run"
+    def row(id: Long, t: String, text: String) =
+      s"""{"doc_id":$id,"ts":"$t","text":"$text"}"""
+    writeBatch(in, "b1.json", Seq(
+      row(1, "2026-01-01T00:01:00Z", good),
+      row(2, "2026-01-01T00:02:00Z", "too short"),   // fails word count
+      row(3, "2026-01-01T00:03:00Z", good)))          // dup of 1 by text
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.dedupStream(
+        Streams.jsonStream(spark, docSchema, in)
+          .filter(graft.functions.QualityRules.keep($"text"))
+          .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text")),
+        "ts", "10 minutes", Seq("fp")),
+      out, ckpt)
+    run()
+    // a later batch re-sends the same content: state drops it
+    writeBatch(in, "b2.json", Seq(
+      row(4, "2026-01-01T00:04:00Z", good)))
+    run()
+    val ids = spark.read.schema(StructType.fromDDL(
+      "doc_id long, ts timestamp, text string, fp string"))
+      .parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L)) // 2 gated out; 3 and 4 dedup'd against 1
+  }
+
   test("session windows merge within gap and finalize past the watermark") {
     val in = Files.createTempDirectory("graft_sess_in").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
