@@ -70,6 +70,80 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asof join == naive model on random collision-heavy data") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    // small ts domain forces equal-ts ties and unmatched probes
+    val probes = (1 to 120).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+    val refs = (1 to 80).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, 1000L + i, rnd.nextDouble()))
+    val pDf = probes.toDF("id", "k", "ts")
+    val rDf = refs.toDF("k", "ts", "rid", "px")
+    def naive(forward: Boolean): Map[Long, Option[Long]] =
+      probes.map { case (id, k, ts) =>
+        val c = refs.filter(r => r._1 == k &&
+          (if (forward) r._2 >= ts else r._2 <= ts))
+        // closest ts wins; equal-ts ties -> largest rid (both directions)
+        val best = if (c.isEmpty) None else {
+          val bestTs = if (forward) c.map(_._2).min else c.map(_._2).max
+          Some(c.filter(_._2 == bestTs).map(_._3).max)
+        }
+        id -> best
+      }.toMap
+    for (fwd <- Seq(false, true)) {
+      val got = (if (fwd)
+        graft.operators.AsofJoin.forward(pDf, rDf, Seq("k"), "ts", Seq("rid"), "rid")
+      else
+        graft.operators.AsofJoin.backward(pDf, rDf, Seq("k"), "ts", Seq("rid"), "rid"))
+        .select($"id", $"r_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == naive(fwd), s"forward=$fwd")
+    }
+  }
+
+  test("range join == naive nested loop for any cell width") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 100).map(i => (i.toLong, s"k${rnd.nextInt(2)}",
+      rnd.nextInt(200).toLong - 100))
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(200).toLong - 100
+      (1000L + i, s"k${rnd.nextInt(2)}", lo, lo + rnd.nextInt(30))
+    }
+    val expected = (for {
+      (pid, pk, p) <- pts; (iid, ik, lo, hi) <- ivs
+      if pk == ik && p >= lo && p <= hi
+    } yield (pid, iid)).toSet
+    for (w <- Seq(1L, 13L, 30L, 500L)) {
+      val got = graft.operators.RangeJoin.pointInInterval(
+        pts.toDF("pid", "k", "p"), ivs.toDF("iid", "k", "lo", "hi"),
+        "p", "lo", "hi", w, Seq("k"))
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"cellWidth=$w")
+    }
+  }
+
+  test("sessionize == naive fold for random gaps") {
+    val rnd = new scala.util.Random(13)
+    val evs = (1 to 200).map(i =>
+      (i.toLong, s"u${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val gap = 20L
+    val naive: Map[Long, Long] = evs.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var ord = 0L; var prev = Long.MinValue
+      sorted.map { case (id, _, ts) =>
+        if (prev == Long.MinValue || ts - prev > gap) ord += 1
+        prev = ts
+        id -> ord
+      }
+    }
+    val got = graft.operators.Sessionize
+      .assign(evs.toDF("id", "u", "ts"), "u", "ts", gap, tieCol = "id")
+      .select($"id", $"session_ord").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("fingerprint: normalization-equivalent strings collide, distinct tokens don't") {
     for (s <- Seq("abc", "Hello1", "ZZtop99", "q", "MixedCase42")) {
       val df = Seq(s, s.toUpperCase, s + "!", s + " x").toDF("t")
