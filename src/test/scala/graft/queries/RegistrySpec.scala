@@ -27,7 +27,7 @@ class RegistrySpec extends AnyFunSuite {
     for (q <- Registry.all; oracle <- q.oracle) {
       // EXTRACT(part FROM col) is the one non-relation use of FROM
       val sql = oracle.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
-      val ctes = "(?i)([a-z0-9_]+)\\s+AS\\s*\\(".r
+      val ctes = "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = "(?i)(?:FROM|JOIN)\\s+([a-z0-9_]+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
