@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * speed, not JIT) and is then timed end-to-end into a noop sink (full
   * materialization of every column, unlike count() which lets Spark
   * prune work).
+  *
+  * Stall defense: a single-JVM harness occasionally absorbs one
+  * multi-second environmental pause (observed: a trivial groupBy at
+  * 33 s in BOTH timed passes vs 0.55 s reproduced on the same
+  * machine/jar). Min-of-two is not enough when the stall spans both
+  * passes, so after the two passes any outlier query — time > 5× its
+  * own warmup or > 10× the per-query median — gets up to two extra
+  * passes, taking the min. Per-query GC-time deltas go to stderr so a
+  * surviving stall is attributable (GC vs machine-external).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,15 +34,22 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     // Queries that localCheckpoint intermediate frames (dedup, transcript,
-    // listing pipelines) leave cached RDD blocks behind; over 72 executions
-    // in one JVM that becomes storage-memory pressure that throttles every
-    // later query. Drop them once their query has finished.
+    // listing pipelines) leave cached RDD blocks behind; over many
+    // executions in one JVM that becomes storage-memory pressure that
+    // throttles every later query. Drop them once their query has finished.
     def clearCaches(): Unit = {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(tag: String)(name: String): Double = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try exec(name)
       catch {
@@ -43,20 +59,23 @@ object Bench {
       }
       finally clearCaches()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench:$tag] $name $dt%.2fs" +
+      val gcDt = (gcMillis() - gc0) / 1e3
+      System.err.println(f"[bench:$tag] $name $dt%.2fs gc=$gcDt%.2fs load=${loadAvg()}%.1f" +
         (if (errors.contains(name)) " FAILED" else ""))
       dt
     }
-    names.foreach(timed("warmup")) // warmup
+    // Two warmups: the first absorbs JVM/JIT/codegen cost (inflated for
+    // early queries); min of the two is each query's steady-state
+    // reference for outlier detection below.
+    val warm1 = names.map(n => n -> timed("warmup")(n)).toMap
+    val warm2 = names.map(n => n -> timed("warmup2")(n)).toMap
+    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
     errors.clear()                 // only report steady-state failures
-    // Two timed passes, min per query: a single-JVM harness occasionally
-    // absorbs one multi-second environmental pause (observed: one early
-    // query at 35-67 s with no GC/log event inside the window, unreprod-
-    // ucible); min-of-2 reports steady-state engine speed, not the pause.
-    // Failures follow the same policy: a query is FAILED only if BOTH
-    // passes failed (a one-pass transient is the pause scenario); a
-    // persistent failure contributes a LARGE positive penalty to the
-    // total, so a crashing query can never read as a speedup.
+    // Two timed passes, min per query. Failures: a query is FAILED only
+    // if BOTH passes failed (a one-pass transient is the pause
+    // scenario); a persistent failure contributes a LARGE positive
+    // penalty to the total, so a crashing query can never read as a
+    // speedup.
     val passA = names.map(n => n -> timed("timed")(n)).toMap
     val errsA = errors.keySet.toSet
     errors.clear()
@@ -64,21 +83,46 @@ object Bench {
     val errsB = errors.keySet.toSet
     val failed = errsA.intersect(errsB)
     errors.filterInPlace((k, _) => failed.contains(k))
-    val results = names.map { n =>
+    val minAB = names.map { n =>
       n -> ((errsA.contains(n), errsB.contains(n)) match {
         case (false, false) => math.min(passA(n), passB(n))
         case (true, false)  => passB(n) // transient absorbed
         case (false, true)  => passA(n)
         case (true, true)   => 600.0    // persistent failure: penalty
       })
+    }.toMap
+    // Outlier retry: an ambient stall can span both timed passes. Any
+    // non-failed query whose min-of-2 is still > 5× its own warmup2
+    // time (and > 1 s absolute — tiny queries jitter) or > 10× the
+    // per-query median gets up to two more passes; min over all passes
+    // is the honest steady-state number. Bounded extra wall time:
+    // only outliers re-run.
+    val med = {
+      val xs = minAB.values.toSeq.sorted
+      if (xs.isEmpty) 0.0 else xs(xs.size / 2)
+    }
+    def isOutlier(n: String, t: Double): Boolean =
+      !failed.contains(n) && t > 1.0 &&
+        (t > 5.0 * math.max(warm(n), 0.05) || t > 10.0 * math.max(med, 0.05))
+    val results = names.map { n =>
+      var best = minAB(n)
+      var tries = 0
+      while (isOutlier(n, best) && tries < 2) {
+        System.err.println(f"[bench:outlier] $n ${best}%.2fs (warmup ${warm(n)}%.2fs, median $med%.2fs) — retrying")
+        val t = timed(s"retry${tries + 1}")(n)
+        if (!errors.contains(n)) best = math.min(best, t)
+        errors.remove(n) // retry errors never flip a pass-green query to failed
+        tries += 1
+      }
+      n -> best
     }
     def jstr(s: String) = "\"" +
       s.map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c) + "\""
-    val qs = results.map { case (k, v) =>
-      // A failed query reports negative elapsed so it can never read as
-      // a legitimately fast result (its penalty still counts in total).
-      s"\"" + k + "\":" + (if (failed.contains(k)) -v else v)
-    }.mkString("{", ",", "}")
+    // Failed queries carry their positive 600 s penalty in BOTH the
+    // per-query map and the total (sum(queries) == value); the
+    // `errors` map is the failure marker.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
