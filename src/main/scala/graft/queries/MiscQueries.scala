@@ -306,7 +306,8 @@ object MiscQueries {
     (s, dir) => {
       import graft.functions.ExactAgg
       graft.operators.Skew.saltedAggregate(
-        t(s, dir, "events"), keys = Seq("event_type"), salts = 16,
+        t(s, dir, "events"), keys = Seq("event_type"),
+        saltBy = Seq(col("event_id")), salts = 16,
         partialAggs = Seq(count(lit(1)).as("pn"),
           sum(ExactAgg.ints(col("value")).cast("decimal(38,0)")).as("psum")),
         finalAggs = Seq(sum(col("pn")).as("n_events"),
@@ -322,8 +323,9 @@ object MiscQueries {
     * ([[graft.operators.Skew]].saltedJoin): events (5 hot event_type
     * keys) join a small per-type dim; left rows spread over 8 salts,
     * dim replicated per salt, so no reducer sees a whole hot key.
-    * Salt assignment is nondeterministic but the JOIN RESULT is exact —
-    * which is precisely what the oracle (plain join) certifies.
+    * Salt assignment is a deterministic hash of event_id — retryable
+    * shuffle output — and the JOIN RESULT is exact, which is precisely
+    * what the oracle (plain join) certifies.
     */
   private val q52 = Q("q52_skew_salted_join",
     (s, dir) => {
@@ -331,7 +333,8 @@ object MiscQueries {
       val e = t(s, dir, "events")
       val dim = e.select(col("event_type")).distinct()
         .withColumn("type_weight", length(col("event_type")).cast("long"))
-      graft.operators.Skew.saltedJoin(e, dim, Seq("event_type"), salts = 8)
+      graft.operators.Skew.saltedJoin(e, dim, Seq("event_type"),
+          saltBy = Seq(col("event_id")), salts = 8)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           (sum((ExactAgg.ints(col("value")) * col("type_weight"))

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** K2/K6/K7/K8 through the Hadoop FileSystem API, incl. the
+  * partition-targeted rewrite contract: a keyed mutation on a
+  * partitioned table may only move bytes in partitions that contain an
+  * affected key.
+  */
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** part-file names per partition dir — the "did this dir get
+    * rewritten" fingerprint (Spark part-file names are unique per job).
+    */
+  private def partFiles(dir: String): Map[String, Set[String]] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(p => p.getName ->
+        p.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+      .toMap
+  }
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_ts").toString)
+
+  private def seedPartitioned(ts: TableStore, table: String): Unit =
+    ts.append(table,
+      spark.range(100)
+        .select($"id", lit(0).as("flag"),
+          concat(lit("d"), $"id" % 5).as("day")),
+      partitionBy = Seq("day"))
+
+  test("K7 partitioned updateFlag rewrites ONLY affected partition dirs") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val before = partFiles(dir)
+    // ids 2,7 both live in day=d2 (id%5==2) — only that dir may change
+    ts.updateFlag("t", Seq(2L, 7L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    val after = partFiles(dir)
+    for (d <- Seq("day=d0", "day=d1", "day=d3", "day=d4"))
+      assert(after(d) == before(d), s"$d was rewritten")
+    assert(after("day=d2") != before("day=d2"), "day=d2 not rewritten")
+    val rows = ts.read("t")
+    assert(rows.count() == 100)
+    assert(rows.filter($"flag" === 1).select($"id")
+      .as[Long].collect().toSet == Set(2L, 7L))
+  }
+
+  test("K8 partitioned deleteByKeys removes an emptied partition dir") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val before = partFiles(dir)
+    // delete ALL of day=d1 (ids ≡ 1 mod 5) plus one row of d3
+    val doomed = ((0L until 100L).filter(_ % 5 == 1) :+ 3L).toDF("id")
+    ts.deleteByKeys("t", doomed, Seq("id"), partitionCols = Seq("day"))
+    val after = partFiles(dir)
+    assert(!after.contains("day=d1"), "emptied partition dir not deleted")
+    for (d <- Seq("day=d0", "day=d2", "day=d4"))
+      assert(after(d) == before(d), s"$d was rewritten")
+    assert(after("day=d3") != before("day=d3"))
+    val rows = ts.read("t")
+    assert(rows.count() == 79)
+    assert(rows.filter($"day" === "d1").count() == 0)
+    assert(rows.filter($"id" === 3L).count() == 0)
+  }
+
+  test("no-hit keyed mutation touches nothing") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val before = partFiles(dir)
+    ts.updateFlag("t", Seq(1234L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    assert(partFiles(dir) == before)
+  }
+
+  test("unpartitioned rewrite/updateFlag via Hadoop FS still round-trips") {
+    val ts = freshStore()
+    ts.append("u", (1L to 10L).toDF("id").withColumn("flag", lit(0)))
+    ts.updateFlag("u", Seq(4L).toDF("id"), Seq("id"), "flag", 9)
+    assert(ts.read("u").filter($"flag" === 9).select($"id")
+      .as[Long].collect().toSeq == Seq(4L))
+    ts.deleteByKeys("u", Seq(5L, 6L).toDF("id"), Seq("id"))
+    assert(ts.read("u").count() == 8)
+    assert(ts.exists("u") && !ts.exists("nope"))
+  }
+
+  test("partitioned upsert appends under the partition layout") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val inc = Seq((50L, 1, "d0"), (200L, 1, "d0"), (201L, 1, "d9"))
+      .toDF("id", "flag", "day")
+    ts.upsert("t", inc, keys = Seq("id"), tieBreak = Seq("day"),
+      partitionBy = Seq("day"))
+    val rows = ts.read("t")
+    assert(rows.count() == 102) // 50 conflicts, 200/201 new
+    assert(rows.filter($"day" === "d9").count() == 1)
+  }
+}
