@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * payload FIELD can't make `ignoreNulls` skip to an older row.
   *
   * At 100 TB: shuffle volume is |probe| + |reference| rows — the minimum
-  * any key-partitioned formulation can move; skewed keys can be salted
-  * upstream by splitting probe rows per salt and replicating reference
-  * rows per salt bucket.
+  * any key-partitioned formulation can move; for skewed keys use
+  * [[backwardSalted]]/[[forwardSalted]], which split probe rows per
+  * deterministic salt and replicate reference rows per salt bucket so a
+  * hot key's window work spreads over `salts` reducers with identical
+  * results.
   */
 object AsofJoin {
 
@@ -49,6 +51,52 @@ object AsofJoin {
               prefix: String = "r_"): DataFrame =
     join0(probe, reference, keyCols, tsCol, payloadCols, tieCol,
       tolerance, prefix, forward = true)
+
+  /** Hot-key backward as-of: identical results to [[backward]], with
+    * each probe row routed to one of `salts` sub-partitions of its key
+    * (deterministic [[Skew.saltColumn]] over `saltBy` — pass columns
+    * that vary WITHIN the hot key, e.g. the probe row id) and the
+    * reference side replicated into every sub-partition. Each (key,
+    * salt) window sees the key's FULL reference history, so per-probe
+    * results cannot change; the hot key's window sort+scan spreads over
+    * `salts` reducers. Cost: reference shuffle volume × `salts` — use
+    * when probe rows dominate a skewed key (the common shape: billions
+    * of events against thousands of quotes).
+    */
+  def backwardSalted(probe: DataFrame, reference: DataFrame,
+                     keyCols: Seq[String], tsCol: String,
+                     payloadCols: Seq[String], tieCol: String,
+                     saltBy: Seq[Column], salts: Int,
+                     tolerance: Option[Column] = None,
+                     prefix: String = "r_"): DataFrame =
+    salted0(probe, reference, keyCols, tsCol, payloadCols, tieCol,
+      saltBy, salts, tolerance, prefix, forward = false)
+
+  /** Forward twin of [[backwardSalted]]. */
+  def forwardSalted(probe: DataFrame, reference: DataFrame,
+                    keyCols: Seq[String], tsCol: String,
+                    payloadCols: Seq[String], tieCol: String,
+                    saltBy: Seq[Column], salts: Int,
+                    tolerance: Option[Column] = None,
+                    prefix: String = "r_"): DataFrame =
+    salted0(probe, reference, keyCols, tsCol, payloadCols, tieCol,
+      saltBy, salts, tolerance, prefix, forward = true)
+
+  private def salted0(probe: DataFrame, reference: DataFrame,
+                      keyCols: Seq[String], tsCol: String,
+                      payloadCols: Seq[String], tieCol: String,
+                      saltBy: Seq[Column], salts: Int,
+                      tolerance: Option[Column], prefix: String,
+                      forward: Boolean): DataFrame = {
+    require(salts >= 1, "salts >= 1")
+    val saltCol = "__asof_salt"
+    val saltedProbe = probe.withColumn(saltCol, Skew.saltColumn(saltBy, salts))
+    val replicatedRef = reference.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
+    join0(saltedProbe, replicatedRef, keyCols :+ saltCol, tsCol,
+      payloadCols, tieCol, tolerance, prefix, forward)
+      .drop(saltCol)
+  }
 
   private def join0(probe: DataFrame, reference: DataFrame,
                     keyCols: Seq[String], tsCol: String,

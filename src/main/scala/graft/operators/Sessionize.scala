@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   * self-join, no state on the driver; at 100 TB the single shuffle on
   * the key is the floor for any per-key ordering. The batch twin of
   * `streaming.Streams`' watermarked windows.
+  *
+  * Hot keys: [[AsofJoin.backwardSalted]]'s salt-and-replicate trick
+  * does NOT transfer here, deliberately. The session ordinal is a
+  * prefix sum over the key's complete time-ordered event sequence —
+  * every event's value depends on every earlier event of the key, so
+  * any salt split changes gaps at sub-partition boundaries and with
+  * them the answer (as-of could replicate the small side; sessions
+  * have no small side to replicate). AQE can't help either: skew-join
+  * splitting does not apply to a single window partition. The honest
+  * scale paths, in preference order: (1) a coarser pre-key — sessions
+  * rarely span days, so partitioning by (key, day) with a two-pass
+  * boundary stitch bounds any reducer at one key-day; (2) the
+  * streaming twin (`Streams.sessionWindows`), whose watermark keeps
+  * per-key state bounded regardless of history length. A key hot
+  * enough to stall a reducer here is a data-model smell (a bot or a
+  * default id), not a partitioning bug.
   */
 object Sessionize {
 

@@ -32,8 +32,41 @@ object Sketches {
   def hash60(key: Column, salt: String): Column =
     Sampling.hashBucket(key, salt, hexChars = 15)
 
-  /** Per-group distinct-count estimate alongside the exact count (the
-    * exact side is what the oracle certifies the estimate against).
+  /** PRODUCTION path: per-group distinct-count estimate with NO exact
+    * count. The bottom-k filter is the only window, so Spark's
+    * WindowGroupLimit rewrite prunes to k rows per group per partition
+    * BEFORE the exchange — a giant group ships k hashes, never its full
+    * distinct set. Groups that kept fewer than k hashes are exact by
+    * construction (everything survived the filter), so `est` is still
+    * exact below k without any unbounded-frame count.
+    * Output: (groupCols…, kth_min, est).
+    */
+  def kmvEstimate(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  k: Int, salt: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select((groupCols.map(col) :+
+        hash60(col(keyCol), salt).as("__h")): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    val bottomK = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    bottomK.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__kept"), max(col("__h")).as("kth_min"))
+      .withColumn("est",
+        when(col("__kept") < k, col("__kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+            col("kth_min").cast("double")))
+      .drop("__kept")
+  }
+
+  /** VERIFICATION form (the q53 oracle): the estimate alongside the
+    * exact distinct count it is certified against. The exact side rides
+    * a frame-less window that necessarily pushes each group's FULL
+    * distinct-hash set through one window partition — that defeats the
+    * sketch's point at scale, so this form is for audits/oracles only;
+    * production pipelines use [[kmvEstimate]].
     * Output: (groupCols…, n_exact, kth_min, est).
     */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,

@@ -69,6 +69,44 @@ class AsofJoinSpec extends SparkSpec {
     assert(tol(1).getLong(1) == 12L)
   }
 
+  // 90%-hot-key differential fixture: 900 of 1000 probes on one key,
+  // references on every key (some sharing a ts to exercise tie-breaks)
+  private lazy val hotProbe = ((1 to 900).map(i =>
+      (i.toLong, "hot", (i * 7 % 499).toLong)) ++
+    (901 to 1000).map(i => (i.toLong, s"k${i % 10}", (i * 3 % 499).toLong)))
+    .toDF("id", "k", "ts")
+  private lazy val hotRef = (for {
+      (k, ki) <- ("hot" +: (0 until 10).map(i => s"k$i")).zipWithIndex
+      t <- 0 to 480 by 40
+    } yield (k, t.toLong, (ki * 1000 + t).toLong, t / 10.0))
+    .toDF("k", "ts", "rid", "px")
+
+  test("backwardSalted/forwardSalted: identical to unsalted on hot keys") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val base = AsofJoin.backward(hotProbe, hotRef, Seq("k"), "ts",
+      Seq("rid", "px"), "rid", tolerance = Some(lit(60L)))
+    val salted = AsofJoin.backwardSalted(hotProbe, hotRef, Seq("k"), "ts",
+      Seq("rid", "px"), "rid", saltBy = Seq($"id"), salts = 8,
+      tolerance = Some(lit(60L)))
+    assert(canon(salted) == canon(base))
+    val fwdBase = AsofJoin.forward(hotProbe, hotRef, Seq("k"), "ts",
+      Seq("rid"), "rid")
+    val fwdSalted = AsofJoin.forwardSalted(hotProbe, hotRef, Seq("k"), "ts",
+      Seq("rid"), "rid", saltBy = Seq($"id"), salts = 8)
+    assert(canon(fwdSalted) == canon(fwdBase))
+  }
+
+  test("plan: salted as-of partitions by (key, salt) — hot key spread") {
+    val plan = AsofJoin.backwardSalted(hotProbe, hotRef, Seq("k"), "ts",
+      Seq("rid"), "rid", saltBy = Seq($"id"), salts = 8)
+      .queryExecution.executedPlan.toString
+    // the window exchange must hash on the salt too, and stay
+    // deterministic (content-derived salt, no rand())
+    assert("hashpartitioning\\([^)]*__asof_salt".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.toLowerCase.contains("rand("), plan)
+  }
+
   test("plan: single exchange on the key — no range join blowup") {
     val plan = AsofJoin.backward(probe, ref, Seq("k"), "ts",
       Seq("rid"), tieCol = "rid").queryExecution.executedPlan.toString

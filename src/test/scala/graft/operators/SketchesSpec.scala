@@ -41,4 +41,30 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("kmvEstimate matches kmvDistinct's estimate, exact under k") {
+    val df = (1 to 2000).map(i => (s"g${i % 4}", s"k${i % (400 * (i % 4 + 1))}"))
+      .toDF("grp", "key")
+      .union(Seq(("tiny", "a"), ("tiny", "a"), ("tiny", "b")).toDF("grp", "key"))
+    val audit = Sketches.kmvDistinct(df, Seq("grp"), "key", 64, "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("kth_min"), r.getAs[Double]("est")))).toMap
+    val prod = Sketches.kmvEstimate(df, Seq("grp"), "key", 64, "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("kth_min"), r.getAs[Double]("est")))).toMap
+    assert(prod == audit)
+    assert(prod("tiny")._2 == 2.0) // below k: exact, not estimated
+  }
+
+  test("plan: kmvEstimate has WindowGroupLimit and no unbounded-frame window") {
+    val df = (1 to 100).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val plan = Sketches.kmvEstimate(df, Seq("grp"), "key", 8, "t")
+      .queryExecution.executedPlan.toString
+    // the row_number bottom-k window must be prunable…
+    assert(plan.contains("WindowGroupLimit"))
+    // …and the exact-count window (unboundedPreceding→unboundedFollowing,
+    // which forces each group's whole distinct set through one window
+    // partition) must be gone from the production path
+    assert(!plan.contains("UNBOUNDED FOLLOWING"), plan)
+  }
 }
