@@ -137,20 +137,94 @@ final class Rezoning(spark: SparkSession, store: TableStore) {
   */
 final class ZoningBylaws(spark: SparkSession, store: TableStore) {
 
+  def parse(pages: DataFrame): DataFrame = ZoningBylaws.parse(pages)
+
+  def run(pages: DataFrame): Unit =
+    store.rewrite("zoning_bylaws", parse(pages))
+}
+
+object ZoningBylaws {
+
+  /** The site-and-building variables the reference tracks
+    * (get_edm_zoning_bylaw_data.py:184): a regulation or modifier
+    * column is kept iff its text CONTAINS one of these.
+    */
+  val RegulationVars: Seq[String] =
+    Seq("Maximum Height", "Floor Area Ratio", "Density", "Site Coverage")
+
+  /** One row per (zone page, map modifier). Expected input columns:
+    * `zone_title`, `height_text`, `modifier`, and optionally
+    *  - `permitted_uses: array<string>` — flattened use names (the
+    *    category/limited-to nesting is scraper-side HTML shape,
+    *    ref :119-172);
+    *  - `regulation_rows: array<struct<name,value>>` — the
+    *    Regulation/Value table rows (ref :227-236);
+    *  - `modifier_vars: map<string,string>` — this modifier row's
+    *    variable columns (ref :198-216).
+    * Missing optional columns behave as absent data, so pre-existing
+    * page feeds parse unchanged.
+    *
+    * `regulations` reproduces the reference's dict semantics exactly
+    * (ref :226-250, :314-316): containment filter on [[RegulationVars]]
+    * for BOTH sources; duplicate regulation names resolve last-wins
+    * (dict assignment); `merged = {**mod_copy, **regulation_dict}` —
+    * regulation values override modifier values; `Number of Storeys`
+    * (the purpose-text cascade result) is injected last and overrides
+    * everything.
+    */
   def parse(pages: DataFrame): DataFrame = {
+    val emptyRegRows = lit(null)
+      .cast("array<struct<name:string,value:string>>")
+    val withOptional = Seq(
+      "permitted_uses" -> lit(null).cast("array<string>"),
+      "regulation_rows" -> emptyRegRows,
+      "modifier_vars" -> lit(null).cast("map<string,string>"))
+      .foldLeft(pages) { case (df, (c, default)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, default)
+      }
+
+    val varsLit = array(RegulationVars.map(lit): _*)
+    def tracked(k: Column): Column = exists(varsLit, v => k.contains(v))
+
     val parts = ZoningFunctions.zoneTitleParts(col("zone_title"))
-    pages.select(
-      parts.getField("section").as("section"),
-      parts.getField("zone_code").as("zone_code"),
-      parts.getField("zone_name").as("zone_name"),
-      ZoningFunctions.storeysSummary(col("height_text")).as("storeys"),
-      col("modifier"))
+    val storeys = ZoningFunctions.storeysSummary(col("height_text"))
+
+    // regulation_dict: filter to tracked variables, then fold with
+    // dict-update semantics so a repeated regulation name keeps the
+    // LAST row's value (ref :236 is a dict assignment in a row loop)
+    val kept = filter(col("regulation_rows"),
+      r => r.getField("name").isNotNull && tracked(r.getField("name")))
+    val emptyMap = map().cast("map<string,string>")
+    val regMap = aggregate(
+      coalesce(kept, array().cast("array<struct<name:string,value:string>>")),
+      emptyMap,
+      (acc, e) => map_concat(
+        map_filter(acc, (k, _) => k =!= e.getField("name")),
+        map(e.getField("name"), e.getField("value"))))
+
+    // merged = {**mod_copy, **regulation_dict}: modifier entries that
+    // collide with a regulation name lose
+    val modKept = map_filter(
+      coalesce(col("modifier_vars"), emptyMap), (k, _) => tracked(k))
+
+    withOptional
+      .withColumn("section", parts.getField("section"))
+      .withColumn("zone_code", parts.getField("zone_code"))
+      .withColumn("zone_name", parts.getField("zone_name"))
+      .withColumn("storeys", storeys)
       .withColumn("zone_key",
         when(col("modifier").isNotNull && col("modifier") =!= "",
           concat_ws(" ", col("zone_code"), col("modifier")))
           .otherwise(col("zone_code")))
+      .withColumn("__merged", map_concat(
+        map_filter(modKept, (k, _) => !array_contains(map_keys(regMap), k)),
+        regMap))
+      .withColumn("regulations",
+        when(col("storeys").isNotNull, map_concat(
+          map_filter(col("__merged"), (k, _) => k =!= "Number of Storeys"),
+          map(lit("Number of Storeys"), col("storeys"))))
+          .otherwise(col("__merged")))
+      .drop("__merged", "zone_title", "height_text",
+        "regulation_rows", "modifier_vars")
   }
-
-  def run(pages: DataFrame): Unit =
-    store.rewrite("zoning_bylaws", parse(pages))
 }

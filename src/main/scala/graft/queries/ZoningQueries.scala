@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.ZoningFunctions
@@ -99,5 +100,76 @@ object ZoningQueries {
           ELSE ft END AS zone_name
       FROM txt ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(q37)
+  /** q54 — the bylaw regulations map end-to-end
+    * ([[graft.pipelines.ZoningBylaws.parse]], ref
+    * get_edm_zoning_bylaw_data.py:226-250): tracked-variable filter,
+    * last-wins duplicate regulation, regulation-over-modifier merge
+    * keyed "{zone_code} {modifier_code}", Number of Storeys injected
+    * from the purpose cascade. Bylaw-shaped inputs are synthesized from
+    * `orders` identically on both engines; the map is rendered as
+    * sorted `k=v` entries so DuckDB can certify it without map types.
+    * Narrow projection, zero shuffles before the presentation sort.
+    */
+  private val q54 = Q("q54_bylaw_regulations",
+    (s, dir) => {
+      import graft.pipelines.ZoningBylaws
+      val k = col("o_orderkey")
+      val xs = (k % 30 + 1).cast("string")
+      val c = (k % 6).cast("string")
+      def reg(name: Column, value: Column) =
+        struct(name.as("name"), value.as("value"))
+      val emptyRegs = array().cast("array<struct<name:string,value:string>>")
+      val pages = t(s, dir, "orders").select(
+        k.as("o_orderkey"),
+        concat(xs, lit("."), c, lit(" Z"), k.cast("string"),
+          lit(" - Test Zone "), c).as("zone_title"),
+        when(k % 3 === 0, concat(lit("up to "), xs, lit(" storeys")))
+          .when(k % 3 === 1, concat(xs, lit(" storeys ok")))
+          .otherwise(lit("no limit")).as("height_text"),
+        when(k % 2 === 0, concat(lit("f"), c)).as("modifier"),
+        when(k % 4 =!= 0, array(concat(lit("b"), c), concat(lit("a"), xs)))
+          .as("permitted_uses"),
+        concat(
+          array(reg(lit("Maximum Height"), concat(xs, lit("m"))),
+            reg(lit("Parking stalls"), concat(lit("p"), c))),
+          when(k % 2 === 0,
+            array(reg(lit("Floor Area Ratio"), concat(lit("F"), c))))
+            .otherwise(emptyRegs),
+          when(k % 5 === 0,
+            array(reg(lit("Maximum Height"), concat(lit("DUP"), xs))))
+            .otherwise(emptyRegs)).as("regulation_rows"),
+        when(k % 2 === 0, map(
+          lit("Maximum Height bonus"), concat(lit("mh"), c),
+          lit("Site Coverage"), concat(lit("sc"), xs),
+          lit("Notes"), lit("n"),
+          lit("Floor Area Ratio"), concat(lit("MOD"), c)))
+          .as("modifier_vars"))
+      ZoningBylaws.parse(pages).select(
+        col("o_orderkey"),
+        col("zone_key"),
+        array_join(array_sort(transform(map_entries(col("regulations")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          "|").as("regs"),
+        array_join(array_sort(col("permitted_uses")), ",").as("uses"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH src AS (
+        SELECT o_orderkey AS k,
+          CAST(o_orderkey % 30 + 1 AS VARCHAR) AS xs,
+          CAST(o_orderkey % 6 AS VARCHAR) AS c
+        FROM orders)
+      SELECT k AS o_orderkey,
+        'Z' || k || CASE WHEN k % 2 = 0 THEN ' f' || c ELSE '' END AS zone_key,
+        CASE WHEN k % 2 = 0
+          THEN 'Floor Area Ratio=F' || c || '|Maximum Height bonus=mh' || c || '|'
+          ELSE '' END
+        || 'Maximum Height=' || CASE WHEN k % 5 = 0 THEN 'DUP' || xs ELSE xs || 'm' END
+        || CASE WHEN k % 3 = 0 THEN '|Number of Storeys=Up to ' || xs
+                WHEN k % 3 = 1 THEN '|Number of Storeys=' || xs
+                ELSE '' END
+        || CASE WHEN k % 2 = 0 THEN '|Site Coverage=sc' || xs ELSE '' END AS regs,
+        CASE WHEN k % 4 = 0 THEN NULL ELSE 'a' || xs || ',b' || c END AS uses
+      FROM src ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q37, q54)
 }

@@ -21,11 +21,12 @@ import graft.operators.Upsert
   * object store (s3a/gs/abfs), not just java.io. Mutations on
   * PARTITIONED tables are partition-targeted: `updateFlag` /
   * `deleteByKeys` with `partitionCols` rewrite only the partition
-  * directories that contain affected keys (via dynamic partition
-  * overwrite), so a flag flip on one day of a year-partitioned 100 TB
-  * table moves one day's bytes, not the year's. Unpartitioned tables
-  * fall back to the full temp-swap rewrite, which keeps a crash from
-  * truncating the table (single-writer assumption, SURVEY.md §7.4).
+  * directories that contain affected keys (write to a `__tmp` sibling,
+  * then per-partition rename swap), so a flag flip on one day of a
+  * year-partitioned 100 TB table moves one day's bytes, not the year's,
+  * and a crash at any point leaves each partition wholly old or wholly
+  * new. Unpartitioned tables use the same temp-swap at table
+  * granularity (single-writer assumption, SURVEY.md §7.4).
   */
 final class TableStore(spark: SparkSession, root: String) {
 
@@ -121,43 +122,80 @@ final class TableStore(spark: SparkSession, root: String) {
     ()
   }
 
-  /** Rewrite ONLY the partitions in `hitParts`: their rows are read,
-    * transformed, and written back with dynamic partition overwrite
-    * (untouched partition dirs never move); partitions the transform
-    * leaves empty are deleted explicitly (dynamic overwrite cannot
-    * express "this partition is now empty").
+  /** Rewrite ONLY the partitions in `hitParts`, write-then-swap:
+    * the transformed rows land in a sibling `<table>__tmp` first (the
+    * live table is never an input AND an output of the same job, so no
+    * lineage break is needed — and nothing fault-tolerance-critical
+    * lives in executor storage, unlike a `localCheckpoint` pivot), then
+    * each written partition dir is swapped into place with per-dir
+    * `FileSystem.rename`. A crash leaves every partition wholly old or
+    * wholly new — the same temp-swap guarantee as [[rewrite]], at
+    * partition granularity. Affected partitions the transform emptied
+    * are deleted; untouched partition dirs never move.
     */
-  private def rewriteAffected(table: String, partitionCols: Seq[String],
-                              hitParts: DataFrame,
-                              transform: DataFrame => DataFrame): Unit = {
+  private[sources] def rewriteAffected(table: String,
+                                       partitionCols: Seq[String],
+                                       hitParts: DataFrame,
+                                       transform: DataFrame => DataFrame): Unit = {
     val affected = hitParts.collect()
     if (affected.isEmpty) return
     val affectedDf = broadcast(
       spark.createDataFrame(java.util.Arrays.asList(affected: _*),
         hitParts.schema))
-    val cur = read(table)
     val updated = transform(
-      cur.join(affectedDf, partitionCols, "left_semi"))
-      // break lineage to the files the overwrite below replaces
-      .localCheckpoint(true)
-    val survivors = updated
-      .select(partitionCols.map(col): _*).distinct().collect().toSet
+      read(table).join(affectedDf, partitionCols, "left_semi"))
+
+    val dst = hpath(table)
+    val tmp = new Path(path(table) + "__tmp")
+    val bak = new Path(path(table) + "__old")
+    val fs = fsOf(dst)
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+    // phase 1: job output goes to the tmp sibling; a failure anywhere
+    // in here leaves the live table byte-identical
     updated.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(path(table))
-    val emptied = affected.filterNot(survivors.contains)
-    if (emptied.nonEmpty) {
-      val fs = fsOf(hpath(table))
-      emptied.foreach { row =>
-        val rel = partitionCols.zipWithIndex.map { case (c, i) =>
-          val v = row.get(i)
-          val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-                  else ExternalCatalogUtils.escapePathName(v.toString)
-          s"${ExternalCatalogUtils.escapePathName(c)}=$s"
-        }.mkString("/")
-        fs.delete(new Path(s"${path(table)}/$rel"), true)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+
+    // leaf partition dirs the job actually wrote (a transform may also
+    // emit rows into partition values outside `affected`, e.g. a flag
+    // flip on a partition column; one that empties a partition writes
+    // no dir at all)
+    def leafDirs(base: Path, depth: Int, rel: String): Seq[String] =
+      if (depth == 0) Seq(rel)
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leafDirs(s.getPath, depth - 1,
+          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+    val written = leafDirs(tmp, partitionCols.length, "")
+    val affectedRels = affected.map { row =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i)
+        val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(v.toString)
+        s"${ExternalCatalogUtils.escapePathName(c)}=$s"
+      }.mkString("/")
+    }.toSet
+
+    // phase 2: per-partition swap. Old data moves to the OUTSIDE
+    // sibling `__old` (an `…__old` dir inside the table would read as
+    // a bogus partition value if a crash stranded it), new dir renames
+    // in — each dir is old or new at every instant, never truncated.
+    written.foreach { rel =>
+      val cur = new Path(dst, rel)
+      val old = new Path(bak, rel)
+      if (fs.exists(cur)) {
+        fs.mkdirs(old.getParent)
+        fs.rename(cur, old)
       }
+      fs.mkdirs(cur.getParent)
+      fs.rename(new Path(tmp, rel), cur)
     }
+    // affected partitions the transform emptied: delete (as before)
+    (affectedRels -- written).foreach { rel =>
+      fs.delete(new Path(dst, rel), true)
+    }
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+    ()
   }
 }

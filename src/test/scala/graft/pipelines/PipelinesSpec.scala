@@ -265,6 +265,43 @@ class ZoningBylawsSpec extends SparkSpec with StoreFixture {
       assert(out(2).getAs[String]("storeys") == null)
     }
   }
+
+  test("bylaws: regulations modifier-merge rule + permitted_uses") {
+    // mirrors get_edm_zoning_bylaw_data.py:226-250 + :314-316: tracked-
+    // variable filter, last-wins duplicate regulation, regulation >
+    // modifier on merge, Number of Storeys injected last
+    val pages = Seq(
+      ("3.1 RS - Small Scale", "up to 3 storeys", "f1.0",
+        Seq("House", "Duplex"),
+        Seq(("Maximum Height", "10m"), ("Parking", "2 stalls"),
+          ("Floor Area Ratio", "0.6"), ("Maximum Height", "12m")),
+        Map("Maximum Height" -> "LOSES", "Site Coverage" -> "45%",
+          "Notes" -> "dropped")),
+      ("3.2 A1 - Agriculture", "no limit", null,
+        null.asInstanceOf[Seq[String]],
+        null.asInstanceOf[Seq[(String, String)]],
+        null.asInstanceOf[Map[String, String]])
+    ).toDF("zone_title", "height_text", "modifier",
+      "permitted_uses", "reg_pairs", "modifier_vars")
+      .withColumn("regulation_rows",
+        transform($"reg_pairs", p => struct(p.getField("_1").as("name"),
+          p.getField("_2").as("value"))))
+      .drop("reg_pairs")
+    val out = ZoningBylaws.parse(pages).orderBy($"zone_key").collect()
+    assert(out.length == 2)
+    val rs = out.find(_.getAs[String]("zone_code") == "RS").get
+    assert(rs.getAs[String]("zone_key") == "RS f1.0")
+    assert(rs.getAs[Map[String, String]]("regulations") == Map(
+      "Maximum Height" -> "12m",        // last duplicate wins, beats modifier
+      "Floor Area Ratio" -> "0.6",      // Parking filtered (untracked)
+      "Site Coverage" -> "45%",         // modifier survives (no collision)
+      "Number of Storeys" -> "Up to 3"))// injected last from the cascade
+    assert(rs.getAs[scala.collection.Seq[String]]("permitted_uses").toList ==
+      List("House", "Duplex"))
+    val a1 = out.find(_.getAs[String]("zone_code") == "A1").get
+    assert(a1.getAs[Map[String, String]]("regulations") == Map.empty)
+    assert(a1.getAs[scala.collection.Seq[String]]("permitted_uses") == null)
+  }
 }
 
 /** REIT financial reports: PDF-text stand-in + keyword page sets +

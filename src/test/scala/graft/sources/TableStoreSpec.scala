@@ -94,6 +94,44 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.exists("u") && !ts.exists("nope"))
   }
 
+  test("partition-targeted rewrite leaves no checkpoint/cached RDDs behind") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    // a localCheckpoint pivot would register a persistent RDD whose
+    // blocks live in executor storage (not fault-tolerant at scale)
+    assert((cachedAfter -- cachedBefore).isEmpty,
+      s"rewriteAffected left cached RDDs: ${cachedAfter -- cachedBefore}")
+    assert(ts.read("t").filter($"flag" === 1).select($"id")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("mid-write failure leaves every partition intact (write-then-swap)") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val before = partFiles(dir)
+    // transform that fails mid-job, after some tasks have written rows
+    val boom = intercept[Exception] {
+      ts.rewriteAffected("t", Seq("day"),
+        hitParts = ts.read("t").select($"day").distinct(),
+        transform = df => df.withColumn("flag",
+          when($"id" === 42L,
+            raise_error(lit("simulated executor loss")).cast("int"))
+            .otherwise($"flag")))
+    }
+    assert(boom != null)
+    // the failed job only ever touched the __tmp sibling: the live
+    // table's every partition dir still has its exact part-files
+    assert(partFiles(dir) == before)
+    assert(ts.read("t").count() == 100)
+    assert(ts.read("t").filter($"flag" =!= 0).count() == 0)
+  }
+
   test("partitioned upsert appends under the partition layout") {
     val ts = freshStore()
     seedPartitioned(ts, "t")
