@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   * multi-second environmental pause (observed: a trivial groupBy at
   * 33 s in BOTH timed passes vs 0.55 s reproduced on the same
   * machine/jar). Min-of-two is not enough when the stall spans both
-  * passes, so after the two passes any outlier query — time > 5× its
-  * own warmup or > 10× the per-query median — gets up to two extra
-  * passes, taking the min. Per-query GC-time deltas go to stderr so a
-  * surviving stall is attributable (GC vs machine-external).
+  * passes, so after the two passes any outlier query — time > 5× the
+  * min of its two warmups or > 10× the cross-query median (failed
+  * queries excluded) — gets up to two extra passes, taking the min.
+  * Per-query GC-time deltas go to stderr so a surviving stall is
+  * attributable (GC vs machine-external).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -92,13 +93,17 @@ object Bench {
       })
     }.toMap
     // Outlier retry: an ambient stall can span both timed passes. Any
-    // non-failed query whose min-of-2 is still > 5× its own warmup2
-    // time (and > 1 s absolute — tiny queries jitter) or > 10× the
-    // per-query median gets up to two more passes; min over all passes
-    // is the honest steady-state number. Bounded extra wall time:
-    // only outliers re-run.
+    // non-failed query whose min-of-2 is still > 5× its steady-state
+    // floor (min over BOTH warmups — and > 1 s absolute, tiny queries
+    // jitter) or > 10× the cross-query median gets up to two more
+    // passes; min over all passes is the honest steady-state number.
+    // Bounded extra wall time: only outliers re-run. The median
+    // excludes failed queries so their 600 s penalties can't inflate
+    // it and mask a real stall elsewhere.
     val med = {
-      val xs = minAB.values.toSeq.sorted
+      val xs = minAB.collect {
+        case (n, t) if !failed.contains(n) => t
+      }.toSeq.sorted
       if (xs.isEmpty) 0.0 else xs(xs.size / 2)
     }
     def isOutlier(n: String, t: Double): Boolean =
@@ -119,14 +124,18 @@ object Bench {
     def jstr(s: String) = "\"" +
       s.map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c) + "\""
     // Failed queries carry their positive 600 s penalty in BOTH the
-    // per-query map and the total (sum(queries) == value); the
-    // `errors` map is the failure marker.
+    // per-query map and the total (sum(queries) == value); `failed`
+    // lists them explicitly so a consumer diffing rounds can tell a
+    // penalty from a genuinely-600s query, and `errors` carries the
+    // messages.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
+    val failedJson = names.filter(failed.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,10 @@ final case class Clock(today: java.time.LocalDate) {
 }
 
 object Clock {
-  def system: Clock = Clock(java.time.LocalDate.now())
+  /** "Today" in UTC — pinned, because the engine's Spark sessions run
+    * with `spark.sql.session.timeZone=UTC` and a host-default-TZ date
+    * would disagree with every session-computed date for up to a day.
+    */
+  def system: Clock = Clock(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
   def fixed(isoDate: String): Clock = Clock(java.time.LocalDate.parse(isoDate))
 }

@@ -126,8 +126,14 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(tsOrder, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL join semantics: NULL keys match nothing. The window would
+    // happily group all-null keys together (window partitioning treats
+    // NULL = NULL), so the carried match is nulled out whenever any
+    // join key is null.
+    val keysOk = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val matched = rSel.unionByName(lSel)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m",
+        when(keysOk, last(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__tag") === 1)
 
     val inRange = tolerance match {

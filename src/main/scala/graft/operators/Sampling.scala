@@ -22,17 +22,26 @@ object Sampling {
   /** 2^32 — bucket space size. */
   val BucketSpace: Long = 4294967296L
 
+  /** The string a NULL key hashes as. Engines disagree on
+    * null-in-concat (Spark `concat_ws` drops element AND separator;
+    * DuckDB `CONCAT` drops just the element), so the convention pins an
+    * explicit sentinel on BOTH the Column form and every SQL mirror: a
+    * null key always buckets exactly like the literal string `[NULL]`.
+    */
+  val NullKey: String = "[NULL]"
+
   /** Uniform bucket in [0, 2^(4·hexChars)): the first `hexChars` hex
     * chars of md5("salt:key") as an integer (default 8 → 32 bits; ≤ 15
     * keeps the value a positive long). Buckets, not floats, so
     * threshold comparisons are exact in every engine. The ONE hashing
     * convention every sampling/sketch operator and SQL mirror derives
-    * from.
+    * from; null keys hash as [[NullKey]].
     */
   def hashBucket(key: Column, salt: String, hexChars: Int = 8): Column = {
     require(hexChars >= 1 && hexChars <= 15)
-    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))),
-      1, hexChars), 16, 10).cast("long")
+    conv(substring(md5(concat_ws(":", lit(salt),
+      coalesce(key.cast("string"), lit(NullKey)))), 1, hexChars), 16, 10)
+      .cast("long")
   }
 
   /** Keep each row with probability `fraction`, decided by its key:

@@ -28,11 +28,18 @@ object Enrichment {
         lit(1000000.0)) - lit(0.5))
 
   /** Keyword "summarizer" standing in for the LLM summary (L4): first
-    * `n` distinct normalized tokens longer than 3 chars, joined.
+    * `n` distinct normalized tokens longer than 3 chars, joined. The
+    * reference's summary prompt instructs the LLM to answer the literal
+    * sentinel `[NONE]` when it finds nothing relevant
+    * (transcript_summaries.py:285) — the stub honors the same contract
+    * when it has no qualifying tokens, so the sentinel-skip path is
+    * drivable offline.
     */
-  def keywordSummary(text: Column, n: Int): Column =
-    array_join(slice(array_distinct(
+  def keywordSummary(text: Column, n: Int): Column = {
+    val s = array_join(slice(array_distinct(
       filter(TextFunctions.tokens(text), t => length(t) > 3)), 1, n), " ")
+    when(length(s) === 0, lit("[NONE]")).otherwise(s)
+  }
 
   /** Topic extraction stub (L5): top distinct long tokens as topics. */
   def topics(text: Column, n: Int): Column =

@@ -59,7 +59,11 @@ final class Transcripts(spark: SparkSession, store: TableStore,
   /** transcript_summaries.py:259-288 + 174-253: for each non-summarized
     * meeting, retrieve top-k chunks by cosine to the meeting's own query
     * embedding (J8/A5, k=23 in the reference), "summarize" (L4 stub),
-    * extract topics (L5 stub), append + flag-flip.
+    * extract topics (L5 stub), append + flag-flip. A summary containing
+    * the `[NONE]` sentinel ("no relevant info found",
+    * transcript_summaries.py:285-288) flips the summarized flag WITHOUT
+    * appending a row — and skips the source-link rewrite, which the
+    * reference only applies to kept summaries.
     */
   def summarize(k: Int = 23): DataFrame = {
     import graft.functions.VectorFunctions
@@ -73,21 +77,51 @@ final class Transcripts(spark: SparkSession, store: TableStore,
       .filter(col("sim").isNotNull)
     val topk = TopK.perGroup(scored, Seq(col("video_url")),
       Seq(col("sim").desc, col("chunk_id")), k)
-    val summaries = topk.groupBy(col("video_url"))
+    val produced = topk.groupBy(col("video_url"))
       .agg(concat_ws(" ", array_sort(collect_list(
         struct(col("rk"), col("chunk_text"))).getField("chunk_text")))
         .as("context"))
       .select(col("video_url"),
-        // F17: the reference rewrites [[N]](url&t=Ss) source links in
-        // the LLM summary to [[H:MM:SS]](url) before storing
-        graft.functions.TextFunctions.rewriteSourceLinks(
-          Enrichment.keywordSummary(col("context"), 40)).as("summary"),
+        Enrichment.keywordSummary(col("context"), 40).as("__raw"),
         Enrichment.topics(col("context"), 5).as("topics"))
       .localCheckpoint(true) // see vectorize: survives the flag-flip rewrite
+    val summaries = produced
+      .filter(!col("__raw").contains("[NONE]"))
+      .select(col("video_url"),
+        // F17: the reference rewrites [[N]](url&t=Ss) source links in
+        // the LLM summary to [[H:MM:SS]](url) before storing
+        graft.functions.TextFunctions.rewriteSourceLinks(col("__raw"))
+          .as("summary"),
+        col("topics"))
     store.append("transcript_summaries", summaries)
+    // the flag flips for EVERY processed meeting, sentinel ones included
     store.updateFlag("council_transcripts",
-      summaries.select("video_url"), Seq("video_url"), "summarized", 1)
+      produced.select("video_url"), Seq("video_url"), "summarized", 1)
     summaries
+  }
+
+  /** Consistency pass between the `vectorized` flag and the vector
+    * table (transcripts_to_vector_db.py:317-381: the reference re-queues
+    * transcripts whose DB flag and vector-store state disagree, probing
+    * the vector store itself when the DB path fails): any transcript
+    * flagged vectorized=1 with NO chunks in `transcript_vectors` gets
+    * its flag reset to 0, so the next [[vectorize]] run repairs it.
+    * Returns the re-queued keys. One anti-join on the url — both sides
+    * of the reference's DB-vs-store disagreement live in the table
+    * store here, so the probe fallback is the same set algebra.
+    */
+  def reconcile(): DataFrame = {
+    val flagged = store.read("council_transcripts")
+      .filter(col("vectorized") === 1).select(col("video_url"))
+    val orphans = (
+      if (!store.exists("transcript_vectors")) flagged
+      else Upsert.antiDelete(flagged,
+        store.read("transcript_vectors"), Seq("video_url")))
+      .localCheckpoint(true) // survives the flag rewrite below
+    if (!orphans.isEmpty)
+      store.updateFlag("council_transcripts", orphans,
+        Seq("video_url"), "vectorized", 0)
+    orphans
   }
 
   /** Incremental guard for the scraper side (J7): urls not yet in the

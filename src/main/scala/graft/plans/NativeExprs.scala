@@ -315,7 +315,10 @@ case class PlaneSignatureExpr(left: Expression, right: Expression)
           val xi = if (elemFloat) x.getFloat(i).toDouble else x.getDouble(i)
           dot += xi * plane(i); i += 1
         }
-        if (dot > 0) sig += (1L << p)
+        // Spark SQL comparison semantics, not Java's: NaN sorts above
+        // every double, so `when(dot > 0, …)` in the HOF twin sets the
+        // bit on a NaN dot — mirror that (Java's `NaN > 0` is false)
+        if (dot > 0 || java.lang.Double.isNaN(dot)) sig += (1L << p)
       }
       p += 1
     }

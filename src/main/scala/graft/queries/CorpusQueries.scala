@@ -158,8 +158,8 @@ object CorpusQueries {
         surv AS (SELECT MIN(doc_id) AS doc_id FROM kept
           GROUP BY MD5(nrm)),
         enriched AS (SELECT d.doc_id, d.source, d.n_chars,
-            md5(CONCAT('cur', ':', CAST(d.doc_id AS VARCHAR))) AS hm,
-            md5(CONCAT('cursplit', ':', CAST(d.doc_id AS VARCHAR))) AS hs
+            ${SamplingQueries.hashSql("cur", "d.doc_id")} AS hm,
+            ${SamplingQueries.hashSql("cursplit", "d.doc_id")} AS hs
           FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
         mixed AS (SELECT doc_id, source, n_chars,
             CAST(${SamplingQueries.bucketSql("hs")} AS BIGINT) AS sb

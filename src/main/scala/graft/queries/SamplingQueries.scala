@@ -24,6 +24,13 @@ object SamplingQueries {
 
   private[queries] def bucketSql15(h: String): String = bucketSql(h, 15)
 
+  /** SQL mirror of the md5("salt:key") input — same [[Sampling.NullKey]]
+    * sentinel for null keys as the Column form.
+    */
+  private[queries] def hashSql(salt: String, keyExpr: String): String =
+    s"md5(CONCAT('$salt', ':', COALESCE(CAST($keyExpr AS VARCHAR), " +
+      s"'${Sampling.NullKey}')))"
+
   private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val splitBounds: Seq[(String, Long)] = {
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
@@ -48,7 +55,7 @@ object SamplingQueries {
         .map { case (n, b) => s"WHEN bucket < $b THEN '$n'" }
         .mkString(" ")
       s"""WITH d AS (SELECT doc_id,
-          md5(CONCAT('graft', ':', CAST(doc_id AS VARCHAR))) AS h
+          ${hashSql("graft", "doc_id")} AS h
         FROM documents),
       b AS (SELECT doc_id, CAST(${bucketSql("h")} AS BIGINT) AS bucket
         FROM d)
@@ -85,7 +92,7 @@ object SamplingQueries {
         }
         .mkString(" ")
       s"""WITH d AS (SELECT doc_id, source, n_chars,
-          md5(CONCAT('mix', ':', CAST(doc_id AS VARCHAR))) AS h
+          ${hashSql("mix", "doc_id")} AS h
         FROM documents),
       b AS (SELECT source, n_chars,
           CAST(${bucketSql("h")} AS BIGINT) AS bucket,
@@ -110,7 +117,7 @@ object SamplingQueries {
         .orderBy(col("source"), col("strat_rank"))
     },
     Some(s"""WITH d AS (SELECT source, doc_id,
-          md5(CONCAT('strat', ':', CAST(doc_id AS VARCHAR))) AS h
+          ${hashSql("strat", "doc_id")} AS h
         FROM documents),
       b AS (SELECT source, doc_id,
           CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
@@ -139,7 +146,7 @@ object SamplingQueries {
     Some(s"""WITH fp AS (SELECT source,
           MD5(${TextQueries.normSql("text")}) AS f FROM documents),
       h AS (SELECT DISTINCT source,
-          CAST(${bucketSql15(s"md5(CONCAT('kmv', ':', f))")} AS BIGINT)
+          CAST(${bucketSql15(hashSql("kmv", "f"))} AS BIGINT)
             AS hh
         FROM fp),
       r AS (SELECT source, hh,

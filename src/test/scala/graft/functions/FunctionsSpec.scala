@@ -198,4 +198,14 @@ class LinkRewriteAndClockSpec extends SparkSpec {
     // leap/end-of-month clamping behaves like LocalDate
     assert(Clock.fixed("2026-03-31").monthsAgo(1) == "2026-02-28")
   }
+
+  test("Clock.system is pinned to UTC, not the host default TZ") {
+    // sandwich against two UTC reads so a midnight rollover mid-test
+    // can't flake; a host-TZ clock would disagree with BOTH for up to
+    // a day on a non-UTC machine
+    val before = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val sys = Clock.system.today
+    val after = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    assert(sys == before || sys == after)
+  }
 }

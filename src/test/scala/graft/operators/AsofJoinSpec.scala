@@ -69,6 +69,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(tol(1).getLong(1) == 12L)
   }
 
+  test("null join keys match nothing (SQL join semantics)") {
+    val p = Seq((1L, Option.empty[String], 100L), (2L, Some("a"), 100L))
+      .toDF("id", "k", "ts")
+    val r = Seq((Option.empty[String], 90L, 10L, 1.0),
+      (Some("a"), 90L, 11L, 2.0)).toDF("k", "ts", "rid", "px")
+    val out = AsofJoin.backward(p, r, Seq("k"), "ts", Seq("rid"), "rid")
+      .orderBy($"id").select($"id", $"r_rid").collect()
+    // a null-key probe must NOT match the null-key reference (the
+    // window would group them; an equi-join never would)
+    assert(out(0).isNullAt(1))
+    assert(out(1).getLong(1) == 11L)
+  }
+
   // 90%-hot-key differential fixture: 900 of 1000 probes on one key,
   // references on every key (some sharing a ts to exercise tie-breaks)
   private lazy val hotProbe = ((1 to 900).map(i =>

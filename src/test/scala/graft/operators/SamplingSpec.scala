@@ -21,6 +21,17 @@ class SamplingSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("null keys bucket exactly like the [NULL] sentinel string") {
+    val df = Seq(Some("k1"), None, Some(Sampling.NullKey)).toDF("key")
+    val out = df.select(Sampling.hashBucket($"key", "s").as("b"))
+      .collect()
+    // null is a REAL bucket (no silent drop), identical to the literal
+    // sentinel on both the Column form and every SQL mirror
+    assert(!out(1).isNullAt(0))
+    assert(out(1).getLong(0) == out(2).getLong(0))
+    assert(out(0).getLong(0) != out(1).getLong(0))
+  }
+
   test("hashSample rate is near the requested fraction") {
     val n = docs.count().toDouble
     for (f <- Seq(0.1, 0.5, 0.9)) {

@@ -161,6 +161,62 @@ class TranscriptsSpec extends SparkSpec with StoreFixture {
       assert(tr.summarize(k = 3).count() == 0)
     }
   }
+
+  test("[NONE] sentinel flips the flag without appending a summary row") {
+    withStore { store =>
+      val tr = new Transcripts(spark, store, embedDim = 16)
+      // v1 has real content; v2's snippets have no token > 3 chars, so
+      // the summarizer stub answers the [NONE] sentinel for it
+      val scraped = Seq(
+        ("https://yt/v1", "Meeting about zoning bylaws",
+          "2026-01-05", (1L to 8L).map(i => i * 10 -> s"snippet$i zoning topic").toMap),
+        ("https://yt/v2", "Meeting with nothing relevant",
+          "2026-01-06", (1L to 6L).map(i => i * 10 -> "a bc de f").toMap)
+      ).toDF("video_url", "title", "date", "transcript")
+      tr.ingest(scraped)
+      tr.vectorize(n = 5, overlap = 2)
+      val summaries = tr.summarize(k = 3)
+      // only the non-sentinel meeting produced a row…
+      assert(summaries.select($"video_url").as[String].collect().toSeq ==
+        Seq("https://yt/v1"))
+      assert(store.read("transcript_summaries").count() == 1)
+      // …but BOTH meetings are marked summarized (ref :285-288)
+      assert(store.read("council_transcripts")
+        .filter($"summarized" === 1).count() == 2)
+      // and nothing is re-summarized later
+      assert(tr.summarize(k = 3).count() == 0)
+    }
+  }
+
+  test("reconcile re-queues flagged-vectorized transcripts missing vectors") {
+    withStore { store =>
+      val tr = new Transcripts(spark, store, embedDim = 16)
+      val scraped = Seq(
+        ("https://yt/v1", "Meeting one",
+          "2026-01-05", (1L to 8L).map(i => i * 10 -> s"snippet$i zoning topic").toMap),
+        ("https://yt/v2", "Meeting two",
+          "2026-01-06", (1L to 6L).map(i => i * 10 -> s"transit line$i budget").toMap)
+      ).toDF("video_url", "title", "date", "transcript")
+      tr.ingest(scraped)
+      tr.vectorize(n = 5, overlap = 2)
+      // both flagged, both present: nothing to re-queue
+      assert(tr.reconcile().count() == 0)
+      // simulate the drifted state the reference repairs: flags say
+      // vectorized but the vector store lost v2's chunks
+      store.deleteByKeys("transcript_vectors",
+        Seq("https://yt/v2").toDF("video_url"), Seq("video_url"))
+      val requeued = tr.reconcile()
+      assert(requeued.as[String].collect().toSeq == Seq("https://yt/v2"))
+      assert(store.read("council_transcripts")
+        .filter($"vectorized" === 0).select($"video_url")
+        .as[String].collect().toSeq == Seq("https://yt/v2"))
+      // the next vectorize run repairs exactly the orphan
+      val repaired = tr.vectorize(n = 5, overlap = 2)
+      assert(repaired.select($"video_url").distinct()
+        .as[String].collect().toSeq == Seq("https://yt/v2"))
+      assert(tr.reconcile().count() == 0)
+    }
+  }
 }
 
 /** Thin civic pipelines (SURVEY.md §7.1.5): permits, rezoning, bylaws. */

@@ -174,4 +174,22 @@ class NativeExprsSpec extends SparkSpec {
       .filter(!($"nat" <=> $"hof")).count()
     assert(diff == 0)
   }
+
+  test("graft_plane_sig: NaN dot follows Spark SQL semantics, bit set") {
+    import graft.operators.Similarity
+    val hp = Similarity.hyperplanes(8, 4)
+    val nan = Seq(
+      Seq(Double.NaN, 1.0, -2.0, 0.5),  // NaN poisons every plane's dot
+      Seq(0.0, Double.NaN, 0.0, 0.0))
+      .toDF("embedding")
+    val rows = nan.select(
+      Similarity.planeSignature($"embedding", hp).as("nat"),
+      Similarity.planeSignatureHof($"embedding", hp).as("hof")).collect()
+    // Spark SQL orders NaN above every double, so `dot > 0` is TRUE:
+    // all 8 bits set — and native must agree with the HOF twin
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) == 255L)
+    }
+  }
 }
