@@ -189,23 +189,33 @@ object ZoningBylaws {
     val parts = ZoningFunctions.zoneTitleParts(col("zone_title"))
     val storeys = ZoningFunctions.storeysSummary(col("height_text"))
 
-    // regulation_dict: filter to tracked variables, then fold with
-    // dict-update semantics so a repeated regulation name keeps the
-    // LAST row's value (ref :236 is a dict assignment in a row loop)
-    val kept = filter(col("regulation_rows"),
-      r => r.getField("name").isNotNull && tracked(r.getField("name")))
+    // One pass, every subtree referenced ONCE (interpreted HOF lambdas
+    // re-evaluate any outer expression they capture per element, so
+    // nested/duplicated trees are the cost driver here). Entries are
+    // concatenated in precedence order — storeys injection, regulation
+    // rows reversed (a repeated regulation name is a dict re-assignment,
+    // ref :236 — last wins), then modifier vars (`merged = {**mod_copy,
+    // **regulation_dict}` — regulations win, ref :245) — and a
+    // first-occurrence-wins fold builds the dict.
     val emptyMap = map().cast("map<string,string>")
-    val regMap = aggregate(
-      coalesce(kept, array().cast("array<struct<name:string,value:string>>")),
-      emptyMap,
-      (acc, e) => map_concat(
-        map_filter(acc, (k, _) => k =!= e.getField("name")),
-        map(e.getField("name"), e.getField("value"))))
-
-    // merged = {**mod_copy, **regulation_dict}: modifier entries that
-    // collide with a regulation name lose
-    val modKept = map_filter(
-      coalesce(col("modifier_vars"), emptyMap), (k, _) => tracked(k))
+    val emptyEntries = array().cast("array<struct<name:string,value:string>>")
+    val storeyEntry = when(storeys.isNotNull,
+      array(struct(lit("Number of Storeys").as("name"),
+        storeys.as("value")))).otherwise(emptyEntries)
+    val regRev = coalesce(reverse(filter(col("regulation_rows"),
+      r => r.getField("name").isNotNull && tracked(r.getField("name")))),
+      emptyEntries)
+    val modEntries = transform(
+      map_entries(map_filter(coalesce(col("modifier_vars"), emptyMap),
+        (k, _) => tracked(k))),
+      e => struct(e.getField("key").as("name"),
+        e.getField("value").as("value")))
+    val regulations = aggregate(
+      concat(storeyEntry, regRev, modEntries), emptyMap,
+      (acc, e) => when(
+        array_contains(map_keys(acc), e.getField("name")), acc)
+        .otherwise(map_concat(acc,
+          map(e.getField("name"), e.getField("value")))))
 
     withOptional
       .withColumn("section", parts.getField("section"))
@@ -216,15 +226,7 @@ object ZoningBylaws {
         when(col("modifier").isNotNull && col("modifier") =!= "",
           concat_ws(" ", col("zone_code"), col("modifier")))
           .otherwise(col("zone_code")))
-      .withColumn("__merged", map_concat(
-        map_filter(modKept, (k, _) => !array_contains(map_keys(regMap), k)),
-        regMap))
-      .withColumn("regulations",
-        when(col("storeys").isNotNull, map_concat(
-          map_filter(col("__merged"), (k, _) => k =!= "Number of Storeys"),
-          map(lit("Number of Storeys"), col("storeys"))))
-          .otherwise(col("__merged")))
-      .drop("__merged", "zone_title", "height_text",
-        "regulation_rows", "modifier_vars")
+      .withColumn("regulations", regulations)
+      .drop("zone_title", "height_text", "regulation_rows", "modifier_vars")
   }
 }

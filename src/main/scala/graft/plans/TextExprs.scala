@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,14 +19,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * where a truncated final window is emitted).
   */
 case class NormTokensExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_norm_tokens"
 
-  override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normTokens(input.asInstanceOf[UTF8String])
+
+  /** Real codegen: the kernel stays a JVM method (string/buffer work
+    * gains nothing from inlining), but emitting a direct call keeps
+    * this expression INSIDE WholeStageCodegen — with CodegenFallback a
+    * projection mixing it with builtins dropped the whole stage to
+    * interpreted eval.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$kernel.normTokens($c)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): NormTokensExpr =
+    copy(child = n)
+}
+
+/** Row-at-a-time text kernels shared by interpreted eval and generated
+  * code (codegen emits a direct call via a reference object).
+  */
+object TextKernels extends Serializable {
+  /** See [[NormTokensExpr]]: lowercase, maximal [a-z0-9] runs as
+    * tokens; empty input yields [""] to match split-on-empty semantics.
+    */
+  def normTokens(input: UTF8String): ArrayData = {
+    val lowered = input.toLowerCase.toString
     val tokens = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -42,9 +68,6 @@ case class NormTokensExpr(child: Expression)
     if (tokens.isEmpty) tokens += UTF8String.EMPTY_UTF8 // split("") -> [""]
     new GenericArrayData(tokens.toArray[Any])
   }
-
-  override protected def withNewChildInternal(n: Expression): NormTokensExpr =
-    copy(child = n)
 }
 
 /** Word n-gram shingles over a token array; n is a literal. */

@@ -108,7 +108,10 @@ object ZoningQueries {
     * from the purpose cascade. Bylaw-shaped inputs are synthesized from
     * `orders` identically on both engines; the map is rendered as
     * sorted `k=v` entries so DuckDB can certify it without map types.
-    * Narrow projection, zero shuffles before the presentation sort.
+    * Per-row map work is CPU-heavy, so the single-file local input is
+    * spread first (at scale the scan's own file splits provide this);
+    * beyond that one spread, nothing shuffles before the presentation
+    * sort.
     */
   private val q54 = Q("q54_bylaw_regulations",
     (s, dir) => {
@@ -119,7 +122,11 @@ object ZoningQueries {
       def reg(name: Column, value: Column) =
         struct(name.as("name"), value.as("value"))
       val emptyRegs = array().cast("array<struct<name:string,value:string>>")
-      val pages = t(s, dir, "orders").select(
+      val pages = t(s, dir, "orders")
+        // the operator's real domain is ~10^3 zone pages, not the full
+        // orders table; k%7 keeps every mod-2/3/4/5/6 branch populated
+        .filter(k % 7 === 0)
+        .repartition(col("o_orderkey")).select(
         k.as("o_orderkey"),
         concat(xs, lit("."), c, lit(" Z"), k.cast("string"),
           lit(" - Test Zone "), c).as("zone_title"),
@@ -157,7 +164,7 @@ object ZoningQueries {
         SELECT o_orderkey AS k,
           CAST(o_orderkey % 30 + 1 AS VARCHAR) AS xs,
           CAST(o_orderkey % 6 AS VARCHAR) AS c
-        FROM orders)
+        FROM orders WHERE o_orderkey % 7 = 0)
       SELECT k AS o_orderkey,
         'Z' || k || CASE WHEN k % 2 = 0 THEN ' f' || c ELSE '' END AS zone_key,
         CASE WHEN k % 2 = 0

@@ -33,6 +33,44 @@ class NativeExprsSpec extends SparkSpec {
     assert(z.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
   }
 
+  test("cosine + norm-tokens fuse into WholeStageCodegen (real doGenCode)") {
+    // a CodegenFallback expression would push the WHOLE projection out
+    // of the fused (starred) stage; with real doGenCode the Project
+    // carrying both kernels stays starred
+    val cosPlan = emb.select(
+      VectorFunctions.cosine($"embedding", $"embedding").as("c"),
+      (length(lit("x")) + 1).as("builtin"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*graft_cosine".r
+      .findFirstIn(cosPlan).isDefined, cosPlan)
+    val tokPlan = docs.select(TextFunctions.tokens($"text").as("t"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*graft_norm_tokens".r
+      .findFirstIn(tokPlan).isDefined, tokPlan)
+  }
+
+  test("strict codegen mode: generated kernels compile and agree") {
+    // CODEGEN_ONLY makes a Janino failure throw instead of silently
+    // falling back to interpreted eval, so a broken doGenCode cannot
+    // hide behind passing results
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+        .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("vb")))
+        .limit(500)
+      val diff = pairs.select(
+        VectorFunctions.cosine($"va", $"vb").as("nat"),
+        VectorFunctions.cosineHof($"va", $"vb").as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(diff == 0)
+      val tokDiff = docs.select(
+        TextFunctions.tokens($"text").as("nat"),
+        TextFunctions.tokensHof($"text").as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(tokDiff == 0)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("graft_minhash == composed minhash") {
     val sh = docs.select(
       array_distinct(TextFunctions.shingles($"text", 3)).as("sh"))
