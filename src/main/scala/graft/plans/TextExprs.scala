@@ -68,21 +68,11 @@ object TextKernels extends Serializable {
     if (tokens.isEmpty) tokens += UTF8String.EMPTY_UTF8 // split("") -> [""]
     new GenericArrayData(tokens.toArray[Any])
   }
-}
 
-/** Word n-gram shingles over a token array; n is a literal. */
-case class ShinglesExpr(child: Expression, nExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def left: Expression = child
-  override def right: Expression = nExpr
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_shingles"
-
-  override def nullSafeEval(arr: Any, nAny: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Int]
+  /** See [[ShinglesExpr]]: word n-gram windows over a token array,
+    * short texts emitting one truncated window.
+    */
+  def shingles(a: ArrayData, n: Int): ArrayData = {
     val len = a.numElements()
     // mirrors sequence(0, greatest(len - n, 0)): always >= 1 window;
     // slice clamps, so a short text emits one truncated shingle
@@ -102,6 +92,31 @@ case class ShinglesExpr(child: Expression, nExpr: Expression)
       w += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Word n-gram shingles over a token array; n is a literal. */
+case class ShinglesExpr(child: Expression, nExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(arr: Any, nAny: Any): Any =
+    TextKernels.shingles(arr.asInstanceOf[ArrayData], nAny.asInstanceOf[Int])
+
+  /** Real codegen via a direct kernel call (same rationale as
+    * [[NormTokensExpr]]): a shingle projection mixed with builtins —
+    * q55's tagged-gram build, q17/q18's shingle sets — must not drop
+    * the whole stage to interpreted eval.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    defineCodeGen(ctx, ev, (a, n) => s"$kernel.shingles($a, $n)")
   }
 
   override protected def withNewChildrenInternal(

@@ -172,5 +172,37 @@ object CorpusQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q50)
+  /** q56 — benchmark decontamination ([[graft.operators.Decontaminate]]):
+    * corpus docs scored by distinct-3-gram overlap against a held-out
+    * "benchmark" slice (doc_id ≡ 0 mod 97 — standing in for an eval
+    * set, which at production scale is the tiny broadcast side). The
+    * oracle replays shingling, the benchmark union, and the left-join
+    * overlap count.
+    */
+  private val q56 = Q("q56_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+          corpus = docs.filter(col("doc_id") % 97 =!= 0),
+          bench = docs.filter(col("doc_id") % 97 === 0),
+          idCol = "doc_id", textCol = "text", shingleN = 3,
+          flagFrac = 0.05)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id,
+          UNNEST(${TextQueries.shinglesSql("toks", 3)}) AS sh FROM nt),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+      SELECT corp.doc_id, COUNT(*) AS n_shingles,
+        COUNT(bench.sh) AS n_contaminated,
+        CAST(COUNT(bench.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS contamination_frac,
+        CAST((CAST(COUNT(bench.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+          >= 0.05 AS BIGINT) AS flagged
+      FROM corp LEFT JOIN bench ON corp.sh = bench.sh
+      GROUP BY corp.doc_id ORDER BY corp.doc_id"""))
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56)
 }

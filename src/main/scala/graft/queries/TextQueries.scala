@@ -28,12 +28,15 @@ object TextQueries {
         THEN list_aggregate([${structs.mkString(", ")}], 'max').lang
         ELSE 'und' END)"""
   }
-  /** Word n-gram shingles mirror (distinct set). */
-  private def shinglesSql(toks: String, n: Int) =
-    s"""LIST_DISTINCT(LIST_FILTER(LIST_TRANSFORM(
+  /** Word n-gram multiset mirror (non-distinct — repetition counting). */
+  private[queries] def ngramsSql(toks: String, n: Int) =
+    s"""LIST_FILTER(LIST_TRANSFORM(
        RANGE(0, GREATEST(LEN($toks) - $n, 0) + 1),
        i -> ARRAY_TO_STRING($toks[i + 1 : i + $n], ' ')),
-       s -> LENGTH(s) > 0))"""
+       s -> LENGTH(s) > 0)"""
+  /** Word n-gram shingles mirror (distinct set). */
+  private[queries] def shinglesSql(toks: String, n: Int) =
+    s"LIST_DISTINCT(${ngramsSql(toks, n)})"
 
   /** q15 — language-ID + quality scoring + token counting per document
     * (north-star text analysis). Narrow projection, zero shuffles; the
@@ -329,5 +332,59 @@ object TextQueries {
       FROM nt LEFT JOIN r ON nt.doc_id = r.doc_id
       ORDER BY nt.doc_id"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51)
+  /** q55 — Gopher-style repetition rules ([[graft.functions.RepetitionRules]]):
+    * top-n-gram and dup-n-gram character fractions + pass flags + keep.
+    * The oracle replays the tagged-explode → (doc, n, gram) count →
+    * per-doc argmax/sums pipeline stage for stage, including the
+    * empty-gram sentinel and the struct-ordered top-gram tie-break.
+    */
+  private val q55 = {
+    val cfg = graft.functions.RepetitionRules.Config()
+    Q("q55_repetition_rules",
+      (s, dir) => {
+        graft.functions.RepetitionRules
+          .measures(t(s, dir, "documents"), "doc_id", "text", cfg)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH nt AS (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        gg AS (SELECT doc_id, ${ngramsSql("toks", cfg.topN)} AS gt,
+            ${ngramsSql("toks", cfg.dupN)} AS gd FROM nt),
+        g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(gt) + LEN(gd) = 0
+            THEN [struct_pack(n := 0, gram := '')]
+            ELSE LIST_CONCAT(
+              LIST_TRANSFORM(gt, x -> struct_pack(n := ${cfg.topN}, gram := x)),
+              LIST_TRANSFORM(gd, x -> struct_pack(n := ${cfg.dupN}, gram := x)))
+            END) AS x
+          FROM gg),
+        c AS (SELECT doc_id, x.n AS n, x.gram AS gram, COUNT(*) AS cnt,
+            COUNT(*) * LENGTH(REPLACE(x.gram, ' ', '')) AS chars
+          FROM g GROUP BY doc_id, x.n, x.gram),
+        a AS (SELECT doc_id,
+            MAX(CASE WHEN n = ${cfg.topN}
+              THEN struct_pack(cnt := cnt, gram := gram, chars := chars)
+              END) AS top,
+            SUM(CASE WHEN n = ${cfg.topN} THEN chars END) AS top_all,
+            SUM(CASE WHEN n = ${cfg.dupN} THEN chars END) AS dup_all,
+            SUM(CASE WHEN n = ${cfg.dupN} AND cnt > 1 THEN chars END)
+              AS dup_dup
+          FROM c GROUP BY doc_id),
+        f AS (SELECT doc_id, COALESCE(top.gram, '') AS top_gram,
+            COALESCE(CAST(top.chars AS DOUBLE) / CAST(top_all AS DOUBLE),
+              0.0) AS top_gram_char_frac,
+            COALESCE(CAST(COALESCE(dup_dup, 0) AS DOUBLE) /
+              CAST(dup_all AS DOUBLE), 0.0) AS dup_gram_char_frac
+          FROM a)
+        SELECT doc_id, top_gram, top_gram_char_frac, dup_gram_char_frac,
+          CAST(top_gram_char_frac <= ${cfg.maxTopGramCharFrac} AS BIGINT)
+            AS r_top_gram,
+          CAST(dup_gram_char_frac <= ${cfg.maxDupGramCharFrac} AS BIGINT)
+            AS r_dup_gram,
+          CAST(top_gram_char_frac <= ${cfg.maxTopGramCharFrac}
+            AND dup_gram_char_frac <= ${cfg.maxDupGramCharFrac} AS BIGINT)
+            AS keep
+        FROM f ORDER BY doc_id"""))
+  }
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55)
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+
+  test("overlap fractions: exact, partial, none") {
+    val corpus = Seq(
+      (1L, "a b c d"), // identical → all 3 distinct 2-shingles hit
+      (2L, "a b x"),   // {"a b", "b x"} → 1 of 2
+      (3L, "x y z")    // no overlap
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, bench, "doc_id", "text",
+        shingleN = 2, flagFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("contamination_frac") == 1.0)
+    assert(out(0).getAs[Long]("flagged") == 1L)
+    assert(out(1).getAs[Long]("n_shingles") == 2L)
+    assert(out(1).getAs[Long]("n_contaminated") == 1L)
+    assert(out(1).getAs[Double]("contamination_frac") == 0.5)
+    assert(out(1).getAs[Long]("flagged") == 1L)
+    assert(out(2).getAs[Double]("contamination_frac") == 0.0)
+    assert(out(2).getAs[Long]("flagged") == 0L)
+  }
+
+  test("overlap counts DISTINCT shingles (repeats in the doc count once)") {
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // distinct 2-shingles {"a b", "b a"}; only "a b" is in the benchmark
+    val r = Decontaminate.overlap(corpus, bench, "doc_id", "text",
+      shingleN = 2, flagFrac = 0.5).collect().head
+    assert(r.getAs[Long]("n_shingles") == 2L)
+    assert(r.getAs[Long]("n_contaminated") == 1L)
+  }
+
+  test("plan: benchmark broadcasts; corpus never shuffles on the shingle") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Decontaminate.overlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, flagFrac = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+    // the ONLY shingle-keyed exchange is the small benchmark union's
+    // distinct; the corpus side moves on doc_id alone
+    val shExchanges = "hashpartitioning\\(sh".r.findAllIn(plan).size
+    assert(shExchanges == 1,
+      s"corpus must not be redistributed by shingle:\n$plan")
+  }
+}

@@ -47,6 +47,10 @@ class NativeExprsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project \\[[^\\n]*graft_norm_tokens".r
       .findFirstIn(tokPlan).isDefined, tokPlan)
+    val shPlan = docs.select(TextFunctions.shingles($"text", 3).as("sh"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*graft_shingles".r
+      .findFirstIn(shPlan).isDefined, shPlan)
   }
 
   test("strict codegen mode: generated kernels compile and agree") {
@@ -68,6 +72,11 @@ class NativeExprsSpec extends SparkSpec {
         TextFunctions.tokensHof($"text").as("hof"))
         .filter(!($"nat" <=> $"hof")).count()
       assert(tokDiff == 0)
+      val shDiff = docs.select(
+        TextFunctions.shingles($"text", 3).as("nat"),
+        TextFunctions.shinglesHof($"text", 3).as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(shDiff == 0)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
