@@ -12,6 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the composed higher-order-function forms run interpreted per-element
   * lambda dispatch; these evaluate as tight JVM loops, ~20-100× faster).
   *
+  * Every expression implements real `doGenCode` (no CodegenFallback):
+  * either an inline fused loop ([[CosineSimExpr]]) or a direct call into
+  * [[NativeKernels]] — one interpreted-vs-generated source of truth —
+  * so a projection mixing these with builtins stays inside
+  * WholeStageCodegen instead of dropping the stage to interpreted eval.
+  *
   * Bit-compatibility contracts (verified by spec + DuckDB oracle):
   *  - [[CosineSimExpr]] accumulates dot/norm² per index left-to-right in
   *    double — identical values to fold(zip_with(...)) and to the
@@ -96,19 +102,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** MinHash signature: array of k minima of chained xxhash64(elem, i). */
-case class MinHashSigExpr(child: Expression, kExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Row-at-a-time kernels shared by interpreted eval and generated code
+  * (codegen emits a direct call via a reference object — the same
+  * pattern as [[TextKernels]]; loop/string/digest work gains nothing
+  * from inlining, staying callable keeps the stage fused).
+  */
+object NativeKernels extends Serializable {
 
-  override def left: Expression = child
-  override def right: Expression = kExpr
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_minhash"
-
-  override def nullSafeEval(arr: Any, kAny: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
+  /** See [[MinHashSigExpr]]. */
+  def minhash(a: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var e = 0
     while (e < a.numElements()) {
@@ -126,23 +128,8 @@ case class MinHashSigExpr(child: Expression, kExpr: Expression)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MinHashSigExpr =
-    copy(child = newLeft, kExpr = newRight)
-}
-
-/** 64-bit SimHash of a string array (xxhash64 per token, majority vote
-  * per bit plane).
-  */
-case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_simhash"
-
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+  /** See [[SimHash64Expr]]. */
+  def simhash64(a: ArrayData): Long = {
     val votes = new Array[Int](64)
     var e = 0
     while (e < a.numElements()) {
@@ -159,29 +146,13 @@ case class SimHash64Expr(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(n: Expression): SimHash64Expr =
-    copy(child = n)
-}
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-/** 64-bit SimHash over MD5 token hashes (first 8 digest bytes,
-  * big-endian) — the cross-engine-portable variant: MD5 is identical in
-  * Spark (`md5`) and DuckDB (`md5`), so the whole simhash dedup pipeline
-  * (signature → 16-bit bands → hamming verify) is oracle-checkable
-  * end-to-end, unlike the xxhash64 [[SimHash64Expr]] (the faster
-  * production default; keep it for corpora that don't need a SQL twin).
-  * Spec pins this to a driver-side MessageDigest reference.
-  */
-case class SimHashMd5Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_simhash_md5"
-
-  override def nullSafeEval(arr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+  /** See [[SimHashMd5Expr]]. */
+  def simhashMd5(a: ArrayData): Long = {
     val votes = new Array[Int](64)
-    val md = SimHashMd5Expr.digest.get()
+    val md = md5Digest.get()
     var e = 0
     while (e < a.numElements()) {
       md.reset()
@@ -201,56 +172,17 @@ case class SimHashMd5Expr(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(n: Expression): SimHashMd5Expr =
-    copy(child = n)
-}
-
-object SimHashMd5Expr {
-  private val digest: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-}
-
-/** Base-31 Horner rolling hash over the characters of an (already
-  * normalized, hence ASCII) string — wrapping 64-bit arithmetic,
-  * bit-equal to the composed aggregate(split(...)) form. One byte loop;
-  * for the ASCII alphabet of `normalizeText` output, byte == codepoint,
-  * matching `ascii()` per char.
-  */
-case class RollingHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_rolling_hash"
-
-  override def nullSafeEval(s: Any): Any = {
-    val bytes = s.asInstanceOf[UTF8String].getBytes
+  /** See [[RollingHashExpr]]. */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var v = 0L
     var i = 0
     while (i < bytes.length) { v = v * 31L + (bytes(i) & 0xffL); i += 1 }
     v
   }
 
-  override protected def withNewChildInternal(n: Expression): RollingHashExpr =
-    copy(child = n)
-}
-
-/** Deterministic hash-embedding (the U5 stub) as one pass: element i =
-  * pmod(xxhash64(text, i), 1e6)/1e6 - 0.5 — identical to the composed
-  * transform(sequence(...)) form.
-  */
-case class HashEmbeddingExpr(child: Expression, dimExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def left: Expression = child
-  override def right: Expression = dimExpr
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_hash_embedding"
-
-  override def nullSafeEval(t: Any, dAny: Any): Any = {
-    val s = t.asInstanceOf[UTF8String]
-    val dim = dAny.asInstanceOf[Int]
+  /** See [[HashEmbeddingExpr]]. */
+  def hashEmbedding(s: UTF8String, dim: Int): ArrayData = {
     val h1 = XxHash64Function.hash(s, StringType, 42L)
     val out = new Array[Double](dim)
     var i = 0
@@ -264,37 +196,10 @@ case class HashEmbeddingExpr(child: Expression, dimExpr: Expression)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): HashEmbeddingExpr =
-    copy(child = newLeft, dimExpr = newRight)
-}
-
-/** Ray-casting point-in-polygon over a ring of struct<x,y> vertices —
-  * bit-equal to the composed aggregate-HOF form
-  * ([[graft.functions.GeoFunctions.pointInPolygonHof]]): same edge
-  * order, same IEEE double intersection arithmetic, same closed/open
-  * ring handling (edge n-1 wraps to vertex 0).
-  */
-case class PointInPolygonExpr(first: Expression, second: Expression,
-                              third: Expression)
-    extends TernaryExpression with CodegenFallback {
-
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_pip"
-
-  private lazy val (ringStruct, xi, yi) = third.dataType match {
-    case ArrayType(s: StructType, _) =>
-      (s, s.fieldIndex("x"), s.fieldIndex("y"))
-    case t => throw new IllegalArgumentException(
-      s"graft_pip expects array<struct<x,y>> ring, got $t")
-  }
-
-  override def nullSafeEval(pxA: Any, pyA: Any, ringA: Any): Any = {
-    val px = pxA.asInstanceOf[Double]; val py = pyA.asInstanceOf[Double]
-    val ring = ringA.asInstanceOf[ArrayData]
+  /** See [[PointInPolygonExpr]]. */
+  def pointInPolygon(px: Double, py: Double, ring: ArrayData,
+                     nf: Int, xi: Int, yi: Int): Boolean = {
     val n = ring.numElements()
-    val nf = ringStruct.size
     var crossings = 0L; var i = 0
     while (i < n) {
       val a = ring.getStruct(i, nf)
@@ -310,6 +215,195 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
     crossings % 2 == 1
   }
 
+  /** See [[PlaneSignatureExpr]]. */
+  def planeSig(x: ArrayData, planes: Array[Array[Double]],
+               elemFloat: Boolean): Long = {
+    val dim = x.numElements()
+    var sig = 0L; var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      // HOF semantics: zip_with null-pads a length mismatch, poisoning
+      // the dot to null, and `when(null > 0)` contributes bit 0.
+      if (plane.length == dim) {
+        var dot = 0.0; var i = 0
+        while (i < dim) {
+          val xi = if (elemFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          dot += xi * plane(i); i += 1
+        }
+        // Spark SQL comparison semantics, not Java's: NaN sorts above
+        // every double, so `when(dot > 0, …)` in the HOF twin sets the
+        // bit on a NaN dot — mirror that (Java's `NaN > 0` is false)
+        if (dot > 0 || java.lang.Double.isNaN(dot)) sig += (1L << p)
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** Codegen helper: a reference to this object for direct kernel calls. */
+  private[plans] def ref(ctx: CodegenContext): String =
+    ctx.addReferenceObj("nativeKernels", NativeKernels,
+      NativeKernels.getClass.getName)
+}
+
+/** MinHash signature: array of k minima of chained xxhash64(elem, i). */
+case class MinHashSigExpr(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(arr: Any, kAny: Any): Any =
+    NativeKernels.minhash(arr.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, (a, k) => s"$kernel.minhash($a, $k)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+/** 64-bit SimHash of a string array (xxhash64 per token, majority vote
+  * per bit plane).
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(arr: Any): Any =
+    NativeKernels.simhash64(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, a => s"$kernel.simhash64($a)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): SimHash64Expr =
+    copy(child = n)
+}
+
+/** 64-bit SimHash over MD5 token hashes (first 8 digest bytes,
+  * big-endian) — the cross-engine-portable variant: MD5 is identical in
+  * Spark (`md5`) and DuckDB (`md5`), so the whole simhash dedup pipeline
+  * (signature → 16-bit bands → hamming verify) is oracle-checkable
+  * end-to-end, unlike the xxhash64 [[SimHash64Expr]] (the faster
+  * production default; keep it for corpora that don't need a SQL twin).
+  * Spec pins this to a driver-side MessageDigest reference.
+  */
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(arr: Any): Any =
+    NativeKernels.simhashMd5(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, a => s"$kernel.simhashMd5($a)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): SimHashMd5Expr =
+    copy(child = n)
+}
+
+/** Base-31 Horner rolling hash over the characters of an (already
+  * normalized, hence ASCII) string — wrapping 64-bit arithmetic,
+  * bit-equal to the composed aggregate(split(...)) form. One byte loop;
+  * for the ASCII alphabet of `normalizeText` output, byte == codepoint,
+  * matching `ascii()` per char.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    NativeKernels.rollingHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, s => s"$kernel.rollingHash($s)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): RollingHashExpr =
+    copy(child = n)
+}
+
+/** Deterministic hash-embedding (the U5 stub) as one pass: element i =
+  * pmod(xxhash64(text, i), 1e6)/1e6 - 0.5 — identical to the composed
+  * transform(sequence(...)) form.
+  */
+case class HashEmbeddingExpr(child: Expression, dimExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = dimExpr
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_hash_embedding"
+
+  override def nullSafeEval(t: Any, dAny: Any): Any =
+    NativeKernels.hashEmbedding(t.asInstanceOf[UTF8String],
+      dAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, (s, d) => s"$kernel.hashEmbedding($s, $d)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashEmbeddingExpr =
+    copy(child = newLeft, dimExpr = newRight)
+}
+
+/** Ray-casting point-in-polygon over a ring of struct<x,y> vertices —
+  * bit-equal to the composed aggregate-HOF form
+  * ([[graft.functions.GeoFunctions.pointInPolygonHof]]): same edge
+  * order, same IEEE double intersection arithmetic, same closed/open
+  * ring handling (edge n-1 wraps to vertex 0).
+  */
+case class PointInPolygonExpr(first: Expression, second: Expression,
+                              third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pip"
+
+  private lazy val (ringStruct, xi, yi) = third.dataType match {
+    case ArrayType(s: StructType, _) =>
+      (s, s.fieldIndex("x"), s.fieldIndex("y"))
+    case t => throw new IllegalArgumentException(
+      s"graft_pip expects array<struct<x,y>> ring, got $t")
+  }
+
+  override def nullSafeEval(pxA: Any, pyA: Any, ringA: Any): Any =
+    NativeKernels.pointInPolygon(pxA.asInstanceOf[Double],
+      pyA.asInstanceOf[Double], ringA.asInstanceOf[ArrayData],
+      ringStruct.size, xi, yi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    // field indexes resolve at plan time from the ring's struct type —
+    // embedded as constants in the generated call
+    defineCodeGen(ctx, ev, (px, py, ring) =>
+      s"$kernel.pointInPolygon($px, $py, $ring, ${ringStruct.size}, $xi, $yi)")
+  }
+
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PointInPolygonExpr =
     copy(first = f, second = s, third = t)
@@ -322,7 +416,7 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
   * is a foldable literal, decoded once per executor, not per row.
   */
 case class PlaneSignatureExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable
@@ -341,28 +435,16 @@ case class PlaneSignatureExpr(left: Expression, right: Expression)
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
 
-  override def nullSafeEval(v: Any, planesIgnored: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val dim = x.numElements()
-    var sig = 0L; var p = 0
-    while (p < planeMatrix.length) {
-      val plane = planeMatrix(p)
-      // HOF semantics: zip_with null-pads a length mismatch, poisoning
-      // the dot to null, and `when(null > 0)` contributes bit 0.
-      if (plane.length == dim) {
-        var dot = 0.0; var i = 0
-        while (i < dim) {
-          val xi = if (elemFloat) x.getFloat(i).toDouble else x.getDouble(i)
-          dot += xi * plane(i); i += 1
-        }
-        // Spark SQL comparison semantics, not Java's: NaN sorts above
-        // every double, so `when(dot > 0, …)` in the HOF twin sets the
-        // bit on a NaN dot — mirror that (Java's `NaN > 0` is false)
-        if (dot > 0 || java.lang.Double.isNaN(dot)) sig += (1L << p)
-      }
-      p += 1
-    }
-    sig
+  override def nullSafeEval(v: Any, planesIgnored: Any): Any =
+    NativeKernels.planeSig(v.asInstanceOf[ArrayData], planeMatrix, elemFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    // the decoded literal matrix rides along as a reference object; the
+    // second child (the literal planes array) is evaluated but unused
+    val matrix = ctx.addReferenceObj("planeMatrix", planeMatrix, "double[][]")
+    defineCodeGen(ctx, ev, (v, _planes) =>
+      s"$kernel.planeSig($v, $matrix, $elemFloat)")
   }
 
   override protected def withNewChildrenInternal(

@@ -77,6 +77,40 @@ class NativeExprsSpec extends SparkSpec {
         TextFunctions.shinglesHof($"text", 3).as("hof"))
         .filter(!($"nat" <=> $"hof")).count()
       assert(shDiff == 0)
+      // every remaining kernel: generated call compiles and agrees with
+      // its composed/driver-side twin under forced codegen
+      val sh = docs.select(
+        array_distinct(TextFunctions.shingles($"text", 3)).as("sh"),
+        TextFunctions.tokens($"text").as("t"), $"text")
+      val kernelDiff = sh.select(
+        Dedup.minhashSignature($"sh", 8).as("mh_nat"),
+        Dedup.minhashSignatureHof($"sh", 8).as("mh_hof"),
+        Dedup.simhash($"t").as("sx_nat"),
+        Dedup.simhashHof($"t").as("sx_hof"),
+        TextFunctions.rollingHash($"text").as("rh"),
+        Enrichment.hashEmbedding($"text", 16).as("he_nat"),
+        Enrichment.hashEmbeddingHof($"text", 16).as("he_hof"))
+        .filter(!($"mh_nat" <=> $"mh_hof") || !($"sx_nat" <=> $"sx_hof") ||
+          !($"he_nat" <=> $"he_hof")).count()
+      assert(kernelDiff == 0)
+      import graft.operators.Similarity
+      val hp = Similarity.hyperplanes(8, 64)
+      val psDiff = emb.select(
+        Similarity.planeSignature($"embedding", hp).as("nat"),
+        Similarity.planeSignatureHof($"embedding", hp).as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(psDiff == 0)
+      import graft.functions.GeoFunctions
+      val ringDf = Seq((0.2, 0.7)).toDF("px", "py").select($"px", $"py",
+        array(struct(lit(0.0).as("x"), lit(0.0).as("y")),
+          struct(lit(1.0).as("x"), lit(0.0).as("y")),
+          struct(lit(1.0).as("x"), lit(1.0).as("y")),
+          struct(lit(0.0).as("x"), lit(1.0).as("y"))).as("ring"))
+      val pipDiff = ringDf.select(
+        GeoFunctions.pointInPolygon($"px", $"py", $"ring").as("nat"),
+        GeoFunctions.pointInPolygonHof($"px", $"py", $"ring").as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(pipDiff == 0)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
