@@ -18,6 +18,30 @@ object CorpusQueries {
     s"(CASE WHEN LENGTH($nrm) = 0 THEN CAST(0 AS BIGINT) ELSE LEN(STRING_SPLIT($nrm, ' ')) END)"
   }
 
+  /** The Gopher quality gate as one SQL predicate over a frame carrying
+    * (text, nrm, toks) — `QualityRules.keep`'s mirror, shared by q50
+    * and q57 so the two compositions can't drift.
+    */
+  private def keepPredSql(cfg: graft.functions.QualityRules.Config): String = {
+    val n = TextQueries.lenTokSql("toks", "nrm")
+    s"""($n BETWEEN ${cfg.minWords} AND ${cfg.maxWords}
+      AND (CASE WHEN $n > 0
+        THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
+          / CAST($n AS DOUBLE) ELSE 0.0 END)
+        BETWEEN ${cfg.minMeanWordLen} AND ${cfg.maxMeanWordLen}
+      AND (CASE WHEN $n > 0 THEN
+        CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+          (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+          AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END)
+        <= ${cfg.maxSymbolRatio}
+      AND (CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
+          x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        / CAST($n AS DOUBLE) ELSE 0.0 END)
+        >= ${cfg.minAlphaWordFrac}
+      AND CAST(${TextQueries.markerHitsSql("toks", "en")} AS BIGINT)
+        >= ${cfg.minStopwordHits})"""
+  }
+
   /** q35 — the classic pretraining cleaning pass: quality filter
     * (length + alpha ratio), then exact dedup (keep min doc_id per
     * fingerprint), then per-source survivor stats. Narrow filter →
@@ -124,24 +148,7 @@ object CorpusQueries {
           .orderBy(col("source"), col("split"))
       },
       Some {
-        val n = TextQueries.lenTokSql("toks", "nrm")
-        val keepPred =
-          s"""($n BETWEEN ${cfg.minWords} AND ${cfg.maxWords}
-            AND (CASE WHEN $n > 0
-              THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
-                / CAST($n AS DOUBLE) ELSE 0.0 END)
-              BETWEEN ${cfg.minMeanWordLen} AND ${cfg.maxMeanWordLen}
-            AND (CASE WHEN $n > 0 THEN
-              CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
-                (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
-                AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END)
-              <= ${cfg.maxSymbolRatio}
-            AND (CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
-                x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-              / CAST($n AS DOUBLE) ELSE 0.0 END)
-              >= ${cfg.minAlphaWordFrac}
-            AND CAST(${TextQueries.markerHitsSql("toks", "en")} AS BIGINT)
-              >= ${cfg.minStopwordHits})"""
+        val keepPred = keepPredSql(cfg)
         val rateCases = rates.toSeq.sortBy(_._1)
           .map { case (src, r) =>
             s"WHEN '$src' THEN ${math.round(r * Sampling.BucketSpace)}"
@@ -204,5 +211,99 @@ object CorpusQueries {
       FROM corp LEFT JOIN bench ON corp.sh = bench.sh
       GROUP BY corp.doc_id ORDER BY corp.doc_id"""))
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56)
+  /** q57 — curation v2: the full modern pretraining hygiene chain under
+    * ONE oracle — Gopher quality gate → repetition gate
+    * ([[graft.functions.RepetitionRules]]) → benchmark decontamination
+    * ([[graft.operators.Decontaminate]]) → exact dedup → per-source
+    * stats. Each stage is the operator proven alone in
+    * q42/q55/q56/q16; this gates their COMPOSITION (the oracle replays
+    * it stage for stage, and each stage removes documents at sf0.01 so
+    * a mis-ordered or short-circuited stage changes the hash).
+    * Plan: narrow quality gate on the scan, doc_id-keyed repetition +
+    * decontamination stages reusing one partitioning, one fingerprint
+    * exchange, one stats exchange.
+    */
+  private val q57 = {
+    import graft.functions.{QualityRules, RepetitionRules}
+    val qCfg = QualityRules.Config()
+    val rCfg = RepetitionRules.Config()
+    Q("q57_curation_v2",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val quality = corpus.filter(QualityRules.keep(col("text"), qCfg))
+        val rep = RepetitionRules.measures(quality, "doc_id", "text", rCfg)
+          .filter(col("keep") === 1L).select(col("doc_id"))
+        val gated = quality.join(rep, Seq("doc_id"))
+        val dec = graft.operators.Decontaminate
+          .overlap(gated, bench, "doc_id", "text", shingleN = 3,
+            flagFrac = 0.05)
+          .filter(col("flagged") === 0L).select(col("doc_id"))
+        val clean = gated.join(dec, Seq("doc_id"))
+        val surv = graft.operators.Dedup
+          .exactSurvivors(clean, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        surv.join(docs, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      Some {
+        import graft.queries.{TextQueries => TQ}
+        s"""WITH nt AS (SELECT doc_id, text, source, n_chars,
+            ${normSql("text")} AS nrm,
+            STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        q AS (SELECT * FROM nt WHERE doc_id % 97 <> 0
+          AND ${keepPredSql(qCfg)}),
+        gg AS (SELECT doc_id, ${TQ.ngramsSql("toks", rCfg.topN)} AS gt,
+            ${TQ.ngramsSql("toks", rCfg.dupN)} AS gd FROM q),
+        g AS (SELECT doc_id, UNNEST(CASE WHEN LEN(gt) + LEN(gd) = 0
+            THEN [struct_pack(n := 0, gram := '')]
+            ELSE LIST_CONCAT(
+              LIST_TRANSFORM(gt, x -> struct_pack(n := ${rCfg.topN}, gram := x)),
+              LIST_TRANSFORM(gd, x -> struct_pack(n := ${rCfg.dupN}, gram := x)))
+            END) AS x
+          FROM gg),
+        c AS (SELECT doc_id, x.n AS n, x.gram AS gram, COUNT(*) AS cnt,
+            COUNT(*) * LENGTH(REPLACE(x.gram, ' ', '')) AS chars
+          FROM g GROUP BY doc_id, x.n, x.gram),
+        a AS (SELECT doc_id,
+            MAX(CASE WHEN n = ${rCfg.topN}
+              THEN struct_pack(cnt := cnt, gram := gram, chars := chars)
+              END) AS top,
+            SUM(CASE WHEN n = ${rCfg.topN} THEN chars END) AS top_all,
+            SUM(CASE WHEN n = ${rCfg.dupN} THEN chars END) AS dup_all,
+            SUM(CASE WHEN n = ${rCfg.dupN} AND cnt > 1 THEN chars END)
+              AS dup_dup
+          FROM c GROUP BY doc_id),
+        rep AS (SELECT doc_id FROM a
+          WHERE COALESCE(CAST(top.chars AS DOUBLE) / CAST(top_all AS DOUBLE),
+              0.0) <= ${rCfg.maxTopGramCharFrac}
+            AND COALESCE(CAST(COALESCE(dup_dup, 0) AS DOUBLE) /
+              CAST(dup_all AS DOUBLE), 0.0) <= ${rCfg.maxDupGramCharFrac}),
+        gated AS (SELECT q.* FROM q JOIN rep ON q.doc_id = rep.doc_id),
+        csh AS (SELECT doc_id,
+            UNNEST(${TQ.shinglesSql("toks", 3)}) AS sh FROM gated),
+        bench AS (SELECT DISTINCT sh FROM (SELECT
+            UNNEST(${TQ.shinglesSql("toks", 3)}) AS sh
+          FROM nt WHERE doc_id % 97 = 0)),
+        dec AS (SELECT csh.doc_id FROM csh
+          LEFT JOIN bench ON csh.sh = bench.sh
+          GROUP BY csh.doc_id
+          HAVING (CAST(COUNT(bench.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            < 0.05),
+        clean AS (SELECT gated.* FROM gated
+          JOIN dec ON gated.doc_id = dec.doc_id),
+        surv AS (SELECT MIN(doc_id) AS doc_id FROM clean
+          GROUP BY MD5(nrm))
+        SELECT d.source, COUNT(*) AS n_docs,
+          CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+        FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY d.source ORDER BY d.source"""
+      })
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57)
 }
