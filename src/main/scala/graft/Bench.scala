@@ -34,10 +34,11 @@ object Bench {
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // Queries that localCheckpoint intermediate frames (dedup, transcript,
-    // listing pipelines) leave cached RDD blocks behind; over many
-    // executions in one JVM that becomes storage-memory pressure that
-    // throttles every later query. Drop them once their query has finished.
+    // Queries that persist or localCheckpoint intermediate frames
+    // (dedup, transcript, listing pipelines) leave cached blocks behind;
+    // over many executions in one JVM that becomes storage-memory
+    // pressure that throttles every later query. Drop them once their
+    // query has finished.
     def clearCaches(): Unit = {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -62,8 +62,10 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     // repartition by id: shingling+hashing is the CPU-heavy narrow stage;
-    // a single small input file must not pin it to one task. checkpoint:
-    // the band frame feeds both join sides — materialize once, not twice.
+    // a single small input file must not pin it to one task. persist (not
+    // localCheckpoint): the band frame feeds both join sides — compute
+    // once, and the recomputable lineage survives executor loss, which
+    // truncated-lineage local checkpoints do not.
     val sigs = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN))
@@ -71,7 +73,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
       .drop("sh")
-      .localCheckpoint(true)
+      .persist()
     val a = sigs.select(col("band"), col("id").as("id_a"))
     val b = sigs.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -97,13 +99,13 @@ object Dedup {
                    shingleN: Int, threshold: Double,
                    maxShingleDf: Int = 0): DataFrame = {
     // repartition: parallelize shingling regardless of input splits;
-    // checkpoint: the inverted index feeds three consumers (both join
-    // sides + sizes) — compute the heavy projection once.
+    // persist: the inverted index feeds three consumers (both join
+    // sides + sizes) — compute the heavy projection once, fault-tolerantly.
     val shAll = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
           .as("sh"))
-      .localCheckpoint(true)
+      .persist()
     val sh = if (maxShingleDf > 0) {
       // Heavy hitters are few by construction (df > cap) — broadcast the
       // hot set and anti-join it away without shuffling the index.
@@ -204,7 +206,7 @@ object Dedup {
     val banded = df.repartition(col(idCol))
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .withColumn("key", explode(bandKeys))
-      .localCheckpoint(true) // feeds both self-join sides
+      .persist() // feeds both self-join sides, recomputable
     val a = banded.select(col("key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val bb = banded.select(col("key"),

@@ -89,12 +89,14 @@ final class FinancialReports(spark: SparkSession) {
       .drop("first_val")
 
   /** Full run: (report_id, metric, pages, prompt, extracted_value).
-    * The page explode feeds three consumers — checkpoint it once so the
-    * PDF decode + explode doesn't run per branch.
+    * The page explode feeds three consumers — persist it once so the
+    * PDF decode + explode doesn't run per branch (recomputable lineage;
+    * this is a pure read path, unlike the flag-rewrite pipelines that
+    * need a localCheckpoint barrier against their own table rewrite).
     */
   def run(reports: DataFrame, idCol: String, pdfCol: String): DataFrame = {
-    val pages = pdfPages(reports, idCol, pdfCol).localCheckpoint(true)
-    val perMetric = metricPages(pages).localCheckpoint(true)
+    val pages = pdfPages(reports, idCol, pdfCol).persist()
+    val perMetric = metricPages(pages).persist()
     perMetric
       .join(prompts(perMetric), Seq("report_id", "metric"))
       .join(extractMetrics(pages), Seq("report_id", "metric"), "left")
