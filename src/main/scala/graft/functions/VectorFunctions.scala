@@ -52,4 +52,35 @@ object VectorFunctions {
     val n = norm2(a)
     transform(a, x => x.cast("double") / n)
   }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 quantization scale: max|x| / 127 (0 for the zero
+    * vector). max is order-independent, so the fold is engine-portable
+    * bit-for-bit.
+    */
+  def i8Scale(a: Column): Column =
+    aggregate(a, lit(0.0),
+      (m, x) => greatest(m, abs(x.cast("double")))) / lit(127.0)
+
+  /** int8-quantize against a scale column: floor(x/scale + 0.5) —
+    * explicit floor instead of round() because engines disagree on
+    * round-half semantics; |q| <= 127 by construction, so the tinyint
+    * cast never overflows. Zero-scale (zero vector) quantizes to zeros.
+    * Callers should compute [[i8Scale]] in its OWN projection (the
+    * scale is referenced per element — see RepetitionRules for the same
+    * HOF-hoisting pattern).
+    */
+  def i8Quantize(a: Column, scale: Column): Column =
+    when(scale === lit(0.0),
+        transform(a, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(a,
+        x => floor(x.cast("double") / scale + lit(0.5)).cast("tinyint")))
+
+  /** Exact integer dot product of two int8 vectors (long; null on
+    * length mismatch). Native [[graft.plans.IntDotExpr]] — the scoring
+    * kernel for quantized maximum-inner-product search.
+    */
+  def intDot(a: Column, b: Column): Column =
+    call_function("graft_int_dot", a, b)
 }

@@ -74,6 +74,37 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
 
+  /** Int8-quantized maximum-inner-product top-k — the serving-scale
+    * memory path: 4× smaller vectors than float32 (the quantized corpus
+    * column is `array<tinyint>` + one double scale per vector), and the
+    * score is an EXACT integer dot product ([[graft.plans.IntDotExpr]]),
+    * so results are bit-portable to any engine — no float-accumulation
+    * drift. Same movement contract as [[bruteForceTopK]]: quantization
+    * is a narrow projection, the query batch broadcasts, only
+    * (qid, nid, dot) reaches the top-k window.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    qidCol: String, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    // scale in its own projection: it is referenced per element by the
+    // quantize HOF and must not be recomputed per element
+    def quant(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(id).as(out), col(vecCol).as("__v"),
+          VectorFunctions.i8Scale(col(vecCol)).as("__s"))
+        .select(col(out),
+          VectorFunctions.i8Quantize(col("__v"), col("__s"))
+            .as(s"${out}_q"))
+    val q = quant(queries, qidCol, "qid")
+    val c = quant(corpus, idCol, "nid")
+    val scored = filterOnce(c.crossJoin(broadcast(q)),
+        "dot", VectorFunctions.intDot(col("qid_q"), col("nid_q")),
+        _.isNotNull)
+      .select(col("qid"), col("nid"), col("dot"))
+    TopK.perGroup(scored, Seq(col("qid")),
+      Seq(col("dot").desc, col("nid")), k)
+      .select(col("qid"), col("nid"), col("dot"), col("rk"))
+  }
+
   /** Candidate (qid, nid) pairs re-joined with their vectors, scored
     * once, ranked per query. Shared tail of the LSH/IVF paths.
     */

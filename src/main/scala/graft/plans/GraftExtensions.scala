@@ -42,7 +42,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_pip"), info("graft_pip"),
       (c: Seq[Expression]) => PointInPolygonExpr(c(0), c(1), c(2))),
     (FunctionIdentifier("graft_plane_sig"), info("graft_plane_sig"),
-      (c: Seq[Expression]) => PlaneSignatureExpr(c(0), c(1))))
+      (c: Seq[Expression]) => PlaneSignatureExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_int_dot"), info("graft_int_dot"),
+      (c: Seq[Expression]) => IntDotExpr(c(0), c(1))))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

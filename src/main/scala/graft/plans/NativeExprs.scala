@@ -240,10 +240,59 @@ object NativeKernels extends Serializable {
     sig
   }
 
+  /** See [[IntDotExpr]]: exact integer dot product of two int8
+    * (tinyint) vectors, accumulated in long. Null on length mismatch is
+    * handled by the expression (kernel assumes equal lengths).
+    */
+  def intDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var dot = 0L; var i = 0
+    while (i < n) {
+      dot += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    dot
+  }
+
   /** Codegen helper: a reference to this object for direct kernel calls. */
   private[plans] def ref(ctx: CodegenContext): String =
     ctx.addReferenceObj("nativeKernels", NativeKernels,
       NativeKernels.getClass.getName)
+}
+
+/** Exact integer dot product of two int8-quantized vectors
+  * (array<tinyint>): |q| <= 127, so any dim < 2^48 stays exactly inside
+  * long — scoring is bit-portable to any engine with 64-bit integers
+  * (or even exact doubles: dims < 2^37 keep the dot under 2^53).
+  * Mirrors [[CosineSimExpr]]'s null-on-length-mismatch contract.
+  */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else NativeKernels.intDot(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+       |if ($x.numElements() != $y.numElements()) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = $kernel.intDot($x, $y);
+       |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: array of k minima of chained xxhash64(elem, i). */

@@ -247,5 +247,45 @@ object VectorQueries {
           / CAST(COUNT(*) AS DOUBLE) / 1000000.0) AS mean
       FROM v GROUP BY label, pos ORDER BY label, pos"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49)
+  /** q58 — int8-quantized maximum-inner-product top-k
+    * ([[graft.operators.Similarity.quantizedTopK]]): the serving-memory
+    * path (4× smaller vectors, integer scoring). The whole pipeline is
+    * exactly portable: max-abs scale and floor(x/s + 0.5) quantization
+    * are deterministic double ops, and the int8 dot is exact integer
+    * arithmetic (< 2^53, so DuckDB's double `list_dot_product` over the
+    * integer-valued lists reproduces it bit-for-bit).
+    */
+  private val q58 = Q("q58_quantized_mips",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+        queries = e.filter(col("vec_id") < 5),
+        corpus = e, qidCol = "vec_id", idCol = "vec_id",
+        vecCol = "embedding", k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      sc AS (SELECT vec_id, vv,
+          list_aggregate(list_transform(vv, x -> ABS(x)), 'max') / 127.0
+            AS s
+        FROM v),
+      qz AS (SELECT vec_id,
+          CASE WHEN s = 0.0 THEN list_transform(vv, x -> 0.0)
+            ELSE list_transform(vv, x -> FLOOR(x / s + 0.5)) END AS qv
+        FROM sc),
+      q AS (SELECT vec_id AS qid, qv AS av FROM qz WHERE vec_id < 5),
+      c AS (SELECT vec_id AS nid, qv AS bv FROM qz),
+      scored AS (SELECT qid, nid,
+          CAST(list_dot_product(av, bv) AS BIGINT) AS dot
+        FROM c, q),
+      ranked AS (SELECT qid, nid, dot,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid)
+            AS rk
+        FROM scored)
+      SELECT qid, nid, dot, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58)
 }

@@ -246,6 +246,37 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_int_dot: exact integer dot, null on length mismatch") {
+    import graft.functions.VectorFunctions
+    // composed reference: zip_with product + aggregate sum over longs
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val qz = emb.select($"vec_id", $"embedding".as("v"),
+        VectorFunctions.i8Scale($"embedding").as("s"))
+      .select($"vec_id",
+        VectorFunctions.i8Quantize($"v", $"s").as("q"))
+    val pairs = qz.select($"q".as("qa"))
+      .crossJoin(qz.limit(5).select($"q".as("qb")))
+    val diff = pairs.select(
+      VectorFunctions.intDot($"qa", $"qb").as("nat"),
+      hofDot($"qa", $"qb").as("hof"))
+      .filter(!($"nat" <=> $"hof")).count()
+    assert(diff == 0)
+    // quantization bound: |x - q*scale| <= scale/2 per element
+    val bad = emb.select($"embedding".as("v"),
+        VectorFunctions.i8Scale($"embedding").as("s"))
+      .select($"v", $"s", VectorFunctions.i8Quantize($"v", $"s").as("q"))
+      .select(aggregate(zip_with($"v", $"q",
+        (x, y) => abs(x.cast("double") - y.cast("double") * $"s")),
+        lit(0.0), (m, e) => greatest(m, e)).as("maxErr"), $"s")
+      .filter($"maxErr" > $"s" * 0.5 + 1e-12)
+    assert(bad.count() == 0)
+    // length mismatch → null (cosine parity contract)
+    val mm = Seq((Seq(1.toByte, 2.toByte), Seq(1.toByte))).toDF("a", "b")
+    assert(mm.select(VectorFunctions.intDot($"a", $"b")).head().isNullAt(0))
+  }
+
   test("graft_plane_sig == composed hyperplane signature over embeddings") {
     import graft.operators.Similarity
     val hp = Similarity.hyperplanes(16, 64)
