@@ -47,11 +47,21 @@ object VectorFunctions {
       (x, y) => (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))))
 
-  /** L2-normalize a vector (double array out). */
+  /** L2-normalize a vector (double array out). Note: `transform` is an
+    * interpreted higher-order function, so the embedded norm is
+    * re-evaluated per ELEMENT (O(d²) per row) — in hot paths compute
+    * [[norm2]] in its own projection and use [[normalizeBy]].
+    */
   def normalize(a: Column): Column = {
     val n = norm2(a)
     transform(a, x => x.cast("double") / n)
   }
+
+  /** [[normalize]] against a pre-computed norm column (the hoisted
+    * form — same pattern as [[i8Quantize]]'s scale).
+    */
+  def normalizeBy(a: Column, norm: Column): Column =
+    transform(a, x => x.cast("double") / norm)
 
   // ------------------------------------------------- int8 quantization
 

@@ -57,6 +57,57 @@ class RepetitionRulesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("differential: distributed measures == driver-side reference on random docs") {
+    val cfg = RepetitionRules.Config()
+    // plain-Scala reference replaying the whole definition
+    def ref(text: String): (String, Double, Double) = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .replaceAll("\\s+", " ")
+      val toks = norm.split(" ", -1).toSeq // split("") -> [""]
+      def grams(n: Int): Seq[String] = {
+        val windows = math.max(toks.length - n, 0) + 1
+        (0 until windows).map(w => toks.slice(w, w + n).mkString(" "))
+          .filter(_.nonEmpty)
+      }
+      def chars(g: String): Long = g.replace(" ", "").length.toLong
+      val gt = grams(cfg.topN); val gd = grams(cfg.dupN)
+      val topPair =
+        if (gt.isEmpty) ("", 0.0)
+        else {
+          val cnt = gt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val (g, c) = cnt.toSeq.maxBy { case (g, c) => (c, g) }
+          (g, (c * chars(g)).toDouble /
+            cnt.map { case (g2, c2) => c2 * chars(g2) }.sum.toDouble)
+        }
+      val dupFrac =
+        if (gd.isEmpty) 0.0
+        else {
+          val cnt = gd.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val all = cnt.map { case (g, c) => c * chars(g) }.sum
+          val dup = cnt.collect { case (g, c) if c > 1 => c * chars(g) }.sum
+          dup.toDouble / all.toDouble
+        }
+      (topPair._1, topPair._2, dupFrac)
+    }
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Seq("aa", "bb", "cc", "d", "longword", "x1")
+    val randomDocs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ =>
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val edge = Seq((100L, ""), (101L, "!!!"), (102L, "solo"),
+      (103L, "a a a a a a"), (104L, "Mixed CASE mixed case"))
+    val df = (randomDocs ++ edge).toDF("doc_id", "text")
+    val got = RepetitionRules.measures(df, "doc_id", "text", cfg)
+      .select($"doc_id", $"top_gram", $"top_gram_char_frac",
+        $"dup_gram_char_frac")
+      .as[(Long, String, Double, Double)].collect()
+      .map { case (id, g, t, d) => id -> ((g, t, d)) }.toMap
+    (randomDocs ++ edge).foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"doc $id '${text}': ${got(id)} vs ${ref(text)}")
+    }
+  }
+
   test("plan: two aggregation exchanges, no join-back of the id universe") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
