@@ -27,11 +27,20 @@ object QualityRules {
     * double division of exact integers (so any SQL mirror reproduces
     * them bit-for-bit).
     */
-  def measures(text: Column): Seq[(String, Column)] = {
-    val toks = TextFunctions.tokens(text)
-    val nTok = TextFunctions.tokenCount(text)
+  def measures(text: Column): Seq[(String, Column)] =
+    measuresOf(text, TextFunctions.normalizeText(text),
+      TextFunctions.tokens(text))
+
+  /** [[measures]] over pre-computed (nrm, toks) columns — the hoisted
+    * form (see [[TextFunctions.tokenCountOf]]): the five measures
+    * re-tokenize the text once each unless nrm/toks are materialized in
+    * their own projection first.
+    */
+  def measuresOf(text: Column, nrm: Column,
+                 toks: Column): Seq[(String, Column)] = {
+    val nTok = TextFunctions.tokenCountOf(toks, nrm)
     val meanLen = when(nTok > 0,
-      length(regexp_replace(TextFunctions.normalizeText(text), " ", ""))
+      length(regexp_replace(nrm, " ", ""))
         .cast("double") / nTok.cast("double")).otherwise(lit(0.0))
     // Gopher's symbol signals: '#' and '...' occurrences per word
     val hashes = length(text) - length(regexp_replace(text, "#", ""))
@@ -48,7 +57,7 @@ object QualityRules {
       "mean_word_len" -> meanLen,
       "symbol_ratio" -> symbolRatio,
       "alpha_word_frac" -> alphaFrac,
-      "stopword_hits" -> TextFunctions.markerHits(text, "en"))
+      "stopword_hits" -> TextFunctions.markerHitsOf(toks, "en"))
   }
 
   /** Named pass/fail rules over the measure columns (by name, so they
@@ -64,10 +73,19 @@ object QualityRules {
 
   /** The whole rule set as one filter predicate (for pipelines that
     * gate without materializing per-rule flags). Same measures, same
-    * thresholds, one codegen'd conjunction.
+    * thresholds, one conjunction.
     */
-  def keep(text: Column, cfg: Config = Config()): Column = {
-    val m = measures(text).toMap
+  def keep(text: Column, cfg: Config = Config()): Column =
+    keepOf(text, TextFunctions.normalizeText(text),
+      TextFunctions.tokens(text), cfg)
+
+  /** [[keep]] over pre-computed (nrm, toks) columns — the hoisted form
+    * for hot filters: materialize nrm/toks in a select first, filter on
+    * this, drop the aux columns (q50/q57's gate shape).
+    */
+  def keepOf(text: Column, nrm: Column, toks: Column,
+             cfg: Config = Config()): Column = {
+    val m = measuresOf(text, nrm, toks).toMap
     m("n_words").between(cfg.minWords, cfg.maxWords) &&
       m("mean_word_len").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
       (m("symbol_ratio") <= cfg.maxSymbolRatio) &&
@@ -76,11 +94,16 @@ object QualityRules {
   }
 
   /** Measures + per-rule flags (1/0 longs — portable hashing) + overall
-    * `keep`. One projection; filter on `keep === 1` to gate.
+    * `keep`. Tokenization/normalization run once in their own
+    * projection; filter on `keep === 1` to gate.
     */
   def annotate(df: DataFrame, textCol: String,
                cfg: Config = Config()): DataFrame = {
-    val withMeasures = measures(col(textCol)).foldLeft(df) {
+    val base = df.withColumn("__qr_nrm",
+        TextFunctions.normalizeText(col(textCol)))
+      .withColumn("__qr_toks", TextFunctions.tokens(col(textCol)))
+    val withMeasures = measuresOf(col(textCol), col("__qr_nrm"),
+        col("__qr_toks")).foldLeft(base) {
       case (d, (n, c)) => d.withColumn(n, c)
     }
     val rs = rules(cfg)
@@ -89,5 +112,6 @@ object QualityRules {
     }
     withFlags.withColumn("keep",
       rs.map { case (n, _) => col(n) === 1L }.reduce(_ && _).cast("long"))
+      .drop("__qr_nrm", "__qr_toks")
   }
 }

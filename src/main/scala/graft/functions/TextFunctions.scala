@@ -29,8 +29,18 @@ object TextFunctions {
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
-    when(length(normalizeText(c)) === 0, lit(0L))
-      .otherwise(size(tokens(c)).cast("long"))
+    tokenCountOf(tokens(c), normalizeText(c))
+
+  /** [[tokenCount]] over pre-computed (toks, nrm) columns. The `Of`
+    * forms exist because higher-order functions block whole-stage
+    * codegen (and with it common-subexpression elimination): a
+    * projection computing several text measures re-tokenizes the text
+    * once PER MEASURE unless tokens/nrm are materialized in their own
+    * projection and referenced as columns — see q15/q42's two-select
+    * shape.
+    */
+  def tokenCountOf(toks: Column, nrm: Column): Column =
+    when(length(nrm) === 0, lit(0L)).otherwise(size(toks).cast("long"))
 
   /** BPE-ish subword count: word/number/punct runs, the common
     * tokenizer pre-split regex.
@@ -85,15 +95,24 @@ object TextFunctions {
     * filter chain fell back to interpreted eval and was ~50× slower).
     */
   def markerHits(c: Column, lang: String): Column =
-    size(filter(tokens(c), t => t.isInCollection(langMarkers(lang))))
+    markerHitsOf(tokens(c), lang)
+
+  /** [[markerHits]] over a pre-computed tokens column (see
+    * [[tokenCountOf]] for why the hoisted form exists).
+    */
+  def markerHitsOf(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
       .cast("long")
 
   /** Heuristic language id: argmax of marker hits, 'und' when no marker
     * fires. Deterministic tie-break by language code order.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column = langIdOf(tokens(c))
+
+  /** [[langId]] over a pre-computed tokens column. */
+  def langIdOf(toks: Column): Column = {
     val scored = langMarkers.keys.toSeq.sorted.map(l =>
-      struct(markerHits(c, l).as("hits"), lit(l).as("lang")))
+      struct(markerHitsOf(toks, l).as("hits"), lit(l).as("lang")))
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }

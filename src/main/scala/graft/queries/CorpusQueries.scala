@@ -134,7 +134,11 @@ object CorpusQueries {
         // repartition only the CPU-heavy gate path; the join-back scan
         // needs no redistribution (broadcast here, AQE-chosen SMJ at scale)
         val kept = raw.repartition(col("doc_id"))
-          .filter(QualityRules.keep(col("text"), cfg))
+          .withColumn("__nrm", TextFunctions.normalizeText(col("text")))
+          .withColumn("__toks", TextFunctions.tokens(col("text")))
+          .filter(QualityRules.keepOf(col("text"), col("__nrm"),
+            col("__toks"), cfg))
+          .drop("__nrm", "__toks")
         val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         val enriched = surv.join(raw, Seq("doc_id"))
@@ -232,7 +236,12 @@ object CorpusQueries {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         val bench = docs.filter(col("doc_id") % 97 === 0)
-        val quality = corpus.filter(QualityRules.keep(col("text"), qCfg))
+        val quality = corpus
+          .withColumn("__nrm", TextFunctions.normalizeText(col("text")))
+          .withColumn("__toks", TextFunctions.tokens(col("text")))
+          .filter(QualityRules.keepOf(col("text"), col("__nrm"),
+            col("__toks"), qCfg))
+          .drop("__nrm", "__toks")
         val rep = RepetitionRules.measures(quality, "doc_id", "text", rCfg)
           .filter(col("keep") === 1L).select(col("doc_id"))
         val gated = quality.join(rep, Seq("doc_id"))

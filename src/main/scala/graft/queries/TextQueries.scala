@@ -46,14 +46,21 @@ object TextQueries {
   private val q15 = Q("q15_text_stats",
     (s, dir) => {
       val d = t(s, dir, "documents").repartition(col("doc_id"))
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.langId(col("text")).as("lang_detected"),
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          length(col("text")).cast("double")).as("alpha_ratio"),
-        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
-          length(col("text")).cast("double")).as("punct_ratio"))
+      // tokens/nrm in their own projection: the measures are HOF
+      // consumers, which block codegen CSE — without the hoist the text
+      // is re-tokenized once per measure (see TextFunctions.tokenCountOf)
+      d.select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__toks"),
+          TextFunctions.normalizeText(col("text")).as("__nrm"))
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCountOf(col("__toks"), col("__nrm"))
+            .as("n_tokens"),
+          TextFunctions.langIdOf(col("__toks")).as("lang_detected"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            length(col("text")).cast("double")).as("alpha_ratio"),
+          (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+            length(col("text")).cast("double")).as("punct_ratio"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
