@@ -65,6 +65,31 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming corpus ingest — the batch curation gate applied to a
+    * document stream: quality-rule filter (a narrow Column predicate,
+    * so it streams unchanged), then watermark-bounded exact dedup on
+    * the normalized-text fingerprint (first arrival wins, state purged
+    * past the watermark). The aggregation-based stages (repetition
+    * measures, decontamination) stay batch: they need chained
+    * aggregations that append-mode streams do not support — run them in
+    * the AvailableNow micro-batch pass over the drained output instead.
+    */
+  def corpusIngest(docs: DataFrame, tsCol: String, watermark: String,
+                   textCol: String,
+                   cfg: graft.functions.QualityRules.Config =
+                     graft.functions.QualityRules.Config()): DataFrame = {
+    import graft.functions.{QualityRules, TextFunctions}
+    docs
+      .withColumn("__nrm", TextFunctions.normalizeText(col(textCol)))
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(QualityRules.keepOf(col(textCol), col("__nrm"),
+        col("__toks"), cfg))
+      .withColumn("fp", md5(col("__nrm")))
+      .drop("__nrm", "__toks")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -72,11 +72,9 @@ class StreamsSpec extends SparkSpec {
       row(2, "2026-01-01T00:02:00Z", "too short"),   // fails word count
       row(3, "2026-01-01T00:03:00Z", good)))          // dup of 1 by text
     def run(): Unit = Streams.runAvailableNow(
-      Streams.dedupStream(
-        Streams.jsonStream(spark, docSchema, in)
-          .filter(graft.functions.QualityRules.keep($"text"))
-          .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text")),
-        "ts", "10 minutes", Seq("fp")),
+      Streams.corpusIngest(
+        Streams.jsonStream(spark, docSchema, in),
+        "ts", "10 minutes", "text"),
       out, ckpt)
     run()
     // a later batch re-sends the same content: state drops it
