@@ -101,6 +101,41 @@ final class TableStore(spark: SparkSession, root: String) {
       transform = flip)
   }
 
+  /** Small-file compaction — the operational companion to the mutation
+    * paths: every append/upsert batch writes its own part-files, so a
+    * frequently-updated table degrades into thousands of tiny files
+    * whose listing and task-per-file overhead dominate scans at 100 TB.
+    * Partitioned tables rewrite ONLY the partitions holding more than
+    * `maxFiles` part-files (found with one metadata-cheap
+    * `input_file_name` aggregation), one output file per partition
+    * value, through the same per-partition temp-swap as
+    * [[rewriteAffected]] — contents unchanged, untouched partitions
+    * never move, a crash leaves each partition wholly old or new.
+    * Unpartitioned tables rewrite into `targetFiles` files via the
+    * [[rewrite]] temp-swap.
+    */
+  def compact(table: String, partitionCols: Seq[String] = Nil,
+              maxFiles: Int = 1, targetFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    if (partitionCols.isEmpty) {
+      rewrite(table, read(table).repartition(targetFiles))
+    } else {
+      // input_file_name() is nondeterministic, so it must be projected
+      // before the aggregate; the scan reads no data columns (footer
+      // metadata + partition values only)
+      val hit = read(table)
+        .select(partitionCols.map(col) :+ input_file_name().as("__f"): _*)
+        .groupBy(partitionCols.map(col): _*)
+        .agg(countDistinct(col("__f")).as("__nf"))
+        .filter(col("__nf") > maxFiles)
+        .select(partitionCols.map(col): _*)
+      // repartition BY the partition columns: each partition value
+      // lands wholly in one task, so each swapped dir gets one file
+      rewriteAffected(table, partitionCols, hit,
+        transform = df => df.repartition(partitionCols.map(col): _*))
+    }
+  }
+
   /** Full-table rewrite via temp dir + rename through the table's
     * FileSystem (single writer). On stores without atomic dir rename
     * (raw S3) the window is the two renames — still write-then-swap,

@@ -143,4 +143,63 @@ class TableStoreSpec extends SparkSpec {
     assert(rows.count() == 102) // 50 conflicts, 200/201 new
     assert(rows.filter($"day" === "d9").count() == 1)
   }
+
+  test("compact merges multi-file partitions only; content unchanged") {
+    val ts = freshStore()
+    // seed with ONE file per partition (repartition by the partition
+    // column), then two more appends hit only d0/d1
+    ts.append("t",
+      spark.range(100)
+        .select($"id", lit(0).as("flag"),
+          concat(lit("d"), $"id" % 5).as("day"))
+        .repartition($"day"),
+      partitionBy = Seq("day"))
+    (1 to 2).foreach { i =>
+      ts.append("t",
+        spark.range(100L * i, 100L * i + 10)
+          .select($"id", lit(0).as("flag"),
+            concat(lit("d"), $"id" % 2).as("day"))
+          .repartition($"day"),
+        partitionBy = Seq("day"))
+    }
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val before = partFiles(dir)
+    assert(before("day=d0").size == 3)
+    assert(before("day=d2").size == 1) // only seeded once
+    val rowsBefore = ts.read("t").orderBy($"id")
+      .as[(Long, Int, String)].collect().toSeq
+
+    ts.compact("t", partitionCols = Seq("day"))
+    val after = partFiles(dir)
+    // multi-file partitions collapsed to one file each
+    assert(after("day=d0").size == 1)
+    assert(after("day=d1").size == 1)
+    // single-file partitions never moved: exact same part-file names
+    assert(after("day=d2") == before("day=d2"))
+    assert(after("day=d3") == before("day=d3"))
+    assert(after("day=d4") == before("day=d4"))
+    // contents byte-identical
+    assert(ts.read("t").orderBy($"id")
+      .as[(Long, Int, String)].collect().toSeq == rowsBefore)
+    // idempotent: a second compact is a no-op (no dirs move)
+    ts.compact("t", partitionCols = Seq("day"))
+    assert(partFiles(dir) == after)
+  }
+
+  test("compact rewrites an unpartitioned table into targetFiles files") {
+    val ts = freshStore()
+    (0 until 4).foreach(i => ts.append("t",
+      spark.range(10L * i, 10L * i + 10).toDF("id").repartition(3)))
+    assert(new java.io.File(ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/[^/]*$", ""))
+      .listFiles().count(_.getName.startsWith("part-")) >= 12)
+    val before = ts.read("t").orderBy($"id").as[Long].collect().toSeq
+    ts.compact("t", targetFiles = 2)
+    val files = new java.io.File(ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/[^/]*$", ""))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(files == 2)
+    assert(ts.read("t").orderBy($"id").as[Long].collect().toSeq == before)
+  }
 }
