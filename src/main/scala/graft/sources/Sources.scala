@@ -21,6 +21,38 @@ object Sources {
                 pathGlob: String): DataFrame =
     spark.read.schema(schema).json(pathGlob)
 
+  /** [[jsonTable]] with corrupt-record capture — scraped feeds contain
+    * malformed rows as a matter of course, and the default PERMISSIVE
+    * mode silently nulls them into the data. Rows that fail to parse
+    * come back with their raw line in `corruptCol` and every schema
+    * column null; split on `corruptCol.isNotNull` to quarantine them
+    * (count, alert, sink to a dead-letter dir) instead of either
+    * crashing the job (FAILFAST) or polluting the table (DROPMALFORMED
+    * loses the evidence). One scan serves both halves.
+    */
+  def jsonTableQuarantined(spark: SparkSession, schema: StructType,
+                           pathGlob: String,
+                           corruptCol: String = "_corrupt_record")
+      : (DataFrame, DataFrame) = {
+    // text scan + from_json rather than the json reader: Spark refuses
+    // scans whose referenced columns are ONLY the internal corrupt
+    // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which is exactly what
+    // the quarantine branch needs — parsing in a projection has no such
+    // restriction and keeps both branches on one splittable text scan
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parsed = spark.read.text(pathGlob).select(
+      col("value"),
+      from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> corruptCol)).as("p"))
+    val good = parsed.filter(col(s"p.`$corruptCol`").isNull)
+      .select(schema.fieldNames.map(n => col(s"p.`$n`")).toIndexedSeq: _*)
+    val quarantine = parsed.filter(col(s"p.`$corruptCol`").isNotNull)
+      .select(col("value").as("raw"))
+    (good, quarantine)
+  }
+
   /** JSON documents where each FILE is one array of records (the
     * reference's GCS blob layout, combine_broker_listings.py:67-75).
     */

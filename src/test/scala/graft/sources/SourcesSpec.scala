@@ -19,6 +19,23 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("jsonTableQuarantined: malformed rows split out with raw evidence") {
+    val dir = Files.createTempDirectory("graft_quar").toString
+    Files.write(Paths.get(dir, "feed.json"), Seq(
+      """{"k":1,"v":"ok"}""",
+      """{"k":2 "v":"missing-comma"}""", // malformed
+      """{"k":"not-a-long","v":"type-clash"}""", // schema violation
+      """{"k":3,"v":"ok2"}""").mkString("\n").getBytes)
+    val (good, quarantine) = Sources.jsonTableQuarantined(spark,
+      StructType.fromDDL("k long, v string"), s"$dir/*.json")
+    assert(good.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(good.select($"k").as[Long].collect().toSet == Set(1L, 3L))
+    val bad = quarantine.select($"raw").as[String].collect()
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("missing-comma")))
+    assert(bad.exists(_.contains("not-a-long")))
+  }
+
   test("geoJsonFeatures: FeatureCollection explodes to one row per feature") {
     val dir = Files.createTempDirectory("graft_geo").toString
     val geojson = """{"type":"FeatureCollection","features":[
