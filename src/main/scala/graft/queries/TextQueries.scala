@@ -393,5 +393,30 @@ object TextQueries {
         FROM f ORDER BY doc_id"""))
   }
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55)
+  /** q59 — corpus vocabulary: global top-k tokens by frequency with a
+    * deterministic (count desc, token) tie-break — the
+    * tokenizer-training / frequency-analysis step. Map-side partial
+    * counts collapse each partition's tokens before the ONE exchange,
+    * and the global top-k is a TakeOrderedAndProject (no full sort, k
+    * rows per partition reach the driver-side merge), so a 100 TB
+    * corpus moves only its distinct-token counts.
+    */
+  private val q59 = Q("q59_vocab_topk",
+    (s, dir) => {
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      tok AS (SELECT UNNEST(toks) AS token FROM nt)
+      SELECT token, COUNT(*) AS n FROM tok
+      WHERE LENGTH(token) > 0
+      GROUP BY token ORDER BY n DESC, token LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59)
 }
