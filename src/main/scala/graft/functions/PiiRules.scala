@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction — the standard pretraining scrub pass (emails, phone
+  * numbers, IP addresses → typed placeholder tokens; north-star
+  * operator, the reference has no corpus hygiene). A rule is data:
+  * (name, pattern, replacement), applied as one codegen'd
+  * regexp_replace cascade in a fixed fold order, so callers can extend
+  * the set and any SQL mirror replays it exactly.
+  *
+  * Patterns are deliberately restricted to the common dialect of Java
+  * regex and RE2 (no lookarounds, no backreferences) — the same
+  * portability contract as the rest of TextFunctions' mirrors.
+  */
+object PiiRules {
+
+  /** (name, pattern, replacement), applied in order — email first so an
+    * address's dotted-numeric domain can never be half-eaten by the IP
+    * rule.
+    */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    ("phone", "\\d{3}-\\d{3}-\\d{4}", "[PHONE]"),
+    ("ip", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]"))
+
+  /** Text with every rule's matches replaced by its placeholder. */
+  def redact(c: Column): Column =
+    rules.foldLeft(c) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+
+  /** Per-rule match counts over the ORIGINAL text (audit columns:
+    * how much PII a slice carries decides quarantine vs redact-and-keep).
+    */
+  def counts(c: Column): Seq[(String, Column)] =
+    rules.map { case (n, p, _) =>
+      s"n_$n" -> size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    }
+}

@@ -418,5 +418,50 @@ object TextQueries {
       WHERE LENGTH(token) > 0
       GROUP BY token ORDER BY n DESC, token LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59)
+  /** q60 — PII redaction ([[graft.functions.PiiRules]]): the corpus has
+    * no organic PII, so the query plants deterministic emails/phones/IPs
+    * derived from doc_id into the text and the oracle plants the SAME —
+    * redaction and counts then compare exactly (one regexp cascade in a
+    * fixed fold order, patterns in the Java∩RE2 dialect).
+    */
+  private val q60 = {
+    val cfg = graft.functions.PiiRules
+    Q("q60_pii_redaction",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").repartition(col("doc_id"))
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"),
+            lit(" or admin@test.org, call 555-123-4567, host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".17 end")).as("t"))
+        val withCounts = cfg.counts(col("t")).foldLeft(planted) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        withCounts
+          .withColumn("redacted", cfg.redact(col("t")))
+          .select(col("doc_id"), col("n_email"), col("n_phone"),
+            col("n_ip"), col("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val Seq(email, phone, ip) = graft.functions.PiiRules.rules.map(_._2)
+        s"""WITH d AS (SELECT doc_id,
+            text || ' contact user' || doc_id || '@mail.example.com' ||
+            ' or admin@test.org, call 555-123-4567, host 10.0.' ||
+            (doc_id % 256) || '.17 end' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(LEN(REGEXP_EXTRACT_ALL(t, '$email')) AS BIGINT) AS n_email,
+          CAST(LEN(REGEXP_EXTRACT_ALL(t, '$phone')) AS BIGINT) AS n_phone,
+          CAST(LEN(REGEXP_EXTRACT_ALL(t, '$ip')) AS BIGINT) AS n_ip,
+          REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+            '$email', '[EMAIL]', 'g'),
+            '$phone', '[PHONE]', 'g'),
+            '$ip', '[IP]', 'g') AS redacted
+        FROM d ORDER BY doc_id"""
+      })
+  }
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
+    q60)
 }

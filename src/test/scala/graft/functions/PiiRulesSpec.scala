@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redactOne(text: String): (String, Long, Long, Long) = {
+    val df = Seq(text).toDF("t")
+    val withCounts = PiiRules.counts($"t").foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    withCounts.withColumn("r", PiiRules.redact($"t"))
+      .select($"r", $"n_email", $"n_phone", $"n_ip")
+      .as[(String, Long, Long, Long)].head()
+  }
+
+  test("clean text passes through unchanged with zero counts") {
+    assert(redactOne("no pii here at all") ==
+      (("no pii here at all", 0L, 0L, 0L)))
+  }
+
+  test("each rule redacts and counts its own matches") {
+    val (r, e, p, i) =
+      redactOne("mail a.b+c@x-y.co phone 123-456-7890 ip 192.168.0.1")
+    assert(r == "mail [EMAIL] phone [PHONE] ip [IP]")
+    assert((e, p, i) == ((1L, 1L, 1L)))
+  }
+
+  test("email rule runs first: dotted-numeric domains are not half-eaten") {
+    // the domain contains an IP-shaped substring; the email match must
+    // consume it whole before the IP rule runs
+    val (r, e, _, i) = redactOne("x bob@10.0.0.17.example.com y")
+    assert(r == "x [EMAIL] y", r)
+    assert(e == 1L)
+    assert(i == 1L) // the count audits the ORIGINAL text, which does
+                    // contain an IP-shaped run — redaction disagreeing
+                    // with counts is exactly the audit's point
+  }
+
+  test("multiple and adjacent matches all redact") {
+    val (r, e, p, _) = redactOne("a@b.com c@d.org 111-222-3333 444-555-6666")
+    assert(r == "[EMAIL] [EMAIL] [PHONE] [PHONE]")
+    assert((e, p) == ((2L, 2L)))
+  }
+}
