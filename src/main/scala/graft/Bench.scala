@@ -30,7 +30,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated name-prefix filter for focused local
+    // runs (e.g. SPARK_GRAFT_QUERIES=q50,q57); the driver sets nothing
+    // and always benches the full registry.
+    val prefixes = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.forall(_.exists(n.startsWith)))
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -49,7 +49,7 @@ object QualityRules {
     val symbolRatio = when(nTok > 0,
       (hashes + ellipses).cast("double") / nTok.cast("double"))
       .otherwise(lit(0.0))
-    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val alphaWords = TextFunctions.alphaWordsOf(toks)
     val alphaFrac = when(nTok > 0,
       alphaWords.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
     Seq(

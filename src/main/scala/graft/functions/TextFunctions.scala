@@ -90,19 +90,30 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "zai", "le", "wo", "ni", "ta", "men"))
 
   /** Count of marker-word hits for one language. Markers are distinct,
-    * so one isin-filter pass equals the per-marker count sum — and keeps
-    * the expression small enough for whole-stage codegen (a per-marker
-    * filter chain fell back to interpreted eval and was ~50× slower).
+    * so one membership pass equals the per-marker count sum.
     */
   def markerHits(c: Column, lang: String): Column =
     markerHitsOf(tokens(c), lang)
 
   /** [[markerHits]] over a pre-computed tokens column (see
-    * [[tokenCountOf]] for why the hoisted form exists).
+    * [[tokenCountOf]] for why the hoisted form exists). Native kernel —
+    * the composed filter-HOF twin ([[markerHitsOfHof]]) kept every
+    * text-quality projection out of WholeStageCodegen.
     */
   def markerHitsOf(toks: Column, lang: String): Column =
+    call_function("graft_marker_hits", toks, lit(lang))
+
+  /** Composed-builtin form the native kernel is validated against. */
+  def markerHitsOfHof(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isInCollection(langMarkers(lang))))
       .cast("long")
+
+  /** Count of tokens containing a lowercase letter (Gopher
+    * alphabetic-word measure) — native kernel, bit-equal to
+    * `size(filter(toks, rlike("[a-z]")))`.
+    */
+  def alphaWordsOf(toks: Column): Column =
+    call_function("graft_alpha_words", toks)
 
   /** Heuristic language id: argmax of marker hits, 'und' when no marker
     * fires. Deterministic tie-break by language code order.

@@ -44,7 +44,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_plane_sig"), info("graft_plane_sig"),
       (c: Seq[Expression]) => PlaneSignatureExpr(c(0), c(1))),
     (FunctionIdentifier("graft_int_dot"), info("graft_int_dot"),
-      (c: Seq[Expression]) => IntDotExpr(c(0), c(1))))
+      (c: Seq[Expression]) => IntDotExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_marker_hits"), info("graft_marker_hits"),
+      (c: Seq[Expression]) => MarkerHitsExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_alpha_words"), info("graft_alpha_words"),
+      (c: Seq[Expression]) => AlphaWordsExpr(c(0))))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

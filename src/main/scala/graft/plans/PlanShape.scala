@@ -30,8 +30,26 @@ object PlanShape {
     */
   def filterOnce(df: DataFrame, name: String, expr: Column,
                  pred: Column => Column): DataFrame =
-    df.withColumn(name, expr)
+    hoistFilter(df, Seq(name -> expr), pred(col(name)))
+
+  /** Multi-column [[filterOnce]]: materialize every `hoisted` column in
+    * one projection, then filter on `pred` (which references them by
+    * name) with each hoisted expression evaluated exactly ONCE per row.
+    * Without the barrier, PushPredicateThroughNonJoin substitutes the
+    * aliases into the predicate — a keep-gate over hoisted (nrm, toks)
+    * re-tokenizes the document once per measure reference (~8× for the
+    * Gopher rule set). Hoisted columns stay on the output frame so
+    * downstream stages can reuse them; callers drop what they don't
+    * need.
+    */
+  def hoistFilter(df: DataFrame, hoisted: Seq[(String, Column)],
+                  pred: Column): DataFrame = {
+    val withCols = hoisted.foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    withCols
       .withColumn("__graft_barrier", spark_partition_id())
-      .filter(pred(col(name)) || col("__graft_barrier") < lit(-1))
+      .filter(pred || col("__graft_barrier") < lit(-1))
       .drop("__graft_barrier")
+  }
 }

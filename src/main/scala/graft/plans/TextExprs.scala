@@ -69,6 +69,55 @@ object TextKernels extends Serializable {
     new GenericArrayData(tokens.toArray[Any])
   }
 
+  private lazy val markerSets: Map[String, Array[UTF8String]] =
+    graft.functions.TextFunctions.langMarkers.map { case (l, ms) =>
+      l -> ms.map(UTF8String.fromString).toArray
+    }
+
+  /** See [[MarkerHitsExpr]]: count of tokens equal to any of the
+    * language's marker words (multiset semantics — each occurrence
+    * counts, matching `size(filter(toks, isInCollection(markers)))`).
+    */
+  def markerHits(a: ArrayData, lang: UTF8String): Long = {
+    val markers = markerSets.getOrElse(lang.toString, Array.empty)
+    var hits = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      val t = a.getUTF8String(i)
+      var m = 0
+      var found = false
+      while (m < markers.length && !found) {
+        if (markers(m).equals(t)) found = true
+        m += 1
+      }
+      if (found) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** See [[AlphaWordsExpr]]: count of tokens containing at least one
+    * lowercase letter (matching `size(filter(toks, rlike("[a-z]")))`
+    * over normalized tokens).
+    */
+  def alphaWords(a: ArrayData): Long = {
+    var hits = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      val t = a.getUTF8String(i).toString
+      var j = 0
+      var found = false
+      while (j < t.length && !found) {
+        val c = t.charAt(j)
+        if (c >= 'a' && c <= 'z') found = true
+        j += 1
+      }
+      if (found) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** See [[ShinglesExpr]]: word n-gram windows over a token array,
     * short texts emitting one truncated window.
     */
@@ -122,4 +171,56 @@ case class ShinglesExpr(child: Expression, nExpr: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesExpr =
     copy(child = newLeft, nExpr = newRight)
+}
+
+/** Marker-word hit count for one language over a token array; the lang
+  * code is a literal. Replaces the interpreted
+  * `size(filter(toks, isInCollection(markers)))` HOF — the expression
+  * that kept every text-quality projection out of WholeStageCodegen.
+  */
+case class MarkerHitsExpr(child: Expression, langExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = langExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_marker_hits"
+
+  override def nullSafeEval(arr: Any, lang: Any): Any =
+    TextKernels.markerHits(arr.asInstanceOf[ArrayData],
+      lang.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    defineCodeGen(ctx, ev, (a, l) => s"$kernel.markerHits($a, $l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MarkerHitsExpr =
+    copy(child = newLeft, langExpr = newRight)
+}
+
+/** Count of tokens containing a lowercase letter (the Gopher
+  * alphabetic-word measure) — same rationale as [[MarkerHitsExpr]].
+  */
+case class AlphaWordsExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_alpha_words"
+
+  override def nullSafeEval(arr: Any): Any =
+    TextKernels.alphaWords(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    defineCodeGen(ctx, ev, a => s"$kernel.alphaWords($a)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): AlphaWordsExpr =
+    copy(child = n)
 }

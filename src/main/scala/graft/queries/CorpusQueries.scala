@@ -133,11 +133,12 @@ object CorpusQueries {
         val raw = t(s, dir, "documents")
         // repartition only the CPU-heavy gate path; the join-back scan
         // needs no redistribution (broadcast here, AQE-chosen SMJ at scale)
-        val kept = raw.repartition(col("doc_id"))
-          .withColumn("__nrm", TextFunctions.normalizeText(col("text")))
-          .withColumn("__toks", TextFunctions.tokens(col("text")))
-          .filter(QualityRules.keepOf(col("text"), col("__nrm"),
-            col("__toks"), cfg))
+        val kept = graft.plans.PlanShape.hoistFilter(
+            raw.repartition(col("doc_id")),
+            Seq("__nrm" -> TextFunctions.normalizeText(col("text")),
+              "__toks" -> TextFunctions.tokens(col("text"))),
+            QualityRules.keepOf(col("text"), col("__nrm"),
+              col("__toks"), cfg))
           .drop("__nrm", "__toks")
         val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
@@ -236,11 +237,11 @@ object CorpusQueries {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         val bench = docs.filter(col("doc_id") % 97 === 0)
-        val quality = corpus
-          .withColumn("__nrm", TextFunctions.normalizeText(col("text")))
-          .withColumn("__toks", TextFunctions.tokens(col("text")))
-          .filter(QualityRules.keepOf(col("text"), col("__nrm"),
-            col("__toks"), qCfg))
+        val quality = graft.plans.PlanShape.hoistFilter(corpus,
+            Seq("__nrm" -> TextFunctions.normalizeText(col("text")),
+              "__toks" -> TextFunctions.tokens(col("text"))),
+            QualityRules.keepOf(col("text"), col("__nrm"),
+              col("__toks"), qCfg))
           .drop("__nrm", "__toks")
         val rep = RepetitionRules.measures(quality, "doc_id", "text", rCfg)
           .filter(col("keep") === 1L).select(col("doc_id"))

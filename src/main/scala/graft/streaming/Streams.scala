@@ -79,11 +79,11 @@ object Streams {
                    cfg: graft.functions.QualityRules.Config =
                      graft.functions.QualityRules.Config()): DataFrame = {
     import graft.functions.{QualityRules, TextFunctions}
-    docs
-      .withColumn("__nrm", TextFunctions.normalizeText(col(textCol)))
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .filter(QualityRules.keepOf(col(textCol), col("__nrm"),
-        col("__toks"), cfg))
+    graft.plans.PlanShape.hoistFilter(docs,
+        Seq("__nrm" -> TextFunctions.normalizeText(col(textCol)),
+          "__toks" -> TextFunctions.tokens(col(textCol))),
+        QualityRules.keepOf(col(textCol), col("__nrm"),
+          col("__toks"), cfg))
       .withColumn("fp", md5(col("__nrm")))
       .drop("__nrm", "__toks")
       .withWatermark(tsCol, watermark)

@@ -29,6 +29,24 @@ class QualityRulesSpec extends SparkSpec {
     assert(byId(5L).getAs[Long]("keep") == 0L)
   }
 
+  test("hoistFilter gate: tokenizes ONCE per row, same rows as naive filter") {
+    import graft.plans.PlanShape
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val gated = PlanShape.hoistFilter(docs,
+      Seq("__nrm" -> TextFunctions.normalizeText($"text"),
+        "__toks" -> TextFunctions.tokens($"text")),
+      QualityRules.keepOf($"text", $"__nrm", $"__toks"))
+      .drop("__nrm", "__toks")
+    // the barrier keeps the keep-predicate above the hoist projection:
+    // one graft_norm_tokens in the whole plan, not one per measure
+    val plan = gated.queryExecution.executedPlan.toString
+    assert("graft_norm_tokens".r.findAllIn(plan).size == 1, plan)
+    val naive = docs.filter(QualityRules.keep($"text"))
+    assert(gated.count() == naive.count())
+    assert(gated.exceptAll(naive).count() == 0)
+  }
+
   test("keep == conjunction of all rule flags over real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

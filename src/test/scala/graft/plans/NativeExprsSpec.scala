@@ -246,6 +246,27 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("graft_marker_hits / graft_alpha_words == composed HOF twins") {
+    val toksDf = docs.select(TextFunctions.tokens($"text").as("t"))
+      .union(Seq(Seq.empty[String], Seq(""), Seq("the", "the", "x1", "9"))
+        .toDF("t"))
+    val langDiff = TextFunctions.langMarkers.keys.toSeq.map { l =>
+      toksDf.select(
+        TextFunctions.markerHitsOf($"t", l).as("nat"),
+        TextFunctions.markerHitsOfHof($"t", l).as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+    }.sum
+    assert(langDiff == 0)
+    val alphaDiff = toksDf.select(
+      TextFunctions.alphaWordsOf($"t").as("nat"),
+      size(filter($"t", t => t.rlike("[a-z]"))).cast("long").as("hof"))
+      .filter(!($"nat" <=> $"hof")).count()
+    assert(alphaDiff == 0)
+    // unknown language: defined as zero hits
+    assert(toksDf.select(TextFunctions.markerHitsOf($"t", "xx").as("h"))
+      .filter($"h" =!= 0L).count() == 0)
+  }
+
   test("graft_int_dot: exact integer dot, null on length mismatch") {
     import graft.functions.VectorFunctions
     // composed reference: zip_with product + aggregate sum over longs
