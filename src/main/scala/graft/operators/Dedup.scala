@@ -156,6 +156,72 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  // ------------------------------------------------- cluster / survivors
+
+  /** Connected components over verified near-dup pairs — the stage
+    * between pair generation (LSH/Jaccard/SimHash) and deletion: near-dup
+    * relations are not transitive-closed (A~B, B~C without A~C), so
+    * electing one survivor per PAIR over-deletes; the unit of dedup is
+    * the component. Returns (id, comp) for every id appearing in a pair,
+    * comp = min id in its component.
+    *
+    * Algorithm: iterative min-label propagation. Each round: one
+    * (dst=id) equi-join + one (src) min-aggregate over the edge list,
+    * label frames persisted and the previous round's unpersisted; stop
+    * when no label decreased (driver-side count — an O(1)-row aggregate
+    * per round, not a data collect). Rounds = component diameter, and
+    * near-dup clusters are shallow (members all resemble one proto-doc),
+    * so 3-5 rounds in practice; `maxIter` bounds the adversarial chain
+    * case. At 100 TB the edge list is |verified pairs| ≪ corpus — the
+    * loop never touches document text, only (id, id) pairs.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min label among each node's neighbors, then keep the smaller of
+      // (own, neighbors'); comp only ever decreases, toward the
+      // component min, so the fixpoint is exactly the component labeling
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val step = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"), col("l.comp").as("old"),
+          least(col("l.comp"), coalesce(col("nbr"), col("l.comp")))
+            .as("comp"))
+        .persist()
+      changed = step.filter(col("comp") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = step.select(col("id"), col("comp"))
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Per-component dedup summary over verified pairs: component id (=
+    * min member id, the elected survivor), member count, and how many
+    * docs deletion would remove. Downstream: anti-join the corpus
+    * against `explode`d non-survivor ids, exactly like exact dedup's
+    * survivor set.
+    */
+  def neardupClusters(pairs: DataFrame, aCol: String = "id_a",
+                      bCol: String = "id_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("survivor_id"),
+        (count(lit(1)) - 1).as("n_removed"))
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: bit j of the result is 1 iff the

@@ -462,6 +462,52 @@ object TextQueries {
       })
   }
 
+  /** q61 — near-dup clusters + survivor election
+    * ([[graft.operators.Dedup.neardupClusters]]): the stage between pair
+    * generation and deletion. Near-dup pairs are not transitive-closed,
+    * so the LSH+verify pairs (q18's pipeline) are grouped into connected
+    * components by iterative min-label propagation; one survivor (min
+    * id) is elected per component. The oracle transitively closes the
+    * same verified pairs with a recursive CTE — at sf0.01 the graph has
+    * a 3-member chain, so a labeling that only looked at direct pairs
+    * (no propagation) fails the hash compare.
+    */
+  private val q61 = Q("q61_neardup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4)
+      val pairs = Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.neardupClusters(pairs)
+        .select(col("comp"), col("n_members"), col("survivor_id"),
+          col("n_removed"))
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      pairs AS (SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          >= 0.2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      cc AS (SELECT id, id AS comp FROM nodes
+        UNION
+        SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+      lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+      SELECT comp, COUNT(*) AS n_members, MIN(id) AS survivor_id,
+        COUNT(*) - 1 AS n_removed
+      FROM lab GROUP BY comp ORDER BY comp"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60)
+    q60, q61)
 }

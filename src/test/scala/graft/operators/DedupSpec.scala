@@ -117,6 +117,43 @@ class DedupSpec extends SparkSpec {
     val d = Seq((0L, 7L)).toDF("a", "b")
     assert(d.select(Dedup.hamming($"a", $"b")).head().getInt(0) == 3)
   }
+
+  test("connectedComponents: transitive closure, not just direct pairs") {
+    // chain 1-2-3-4 (diameter 3: needs real propagation), isolated pair,
+    // and a triangle (cycle must not loop forever)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val clusters = Dedup.neardupClusters(pairs)
+      .orderBy($"comp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(clusters == Seq((1L, 4L, 1L, 3L), (10L, 2L, 10L, 1L),
+      (20L, 3L, 20L, 2L)))
+  }
+
+  test("connectedComponents on real near-dup pairs: edges agree, root is min") {
+    val realDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.jaccardPairs(realDocs, "doc_id", "text",
+      shingleN = 3, threshold = 0.2).select($"id_a", $"id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // every verified pair ends up in the same component
+    val split = pairs
+      .join(labels.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("comp", "ca"), "id_a")
+      .join(labels.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("comp", "cb"), "id_b")
+      .filter($"ca" =!= $"cb").count()
+    assert(split == 0)
+    // comp is the min member id
+    val badRoot = labels.groupBy($"comp").agg(min($"id").as("m"))
+      .filter($"comp" =!= $"m").count()
+    assert(badRoot == 0)
+    assert(labels.count() > 0)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
