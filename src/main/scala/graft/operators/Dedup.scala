@@ -174,6 +174,15 @@ object Dedup {
     * so 3-5 rounds in practice; `maxIter` bounds the adversarial chain
     * case. At 100 TB the edge list is |verified pairs| ≪ corpus — the
     * loop never touches document text, only (id, id) pairs.
+    *
+    * Each round's label frame is rebuilt from its (persisted) RDD:
+    * the round's plan references the previous round TWICE (directly and
+    * through the neighbor aggregate), so carrying the logical plan
+    * forward doubles its size per round — Catalyst re-analysis goes
+    * exponential around diameter ~15. The RDD rebuild truncates the
+    * LOGICAL plan only; the RDD lineage stays recomputable back to the
+    * source on executor loss (unlike a localCheckpoint, which dies with
+    * its executors).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -182,9 +191,10 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist()
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -200,8 +210,10 @@ object Dedup {
             .as("comp"))
         .persist()
       changed = step.filter(col("comp") < col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = step.select(col("id"), col("comp"))
+      cached.unpersist(blocking = false)
+      cached = step
+      val next = step.select(col("id"), col("comp"))
+      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
       iter += 1
     }
     edges.unpersist(blocking = false)

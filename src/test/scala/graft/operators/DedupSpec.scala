@@ -134,6 +134,37 @@ class DedupSpec extends SparkSpec {
       (20L, 3L, 20L, 2L)))
   }
 
+  test("connectedComponents == union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    // driver-side union-find reference model
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map { id =>
+      // min id in the component = min over nodes sharing the root
+      val r = find(id.toInt)
+      id -> nodes.filter(o => find(o.toInt) == r).min
+    }.toMap
+    val got = Dedup.connectedComponents(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("connectedComponents on real near-dup pairs: edges agree, root is min") {
     val realDocs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
