@@ -63,6 +63,29 @@ final class TableStore(spark: SparkSession, root: String) {
       append(table, novel, partitionBy)
     }
 
+  /** Exact-dedup append: insert only batch rows whose normalized-text
+    * fingerprint has never been stored — cross-batch dedup backed by
+    * the store (the batch analogue of streaming corpus-ingest's
+    * dropDuplicatesWithinWatermark, for corpora that grow by bulk
+    * drops rather than streams). The survivor table carries the batch
+    * columns plus `fp`. The anti-join needs only the store's fp column
+    * (column pruning reaches the parquet scan), so a daily drop against
+    * a 100 TB corpus store shuffles one fingerprint column, not the
+    * corpus. Returns the rows appended (intra-batch dups removed with a
+    * min-`idCol` tie-break, cross-batch dups removed via the store).
+    */
+  def dedupAppend(table: String, batch: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val fped = batch.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    val novel =
+      if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
+      else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
+        .select(fped.columns.map(col).toIndexedSeq: _*)
+    append(table, novel)
+    novel
+  }
+
   /** Rewrite `table` without rows whose key-tuple appears in `toDelete`.
     * With `partitionCols`, only partitions holding a matching key are
     * rewritten; partitions left empty by the delete are removed.

@@ -202,4 +202,22 @@ class TableStoreSpec extends SparkSpec {
     assert(files == 2)
     assert(ts.read("t").orderBy($"id").as[Long].collect().toSeq == before)
   }
+
+  test("dedupAppend drops dups within a batch AND across batches") {
+    val ts = freshStore()
+    // doc 2 normalizes to doc 1's text (case/punct differences only)
+    val batch1 = Seq((1L, "The quick brown fox"), (2L, "the QUICK brown fox!"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val kept1 = ts.dedupAppend("corpus", batch1, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept1 == Seq(1L, 3L)) // min-id survivor within the batch
+    // doc 4 duplicates STORED doc 1; doc 5 is new
+    val batch2 = Seq((4L, "the quick brown fox"), (5L, "fresh content here"))
+      .toDF("doc_id", "text")
+    val kept2 = ts.dedupAppend("corpus", batch2, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept2 == Seq(5L))
+    assert(ts.read("corpus").select($"doc_id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 3L, 5L))
+  }
 }
