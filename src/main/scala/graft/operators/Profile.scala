@@ -34,4 +34,43 @@ object Profile {
     base.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), qCols: _*)
   }
+
+  /** Per-group quantile-band trim: keep rows whose `valCol` rank within
+    * `groupCol` lies in [ceil(lo·n), floor(hi·n)] — adaptive outlier
+    * trimming with per-source thresholds (fixed global cutoffs misfire
+    * when sources have very different length/score distributions). Rank
+    * ties break deterministically by `idCol`, so the kept set is exactly
+    * reproducible — this is the oracle/audit form; it sorts each group
+    * inside one window partition.
+    */
+  def quantileTrim(df: DataFrame, groupCol: String, valCol: String,
+                   idCol: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(idCol))
+    val wc = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") >= ceil(lit(lo) * col("__n")) &&
+        col("__rn") <= floor(lit(hi) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
+  /** [[quantileTrim]]'s production twin: threshold VALUES from
+    * Greenwald-Khanna `percentile_approx` (one ordinary aggregation
+    * exchange, map-side partial sketches), broadcast back onto the
+    * data, value-band filter. No window, no per-group sort — a giant
+    * source never serializes one reducer. Boundary semantics differ
+    * from the exact form only within rank ties at the band edges.
+    */
+  def quantileTrimApprox(df: DataFrame, groupCol: String, valCol: String,
+                         lo: Double, hi: Double,
+                         accuracy: Int = 10000): DataFrame = {
+    val th = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(valCol), lit(lo), lit(accuracy)).as("__lo"),
+      percentile_approx(col(valCol), lit(hi), lit(accuracy)).as("__hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .filter(col(valCol) >= col("__lo") && col(valCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -315,5 +315,37 @@ object CorpusQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57)
+  /** q62 — per-source quantile-band trim
+    * ([[graft.operators.Profile.quantileTrim]]): keep each source's
+    * docs between its own P05 and P95 of `n_chars` — adaptive outlier
+    * trimming where every source gets thresholds from its own
+    * distribution (fixed global cutoffs misfire across heterogeneous
+    * sources). The oracle replays the rank-band rule; the windowless
+    * `quantileTrimApprox` twin is the audited scale path (ProfileSpec).
+    */
+  private val q62 = Q("q62_quantile_trim",
+    (s, dir) => {
+      graft.operators.Profile.quantileTrim(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id",
+          lo = 0.05, hi = 0.95)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM r WHERE rn >= CEIL(0.05 * n) AND rn <= FLOOR(0.95 * n)
+      GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62)
 }

@@ -44,4 +44,32 @@ class ProfileSpec extends SparkSpec {
     // partial sketches combine map-side (ObjectHashAggregate partial)
     assert(plan.contains("partial_percentile_approx"), plan)
   }
+
+  test("quantileTrim: rank band is exact, deterministic, per group") {
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i < 20) "a" else "b",
+      (i % 20).toLong * 10)).toDF("id", "src", "v")
+    val kept = Profile.quantileTrim(df, "src", "v", "id", 0.1, 0.9)
+      .groupBy($"src").agg(count(lit(1)).as("n"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // n=20 per group: ranks 2..18 → 17 rows, values 10..170
+    assert(kept == Set(("a", 17L, 10L, 170L), ("b", 17L, 10L, 170L)))
+  }
+
+  test("quantileTrimApprox: windowless plan, agrees with exact off ties") {
+    val trimmed = Profile.quantileTrimApprox(docs
+      .select($"doc_id", $"source", $"n_chars"),
+      "source", "n_chars", 0.05, 0.95)
+    val plan = trimmed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan) // thresholds, not data
+    val exact = Profile.quantileTrim(docs
+      .select($"doc_id", $"source", $"n_chars"),
+      "source", "n_chars", "doc_id", 0.05, 0.95)
+    val nA = trimmed.count()
+    val nE = exact.count()
+    // value-band vs rank-band differ only within boundary ties
+    assert(math.abs(nA - nE) <= docs.count() / 20,
+      s"approx kept $nA vs exact $nE")
+  }
 }
