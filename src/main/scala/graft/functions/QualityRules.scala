@@ -93,6 +93,23 @@ object QualityRules {
       (m("stopword_hits") >= cfg.minStopwordHits)
   }
 
+  /** The hoisted quality gate as one call: materialize (__nrm, __toks)
+    * once, filter on [[keepOf]] behind a pushdown barrier
+    * ([[graft.plans.PlanShape.hoistFilter]] — without it Catalyst
+    * substitutes the hoisted aliases into the predicate and
+    * re-tokenizes the document once per measure reference), then drop
+    * the aux columns. `keepNorm` retains `__nrm` for callers that
+    * fingerprint the normalized text next (the streaming ingest).
+    */
+  def gate(df: DataFrame, textCol: String, cfg: Config = Config(),
+           keepNorm: Boolean = false): DataFrame = {
+    val gated = graft.plans.PlanShape.hoistFilter(df,
+      Seq("__nrm" -> TextFunctions.normalizeText(col(textCol)),
+        "__toks" -> TextFunctions.tokens(col(textCol))),
+      keepOf(col(textCol), col("__nrm"), col("__toks"), cfg))
+    if (keepNorm) gated.drop("__toks") else gated.drop("__nrm", "__toks")
+  }
+
   /** Measures + per-rule flags (1/0 longs — portable hashing) + overall
     * `keep`. Tokenization/normalization run once in their own
     * projection; filter on `keep === 1` to gate.

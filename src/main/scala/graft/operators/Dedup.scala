@@ -217,6 +217,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // fail loudly: a silently-unconverged labeling splits one real
+    // cluster into several "components" with several survivors —
+    // over-retention with no signal. Diameters beyond the default 25
+    // (a 25-deep boilerplate-drift chain) need a larger maxIter.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still decreasing); raise maxIter")
     labels
   }
 

@@ -60,8 +60,13 @@ object Profile {
     * Greenwald-Khanna `percentile_approx` (one ordinary aggregation
     * exchange, map-side partial sketches), broadcast back onto the
     * data, value-band filter. No window, no per-group sort — a giant
-    * source never serializes one reducer. Boundary semantics differ
-    * from the exact form only within rank ties at the band edges.
+    * source never serializes one reducer. Semantics differ from the
+    * exact form at the edges: rank ties at a band boundary are kept
+    * here and cut by rank there; tiny groups (n·(hi−lo) < 1, e.g.
+    * singletons) are dropped entirely by the rank band but kept by the
+    * value band; rows with a NULL group key pass the exact form's
+    * window but are dropped by this join. At corpus scale none of the
+    * three occurs off pathological inputs.
     */
   def quantileTrimApprox(df: DataFrame, groupCol: String, valCol: String,
                          lo: Double, hi: Double,

@@ -74,12 +74,19 @@ object TextKernels extends Serializable {
       l -> ms.map(UTF8String.fromString).toArray
     }
 
+  /** Marker set for a language code, resolved ONCE per expression when
+    * the lang operand is a literal (the only supported call shape) —
+    * the per-row path never re-does the string decode + map lookup.
+    */
+  def markersFor(lang: UTF8String): Array[UTF8String] =
+    if (lang == null) Array.empty
+    else markerSets.getOrElse(lang.toString, Array.empty)
+
   /** See [[MarkerHitsExpr]]: count of tokens equal to any of the
     * language's marker words (multiset semantics — each occurrence
     * counts, matching `size(filter(toks, isInCollection(markers)))`).
     */
-  def markerHits(a: ArrayData, lang: UTF8String): Long = {
-    val markers = markerSets.getOrElse(lang.toString, Array.empty)
+  def markerHits(a: ArrayData, markers: Array[UTF8String]): Long = {
     var hits = 0L
     var i = 0
     while (i < a.numElements()) {
@@ -98,21 +105,28 @@ object TextKernels extends Serializable {
 
   /** See [[AlphaWordsExpr]]: count of tokens containing at least one
     * lowercase letter (matching `size(filter(toks, rlike("[a-z]")))`
-    * over normalized tokens).
+    * over normalized tokens). Scans raw UTF-8 bytes — every byte of a
+    * multi-byte sequence has its high bit set, so the ASCII a-z compare
+    * cannot false-positive and no per-token String decode is needed. A
+    * null element counts 0, matching the HOF twin (rlike(null) → null →
+    * filtered out).
     */
   def alphaWords(a: ArrayData): Long = {
     var hits = 0L
     var i = 0
     while (i < a.numElements()) {
-      val t = a.getUTF8String(i).toString
-      var j = 0
-      var found = false
-      while (j < t.length && !found) {
-        val c = t.charAt(j)
-        if (c >= 'a' && c <= 'z') found = true
-        j += 1
+      val t = a.getUTF8String(i)
+      if (t != null) {
+        var j = 0
+        var found = false
+        val n = t.numBytes()
+        while (j < n && !found) {
+          val b = t.getByte(j)
+          if (b >= 'a'.toByte && b <= 'z'.toByte) found = true
+          j += 1
+        }
+        if (found) hits += 1
       }
-      if (found) hits += 1
       i += 1
     }
     hits
@@ -184,17 +198,35 @@ case class MarkerHitsExpr(child: Expression, langExpr: Expression)
   override def left: Expression = child
   override def right: Expression = langExpr
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  // nullable: BinaryExpression default (either operand null → NULL),
+  // so a null lang yields NULL instead of reaching the kernel
   override def prettyName: String = "graft_marker_hits"
+
+  // lang is a literal in every library call shape — resolve the marker
+  // set once per expression instance, not once per row
+  @transient private lazy val litMarkers: Option[Array[UTF8String]] =
+    if (langExpr.foldable)
+      Option(langExpr.eval(null).asInstanceOf[UTF8String])
+        .map(TextKernels.markersFor)
+    else None
 
   override def nullSafeEval(arr: Any, lang: Any): Any =
     TextKernels.markerHits(arr.asInstanceOf[ArrayData],
-      lang.asInstanceOf[UTF8String])
+      litMarkers.getOrElse(
+        TextKernels.markersFor(lang.asInstanceOf[UTF8String])))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = ctx.addReferenceObj("textKernels", TextKernels,
       TextKernels.getClass.getName)
-    defineCodeGen(ctx, ev, (a, l) => s"$kernel.markerHits($a, $l)")
+    litMarkers match {
+      case Some(ms) =>
+        val markers = ctx.addReferenceObj("markers", ms,
+          "org.apache.spark.unsafe.types.UTF8String[]")
+        defineCodeGen(ctx, ev, (a, _) => s"$kernel.markerHits($a, $markers)")
+      case None =>
+        defineCodeGen(ctx, ev,
+          (a, l) => s"$kernel.markerHits($a, $kernel.markersFor($l))")
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -133,13 +133,8 @@ object CorpusQueries {
         val raw = t(s, dir, "documents")
         // repartition only the CPU-heavy gate path; the join-back scan
         // needs no redistribution (broadcast here, AQE-chosen SMJ at scale)
-        val kept = graft.plans.PlanShape.hoistFilter(
-            raw.repartition(col("doc_id")),
-            Seq("__nrm" -> TextFunctions.normalizeText(col("text")),
-              "__toks" -> TextFunctions.tokens(col("text"))),
-            QualityRules.keepOf(col("text"), col("__nrm"),
-              col("__toks"), cfg))
-          .drop("__nrm", "__toks")
+        val kept = QualityRules.gate(
+          raw.repartition(col("doc_id")), "text", cfg)
         val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         val enriched = surv.join(raw, Seq("doc_id"))
@@ -237,12 +232,7 @@ object CorpusQueries {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         val bench = docs.filter(col("doc_id") % 97 === 0)
-        val quality = graft.plans.PlanShape.hoistFilter(corpus,
-            Seq("__nrm" -> TextFunctions.normalizeText(col("text")),
-              "__toks" -> TextFunctions.tokens(col("text"))),
-            QualityRules.keepOf(col("text"), col("__nrm"),
-              col("__toks"), qCfg))
-          .drop("__nrm", "__toks")
+        val quality = QualityRules.gate(corpus, "text", qCfg)
         val rep = RepetitionRules.measures(quality, "doc_id", "text", rCfg)
           .filter(col("keep") === 1L).select(col("doc_id"))
         val gated = quality.join(rep, Seq("doc_id"))

@@ -82,8 +82,19 @@ final class TableStore(spark: SparkSession, root: String) {
       if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
       else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
         .select(fped.columns.map(col).toIndexedSeq: _*)
-    append(table, novel)
-    novel
+    // Snapshot BEFORE the append mutates this plan's own input: the
+    // returned frame must never re-run the anti-join against the table
+    // it was just appended to. An RDD-backed frame pins the scan to the
+    // file splits planned HERE (append-only table, so recompute on
+    // cache eviction stays on the pre-append snapshot); a plain
+    // persist() would not survive the write's recache-by-path, which
+    // re-executes the plan against the freshly-appended files and
+    // anti-joins the batch against itself.
+    val out = spark.createDataFrame(novel.rdd, novel.schema)
+    out.persist()
+    out.count()
+    append(table, out)
+    out
   }
 
   /** Rewrite `table` without rows whose key-tuple appears in `toDelete`.

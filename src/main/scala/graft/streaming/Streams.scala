@@ -79,13 +79,9 @@ object Streams {
                    cfg: graft.functions.QualityRules.Config =
                      graft.functions.QualityRules.Config()): DataFrame = {
     import graft.functions.{QualityRules, TextFunctions}
-    graft.plans.PlanShape.hoistFilter(docs,
-        Seq("__nrm" -> TextFunctions.normalizeText(col(textCol)),
-          "__toks" -> TextFunctions.tokens(col(textCol))),
-        QualityRules.keepOf(col(textCol), col("__nrm"),
-          col("__toks"), cfg))
+    QualityRules.gate(docs, textCol, cfg, keepNorm = true)
       .withColumn("fp", md5(col("__nrm")))
-      .drop("__nrm", "__toks")
+      .drop("__nrm")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }

@@ -165,6 +165,19 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connectedComponents fails loudly when maxIter is too small") {
+    val chain = (1L to 6L).sliding(2)
+      .map(w => (w.head, w.last)).toSeq.toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the default budget closes the same chain fine
+    val labels = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("connectedComponents on real near-dup pairs: edges agree, root is min") {
     val realDocs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

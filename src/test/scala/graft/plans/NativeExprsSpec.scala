@@ -248,8 +248,8 @@ class NativeExprsSpec extends SparkSpec {
 
   test("graft_marker_hits / graft_alpha_words == composed HOF twins") {
     val toksDf = docs.select(TextFunctions.tokens($"text").as("t"))
-      .union(Seq(Seq.empty[String], Seq(""), Seq("the", "the", "x1", "9"))
-        .toDF("t"))
+      .union(Seq(Seq.empty[String], Seq(""), Seq("the", "the", "x1", "9"),
+        Seq("the", null, "a")).toDF("t"))
     val langDiff = TextFunctions.langMarkers.keys.toSeq.map { l =>
       toksDf.select(
         TextFunctions.markerHitsOf($"t", l).as("nat"),
