@@ -107,4 +107,24 @@ object Sampling {
         lit(math.round(defaultRate * BucketSpace)))
     df.filter(hashBucket(col(keyCol), salt) < rateCol)
   }
+
+  /** Weight-balanced shard assignment: rank all rows by (weight DESC,
+    * key) and deal them round-robin into `n` shards — the classic LPT
+    * greedy, so shard weight sums stay within one max-row of each other
+    * even under heavy-tailed document lengths, where the hash-random
+    * shard ([[hashBucket]] % n) leaves percent-level imbalance that
+    * becomes straggler shards at training time. Deterministic and
+    * oracle-reproducible. This exact form is the audit twin: the global
+    * row_number serializes one sort at 100 TB — at that scale shard by
+    * [[hashBucket]] mod n (uniform in expectation) or rank within
+    * (source, hash-prefix) strata; the balance property is what this
+    * operator gates.
+    */
+  def assignShardsBalanced(df: DataFrame, weightCol: String,
+                           keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(weightCol).desc, col(keyCol))
+    df.withColumn("shard",
+      ((row_number().over(w) - 1) % n).cast("long"))
+  }
 }

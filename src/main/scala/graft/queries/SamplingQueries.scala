@@ -160,5 +160,32 @@ object SamplingQueries {
           END AS est
       FROM r WHERE rn <= 16 GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53)
+  /** q63 — weight-balanced shard assignment
+    * ([[graft.operators.Sampling.assignShardsBalanced]]): deal docs
+    * into 8 training shards round-robin over the (n_chars DESC, doc_id)
+    * order, so shard byte-sums stay within one max-doc of each other —
+    * hash-random sharding leaves percent-level imbalance that turns
+    * into straggler shards at training time. Output gates both the
+    * assignment and the balance (per-shard doc and char sums).
+    */
+  private val q63 = Q("q63_balanced_shards",
+    (s, dir) => {
+      Sampling.assignShardsBalanced(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", n = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH r AS (SELECT doc_id, n_chars,
+        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+      SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(MIN(n_chars) AS BIGINT) AS min_chars
+      FROM r GROUP BY shard ORDER BY shard"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63)
 }

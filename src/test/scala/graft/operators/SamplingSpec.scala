@@ -84,6 +84,31 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 != ids3) // salt draws a different sample
   }
 
+  test("assignShardsBalanced: exhaustive, and tighter than hash sharding") {
+    val n = 8
+    val sharded = Sampling.assignShardsBalanced(
+      docs.select($"doc_id", $"n_chars"), "n_chars", "doc_id", n)
+    val sums = sharded.groupBy($"shard")
+      .agg(sum($"n_chars").as("w"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    assert(sums.map(_._1).sorted.toSeq == (0L until n.toLong))
+    assert(sums.map(_._3).sum == docs.count())
+    // round-robin over the size-sorted order: spread bounded by the
+    // largest single document
+    val spread = sums.map(_._2).max - sums.map(_._2).min
+    val maxDoc = docs.agg(max($"n_chars")).head().getLong(0)
+    assert(spread <= maxDoc, s"spread $spread > max doc $maxDoc")
+    // and strictly tighter than hash-random sharding on this corpus
+    val hashSums = docs
+      .withColumn("shard", pmod(Sampling.hashBucket($"doc_id", "shrd"),
+        lit(n.toLong)))
+      .groupBy($"shard").agg(sum($"n_chars").as("w"))
+      .as[(Long, Long)].collect().map(_._2)
+    val hashSpread = hashSums.max - hashSums.min
+    assert(spread < hashSpread,
+      s"balanced spread $spread !< hash spread $hashSpread")
+  }
+
   test("sampling filter is a narrow plan — no exchange") {
     val plan = Sampling.hashSample(docs, "doc_id", 0.5, "s")
       .queryExecution.executedPlan.toString
