@@ -71,15 +71,24 @@ object RepetitionRules {
       TextFunctions.shingles(col(textCol), cfg.dupN).as("gd"))
     // tag each gram with its n so one exploded frame serves both
     // measures; the n=0 sentinel keeps gram-less docs in the output
-    // without a join-back against the id universe
-    val tagged = concat(
-      transform(col("gt"), g => struct(lit(cfg.topN).as("n"), g.as("gram"))),
-      transform(col("gd"), g => struct(lit(cfg.dupN).as("n"), g.as("gram"))))
-    val withSentinel = when(size(col("gt")) + size(col("gd")) === 0,
-      array(struct(lit(0).as("n"), lit("").as("gram")))).otherwise(tagged)
+    // without a join-back against the id universe. Index-based explode
+    // (sequence + element_at CASE) instead of struct-tagging transforms:
+    // the array HOFs dropped the projection to interpreted eval, this
+    // form stays inside whole-stage codegen. Empty docs: sequence(0,
+    // greatest(-1, 0)) = [0] — exactly the one sentinel row.
+    val total = size(col("gt")) + size(col("gd"))
     val exploded = grams
-      .select(col(idCol), explode(withSentinel).as("x"))
-      .select(col(idCol), col("x.n").as("n"), col("x.gram").as("gram"))
+      .select(col(idCol), col("gt"), col("gd"),
+        explode(sequence(lit(0), greatest(total - 1, lit(0)))).as("__i"))
+      .select(col(idCol),
+        when(total === 0, lit(0))
+          .when(col("__i") < size(col("gt")), lit(cfg.topN))
+          .otherwise(lit(cfg.dupN)).as("n"),
+        when(total === 0, lit(""))
+          .when(col("__i") < size(col("gt")),
+            element_at(col("gt"), col("__i") + 1))
+          .otherwise(element_at(col("gd"),
+            col("__i") - size(col("gt")) + 1)).as("gram"))
     val counts = exploded
       .groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
