@@ -77,9 +77,14 @@ object RepetitionRules {
     // form stays inside whole-stage codegen. Empty docs: sequence(0,
     // greatest(-1, 0)) = [0] — exactly the one sentinel row.
     val total = size(col("gt")) + size(col("gd"))
+    // NULL text → NULL gram arrays → NULL index array → explode emits
+    // nothing: the doc drops from the output, matching the SQL mirrors
+    // (UNNEST(NULL)) and the previous struct-tagging form
+    val idx = when(col("gt").isNotNull && col("gd").isNotNull,
+      sequence(lit(0), greatest(total - 1, lit(0))))
     val exploded = grams
       .select(col(idCol), col("gt"), col("gd"),
-        explode(sequence(lit(0), greatest(total - 1, lit(0)))).as("__i"))
+        explode(idx).as("__i"))
       .select(col(idCol),
         when(total === 0, lit(0))
           .when(col("__i") < size(col("gt")), lit(cfg.topN))

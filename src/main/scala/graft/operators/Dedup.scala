@@ -172,8 +172,10 @@ object Dedup {
     * per round, not a data collect). Rounds = component diameter, and
     * near-dup clusters are shallow (members all resemble one proto-doc),
     * so 3-5 rounds in practice; `maxIter` bounds the adversarial chain
-    * case. At 100 TB the edge list is |verified pairs| ≪ corpus — the
-    * loop never touches document text, only (id, id) pairs.
+    * case — convergence is confirmed by a final quiescent round, so a
+    * component of diameter d needs maxIter ≥ d + 1. At 100 TB the edge
+    * list is |verified pairs| ≪ corpus — the loop never touches
+    * document text, only (id, id) pairs.
     *
     * Each round's label frame is rebuilt from its (persisted) RDD:
     * the round's plan references the previous round TWICE (directly and
@@ -219,12 +221,14 @@ object Dedup {
     edges.unpersist(blocking = false)
     // fail loudly: a silently-unconverged labeling splits one real
     // cluster into several "components" with several survivors —
-    // over-retention with no signal. Diameters beyond the default 25
-    // (a 25-deep boilerplate-drift chain) need a larger maxIter.
+    // over-retention with no signal. Components of diameter ≥ maxIter
+    // (the last permitted round still decreased labels, so quiescence
+    // was never confirmed) need a larger budget.
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still decreasing); raise maxIter")
+        s"connectedComponents not confirmed converged in $maxIter " +
+          s"rounds ($changed labels decreased in the last round); " +
+          "raise maxIter (diameter d needs maxIter >= d + 1)")
     labels
   }
 

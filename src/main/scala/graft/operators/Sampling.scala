@@ -109,9 +109,11 @@ object Sampling {
   }
 
   /** Weight-balanced shard assignment: rank all rows by (weight DESC,
-    * key) and deal them round-robin into `n` shards — the classic LPT
-    * greedy, so shard weight sums stay within one max-row of each other
-    * even under heavy-tailed document lengths, where the hash-random
+    * key) and deal them round-robin into `n` shards — sorted
+    * round-robin dealing (LPT-style; true LPT assigns to the currently
+    * least-loaded shard), so shard weight sums stay within one max-row
+    * of each other even under heavy-tailed document lengths, where the
+    * hash-random
     * shard ([[hashBucket]] % n) leaves percent-level imbalance that
     * becomes straggler shards at training time. Deterministic and
     * oracle-reproducible. This exact form is the audit twin: the global

@@ -90,10 +90,15 @@ final class TableStore(spark: SparkSession, root: String) {
     // persist() would not survive the write's recache-by-path, which
     // re-executes the plan against the freshly-appended files and
     // anti-joins the batch against itself.
+    // persist only for the duration of the write; the returned frame
+    // recomputes from the pinned splits if consumed afterwards (still
+    // the pre-append snapshot) — callers that read it repeatedly should
+    // persist it themselves. Leaving the cache pinned would leak one
+    // full batch per call across a long-lived ingest session.
     val out = spark.createDataFrame(novel.rdd, novel.schema)
     out.persist()
-    out.count()
-    append(table, out)
+    try append(table, out)
+    finally out.unpersist(blocking = false)
     out
   }
 

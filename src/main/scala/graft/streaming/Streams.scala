@@ -78,7 +78,7 @@ object Streams {
                    textCol: String,
                    cfg: graft.functions.QualityRules.Config =
                      graft.functions.QualityRules.Config()): DataFrame = {
-    import graft.functions.{QualityRules, TextFunctions}
+    import graft.functions.QualityRules
     QualityRules.gate(docs, textCol, cfg, keepNorm = true)
       .withColumn("fp", md5(col("__nrm")))
       .drop("__nrm")

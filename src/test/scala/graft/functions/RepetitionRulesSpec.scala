@@ -47,6 +47,14 @@ class RepetitionRulesSpec extends SparkSpec {
     assert(single.getAs[Double]("top_gram_char_frac") == 1.0)
   }
 
+  test("NULL text drops from the output, matching UNNEST(NULL) mirrors") {
+    val df = Seq((1L, Option("a b a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = RepetitionRules.measures(df, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("one row per input row over real data; flags are 0/1") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -171,7 +171,7 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
     }
-    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("not confirmed converged"))
     // and the default budget closes the same chain fine
     val labels = Dedup.connectedComponents(chain, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
