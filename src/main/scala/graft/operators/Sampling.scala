@@ -108,6 +108,36 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < rateCol)
   }
 
+  /** Temperature-based domain rebalancing: downsample each domain with
+    * keep-rate (n_min / n_d)^(1-α) so the output composition follows
+    * p_d^α — the standard multilingual/source flattening step (α < 1
+    * upsamples the tail relative to the head; α = 1 keeps the corpus as
+    * is). Rates cap at 1 for the rarest domain (no duplication). The
+    * per-domain counts come from one aggregate collected to the driver
+    * — bounded by the number of domains, not rows. At α = 0.5 the rate
+    * is sqrt(n_min/n_d): division and sqrt are correctly-rounded IEEE
+    * ops in every engine, so an external SQL oracle reproduces the
+    * quantized rates bit-for-bit (arbitrary α uses pow, which carries
+    * no such guarantee — fine for production, not for hash-compared
+    * oracles).
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
+                     alpha: Double, salt: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df.filter(lit(false))
+    else {
+      val nMin = counts.values.min
+      val rates = counts.map { case (d, n) =>
+        val ratio = nMin.toDouble / n.toDouble
+        d -> (if (alpha == 0.5) math.sqrt(ratio)
+              else math.pow(ratio, 1.0 - alpha))
+      }
+      mixDomains(df, domainCol, keyCol, rates, salt)
+    }
+  }
+
   /** Weight-balanced shard assignment: rank all rows by (weight DESC,
     * key) and deal them round-robin into `n` shards — sorted
     * round-robin dealing (LPT-style; true LPT assigns to the currently

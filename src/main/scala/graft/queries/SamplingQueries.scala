@@ -187,5 +187,42 @@ object SamplingQueries {
         CAST(MIN(n_chars) AS BIGINT) AS min_chars
       FROM r GROUP BY shard ORDER BY shard"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63)
+  /** q64 — temperature-based domain rebalancing
+    * ([[graft.operators.Sampling.temperatureMix]], α = 0.5): first skew
+    * the uniform corpus deterministically (n_chars % 25 thins each
+    * source to a different size), then flatten toward p^0.5. The oracle
+    * recomputes the per-source keep-rates from scratch — possible
+    * because at α = 0.5 the rate is sqrt(n_min/n), and division, sqrt,
+    * and the positive-value ROUND are correctly-rounded/identical in
+    * both engines, so the quantized thresholds match bit-for-bit.
+    */
+  private val q64 = Q("q64_temperature_mix",
+    (s, dir) => {
+      val skew = t(s, dir, "documents")
+        .filter(pmod(col("n_chars"), lit(25)) <
+          substring(col("source"), 4, 10).cast("int") + 5)
+      Sampling.temperatureMix(skew, "source", "doc_id",
+          alpha = 0.5, salt = "temp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars % 25 < CAST(SUBSTR(source, 4) AS INT) + 5),
+      c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+      m AS (SELECT MIN(n) AS nmin FROM c),
+      r AS (SELECT source,
+          CAST(ROUND(SQRT(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+            * ${Sampling.BucketSpace}) AS BIGINT) AS thr
+        FROM c, m),
+      k AS (SELECT d.source, d.n_chars FROM d
+        JOIN r ON d.source = r.source
+        WHERE CAST(${bucketSql(hashSql("temp", "d.doc_id"))} AS BIGINT)
+          < r.thr)
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM k GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64)
 }

@@ -109,6 +109,27 @@ class SamplingSpec extends SparkSpec {
       s"balanced spread $spread !< hash spread $hashSpread")
   }
 
+  test("temperatureMix flattens skewed domains; α=1 is identity; rarest keeps all") {
+    // skew: src0 tiny ... src19 large (same rule as q64)
+    val skew = docs.filter(pmod($"n_chars", lit(25)) <
+      substring($"source", 4, 10).cast("int") + 5)
+    val pre = skew.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val post = Sampling.temperatureMix(skew, "source", "doc_id", 0.5, "t")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    def ratio(m: Map[String, Long]) =
+      m.values.max.toDouble / m.values.min.toDouble
+    assert(ratio(post) < ratio(pre),
+      s"post ${ratio(post)} not flatter than pre ${ratio(pre)}")
+    // the rarest domain's rate caps at 1: every row kept
+    val rarest = pre.minBy(_._2)._1
+    assert(post(rarest) == pre(rarest))
+    // α = 1: composition untouched
+    val id = Sampling.temperatureMix(skew, "source", "doc_id", 1.0, "t")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(id == pre)
+  }
+
   test("sampling filter is a narrow plan — no exchange") {
     val plan = Sampling.hashSample(docs, "doc_id", 0.5, "s")
       .queryExecution.executedPlan.toString
