@@ -124,8 +124,12 @@ object Sampling {
   def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
                      alpha: Double, salt: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // NULL domains are excluded from the rate map (a null map-literal
+    // key is a runtime error) and fall to mixDomains' defaultRate = 0:
+    // rows without a domain are dropped, consistent with q41's contract
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
     if (counts.isEmpty) df.filter(lit(false))
     else {
       val nMin = counts.values.min

@@ -128,6 +128,12 @@ class SamplingSpec extends SparkSpec {
     val id = Sampling.temperatureMix(skew, "source", "doc_id", 1.0, "t")
       .groupBy($"source").count().as[(String, Long)].collect().toMap
     assert(id == pre)
+    // NULL domains: dropped, not a map-literal crash
+    val withNull = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("a"))).toDF("id", "dom")
+    val kept = Sampling.temperatureMix(withNull, "dom", "id", 0.5, "t")
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
   }
 
   test("sampling filter is a narrow plan — no exchange") {
