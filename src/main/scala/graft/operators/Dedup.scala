@@ -177,7 +177,10 @@ object Dedup {
     * list is |verified pairs| ≪ corpus — the loop never touches
     * document text, only (id, id) pairs.
     *
-    * Each round's label frame is rebuilt from its (persisted) RDD:
+    * The returned frame is backed by one persisted (id, comp) dataset —
+    * two longs per paired doc, the smallest possible pin; callers done
+    * with it can release it with the session's cache-clear. Each
+    * round's label frame is rebuilt from its (persisted) RDD:
     * the round's plan references the previous round TWICE (directly and
     * through the neighbor aggregate), so carrying the logical plan
     * forward doubles its size per round — Catalyst re-analysis goes
