@@ -109,6 +109,51 @@ class SamplingSpec extends SparkSpec {
       s"balanced spread $spread !< hash spread $hashSpread")
   }
 
+  test("assignShardsStratified: bounded spread, tighter than hash, no global sort") {
+    val n = 8
+    val strata = 4
+    val weighted = docs.select($"doc_id", $"n_chars")
+    val sharded = Sampling.assignShardsStratified(
+      weighted, "n_chars", "doc_id", n, strata, "s-spec")
+    val sums = sharded.groupBy($"shard")
+      .agg(sum($"n_chars").as("w"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    // exhaustive: every row lands in exactly one of the n shards
+    assert(sums.map(_._1).sorted.toSeq == (0L until n.toLong))
+    assert(sums.map(_._3).sum == docs.count())
+    // per-stratum dealing bound composes: spread ≤ strata × max doc
+    val spread = sums.map(_._2).max - sums.map(_._2).min
+    val maxDoc = docs.agg(max($"n_chars")).head().getLong(0)
+    assert(spread <= strata.toLong * maxDoc,
+      s"spread $spread > strata×maxDoc ${strata.toLong * maxDoc}")
+    // strictly tighter than plain hash mod n on the same corpus
+    val hashSums = docs
+      .withColumn("shard", pmod(Sampling.hashBucket($"doc_id", "shrd"),
+        lit(n.toLong)))
+      .groupBy($"shard").agg(sum($"n_chars").as("w"))
+      .as[(Long, Long)].collect().map(_._2)
+    val hashSpread = hashSums.max - hashSums.min
+    assert(spread < hashSpread,
+      s"stratified spread $spread !< hash spread $hashSpread")
+    // deterministic and partitioning-invariant
+    val a = sharded.select($"doc_id", $"shard").as[(Long, Long)]
+      .collect().toMap
+    val b = Sampling.assignShardsStratified(weighted.repartition(7),
+        "n_chars", "doc_id", n, strata, "s-spec")
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // the scale property itself: every window in the plan is
+    // partitioned — NO global (empty-partitionBy) sort task
+    // (logical plan: AQE hides physical WindowExec from tree collect)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = sharded.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "found a global (unpartitioned) window in the stratified plan")
+  }
+
   test("temperatureMix flattens skewed domains; α=1 is identity; rarest keeps all") {
     // skew: src0 tiny ... src19 large (same rule as q64)
     val skew = docs.filter(pmod($"n_chars", lit(25)) <
@@ -134,6 +179,10 @@ class SamplingSpec extends SparkSpec {
     val kept = Sampling.temperatureMix(withNull, "dom", "id", 0.5, "t")
       .select($"id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+    // non-string domain columns compare by string form — no crash
+    val intDom = Seq((1L, 1), (2L, 1), (3L, 2)).toDF("id", "dom")
+    assert(Sampling.temperatureMix(intDom, "dom", "id", 1.0, "t")
+      .count() == 3)
   }
 
   test("sampling filter is a narrow plan — no exchange") {
