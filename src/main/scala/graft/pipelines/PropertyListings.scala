@@ -133,13 +133,19 @@ final class PropertyListings(spark: SparkSession, store: TableStore) {
     store.upsert("property_listings", current, keys, Seq("uuid"))
     // delisting: rows in the table whose key no longer appears in feed
     val existing = store.read("property_listings")
-    // localCheckpoint: evaluated 3× below and must survive the table
-    // rewrite in deleteByKeys
-    val delisted = graft.operators.Upsert.delisted(existing, current, keys)
-      .localCheckpoint(true)
-    if (!delisted.isEmpty) {
-      store.append("archived_listings", delisted)
-      store.deleteByKeys("property_listings", delisted, keys)
-    }
+    // RDD snapshot ([[TableStore.snapshot]]): evaluated 3× below and
+    // must survive the table rewrite in deleteByKeys. The archive
+    // append runs first, filling the cache while the pre-rewrite files
+    // are still live; nothing escapes this method, so the persist is
+    // scoped — and recomputable on executor loss, unlike the
+    // localCheckpoint it replaced.
+    val delisted = TableStore.snapshot(
+      graft.operators.Upsert.delisted(existing, current, keys))
+    try {
+      if (!delisted.isEmpty) {
+        store.append("archived_listings", delisted)
+        store.deleteByKeys("property_listings", delisted, keys)
+      }
+    } finally delisted.unpersist(blocking = false)
   }
 }

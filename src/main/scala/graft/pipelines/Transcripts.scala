@@ -42,14 +42,16 @@ final class Transcripts(spark: SparkSession, store: TableStore,
     val chunks = Chunker.slidingChunks(snippets, "video_url",
       Seq("ts"), "text", n, overlap)
       .withColumnRenamed("text", "chunk_text")
-    // localCheckpoint breaks lineage to the table files the flag-flip
-    // below rewrites — without it the returned frame re-reads replaced
-    // parquet on next evaluation
-    val vectors = chunks.select(
+    // RDD snapshot ([[TableStore.snapshot]]): survives the flag-flip
+    // rewrite below without re-reading replaced parquet, and — unlike
+    // the localCheckpoint this replaced — stays recomputable from the
+    // pre-rewrite files if an executor dies mid-pipeline. The append
+    // runs first so its job fills the cache while those files are
+    // still live. The returned frame is the caller's release handle.
+    val vectors = TableStore.snapshot(chunks.select(
       md5(concat(col("video_url"), lit("#"), col("chunk_id"))).as("id"),
       col("video_url"), col("chunk_id"), col("n_items"), col("chunk_text"),
-      Enrichment.hashEmbedding(col("chunk_text"), embedDim).as("vector"))
-      .localCheckpoint(true)
+      Enrichment.hashEmbedding(col("chunk_text"), embedDim).as("vector")))
     store.append("transcript_vectors", vectors)
     store.updateFlag("council_transcripts", todo.select("video_url"),
       Seq("video_url"), "vectorized", 1)
@@ -77,27 +79,34 @@ final class Transcripts(spark: SparkSession, store: TableStore,
       .filter(col("sim").isNotNull)
     val topk = TopK.perGroup(scored, Seq(col("video_url")),
       Seq(col("sim").desc, col("chunk_id")), k)
-    val produced = topk.groupBy(col("video_url"))
+    // two RDD snapshots ([[TableStore.snapshot]]), replacing the old
+    // localCheckpoint barrier: `produced` (every processed meeting,
+    // sentinels included — the flag-flip key set) is scoped to this
+    // call; `summaries` (the kept rows) goes back to the caller as its
+    // own release handle. The append runs first so both caches fill
+    // while the pre-rewrite table files are still live.
+    val produced = TableStore.snapshot(topk.groupBy(col("video_url"))
       .agg(concat_ws(" ", array_sort(collect_list(
         struct(col("rk"), col("chunk_text"))).getField("chunk_text")))
         .as("context"))
       .select(col("video_url"),
         Enrichment.keywordSummary(col("context"), 40).as("__raw"),
-        Enrichment.topics(col("context"), 5).as("topics"))
-      .localCheckpoint(true) // see vectorize: survives the flag-flip rewrite
-    val summaries = produced
-      .filter(!col("__raw").contains("[NONE]"))
-      .select(col("video_url"),
-        // F17: the reference rewrites [[N]](url&t=Ss) source links in
-        // the LLM summary to [[H:MM:SS]](url) before storing
-        graft.functions.TextFunctions.rewriteSourceLinks(col("__raw"))
-          .as("summary"),
-        col("topics"))
-    store.append("transcript_summaries", summaries)
-    // the flag flips for EVERY processed meeting, sentinel ones included
-    store.updateFlag("council_transcripts",
-      produced.select("video_url"), Seq("video_url"), "summarized", 1)
-    summaries
+        Enrichment.topics(col("context"), 5).as("topics")))
+    try {
+      val summaries = TableStore.snapshot(produced
+        .filter(!col("__raw").contains("[NONE]"))
+        .select(col("video_url"),
+          // F17: the reference rewrites [[N]](url&t=Ss) source links in
+          // the LLM summary to [[H:MM:SS]](url) before storing
+          graft.functions.TextFunctions.rewriteSourceLinks(col("__raw"))
+            .as("summary"),
+          col("topics")))
+      store.append("transcript_summaries", summaries)
+      // the flag flips for EVERY processed meeting, sentinel ones included
+      store.updateFlag("council_transcripts",
+        produced.select("video_url"), Seq("video_url"), "summarized", 1)
+      summaries
+    } finally produced.unpersist(blocking = false)
   }
 
   /** Consistency pass between the `vectorized` flag and the vector
@@ -113,11 +122,13 @@ final class Transcripts(spark: SparkSession, store: TableStore,
   def reconcile(): DataFrame = {
     val flagged = store.read("council_transcripts")
       .filter(col("vectorized") === 1).select(col("video_url"))
-    val orphans = (
+    // RDD snapshot ([[TableStore.snapshot]]): survives the flag rewrite
+    // below, recomputable from pre-rewrite files on executor loss; the
+    // returned key frame is the caller's release handle
+    val orphans = TableStore.snapshot(
       if (!store.exists("transcript_vectors")) flagged
       else Upsert.antiDelete(flagged,
         store.read("transcript_vectors"), Seq("video_url")))
-      .localCheckpoint(true) // survives the flag rewrite below
     if (!orphans.isEmpty)
       store.updateFlag("council_transcripts", orphans,
         Seq("video_url"), "vectorized", 0)

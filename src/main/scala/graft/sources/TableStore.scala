@@ -82,21 +82,15 @@ final class TableStore(spark: SparkSession, root: String) {
       if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
       else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
         .select(fped.columns.map(col).toIndexedSeq: _*)
-    // Snapshot BEFORE the append mutates this plan's own input: the
-    // returned frame must never re-run the anti-join against the table
-    // it was just appended to. An RDD-backed frame pins the scan to the
-    // file splits planned HERE (append-only table, so recompute on
-    // cache eviction stays on the pre-append snapshot); a plain
-    // persist() would not survive the write's recache-by-path, which
-    // re-executes the plan against the freshly-appended files and
-    // anti-joins the batch against itself.
-    // persist only for the duration of the write; the returned frame
-    // recomputes from the pinned splits if consumed afterwards (still
-    // the pre-append snapshot) — callers that read it repeatedly should
-    // persist it themselves. Leaving the cache pinned would leak one
-    // full batch per call across a long-lived ingest session.
-    val out = spark.createDataFrame(novel.rdd, novel.schema)
-    out.persist()
+    // Snapshot BEFORE the append mutates this plan's own input
+    // ([[TableStore.snapshot]] rationale): the returned frame must
+    // never re-run the anti-join against the table it was just appended
+    // to. Scoped persist: the table is append-only, so recompute from
+    // the pinned splits after release still yields the pre-append
+    // snapshot — callers that read it repeatedly should persist it
+    // themselves; pinning here would leak one full batch per call
+    // across a long-lived ingest session.
+    val out = TableStore.snapshot(novel)
     try append(table, out)
     finally out.unpersist(blocking = false)
     out
@@ -271,5 +265,31 @@ final class TableStore(spark: SparkSession, root: String) {
     fs.delete(tmp, true)
     fs.delete(bak, true)
     ()
+  }
+}
+
+object TableStore {
+
+  /** RDD-backed snapshot of a frame that must survive a mutation of the
+    * very table files it reads (K7/K8 flag-flip/delete rewrites). The
+    * `LogicalRDD` is opaque to the write path's recache-by-path — the
+    * plan is never re-executed against replaced files — and pins the
+    * scan to the file splits planned here. Unlike `localCheckpoint`,
+    * whose blocks die with their executors and can never be rebuilt,
+    * lineage stays recomputable from the pre-mutation files for the
+    * whole write phase (every rewrite is write-then-swap, so the old
+    * files outlive the job that reads them).
+    *
+    * The frame comes back `persist()`ed but lazily materialized: run
+    * the durable WRITE first (its job fills the cache while the old
+    * files are still live), then the rewrite. A snapshot consumed only
+    * inside the calling method is released in `finally`
+    * ([[TableStore.dedupAppend]]); one returned to the caller IS the
+    * release handle — `unpersist()` it when consumed.
+    */
+  def snapshot(df: DataFrame): DataFrame = {
+    val s = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    s.persist()
+    s
   }
 }

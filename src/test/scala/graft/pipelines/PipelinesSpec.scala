@@ -10,6 +10,19 @@ trait StoreFixture { self: SparkSpec =>
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     f(new TableStore(spark, dir))
   }
+  /** True once every persistent RDD not in `before` is gone —
+    * unpersist(blocking=false) releases asynchronously, so poll.
+    */
+  def drainsTo(before: scala.collection.Set[Int],
+               timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline) {
+      if (spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
+        return true
+      Thread.sleep(50)
+    }
+    spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before)
+  }
   def jsonDf(schema: org.apache.spark.sql.types.StructType,
              rows: String*): DataFrame = {
     import spark.implicits._
@@ -86,6 +99,28 @@ class PropertyListingsSpec extends SparkSpec with StoreFixture {
       assert(store.read("archived_listings").count() == 1)
       assert(store.read("archived_listings").head()
         .getAs[String]("brokerage") == "royal_park")
+    }
+  }
+
+  test("delist snapshot is scoped: the run leaves no cached/checkpoint RDDs") {
+    withStore { store =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val p = new PropertyListings(spark, store)
+      def runAll(rp: DataFrame): Unit = p.run(avRaw, omadaRaw, rp,
+        emptyEnrich.withColumnRenamed("enrich_note", "brochure_name"),
+        emptyEnrich.withColumnRenamed("enrich_note", "nearby_businesses"),
+        emptyEnrich.withColumnRenamed("enrich_note", "zoning"))
+      runAll(royalParkRaw)
+      runAll(royalParkRaw.limit(0)) // delists royal_park: archive + rewrite
+      assert(store.read("property_listings").count() == 2)
+      assert(store.read("archived_listings").count() == 1)
+      // the delist snapshot (evaluated 3x across the archive append and
+      // the table rewrite) is RDD-backed with a persist scoped to the
+      // run — a localCheckpoint pivot would strand executor-storage
+      // blocks here that nothing can release
+      assert(drainsTo(before),
+        s"run left cached RDDs: ${
+          spark.sparkContext.getPersistentRDDs.keySet -- before}")
     }
   }
 }
@@ -215,6 +250,44 @@ class TranscriptsSpec extends SparkSpec with StoreFixture {
       assert(repaired.select($"video_url").distinct()
         .as[String].collect().toSeq == Seq("https://yt/v2"))
       assert(tr.reconcile().count() == 0)
+    }
+  }
+
+  test("RDD snapshots survive flag-flip rewrites; no localCheckpoint blocks") {
+    withStore { store =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val tr = new Transcripts(spark, store, embedDim = 16)
+      val scraped = Seq(
+        ("https://yt/v1", "Meeting about zoning bylaws",
+          "2026-01-05", (1L to 12L).map(i => i * 10 -> s"snippet$i zoning topic").toMap),
+        ("https://yt/v2", "Meeting about transit budget",
+          "2026-01-06", (1L to 7L).map(i => i * 10 -> s"transit line$i budget").toMap)
+      ).toDF("video_url", "title", "date", "transcript")
+      tr.ingest(scraped)
+      // each site's returned frame is read only AFTER the table its
+      // lineage scans was rewritten by the flag flip — the snapshot
+      // must yield the pre-rewrite batch, not a re-read or a crash
+      val vectors = tr.vectorize(n = 5, overlap = 2)   // rewrites council_transcripts
+      val summaries = tr.summarize(k = 3)              // rewrites council_transcripts
+      store.deleteByKeys("transcript_vectors",
+        Seq("https://yt/v2").toDF("video_url"), Seq("video_url"))
+      val orphans = tr.reconcile()                     // rewrites council_transcripts
+      assert(vectors.count() == 7)
+      assert(summaries.count() == 2)
+      assert(orphans.as[String].collect().toSeq == Seq("https://yt/v2"))
+      // stable on re-evaluation (cached snapshot, not replaced parquet)
+      assert(vectors.count() == 7)
+      assert(summaries.count() == 2)
+      // returned frames are the release handles; with the old
+      // localCheckpoint barriers these unpersists released nothing
+      // (checkpoint blocks sit outside the cache manager) and the
+      // drain below failed — the port makes every snapshot releasable
+      vectors.unpersist(blocking = true)
+      summaries.unpersist(blocking = true)
+      orphans.unpersist(blocking = true)
+      assert(drainsTo(before),
+        s"pipeline left cached RDDs: ${
+          spark.sparkContext.getPersistentRDDs.keySet -- before}")
     }
   }
 }
