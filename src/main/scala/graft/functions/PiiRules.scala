@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * Patterns are deliberately restricted to the common dialect of Java
   * regex and RE2 (no lookarounds, no backreferences) — the same
   * portability contract as the rest of TextFunctions' mirrors.
+  *
+  * Detection envelope of the SEED rules (rules are data — production
+  * corpora extend the set rather than patching these): `phone` matches
+  * only the NNN-NNN-NNNN form — parenthesized `(555) 123-4567`,
+  * `+1`-prefixed, dotted, and bare-digit forms pass unredacted (false
+  * negatives). `ip` accepts out-of-range octets (`999.1.1.1`) and,
+  * having no word-boundary anchors (kept anchor-free for engine
+  * portability), matches INSIDE longer dotted-numeric runs — a version
+  * string like `10.2.3.4000` gets its prefix redacted (false
+  * positives). `email` is the pragmatic RFC-lite form: no quoted
+  * local parts, no IP-literal domains.
   */
 object PiiRules {
 

@@ -16,6 +16,27 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // Pair generation pins intermediate frames (band/index frames feed
+  // both sides of their self-joins; the component labeling is returned
+  // cached). [[releaseIntermediates]] is the owned release path — a
+  // long-lived session calls it once the pairs are materialized (or
+  // abandoned) instead of reaching for a session-wide cache clear.
+  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def track(df: DataFrame): DataFrame = synchronized {
+    pinned += df; df
+  }
+
+  /** Unpersist every intermediate frame the Dedup operators have pinned
+    * so far (session-wide, like a cache clear, but scoped to this
+    * object's pins). Returned pair/label frames stay VALID — evaluated
+    * again they recompute from source — so call this once downstream
+    * results are materialized, or when abandoning a run.
+    */
+  def releaseIntermediates(): Unit = synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup survivor set: min id per normalized-text fingerprint.
@@ -66,14 +87,14 @@ object Dedup {
     // localCheckpoint): the band frame feeds both join sides — compute
     // once, and the recomputable lineage survives executor loss, which
     // truncated-lineage local checkpoints do not.
-    val sigs = df.repartition(col(idCol))
+    val sigs = track(df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN))
           .as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
       .drop("sh")
-      .persist()
+      .persist())
     val a = sigs.select(col("band"), col("id").as("id_a"))
     val b = sigs.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -101,11 +122,11 @@ object Dedup {
     // repartition: parallelize shingling regardless of input splits;
     // persist: the inverted index feeds three consumers (both join
     // sides + sizes) — compute the heavy projection once, fault-tolerantly.
-    val shAll = df.repartition(col(idCol))
+    val shAll = track(df.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
           .as("sh"))
-      .persist()
+      .persist())
     val sh = if (maxShingleDf > 0) {
       // Heavy hitters are few by construction (df > cap) — broadcast the
       // hot set and anti-join it away without shuffling the index.
@@ -179,7 +200,8 @@ object Dedup {
     *
     * The returned frame is backed by one persisted (id, comp) dataset —
     * two longs per paired doc, the smallest possible pin; callers done
-    * with it can release it with the session's cache-clear. Each
+    * with it release it via [[releaseIntermediates]] (or unpersist it
+    * directly). Each
     * round's label frame is rebuilt from its (persisted) RDD:
     * the round's plan references the previous round TWICE (directly and
     * through the neighbor aggregate), so carrying the logical plan
@@ -196,9 +218,9 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var cached = edges.select(col("src").as("id")).distinct()
+    var cached = track(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist()
+      .persist())
     var labels = cached
     var changed = 1L
     var iter = 0
@@ -208,12 +230,15 @@ object Dedup {
       // component min, so the fixpoint is exactly the component labeling
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      val step = labels.as("l")
+      // tracked at persist time so even the non-convergence throw path
+      // leaves nothing unreleasable (rounds unpersist their predecessor;
+      // double-release on the registry is harmless)
+      val step = track(labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"), col("l.comp").as("old"),
           least(col("l.comp"), coalesce(col("nbr"), col("l.comp")))
             .as("comp"))
-        .persist()
+        .persist())
       changed = step.filter(col("comp") < col("old")).count()
       cached.unpersist(blocking = false)
       cached = step
@@ -296,10 +321,10 @@ object Dedup {
       struct(lit(b).as("b"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
           .as("bits"))): _*)
-    val banded = df.repartition(col(idCol))
+    val banded = track(df.repartition(col(idCol))
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .withColumn("key", explode(bandKeys))
-      .persist() // feeds both self-join sides, recomputable
+      .persist()) // feeds both self-join sides, recomputable
     val a = banded.select(col("key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val bb = banded.select(col("key"),

@@ -42,12 +42,19 @@ object Profile {
     * ties break deterministically by `idCol`, so the kept set is exactly
     * reproducible — this is the oracle/audit form; it sorts each group
     * inside one window partition.
+    *
+    * NULL `valCol` rows rank LAST (`asc_nulls_last`, pinned explicitly:
+    * Spark's default ASC ordering puts NULLs first, DuckDB's puts them
+    * last — an unpinned ordering would silently diverge from the SQL
+    * mirror on nullable columns). NULLs therefore land in the upper
+    * trimmed band and are cut for hi < 1; q62's `n_chars` is non-null,
+    * so its oracle is unaffected either way.
     */
   def quantileTrim(df: DataFrame, groupCol: String, valCol: String,
                    idCol: String, lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(valCol), col(idCol))
+      .orderBy(col(valCol).asc_nulls_last, col(idCol))
     val wc = Window.partitionBy(col(groupCol))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wc))

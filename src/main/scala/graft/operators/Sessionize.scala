@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
   * any salt split changes gaps at sub-partition boundaries and with
   * them the answer (as-of could replicate the small side; sessions
   * have no small side to replicate). AQE can't help either: skew-join
-  * splitting does not apply to a single window partition. The honest
-  * scale paths, in preference order: (1) a coarser pre-key — sessions
-  * rarely span days, so partitioning by (key, day) with a two-pass
-  * boundary stitch bounds any reducer at one key-day; (2) the
+  * splitting does not apply to a single window partition. The scale
+  * paths, in preference order: (1) [[assignStitched]] — the same
+  * answer computed within (key, bucket) partitions plus a boundary
+  * stitch, bounding any reducer at one key-bucket of events; (2) the
   * streaming twin (`Streams.sessionWindows`), whose watermark keeps
   * per-key state bounded regardless of history length. A key hot
-  * enough to stall a reducer here is a data-model smell (a bot or a
-  * default id), not a partitioning bug.
+  * enough to stall even a single key-day is a data-model smell (a
+  * bot or a default id), not a partitioning bug.
   */
 object Sessionize {
 
@@ -61,5 +61,73 @@ object Sessionize {
       (max(col(tsCol)) - min(col(tsCol))).as("duration")) ++
       valueCol.map(v => sum(col(v)).as(s"sum_$v"))
     assigned.groupBy(col(keyCol), col("session_ord")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scale twin of [[assign]], same answer (differential-tested):
+    * sessionize within (key, time-bucket) partitions, then stitch
+    * sessions that span a bucket boundary. `bucketWidth` must be ≥
+    * `maxGap`, which makes the stitch exact with ONE lag per active
+    * bucket: a session can only bridge ADJACENT buckets (any skipped
+    * bucket implies a gap > bucketWidth ≥ maxGap), so comparing each
+    * bucket's first event to the previous active bucket's last event
+    * decides every merge, and chains (a session crossing several
+    * midnights) compose through the running renumbering below.
+    *
+    * Renumbering: with n_b local sessions in bucket b and m_b ∈ {0,1}
+    * the merge-with-previous flag, the global ordinal of local session
+    * (b, ord) is C(b) + ord − m_b where C(b) = Σ_{b'<b} (n_b' − m_b').
+    * C(b) is exactly the ordinal of the previous bucket's last session,
+    * so a merged first session inherits it — transitively.
+    *
+    * Cost shape at 100 TB: the event-level window partitions on
+    * (key, bucket) — a mega-key's reducer sees one bucket, not its
+    * whole history. The stitch operates on ONE ROW per active
+    * (key, bucket) (first/last ts + session count): the per-key window
+    * over those rows is bounded by #active-buckets (e.g. days in the
+    * corpus), never by events. The join back to events reuses the
+    * (key, bucket) hash partitioning.
+    *
+    * Bucket ids come from exact integral arithmetic (pmod + decimal
+    * division), not double division — nanosecond timestamps exceed
+    * 2^53 and would mis-bucket boundary events under floor(ts/width).
+    */
+  def assignStitched(df: DataFrame, keyCol: String, tsCol: String,
+                     maxGap: Long, tieCol: String, bucketWidth: Long,
+                     sessionCol: String = "session_ord"): DataFrame = {
+    require(bucketWidth >= maxGap,
+      s"bucketWidth ($bucketWidth) must be >= maxGap ($maxGap) so " +
+        "sessions can only bridge adjacent buckets")
+    val k = col(keyCol)
+    val ts = col(tsCol)
+    val bkt = ((ts - pmod(ts, lit(bucketWidth))).cast("decimal(38,0)") /
+      lit(bucketWidth)).cast("long")
+    val withB = df.withColumn("__bkt", bkt)
+
+    // pass 1: local sessions, window partitioned by (key, bucket)
+    val wLoc = Window.partitionBy(k, col("__bkt"))
+      .orderBy(ts.asc, col(tieCol).asc)
+    val prev = lag(ts, 1).over(wLoc)
+    val isNew = when(prev.isNull || ts - prev > maxGap, 1L).otherwise(0L)
+    val local = withB.withColumn("__ord",
+      sum(isNew).over(wLoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+
+    // pass 2 (bounded: one row per active key-bucket): merge flags and
+    // the cumulative renumbering offset
+    val wKey = Window.partitionBy(k).orderBy(col("__bkt").asc)
+    val stitch = local.groupBy(k, col("__bkt"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"),
+        max(col("__ord")).as("__n"))
+      .withColumn("__m",
+        when(col("__first") - lag(col("__last"), 1).over(wKey) <= maxGap,
+          1L).otherwise(0L))
+      .withColumn("__c",
+        coalesce(sum(col("__n") - col("__m"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(k, col("__bkt"), col("__m"), col("__c"))
+
+    local.join(stitch, Seq(keyCol, "__bkt"))
+      .withColumn(sessionCol, col("__c") + col("__ord") - col("__m"))
+      .drop("__bkt", "__ord", "__m", "__c")
   }
 }

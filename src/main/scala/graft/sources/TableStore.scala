@@ -76,6 +76,12 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def dedupAppend(table: String, batch: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
+    // fp is this sink's column: silently overwriting caller data that
+    // already carries one would corrupt it AND poison the cross-batch
+    // anti-join — reject loudly instead
+    require(!batch.columns.contains("fp"),
+      "dedupAppend reserves the column name 'fp' for the stored " +
+        "fingerprint; rename the batch's existing 'fp' column first")
     val fped = batch.withColumn("fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     val novel =

@@ -198,6 +198,26 @@ class DedupSpec extends SparkSpec {
     assert(badRoot == 0)
     assert(labels.count() > 0)
   }
+
+  test("releaseIntermediates is the owned release path for Dedup pins") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val got = labels.count()
+    assert(got > 0)
+    // the operators pinned intermediates (band frame, labeling)…
+    assert(spark.sparkContext.getPersistentRDDs.keySet != before)
+    // …and the owned release drains every one of them
+    Dedup.releaseIntermediates()
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline &&
+      !spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      s"still pinned: ${spark.sparkContext.getPersistentRDDs.keySet -- before}")
+    // released frames stay valid — they recompute from source
+    assert(labels.count() == got)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -56,6 +56,17 @@ class ProfileSpec extends SparkSpec {
     assert(kept == Set(("a", 17L, 10L, 170L), ("b", 17L, 10L, 170L)))
   }
 
+  test("quantileTrim: NULL values rank last (pinned cross-engine order)") {
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (4L, Option.empty[Long]), (5L, Some(40L)))
+      .toDF("id", "v").withColumn("src", lit("a"))
+    // hi=0.8 on n=5 keeps ranks 1..4; the NULL must be rank 5 (trimmed),
+    // matching DuckDB's default NULLS LAST — not Spark's NULLS FIRST
+    val kept = Profile.quantileTrim(df, "src", "v", "id", 0.0, 0.8)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
   test("quantileTrimApprox: windowless plan, agrees with exact off ties") {
     val trimmed = Profile.quantileTrimApprox(docs
       .select($"doc_id", $"source", $"n_chars"),

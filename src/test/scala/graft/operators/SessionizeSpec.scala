@@ -42,6 +42,62 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_events") == 1L)
   }
 
+  test("assignStitched: boundary-spanning chains merge; empty buckets split") {
+    // bucket=100, maxGap=100: events chain across 4 bucket boundaries
+    // (every gap == maxGap), then an empty bucket forces a split
+    val e = Seq(("a", 1L, 50L), ("a", 2L, 150L), ("a", 3L, 250L),
+      ("a", 4L, 350L), ("a", 5L, 600L), ("b", 6L, 99L), ("b", 7L, 101L))
+      .toDF("k", "id", "ts")
+    val out = Sessionize.assignStitched(e, "k", "ts", maxGap = 100L,
+      tieCol = "id", bucketWidth = 100L)
+      .select($"id", $"session_ord").as[(Long, Long)].collect().toMap
+    // chain through buckets 0->1->2->3 is ONE session (transitive merge)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    // bucket 4 is empty: id 5 starts session 2
+    assert(out(5L) == 2L)
+    // b: gap 2 across the boundary merges
+    assert(out(6L) == 1L && out(7L) == 1L)
+  }
+
+  test("assignStitched == assign (differential on the events table)") {
+    val gapUs = 1800000000L   // 30 min
+    val dayUs = 86400000000L  // 1 day
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"))
+    val plain = Sessionize.assign(e, "user_id", "ts_us", gapUs, "event_id")
+      .select($"event_id", $"session_ord").as[(Long, Long)].collect().toMap
+    val stitched = Sessionize.assignStitched(e, "user_id", "ts_us", gapUs,
+      "event_id", dayUs)
+      .select($"event_id", $"session_ord").as[(Long, Long)].collect().toMap
+    assert(stitched == plain)
+    // and on a mega-key fixture: one key owning every event
+    val mega = e.withColumn("user_id", lit(42L))
+    val p2 = Sessionize.assign(mega, "user_id", "ts_us", gapUs, "event_id")
+      .select($"event_id", $"session_ord").as[(Long, Long)].collect().toMap
+    val s2 = Sessionize.assignStitched(mega, "user_id", "ts_us", gapUs,
+      "event_id", dayUs)
+      .select($"event_id", $"session_ord").as[(Long, Long)].collect().toMap
+    assert(s2 == p2)
+  }
+
+  test("assignStitched plan: event window partitioned by (key, bucket)") {
+    val e = Seq(("a", 1L, 50L)).toDF("k", "id", "ts")
+    val out = Sessionize.assignStitched(e, "k", "ts", 100L, "id", 100L)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.partitionSpec.length
+    }
+    // the event-level pass partitions on (key, bucket); the per-key
+    // stitch window runs over one bounded row per active key-bucket;
+    // nothing is globally sorted
+    assert(wins.contains(2), s"window partition specs: $wins")
+    assert(wins.forall(_ >= 1))
+    // bucketWidth < maxGap is rejected (stitch would need lookback > 1)
+    intercept[IllegalArgumentException] {
+      Sessionize.assignStitched(e, "k", "ts", 200L, "id", 100L)
+    }
+  }
+
   test("plan: one hash exchange on the key feeds both windows and the agg") {
     val plan = Sessionize.stats(ev, "k", "ts", 50L, "id")
       .queryExecution.executedPlan.toString

@@ -219,5 +219,10 @@ class TableStoreSpec extends SparkSpec {
     assert(kept2 == Seq(5L))
     assert(ts.read("corpus").select($"doc_id").as[Long].collect().toSeq.sorted
       == Seq(1L, 3L, 5L))
+    // a batch already carrying 'fp' is rejected, never silently clobbered
+    val clash = Seq((6L, "text", "caller-data")).toDF("doc_id", "text", "fp")
+    intercept[IllegalArgumentException] {
+      ts.dedupAppend("corpus", clash, "doc_id", "text")
+    }
   }
 }
