@@ -27,6 +27,21 @@ import graft.operators.Upsert
   * and a crash at any point leaves each partition wholly old or wholly
   * new. Unpartitioned tables use the same temp-swap at table
   * granularity (single-writer assumption, SURVEY.md §7.4).
+  *
+  * CROSS-partition atomicity comes from a `_graft_commit` manifest (a
+  * tiny sequenced sidecar FILE next to the table dir, so it never moves
+  * with a dir rename): every rewrite records `state=swapping` plus the
+  * touched partition dirs before the first rename and commits with a
+  * `state=clean, generation+1` manifest after the last. [[read]]
+  * resolves a swapping manifest by preferring each touched dir's
+  * `__old` copy — a crash ANYWHERE inside the swap therefore reads as
+  * wholly the previous generation, never a mix — and every mutation
+  * rolls a crashed swap back to that generation before proceeding.
+  * Manifest files are single small writes (atomic create on every FS;
+  * a single PUT on object stores). On stores without atomic dir rename
+  * (raw S3) the remaining exposure is one partition dir mid-rename —
+  * the manifest narrows the non-atomic window from the whole table to
+  * that single dir; closing it fully would need per-file manifests.
   */
 final class TableStore(spark: SparkSession, root: String) {
 
@@ -35,15 +50,139 @@ final class TableStore(spark: SparkSession, root: String) {
   private def fsOf(p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  def exists(table: String): Boolean = {
-    val p = hpath(table)
-    fsOf(p).exists(p)
+  /** Fault-injection seam for crash-consistency specs: when >= 0, the
+    * Nth directory rename inside a swap throws, simulating a process
+    * kill mid-swap. Never set outside tests.
+    */
+  private[sources] var failAfterSwaps: Int = -1
+  private def swapFault(done: Int): Unit =
+    if (failAfterSwaps >= 0 && done >= failAfterSwaps)
+      throw new IllegalStateException("injected crash mid-swap")
+
+  // ------------------------------------------------------ commit manifest
+
+  private[sources] case class Manifest(seq: Long, gen: Long,
+                                       swapping: Boolean, dirs: Seq[String])
+
+  private def manifestName(table: String) = s"$table._graft_commit."
+
+  private def listManifests(table: String): Seq[(Long, Path)] = {
+    val rootP = new Path(root)
+    val fs = fsOf(rootP)
+    if (!fs.exists(rootP)) Nil
+    else {
+      val pre = manifestName(table)
+      fs.listStatus(rootP).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(pre))
+        .flatMap(p => p.getName.stripPrefix(pre).toLongOption.map(_ -> p))
+    }
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  private[sources] def readManifest(table: String): Option[Manifest] = {
+    val ms = listManifests(table)
+    if (ms.isEmpty) None
+    else {
+      val (seq, p) = ms.maxBy(_._1)
+      val in = fsOf(p).open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+      def vs(k: String) =
+        lines.filter(_.startsWith(k + "=")).map(_.stripPrefix(k + "="))
+      Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
+        vs("state").headOption.contains("swapping"), vs("dir")))
+    }
+  }
+
+  /** New manifests get a fresh sequence number and older files are
+    * pruned only after the new one exists — a crash between the two
+    * leaves both on disk and readers take the max, so the manifest
+    * itself needs no atomic overwrite.
+    */
+  private def writeManifest(table: String, gen: Long, swapping: Boolean,
+                            dirs: Seq[String]): Unit = {
+    val ms = listManifests(table)
+    val seq = ms.map(_._1).maxOption.getOrElse(0L) + 1
+    val p = new Path(root, manifestName(table) + seq)
+    val fs = fsOf(p)
+    val out = fs.create(p, false)
+    try {
+      val body = (Seq(s"gen=$gen",
+        s"state=${if (swapping) "swapping" else "clean"}") ++
+        dirs.map("dir=" + _)).mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    ms.foreach { case (_, old) => fs.delete(old, false) }
+  }
+
+  private def sub(base: Path, rel: String): Path =
+    if (rel.isEmpty) base else new Path(base, rel)
+
+  /** Roll a crashed swap BACK to the manifest generation: every touched
+    * dir whose `__old` copy exists is restored, siblings and the
+    * swapping manifest are cleared. Mutations call this first; reads
+    * never mutate (they resolve the crashed state logically instead).
+    */
+  private[sources] def recover(table: String): Unit =
+    readManifest(table).filter(_.swapping).foreach { m =>
+      val dst = hpath(table)
+      val fs = fsOf(dst)
+      val bak = new Path(path(table) + "__old")
+      val tmp = new Path(path(table) + "__tmp")
+      m.dirs.foreach { rel =>
+        val o = sub(bak, rel)
+        if (fs.exists(o)) {
+          val c = sub(dst, rel)
+          fs.delete(c, true)
+          fs.mkdirs(c.getParent)
+          fs.rename(o, c)
+        }
+      }
+      fs.delete(tmp, true)
+      fs.delete(bak, true)
+      writeManifest(table, m.gen, swapping = false, Nil)
+    }
+
+  def exists(table: String): Boolean = {
+    val p = hpath(table)
+    fsOf(p).exists(p) ||
+      readManifest(table).exists(m => m.swapping &&
+        fsOf(p).exists(new Path(path(table) + "__old")))
+  }
+
+  /** Table scan. Under a `clean` manifest (or none) this is a plain
+    * parquet read. Under a `swapping` manifest — a rewrite crashed
+    * mid-swap — every touched dir with a surviving `__old` copy reads
+    * from that copy, untouched and not-yet-swapped dirs read in place:
+    * wholly the committed generation, never a mix of old and new.
+    */
+  def read(table: String): DataFrame = readManifest(table) match {
+    case Some(m) if m.swapping =>
+      val dstS = path(table)
+      val bakS = dstS + "__old"
+      val dst = new Path(dstS)
+      val fs = fsOf(dst)
+      val liveOld = m.dirs.filter(rel => fs.exists(sub(new Path(bakS), rel)))
+      if (liveOld.isEmpty) spark.read.parquet(dstS)
+      else if (liveOld.contains("")) spark.read.parquet(bakS)
+      else {
+        val depth = liveOld.head.count(_ == '/') + 1
+        val allCur =
+          if (fs.exists(dst)) leafDirs(fs, dst, depth, "") else Nil
+        val curKeep = allCur.filterNot(liveOld.toSet)
+        val oldDf = spark.read.option("basePath", bakS)
+          .parquet(liveOld.map(r => s"$bakS/$r"): _*)
+        if (curKeep.isEmpty) oldDf
+        else oldDf.unionByName(spark.read.option("basePath", dstS)
+          .parquet(curKeep.map(r => s"$dstS/$r"): _*))
+      }
+    case _ => spark.read.parquet(path(table))
+  }
 
   def append(table: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Unit = {
+    recover(table) // never append into a half-swapped layout
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(table))
@@ -53,7 +192,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * `tieBreak` makes intra-batch dedup deterministic.
     */
   def upsert(table: String, incoming: DataFrame, keys: Seq[String],
-             tieBreak: Seq[String], partitionBy: Seq[String] = Nil): Unit =
+             tieBreak: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    recover(table)
     if (!exists(table)) {
       append(table, Upsert.dedupByKey(incoming, keys, tieBreak), partitionBy)
     } else {
@@ -62,6 +202,7 @@ final class TableStore(spark: SparkSession, root: String) {
         .select(existing.columns.map(col).toIndexedSeq: _*)
       append(table, novel, partitionBy)
     }
+  }
 
   /** Exact-dedup append: insert only batch rows whose normalized-text
     * fingerprint has never been stored — cross-batch dedup backed by
@@ -82,6 +223,7 @@ final class TableStore(spark: SparkSession, root: String) {
     require(!batch.columns.contains("fp"),
       "dedupAppend reserves the column name 'fp' for the stored " +
         "fingerprint; rename the batch's existing 'fp' column first")
+    recover(table)
     val fped = batch.withColumn("fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     val novel =
@@ -107,7 +249,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * rewritten; partitions left empty by the delete are removed.
     */
   def deleteByKeys(table: String, toDelete: DataFrame, keys: Seq[String],
-                   partitionCols: Seq[String] = Nil): Unit =
+                   partitionCols: Seq[String] = Nil): Unit = {
+    recover(table) // hitParts reads the table lazily — fix layout first
     if (partitionCols.isEmpty)
       rewrite(table, Upsert.antiDelete(read(table), toDelete, keys))
     else
@@ -116,6 +259,7 @@ final class TableStore(spark: SparkSession, root: String) {
           .join(toDelete.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partitionCols.map(col): _*).distinct(),
         transform = Upsert.antiDelete(_, toDelete, keys))
+  }
 
   /** Flag flip: set `flagCol = value` on rows whose key is in `keysDf`
     * (reference: summarized=1 / vectorized=1 rewrites). With
@@ -125,6 +269,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def updateFlag(table: String, keysDf: DataFrame, keys: Seq[String],
                  flagCol: String, value: Int,
                  partitionCols: Seq[String] = Nil): Unit = {
+    recover(table) // hitParts reads the table lazily — fix layout first
     import org.apache.spark.sql.functions._
     def flip(df: DataFrame): DataFrame =
       df.join(keysDf.select(keys.map(col): _*).distinct()
@@ -155,6 +300,7 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def compact(table: String, partitionCols: Seq[String] = Nil,
               maxFiles: Int = 1, targetFiles: Int = 8): Unit = {
+    recover(table)
     import org.apache.spark.sql.functions._
     if (partitionCols.isEmpty) {
       rewrite(table, read(table).repartition(targetFiles))
@@ -176,12 +322,16 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Full-table rewrite via temp dir + rename through the table's
-    * FileSystem (single writer). On stores without atomic dir rename
-    * (raw S3) the window is the two renames — still write-then-swap,
-    * never truncate-then-write.
+    * FileSystem (single writer), manifest-fenced: `state=swapping` is
+    * recorded before the first rename and the generation commits only
+    * after the swap, so a crash between the two renames (the window on
+    * stores without atomic dir rename) still [[read]]s as wholly the
+    * old table — never missing, never mixed.
     */
   def rewrite(table: String, df: DataFrame,
               partitionBy: Seq[String] = Nil): Unit = {
+    recover(table)
+    val gen = readManifest(table).map(_.gen).getOrElse(0L)
     val dst = hpath(table)
     val tmp = new Path(path(table) + "__tmp")
     val bak = new Path(path(table) + "__old")
@@ -190,8 +340,11 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(tmp.toString)
     val fs = fsOf(dst)
     fs.delete(bak, true)
+    writeManifest(table, gen, swapping = true, Seq(""))
     if (fs.exists(dst)) fs.rename(dst, bak)
+    swapFault(1)
     fs.rename(tmp, dst)
+    writeManifest(table, gen + 1, swapping = false, Nil)
     fs.delete(bak, true)
     ()
   }
@@ -211,8 +364,10 @@ final class TableStore(spark: SparkSession, root: String) {
                                        partitionCols: Seq[String],
                                        hitParts: DataFrame,
                                        transform: DataFrame => DataFrame): Unit = {
+    recover(table)
     val affected = hitParts.collect()
     if (affected.isEmpty) return
+    val gen = readManifest(table).map(_.gen).getOrElse(0L)
     val affectedDf = broadcast(
       spark.createDataFrame(java.util.Arrays.asList(affected: _*),
         hitParts.schema))
@@ -234,13 +389,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // emit rows into partition values outside `affected`, e.g. a flag
     // flip on a partition column; one that empties a partition writes
     // no dir at all)
-    def leafDirs(base: Path, depth: Int, rel: String): Seq[String] =
-      if (depth == 0) Seq(rel)
-      else fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .flatMap(s => leafDirs(s.getPath, depth - 1,
-          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
-    val written = leafDirs(tmp, partitionCols.length, "")
+    val written = leafDirs(fs, tmp, partitionCols.length, "").toSet
     val affectedRels = affected.map { row =>
       partitionCols.zipWithIndex.map { case (c, i) =>
         val v = row.get(i)
@@ -249,11 +398,20 @@ final class TableStore(spark: SparkSession, root: String) {
         s"${ExternalCatalogUtils.escapePathName(c)}=$s"
       }.mkString("/")
     }.toSet
+    val emptied = affectedRels -- written
+
+    // manifest fence: record the touched dirs BEFORE the first rename;
+    // until the clean generation-bump manifest lands after the last
+    // rename, reads resolve every touched dir to its __old copy — a
+    // crash anywhere in phase 2 reads as wholly the old generation
+    writeManifest(table, gen, swapping = true,
+      (written ++ emptied).toSeq.sorted)
 
     // phase 2: per-partition swap. Old data moves to the OUTSIDE
     // sibling `__old` (an `…__old` dir inside the table would read as
     // a bogus partition value if a crash stranded it), new dir renames
     // in — each dir is old or new at every instant, never truncated.
+    var swaps = 0
     written.foreach { rel =>
       val cur = new Path(dst, rel)
       val old = new Path(bak, rel)
@@ -261,17 +419,38 @@ final class TableStore(spark: SparkSession, root: String) {
         fs.mkdirs(old.getParent)
         fs.rename(cur, old)
       }
+      swaps += 1; swapFault(swaps)
       fs.mkdirs(cur.getParent)
       fs.rename(new Path(tmp, rel), cur)
     }
-    // affected partitions the transform emptied: delete (as before)
-    (affectedRels -- written).foreach { rel =>
-      fs.delete(new Path(dst, rel), true)
+    // affected partitions the transform emptied: moved aside, not
+    // deleted, so rollback can restore them; cleanup removes __old
+    emptied.foreach { rel =>
+      val cur = new Path(dst, rel)
+      if (fs.exists(cur)) {
+        val old = new Path(bak, rel)
+        fs.mkdirs(old.getParent)
+        fs.rename(cur, old)
+      }
+      swaps += 1; swapFault(swaps)
     }
+    writeManifest(table, gen + 1, swapping = false, Nil)
     fs.delete(tmp, true)
     fs.delete(bak, true)
     ()
   }
+
+  /** Leaf partition dirs (relative `col=v/...` paths) `depth` levels
+    * under `base`.
+    */
+  private def leafDirs(fs: FileSystem, base: Path, depth: Int,
+                       rel: String): Seq[String] =
+    if (depth == 0) Seq(rel)
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(s => leafDirs(fs, s.getPath, depth - 1,
+        if (rel.isEmpty) s.getPath.getName
+        else s"$rel/${s.getPath.getName}"))
 }
 
 object TableStore {

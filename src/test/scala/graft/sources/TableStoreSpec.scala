@@ -225,4 +225,76 @@ class TableStoreSpec extends SparkSpec {
       ts.dedupAppend("corpus", clash, "doc_id", "text")
     }
   }
+
+  test("crash between the two renames of a full rewrite reads wholly-old") {
+    val ts = freshStore()
+    ts.append("u", (1L to 10L).toDF("id").withColumn("flag", lit(0)))
+    ts.failAfterSwaps = 1 // kill after rename(dst -> old), before tmp -> dst
+    val boom = intercept[IllegalStateException] {
+      ts.updateFlag("u", Seq(4L).toDF("id"), Seq("id"), "flag", 9)
+    }
+    assert(boom.getMessage.contains("injected"))
+    ts.failAfterSwaps = -1
+    // the live dir is GONE at this instant — the manifest resolves the
+    // read to the __old copy: wholly the previous generation
+    assert(ts.exists("u"))
+    assert(ts.read("u").filter($"flag" === 9).count() == 0)
+    assert(ts.read("u").select($"id").as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+    // the next mutation recovers the layout and applies cleanly
+    ts.updateFlag("u", Seq(4L).toDF("id"), Seq("id"), "flag", 9)
+    assert(ts.read("u").filter($"flag" === 9).select($"id")
+      .as[Long].collect().toSeq == Seq(4L))
+    assert(ts.readManifest("u").exists(m => !m.swapping))
+  }
+
+  test("crash mid multi-partition swap reads wholly-old, never mixed") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    // flag flip hits d1 AND d3; crash after d1's pair fully swapped,
+    // mid-way through the second dir's pair
+    ts.failAfterSwaps = 2
+    intercept[IllegalStateException] {
+      ts.updateFlag("t", Seq(1L, 3L).toDF("id"), Seq("id"), "flag", 1,
+        partitionCols = Seq("day"))
+    }
+    ts.failAfterSwaps = -1
+    // one partition already carries generation N+1 bytes in place — the
+    // manifest must still resolve BOTH touched dirs to the old copies
+    val rows = ts.read("t")
+    assert(rows.count() == 100)
+    assert(rows.filter($"flag" === 1).count() == 0, "mixed-generation read")
+    // recovery (first op of the next mutation) rolls back, then the
+    // retried mutation lands
+    ts.updateFlag("t", Seq(1L, 3L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    val after = ts.read("t")
+    assert(after.count() == 100)
+    assert(after.filter($"flag" === 1).select($"id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(ts.readManifest("t").exists(m => !m.swapping && m.gen == 1L))
+  }
+
+  test("crash while removing an emptied partition restores it on recovery") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    // delete all of d1 (emptied partition -> rename-aside, not delete)
+    val doomed = (0L until 100L).filter(_ % 5 == 1).toDF("id")
+    ts.failAfterSwaps = 1
+    intercept[IllegalStateException] {
+      ts.deleteByKeys("t", doomed, Seq("id"), partitionCols = Seq("day"))
+    }
+    ts.failAfterSwaps = -1
+    // wholly-old: the emptied partition is still visible pre-recovery
+    assert(ts.read("t").count() == 100)
+    // and still there after a recovery triggered by an unrelated no-op
+    ts.updateFlag("t", Seq(9999L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    assert(ts.read("t").count() == 100)
+    assert(ts.read("t").filter($"day" === "d1").count() == 20)
+    // the retried delete then completes
+    ts.deleteByKeys("t", doomed, Seq("id"), partitionCols = Seq("day"))
+    assert(ts.read("t").count() == 80)
+    assert(ts.read("t").filter($"day" === "d1").count() == 0)
+  }
 }
