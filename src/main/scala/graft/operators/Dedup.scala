@@ -260,6 +260,84 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] twin with O(log n) round complexity:
+    * alternating large-star / small-star contraction (the MapReduce CC
+    * algorithm of Kiveris et al.), for graphs whose diameter — not
+    * size — is the problem. Min-label propagation needs one round per
+    * hop, so a pathological near-dup CHAIN (template docs A≈B≈C≈…)
+    * walks its whole length; star contraction halves structure every
+    * round on the same bare (id, id) frames.
+    *
+    * One round = large-star (every node points its LARGER neighbors at
+    * its neighborhood min — preserves connectivity, never increases
+    * edge count) then small-star (orient edges big→small, point each
+    * node's smaller neighbors and itself at the min). The fixpoint is
+    * the star graph: every non-min node holds exactly the edge
+    * (id, component-min). Convergence is CONFIRMED structurally (the
+    * round reproduces its input edge set — checked with two
+    * anti-joins), not inferred from a count, and failure to converge
+    * within `maxIter` throws loudly like the propagation twin.
+    *
+    * Same contracts as [[connectedComponents]]: output (id, comp = min
+    * member id) for every id in a pair; per-round plan truncation via
+    * RDD rebuild (recomputable lineage, no localCheckpoint); pins
+    * released via [[releaseIntermediates]]. Prefer this form when
+    * clusters may chain; the propagation twin stays as the
+    * audit/oracle form (q61).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    val spark0 = pairs.sparkSession
+    def dedup(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      dedup(n.join(m, n("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("u"), col("m"))
+      val joined = o.join(m, o("src") === col("u"))
+      dedup(joined.select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("u").as("src"), col("m").as("dst"))))
+    }
+    var cached = track(dedup(pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))).persist())
+    var cur = cached
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val stepped = track(smallStar(largeStar(cur)).persist())
+      // structural convergence: the round reproduced its input edges
+      // (the two anti-joins also materialize stepped's cache fully
+      // before the previous round's pin is dropped)
+      converged = stepped.join(cur, Seq("src", "dst"), "left_anti").isEmpty &&
+        cur.join(stepped, Seq("src", "dst"), "left_anti").isEmpty
+      cached.unpersist(blocking = false)
+      cached = stepped
+      // plan truncation (see connectedComponents): the next round
+      // references this frame several times — rebuild from the RDD so
+      // the logical plan doesn't compound, lineage stays recomputable
+      cur = spark0.createDataFrame(stepped.rdd, stepped.schema)
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar not converged in $maxIter rounds; " +
+          "raise maxIter (rounds grow ~log of the largest component)")
+    // star fixpoint: every edge is (member, component-min); minima
+    // label themselves
+    dedup(cur).select(col("src").as("id"), col("dst").as("comp"))
+      .union(cur.select(col("dst").as("id"), col("dst").as("comp")))
+      .distinct()
+  }
+
   /** Per-component dedup summary over verified pairs: component id (=
     * min member id, the elected survivor), member count, and how many
     * docs deletion would remove. Downstream: anti-join the corpus

@@ -49,15 +49,16 @@ object SpatialJoin {
                          px: Column, py: Column, ringCol: String)
       : DataFrame = {
     val ring = col(ringCol)
-    val withBbox = polys
-      .withColumn("__minx", array_min(transform(ring, p => p.getField("x"))))
-      .withColumn("__maxx", array_max(transform(ring, p => p.getField("x"))))
-      .withColumn("__miny", array_min(transform(ring, p => p.getField("y"))))
-      .withColumn("__maxy", array_max(transform(ring, p => p.getField("y"))))
+    // bbox precomputed on the polygon frame BEFORE broadcast by the
+    // one-pass native kernel (codegen'd; an empty ring yields a null
+    // bbox whose comparisons drop the row, like the HOF form it
+    // replaced) — no interpreted lambda anywhere in the join plan
+    val withBbox = polys.withColumn("__bbox",
+      call_function("graft_poly_bbox", ring))
     points.crossJoin(broadcast(withBbox))
-      .filter(px >= col("__minx") && px <= col("__maxx") &&
-        py >= col("__miny") && py <= col("__maxy"))
+      .filter(px >= col("__bbox.minx") && px <= col("__bbox.maxx") &&
+        py >= col("__bbox.miny") && py <= col("__bbox.maxy"))
       .filter(GeoFunctions.pointInPolygon(px, py, ring))
-      .drop("__minx", "__maxx", "__miny", "__maxy")
+      .drop("__bbox")
   }
 }

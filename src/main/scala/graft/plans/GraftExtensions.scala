@@ -41,6 +41,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => ShinglesExpr(c(0), c(1))),
     (FunctionIdentifier("graft_pip"), info("graft_pip"),
       (c: Seq[Expression]) => PointInPolygonExpr(c(0), c(1), c(2))),
+    (FunctionIdentifier("graft_poly_bbox"), info("graft_poly_bbox"),
+      (c: Seq[Expression]) => PolyBboxExpr(c(0))),
     (FunctionIdentifier("graft_plane_sig"), info("graft_plane_sig"),
       (c: Seq[Expression]) => PlaneSignatureExpr(c(0), c(1))),
     (FunctionIdentifier("graft_int_dot"), info("graft_int_dot"),

@@ -215,6 +215,26 @@ object NativeKernels extends Serializable {
     crossings % 2 == 1
   }
 
+  /** See [[PolyBboxExpr]]: one-pass min/max over a struct<x,y> ring.
+    * Caller guarantees numElements > 0.
+    */
+  def polyBbox(ring: ArrayData, nf: Int, xi: Int, yi: Int): InternalRow = {
+    val n = ring.numElements()
+    var minx = Double.PositiveInfinity; var maxx = Double.NegativeInfinity
+    var miny = Double.PositiveInfinity; var maxy = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val v = ring.getStruct(i, nf)
+      val x = v.getDouble(xi); val y = v.getDouble(yi)
+      if (x < minx) minx = x
+      if (x > maxx) maxx = x
+      if (y < miny) miny = y
+      if (y > maxy) maxy = y
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](minx, maxx, miny, maxy))
+  }
+
   /** See [[PlaneSignatureExpr]]. */
   def planeSig(x: ArrayData, planes: Array[Array[Double]],
                elemFloat: Boolean): Long = {
@@ -456,6 +476,50 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PointInPolygonExpr =
     copy(first = f, second = s, third = t)
+}
+
+/** Bounding box struct<minx,maxx,miny,maxy> of a struct<x,y> ring in
+  * ONE pass — replaces the four interpreted array_min/array_max-over-
+  * transform HOFs that used to run on the broadcast side of the
+  * point-in-polygon join (the last interpreted lambdas in a hot-path
+  * plan). Identical values to the HOF form, including its null for an
+  * empty ring (array_min of an empty array).
+  */
+case class PolyBboxExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_poly_bbox"
+
+  private lazy val (nf, xi, yi) = child.dataType match {
+    case ArrayType(s: StructType, _) =>
+      (s.size, s.fieldIndex("x"), s.fieldIndex("y"))
+    case t => throw new IllegalArgumentException(
+      s"graft_poly_bbox expects array<struct<x,y>> ring, got $t")
+  }
+
+  override def nullSafeEval(ringA: Any): Any = {
+    val ring = ringA.asInstanceOf[ArrayData]
+    if (ring.numElements() == 0) null
+    else NativeKernels.polyBbox(ring, nf, xi, yi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    nullSafeCodeGen(ctx, ev, ring => s"""
+       |if ($ring.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = $kernel.polyBbox($ring, $nf, $xi, $yi);
+       |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyBboxExpr =
+    copy(child = c)
 }
 
 /** Packed sign-bit signature of a vector against a literal hyperplane

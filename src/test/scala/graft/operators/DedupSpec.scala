@@ -199,6 +199,30 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() > 0)
   }
 
+  test("connectedComponentsStar == propagation; chains converge in log rounds") {
+    // differential on a seeded random graph
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .select($"id", $"comp").as[(Long, Long)].collect().toSet
+    val star = Dedup.connectedComponentsStar(edges, "id_a", "id_b")
+      .select($"id", $"comp").as[(Long, Long)].collect().toSet
+    assert(star == prop)
+    // the case the twin exists for: a 64-hop chain. Propagation walks
+    // one hop per round and throws at a 10-round budget; star
+    // contraction halves structure per round and finishes well inside
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain, "id_a", "id_b",
+      maxIter = 10)
+    assert(labels.count() == 65)
+    assert(labels.filter($"comp" =!= 0L).count() == 0)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 10)
+    }
+    Dedup.releaseIntermediates()
+  }
+
   test("releaseIntermediates is the owned release path for Dedup pins") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)

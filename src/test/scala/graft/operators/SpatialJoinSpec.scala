@@ -41,6 +41,12 @@ class SpatialJoinSpec extends SparkSpec {
     val in = SpatialJoin.pointInPolygonJoin(pts, polys, $"px", $"py", "ring")
       .select($"pid").as[Long].collect().toSet
     assert(in == Set(1L, 3L)) // 2 is in the notch, 4 outside bbox
+    // the bbox prefilter is the native one-pass kernel: no interpreted
+    // lambda (HOF) anywhere in the join plan
+    val plan = SpatialJoin.pointInPolygonJoin(pts, polys.select($"poly_id",
+      $"ring"), $"px", $"py", "ring")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), plan)
   }
 }
 

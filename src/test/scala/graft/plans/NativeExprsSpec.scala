@@ -111,7 +111,42 @@ class NativeExprsSpec extends SparkSpec {
         GeoFunctions.pointInPolygonHof($"px", $"py", $"ring").as("hof"))
         .filter(!($"nat" <=> $"hof")).count()
       assert(pipDiff == 0)
+      val bbDiff = ringDf.select(
+        call_function("graft_poly_bbox", $"ring").as("nat"),
+        struct(
+          array_min(transform($"ring", p => p.getField("x"))).as("minx"),
+          array_max(transform($"ring", p => p.getField("x"))).as("maxx"),
+          array_min(transform($"ring", p => p.getField("y"))).as("miny"),
+          array_max(transform($"ring", p => p.getField("y"))).as("maxy"))
+          .as("hof"))
+        .filter(!($"nat" <=> $"hof")).count()
+      assert(bbDiff == 0)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("graft_poly_bbox == composed min/max HOFs; empty ring is null") {
+    val rnd = new scala.util.Random(3)
+    val rings = (1 to 30).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i.toLong,
+        Seq.fill(n)((rnd.nextDouble() * 100 - 50, rnd.nextDouble() * 100 - 50)))
+    }.toDF("id", "pts")
+      .select($"id", transform($"pts", p =>
+        struct(p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"))
+    val diff = rings.select(
+      call_function("graft_poly_bbox", $"ring").as("nat"),
+      struct(
+        array_min(transform($"ring", p => p.getField("x"))).as("minx"),
+        array_max(transform($"ring", p => p.getField("x"))).as("maxx"),
+        array_min(transform($"ring", p => p.getField("y"))).as("miny"),
+        array_max(transform($"ring", p => p.getField("y"))).as("maxy"))
+        .as("hof"))
+      .filter(!($"nat" <=> $"hof")).count()
+    assert(diff == 0)
+    val empty = Seq(1).toDF("id").select(
+      expr("cast(array() as array<struct<x:double,y:double>>)").as("ring"))
+    assert(empty.select(call_function("graft_poly_bbox", $"ring"))
+      .head().isNullAt(0))
   }
 
   test("graft_minhash == composed minhash") {
