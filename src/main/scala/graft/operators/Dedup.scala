@@ -150,6 +150,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[jaccardPairs]] twin with AllPairs prefix filtering (Bayardo et
+    * al., WWW'07; Chaudhuri et al., ICDE'06): exact SAME pairs and
+    * values, but the inverted index holds only each doc's PREFIX —
+    * its first `n - ceil(t*n) + 1` shingles under a global
+    * rarest-first order. Two sets with Jaccard >= t must intersect
+    * (inter >= t*max(n_a,n_b)), and an intersection that large cannot
+    * hide entirely in either suffix, so every qualifying pair still
+    * collides on a prefix shingle; survivors are then exact-verified
+    * per pair ([[verifyJaccard]]). A length filter (t*n_a <= n_b <=
+    * n_a/t, applied as products) prunes candidates whose sizes alone
+    * rule them out.
+    *
+    * Why a twin: the uncapped [[jaccardPairs]] join emits Θ(Σ_sh df²)
+    * rows. Rarest-first prefixes concentrate index entries on LOW-df
+    * shingles, collapsing that sum on Zipf-distributed real corpora
+    * (where a few boilerplate shingles carry most of the quadratic
+    * term) — and the win grows with the threshold (prefix length
+    * shrinks as 1-t). On a uniform-df corpus (the synthetic fixture:
+    * 30-word vocab, every trigram df ≈ corpus/27k) it only trims
+    * ~(1-t)², measured 0.73× at sf1 — that residual density is
+    * intrinsic to exact all-pairs; the production dedup path for such
+    * data stays LSH→verify ([[lshCandidatePairs]], 16× faster at the
+    * same 10× scale, recall gated by q17's oracle).
+    *
+    * Shuffles, all LINEAR in the index: df aggregate + join back
+    * (shingle), prefix window (doc — partitioned, never global),
+    * candidate self-join (shingle, quadratic only within prefix
+    * buckets), pair distinct, two verify joins (id). Threshold
+    * arithmetic rounds t*n at 1e-6 before ceil so FP noise can only
+    * LENGTHEN a prefix (more candidates), never drop a true pair.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val t = lit(threshold)
+    val index = track(df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+          .as("sh"))
+      .persist())
+    val dfreq = index.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)
+    val prefix = index.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .filter(col("rk") <= col("n") - ceil(round(t * col("n"), 6)) + 1)
+      .select(col("sh"), col("id"), col("n"))
+    val a = prefix.select(col("sh"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = prefix.select(col("sh"), col("id").as("id_b"), col("n").as("n_b"))
+    val cands = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") >= round(t * col("n_a"), 6) &&
+        col("n_a") >= round(t * col("n_b"), 6))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cands, df, idCol, textCol, shingleN, threshold)
+  }
+
   /** Exact Jaccard verification restricted to the given candidate pairs
     * — the scale-correct second stage after LSH: per-pair set
     * intersection (codegen'd array_intersect), never the corpus-wide

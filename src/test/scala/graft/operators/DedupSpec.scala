@@ -47,6 +47,52 @@ class DedupSpec extends SparkSpec {
     assert(row == ((1L, 2L, 2L, 3L, 3L, 0.5)))
   }
 
+  test("jaccardPairsPrefix == jaccardPairs (pairs AND values), no global window") {
+    // seeded word-salad corpus with injected near-dups — dense shingle
+    // overlap so the prefix filter actually has borderline pairs to drop
+    val rnd = new scala.util.Random(11)
+    val vocab = "a b c d e f g h i j".split(' ')
+    val base = (0L until 80L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val salted = base.map { case (i, t) =>
+      if (i % 7 == 0 && i > 0) {
+        val src = base((i / 2).toInt)._2.split(' ')
+        (i, src.updated(rnd.nextInt(src.length), "dup").mkString(" "))
+      } else (i, t)
+    }
+    val d = salted.toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.5, 0.9)) {
+      val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, t)
+        .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(d, "doc_id", "text", 3, t)
+        .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(pref == exact, s"threshold $t")
+      assert(exact.nonEmpty || t == 0.9) // fixture really exercises the filter
+    }
+    // integral t*n boundary (t=0.5, n=6): FP in ceil(t*n) must not
+    // shorten the prefix below n - t*n + 1
+    val tiny = Seq((1L, "a b c d e f g"), (2L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+    val tp = Dedup.jaccardPairsPrefix(tiny, "doc_id", "text", 2, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val te = Dedup.jaccardPairs(tiny, "doc_id", "text", 2, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(tp == te)
+    // scale shape: the prefix window is partitioned by doc — no global
+    // (empty-partitionBy) window anywhere in the plan
+    val plan = Dedup.jaccardPairsPrefix(d, "doc_id", "text", 3, 0.5)
+      .queryExecution.optimizedPlan.toString
+    val allWindows = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val partitioned = "windowspecdefinition\\(id".r.findAllIn(plan).size
+    assert(allWindows > 0 && allWindows == partitioned,
+      s"global (empty-partitionBy) window present:\n$plan")
+    Dedup.releaseIntermediates()
+  }
+
   test("verifyJaccard on candidate pairs matches the inverted-index values") {
     val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w e a"))
       .toDF("doc_id", "text")
