@@ -406,8 +406,19 @@ object Dedup {
     */
   def neardupClusters(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
-      .groupBy(col("comp"))
+    clusterSummary(connectedComponents(pairs, aCol, bCol))
+
+  /** [[neardupClusters]] with the O(log n)-round star-contraction
+    * labeler ([[connectedComponentsStar]]) — same summary, for corpora
+    * whose near-dup relation may CHAIN (templates). Oracle-equal to the
+    * propagation form (q61/q66 share one SQL mirror).
+    */
+  def neardupClustersStar(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame =
+    clusterSummary(connectedComponentsStar(pairs, aCol, bCol))
+
+  private def clusterSummary(labels: DataFrame): DataFrame =
+    labels.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_members"),
         min(col("id")).as("survivor_id"),
         (count(lit(1)) - 1).as("n_removed"))

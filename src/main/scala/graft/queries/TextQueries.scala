@@ -508,6 +508,59 @@ object TextQueries {
         COUNT(*) - 1 AS n_removed
       FROM lab GROUP BY comp ORDER BY comp"""))
 
+  /** q65 — AllPairs prefix-filtered exact Jaccard at the near-dup
+    * threshold (0.8): identical pairs/values to the q17 inverted-index
+    * form, but the index holds only rarest-first prefixes, so the
+    * quadratic within-bucket term shrinks with the threshold (3.1× at
+    * sf1 — PLANS.md sf1 spot check). The oracle is the SAME SQL as
+    * q17's at 0.8 — the prefix filter must be invisible in the result.
+    */
+  private val q65 = Q("q65_dedup_jaccard_prefix",
+    (s, dir) => {
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+          col("n_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+        (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+        >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  /** q66 — q61's near-dup cluster summary with the star-contraction
+    * labeler: LSH candidates → exact verify → large-star/small-star CC
+    * (O(log n) rounds vs q61's one-round-per-hop propagation). Shares
+    * q61's recursive-CTE oracle verbatim — both labelings must produce
+    * the same components.
+    */
+  private val q66 = Q("q66_neardup_clusters_star",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4)
+      val pairs = Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.neardupClustersStar(pairs)
+        .select(col("comp"), col("n_members"), col("survivor_id"),
+          col("n_removed"))
+        .orderBy(col("comp"))
+    },
+    q61.oracle)
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61)
+    q60, q61, q65, q66)
 }
