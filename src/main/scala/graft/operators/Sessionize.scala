@@ -52,8 +52,16 @@ object Sessionize {
     * value sum. Reuses [[assign]]'s partitioning for the aggregate.
     */
   def stats(df: DataFrame, keyCol: String, tsCol: String, maxGap: Long,
-            tieCol: String, valueCol: Option[String] = None): DataFrame = {
-    val assigned = assign(df, keyCol, tsCol, maxGap, tieCol)
+            tieCol: String, valueCol: Option[String] = None,
+            stitchBucket: Option[Long] = None): DataFrame = {
+    // stitchBucket selects the (key, bucket) scale twin — same
+    // ordinals (differential-tested; oracle-shared via q44/q67), but
+    // the event window partitions on (key, bucket) instead of the
+    // key's full history
+    val assigned = stitchBucket match {
+      case Some(w) => assignStitched(df, keyCol, tsCol, maxGap, tieCol, w)
+      case None    => assign(df, keyCol, tsCol, maxGap, tieCol)
+    }
     val aggs = Seq(
       count(lit(1)).as("n_events"),
       min(col(tsCol)).as("start_ts"),

@@ -350,6 +350,29 @@ object MiscQueries {
       FROM events e JOIN dim d ON e.event_type = d.event_type
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  /** q67 — q44's sessionization through the (key, bucket) stitch
+    * ([[graft.operators.Sessionize.assignStitched]], 1-hour buckets ≥
+    * the 30-min gap): the event window partitions on (user, hour) so a
+    * mega-user's history never serializes one reducer, and boundary
+    * sessions merge through the bounded per-bucket stitch frame.
+    * Shares q44's oracle verbatim — the stitch must be invisible.
+    */
+  private val q67 = Q("q67_sessionize_stitched",
+    (s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+      graft.operators.Sessionize
+        .stats(e, "user_id", "ts_us", gapUs, tieCol = "event_id",
+          stitchBucket = Some(3600000000L)) // 1 h
+        .select(col("user_id"), col("session_ord"),
+          col("n_events"), col("start_ts").as("start_us"),
+          col("end_ts").as("end_us"), col("duration").as("duration_us"))
+        .orderBy(col("user_id"), col("session_ord"))
+    },
+    q44.oracle)
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52)
+    q48, q52, q67)
 }

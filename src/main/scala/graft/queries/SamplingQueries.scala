@@ -224,5 +224,37 @@ object SamplingQueries {
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM k GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64)
+  /** q68 — q63's weight-balanced sharding through the stratified twin
+    * ([[graft.operators.Sampling.assignShardsStratified]], 16 strata):
+    * the dealing window partitions on the md5 stratum, so no global
+    * single-task sort exists at any scale. The oracle recomputes the
+    * stratum (portable md5 bucket), the within-stratum rank, and the
+    * rotated deal from scratch — shard membership is pinned exactly,
+    * not just the per-shard totals.
+    */
+  private val q68 = Q("q68_balanced_shards_stratified",
+    (s, dir) => {
+      Sampling.assignShardsStratified(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", n = 8, strata = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, n_chars,
+        ${hashSql("shard-strata", "doc_id")} AS h FROM documents),
+      st AS (SELECT doc_id, n_chars,
+        CAST(${bucketSql("h")} AS BIGINT) % 16 AS stratum FROM d),
+      r AS (SELECT doc_id, n_chars, stratum,
+        ROW_NUMBER() OVER (PARTITION BY stratum
+          ORDER BY n_chars DESC, doc_id) AS rn FROM st)
+      SELECT CAST((rn - 1 + stratum) % 8 AS BIGINT) AS shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(MIN(n_chars) AS BIGINT) AS min_chars
+      FROM r GROUP BY shard ORDER BY shard"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68)
 }
