@@ -126,6 +126,13 @@ object Similarity {
     * exact cosine only there. Corpus assignment is a map-side-combined
     * max_by aggregation (one narrow row per corpus id crosses the wire);
     * candidate pairs travel as bare ids and vectors re-join at the end.
+    *
+    * Sizing at scale: nlist = N / `centroidEvery`, and the assignment
+    * stage costs N × nlist cosines — a FIXED `centroidEvery` is
+    * Θ(N²/centroidEvery). Scale `centroidEvery` ≈ √N (nlist ≈ √N, the
+    * standard IVF sizing) so assignment is Θ(N^1.5): measured at the
+    * 20k-vector sf1 fixture, √N spacing cut 12.6 s → 3.3 s (PLANS.md
+    * sf1 spot check, part 2).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
@@ -199,6 +206,15 @@ object Similarity {
     * exact cosine runs once per distinct candidate pair after the
     * vectors re-join. Same banding math as [[lshTopK]], so the whole
     * pipeline stays oracle-expressible in SQL.
+    *
+    * Sizing at scale: each band has 2^`bandBits` buckets, so the band
+    * self-join emits Θ(N²/2^bandBits) candidates — a FIXED `bandBits`
+    * is quadratic in the corpus. Grow `bandBits` with the corpus
+    * (`bandBits` ≈ log₂N − log₂(target bucket occupancy), raising
+    * `planes` = bands × bandBits to match): measured at the 20k-vector
+    * sf1 fixture, 4→8 band bits cut 38.0 s → 6.2 s (PLANS.md sf1 spot
+    * check, part 2). Wider bands trade recall at a given threshold —
+    * re-tune bands × bandBits against the target similarity.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, dim: Int, planes: Int = 16,
