@@ -194,6 +194,10 @@ object Dedup {
     val dfreq = index.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)
+    // NOT persisted: the two self-join sides are identical subtrees, so
+    // ReuseExchange already computes the windowed prefix once (a pin
+    // measured slightly WORSE at sf1 — materialization barrier + memory
+    // for no saved work)
     val prefix = index.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(

@@ -256,5 +256,37 @@ object SamplingQueries {
         CAST(MIN(n_chars) AS BIGINT) AS min_chars
       FROM r GROUP BY shard ORDER BY shard"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68)
+  /** q69 — the PRODUCTION KMV path ([[graft.operators.Sketches
+    * .kmvEstimate]]) under the oracle directly: per-source distinct
+    * fingerprint estimate with NO exact count anywhere in the plan
+    * (WindowGroupLimit prunes to k hashes per group per partition —
+    * the plan q53's audit twin certifies the estimate against, now
+    * value-pinned on its own). Same md5/bottom-k arithmetic as q53's
+    * mirror; the est division is IEEE-identical in both engines.
+    */
+  private val q69 = Q("q69_kmv_estimate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("source"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      graft.operators.Sketches
+        .kmvEstimate(docs, Seq("source"), "fp", k = 16, salt = "kmv")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH fp AS (SELECT source,
+          MD5(${TextQueries.normSql("text")}) AS f FROM documents),
+      h AS (SELECT DISTINCT source,
+          CAST(${bucketSql15(hashSql("kmv", "f"))} AS BIGINT)
+            AS hh
+        FROM fp),
+      r AS (SELECT source, hh,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+        FROM h)
+      SELECT source, MAX(hh) AS kth_min,
+        CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+          ELSE 15.0 * 1152921504606846976.0 / CAST(MAX(hh) AS DOUBLE)
+          END AS est
+      FROM r WHERE rn <= 16 GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69)
 }
