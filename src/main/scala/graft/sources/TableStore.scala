@@ -61,19 +61,33 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ------------------------------------------------------ commit manifest
 
+  /** `dirs` = touched dirs that HAD a committed copy (rollback =
+    * restore `__old`); `fresh` = dirs the swap creates that had NO
+    * prior copy (rollback = delete — without the distinction a crash
+    * after a fresh dir renames in would read/recover new-generation
+    * rows alongside rolled-back old ones: mixed generations, then
+    * duplicates).
+    */
   private[sources] case class Manifest(seq: Long, gen: Long,
-                                       swapping: Boolean, dirs: Seq[String])
+                                       swapping: Boolean, dirs: Seq[String],
+                                       fresh: Seq[String])
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
+  /** Targeted glob, not a listing of the whole store root: the
+    * manifest check runs on EVERY [[read]], and a root listStatus
+    * would scale with the number of tables in the store. The remaining
+    * cost per read is this one glob plus at most one small GET —
+    * marginal next to the file listing the parquet scan itself does.
+    */
   private def listManifests(table: String): Seq[(Long, Path)] = {
     val rootP = new Path(root)
     val fs = fsOf(rootP)
-    if (!fs.exists(rootP)) Nil
+    val matched = fs.globStatus(new Path(rootP, manifestName(table) + "*"))
+    if (matched == null) Nil
     else {
       val pre = manifestName(table)
-      fs.listStatus(rootP).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith(pre))
+      matched.toSeq.map(_.getPath)
         .flatMap(p => p.getName.stripPrefix(pre).toLongOption.map(_ -> p))
     }
   }
@@ -91,7 +105,7 @@ final class TableStore(spark: SparkSession, root: String) {
       def vs(k: String) =
         lines.filter(_.startsWith(k + "=")).map(_.stripPrefix(k + "="))
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
-        vs("state").headOption.contains("swapping"), vs("dir")))
+        vs("state").headOption.contains("swapping"), vs("dir"), vs("new")))
     }
   }
 
@@ -101,7 +115,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * itself needs no atomic overwrite.
     */
   private def writeManifest(table: String, gen: Long, swapping: Boolean,
-                            dirs: Seq[String]): Unit = {
+                            dirs: Seq[String],
+                            fresh: Seq[String] = Nil): Unit = {
     val ms = listManifests(table)
     val seq = ms.map(_._1).maxOption.getOrElse(0L) + 1
     val p = new Path(root, manifestName(table) + seq)
@@ -110,7 +125,8 @@ final class TableStore(spark: SparkSession, root: String) {
     try {
       val body = (Seq(s"gen=$gen",
         s"state=${if (swapping) "swapping" else "clean"}") ++
-        dirs.map("dir=" + _)).mkString("", "\n", "\n")
+        dirs.map("dir=" + _) ++ fresh.map("new=" + _))
+        .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     ms.foreach { case (_, old) => fs.delete(old, false) }
@@ -120,9 +136,11 @@ final class TableStore(spark: SparkSession, root: String) {
     if (rel.isEmpty) base else new Path(base, rel)
 
   /** Roll a crashed swap BACK to the manifest generation: every touched
-    * dir whose `__old` copy exists is restored, siblings and the
-    * swapping manifest are cleared. Mutations call this first; reads
-    * never mutate (they resolve the crashed state logically instead).
+    * dir whose `__old` copy exists is restored, every `fresh` dir (no
+    * committed copy existed) is DELETED — it holds only uncommitted
+    * new-generation rows — and siblings and the swapping manifest are
+    * cleared. Mutations call this first; reads never mutate (they
+    * resolve the crashed state logically instead).
     */
   private[sources] def recover(table: String): Unit =
     readManifest(table).filter(_.swapping).foreach { m =>
@@ -139,6 +157,7 @@ final class TableStore(spark: SparkSession, root: String) {
           fs.rename(o, c)
         }
       }
+      m.fresh.foreach { rel => fs.delete(sub(dst, rel), true) }
       fs.delete(tmp, true)
       fs.delete(bak, true)
       writeManifest(table, m.gen, swapping = false, Nil)
@@ -146,9 +165,16 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = {
     val p = hpath(table)
-    fsOf(p).exists(p) ||
-      readManifest(table).exists(m => m.swapping &&
-        fsOf(p).exists(new Path(path(table) + "__old")))
+    readManifest(table) match {
+      // crashed FIRST-TIME rewrite: the committed generation is "no
+      // table" even if the renamed-in dir survives on disk
+      case Some(m) if m.swapping && m.fresh.contains("") =>
+        fsOf(p).exists(new Path(path(table) + "__old"))
+      case Some(m) if m.swapping =>
+        fsOf(p).exists(p) ||
+          fsOf(p).exists(new Path(path(table) + "__old"))
+      case _ => fsOf(p).exists(p)
+    }
   }
 
   /** Table scan. Under a `clean` manifest (or none) this is a plain
@@ -164,18 +190,39 @@ final class TableStore(spark: SparkSession, root: String) {
       val dst = new Path(dstS)
       val fs = fsOf(dst)
       val liveOld = m.dirs.filter(rel => fs.exists(sub(new Path(bakS), rel)))
-      if (liveOld.isEmpty) spark.read.parquet(dstS)
+      if (m.fresh.contains(""))
+        // crashed first-time rewrite: the committed generation is "no
+        // table"; whatever renamed in is uncommitted
+        throw new IllegalStateException(
+          s"table $table has no committed generation (first-time rewrite " +
+            "crashed mid-swap); run a mutation to recover, or rewrite again")
+      else if (liveOld.isEmpty && m.fresh.isEmpty)
+        spark.read.parquet(dstS)
       else if (liveOld.contains("")) spark.read.parquet(bakS)
       else {
-        val depth = liveOld.head.count(_ == '/') + 1
+        val depth = (liveOld ++ m.fresh).head.count(_ == '/') + 1
         val allCur =
           if (fs.exists(dst)) leafDirs(fs, dst, depth, "") else Nil
-        val curKeep = allCur.filterNot(liveOld.toSet)
-        val oldDf = spark.read.option("basePath", bakS)
-          .parquet(liveOld.map(r => s"$bakS/$r"): _*)
-        if (curKeep.isEmpty) oldDf
-        else oldDf.unionByName(spark.read.option("basePath", dstS)
-          .parquet(curKeep.map(r => s"$dstS/$r"): _*))
+        // fresh dirs hold ONLY uncommitted new-generation rows — a
+        // crash after their rename-in must not leak them into a read
+        // of the committed generation
+        val curKeep = allCur.filterNot((liveOld ++ m.fresh).toSet)
+        val oldDf =
+          if (liveOld.isEmpty) None
+          else Some(spark.read.option("basePath", bakS)
+            .parquet(liveOld.map(r => s"$bakS/$r"): _*))
+        val curDf =
+          if (curKeep.isEmpty) None
+          else Some(spark.read.option("basePath", dstS)
+            .parquet(curKeep.map(r => s"$dstS/$r"): _*))
+        (oldDf, curDf) match {
+          case (Some(o), Some(c)) => o.unionByName(c)
+          case (Some(o), None)    => o
+          case (None, Some(c))    => c
+          case (None, None)       =>
+            throw new IllegalStateException(
+              s"table $table: crashed swap left no committed partitions")
+        }
       }
     case _ => spark.read.parquet(path(table))
   }
@@ -340,10 +387,16 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(tmp.toString)
     val fs = fsOf(dst)
     fs.delete(bak, true)
-    writeManifest(table, gen, swapping = true, Seq(""))
-    if (fs.exists(dst)) fs.rename(dst, bak)
+    // a first-time rewrite has no committed copy to fall back to: the
+    // whole table is `fresh` (rollback = delete), not a swapped dir
+    val firstTime = !fs.exists(dst)
+    writeManifest(table, gen, swapping = true,
+      if (firstTime) Nil else Seq(""),
+      if (firstTime) Seq("") else Nil)
+    if (!firstTime) fs.rename(dst, bak)
     swapFault(1)
     fs.rename(tmp, dst)
+    swapFault(2)
     writeManifest(table, gen + 1, swapping = false, Nil)
     fs.delete(bak, true)
     ()
@@ -403,9 +456,15 @@ final class TableStore(spark: SparkSession, root: String) {
     // manifest fence: record the touched dirs BEFORE the first rename;
     // until the clean generation-bump manifest lands after the last
     // rename, reads resolve every touched dir to its __old copy — a
-    // crash anywhere in phase 2 reads as wholly the old generation
+    // crash anywhere in phase 2 reads as wholly the old generation.
+    // Written dirs with NO committed copy in the live table (a brand-new
+    // partition value, e.g. a flag flip ON a partition column) go in as
+    // `fresh`: they have no __old to restore, so rollback deletes them
+    // and crash-window reads exclude them
+    val freshRels = written.filter(rel => !fs.exists(new Path(dst, rel)))
     writeManifest(table, gen, swapping = true,
-      (written ++ emptied).toSeq.sorted)
+      ((written -- freshRels) ++ emptied).toSeq.sorted,
+      freshRels.toSeq.sorted)
 
     // phase 2: per-partition swap. Old data moves to the OUTSIDE
     // sibling `__old` (an `…__old` dir inside the table would read as

@@ -275,6 +275,51 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.readManifest("t").exists(m => !m.swapping && m.gen == 1L))
   }
 
+  test("crash after a brand-new partition dir swaps in reads wholly-old") {
+    val ts = freshStore()
+    // table partitioned BY the flag column: flipping it writes a
+    // brand-new flag=1 dir that has no committed copy (fresh)
+    ts.append("t", spark.range(10).select($"id", lit(0).as("flag")),
+      partitionBy = Seq("flag"))
+    // flip ALL rows: written = {flag=1} (fresh), emptied = {flag=0};
+    // crash lands after flag=1 renamed in AND flag=0 moved aside
+    ts.failAfterSwaps = 2
+    intercept[IllegalStateException] {
+      ts.updateFlag("t", (0L until 10L).toDF("id"), Seq("id"), "flag", 1,
+        partitionCols = Seq("flag"))
+    }
+    ts.failAfterSwaps = -1
+    // the fresh dir holds only uncommitted generation-N+1 rows — a read
+    // must exclude it or every row comes back twice (old + flipped)
+    val rows = ts.read("t")
+    assert(rows.count() == 10, "uncommitted fresh partition leaked")
+    assert(rows.filter($"flag" === 1).count() == 0, "mixed-generation read")
+    // recovery deletes the fresh dir and restores flag=0; the retried
+    // flip then lands exactly once
+    ts.updateFlag("t", (0L until 10L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("flag"))
+    assert(ts.read("t").count() == 10, "duplicates after rollback")
+    assert(ts.read("t").filter($"flag" === 1).count() == 10)
+    assert(ts.readManifest("t").exists(m => !m.swapping))
+  }
+
+  test("crash after a FIRST-TIME rewrite renames in commits nothing") {
+    val ts = freshStore()
+    val df = (1L to 5L).toDF("id")
+    ts.failAfterSwaps = 2 // after rename(tmp -> dst), before the commit
+    intercept[IllegalStateException] { ts.rewrite("v", df) }
+    ts.failAfterSwaps = -1
+    // the committed generation is "no table" even though the renamed-in
+    // dir survives on disk
+    assert(!ts.exists("v"), "uncommitted first-time rewrite visible")
+    intercept[IllegalStateException] { ts.read("v") }
+    // the retried rewrite recovers (deletes the stranded dir) and lands
+    ts.rewrite("v", df)
+    assert(ts.exists("v"))
+    assert(ts.read("v").count() == 5)
+    assert(ts.readManifest("v").exists(m => !m.swapping && m.gen == 1L))
+  }
+
   test("crash while removing an emptied partition restores it on recovery") {
     val ts = freshStore()
     seedPartitioned(ts, "t")
