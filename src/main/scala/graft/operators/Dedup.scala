@@ -21,9 +21,21 @@ object Dedup {
   // cached). [[releaseIntermediates]] is the owned release path — a
   // long-lived session calls it once the pairs are materialized (or
   // abandoned) instead of reaching for a session-wide cache clear.
+  // The registry is PROCESS-GLOBAL: it assumes one dedup pipeline per
+  // JVM at a time (the batch-engine norm). Concurrent Dedup runs are
+  // still CORRECT — an early release by the other run only forces a
+  // recompute from source — but callers interleaving independent runs
+  // should release once, after both finish.
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
+  }
+  // loop rounds unpersist their predecessor inline: drop it from the
+  // registry too, so a long CC run holds live pins only, not one dead
+  // DataFrame/plan reference per round
+  private def release(df: DataFrame): Unit = synchronized {
+    df.unpersist(blocking = false)
+    pinned.filterInPlace(_ ne df)
   }
 
   /** Unpersist every intermediate frame the Dedup operators have pinned
@@ -277,11 +289,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+    val edges = track(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
+      .persist())
     var cached = track(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist())
@@ -304,13 +316,13 @@ object Dedup {
             .as("comp"))
         .persist())
       changed = step.filter(col("comp") < col("old")).count()
-      cached.unpersist(blocking = false)
+      release(cached)
       cached = step
       val next = step.select(col("id"), col("comp"))
       labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    release(edges)
     // fail loudly: a silently-unconverged labeling splits one real
     // cluster into several "components" with several survivors —
     // over-retention with no signal. Components of diameter ≥ maxIter
@@ -383,7 +395,7 @@ object Dedup {
       // before the previous round's pin is dropped)
       converged = stepped.join(cur, Seq("src", "dst"), "left_anti").isEmpty &&
         cur.join(stepped, Seq("src", "dst"), "left_anti").isEmpty
-      cached.unpersist(blocking = false)
+      release(cached)
       cached = stepped
       // plan truncation (see connectedComponents): the next round
       // references this frame several times — rebuild from the RDD so
@@ -397,9 +409,21 @@ object Dedup {
           "raise maxIter (rounds grow ~log of the largest component)")
     // star fixpoint: every edge is (member, component-min); minima
     // label themselves
-    dedup(cur).select(col("src").as("id"), col("dst").as("comp"))
+    val labeled = dedup(cur)
+      .select(col("src").as("id"), col("dst").as("comp"))
       .union(cur.select(col("dst").as("id"), col("dst").as("comp")))
       .distinct()
+    // ids appearing ONLY in self-pairs (x,x) never enter the
+    // contraction (dedup drops self-edges) but are ids-in-a-pair under
+    // the output contract — the propagation twin labels them with
+    // themselves, so this twin must too. The pushed a==b filter costs
+    // one extra scan of `pairs`, on par with the propagation twin's
+    // two-scan edge union.
+    val selfOnly = pairs.filter(col(aCol) === col(bCol))
+      .select(col(aCol).as("id")).distinct()
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labeled.union(selfOnly)
   }
 
   /** Per-component dedup summary over verified pairs: component id (=

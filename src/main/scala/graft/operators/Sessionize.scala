@@ -134,8 +134,17 @@ object Sessionize {
           .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(k, col("__bkt"), col("__m"), col("__c"))
 
-    local.join(stitch, Seq(keyCol, "__bkt"))
+    // null-safe join keys: [[assign]] keeps NULL-key rows (one window
+    // partition) and NULL-ts rows (sorted first, each a new session) —
+    // a plain equi-join would silently drop both from the scale twin.
+    // NULL ts lands in the NULL bucket, which sorts first in wKey, and
+    // its NULL __last makes the next bucket's merge flag 0 — exactly
+    // assign's `prev.isNull → new session`.
+    val stitchR = stitch.withColumnRenamed(keyCol, "__sk")
+      .withColumnRenamed("__bkt", "__sb")
+    local.join(stitchR,
+        col(keyCol) <=> col("__sk") && col("__bkt") <=> col("__sb"))
       .withColumn(sessionCol, col("__c") + col("__ord") - col("__m"))
-      .drop("__bkt", "__ord", "__m", "__c")
+      .drop("__bkt", "__ord", "__m", "__c", "__sk", "__sb")
   }
 }

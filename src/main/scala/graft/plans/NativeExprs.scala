@@ -216,23 +216,38 @@ object NativeKernels extends Serializable {
   }
 
   /** See [[PolyBboxExpr]]: one-pass min/max over a struct<x,y> ring.
-    * Caller guarantees numElements > 0.
+    * NULL ring elements and NULL x/y fields are SKIPPED per field, like
+    * array_min/max over a transform (`getStruct`/`getDouble` on them
+    * would NPE or read an undefined 0.0 and corrupt the bbox); returns
+    * null when either axis has no contributing value — an empty or
+    * degenerate ring gets a null bbox, not a garbage one.
     */
   def polyBbox(ring: ArrayData, nf: Int, xi: Int, yi: Int): InternalRow = {
     val n = ring.numElements()
     var minx = Double.PositiveInfinity; var maxx = Double.NegativeInfinity
     var miny = Double.PositiveInfinity; var maxy = Double.NegativeInfinity
+    var nx = 0; var ny = 0
     var i = 0
     while (i < n) {
-      val v = ring.getStruct(i, nf)
-      val x = v.getDouble(xi); val y = v.getDouble(yi)
-      if (x < minx) minx = x
-      if (x > maxx) maxx = x
-      if (y < miny) miny = y
-      if (y > maxy) maxy = y
+      if (!ring.isNullAt(i)) {
+        val v = ring.getStruct(i, nf)
+        if (!v.isNullAt(xi)) {
+          val x = v.getDouble(xi)
+          if (x < minx) minx = x
+          if (x > maxx) maxx = x
+          nx += 1
+        }
+        if (!v.isNullAt(yi)) {
+          val y = v.getDouble(yi)
+          if (y < miny) miny = y
+          if (y > maxy) maxy = y
+          ny += 1
+        }
+      }
       i += 1
     }
-    new GenericInternalRow(Array[Any](minx, maxx, miny, maxy))
+    if (nx == 0 || ny == 0) null
+    else new GenericInternalRow(Array[Any](minx, maxx, miny, maxy))
   }
 
   /** See [[PlaneSignatureExpr]]. */
@@ -482,8 +497,13 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
   * ONE pass — replaces the four interpreted array_min/array_max-over-
   * transform HOFs that used to run on the broadcast side of the
   * point-in-polygon join (the last interpreted lambdas in a hot-path
-  * plan). Identical values to the HOF form, including its null for an
-  * empty ring (array_min of an empty array).
+  * plan). Identical values to the HOF form: null for an empty ring
+  * (array_min of an empty array), NULL elements and NULL x/y fields
+  * skipped per field (nulls are invisible to array_min/max). One
+  * deliberate divergence: a ring where a whole AXIS has no value (the
+  * HOF form would emit a struct with null fields) yields a null bbox
+  * here — either way the join's bbox prefilter rejects it, so a
+  * degenerate polygon matches nothing.
   */
 case class PolyBboxExpr(child: Expression) extends UnaryExpression {
 
@@ -502,20 +522,15 @@ case class PolyBboxExpr(child: Expression) extends UnaryExpression {
       s"graft_poly_bbox expects array<struct<x,y>> ring, got $t")
   }
 
-  override def nullSafeEval(ringA: Any): Any = {
-    val ring = ringA.asInstanceOf[ArrayData]
-    if (ring.numElements() == 0) null
-    else NativeKernels.polyBbox(ring, nf, xi, yi)
-  }
+  override def nullSafeEval(ringA: Any): Any =
+    NativeKernels.polyBbox(ringA.asInstanceOf[ArrayData], nf, xi, yi)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = NativeKernels.ref(ctx)
+    // the kernel returns null for an empty or all-null ring
     nullSafeCodeGen(ctx, ev, ring => s"""
-       |if ($ring.numElements() == 0) {
-       |  ${ev.isNull} = true;
-       |} else {
-       |  ${ev.value} = $kernel.polyBbox($ring, $nf, $xi, $yi);
-       |}""".stripMargin)
+       |${ev.value} = $kernel.polyBbox($ring, $nf, $xi, $yi);
+       |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): PolyBboxExpr =

@@ -246,10 +246,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponentsStar == propagation; chains converge in log rounds") {
-    // differential on a seeded random graph
+    // differential on a seeded random graph, plus an id that appears
+    // ONLY in a self-pair (99,99): an exact-dup verify can emit one, and
+    // both twins must label it with itself rather than drop it
     val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
-      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val edges = (Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2) :+ (99L, 99L)).toDF("id_a", "id_b")
     val prop = Dedup.connectedComponents(edges, "id_a", "id_b")
       .select($"id", $"comp").as[(Long, Long)].collect().toSet
     val star = Dedup.connectedComponentsStar(edges, "id_a", "id_b")

@@ -80,6 +80,24 @@ class SessionizeSpec extends SparkSpec {
     assert(s2 == p2)
   }
 
+  test("assignStitched keeps NULL-key and NULL-ts rows, like assign") {
+    // assign windows NULL keys as one partition and sorts NULL ts first
+    // (each its own new session); the stitch join must not drop either
+    val e = Seq(
+      (Some("a"), 1L, Some(0L)), (Some("a"), 2L, Some(10L)),
+      (Some("a"), 3L, None),                      // NULL ts, real key
+      (None, 4L, Some(5L)), (None, 5L, Some(300L)), // NULL key
+      (None, 6L, None))                            // NULL key AND ts
+      .toDF("k", "id", "ts")
+    val plain = Sessionize.assign(e, "k", "ts", 50L, "id")
+      .select($"id", $"session_ord").as[(Long, Long)].collect().toMap
+    val stitched = Sessionize.assignStitched(e, "k", "ts", 50L, "id", 100L)
+      .select($"id", $"session_ord").as[(Long, Long)].collect().toMap
+    assert(stitched.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "stitch twin dropped NULL-key/NULL-ts rows")
+    assert(stitched == plain)
+  }
+
   test("assignStitched plan: event window partitioned by (key, bucket)") {
     val e = Seq(("a", 1L, 50L)).toDF("k", "id", "ts")
     val out = Sessionize.assignStitched(e, "k", "ts", 100L, "id", 100L)

@@ -147,6 +147,21 @@ class NativeExprsSpec extends SparkSpec {
       expr("cast(array() as array<struct<x:double,y:double>>)").as("ring"))
     assert(empty.select(call_function("graft_poly_bbox", $"ring"))
       .head().isNullAt(0))
+    // NULL elements and NULL coord fields are skipped per field like
+    // the HOF form, not NPE'd; an all-null ring yields a null bbox
+    val dirty = Seq(1).toDF("id").select(expr(
+      """array(named_struct('x', cast(null as double), 'y', 2.0d),
+        |      cast(null as struct<x:double,y:double>),
+        |      named_struct('x', 3.0d, 'y', 7.0d),
+        |      named_struct('x', -1.0d, 'y', 5.0d))""".stripMargin).as("ring"))
+    val bb = dirty.select(call_function("graft_poly_bbox", $"ring")).head()
+      .getStruct(0)
+    assert((bb.getDouble(0), bb.getDouble(1), bb.getDouble(2),
+      bb.getDouble(3)) == (-1.0, 3.0, 2.0, 7.0))
+    val allNull = Seq(1).toDF("id").select(expr(
+      "array(cast(null as struct<x:double,y:double>))").as("ring"))
+    assert(allNull.select(call_function("graft_poly_bbox", $"ring"))
+      .head().isNullAt(0))
   }
 
   test("graft_minhash == composed minhash") {
