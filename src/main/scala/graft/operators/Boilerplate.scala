@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicated-passage (boilerplate) removal — CCNet/C4-style corpus
+  * cleaning at SEGMENT granularity: a passage that recurs across the
+  * corpus (headers, footers, navigation chrome, license blurbs) is
+  * dropped from every document that carries it, while the documents
+  * themselves survive. Complements whole-document dedup
+  * ([[Dedup]] — picks one survivor per duplicate CLUSTER): here the
+  * unit is the repeated passage, and every document keeps its unique
+  * remainder. North-star operator — the reference has no corpus
+  * hygiene.
+  *
+  * A "segment" is `segWords` consecutive whitespace tokens (documents
+  * are single-line word streams; a corpus with real line structure
+  * would split on newlines instead — the df/drop/reassemble algebra is
+  * identical). A segment is boilerplate when its corpus-wide document
+  * frequency reaches `minDf`.
+  *
+  * Scale design: ONE narrow segment explode feeds (a) the df count —
+  * map-side partial aggregation on the segment's md5 collapses every
+  * hot segment per partition before its ONE exchange — and (b) the
+  * join-back. The df table is FILTERED to df ≥ minDf before the join:
+  * boilerplate segments are few by definition, so AQE broadcasts the
+  * drop-list and the corpus is never redistributed by segment; the
+  * reassembly is the one doc-keyed exchange. The explode is computed
+  * once per consumer (twice total) rather than cached — recomputing a
+  * narrow projection beats pinning a corpus-scale frame, the same
+  * trade [[Decontaminate]] makes. Nothing quadratic, no corpus
+  * self-join, no global sort.
+  */
+object Boilerplate {
+
+  /** Per-document cleaned text after boilerplate-segment removal:
+    * (idCol, clean_text, n_segments, n_dropped). `clean_text` is the
+    * surviving segments rejoined in document order (empty string when
+    * every segment was boilerplate); the counts expose the removal
+    * rate for corpus QC. Rows with NULL `textCol` carry no segments
+    * and are omitted — gate them upstream
+    * ([[graft.functions.QualityRules]]).
+    */
+  def removeSegments(df: DataFrame, idCol: String, textCol: String,
+                     segWords: Int = 8, minDf: Long = 2): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    // repartition before the CPU-heavy narrow stage (same rationale as
+    // Dedup): the upstream scan's partitioning, not the cluster, would
+    // otherwise bound explode parallelism
+    val segs = df.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), posexplode(
+        transform(
+          // integral `div`, not Column `/` (double division): sequence
+          // demands integer bounds and the segment count must be exact
+          sequence(lit(0),
+            expr(s"(size(__w) + ${segWords - 1}) div $segWords") - 1),
+          i => array_join(
+            slice(col("__w"), i * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("__idx", "__seg")))
+      .withColumn("__h", md5(col("__seg")))
+    val dropList = segs.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), lit(1).as("__hit"))
+    segs.join(dropList, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips NULLs: only kept segments enter; the
+        // struct sorts by __idx first, so document order is restored
+        // without a window
+        array_join(transform(array_sort(collect_list(
+          when(col("__hit").isNull,
+            struct(col("__idx"), col("__seg"))))),
+          x => x("__seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        count(col("__hit")).as("n_dropped"))
+      .select(col(idCol), col("clean_text"), col("n_segments"),
+        col("n_dropped"))
+  }
+}

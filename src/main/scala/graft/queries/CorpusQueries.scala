@@ -337,5 +337,37 @@ object CorpusQueries {
       FROM r WHERE rn >= CEIL(0.05 * n) AND rn <= FLOOR(0.95 * n)
       GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62)
+  /** q70 — duplicated-passage (boilerplate) removal
+    * ([[graft.operators.Boilerplate]]): drop every `segWords`-token
+    * segment whose corpus-wide frequency reaches `minDf`, keep each
+    * document's unique remainder — CCNet/C4-style segment-granularity
+    * cleaning, orthogonal to whole-document dedup (q16/q61 elect a
+    * survivor; here every doc keeps its non-boilerplate text). The
+    * oracle replays the explode → df → drop-list left join →
+    * order-restoring reassembly stage for stage.
+    */
+  private val q70 = Q("q70_boilerplate_segments",
+    (s, dir) => {
+      graft.operators.Boilerplate.removeSegments(
+          t(s, dir, "documents"), "doc_id", "text",
+          segWords = 8, minDf = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+        FROM documents),
+      segs AS (SELECT doc_id, i AS idx,
+          ARRAY_TO_STRING(w[(8*i+1):(8*i+8)], ' ') AS seg
+        FROM toks CROSS JOIN
+          UNNEST(RANGE(CAST(CEIL(LEN(w) / 8.0) AS BIGINT))) AS u(i)),
+      boiler AS (SELECT MD5(seg) AS h FROM segs
+        GROUP BY 1 HAVING COUNT(*) >= 2)
+      SELECT s.doc_id,
+        COALESCE(STRING_AGG(s.seg, ' ' ORDER BY s.idx)
+          FILTER (WHERE b.h IS NULL), '') AS clean_text,
+        COUNT(*) AS n_segments,
+        COUNT(*) FILTER (WHERE b.h IS NOT NULL) AS n_dropped
+      FROM segs s LEFT JOIN boiler b ON MD5(s.seg) = b.h
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70)
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // segWords = 2 keeps fixtures readable: "a b c d" → ["a b", "c d"]
+  private def run(rows: Seq[(Long, String)], minDf: Long = 2) =
+    Boilerplate.removeSegments(rows.toDF("doc_id", "text"),
+      "doc_id", "text", segWords = 2, minDf = minDf)
+      .orderBy("doc_id").collect()
+
+  test("a segment repeated across docs is dropped from every carrier") {
+    val out = run(Seq(
+      (1L, "foo bar u1 v1"),   // "foo bar" appears in docs 1,2,3
+      (2L, "foo bar u2 v2"),
+      (3L, "u3 v3 foo bar"),
+      (4L, "u4 v4 w4 x4")))    // untouched
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("u1 v1", "u2 v2", "u3 v3", "u4 v4 w4 x4"))
+    assert(out.map(_.getAs[Long]("n_dropped")).toSeq == Seq(1L, 1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("n_segments")).toSeq == Seq(2L, 2L, 2L, 2L))
+  }
+
+  test("document order is restored around a dropped middle segment") {
+    val out = run(Seq(
+      (1L, "a1 a2 foo bar z1 z2"),
+      (2L, "b1 b2 foo bar y1 y2")))
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("a1 a2 z1 z2", "b1 b2 y1 y2"))
+  }
+
+  test("repeats WITHIN one doc count toward df; all-dropped doc → empty") {
+    val out = run(Seq((1L, "foo bar foo bar"), (2L, "u v")))
+    assert(out.head.getAs[String]("clean_text") == "")
+    assert(out.head.getAs[Long]("n_dropped") == 2L)
+    assert(out(1).getAs[String]("clean_text") == "u v")
+  }
+
+  test("tail segment shorter than segWords participates like any other") {
+    val out = run(Seq((1L, "a b c"), (2L, "x y c")))
+    // tail segment "c" is shared → dropped from both
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("a b", "x y"))
+  }
+
+  test("minDf above every df is the identity on text") {
+    val out = run(Seq((1L, "foo bar u1"), (2L, "foo bar u2")), minDf = 3)
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("foo bar u1", "foo bar u2"))
+    assert(out.forall(_.getAs[Long]("n_dropped") == 0L))
+  }
+
+  test("NULL text rows are omitted (documented contract)") {
+    val df = Seq((1L, Some("a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.removeSegments(df, "doc_id", "text",
+      segWords = 2, minDf = 2).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
+  test("plan: drop-list broadcasts; corpus never shuffles on the segment") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Boilerplate.removeSegments(docs, "doc_id", "text")
+    out.collect() // AQE picks the broadcast at runtime: read the FINAL plan
+    // the adaptive toString appends the initial plan too — scope the
+    // exchange count to the executed (final) section
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the df-count aggregate is the ONLY segment-keyed exchange, and it
+    // is map-side partial (hot boilerplate collapses per partition
+    // before the wire); the join-back side moves on doc_id alone
+    val hExchanges = "hashpartitioning\\(__h".r.findAllIn(plan).size
+    assert(hExchanges == 1,
+      s"corpus must not be redistributed by segment:\n$plan")
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+}
