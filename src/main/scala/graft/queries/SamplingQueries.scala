@@ -288,5 +288,43 @@ object SamplingQueries {
           END AS est
       FROM r WHERE rn <= 16 GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69)
+  /** q71 — deterministic source-interleaved training order
+    * ([[graft.operators.Interleave]]): integer mixture parts per source
+    * → a stride `sched_key` whose ascending order holds every prefix
+    * to the target mix. The oracle replays the md5 bucket, the
+    * (stratum, bucket, id) composite hash order, and the exact-integer
+    * stride arithmetic; it uses the plain per-source window form — the
+    * stratified rank equals it by InterleaveSpec's differential — so a
+    * drifted stratum or offset fails the hash gate. Strides come from
+    * the SAME Scala map on both sides so they can't drift.
+    */
+  private val q71 = {
+    val parts: Map[String, Int] =
+      (0 until 20).map(n => s"src$n" -> ((n % 4) + 1)).toMap
+    val L = parts.values.map(_.toLong)
+      .reduce((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val strideCases = parts.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN ${L / w}" }.mkString(" ")
+    Q("q71_interleave_schedule",
+      (s, dir) => {
+        graft.operators.Interleave.scheduleMix(
+            t(s, dir, "documents"), "doc_id", "source", parts,
+            salt = "graft-il", strata = 16)
+          .orderBy(col("sched_key"), col("source"), col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+          ${hashSql("graft-il", "doc_id")} AS h FROM documents),
+        b AS (SELECT doc_id, source,
+            CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
+        r AS (SELECT doc_id, source, bucket % 16 AS stratum, bucket
+          FROM b),
+        k AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY stratum, bucket, doc_id)
+          AS src_rank FROM r)
+        SELECT doc_id, source, src_rank,
+          (2 * src_rank - 1) * (CASE source $strideCases END) AS sched_key
+        FROM k ORDER BY sched_key, source, doc_id"""))
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71)
 }

@@ -29,7 +29,9 @@ class RegistrySpec extends AnyFunSuite {
       val sql = oracle.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
       val ctes = "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z0-9_]+)".r
+      // a name followed by `(` is a table function (unnest, range), not
+      // a relation
+      val refs = "(?i)(?:FROM|JOIN)\\s+([a-z0-9_]+)\\b(?!\\s*\\()".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- ctes -- tables
       assert(unknown.isEmpty, s"${q.name}: unknown relations $unknown")
