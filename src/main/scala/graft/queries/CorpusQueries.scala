@@ -369,5 +369,63 @@ object CorpusQueries {
       FROM segs s LEFT JOIN boiler b ON MD5(s.seg) = b.h
       GROUP BY s.doc_id ORDER BY s.doc_id"""))
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70)
+  /** q72 — importance-weighted data selection
+    * ([[graft.operators.Importance]], DSIR-style): score raw docs by
+    * the add-1-smoothed hashed-unigram+bigram log-likelihood ratio
+    * against a target corpus (src0-2 as the "high-quality" seed). The
+    * oracle replays every stage — normalization, the n-gram multiset,
+    * the md5 bucket, smoothing, the ⌊10⁶·ln⌋ quantization (formula
+    * order mirrored verbatim; boundary margin audited ≥ 5·10⁻⁴ at
+    * every gate SF vs ~10⁻¹⁰ cross-library ln drift), and the exact
+    * long score sum — so a drifted count, hash, or weight fails the
+    * hash gate.
+    */
+  private val q72 = {
+    val k = 64
+    val bSql = SamplingQueries.bucketSql(
+      SamplingQueries.hashSql("dsir", "g"))
+    Q("q72_importance_scores",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tgt = docs.filter(col("source").isin("src0", "src1", "src2"))
+        val raw = docs.filter(!col("source").isin("src0", "src1", "src2"))
+        graft.operators.Importance
+          .dsirScores(tgt, raw, "doc_id", "text", k = k, salt = "dsir")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tnt AS (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')),
+        rnt AS (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents
+          WHERE source NOT IN ('src0', 'src1', 'src2')),
+        tg AS (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}
+          || ${TextQueries.ngramsSql("toks", 2)}) AS g FROM tnt),
+        rg AS (SELECT doc_id, UNNEST(${TextQueries.ngramsSql("toks", 1)}
+          || ${TextQueries.ngramsSql("toks", 2)}) AS g FROM rnt),
+        tb AS (SELECT CAST($bSql % $k AS BIGINT) AS b, COUNT(*) AS ct
+          FROM tg GROUP BY 1),
+        rb AS (SELECT CAST($bSql % $k AS BIGINT) AS b, COUNT(*) AS cr
+          FROM rg GROUP BY 1),
+        u AS (SELECT b FROM range(0, $k) t(b)),
+        c AS (SELECT u.b, COALESCE(tb.ct, 0) AS ct,
+            COALESCE(rb.cr, 0) AS cr
+          FROM u LEFT JOIN tb ON u.b = tb.b LEFT JOIN rb ON u.b = rb.b),
+        tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM c),
+        w AS (SELECT b, CAST(FLOOR(1000000 * LN(
+            (CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+            * (CAST(nr + $k AS DOUBLE) / CAST(nt + $k AS DOUBLE))))
+          AS BIGINT) AS w FROM c, tot),
+        sb AS (SELECT doc_id, CAST($bSql % $k AS BIGINT) AS b FROM rg),
+        sc AS (SELECT sb.doc_id AS doc_id, COUNT(*) AS n_feats,
+            SUM(w.w) AS score
+          FROM sb JOIN w ON sb.b = w.b GROUP BY sb.doc_id)
+      SELECT r.doc_id AS doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+        CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+      FROM (SELECT DISTINCT doc_id FROM rnt) r
+        LEFT JOIN sc ON r.doc_id = sc.doc_id
+      ORDER BY doc_id"""))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72)
 }
