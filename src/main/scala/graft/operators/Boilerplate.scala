@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * A "segment" is `segWords` consecutive whitespace tokens (documents
   * are single-line word streams; a corpus with real line structure
   * would split on newlines instead — the df/drop/reassemble algebra is
-  * identical). A segment is boilerplate when its corpus-wide document
-  * frequency reaches `minDf`.
+  * identical). A segment is boilerplate when its corpus-wide OCCURRENCE
+  * count reaches `minDf` — repeats within one document count too (a
+  * refrain repeated inside a single doc is removed at minDf = 2), which
+  * is C4's any-repeat rule, not a distinct-document frequency.
   *
-  * Scale design: ONE narrow segment explode feeds (a) the df count —
-  * map-side partial aggregation on the segment's md5 collapses every
-  * hot segment per partition before its ONE exchange — and (b) the
-  * join-back. The df table is FILTERED to df ≥ minDf before the join:
+  * Scale design: ONE narrow segment explode feeds (a) the occurrence
+  * count — map-side partial aggregation on the segment's md5 collapses
+  * every hot segment per partition before its ONE exchange — and (b)
+  * the join-back. The count table is FILTERED to ≥ minDf before the join:
   * boilerplate segments are few by definition, so AQE broadcasts the
   * drop-list and the corpus is never redistributed by segment; the
   * reassembly is the one doc-keyed exchange. The explode is computed
@@ -44,6 +46,9 @@ object Boilerplate {
   def removeSegments(df: DataFrame, idCol: String, textCol: String,
                      segWords: Int = 8, minDf: Long = 2): DataFrame = {
     require(segWords > 0, s"segWords must be positive, got $segWords")
+    // minDf <= 0 would put EVERY segment on the drop-list — a silent
+    // corpus wipe, never a sane request
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     // repartition before the CPU-heavy narrow stage (same rationale as
     // Dedup): the upstream scan's partitioning, not the cluster, would
     // otherwise bound explode parallelism
@@ -60,8 +65,8 @@ object Boilerplate {
         .as(Seq("__idx", "__seg")))
       .withColumn("__h", md5(col("__seg")))
     val dropList = segs.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minDf)
       .select(col("__h"), lit(1).as("__hit"))
     segs.join(dropList, Seq("__h"), "left")
       .groupBy(col(idCol))

@@ -32,6 +32,18 @@ object Interleave {
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
   private def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
 
+  /** The per-source stride L/w_s (L = lcm of the parts) — the ONE
+    * derivation both [[scheduleMix]] and any SQL mirror build from, so
+    * the two can't drift.
+    */
+  def strides(parts: Map[String, Int]): Map[String, Long] = {
+    require(parts.nonEmpty, "parts must be non-empty")
+    require(parts.values.forall(_ > 0),
+      s"every part must be positive, got $parts")
+    val L = parts.values.map(_.toLong).reduce(lcm)
+    parts.map { case (s, w) => s -> L / w }
+  }
+
   /** The schedule: (idCol, sourceCol, src_rank, sched_key), unordered —
     * sort by (sched_key, sourceCol, idCol) to materialize the training
     * order. `parts` are integer mixture weights (e.g. 3:1 oversampling
@@ -45,16 +57,13 @@ object Interleave {
   def scheduleMix(df: DataFrame, idCol: String, sourceCol: String,
                   parts: Map[String, Int], salt: String = "interleave",
                   strata: Int = 64): DataFrame = {
-    require(parts.nonEmpty, "parts must be non-empty")
-    require(parts.values.forall(_ > 0),
-      s"every part must be positive, got $parts")
     require(strata >= 1, s"strata must be >= 1, got $strata")
     val srcs = parts.keys.toSeq.sorted
-    val L = parts.values.map(_.toLong).reduce(lcm)
+    val strideOf = strides(parts)
     // the stride rides as a literal when-chain — no join for the map
     // (same shape as temperatureMix's rate map)
     val stride = srcs.foldLeft(lit(null).cast("long")) { case (acc, s) =>
-      when(col(sourceCol) === s, lit(L / parts(s))).otherwise(acc)
+      when(col(sourceCol) === s, lit(strideOf(s))).otherwise(acc)
     }
     val based = df.filter(col(sourceCol).isin(srcs: _*))
       .withColumn("__bucket", Sampling.hashBucket(col(idCol), salt))

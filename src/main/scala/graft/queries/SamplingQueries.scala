@@ -295,16 +295,19 @@ object SamplingQueries {
     * (stratum, bucket, id) composite hash order, and the exact-integer
     * stride arithmetic; it uses the plain per-source window form — the
     * stratified rank equals it by InterleaveSpec's differential — so a
-    * drifted stratum or offset fails the hash gate. Strides come from
-    * the SAME Scala map on both sides so they can't drift.
+    * drifted stratum or offset fails the hash gate. Both sides build
+    * their strides AND their source universe from the same
+    * [[graft.operators.Interleave.strides]] derivation so neither can
+    * drift.
     */
   private val q71 = {
     val parts: Map[String, Int] =
       (0 until 20).map(n => s"src$n" -> ((n % 4) + 1)).toMap
-    val L = parts.values.map(_.toLong)
-      .reduce((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
-    val strideCases = parts.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN '$s' THEN ${L / w}" }.mkString(" ")
+    val strideCases = graft.operators.Interleave.strides(parts).toSeq
+      .sortBy(_._1)
+      .map { case (s, st) => s"WHEN '$s' THEN $st" }.mkString(" ")
+    val srcList = parts.keys.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
     Q("q71_interleave_schedule",
       (s, dir) => {
         graft.operators.Interleave.scheduleMix(
@@ -313,7 +316,8 @@ object SamplingQueries {
           .orderBy(col("sched_key"), col("source"), col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, source,
-          ${hashSql("graft-il", "doc_id")} AS h FROM documents),
+          ${hashSql("graft-il", "doc_id")} AS h FROM documents
+          WHERE source IN ($srcList)),
         b AS (SELECT doc_id, source,
             CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
         r AS (SELECT doc_id, source, bucket % 16 AS stratum, bucket

@@ -32,7 +32,7 @@ class BoilerplateSpec extends SparkSpec {
       Seq("a1 a2 z1 z2", "b1 b2 y1 y2"))
   }
 
-  test("repeats WITHIN one doc count toward df; all-dropped doc → empty") {
+  test("repeats WITHIN one doc count toward the occurrence count; all-dropped doc → empty") {
     val out = run(Seq((1L, "foo bar foo bar"), (2L, "u v")))
     assert(out.head.getAs[String]("clean_text") == "")
     assert(out.head.getAs[Long]("n_dropped") == 2L)
@@ -46,7 +46,7 @@ class BoilerplateSpec extends SparkSpec {
       Seq("a b", "x y"))
   }
 
-  test("minDf above every df is the identity on text") {
+  test("minDf above every occurrence count is the identity on text") {
     val out = run(Seq((1L, "foo bar u1"), (2L, "foo bar u2")), minDf = 3)
     assert(out.map(_.getAs[String]("clean_text")).toSeq ==
       Seq("foo bar u1", "foo bar u2"))
@@ -70,7 +70,7 @@ class BoilerplateSpec extends SparkSpec {
     // exchange count to the executed (final) section
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the df-count aggregate is the ONLY segment-keyed exchange, and it
+    // the occurrence-count aggregate is the ONLY segment-keyed exchange, and it
     // is map-side partial (hot boilerplate collapses per partition
     // before the wire); the join-back side moves on doc_id alone
     val hExchanges = "hashpartitioning\\(__h".r.findAllIn(plan).size
