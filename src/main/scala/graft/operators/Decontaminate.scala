@@ -50,4 +50,34 @@ object Decontaminate {
       .withColumn("flagged",
         (col("contamination_frac") >= flagFrac).cast("long"))
   }
+
+  /** Embedding-space decontamination — the semantic sibling of
+    * [[overlap]]: flag corpus documents whose embedding is
+    * cosine-similar (≥ `threshold`) to ANY benchmark embedding,
+    * catching paraphrased/translated contamination that exact n-gram
+    * overlap misses. Output: (idCol, n_hits, max_sim) — flagged docs
+    * only; unflagged docs carry no evidence and are absent.
+    *
+    * Scale design: bench = eval sets, tiny by construction, so it
+    * BROADCASTS into a nested-loop join; the corpus scans ONCE, every
+    * cosine evaluates exactly once per pair ([[graft.plans.PlanShape
+    * .filterOnce]] — no pushed-down duplicate), and the flags collapse
+    * through ONE doc-keyed aggregation exchange. n·|bench| cosines
+    * total — exhaustive and oracle-checkable, the q22 role; for a
+    * benchmark beyond ~10⁴ rows prune with the banded plane-signature
+    * LSH first ([[Similarity]]'s q38 role) and verify only
+    * bucket-mates.
+    */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val b = bench.select(col(vecCol).as("__bv"))
+    graft.plans.PlanShape.filterOnce(
+        corpus.select(col(idCol), col(vecCol).as("__cv"))
+          .crossJoin(broadcast(b)),
+        "__sim", VectorFunctions.cosine(col("__cv"), col("__bv")),
+        _ >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("__sim")).as("max_sim"))
+  }
 }

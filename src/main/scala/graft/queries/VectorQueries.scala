@@ -287,5 +287,34 @@ object VectorQueries {
       SELECT qid, nid, dot, rk FROM ranked WHERE rk <= 10
       ORDER BY qid, rk"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58)
+  /** q73 — embedding-space (semantic) decontamination
+    * ([[graft.operators.Decontaminate.semanticOverlap]]): flag corpus
+    * vectors cosine-close to any benchmark vector (vec_id % 50 == 0 as
+    * the stand-in eval set). The exhaustive broadcast form — the q22
+    * role; q38's banded LSH is the pair-pruning path at benchmark
+    * scale. Raw-double `max_sim` is gate-safe by the q22 precedent
+    * (identical fold order both engines).
+    */
+  private val q73 = Q("q73_semantic_decontaminate",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlap(
+          e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      b AS (SELECT vv FROM v WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id, vv FROM v WHERE vec_id % 50 <> 0),
+      h AS (SELECT c.vec_id AS vec_id,
+          (list_dot_product(c.vv, b.vv) /
+            (SQRT(list_dot_product(c.vv, c.vv)) *
+             SQRT(list_dot_product(b.vv, b.vv)))) AS sim
+        FROM c CROSS JOIN b)
+      SELECT vec_id, COUNT(*) AS n_hits, MAX(sim) AS max_sim
+      FROM h WHERE sim >= 0.3 GROUP BY vec_id ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58, q73)
 }

@@ -53,4 +53,49 @@ class DecontaminateSpec extends SparkSpec {
     assert(shExchanges == 1,
       s"corpus must not be redistributed by shingle:\n$plan")
   }
+
+  private val vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def corpusV = vecs.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+  private def benchV = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+
+  test("semanticOverlap == driver-side brute-force reference") {
+    val got = Decontaminate
+      .semanticOverlap(corpusV, benchV, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val bv = vecsOf(benchV)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val want = vecsOf(corpusV).flatMap { case (id, cv) =>
+      val sims = bv.map(b => cos(cv, b._2)).filter(_ >= 0.3)
+      if (sims.isEmpty) None else Some(id -> (sims.size.toLong, sims.max))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n == want(id)._1, s"vec $id hit count")
+      assert(math.abs(s - want(id)._2) < 1e-12, s"vec $id max_sim")
+    }
+  }
+
+  test("semantic plan: bench broadcasts; ONE doc-keyed exchange; cosine once") {
+    val out = Decontaminate
+      .semanticOverlap(corpusV, benchV, "vec_id", "embedding", 0.3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 1,
+      s"only the per-doc aggregate may exchange:\n$plan")
+    // filterOnce: the cosine kernel appears once, not re-evaluated in a
+    // pushed-down filter duplicate
+    assert("graft_cosine".r.findAllIn(plan).size <= 1, plan)
+  }
 }
