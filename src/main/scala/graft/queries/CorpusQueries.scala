@@ -427,5 +427,52 @@ object CorpusQueries {
       ORDER BY doc_id"""))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72)
+  /** q74 — CCNet-style perplexity scoring
+    * ([[graft.operators.Perplexity]]): every document's total quantized
+    * log-probability under an add-1-smoothed bigram LM trained on the
+    * src0-2 target slice. The oracle rebuilds the model (bigram +
+    * unigram counts, exact vocab size) and the per-transition
+    * `⌊10⁶·ln⌋` quantization with verbatim formula order; margins
+    * audited ≥ 4·10⁻⁴ at every gate SF, so the exact-long sums
+    * hash-match deterministically.
+    */
+  private val q74 = Q("q74_perplexity_scores",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Perplexity.bigramScores(
+          docs, docs.filter(col("source").isin("src0", "src1", "src2")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')),
+        bc AS (SELECT g, COUNT(*) AS c12 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+            FROM tnt WHERE LEN(toks) >= 2) GROUP BY g),
+        uc AS (SELECT w, COUNT(*) AS c1 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}) AS w
+            FROM tnt) GROUP BY w),
+        v AS (SELECT COUNT(*) AS v FROM uc),
+        cnt AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents),
+        pg AS (SELECT doc_id,
+            UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+          FROM cnt WHERE LEN(toks) >= 2),
+        scored AS (SELECT pg.doc_id AS doc_id,
+            CAST(FLOOR(1000000 * LN(
+              CAST(COALESCE(bc.c12, 0) + 1 AS DOUBLE) /
+              CAST(COALESCE(uc.c1, 0) + (SELECT v FROM v) AS DOUBLE)))
+              AS BIGINT) AS q
+          FROM pg LEFT JOIN bc ON pg.g = bc.g
+            LEFT JOIN uc ON STRING_SPLIT(pg.g, ' ')[1] = uc.w),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            SUM(q) AS logprob FROM scored GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        CAST(COALESCE(a.logprob, 0) AS BIGINT) AS logprob
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PerplexitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private val tgtSrcs = Seq("src0", "src1", "src2")
+  private def tgt = docs.filter(col("source").isin(tgtSrcs: _*))
+
+  // ---- driver-side reference (independent of the Column kernels) ----
+  private def refTokens(text: String): Seq[String] = {
+    val nrm = Option(text).getOrElse("").toLowerCase
+      .replaceAll("[^a-z0-9]+", " ").replaceAll("\\s+", " ").trim
+    if (nrm.isEmpty) Seq.empty else nrm.split(" ").toSeq
+  }
+  private def refBigrams(ts: Seq[String]): Seq[String] =
+    if (ts.size < 2) Seq.empty
+    else ts.sliding(2).map(_.mkString(" ")).toSeq
+
+  test("differential: distributed scores == driver-side reference") {
+    val got = Perplexity.bigramScores(docs, tgt, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val tgtToks = tgt.select("text").as[String].collect().map(refTokens)
+    val bc = tgtToks.flatMap(refBigrams).groupBy(identity)
+      .map { case (g, gs) => g -> gs.size.toLong }
+    val uc = tgtToks.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val v = uc.size.toLong
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.size == all.length)
+    all.foreach { case (id, text) =>
+      val gs = refBigrams(refTokens(text))
+      val lp = gs.map { g =>
+        val w1 = g.split(" ").head
+        val x = (bc.getOrElse(g, 0L) + 1).toDouble /
+          (uc.getOrElse(w1, 0L) + v).toDouble
+        math.floor(Perplexity.Scale * math.log(x)).toLong
+      }.sum
+      assert(got(id) == (gs.size.toLong, lp),
+        s"doc $id: got ${got(id)}, want (${gs.size}, $lp)")
+    }
+  }
+
+  test("degenerate docs (< 2 tokens, empty, NULL) stay at (0, 0)") {
+    val funky = Seq((1L, "one"), (2L, ""), (3L, null: String),
+      (4L, "two words")).toDF("doc_id", "text")
+    val out = Perplexity.bigramScores(funky, tgt, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2 == 0 && out(id)._3 == 0, s"doc $id: ${out(id)}")
+    }
+    assert(out(4L)._2 == 1)
+  }
+
+  test("target-trained model prefers target-like docs") {
+    val scored = Perplexity.bigramScores(docs, tgt, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .groupBy(col("source").isin(tgtSrcs: _*).as("is_tgt"))
+      .agg(avg(col("logprob").cast("double") /
+        col("n_bigrams").cast("double")).as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(scored(true) > scored(false),
+      s"target docs should read as more probable: $scored")
+  }
+
+  test("plan: no cartesian product, no global window; doc-keyed final agg") {
+    val out = Perplexity.bigramScores(docs, tgt, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
+      s"final aggregate must exchange on the doc key:\n$plan")
+  }
+}
