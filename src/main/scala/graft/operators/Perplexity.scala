@@ -34,7 +34,7 @@ object Perplexity {
   /** Log-probability quantization scale (q72's [[Importance.WeightScale]]
     * convention).
     */
-  val Scale: Long = 1000000L
+  val Scale: Long = Importance.WeightScale
 
   private def gramsOf(toks: Column, n: Int): Column =
     call_function("graft_shingles", toks, lit(n))
@@ -61,11 +61,17 @@ object Perplexity {
       .select(col(idCol), explode_outer(
         when(size(col("__t")) >= 2, gramsOf(col("__t"), 2))
           .otherwise(array().cast("array<string>"))).as("__g"))
+    // V = 0 means the target matched nothing (or only token-less docs):
+    // the smoothed probability degenerates to 1/0 = Inf and every score
+    // is garbage — fail loudly instead (the DuckDB mirror errors on
+    // CAST('inf' AS BIGINT) for the same input)
+    val vOk = when(col("__v") > 0, col("__v")).otherwise(raise_error(
+      lit("Perplexity.bigramScores: target corpus has no tokens (V = 0)")))
     // formula order mirrored verbatim in the SQL oracle: one double
     // division, ln, scale, floor
     val q = floor(lit(Scale) * log(
       (coalesce(col("__c12"), lit(0L)) + 1).cast("double") /
-        (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")))
+        (coalesce(col("__c1"), lit(0L)) + vOk).cast("double")))
       .cast("long")
     pg.join(bc, col("__g") === col("__mg"), "left")
       .join(uc, element_at(split(col("__g"), " "), 1) === col("__w"),

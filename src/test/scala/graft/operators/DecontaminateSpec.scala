@@ -94,8 +94,9 @@ class DecontaminateSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
     assert("hashpartitioning\\(".r.findAllIn(plan).size == 1,
       s"only the per-doc aggregate may exchange:\n$plan")
-    // filterOnce: the cosine kernel appears once, not re-evaluated in a
-    // pushed-down filter duplicate
-    assert("graft_cosine".r.findAllIn(plan).size <= 1, plan)
+    // filterOnce: the cosine kernel appears EXACTLY once — not
+    // re-evaluated in a pushed-down filter duplicate, and not silently
+    // rerouted off the native expression entirely
+    assert("graft_cosine".r.findAllIn(plan).size == 1, plan)
   }
 }

@@ -75,7 +75,17 @@ class PerplexitySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan)
-    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty,
-      s"final aggregate must exchange on the doc key:\n$plan")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1,
+      s"exactly ONE doc-keyed aggregation exchange:\n$plan")
+  }
+
+  test("empty/token-less target fails fast instead of scoring garbage") {
+    val corpus = Seq((1L, "two words")).toDF("doc_id", "text")
+    val noneTgt = docs.filter(col("source") === "no_such_source")
+    val e = intercept[Exception] {
+      Perplexity.bigramScores(corpus, noneTgt, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("V = 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("V = 0")), e.toString)
   }
 }
