@@ -131,4 +131,69 @@ object QualityRules {
       rs.map { case (n, _) => col(n) === 1L }.reduce(_ && _).cast("long"))
       .drop("__qr_nrm", "__qr_toks")
   }
+
+  /** Filter-funnel audit — the per-rule attrition table every curation
+    * report publishes (Gopher §A1.2 / Dolma-style accounting): for each
+    * rule, in pipeline order, how many documents fail it outright
+    * (`n_fail`), how many are removed AT this stage having passed every
+    * earlier rule (`n_attrition` — sums to total − survivors), how many
+    * fail ONLY this rule (`n_unique_fail` — what relaxing just it would
+    * rescue), and how many survive the pipeline so far (`n_survive`).
+    *
+    * Scale shape: one narrow codegen'd flag projection, then ONE global
+    * aggregate of 4·k exact-long sums — partial map-side, a
+    * single-partition exchange carrying 4·k longs per input partition,
+    * and a k-row explode on the final row. No window, no join, no
+    * doc-keyed shuffle; safe at any corpus size for any sane rule count.
+    *
+    * `rules` are (name, boolean Column) pairs evaluated over `df`; a
+    * NULL flag (e.g. measures over NULL text) counts as FAIL.
+    */
+  def funnelOf(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "funnelOf: at least one rule")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size,
+      s"funnelOf: duplicate rule names in ${names.mkString(", ")}")
+    val flagged = df.select(rules.map { case (n, c) =>
+      coalesce(c.cast("boolean"), lit(false)).as(n) }: _*)
+    def one(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val aggs = names.zipWithIndex.flatMap { case (n, i) =>
+      val prefix = names.take(i).map(col).foldLeft(lit(true))(_ && _)
+      val others = names.filterNot(_ == n).map(col)
+        .foldLeft(lit(true))(_ && _)
+      Seq(one(!col(n)).as(s"__f$i"),
+        one(prefix && !col(n)).as(s"__a$i"),
+        one(others && !col(n)).as(s"__u$i"),
+        one(prefix && col(n)).as(s"__s$i"))
+    }
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      struct(lit((i + 1).toLong).as("stage"), lit(n).as("rule"),
+        coalesce(col(s"__f$i"), lit(0L)).as("n_fail"),
+        coalesce(col(s"__a$i"), lit(0L)).as("n_attrition"),
+        coalesce(col(s"__u$i"), lit(0L)).as("n_unique_fail"),
+        coalesce(col(s"__s$i"), lit(0L)).as("n_survive"))
+    }
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+      .orderBy(col("stage"))
+  }
+
+  /** [[funnelOf]] over the standard Gopher rule set: flags computed via
+    * hoisted (nrm, toks) so the document tokenizes ONCE for all five
+    * rules.
+    */
+  def funnel(df: DataFrame, textCol: String,
+             cfg: Config = Config()): DataFrame = {
+    val base = df.select(col(textCol).as("__t"),
+      TextFunctions.normalizeText(col(textCol)).as("__nrm"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val m = measuresOf(col("__t"), col("__nrm"), col("__toks")).toMap
+    funnelOf(base, Seq(
+      "r_word_count" -> m("n_words").between(cfg.minWords, cfg.maxWords),
+      "r_mean_word_len" -> m("mean_word_len")
+        .between(cfg.minMeanWordLen, cfg.maxMeanWordLen),
+      "r_symbol_ratio" -> (m("symbol_ratio") <= cfg.maxSymbolRatio),
+      "r_alpha_words" -> (m("alpha_word_frac") >= cfg.minAlphaWordFrac),
+      "r_stopwords" -> (m("stopword_hits") >= cfg.minStopwordHits)))
+  }
 }

@@ -561,6 +561,72 @@ object TextQueries {
     },
     q61.oracle)
 
+  /** q75 — filter-funnel audit ([[graft.functions.QualityRules.funnel]]):
+    * per-rule attrition accounting in pipeline order — outright fails,
+    * stage attrition (passed everything earlier, removed here),
+    * unique fails (relaxing just this rule rescues them), cumulative
+    * survivors. One global aggregate; the oracle recomputes all four
+    * counts per rule from the q42 flag CTE.
+    */
+  private val q75 = {
+    val cfg = graft.functions.QualityRules.Config()
+    val ruleNames = Seq("r_word_count", "r_mean_word_len",
+      "r_symbol_ratio", "r_alpha_words", "r_stopwords")
+    Q("q75_filter_funnel",
+      (s, dir) => graft.functions.QualityRules
+        .funnel(t(s, dir, "documents"), "text", cfg),
+      Some {
+        val n = lenTokSql("toks", "nrm")
+        val stages = ruleNames.zipWithIndex.map { case (r, i) =>
+          val prefix = ruleNames.take(i).map(p => s"$p = 1")
+            .padTo(1, "TRUE").mkString(" AND ")
+          val others = ruleNames.filterNot(_ == r).map(o => s"$o = 1")
+            .mkString(" AND ")
+          val cum = ruleNames.take(i + 1).map(p => s"$p = 1")
+            .mkString(" AND ")
+          s"""SELECT CAST(${i + 1} AS BIGINT) AS stage, '$r' AS rule,
+            CAST(COALESCE(SUM(CASE WHEN $r = 0 THEN 1 END), 0)
+              AS BIGINT) AS n_fail,
+            CAST(COALESCE(SUM(CASE WHEN $prefix AND $r = 0 THEN 1 END), 0)
+              AS BIGINT) AS n_attrition,
+            CAST(COALESCE(SUM(CASE WHEN $others AND $r = 0 THEN 1 END), 0)
+              AS BIGINT) AS n_unique_fail,
+            CAST(COALESCE(SUM(CASE WHEN $cum THEN 1 END), 0)
+              AS BIGINT) AS n_survive
+          FROM f"""
+        }
+        s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        m AS (SELECT doc_id,
+          $n AS n_words,
+          CASE WHEN $n > 0 THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
+            / CAST($n AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+          CASE WHEN $n > 0 THEN
+            CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+              (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+              AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+          CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
+              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+            / CAST($n AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+          CAST(${markerHitsSql("toks", "en")} AS BIGINT) AS stopword_hits
+        FROM nt),
+        f AS (SELECT doc_id,
+          CAST(COALESCE(n_words BETWEEN ${cfg.minWords} AND ${cfg.maxWords},
+            FALSE) AS BIGINT) AS r_word_count,
+          CAST(COALESCE(mean_word_len BETWEEN ${cfg.minMeanWordLen}
+            AND ${cfg.maxMeanWordLen}, FALSE) AS BIGINT) AS r_mean_word_len,
+          CAST(COALESCE(symbol_ratio <= ${cfg.maxSymbolRatio}, FALSE)
+            AS BIGINT) AS r_symbol_ratio,
+          CAST(COALESCE(alpha_word_frac >= ${cfg.minAlphaWordFrac}, FALSE)
+            AS BIGINT) AS r_alpha_words,
+          CAST(COALESCE(stopword_hits >= ${cfg.minStopwordHits}, FALSE)
+            AS BIGINT) AS r_stopwords
+        FROM m)
+        ${stages.mkString(" UNION ALL ")}
+        ORDER BY stage"""
+      })
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66)
+    q60, q61, q65, q66, q75)
 }

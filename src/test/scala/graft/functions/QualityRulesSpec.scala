@@ -47,6 +47,66 @@ class QualityRulesSpec extends SparkSpec {
     assert(gated.exceptAll(naive).count() == 0)
   }
 
+  test("funnel == driver-side reference from annotate flags") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = QualityRules.funnel(docs, "text")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val names = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_words", "r_stopwords")
+    val flags = QualityRules.annotate(docs, "text")
+      .select(names.map(col): _*).collect()
+      .map(r => names.indices.map(i => r.getLong(i) == 1L))
+    val total = flags.length
+    assert(got.length == names.size)
+    names.zipWithIndex.foreach { case (n, i) =>
+      val (stage, rule, nf, na, nu, ns) = got(i)
+      assert(stage == i + 1 && rule == n)
+      assert(nf == flags.count(f => !f(i)), s"$n n_fail")
+      assert(na == flags.count(f => f.take(i).forall(identity) && !f(i)),
+        s"$n n_attrition")
+      assert(nu == flags.count(f =>
+        !f(i) && names.indices.forall(j => j == i || f(j))), s"$n n_unique_fail")
+      assert(ns == flags.count(f => f.take(i + 1).forall(identity)),
+        s"$n n_survive")
+    }
+    // conservation: total - total attrition == final survivors
+    assert(total - got.map(_._4).sum == got.last._6)
+    // the funnel genuinely discriminates on this corpus
+    assert(got.last._6 > 0 && got.last._6 < total)
+  }
+
+  test("funnelOf: degenerate inputs (empty df, NULL flags, one rule)") {
+    val empty = Seq.empty[(Long, Boolean)].toDF("id", "ok")
+    val e = QualityRules.funnelOf(empty, Seq("r" -> col("ok")))
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(e.toSeq == Seq((1L, "r", 0L, 0L, 0L, 0L)))
+    // NULL flag counts as FAIL
+    val nulls = Seq((1L, Some(true)), (2L, None), (3L, Some(false)))
+      .toDF("id", "ok")
+    val n = QualityRules.funnelOf(nulls, Seq("r" -> col("ok")))
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(n == ((1L, "r", 2L, 2L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      QualityRules.funnelOf(nulls, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      QualityRules.funnelOf(nulls, Seq("r" -> col("ok"), "r" -> col("ok")))
+    }
+  }
+
+  test("funnel plan: one global agg exchange, no window/join/doc shuffle") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = QualityRules.funnel(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 0,
+      s"no keyed shuffle — only the SinglePartition agg exchange:\n$plan")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("keep == conjunction of all rule flags over real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
