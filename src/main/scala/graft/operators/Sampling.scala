@@ -211,4 +211,62 @@ object Sampling {
         pmod(row_number().over(w) - 1 + col("__stratum"), lit(n.toLong)))
       .drop("__stratum")
   }
+
+  /** Token-budget-constrained selection — the data-mixing primitive:
+    * per `srcCol` group, take documents in (`scoreCol` desc, `idCol`)
+    * order while the running `costCol` sum stays ≤ `budget` (the kept
+    * set is the maximal quality-first prefix whose total cost fits).
+    * Adds `cum_cost` (the running sum, exact long). Deterministic:
+    * the (score desc, id) order is total, so ties at the boundary
+    * resolve identically on every engine. `scoreCol`/`costCol` must be
+    * non-null exact integers.
+    *
+    * This exact form is the audit twin (q76): the per-source cumulative
+    * window sorts each source's full history — correct, but a mega
+    * source funnels one task at 100 TB. The production path is
+    * [[budgetSelectApprox]]: same greedy semantics at score-group
+    * granularity with ZERO corpus-side window or shuffle.
+    */
+  def budgetSelect(df: DataFrame, srcCol: String, scoreCol: String,
+                   costCol: String, idCol: String,
+                   budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /** Scale-safe twin of [[budgetSelect]]: greedy selection at SCORE-GROUP
+    * granularity. One map-side-combined (src, score) aggregate builds the
+    * per-group cost table — bounded by sources × distinct scores, i.e.
+    * model-scale — the cumulative cut runs over THAT table (window over
+    * bounded rows, partitioned by source), and the kept (src, score)
+    * pairs broadcast back as a semi-join. The corpus is never shuffled
+    * by source and never window-sorted: a mega source costs one partial
+    * aggregate per partition, not one task.
+    *
+    * Selects a SUBSET of [[budgetSelect]]'s rows — identical whenever
+    * the budget boundary falls on a score-group edge (always, when
+    * scores are distinct within a source); otherwise the partial
+    * boundary group is dropped entirely (conservative under-fill, never
+    * over budget). Both proven in SamplingSpec.
+    */
+  def budgetSelectApprox(df: DataFrame, srcCol: String, scoreCol: String,
+                         costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = df.groupBy(col(srcCol), col(scoreCol))
+      .agg(sum(col(costCol)).as("__gcost"))
+      .withColumn("__cum", sum(col("__gcost")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col(srcCol).as("__ks"), col(scoreCol).as("__kc"))
+    df.join(broadcast(kept),
+      col(srcCol) === col("__ks") && col(scoreCol) === col("__kc"),
+      "left_semi")
+  }
 }

@@ -330,5 +330,52 @@ object SamplingQueries {
         FROM k ORDER BY sched_key, source, doc_id"""))
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71)
+  /** q76 — token-budget-constrained selection
+    * ([[Sampling.budgetSelect]]): per source, keep the quality-first
+    * prefix (stopword-hit score desc, doc_id tiebreak) whose running
+    * token cost fits an 800-token budget. Exact-long cumulative sums;
+    * the oracle replays the same window. The windowless production twin
+    * ([[Sampling.budgetSelectApprox]]) is spec-gated.
+    */
+  private val q76 = {
+    val budget = 800L
+    Q("q76_budget_select",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val d = t(s, dir, "documents").repartition(col("doc_id"))
+          .select(col("source"), col("doc_id"),
+            TextFunctions.normalizeText(col("text")).as("__nrm"),
+            TextFunctions.tokens(col("text")).as("__toks"))
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCountOf(col("__toks"), col("__nrm"))
+              .as("n_tok"),
+            TextFunctions.markerHitsOf(col("__toks"), "en").as("score"))
+        Sampling.budgetSelect(d, "source", "score", "n_tok", "doc_id",
+            budget)
+          .withColumnRenamed("cum_cost", "cum_tok")
+          .select(col("source"), col("doc_id"), col("score"),
+            col("n_tok"), col("cum_tok"))
+          .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+      },
+      Some {
+        val n = TextQueries.lenTokSql("toks", "nrm")
+        val mh = TextQueries.markerHitsSql("toks", "en")
+        s"""WITH nt AS (SELECT source, doc_id,
+          ${TextQueries.normSql("text")} AS nrm,
+          STRING_SPLIT(${TextQueries.normSql("text")}, ' ') AS toks
+          FROM documents),
+        sc AS (SELECT source, doc_id, CAST($n AS BIGINT) AS n_tok,
+          CAST($mh AS BIGINT) AS score FROM nt),
+        src AS (SELECT source, doc_id, score, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tok FROM sc)
+        SELECT source, doc_id, score, n_tok, CAST(cum_tok AS BIGINT)
+          AS cum_tok
+        FROM src WHERE cum_tok <= $budget
+        ORDER BY source, cum_tok, doc_id"""
+      })
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76)
 }

@@ -190,4 +190,73 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  // budget selection fixture: two sources, known scores/costs with a
+  // score tie crossing the budget boundary in srcB
+  private def budgetFixture = Seq(
+    // srcA: distinct scores — boundary falls on a group edge
+    ("a", 1L, 9L, 300L), ("a", 2L, 8L, 300L), ("a", 3L, 7L, 300L),
+    ("a", 4L, 6L, 300L),
+    // srcB: tied score 5 straddles the budget
+    ("b", 5L, 9L, 400L), ("b", 6L, 5L, 300L), ("b", 7L, 5L, 300L),
+    ("b", 8L, 5L, 300L), ("b", 9L, 1L, 100L)
+  ).toDF("src", "id", "score", "cost")
+
+  test("budgetSelect == driver-side greedy prefix; deterministic on ties") {
+    val got = Sampling.budgetSelect(budgetFixture, "src", "score", "cost",
+        "id", 1000L)
+      .select($"src", $"id", $"cum_cost").as[(String, Long, Long)]
+      .collect().toSet
+    // srcA: 300,600,900 then 1200 > 1000 → ids 1,2,3
+    // srcB: 400(id5),700(id6),1000(id7) then 1300 → ids 5,6,7 (tie by id)
+    assert(got == Set(("a", 1L, 300L), ("a", 2L, 600L), ("a", 3L, 900L),
+      ("b", 5L, 400L), ("b", 6L, 700L), ("b", 7L, 1000L)))
+  }
+
+  test("budgetSelectApprox: subset, never over budget, exact on group edges") {
+    val exact = Sampling.budgetSelect(budgetFixture, "src", "score",
+        "cost", "id", 1000L)
+      .select($"src", $"id").as[(String, Long)].collect().toSet
+    val approx = Sampling.budgetSelectApprox(budgetFixture, "src", "score",
+        "cost", 1000L)
+      .select($"src", $"id").as[(String, Long)].collect().toSet
+    // srcA boundary is a group edge → identical; srcB's tied group 5
+    // (total 900 > 1000-400 remaining) is dropped wholly → only id 5
+    assert(approx == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L)))
+    assert(approx.subsetOf(exact))
+    // never over budget per source
+    val spent = Sampling.budgetSelectApprox(budgetFixture, "src", "score",
+        "cost", 1000L)
+      .groupBy($"src").agg(sum($"cost").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(spent.values.forall(_ <= 1000L), spent.toString)
+    // distinct scores within every source → the twins agree exactly
+    val dA = Sampling.budgetSelect(docs
+        .select($"source", $"doc_id", $"doc_id".as("score"),
+          lit(100L).as("cost")), "source", "score", "cost", "doc_id", 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    val dB = Sampling.budgetSelectApprox(docs
+        .select($"source", $"doc_id", $"doc_id".as("score"),
+          lit(100L).as("cost")), "source", "score", "cost", 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dA == dB && dA.nonEmpty)
+  }
+
+  test("budgetSelectApprox plan: no corpus window; one group agg + broadcast semi") {
+    val out = Sampling.budgetSelectApprox(docs
+      .select($"source", $"doc_id", pmod($"doc_id", lit(7)).as("score"),
+        lit(100L).as("cost")), "source", "score", "cost", 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the only window runs over the bounded (src, score) stats frame —
+    // which sits BELOW the broadcast exchange; the corpus side reaching
+    // the semi-join is window-free
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corpus never exchanges: both source-keyed exchanges belong to the
+    // bounded stats side — the (source, score) group agg and the stats
+    // window's source repartition
+    assert("hashpartitioning\\(source".r.findAllIn(plan).size == 2,
+      s"only the two bounded stats-side exchanges:\n$plan")
+  }
 }
