@@ -178,22 +178,18 @@ object QualityRules {
       .orderBy(col("stage"))
   }
 
-  /** [[funnelOf]] over the standard Gopher rule set: flags computed via
-    * hoisted (nrm, toks) so the document tokenizes ONCE for all five
-    * rules.
+  /** [[funnelOf]] over THE standard rule set — [[rules]] applied to
+    * materialized [[measuresOf]] columns, so the rule list/thresholds
+    * have exactly one definition shared with [[annotate]]/[[keepOf]].
+    * Tokenization is hoisted once per row (projection CSE).
     */
   def funnel(df: DataFrame, textCol: String,
              cfg: Config = Config()): DataFrame = {
-    val base = df.select(col(textCol).as("__t"),
-      TextFunctions.normalizeText(col(textCol)).as("__nrm"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    val m = measuresOf(col("__t"), col("__nrm"), col("__toks")).toMap
-    funnelOf(base, Seq(
-      "r_word_count" -> m("n_words").between(cfg.minWords, cfg.maxWords),
-      "r_mean_word_len" -> m("mean_word_len")
-        .between(cfg.minMeanWordLen, cfg.maxMeanWordLen),
-      "r_symbol_ratio" -> (m("symbol_ratio") <= cfg.maxSymbolRatio),
-      "r_alpha_words" -> (m("alpha_word_frac") >= cfg.minAlphaWordFrac),
-      "r_stopwords" -> (m("stopword_hits") >= cfg.minStopwordHits)))
+    val m = df.select(col(textCol).as("__t"),
+        TextFunctions.normalizeText(col(textCol)).as("__nrm"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(measuresOf(col("__t"), col("__nrm"), col("__toks"))
+        .map { case (n, c) => c.as(n) }: _*)
+    funnelOf(m, rules(cfg))
   }
 }

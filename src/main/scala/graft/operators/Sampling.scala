@@ -218,8 +218,13 @@ object Sampling {
     * set is the maximal quality-first prefix whose total cost fits).
     * Adds `cum_cost` (the running sum, exact long). Deterministic:
     * the (score desc, id) order is total, so ties at the boundary
-    * resolve identically on every engine. `scoreCol`/`costCol` must be
-    * non-null exact integers.
+    * resolve identically on every engine. `scoreCol` must be non-null
+    * and `costCol` non-null and ≥ 0 — ENFORCED, not just documented: a
+    * violating row raises rather than silently returning a non-prefix
+    * set (negative costs make the running sum non-monotone, so a
+    * `cum ≤ budget` filter would skip a higher-ranked row and readmit
+    * later ones; NULL scores would be kept here but silently dropped by
+    * the approx twin's equality semi-join).
     *
     * This exact form is the audit twin (q76): the per-source cumulative
     * window sorts each source's full history — correct, but a mega
@@ -227,6 +232,20 @@ object Sampling {
     * [[budgetSelectApprox]]: same greedy semantics at score-group
     * granularity with ZERO corpus-side window or shuffle.
     */
+  /** Replace score/cost with fail-fast-checked versions: NULL score or
+    * NULL/negative cost raises instead of silently corrupting the
+    * prefix/subset semantics both budget forms promise.
+    */
+  private def checkBudgetCols(df: DataFrame, scoreCol: String,
+                              costCol: String): DataFrame =
+    df.withColumn(scoreCol, when(col(scoreCol).isNotNull, col(scoreCol))
+        .otherwise(raise_error(lit(
+          s"budgetSelect: NULL $scoreCol (scores must be non-null)"))))
+      .withColumn(costCol,
+        when(col(costCol).isNotNull && col(costCol) >= 0, col(costCol))
+          .otherwise(raise_error(lit(
+            s"budgetSelect: NULL or negative $costCol (costs must be >= 0)"))))
+
   def budgetSelect(df: DataFrame, srcCol: String, scoreCol: String,
                    costCol: String, idCol: String,
                    budget: Long): DataFrame = {
@@ -235,7 +254,8 @@ object Sampling {
     val w = Window.partitionBy(col(srcCol))
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+    checkBudgetCols(df, scoreCol, costCol)
+      .withColumn("cum_cost", sum(col(costCol)).over(w))
       .filter(col("cum_cost") <= budget)
   }
 
@@ -258,14 +278,15 @@ object Sampling {
                          costCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
+    val checked = checkBudgetCols(df, scoreCol, costCol)
     val w = Window.partitionBy(col(srcCol)).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = df.groupBy(col(srcCol), col(scoreCol))
+    val kept = checked.groupBy(col(srcCol), col(scoreCol))
       .agg(sum(col(costCol)).as("__gcost"))
       .withColumn("__cum", sum(col("__gcost")).over(w))
       .filter(col("__cum") <= budget)
       .select(col(srcCol).as("__ks"), col(scoreCol).as("__kc"))
-    df.join(broadcast(kept),
+    checked.join(broadcast(kept),
       col(srcCol) === col("__ks") && col(scoreCol) === col("__kc"),
       "left_semi")
   }

@@ -28,6 +28,46 @@ object TextQueries {
         THEN list_aggregate([${structs.mkString(", ")}], 'max').lang
         ELSE 'und' END)"""
   }
+  /** Shared SQL mirror of the Gopher measures (q42/q75): `nt`/`m` CTE
+    * text computing the five [[graft.functions.QualityRules.measuresOf]]
+    * columns per doc_id. ONE definition so the two oracles can't drift.
+    */
+  private[queries] def gopherMeasuresCtesSql: String = {
+    val n = lenTokSql("toks", "nrm")
+    s"""nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
+      STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+      $n AS n_words,
+      CASE WHEN $n > 0 THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
+        / CAST($n AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+      CASE WHEN $n > 0 THEN
+        CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+          (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+          AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+      CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
+          x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        / CAST($n AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+      CAST(${markerHitsSql("toks", "en")} AS BIGINT) AS stopword_hits
+    FROM nt)"""
+  }
+
+  /** SQL mirror of [[graft.functions.QualityRules.rules]] over the `m`
+    * measure columns: (rule name, 1/0 BIGINT expr), NULL-as-FAIL
+    * (COALESCE) to match the Column side's coalesce-to-false.
+    */
+  private[queries] def gopherFlagsSql(
+      cfg: graft.functions.QualityRules.Config): Seq[(String, String)] = Seq(
+    "r_word_count" -> s"""CAST(COALESCE(n_words BETWEEN ${cfg.minWords}
+      AND ${cfg.maxWords}, FALSE) AS BIGINT)""",
+    "r_mean_word_len" -> s"""CAST(COALESCE(mean_word_len BETWEEN
+      ${cfg.minMeanWordLen} AND ${cfg.maxMeanWordLen}, FALSE) AS BIGINT)""",
+    "r_symbol_ratio" -> s"""CAST(COALESCE(symbol_ratio <=
+      ${cfg.maxSymbolRatio}, FALSE) AS BIGINT)""",
+    "r_alpha_words" -> s"""CAST(COALESCE(alpha_word_frac >=
+      ${cfg.minAlphaWordFrac}, FALSE) AS BIGINT)""",
+    "r_stopwords" -> s"""CAST(COALESCE(stopword_hits >=
+      ${cfg.minStopwordHits}, FALSE) AS BIGINT)""")
+
   /** Word n-gram multiset mirror (non-distinct — repetition counting). */
   private[queries] def ngramsSql(toks: String, n: Int) =
     s"""LIST_FILTER(LIST_TRANSFORM(
@@ -225,40 +265,17 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val n = lenTokSql("toks", "nrm")
-        s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
-          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
-        m AS (SELECT doc_id,
-          $n AS n_words,
-          CASE WHEN $n > 0 THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
-            / CAST($n AS DOUBLE) ELSE 0.0 END AS mean_word_len,
-          CASE WHEN $n > 0 THEN
-            CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
-              (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
-              AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-          CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
-              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-            / CAST($n AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
-          CAST(${markerHitsSql("toks", "en")} AS BIGINT) AS stopword_hits
-        FROM nt),
-        f AS (SELECT *,
-          CAST(n_words BETWEEN ${cfg.minWords} AND ${cfg.maxWords}
-            AS BIGINT) AS r_word_count,
-          CAST(mean_word_len BETWEEN ${cfg.minMeanWordLen}
-            AND ${cfg.maxMeanWordLen} AS BIGINT) AS r_mean_word_len,
-          CAST(symbol_ratio <= ${cfg.maxSymbolRatio} AS BIGINT)
-            AS r_symbol_ratio,
-          CAST(alpha_word_frac >= ${cfg.minAlphaWordFrac} AS BIGINT)
-            AS r_alpha_words,
-          CAST(stopword_hits >= ${cfg.minStopwordHits} AS BIGINT)
-            AS r_stopwords
-        FROM m)
+        val flags = gopherFlagsSql(cfg)
+        val flagSel = flags.map { case (n, e) => s"$e AS $n" }
+          .mkString(", ")
+        val keepConj = flags.map { case (n, _) => s"$n = 1" }
+          .mkString(" AND ")
+        s"""WITH $gopherMeasuresCtesSql,
+        f AS (SELECT *, $flagSel FROM m)
         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
           alpha_word_frac, stopword_hits, r_word_count, r_mean_word_len,
           r_symbol_ratio, r_alpha_words, r_stopwords,
-          CAST(r_word_count = 1 AND r_mean_word_len = 1 AND
-            r_symbol_ratio = 1 AND r_alpha_words = 1 AND r_stopwords = 1
-            AS BIGINT) AS keep
+          CAST($keepConj AS BIGINT) AS keep
         FROM f ORDER BY doc_id"""
       })
   }
@@ -570,13 +587,14 @@ object TextQueries {
     */
   private val q75 = {
     val cfg = graft.functions.QualityRules.Config()
-    val ruleNames = Seq("r_word_count", "r_mean_word_len",
-      "r_symbol_ratio", "r_alpha_words", "r_stopwords")
     Q("q75_filter_funnel",
       (s, dir) => graft.functions.QualityRules
         .funnel(t(s, dir, "documents"), "text", cfg),
       Some {
-        val n = lenTokSql("toks", "nrm")
+        val flags = gopherFlagsSql(cfg)
+        val flagSel = flags.map { case (n, e) => s"$e AS $n" }
+          .mkString(", ")
+        val ruleNames = flags.map(_._1)
         val stages = ruleNames.zipWithIndex.map { case (r, i) =>
           val prefix = ruleNames.take(i).map(p => s"$p = 1")
             .padTo(1, "TRUE").mkString(" AND ")
@@ -595,33 +613,8 @@ object TextQueries {
               AS BIGINT) AS n_survive
           FROM f"""
         }
-        s"""WITH nt AS (SELECT doc_id, text, ${normSql("text")} AS nrm,
-          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
-        m AS (SELECT doc_id,
-          $n AS n_words,
-          CASE WHEN $n > 0 THEN CAST(LENGTH(REPLACE(nrm, ' ', '')) AS DOUBLE)
-            / CAST($n AS DOUBLE) ELSE 0.0 END AS mean_word_len,
-          CASE WHEN $n > 0 THEN
-            CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
-              (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
-              AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-          CASE WHEN $n > 0 THEN CAST(LEN(LIST_FILTER(toks,
-              x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-            / CAST($n AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
-          CAST(${markerHitsSql("toks", "en")} AS BIGINT) AS stopword_hits
-        FROM nt),
-        f AS (SELECT doc_id,
-          CAST(COALESCE(n_words BETWEEN ${cfg.minWords} AND ${cfg.maxWords},
-            FALSE) AS BIGINT) AS r_word_count,
-          CAST(COALESCE(mean_word_len BETWEEN ${cfg.minMeanWordLen}
-            AND ${cfg.maxMeanWordLen}, FALSE) AS BIGINT) AS r_mean_word_len,
-          CAST(COALESCE(symbol_ratio <= ${cfg.maxSymbolRatio}, FALSE)
-            AS BIGINT) AS r_symbol_ratio,
-          CAST(COALESCE(alpha_word_frac >= ${cfg.minAlphaWordFrac}, FALSE)
-            AS BIGINT) AS r_alpha_words,
-          CAST(COALESCE(stopword_hits >= ${cfg.minStopwordHits}, FALSE)
-            AS BIGINT) AS r_stopwords
-        FROM m)
+        s"""WITH $gopherMeasuresCtesSql,
+        f AS (SELECT doc_id, $flagSel FROM m)
         ${stages.mkString(" UNION ALL ")}
         ORDER BY stage"""
       })

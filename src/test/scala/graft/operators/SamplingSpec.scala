@@ -242,6 +242,25 @@ class SamplingSpec extends SparkSpec {
     assert(dA == dB && dA.nonEmpty)
   }
 
+  test("budget selection fails fast on NULL score or NULL/negative cost") {
+    val negCost = Seq(("a", 1L, 9L, 600L), ("a", 2L, 8L, 600L),
+      ("a", 3L, 7L, -300L)).toDF("src", "id", "score", "cost")
+    val e1 = intercept[Exception] {
+      Sampling.budgetSelect(negCost, "src", "score", "cost", "id", 1000L)
+        .collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage)
+      .getOrElse("")).contains("negative"), e1.toString)
+    val nullScore = Seq(("a", 1L, Some(9L), 600L), ("a", 2L, None, 600L))
+      .toDF("src", "id", "score", "cost")
+    val e2 = intercept[Exception] {
+      Sampling.budgetSelectApprox(nullScore, "src", "score", "cost", 1000L)
+        .collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage)
+      .getOrElse("")).contains("non-null"), e2.toString)
+  }
+
   test("budgetSelectApprox plan: no corpus window; one group agg + broadcast semi") {
     val out = Sampling.budgetSelectApprox(docs
       .select($"source", $"doc_id", pmod($"doc_id", lit(7)).as("score"),
