@@ -83,4 +83,61 @@ object Boilerplate {
       .select(col(idCol), col("clean_text"), col("n_segments"),
         col("n_dropped"))
   }
+
+  /** Cross-source overlap matrix — the provenance diagnostic behind
+    * "who mirrors whom": for every source pair, how many DISTINCT
+    * segments they share, each source's distinct-segment total, and the
+    * containment fraction `n_shared / min(n_seg_a, n_seg_b)` (one exact
+    * integer division — engine-portable). Segment granularity (same
+    * [[removeSegments]] `segWords` blocks) catches partial mirroring
+    * that whole-document fingerprints miss; exact-fingerprint overlap
+    * is near-empty on most corpora while shared passages are not.
+    *
+    * Scale design: two corpus-scale map-side-combined exchanges — the
+    * (src, segment-hash) distinct and the per-hash source count — and
+    * the (src, h) exchange is computed ONCE and reused by all three
+    * consumers (ReuseExchange; spec-asserted). Everything after is
+    * small by construction: segments shared by ≥ 2 sources are the
+    * boilerplate tail, so the prune list BROADCASTS, the self-join runs
+    * over pruned rows only, and the pair/total frames are ≤ sources².
+    * `maxSources` caps the per-segment pair fan-out (a segment in k
+    * sources yields k(k−1)/2 pairs): segments above the cap are global
+    * chrome, dropped from the matrix rather than allowed to go
+    * quadratic. Rows with NULL text carry no segments; NULL sources
+    * drop out of the pair algebra — gate both upstream.
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          segWords: Int = 8,
+                          maxSources: Int = 64): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    val segs = df
+      .select(col(srcCol).as("src"), split(col(textCol), " ").as("__w"))
+      .select(col("src"), explode(transform(
+        sequence(lit(0),
+          expr(s"(size(__w) + ${segWords - 1}) div $segWords") - 1),
+        i => md5(array_join(
+          slice(col("__w"), i * segWords + 1, lit(segWords)), " "))))
+        .as("__h"))
+      .distinct()
+    val shared = segs.groupBy(col("__h")).agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= 2 && col("__ns") <= maxSources)
+      .select(col("__h"))
+    val pruned = segs.join(broadcast(shared), Seq("__h"), "left_semi")
+    val tot = segs.groupBy(col("src")).agg(count(lit(1)).as("n_seg"))
+    val pairs = pruned.select(col("__h"), col("src").as("src_a"))
+      .join(pruned.select(col("__h"), col("src").as("src_b")), Seq("__h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tot.select(col("src").as("src_a"),
+        col("n_seg").as("n_seg_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("src").as("src_b"),
+        col("n_seg").as("n_seg_b"))), Seq("src_b"))
+      .withColumn("overlap_frac", col("n_shared").cast("double") /
+        least(col("n_seg_a"), col("n_seg_b")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_seg_a"), col("n_seg_b"), col("overlap_frac"))
+  }
 }

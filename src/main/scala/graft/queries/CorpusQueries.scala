@@ -474,5 +474,41 @@ object CorpusQueries {
         LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74)
+  /** q77 — cross-source overlap matrix
+    * ([[graft.operators.Boilerplate.sourceOverlapMatrix]]): distinct
+    * shared segments per source pair + containment fraction — the
+    * provenance diagnostic. The oracle replays segmentation, the
+    * 2-to-maxSources share band, the pair counts, and the single exact
+    * division.
+    */
+  private val q77 = Q("q77_source_overlap",
+    (s, dir) => graft.operators.Boilerplate
+      .sourceOverlapMatrix(t(s, dir, "documents"), "source", "text",
+        segWords = 8, maxSources = 64)
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH toks AS (SELECT source, STRING_SPLIT(text, ' ') AS w
+        FROM documents),
+      segs AS (SELECT DISTINCT source,
+          MD5(ARRAY_TO_STRING(w[(8*i+1):(8*i+8)], ' ')) AS h
+        FROM toks CROSS JOIN
+          UNNEST(RANGE(CAST(CEIL(LEN(w) / 8.0) AS BIGINT))) AS u(i)),
+      shared AS (SELECT h FROM segs
+        GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
+      pr AS (SELECT s.source, s.h FROM segs s JOIN shared sh
+        ON s.h = sh.h),
+      tot AS (SELECT source, COUNT(*) AS n_seg FROM segs
+        GROUP BY source),
+      pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+          COUNT(*) AS n_shared
+        FROM pr a JOIN pr b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.src_a, p.src_b, p.n_shared, ta.n_seg AS n_seg_a,
+        tb.n_seg AS n_seg_b,
+        CAST(p.n_shared AS DOUBLE) /
+          CAST(LEAST(ta.n_seg, tb.n_seg) AS DOUBLE) AS overlap_frac
+      FROM pairs p JOIN tot ta ON ta.source = p.src_a
+        JOIN tot tb ON tb.source = p.src_b
+      ORDER BY src_a, src_b"""))
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77)
 }

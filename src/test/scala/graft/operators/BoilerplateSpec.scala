@@ -80,4 +80,78 @@ class BoilerplateSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("ShuffledHashJoin"), plan)
   }
+
+  // ---- sourceOverlapMatrix ----
+
+  private def matrix(rows: Seq[(String, String)], maxSources: Int = 64) =
+    Boilerplate.sourceOverlapMatrix(rows.toDF("source", "text"),
+        "source", "text", segWords = 2, maxSources = maxSources)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+
+  test("overlap matrix: known shares, totals, and containment fraction") {
+    val out = matrix(Seq(
+      ("a", "x y u1 v1"),     // a: {"x y", "u1 v1"}
+      ("a", "p q r1 s1"),     // a: +{"p q", "r1 s1"} → 4 distinct
+      ("b", "x y u2 v2"),     // b: {"x y", "u2 v2"}
+      ("b", "p q u2 v2"),     // b: +{"p q"} → 3 distinct
+      ("c", "c1 d1 c2 d2")))  // no overlap with anyone
+    // a∩b = {"x y", "p q"} = 2; containment = 2 / min(4, 3)
+    assert(out == Seq(("a", "b", 2L, 4L, 3L, 2.0 / 3.0)))
+  }
+
+  test("overlap matrix: maxSources cap drops global chrome from the matrix") {
+    val base = Seq(
+      ("a", "g g a1 a2"), ("b", "g g b1 b2"), ("c", "g g c1 c2"),
+      // "a1 a2" also shared by a and b only
+      ("b", "a1 a2 b3 b4"))
+    // cap 64: "g g" (3 sources) and "a1 a2" (2 sources) both count
+    val loose = matrix(base)
+    assert(loose.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // cap 2: "g g" is global chrome → only the a-b "a1 a2" share remains
+    val capped = matrix(base, maxSources = 2)
+    assert(capped.map(r => (r._1, r._2, r._3)) == Seq(("a", "b", 1L)))
+  }
+
+  test("overlap matrix == driver-side reference on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Boilerplate.sourceOverlapMatrix(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val segsBySrc = docs.select("source", "text").as[(String, String)]
+      .collect().groupBy(_._1).map { case (s, rs) =>
+        s -> rs.flatMap { case (_, t) =>
+          val w = t.split(" ", -1)
+          w.grouped(8).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+    val srcs = segsBySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      shared = (segsBySrc(srcs(i)) intersect segsBySrc(srcs(j))).size
+      if shared > 0
+    } yield (srcs(i), srcs(j)) ->
+      (shared.toLong, segsBySrc(srcs(i)).size.toLong,
+        segsBySrc(srcs(j)).size.toLong)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should produce cross-source overlap")
+  }
+
+  test("overlap matrix plan: segment distinct computed once (ReuseExchange), broadcasts only") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Boilerplate.sourceOverlapMatrix(docs, "source", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the (src, h) distinct exchange feeds three consumers but ships once
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
+      s"the segment distinct must be reused, not recomputed:\n$plan")
+  }
 }
