@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it only as
-      // long (nanos since epoch) under this legacy flag.
+      // Guard for TIMESTAMP(NANOS) parquet inputs (Spark 4 otherwise
+      // refuses the type outright). Current testdata is TIMESTAMP(MICROS)
+      // — read as TIMESTAMP_NTZ — so this is a no-op there.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

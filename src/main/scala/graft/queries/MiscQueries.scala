@@ -180,10 +180,10 @@ object MiscQueries {
   /** q43 — backward as-of join ([[graft.operators.AsofJoin]]): each
     * error event picks up the most recent prior click of the same user.
     * Reference side is deduped to one row per (user, ts) so the equal-ts
-    * winner is deterministic in both engines. `ts` is nanos-as-long in
-    * Spark and TIMESTAMP in DuckDB; both project microseconds
-    * (`div 1000` / `epoch_us`) — order-isomorphic, no sub-µs same-user
-    * ties in this data.
+    * winner is deterministic in both engines. `ts` is TIMESTAMP_NTZ in
+    * Spark (parquet TIMESTAMP(MICROS)) and TIMESTAMP in DuckDB; both
+    * project epoch microseconds (`unix_micros` under the UTC session /
+    * `epoch_us`) so the joined values compare engine-neutrally.
     */
   private val q43 = Q("q43_asof_join",
     (s, dir) => {
@@ -201,9 +201,9 @@ object MiscQueries {
         tsCol = "ts", payloadCols = Seq("event_id", "value"),
         tieCol = "event_id")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("r_event_id"), col("r_value"),
-          expr("r_ts div 1000").as("r_ts_us"))
+          expr("unix_micros(cast(r_ts as timestamp))").as("r_ts_us"))
         .orderBy(col("event_id"))
     },
     Some("""WITH ref AS (
@@ -222,16 +222,16 @@ object MiscQueries {
 
   /** q44 — gap-based sessionization ([[graft.operators.Sessionize]]):
     * 30-minute-gap sessions per user, collapsed to per-session stats.
-    * Sessionizes on microsecond timestamps on BOTH sides (`ts div 1000`
-    * / `epoch_us`) so the gap comparison can't flip on sub-µs digits
-    * DuckDB's TIMESTAMP doesn't carry.
+    * Sessionizes on epoch-microsecond longs on BOTH sides
+    * (`unix_micros` under the UTC session / `epoch_us`) so the gap
+    * arithmetic is plain integer math in either engine.
     */
   private val q44 = Q("q44_sessionize",
     (s, dir) => {
       val gapUs = 1800000000L // 30 min
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       graft.operators.Sessionize
         .stats(e, "user_id", "ts_us", gapUs, tieCol = "event_id")
         .select(col("user_id"), col("session_ord"),
@@ -268,7 +268,7 @@ object MiscQueries {
       val hourUs = 3600000000L
       val e = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       val errors = e.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id"),
           col("ts_us").as("err_ts_us"))
@@ -362,7 +362,7 @@ object MiscQueries {
       val gapUs = 1800000000L // 30 min
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       graft.operators.Sessionize
         .stats(e, "user_id", "ts_us", gapUs, tieCol = "event_id",
           stitchBucket = Some(3600000000L)) // 1 h

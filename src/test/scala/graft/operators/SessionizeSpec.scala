@@ -63,7 +63,7 @@ class SessionizeSpec extends SparkSpec {
     val gapUs = 1800000000L   // 30 min
     val dayUs = 86400000000L  // 1 day
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"))
+      .select($"user_id", $"event_id", expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
     val plain = Sessionize.assign(e, "user_id", "ts_us", gapUs, "event_id")
       .select($"event_id", $"session_ord").as[(Long, Long)].collect().toMap
     val stitched = Sessionize.assignStitched(e, "user_id", "ts_us", gapUs,
