@@ -38,6 +38,44 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextDouble() - 0.5)
   }
 
+  /** Corpus-derived LSH band width: constant expected bucket occupancy
+    * means `2^bandBits ≈ n / targetBucketSize`, i.e.
+    * `bandBits = ⌈log₂(n) − log₂(targetBucketSize)⌉`, clamped to
+    * [`minBits`, 15] (so `nBands × bandBits` stays inside the 63-bit
+    * packed-long signature with the default 4 bands). This is the
+    * measured fix for the fixed-parameter Θ(N²/2^bandBits) scale law:
+    * at the 20k-vector sf1 fixture, sizing 4→8 bits cut the near-dup
+    * band join 38.0 s → 6.2 s (PLANS.md sf1 spot check, part 2).
+    */
+  def sizedBandBits(n: Long, targetBucketSize: Int = 64,
+                    minBits: Int = 4): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(15, math.max(minBits, raw))
+  }
+
+  /** Corpus-derived IVF centroid spacing: the standard nlist ≈ √N
+    * sizing (`centroidEvery ≈ ⌈√N⌉`, floored at 16) makes the
+    * assignment stage Θ(N^1.5) instead of the fixed-spacing Θ(N²/c).
+    * Measured at the 20k-vector sf1 fixture: 12.6 s → 3.3 s
+    * (PLANS.md sf1 spot check, part 2).
+    */
+  def sizedCentroidEvery(n: Long, floor: Int = 16): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** Corpus row count for the self-sizing entry points: one bounded
+    * metadata job (a count over the id column) unless the caller
+    * already knows N. Callers with an expensive upstream should pass
+    * `corpusCount` or persist the corpus — the count executes the plan.
+    */
+  private def countOf(corpus: DataFrame, idCol: String,
+                      given: Option[Long]): Long =
+    given.getOrElse(corpus.select(col(idCol)).count())
+
   /** Sign-bit signature of a vector against the given hyperplanes,
     * packed into a long (planes <= 63). Delegates to the native
     * [[graft.plans.PlaneSignatureExpr]] — one tight loop per row instead
@@ -132,7 +170,9 @@ object Similarity {
     * Θ(N²/centroidEvery). Scale `centroidEvery` ≈ √N (nlist ≈ √N, the
     * standard IVF sizing) so assignment is Θ(N^1.5): measured at the
     * 20k-vector sf1 fixture, √N spacing cut 12.6 s → 3.3 s (PLANS.md
-    * sf1 spot check, part 2).
+    * sf1 spot check, part 2). [[ivfTopKSized]] derives the spacing
+    * from the corpus count — the production entry point; this fixed
+    * form is the q31 oracle contract.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
@@ -215,6 +255,9 @@ object Similarity {
     * sf1 fixture, 4→8 band bits cut 38.0 s → 6.2 s (PLANS.md sf1 spot
     * check, part 2). Wider bands trade recall at a given threshold —
     * re-tune bands × bandBits against the target similarity.
+    * [[cosineNearDupPairsSized]] derives the band width from the
+    * corpus count — the production entry point; this fixed form is
+    * the q38 oracle contract.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, dim: Int, planes: Int = 16,
@@ -223,19 +266,83 @@ object Similarity {
     val hp = hyperplanes(planes, dim, seed)
     val nBands = planes / bandBits
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = v
-      .withColumn("__sig", planeSignature(col("v"), hp))
-      .withColumn("band", explode(bandKeys(col("__sig"), nBands, bandBits)))
-      .select(col("id"), col("band"))
-    val candIds = banded.as("x").join(banded.as("y"), Seq("band"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val candIds = bandCandidatePairs(v, hp, nBands, bandBits)
     val va = v.select(col("id").as("id_a"), col("v").as("va"))
     val vb = v.select(col("id").as("id_b"), col("v").as("vb"))
     filterOnce(candIds.join(va, Seq("id_a")).join(vb, Seq("id_b")),
         "sim", VectorFunctions.cosine(col("va"), col("vb")),
         _ >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Distinct (id_a < id_b) candidate pairs from one band self-join of
+    * (id, band) rows — the pair-pruning stage of [[cosineNearDupPairs]],
+    * exposed so sizing specs can assert the candidate count directly
+    * (the quantity the Θ(N²/2^bandBits) scale law governs).
+    * `v` must carry columns (id, v).
+    */
+  def bandCandidatePairs(v: DataFrame, hp: Array[Array[Double]],
+                         nBands: Int, bandBits: Int): DataFrame = {
+    val banded = v
+      .withColumn("__sig", planeSignature(col("v"), hp))
+      .withColumn("band", explode(bandKeys(col("__sig"), nBands, bandBits)))
+      .select(col("id"), col("band"))
+    banded.as("x").join(banded.as("y"), Seq("band"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  // ----- self-sizing production entry points (round 7) ---------------
+  //
+  // The fixed-parameter forms above are the oracle contracts (q21, q31,
+  // q38 replay their banding/spacing math in SQL). These overloads are
+  // what a deployment should call: they derive the scale-law parameter
+  // from the corpus count so the defaults survive a 100× scale-up —
+  // bandBits from log₂(N) (constant bucket occupancy), centroidEvery
+  // from √N (standard IVF nlist sizing). Each is EXACTLY the fixed
+  // form at the derived parameters (differential-spec-proven), so the
+  // oracle validation transfers.
+
+  /** [[lshTopK]] with corpus-sized bands: `bandBits` from
+    * [[sizedBandBits]], `planes = nBands × bandBits` (recall at a given
+    * signature resolution is governed by the band count, which stays
+    * fixed as the corpus grows; bucket occupancy stays constant).
+    */
+  def lshTopKSized(queries: DataFrame, corpus: DataFrame,
+                   qidCol: String, idCol: String, vecCol: String,
+                   k: Int, dim: Int, nBands: Int = 4,
+                   targetBucketSize: Int = 64, seed: Long = 42L,
+                   corpusCount: Option[Long] = None): DataFrame = {
+    val bb = sizedBandBits(countOf(corpus, idCol, corpusCount),
+      targetBucketSize)
+    lshTopK(queries, corpus, qidCol, idCol, vecCol, k, dim,
+      planes = nBands * bb, bandBits = bb, seed = seed)
+  }
+
+  /** [[cosineNearDupPairs]] with corpus-sized bands (same derivation as
+    * [[lshTopKSized]]): candidate volume stays Θ(N × targetBucketSize ×
+    * nBands) instead of Θ(N²/2^bandBits).
+    */
+  def cosineNearDupPairsSized(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, dim: Int, nBands: Int = 4,
+                              targetBucketSize: Int = 64, seed: Long = 42L,
+                              corpusCount: Option[Long] = None): DataFrame = {
+    val bb = sizedBandBits(countOf(df, idCol, corpusCount),
+      targetBucketSize)
+    cosineNearDupPairs(df, idCol, vecCol, threshold, dim,
+      planes = nBands * bb, bandBits = bb, seed = seed)
+  }
+
+  /** [[ivfTopK]] with corpus-sized centroid spacing (nlist ≈ √N):
+    * assignment cost Θ(N^1.5), the standard IVF scaling.
+    */
+  def ivfTopKSized(queries: DataFrame, corpus: DataFrame,
+                   qidCol: String, idCol: String, vecCol: String,
+                   k: Int, nprobe: Int = 3,
+                   corpusCount: Option[Long] = None): DataFrame = {
+    val ce = sizedCentroidEvery(countOf(corpus, idCol, corpusCount))
+    ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
+      centroidEvery = ce, nprobe = nprobe)
   }
 }

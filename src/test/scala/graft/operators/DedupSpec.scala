@@ -346,6 +346,84 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("sizedBandBits / sizedCentroidEvery derivations") {
+    // constant-occupancy band math: 2^bits ≈ n / target
+    assert(Similarity.sizedBandBits(64, 64) == 4)    // floor clamp
+    assert(Similarity.sizedBandBits(2048, 64) == 5)  // ceil(log2(32))
+    assert(Similarity.sizedBandBits(1L << 20, 64) == 14)
+    assert(Similarity.sizedBandBits(1L << 50, 64) == 15) // 63-bit cap
+    // monotone in n
+    val bs = Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.sizedBandBits(_, 64))
+    assert(bs == bs.sorted)
+    // √N centroid spacing with a floor
+    assert(Similarity.sizedCentroidEvery(100) == 16)
+    assert(Similarity.sizedCentroidEvery(20000) == 142)
+    assert(Similarity.sizedCentroidEvery(1000000) == 1000)
+    intercept[IllegalArgumentException](Similarity.sizedBandBits(0))
+  }
+
+  test("self-sized forms are the fixed forms at the derived parameters") {
+    val n = emb.count()
+    val bb = Similarity.sizedBandBits(n)
+    val ce = Similarity.sizedCentroidEvery(n)
+    val q = emb.filter($"vec_id" < 5)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    assert(rows(Similarity.lshTopKSized(q, emb, "vec_id", "vec_id",
+        "embedding", k = 10, dim = 64)) ==
+      rows(Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding",
+        k = 10, dim = 64, planes = 4 * bb, bandBits = bb)))
+
+    assert(rows(Similarity.cosineNearDupPairsSized(emb, "vec_id",
+        "embedding", threshold = 0.3, dim = 64)) ==
+      rows(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 4 * bb, bandBits = bb)))
+
+    assert(rows(Similarity.ivfTopKSized(q, emb, "vec_id", "vec_id",
+        "embedding", k = 10, nprobe = 3)) ==
+      rows(Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding",
+        k = 10, centroidEvery = ce, nprobe = 3)))
+
+    // passing the known count skips the count job, same result
+    assert(rows(Similarity.ivfTopKSized(q, emb, "vec_id", "vec_id",
+        "embedding", k = 10, nprobe = 3, corpusCount = Some(n))) ==
+      rows(Similarity.ivfTopKSized(q, emb, "vec_id", "vec_id",
+        "embedding", k = 10, nprobe = 3)))
+  }
+
+  test("sized bands keep the candidate volume linear in N") {
+    // 10×-style synthetic fixture: iid-normal unit vectors, the
+    // distribution the scale law was measured on (PLANS.md part 2)
+    val n = 4000
+    val dim = 16
+    val rnd = new scala.util.Random(4243L)
+    val vecs = (0 until n).map { i =>
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / norm).toFloat).toSeq)
+    }
+    val v = vecs.toDF("id", "v")
+    val target = 64
+    val nBands = 4
+    val bb = Similarity.sizedBandBits(n.toLong, target)
+    val hp = Similarity.hyperplanes(nBands * bb, dim)
+    val sized = Similarity.bandCandidatePairs(v, hp, nBands, bb).count()
+    // constant bucket occupancy ⇒ candidates ≲ nBands · N · target —
+    // linear in N, not Θ(N²/2^bits) (the fixed-bandBits=4 law)
+    assert(sized <= nBands.toLong * n * target,
+      s"sized candidates $sized exceed the linear occupancy bound")
+    val fixedHp = Similarity.hyperplanes(16, dim)
+    val fixed = Similarity.bandCandidatePairs(v, fixedHp, 4, 4).count()
+    info(s"candidates at N=$n: sized(bb=$bb)=$sized vs fixed(bb=4)=$fixed")
+    // at this modest N the gap is ~3×; the laws diverge linearly-vs-
+    // quadratically from here, so any clear separation proves the shape
+    assert(sized < fixed / 2,
+      s"sizing should prune well under the fixed-parameter volume")
+  }
+
   test("planeSignature is deterministic for a fixed seed") {
     val hp = Similarity.hyperplanes(8, 4, seed = 7L)
     val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.0f))).toDF("id", "v")
