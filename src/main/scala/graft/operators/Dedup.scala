@@ -383,18 +383,37 @@ object Dedup {
       dedup(joined.select(col("dst").as("src"), col("m").as("dst"))
         .union(m.select(col("u").as("src"), col("m").as("dst"))))
     }
+    // Structural-convergence signature: (edge count, xor of edge
+    // hashes, exact decimal sum of edge hashes) — set-equality up to
+    // hash-collision odds (~2⁻¹²⁸ for both folds to collide), ONE
+    // aggregate over the frame instead of the two anti-join probes a
+    // previous revision ran per round (which doubled the round's join
+    // count and made q66 the suite's slowest query). The previous
+    // round's signature is reused, so each round pays exactly one
+    // aggregate — which also fully materializes the new cache before
+    // the old pin is dropped. Decimal accumulation: ANSI mode errors
+    // on long-sum overflow.
+    def signature(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
+      val h = xxhash64(col("src"), col("dst"))
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(call_function("bit_xor", h), lit(0L)),
+        coalesce(sum(h.cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2))
+    }
     var cached = track(dedup(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))).persist())
     var cur = cached
+    var sigCur = signature(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val stepped = track(smallStar(largeStar(cur)).persist())
-      // structural convergence: the round reproduced its input edges
-      // (the two anti-joins also materialize stepped's cache fully
-      // before the previous round's pin is dropped)
-      converged = stepped.join(cur, Seq("src", "dst"), "left_anti").isEmpty &&
-        cur.join(stepped, Seq("src", "dst"), "left_anti").isEmpty
+      // convergence: the round reproduced its input edge set
+      val sigStep = signature(stepped)
+      converged = sigStep == sigCur
+      sigCur = sigStep
       release(cached)
       cached = stepped
       // plan truncation (see connectedComponents): the next round
