@@ -39,9 +39,13 @@ import graft.operators.Upsert
   * rolls a crashed swap back to that generation before proceeding.
   * Manifest files are single small writes (atomic create on every FS;
   * a single PUT on object stores). On stores without atomic dir rename
-  * (raw S3) the remaining exposure is one partition dir mid-rename —
-  * the manifest narrows the non-atomic window from the whole table to
-  * that single dir; closing it fully would need per-file manifests.
+  * (raw S3, where a dir rename is a file-by-file copy+delete) the
+  * manifest also records the committed generation's data files PER
+  * touched dir, so a crash inside a single dir's swap — files split
+  * between the live dir and `__old` — still reads and recovers as
+  * wholly the previous generation: individual object writes are atomic
+  * even when dir renames are not, and the per-file list reassembles
+  * exactly the committed files wherever each one landed.
   */
 final class TableStore(spark: SparkSession, root: String) {
 
@@ -66,11 +70,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * prior copy (rollback = delete — without the distinction a crash
     * after a fresh dir renames in would read/recover new-generation
     * rows alongside rolled-back old ones: mixed generations, then
-    * duplicates).
+    * duplicates). `files` = the committed generation's data-file names
+    * per touched dir, recorded before the first rename: on stores
+    * whose dir rename is file-by-file (raw S3), a crash INSIDE one
+    * dir's swap strands its files split between the live dir and
+    * `__old` — the per-file list lets [[read]]/[[recover]] reassemble
+    * exactly the committed files wherever each one currently lives
+    * (individual object copies are atomic even when dir renames are
+    * not), closing the last non-atomic window.
     */
   private[sources] case class Manifest(seq: Long, gen: Long,
                                        swapping: Boolean, dirs: Seq[String],
-                                       fresh: Seq[String])
+                                       fresh: Seq[String],
+                                       files: Map[String, Seq[String]] = Map.empty)
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
@@ -104,8 +116,20 @@ final class TableStore(spark: SparkSession, root: String) {
       val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
       def vs(k: String) =
         lines.filter(_.startsWith(k + "=")).map(_.stripPrefix(k + "="))
+      // `f=` lines belong to the most recent `dir=` line (positional:
+      // file names join their dir without needing an escaped separator)
+      val files = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var curDir: Option[String] = None
+      lines.foreach { l =>
+        if (l.startsWith("dir=")) curDir = Some(l.stripPrefix("dir="))
+        else if (l.startsWith("new=")) curDir = None
+        else if (l.startsWith("f=")) curDir.foreach { d =>
+          files(d) = files.getOrElse(d, Vector.empty) :+ l.stripPrefix("f=")
+        }
+      }
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
-        vs("state").headOption.contains("swapping"), vs("dir"), vs("new")))
+        vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
+        files.toMap))
     }
   }
 
@@ -116,7 +140,8 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   private def writeManifest(table: String, gen: Long, swapping: Boolean,
                             dirs: Seq[String],
-                            fresh: Seq[String] = Nil): Unit = {
+                            fresh: Seq[String] = Nil,
+                            files: Map[String, Seq[String]] = Map.empty): Unit = {
     val ms = listManifests(table)
     val seq = ms.map(_._1).maxOption.getOrElse(0L) + 1
     val p = new Path(root, manifestName(table) + seq)
@@ -125,12 +150,29 @@ final class TableStore(spark: SparkSession, root: String) {
     try {
       val body = (Seq(s"gen=$gen",
         s"state=${if (swapping) "swapping" else "clean"}") ++
-        dirs.map("dir=" + _) ++ fresh.map("new=" + _))
+        dirs.flatMap(d => ("dir=" + d) +:
+          files.getOrElse(d, Nil).map("f=" + _)) ++
+        fresh.map("new=" + _))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     ms.foreach { case (_, old) => fs.delete(old, false) }
   }
+
+  /** Relative paths of the committed data files under `dir` (recursive:
+    * an unpartitioned touched dir is the whole table tree). Metadata
+    * sidecars (`_SUCCESS`, checksums) are not part of the committed
+    * generation's rows and are skipped.
+    */
+  private def dataFiles(fs: FileSystem, dir: Path, rel: String = ""): Seq[String] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val r = if (rel.isEmpty) name else s"$rel/$name"
+      if (st.isDirectory) dataFiles(fs, st.getPath, r)
+      else if (name.startsWith("_") || name.startsWith(".")) Nil
+      else Seq(r)
+    }
 
   private def sub(base: Path, rel: String): Path =
     if (rel.isEmpty) base else new Path(base, rel)
@@ -150,8 +192,32 @@ final class TableStore(spark: SparkSession, root: String) {
       val tmp = new Path(path(table) + "__tmp")
       m.dirs.foreach { rel =>
         val o = sub(bak, rel)
-        if (fs.exists(o)) {
-          val c = sub(dst, rel)
+        val c = sub(dst, rel)
+        val committed = m.files.getOrElse(rel, Nil)
+        if (committed.nonEmpty) {
+          // per-file rollback: a crash INSIDE this dir's file-by-file
+          // rename may have left committed files split between the
+          // live dir and __old, and uncommitted new-generation files
+          // already renamed in. Restore = drop data files not in the
+          // committed list, then pull each committed file back from
+          // __old wherever the swap had moved it.
+          if (fs.exists(c)) {
+            val keep = committed.toSet
+            dataFiles(fs, c).foreach { rf =>
+              if (!keep.contains(rf)) fs.delete(sub(c, rf), false)
+            }
+          }
+          committed.foreach { rf =>
+            val ob = sub(o, rf)
+            if (fs.exists(ob)) {
+              val cb = sub(c, rf)
+              if (fs.exists(cb)) fs.delete(cb, false)
+              fs.mkdirs(cb.getParent)
+              fs.rename(ob, cb)
+            }
+          }
+        } else if (fs.exists(o)) {
+          // legacy manifest without a file list: whole-dir restore
           fs.delete(c, true)
           fs.mkdirs(c.getParent)
           fs.rename(o, c)
@@ -196,6 +262,51 @@ final class TableStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(
           s"table $table has no committed generation (first-time rewrite " +
             "crashed mid-swap); run a mutation to recover, or rewrite again")
+      else if (m.files.nonEmpty) {
+        // per-file reconstruction: the manifest lists the committed
+        // generation's data files per touched dir, so even a crash
+        // INSIDE one dir's file-by-file rename (raw-S3 semantics —
+        // files split between the live dir and __old) reads as wholly
+        // the committed generation: each listed file is taken from
+        // __old if the swap moved it, else from the live dir, and
+        // nothing not on the list is read from a touched dir.
+        val bakP = new Path(bakS)
+        val fromBak = Seq.newBuilder[String]
+        val fromCur = Seq.newBuilder[String]
+        m.dirs.foreach { rel =>
+          val committed = m.files.getOrElse(rel, Nil)
+          if (committed.isEmpty) {
+            // a touched dir with no recorded files (committed-empty):
+            // contributes no rows
+          } else committed.foreach { rf =>
+            val r = if (rel.isEmpty) rf else s"$rel/$rf"
+            if (fs.exists(new Path(bakP, r))) fromBak += s"$bakS/$r"
+            else fromCur += s"$dstS/$r"
+          }
+        }
+        val touched = (m.dirs ++ m.fresh).toSet
+        if (!touched.contains("")) {
+          val depth = touched.head.count(_ == '/') + 1
+          val allCur = if (fs.exists(dst)) leafDirs(fs, dst, depth, "") else Nil
+          allCur.filterNot(touched).foreach(rel => fromCur += s"$dstS/$rel")
+        }
+        val bakPaths = fromBak.result()
+        val curPaths = fromCur.result()
+        val oldDf =
+          if (bakPaths.isEmpty) None
+          else Some(spark.read.option("basePath", bakS).parquet(bakPaths: _*))
+        val curDf =
+          if (curPaths.isEmpty) None
+          else Some(spark.read.option("basePath", dstS).parquet(curPaths: _*))
+        (oldDf, curDf) match {
+          case (Some(o), Some(c)) => o.unionByName(c)
+          case (Some(o), None)    => o
+          case (None, Some(c))    => c
+          case (None, None)       =>
+            throw new IllegalStateException(
+              s"table $table: crashed swap left no committed partitions")
+        }
+      }
       else if (liveOld.isEmpty && m.fresh.isEmpty)
         spark.read.parquet(dstS)
       else if (liveOld.contains("")) spark.read.parquet(bakS)
@@ -392,7 +503,9 @@ final class TableStore(spark: SparkSession, root: String) {
     val firstTime = !fs.exists(dst)
     writeManifest(table, gen, swapping = true,
       if (firstTime) Nil else Seq(""),
-      if (firstTime) Seq("") else Nil)
+      if (firstTime) Seq("") else Nil,
+      // committed file inventory, recorded while dst is still intact
+      if (firstTime) Map.empty else Map("" -> dataFiles(fs, dst)))
     if (!firstTime) fs.rename(dst, bak)
     swapFault(1)
     fs.rename(tmp, dst)
@@ -462,9 +575,14 @@ final class TableStore(spark: SparkSession, root: String) {
     // `fresh`: they have no __old to restore, so rollback deletes them
     // and crash-window reads exclude them
     val freshRels = written.filter(rel => !fs.exists(new Path(dst, rel)))
+    val touchedCommitted = ((written -- freshRels) ++ emptied).toSeq.sorted
     writeManifest(table, gen, swapping = true,
-      ((written -- freshRels) ++ emptied).toSeq.sorted,
-      freshRels.toSeq.sorted)
+      touchedCommitted,
+      freshRels.toSeq.sorted,
+      // committed file inventory per touched dir, recorded while every
+      // live dir is still intact (before the first rename)
+      touchedCommitted.map(rel =>
+        rel -> dataFiles(fs, new Path(dst, rel))).toMap)
 
     // phase 2: per-partition swap. Old data moves to the OUTSIDE
     // sibling `__old` (an `…__old` dir inside the table would read as

@@ -320,6 +320,62 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.readManifest("v").exists(m => !m.swapping && m.gen == 1L))
   }
 
+  test("crash INSIDE one dir's file-by-file swap reads wholly-old (per-file manifest)") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    // second append makes day=d2 multi-file, so a partial per-file
+    // rename is representable
+    ts.append("t",
+      spark.range(100, 140)
+        .select($"id", lit(0).as("flag"), lit("d2").as("day")),
+      partitionBy = Seq("day"))
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    val committedIds = ts.read("t").select($"id").as[Long].collect().toSet
+    assert(partFiles(dir)("day=d2").size >= 2)
+    // crash right after d2's whole-dir move-aside (local rename is
+    // atomic; the raw-S3 partial state is constructed below)
+    ts.failAfterSwaps = 1
+    intercept[IllegalStateException] {
+      ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 9,
+        partitionCols = Seq("day"))
+    }
+    ts.failAfterSwaps = -1
+    // the manifest recorded d2's committed files
+    val m = ts.readManifest("t").get
+    assert(m.swapping && m.files("day=d2").nonEmpty)
+    // construct the raw-S3 mid-rename state: a dir rename there is a
+    // file-by-file copy+delete, so a crash strands committed files
+    // SPLIT between the live dir and __old — move one back — and may
+    // already have renamed uncommitted new-generation files in — copy
+    // one from the still-present __tmp
+    val bakD2 = new java.io.File(s"${dir}__old/day=d2")
+    val curD2 = new java.io.File(s"$dir/day=d2")
+    curD2.mkdirs()
+    val split = bakD2.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(split.toPath,
+      new java.io.File(curD2, split.getName).toPath)
+    val tmpD2 = new java.io.File(s"${dir}__tmp/day=d2")
+    val leaked = tmpD2.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(leaked.toPath,
+      new java.io.File(curD2, leaked.getName).toPath)
+    // wholly-old read: every committed row exactly once (reassembled
+    // from both halves of the split), no new-generation row
+    val rows = ts.read("t")
+    assert(rows.select($"id").as[Long].collect().toSet == committedIds)
+    assert(rows.count() == committedIds.size, "duplicate rows from split dir")
+    assert(rows.filter($"flag" === 9).count() == 0, "uncommitted rows leaked")
+    // recovery reassembles the committed dir and drops the leaked file;
+    // the retried mutation lands exactly once
+    ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 9,
+      partitionCols = Seq("day"))
+    val after = ts.read("t")
+    assert(after.select($"id").as[Long].collect().toSet == committedIds)
+    assert(after.filter($"flag" === 9).select($"id")
+      .as[Long].collect().toSeq == Seq(2L))
+    assert(ts.readManifest("t").exists(m2 => !m2.swapping))
+  }
+
   test("crash while removing an emptied partition restores it on recovery") {
     val ts = freshStore()
     seedPartitioned(ts, "t")
