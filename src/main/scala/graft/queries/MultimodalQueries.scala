@@ -55,5 +55,54 @@ object MultimodalQueries {
           AS frame_md5
       FROM f WHERE frame_idx % 3 = 0 ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(q27, q39)
+  /** q78 — REAL image-container header decode (round 7): a
+    * deterministic encode→parse round-trip. Payloads are minimal VALID
+    * PNG / baseline-JPEG / progressive-JPEG bytes built per doc_id
+    * ([[graft.operators.Multimodal.ImageBytes]] — real signatures,
+    * IHDR CRC, SOF marker segments), with every 11th payload truncated
+    * to 6 bytes; [[graft.operators.Multimodal.imageHeaders]] parses
+    * the actual bytes back (PNG IHDR / JPEG SOF0+SOF2 marker scan) and
+    * quarantines the corrupt rows as ok=false. The oracle replays the
+    * construction arithmetic analytically, so the gate verifies the
+    * whole byte-level round trip.
+    */
+  private val q78 = Q("q78_image_headers",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 509 + 1).toInt
+        val h = (id % 331 + 1).toInt
+        val full = (id % 3) match {
+          case 0 => Multimodal.ImageBytes.png(w, h)
+          case 1 => Multimodal.ImageBytes.jpeg(w, h, channels = 3)
+          case _ => Multimodal.ImageBytes.jpeg(w, h, channels = 1,
+            progressive = true)
+        }
+        Row(id, if (id % 11 == 0) full.take(6) else full)
+      }), payloadType)
+      Multimodal.imageHeaders(payloads, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+             WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+             ELSE CAST(doc_id % 509 + 1 AS INT) END AS width,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+             ELSE CAST(doc_id % 331 + 1 AS INT) END AS height,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+             ELSE CAST(8 AS INT) END AS bit_depth,
+        CASE WHEN doc_id % 11 = 0 THEN NULL
+             WHEN doc_id % 3 = 2 THEN CAST(1 AS INT)
+             ELSE CAST(3 AS INT) END AS channels,
+        doc_id % 11 <> 0 AS ok
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78)
 }

@@ -59,6 +59,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out3(1).getAs[Array[Byte]]("frame").length == 232)
   }
 
+  test("parseImageHeader: PNG / baseline JPEG / progressive JPEG round-trip") {
+    val png = Multimodal.ImageBytes.png(640, 480)
+    assert(Multimodal.parseImageHeader(png).contains(
+      Multimodal.ImgHeader("png", 640, 480, 8, 3)))
+    // grayscale+alpha, 16-bit
+    val png16 = Multimodal.ImageBytes.png(3, 7, bitDepth = 16, colorType = 4)
+    assert(Multimodal.parseImageHeader(png16).contains(
+      Multimodal.ImgHeader("png", 3, 7, 16, 2)))
+    val base = Multimodal.ImageBytes.jpeg(1920, 1080, channels = 3)
+    assert(Multimodal.parseImageHeader(base).contains(
+      Multimodal.ImgHeader("jpeg", 1920, 1080, 8, 3)))
+    val prog = Multimodal.ImageBytes.jpeg(31, 17, channels = 1,
+      progressive = true)
+    assert(Multimodal.parseImageHeader(prog).contains(
+      Multimodal.ImgHeader("jpeg", 31, 17, 8, 1)))
+  }
+
+  test("parseImageHeader: corrupt/truncated payloads return None, never throw") {
+    val png = Multimodal.ImageBytes.png(640, 480)
+    val jpg = Multimodal.ImageBytes.jpeg(640, 480)
+    val bad = Seq(
+      Array.empty[Byte],                       // empty
+      Array[Byte](1, 2, 3),                    // garbage
+      png.take(8),                             // PNG signature only
+      png.take(20),                            // truncated inside IHDR
+      jpg.take(2),                             // bare SOI
+      jpg.take(6),                             // truncated inside APP0
+      jpg.takeWhile(_ != 0xC0.toByte),         // SOI+APP0, no SOF
+      Array.fill(64)(0xFF.toByte),             // marker soup
+      {                                        // PNG sig + wrong chunk
+        val b = png.clone(); b(12) = 'X'.toByte; b
+      })
+    bad.foreach { b =>
+      assert(Multimodal.parseImageHeader(b).isEmpty,
+        s"accepted corrupt payload of ${b.length} bytes")
+    }
+  }
+
+  test("imageHeaders quarantines corrupt rows as ok=false") {
+    val rows = Seq(
+      (1L, Multimodal.ImageBytes.png(12, 34)),
+      (2L, Multimodal.ImageBytes.jpeg(56, 78)),
+      (3L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageHeaders(rows, "doc_id", "payload")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("format") == "png" &&
+      out(0).getAs[Int]("width") == 12 && out(0).getAs[Boolean]("ok"))
+    assert(out(1).getAs[String]("format") == "jpeg" &&
+      out(1).getAs[Int]("height") == 78 && out(1).getAs[Boolean]("ok"))
+    assert(!out(2).getAs[Boolean]("ok") && out(2).isNullAt(1))
+  }
+
   test("resizeTo: deterministic stride subsample + refreshed metadata") {
     val payload = (0 until 1000).map(i => (i % 256).toByte).toArray
     val docs = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))
