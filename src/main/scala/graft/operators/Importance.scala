@@ -105,10 +105,32 @@ object Importance {
       .agg(count(col("__b")).as("n_feats"),
         coalesce(sum(col("w")), lit(0L)).as("score"))
 
-  /** The composed selector: DSIR scores of `raw` against `target`. */
+  /** The composed selector: DSIR scores of `raw` against `target`.
+    *
+    * By default `raw` executes TWICE (bucket counts + scoring pass) —
+    * callers with an expensive upstream should persist it, or pass
+    * `persistUpstream = true`: `raw` is pinned, the counts pass fills
+    * the cache, the scoring pass reads it, and the pin is released
+    * before returning — the result comes back as an eagerly-
+    * materialized persisted snapshot ((id, n_feats, score) longs, far
+    * narrower than the text corpus; `unpersist()` it when consumed —
+    * the [[graft.sources.TableStore.snapshot]] handle pattern).
+    */
   def dsirScores(target: DataFrame, raw: DataFrame, idCol: String,
                  textCol: String, k: Int = 64,
-                 salt: String = "dsir"): DataFrame =
-    score(raw, idCol, textCol,
-      hashedWeights(target, raw, textCol, k, salt), k, salt)
+                 salt: String = "dsir",
+                 persistUpstream: Boolean = false): DataFrame = {
+    val in = if (persistUpstream) raw.persist() else raw
+    try {
+      val out = score(in, idCol, textCol,
+        hashedWeights(target, in, textCol, k, salt), k, salt)
+      if (!persistUpstream) out
+      else {
+        val snap = in.sparkSession.createDataFrame(out.rdd, out.schema)
+          .persist()
+        snap.count()
+        snap
+      }
+    } finally if (persistUpstream) in.unpersist(blocking = false)
+  }
 }

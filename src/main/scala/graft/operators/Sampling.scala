@@ -123,34 +123,53 @@ object Sampling {
     * no such guarantee — fine for production, not for hash-compared
     * oracles).
     *
-    * NOTE: executes the upstream plan TWICE — once for the bounded
-    * per-domain counts collected here, once when the returned filter
-    * materializes. Callers with an expensive upstream should persist
-    * `df` around the call; this operator deliberately does not pin a
-    * cache it could never release. Non-string domain columns are
-    * compared by their string form (same convention as [[mixDomains]]).
+    * NOTE: by default this executes the upstream plan TWICE — once for
+    * the bounded per-domain counts collected here, once when the
+    * returned filter materializes. `persistUpstream = true` removes
+    * the footgun with an OWNED pin: the upstream is persisted, the
+    * counts pass fills the cache, the filter pass reads it, and the
+    * upstream pin is released before returning — the result comes back
+    * as an eagerly-materialized persisted snapshot (the
+    * [[graft.sources.TableStore.snapshot]] handle pattern: `unpersist()`
+    * it when consumed; it is the kept sample, far smaller than the
+    * upstream it replaces). Non-string domain columns are compared by
+    * their string form (same convention as [[mixDomains]]).
     */
   def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
-                     alpha: Double, salt: String): DataFrame = {
+                     alpha: Double, salt: String,
+                     persistUpstream: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    // NULL domains are excluded from the rate map (a null map-literal
-    // key is a runtime error) and fall to mixDomains' defaultRate = 0:
-    // rows without a domain are dropped, consistent with q41's contract
-    val counts = df
-      .groupBy(col(domainCol).cast("string").as("__dom"))
-      .agg(count(lit(1)).as("n"))
-      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
-      .toMap
-    if (counts.isEmpty) df.filter(lit(false))
-    else {
-      val nMin = counts.values.min
-      val rates = counts.map { case (d, n) =>
-        val ratio = nMin.toDouble / n.toDouble
-        d -> (if (alpha == 0.5) math.sqrt(ratio)
-              else math.pow(ratio, 1.0 - alpha))
+    val in = if (persistUpstream) df.persist() else df
+    try {
+      // NULL domains are excluded from the rate map (a null map-literal
+      // key is a runtime error) and fall to mixDomains' defaultRate = 0:
+      // rows without a domain are dropped, consistent with q41's contract
+      val counts = in
+        .groupBy(col(domainCol).cast("string").as("__dom"))
+        .agg(count(lit(1)).as("n"))
+        .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+        .toMap
+      val out =
+        if (counts.isEmpty) in.filter(lit(false))
+        else {
+          val nMin = counts.values.min
+          val rates = counts.map { case (d, n) =>
+            val ratio = nMin.toDouble / n.toDouble
+            d -> (if (alpha == 0.5) math.sqrt(ratio)
+                  else math.pow(ratio, 1.0 - alpha))
+          }
+          mixDomains(in, domainCol, keyCol, rates, salt)
+        }
+      if (!persistUpstream) out
+      else {
+        // materialize the kept sample from the warm cache, then the
+        // upstream pin can drop before we return
+        val snap = in.sparkSession.createDataFrame(out.rdd, out.schema)
+          .persist()
+        snap.count()
+        snap
       }
-      mixDomains(df, domainCol, keyCol, rates, salt)
-    }
+    } finally if (persistUpstream) in.unpersist(blocking = false)
   }
 
   /** Weight-balanced shard assignment: rank all rows by (weight DESC,

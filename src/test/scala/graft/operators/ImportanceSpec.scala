@@ -115,4 +115,28 @@ class ImportanceSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_._1) == (0L until 32L))
   }
+
+  test("persistUpstream: raw materializes ONCE; scores unchanged") {
+    val data = (0L until 40L).map(i => (i, s"tok$i alpha beta gamma"))
+    val acc = spark.sparkContext.longAccumulator("raw-reads")
+    def instrumented() = spark.sparkContext.parallelize(data, 4)
+      .map { t => acc.add(1); t }.toDF("doc_id", "text")
+    // default: counts pass + scoring pass = two upstream executions
+    acc.reset()
+    val plain = Importance.dsirScores(tgt, instrumented(), "doc_id", "text",
+      k = 8)
+    val plainRows = plain.collect().map(_.toSeq).toSet
+    assert(acc.value == 2L * data.size,
+      s"expected two passes by default, saw ${acc.value}")
+    // pinned: one execution fills the cache, scoring reads it
+    acc.reset()
+    val pinned = Importance.dsirScores(tgt, instrumented(), "doc_id", "text",
+      k = 8, persistUpstream = true)
+    assert(acc.value == data.size,
+      s"expected ONE upstream pass with persistUpstream, saw ${acc.value}")
+    // result is already materialized — consuming it adds no reads
+    assert(pinned.collect().map(_.toSeq).toSet == plainRows)
+    assert(acc.value == data.size)
+    pinned.unpersist(blocking = false)
+  }
 }

@@ -185,6 +185,27 @@ class SamplingSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("temperatureMix persistUpstream: one upstream pass; sample unchanged") {
+    val data = (0L until 60L).map(i => (i, s"src${i % 3}"))
+    val acc = spark.sparkContext.longAccumulator("mix-reads")
+    def instrumented() = spark.sparkContext.parallelize(data, 4)
+      .map { t => acc.add(1); t }.toDF("doc_id", "source")
+    acc.reset()
+    val plain = Sampling.temperatureMix(instrumented(), "source", "doc_id",
+      0.5, "t")
+    val plainRows = plain.collect().map(_.toSeq).toSet
+    assert(acc.value == 2L * data.size,
+      s"expected two passes by default, saw ${acc.value}")
+    acc.reset()
+    val pinned = Sampling.temperatureMix(instrumented(), "source", "doc_id",
+      0.5, "t", persistUpstream = true)
+    assert(acc.value == data.size,
+      s"expected ONE upstream pass with persistUpstream, saw ${acc.value}")
+    assert(pinned.collect().map(_.toSeq).toSet == plainRows)
+    assert(acc.value == data.size, "consuming the snapshot re-read upstream")
+    pinned.unpersist(blocking = false)
+  }
+
   test("sampling filter is a narrow plan — no exchange") {
     val plan = Sampling.hashSample(docs, "doc_id", 0.5, "s")
       .queryExecution.executedPlan.toString
