@@ -66,21 +66,39 @@ object Importance {
     * relation that broadcasts into the scoring join.
     */
   def hashedWeights(target: DataFrame, raw: DataFrame, textCol: String,
-                    k: Int = 64, salt: String = "dsir"): DataFrame = {
+                    k: Int = 64, salt: String = "dsir",
+                    minQuantMargin: Option[Double] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val ct = bucketCounts(target, textCol, salt, k).toMap
     val cr = bucketCounts(raw, textCol, salt, k).toMap
     val nt = ct.valuesIterator.sum
     val nr = cr.valuesIterator.sum
-    val rows = (0L until k.toLong).map { b =>
+    val ys = (0L until k.toLong).map { b =>
       // formula order mirrored verbatim in the SQL oracle: two double
       // divisions, one multiply, ln, floor — IEEE ops are
       // order-deterministic, ln is margin-audited (scaladoc)
       val x = ((ct.getOrElse(b, 0L) + 1).toDouble /
           (cr.getOrElse(b, 0L) + 1).toDouble) *
         ((nr + k).toDouble / (nt + k).toDouble)
-      Row(b, math.floor(WeightScale * math.log(x)).toLong)
+      b -> WeightScale * math.log(x)
     }
+    // debug-mode guard for the margin the determinism argument rests
+    // on: min distance of any UNQUANTIZED weight to its floor boundary
+    // (weights are k driver-side doubles, so this audit is exact and
+    // free). Throws rather than letting a near-boundary fixture ship a
+    // flaky hash-compared oracle.
+    minQuantMargin.foreach { threshold =>
+      val m = ys.map { case (_, y) =>
+        val frac = y - math.floor(y)
+        math.min(frac, 1.0 - frac)
+      }.minOption.getOrElse(Double.PositiveInfinity)
+      if (m < threshold) throw new IllegalStateException(
+        f"DSIR quantization margin $m%.3e below threshold $threshold%.3e: " +
+          "a weight sits close enough to its floor boundary that " +
+          "cross-engine ln drift could flip it — re-audit the fixture " +
+          "before trusting a hash-compared oracle")
+    }
+    val rows = ys.map { case (b, y) => Row(b, math.floor(y).toLong) }
     target.sparkSession.createDataFrame(
       target.sparkSession.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("bucket", LongType, nullable = false),

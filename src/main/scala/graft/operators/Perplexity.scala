@@ -48,7 +48,50 @@ object Perplexity {
     * floor.
     */
   def bigramScores(corpus: DataFrame, target: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
+                   textCol: String,
+                   minQuantMargin: Option[Double] = None): DataFrame = {
+    minQuantMargin.foreach { threshold =>
+      val m = minQuantizationMargin(corpus, target, idCol, textCol)
+      if (m < threshold) throw new IllegalStateException(
+        f"Perplexity quantization margin $m%.3e below threshold " +
+          f"$threshold%.3e: a bigram log-prob sits close enough to its " +
+          "floor boundary that cross-engine ln drift could flip the " +
+          "quantized score — re-audit the fixture before trusting a " +
+          "hash-compared oracle")
+    }
+    val g = scoredGrams(corpus, target, idCol, textCol)
+    g.df.groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_bigrams"),
+        coalesce(sum(when(col("__g").isNotNull, floor(g.y).cast("long"))),
+          lit(0L)).as("logprob"))
+  }
+
+  /** Min distance of any scored bigram's UNQUANTIZED `10⁶·ln` value to
+    * its nearest floor boundary — the quantity the cross-engine
+    * determinism argument rests on (audited ≥ 4·10⁻⁴ per gate fixture
+    * vs ~10⁻⁹ absolute ln drift). One extra aggregate over the scoring
+    * frame; returns +∞ for a corpus with no scorable bigrams. Run via
+    * `bigramScores(..., minQuantMargin = Some(t))` as the debug-mode
+    * guard so a future fixture can't silently go flaky.
+    */
+  def minQuantizationMargin(corpus: DataFrame, target: DataFrame,
+                            idCol: String, textCol: String): Double = {
+    val g = scoredGrams(corpus, target, idCol, textCol)
+    val frac = g.y - floor(g.y)
+    val row = g.df.filter(col("__g").isNotNull)
+      .agg(min(least(frac, lit(1.0) - frac))).head()
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
+  private final case class ScoredGrams(df: DataFrame, y: Column)
+
+  /** The shared scoring frame: one row per (doc, bigram) with the model
+    * counts joined in, plus the unquantized `10⁶·ln(ratio)` column —
+    * [[bigramScores]] floors it, [[minQuantizationMargin]] measures its
+    * boundary distance.
+    */
+  private def scoredGrams(corpus: DataFrame, target: DataFrame,
+                          idCol: String, textCol: String): ScoredGrams = {
     val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
     val bc = tt.filter(size(col("__t")) >= 2)
       .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
@@ -69,17 +112,14 @@ object Perplexity {
       lit("Perplexity.bigramScores: target corpus has no tokens (V = 0)")))
     // formula order mirrored verbatim in the SQL oracle: one double
     // division, ln, scale, floor
-    val q = floor(lit(Scale) * log(
+    val y = lit(Scale) * log(
       (coalesce(col("__c12"), lit(0L)) + 1).cast("double") /
-        (coalesce(col("__c1"), lit(0L)) + vOk).cast("double")))
-      .cast("long")
-    pg.join(bc, col("__g") === col("__mg"), "left")
-      .join(uc, element_at(split(col("__g"), " "), 1) === col("__w"),
-        "left")
-      .crossJoin(broadcast(vF))
-      .groupBy(col(idCol))
-      .agg(count(col("__g")).as("n_bigrams"),
-        coalesce(sum(when(col("__g").isNotNull, q)), lit(0L))
-          .as("logprob"))
+        (coalesce(col("__c1"), lit(0L)) + vOk).cast("double"))
+    ScoredGrams(
+      pg.join(bc, col("__g") === col("__mg"), "left")
+        .join(uc, element_at(split(col("__g"), " "), 1) === col("__w"),
+          "left")
+        .crossJoin(broadcast(vF)),
+      y)
   }
 }

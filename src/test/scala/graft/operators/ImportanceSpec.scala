@@ -116,6 +116,20 @@ class ImportanceSpec extends SparkSpec {
     assert(a.map(_._1) == (0L until 32L))
   }
 
+  test("quantization-margin guard: boundary fixture throws, healthy fixture passes") {
+    // identical target and raw: every bucket ratio x = 1 exactly, so
+    // 10⁶·ln(x) = 0 sits ON its floor boundary — margin 0
+    val boom = intercept[IllegalStateException] {
+      Importance.hashedWeights(raw, raw, "text", k = 8,
+        minQuantMargin = Some(1e-9))
+    }
+    assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
+    // the real gate fixture clears the audited envelope (≥ 5e-4
+    // documented; demand well above ulp drift ~1e-9)
+    assert(Importance.hashedWeights(tgt, raw, "text", k = 8,
+      minQuantMargin = Some(1e-6)).count() == 8)
+  }
+
   test("persistUpstream: raw materializes ONCE; scores unchanged") {
     val data = (0L until 40L).map(i => (i, s"tok$i alpha beta gamma"))
     val acc = spark.sparkContext.longAccumulator("raw-reads")

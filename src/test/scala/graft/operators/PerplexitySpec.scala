@@ -88,4 +88,22 @@ class PerplexitySpec extends SparkSpec {
     assert(e.getMessage.contains("V = 0") ||
       Option(e.getCause).exists(_.getMessage.contains("V = 0")), e.toString)
   }
+
+  test("quantization-margin guard: throws above the fixture's margin, passes below") {
+    val m = Perplexity.minQuantizationMargin(docs, tgt, "doc_id", "text")
+    // the gate fixture's margin must be real: strictly inside (0, 0.5]
+    assert(m > 0 && m <= 0.5, s"margin $m")
+    info(f"fixture quantization margin = $m%.3e")
+    // threshold below the measured margin: scores flow
+    val ok = Perplexity.bigramScores(docs, tgt, "doc_id", "text",
+      minQuantMargin = Some(m / 2)).count()
+    assert(ok == docs.count())
+    // a fixture whose margin falls below the demanded threshold throws
+    // loudly instead of shipping a flaky hash-compared oracle
+    val boom = intercept[IllegalStateException] {
+      Perplexity.bigramScores(docs, tgt, "doc_id", "text",
+        minQuantMargin = Some(m + 1e-12))
+    }
+    assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
+  }
 }
