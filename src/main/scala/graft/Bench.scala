@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.assertEventsTsReadable(spark, sfDir)
     // Optional comma-separated name-prefix filter for focused local
     // runs (e.g. SPARK_GRAFT_QUERIES=q50,q57); the driver sets nothing
     // and always benches the full registry.

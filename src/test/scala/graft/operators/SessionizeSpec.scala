@@ -62,6 +62,9 @@ class SessionizeSpec extends SparkSpec {
   test("assignStitched == assign (differential on the events table)") {
     val gapUs = 1800000000L   // 30 min
     val dayUs = 86400000000L  // 1 day
+    // fail fast if the dataset regresses to TIMESTAMP(NANOS) — the
+    // micros projection below would silently misread it (ADVICE r6)
+    graft.Tables.assertEventsTsReadable(spark, "/root/testdata/sf0.001")
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select($"user_id", $"event_id", expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
     val plain = Sessionize.assign(e, "user_id", "ts_us", gapUs, "event_id")
