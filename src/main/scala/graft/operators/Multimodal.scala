@@ -142,6 +142,11 @@ object Multimodal {
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
   private val pngSig =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -157,7 +162,11 @@ object Multimodal {
     *    which share the 0xC* range) — covers baseline (SOF0) and
     *    progressive (SOF2); frame header carries precision, height,
     *    width, component count.
-    * Returns None for anything truncated, corrupt, or neither format —
+    *  - GIF (87a/89a): logical screen descriptor — LE16 dims, color
+    *    resolution as bit depth, RGB palette → 3 channels.
+    *  - BMP (BITMAPINFOHEADER+): signed LE32 dims (top-down height
+    *    normalized), bits-per-pixel → palette/truecolor channels.
+    * Returns None for anything truncated, corrupt, or none of these —
     * callers quarantine, never throw: at 100 TB some payloads WILL be
     * garbage and one bad row must not kill a stage.
     */
@@ -180,6 +189,31 @@ object Multimodal {
         else Some(ImgHeader("png", w.toInt, h.toInt, depth,
           pngChannels(colorType)))
       }
+    } else if (n >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+               bytes(2) == 'F' && bytes(3) == '8' &&
+               (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      // GIF87a/89a logical screen descriptor: LE16 dims, packed byte's
+      // bits 4-6 = color resolution − 1; pixels index an RGB palette
+      val w = le16(bytes, 6)
+      val h = le16(bytes, 8)
+      val depth = (((bytes(10) & 0xFF) >> 4) & 7) + 1
+      if (w <= 0 || h <= 0) None
+      else Some(ImgHeader("gif", w, h, depth, 3))
+    } else if (n >= 30 && bytes(0) == 'B' && bytes(1) == 'M') {
+      // BMP: BITMAPINFOHEADER (or longer) at offset 14 — signed LE32
+      // dims (negative height = top-down), bits-per-pixel at 28
+      val dibSize = le32(bytes, 14)
+      val w = le32(bytes, 18).toInt
+      val h = math.abs(le32(bytes, 22).toInt)
+      val bpp = le16(bytes, 28)
+      val ch = bpp match {
+        case 1 | 4 | 8 => 1 // palette-indexed
+        case 16 | 24   => 3
+        case 32        => 4
+        case _         => 0
+      }
+      if (dibSize < 40 || w <= 0 || h <= 0 || ch == 0) None
+      else Some(ImgHeader("bmp", w, h, bpp, ch))
     } else if (n >= 4 && (bytes(0) & 0xFF) == 0xFF &&
                (bytes(1) & 0xFF) == 0xD8) {
       var i = 2
@@ -279,6 +313,121 @@ object Multimodal {
         Array(channels.toByte) ++ comps
       val eoi = Array(0xFF.toByte, 0xD9.toByte)
       soi ++ app0 ++ sof ++ eoi
+    }
+
+    private def l16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def l32(v: Long) = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+
+    /** GIF89a: header + logical screen descriptor (color resolution 8)
+      * + trailer.
+      */
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ l16(w) ++ l16(h) ++
+        Array(0x70.toByte /* color resolution 8, no GCT */,
+          0.toByte, 0.toByte) ++ Array(0x3B.toByte /* trailer */)
+
+    /** BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, no pixel data. */
+    def bmp(w: Int, h: Int, bitCount: Int = 24): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ l32(54) ++ l16(0) ++ l16(0) ++
+        l32(54) ++ // pixel data offset
+        l32(40) ++ l32(w.toLong) ++ l32(h.toLong) ++ l16(1) ++
+        l16(bitCount) ++ l32(0) ++ l32(0) ++ l32(2835) ++ l32(2835) ++
+        l32(0) ++ l32(0)
+  }
+
+  // -------------------------------------------------------- audio headers
+
+  /** Parsed WAV (RIFF/WAVE, the PCM container) header fields.
+    * `nSamples` = data-chunk frames when a data chunk is present.
+    */
+  final case class WavHeader(channels: Int, sampleRate: Int, bitDepth: Int,
+                             nSamples: Option[Long])
+
+  val audioHeaderType: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("ok", BooleanType)))
+
+  /** Pure-Scala parse of the WAV container header (RIFF chunk walk to
+    * `fmt ` for channels / sample rate / bit depth, plus the `data`
+    * chunk size → frame count). Same quarantine contract as
+    * [[parseImageHeader]]: None for truncated/corrupt/non-WAV bytes.
+    */
+  def parseWavHeader(bytes: Array[Byte]): Option[WavHeader] = {
+    val n = bytes.length
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, block, bits
+    var dataSize: Option[Long] = None
+    while (i + 8 <= n) {
+      val id = tag(i)
+      val size = le32(bytes, i + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > n) return None
+        fmt = Some((le16(bytes, i + 10), le32(bytes, i + 12).toInt,
+          le16(bytes, i + 20), le16(bytes, i + 22)))
+      } else if (id == "data") dataSize = Some(size)
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    fmt.flatMap { case (ch, rate, block, bits) =>
+      if (ch <= 0 || rate <= 0 || !Set(8, 16, 24, 32).contains(bits))
+        None
+      else Some(WavHeader(ch, rate, bits,
+        dataSize.filter(_ => block > 0).map(_ / block)))
+    }
+  }
+
+  /** WAV header fields of (idCol: long, payloadCol: binary) as real
+    * columns, corrupt rows quarantined as ok=false — the audio twin of
+    * [[imageHeaders]].
+    */
+  def audioHeaders(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(df(idCol).cast("long"), df(payloadCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        parseWavHeader(r.getAs[Array[Byte]](1)) match {
+          case Some(hd) =>
+            Row(id, "wav", hd.channels, hd.sampleRate, hd.bitDepth,
+              hd.nSamples.map(Long.box).orNull, true)
+          case None => Row(id, null, null, null, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioHeaderType)
+  }
+
+  /** Minimal valid PCM WAV bytes (the encode side of
+    * [[parseWavHeader]]): RIFF/WAVE with a correct `fmt ` chunk and a
+    * zero-filled `data` chunk of `nSamples` frames.
+    */
+  object AudioBytes {
+    private def l16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def l32(v: Long) = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+
+    def wav(channels: Int, sampleRate: Int, bits: Int,
+            nSamples: Long): Array[Byte] = {
+      val block = channels * (bits / 8)
+      val dataLen = nSamples * block
+      val fmt = "fmt ".getBytes("US-ASCII") ++ l32(16) ++
+        l16(1 /* PCM */) ++ l16(channels) ++ l32(sampleRate.toLong) ++
+        l32(sampleRate.toLong * block) ++ l16(block) ++ l16(bits)
+      val data = "data".getBytes("US-ASCII") ++ l32(dataLen) ++
+        new Array[Byte](dataLen.toInt)
+      "RIFF".getBytes("US-ASCII") ++ l32(4 + fmt.length + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ fmt ++ data
     }
   }
 

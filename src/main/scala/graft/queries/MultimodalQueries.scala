@@ -57,14 +57,14 @@ object MultimodalQueries {
 
   /** q78 — REAL image-container header decode (round 7): a
     * deterministic encode→parse round-trip. Payloads are minimal VALID
-    * PNG / baseline-JPEG / progressive-JPEG bytes built per doc_id
-    * ([[graft.operators.Multimodal.ImageBytes]] — real signatures,
-    * IHDR CRC, SOF marker segments), with every 11th payload truncated
-    * to 6 bytes; [[graft.operators.Multimodal.imageHeaders]] parses
-    * the actual bytes back (PNG IHDR / JPEG SOF0+SOF2 marker scan) and
-    * quarantines the corrupt rows as ok=false. The oracle replays the
-    * construction arithmetic analytically, so the gate verifies the
-    * whole byte-level round trip.
+    * PNG / baseline-JPEG / progressive-JPEG / GIF / BMP bytes built
+    * per doc_id ([[graft.operators.Multimodal.ImageBytes]] — real
+    * signatures, IHDR CRC, SOF marker segments, screen descriptors,
+    * DIB headers), with every 11th payload truncated to 6 bytes;
+    * [[graft.operators.Multimodal.imageHeaders]] parses the actual
+    * bytes back and quarantines the corrupt rows as ok=false. The
+    * oracle replays the construction arithmetic analytically, so the
+    * gate verifies the whole byte-level round trip.
     */
   private val q78 = Q("q78_image_headers",
     (s, dir) => {
@@ -78,11 +78,13 @@ object MultimodalQueries {
         val id = r.getLong(0)
         val w = (id % 509 + 1).toInt
         val h = (id % 331 + 1).toInt
-        val full = (id % 3) match {
+        val full = (id % 5) match {
           case 0 => Multimodal.ImageBytes.png(w, h)
           case 1 => Multimodal.ImageBytes.jpeg(w, h, channels = 3)
-          case _ => Multimodal.ImageBytes.jpeg(w, h, channels = 1,
+          case 2 => Multimodal.ImageBytes.jpeg(w, h, channels = 1,
             progressive = true)
+          case 3 => Multimodal.ImageBytes.gif(w, h)
+          case _ => Multimodal.ImageBytes.bmp(w, h)
         }
         Row(id, if (id % 11 == 0) full.take(6) else full)
       }), payloadType)
@@ -91,18 +93,64 @@ object MultimodalQueries {
     },
     Some("""SELECT doc_id,
         CASE WHEN doc_id % 11 = 0 THEN NULL
-             WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             WHEN doc_id % 5 = 0 THEN 'png'
+             WHEN doc_id % 5 = 3 THEN 'gif'
+             WHEN doc_id % 5 = 4 THEN 'bmp'
+             ELSE 'jpeg' END AS format,
         CASE WHEN doc_id % 11 = 0 THEN NULL
              ELSE CAST(doc_id % 509 + 1 AS INT) END AS width,
         CASE WHEN doc_id % 11 = 0 THEN NULL
              ELSE CAST(doc_id % 331 + 1 AS INT) END AS height,
         CASE WHEN doc_id % 11 = 0 THEN NULL
+             WHEN doc_id % 5 = 4 THEN CAST(24 AS INT)
              ELSE CAST(8 AS INT) END AS bit_depth,
         CASE WHEN doc_id % 11 = 0 THEN NULL
-             WHEN doc_id % 3 = 2 THEN CAST(1 AS INT)
+             WHEN doc_id % 5 = 2 THEN CAST(1 AS INT)
              ELSE CAST(3 AS INT) END AS channels,
         doc_id % 11 <> 0 AS ok
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q27, q39, q78)
+  /** q79 — REAL WAV audio-header decode
+    * ([[graft.operators.Multimodal.parseWavHeader]]): the audio twin of
+    * q78, same encode→parse round-trip discipline — valid RIFF/WAVE
+    * bytes with a correct `fmt ` chunk and a sized `data` chunk built
+    * per doc_id, every 13th payload truncated inside the RIFF header;
+    * the parser walks the chunk list and the oracle replays the
+    * construction analytically.
+    */
+  private val q79 = Q("q79_audio_headers",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val full = Multimodal.AudioBytes.wav(
+          channels = (id % 2 + 1).toInt,
+          sampleRate = (8000 * (id % 5 + 1)).toInt,
+          bits = if (id % 3 == 0) 8 else 16,
+          nSamples = id % 997 + 1)
+        Row(id, if (id % 13 == 0) full.take(10) else full)
+      }), payloadType)
+      Multimodal.audioHeaders(payloads, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'wav' END AS format,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE CAST(8000 * (doc_id % 5 + 1) AS INT) END AS sample_rate,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+             WHEN doc_id % 3 = 0 THEN CAST(8 AS INT)
+             ELSE CAST(16 AS INT) END AS bit_depth,
+        CASE WHEN doc_id % 13 = 0 THEN NULL
+             ELSE CAST(doc_id % 997 + 1 AS BIGINT) END AS n_samples,
+        doc_id % 13 <> 0 AS ok
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79)
 }

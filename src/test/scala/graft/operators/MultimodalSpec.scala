@@ -97,6 +97,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseImageHeader: GIF and BMP round-trip") {
+    assert(Multimodal.parseImageHeader(Multimodal.ImageBytes.gif(320, 200))
+      .contains(Multimodal.ImgHeader("gif", 320, 200, 8, 3)))
+    assert(Multimodal.parseImageHeader(Multimodal.ImageBytes.bmp(64, 48))
+      .contains(Multimodal.ImgHeader("bmp", 64, 48, 24, 3)))
+    assert(Multimodal.parseImageHeader(
+        Multimodal.ImageBytes.bmp(10, 20, bitCount = 8))
+      .contains(Multimodal.ImgHeader("bmp", 10, 20, 8, 1)))
+    // truncated variants quarantine
+    assert(Multimodal.parseImageHeader(
+      Multimodal.ImageBytes.gif(320, 200).take(6)).isEmpty)
+    assert(Multimodal.parseImageHeader(
+      Multimodal.ImageBytes.bmp(64, 48).take(20)).isEmpty)
+  }
+
+  test("parseWavHeader: round-trip, chunk walk, corrupt quarantine") {
+    val w = Multimodal.AudioBytes.wav(2, 44100, 16, 1000L)
+    assert(Multimodal.parseWavHeader(w).contains(
+      Multimodal.WavHeader(2, 44100, 16, Some(1000L))))
+    val mono8 = Multimodal.AudioBytes.wav(1, 8000, 8, 997L)
+    assert(Multimodal.parseWavHeader(mono8).contains(
+      Multimodal.WavHeader(1, 8000, 8, Some(997L))))
+    // truncated / corrupt / non-wav
+    assert(Multimodal.parseWavHeader(w.take(10)).isEmpty)
+    assert(Multimodal.parseWavHeader(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseWavHeader(
+      Multimodal.ImageBytes.png(2, 2)).isEmpty)
+    // fmt chunk truncated mid-body
+    assert(Multimodal.parseWavHeader(w.take(20)).isEmpty)
+    // bad bits-per-sample rejected
+    val broken = w.clone(); broken(34) = 7 // bits field low byte
+    assert(Multimodal.parseWavHeader(broken).isEmpty)
+  }
+
+  test("audioHeaders quarantines corrupt rows as ok=false") {
+    val rows = Seq(
+      (1L, Multimodal.AudioBytes.wav(1, 16000, 16, 10L)),
+      (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioHeaders(rows, "doc_id", "payload")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("format") == "wav" &&
+      out(0).getAs[Int]("sample_rate") == 16000 &&
+      out(0).getAs[Long]("n_samples") == 10L &&
+      out(0).getAs[Boolean]("ok"))
+    assert(!out(1).getAs[Boolean]("ok") && out(1).isNullAt(1))
+  }
+
   test("imageHeaders quarantines corrupt rows as ok=false") {
     val rows = Seq(
       (1L, Multimodal.ImageBytes.png(12, 34)),
