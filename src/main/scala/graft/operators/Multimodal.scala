@@ -431,6 +431,124 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------------- video headers
+
+  /** Parsed MP4 (ISO BMFF) movie-header fields: `durationMs` =
+    * duration × 1000 / timescale in exact long arithmetic.
+    */
+  final case class Mp4Header(timescale: Int, duration: Long,
+                             durationMs: Long)
+
+  val videoHeaderType: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration", LongType),
+    StructField("duration_ms", LongType),
+    StructField("ok", BooleanType)))
+
+  /** Pure-Scala parse of the MP4/ISO-BMFF container header: walk the
+    * top-level box list to `moov`, then its children to the `mvhd`
+    * movie header (version 0: BE32 timescale/duration; version 1:
+    * BE32 timescale, BE64 duration). Same quarantine contract as the
+    * image/audio parsers: None for truncated/corrupt/non-MP4 bytes.
+    */
+  def parseMp4Header(bytes: Array[Byte]): Option[Mp4Header] = {
+    val n = bytes.length
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    // box walk over [from, until): returns the body offset+size of the
+    // first box with the given type, handling 64-bit largesize
+    def findBox(from: Int, until: Int, boxType: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = be32(bytes, i)
+        val (hdr, size) =
+          if (size32 == 1L) {
+            if (i + 16 > until) return None
+            val s64 = (be32(bytes, i + 8) << 32) | be32(bytes, i + 12)
+            (16, s64)
+          } else if (size32 == 0L) (8, (until - i).toLong) // to end
+          else (8, size32)
+        if (size < hdr || i + size > until) return None
+        if (tag(i + 4) == boxType) return Some((i + hdr, (size - hdr).toInt))
+        i += size.toInt
+      }
+      None
+    }
+    if (n < 8) None
+    else findBox(0, n, "moov").flatMap { case (mo, ms) =>
+      findBox(mo, mo + ms, "mvhd").flatMap { case (hd, hs) =>
+        if (hs < 4) None
+        else {
+          val version = bytes(hd) & 0xFF
+          val (tsOff, durOff, durLen) =
+            if (version == 1) (hd + 4 + 16, hd + 4 + 20, 8)
+            else (hd + 4 + 8, hd + 4 + 12, 4)
+          if (durOff + durLen > hd + hs) None
+          else {
+            val ts = be32(bytes, tsOff)
+            val dur =
+              if (durLen == 8) (be32(bytes, durOff) << 32) |
+                be32(bytes, durOff + 4)
+              else be32(bytes, durOff)
+            if (ts <= 0 || ts > Int.MaxValue || dur < 0) None
+            else Some(Mp4Header(ts.toInt, dur, dur * 1000L / ts))
+          }
+        }
+      }
+    }
+  }
+
+  /** MP4 movie-header fields of (idCol: long, payloadCol: binary) as
+    * real columns, corrupt rows quarantined as ok=false — the video
+    * leg of the container-header family.
+    */
+  def videoHeaders(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(df(idCol).cast("long"), df(payloadCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        parseMp4Header(r.getAs[Array[Byte]](1)) match {
+          case Some(hd) =>
+            Row(id, "mp4", hd.timescale, hd.duration, hd.durationMs, true)
+          case None => Row(id, null, null, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoHeaderType)
+  }
+
+  /** Minimal valid ISO-BMFF bytes: `ftyp` (isom) + `moov` containing a
+    * version-0 `mvhd` with the given timescale/duration.
+    */
+  object VideoBytes {
+    private def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    def mp4(timescale: Int, duration: Long): Array[Byte] = {
+      val ftypBody = "isom".getBytes("US-ASCII") ++ u32(0) ++
+        "isom".getBytes("US-ASCII")
+      val ftyp = u32(8L + ftypBody.length) ++
+        "ftyp".getBytes("US-ASCII") ++ ftypBody
+      // mvhd v0 body: version+flags, creation, modification, timescale,
+      // duration, rate, volume+reserved, 2×reserved, 3×3 matrix,
+      // 6×predefined, next_track_id — 100 bytes
+      val mvhdBody = u32(0) ++ u32(0) ++ u32(0) ++
+        u32(timescale.toLong) ++ u32(duration) ++
+        u32(0x00010000L) ++ u32(0x01000000L) ++ u32(0) ++ u32(0) ++
+        (Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+          .flatMap(u32(_)).toArray) ++
+        Array.fill(6)(u32(0)).flatten ++ u32(1)
+      val mvhd = u32(8L + mvhdBody.length) ++
+        "mvhd".getBytes("US-ASCII") ++ mvhdBody
+      val moov = u32(8L + mvhd.length) ++
+        "moov".getBytes("US-ASCII") ++ mvhd
+      ftyp ++ moov
+    }
+  }
+
   // --------------------------------------------------------------- resize
 
   /** Resize contract — the image-resize stage. [[StrideResizer]] is the

@@ -152,5 +152,43 @@ object MultimodalQueries {
         doc_id % 13 <> 0 AS ok
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79)
+  /** q80 — REAL MP4 movie-header decode
+    * ([[graft.operators.Multimodal.parseMp4Header]]): the video leg of
+    * the container-header family. Valid ISO-BMFF bytes (ftyp + moov/
+    * mvhd v0) built per doc_id, every 9th payload truncated inside the
+    * ftyp box; the parser walks the box tree and the oracle replays
+    * the arithmetic — duration_ms = duration·1000 // timescale is
+    * exact integer division on both engines.
+    */
+  private val q80 = Q("q80_video_headers",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val full = Multimodal.VideoBytes.mp4(
+          timescale = (1000 * (id % 4 + 1)).toInt,
+          duration = id % 100000 + 1)
+        Row(id, if (id % 9 == 0) full.take(5) else full)
+      }), payloadType)
+      Multimodal.videoHeaders(payloads, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 'mp4' END AS format,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(1000 * (doc_id % 4 + 1) AS INT) END AS timescale,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(doc_id % 100000 + 1 AS BIGINT) END AS duration,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(((doc_id % 100000 + 1) * 1000)
+               // (1000 * (doc_id % 4 + 1)) AS BIGINT) END AS duration_ms,
+        doc_id % 9 <> 0 AS ok
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80)
 }

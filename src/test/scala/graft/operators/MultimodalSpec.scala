@@ -131,6 +131,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavHeader(broken).isEmpty)
   }
 
+  test("parseMp4Header: box walk round-trip, corrupt quarantine") {
+    val v = Multimodal.VideoBytes.mp4(timescale = 30000, duration = 90000L)
+    assert(Multimodal.parseMp4Header(v).contains(
+      Multimodal.Mp4Header(30000, 90000L, 3000L)))
+    // integer-ms truncation: 1001/1000 s -> 1001 ms at ts=1000
+    assert(Multimodal.parseMp4Header(
+        Multimodal.VideoBytes.mp4(1000, 1001L))
+      .contains(Multimodal.Mp4Header(1000, 1001L, 1001L)))
+    // truncated / corrupt / non-mp4
+    assert(Multimodal.parseMp4Header(v.take(5)).isEmpty)
+    assert(Multimodal.parseMp4Header(v.take(30)).isEmpty) // no moov yet
+    assert(Multimodal.parseMp4Header(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseMp4Header(
+      Multimodal.AudioBytes.wav(1, 8000, 8, 4L)).isEmpty)
+    // corrupted box size must not loop or throw
+    val broken = v.clone(); broken(0) = 0x7F.toByte
+    assert(Multimodal.parseMp4Header(broken).isEmpty)
+  }
+
   test("audioHeaders quarantines corrupt rows as ok=false") {
     val rows = Seq(
       (1L, Multimodal.AudioBytes.wav(1, 16000, 16, 10L)),
