@@ -77,12 +77,17 @@ final class TableStore(spark: SparkSession, root: String) {
     * `__old` — the per-file list lets [[read]]/[[recover]] reassemble
     * exactly the committed files wherever each one currently lives
     * (individual object copies are atomic even when dir renames are
-    * not), closing the last non-atomic window.
+    * not), closing the last non-atomic window. `adds` = file paths an
+    * in-flight APPEND is moving into the table: they hold only
+    * uncommitted new rows, so a crashed append reads and recovers as
+    * the table WITHOUT them (the inverse of `files`, which lists the
+    * committed inventory of a rewrite).
     */
   private[sources] case class Manifest(seq: Long, gen: Long,
                                        swapping: Boolean, dirs: Seq[String],
                                        fresh: Seq[String],
-                                       files: Map[String, Seq[String]] = Map.empty)
+                                       files: Map[String, Seq[String]] = Map.empty,
+                                       adds: Seq[String] = Nil)
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
@@ -129,7 +134,7 @@ final class TableStore(spark: SparkSession, root: String) {
       }
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
         vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
-        files.toMap))
+        files.toMap, vs("add")))
     }
   }
 
@@ -141,7 +146,8 @@ final class TableStore(spark: SparkSession, root: String) {
   private def writeManifest(table: String, gen: Long, swapping: Boolean,
                             dirs: Seq[String],
                             fresh: Seq[String] = Nil,
-                            files: Map[String, Seq[String]] = Map.empty): Unit = {
+                            files: Map[String, Seq[String]] = Map.empty,
+                            adds: Seq[String] = Nil): Unit = {
     val ms = listManifests(table)
     val seq = ms.map(_._1).maxOption.getOrElse(0L) + 1
     val p = new Path(root, manifestName(table) + seq)
@@ -152,7 +158,7 @@ final class TableStore(spark: SparkSession, root: String) {
         s"state=${if (swapping) "swapping" else "clean"}") ++
         dirs.flatMap(d => ("dir=" + d) +:
           files.getOrElse(d, Nil).map("f=" + _)) ++
-        fresh.map("new=" + _))
+        fresh.map("new=" + _) ++ adds.map("add=" + _))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
@@ -224,6 +230,10 @@ final class TableStore(spark: SparkSession, root: String) {
         }
       }
       m.fresh.foreach { rel => fs.delete(sub(dst, rel), true) }
+      // crashed append: drop whichever uncommitted batch files already
+      // moved in; the __add sibling holds the rest
+      m.adds.foreach { rel => fs.delete(sub(dst, rel), false) }
+      fs.delete(new Path(path(table) + "__add"), true)
       fs.delete(tmp, true)
       fs.delete(bak, true)
       writeManifest(table, m.gen, swapping = false, Nil)
@@ -262,6 +272,16 @@ final class TableStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(
           s"table $table has no committed generation (first-time rewrite " +
             "crashed mid-swap); run a mutation to recover, or rewrite again")
+      else if (m.adds.nonEmpty) {
+        // crashed append: the committed generation is every data file
+        // EXCEPT the listed uncommitted adds (whichever of them
+        // already moved in)
+        val keep = dataFiles(fs, dst).filterNot(m.adds.toSet)
+        if (keep.isEmpty) throw new IllegalStateException(
+          s"table $table: crashed append left no committed files")
+        spark.read.option("basePath", dstS)
+          .parquet(keep.map(r => s"$dstS/$r"): _*)
+      }
       else if (m.files.nonEmpty) {
         // per-file reconstruction: the manifest lists the committed
         // generation's data files per touched dir, so even a crash
@@ -338,12 +358,43 @@ final class TableStore(spark: SparkSession, root: String) {
     case _ => spark.read.parquet(path(table))
   }
 
+  /** Manifest-fenced append (K3): the batch lands in an `__add`
+    * sibling first, the incoming file list is recorded in a swapping
+    * manifest, and only then do the files move in (one rename each —
+    * atomic per file on every store). A crash at ANY point reads and
+    * recovers as the table WITHOUT the batch: before the manifest the
+    * files are outside the table; after it, [[read]] excludes the
+    * listed adds and [[recover]] deletes whichever of them already
+    * moved. Without the fence a crash mid-write left a partial batch
+    * VISIBLE (parquet scans do not honor _SUCCESS markers). A
+    * first-time append routes through [[rewrite]]'s fresh-table fence.
+    */
   def append(table: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Unit = {
     recover(table) // never append into a half-swapped layout
-    val w = df.write.mode(SaveMode.Append)
+    if (!exists(table)) { rewrite(table, df, partitionBy); return }
+    val dst = hpath(table)
+    val fs = fsOf(dst)
+    val tmp = new Path(path(table) + "__add")
+    fs.delete(tmp, true)
+    val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path(table))
+      .parquet(tmp.toString)
+    val incoming = dataFiles(fs, tmp)
+    if (incoming.isEmpty) { fs.delete(tmp, true); return }
+    val gen = readManifest(table).map(_.gen).getOrElse(0L)
+    writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
+      adds = incoming)
+    var moves = 0
+    incoming.foreach { rel =>
+      val to = sub(dst, rel)
+      fs.mkdirs(to.getParent)
+      moves += 1; swapFault(moves)
+      fs.rename(sub(tmp, rel), to)
+    }
+    writeManifest(table, gen + 1, swapping = false, Nil)
+    fs.delete(tmp, true)
+    ()
   }
 
   /** INSERT ... ON CONFLICT DO NOTHING: append only new-keyed rows.

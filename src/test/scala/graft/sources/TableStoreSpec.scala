@@ -272,7 +272,9 @@ class TableStoreSpec extends SparkSpec {
     assert(after.count() == 100)
     assert(after.filter($"flag" === 1).select($"id")
       .as[Long].collect().toSet == Set(1L, 3L))
-    assert(ts.readManifest("t").exists(m => !m.swapping && m.gen == 1L))
+    // gen 1 = the seed append's first-time fenced rewrite; gen 2 = the
+    // successfully retried flag flip
+    assert(ts.readManifest("t").exists(m => !m.swapping && m.gen == 2L))
   }
 
   test("crash after a brand-new partition dir swaps in reads wholly-old") {
@@ -374,6 +376,31 @@ class TableStoreSpec extends SparkSpec {
     assert(after.filter($"flag" === 9).select($"id")
       .as[Long].collect().toSeq == Seq(2L))
     assert(ts.readManifest("t").exists(m2 => !m2.swapping))
+  }
+
+  test("crash mid-append leaves the batch invisible; retry lands once") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t") // 100 committed rows
+    def batch() = spark.range(200, 240)
+      .select($"id", lit(0).as("flag"), concat(lit("d"), $"id" % 5).as("day"))
+    // crash after ONE incoming file already moved into the table
+    ts.failAfterSwaps = 2
+    intercept[IllegalStateException] {
+      ts.append("t", batch(), partitionBy = Seq("day"))
+    }
+    ts.failAfterSwaps = -1
+    // uncommitted batch files sit inside the table dir, but the
+    // manifest's add-list keeps them out of the committed read
+    val rows = ts.read("t")
+    assert(rows.count() == 100, "partial append leaked into a read")
+    assert(rows.filter($"id" >= 200).count() == 0)
+    // the retried append recovers first, then lands exactly once
+    ts.append("t", batch(), partitionBy = Seq("day"))
+    val after = ts.read("t")
+    assert(after.count() == 140, "duplicates or losses after recovery")
+    assert(after.filter($"id" >= 200).count() == 40)
+    assert(after.select($"id").distinct().count() == 140)
+    assert(ts.readManifest("t").exists(m => !m.swapping))
   }
 
   test("crash while removing an emptied partition restores it on recovery") {
