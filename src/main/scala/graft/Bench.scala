@@ -113,8 +113,11 @@ object Bench {
             System.err.println(
               f"[bench:variance] $n $a%.2fs vs $b%.2fs — third pass")
             val c = timed("timed3")(n)
+            // a FAILED third pass must not contribute its (near-zero)
+            // elapsed time — a crash can never read as a speedup
+            val ok = !errors.contains(n)
             errors.remove(n) // a third-pass error never flips to failed
-            if (c > 0) math.min(lo, c) else lo
+            if (ok && c > 0) math.min(lo, c) else lo
           } else lo
         case (true, false)  => passB(n) // transient absorbed
         case (false, true)  => passA(n)

@@ -143,12 +143,7 @@ object Importance {
       val out = score(in, idCol, textCol,
         hashedWeights(target, in, textCol, k, salt), k, salt)
       if (!persistUpstream) out
-      else {
-        val snap = in.sparkSession.createDataFrame(out.rdd, out.schema)
-          .persist()
-        snap.count()
-        snap
-      }
+      else graft.sources.TableStore.eagerSnapshot(out)
     } finally if (persistUpstream) in.unpersist(blocking = false)
   }
 }

@@ -147,6 +147,14 @@ object Multimodal {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  // matching writers for the encode side (ImageBytes/AudioBytes/VideoBytes)
+  private def u16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def l16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def l32(v: Long) = Array((v & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 24) & 0xFF).toByte)
 
   private val pngSig =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -261,7 +269,8 @@ object Multimodal {
     val rdd = input.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        parseImageHeader(r.getAs[Array[Byte]](1)) match {
+        // NULL payloads quarantine like corrupt ones — never throw
+        Option(r.getAs[Array[Byte]](1)).flatMap(parseImageHeader) match {
           case Some(hd) =>
             Row(id, hd.format, hd.width, hd.height, hd.bitDepth,
               hd.channels, true)
@@ -279,9 +288,6 @@ object Multimodal {
     * still be format-valid.
     */
   object ImageBytes {
-    private def u16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
-    private def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
-      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
     /** PNG with a correct IHDR (+CRC) and an IEND chunk. */
     def png(w: Int, h: Int, bitDepth: Int = 8, colorType: Int = 2): Array[Byte] = {
@@ -314,11 +320,6 @@ object Multimodal {
       val eoi = Array(0xFF.toByte, 0xD9.toByte)
       soi ++ app0 ++ sof ++ eoi
     }
-
-    private def l16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-    private def l32(v: Long) = Array((v & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 24) & 0xFF).toByte)
 
     /** GIF89a: header + logical screen descriptor (color resolution 8)
       * + trailer.
@@ -363,19 +364,23 @@ object Multimodal {
     val n = bytes.length
     def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var i = 12
+    // Long cursor: a declared chunk size near Int.MaxValue must step
+    // the cursor past n and END the walk, not overflow Int into a
+    // negative index (the quarantine contract says never throw)
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, block, bits
     var dataSize: Option[Long] = None
     while (i + 8 <= n) {
-      val id = tag(i)
-      val size = le32(bytes, i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
+      val at = i.toInt
+      val id = tag(at)
+      val size = le32(bytes, at + 4)
+      if (size < 0) return None
       if (id == "fmt ") {
         if (size < 16 || i + 8 + 16 > n) return None
-        fmt = Some((le16(bytes, i + 10), le32(bytes, i + 12).toInt,
-          le16(bytes, i + 20), le16(bytes, i + 22)))
+        fmt = Some((le16(bytes, at + 10), le32(bytes, at + 12).toInt,
+          le16(bytes, at + 20), le16(bytes, at + 22)))
       } else if (id == "data") dataSize = Some(size)
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      i += 8L + size + (size & 1L) // chunks pad to even
     }
     fmt.flatMap { case (ch, rate, block, bits) =>
       if (ch <= 0 || rate <= 0 || !Set(8, 16, 24, 32).contains(bits))
@@ -396,7 +401,7 @@ object Multimodal {
     val rdd = input.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        parseWavHeader(r.getAs[Array[Byte]](1)) match {
+        Option(r.getAs[Array[Byte]](1)).flatMap(parseWavHeader) match {
           case Some(hd) =>
             Row(id, "wav", hd.channels, hd.sampleRate, hd.bitDepth,
               hd.nSamples.map(Long.box).orNull, true)
@@ -412,10 +417,6 @@ object Multimodal {
     * zero-filled `data` chunk of `nSamples` frames.
     */
   object AudioBytes {
-    private def l16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-    private def l32(v: Long) = Array((v & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 24) & 0xFF).toByte)
 
     def wav(channels: Int, sampleRate: Int, bits: Int,
             nSamples: Long): Array[Byte] = {
@@ -491,7 +492,11 @@ object Multimodal {
               if (durLen == 8) (be32(bytes, durOff) << 32) |
                 be32(bytes, durOff + 4)
               else be32(bytes, durOff)
-            if (ts <= 0 || ts > Int.MaxValue || dur < 0) None
+            // dur × 1000 must not overflow Long: a corrupt v1 duration
+            // past ~9.2e15 ticks would wrap negative and emit garbage
+            // with ok=true — quarantine it instead
+            if (ts <= 0 || ts > Int.MaxValue || dur < 0 ||
+                dur > Long.MaxValue / 1000L) None
             else Some(Mp4Header(ts.toInt, dur, dur * 1000L / ts))
           }
         }
@@ -510,7 +515,7 @@ object Multimodal {
     val rdd = input.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        parseMp4Header(r.getAs[Array[Byte]](1)) match {
+        Option(r.getAs[Array[Byte]](1)).flatMap(parseMp4Header) match {
           case Some(hd) =>
             Row(id, "mp4", hd.timescale, hd.duration, hd.durationMs, true)
           case None => Row(id, null, null, null, null, false)
@@ -524,8 +529,6 @@ object Multimodal {
     * version-0 `mvhd` with the given timescale/duration.
     */
   object VideoBytes {
-    private def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
-      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
     def mp4(timescale: Int, duration: Long): Array[Byte] = {
       val ftypBody = "isom".getBytes("US-ASCII") ++ u32(0) ++

@@ -161,14 +161,10 @@ object Sampling {
           mixDomains(in, domainCol, keyCol, rates, salt)
         }
       if (!persistUpstream) out
-      else {
+      else
         // materialize the kept sample from the warm cache, then the
         // upstream pin can drop before we return
-        val snap = in.sparkSession.createDataFrame(out.rdd, out.schema)
-          .persist()
-        snap.count()
-        snap
-      }
+        graft.sources.TableStore.eagerSnapshot(out)
     } finally if (persistUpstream) in.unpersist(blocking = false)
   }
 

@@ -48,12 +48,27 @@ object Similarity {
     * band join 38.0 s → 6.2 s (PLANS.md sf1 spot check, part 2).
     */
   def sizedBandBits(n: Long, targetBucketSize: Int = 64,
-                    minBits: Int = 4): Int = {
+                    minBits: Int = 4, maxBits: Int = 15): Int = {
     require(n > 0, s"corpus count must be positive, got $n")
     require(targetBucketSize > 0, "targetBucketSize must be positive")
+    require(maxBits >= minBits,
+      s"maxBits ($maxBits) must be >= minBits ($minBits)")
     val raw = math.ceil(
       math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
-    math.min(15, math.max(minBits, raw))
+    math.min(maxBits, math.max(minBits, raw))
+  }
+
+  /** Band-bit cap for a given band count: signatures pack into one
+    * long, so `nBands × bandBits` must stay ≤ 63 — without this cap a
+    * large corpus with nBands > 4 would derive planes > 63 and the
+    * packed shifts would wrap, silently corrupting every signature.
+    */
+  private def sizedBandBitsFor(n: Long, nBands: Int,
+                               targetBucketSize: Int): Int = {
+    require(nBands >= 1 && 63 / nBands >= 4,
+      s"nBands ($nBands) leaves fewer than 4 bits per band in a " +
+        "63-bit packed signature")
+    sizedBandBits(n, targetBucketSize, minBits = 4, maxBits = 63 / nBands)
   }
 
   /** Corpus-derived IVF centroid spacing: the standard nlist ≈ √N
@@ -314,8 +329,8 @@ object Similarity {
                    k: Int, dim: Int, nBands: Int = 4,
                    targetBucketSize: Int = 64, seed: Long = 42L,
                    corpusCount: Option[Long] = None): DataFrame = {
-    val bb = sizedBandBits(countOf(corpus, idCol, corpusCount),
-      targetBucketSize)
+    val bb = sizedBandBitsFor(countOf(corpus, idCol, corpusCount),
+      nBands, targetBucketSize)
     lshTopK(queries, corpus, qidCol, idCol, vecCol, k, dim,
       planes = nBands * bb, bandBits = bb, seed = seed)
   }
@@ -328,8 +343,8 @@ object Similarity {
                               threshold: Double, dim: Int, nBands: Int = 4,
                               targetBucketSize: Int = 64, seed: Long = 42L,
                               corpusCount: Option[Long] = None): DataFrame = {
-    val bb = sizedBandBits(countOf(df, idCol, corpusCount),
-      targetBucketSize)
+    val bb = sizedBandBitsFor(countOf(df, idCol, corpusCount),
+      nBands, targetBucketSize)
     cosineNearDupPairs(df, idCol, vecCol, threshold, dim,
       planes = nBands * bb, bandBits = bb, seed = seed)
   }

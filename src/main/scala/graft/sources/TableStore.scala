@@ -705,4 +705,18 @@ object TableStore {
     s.persist()
     s
   }
+
+  /** [[snapshot]] + eager materialization: the returned frame is fully
+    * computed and pinned before control returns, so a caller can drop
+    * its upstream's cache immediately (the double-pass operators'
+    * `persistUpstream` contract). Releases the snapshot pin if the
+    * materialization itself fails — no orphaned cache on error.
+    */
+  def eagerSnapshot(df: DataFrame): DataFrame = {
+    val s = snapshot(df)
+    try { s.count(); s }
+    catch {
+      case t: Throwable => s.unpersist(blocking = false); throw t
+    }
+  }
 }

@@ -361,6 +361,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.sizedCentroidEvery(20000) == 142)
     assert(Similarity.sizedCentroidEvery(1000000) == 1000)
     intercept[IllegalArgumentException](Similarity.sizedBandBits(0))
+    // nBands caps bandBits so nBands × bits never exceeds the 63-bit
+    // packed signature (silent shift-wrap otherwise)
+    assert(Similarity.sizedBandBits(1L << 40, 64, 4, maxBits = 12) == 12)
+    intercept[IllegalArgumentException] {
+      // 63/16 = 3 bits per band < the 4-bit floor: reject loudly
+      Similarity.lshTopKSized(emb.limit(1), emb, "vec_id", "vec_id",
+        "embedding", k = 1, dim = 64, nBands = 16,
+        corpusCount = Some(1000L))
+    }
   }
 
   test("self-sized forms are the fixed forms at the derived parameters") {

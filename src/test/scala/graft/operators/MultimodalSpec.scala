@@ -150,6 +150,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Header(broken).isEmpty)
   }
 
+  test("adversarial sizes and NULL payloads quarantine, never crash") {
+    def le32b(v: Long) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    // WAV chunk declaring a size near Int.MaxValue: the cursor must
+    // walk past the end, not overflow Int into a negative index
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ le32b(100L) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      le32b(0x7FFFFFF0L) ++ new Array[Byte](8)
+    assert(Multimodal.parseWavHeader(evilWav).isEmpty)
+    // MP4 box with a huge declared size: bounds-checked walk
+    val evilMp4 = le32b(0).reverse ++ "ftyp".getBytes("US-ASCII") ++
+      new Array[Byte](4)
+    assert(Multimodal.parseMp4Header(evilMp4).isEmpty)
+    // NULL payloads quarantine as ok=false in all three operators
+    val rows = Seq(
+      (1L, Option(Multimodal.ImageBytes.png(4, 4))),
+      (2L, Option.empty[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.imageHeaders(rows, "doc_id", "payload")
+      .filter($"ok").count() == 1)
+    assert(Multimodal.audioHeaders(rows, "doc_id", "payload")
+      .filter(!$"ok").count() == 2) // png is not wav; null quarantines
+    assert(Multimodal.videoHeaders(rows, "doc_id", "payload")
+      .filter(!$"ok").count() == 2)
+  }
+
   test("audioHeaders quarantines corrupt rows as ok=false") {
     val rows = Seq(
       (1L, Multimodal.AudioBytes.wav(1, 16000, 16, 10L)),
