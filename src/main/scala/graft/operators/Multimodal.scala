@@ -128,15 +128,6 @@ object Multimodal {
   final case class ImgHeader(format: String, width: Int, height: Int,
                              bitDepth: Int, channels: Int)
 
-  val imageHeaderType: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("bit_depth", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("ok", BooleanType)))
-
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
   private def be32(b: Array[Byte], i: Int): Long =
@@ -257,28 +248,45 @@ object Multimodal {
     } else None
   }
 
+  /** Typed output rows for the header decoders: field order and names
+    * are the oracle contract (q78/q79/q80); Options surface as
+    * nullable columns. Case classes (not Row+schema) so the operators
+    * run on a typed `mapPartitions` — legal in Structured Streaming,
+    * where `.rdd` is not, so one implementation serves batch AND a
+    * streaming ingest.
+    */
+  final case class ImgRow(doc_id: Long, format: Option[String],
+                          width: Option[Int], height: Option[Int],
+                          bit_depth: Option[Int], channels: Option[Int],
+                          ok: Boolean)
+  final case class WavRow(doc_id: Long, format: Option[String],
+                          channels: Option[Int], sample_rate: Option[Int],
+                          bit_depth: Option[Int], n_samples: Option[Long],
+                          ok: Boolean)
+  final case class Mp4Row(doc_id: Long, format: Option[String],
+                          timescale: Option[Int], duration: Option[Long],
+                          duration_ms: Option[Long], ok: Boolean)
+
   /** Container-header fields of (idCol: long, payloadCol: binary) as
-    * real columns — batched per partition like [[extractFeatures]].
+    * real columns — batched per partition like [[extractFeatures]],
+    * and streaming-legal (typed mapPartitions, no `.rdd`).
     * Unparseable payloads are QUARANTINED as (ok=false, null fields)
     * rows, never thrown: filter `ok` downstream, audit `!ok`.
     */
   def imageHeaders(df: DataFrame, idCol: String,
                    payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(df(idCol).cast("long"), df(payloadCol))
-    val rdd = input.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
         // NULL payloads quarantine like corrupt ones — never throw
-        Option(r.getAs[Array[Byte]](1)).flatMap(parseImageHeader) match {
-          case Some(hd) =>
-            Row(id, hd.format, hd.width, hd.height, hd.bitDepth,
-              hd.channels, true)
-          case None => Row(id, null, null, null, null, null, false)
+        Option(b).flatMap(parseImageHeader) match {
+          case Some(hd) => ImgRow(id, Some(hd.format), Some(hd.width),
+            Some(hd.height), Some(hd.bitDepth), Some(hd.channels),
+            ok = true)
+          case None => ImgRow(id, None, None, None, None, None, ok = false)
         }
-      }
-    }
-    spark.createDataFrame(rdd, imageHeaderType)
+      }).toDF()
   }
 
   /** Minimal VALID image payloads (the encode side of the public
@@ -346,15 +354,6 @@ object Multimodal {
   final case class WavHeader(channels: Int, sampleRate: Int, bitDepth: Int,
                              nSamples: Option[Long])
 
-  val audioHeaderType: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("channels", IntegerType),
-    StructField("sample_rate", IntegerType),
-    StructField("bit_depth", IntegerType),
-    StructField("n_samples", LongType),
-    StructField("ok", BooleanType)))
-
   /** Pure-Scala parse of the WAV container header (RIFF chunk walk to
     * `fmt ` for channels / sample rate / bit depth, plus the `data`
     * chunk size → frame count). Same quarantine contract as
@@ -392,24 +391,21 @@ object Multimodal {
 
   /** WAV header fields of (idCol: long, payloadCol: binary) as real
     * columns, corrupt rows quarantined as ok=false — the audio twin of
-    * [[imageHeaders]].
+    * [[imageHeaders]], equally streaming-legal.
     */
   def audioHeaders(df: DataFrame, idCol: String,
                    payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(df(idCol).cast("long"), df(payloadCol))
-    val rdd = input.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        Option(r.getAs[Array[Byte]](1)).flatMap(parseWavHeader) match {
-          case Some(hd) =>
-            Row(id, "wav", hd.channels, hd.sampleRate, hd.bitDepth,
-              hd.nSamples.map(Long.box).orNull, true)
-          case None => Row(id, null, null, null, null, null, false)
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parseWavHeader) match {
+          case Some(hd) => WavRow(id, Some("wav"), Some(hd.channels),
+            Some(hd.sampleRate), Some(hd.bitDepth), hd.nSamples,
+            ok = true)
+          case None => WavRow(id, None, None, None, None, None, ok = false)
         }
-      }
-    }
-    spark.createDataFrame(rdd, audioHeaderType)
+      }).toDF()
   }
 
   /** Minimal valid PCM WAV bytes (the encode side of
@@ -439,14 +435,6 @@ object Multimodal {
     */
   final case class Mp4Header(timescale: Int, duration: Long,
                              durationMs: Long)
-
-  val videoHeaderType: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("timescale", IntegerType),
-    StructField("duration", LongType),
-    StructField("duration_ms", LongType),
-    StructField("ok", BooleanType)))
 
   /** Pure-Scala parse of the MP4/ISO-BMFF container header: walk the
     * top-level box list to `moov`, then its children to the `mvhd`
@@ -506,23 +494,20 @@ object Multimodal {
 
   /** MP4 movie-header fields of (idCol: long, payloadCol: binary) as
     * real columns, corrupt rows quarantined as ok=false — the video
-    * leg of the container-header family.
+    * leg of the container-header family, equally streaming-legal.
     */
   def videoHeaders(df: DataFrame, idCol: String,
                    payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(df(idCol).cast("long"), df(payloadCol))
-    val rdd = input.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        Option(r.getAs[Array[Byte]](1)).flatMap(parseMp4Header) match {
-          case Some(hd) =>
-            Row(id, "mp4", hd.timescale, hd.duration, hd.durationMs, true)
-          case None => Row(id, null, null, null, null, false)
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parseMp4Header) match {
+          case Some(hd) => Mp4Row(id, Some("mp4"), Some(hd.timescale),
+            Some(hd.duration), Some(hd.durationMs), ok = true)
+          case None => Mp4Row(id, None, None, None, None, ok = false)
         }
-      }
-    }
-    spark.createDataFrame(rdd, videoHeaderType)
+      }).toDF()
   }
 
   /** Minimal valid ISO-BMFF bytes: `ftyp` (isom) + `moov` containing a

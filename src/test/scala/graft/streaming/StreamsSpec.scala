@@ -41,6 +41,30 @@ class StreamsSpec extends SparkSpec {
     assert(res.contains(("view", 1L, 3.0)))  // 00:05-00:10 window closed
   }
 
+  test("container-header decode runs on a stream (typed mapPartitions, no rdd)") {
+    import graft.operators.Multimodal
+    val in = Files.createTempDirectory("graft_hdr_in").toString
+    val out = Files.createTempDirectory("graft_hdr_out").toString
+    val ckpt = Files.createTempDirectory("graft_hdr_ckpt").toString
+    Seq((1L, Multimodal.ImageBytes.png(12, 34)),
+        (2L, Multimodal.ImageBytes.jpeg(56, 78)),
+        (3L, Array[Byte](0, 1, 2)))
+      .toDF("doc_id", "payload").write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(StructType.fromDDL("doc_id long, payload binary"))
+      .parquet(in)
+    assert(stream.isStreaming)
+    Streams.runAvailableNow(
+      Multimodal.imageHeaders(stream, "doc_id", "payload"), out, ckpt)
+    val res = spark.read.parquet(out).orderBy($"doc_id").collect()
+    assert(res.length == 3)
+    assert(res(0).getAs[String]("format") == "png" &&
+      res(0).getAs[Int]("width") == 12)
+    assert(res(1).getAs[String]("format") == "jpeg" &&
+      res(1).getAs[Int]("height") == 78)
+    assert(!res(2).getAs[Boolean]("ok"))
+  }
+
   test("streaming dedup keeps first row per key within watermark") {
     val in = Files.createTempDirectory("graft_dedup_in").toString
     val out = Files.createTempDirectory("graft_dedup_out").toString
