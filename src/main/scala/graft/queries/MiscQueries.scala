@@ -373,6 +373,61 @@ object MiscQueries {
     },
     q44.oracle)
 
+  /** q81 — WARC record parsing ([[graft.sources.Warc]]): the web-
+    * archive container Common Crawl ships, round-tripped like
+    * q78-q80. Each doc encodes to a two-record WARC blob (response =
+    * text, metadata = lang); every 17th blob truncates inside the
+    * first header (zero records survive) and every 19th truncates
+    * inside the SECOND record's payload (exactly the first record
+    * survives — the complete-prefix contract). The oracle replays the
+    * construction analytically.
+    */
+  private val q81 = Q("q81_warc_records",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.sources.Warc
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val blobs = s.createDataFrame(docs.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val uri = s"http://docs.example/$id"
+        val rec0 = Warc.WarcRecord("response", uri,
+          "2026-01-01T00:00:00Z", r.getString(1).getBytes("UTF-8"))
+        val rec1 = Warc.WarcRecord("metadata", uri + "/meta",
+          "2026-01-01T00:00:00Z", r.getString(2).getBytes("UTF-8"))
+        val full = Warc.encode(Seq(rec0, rec1))
+        val bytes =
+          if (id % 17 == 0) full.take(20)
+          else if (id % 19 == 0)
+            full.take(Warc.encode(Seq(rec0)).length +
+              (full.length - Warc.encode(Seq(rec0)).length) / 2)
+          else full
+        Row(id, bytes)
+      }), payloadType)
+      Warc.records(blobs, "doc_id", "payload")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("payload_text"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    },
+    Some("""WITH recs AS (
+        SELECT doc_id, CAST(0 AS INT) AS rec_idx, 'response' AS warc_type,
+          'http://docs.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
+          CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS content_length,
+          text AS payload_text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT), 'metadata',
+          'http://docs.example/' || CAST(doc_id AS VARCHAR) || '/meta',
+          CAST(OCTET_LENGTH(ENCODE(lang)) AS BIGINT), lang
+        FROM documents WHERE doc_id % 17 <> 0 AND doc_id % 19 <> 0)
+      SELECT doc_id, rec_idx, warc_type, target_uri, content_length,
+        payload_text
+      FROM recs ORDER BY doc_id, rec_idx"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67)
+    q48, q52, q67, q81)
 }
