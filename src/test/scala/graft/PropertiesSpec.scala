@@ -152,4 +152,39 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       assert(df(0) != df(3)) // extra token changes it
     }
   }
+
+  test("container parsers are total on arbitrary bytes (fuzz, never throw)") {
+    import graft.operators.Multimodal
+    import graft.sources.Warc
+    val rnd = new scala.util.Random(20260814L)
+    // random garbage at many lengths, plus valid blobs mutated at a
+    // random position, plus all truncation prefixes of valid blobs —
+    // the states a corrupt object store actually produces
+    val valid = Seq(
+      Multimodal.ImageBytes.png(33, 44),
+      Multimodal.ImageBytes.jpeg(100, 50),
+      Multimodal.ImageBytes.gif(9, 9),
+      Multimodal.ImageBytes.bmp(7, 8),
+      Multimodal.AudioBytes.wav(2, 22050, 16, 100L),
+      Multimodal.VideoBytes.mp4(600, 1234L),
+      Warc.encode(Seq(Warc.WarcRecord("response", "http://x",
+        "2026-01-01T00:00:00Z", "abc".getBytes("UTF-8")))))
+    val fuzz: Seq[Array[Byte]] =
+      (0 until 300).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)) ++
+      valid.flatMap { v =>
+        (0 until 50).map { _ =>
+          val m = v.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          m
+        }
+      } ++
+      valid.flatMap(v => (0 to v.length).map(v.take))
+    fuzz.foreach { b =>
+      // totality is the assertion: any throw fails the test
+      Multimodal.parseImageHeader(b)
+      Multimodal.parseWavHeader(b)
+      Multimodal.parseMp4Header(b)
+      Warc.decode(b)
+    }
+  }
 }
