@@ -170,6 +170,35 @@ object TextFunctions {
     f"$h%d:$m%02d:$s%02d"
   }
 
+  /** URL canonicalization — the standard web-corpus dedup key (two
+    * crawls of one page under trivially-different URLs must collide
+    * BEFORE content dedup ever runs): lowercase scheme and host, strip
+    * default ports (http:80, https:443), empty path → `/`, drop the
+    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid`), and
+    * sort the remaining query params byte-wise. Pure column algebra —
+    * regexp extracts + a higher-order filter/sort — fully codegen'd,
+    * no UDF. Unparseable URLs (no scheme://host) canonicalize to NULL
+    * rather than a half-normalized string.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)", 1)
+    val portKept = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val qstr = array_join(kept, "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portKept, path,
+        when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
+  }
+
   private val sourceLinkPattern =
     """\[\[(\d+)]]\((https?://[^\s)]+?[&?]t=(\d+)s)\)""".r
 

@@ -428,6 +428,68 @@ object MiscQueries {
         payload_text
       FROM recs ORDER BY doc_id, rec_idx"""))
 
+  /** q82 — URL canonicalization
+    * ([[graft.functions.TextFunctions.canonicalUrl]]): the web-corpus
+    * dedup key. URLs are synthesized per event_id with every
+    * normalization hazard — mixed-case scheme/host, default and
+    * non-default explicit ports, empty paths, unsorted query params,
+    * tracking params, fragments — and the oracle computes the expected
+    * canonical form ANALYTICALLY from the id arithmetic (it never
+    * re-implements the parser), so the gate checks normalization
+    * semantics end to end.
+    */
+  private val q82 = Q("q82_url_canonical",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val e = t(s, dir, "events").select(col("event_id"),
+        concat(
+          when(col("event_id") % 2 === 0, "HTTPS").otherwise("http"),
+          lit("://"),
+          when(col("event_id") % 3 === 0, "EXAMPLE.com")
+            .when(col("event_id") % 3 === 1, "sub.Example.org")
+            .otherwise("Example.com"),
+          when(col("event_id") % 4 === 0,
+            when(col("event_id") % 2 === 0, ":443").otherwise(":80"))
+            .when(col("event_id") % 4 === 1, lit(":8080"))
+            .otherwise(lit("")),
+          when(col("event_id") % 5 === 0, lit(""))
+            .otherwise(concat(lit("/a/b"), col("event_id") % 7)),
+          lit("?b="), col("event_id") % 3,
+          lit("&utm_source=x&a="), col("event_id") % 5,
+          lit("&fbclid=zz#frag"), col("event_id") % 2).as("url"))
+      e.select(col("event_id"), col("url"),
+          TextFunctions.canonicalUrl(col("url")).as("canonical_url"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id,
+        CONCAT(
+          CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END,
+          '://',
+          CASE WHEN event_id % 3 = 0 THEN 'EXAMPLE.com'
+               WHEN event_id % 3 = 1 THEN 'sub.Example.org'
+               ELSE 'Example.com' END,
+          CASE WHEN event_id % 4 = 0 THEN
+                 CASE WHEN event_id % 2 = 0 THEN ':443' ELSE ':80' END
+               WHEN event_id % 4 = 1 THEN ':8080'
+               ELSE '' END,
+          CASE WHEN event_id % 5 = 0 THEN ''
+               ELSE CONCAT('/a/b', event_id % 7) END,
+          '?b=', event_id % 3,
+          '&utm_source=x&a=', event_id % 5,
+          '&fbclid=zz#frag', event_id % 2) AS url
+      FROM events)
+      SELECT event_id, url,
+        CONCAT(
+          CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END,
+          '://',
+          CASE WHEN event_id % 3 = 1 THEN 'sub.example.org'
+               ELSE 'example.com' END,
+          CASE WHEN event_id % 4 = 1 THEN ':8080' ELSE '' END,
+          CASE WHEN event_id % 5 = 0 THEN '/'
+               ELSE CONCAT('/a/b', event_id % 7) END,
+          '?a=', event_id % 5, '&b=', event_id % 3) AS canonical_url
+      FROM e ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81)
+    q48, q52, q67, q81, q82)
 }

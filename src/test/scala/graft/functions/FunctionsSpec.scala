@@ -208,4 +208,29 @@ class LinkRewriteAndClockSpec extends SparkSpec {
     val after = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
     assert(sys == before || sys == after)
   }
+
+  test("canonicalUrl: case, ports, fragments, tracking params, sorting") {
+    import spark.implicits._
+    def canon(u: String): Option[String] =
+      Seq(u).toDF("u")
+        .select(TextFunctions.canonicalUrl($"u").as("c"))
+        .as[Option[String]].head()
+    // case folding + default-port strip + empty path
+    assert(canon("HTTPS://Example.COM:443") == Some("https://example.com/"))
+    assert(canon("http://a.b:80/x") == Some("http://a.b/x"))
+    // non-default port kept; https keeps :80
+    assert(canon("http://a.b:8080/x") == Some("http://a.b:8080/x"))
+    assert(canon("https://a.b:80/") == Some("https://a.b:80/"))
+    // fragment dropped; tracking params dropped; params sorted
+    assert(canon("http://a.b/p?z=1&utm_source=s&a=2&fbclid=f&gclid=g#frag")
+      == Some("http://a.b/p?a=2&z=1"))
+    // all params dropped -> no '?'
+    assert(canon("http://a.b/p?utm_campaign=x") == Some("http://a.b/p"))
+    // identical pages under trivially-different URLs collide
+    assert(canon("HTTP://A.B:80/p?b=2&a=1&utm_s=1") ==
+      canon("http://a.b/p?a=1&b=2"))
+    // unparseable -> NULL, not a half-normalized string
+    assert(canon("not a url").isEmpty)
+    assert(canon("/relative/only").isEmpty)
+  }
 }
