@@ -181,20 +181,36 @@ object TextFunctions {
     * rather than a half-normalized string.
     */
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
-    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)", 1)
+    // fragment goes FIRST: everything after '#' — including a '?' in a
+    // hash-routed SPA path like /app#/home?tab=1 — must never leak
+    // into the canonical query
+    val pre = regexp_extract(url, "^([^#]*)", 1)
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val authority = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (user:pw@) is dropped from the key; the remainder must
+    // then be exactly host[:port] — with bracketed IPv6 literals
+    // allowed — or the URL canonicalizes to NULL (a wrong non-NULL key
+    // silently merges distinct hosts)
+    val hostport = regexp_replace(authority, "^[^@]*@", "")
+    val hostportOk = hostport.rlike(
+      "^(\\[[0-9A-Fa-f:.]+\\]|[^:/?#\\[\\]@]+)(:[0-9]+)?$")
+    val host = lower(regexp_extract(hostport,
+      "^(\\[[0-9A-Fa-f:.]+\\]|[^:/?#\\[\\]@]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val portKept = when(port === "" ||
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
-    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val rawPath = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val query = regexp_extract(pre, "\\?(.*)$", 1)
+    // tracking params match case-insensitively and with or without a
+    // value (bare ?fbclid occurs in the wild)
     val kept = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+      p =!= "" && !p.rlike("^(?i)(utm_[^=]*|fbclid|gclid)(=|$)")))
     val qstr = array_join(kept, "&")
-    when(scheme === "" || host === "", lit(null).cast("string"))
+    when(scheme === "" || host === "" || !hostportOk,
+        lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portKept, path,
         when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr))))
   }

@@ -402,10 +402,10 @@ object MiscQueries {
         val full = Warc.encode(Seq(rec0, rec1))
         val bytes =
           if (id % 17 == 0) full.take(20)
-          else if (id % 19 == 0)
-            full.take(Warc.encode(Seq(rec0)).length +
-              (full.length - Warc.encode(Seq(rec0)).length) / 2)
-          else full
+          else if (id % 19 == 0) {
+            val r0len = Warc.encode(Seq(rec0)).length
+            full.take(r0len + (full.length - r0len) / 2)
+          } else full
         Row(id, bytes)
       }), payloadType)
       Warc.records(blobs, "doc_id", "payload")

@@ -88,7 +88,10 @@ object Warc {
             val sep = line.indexOf(':')
             if (sep < 0) ok = false
             else {
-              val k = line.substring(0, sep).trim.toLowerCase
+              // Locale.ROOT: a Turkish-locale JVM lowercases 'I' to a
+              // dotless ı and every header name would silently mis-key
+              val k = line.substring(0, sep).trim
+                .toLowerCase(java.util.Locale.ROOT)
               val v = line.substring(sep + 1).trim
               k match {
                 case "warc-type"       => warcType = v
@@ -103,7 +106,10 @@ object Warc {
           }
         }
       }
-      if (!ok || len < 0 || j + len > n) done = true
+      // `len > n - j` (not `j + len > n`): an adversarial
+      // Content-Length near Long.MaxValue would overflow the sum and
+      // slip past the bound, then crash the copy — quarantine instead
+      if (!ok || len < 0 || len > n - j) done = true
       else {
         val payload = java.util.Arrays.copyOfRange(bytes, j, (j + len).toInt)
         j = (j + len).toInt

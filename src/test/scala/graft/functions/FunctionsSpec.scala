@@ -232,5 +232,22 @@ class LinkRewriteAndClockSpec extends SparkSpec {
     // unparseable -> NULL, not a half-normalized string
     assert(canon("not a url").isEmpty)
     assert(canon("/relative/only").isEmpty)
+    // hash-routed SPA: NOTHING after # may leak into the query
+    assert(canon("http://a.b/app#/home?tab=1") == Some("http://a.b/app"))
+    assert(canon("http://a.b/app#/home?tab=1") ==
+      canon("http://a.b/app#/other?tab=2"))
+    // userinfo dropped; distinct hosts stay distinct
+    assert(canon("http://user:pw@h1.com/x") == Some("http://h1.com/x"))
+    assert(canon("http://user:pw@h1.com/x") !=
+      canon("http://user:pw@h2.com/x"))
+    assert(canon("http://user@h.com/x") == canon("http://h.com/x"))
+    // bracketed IPv6 literal round-trips with port handling
+    assert(canon("HTTP://[2001:DB8::1]:80/x") == Some("http://[2001:db8::1]/x"))
+    assert(canon("http://[2001:db8::1]:8080/x") ==
+      Some("http://[2001:db8::1]:8080/x"))
+    // malformed host:port -> NULL, never a half-normalized key
+    assert(canon("http://h.com:notaport/x").isEmpty)
+    // tracking filter is case-insensitive and value-optional
+    assert(canon("http://a.b/p?UTM_Source=x&fbclid") == Some("http://a.b/p"))
   }
 }
