@@ -179,8 +179,20 @@ object TextFunctions {
     * regexp extracts + a higher-order filter/sort — fully codegen'd,
     * no UDF. Unparseable URLs (no scheme://host) canonicalize to NULL
     * rather than a half-normalized string.
+    *
+    * [[canonicalUrl]] delegates to the native
+    * [[graft.plans.CanonicalUrlExpr]] — one string pass instead of ~8
+    * regexp extractions plus an interpreted higher-order filter/sort
+    * per row (material at once-per-crawled-page cardinality);
+    * [[canonicalUrlColumns]] is the composed-builtin reference the
+    * native kernel is differential-tested against (the
+    * planeSignatureHof precedent).
     */
-  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_canonical_url", url)
+
+  /** Composed-builtin reference for [[canonicalUrl]] — see scaladoc. */
+  def canonicalUrlColumns(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // fragment goes FIRST: everything after '#' — including a '?' in a
     // hash-routed SPA path like /app#/home?tab=1 — must never leak
     // into the canonical query

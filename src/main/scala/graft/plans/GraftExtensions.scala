@@ -33,6 +33,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => SimHashMd5Expr(c(0))),
     (FunctionIdentifier("graft_rolling_hash"), info("graft_rolling_hash"),
       (c: Seq[Expression]) => RollingHashExpr(c(0))),
+    (FunctionIdentifier("graft_canonical_url"), info("graft_canonical_url"),
+      (c: Seq[Expression]) => CanonicalUrlExpr(c(0))),
     (FunctionIdentifier("graft_hash_embedding"), info("graft_hash_embedding"),
       (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))),
     (FunctionIdentifier("graft_norm_tokens"), info("graft_norm_tokens"),

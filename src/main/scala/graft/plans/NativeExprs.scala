@@ -290,9 +290,142 @@ object NativeKernels extends Serializable {
   }
 
   /** Codegen helper: a reference to this object for direct kernel calls. */
+  private val trackingParam = java.util.regex.Pattern
+    .compile("^(?i)(utm_[^=]*|fbclid|gclid)(=|$)")
+
+  /** See [[CanonicalUrlExpr]]: single-pass URL canonicalization,
+    * semantics bit-equal to the composed column-algebra form in
+    * `TextFunctions.canonicalUrl` (differential-spec-proven). Returns
+    * null (quarantine) for anything the column form rejects.
+    */
+  def canonicalUrl(u: UTF8String): UTF8String = {
+    val raw = u.toString
+    // fragment first: nothing after '#' may reach the canonical key
+    val hash = raw.indexOf('#')
+    val pre = if (hash >= 0) raw.substring(0, hash) else raw
+    val ss = pre.indexOf("://")
+    if (ss <= 0) return null
+    val scheme = pre.substring(0, ss)
+    if (!scheme.charAt(0).isLetter) return null
+    var ci = 1
+    while (ci < scheme.length) {
+      val c = scheme.charAt(ci)
+      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+        return null
+      ci += 1
+    }
+    val schemeL = scheme.toLowerCase(java.util.Locale.ROOT)
+    // authority = up to the first '/' or '?' ('#' already stripped)
+    var j = ss + 3
+    while (j < pre.length && pre.charAt(j) != '/' && pre.charAt(j) != '?')
+      j += 1
+    val authority = pre.substring(ss + 3, j)
+    // userinfo strips to the FIRST '@' (the column form's
+    // regexp_replace("^[^@]*@")); a second '@' is rejected like the
+    // column form's host charset does
+    val at = authority.indexOf('@')
+    val hostport = if (at >= 0) authority.substring(at + 1) else authority
+    if (hostport.indexOf('@') >= 0) return null
+    var host: String = null
+    var port = ""
+    if (hostport.startsWith("[")) {
+      val rb = hostport.indexOf(']')
+      if (rb < 2) return null // needs at least one inside char
+      var k = 1
+      while (k < rb) {
+        val c = hostport.charAt(k)
+        val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F') || c == ':' || c == '.'
+        if (!hex) return null
+        k += 1
+      }
+      host = hostport.substring(0, rb + 1)
+      val rest = hostport.substring(rb + 1)
+      if (rest.nonEmpty) {
+        if (rest.length < 2 || rest.charAt(0) != ':') return null
+        port = rest.substring(1)
+      }
+    } else {
+      val c = hostport.indexOf(':')
+      host = if (c < 0) hostport else hostport.substring(0, c)
+      if (c >= 0) port = hostport.substring(c + 1)
+      if (host.isEmpty) return null
+      var k = 0
+      while (k < host.length) {
+        val ch = host.charAt(k)
+        if (ch == '[' || ch == ']' || ch == ':') return null
+        k += 1
+      }
+      if (c >= 0 && port.isEmpty) return null
+    }
+    var pk = 0
+    while (pk < port.length) {
+      if (!port.charAt(pk).isDigit) return null
+      pk += 1
+    }
+    val hostL = host.toLowerCase(java.util.Locale.ROOT)
+    val portKept =
+      if (port.isEmpty || (schemeL == "http" && port == "80") ||
+          (schemeL == "https" && port == "443")) ""
+      else ":" + port
+    val qm = pre.indexOf('?', j)
+    val rawPath = if (qm >= 0) pre.substring(j, qm) else pre.substring(j)
+    val path = if (rawPath.isEmpty) "/" else rawPath
+    val query = if (qm >= 0) pre.substring(qm + 1) else ""
+    val kept = query.split("&", -1)
+      .filter(p => p.nonEmpty && !trackingParam.matcher(p).find())
+    // byte-wise order, matching array_sort's UTF8String comparison
+    java.util.Arrays.sort(kept.asInstanceOf[Array[AnyRef]],
+      (a: AnyRef, b: AnyRef) => UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String])))
+    val sb = new java.lang.StringBuilder(raw.length)
+    sb.append(schemeL).append("://").append(hostL).append(portKept)
+      .append(path)
+    if (kept.nonEmpty) {
+      sb.append('?')
+      var k = 0
+      while (k < kept.length) {
+        if (k > 0) sb.append('&')
+        sb.append(kept(k))
+        k += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   private[plans] def ref(ctx: CodegenContext): String =
     ctx.addReferenceObj("nativeKernels", NativeKernels,
       NativeKernels.getClass.getName)
+}
+
+/** URL canonicalization as one string pass (the q82 web-dedup key;
+  * the composed form spends ~8 regexp extractions plus an interpreted
+  * higher-order filter/sort per row — material at once-per-crawled-page
+  * cardinality). Null for unparseable URLs; result/quarantine decisions
+  * are bit-equal to `TextFunctions.canonicalUrlColumns`
+  * (differential spec over the q82 fixture, edge cases, and fuzz).
+  */
+case class CanonicalUrlExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_canonical_url"
+
+  override def nullSafeEval(s: Any): Any =
+    NativeKernels.canonicalUrl(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    // result may be null for a NON-null input (quarantine): propagate
+    // into isNull rather than using defineCodeGen's non-null contract
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = $kernel.canonicalUrl($s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(n: Expression): CanonicalUrlExpr =
+    copy(child = n)
 }
 
 /** Exact integer dot product of two int8-quantized vectors

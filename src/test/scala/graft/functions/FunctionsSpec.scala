@@ -250,4 +250,45 @@ class LinkRewriteAndClockSpec extends SparkSpec {
     // tracking filter is case-insensitive and value-optional
     assert(canon("http://a.b/p?UTM_Source=x&fbclid") == Some("http://a.b/p"))
   }
+
+  test("canonicalUrl native kernel == composed-builtin reference (differential)") {
+    import spark.implicits._
+    val edge = Seq(
+      "HTTPS://Example.COM:443", "http://a.b:80/x", "http://a.b:8080/x",
+      "https://a.b:80/", "http://a.b/p?z=1&utm_source=s&a=2&fbclid=f#frag",
+      "http://a.b/p?utm_campaign=x", "not a url", "/relative/only",
+      "http://a.b/app#/home?tab=1", "http://user:pw@h1.com/x",
+      "http://user@h.com/x", "HTTP://[2001:DB8::1]:80/x",
+      "http://[2001:db8::1]:8080/x", "http://h.com:notaport/x",
+      "http://a.b/p?UTM_Source=x&fbclid", "http://a@b@c/x", "://x",
+      "ftp+ssh://H.COM/Y?b&a&", "http://h.com", "http://h.com?",
+      "http://h.com?&&", "http://[]/x", "http://h.com:/x",
+      "http://h.com#", "x://y", "1http://h.com/")
+    val rnd = new scala.util.Random(82L)
+    val fuzz = (0 until 300).map { _ =>
+      val chars = "aB:/?#@&=.[]%_-0129 "
+      (0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length)))
+        .mkString
+    }
+    val synth = (0L until 200L).map { id =>
+      val sch = if (id % 2 == 0) "HTTPS" else "http"
+      val host = Seq("EXAMPLE.com", "sub.Example.org", "Example.com")(
+        (id % 3).toInt)
+      val port = (id % 4) match {
+        case 0 => if (id % 2 == 0) ":443" else ":80"
+        case 1 => ":8080"
+        case _ => ""
+      }
+      val path = if (id % 5 == 0) "" else s"/a/b${id % 7}"
+      s"$sch://$host$port$path?b=${id % 3}&utm_source=x&a=${id % 5}" +
+        s"&fbclid=zz#frag${id % 2}"
+    }
+    val out = (edge ++ fuzz ++ synth).toDF("u")
+      .select(TextFunctions.canonicalUrl($"u").as("native"),
+        TextFunctions.canonicalUrlColumns($"u").as("reference"))
+      .as[(Option[String], Option[String])].collect()
+    out.zip(edge ++ fuzz ++ synth).foreach { case ((n, r), u) =>
+      assert(n == r, s"native $n != reference $r for '$u'")
+    }
+  }
 }
