@@ -222,7 +222,7 @@ object Similarity {
     * ONE definition — the banding math is the contract the q21/q38 SQL
     * oracles replay, so every caller must slice identically.
     */
-  private def bandKeys(sigCol: Column, nBands: Int, bandBits: Int): Column = {
+  private[operators] def bandKeys(sigCol: Column, nBands: Int, bandBits: Int): Column = {
     val mask = (1L << bandBits) - 1
     array((0 until nBands).map(b =>
       struct(lit(b).as("b"),
