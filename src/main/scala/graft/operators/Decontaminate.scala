@@ -100,9 +100,8 @@ object Decontaminate {
                          seed: Long = 42L,
                          corpusCount: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions
-    val n = corpusCount.getOrElse(corpus.select(col(idCol)).count())
-    val bb = Similarity.sizedBandBits(n, targetBucketSize,
-      maxBits = 63 / nBands)
+    val n = Similarity.countOf(corpus, idCol, corpusCount)
+    val bb = Similarity.sizedBandBitsFor(n, nBands, targetBucketSize)
     val hp = Similarity.hyperplanes(nBands * bb, dim, seed)
     def banded(df: DataFrame, id: String, v: String): DataFrame =
       df.withColumn("__sig", Similarity.planeSignature(col(v), hp))

@@ -63,8 +63,8 @@ object Similarity {
     * large corpus with nBands > 4 would derive planes > 63 and the
     * packed shifts would wrap, silently corrupting every signature.
     */
-  private def sizedBandBitsFor(n: Long, nBands: Int,
-                               targetBucketSize: Int): Int = {
+  private[operators] def sizedBandBitsFor(n: Long, nBands: Int,
+                                          targetBucketSize: Int): Int = {
     require(nBands >= 1 && 63 / nBands >= 4,
       s"nBands ($nBands) leaves fewer than 4 bits per band in a " +
         "63-bit packed signature")
@@ -87,8 +87,8 @@ object Similarity {
     * already knows N. Callers with an expensive upstream should pass
     * `corpusCount` or persist the corpus — the count executes the plan.
     */
-  private def countOf(corpus: DataFrame, idCol: String,
-                      given: Option[Long]): Long =
+  private[operators] def countOf(corpus: DataFrame, idCol: String,
+                                 given: Option[Long]): Long =
     given.getOrElse(corpus.select(col(idCol)).count())
 
   /** Sign-bit signature of a vector against the given hyperplanes,

@@ -289,9 +289,14 @@ object NativeKernels extends Serializable {
     dot
   }
 
-  /** Codegen helper: a reference to this object for direct kernel calls. */
   private val trackingParam = java.util.regex.Pattern
     .compile("^(?i)(utm_[^=]*|fbclid|gclid)(=|$)")
+  // ASCII-ONLY classes, mirroring the reference regexes [A-Za-z]/[0-9]:
+  // Character.isLetter/isDigit are Unicode-aware and would accept
+  // schemes/ports the column form rejects
+  private def asciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** See [[CanonicalUrlExpr]]: single-pass URL canonicalization,
     * semantics bit-equal to the composed column-algebra form in
@@ -306,12 +311,12 @@ object NativeKernels extends Serializable {
     val ss = pre.indexOf("://")
     if (ss <= 0) return null
     val scheme = pre.substring(0, ss)
-    if (!scheme.charAt(0).isLetter) return null
+    if (!asciiLetter(scheme.charAt(0))) return null
     var ci = 1
     while (ci < scheme.length) {
       val c = scheme.charAt(ci)
-      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
-        return null
+      if (!(asciiLetter(c) || asciiDigit(c) || c == '+' || c == '.' ||
+          c == '-')) return null
       ci += 1
     }
     val schemeL = scheme.toLowerCase(java.util.Locale.ROOT)
@@ -360,10 +365,14 @@ object NativeKernels extends Serializable {
     }
     var pk = 0
     while (pk < port.length) {
-      if (!port.charAt(pk).isDigit) return null
+      if (!asciiDigit(port.charAt(pk))) return null
       pk += 1
     }
-    val hostL = host.toLowerCase(java.util.Locale.ROOT)
+    // lowercase through UTF8String.toLowerCase — Spark's own lower()
+    // kernel (ASCII fast path; default-locale slow path for non-ASCII),
+    // so the native and column forms produce IDENTICAL keys on
+    // locale-sensitive hosts
+    val hostL = UTF8String.fromString(host).toLowerCase.toString
     val portKept =
       if (port.isEmpty || (schemeL == "http" && port == "80") ||
           (schemeL == "https" && port == "443")) ""
@@ -372,12 +381,13 @@ object NativeKernels extends Serializable {
     val rawPath = if (qm >= 0) pre.substring(j, qm) else pre.substring(j)
     val path = if (rawPath.isEmpty) "/" else rawPath
     val query = if (qm >= 0) pre.substring(qm + 1) else ""
+    // byte-wise order, matching array_sort's UTF8String comparison:
+    // convert each kept param ONCE and sort on UTF8String's natural
+    // (binary) order — no per-comparison conversions
     val kept = query.split("&", -1)
       .filter(p => p.nonEmpty && !trackingParam.matcher(p).find())
-    // byte-wise order, matching array_sort's UTF8String comparison
-    java.util.Arrays.sort(kept.asInstanceOf[Array[AnyRef]],
-      (a: AnyRef, b: AnyRef) => UTF8String.fromString(a.asInstanceOf[String])
-        .compareTo(UTF8String.fromString(b.asInstanceOf[String])))
+      .map(UTF8String.fromString)
+    java.util.Arrays.sort(kept.asInstanceOf[Array[AnyRef]])
     val sb = new java.lang.StringBuilder(raw.length)
     sb.append(schemeL).append("://").append(hostL).append(portKept)
       .append(path)
@@ -393,6 +403,7 @@ object NativeKernels extends Serializable {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Codegen helper: a reference to this object for direct kernel calls. */
   private[plans] def ref(ctx: CodegenContext): String =
     ctx.addReferenceObj("nativeKernels", NativeKernels,
       NativeKernels.getClass.getName)

@@ -263,7 +263,13 @@ class LinkRewriteAndClockSpec extends SparkSpec {
       "http://a.b/p?UTM_Source=x&fbclid", "http://a@b@c/x", "://x",
       "ftp+ssh://H.COM/Y?b&a&", "http://h.com", "http://h.com?",
       "http://h.com?&&", "http://[]/x", "http://h.com:/x",
-      "http://h.com#", "x://y", "1http://h.com/")
+      "http://h.com#", "x://y", "1http://h.com/",
+      // non-ASCII: scheme/port must reject like the ASCII-only regex
+      // classes; non-ASCII hosts must lowercase identically to
+      // Spark's lower() kernel
+      "h\u00e9://x/p", "http://h.com:\u0663/x",
+      "http://\u00dcber.example/x", "http://I\u00e4.example/x",
+      "http://\u4f8b\u3048.jp/\u30d1\u30b9?\u30ad\u30fc=\u5024")
     val rnd = new scala.util.Random(82L)
     val fuzz = (0 until 300).map { _ =>
       val chars = "aB:/?#@&=.[]%_-0129 "
