@@ -113,6 +113,43 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidate (id_a = corpus, id_b = batch) pairs sharing at least one
+    * LSH band ACROSS two frames — the incremental-ingest screen: a new
+    * batch is checked against the standing corpus WITHOUT regenerating
+    * (or even considering) corpus-vs-corpus pairs. Same signature recipe
+    * as [[lshCandidatePairs]], so a batch admitted through this screen
+    * joins the corpus with identical dedup semantics.
+    *
+    * Scale shape: both sides project signatures narrowly (codegen
+    * minhash, no shuffle), then ONE shuffle on the band key whose
+    * per-band fan-out is |corpus-bucket| × |batch-bucket| — batch side
+    * is small in steady-state ingest, so bucket products stay tiny. At
+    * 100 TB the corpus band table is computed once per epoch and kept in
+    * a TableStore table keyed by band; ingest then touches only the
+    * bands the batch occupies (partition pruning on the band hash does
+    * this for free when the table is written bucketed by band).
+    * Sides are assumed id-disjoint (separate tables); an id appearing on
+    * both sides is dropped as a self-pair, never matched to itself.
+    */
+  def lshCandidatePairsAgainst(corpus: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    def bandRows(df: DataFrame, outId: String) =
+      df.repartition(col(idCol))
+        .select(col(idCol).as(outId),
+          array_distinct(TextFunctions.shingles(col(textCol), shingleN))
+            .as("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), k))
+        .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
+        .select(col(outId), col("band"))
+    bandRows(corpus, "id_a").join(bandRows(batch, "id_b"), Seq("band"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   // ---------------------------------------------------- exact jaccard
 
   /** Exact word-n-gram Jaccard similarity for all pairs sharing >= 1

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Text-analysis + dedup coverage over the `documents` table (north-star
   * LLM-pipeline operators). DuckDB mirrors are generated from the same
@@ -620,6 +620,64 @@ object TextQueries {
       })
   }
 
+  /** q83 — incremental-ingest dedup: screen a NEW BATCH against the
+    * STANDING CORPUS ([[Dedup.lshCandidatePairsAgainst]]) without ever
+    * generating corpus-vs-corpus pairs — the steady-state shape of a
+    * continuously-fed pretraining corpus (the reference refreshes its
+    * store per-DAG-run and dedups only by key upsert; this is the fuzzy
+    * generalization for ingest). Corpus/batch split is the deterministic
+    * md5 bucket (80/20, salt "ingest") so the oracle can replay it.
+    * Recall is structural on this gate: the cross-pair truth set is a
+    * subset of q18's truth set, and q18's config has oracle-proven full
+    * recall at t=0.2 on this fixture; the candidate set here is exactly
+    * the cross restriction of q18's candidate set (same signatures).
+    */
+  private val q83 = Q("q83_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val corpus = docs.filter(bucket < cut)
+      val batch = docs.filter(bucket >= cut)
+      val cands = Dedup.lshCandidatePairsAgainst(corpus, batch,
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      // ids are globally unique across the split, so the shared-frame
+      // verifier attaches the right shingle set to each side
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+          col("jaccard"))
+        .orderBy(col("corpus_id"), col("batch_id"))
+    },
+    Some {
+      val h = SamplingQueries.hashSql("ingest", "doc_id")
+      val bucket = SamplingQueries.bucketSql("h")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
+        sides AS (SELECT doc_id, text,
+          CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
+          FROM b),
+        nt AS (SELECT doc_id, side,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM sides),
+        sh AS (SELECT doc_id, side, UNNEST(${shinglesSql("toks", 3)}) AS sh
+          FROM nt),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS corpus_id, y.doc_id AS batch_id,
+            COUNT(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh
+          WHERE x.side = 'corpus' AND y.side = 'batch'
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT corpus_id, batch_id,
+          (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+            AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = corpus_id
+        JOIN sizes sb ON sb.doc_id = batch_id
+        WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          >= 0.2
+        ORDER BY corpus_id, batch_id"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75)
+    q60, q61, q65, q66, q75, q83)
 }

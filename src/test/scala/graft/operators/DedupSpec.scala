@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("lshCandidatePairsAgainst == cross restriction of lshCandidatePairs") {
+    // corpus = {1,4}, batch = {2,3}: the cross screen must surface
+    // exactly the full candidate set's cross pairs — same signatures,
+    // same banding — and never a within-side or self pair.
+    val corpus = docs.filter($"doc_id".isin(1L, 4L))
+    val batch = docs.filter($"doc_id".isin(2L, 3L))
+    val cross = Dedup.lshCandidatePairsAgainst(corpus, batch,
+      "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val expected = full.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.filter { case (a, b) =>
+      Set(1L, 4L)(a) && Set(2L, 3L)(b) }
+    assert(cross == expected)
+    assert(cross.forall { case (a, b) => a != b })
+  }
+
+  test("lshCandidatePairsAgainst drops an id present on both sides") {
+    val side = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairsAgainst(side, side,
+      "doc_id", "text", 3, 16, 4).collect()
+    assert(pairs.isEmpty)
+  }
+
   test("jaccardPairs computes exact n-gram jaccard") {
     val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val row = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.0)
