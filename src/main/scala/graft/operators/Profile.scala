@@ -85,4 +85,45 @@ object Profile {
       .filter(col(valCol) >= col("__lo") && col(valCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** EXACT φ-heavy hitters (items with count ≥ ceil(φ·n)) without ever
+    * shuffling the full item domain — the scale twin of the exact
+    * `groupBy(item).count` (q59's shape), whose exchange IS the
+    * vocabulary at 100 TB.
+    *
+    * Two linear scans:
+    *  1. one pass computing `(graft_mg(item, k), count(item))` — the
+    *     [[graft.plans.MisraGriesAgg]] sketch moves at most k counters
+    *     per partition partial; with k = ⌈slack/φ⌉ (slack ≥ 2) every
+    *     true φ-heavy item is guaranteed in the sketch (MG retains all
+    *     items with count > n/(k+1), and φ·n ≥ slack·n/k > n/(k+1));
+    *  2. one exact recount restricted to the ≤ k candidates — the
+    *     filter is a broadcast `isin` evaluated map-side, and the
+    *     recount groupBy touches ≤ k distinct keys, so the exchange
+    *     carries ≤ k·partitions rows regardless of corpus size.
+    *
+    * The result is EXACT (candidates are a superset of the answer;
+    * recounts are true counts; the ≥ ceil(φ·n) filter removes false
+    * positives), so it gates against a plain GROUP BY/HAVING oracle.
+    * Nulls are excluded from both n and the counts (SQL COUNT(col)
+    * semantics). The two passes re-execute the upstream plan — persist
+    * an expensive input, same contract as [[Sampling.temperatureMix]].
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, phi: Double,
+                   slack: Double = 2.0): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi in (0,1], got $phi")
+    require(slack >= 2.0, s"slack >= 2 keeps the MG guarantee, got $slack")
+    val k = math.max(1, math.ceil(slack / phi)).toInt
+    val first = df.agg(
+      call_function("graft_mg", col(itemCol), lit(k)).as("sketch"),
+      count(col(itemCol)).as("n")).head()
+    val n = first.getLong(1)
+    val candidates = first.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0))
+    val threshold = math.ceil(phi * n).toLong
+    df.filter(col(itemCol).isin(candidates: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
 }

@@ -52,7 +52,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_marker_hits"), info("graft_marker_hits"),
       (c: Seq[Expression]) => MarkerHitsExpr(c(0), c(1))),
     (FunctionIdentifier("graft_alpha_words"), info("graft_alpha_words"),
-      (c: Seq[Expression]) => AlphaWordsExpr(c(0))))
+      (c: Seq[Expression]) => AlphaWordsExpr(c(0))),
+    (FunctionIdentifier("graft_mg"), info("graft_mg"),
+      (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Profile, Sampling}
 
 /** Text-analysis + dedup coverage over the `documents` table (north-star
   * LLM-pipeline operators). DuckDB mirrors are generated from the same
@@ -678,6 +678,34 @@ object TextQueries {
         ORDER BY corpus_id, batch_id"""
     })
 
+  /** q84 — EXACT φ-heavy-hitter vocabulary via the mergeable
+    * Misra–Gries sketch + candidate recount
+    * ([[Profile.heavyHitters]], [[graft.plans.MisraGriesAgg]]) — the
+    * scale twin of q59's exact top-k: q59's hash-agg exchanges the full
+    * vocabulary; this path moves ≤ k counters per partition and then
+    * recounts ≤ k candidates, so the exchange size is independent of
+    * corpus size. The answer is exact (MG candidates are a proven
+    * superset of the φ-heavy set), so the oracle is a plain
+    * GROUP BY / HAVING over the same tokenization.
+    */
+  private val q84 = Q("q84_heavy_hitters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("item"))
+        .filter(col("item") =!= "")
+      Profile.heavyHitters(toks, "item", phi = 0.005)
+        .orderBy(col("cnt").desc, col("item"))
+    },
+    Some(s"""WITH nt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+        AS toks FROM documents),
+      tok AS (SELECT UNNEST(toks) AS item FROM nt),
+      t2 AS (SELECT item FROM tok WHERE item <> ''),
+      tot AS (SELECT COUNT(*) AS n FROM t2)
+      SELECT item, COUNT(*) AS cnt FROM t2 GROUP BY item
+      HAVING COUNT(*) >= CAST(CEIL(0.005 * (SELECT n FROM tot)) AS BIGINT)
+      ORDER BY cnt DESC, item"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83)
+    q60, q61, q65, q66, q75, q83, q84)
 }
