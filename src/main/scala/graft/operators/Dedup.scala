@@ -59,6 +59,58 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** EXACT incremental dedup of an ingest batch against a standing
+    * corpus: batch rows whose content fingerprint already exists in the
+    * corpus are dropped; everything else passes. The result is exact
+    * (equivalent to an anti-join on the fingerprint) but the plan never
+    * shuffles the corpus:
+    *
+    *  1. ONE corpus scan folds all fingerprints into a bloom filter
+    *     (Spark's own mergeable [[org.apache.spark.sql.catalyst
+    *     .expressions.aggregate.BloomFilterAggregate]], the engine the
+    *     runtime bloom-join rewrite uses) — partials are fixed-size
+    *     bitmaps, merged through one final OR; the finished filter is
+    *     `numBits/8` bytes on the driver, independent of corpus size.
+    *  2. The batch filters map-side through `might_contain` — rows the
+    *     bloom rejects are DEFINITELY new (no false negatives) and pass
+    *     without touching the corpus again.
+    *  3. Only bloom-positive batch fingerprints (true dups + ~fpp of
+    *     the batch) are broadcast back for one exact confirming
+    *     semi-scan of the corpus — again no corpus shuffle — and the
+    *     confirmed set anti-filters the batch.
+    *
+    * Two corpus scans, zero corpus exchanges, and the only data moved
+    * is the bloom bitmap plus the bloom-positive key set. The plain
+    * `batch.join(corpus, anti)` alternative shuffles EVERY corpus
+    * fingerprint at 100 TB. Callers persist an expensive corpus plan
+    * (same contract as [[graft.operators.Sampling.temperatureMix]]).
+    *
+    * `estItems` sizes the filter (Spark defaults the bit budget to
+    * ~7.2 bits/item at this ctor, ~3% fpp); a bad estimate only
+    * degrades the prefilter rate, never correctness.
+    */
+  def newAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       estItems: Long = 1000000L): DataFrame = {
+    require(estItems > 0, s"estItems > 0, got $estItems")
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val bloomBytes = corpus
+      .select(xxhash64(fp).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
+        .as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    // empty corpus -> aggregate yields null -> nothing can be a dup
+    if (bloomBytes == null) return batch
+    val mightContain =
+      call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(fp))
+    val positives = batch.filter(mightContain)
+      .select(fp.as("__fp")).distinct()
+    val confirmed = corpus.select(fp.as("__fp"))
+      .join(broadcast(positives), Seq("__fp"), "left_semi").distinct()
+    batch.join(broadcast(confirmed),
+      fp === col("__fp"), "left_anti")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: k independent minima of seeded 64-bit hashes of

@@ -54,7 +54,19 @@ object GraftExtensions {
     (FunctionIdentifier("graft_alpha_words"), info("graft_alpha_words"),
       (c: Seq[Expression]) => AlphaWordsExpr(c(0))),
     (FunctionIdentifier("graft_mg"), info("graft_mg"),
-      (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)))
+      (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)),
+    // Spark's own runtime-bloom-join machinery, surfaced as callable
+    // functions (upstream registers them internal-only): build a
+    // mergeable bloom over xxhash64 keys / probe it. Used by
+    // graft.operators.Dedup.newAgainstCorpus.
+    (FunctionIdentifier("graft_bloom_agg"), info("graft_bloom_agg"),
+      (c: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c(0), c(1))),
+    (FunctionIdentifier("graft_bloom_contains"), info("graft_bloom_contains"),
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(c(0), c(1))))
 
   def install(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -706,6 +706,44 @@ object TextQueries {
       HAVING COUNT(*) >= CAST(CEIL(0.005 * (SELECT n FROM tot)) AS BIGINT)
       ORDER BY cnt DESC, item"""))
 
+  /** q85 — exact incremental dedup of an ingest batch against the
+    * standing corpus via the bloom-prefiltered screen
+    * ([[Dedup.newAgainstCorpus]]): one corpus scan folds fingerprints
+    * into Spark's mergeable BloomFilterAggregate, the batch filters
+    * map-side through might_contain, and only bloom-positive keys are
+    * broadcast back for an exact confirming semi-scan — zero corpus
+    * shuffles, vs the plain anti-join that exchanges every corpus
+    * fingerprint. Result is EXACT (bloom has no false negatives; the
+    * confirm pass removes false positives), so the oracle is a plain
+    * NOT EXISTS on the fingerprint over the same 80/20 md5 split as
+    * q83.
+    */
+  private val q85 = Q("q85_incremental_exact_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val corpus = docs.filter(bucket < cut)
+      val batch = docs.filter(bucket >= cut)
+      Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text",
+        estItems = 100000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = SamplingQueries.hashSql("ingest", "doc_id")
+      val bucket = SamplingQueries.bucketSql("h")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
+        sides AS (SELECT doc_id, md5(${normSql("text")}) AS fp,
+          CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
+          FROM b)
+        SELECT bt.doc_id FROM sides bt
+        WHERE bt.side = 'batch' AND NOT EXISTS (
+          SELECT 1 FROM sides c WHERE c.side = 'corpus' AND c.fp = bt.fp)
+        ORDER BY bt.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84)
+    q60, q61, q65, q66, q75, q83, q84, q85)
 }

@@ -65,6 +65,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("newAgainstCorpus == plain anti-join, incl. nulls and bloom false positives") {
+    val corpus = Seq(
+      (10L, Some("the quick brown fox jumps over the lazy dog")),
+      (11L, Some("shared corpus content")),
+      (12L, None)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, Some("The quick brown fox jumps over the lazy dog!")), // dup of 10 after normalize
+      (21L, Some("genuinely new content")),
+      (22L, Some("shared corpus content")), // verbatim dup of 11
+      (23L, None), // null text never matches (SQL equality semantics)
+      (24L, Some("genuinely new content")) // intra-batch dup: both kept
+    ).toDF("doc_id", "text")
+    // estItems=1 undersizes the bloom so false positives are likely —
+    // the exact confirm pass must still produce the anti-join answer
+    for (est <- Seq(1L, 100000L)) {
+      val got = Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text", est)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(21L, 23L, 24L), s"estItems=$est")
+    }
+  }
+
+  test("newAgainstCorpus with empty corpus keeps the whole batch") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "anything")).toDF("doc_id", "text")
+    assert(Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text")
+      .count() == 1L)
+  }
+
   test("jaccardPairs computes exact n-gram jaccard") {
     val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val row = Dedup.jaccardPairs(d, "doc_id", "text", 2, 0.0)
