@@ -360,4 +360,77 @@ object Similarity {
     ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
       centroidEvery = ce, nprobe = nprobe)
   }
+
+  /** Squared L2 distance as a LEFT-TO-RIGHT double fold over the two
+    * arrays — the associativity is the cross-engine contract (DuckDB
+    * replays it with a sequential list_reduce), so the oracle's argmin
+    * comparisons see bit-identical distances.
+    */
+  private[operators] def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Distributed Lloyd's k-means over an embedding column,
+    * DETERMINISTIC and partitioning-invariant — the "train real coarse
+    * centroids" upgrade over [[ivfTopK]]'s every-Nth-row sampling
+    * (means beat arbitrary corpus rows as inverted-list anchors).
+    *
+    * Determinism contract (what makes this gateable cross-engine, same
+    * kit as q49/q58):
+    *  - init = the k smallest-id points (no RNG);
+    *  - assignment argmin compares [[l2Sq]] left-to-right folds, ties
+    *    broken by centroid id via a lexicographic struct min;
+    *  - the centroid update is the EXACT fixed-point mean
+    *    ([[graft.functions.ExactAgg.avgFx]], quantized long partial
+    *    sums) — a plain double mean depends on partition merge order,
+    *    this never does. Each iteration's centroids are therefore
+    *    identical on any cluster size, so the fixpoint trajectory is
+    *    reproducible anywhere.
+    *
+    * Scale shape per iteration: centroids (k × dim quantized doubles)
+    * broadcast into a map-side nested loop; the argmin is a groupBy on
+    * the point id whose min-struct partials combine map-side (k
+    * same-point rows are generated colocated, so the exchange is ~1 row
+    * per point); the mean update moves (k × dim) quantized-long cells.
+    * Embedding arrays never ride an exchange. `iters` is a fixed budget
+    * (IVF training runs 3-10 rounds, not to convergence).
+    *
+    * Returns per-cell rows (cid, pos, n, mean) — n = cluster size
+    * (repeated per pos), mean = the quantized coordinate. Empty
+    * clusters simply vanish from the output (no rows assigned).
+    */
+  def kmeansFit(points: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(iters >= 1, s"iters >= 1, got $iters")
+    import graft.functions.ExactAgg
+    val pts = points.select(col(idCol).as("__pid"),
+      col(vecCol).cast("array<double>").as("__pv"))
+    // deterministic seed: the k smallest ids, centroid id = rank
+    val init = pts.orderBy(col("__pid")).limit(k)
+      .select(col("__pid"), col("__pv"))
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pid"))).cast("long") - 1)
+      .select(col("cid"), col("__pv").as("__cv"))
+    var cents = init
+    var cells: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = pts.crossJoin(broadcast(cents))
+        .withColumn("__d", l2Sq(col("__pv"), col("__cv")))
+        .groupBy(col("__pid"))
+        .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+        .select(col("__pid"), col("__m.cid").as("cid"))
+      cells = assigned.join(pts, Seq("__pid"))
+        .select(col("cid"), posexplode(col("__pv")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          ExactAgg.avgFx(col("val"), scale).as("mean"))
+      cents = cells.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("mean")))), s => s.getField("mean")).as("__cv"))
+    }
+    cells.orderBy(col("cid"), col("pos"))
+  }
 }

@@ -316,5 +316,51 @@ object VectorQueries {
       SELECT vec_id, COUNT(*) AS n_hits, MAX(sim) AS max_sim
       FROM h WHERE sim >= 0.3 GROUP BY vec_id ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58, q73)
+  /** q86 — distributed Lloyd's k-means ([[Similarity.kmeansFit]]): the
+    * "train REAL coarse centroids" upgrade over IVF's every-Nth-row
+    * sampling. Gateable because every source of nondeterminism is
+    * pinned: smallest-id init, left-to-right double distance folds
+    * (DuckDB list_reduce replays Spark's aggregate/zip_with
+    * associativity exactly), struct-min argmin with cid tie-break, and
+    * exact fixed-point centroid means (q49's avgFx kit) so partition
+    * merge order can never move a coordinate. The oracle unrolls the
+    * three iterations as CTE chains.
+    */
+  private val q86 = Q("q86_kmeans_lloyd",
+    (s, dir) => Similarity.kmeansFit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 4, iters = 3),
+    Some {
+      val k = 4
+      val iters = 3
+      val avgfx = graft.functions.Sql.avgFx("val", 1000000L)
+      val dist = "list_reduce(list_transform(range(1, LEN(p.v)+1), " +
+        "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i])), (a,b) -> a+b)"
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v" +
+          " FROM embeddings)",
+        s"""cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             AS BIGINT) AS cid, v AS cv
+           FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT $k))""")
+      var prev = "cent0"
+      for (it <- 1 to iters) {
+        ctes += s"""d$it AS (SELECT p.vec_id, c.cid, $dist AS dist
+          FROM pts p CROSS JOIN $prev c)"""
+        ctes += s"""a$it AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+            AS rn FROM d$it) WHERE rn = 1)"""
+        ctes += s"""x$it AS (SELECT a.cid, UNNEST(RANGE(LEN(p.v))) AS pos,
+          p.v FROM a$it a JOIN pts p USING (vec_id))"""
+        ctes += s"""cells$it AS (SELECT cid, CAST(pos AS BIGINT) AS pos,
+          COUNT(*) AS n, $avgfx AS mean
+          FROM (SELECT cid, pos, v[CAST(pos+1 AS INT)] AS val FROM x$it)
+          GROUP BY cid, pos)"""
+        ctes += s"""cent$it AS (SELECT cid, LIST(mean ORDER BY pos) AS cv
+          FROM cells$it GROUP BY cid)"""
+        prev = s"cent$it"
+      }
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT cid, pos, n, mean FROM cells$iters ORDER BY cid, pos"
+    })
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86)
 }

@@ -495,4 +495,45 @@ class SimilaritySpec extends SparkSpec {
     val s2 = df.select(Similarity.planeSignature($"v", hp)).head().getLong(0)
     assert(s1 == s2)
   }
+
+  test("kmeansFit is partitioning-invariant and recovers planted clusters") {
+    // two tight planted blobs around (±1, ±1): k=2 must separate them
+    val rnd = new scala.util.Random(5L)
+    val pts = (0 until 60).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Seq((c + rnd.nextGaussian() * 0.05).toFloat,
+        (c + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = pts.toDF("id", "v")
+    def run(parts: Int): Seq[(Long, Long, Long, Double)] =
+      Similarity.kmeansFit(df.repartition(parts), "id", "v",
+          k = 2, iters = 3)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val a = run(1)
+    val b = run(13)
+    assert(a == b) // exact fixed-point means: merge order can't matter
+    val sizes = a.groupBy(_._1).view.mapValues(_.head._3).toMap
+    assert(sizes.values.toSeq.sorted == Seq(30L, 30L))
+    // each centroid sits on one blob
+    val c0 = a.filter(_._1 == 0L).sortBy(_._2).map(_._4)
+    val c1 = a.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    assert(c0.forall(m => math.abs(math.abs(m) - 1.0) < 0.2))
+    assert(c1.forall(m => math.abs(math.abs(m) - 1.0) < 0.2))
+    assert(c0.head * c1.head < 0) // opposite blobs
+  }
+
+  test("kmeansFit k=1 is the exact fixed-point global mean; dup init collapses") {
+    val df = Seq((1L, Seq(1.0f, 3.0f)), (2L, Seq(2.0f, 5.0f)),
+      (3L, Seq(3.0f, 7.0f))).toDF("id", "v")
+    val cells = Similarity.kmeansFit(df, "id", "v", k = 1, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cells == Seq((0L, 0L, 3L, 2.0), (0L, 1L, 3L, 5.0)))
+    // identical seed points -> all mass on cid 0, empty cluster vanishes
+    val dup = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f))).toDF("id", "v")
+    val d = Similarity.kmeansFit(dup, "id", "v", k = 2, iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(d.map(_._1).distinct == Seq(0L))
+    assert(d.forall(_._3 == 3L))
+  }
 }
