@@ -110,6 +110,47 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < rateCol)
   }
 
+  /** Deterministic fractional EPOCH EXPANSION — the data-recipe
+    * repetition step of corpus assembly (a source with factor 2.5
+    * contributes 2 full passes plus a hash-selected half pass; 0.5
+    * subsamples; 1.0 passes through). Every row gains an `epoch`
+    * column (0-based copy index), so downstream shuffles/interleaving
+    * see distinct rows per repetition and the schedule stays
+    * reproducible: the extra fractional copy is keyed on the SAME
+    * md5-bucket convention as every sampling operator, never RNG.
+    *
+    * Scale shape: one narrow projection — factor lookup is a broadcast
+    * map literal (no join), the copy count is column arithmetic, and
+    * the explode multiplies rows in place without any exchange.
+    * Factors above `maxFactor` are rejected loudly (a fat-finger 250.0
+    * would 250× the corpus).
+    */
+  def epochExpand(df: DataFrame, keyCol: String, sourceCol: String,
+                  factors: Map[String, Double], salt: String = "epoch",
+                  defaultFactor: Double = 1.0,
+                  maxFactor: Double = 100.0): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach { f =>
+      require(f >= 0.0 && f <= maxFactor,
+        s"epoch factor $f outside [0, $maxFactor]")
+    }
+    def fullOf(f: Double): Long = math.floor(f).toLong
+    def thrOf(f: Double): Long = math.round((f - math.floor(f)) * BucketSpace)
+    def lookup(of: Double => Long): Column =
+      if (factors.isEmpty) lit(of(defaultFactor))
+      else coalesce(
+        element_at(
+          map(factors.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+            Seq(lit(k), lit(of(v)))
+          }: _*), col(sourceCol).cast("string")),
+        lit(of(defaultFactor)))
+    val copies = lookup(fullOf) +
+      when(hashBucket(col(keyCol), salt) < lookup(thrOf), lit(1L))
+        .otherwise(lit(0L))
+    df.withColumn("epoch", explode(
+      when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Temperature-based domain rebalancing: downsample each domain with
     * keep-rate (n_min / n_d)^(1-α) so the output composition follows
     * p_d^α — the standard multilingual/source flattening step (α < 1

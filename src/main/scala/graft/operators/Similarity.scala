@@ -192,10 +192,36 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qidCol: String, idCol: String, vecCol: String,
               k: Int, centroidEvery: Int = 32, nprobe: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
     val cents = corpus
       .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    ivfWithCentroids(queries, corpus, qidCol, idCol, vecCol, k, nprobe,
+      cents)
+  }
+
+  /** [[ivfTopK]] with centroids TRAINED by [[kmeansFit]] instead of
+    * sampled from corpus rows — real Lloyd's means are tighter
+    * inverted-list anchors, so probes at the same `nprobe` see more of
+    * the true neighborhood. Same probe/assignment plan as `ivfTopK`;
+    * only the (tiny, broadcast) centroid relation differs. Size
+    * `kCentroids` ≈ √N like [[ivfTopKSized]]'s spacing; training cost
+    * is `trainIters` linear passes.
+    */
+  def ivfTopKKmeans(queries: DataFrame, corpus: DataFrame,
+                    qidCol: String, idCol: String, vecCol: String,
+                    k: Int, kCentroids: Int, trainIters: Int = 3,
+                    nprobe: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, kCentroids,
+      trainIters)
+    ivfWithCentroids(queries, corpus, qidCol, idCol, vecCol, k, nprobe,
+      cents)
+  }
+
+  private def ivfWithCentroids(queries: DataFrame, corpus: DataFrame,
+                               qidCol: String, idCol: String,
+                               vecCol: String, k: Int, nprobe: Int,
+                               cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
     val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
     // Centroid scoring is narrow (broadcast nested loop); the vector is
@@ -401,13 +427,30 @@ object Similarity {
     * clusters simply vanish from the output (no rows assigned).
     */
   def kmeansFit(points: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int, scale: Long = 1000000L): DataFrame = {
+                k: Int, iters: Int, scale: Long = 1000000L): DataFrame =
+    lloyd(points, idCol, vecCol, k, iters, scale)._1
+      .orderBy(col("cid"), col("pos"))
+
+  /** Final trained centroids in list form, (cent_id, cent_v) — the
+    * relation [[ivfTopKKmeans]] broadcasts. Same loop, same
+    * determinism contract as [[kmeansFit]].
+    */
+  def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      scale: Long = 1000000L): DataFrame =
+    lloyd(points, idCol, vecCol, k, iters, scale)._2
+      .select(col("cid").as("cent_id"), col("__cv").as("cent_v"))
+
+  private def lloyd(points: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int,
+                    scale: Long): (DataFrame, DataFrame) = {
     require(k >= 1, s"k >= 1, got $k")
     require(iters >= 1, s"iters >= 1, got $iters")
     import graft.functions.ExactAgg
     val pts = points.select(col(idCol).as("__pid"),
       col(vecCol).cast("array<double>").as("__pv"))
     // deterministic seed: the k smallest ids, centroid id = rank
+    // (the window runs over the k-row limited frame only)
     val init = pts.orderBy(col("__pid")).limit(k)
       .select(col("__pid"), col("__pv"))
       .withColumn("cid",
@@ -431,6 +474,6 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("mean")))), s => s.getField("mean")).as("__cv"))
     }
-    cells.orderBy(col("cid"), col("pos"))
+    (cells, cents)
   }
 }

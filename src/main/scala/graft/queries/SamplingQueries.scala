@@ -377,5 +377,55 @@ object SamplingQueries {
       })
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76)
+  /** Per-source repetition factors for q87 — full-and-fraction tiers
+    * over the 20 sources (2.5 = two passes + a hash-selected half,
+    * 0.5 = subsample, 1.0 = pass-through, 1.75 = one + three quarters).
+    */
+  private val epochFactors: Map[String, Double] =
+    (0 until 20).map(n => s"src$n" -> (n % 4 match {
+      case 0 => 2.5
+      case 1 => 1.0
+      case 2 => 0.5
+      case _ => 1.75
+    })).toMap
+
+  /** q87 — deterministic fractional epoch expansion
+    * ([[graft.operators.Sampling.epochExpand]]): the data-recipe
+    * repetition step. Zero exchanges — a broadcast map-literal factor
+    * lookup plus an in-place explode; the fractional copy reuses the
+    * md5-bucket kit so the oracle replays copy counts exactly.
+    */
+  private val q87 = Q("q87_epoch_expand",
+    (s, dir) => {
+      Sampling.epochExpand(t(s, dir, "documents"), "doc_id", "source",
+        epochFactors, salt = "epoch")
+        .select(col("doc_id"), col("epoch"), col("source"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some {
+      val fullCases = epochFactors.toSeq.sortBy(_._1)
+        .map { case (src, f) => s"WHEN '$src' THEN ${math.floor(f).toLong}" }
+        .mkString(" ")
+      val thrCases = epochFactors.toSeq.sortBy(_._1)
+        .map { case (src, f) =>
+          s"WHEN '$src' THEN ${math.round((f - math.floor(f)) * Sampling.BucketSpace)}"
+        }
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, source,
+          ${hashSql("epoch", "doc_id")} AS h
+        FROM documents),
+      b AS (SELECT doc_id, source,
+          CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
+      n AS (SELECT doc_id, source,
+          (CASE source $fullCases ELSE 1 END) +
+          (CASE WHEN bucket < (CASE source $thrCases ELSE 0 END)
+            THEN 1 ELSE 0 END) AS n_copies
+        FROM b)
+      SELECT doc_id, CAST(UNNEST(RANGE(n_copies)) AS BIGINT) AS epoch,
+        source
+      FROM n ORDER BY doc_id, epoch"""
+    })
+
+  val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
+    q87)
 }

@@ -522,6 +522,24 @@ class SimilaritySpec extends SparkSpec {
     assert(c0.head * c1.head < 0) // opposite blobs
   }
 
+  test("ivfTopKKmeans: trained centroids, recall vs brute force, deterministic") {
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k = 10))
+    val got = Similarity.ivfTopKKmeans(q, emb, "vec_id", "vec_id",
+      "embedding", k = 10, kCentroids = 8, trainIters = 2, nprobe = 3)
+    val r1 = rows(got)
+    val recall = (exact intersect r1).size.toDouble / exact.size
+    info(s"kmeans-IVF recall = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // trained-centroid plan is deterministic end to end
+    assert(rows(Similarity.ivfTopKKmeans(q, emb, "vec_id", "vec_id",
+      "embedding", k = 10, kCentroids = 8, trainIters = 2, nprobe = 3))
+      == r1)
+  }
+
   test("kmeansFit k=1 is the exact fixed-point global mean; dup init collapses") {
     val df = Seq((1L, Seq(1.0f, 3.0f)), (2L, Seq(2.0f, 5.0f)),
       (3L, Seq(3.0f, 7.0f))).toDF("id", "v")

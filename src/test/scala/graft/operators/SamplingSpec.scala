@@ -299,4 +299,42 @@ class SamplingSpec extends SparkSpec {
     assert("hashpartitioning\\(source".r.findAllIn(plan).size == 2,
       s"only the two bounded stats-side exchanges:\n$plan")
   }
+
+  test("epochExpand: full copies exact, fraction hash-keyed, 0 drops, no exchange") {
+    val rows = (0 until 400).map(i =>
+      (i.toLong, Seq("a", "b", "c", "d")(i % 4)))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.epochExpand(df, "id", "src",
+      Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0, "d" -> 0.5), salt = "e")
+    val got = out.select($"id", $"src", $"epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._2)
+    // factor 0.0: source vanishes entirely
+    assert(!bySrc.contains("c"))
+    // factor 1.0: exactly one epoch-0 copy per row
+    assert(bySrc("b").size == 100 && bySrc("b").forall(_._3 == 0L))
+    // factor 2.5: every row has epochs {0,1}, a strict subset gains 2
+    val aCopies = bySrc("a").groupBy(_._1).view.mapValues(_.map(_._3).sorted)
+    assert(aCopies.values.forall(e =>
+      e == Seq(0L, 1L) || e == Seq(0L, 1L, 2L)))
+    val aExtra = aCopies.values.count(_.size == 3)
+    assert(aExtra > 20 && aExtra < 80, s"~half expected, got $aExtra/100")
+    // factor 0.5: surviving rows carry epoch 0 only
+    assert(bySrc("d").forall(_._3 == 0L))
+    assert(bySrc("d").size > 20 && bySrc("d").size < 80)
+    // the fractional pick matches hashSample's bucket convention exactly
+    val sampled = Sampling.hashSample(df.filter($"src" === "d"), "id",
+      0.5, salt = "e").select($"id").as[Long].collect().toSet
+    assert(bySrc("d").map(_._1).toSet == sampled)
+    // a source value absent from the factor map takes defaultFactor
+    val dflt = Sampling.epochExpand(df.limit(5), "id", "src",
+      Map("zzz" -> 3.0), salt = "e", defaultFactor = 2.0)
+    assert(dflt.count() == 10)
+    // narrow plan: no exchange at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Sampling.epochExpand(df, "id", "src", Map("a" -> 250.0))
+    }
+  }
 }
