@@ -86,6 +86,41 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Streaming form of [[graft.operators.Dedup.newAgainstCorpus]]: a
+    * document stream screened against a STATIC standing corpus — rows
+    * whose content fingerprint already exists in the corpus are
+    * dropped in flight. The corpus bloom is folded ONCE at plan-build
+    * time (a batch aggregate over the static side) and baked into the
+    * streaming plan as a literal, so every micro-batch pays only:
+    *  - a narrow `might_contain` filter (no state, no join) for the
+    *    definitely-new majority, and
+    *  - a stream-static LEFT ANTI join — restricted to bloom-positive
+    *    rows (true dups + ~fpp) — for exact confirmation.
+    * The static side re-reads per micro-batch (Structured Streaming's
+    * stream-static contract); the bloom keeps that join's stream side
+    * tiny. Intra-stream dups are NOT collapsed here — chain
+    * [[dedupStream]]/[[corpusIngest]] for that.
+    */
+  def screenAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                          textCol: String,
+                          estItems: Long = 1000000L): DataFrame = {
+    import graft.functions.TextFunctions
+    require(estItems > 0, s"estItems > 0, got $estItems")
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val bloomBytes = corpus
+      .select(xxhash64(fp).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
+        .as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) return stream // empty corpus: all rows new
+    val mightContain =
+      call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(fp))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+    val confirmedNew = stream.filter(mightContain)
+      .join(corpusFps, fp === col("__fp"), "left_anti")
+    stream.filter(!mightContain).unionByName(confirmedNew)
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -138,4 +138,34 @@ class StreamsSpec extends SparkSpec {
     assert(res.contains((1L, 2L, 3.0))) // merged into one session
     assert(res.contains((2L, 1L, 3.0)) && res.contains((2L, 1L, 4.0)))
   }
+
+  test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
+    val in = Files.createTempDirectory("graft_scr_in").toString
+    val out = Files.createTempDirectory("graft_scr_out").toString
+    val ckpt = Files.createTempDirectory("graft_scr_ckpt").toString
+    val docSchema = StructType.fromDDL("doc_id long, text string")
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "standing corpus content")
+    ).toDF("doc_id", "text")
+    writeBatch(in, "b1.json", Seq(
+      """{"doc_id":1,"text":"The quick brown fox jumps over the lazy dog!"}""",
+      """{"doc_id":2,"text":"genuinely new streaming content"}""",
+      """{"doc_id":3,"text":"standing corpus content"}"""))
+    def run(est: Long): Unit = Streams.runAvailableNow(
+      Streams.screenAgainstCorpus(
+        Streams.jsonStream(spark, docSchema, in), corpus, "text",
+        estItems = est), out, ckpt)
+    // estItems=1 forces bloom false positives: the exact confirm join
+    // must still admit only genuinely-new rows
+    run(est = 1L)
+    // a later micro-batch flows through the same baked bloom
+    writeBatch(in, "b2.json", Seq(
+      """{"doc_id":4,"text":"the quick brown fox jumps over the lazy dog"}""",
+      """{"doc_id":5,"text":"more new content arriving later"}"""))
+    run(est = 1L)
+    val res = spark.read.schema(docSchema).parquet(out)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(res == Seq(2L, 5L))
+  }
 }
