@@ -19,6 +19,14 @@ object TextFunctions {
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "),
       "\\s+", " "))
 
+  /** Driver-side (plain String) twin of [[normalizeText]] — for
+    * normalizing SMALL fixed inputs (query strings, config literals)
+    * with the exact corpus convention before broadcasting them.
+    */
+  def normalizeString(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+      .replaceAll("\\s+", " ").trim
+
   /** Whitespace token array of normalized text (native kernel, bit-equal
     * to [[tokensHof]]).
     */

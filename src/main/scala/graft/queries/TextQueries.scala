@@ -744,6 +744,74 @@ object TextQueries {
         ORDER BY bt.doc_id"""
     })
 
+  /** Fixed retrieval queries for q88 (normalized under the corpus
+    * tokenization before broadcasting).
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join fast",
+    1L -> "hash table scan",
+    2L -> "slow query window")
+
+  /** q88 — BM25 keyword retrieval top-k ([[graft.operators.Bm25]]): the
+    * lexical complement to the ANN family. Term statistics are
+    * restricted map-side to the query vocabulary (exchanges bounded by
+    * |vocab|, never the corpus vocabulary), idf is the margin-audited
+    * ⌊1e6·ln⌋ quantization (the q72/q74 kit), and per-term
+    * contributions floor to exact longs before summation so the score
+    * is an order-independent integer.
+    */
+  private val q88 = Q("q88_bm25_topk",
+    (s, dir) => {
+      graft.operators.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Queries, k = 10, minQuantMargin = Some(5e-4))
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some {
+      val vocab = bm25Queries
+        .flatMap(_._2.split(' ')).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      val qvals = bm25Queries.flatMap { case (qid, text) =>
+        text.split(' ').distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }.mkString(", ")
+      val k1p1 = 1.2 + 1.0
+      val oneMinusB = 1.0 - 0.75
+      val dl = lenTokSql("toks", "nrm")
+      s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        tk AS (SELECT doc_id, toks, CAST($dl AS BIGINT) AS dl FROM nt),
+        stats AS (SELECT COUNT(*) AS n,
+          CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sumdl FROM tk),
+        terms AS (SELECT doc_id, dl, UNNEST(toks) AS term FROM tk),
+        ft AS (SELECT doc_id, dl, term FROM terms
+          WHERE term IN ($vocab)),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM ft
+          GROUP BY doc_id, dl, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft
+          GROUP BY term),
+        idf AS (SELECT term, CAST(FLOOR(1000000.0 * LN(
+            (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))) AS BIGINT) AS idfq
+          FROM df CROSS JOIN stats s),
+        qt (qid, term) AS (VALUES $qvals),
+        contrib AS (SELECT q.qid, t.doc_id,
+            CAST(FLOOR(CAST(i.idfq AS DOUBLE) *
+              ((CAST(t.tf AS DOUBLE) * $k1p1) /
+               (CAST(t.tf AS DOUBLE) + 1.2 *
+                ($oneMinusB + 0.75 * CAST(t.dl AS DOUBLE) /
+                  (SELECT CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)
+                   FROM stats))))) AS BIGINT) AS c
+          FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)),
+        score AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_q
+          FROM contrib GROUP BY qid, doc_id),
+        ranked AS (SELECT qid, doc_id, score_q,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_q DESC, doc_id) AS rk
+          FROM score)
+        SELECT qid, doc_id, score_q, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88)
 }
