@@ -447,33 +447,49 @@ object Similarity {
     require(k >= 1, s"k >= 1, got $k")
     require(iters >= 1, s"iters >= 1, got $iters")
     import graft.functions.ExactAgg
+    val spark = points.sparkSession
+    import spark.implicits._
+    // persisted for the loop: every iteration scans pts twice (argmin
+    // pass + mean pass); without the pin that is 2×iters source reads
     val pts = points.select(col(idCol).as("__pid"),
-      col(vecCol).cast("array<double>").as("__pv"))
-    // deterministic seed: the k smallest ids, centroid id = rank
-    // (the window runs over the k-row limited frame only)
-    val init = pts.orderBy(col("__pid")).limit(k)
-      .select(col("__pid"), col("__pv"))
-      .withColumn("cid",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__pid"))).cast("long") - 1)
-      .select(col("cid"), col("__pv").as("__cv"))
-    var cents = init
-    var cells: DataFrame = null
-    for (_ <- 1 to iters) {
-      val assigned = pts.crossJoin(broadcast(cents))
-        .withColumn("__d", l2Sq(col("__pv"), col("__cv")))
-        .groupBy(col("__pid"))
-        .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-        .select(col("__pid"), col("__m.cid").as("cid"))
-      cells = assigned.join(pts, Seq("__pid"))
-        .select(col("cid"), posexplode(col("__pv")).as(Seq("pos", "val")))
-        .groupBy(col("cid"), col("pos").cast("long").as("pos"))
-        .agg(count(lit(1)).as("n"),
-          ExactAgg.avgFx(col("val"), scale).as("mean"))
-      cents = cells.groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("mean")))), s => s.getField("mean")).as("__cv"))
-    }
-    (cells, cents)
+      col(vecCol).cast("array<double>").as("__pv")).persist()
+    try {
+      // Centroids live DRIVER-SIDE between iterations — k × dim
+      // doubles (≈ √N × dim at IVF sizing, megabytes at 10⁹ rows) —
+      // so each iteration's plan starts from a local relation instead
+      // of chaining every previous iteration's aggregations into one
+      // ever-deeper lineage that re-executes per round. The collected
+      // doubles round-trip exactly; the trajectory is unchanged.
+      // deterministic seed: the k smallest ids, centroid id = rank
+      var centsLocal: Seq[(Long, Seq[Double])] =
+        pts.orderBy(col("__pid")).limit(k)
+          .select(col("__pid"), col("__pv"))
+          .as[(Long, Seq[Double])].collect().toSeq
+          .sortBy(_._1).zipWithIndex
+          .map { case ((_, v), i) => (i.toLong, v) }
+      var cellsLocal: Seq[(Long, Long, Long, Double)] = null
+      for (_ <- 1 to iters) {
+        val cents = centsLocal.toDF("cid", "__cv")
+        val assigned = pts.crossJoin(broadcast(cents))
+          .withColumn("__d", l2Sq(col("__pv"), col("__cv")))
+          .groupBy(col("__pid"))
+          .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+          .select(col("__pid"), col("__m.cid").as("cid"))
+        cellsLocal = assigned.join(pts, Seq("__pid"))
+          .select(col("cid"), posexplode(col("__pv"))
+            .as(Seq("pos", "val")))
+          .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"),
+            ExactAgg.avgFx(col("val"), scale).as("mean"))
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        centsLocal = cellsLocal.groupBy(_._1).toSeq.map { case (cid, cs) =>
+          (cid, cs.sortBy(_._2).map(_._4))
+        }.sortBy(_._1)
+      }
+      val cells = cellsLocal.sortBy(c => (c._1, c._2))
+        .toDF("cid", "pos", "n", "mean")
+      val cents = centsLocal.toDF("cid", "__cv")
+      (cells, cents)
+    } finally pts.unpersist(blocking = false)
   }
 }
