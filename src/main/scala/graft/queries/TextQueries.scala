@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Profile, Sampling}
+import graft.operators.{Dedup, Profile, Sampling, Similarity}
 
 /** Text-analysis + dedup coverage over the `documents` table (north-star
   * LLM-pipeline operators). DuckDB mirrors are generated from the same
@@ -812,6 +812,101 @@ object TextQueries {
         FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
     })
 
+  /** q89 — hybrid retrieval: BM25 lexical top-20 fused with exact
+    * cosine top-20 by reciprocal-rank fusion
+    * ([[graft.operators.Fusion.rrf]]) — the standard two-channel RAG
+    * retrieval shape. `embeddings.vec_id` is treated as the embedding
+    * of `documents.doc_id` (same id space, a fixture convention — the
+    * gate checks fusion MECHANICS: full-outer rank join, 1/(c+rk)
+    * arithmetic, re-rank). Both channels are bounded top-n lists, so
+    * fusion cost is O(|queries|·n) regardless of corpus size.
+    */
+  private val q89 = Q("q89_hybrid_rrf",
+    (s, dir) => {
+      val lex = graft.operators.Bm25.topK(t(s, dir, "documents"),
+        "doc_id", "text", bm25Queries, k = 20,
+        minQuantMargin = Some(5e-4))
+        .select(col("qid"), col("doc_id"), col("rk"))
+      val e = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(
+        queries = e.filter(col("vec_id") < 3), corpus = e,
+        qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+        k = 20)
+        .select(col("qid"), col("nid").as("doc_id"), col("rk"))
+      graft.operators.Fusion.rrf(lex, vec, k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some {
+      // lexical CTE chain = q88's oracle at k=20; vector = q20's at
+      // qid<3/k=20; fusion mirrors Fusion.rrf's expression order
+      val vocab = bm25Queries
+        .flatMap(_._2.split(' ')).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      val qvals = bm25Queries.flatMap { case (qid, text) =>
+        text.split(' ').distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }.mkString(", ")
+      val k1p1 = 1.2 + 1.0
+      val oneMinusB = 1.0 - 0.75
+      val dl = lenTokSql("toks", "nrm")
+      s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        tk AS (SELECT doc_id, toks, CAST($dl AS BIGINT) AS dl FROM nt),
+        stats AS (SELECT COUNT(*) AS n,
+          CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sumdl FROM tk),
+        terms AS (SELECT doc_id, dl, UNNEST(toks) AS term FROM tk),
+        ft AS (SELECT doc_id, dl, term FROM terms
+          WHERE term IN ($vocab)),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM ft
+          GROUP BY doc_id, dl, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft
+          GROUP BY term),
+        idf AS (SELECT term, CAST(FLOOR(1000000.0 * LN(
+            (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))) AS BIGINT) AS idfq
+          FROM df CROSS JOIN stats s),
+        qt (qid, term) AS (VALUES $qvals),
+        contrib AS (SELECT q.qid, t.doc_id,
+            CAST(FLOOR(CAST(i.idfq AS DOUBLE) *
+              ((CAST(t.tf AS DOUBLE) * $k1p1) /
+               (CAST(t.tf AS DOUBLE) + 1.2 *
+                ($oneMinusB + 0.75 * CAST(t.dl AS DOUBLE) /
+                  (SELECT CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)
+                   FROM stats))))) AS BIGINT) AS c
+          FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)),
+        score AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_q
+          FROM contrib GROUP BY qid, doc_id),
+        lex AS (SELECT qid, doc_id, rk FROM (SELECT qid, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_q DESC, doc_id) AS rk
+          FROM score) WHERE rk <= 20),
+        qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS av
+          FROM embeddings WHERE vec_id < 3),
+        cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS bv
+          FROM embeddings),
+        scored AS (SELECT qid, nid,
+          (list_dot_product(bv, av) /
+            (SQRT(list_dot_product(av, av)) *
+             SQRT(list_dot_product(bv, bv)))) AS sim
+          FROM cv, qv),
+        vec AS (SELECT qid, nid AS doc_id, rk FROM (SELECT qid, nid, sim,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+              AS rk
+          FROM scored WHERE sim IS NOT NULL) WHERE rk <= 20),
+        fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+            COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0) +
+              COALESCE(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        ranked AS (SELECT qid, doc_id, rrf,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rrf DESC, doc_id) AS rk
+          FROM fused)
+        SELECT qid, doc_id, rrf, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85, q88)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89)
 }
