@@ -54,19 +54,30 @@ object Bm25 {
     }
     val vocab: Seq[String] = qTerms.map(_._2).distinct.sorted
 
-    val toks = corpus.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"),
-      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    // repartition before tokenizing: the CPU-heavy narrow stage must
+    // not pin to one task on a single small input file (the
+    // lshCandidatePairs precedent); collapses into existing splits at
+    // scale
+    val toks = corpus.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        TextFunctions.tokenCount(col(textCol)).as("dl"))
 
-    // stats pass: N, Σdl, and per-vocab-term df — all bounded collects
+    // per-(doc, vocab-term) tf — the ONE vocabulary-filtered corpus
+    // aggregation; df derives from it (vocab-bounded rows), so the
+    // corpus is scanned exactly twice: the N/Σdl stats pass + this
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+
     val Seq((nDocs, sumDl)) = toks
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .as[(Long, Long)].collect().toSeq
     require(nDocs > 0, "empty corpus")
-    val dfByTerm: Map[String, Long] = toks
-      .select(col("doc_id"), explode(col("__toks")).as("term"))
-      .filter(col("term").isin(vocab: _*))
-      .distinct()
+    val dfByTerm: Map[String, Long] = tf
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
     // mirror order: one double division (the oracle recomputes this
@@ -96,13 +107,9 @@ object Bm25 {
       map(vocab.flatMap(t => Seq(lit(t), lit(idfQ(t)))): _*), col("term"))
     val qTermDf = qTerms.toDF("qid", "term")
 
-    // scoring pass: tf per (doc, term) restricted to the vocabulary,
-    // then exact-long contributions summed per (query, doc)
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .filter(col("term").isin(vocab: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // scoring: exact-long contributions summed per (query, doc); the
+    // pinned tf relation (filled by the df collect above) feeds this
+    // without a third corpus scan, and releases once scores land
     val contrib = tf.join(broadcast(qTermDf), Seq("term"))
       .withColumn("__tfn",
         (col("tf").cast("double") * lit(k1 + 1.0)) /
@@ -111,8 +118,14 @@ object Bm25 {
       .withColumn("__c", floor(idfCol.cast("double") * col("__tfn")))
     val scores = contrib.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("__c")).as("score_q"))
-    TopK.perGroup(scores, Seq(col("qid")),
+    val top = TopK.perGroup(scores, Seq(col("qid")),
       Seq(col("score_q").desc, col("doc_id")), k)
       .select(col("qid"), col("doc_id"), col("score_q"), col("rk"))
+    // the result is ≤ |queries|·k rows: materialize it so the tf pin
+    // can release here instead of leaking into the caller's lifetime
+    val rows = top.collect().toSeq
+    tf.unpersist(blocking = false)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      top.schema)
   }
 }
