@@ -53,6 +53,9 @@ object Bm25 {
         .distinct.map(qid -> _)
     }
     val vocab: Seq[String] = qTerms.map(_._2).distinct.sorted
+    require(vocab.nonEmpty,
+      "no query term survives normalization - queries must contain " +
+        "at least one alphanumeric token")
 
     // repartition before tokenizing: the CPU-heavy narrow stage must
     // not pin to one task on a single small input file (the

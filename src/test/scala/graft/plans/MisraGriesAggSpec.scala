@@ -57,6 +57,14 @@ class MisraGriesAggSpec extends SparkSpec {
     assert(Profile.heavyHitters(empty, "item", 0.5).collect().isEmpty)
   }
 
+  test("non-string items implicitly cast to their string form") {
+    val df = (1 to 30).map(i => i % 3).toDF("item")
+    val s = df.agg(call_function("graft_mg", $"item", lit(5)).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(s == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+  }
+
   test("sketch output is deterministically ordered (lb desc, item asc)") {
     val df = (1 to 100).map(i => s"t${i % 5}").toDF("item")
     val s = df.agg(call_function("graft_mg", $"item", lit(10)).as("s"))
