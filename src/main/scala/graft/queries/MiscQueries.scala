@@ -490,6 +490,60 @@ object MiscQueries {
           '?a=', event_id % 5, '&b=', event_id % 3) AS canonical_url
       FROM e ORDER BY event_id"""))
 
+  /** q90 — deterministic fixed-iteration PageRank
+    * ([[graft.operators.GraphRank.pageRank]]) on the symmetrized
+    * customer↔supplier purchase graph (orders ⋈ lineitem): the
+    * domain-authority centrality prior. The trajectory is EXACT
+    * INTEGER arithmetic (scaled long ranks, 85/100 damping, integer
+    * division), so the unrolled CTE oracle replays it with no
+    * floating-point mirroring at all — a double formulation
+    * hash-mismatched by 1 ulp because DuckDB contracts a + b·c into
+    * an FMA. Symmetrization guarantees no dangling nodes (the
+    * operator rejects them loudly).
+    */
+  private val q90 = Q("q90_pagerank",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey").cast("string"))
+          .as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = raw.unionByName(
+        raw.select(col("dst").as("src"), col("src").as("dst")))
+      GraphRank.pageRank(sym, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    },
+    Some {
+      val S = 1000000000000L
+      def cte(i: Int, prev: String): String =
+        s"""c$i AS (SELECT e.dst AS id, SUM(r.r_q // r.deg) AS csum
+          FROM e JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+        r$i AS (SELECT d.id, d.deg,
+            CAST((($S - $S * 85 // 100) // (SELECT n FROM nn)) +
+              (COALESCE(c.csum, 0) * 85 // 100) AS BIGINT) AS r_q
+          FROM deg d LEFT JOIN c$i c ON d.id = c.id)"""
+      s"""WITH eraw AS (SELECT DISTINCT
+          'c:' || CAST(o_custkey AS VARCHAR) AS src,
+          's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM eraw
+        UNION SELECT dst AS src, src AS dst FROM eraw),
+      deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM deg),
+      r0 AS (SELECT id, deg,
+          $S // (SELECT n FROM nn) AS r_q FROM deg),
+      ${cte(1, "r0")},
+      ${cte(2, "r1")},
+      ${cte(3, "r2")}
+      SELECT id, r_q, CAST(r_q AS DOUBLE) / $S.0 AS r
+      FROM r3 ORDER BY id"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82)
+    q48, q52, q67, q81, q82, q90)
 }
