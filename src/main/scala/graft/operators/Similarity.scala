@@ -217,27 +217,40 @@ object Similarity {
       cents)
   }
 
+  /** Per-centroid cosine scores for rows of `df` carrying (`id`,
+    * `${id}_v`): narrow broadcast nested loop, the vector column is
+    * dropped before anything shuffles. Shared by the IVF probe and
+    * [[semDedup]].
+    */
+  private def centroidScores(df: DataFrame, id: String,
+                             cents: DataFrame): DataFrame =
+    filterOnce(df.crossJoin(broadcast(cents)),
+      "csim", VectorFunctions.cosine(col(s"${id}_v"), col("cent_v")),
+      _.isNotNull)
+      .select(col(id), col("cent_id"), col("csim"))
+
+  /** Best centroid per row of `df` (columns `id`, `${id}_v`) →
+    * (`id`, cent_id): max_by with the window's exact tie-break (csim
+    * desc, then min cent_id) — partial-aggregates map-side, unlike a
+    * row_number window. Rows whose every csim is NULL (zero vectors)
+    * get no assignment and vanish, matching the oracle's
+    * `WHERE csim IS NOT NULL` rank.
+    */
+  private def assignToCentroids(df: DataFrame, id: String,
+                                cents: DataFrame): DataFrame =
+    centroidScores(df, id, cents).groupBy(col(id))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("tb"))).as("cent_id"))
+
   private def ivfWithCentroids(queries: DataFrame, corpus: DataFrame,
                                qidCol: String, idCol: String,
                                vecCol: String, k: Int, nprobe: Int,
                                cents: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
     val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
-    // Centroid scoring is narrow (broadcast nested loop); the vector is
-    // dropped before anything shuffles.
-    def scored(df: DataFrame, id: String): DataFrame =
-      filterOnce(df.crossJoin(broadcast(cents)),
-        "csim", cosine(col(s"${id}_v"), col("cent_v")), _.isNotNull)
-        .select(col(id), col("cent_id"), col("csim"))
-    // Best centroid per corpus row: max_by with the window's exact
-    // tie-break (csim desc, then min cent_id) — partial-aggregates
-    // map-side, unlike a row_number window.
-    val corpusAssigned = scored(cv, "nid").groupBy(col("nid"))
-      .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("tb"))).as("cent_id"))
-    val queryProbes = TopK.perGroup(scored(qv, "qid"), Seq(col("qid")),
-      Seq(col("csim").desc, col("cent_id")), nprobe)
+    val corpusAssigned = assignToCentroids(cv, "nid", cents)
+    val queryProbes = TopK.perGroup(centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
       .select(col("qid"), col("cent_id"))
     val candIds = corpusAssigned.join(broadcast(queryProbes), Seq("cent_id"))
       .select(col("qid"), col("nid")).distinct()
@@ -385,6 +398,73 @@ object Similarity {
     val ce = sizedCentroidEvery(countOf(corpus, idCol, corpusCount))
     ivfTopK(queries, corpus, qidCol, idCol, vecCol, k,
       centroidEvery = ce, nprobe = nprobe)
+  }
+
+  // ----- cluster-scoped semantic dedup (SemDeDup) --------------------
+
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540, the LAION/C4 curation method): assign
+    * every embedding to its nearest coarse centroid (the exact q31
+    * argmax — cosine desc, min cent_id tie-break), compare pairs ONLY
+    * within a cluster, and drop every row that has a smaller-id
+    * cluster-mate with cosine >= `threshold`. The published method
+    * keeps one arbitrary member per duplicate group; the keep-LOWEST-ID
+    * rule makes the choice deterministic, partitioning-invariant, and
+    * oracle-expressible in ANSI SQL.
+    *
+    * Plan shape (the 100 TB contract): centroids broadcast into a
+    * narrow assignment pass; the within-cluster self-join exchanges
+    * BARE (id, cent_id) rows — pairs are already distinct (each id has
+    * exactly one cluster), so unlike the banded-LSH path no dedup
+    * exchange is needed; vectors re-join per candidate pair for ONE
+    * exact cosine each; survivors are a left-anti join on removed ids.
+    * With `centroidEvery ≈ √N` ([[semDedupSized]]) expected cluster
+    * size is √N, so candidate volume is Θ(N^1.5) — the same scale law
+    * as IVF assignment and the published SemDeDup cost shape — versus
+    * Θ(N²) for the flat pairwise verifier (q22) and a complementary
+    * recall profile to the banded-LSH pruner (q38): LSH can miss
+    * same-bucket-less near-dups; SemDeDup can miss near-dups straddling
+    * a cluster boundary.
+    *
+    * Centroid convention matches [[ivfTopK]]: rows whose id ≡ 0 (mod
+    * `centroidEvery`) act as centroids, so the id domain must contain
+    * such multiples. Returns survivors (id, cent_id), one row per kept
+    * input row with a non-null-cosine assignment.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, centroidEvery: Int = 32): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    val assigned =
+      assignToCentroids(v.select(col("id"), col("v").as("id_v")), "id",
+        cents)
+    val candIds = assigned.select(col("id").as("id_a"), col("cent_id"))
+      .join(assigned.select(col("id").as("id_b"), col("cent_id")),
+        Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val va = v.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("vb"))
+    val removed = filterOnce(
+      candIds.join(va, Seq("id_a")).join(vb, Seq("id_b")),
+      "sim", VectorFunctions.cosine(col("va"), col("vb")),
+      _ >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(removed, Seq("id"), "left_anti")
+      .select(col("id"), col("cent_id"))
+  }
+
+  /** [[semDedup]] with corpus-sized centroid spacing (√N, the same
+    * derivation as [[ivfTopKSized]]): expected cluster size √N keeps
+    * the within-cluster pair volume at Θ(N^1.5) as the corpus grows —
+    * the production entry point.
+    */
+  def semDedupSized(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double,
+                    corpusCount: Option[Long] = None): DataFrame = {
+    val ce = sizedCentroidEvery(countOf(df, idCol, corpusCount))
+    semDedup(df, idCol, vecCol, threshold, centroidEvery = ce)
   }
 
   /** Squared L2 distance as a LEFT-TO-RIGHT double fold over the two

@@ -362,5 +362,51 @@ object VectorQueries {
         s"\nSELECT cid, pos, n, mean FROM cells$iters ORDER BY cid, pos"
     })
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86)
+  /** q91 — SemDeDup (Abbas et al. 2023): cluster-scoped semantic
+    * dedup — nearest-centroid assignment (q31's argmax), pairwise
+    * cosine ONLY within a cluster, keep-lowest-id survivors. The whole
+    * pipeline is pure double arithmetic + joins, so the oracle replays
+    * it exactly: assignment rank, within-cluster pairs, threshold,
+    * anti-join.
+    */
+  private val q91 = Q("q91_semdedup",
+    (s, dir) => {
+      Similarity.semDedup(t(s, dir, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4, centroidEvery = 16)
+        .orderBy(col("id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      c AS (SELECT vec_id AS cent_id, vv AS cv FROM v
+        WHERE vec_id % 16 = 0),
+      scored AS (SELECT v.vec_id, c.cent_id,
+          (list_dot_product(v.vv, c.cv) /
+            (SQRT(list_dot_product(v.vv, v.vv)) *
+             SQRT(list_dot_product(c.cv, c.cv)))) AS csim
+        FROM v CROSS JOIN c),
+      ranked_assign AS (SELECT vec_id, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cent_id) AS ark
+        FROM scored WHERE csim IS NOT NULL),
+      assigned AS (SELECT vec_id AS id, cent_id FROM ranked_assign
+        WHERE ark = 1),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.id < b.id),
+      simsc AS (SELECT p.id_a, p.id_b,
+          (list_dot_product(va.vv, vb.vv) /
+            (SQRT(list_dot_product(va.vv, va.vv)) *
+             SQRT(list_dot_product(vb.vv, vb.vv)))) AS sim
+        FROM pairs p
+        JOIN v va ON va.vec_id = p.id_a
+        JOIN v vb ON vb.vec_id = p.id_b),
+      removed AS (SELECT DISTINCT id_b AS id FROM simsc
+        WHERE sim >= 0.4)
+      SELECT a.id, a.cent_id FROM assigned a
+      WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id = a.id)
+      ORDER BY a.id"""))
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91)
 }

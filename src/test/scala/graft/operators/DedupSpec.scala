@@ -554,4 +554,64 @@ class SimilaritySpec extends SparkSpec {
     assert(d.map(_._1).distinct == Seq(0L))
     assert(d.forall(_._3 == 3L))
   }
+
+  test("semDedup: survivors = keep-lowest-id under exact within-cluster pairs") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    val thr = 0.3
+    val ce = 16
+    val v = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+    val cents = v.filter($"id" % ce === 0)
+      .select($"id".as("cent_id"), $"v".as("cv"))
+    // reference assignment: exact argmax via a window (csim desc, then
+    // min cent_id) — the q31/q91 oracle rank, independently rebuilt
+    val w = Window.partitionBy($"id").orderBy($"csim".desc, $"cent_id")
+    val assignRef = v.crossJoin(cents)
+      .withColumn("csim", VectorFunctions.cosine($"v", $"cv"))
+      .filter($"csim".isNotNull)
+      .withColumn("ark", row_number().over(w))
+      .filter($"ark" === 1).select($"id", $"cent_id")
+    val removed = assignRef.select($"id".as("id_a"), $"cent_id")
+      .join(assignRef.select($"id".as("id_b"), $"cent_id"), Seq("cent_id"))
+      .filter($"id_a" < $"id_b")
+      .join(v.select($"id".as("id_a"), $"v".as("va")), Seq("id_a"))
+      .join(v.select($"id".as("id_b"), $"v".as("vb")), Seq("id_b"))
+      .withColumn("sim", VectorFunctions.cosine($"va", $"vb"))
+      .filter($"sim" >= thr)
+      .select($"id_b".as("id")).distinct()
+    val expect = assignRef.join(removed, Seq("id"), "left_anti")
+      .select($"id", $"cent_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.semDedup(emb, "vec_id", "embedding", thr, ce)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    // the threshold must actually bite on this fixture, or the spec
+    // proves nothing about the removal path
+    val nRemoved = removed.count()
+    info(s"semDedup removed $nRemoved of ${emb.count()} at thr=$thr")
+    assert(nRemoved > 0, "fixture produced no within-cluster near-dups")
+    // the smallest id of every cluster can never be removed
+    val minPerCluster = assignRef.groupBy($"cent_id")
+      .agg(min($"id").as("id"))
+      .select($"id", $"cent_id").as[(Long, Long)].collect().toSet
+    assert(minPerCluster.subsetOf(got))
+  }
+
+  test("semDedup: partitioning-invariant; sized form = fixed form at √N") {
+    val thr = 0.3
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSet
+    val base = rows(Similarity.semDedup(emb, "vec_id", "embedding",
+      thr, 16))
+    assert(rows(Similarity.semDedup(emb.repartition(7), "vec_id",
+      "embedding", thr, 16)) == base)
+    val n = emb.count()
+    val ce = Similarity.sizedCentroidEvery(n)
+    assert(rows(Similarity.semDedupSized(emb, "vec_id", "embedding",
+        thr)) ==
+      rows(Similarity.semDedup(emb, "vec_id", "embedding", thr, ce)))
+    // known count skips the sizing job, same result
+    assert(rows(Similarity.semDedupSized(emb, "vec_id", "embedding",
+      thr, corpusCount = Some(n))) ==
+      rows(Similarity.semDedupSized(emb, "vec_id", "embedding", thr)))
+  }
 }
