@@ -346,4 +346,81 @@ object Sampling {
       col(srcCol) === col("__ks") && col(scoreCol) === col("__kc"),
       "left_semi")
   }
+
+  /** Exponential-key quantization scale for [[weightedTopK]]:
+    * keys are ⌊10⁶ · ln(u)/w⌋ longs. */
+  val WrsKeyScale: Long = 1000000L
+
+  /** Weighted sampling WITHOUT replacement (the Efraimidis–Spirakis
+    * exponential-key scheme, A-ES: draw k rows with inclusion
+    * probability proportional to `weightCol`) — deterministic like
+    * every operator here: a row's "random" u is its md5 bucket mapped
+    * to (0,1] (`(bucket+1)/2³²`, both exact doubles), and its rank key
+    * is the quantized exponential key `⌊10⁶ · ln(u)/w⌋` (maximizing
+    * u^(1/w) ⇔ maximizing ln(u)/w, since ln(u) ≤ 0 and w > 0). Top-k
+    * by (key desc, id) per stratum — same sample on any partitioning,
+    * cluster size, or engine; a different salt draws an independent
+    * sample. The training-data use: subsample a corpus proportional to
+    * a quality/length weight, reproducibly, without a global RNG.
+    *
+    * Determinism contract (the q64/q72 ln kit): u and w are exact
+    * inputs; IEEE ×/÷ are correctly rounded, ln is
+    * cross-engine-identical to ~1 ulp, and the key is floored at scale
+    * 10⁶ — drift reaches a key only when the unquantized value sits
+    * within ~10⁻¹⁰ of a floor boundary. `minQuantMargin` (debug mode)
+    * audits that margin with one extra bounded aggregate pass and
+    * throws if any row sits too close; ties in the quantized key break
+    * by id. NULL or non-positive weights raise — a silent drop would
+    * bias the sample invisibly.
+    *
+    * Scale shape: the key is a narrow codegen'd projection (zero
+    * shuffles); ranking is the standard per-stratum window k-limit
+    * (`strataCol` given) or a TakeOrderedAndProject global top-k
+    * (`strataCol = None` — never a single-partition window; the rank
+    * is stamped on the ≤ k survivors only).
+    *
+    * Returns the sampled rows: key/strata columns, `wkey` (the
+    * quantized exponential key) and `rk` (1-based rank within the
+    * stratum / globally).
+    */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                   k: Int, salt: String,
+                   strataCol: Option[String] = None,
+                   minQuantMargin: Option[Double] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val wChecked = when(w.isNotNull && w > 0, w)
+      .otherwise(raise_error(lit(
+        s"weightedTopK: NULL or non-positive $weightCol (weights " +
+          "must be > 0; filter or reweight first)")))
+    val u = (hashBucket(col(keyCol), salt).cast("double") + lit(1.0)) /
+      lit(BucketSpace.toDouble)
+    val raw = lit(WrsKeyScale.toDouble) * log(u) / wChecked
+    minQuantMargin.foreach { threshold =>
+      // debug-mode margin audit: min distance of any unquantized key
+      // to its floor boundary (one extra pass over df — the q72 guard
+      // shape, per-row here because the key is per-row)
+      val frac = raw - floor(raw)
+      val m = df.select(min(least(frac, lit(1.0) - frac)).as("m"))
+        .head().getDouble(0)
+      if (m < threshold) throw new IllegalStateException(
+        f"weightedTopK quantization margin $m%.3e below threshold " +
+          f"$threshold%.3e: a key sits close enough to its floor " +
+          "boundary that cross-engine ln drift could flip it — " +
+          "re-audit the fixture or change the salt")
+    }
+    val keyed = df.withColumn("wkey", floor(raw).cast("long"))
+    strataCol match {
+      case Some(s) =>
+        TopK.perGroup(keyed, Seq(col(s)),
+          Seq(col("wkey").desc, col(keyCol)), k)
+          .withColumn("rk", col("rk").cast("long"))
+      case None =>
+        // TakeOrderedAndProject; the window runs over ≤ k rows only
+        val top = keyed.orderBy(col("wkey").desc, col(keyCol)).limit(k)
+        TopK.perGroup(top, Seq.empty,
+          Seq(col("wkey").desc, col(keyCol)), k)
+          .withColumn("rk", col("rk").cast("long"))
+    }
+  }
 }

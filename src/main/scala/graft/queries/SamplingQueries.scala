@@ -426,6 +426,37 @@ object SamplingQueries {
       FROM n ORDER BY doc_id, epoch"""
     })
 
+  /** q92 — weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential keys): 10 docs per source with inclusion probability
+    * ∝ n_chars, the deterministic md5-u / quantized-⌊10⁶·ln(u)/w⌋ form.
+    * Margin audit (verify skill rule): min distance of any unquantized
+    * key to its floor boundary = 9.9e-05 at sf0.01, 3.6e-05 at sf0.1 —
+    * ≥ 5 orders above the ~1e-10 cross-engine ln drift bound, so the
+    * gate is deterministic, not flaky.
+    */
+  private val q92 = Q("q92_weighted_sample",
+    (s, dir) => {
+      Sampling.weightedTopK(t(s, dir, "documents"), "doc_id", "n_chars",
+        k = 10, salt = "wrs", strataCol = Some("source"))
+        .select(col("doc_id"), col("source"), col("wkey"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, n_chars,
+        ${hashSql("wrs", "doc_id")} AS h FROM documents),
+      b AS (SELECT doc_id, source, n_chars,
+        CAST(${bucketSql("h")} AS BIGINT) AS bucket FROM d),
+      keyed AS (SELECT doc_id, source,
+          CAST(FLOOR(1000000.0 *
+            LN((CAST(bucket AS DOUBLE) + 1) / 4294967296.0)
+            / CAST(n_chars AS DOUBLE)) AS BIGINT) AS wkey
+        FROM b),
+      ranked AS (SELECT doc_id, source, wkey,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY wkey DESC, doc_id) AS BIGINT) AS rk
+        FROM keyed)
+      SELECT doc_id, source, wkey, rk FROM ranked WHERE rk <= 10
+      ORDER BY source, rk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87)
+    q87, q92)
 }

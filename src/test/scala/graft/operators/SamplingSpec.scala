@@ -337,4 +337,85 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochExpand(df, "id", "src", Map("a" -> 250.0))
     }
   }
+
+  test("weightedTopK == driver-side A-ES reference; partitioning-invariant") {
+    // driver reference: same bucket → u → ⌊10⁶·ln(u)/w⌋ → top-k per
+    // stratum, rebuilt from collected buckets with java.lang.Math.log
+    // (the same JVM ln Spark's Log expression evaluates)
+    val k = 5
+    val base = docs.select($"doc_id", $"source", $"n_chars",
+        Sampling.hashBucket($"doc_id", "wrs").as("bucket"))
+      .as[(Long, String, Long, Long)].collect()
+    val expect = base.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.map { case (id, src, w, b) =>
+        val u = (b.toDouble + 1.0) / Sampling.BucketSpace.toDouble
+        val key = math.floor(
+          Sampling.WrsKeyScale.toDouble * math.log(u) / w.toDouble).toLong
+        (src, key, id)
+      }.sortBy { case (_, key, id) => (-key, id) }
+        .take(k).zipWithIndex
+        .map { case ((src, key, id), i) => (id, src, key, i + 1L) }
+    }.toSet
+    val got = Sampling.weightedTopK(docs, "doc_id", "n_chars", k, "wrs",
+      strataCol = Some("source"))
+      .select($"doc_id", $"source", $"wkey", $"rk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect)
+    val reparted = Sampling.weightedTopK(docs.repartition(7), "doc_id",
+      "n_chars", k, "wrs", strataCol = Some("source"))
+      .select($"doc_id", $"source", $"wkey", $"rk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(reparted == got)
+    // every stratum filled to k (fixture has ≥ k docs per source)
+    assert(got.size == base.map(_._2).distinct.length * k)
+  }
+
+  test("weightedTopK: weights bias inclusion toward heavy rows") {
+    // 1000 rows, two weight classes ×9 apart: the heavy half must take
+    // the overwhelming share of a k=100 sample (A-ES inclusion ∝ w)
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 500) 90.0 else 10.0)).toDF("id", "w")
+    val picked = Sampling.weightedTopK(df, "id", "w", 100, "bias")
+      .select($"id").as[Long].collect()
+    assert(picked.length == 100)
+    val heavy = picked.count(_ < 500)
+    assert(heavy > 75, s"heavy-class share $heavy of 100 too low for 9:1 weights")
+  }
+
+  test("weightedTopK global path: no strata, TakeOrderedAndProject, k rows") {
+    val k = 7
+    val out = Sampling.weightedTopK(docs, "doc_id", "n_chars", k, "wrs")
+    assert(out.count() == k)
+    // rank is dense 1..k by (wkey desc, id)
+    val rows = out.select($"wkey", $"doc_id", $"rk")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(rows.map(_._3).toSeq == (1L to k.toLong))
+    assert(rows.sortBy(r => (-r._1, r._2)).map(_._3).toSeq ==
+      (1L to k.toLong))
+    // the global sort is a TakeOrderedAndProject, not a full sort or a
+    // single-partition corpus window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("weightedTopK fails fast on NULL or non-positive weight; margin guard") {
+    val bad = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedTopK(bad, "id", "w", 1, "s").collect()
+    }
+    assert(e.getMessage.contains("weightedTopK"))
+    val neg = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Sampling.weightedTopK(neg, "id", "w", 1, "s").collect()
+    }
+    assert(e2.getMessage.contains("weightedTopK"))
+    // margin guard: an absurd threshold (0.5 — fractions are uniform)
+    // must throw on a 500-row fixture; a sane one must not
+    intercept[IllegalStateException] {
+      Sampling.weightedTopK(docs, "doc_id", "n_chars", 3, "wrs",
+        minQuantMargin = Some(0.5))
+    }
+    assert(Sampling.weightedTopK(docs, "doc_id", "n_chars", 3, "wrs",
+      minQuantMargin = Some(1e-9)).count() == 3)
+  }
 }
