@@ -140,4 +140,152 @@ object Boilerplate {
       .select(col("src_a"), col("src_b"), col("n_shared"),
         col("n_seg_a"), col("n_seg_b"), col("overlap_frac"))
   }
+
+  /** Cross-document duplicated n-gram coverage — the exact-substring
+    * duplication SIGNAL of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499) at
+    * token-window granularity: for every document, how much of it is
+    * text that also occurs elsewhere in the corpus. A sliding window of
+    * `n` normalized tokens (stride 1 — OVERLAPPING, unlike
+    * [[removeSegments]]'s disjoint blocks; a doc shorter than `n`
+    * contributes its whole text as one window) is "duplicated" when its
+    * corpus-wide occurrence count reaches `minDf` — same-document
+    * repeats count, C4's any-repeat rule. Outputs are exact integers
+    * per document: `n_tokens`, `n_grams` (windows), `n_dup_grams`
+    * (duplicated windows) and `covered_tokens` (tokens under the UNION
+    * of duplicated windows — the paper's "fraction that is duplicated
+    * text" numerator; divide by `n_tokens` downstream). Complements
+    * whole-doc dedup (q16/q18: pick survivors) and [[removeSegments]]
+    * (drop repeated blocks): this SCORES partial duplication so a
+    * curation pass can threshold on it.
+    *
+    * Scale design (the [[removeSegments]] trade, window-granular): ONE
+    * narrow tokenize+window explode feeds both the occurrence count —
+    * map-side partial agg on the window md5, one exchange — and the
+    * join-back; the ≥ minDf window set is the duplication tail, so AQE
+    * broadcasts it and the corpus is never redistributed by window
+    * (SMJ if a pathological corpus makes the tail huge — correct
+    * either way). The union-of-windows count explodes ONLY duplicated
+    * windows (≤ n rows each) into one doc-keyed distinct aggregate;
+    * clean corpora pay ~nothing. Rows with NULL `textCol` carry no
+    * windows and are omitted — gate upstream.
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, minDf: Long = 2): DataFrame = {
+    import graft.functions.TextFunctions
+    require(n >= 1, s"n must be positive, got $n")
+    // minDf <= 1 would mark EVERY window duplicated — never sane
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = df.filter(col(textCol).isNotNull).repartition(col(idCol))
+    // narrow, recomputed per consumer rather than pinning a
+    // corpus-scale frame (the removeSegments/Decontaminate trade)
+    def gramRel = base
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.shingles(col(textCol), n))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("g")).as("gh"))
+    val dupSet = gramRel.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minDf)
+      .select(col("gh"))
+    // duplicated window positions; tp = covered token index. Both
+    // distincts ride ONE doc-keyed aggregate (Expand, two passes over
+    // the already-pruned dup rows only).
+    val perDup = gramRel.join(dupSet, Seq("gh"))
+      .select(col("id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("pos")).as("n_dup_grams"),
+        countDistinct(col("tp")).as("covered_raw"))
+    val perDoc = base
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        TextFunctions.normalizeText(col(textCol)).as("__nrm"),
+        TextFunctions.shingles(col(textCol), n).as("__sh"))
+      .select(col("id"),
+        TextFunctions.tokenCountOf(col("__toks"), col("__nrm"))
+          .cast("long").as("n_tokens"),
+        size(col("__sh")).cast("long").as("n_grams"))
+    perDoc.join(perDup, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        // a shorter-than-n doc's single window nominally spans n token
+        // slots; its real extent is the whole doc — cap restores it
+        least(coalesce(col("covered_raw"), lit(0L)), col("n_tokens"))
+          .as("covered_tokens"))
+  }
+
+  /** Duplicated-span REMOVAL — the Lee et al. 2021 ExactSubstr dedup
+    * proper (keep ONE copy of every duplicated passage, delete the
+    * rest), where [[dupNgramCoverage]] only scores: for each
+    * duplicated `n`-token window (corpus occurrence ≥ `minDf`), the
+    * occurrence with the smallest (doc id, position) is the KEEPER;
+    * every other occurrence's token range is dropped, and each
+    * document's surviving tokens are rejoined in order. Deterministic
+    * and partitioning-invariant (the keeper rule is a total order), at
+    * the price of greedy union semantics: overlapping windows' removal
+    * ranges union, and a keeper's own text can still lose tokens to a
+    * DIFFERENT window's removal — documented, matches the paper's
+    * "remove all but one copy" contract at window granularity.
+    *
+    * Scale shape: the window/df stages are [[dupNgramCoverage]]'s; the
+    * keeper rank is a window over `gh` partitions of the DUPLICATED
+    * tail only (bounded by definition — clean corpora pay ~nothing);
+    * reassembly is ONE token explode + doc-keyed collect (the
+    * [[removeSegments]] reassembly shape, token-granular). Rows with
+    * NULL `textCol` are omitted; a fully-duplicated document survives
+    * as an empty `clean_text` row (drop downstream if wanted).
+    *
+    * Returns (id, clean_text, n_tokens, n_removed_tokens).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDf: Long = 2): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be positive, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = df.filter(col(textCol).isNotNull).repartition(col(idCol))
+    def gramRel = base
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.shingles(col(textCol), n))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("g")).as("gh"))
+    val dupSet = gramRel.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minDf)
+      .select(col("gh"))
+    // rank over the duplicated tail only; rn 1 = the keeper occurrence
+    val w = Window.partitionBy(col("gh")).orderBy(col("id"), col("pos"))
+    val removedTok = gramRel.join(dupSet, Seq("gh"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val perDoc = base
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        TextFunctions.normalizeText(col(textCol)).as("__nrm"))
+      .select(col("id"), col("__toks"),
+        TextFunctions.tokenCountOf(col("__toks"), col("__nrm"))
+          .cast("long").as("n_tokens"))
+    val toks = perDoc.filter(col("n_tokens") > 0)
+      .select(col("id"), posexplode(col("__toks")).as(Seq("tp", "tok")))
+      .select(col("id"), col("tp").cast("long").as("tp"), col("tok"))
+    val rebuilt = toks.join(removedTok, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("tp"), col("tok")))), x => x("tok")), " ")
+          .as("__clean"),
+        count(lit(1)).as("__kept"))
+    perDoc.select(col("id"), col("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed_tokens"))
+  }
 }

@@ -510,5 +510,104 @@ object CorpusQueries {
         JOIN tot tb ON tb.source = p.src_b
       ORDER BY src_a, src_b"""))
 
-  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77)
+  /** q93 — cross-document duplicated n-gram coverage
+    * ([[graft.operators.Boilerplate.dupNgramCoverage]]): the Lee et
+    * al. 2021 exact-substring duplication signal — per document, how
+    * many sliding 5-token windows (and how many tokens under their
+    * union) occur ≥ 2 times corpus-wide. All-integer outputs; the
+    * oracle replays the window explode (positions aligned by the same
+    * RANGE formula as the Spark kernel), the ≥ minDf tail, and the
+    * union-of-windows distinct count.
+    */
+  private val q93 = Q("q93_dup_ngram_coverage",
+    (s, dir) => {
+      graft.operators.Boilerplate.dupNgramCoverage(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 2)
+        .orderBy(col("id"))
+    },
+    Some {
+      val gram = "ARRAY_TO_STRING(toks[CAST(i + 1 AS INT) : " +
+        "CAST(i + 5 AS INT)], ' ')"
+      s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, md5($gram) AS gh
+        FROM nt, UNNEST(RANGE(0, GREATEST(LEN(toks) - 5, 0) + 1)) AS t(i)
+        WHERE LENGTH($gram) > 0),
+      dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      cov AS (SELECT doc_id,
+          COUNT(DISTINCT pos) AS n_dup_grams,
+          COUNT(DISTINCT tp) AS covered_raw
+        FROM (SELECT doc_id, pos, UNNEST(RANGE(pos, pos + 5)) AS tp
+          FROM dp)
+        GROUP BY doc_id),
+      base AS (SELECT doc_id, $nTokSqlToks AS n_tokens,
+          CAST(LEN(${TextQueries.ngramsSql("toks", 5)}) AS BIGINT)
+            AS n_grams
+        FROM nt)
+      SELECT b.doc_id AS id, b.n_tokens, b.n_grams,
+        COALESCE(c.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+        LEAST(COALESCE(c.covered_raw, CAST(0 AS BIGINT)), b.n_tokens)
+          AS covered_tokens
+      FROM base b LEFT JOIN cov c USING (doc_id)
+      ORDER BY id"""
+    })
+
+  /** n_tokens over the q93 CTE's precomputed toks/nrm (the
+    * [[TextQueries.lenTokSql]] convention). */
+  private def nTokSqlToks: String =
+    "(CASE WHEN LENGTH(nrm) = 0 THEN CAST(0 AS BIGINT) ELSE LEN(toks) END)"
+
+  /** q94 — duplicated-span removal
+    * ([[graft.operators.Boilerplate.removeDupSpans]]): Lee et al.'s
+    * ExactSubstr dedup proper — the smallest-(id,pos) occurrence of
+    * every duplicated 5-token window keeps its text, every other
+    * occurrence's range is dropped, survivors rejoin in order. The
+    * oracle replays window df, keeper rank, range union, and the
+    * ordered token reassembly.
+    */
+  private val q94 = Q("q94_dedup_spans",
+    (s, dir) => {
+      graft.operators.Boilerplate.removeDupSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 2)
+        .orderBy(col("id"))
+    },
+    Some {
+      val gram = "ARRAY_TO_STRING(toks[CAST(i + 1 AS INT) : " +
+        "CAST(i + 5 AS INT)], ' ')"
+      s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, md5($gram) AS gh
+        FROM nt, UNNEST(RANGE(0, GREATEST(LEN(toks) - 5, 0) + 1)) AS t(i)
+        WHERE LENGTH($gram) > 0),
+      dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+      lose AS (SELECT doc_id, pos FROM (SELECT g.doc_id, g.pos,
+          ROW_NUMBER() OVER (PARTITION BY g.gh
+            ORDER BY g.doc_id, g.pos) AS rn
+        FROM g JOIN dup USING (gh)) WHERE rn > 1),
+      rem AS (SELECT DISTINCT doc_id, tp FROM
+        (SELECT doc_id, UNNEST(RANGE(pos, pos + 5)) AS tp FROM lose)),
+      tk AS (SELECT doc_id, CAST(i AS BIGINT) AS tp,
+          toks[CAST(i + 1 AS INT)] AS tok
+        FROM nt, UNNEST(RANGE(0, CASE WHEN LENGTH(nrm) = 0 THEN 0
+          ELSE LEN(toks) END)) AS t(i)),
+      keep AS (SELECT t.doc_id, t.tp, t.tok FROM tk t
+        LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.tp = t.tp
+        WHERE r.tp IS NULL),
+      reb AS (SELECT doc_id,
+          ARRAY_TO_STRING(LIST(tok ORDER BY tp), ' ') AS clean_text,
+          COUNT(*) AS n_kept FROM keep GROUP BY doc_id),
+      base AS (SELECT doc_id, $nTokSqlToks AS n_tokens FROM nt)
+      SELECT b.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text,
+        b.n_tokens,
+        b.n_tokens - COALESCE(r.n_kept, CAST(0 AS BIGINT))
+          AS n_removed_tokens
+      FROM base b LEFT JOIN reb r USING (doc_id)
+      ORDER BY id"""
+    })
+
+  val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
+    q93, q94)
 }

@@ -154,4 +154,83 @@ class BoilerplateSpec extends SparkSpec {
       plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
       s"the segment distinct must be reused, not recomputed:\n$plan")
   }
+
+  test("dupNgramCoverage: hand-computed windows, unions, caps, within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // shares window "a b c d e" with 2
+      (2L, "x y a b c d e q"),
+      (3L, "p q r s t u"),           // 3/4 exact dups: all windows dup
+      (4L, "p q r s t u"),
+      (5L, "z zz zzz"),              // short-doc pair: 1 truncated window
+      (6L, "z zz zzz"),
+      (7L, "m n o p2 q2 m n o p2 q2"), // within-doc repeat (C4 rule)
+      (8L, "totally unique text with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dupNgramCoverage(docs, "doc_id", "text",
+        n = 5, minDf = 2)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // (id, n_tokens, n_grams, n_dup_grams, covered_tokens)
+    assert(out == Seq(
+      (1L, 8L, 4L, 1L, 5L),   // window at pos 0 dup → tokens 0-4
+      (2L, 8L, 4L, 1L, 5L),   // window at pos 2 dup → tokens 2-6
+      (3L, 6L, 2L, 2L, 6L),   // exact dup: full coverage
+      (4L, 6L, 2L, 2L, 6L),
+      (5L, 3L, 1L, 1L, 3L),   // truncated window covers the whole doc (cap)
+      (6L, 3L, 1L, 1L, 3L),
+      (7L, 10L, 6L, 2L, 10L), // pos 0 == pos 5 within ONE doc → both dup
+      (8L, 9L, 5L, 0L, 0L)))
+    // NULL text rows are omitted; partitioning-invariant
+    val withNull = docs.union(Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val a = Boilerplate.dupNgramCoverage(withNull, "doc_id", "text", 5, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a.map(_._1) == (1L to 8L).toSet)
+    val b = Boilerplate.dupNgramCoverage(withNull.repartition(5),
+        "doc_id", "text", 5, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Boilerplate.dupNgramCoverage(docs, "doc_id", "text", 5, minDf = 1)
+    }
+  }
+
+  test("removeDupSpans: keeper survives, losers lose their ranges, order kept") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // keeper of "a b c d e" (pos 0)
+      (2L, "x y a b c d e q"),       // loser: tokens 2-6 removed
+      (3L, "p q r s t u"),           // keeper of both windows
+      (4L, "p q r s t u"),           // loser: fully removed
+      (5L, "z zz zzz"),              // short-window keeper
+      (6L, "z zz zzz"),              // loser: fully removed
+      (7L, "m n o p2 q2 m n o p2 q2"), // within-doc: second copy removed
+      (8L, "totally unique text with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeDupSpans(docs, "doc_id", "text",
+        n = 5, minDf = 2)
+      .orderBy($"id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e f g h", 8L, 0L),
+      (2L, "x y q", 8L, 5L),
+      (3L, "p q r s t u", 6L, 0L),
+      (4L, "", 6L, 6L),
+      (5L, "z zz zzz", 3L, 0L),
+      (6L, "", 3L, 3L),
+      (7L, "m n o p2 q2", 10L, 5L),
+      (8L, "totally unique text with no repeats anywhere at all", 9L, 0L)))
+    // partitioning-invariant (the keeper rule is a total order)
+    val a = Boilerplate.removeDupSpans(docs.repartition(5), "doc_id",
+        "text", 5, 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a == out.toSet)
+    // removing then re-scoring: no duplicated window survives except
+    // what keepers legitimately still share below minDf
+    val rescored = Boilerplate.dupNgramCoverage(
+      Boilerplate.removeDupSpans(docs, "doc_id", "text", 5, 2)
+        .filter(length($"clean_text") > 0)
+        .select($"id".as("doc_id"), $"clean_text".as("text")),
+      "doc_id", "text", 5, 2)
+    assert(rescored.agg(sum($"n_dup_grams")).head().getLong(0) == 0L)
+  }
 }
