@@ -219,7 +219,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
-                   maxShingleDf: Int = 0): DataFrame = {
+                   maxShingleDf: Int = 0): DataFrame =
+    invertedPairCounts(df, idCol, textCol, shingleN, maxShingleDf)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared inverted-index pair-count stage of [[jaccardPairs]] /
+    * [[containmentPairs]]: (id_a, id_b, inter, n_a, n_b) for every
+    * pair sharing ≥ 1 surviving shingle. One shuffle on the shingle;
+    * map-side-combined pair counts.
+    */
+  private def invertedPairCounts(df: DataFrame, idCol: String,
+                                 textCol: String, shingleN: Int,
+                                 maxShingleDf: Int): DataFrame = {
     // repartition: parallelize shingling regardless of input splits;
     // persist: the inverted index feeds three consumers (both join
     // sides + sizes) — compute the heavy projection once, fault-tolerantly.
@@ -246,10 +259,32 @@ object Dedup {
         .withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n", "n_b"), "id_b")
+  }
+
+  /** Containment-similarity pairs — `inter / min(n_a, n_b)` ≥
+    * `threshold`: catches a short document EMBEDDED in a longer one,
+    * which Jaccard structurally misses (a 100-shingle doc inside a
+    * 10,000-shingle doc has J ≈ 0.01 but containment 1.0) — the
+    * asymmetric near-dup class of real web corpora (quotes,
+    * syndication, wrapper pages; the Broder 1997 "containment"
+    * companion resemblance measure). Same inverted-index plan and
+    * `maxShingleDf` hot-set cap as [[jaccardPairs]] — only the score
+    * algebra differs — and BOTH scores are emitted so one pass feeds
+    * either threshold downstream. Exact audit/oracle form; at corpus
+    * scale feed candidates from [[lshCandidatePairs]] first (q18's
+    * pattern).
+    *
+    * Returns (id_a, id_b, inter, n_a, n_b, containment, jaccard).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, threshold: Double,
+                       maxShingleDf: Int = 0): DataFrame =
+    invertedPairCounts(df, idCol, textCol, shingleN, maxShingleDf)
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-  }
+      .filter(col("containment") >= threshold)
 
   /** [[jaccardPairs]] twin with AllPairs prefix filtering (Bayardo et
     * al., WWW'07; Chaudhuri et al., ICDE'06): exact SAME pairs and

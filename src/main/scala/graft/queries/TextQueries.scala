@@ -155,6 +155,39 @@ object TextQueries {
         >= 0.2
       ORDER BY id_a, id_b"""))
 
+  /** q95 — containment-similarity pairs (inter/min(n_a,n_b), Broder's
+    * companion measure to resemblance): the asymmetric near-dup
+    * detector — a short doc embedded in a long one scores ~1.0 here
+    * while its Jaccard is ~n_a/n_b. Same inverted-index plan as q17;
+    * both scores emitted.
+    */
+  private val q95 = Q("q95_dedup_containment",
+    (s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+          col("n_b"), col("containment"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+        (CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE))
+          AS containment,
+        (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE))
+        >= 0.5
+      ORDER BY id_a, id_b"""))
+
   /** q18 — MinHash+LSH candidate generation then exact-Jaccard verify:
     * the 100 TB dedup path. xxhash64 bucket generation is not portable
     * to DuckDB, but the END-TO-END contract is: with 16 hashes × 4 bands
@@ -908,5 +941,5 @@ object TextQueries {
     })
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95)
 }

@@ -31,6 +31,36 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("containmentPairs: embedded doc scores ~1.0 where Jaccard misses it") {
+    // doc 11 = 6 tokens fully embedded in doc 12's 40: containment 1.0,
+    // Jaccard small — the asymmetric class jaccardPairs can't threshold
+    val host = (1 to 18).map(i => s"h$i").mkString(" ") +
+      " quick brown foxes leap over lazy " +
+      (1 to 16).map(i => s"t$i").mkString(" ")
+    val emb = Seq(
+      (11L, "quick brown foxes leap over lazy"),
+      (12L, host),
+      (13L, "entirely unrelated content nothing shared here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(emb, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((11L, 12L)))
+    assert(pairs.head._3 == 1.0) // every shingle of 11 appears in 12
+    assert(pairs.head._4 < 0.2)  // Jaccard at any dedup threshold misses it
+    // same threshold on jaccardPairs: no pair survives
+    assert(Dedup.jaccardPairs(emb, "doc_id", "text", 3, 0.2).count() == 0)
+    // jaccard column agrees with jaccardPairs' on the shared algebra
+    val jp = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val cp = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jp == cp)
+  }
+
   test("lshCandidatePairs surfaces exact and near dups, not unrelated") {
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
       .as[(Long, Long)].collect().toSet
