@@ -383,19 +383,36 @@ object Sampling {
     * quantized exponential key) and `rk` (1-based rank within the
     * stratum / globally).
     */
+  /** The UNQUANTIZED exponential key 10⁶·ln(u)/w with the fail-fast
+    * weight guard — shared by [[wrsKey]] and the margin audit. */
+  private def wrsRaw(key: Column, weight: Column, salt: String): Column = {
+    val w = weight.cast("double")
+    val wChecked = when(w.isNotNull && w > 0, w)
+      .otherwise(raise_error(lit(
+        "weightedTopK: NULL or non-positive weight (weights " +
+          "must be > 0; filter or reweight first)")))
+    val u = (hashBucket(key, salt).cast("double") + lit(1.0)) /
+      lit(BucketSpace.toDouble)
+    lit(WrsKeyScale.toDouble) * log(u) / wChecked
+  }
+
+  /** The quantized exponential rank key `⌊10⁶ · ln(u)/w⌋` of
+    * [[weightedTopK]] as a standalone Column — content-addressed
+    * (same (salt, key, weight) → same key anywhere), which is what
+    * lets the STREAMING reservoir
+    * ([[graft.streaming.Streams.weightedReservoir]]) converge to the
+    * batch sample regardless of arrival order. Raises on NULL or
+    * non-positive weights.
+    */
+  def wrsKey(key: Column, weight: Column, salt: String): Column =
+    floor(wrsRaw(key, weight, salt)).cast("long")
+
   def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
                    k: Int, salt: String,
                    strataCol: Option[String] = None,
                    minQuantMargin: Option[Double] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = col(weightCol).cast("double")
-    val wChecked = when(w.isNotNull && w > 0, w)
-      .otherwise(raise_error(lit(
-        s"weightedTopK: NULL or non-positive $weightCol (weights " +
-          "must be > 0; filter or reweight first)")))
-    val u = (hashBucket(col(keyCol), salt).cast("double") + lit(1.0)) /
-      lit(BucketSpace.toDouble)
-    val raw = lit(WrsKeyScale.toDouble) * log(u) / wChecked
+    val raw = wrsRaw(col(keyCol), col(weightCol), salt)
     minQuantMargin.foreach { threshold =>
       // debug-mode margin audit: min distance of any unquantized key
       // to its floor boundary (one extra pass over df — the q72 guard

@@ -121,6 +121,59 @@ object Streams {
     stream.filter(!mightContain).unionByName(confirmedNew)
   }
 
+  /** Streaming weighted reservoir — the A-ES stream form of
+    * [[graft.operators.Sampling.weightedTopK]]: maintain, per stratum,
+    * the k rows with the largest content-addressed exponential keys
+    * (`⌊10⁶·ln(u)/w⌋`, [[graft.operators.Sampling.wrsKey]]) seen so
+    * far. Because the key depends only on (salt, id, weight) — never
+    * on arrival order or batch boundaries — the reservoir CONVERGES TO
+    * THE BATCH SAMPLE of everything ingested, whatever the split into
+    * micro-batches (spec-proven against `weightedTopK` on the union).
+    *
+    * State is bounded: k (wkey, id) pairs per stratum, nothing else;
+    * re-delivered ids collapse (same id → same key). Each micro-batch
+    * the touched strata emit a full SNAPSHOT of their current
+    * reservoir tagged with a per-stratum version (`ver` increments per
+    * emission) — append-sink-friendly (parquet cannot update in
+    * place); readers take each stratum's max-`ver` rows. Typed
+    * contract: long ids, string strata, positive weights (NULL /
+    * non-positive raise, the batch guard).
+    *
+    * Returns (stratum, id, wkey, rk, ver).
+    */
+  def weightedReservoir(df: DataFrame, keyCol: String, weightCol: String,
+                        strataCol: String, k: Int,
+                        salt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+        col(strataCol).cast("string").as("stratum"),
+        col(keyCol).cast("long").as("id"),
+        graft.operators.Sampling
+          .wrsKey(col(keyCol), col(weightCol), salt).as("wkey"))
+      .as[(String, Long, Long)]
+    def merge(stratum: String, rows: Iterator[(String, Long, Long)],
+              state: GroupState[(Long, Seq[(Long, Long)])])
+        : Iterator[(String, Long, Long, Long, Long)] = {
+      val (prevVer, prev) = state.getOption.getOrElse((0L, Seq.empty))
+      val top = (prev.iterator ++ rows.map(r => (r._3, r._2)))
+        .toSeq.distinct
+        .sortBy { case (wk, id) => (-wk, id) }
+        .take(k)
+      val ver = prevVer + 1
+      state.update((ver, top))
+      top.iterator.zipWithIndex.map { case ((wk, id), i) =>
+        (stratum, id, wk, i + 1L, ver)
+      }
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(merge)
+      .toDF("stratum", "id", "wkey", "rk", "ver")
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -139,6 +139,42 @@ class StreamsSpec extends SparkSpec {
     assert(res.contains((2L, 1L, 3.0)) && res.contains((2L, 1L, 4.0)))
   }
 
+  test("weightedReservoir converges to the batch sample across micro-batches") {
+    import graft.operators.Sampling
+    val in = Files.createTempDirectory("graft_wrs_in").toString
+    val out = Files.createTempDirectory("graft_wrs_out").toString
+    val ckpt = Files.createTempDirectory("graft_wrs_ckpt").toString
+    val sch = StructType.fromDDL("id long, src string, w double")
+    // two arbitrary splits of one corpus; batch twin sees the union
+    val b1 = (0L until 40L).map(i => (i, s"s${i % 2}", 1.0 + (i % 7)))
+    val b2 = (40L until 90L).map(i => (i, s"s${i % 2}", 1.0 + (i % 7)))
+    def js(rows: Seq[(Long, String, Double)]) =
+      rows.map(r => s"""{"id":${r._1},"src":"${r._2}","w":${r._3}}""")
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.weightedReservoir(
+        spark.readStream.schema(sch).json(in), "id", "w", "src",
+        k = 5, salt = "wrs"), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val snaps = spark.read.parquet(out)
+    // final snapshot per stratum = max ver
+    val latest = snaps.groupBy($"stratum")
+      .agg(org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = snaps.join(latest, Seq("stratum", "ver"))
+      .select($"id", $"stratum", $"wkey", $"rk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val expect = Sampling.weightedTopK(
+        (b1 ++ b2).toDF("id", "src", "w"), "id", "w", 5, "wrs",
+        strataCol = Some("src"))
+      .select($"id", $"src", $"wkey", $"rk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect)
+    // both strata emitted in both batches: ver reached 2
+    assert(latest.select($"ver").as[Long].collect().forall(_ == 2L))
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
