@@ -30,6 +30,26 @@ import graft.plans.PlanShape.filterOnce
   */
 object Similarity {
 
+  // Owned-pin registry (the Dedup.releaseIntermediates pattern): frames
+  // persisted because they feed multiple consumers of an EXPENSIVE
+  // upstream (semDedup's centroid assignment — the N×nlist cosine
+  // stage, which three consumers would otherwise each recompute).
+  // Process-global like Dedup's; concurrent runs stay correct (an early
+  // release only forces a recompute from source).
+  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def track(df: DataFrame): DataFrame = synchronized {
+    pinned += df; df
+  }
+
+  /** Unpersist every intermediate frame Similarity operators have
+    * pinned (currently: [[semDedup]]'s assignment relation). Returned
+    * frames stay valid — re-evaluation recomputes from source.
+    */
+  def releaseIntermediates(): Unit = synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` rows × `dim`
     * values in [-0.5, 0.5), seeded — same plan every run/cluster size.
     */
@@ -436,9 +456,13 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
-    val assigned =
+    // persisted, owned pin: the assignment is the N×nlist cosine stage
+    // and THREE consumers reference it (both pair sides + the final
+    // anti-join) — unpinned, Spark rebuilds the whole tower per
+    // consumer (plan-audited). Release via [[releaseIntermediates]].
+    val assigned = track(
       assignToCentroids(v.select(col("id"), col("v").as("id_v")), "id",
-        cents)
+        cents).persist())
     val candIds = assigned.select(col("id").as("id_a"), col("cent_id"))
       .join(assigned.select(col("id").as("id_b"), col("cent_id")),
         Seq("cent_id"))

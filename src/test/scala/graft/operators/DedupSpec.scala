@@ -624,6 +624,18 @@ class SimilaritySpec extends SparkSpec {
       .agg(min($"id").as("id"))
       .select($"id", $"cent_id").as[(Long, Long)].collect().toSet
     assert(minPerCluster.subsetOf(got))
+    // the assignment pin is owned: releaseIntermediates drops it and
+    // the returned frame stays valid (recomputes from source)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.releaseIntermediates()
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline &&
+      spark.sparkContext.getPersistentRDDs.keySet.size >= before.size &&
+      before.nonEmpty)
+      Thread.sleep(50)
+    assert(Similarity.semDedup(emb, "vec_id", "embedding", thr, ce)
+      .as[(Long, Long)].collect().toSet == got)
+    Similarity.releaseIntermediates()
   }
 
   test("semDedup: partitioning-invariant; sized form = fixed form at √N") {
