@@ -940,6 +940,46 @@ object TextQueries {
         FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
     })
 
+  /** q96 — PMI collocations ([[graft.operators.Collocations.topPmi]]):
+    * top-30 adjacent pairs by quantized ⌊10⁶·ln⌋ pointwise mutual
+    * information, minCount 5. Margin audit (verify-skill rule): min
+    * floor-boundary distance 1.1e-04 at sf0.01, 2.0e-04 at sf0.1 —
+    * ≥ 6 orders above cross-engine ln drift.
+    */
+  private val q96 = Q("q96_collocations_pmi",
+    (s, dir) => {
+      graft.operators.Collocations.topPmi(
+          t(s, dir, "documents"), "text", k = 30, minCount = 5)
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+    },
+    Some(s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND
+        LENGTH(${normSql("text")}) > 0),
+    uni AS (SELECT t.tok AS w, COUNT(*) AS c
+      FROM nt, UNNEST(toks) AS t(tok) GROUP BY t.tok),
+    n1 AS (SELECT SUM(c) AS v FROM uni),
+    bg AS (SELECT tok1 AS w1, tok2 AS w2, COUNT(*) AS c12 FROM
+      (SELECT toks[CAST(i + 1 AS INT)] AS tok1,
+          toks[CAST(i + 2 AS INT)] AS tok2
+       FROM nt, UNNEST(RANGE(0, GREATEST(LEN(toks) - 1, 0))) AS t(i))
+      GROUP BY 1, 2),
+    n12 AS (SELECT SUM(c12) AS v FROM bg),
+    pmi AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        CAST(FLOOR(1000000.0 * LN(
+          (CAST(c12 AS DOUBLE) / CAST((SELECT v FROM n12) AS DOUBLE)) /
+          ((CAST(u1.c AS DOUBLE) / CAST((SELECT v FROM n1) AS DOUBLE)) *
+           (CAST(u2.c AS DOUBLE) / CAST((SELECT v FROM n1) AS DOUBLE)))))
+          AS BIGINT) AS pmi_q
+      FROM bg JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2
+      WHERE c12 >= 5),
+    ranked AS (SELECT w1, w2, c12, c1, c2, pmi_q,
+        CAST(ROW_NUMBER() OVER (ORDER BY pmi_q DESC, w1, w2) AS BIGINT)
+          AS rk
+      FROM pmi)
+    SELECT w1, w2, c12, c1, c2, pmi_q, rk FROM ranked WHERE rk <= 30
+    ORDER BY pmi_q DESC, w1, w2"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96)
 }
