@@ -608,6 +608,107 @@ object CorpusQueries {
       ORDER BY id"""
     })
 
+  /** q97 — BPE merge training ([[graft.operators.Bpe.trainMerges]]):
+    * 6 merges learned from the corpus word-frequency relation —
+    * exact-integer pair counts, total-order argmax (count desc, then
+    * lexicographic pair), greedy left-to-right refold. The oracle
+    * unrolls the 6 rounds as CTE stages (the q86 kmeans precedent),
+    * replaying the greedy fold per word with a RECURSIVE
+    * position-by-position accumulator CTE per stage. Every
+    * non-recursive stage CTE is `AS MATERIALIZED`: the argmax CTEs are
+    * referenced from scalar subqueries inside the next recursive fold,
+    * and without the hint DuckDB re-inlines the whole upstream chain
+    * at every reference — measured 25+ min vs 0.1 s at sf0.01.
+    */
+  /** Unrolled BPE-training CTE chain shared by the q97/q98 oracles:
+    * nt (normalized docs) → v0 (char-symbol vocab) → per round m:
+    * p$m (argmax pair) → r$m (RECURSIVE greedy refold) → v$m (refolded
+    * vocab). Requires a `WITH RECURSIVE` prefix.
+    */
+  private def bpeCtes(k: Int): Seq[String] = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""nt AS MATERIALIZED (SELECT ${normSql("text")} AS nrm,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+        AND LENGTH(${normSql("text")}) > 0)""",
+      """v0 AS MATERIALIZED (SELECT w, cnt, string_split(w, '') || ['</w>'] AS syms
+      FROM (SELECT t.tok AS w, COUNT(*) AS cnt
+        FROM nt, UNNEST(toks) AS t(tok) GROUP BY 1))""")
+    for (m <- 1 to k) {
+      val (p, r, vp, v) = (s"p$m", s"r$m", s"v${m - 1}", s"v$m")
+      ctes += s"""$p AS MATERIALIZED (SELECT l, r, c FROM (
+        SELECT s.syms[CAST(i + 1 AS INT)] AS l,
+          s.syms[CAST(i + 2 AS INT)] AS r, SUM(s.cnt) AS c
+        FROM $vp s, UNNEST(RANGE(0, GREATEST(LEN(s.syms) - 1, 0))) t(i)
+        GROUP BY 1, 2)
+      ORDER BY c DESC, l, r LIMIT 1)"""
+      ctes += s"""$r AS (
+      SELECT w, cnt, syms, CAST(1 AS BIGINT) AS i,
+        CAST([] AS VARCHAR[]) AS acc FROM $vp
+      UNION ALL
+      SELECT w, cnt, syms, i + 1,
+        CASE WHEN LEN(acc) > 0 AND acc[-1] = (SELECT l FROM $p)
+              AND syms[CAST(i AS INT)] = (SELECT r FROM $p)
+          THEN acc[1:CAST(LEN(acc) - 1 AS INT)] ||
+            [acc[-1] || syms[CAST(i AS INT)]]
+          ELSE acc || [syms[CAST(i AS INT)]] END
+      FROM $r WHERE i <= LEN(syms))"""
+      ctes += s"""$v AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM $r
+      WHERE i = LEN(syms) + 1)"""
+    }
+    ctes.toSeq
+  }
+
+  private val q97 = {
+    val k = 6
+    val sel = (1 to k).map(m =>
+      s"""SELECT CAST($m AS BIGINT) AS step, l AS "left",
+        r AS "right", CAST(c AS BIGINT) AS pair_count FROM p$m""")
+      .mkString(" UNION ALL ")
+    Q("q97_bpe_merges",
+      (s, dir) => {
+        graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text",
+          numMerges = k).orderBy(col("step"))
+      },
+      Some("WITH RECURSIVE " + bpeCtes(k).mkString(",\n") +
+        s"\nSELECT * FROM ($sel) ORDER BY step"))
+  }
+
+  /** q98 — corpus-wide BPE segmentation ([[graft.operators.Bpe.segment]]):
+    * train 6 merges (q97's artifact), then segment EVERY document with
+    * the learned merge list — one narrow projection over the corpus,
+    * zero exchanges past the tiny driver-side merge table — and report
+    * the top-30 subword frequencies. The oracle reuses q97's unrolled
+    * chain: a trained word's replayed segmentation IS its final-vocab
+    * symbol row, so corpus subword counts are `v6 ⨯ UNNEST(syms)`
+    * weighted by word count. Gates that `segment`'s training-order
+    * replay agrees with the trainer's own refold on every word.
+    */
+  private val q98 = {
+    val k = 6
+    Q("q98_bpe_segment",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", k)
+          .orderBy(col("step"))
+          .select(col("left"), col("right")).as[(String, String)]
+          .collect().toSeq
+        // same corpus envelope as the trainer: drop NULL/empty-norm
+        // docs (tokens("") is [""] — would add a spurious `</w>`)
+        val kept = docs.filter(col("text").isNotNull &&
+          length(TextFunctions.normalizeText(col("text"))) > 0)
+        graft.operators.Bpe.segment(kept, "text", merges)
+          .select(explode(col("bpe_tokens")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(30)
+      },
+      Some("WITH RECURSIVE " + bpeCtes(k).mkString(",\n") + s"""
+        SELECT s AS tok, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM v$k, UNNEST(syms) t(s)
+        GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30"""))
+  }
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94)
+    q93, q94, q97, q98)
 }
