@@ -93,4 +93,59 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
             col("kth_min").cast("double")))
   }
+
+  /** Per-depth-row CMS cell of a key: (row, bucket) with
+    * bucket = hashBucket(key, "salt:j") mod width — the ONE convention
+    * [[cmsBuild]] and [[cmsEstimate]] share (and the q99 oracle
+    * mirrors), so an estimate can only read the cells the build wrote.
+    */
+  private def cmsCells(key: Column, depth: Int, width: Int,
+                       salt: String): Column =
+    array((0 until depth).map(j =>
+      struct(lit(j).as("row"),
+        pmod(Sampling.hashBucket(key, s"$salt:$j"), lit(width))
+          .as("bucket"))): _*)
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005): a
+    * depth×width grid of counters; each key occurrence increments one
+    * md5-derived bucket per depth row. Completes the mergeable-sketch
+    * family — KMV (distinct), Misra–Gries (heavy hitters), bloom
+    * (membership), CMS (point frequency) — and like the others is
+    * EXACTLY reproducible in any engine (md5 buckets, integer counts).
+    *
+    * Scale shape: the explode is narrow and the hash-agg's map-side
+    * partial collapses each partition to ≤ depth·width cells before
+    * the ONE exchange — sketch traffic is independent of corpus size
+    * (the CMS mergeability property, same argument as `graft_mg`).
+    * Returns the sketch relation (row, bucket, c); absent cells are
+    * zero.
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int,
+               salt: String): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width >= 2, got $width")
+    df.select(explode(cmsCells(col(keyCol), depth, width, salt)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** CMS point-frequency estimates for a key relation: each key reads
+    * its depth cells and takes the min (absent cell = 0) — the classic
+    * upward-biased estimate, est ≥ true count always, overshoot bounded
+    * by the collision mass e·N/width with probability 1−e^−depth.
+    * The sketch (≤ depth·width rows by construction) broadcasts; the
+    * keys relation is never shuffled. Output: keys' columns + est.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int, salt: String): DataFrame = {
+    val sk = broadcast(sketch.select(col("row").as("__srow"),
+      col("bucket").as("__sbucket"), col("c").as("__c")))
+    keys
+      .withColumn("__rb",
+        explode(cmsCells(col(keyCol), depth, width, salt)))
+      .join(sk, col("__rb.row") === col("__srow") &&
+        col("__rb.bucket") === col("__sbucket"), "left")
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(coalesce(col("__c"), lit(0L))).as("est"))
+  }
 }

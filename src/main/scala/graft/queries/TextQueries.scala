@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Profile, Sampling, Similarity}
+import graft.operators.{Dedup, Profile, Sampling, Similarity, Sketches}
 
 /** Text-analysis + dedup coverage over the `documents` table (north-star
   * LLM-pipeline operators). DuckDB mirrors are generated from the same
@@ -980,6 +980,58 @@ object TextQueries {
     SELECT w1, w2, c12, c1, c2, pmi_q, rk FROM ranked WHERE rk <= 30
     ORDER BY pmi_q DESC, w1, w2"""))
 
+  /** q99 — count-min-sketch point-frequency estimates
+    * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
+    * build a 4×512 CMS over the token stream, then read back estimates
+    * for the 20 most-frequent tokens next to their exact counts — the
+    * audit form certifying est ≥ exact and pinning every md5 bucket,
+    * every cell count, and every min under the oracle (the kmvDistinct
+    * precedent: exact side for the gate, sketch side is the production
+    * artifact). At scale only ≤ depth·width cells per partition reach
+    * the exchange; the sketch then broadcasts to the key relation.
+    */
+  private val q99 = {
+    val (depth, width, salt) = (4, 512, "cms")
+    Q("q99_cms_frequency",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("item"))
+          .filter(col("item") =!= "")
+        val sketch = Sketches.cmsBuild(toks, "item", depth, width, salt)
+        val top = toks.groupBy(col("item"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("item")).limit(20)
+        Sketches.cmsEstimate(sketch, top, "item", depth, width, salt)
+          .select(col("item"), col("n_exact"), col("est").as("n_est"))
+          .orderBy(col("n_exact").desc, col("item"))
+      },
+      Some {
+        val cells = (0 until depth).map { j =>
+          val h = SamplingQueries.hashSql(s"$salt:$j", "item")
+          s"SELECT item, c, $j AS row, " +
+            s"${SamplingQueries.bucketSql("h")} % $width AS bucket " +
+            s"FROM (SELECT item, c, $h AS h FROM counts)"
+        }.mkString(" UNION ALL ")
+        s"""WITH nt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+            AS toks FROM documents),
+          tok AS (SELECT UNNEST(toks) AS item FROM nt),
+          counts AS MATERIALIZED (SELECT item, COUNT(*) AS c FROM tok
+            WHERE item <> '' GROUP BY item),
+          cells AS MATERIALIZED ($cells),
+          sketch AS MATERIALIZED (SELECT row, bucket, SUM(c) AS sc
+            FROM cells GROUP BY row, bucket),
+          top AS (SELECT item, c FROM counts
+            ORDER BY c DESC, item LIMIT 20)
+        SELECT top.item, CAST(top.c AS BIGINT) AS n_exact,
+          CAST(MIN(COALESCE(s.sc, 0)) AS BIGINT) AS n_est
+        FROM top
+        JOIN cells k ON k.item = top.item
+        LEFT JOIN sketch s ON s.row = k.row AND s.bucket = k.bucket
+        GROUP BY top.item, top.c
+        ORDER BY n_exact DESC, top.item"""
+      })
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99)
 }

@@ -67,4 +67,53 @@ class SketchesSpec extends SparkSpec {
     // partition) must be gone from the production path
     assert(!plan.contains("UNBOUNDED FOLLOWING"), plan)
   }
+
+  test("CMS: est >= exact always; no-collision keys read exactly") {
+    val df = (1 to 300).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+      .toDF("key")
+    val exact = df.groupBy($"key").agg(count(lit(1)).as("n"))
+    val sketch = Sketches.cmsBuild(df, "key", depth = 4, width = 4096,
+      salt = "t")
+    val est = Sketches.cmsEstimate(sketch, exact, "key", 4, 4096, "t")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("est")))
+    assert(est.forall { case (n, e) => e >= n })
+    // width 4096 >> 300 keys: the overwhelming majority collide nowhere
+    assert(est.count { case (n, e) => e == n } > 250)
+  }
+
+  test("CMS: forced collisions overestimate, never under; partitioning-invariant") {
+    val df = (1 to 500).map(i => s"k$i").toDF("key") // width 8 → heavy collisions
+    val exact = df.groupBy($"key").agg(count(lit(1)).as("n"))
+    val sk = Sketches.cmsBuild(df, "key", 4, 8, "t")
+    val est = Sketches.cmsEstimate(sk, exact, "key", 4, 8, "t")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("est")))
+    assert(est.forall { case (n, e) => e >= n })
+    assert(est.exists { case (n, e) => e > n }) // collisions really bite
+    val a = sk.collect().map(_.toSeq).toSet
+    val b = Sketches.cmsBuild(df.repartition(13), "key", 4, 8, "t")
+      .collect().map(_.toSeq).toSet
+    assert(a == b) // mergeable: partial cells sum identically
+  }
+
+  test("CMS: unseen key reads the collision mass (0 when none)") {
+    val df = Seq("a", "b", "c").toDF("key")
+    val sk = Sketches.cmsBuild(df, "key", 4, 4096, "t")
+    val unseen = Seq("zzz-not-inserted").toDF("key")
+    val e = Sketches.cmsEstimate(sk, unseen, "key", 4, 4096, "t")
+      .head().getAs[Long]("est")
+    assert(e == 0L)
+  }
+
+  test("CMS plan: sketch side broadcasts; build has map-side partial agg") {
+    val df = (1 to 100).map(i => s"k$i").toDF("key")
+    val sk = Sketches.cmsBuild(df, "key", 4, 64, "t")
+    val keys = df.limit(5)
+    val plan = Sketches.cmsEstimate(sk, keys, "key", 4, 64, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    val build = sk.queryExecution.executedPlan.toString
+    assert(build.contains("partial_count") || build.contains("HashAggregate"),
+      build)
+  }
 }
