@@ -596,4 +596,162 @@ object Similarity {
       (cells, cents)
     } finally pts.unpersist(blocking = false)
   }
+
+  // ----- product quantization (Jégou, Douze & Schmid 2011) -----------
+
+  /** Per-sub-block slices of a vector column as (sub, sv) structs —
+    * the ONE slicing convention [[pqTrain]]/[[pqEncode]]/[[pqTopK]]
+    * share: sub j covers 1-based positions j·w+1 … (j+1)·w, w = dim/m.
+    */
+  private def subSlices(vec: Column, dim: Int, m: Int): Column = {
+    val w = dim / m
+    array((0 until m).map(j => struct(lit(j).as("sub"),
+      slice(vec.cast("array<double>"), j * w + 1, w).as("sv"))): _*)
+  }
+
+  /** Train a product-quantization codebook ("Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — the standard billion-vector
+    * compression behind IVF-PQ): split `dim` into `m` sub-blocks and
+    * run the DETERMINISTIC Lloyd's loop ([[kmeansCentroids]], same
+    * smallest-id init / left-to-right folds / exact fixed-point means)
+    * independently per block, `ksub` centroids each. The codebook is
+    * m·ksub·(dim/m) doubles — kilobytes at any corpus size — and every
+    * downstream stage broadcasts it. Training cost is m small k-means
+    * runs; at 100 TB train on a [[Sampling.hashSample]] of the corpus
+    * (PQ codebooks need ~10⁵-10⁶ points, not the corpus).
+    * Returns (sub, cid, cv).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim: $m, $dim")
+    require(ksub >= 1, s"ksub >= 1, got $ksub")
+    val w = dim / m
+    (0 until m).map { j =>
+      kmeansCentroids(
+        corpus.select(col(idCol).as("__sid"),
+          slice(col(vecCol).cast("array<double>"), j * w + 1, w)
+            .as("__sv")),
+        "__sid", "__sv", ksub, iters)
+        .select(lit(j).as("sub"), col("cent_id").as("cid"),
+          col("cent_v").as("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as m sub-block centroid ids — the ~(dim·4 →
+    * m)-byte compressed representation that makes exhaustive ADC scans
+    * affordable. codes[j] = argmin over the block-j codebook of the
+    * left-to-right l2Sq fold, cid tie-break (the [[lloyd]] argmin
+    * contract, so encoding is partitioning-invariant and
+    * oracle-replayable). The codebook broadcasts; the argmin groupBy
+    * combines map-side (the m per-row slices are generated colocated),
+    * so the exchange carries one (id, sub, cid) row per block — never
+    * a vector. Returns (id, codes) with codes ordered by sub.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, codebook: DataFrame): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        explode(subSlices(col(vecCol), dim, m)).as("s"))
+      .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2Sq(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("__m.cid")
+          .as("cid")))), s => s("cid")).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its m×ksub table of exact sub-block distances to the codebook
+    * (kilobytes), the tables broadcast as maps keyed sub·ksub+cid
+    * (a MAP, not a positional array — empty clusters may gap the cid
+    * domain), and every doc's approximate distance is the
+    * LEFT-TO-RIGHT fold Σⱼ dtab[codes[j]] — one narrow pass over the
+    * codes relation, no vector ever leaves its partition, then the
+    * (qid, dist, id) top-k window (WindowGroupLimit prunes to k rows
+    * per partition before the exchange). Σ of exact doubles in fixed j
+    * order ⇒ bit-identical cross-engine, so ranking never drifts.
+    * Output: (qid, id, dist, rk), rk 1-based by (dist asc, id).
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+             qidCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+             k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val dtab = pqDistTables(queries, qidCol, vecCol, dim, m, ksub,
+      codebook)
+    val scored = codes.crossJoin(broadcast(dtab))
+      .withColumn("dist", adcScore(col("dtab"), col("codes"), ksub))
+    pqRank(scored, k)
+  }
+
+  /** Per-query ADC distance tables as (qid, dtab): dtab maps
+    * sub·ksub+cid → the exact sub-block l2Sq of the query against that
+    * codeword. m·ksub doubles per query — kilobytes — always broadcast.
+    */
+  private def pqDistTables(queries: DataFrame, qidCol: String,
+                           vecCol: String, dim: Int, m: Int, ksub: Int,
+                           codebook: DataFrame): DataFrame =
+    queries
+      .select(col(qidCol).as("qid"),
+        explode(subSlices(col(vecCol), dim, m)).as("s"))
+      .select(col("qid"), col("s.sub").as("sub"), col("s.sv").as("qv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2Sq(col("qv"), col("cv")))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * ksub + col("cid")).cast("long").as("slot"),
+        col("__d").as("d")))).as("dtab"))
+
+  /** Σⱼ dtab[j·ksub+codesⱼ] as a fixed-order left-to-right fold. */
+  private def adcScore(dtab: Column, codes: Column, ksub: Int): Column =
+    aggregate(
+      transform(codes, (c, j) =>
+        element_at(dtab, (j.cast("long") * ksub + c))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wspec = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("id"))
+    scored.select(col("qid"), col("id"), col("dist"))
+      .withColumn("rk", row_number().over(wspec).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Full IVF-PQ (the FAISS `IVFx,PQy` serving shape): coarse k-means
+    * cells route each query to its `nprobe` nearest lists, and ADC
+    * scoring runs ONLY over the codes in probed cells — corpus work
+    * per query drops from N to ≈ N·nprobe/kCoarse code folds, on top
+    * of PQ's m-bytes-per-vector memory. Routing reuses the gated IVF
+    * machinery (cosine assignment, max_by argmax, TopK probes);
+    * scoring reuses [[pqEncode]]/[[adcScore]] (codes on RAW vectors,
+    * not residuals — documented simplification; residual PQ needs a
+    * second codebook pass). Everything that moves is bare ids, codes,
+    * and broadcast kilobyte tables. Exact differential contract (the
+    * spec): results equal [[pqTopK]] restricted to the probed cells.
+    * Output: (qid, id, dist, rk).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                qidCol: String, idCol: String, vecCol: String,
+                dim: Int, m: Int, ksub: Int, k: Int,
+                kCoarse: Int, nprobe: Int = 3,
+                coarseIters: Int = 2, pqIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, kCoarse,
+      coarseIters)
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val assigned = assignToCentroids(cv, "nid", cents)
+      .select(col("nid").as("id"), col("cent_id"))
+    val probes = TopK.perGroup(centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    val cb = pqTrain(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, cb)
+    val dtab = pqDistTables(queries, qidCol, vecCol, dim, m, ksub, cb)
+    val scored = codes.join(assigned, Seq("id"))
+      .join(broadcast(probes.join(dtab, Seq("qid"))), Seq("cent_id"))
+      .withColumn("dist", adcScore(col("dtab"), col("codes"), ksub))
+    pqRank(scored, k)
+  }
 }

@@ -407,6 +407,95 @@ object VectorQueries {
       WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id = a.id)
       ORDER BY a.id"""))
 
+  /** q100 — product-quantization ADC top-k
+    * ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/[[Similarity.pqTopK]],
+    * Jégou et al. 2011): per-sub-block deterministic k-means codebooks,
+    * m-byte codes, and asymmetric-distance ranking. Gateable end to end
+    * because every stage reuses an already-gated determinism contract:
+    * the q86 Lloyd trajectory per sub-block, the struct-min argmin for
+    * encoding, and fixed-order double folds for both the distance
+    * tables and the Σⱼ score. The oracle unrolls the m training chains
+    * (q86's CTE shape, MATERIALIZED per the q97 lesson) then replays
+    * encode + ADC relationally.
+    */
+  private val q100 = {
+    val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
+    val w = dim / m
+    Q("q100_pq_adc_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cb = Similarity.pqTrain(e, "vec_id", "embedding",
+          dim, m, ksub, iters)
+        val codes = Similarity.pqEncode(e, "vec_id", "embedding",
+          dim, m, cb)
+        Similarity.pqTopK(e.filter(col("vec_id") < 5), codes, cb,
+          "vec_id", "embedding", dim, m, ksub, k)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val avgfx = graft.functions.Sql.avgFx("val", 1000000L)
+        val dist = "list_reduce(list_transform(range(1, LEN(p.v)+1), " +
+          "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i])), (a,b) -> a+b)"
+        val ctes = scala.collection.mutable.ArrayBuffer(
+          "pts AS MATERIALIZED (SELECT vec_id, " +
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+        for (j <- 0 until m) {
+          val (lo, hi) = (j * w + 1, (j + 1) * w)
+          ctes += s"p$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM pts)"
+          ctes += s"""s${j}_cent0 AS MATERIALIZED (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+              AS cid, v AS cv
+            FROM (SELECT vec_id, v FROM p$j ORDER BY vec_id LIMIT $ksub))"""
+          var prev = s"s${j}_cent0"
+          for (it <- 1 to iters) {
+            ctes += s"""s${j}_d$it AS MATERIALIZED (SELECT p.vec_id,
+              c.cid, $dist AS dist FROM p$j p CROSS JOIN $prev c)"""
+            ctes += s"""s${j}_a$it AS MATERIALIZED (SELECT vec_id, cid
+              FROM (SELECT vec_id, cid, ROW_NUMBER() OVER
+                (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM s${j}_d$it) WHERE rn = 1)"""
+            ctes += s"""s${j}_cells$it AS MATERIALIZED (SELECT cid,
+              CAST(pos AS BIGINT) AS pos, COUNT(*) AS n, $avgfx AS mean
+              FROM (SELECT cid, pos, v[CAST(pos+1 AS INT)] AS val FROM
+                (SELECT a.cid, UNNEST(RANGE(LEN(p.v))) AS pos, p.v
+                 FROM s${j}_a$it a JOIN p$j p USING (vec_id)))
+              GROUP BY cid, pos)"""
+            ctes += s"""s${j}_cent$it AS MATERIALIZED (SELECT cid,
+              LIST(mean ORDER BY pos) AS cv FROM s${j}_cells$it
+              GROUP BY cid)"""
+            prev = s"s${j}_cent$it"
+          }
+        }
+        ctes += "codebook AS MATERIALIZED (" +
+          (0 until m).map(j =>
+            s"SELECT $j AS sub, cid, cv FROM s${j}_cent$iters")
+            .mkString(" UNION ALL ") + ")"
+        ctes += "subpts AS MATERIALIZED (" +
+          (0 until m).map(j =>
+            s"SELECT vec_id, $j AS sub, v AS sv FROM p$j")
+            .mkString(" UNION ALL ") + ")"
+        val d2 = "list_reduce(list_transform(range(1, LEN(sp.sv)+1), " +
+          "i -> (sp.sv[i]-cb.cv[i])*(sp.sv[i]-cb.cv[i])), (a,b) -> a+b)"
+        ctes += s"""enc0 AS MATERIALIZED (SELECT sp.vec_id, sp.sub,
+          cb.cid, $d2 AS dist FROM subpts sp JOIN codebook cb USING (sub))"""
+        ctes += """enc AS MATERIALIZED (SELECT vec_id, sub, cid
+          FROM (SELECT vec_id, sub, cid, ROW_NUMBER() OVER
+            (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+          FROM enc0) WHERE rn = 1)"""
+        ctes += """qt AS MATERIALIZED (SELECT vec_id AS qid, sub, cid,
+          dist AS d FROM enc0 WHERE vec_id < 5)"""
+        ctes += """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
+          list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
+          FROM enc e JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+          GROUP BY qt.qid, e.vec_id)"""
+        "WITH " + ctes.mkString(",\n") + s"""
+          SELECT qid, id, dist, CAST(rk AS BIGINT) AS rk FROM
+            (SELECT qid, id, dist, ROW_NUMBER() OVER
+              (PARTITION BY qid ORDER BY dist, id) AS rk FROM sc)
+          WHERE rk <= $k ORDER BY qid, rk"""
+      })
+  }
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91)
+    Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100)
 }

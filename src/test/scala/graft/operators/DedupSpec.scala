@@ -656,4 +656,113 @@ class SimilaritySpec extends SparkSpec {
       thr, corpusCount = Some(n))) ==
       rows(Similarity.semDedupSized(emb, "vec_id", "embedding", thr)))
   }
+
+  test("PQ: pipeline is deterministic and partitioning-invariant") {
+    val (dim, m, ksub) = (64, 4, 8)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] = {
+      val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim, m, ksub, 2)
+      val codes = Similarity.pqEncode(df, "vec_id", "embedding", dim, m, cb)
+      Similarity.pqTopK(df.filter($"vec_id" < 3), codes, cb,
+        "vec_id", "embedding", dim, m, ksub, 5)
+        .orderBy($"qid", $"rk")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    }
+    val a = run(emb)
+    assert(a == run(emb.repartition(11)))
+    assert(a.nonEmpty && a.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("PQ: a corpus row that IS the query attains the minimal ADC distance") {
+    // the query's codes are the argmin cells of its own distance table,
+    // so Σ_j dtab[codes_j] is the smallest achievable score
+    val (dim, m, ksub) = (64, 4, 8)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim, m, cb)
+    val top = Similarity.pqTopK(emb.filter($"vec_id" < 3), codes, cb,
+      "vec_id", "embedding", dim, m, ksub, k = 1000)
+      .as[(Long, Long, Double, Long)].collect()
+    for (q <- 0L until 3L) {
+      val mine = top.filter(r => r._1 == q && r._2 == q).head._3
+      val minD = top.filter(_._1 == q).map(_._3).min
+      assert(mine == minD, s"query $q: own dist $mine > min $minD")
+    }
+  }
+
+  test("PQ: encode + ADC match a driver-side replay from the same codebook") {
+    val (dim, m, ksub, w) = (64, 4, 8, 16)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 2)
+    val cbLocal: Map[(Int, Long), Seq[Double]] = cb
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val vecs: Map[Long, Seq[Double]] = emb
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def codeOf(v: Seq[Double]): Seq[Long] =
+      (0 until m).map { j =>
+        val sv = v.slice(j * w, (j + 1) * w)
+        cbLocal.keys.filter(_._1 == j).map(_._2).toSeq.sorted
+          .map(c => (l2(sv, cbLocal((j, c))), c)).min._2
+      }
+    val gotCodes = Similarity.pqEncode(emb, "vec_id", "embedding", dim, m, cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(vecs.keys.forall(id => gotCodes(id) == codeOf(vecs(id))))
+    // ADC replay for one query
+    val q = vecs(0L)
+    val expected = vecs.keys.toSeq.map { id =>
+      val d = (0 until m).foldLeft(0.0) { (acc, j) =>
+        acc + l2(q.slice(j * w, (j + 1) * w), cbLocal((j, gotCodes(id)(j))))
+      }
+      (d, id)
+    }.sorted.take(10).zipWithIndex
+      .map { case ((d, id), i) => (0L, id, d, (i + 1).toLong) }
+    val got = Similarity.pqTopK(emb.filter($"vec_id" === 0), gotCodes.toSeq
+        .toDF("id", "codes"), cb, "vec_id", "embedding", dim, m, ksub, 10)
+      .orderBy($"rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("IVF-PQ == full-ADC PQ restricted to the probed cells (exact differential)") {
+    val (dim, m, ksub, kCoarse, nprobe) = (64, 4, 8, 6, 2)
+    val q = emb.filter($"vec_id" < 3)
+    val got = Similarity.ivfPqTopK(q, emb, "vec_id", "vec_id", "embedding",
+      dim, m, ksub, k = 5, kCoarse = kCoarse, nprobe = nprobe)
+      .orderBy($"qid", $"rk").as[(Long, Long, Double, Long)].collect().toSeq
+    // reference: full ADC ranking, driver-filtered to probed cells
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      kCoarse, 2)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim, m, cb)
+    val full = Similarity.pqTopK(q, codes, cb, "vec_id", "embedding",
+      dim, m, ksub, k = 100000)
+      .as[(Long, Long, Double, Long)].collect()
+    // assignment + probes recomputed via the same public machinery:
+    // ivfTopKKmeans' candidate set = assigned ∩ probed — recover it by
+    // running the IVF path with a huge k and taking its candidate pairs
+    val cand = Similarity.ivfTopKKmeans(q, emb, "vec_id", "vec_id",
+      "embedding", k = 100000, kCentroids = kCoarse, trainIters = 2,
+      nprobe = nprobe)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val expected = full.filter(r => cand((r._1, r._2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r._2, r._3, (i + 1).toLong) }
+      }.sortBy(r => (r._1, r._4))
+    assert(got == expected)
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("PQ plan: codebook and distance tables broadcast; top-k is group-limited") {
+    val (dim, m, ksub) = (64, 4, 8)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim, m, cb)
+    val plan = Similarity.pqTopK(emb.filter($"vec_id" < 3), codes, cb,
+      "vec_id", "embedding", dim, m, ksub, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // dtab × codes
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val encPlan = codes.queryExecution.executedPlan.toString
+    assert(encPlan.contains("BroadcastHashJoin"), encPlan) // codebook side
+  }
 }
