@@ -12,7 +12,7 @@ class RegistrySpec extends AnyFunSuite {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size,
       names.diff(names.distinct).mkString(", "))
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("every query carries a DuckDB oracle (full-strength gate)") {
@@ -27,8 +27,9 @@ class RegistrySpec extends AnyFunSuite {
     for (q <- Registry.all; oracle <- q.oracle) {
       // EXTRACT(part FROM col) is the one non-relation use of FROM
       val sql = oracle.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
-      val ctes = "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
-        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val ctes =
+        "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // a name followed by `(` is a table function (unnest, range), not
       // a relation
       val refs = "(?i)(?:FROM|JOIN)\\s+([a-z0-9_]+)\\b(?!\\s*\\()".r
