@@ -143,10 +143,27 @@ object Bpe {
     * `merges` is the collected (left, right) list, driver-side (merge
     * tables are small artifacts by construction). Returns the input
     * plus `bpe_tokens` (array of subword symbols, `</w>`-terminated
-    * per word) — one narrow projection, zero exchanges.
+    * per word) — one narrow projection, zero exchanges, inside
+    * WholeStageCodegen via the native
+    * [[graft.plans.BpeSegmentExpr]] kernel (the HOF composition,
+    * [[segmentHof]], is CodegenFallback-interpreted and was ~6× the
+    * cost of the training loop at sf0.1).
     */
   def segment(df: DataFrame, textCol: String,
               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) =>
+      !l.contains(' ') && !l.contains('\n') &&
+        !r.contains(' ') && !r.contains('\n') },
+      "merge symbols must be space/newline-free")
+    df.withColumn("bpe_tokens",
+      call_function("graft_bpe_segment", col(textCol),
+        lit(merges.map { case (l, r) => s"$l $r" }.mkString("\n"))))
+  }
+
+  /** [[segment]] as the pure Column-HOF composition — the
+    * differential-spec twin that pins the native kernel's algebra. */
+  def segmentHof(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
     val perWord = merges.foldLeft(
       (w: Column) => concat(chars(w), array(lit(EndOfWord)))
     ) { (f, m) => (w: Column) => mergeFold(f(w), m._1, m._2) }

@@ -650,6 +650,10 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, codebook: DataFrame): DataFrame =
     corpus
+      // NULL vectors cannot encode: their sub-distances are NULL and a
+      // struct-min would rank NULL first — drop them, the
+      // assignToCentroids quarantine convention
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(subSlices(col(vecCol), dim, m)).as("s"))
       .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
@@ -693,6 +697,7 @@ object Similarity {
                            vecCol: String, dim: Int, m: Int, ksub: Int,
                            codebook: DataFrame): DataFrame =
     queries
+      .filter(col(vecCol).isNotNull) // NULL queries drop, like pqEncode
       .select(col(qidCol).as("qid"),
         explode(subSlices(col(vecCol), dim, m)).as("s"))
       .select(col("qid"), col("s.sub").as("sub"), col("s.sv").as("qv"))

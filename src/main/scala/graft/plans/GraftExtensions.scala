@@ -53,6 +53,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => MarkerHitsExpr(c(0), c(1))),
     (FunctionIdentifier("graft_alpha_words"), info("graft_alpha_words"),
       (c: Seq[Expression]) => AlphaWordsExpr(c(0))),
+    (FunctionIdentifier("graft_bpe_segment"), info("graft_bpe_segment"),
+      (c: Seq[Expression]) => BpeSegmentExpr(c(0), c(1))),
     (FunctionIdentifier("graft_mg"), info("graft_mg"),
       (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)),
     // Spark's own runtime-bloom-join machinery, surfaced as callable

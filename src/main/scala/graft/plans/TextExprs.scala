@@ -156,6 +156,45 @@ object TextKernels extends Serializable {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** See [[BpeSegmentExpr]]: tokenize ([[normTokens]] semantics, so an
+    * empty text's `[""]` token yields one bare `</w>` exactly like the
+    * Column composition), then per token replay each merge in order as
+    * one greedy left-to-right pass — `Bpe.mergeFold`'s algebra: merge
+    * into the accumulator tail or append, the scan resuming AFTER a
+    * merge ("a a a" under (a,a) → [aa, a]).
+    */
+  def bpeSegment(input: UTF8String,
+                 merges: Array[(String, String)]): ArrayData = {
+    val toks = normTokens(input)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var t = 0
+    while (t < toks.numElements()) {
+      val w = toks.getUTF8String(t).toString
+      var syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var ci = 0
+      while (ci < w.length) { syms += w.substring(ci, ci + 1); ci += 1 }
+      syms += "</w>"
+      var mi = 0
+      while (mi < merges.length) {
+        val (l, r) = merges(mi)
+        val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          val x = syms(i)
+          if (acc.nonEmpty && acc(acc.length - 1) == l && x == r)
+            acc(acc.length - 1) = l + r
+          else acc += x
+          i += 1
+        }
+        syms = acc
+        mi += 1
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+      t += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
 }
 
 /** Word n-gram shingles over a token array; n is a literal. */
@@ -255,4 +294,55 @@ case class AlphaWordsExpr(child: Expression)
 
   override protected def withNewChildInternal(n: Expression): AlphaWordsExpr =
     copy(child = n)
+}
+
+/** BPE segmentation of a text column under a learned merge list — the
+  * native kernel behind [[graft.operators.Bpe.segment]]. The composed
+  * Column form (6+ nested `aggregate`/`transform` HOFs per token) is
+  * correct but interpreted — Spark's higher-order functions are
+  * CodegenFallback, and the nested closures made q98's segmentation
+  * pass ~6× slower than the training loop it follows. This expression
+  * replays the merges in training order over each token's character
+  * symbols in one JVM pass and stays inside WholeStageCodegen (same
+  * rationale as [[NormTokensExpr]]).
+  *
+  * `mergesExpr` must be a foldable string literal of `left right`
+  * lines in training order (symbols never contain spaces or newlines:
+  * normalized tokens are [a-z0-9] plus the `</w>` marker), parsed once
+  * per expression instance — the [[MarkerHitsExpr]] literal pattern.
+  */
+case class BpeSegmentExpr(child: Expression, mergesExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = mergesExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_segment"
+
+  @transient private lazy val merges: Array[(String, String)] = {
+    require(mergesExpr.foldable, "graft_bpe_segment merges must be a literal")
+    val s = Option(mergesExpr.eval(null).asInstanceOf[UTF8String])
+      .map(_.toString).getOrElse("")
+    if (s.isEmpty) Array.empty
+    else s.split('\n').map { l =>
+      val i = l.indexOf(' ')
+      require(i > 0, s"bad merge line: '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  override def nullSafeEval(input: Any, m: Any): Any =
+    TextKernels.bpeSegment(input.asInstanceOf[UTF8String], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    val ms = ctx.addReferenceObj("bpeMerges", merges, "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, (a, _) => s"$kernel.bpeSegment($a, $ms)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeSegmentExpr =
+    copy(child = newLeft, mergesExpr = newRight)
 }

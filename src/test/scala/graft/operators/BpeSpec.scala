@@ -84,6 +84,36 @@ class BpeSpec extends SparkSpec {
     Bpe.releaseIntermediates()
   }
 
+  test("native segment kernel == HOF composition, incl. edge rows") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "  ?!  "), (9003L, null))
+        .toDF("doc_id", "text"))
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 6)
+      .select($"left", $"right").as[(String, String)].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"bpe_tokens")
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val native = rows(Bpe.segment(docs, "text", merges))
+    assert(native == rows(Bpe.segmentHof(docs, "text", merges)))
+    // empty/punct-only text tokenizes to [""] -> one bare </w>;
+    // null text stays null — both exactly like the HOF form
+    assert(native(9001L).get == Seq(Bpe.EndOfWord))
+    assert(native(9002L).get == Seq(Bpe.EndOfWord))
+    assert(native(9003L).isEmpty)
+    // zero merges degenerate to characters + markers
+    assert(rows(Bpe.segment(docs.filter($"doc_id" === 9002L), "text",
+      Nil))(9002L).get == Seq(Bpe.EndOfWord))
+    // the native kernel stays inside WholeStageCodegen: the segment
+    // projection carries the *(n) codegen-stage marker
+    val plan = Bpe.segment(docs, "text", merges)
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[.*graft_bpe_segment".r
+      .findFirstIn(plan).isDefined, plan)
+    Bpe.releaseIntermediates()
+  }
+
   test("segment replays merges in order; concatenation reconstructs") {
     val merges = Bpe.trainMerges(corpus, "text", numMerges = 6)
       .select($"left", $"right").as[(String, String)].collect().toSeq

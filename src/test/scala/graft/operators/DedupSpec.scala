@@ -753,6 +753,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("PQ: NULL vectors drop from codes and queries (quarantine, not garbage)") {
+    val (dim, m, ksub) = (64, 4, 8)
+    val withNull = emb.select($"vec_id", $"embedding")
+      .union(Seq((9001L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 1)
+    val codes = Similarity.pqEncode(withNull, "vec_id", "embedding",
+      dim, m, cb)
+    assert(codes.filter($"id" === 9001L).count() == 0)
+    val top = Similarity.pqTopK(withNull.filter($"vec_id" === 9001L ||
+        $"vec_id" === 0L), codes, cb, "vec_id", "embedding",
+      dim, m, ksub, 3)
+    assert(top.select($"qid").distinct().as[Long].collect().toSeq
+      == Seq(0L))
+  }
+
   test("PQ plan: codebook and distance tables broadcast; top-k is group-limited") {
     val (dim, m, ksub) = (64, 4, 8)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 1)
