@@ -608,22 +608,16 @@ object CorpusQueries {
       ORDER BY id"""
     })
 
-  /** q97 — BPE merge training ([[graft.operators.Bpe.trainMerges]]):
-    * 6 merges learned from the corpus word-frequency relation —
-    * exact-integer pair counts, total-order argmax (count desc, then
-    * lexicographic pair), greedy left-to-right refold. The oracle
-    * unrolls the 6 rounds as CTE stages (the q86 kmeans precedent),
-    * replaying the greedy fold per word with a RECURSIVE
-    * position-by-position accumulator CTE per stage. Every
-    * non-recursive stage CTE is `AS MATERIALIZED`: the argmax CTEs are
-    * referenced from scalar subqueries inside the next recursive fold,
-    * and without the hint DuckDB re-inlines the whole upstream chain
-    * at every reference — measured 25+ min vs 0.1 s at sf0.01.
-    */
-  /** Unrolled BPE-training CTE chain shared by the q97/q98 oracles:
-    * nt (normalized docs) → v0 (char-symbol vocab) → per round m:
-    * p$m (argmax pair) → r$m (RECURSIVE greedy refold) → v$m (refolded
-    * vocab). Requires a `WITH RECURSIVE` prefix.
+  /** Unrolled BPE-training CTE chain shared by the q97/q98 oracles
+    * (the q86 kmeans precedent): nt (normalized docs) → v0
+    * (char-symbol vocab) → per round m: p$m (total-order argmax pair)
+    * → r$m (RECURSIVE greedy position-by-position refold accumulator)
+    * → v$m (refolded vocab). Requires a `WITH RECURSIVE` prefix.
+    * Every non-recursive stage CTE is `AS MATERIALIZED`: the argmax
+    * CTEs are referenced from scalar subqueries inside the next
+    * recursive fold, and without the hint DuckDB re-inlines the whole
+    * upstream chain at every reference — measured 25+ min vs 0.1 s at
+    * sf0.01.
     */
   private def bpeCtes(k: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
@@ -659,6 +653,12 @@ object CorpusQueries {
     ctes.toSeq
   }
 
+  /** q97 — BPE merge training ([[graft.operators.Bpe.trainMerges]]):
+    * 6 merges learned from the corpus word-frequency relation —
+    * exact-integer pair counts, total-order argmax (count desc, then
+    * lexicographic pair), greedy left-to-right refold — against the
+    * unrolled [[bpeCtes]] replay.
+    */
   private val q97 = {
     val k = 6
     val sel = (1 to k).map(m =>
