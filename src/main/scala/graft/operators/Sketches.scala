@@ -138,6 +138,12 @@ object Sketches {
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                   depth: Int, width: Int, salt: String): DataFrame = {
+    // `est` is this operator's output column (the dedupAppend `fp`
+    // precedent): a caller column of that name would be silently
+    // shadowed in the result — reject loudly instead
+    require(!keys.columns.contains("est"),
+      "cmsEstimate reserves the column name 'est'; rename the keys " +
+        "relation's existing 'est' column first")
     val sk = broadcast(sketch.select(col("row").as("__srow"),
       col("bucket").as("__sbucket"), col("c").as("__c")))
     keys

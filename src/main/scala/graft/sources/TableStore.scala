@@ -47,7 +47,8 @@ import graft.operators.Upsert
   * even when dir renames are not, and the per-file list reassembles
   * exactly the committed files wherever each one landed.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String,
+                       retainGenerations: Int = 0) {
 
   private def path(table: String) = s"$root/$table"
   private def hpath(table: String) = new Path(path(table))
@@ -382,6 +383,7 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(tmp.toString)
     val incoming = dataFiles(fs, tmp)
     if (incoming.isEmpty) { fs.delete(tmp, true); return }
+    snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
     val gen = readManifest(table).map(_.gen).getOrElse(0L)
     writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
       adds = incoming)
@@ -552,6 +554,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // a first-time rewrite has no committed copy to fall back to: the
     // whole table is `fresh` (rollback = delete), not a swapped dir
     val firstTime = !fs.exists(dst)
+    snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
     writeManifest(table, gen, swapping = true,
       if (firstTime) Nil else Seq(""),
       if (firstTime) Seq("") else Nil,
@@ -562,7 +565,7 @@ final class TableStore(spark: SparkSession, root: String) {
     fs.rename(tmp, dst)
     swapFault(2)
     writeManifest(table, gen + 1, swapping = false, Nil)
-    fs.delete(bak, true)
+    disposeOld(table, bak, gen, fs)
     ()
   }
 
@@ -585,6 +588,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val affected = hitParts.collect()
     if (affected.isEmpty) return
     val gen = readManifest(table).map(_.gen).getOrElse(0L)
+    snapBeforeMutation(table, fsOf(hpath(table)))
     val affectedDf = broadcast(
       spark.createDataFrame(java.util.Arrays.asList(affected: _*),
         hitParts.schema))
@@ -664,7 +668,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     writeManifest(table, gen + 1, swapping = false, Nil)
     fs.delete(tmp, true)
-    fs.delete(bak, true)
+    disposeOld(table, bak, gen, fs)
     ()
   }
 
@@ -679,6 +683,158 @@ final class TableStore(spark: SparkSession, root: String) {
       .flatMap(s => leafDirs(fs, s.getPath, depth - 1,
         if (rel.isEmpty) s.getPath.getName
         else s"$rel/${s.getPath.getName}"))
+
+  // ------------------------------------------- generation retention
+  //
+  // Opt-in time travel (`retainGenerations > 0`): every mutation first
+  // writes a SNAPSHOT manifest (`<table>._graft_snap.<gen>`) listing
+  // the outgoing generation's complete data-file inventory, and the
+  // cleanup phase ARCHIVES replaced files (one rename of the `__old`
+  // sibling into `<table>__archive/gen=<g>/`) instead of deleting
+  // them. Because Spark part-file names are UUID-unique, every file of
+  // every generation exists at exactly one location forever — live
+  // until replaced, then in the archive of the generation whose
+  // mutation replaced it — so [[readAt]] resolves a past generation by
+  // probing archives gen..current (then the in-flight `__old`, then
+  // the live dir) per inventoried file. The archive sibling sits
+  // OUTSIDE the table dir: live scans, `dataFiles`, and the commit
+  // manifests never see it. Appends replace nothing, so a retained
+  // append costs one inventory listing and no data movement; retention
+  // is bounded — archives and snapshots older than
+  // `current − retainGenerations` are pruned at each cleanup (or
+  // explicitly via [[vacuum]]).
+
+  private def archiveRoot(table: String) = new Path(path(table) + "__archive")
+  private def snapName(table: String) = s"$table._graft_snap."
+
+  private def writeSnap(table: String, gen: Long,
+                        files: Seq[String]): Unit = {
+    val p = new Path(root, snapName(table) + gen)
+    val fs = fsOf(p)
+    val out = fs.create(p, true) // overwrite: a rolled-back retry re-lists
+    try out.write(files.map("f=" + _).mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSnap(table: String, gen: Long): Option[Seq[String]] = {
+    val p = new Path(root, snapName(table) + gen)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.split("\n").toSeq.filter(_.startsWith("f="))
+        .map(_.stripPrefix("f=")))
+    }
+  }
+
+  /** Record the outgoing generation's inventory (no-op when retention
+    * is off or the table does not exist yet). Call AFTER [[recover]]
+    * and BEFORE the first rename of a mutation — the live tree is
+    * still exactly the committed generation there.
+    */
+  private def snapBeforeMutation(table: String, fs: FileSystem): Unit =
+    if (retainGenerations > 0 && fs.exists(hpath(table))) {
+      val gen = readManifest(table).map(_.gen).getOrElse(0L)
+      writeSnap(table, gen, dataFiles(fs, hpath(table)))
+    }
+
+  /** Cleanup-phase disposal of the `__old` sibling: archive under the
+    * outgoing generation when retaining, delete otherwise. Prunes
+    * archives/snapshots past the retention window either way.
+    */
+  private def disposeOld(table: String, bak: Path, outgoingGen: Long,
+                         fs: FileSystem): Unit = {
+    if (retainGenerations > 0 && fs.exists(bak)) {
+      val dest = new Path(archiveRoot(table), s"gen=$outgoingGen")
+      fs.delete(dest, true) // a rolled-back earlier attempt's leftovers
+      fs.mkdirs(dest.getParent)
+      fs.rename(bak, dest)
+    } else fs.delete(bak, true)
+    if (retainGenerations > 0)
+      vacuum(table, keepLast = retainGenerations)
+  }
+
+  /** Drop retained generations older than the last `keepLast`:
+    * archives and snapshot manifests both. The live generation is
+    * never touched.
+    */
+  def vacuum(table: String, keepLast: Int): Unit = {
+    require(keepLast >= 0, s"keepLast >= 0, got $keepLast")
+    val cur = readManifest(table).map(_.gen).getOrElse(0L)
+    val cutoff = cur - keepLast
+    val ar = archiveRoot(table)
+    val fs = fsOf(ar)
+    if (fs.exists(ar)) fs.listStatus(ar).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=") &&
+          name.stripPrefix("gen=").toLongOption.exists(_ < cutoff))
+        fs.delete(st.getPath, true)
+    }
+    val snaps = fs.globStatus(new Path(new Path(root),
+      snapName(table) + "*"))
+    if (snaps != null) snaps.foreach { st =>
+      val g = st.getPath.getName.stripPrefix(snapName(table)).toLongOption
+      if (g.exists(_ < cutoff)) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Retained generations currently resolvable, ascending. */
+  def generations(table: String): Seq[Long] = {
+    val fs = fsOf(new Path(root))
+    val snaps = fs.globStatus(new Path(new Path(root),
+      snapName(table) + "*"))
+    val past =
+      if (snaps == null) Nil
+      else snaps.toSeq.flatMap(
+        _.getPath.getName.stripPrefix(snapName(table)).toLongOption)
+    (past ++ readManifest(table).map(_.gen)).distinct.sorted
+  }
+
+  /** Time-travel read: the table exactly as of generation `asOfGen` —
+    * the reproducible-corpus contract (pin the generation a training
+    * run consumed; re-reading it later returns the identical rows no
+    * matter what has been upserted, deleted, or compacted since).
+    * `asOfGen == current` is the live [[read]]; past generations need
+    * retention ([[TableStore]] built with `retainGenerations > 0`) and
+    * fail loudly when the snapshot has been vacuumed or never existed.
+    * Resolution cost: one existence probe per inventoried file per
+    * archive generation in [gen, current) — bounded by the retention
+    * window.
+    */
+  def readAt(table: String, asOfGen: Long): DataFrame = {
+    val cur = readManifest(table).map(_.gen).getOrElse(0L)
+    if (asOfGen == cur) return read(table)
+    require(asOfGen < cur,
+      s"table $table: generation $asOfGen is in the future (current $cur)")
+    val files = readSnap(table, asOfGen).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $table: generation $asOfGen is not retained — " +
+          "retention off, vacuumed, or never committed"))
+    if (files.isEmpty) throw new IllegalStateException(
+      s"table $table: generation $asOfGen committed no data files")
+    val dstS = path(table)
+    val fs = fsOf(hpath(table))
+    val bases: Seq[String] =
+      (asOfGen until cur).map(h =>
+        new Path(archiveRoot(table), s"gen=$h").toString) ++
+        Seq(dstS + "__old", dstS)
+    val byBase = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[String]]
+    files.foreach { rel =>
+      val base = bases.find(b => fs.exists(new Path(b, rel))).getOrElse(
+        throw new IllegalStateException(
+          s"table $table: file $rel of generation $asOfGen is missing " +
+            "from the live tree and every retained archive"))
+      byBase(base) = byBase.getOrElse(base, Vector.empty) :+ s"$base/$rel"
+    }
+    byBase.map { case (base, paths) =>
+      spark.read.option("basePath", base).parquet(paths: _*)
+    }.reduce(_ unionByName _)
+  }
 }
 
 object TableStore {

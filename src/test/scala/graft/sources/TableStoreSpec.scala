@@ -425,4 +425,97 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.read("t").count() == 80)
     assert(ts.read("t").filter($"day" === "d1").count() == 0)
   }
+
+  private def retainedStore(keep: Int) =
+    new TableStore(spark, Files.createTempDirectory("graft_tt").toString,
+      retainGenerations = keep)
+
+  test("time travel: every retained generation reads back exactly") {
+    val ts = retainedStore(10)
+    def snap(): Set[(Long, String, Int)] = ts.read("t")
+      .select($"id", $"day", $"flag").as[(Long, String, Int)]
+      .collect().toSet
+    def at(g: Long): Set[(Long, String, Int)] = ts.readAt("t", g)
+      .select($"id", $"day", $"flag").as[(Long, String, Int)]
+      .collect().toSet
+    seedPartitioned(ts, "t") // gen 1 (append routes through rewrite)
+    val g1 = snap()
+    ts.append("t", Seq((100L, "d3", 0)).toDF("id", "day", "flag"),
+      partitionBy = Seq("day")) // gen 2
+    val g2 = snap()
+    ts.updateFlag("t", Seq(2L, 100L).toDF("id"), Seq("id"), "flag", 7,
+      partitionCols = Seq("day")) // gen 3: partition-targeted rewrite
+    val g3 = snap()
+    ts.deleteByKeys("t", Seq(1L).toDF("id"), Seq("id"),
+      partitionCols = Seq("day")) // gen 4
+    val g4 = snap()
+    assert(ts.generations("t") == Seq(1L, 2L, 3L, 4L))
+    assert(at(1) == g1 && at(2) == g2 && at(3) == g3 && at(4) == g4)
+    assert(g1 != g2 && g2 != g3 && g3 != g4)
+    // compaction (gen 5) must not change ANY generation's contents
+    ts.compact("t", partitionCols = Seq("day"), maxFiles = 0)
+    assert(at(1) == g1 && at(2) == g2 && at(3) == g3 && at(4) == g4)
+    assert(snap() == g4)
+  }
+
+  test("time travel: vacuum drops old generations loudly, keeps the window") {
+    val ts = retainedStore(10)
+    seedPartitioned(ts, "t") // gen 1
+    val g1 = ts.read("t").count()
+    ts.deleteByKeys("t", Seq(1L).toDF("id"), Seq("id"),
+      partitionCols = Seq("day")) // gen 2
+    ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 9,
+      partitionCols = Seq("day")) // gen 3
+    assert(ts.readAt("t", 1).count() == g1)
+    ts.vacuum("t", keepLast = 1)
+    assert(ts.generations("t") == Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException](ts.readAt("t", 1))
+    assert(e.getMessage.contains("not retained"))
+    assert(ts.readAt("t", 2).count() == g1 - 1)
+    // future generations are rejected, current delegates to read
+    intercept[IllegalArgumentException](ts.readAt("t", 99))
+    assert(ts.readAt("t", 3).count() == ts.read("t").count())
+  }
+
+  test("time travel: retention window auto-prunes; retention-off store rejects") {
+    val ts = retainedStore(2)
+    seedPartitioned(ts, "t") // gen 1
+    for (g <- 2 to 5) // gens 2..5
+      ts.updateFlag("t", Seq(0L).toDF("id"), Seq("id"), "flag", g,
+        partitionCols = Seq("day"))
+    // window of 2 behind gen 5: gens 3, 4 (+ live 5)
+    assert(ts.generations("t") == Seq(3L, 4L, 5L))
+    assert(ts.readAt("t", 3).filter($"id" === 0L)
+      .select($"flag").as[Int].head() == 3)
+    val off = freshStore()
+    seedPartitioned(off, "t")
+    off.updateFlag("t", Seq(0L).toDF("id"), Seq("id"), "flag", 1,
+      partitionCols = Seq("day"))
+    intercept[IllegalArgumentException](off.readAt("t", 1))
+  }
+
+  test("time travel: a crash mid-swap neither corrupts past generations nor leaks") {
+    val ts = retainedStore(10)
+    seedPartitioned(ts, "t") // gen 1
+    val g1 = ts.readAt("t", 1).count() // forces snap resolution later
+    ts.deleteByKeys("t", Seq(1L).toDF("id"), Seq("id"),
+      partitionCols = Seq("day")) // gen 2
+    ts.failAfterSwaps = 1
+    intercept[IllegalStateException] {
+      ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 5,
+        partitionCols = Seq("day"))
+    }
+    ts.failAfterSwaps = -1
+    // mid-crash: past generations still resolve (touched files sit in
+    // __old, which readAt probes after the archives)
+    assert(ts.readAt("t", 1).count() == g1)
+    assert(ts.readAt("t", 2).count() == g1 - 1)
+    // the retried mutation completes and history is intact
+    ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 5,
+      partitionCols = Seq("day")) // gen 3
+    assert(ts.generations("t") == Seq(1L, 2L, 3L))
+    assert(ts.readAt("t", 1).count() == g1)
+    assert(ts.readAt("t", 2).count() == g1 - 1)
+    assert(ts.read("t").filter($"flag" === 5).count() == 1)
+  }
 }
