@@ -76,12 +76,14 @@ object Bpe {
     filter(split(w, ""), s => length(s) > 0)
 
   /** The word-frequency relation with initial character symbols:
-    * (w, cnt, syms). One corpus pass; NULL/empty-normalized rows drop.
+    * (w, cnt, syms). One corpus pass — NULL texts explode to no rows
+    * and an empty/punct-only text's lone `""` token drops on the
+    * exploded word, so no pre-filter (which would cost a second full
+    * normalization of every document) is needed.
     */
   private def initVocab(df: DataFrame, textCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull &&
-        length(TextFunctions.normalizeText(col(textCol))) > 0)
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
         concat(chars(col("w")), array(lit(EndOfWord))).as("syms"))

@@ -759,4 +759,58 @@ object Similarity {
       .withColumn("dist", adcScore(col("dtab"), col("codes"), ksub))
     pqRank(scored, k)
   }
+
+  /** RESIDUAL IVF-PQ — the published form (Jégou et al. 2011 §IV.B,
+    * what FAISS `IVFx,PQy` actually encodes): PQ codebooks are trained
+    * on and codes encode the RESIDUAL vector r = v − centroid(cell),
+    * which has far less energy than v itself, so the same m×ksub
+    * budget quantizes much finer near the cell. The price is one
+    * distance table PER (query, probed cell) — still nprobe·m·ksub
+    * doubles per query, broadcast — instead of one per query. Exact
+    * double subtraction keeps every stage deterministic and
+    * partitioning-invariant (spec: driver-side replay equality).
+    * Output: (qid, id, dist, rk) like [[ivfPqTopK]].
+    */
+  def ivfPqTopKResidual(queries: DataFrame, corpus: DataFrame,
+                        qidCol: String, idCol: String, vecCol: String,
+                        dim: Int, m: Int, ksub: Int, k: Int,
+                        kCoarse: Int, nprobe: Int = 3,
+                        coarseIters: Int = 2,
+                        pqIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, kCoarse,
+      coarseIters)
+    val cv = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nid_v"))
+    val qv = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qid_v"))
+    val assigned = assignToCentroids(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v")),
+      "nid", cents)
+    // per-doc residual: exact double v − centroid, a narrow broadcast
+    // projection (cent_v is the tiny trained relation)
+    val resDocs = cv.join(assigned, Seq("nid"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("nid"), col("cent_id"),
+        zip_with(col("nid_v"), col("cent_v"), (a, b) => a - b).as("res"))
+    val cb = pqTrain(resDocs, "nid", "res", dim, m, ksub, pqIters)
+    val codes = pqEncode(resDocs, "nid", "res", dim, m, cb)
+    val probes = TopK.perGroup(centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    // one distance table per (query, probed cell): key pqDistTables by
+    // the composite struct, then flatten it back out
+    val qres = probes.join(qv, Seq("qid")).join(broadcast(cents),
+        Seq("cent_id"))
+      .select(struct(col("qid"), col("cent_id")).as("qid"),
+        zip_with(col("qid_v"), col("cent_v"), (a, b) => a - b).as("qres"))
+    val dtab = pqDistTables(qres, "qid", "qres", dim, m, ksub, cb)
+      .select(col("qid.qid").as("qid"), col("qid.cent_id").as("cent_id"),
+        col("dtab"))
+    val scored = codes
+      .join(assigned.select(col("nid").as("id"), col("cent_id")),
+        Seq("id"))
+      .join(broadcast(dtab), Seq("cent_id"))
+      .withColumn("dist", adcScore(col("dtab"), col("codes"), ksub))
+    pqRank(scored, k)
+  }
 }

@@ -134,7 +134,9 @@ object Sketches {
     * upward-biased estimate, est ≥ true count always, overshoot bounded
     * by the collision mass e·N/width with probability 1−e^−depth.
     * The sketch (≤ depth·width rows by construction) broadcasts; the
-    * keys relation is never shuffled. Output: keys' columns + est.
+    * keys relation is never shuffled. Output: one row per DISTINCT
+    * keys row, + est (the groupBy collapses duplicates — pass a
+    * deduplicated probe list if input/output rows must correspond 1:1).
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                   depth: Int, width: Int, salt: String): DataFrame = {

@@ -621,7 +621,7 @@ object CorpusQueries {
     */
   private def bpeCtes(k: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""nt AS MATERIALIZED (SELECT ${normSql("text")} AS nrm,
+      s"""nt AS MATERIALIZED (SELECT
         STRING_SPLIT(${normSql("text")}, ' ') AS toks
       FROM documents WHERE text IS NOT NULL
         AND LENGTH(${normSql("text")}) > 0)""",

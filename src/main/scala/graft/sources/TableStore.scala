@@ -64,6 +64,15 @@ final class TableStore(spark: SparkSession, root: String,
     if (failAfterSwaps >= 0 && done >= failAfterSwaps)
       throw new IllegalStateException("injected crash mid-swap")
 
+  /** Second seam: throw AFTER the clean commit manifest but BEFORE the
+    * `__old` sibling is disposed — the post-commit window where a
+    * retained store's history sits in `__old`, not yet archived.
+    */
+  private[sources] var failBeforeDispose: Boolean = false
+  private def disposeFault(): Unit =
+    if (failBeforeDispose)
+      throw new IllegalStateException("injected crash before dispose")
+
   // ------------------------------------------------------ commit manifest
 
   /** `dirs` = touched dirs that HAD a committed copy (rollback =
@@ -376,6 +385,7 @@ final class TableStore(spark: SparkSession, root: String,
     if (!exists(table)) { rewrite(table, df, partitionBy); return }
     val dst = hpath(table)
     val fs = fsOf(dst)
+    settleOld(table, fs) // archive (not delete) a post-commit leftover
     val tmp = new Path(path(table) + "__add")
     fs.delete(tmp, true)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -396,6 +406,10 @@ final class TableStore(spark: SparkSession, root: String,
     }
     writeManifest(table, gen + 1, swapping = false, Nil)
     fs.delete(tmp, true)
+    // appends replace nothing, so there is no __old to dispose — but
+    // the retention window must still prune, or an append-only
+    // workload accumulates one snapshot sidecar per batch forever
+    if (retainGenerations > 0) vacuum(table, keepLast = retainGenerations)
     ()
   }
 
@@ -550,7 +564,7 @@ final class TableStore(spark: SparkSession, root: String,
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val fs = fsOf(dst)
-    fs.delete(bak, true)
+    settleOld(table, fs) // archive (not delete) a post-commit leftover
     // a first-time rewrite has no committed copy to fall back to: the
     // whole table is `fresh` (rollback = delete), not a swapped dir
     val firstTime = !fs.exists(dst)
@@ -600,7 +614,7 @@ final class TableStore(spark: SparkSession, root: String,
     val bak = new Path(path(table) + "__old")
     val fs = fsOf(dst)
     fs.delete(tmp, true)
-    fs.delete(bak, true)
+    settleOld(table, fs) // archive (not delete) a post-commit leftover
     // phase 1: job output goes to the tmp sibling; a failure anywhere
     // in here leaves the live table byte-identical
     updated.write.mode(SaveMode.Overwrite)
@@ -748,6 +762,7 @@ final class TableStore(spark: SparkSession, root: String,
     */
   private def disposeOld(table: String, bak: Path, outgoingGen: Long,
                          fs: FileSystem): Unit = {
+    disposeFault()
     if (retainGenerations > 0 && fs.exists(bak)) {
       val dest = new Path(archiveRoot(table), s"gen=$outgoingGen")
       fs.delete(dest, true) // a rolled-back earlier attempt's leftovers
@@ -756,6 +771,23 @@ final class TableStore(spark: SparkSession, root: String,
     } else fs.delete(bak, true)
     if (retainGenerations > 0)
       vacuum(table, keepLast = retainGenerations)
+  }
+
+  /** Settle a `__old` sibling left by a crash BETWEEN a clean commit
+    * and its [[disposeOld]]: under a clean manifest the leftover holds
+    * exactly the files the last mutation replaced (outgoing generation
+    * = current − 1), so a retained store must ARCHIVE it — the
+    * unconditional delete the mutation paths previously ran here
+    * silently destroyed retained history in that window. [[readAt]]
+    * already resolves from `__old` while the leftover sits unsettled.
+    * Under a swapping manifest [[recover]] owns `__old`; no-op here.
+    */
+  private def settleOld(table: String, fs: FileSystem): Unit = {
+    val bak = new Path(path(table) + "__old")
+    if (fs.exists(bak) && readManifest(table).forall(!_.swapping)) {
+      val cur = readManifest(table).map(_.gen).getOrElse(0L)
+      disposeOld(table, bak, cur - 1, fs)
+    }
   }
 
   /** Drop retained generations older than the last `keepLast`:
@@ -814,8 +846,12 @@ final class TableStore(spark: SparkSession, root: String,
       throw new IllegalArgumentException(
         s"table $table: generation $asOfGen is not retained — " +
           "retention off, vacuumed, or never committed"))
-    if (files.isEmpty) throw new IllegalStateException(
-      s"table $table: generation $asOfGen committed no data files")
+    // a legitimately empty generation (every row deleted) must read
+    // back as zero rows, not an error; parquet files carry the schema,
+    // so an empty generation borrows the live table's (documented: a
+    // later schema-changing rewrite changes what an empty pin reads
+    // back with — there are no rows for it to matter)
+    if (files.isEmpty) return read(table).limit(0)
     val dstS = path(table)
     val fs = fsOf(hpath(table))
     val bases: Seq[String] =

@@ -753,6 +753,67 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("residual IVF-PQ matches a driver-side replay; deterministic across partitionings") {
+    val (dim, m, ksub, kCoarse, nprobe, k) = (64, 4, 8, 6, 2, 5)
+    val w = dim / m
+    val q = emb.filter($"vec_id" < 3)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKResidual(q, c, "vec_id", "vec_id", "embedding",
+        dim, m, ksub, k, kCoarse, nprobe)
+        .orderBy($"qid", $"rk").as[(Long, Long, Double, Long)]
+        .collect().toSeq
+    val got = run(emb)
+    assert(got == run(emb.repartition(9)))
+    // driver replay from the SAME trained artifacts: centroids,
+    // assignments, residual codebook, codes — only the routing + ADC
+    // algebra is re-derived independently
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      kCoarse, 2).as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      dot / (math.sqrt(a.zip(a).foldLeft(0.0) { case (s, (x, y)) => s + x * y }) *
+        math.sqrt(b.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }))
+    }
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val assign: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cvv) => (-cos(v, cvv), c) }.min._2
+    }
+    val resOf: Map[Long, Seq[Double]] = vecs.map { case (id, v) =>
+      id -> v.zip(cents(assign(id))).map { case (x, y) => x - y }
+    }
+    val resDf = resOf.toSeq.map { case (id, r) => (id, r) }
+      .toDF("nid", "res")
+    val cb = Similarity.pqTrain(resDf, "nid", "res", dim, m, ksub, 2)
+    val cbL = cb.as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codes: Map[Long, Seq[Long]] = resOf.map { case (id, r) =>
+      id -> (0 until m).map { j =>
+        val sv = r.slice(j * w, (j + 1) * w)
+        cbL.keys.filter(_._1 == j).map(_._2).toSeq.sorted
+          .map(c => (l2(sv, cbL((j, c))), c)).min._2
+      }
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val probed = cents.toSeq
+        .map { case (c, cvv) => (-cos(vecs(qid), cvv), c) }
+        .sorted.take(nprobe).map(_._2).toSet
+      val cand = vecs.keys.filter(id => probed(assign(id))).toSeq
+      cand.map { id =>
+        val qr = vecs(qid).zip(cents(assign(id)))
+          .map { case (x, y) => x - y }
+        val d = (0 until m).foldLeft(0.0) { (acc, j) =>
+          acc + l2(qr.slice(j * w, (j + 1) * w), cbL((j, codes(id)(j))))
+        }
+        (d, id)
+      }.sorted.take(k).zipWithIndex
+        .map { case ((d, id), i) => (qid, id, d, (i + 1).toLong) }
+    }
+    assert(got == expected)
+  }
+
   test("PQ: NULL vectors drop from codes and queries (quarantine, not garbage)") {
     val (dim, m, ksub) = (64, 4, 8)
     val withNull = emb.select($"vec_id", $"embedding")

@@ -494,6 +494,52 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](off.readAt("t", 1))
   }
 
+  test("time travel: a crash BETWEEN commit and dispose cannot destroy history") {
+    // the post-commit window: the clean manifest has landed but __old
+    // is not yet archived — the next mutation must SETTLE it into the
+    // archive, not delete it (the pre-review code deleted it)
+    val ts = retainedStore(10)
+    seedPartitioned(ts, "t") // gen 1
+    val g1 = ts.read("t").count()
+    ts.failBeforeDispose = true
+    intercept[IllegalStateException] {
+      ts.deleteByKeys("t", Seq(1L).toDF("id"), Seq("id"),
+        partitionCols = Seq("day"))
+    }
+    ts.failBeforeDispose = false
+    // the delete COMMITTED (gen 2); gen-1 history resolves from __old
+    assert(ts.read("t").count() == g1 - 1)
+    assert(ts.readAt("t", 1).count() == g1)
+    // the next mutation settles __old into the archive instead of
+    // deleting it; history stays intact afterwards
+    ts.updateFlag("t", Seq(2L).toDF("id"), Seq("id"), "flag", 3,
+      partitionCols = Seq("day")) // gen 3
+    assert(ts.generations("t") == Seq(1L, 2L, 3L))
+    assert(ts.readAt("t", 1).count() == g1)
+    assert(ts.readAt("t", 2).count() == g1 - 1)
+  }
+
+  test("time travel: an emptied generation reads back as zero rows") {
+    val ts = retainedStore(10)
+    seedPartitioned(ts, "t") // gen 1
+    ts.deleteByKeys("t", (0L until 100L).toDF("id"), Seq("id"),
+      partitionCols = Seq("day")) // gen 2: empties the table
+    ts.append("t", Seq((500L, "d0", 1)).toDF("id", "day", "flag"),
+      partitionBy = Seq("day")) // gen 3 (snapshots empty gen 2)
+    assert(ts.readAt("t", 2).count() == 0)
+    assert(ts.readAt("t", 1).count() == 100)
+    assert(ts.read("t").count() == 1)
+  }
+
+  test("time travel: append-only retention window still prunes snapshots") {
+    val ts = retainedStore(2)
+    seedPartitioned(ts, "t") // gen 1
+    for (i <- 0 until 4) // gens 2..5, appends only
+      ts.append("t", Seq((1000L + i, "d0", 0)).toDF("id", "day", "flag"),
+        partitionBy = Seq("day"))
+    assert(ts.generations("t") == Seq(3L, 4L, 5L))
+  }
+
   test("time travel: a crash mid-swap neither corrupts past generations nor leaks") {
     val ts = retainedStore(10)
     seedPartitioned(ts, "t") // gen 1
