@@ -99,8 +99,8 @@ object Sketches {
     * [[cmsBuild]] and [[cmsEstimate]] share (and the q99 oracle
     * mirrors), so an estimate can only read the cells the build wrote.
     */
-  private def cmsCells(key: Column, depth: Int, width: Int,
-                       salt: String): Column =
+  private[graft] def cmsCells(key: Column, depth: Int, width: Int,
+                              salt: String): Column =
     array((0 until depth).map(j =>
       struct(lit(j).as("row"),
         pmod(Sampling.hashBucket(key, s"$salt:$j"), lit(width))

@@ -174,6 +174,44 @@ object Streams {
       .toDF("stratum", "id", "wkey", "rk", "ver")
   }
 
+  /** Streaming count-min sketch maintenance — the stream form of
+    * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
+    * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are
+    * additive and the md5 buckets are content-addressed, so the
+    * maintained sketch CONVERGES TO THE BATCH SKETCH of everything
+    * ingested regardless of the micro-batch split (spec-proven against
+    * `cmsBuild` on the union) — the same mergeability argument that
+    * bounds the batch build's exchange bounds the stream's state:
+    * ≤ depth·width cells total, one long each. Touched cells emit
+    * versioned snapshots per batch (append-sink-friendly, the
+    * [[weightedReservoir]] convention); readers take each cell's
+    * max-`ver` row. Returns (row, bucket, c, ver).
+    */
+  def cmsMaintain(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                  salt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(explode(graft.operators.Sketches
+        .cmsCells(col(keyCol), depth, width, salt)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .as[(Int, Long)]
+    def bump(cell: (Int, Long), rows: Iterator[(Int, Long)],
+             state: GroupState[(Long, Long)])
+        : Iterator[(Int, Long, Long, Long)] = {
+      val (prevVer, prevC) = state.getOption.getOrElse((0L, 0L))
+      val c = prevC + rows.size
+      val ver = prevVer + 1
+      state.update((ver, c))
+      Iterator.single((cell._1, cell._2, c, ver))
+    }
+    cells.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(bump)
+      .toDF("row", "bucket", "c", "ver")
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -204,4 +204,45 @@ class StreamsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq.sorted
     assert(res == Seq(2L, 5L))
   }
+
+  test("cmsMaintain converges to the batch sketch across micro-batches") {
+    import graft.operators.Sketches
+    val in = Files.createTempDirectory("graft_cms_in").toString
+    val out = Files.createTempDirectory("graft_cms_out").toString
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+    val sch = StructType.fromDDL("tok string")
+    val (depth, width, salt) = (4, 32, "scms")
+    // a skewed token stream split arbitrarily into two batches
+    val toks = (0 until 200).map(i => s"t${i % 13 % (i % 5 + 1)}")
+    val (b1, b2) = toks.splitAt(73)
+    def js(rows: Seq[String]) = rows.map(t => s"""{"tok":"$t"}""")
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.cmsMaintain(spark.readStream.schema(sch).json(in),
+        "tok", depth, width, salt), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val snaps = spark.read.parquet(out)
+    val latest = snaps.groupBy($"row", $"bucket")
+      .agg(org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = snaps.join(latest, Seq("row", "bucket", "ver"))
+      .select($"row", $"bucket", $"c")
+      .as[(Int, Long, Long)].collect().toSet
+    val expect = Sketches.cmsBuild(toks.toDF("tok"), "tok", depth,
+        width, salt)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == expect)
+    // estimates read from the maintained sketch equal the batch path
+    val sketchDf = snaps.join(latest, Seq("row", "bucket", "ver"))
+      .select($"row", $"bucket", $"c")
+    val keys = toks.distinct.toDF("tok")
+    val se = Sketches.cmsEstimate(sketchDf, keys, "tok", depth, width,
+        salt).as[(String, Long)].collect().toMap
+    val be = Sketches.cmsEstimate(
+        Sketches.cmsBuild(toks.toDF("tok"), "tok", depth, width, salt),
+        keys, "tok", depth, width, salt)
+      .as[(String, Long)].collect().toMap
+    assert(se == be)
+  }
 }
