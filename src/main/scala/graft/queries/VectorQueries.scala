@@ -418,9 +418,86 @@ object VectorQueries {
     * (q86's CTE shape, MATERIALIZED per the q97 lesson) then replays
     * encode + ADC relationally.
     */
+  /** q86-shape unrolled k-means chain over source CTE `src` (rows
+    * (vec_id, v)), names prefixed `pre`: `{pre}cent0` … `{pre}cent$iters`.
+    * Every stage MATERIALIZED (the q97 lesson).
+    */
+  private def kmeansChainSql(src: String, pre: String, k: Int,
+                             iters: Int): Seq[String] = {
+    val avgfx = graft.functions.Sql.avgFx("val", 1000000L)
+    val dist = "list_reduce(list_transform(range(1, LEN(p.v)+1), " +
+      "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i])), (a,b) -> a+b)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""${pre}cent0 AS MATERIALIZED (SELECT
+        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+          AS cid, v AS cv
+        FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k))""")
+    var prev = s"${pre}cent0"
+    for (it <- 1 to iters) {
+      ctes += s"""${pre}d$it AS MATERIALIZED (SELECT p.vec_id,
+        c.cid, $dist AS dist FROM $src p CROSS JOIN $prev c)"""
+      ctes += s"""${pre}a$it AS MATERIALIZED (SELECT vec_id, cid
+        FROM (SELECT vec_id, cid, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM ${pre}d$it) WHERE rn = 1)"""
+      ctes += s"""${pre}cells$it AS MATERIALIZED (SELECT cid,
+        CAST(pos AS BIGINT) AS pos, COUNT(*) AS n, $avgfx AS mean
+        FROM (SELECT cid, pos, v[CAST(pos+1 AS INT)] AS val FROM
+          (SELECT a.cid, UNNEST(RANGE(LEN(p.v))) AS pos, p.v
+           FROM ${pre}a$it a JOIN $src p USING (vec_id)))
+        GROUP BY cid, pos)"""
+      ctes += s"""${pre}cent$it AS MATERIALIZED (SELECT cid,
+        LIST(mean ORDER BY pos) AS cv FROM ${pre}cells$it
+        GROUP BY cid)"""
+      prev = s"${pre}cent$it"
+    }
+    ctes.toSeq
+  }
+
+  /** Shared q100/q101 oracle prefix: pts → per-sub slices p{j} → m
+    * k-means chains → codebook / subpts / enc0 (all sub-distances) /
+    * enc (argmin codes) / qt (query distance-table rows).
+    */
+  private def pqOracleCtes(dim: Int, m: Int, ksub: Int,
+                           iters: Int): Seq[String] = {
+    val w = dim / m
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "pts AS MATERIALIZED (SELECT vec_id, " +
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    for (j <- 0 until m) {
+      val (lo, hi) = (j * w + 1, (j + 1) * w)
+      ctes += s"p$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM pts)"
+      ctes ++= kmeansChainSql(s"p$j", s"s${j}_", ksub, iters)
+    }
+    ctes += "codebook AS MATERIALIZED (" +
+      (0 until m).map(j =>
+        s"SELECT $j AS sub, cid, cv FROM s${j}_cent$iters")
+        .mkString(" UNION ALL ") + ")"
+    ctes += "subpts AS MATERIALIZED (" +
+      (0 until m).map(j =>
+        s"SELECT vec_id, $j AS sub, v AS sv FROM p$j")
+        .mkString(" UNION ALL ") + ")"
+    val d2 = "list_reduce(list_transform(range(1, LEN(sp.sv)+1), " +
+      "i -> (sp.sv[i]-cb.cv[i])*(sp.sv[i]-cb.cv[i])), (a,b) -> a+b)"
+    ctes += s"""enc0 AS MATERIALIZED (SELECT sp.vec_id, sp.sub,
+      cb.cid, $d2 AS dist FROM subpts sp JOIN codebook cb USING (sub))"""
+    ctes += """enc AS MATERIALIZED (SELECT vec_id, sub, cid
+      FROM (SELECT vec_id, sub, cid, ROW_NUMBER() OVER
+        (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      FROM enc0) WHERE rn = 1)"""
+    ctes += """qt AS MATERIALIZED (SELECT vec_id AS qid, sub, cid,
+      dist AS d FROM enc0 WHERE vec_id < 5)"""
+    ctes.toSeq
+  }
+
+  private def pqRankSql(k: Int): String =
+    s"""SELECT qid, id, dist, CAST(rk AS BIGINT) AS rk FROM
+      (SELECT qid, id, dist, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY dist, id) AS rk FROM sc)
+    WHERE rk <= $k ORDER BY qid, rk"""
+
   private val q100 = {
     val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
-    val w = dim / m
     Q("q100_pq_adc_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -433,69 +510,158 @@ object VectorQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some {
-        val avgfx = graft.functions.Sql.avgFx("val", 1000000L)
-        val dist = "list_reduce(list_transform(range(1, LEN(p.v)+1), " +
-          "i -> (p.v[i]-c.cv[i])*(p.v[i]-c.cv[i])), (a,b) -> a+b)"
+        val ctes = pqOracleCtes(dim, m, ksub, iters) :+
+          """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
+            list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
+            FROM enc e JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+            GROUP BY qt.qid, e.vec_id)"""
+        "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
+      })
+  }
+
+  /** q101 — composed IVF-PQ ([[Similarity.ivfPqTopK]]): coarse k-means
+    * cells route each query to its nprobe nearest lists (cosine
+    * assignment, the q31/q91 argmax), and ADC scoring runs only over
+    * codes in probed cells. The oracle extends q100's chain with the
+    * coarse k-means chain on full vectors, the cosine
+    * assignment/probe ranks (q91's SQL shape), and the probe
+    * restriction on the score join — upgrading the composition from
+    * spec-gated to oracle-gated.
+    */
+  private val q101 = {
+    val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
+    val (kCoarse, nprobe, coarseIters) = (6, 2, 2)
+    Q("q101_ivfpq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "vec_id", "embedding", dim, m, ksub, k,
+          kCoarse = kCoarse, nprobe = nprobe,
+          coarseIters = coarseIters, pqIters = iters)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val cos = "(list_dot_product(p.v, c.cv) / " +
+          "(SQRT(list_dot_product(p.v, p.v)) * " +
+          "SQRT(list_dot_product(c.cv, c.cv))))"
+        val ctes = pqOracleCtes(dim, m, ksub, iters) ++
+          kmeansChainSql("pts", "c_", kCoarse, coarseIters) ++ Seq(
+          s"""cscore AS MATERIALIZED (SELECT p.vec_id, c.cid AS cent_id,
+            $cos AS csim FROM pts p CROSS JOIN c_cent$coarseIters c)""",
+          """adoc AS MATERIALIZED (SELECT vec_id, cent_id
+            FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+              (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM cscore WHERE csim IS NOT NULL) WHERE rn = 1)""",
+          s"""probes AS MATERIALIZED (SELECT vec_id AS qid, cent_id
+            FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+              (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM cscore WHERE vec_id < 5 AND csim IS NOT NULL)
+            WHERE rn <= $nprobe)""",
+          """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
+            list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
+            FROM enc e
+            JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+            JOIN adoc a ON a.vec_id = e.vec_id
+            JOIN probes pr ON pr.qid = qt.qid
+              AND pr.cent_id = a.cent_id
+            GROUP BY qt.qid, e.vec_id)""")
+        "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
+      })
+  }
+
+  /** q102 — RESIDUAL IVF-PQ ([[Similarity.ivfPqTopKResidual]], the
+    * published FAISS encoding): PQ codebooks train on v − centroid
+    * residuals and queries carry one distance table per probed cell.
+    * The oracle reuses q101's coarse chain and replays the residual
+    * projection (exact double subtraction via list_transform), the m
+    * residual k-means chains, residual encoding, and the
+    * per-(query, cell) ADC join.
+    */
+  private val q102 = {
+    val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
+    val (kCoarse, nprobe, coarseIters) = (6, 2, 2)
+    val w = dim / m
+    Q("q102_ivfpq_residual_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfPqTopKResidual(e.filter(col("vec_id") < 5), e,
+          "vec_id", "vec_id", "embedding", dim, m, ksub, k,
+          kCoarse = kCoarse, nprobe = nprobe,
+          coarseIters = coarseIters, pqIters = iters)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val cos = "(list_dot_product(p.v, c.cv) / " +
+          "(SQRT(list_dot_product(p.v, p.v)) * " +
+          "SQRT(list_dot_product(c.cv, c.cv))))"
+        val sub = "list_transform(range(1, LEN(p.v)+1), " +
+          "i -> p.v[i] - c.cv[i])"
         val ctes = scala.collection.mutable.ArrayBuffer(
           "pts AS MATERIALIZED (SELECT vec_id, " +
             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+        ctes ++= kmeansChainSql("pts", "c_", kCoarse, coarseIters)
+        ctes += s"""cscore AS MATERIALIZED (SELECT p.vec_id,
+          c.cid AS cent_id, $cos AS csim
+          FROM pts p CROSS JOIN c_cent$coarseIters c)"""
+        ctes += """adoc AS MATERIALIZED (SELECT vec_id, cent_id
+          FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+          FROM cscore WHERE csim IS NOT NULL) WHERE rn = 1)"""
+        ctes += s"""probes AS MATERIALIZED (SELECT vec_id AS qid, cent_id
+          FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+          FROM cscore WHERE vec_id < 5 AND csim IS NOT NULL)
+          WHERE rn <= $nprobe)"""
+        // per-doc residual against the assigned cell's centroid
+        ctes += s"""rdoc AS MATERIALIZED (SELECT p.vec_id, $sub AS v
+          FROM pts p JOIN adoc a USING (vec_id)
+          JOIN c_cent$coarseIters c ON c.cid = a.cent_id)"""
         for (j <- 0 until m) {
           val (lo, hi) = (j * w + 1, (j + 1) * w)
-          ctes += s"p$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM pts)"
-          ctes += s"""s${j}_cent0 AS MATERIALIZED (SELECT
-            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-              AS cid, v AS cv
-            FROM (SELECT vec_id, v FROM p$j ORDER BY vec_id LIMIT $ksub))"""
-          var prev = s"s${j}_cent0"
-          for (it <- 1 to iters) {
-            ctes += s"""s${j}_d$it AS MATERIALIZED (SELECT p.vec_id,
-              c.cid, $dist AS dist FROM p$j p CROSS JOIN $prev c)"""
-            ctes += s"""s${j}_a$it AS MATERIALIZED (SELECT vec_id, cid
-              FROM (SELECT vec_id, cid, ROW_NUMBER() OVER
-                (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              FROM s${j}_d$it) WHERE rn = 1)"""
-            ctes += s"""s${j}_cells$it AS MATERIALIZED (SELECT cid,
-              CAST(pos AS BIGINT) AS pos, COUNT(*) AS n, $avgfx AS mean
-              FROM (SELECT cid, pos, v[CAST(pos+1 AS INT)] AS val FROM
-                (SELECT a.cid, UNNEST(RANGE(LEN(p.v))) AS pos, p.v
-                 FROM s${j}_a$it a JOIN p$j p USING (vec_id)))
-              GROUP BY cid, pos)"""
-            ctes += s"""s${j}_cent$it AS MATERIALIZED (SELECT cid,
-              LIST(mean ORDER BY pos) AS cv FROM s${j}_cells$it
-              GROUP BY cid)"""
-            prev = s"s${j}_cent$it"
-          }
+          ctes += s"rp$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM rdoc)"
+          ctes ++= kmeansChainSql(s"rp$j", s"rs${j}_", ksub, iters)
         }
         ctes += "codebook AS MATERIALIZED (" +
           (0 until m).map(j =>
-            s"SELECT $j AS sub, cid, cv FROM s${j}_cent$iters")
+            s"SELECT $j AS sub, cid, cv FROM rs${j}_cent$iters")
             .mkString(" UNION ALL ") + ")"
-        ctes += "subpts AS MATERIALIZED (" +
+        ctes += "rsub AS MATERIALIZED (" +
           (0 until m).map(j =>
-            s"SELECT vec_id, $j AS sub, v AS sv FROM p$j")
+            s"SELECT vec_id, $j AS sub, v AS sv FROM rp$j")
             .mkString(" UNION ALL ") + ")"
         val d2 = "list_reduce(list_transform(range(1, LEN(sp.sv)+1), " +
           "i -> (sp.sv[i]-cb.cv[i])*(sp.sv[i]-cb.cv[i])), (a,b) -> a+b)"
         ctes += s"""enc0 AS MATERIALIZED (SELECT sp.vec_id, sp.sub,
-          cb.cid, $d2 AS dist FROM subpts sp JOIN codebook cb USING (sub))"""
+          cb.cid, $d2 AS dist FROM rsub sp JOIN codebook cb USING (sub))"""
         ctes += """enc AS MATERIALIZED (SELECT vec_id, sub, cid
           FROM (SELECT vec_id, sub, cid, ROW_NUMBER() OVER
             (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
           FROM enc0) WHERE rn = 1)"""
-        ctes += """qt AS MATERIALIZED (SELECT vec_id AS qid, sub, cid,
-          dist AS d FROM enc0 WHERE vec_id < 5)"""
+        // query residual PER PROBED CELL, its slices, its table rows
+        ctes += s"""qres AS MATERIALIZED (SELECT pr.qid, pr.cent_id,
+          $sub AS v
+          FROM probes pr JOIN pts p ON p.vec_id = pr.qid
+          JOIN c_cent$coarseIters c ON c.cid = pr.cent_id)"""
+        ctes += "qsub AS MATERIALIZED (" +
+          (0 until m).map { j =>
+            val (lo, hi) = (j * w + 1, (j + 1) * w)
+            s"SELECT qid, cent_id, $j AS sub, v[$lo:$hi] AS sv FROM qres"
+          }.mkString(" UNION ALL ") + ")"
+        ctes += s"""qt AS MATERIALIZED (SELECT sp.qid, sp.cent_id,
+          sp.sub, cb.cid, $d2 AS d
+          FROM qsub sp JOIN codebook cb USING (sub))"""
         ctes += """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
           list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
-          FROM enc e JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+          FROM enc e
+          JOIN adoc a ON a.vec_id = e.vec_id
+          JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+            AND qt.cent_id = a.cent_id
           GROUP BY qt.qid, e.vec_id)"""
-        "WITH " + ctes.mkString(",\n") + s"""
-          SELECT qid, id, dist, CAST(rk AS BIGINT) AS rk FROM
-            (SELECT qid, id, dist, ROW_NUMBER() OVER
-              (PARTITION BY qid ORDER BY dist, id) AS rk FROM sc)
-          WHERE rk <= $k ORDER BY qid, rk"""
+        "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
       })
   }
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100)
+    Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
+      q102)
 }
