@@ -102,6 +102,18 @@ object Similarity {
     math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
+  /** Corpus-sized coarse-list COUNT for the trained-centroid paths
+    * ([[ivfTopKKmeans]]/[[ivfPqTopK]]/[[ivfPqTopKResidual]]): nlist ≈
+    * ⌈√N⌉ (capped below by 1, above by N) — the same √N law as
+    * [[sizedCentroidEvery]], expressed as a count because k-means
+    * takes `k` directly rather than a spacing.
+    */
+  def sizedKCoarse(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    math.max(1, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))
+      .toInt
+  }
+
   /** Corpus row count for the self-sizing entry points: one bounded
     * metadata job (a count over the id column) unless the caller
     * already knows N. Callers with an expensive upstream should pass
@@ -759,6 +771,22 @@ object Similarity {
       .withColumn("dist", adcScore(col("dtab"), col("codes"), ksub))
     pqRank(scored, k)
   }
+
+  /** [[ivfPqTopK]] with corpus-sized coarse lists (kCoarse = ⌈√N⌉,
+    * [[sizedKCoarse]]) — the production entry point: per-query ADC
+    * work is ≈ N·nprobe/√N = nprobe·√N code folds, and coarse
+    * assignment is Θ(N^1.5), the standard IVF scaling. The fixed-k
+    * form is the q101/q102 oracle contract.
+    */
+  def ivfPqTopKSized(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ksub: Int, k: Int,
+                     nprobe: Int = 3, coarseIters: Int = 2,
+                     pqIters: Int = 2,
+                     corpusCount: Option[Long] = None): DataFrame =
+    ivfPqTopK(queries, corpus, qidCol, idCol, vecCol, dim, m, ksub, k,
+      kCoarse = sizedKCoarse(countOf(corpus, idCol, corpusCount)),
+      nprobe = nprobe, coarseIters = coarseIters, pqIters = pqIters)
 
   /** RESIDUAL IVF-PQ — the published form (Jégou et al. 2011 §IV.B,
     * what FAISS `IVFx,PQy` actually encodes): PQ codebooks are trained

@@ -753,6 +753,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("ivfPqTopKSized == fixed form at the derived kCoarse; known count skips the job") {
+    val (dim, m, ksub, k, nprobe) = (64, 4, 8, 5, 2)
+    val q = emb.filter($"vec_id" < 3)
+    val n = emb.count()
+    val kc = Similarity.sizedKCoarse(n)
+    assert(kc == math.ceil(math.sqrt(n.toDouble)).toInt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"qid", $"rk").as[(Long, Long, Double, Long)]
+        .collect().toSeq
+    val sized = rows(Similarity.ivfPqTopKSized(q, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, nprobe))
+    assert(sized == rows(Similarity.ivfPqTopK(q, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, kCoarse = kc,
+      nprobe = nprobe)))
+    assert(sized == rows(Similarity.ivfPqTopKSized(q, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, nprobe,
+      corpusCount = Some(n))))
+  }
+
   test("residual IVF-PQ matches a driver-side replay; deterministic across partitionings") {
     val (dim, m, ksub, kCoarse, nprobe, k) = (64, 4, 8, 6, 2, 5)
     val w = dim / m
