@@ -788,6 +788,53 @@ object Similarity {
       kCoarse = sizedKCoarse(countOf(corpus, idCol, corpusCount)),
       nprobe = nprobe, coarseIters = coarseIters, pqIters = pqIters)
 
+  /** Sign bit per DIMENSION packed into one long (dim ≤ 64) — binary
+    * quantization, as opposed to [[planeSignature]]'s random
+    * hyperplanes. Bit 63 is Long.MinValue directly: `1L << 63` as an
+    * additive term would overflow, and the oracle mirrors the same
+    * special case (DuckDB errors on `1 << 63`).
+    */
+  private def signBits(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"dim in [1,64] for one long, got $dim")
+    (0 until dim).map { i =>
+      val bit = if (i == 63) Long.MinValue else 1L << i
+      when(element_at(vec, i + 1) > 0, lit(bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Binary-quantization retrieval: 64× memory cut (one long per
+    * vector), Hamming-distance prescreen via xor+popcount — pure
+    * integer column algebra, fully codegen — then EXACT cosine rerank
+    * of the top-`rerank` candidates per query (the modern
+    * binary-embedding serving pattern: store bits + a small float
+    * cache for rerank). Shuffle contract matches the other ANN paths:
+    * signatures are one long per row, the query batch broadcasts, the
+    * Hamming top-`rerank` is a WindowGroupLimit window over
+    * (qid, ham, nid), and vectors re-join only for the ≤ rerank
+    * finalists. Deterministic end to end: Hamming is integer, ties
+    * break by nid, and the rerank reuses [[rankCandidates]]'s gated
+    * cosine. Output: (qid, nid, sim, rk).
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+                 qidCol: String, idCol: String, vecCol: String,
+                 dim: Int, k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k,
+      s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val csig = cv.select(col("nid"),
+      signBits(col("nid_v").cast("array<double>"), dim).as("nsig"))
+    val qsig = qv.select(col("qid"),
+      signBits(col("qid_v").cast("array<double>"), dim).as("qsig"))
+    val ham = csig.crossJoin(broadcast(qsig))
+      .select(col("qid"), col("nid"),
+        bit_count(col("nsig").bitwiseXOR(col("qsig"))).as("ham"))
+    val candIds = TopK.perGroup(ham, Seq(col("qid")),
+      Seq(col("ham"), col("nid")), rerank)
+      .select(col("qid"), col("nid"))
+    rankCandidates(candIds, cv, qv, k)
+  }
+
   /** RESIDUAL IVF-PQ — the published form (Jégou et al. 2011 §IV.B,
     * what FAISS `IVFx,PQy` actually encodes): PQ codebooks are trained
     * on and codes encode the RESIDUAL vector r = v − centroid(cell),

@@ -661,7 +661,57 @@ object VectorQueries {
       })
   }
 
+  /** q103 — binary-quantization retrieval ([[Similarity.binaryTopK]]):
+    * sign-bit packing (one long per vector, 64× memory cut), Hamming
+    * xor+popcount prescreen, exact cosine rerank of the top-50.
+    * Everything is integer algebra until the gated q20 cosine, so the
+    * oracle replays it verbatim — including the bit-63 special case
+    * (Long.MinValue literal: both engines reject `1 << 63`).
+    */
+  private val q103 = {
+    val (dim, k, rerank) = (64, 10, 50)
+    Q("q103_binary_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.binaryTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "vec_id", "embedding", dim, k, rerank)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH v AS MATERIALIZED (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS MATERIALIZED (SELECT vec_id,
+          list_reduce(list_transform(range(1, ${dim + 1}),
+            i -> CASE WHEN v[i] > 0 THEN
+              (CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                    ELSE (CAST(1 AS BIGINT) << (i - 1)) END)
+              ELSE CAST(0 AS BIGINT) END),
+            (a, b) -> a | b) AS sig
+          FROM v),
+        q AS (SELECT vec_id AS qid, sig AS qsig FROM sig
+          WHERE vec_id < 5),
+        h AS (SELECT q.qid, s.vec_id AS nid,
+            bit_count(xor(s.sig, q.qsig)) AS ham
+          FROM sig s CROSS JOIN q),
+        cand AS (SELECT qid, nid FROM (SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+          FROM h) WHERE rn <= $rerank),
+        scored AS (SELECT c.qid, c.nid,
+            (list_dot_product(b.v, a.v) /
+              (SQRT(list_dot_product(a.v, a.v)) *
+               SQRT(list_dot_product(b.v, b.v)))) AS sim
+          FROM cand c
+          JOIN v a ON a.vec_id = c.qid
+          JOIN v b ON b.vec_id = c.nid),
+        ranked AS (SELECT qid, nid, sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS rk
+          FROM scored WHERE sim IS NOT NULL)
+        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM ranked
+        WHERE rk <= $k ORDER BY qid, rk"""))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102)
+      q102, q103)
 }

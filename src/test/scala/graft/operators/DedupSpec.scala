@@ -753,6 +753,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("binaryTopK: high recall vs brute force; rerank=N degenerates to exact") {
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(q, emb, "vec_id",
+      "vec_id", "embedding", k = 10))
+    val n = emb.count().toInt
+    // rerank = whole corpus: the Hamming prescreen prunes nothing, so
+    // the result IS the brute-force ranking
+    assert(rows(Similarity.binaryTopK(q, emb, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 10, rerank = n)) == exact)
+    // a real prescreen keeps most of the true neighborhood
+    val got = Similarity.binaryTopK(q, emb, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 10, rerank = 50)
+    val r = rows(got)
+    val recall = (exact intersect r).size.toDouble / exact.size
+    info(s"binary-quantization recall@50 = $recall")
+    assert(recall >= 0.6, s"recall $recall too low")
+    // deterministic across partitionings
+    assert(rows(Similarity.binaryTopK(q, emb.repartition(7), "vec_id",
+      "vec_id", "embedding", dim = 64, k = 10, rerank = 50)) == r)
+  }
+
   test("ivfPqTopKSized == fixed form at the derived kCoarse; known count skips the job") {
     val (dim, m, ksub, k, nprobe) = (64, 4, 8, 5, 2)
     val q = emb.filter($"vec_id" < 3)
