@@ -835,6 +835,40 @@ object Similarity {
     rankCandidates(candIds, cv, qv, k)
   }
 
+  /** Matryoshka (truncated-dimension) retrieval — the MRL serving
+    * pattern (Kusupati et al. 2022, "Matryoshka Representation
+    * Learning"): prescreen on the FIRST `dimPrefix` dimensions (MRL
+    * embeddings front-load information, so a short prefix preserves
+    * neighborhood structure at dimPrefix/dim of the compute and
+    * bandwidth), then rerank the top-`rerank` candidates with
+    * full-dimension exact cosine. Completes the prescreen-rerank
+    * family: [[binaryTopK]] (1 bit/dim), [[pqTopK]] (m codes),
+    * this (prefix dims) — all sharing [[rankCandidates]]'s gated
+    * exact tail. Both stages are the gated cosine algebra, so the
+    * whole path is oracle-replayable. Output: (qid, nid, sim, rk).
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, idCol: String, vecCol: String,
+                     dimPrefix: Int, k: Int, rerank: Int): DataFrame = {
+    require(dimPrefix >= 1, s"dimPrefix >= 1, got $dimPrefix")
+    require(k >= 1 && rerank >= k,
+      s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    def pre(v: Column): Column =
+      slice(v.cast("array<double>"), 1, dimPrefix)
+    val scored = filterOnce(
+      cv.select(col("nid"), pre(col("nid_v")).as("np"))
+        .crossJoin(broadcast(
+          qv.select(col("qid"), pre(col("qid_v")).as("qp")))),
+      "psim", VectorFunctions.cosine(col("qp"), col("np")), _.isNotNull)
+      .select(col("qid"), col("nid"), col("psim"))
+    val candIds = TopK.perGroup(scored, Seq(col("qid")),
+      Seq(col("psim").desc, col("nid")), rerank)
+      .select(col("qid"), col("nid"))
+    rankCandidates(candIds, cv, qv, k)
+  }
+
   /** RESIDUAL IVF-PQ — the published form (Jégou et al. 2011 §IV.B,
     * what FAISS `IVFx,PQy` actually encodes): PQ codebooks are trained
     * on and codes encode the RESIDUAL vector r = v − centroid(cell),

@@ -711,7 +711,51 @@ object VectorQueries {
         WHERE rk <= $k ORDER BY qid, rk"""))
   }
 
+  /** q104 — Matryoshka retrieval ([[Similarity.matryoshkaTopK]]):
+    * truncated-dimension cosine prescreen (first 16 of 64 dims — ¼ of
+    * the prescreen compute/bandwidth) then full-dimension exact rerank
+    * of the top-50. Both stages are the gated q20 cosine algebra on
+    * sliced DOUBLE lists, so the oracle replays them verbatim.
+    */
+  private val q104 = {
+    val (dimPrefix, k, rerank) = (16, 10, 50)
+    Q("q104_matryoshka_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.matryoshkaTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "vec_id", "embedding", dimPrefix, k, rerank)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH v AS MATERIALIZED (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS MATERIALIZED (SELECT vec_id, v[1:$dimPrefix] AS pv FROM v),
+        q AS (SELECT vec_id AS qid, pv AS qp FROM p WHERE vec_id < 5),
+        pre AS (SELECT q.qid, c.vec_id AS nid,
+            (list_dot_product(c.pv, q.qp) /
+              (SQRT(list_dot_product(q.qp, q.qp)) *
+               SQRT(list_dot_product(c.pv, c.pv)))) AS psim
+          FROM p c CROSS JOIN q),
+        cand AS (SELECT qid, nid FROM (SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY psim DESC, nid) AS rn
+          FROM pre WHERE psim IS NOT NULL) WHERE rn <= $rerank),
+        scored AS (SELECT c.qid, c.nid,
+            (list_dot_product(b.v, a.v) /
+              (SQRT(list_dot_product(a.v, a.v)) *
+               SQRT(list_dot_product(b.v, b.v)))) AS sim
+          FROM cand c
+          JOIN v a ON a.vec_id = c.qid
+          JOIN v b ON b.vec_id = c.nid),
+        ranked AS (SELECT qid, nid, sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid) AS rk
+          FROM scored WHERE sim IS NOT NULL)
+        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM ranked
+        WHERE rk <= $k ORDER BY qid, rk"""))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103)
+      q102, q103, q104)
 }

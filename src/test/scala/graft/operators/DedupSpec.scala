@@ -776,6 +776,29 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", dim = 64, k = 10, rerank = 50)) == r)
   }
 
+  test("matryoshkaTopK: prefix prescreen + exact rerank; rerank=N is brute force") {
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(q, emb, "vec_id",
+      "vec_id", "embedding", k = 10))
+    val n = emb.count().toInt
+    assert(rows(Similarity.matryoshkaTopK(q, emb, "vec_id", "vec_id",
+      "embedding", dimPrefix = 16, k = 10, rerank = n)) == exact)
+    val got = Similarity.matryoshkaTopK(q, emb, "vec_id", "vec_id",
+      "embedding", dimPrefix = 16, k = 10, rerank = 50)
+    val r = rows(got)
+    val recall = (exact intersect r).size.toDouble / exact.size
+    info(s"matryoshka recall@50 (16 of 64 dims) = $recall")
+    // the fixture is RANDOM, so a 16-dim prefix is just a random
+    // projection (measured 0.5 here); true MRL embeddings front-load
+    // information and recall would be far higher — the bound only
+    // guards against a broken prescreen, not MRL quality
+    assert(recall >= 0.3, s"recall $recall too low")
+    assert(rows(Similarity.matryoshkaTopK(q, emb.repartition(5),
+      "vec_id", "vec_id", "embedding", 16, 10, 50)) == r)
+  }
+
   test("ivfPqTopKSized == fixed form at the derived kCoarse; known count skips the job") {
     val (dim, m, ksub, k, nprobe) = (64, 4, 8, 5, 2)
     val q = emb.filter($"vec_id" < 3)
