@@ -110,8 +110,11 @@ object Similarity {
     */
   def sizedKCoarse(n: Long): Int = {
     require(n > 0, s"corpus count must be positive, got $n")
-    math.max(1, math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))
-      .toInt
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    // ceil(sqrt(n)) is in [1, n] for every legal n; only the Int cast
+    // needs a guard (n > ~4.6e18 would overflow it)
+    require(k <= Int.MaxValue, s"kCoarse $k exceeds Int.MaxValue")
+    k.toInt
   }
 
   /** Corpus row count for the self-sizing entry points: one bounded
@@ -788,6 +791,21 @@ object Similarity {
       kCoarse = sizedKCoarse(countOf(corpus, idCol, corpusCount)),
       nprobe = nprobe, coarseIters = coarseIters, pqIters = pqIters)
 
+  /** [[ivfPqTopKResidual]] with corpus-sized coarse lists
+    * (kCoarse = ⌈√N⌉, [[sizedKCoarse]]) — the production entry point
+    * for the residual form, same law as [[ivfPqTopKSized]].
+    */
+  def ivfPqTopKResidualSized(queries: DataFrame, corpus: DataFrame,
+                             qidCol: String, idCol: String,
+                             vecCol: String, dim: Int, m: Int,
+                             ksub: Int, k: Int, nprobe: Int = 3,
+                             coarseIters: Int = 2, pqIters: Int = 2,
+                             corpusCount: Option[Long] = None): DataFrame =
+    ivfPqTopKResidual(queries, corpus, qidCol, idCol, vecCol, dim, m,
+      ksub, k,
+      kCoarse = sizedKCoarse(countOf(corpus, idCol, corpusCount)),
+      nprobe = nprobe, coarseIters = coarseIters, pqIters = pqIters)
+
   /** Sign bit per DIMENSION packed into one long (dim ≤ 64) — binary
     * quantization, as opposed to [[planeSignature]]'s random
     * hyperplanes. Bit 63 is Long.MinValue directly: `1L << 63` as an
@@ -857,11 +875,15 @@ object Similarity {
     val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     def pre(v: Column): Column =
       slice(v.cast("array<double>"), 1, dimPrefix)
-    val scored = filterOnce(
-      cv.select(col("nid"), pre(col("nid_v")).as("np"))
-        .crossJoin(broadcast(
-          qv.select(col("qid"), pre(col("qid_v")).as("qp")))),
-      "psim", VectorFunctions.cosine(col("qp"), col("np")), _.isNotNull)
+    // zero-norm PREFIXES (null cosine) rank LAST (-2 < any real cosine)
+    // instead of being filtered: a vector whose information lives past
+    // the prefix must stay reachable, or rerank=N would not degenerate
+    // to brute force (the spec contract)
+    val scored = cv.select(col("nid"), pre(col("nid_v")).as("np"))
+      .crossJoin(broadcast(
+        qv.select(col("qid"), pre(col("qid_v")).as("qp"))))
+      .withColumn("psim",
+        coalesce(VectorFunctions.cosine(col("qp"), col("np")), lit(-2.0)))
       .select(col("qid"), col("nid"), col("psim"))
     val candIds = TopK.perGroup(scored, Seq(col("qid")),
       Seq(col("psim").desc, col("nid")), rerank)

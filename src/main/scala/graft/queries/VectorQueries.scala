@@ -490,6 +490,51 @@ object VectorQueries {
     ctes.toSeq
   }
 
+  /** Cosine of a point row `p.v` against a centroid row `c.cv` — the
+    * ONE coarse-assignment expression the q101/q102 oracles share.
+    */
+  private val cosPC = "(list_dot_product(p.v, c.cv) / " +
+    "(SQRT(list_dot_product(p.v, p.v)) * " +
+    "SQRT(list_dot_product(c.cv, c.cv))))"
+
+  /** Coarse-assignment replay shared by q101/q102 (q91's SQL shape):
+    * cscore (all point×centroid cosines), adoc (argmax assignment),
+    * probes (per-query top-nprobe cells). Expects `pts` and
+    * `c_cent$coarseIters` CTEs in scope.
+    */
+  private def coarseAssignCtes(coarseIters: Int,
+                               nprobe: Int): Seq[String] = Seq(
+    s"""cscore AS MATERIALIZED (SELECT p.vec_id, c.cid AS cent_id,
+      $cosPC AS csim FROM pts p CROSS JOIN c_cent$coarseIters c)""",
+    """adoc AS MATERIALIZED (SELECT vec_id, cent_id
+      FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+      FROM cscore WHERE csim IS NOT NULL) WHERE rn = 1)""",
+    s"""probes AS MATERIALIZED (SELECT vec_id AS qid, cent_id
+      FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+      FROM cscore WHERE vec_id < 5 AND csim IS NOT NULL)
+      WHERE rn <= $nprobe)""")
+
+  /** Exact-cosine rerank tail shared by the q103/q104 oracles: expects
+    * `v` (vec_id, v) and `cand` (qid, nid) CTEs in scope; closes the
+    * WITH clause.
+    */
+  private def cosRerankSql(k: Int): String =
+    s"""scored AS (SELECT c.qid, c.nid,
+        (list_dot_product(b.v, a.v) /
+          (SQRT(list_dot_product(a.v, a.v)) *
+           SQRT(list_dot_product(b.v, b.v)))) AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.qid
+      JOIN v b ON b.vec_id = c.nid),
+    ranked AS (SELECT qid, nid, sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, nid) AS rk
+      FROM scored WHERE sim IS NOT NULL)
+    SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM ranked
+    WHERE rk <= $k ORDER BY qid, rk"""
+
   private def pqRankSql(k: Int): String =
     s"""SELECT qid, id, dist, CAST(rk AS BIGINT) AS rk FROM
       (SELECT qid, id, dist, ROW_NUMBER() OVER
@@ -541,22 +586,9 @@ object VectorQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some {
-        val cos = "(list_dot_product(p.v, c.cv) / " +
-          "(SQRT(list_dot_product(p.v, p.v)) * " +
-          "SQRT(list_dot_product(c.cv, c.cv))))"
         val ctes = pqOracleCtes(dim, m, ksub, iters) ++
-          kmeansChainSql("pts", "c_", kCoarse, coarseIters) ++ Seq(
-          s"""cscore AS MATERIALIZED (SELECT p.vec_id, c.cid AS cent_id,
-            $cos AS csim FROM pts p CROSS JOIN c_cent$coarseIters c)""",
-          """adoc AS MATERIALIZED (SELECT vec_id, cent_id
-            FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
-              (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-            FROM cscore WHERE csim IS NOT NULL) WHERE rn = 1)""",
-          s"""probes AS MATERIALIZED (SELECT vec_id AS qid, cent_id
-            FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
-              (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-            FROM cscore WHERE vec_id < 5 AND csim IS NOT NULL)
-            WHERE rn <= $nprobe)""",
+          kmeansChainSql("pts", "c_", kCoarse, coarseIters) ++
+          coarseAssignCtes(coarseIters, nprobe) ++ Seq(
           """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
             list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
             FROM enc e
@@ -591,27 +623,13 @@ object VectorQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some {
-        val cos = "(list_dot_product(p.v, c.cv) / " +
-          "(SQRT(list_dot_product(p.v, p.v)) * " +
-          "SQRT(list_dot_product(c.cv, c.cv))))"
         val sub = "list_transform(range(1, LEN(p.v)+1), " +
           "i -> p.v[i] - c.cv[i])"
         val ctes = scala.collection.mutable.ArrayBuffer(
           "pts AS MATERIALIZED (SELECT vec_id, " +
             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
         ctes ++= kmeansChainSql("pts", "c_", kCoarse, coarseIters)
-        ctes += s"""cscore AS MATERIALIZED (SELECT p.vec_id,
-          c.cid AS cent_id, $cos AS csim
-          FROM pts p CROSS JOIN c_cent$coarseIters c)"""
-        ctes += """adoc AS MATERIALIZED (SELECT vec_id, cent_id
-          FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
-            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-          FROM cscore WHERE csim IS NOT NULL) WHERE rn = 1)"""
-        ctes += s"""probes AS MATERIALIZED (SELECT vec_id AS qid, cent_id
-          FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER
-            (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-          FROM cscore WHERE vec_id < 5 AND csim IS NOT NULL)
-          WHERE rn <= $nprobe)"""
+        ctes ++= coarseAssignCtes(coarseIters, nprobe)
         // per-doc residual against the assigned cell's centroid
         ctes += s"""rdoc AS MATERIALIZED (SELECT p.vec_id, $sub AS v
           FROM pts p JOIN adoc a USING (vec_id)
@@ -696,19 +714,7 @@ object VectorQueries {
         cand AS (SELECT qid, nid FROM (SELECT qid, nid,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
           FROM h) WHERE rn <= $rerank),
-        scored AS (SELECT c.qid, c.nid,
-            (list_dot_product(b.v, a.v) /
-              (SQRT(list_dot_product(a.v, a.v)) *
-               SQRT(list_dot_product(b.v, b.v)))) AS sim
-          FROM cand c
-          JOIN v a ON a.vec_id = c.qid
-          JOIN v b ON b.vec_id = c.nid),
-        ranked AS (SELECT qid, nid, sim,
-            ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY sim DESC, nid) AS rk
-          FROM scored WHERE sim IS NOT NULL)
-        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM ranked
-        WHERE rk <= $k ORDER BY qid, rk"""))
+        """ + cosRerankSql(k)))
   }
 
   /** q104 — Matryoshka retrieval ([[Similarity.matryoshkaTopK]]):
@@ -732,27 +738,15 @@ object VectorQueries {
         p AS MATERIALIZED (SELECT vec_id, v[1:$dimPrefix] AS pv FROM v),
         q AS (SELECT vec_id AS qid, pv AS qp FROM p WHERE vec_id < 5),
         pre AS (SELECT q.qid, c.vec_id AS nid,
-            (list_dot_product(c.pv, q.qp) /
+            COALESCE((list_dot_product(c.pv, q.qp) /
               (SQRT(list_dot_product(q.qp, q.qp)) *
-               SQRT(list_dot_product(c.pv, c.pv)))) AS psim
+               SQRT(list_dot_product(c.pv, c.pv)))), -2.0) AS psim
           FROM p c CROSS JOIN q),
         cand AS (SELECT qid, nid FROM (SELECT qid, nid,
             ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY psim DESC, nid) AS rn
-          FROM pre WHERE psim IS NOT NULL) WHERE rn <= $rerank),
-        scored AS (SELECT c.qid, c.nid,
-            (list_dot_product(b.v, a.v) /
-              (SQRT(list_dot_product(a.v, a.v)) *
-               SQRT(list_dot_product(b.v, b.v)))) AS sim
-          FROM cand c
-          JOIN v a ON a.vec_id = c.qid
-          JOIN v b ON b.vec_id = c.nid),
-        ranked AS (SELECT qid, nid, sim,
-            ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY sim DESC, nid) AS rk
-          FROM scored WHERE sim IS NOT NULL)
-        SELECT qid, nid, sim, CAST(rk AS BIGINT) AS rk FROM ranked
-        WHERE rk <= $k ORDER BY qid, rk"""))
+          FROM pre) WHERE rn <= $rerank),
+        """ + cosRerankSql(k)))
   }
 
   val all: Seq[Q] =

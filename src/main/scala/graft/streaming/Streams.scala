@@ -189,6 +189,11 @@ object Streams {
     */
   def cmsMaintain(df: DataFrame, keyCol: String, depth: Int, width: Int,
                   salt: String): DataFrame = {
+    // same loud parameter envelope as the batch twin — a width of 0
+    // would otherwise surface as a mid-stream null-bucket crash after
+    // the checkpoint exists, and depth 0 as a silently empty sketch
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width >= 2, got $width")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
@@ -197,16 +202,26 @@ object Streams {
         .cmsCells(col(keyCol), depth, width, salt)).as("rb"))
       .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .as[(Int, Long)]
-    def bump(cell: (Int, Long), rows: Iterator[(Int, Long)],
+    // map-side partial counts BEFORE the stateful exchange — the
+    // batch build's map-side combine, hand-rolled because a streaming
+    // aggregation cannot precede flatMapGroupsWithState but a
+    // stateless mapPartitions can: each partition ships ≤ depth·width
+    // (cell, n) rows per micro-batch instead of one row per occurrence
+    val partials = cells.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+      it.foreach(c => m.update(c, m.getOrElse(c, 0L) + 1L))
+      m.iterator.map { case (cell, n) => (cell._1, cell._2, n) }
+    }
+    def bump(cell: (Int, Long), rows: Iterator[(Int, Long, Long)],
              state: GroupState[(Long, Long)])
         : Iterator[(Int, Long, Long, Long)] = {
       val (prevVer, prevC) = state.getOption.getOrElse((0L, 0L))
-      val c = prevC + rows.size
+      val c = prevC + rows.map(_._3).sum
       val ver = prevVer + 1
       state.update((ver, c))
       Iterator.single((cell._1, cell._2, c, ver))
     }
-    cells.groupByKey(identity)
+    partials.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(bump)
       .toDF("row", "bucket", "c", "ver")

@@ -797,6 +797,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low")
     assert(rows(Similarity.matryoshkaTopK(q, emb.repartition(5),
       "vec_id", "vec_id", "embedding", 16, 10, 50)) == r)
+    // a vector whose information lives ENTIRELY past the prefix
+    // (zero-norm prefix -> null prescreen cosine) must stay reachable:
+    // it ranks last in the prescreen, not dropped from it
+    val planted = (Seq.fill(16)(0f) ++ Seq(1f) ++ Seq.fill(47)(0f))
+    val corpus2 = emb.select($"vec_id", $"embedding")
+      .union(Seq((9001L, planted)).toDF("vec_id", "embedding"))
+    val q2 = corpus2.filter($"vec_id" === 9001L)
+    val got2 = rows(Similarity.matryoshkaTopK(q2, corpus2, "vec_id",
+      "vec_id", "embedding", 16, 10, rerank = n + 1))
+    assert(got2.contains((9001L, 9001L)), got2.toString)
   }
 
   test("ivfPqTopKSized == fixed form at the derived kCoarse; known count skips the job") {
@@ -816,6 +826,12 @@ class SimilaritySpec extends SparkSpec {
     assert(sized == rows(Similarity.ivfPqTopKSized(q, emb, "vec_id",
       "vec_id", "embedding", dim, m, ksub, k, nprobe,
       corpusCount = Some(n))))
+    // the residual form's sized twin follows the same law
+    assert(rows(Similarity.ivfPqTopKResidualSized(q, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, nprobe,
+      corpusCount = Some(n))) ==
+      rows(Similarity.ivfPqTopKResidual(q, emb, "vec_id", "vec_id",
+        "embedding", dim, m, ksub, k, kCoarse = kc, nprobe = nprobe)))
   }
 
   test("residual IVF-PQ matches a driver-side replay; deterministic across partitionings") {
