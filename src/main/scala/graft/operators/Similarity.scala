@@ -806,6 +806,72 @@ object Similarity {
       kCoarse = sizedKCoarse(countOf(corpus, idCol, corpusCount)),
       nprobe = nprobe, coarseIters = coarseIters, pqIters = pqIters)
 
+  /** MMR — maximal marginal relevance (Carbonell & Goldstein 1998):
+    * greedily select `k` of a query's candidates maximizing
+    * λ·rel − (1−λ)·max(sim to already-selected) — the diversity-aware
+    * selection step after any retrieval (and the classic
+    * diverse-exemplar picker for training-data curation). The
+    * candidate set per query is BOUNDED by contract (a retrieval
+    * top-N), so the only unbounded work — the candidate×candidate
+    * cosines — is a per-query N² of gated `graft_cosine` rows, and
+    * the greedy loop runs in typed `flatMapGroups` over one group's
+    * bounded rows (the container-decoder mapPartitions precedent;
+    * selection is inherently sequential). Deterministic: cosines are
+    * the gated kernel, JVM float arithmetic never fuses, max is
+    * order-free, ties break by smallest id (strict-> over ascending
+    * ids). At λ=1/2 the score is an EXACT power-of-two scaling of
+    * rel − maxSim, which is why the q105 oracle can replay it
+    * bit-for-bit (the q90 FMA lesson: a general λ·a − (1−λ)·b double
+    * shape is contractable by DuckDB, a bare subtraction is not).
+    * NULL rel/sim rows (zero vectors) are quarantined, the family
+    * convention. Ids must be long. Output: (qid, id, rk, score).
+    */
+  def mmrSelect(cands: DataFrame, qidCol: String, idCol: String,
+                vecCol: String, relCol: String, lambda: Double,
+                k: Int): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    require(k >= 1, s"k >= 1, got $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val c = cands.select(col(qidCol).cast("long").as("qid"),
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      col(relCol).cast("double").as("rel"))
+    val a = c.select(col("qid"), col("id").as("a"),
+      col("rel").as("arel"), col("v").as("av"))
+    val b = c.select(col("qid"), col("id").as("b"), col("v").as("bv"))
+    val pairs = filterOnce(a.join(b, Seq("qid")),
+      "sim", VectorFunctions.cosine(col("av"), col("bv")), _.isNotNull)
+      .filter(col("arel").isNotNull)
+      .select(col("qid"), col("a"), col("arel"), col("b"), col("sim"))
+      .as[(Long, Long, Double, Long, Double)]
+    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rel = scala.collection.mutable.Map.empty[Long, Double]
+      val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      it.foreach { r => rel(r._2) = r._3; sim((r._2, r._4)) = r._5 }
+      val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      var t = 1
+      while (t <= k && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestG = Double.NegativeInfinity
+        for (cid <- remaining) { // ascending: strict > keeps min id on ties
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => sim((cid, s))).max
+          val g = lambda * rel(cid) - (1.0 - lambda) * ms
+          if (g > bestG) { bestG = g; bestId = cid }
+        }
+        selected += bestId
+        remaining -= bestId
+        out += ((qid, bestId, t.toLong, bestG))
+        t += 1
+      }
+      out.iterator
+    }.toDF("qid", "id", "rk", "score")
+  }
+
   /** Sign bit per DIMENSION packed into one long (dim ≤ 64) — binary
     * quantization, as opposed to [[planeSignature]]'s random
     * hyperplanes. Bit 63 is Long.MinValue directly: `1L << 63` as an

@@ -749,7 +749,82 @@ object VectorQueries {
         """ + cosRerankSql(k)))
   }
 
+  /** q105 — MMR diversity selection ([[Similarity.mmrSelect]]): greedy
+    * λ·rel − (1−λ)·maxSim over a bounded retrieval pool (top-20 exact
+    * cosine), k=5 picks per query. Gateable at λ=1/2 because the
+    * score is an exact power-of-two scaling of rel − maxSim — a bare
+    * subtraction, immune to the q90 FMA contraction — so the oracle
+    * unrolls the five greedy steps as MATERIALIZED CTE stages
+    * (per-step max-sim-to-selected, anti-join of the picked set,
+    * total-order argmax) and multiplies by 0.5 only at emission.
+    */
+  private val q105 = {
+    val (pool, k) = (20, 5)
+    Q("q105_mmr_select",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cands = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "vec_id",
+          "embedding", k = pool)
+          .join(e.select(col("vec_id").as("nid"),
+            col("embedding").as("v")), Seq("nid"))
+        Similarity.mmrSelect(cands, "qid", "nid", "v", "sim",
+          lambda = 0.5, k = k)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val ctes = scala.collection.mutable.ArrayBuffer(
+          "v AS MATERIALIZED (SELECT vec_id, " +
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+          "q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5)",
+          """relsc AS (SELECT q.qid, c.vec_id AS id,
+            (list_dot_product(c.v, q.qv) /
+              (SQRT(list_dot_product(q.qv, q.qv)) *
+               SQRT(list_dot_product(c.v, c.v)))) AS rel
+          FROM v c CROSS JOIN q)""",
+          s"""cand AS MATERIALIZED (SELECT qid, id, rel
+            FROM (SELECT qid, id, rel, ROW_NUMBER() OVER
+              (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+            FROM relsc WHERE rel IS NOT NULL) WHERE rn <= $pool)""",
+          """pairs AS MATERIALIZED (SELECT ca.qid, ca.id AS a,
+            cb.id AS b,
+            (list_dot_product(vb.v, va.v) /
+              (SQRT(list_dot_product(va.v, va.v)) *
+               SQRT(list_dot_product(vb.v, vb.v)))) AS sim
+          FROM cand ca
+          JOIN cand cb ON cb.qid = ca.qid
+          JOIN v va ON va.vec_id = ca.id
+          JOIN v vb ON vb.vec_id = cb.id)""",
+          """sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS qid,
+            CAST(NULL AS BIGINT) AS id WHERE 1 = 0)""")
+        for (t <- 1 to k) {
+          val prev = s"sel${t - 1}"
+          ctes += s"""ms$t AS MATERIALIZED (SELECT p.qid, p.a AS id,
+            MAX(p.sim) AS ms FROM pairs p
+            JOIN $prev s ON s.qid = p.qid AND s.id = p.b
+            GROUP BY p.qid, p.a)"""
+          ctes += s"""sc$t AS MATERIALIZED (SELECT c.qid, c.id,
+            c.rel - COALESCE(m.ms, 0.0) AS g
+            FROM cand c LEFT JOIN ms$t m
+              ON m.qid = c.qid AND m.id = c.id
+            WHERE NOT EXISTS (SELECT 1 FROM $prev s
+              WHERE s.qid = c.qid AND s.id = c.id))"""
+          ctes += s"""pick$t AS MATERIALIZED (SELECT qid, id, g
+            FROM (SELECT qid, id, g, ROW_NUMBER() OVER
+              (PARTITION BY qid ORDER BY g DESC, id) AS rn
+            FROM sc$t) WHERE rn = 1)"""
+          ctes += s"""sel$t AS MATERIALIZED (SELECT qid, id FROM $prev
+            UNION ALL SELECT qid, id FROM pick$t)"""
+        }
+        val sel = (1 to k).map(t =>
+          s"SELECT qid, id, CAST($t AS BIGINT) AS rk, 0.5 * g AS score " +
+            s"FROM pick$t").mkString(" UNION ALL ")
+        "WITH " + ctes.mkString(",\n") +
+          s"\nSELECT * FROM ($sel) ORDER BY qid, rk"
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104)
+      q102, q103, q104, q105)
 }

@@ -895,6 +895,59 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mmrSelect: greedy replay matches; lambda=1 is top-k by relevance") {
+    val q = emb.filter($"vec_id" < 3)
+    val cands = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k = 20)
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("v")),
+        Seq("nid"))
+    def rows(lam: Double) = Similarity
+      .mmrSelect(cands, "qid", "nid", "v", "sim", lam, k = 5)
+      .orderBy($"qid", $"rk").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    val got = rows(0.5)
+    // deterministic across partitionings
+    assert(got == Similarity.mmrSelect(cands.repartition(7), "qid",
+      "nid", "v", "sim", 0.5, 5).orderBy($"qid", $"rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq)
+    // lambda=1: diversity term vanishes -> exactly the top-5 by rel
+    val top = rows(1.0)
+    val expectTop = cands.select($"qid", $"nid", $"sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        cs.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex
+          .map { case (c, i) => (qid, c._2, (i + 1).toLong, c._3) }
+      }.sortBy(r => (r._1, r._3))
+    assert(top == expectTop)
+    // driver-side greedy replay from the operator's own pair cosines
+    val rel = cands.select($"qid", $"nid", $"sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(c => c._2 -> c._3).toMap).toMap
+    val vecs = cands.select($"nid", $"v".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // driver cosine replays the sequential dot/norm folds
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, r)) => s + p * r }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = rel.keys.toSeq.sorted.flatMap { qid =>
+      val rl = rel(qid)
+      var remaining = rl.keys.toSeq.sorted
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to 5).map { t =>
+        val (bid, bg) = remaining.map { cid =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(vecs(cid), vecs(s))).max
+          (cid, 0.5 * rl(cid) - 0.5 * ms)
+        }.maxBy { case (cid, g) => (g, -cid) }
+        selected += bid; remaining = remaining.filterNot(_ == bid)
+        (qid, bid, t.toLong, bg)
+      }
+    }
+    assert(got == expect)
+  }
+
   test("PQ: NULL vectors drop from codes and queries (quarantine, not garbage)") {
     val (dim, m, ksub) = (64, 4, 8)
     val withNull = emb.select($"vec_id", $"embedding")
