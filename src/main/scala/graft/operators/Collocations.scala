@@ -95,11 +95,17 @@ object Collocations {
     val raw = lit(PmiScale.toDouble) * log(ratio)
     minQuantMargin.foreach { threshold =>
       val frac = raw - floor(raw)
-      val m = joined.select(min(least(frac, lit(1.0) - frac)).as("m"))
-        .head().getDouble(0)
-      if (m < threshold) throw new IllegalStateException(
-        f"topPmi quantization margin $m%.3e below threshold " +
-          f"$threshold%.3e — re-audit the fixture")
+      val row = joined.select(min(least(frac, lit(1.0) - frac)).as("m"))
+        .head()
+      // empty audited relation (nothing survives minCount): min() is
+      // NULL and there is nothing whose quantization could flip —
+      // skip rather than NPE on getDouble
+      if (!row.isNullAt(0)) {
+        val m = row.getDouble(0)
+        if (m < threshold) throw new IllegalStateException(
+          f"topPmi quantization margin $m%.3e below threshold " +
+            f"$threshold%.3e — re-audit the fixture")
+      }
     }
     val scored = joined.withColumn("pmi_q", floor(raw).cast("long"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),

@@ -418,13 +418,18 @@ object Sampling {
       // to its floor boundary (one extra pass over df — the q72 guard
       // shape, per-row here because the key is per-row)
       val frac = raw - floor(raw)
-      val m = df.select(min(least(frac, lit(1.0) - frac)).as("m"))
-        .head().getDouble(0)
-      if (m < threshold) throw new IllegalStateException(
-        f"weightedTopK quantization margin $m%.3e below threshold " +
-          f"$threshold%.3e: a key sits close enough to its floor " +
-          "boundary that cross-engine ln drift could flip it — " +
-          "re-audit the fixture or change the salt")
+      val row = df.select(min(least(frac, lit(1.0) - frac)).as("m"))
+        .head()
+      // empty input: min() is NULL and no key exists to flip — skip
+      // the audit rather than NPE on getDouble
+      if (!row.isNullAt(0)) {
+        val m = row.getDouble(0)
+        if (m < threshold) throw new IllegalStateException(
+          f"weightedTopK quantization margin $m%.3e below threshold " +
+            f"$threshold%.3e: a key sits close enough to its floor " +
+            "boundary that cross-engine ln drift could flip it — " +
+            "re-audit the fixture or change the salt")
+      }
     }
     val keyed = df.withColumn("wkey", floor(raw).cast("long"))
     strataCol match {

@@ -471,6 +471,15 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    // an empty centroid relation would give every row a null
+    // assignment and the operator would silently return ZERO
+    // survivors — a curation run would drop the whole corpus with no
+    // error. Fail loudly instead (sparse / non-contiguous id domains,
+    // or a sized spacing larger than any id, land here).
+    require(!cents.isEmpty,
+      s"semDedup: no ids divisible by centroidEvery=$centroidEvery — " +
+        "the id domain violates the id % centroidEvery == 0 centroid " +
+        "convention; pass a smaller centroidEvery or densify ids")
     // persisted, owned pin: the assignment is the N×nlist cosine stage
     // and THREE consumers reference it (both pair sides + the final
     // anti-join) — unpinned, Spark rebuilds the whole tower per
@@ -904,8 +913,15 @@ object Similarity {
                  dim: Int, k: Int, rerank: Int): DataFrame = {
     require(k >= 1 && rerank >= k,
       s"need rerank >= k >= 1, got k=$k rerank=$rerank")
-    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
-    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    // NULL-vector quarantine (the pqEncode/pqDistTables convention):
+    // unfiltered, a NULL vector signs to 0 (every when(null > 0)
+    // falls to otherwise), competes in the Hamming prescreen, can
+    // occupy rerank slots displacing real candidates, then vanishes
+    // at the cosine rerank — shrinking effective recall silently.
+    val cv = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    val qv = queries.filter(col(vecCol).isNotNull)
+      .select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     val csig = cv.select(col("nid"),
       signBits(col("nid_v").cast("array<double>"), dim).as("nsig"))
     val qsig = qv.select(col("qid"),

@@ -158,9 +158,18 @@ object Streams {
               state: GroupState[(Long, Seq[(Long, Long)])])
         : Iterator[(String, Long, Long, Long, Long)] = {
       val (prevVer, prev) = state.getOption.getOrElse((0L, Seq.empty))
+      // dedupe by ID (not by (wkey, id) pair): an id re-delivered
+      // with a CHANGED weight must collapse to ONE entry — keep the
+      // max key, which is arrival-order-independent. Sort with an
+      // explicit descending Ordering: negating the key overflows at
+      // Long.MinValue (extreme small weights saturate wrsKey there),
+      // which would rank the WORST key first.
       val top = (prev.iterator ++ rows.map(r => (r._3, r._2)))
-        .toSeq.distinct
-        .sortBy { case (wk, id) => (-wk, id) }
+        .toSeq.groupBy { case (_, id) => id }
+        .iterator.map { case (id, es) => (es.map(_._1).max, id) }
+        .toSeq
+        .sortBy { case (wk, id) => (wk, id) }(
+          Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
         .take(k)
       val ver = prevVer + 1
       state.update((ver, top))

@@ -63,6 +63,10 @@ class CollocationsSpec extends SparkSpec {
     val n = Collocations.topPmi(docs, "text", 5, minCount = 2,
       minQuantMargin = Some(1e-9)).count()
     assert(n >= 2 && n <= 5) // only the repeated pairs qualify
+    // minCount prunes EVERYTHING: the margin audit has nothing to
+    // check and must skip cleanly (was an opaque NPE on getDouble)
+    assert(Collocations.topPmi(docs, "text", 5, minCount = 1000000,
+      minQuantMargin = Some(0.5)).count() == 0)
     Collocations.releaseIntermediates()
   }
 }

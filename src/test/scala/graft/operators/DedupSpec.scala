@@ -964,6 +964,41 @@ class SimilaritySpec extends SparkSpec {
       == Seq(0L))
   }
 
+  test("semDedup: empty centroid relation fails loudly, not zero survivors") {
+    // id domain with NO multiples of centroidEvery: silent behavior
+    // would assign nothing and return an empty frame — a curation run
+    // would drop the whole corpus. Must throw instead.
+    val sparse = emb.filter($"vec_id" % 100 =!= 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(sparse, "vec_id", "embedding", 0.3,
+        centroidEvery = 100)
+    }
+    assert(e.getMessage.contains("centroidEvery"))
+  }
+
+  test("binaryTopK: NULL vectors quarantined from prescreen and queries") {
+    val q = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select($"qid", $"nid", $"rk").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    val clean = rows(Similarity.binaryTopK(q, emb, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 5, rerank = 20))
+    // a NULL corpus vector must not sign to 0 and occupy rerank slots
+    val withNull = emb.select($"vec_id", $"embedding")
+      .union(Seq((9001L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    assert(rows(Similarity.binaryTopK(q, withNull, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 5, rerank = 20)) == clean)
+    // a NULL query vector yields no rows for that qid
+    val qNull = q.select($"vec_id", $"embedding")
+      .union(Seq((9002L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = Similarity.binaryTopK(qNull, emb, "vec_id", "vec_id",
+      "embedding", dim = 64, k = 5, rerank = 20)
+    assert(got.filter($"qid" === 9002L).count() == 0)
+    assert(rows(got) == clean)
+  }
+
   test("PQ plan: codebook and distance tables broadcast; top-k is group-limited") {
     val (dim, m, ksub) = (64, 4, 8)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m, ksub, 1)

@@ -417,5 +417,9 @@ class SamplingSpec extends SparkSpec {
     }
     assert(Sampling.weightedTopK(docs, "doc_id", "n_chars", 3, "wrs",
       minQuantMargin = Some(1e-9)).count() == 3)
+    // empty input: the audit min() is NULL — must skip cleanly, not
+    // NPE on getDouble
+    assert(Sampling.weightedTopK(docs.filter($"doc_id" < 0), "doc_id",
+      "n_chars", 3, "wrs", minQuantMargin = Some(0.5)).count() == 0)
   }
 }

@@ -175,6 +175,52 @@ class StreamsSpec extends SparkSpec {
     assert(latest.select($"ver").as[Long].collect().forall(_ == 2L))
   }
 
+  test("weightedReservoir: re-delivered id with CHANGED weight keeps one entry (max key)") {
+    import graft.operators.Sampling
+    val in = Files.createTempDirectory("graft_wrs2_in").toString
+    val out = Files.createTempDirectory("graft_wrs2_out").toString
+    val ckpt = Files.createTempDirectory("graft_wrs2_ckpt").toString
+    val sch = StructType.fromDDL("id long, src string, w double")
+    // ids 1..4 arrive twice with DIFFERENT weights; k=4 holds them all,
+    // so any failure to collapse would surface as duplicate ids
+    val b1 = (1L to 4L).map(i => (i, "s", 1.0 + i))
+    val b2 = (1L to 4L).map(i => (i, "s", 10.0 + i))
+    def js(rows: Seq[(Long, String, Double)]) =
+      rows.map(r => s"""{"id":${r._1},"src":"${r._2}","w":${r._3}}""")
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.weightedReservoir(
+        spark.readStream.schema(sch).json(in), "id", "w", "src",
+        k = 4, salt = "wrs2"), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val snaps = spark.read.parquet(out)
+    val latest = snaps.groupBy($"stratum")
+      .agg(org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = snaps.join(latest, Seq("stratum", "ver"))
+      .select($"id", $"wkey", $"rk").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(_._3)
+    // exactly one entry per id
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._1).toSet == (1L to 4L).toSet)
+    // each id carries the MAX of its two content-addressed keys —
+    // arrival-order-independent, so batch replay on either single
+    // delivery bounds it from below
+    val k1 = Sampling.weightedTopK(b1.toDF("id", "src", "w"), "id",
+        "w", 4, "wrs2", strataCol = Some("src"))
+      .select($"id", $"wkey").as[(Long, Long)].collect().toMap
+    val k2 = Sampling.weightedTopK(b2.toDF("id", "src", "w"), "id",
+        "w", 4, "wrs2", strataCol = Some("src"))
+      .select($"id", $"wkey").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, wk, _) =>
+      assert(wk == math.max(k1(id), k2(id)),
+        s"id $id: expected max(${k1(id)}, ${k2(id)}), got $wk")
+    }
+    // ranks descend by key with ascending-id ties (explicit Ordering)
+    assert(got.sortBy(r => (-r._2, r._1)).map(_._3) == got.map(_._3))
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
