@@ -6,6 +6,22 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{broadcast, col}
 import graft.operators.Upsert
 
+/** Another writer committed a manifest between this mutation's read of
+  * the table state and its begin-commit CAS (the Delta/Iceberg
+  * optimistic-concurrency shape): the mutation's inputs are stale.
+  * The public mutation methods catch this internally and retry the
+  * WHOLE operation against the new generation up to
+  * `maxCommitRetries` times; it escapes only when retries are
+  * exhausted (sustained write contention — back off at the caller).
+  */
+final class ConcurrentCommitException(val table: String,
+                                      val expectedSeq: Long,
+                                      val foundSeq: Long)
+  extends RuntimeException(
+    s"table $table: concurrent writer committed manifest seq $foundSeq " +
+      s"(this mutation read state at seq $expectedSeq) — inputs are " +
+      "stale; retry the operation against the new generation")
+
 /** Parquet-backed table store: the engine-native replacement for the
   * reference's Postgres/Supabase serving sink (SURVEY.md §2.1 S13,
   * K2/K3/K7/K8). A table = a parquet directory under `root`.
@@ -46,9 +62,29 @@ import graft.operators.Upsert
   * wholly the previous generation: individual object writes are atomic
   * even when dir renames are not, and the per-file list reassembles
   * exactly the committed files wherever each one landed.
+  *
+  * MULTI-WRITER commits are optimistic (round 8): every mutation
+  * captures the head manifest sequence when it reads table state,
+  * stages its output in a WRITER-UNIQUE sibling
+  * (`<table>__tmp.<nonce>` / `<table>__add.<nonce>` — two concurrent
+  * writers never share a staging dir), and claims the commit by
+  * creating the swapping manifest at `seq+1` with CREATE-EXCLUSIVE —
+  * the protocol's stated atomic FS primitive. Exactly one writer per
+  * sequence number wins; the loser gets [[ConcurrentCommitException]]
+  * BEFORE any live-tree rename, deletes its staging, and the public
+  * mutation methods re-derive the whole operation (re-read, recompute,
+  * re-stage) against the new generation up to `maxCommitRetries`
+  * times — the Delta/Iceberg commit-CAS shape on the existing
+  * manifest machinery. The swapping manifest doubles as the swap
+  * lock: no competing writer can CAS past it, so the rename phase is
+  * exclusive and `__old` stays single-owner. Caveat (documented, not
+  * solved here): [[recover]] treats any swapping head as CRASHED —
+  * run it only when the writer that owns the swap is known dead
+  * (liveness detection / leases are out of scope).
   */
 final class TableStore(spark: SparkSession, root: String,
-                       retainGenerations: Int = 0) {
+                       retainGenerations: Int = 0,
+                       maxCommitRetries: Int = 5) {
 
   private def path(table: String) = s"$root/$table"
   private def hpath(table: String) = new Path(path(table))
@@ -97,7 +133,8 @@ final class TableStore(spark: SparkSession, root: String,
                                        swapping: Boolean, dirs: Seq[String],
                                        fresh: Seq[String],
                                        files: Map[String, Seq[String]] = Map.empty,
-                                       adds: Seq[String] = Nil)
+                                       adds: Seq[String] = Nil,
+                                       tmp: Option[String] = None)
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
@@ -144,7 +181,7 @@ final class TableStore(spark: SparkSession, root: String,
       }
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
         vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
-        files.toMap, vs("add")))
+        files.toMap, vs("add"), vs("tmp").headOption))
     }
   }
 
@@ -152,28 +189,99 @@ final class TableStore(spark: SparkSession, root: String,
     * pruned only after the new one exists — a crash between the two
     * leaves both on disk and readers take the max, so the manifest
     * itself needs no atomic overwrite.
+    *
+    * With `expectedPrev = Some(s)` this is the COMMIT CAS: the new
+    * manifest is created with CREATE-EXCLUSIVE at exactly `s + 1`, and
+    * a head past `s` (or losing the exclusive create) throws
+    * [[ConcurrentCommitException]] — exactly one writer per sequence
+    * number ever succeeds. Without it (recovery rollbacks), the write
+    * retries fresh sequence numbers until one lands.
     */
   private def writeManifest(table: String, gen: Long, swapping: Boolean,
                             dirs: Seq[String],
                             fresh: Seq[String] = Nil,
                             files: Map[String, Seq[String]] = Map.empty,
-                            adds: Seq[String] = Nil): Unit = {
-    val ms = listManifests(table)
-    val seq = ms.map(_._1).maxOption.getOrElse(0L) + 1
-    val p = new Path(root, manifestName(table) + seq)
-    val fs = fsOf(p)
-    val out = fs.create(p, false)
-    try {
-      val body = (Seq(s"gen=$gen",
-        s"state=${if (swapping) "swapping" else "clean"}") ++
-        dirs.flatMap(d => ("dir=" + d) +:
-          files.getOrElse(d, Nil).map("f=" + _)) ++
-        fresh.map("new=" + _) ++ adds.map("add=" + _))
-        .mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    ms.foreach { case (_, old) => fs.delete(old, false) }
+                            adds: Seq[String] = Nil,
+                            tmpName: Option[String] = None,
+                            expectedPrev: Option[Long] = None): Unit = {
+    val fs = fsOf(new Path(root))
+    val body = (Seq(s"gen=$gen",
+      s"state=${if (swapping) "swapping" else "clean"}") ++
+      dirs.flatMap(d => ("dir=" + d) +:
+        files.getOrElse(d, Nil).map("f=" + _)) ++
+      fresh.map("new=" + _) ++ adds.map("add=" + _) ++
+      tmpName.map("tmp=" + _))
+      .mkString("", "\n", "\n")
+    // returns false only when the exclusive create lost a race
+    def create(seq: Long, known: Seq[(Long, Path)]): Boolean = {
+      val p = new Path(root, manifestName(table) + seq)
+      val won =
+        try {
+          val out = fs.create(p, false)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        }
+      if (won) known.foreach { case (s, old) =>
+        if (s < seq) fs.delete(old, false)
+      }
+      won
+    }
+    expectedPrev match {
+      case Some(exp) =>
+        val ms = listManifests(table)
+        val head = ms.map(_._1).maxOption.getOrElse(0L)
+        if (head != exp)
+          throw new ConcurrentCommitException(table, exp, head)
+        if (!create(exp + 1, ms))
+          throw new ConcurrentCommitException(table, exp, exp + 1)
+      case None =>
+        var attempts = 0
+        var done = false
+        while (!done) {
+          val ms = listManifests(table)
+          done = create(ms.map(_._1).maxOption.getOrElse(0L) + 1, ms)
+          attempts += 1
+          if (!done && attempts > 50) throw new IllegalStateException(
+            s"table $table: could not claim a manifest sequence after " +
+              s"$attempts attempts — sustained manifest contention")
+        }
+    }
   }
+
+  /** Unique per-mutation staging sibling (`<table><kind>.<nonce>`):
+    * concurrent writers stage independently and never rename each
+    * other's files in. Recorded in the swapping manifest (`tmp=`) so
+    * [[recover]] can clear a crashed writer's staging.
+    */
+  private def freshStaging(table: String, kind: String): Path =
+    new Path(path(table) + kind + "." +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+
+  /** Retry a whole mutation on optimistic-commit collision: the body
+    * must RE-DERIVE everything (re-read table state, recompute frames,
+    * re-stage) each attempt — it runs against a newer generation.
+    */
+  private def retryCommit[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxCommitRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test seam: invoked immediately before a mutation's begin-commit
+    * CAS (after staging is written, before any manifest/rename) — a
+    * spec interleaves a competing writer's full mutation here to force
+    * a deterministic commit collision. Never set outside tests.
+    */
+  private[sources] var beforeBeginCommit: () => Unit = () => ()
 
   /** Relative paths of the committed data files under `dir` (recursive:
     * an unpartitioned touched dir is the whole table tree). Metadata
@@ -241,8 +349,11 @@ final class TableStore(spark: SparkSession, root: String,
       }
       m.fresh.foreach { rel => fs.delete(sub(dst, rel), true) }
       // crashed append: drop whichever uncommitted batch files already
-      // moved in; the __add sibling holds the rest
+      // moved in; the staging sibling holds the rest
       m.adds.foreach { rel => fs.delete(sub(dst, rel), false) }
+      // the crashed writer's manifest-recorded staging sibling, plus
+      // the legacy fixed-name siblings pre-unique-staging stores used
+      m.tmp.foreach { name => fs.delete(new Path(root, name), true) }
       fs.delete(new Path(path(table) + "__add"), true)
       fs.delete(tmp, true)
       fs.delete(bak, true)
@@ -380,54 +491,93 @@ final class TableStore(spark: SparkSession, root: String,
     * first-time append routes through [[rewrite]]'s fresh-table fence.
     */
   def append(table: String, df: DataFrame,
-             partitionBy: Seq[String] = Nil): Unit = {
+             partitionBy: Seq[String] = Nil): Unit =
+    retryCommit(appendBody(table, df, partitionBy))
+
+  private def appendBody(table: String, df: DataFrame,
+                         partitionBy: Seq[String]): Unit = {
     recover(table) // never append into a half-swapped layout
-    if (!exists(table)) { rewrite(table, df, partitionBy); return }
+    if (!exists(table)) { rewriteBody(table, df, partitionBy); return }
     val dst = hpath(table)
     val fs = fsOf(dst)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
-    val tmp = new Path(path(table) + "__add")
-    fs.delete(tmp, true)
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tmp.toString)
-    val incoming = dataFiles(fs, tmp)
-    if (incoming.isEmpty) { fs.delete(tmp, true); return }
-    snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
-    val gen = readManifest(table).map(_.gen).getOrElse(0L)
-    writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
-      adds = incoming)
-    var moves = 0
-    incoming.foreach { rel =>
-      val to = sub(dst, rel)
-      fs.mkdirs(to.getParent)
-      moves += 1; swapFault(moves)
-      fs.rename(sub(tmp, rel), to)
+    // the state this mutation is based on; the begin-commit CAS below
+    // validates nobody committed past it while we staged
+    val head0 = readManifest(table)
+    val seq0 = head0.map(_.seq).getOrElse(0L)
+    val gen = head0.map(_.gen).getOrElse(0L)
+    val tmp = freshStaging(table, "__add")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.toString)
+      val incoming = dataFiles(fs, tmp)
+      if (incoming.isEmpty) { fs.delete(tmp, true); return }
+      beforeBeginCommit()
+      // begin-commit CAS: claims seq0+1 or detects a concurrent commit
+      // BEFORE any live-tree rename (abort is then staging-only)
+      writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
+        adds = incoming, tmpName = Some(tmp.getName),
+        expectedPrev = Some(seq0))
+      snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
+      var moves = 0
+      incoming.foreach { rel =>
+        val to = sub(dst, rel)
+        fs.mkdirs(to.getParent)
+        moves += 1; swapFault(moves)
+        fs.rename(sub(tmp, rel), to)
+      }
+      commitManifest(table, gen + 1, seq0 + 1)
+      fs.delete(tmp, true)
+      // appends replace nothing, so there is no __old to dispose — but
+      // the retention window must still prune, or an append-only
+      // workload accumulates one snapshot sidecar per batch forever
+      if (retainGenerations > 0) vacuum(table, keepLast = retainGenerations)
+    } catch {
+      case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
     }
-    writeManifest(table, gen + 1, swapping = false, Nil)
-    fs.delete(tmp, true)
-    // appends replace nothing, so there is no __old to dispose — but
-    // the retention window must still prune, or an append-only
-    // workload accumulates one snapshot sidecar per batch forever
-    if (retainGenerations > 0) vacuum(table, keepLast = retainGenerations)
     ()
   }
+
+  /** The clean generation-bump manifest, CAS'd at `swapSeq + 1`. A
+    * collision HERE is not retryable contention — our swap held the
+    * lock, so a competing manifest means another process recovered a
+    * live swap (protocol violation: [[recover]] run while this writer
+    * was alive). Escalate loudly instead of retrying into a tree two
+    * writers both mutated.
+    */
+  private def commitManifest(table: String, newGen: Long,
+                             swapSeq: Long): Unit =
+    try writeManifest(table, newGen, swapping = false, Nil,
+      expectedPrev = Some(swapSeq))
+    catch {
+      case e: ConcurrentCommitException => throw new IllegalStateException(
+        s"table $table: manifest advanced past this writer's IN-FLIGHT " +
+          "swap — recover() was run against a live writer. The tree " +
+          "holds both writers' renames; inspect manifests and __old " +
+          "before trusting reads.", e)
+    }
 
   /** INSERT ... ON CONFLICT DO NOTHING: append only new-keyed rows.
     * `tieBreak` makes intra-batch dedup deterministic.
     */
   def upsert(table: String, incoming: DataFrame, keys: Seq[String],
-             tieBreak: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
-    recover(table)
-    if (!exists(table)) {
-      append(table, Upsert.dedupByKey(incoming, keys, tieBreak), partitionBy)
-    } else {
-      val existing = read(table)
-      val novel = Upsert.newRows(existing, incoming, keys, tieBreak)
-        .select(existing.columns.map(col).toIndexedSeq: _*)
-      append(table, novel, partitionBy)
+             tieBreak: Seq[String], partitionBy: Seq[String] = Nil): Unit =
+    retryCommit {
+      // the anti-join's table read happens INSIDE the retry: a retry
+      // after a commit collision re-lists and re-reads the winner's
+      // generation, so already-inserted keys are seen and skipped
+      recover(table)
+      if (!exists(table)) {
+        appendBody(table, Upsert.dedupByKey(incoming, keys, tieBreak),
+          partitionBy)
+      } else {
+        val existing = read(table)
+        val novel = Upsert.newRows(existing, incoming, keys, tieBreak)
+          .select(existing.columns.map(col).toIndexedSeq: _*)
+        appendBody(table, novel, partitionBy)
+      }
     }
-  }
 
   /** Exact-dedup append: insert only batch rows whose normalized-text
     * fingerprint has never been stored — cross-batch dedup backed by
@@ -448,25 +598,30 @@ final class TableStore(spark: SparkSession, root: String,
     require(!batch.columns.contains("fp"),
       "dedupAppend reserves the column name 'fp' for the stored " +
         "fingerprint; rename the batch's existing 'fp' column first")
-    recover(table)
-    val fped = batch.withColumn("fp",
-      graft.functions.TextFunctions.fingerprint(col(textCol)))
-    val novel =
-      if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
-      else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
-        .select(fped.columns.map(col).toIndexedSeq: _*)
-    // Snapshot BEFORE the append mutates this plan's own input
-    // ([[TableStore.snapshot]] rationale): the returned frame must
-    // never re-run the anti-join against the table it was just appended
-    // to. Scoped persist: the table is append-only, so recompute from
-    // the pinned splits after release still yields the pre-append
-    // snapshot — callers that read it repeatedly should persist it
-    // themselves; pinning here would leak one full batch per call
-    // across a long-lived ingest session.
-    val out = TableStore.snapshot(novel)
-    try append(table, out)
-    finally out.unpersist(blocking = false)
-    out
+    retryCommit {
+      // whole derivation inside the retry: a collision means another
+      // writer's batch just landed — its fingerprints must join the
+      // anti-join's store side, or this batch re-inserts its dups
+      recover(table)
+      val fped = batch.withColumn("fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      val novel =
+        if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
+        else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
+          .select(fped.columns.map(col).toIndexedSeq: _*)
+      // Snapshot BEFORE the append mutates this plan's own input
+      // ([[TableStore.snapshot]] rationale): the returned frame must
+      // never re-run the anti-join against the table it was just appended
+      // to. Scoped persist: the table is append-only, so recompute from
+      // the pinned splits after release still yields the pre-append
+      // snapshot — callers that read it repeatedly should persist it
+      // themselves; pinning here would leak one full batch per call
+      // across a long-lived ingest session.
+      val out = TableStore.snapshot(novel)
+      try appendBody(table, out, Nil)
+      finally out.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Rewrite `table` without rows whose key-tuple appears in `toDelete`.
@@ -474,12 +629,12 @@ final class TableStore(spark: SparkSession, root: String,
     * rewritten; partitions left empty by the delete are removed.
     */
   def deleteByKeys(table: String, toDelete: DataFrame, keys: Seq[String],
-                   partitionCols: Seq[String] = Nil): Unit = {
+                   partitionCols: Seq[String] = Nil): Unit = retryCommit {
     recover(table) // hitParts reads the table lazily — fix layout first
     if (partitionCols.isEmpty)
-      rewrite(table, Upsert.antiDelete(read(table), toDelete, keys))
+      rewriteBody(table, Upsert.antiDelete(read(table), toDelete, keys), Nil)
     else
-      rewriteAffected(table, partitionCols,
+      rewriteAffectedBody(table, partitionCols,
         hitParts = read(table)
           .join(toDelete.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partitionCols.map(col): _*).distinct(),
@@ -493,7 +648,7 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def updateFlag(table: String, keysDf: DataFrame, keys: Seq[String],
                  flagCol: String, value: Int,
-                 partitionCols: Seq[String] = Nil): Unit = {
+                 partitionCols: Seq[String] = Nil): Unit = retryCommit {
     recover(table) // hitParts reads the table lazily — fix layout first
     import org.apache.spark.sql.functions._
     def flip(df: DataFrame): DataFrame =
@@ -502,8 +657,8 @@ final class TableStore(spark: SparkSession, root: String,
         .withColumn(flagCol,
           when(col("__hit").isNotNull, lit(value)).otherwise(col(flagCol)))
         .drop("__hit")
-    if (partitionCols.isEmpty) rewrite(table, flip(read(table)))
-    else rewriteAffected(table, partitionCols,
+    if (partitionCols.isEmpty) rewriteBody(table, flip(read(table)), Nil)
+    else rewriteAffectedBody(table, partitionCols,
       hitParts = read(table)
         .join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(partitionCols.map(col): _*).distinct(),
@@ -524,11 +679,11 @@ final class TableStore(spark: SparkSession, root: String,
     * [[rewrite]] temp-swap.
     */
   def compact(table: String, partitionCols: Seq[String] = Nil,
-              maxFiles: Int = 1, targetFiles: Int = 8): Unit = {
+              maxFiles: Int = 1, targetFiles: Int = 8): Unit = retryCommit {
     recover(table)
     import org.apache.spark.sql.functions._
     if (partitionCols.isEmpty) {
-      rewrite(table, read(table).repartition(targetFiles))
+      rewriteBody(table, read(table).repartition(targetFiles), Nil)
     } else {
       // input_file_name() is nondeterministic, so it must be projected
       // before the aggregate; the scan reads no data columns (footer
@@ -541,7 +696,7 @@ final class TableStore(spark: SparkSession, root: String,
         .select(partitionCols.map(col): _*)
       // repartition BY the partition columns: each partition value
       // lands wholly in one task, so each swapped dir gets one file
-      rewriteAffected(table, partitionCols, hit,
+      rewriteAffectedBody(table, partitionCols, hit,
         transform = df => df.repartition(partitionCols.map(col): _*))
     }
   }
@@ -554,32 +709,44 @@ final class TableStore(spark: SparkSession, root: String,
     * old table — never missing, never mixed.
     */
   def rewrite(table: String, df: DataFrame,
-              partitionBy: Seq[String] = Nil): Unit = {
+              partitionBy: Seq[String] = Nil): Unit =
+    retryCommit(rewriteBody(table, df, partitionBy))
+
+  private def rewriteBody(table: String, df: DataFrame,
+                          partitionBy: Seq[String]): Unit = {
     recover(table)
-    val gen = readManifest(table).map(_.gen).getOrElse(0L)
     val dst = hpath(table)
-    val tmp = new Path(path(table) + "__tmp")
+    val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val fs = fsOf(dst)
-    settleOld(table, fs) // archive (not delete) a post-commit leftover
-    // a first-time rewrite has no committed copy to fall back to: the
-    // whole table is `fresh` (rollback = delete), not a swapped dir
-    val firstTime = !fs.exists(dst)
-    snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
-    writeManifest(table, gen, swapping = true,
-      if (firstTime) Nil else Seq(""),
-      if (firstTime) Seq("") else Nil,
-      // committed file inventory, recorded while dst is still intact
-      if (firstTime) Map.empty else Map("" -> dataFiles(fs, dst)))
-    if (!firstTime) fs.rename(dst, bak)
-    swapFault(1)
-    fs.rename(tmp, dst)
-    swapFault(2)
-    writeManifest(table, gen + 1, swapping = false, Nil)
-    disposeOld(table, bak, gen, fs)
+    try {
+      settleOld(table, fs) // archive (not delete) a post-commit leftover
+      val head0 = readManifest(table)
+      val seq0 = head0.map(_.seq).getOrElse(0L)
+      val gen = head0.map(_.gen).getOrElse(0L)
+      // a first-time rewrite has no committed copy to fall back to: the
+      // whole table is `fresh` (rollback = delete), not a swapped dir
+      val firstTime = !fs.exists(dst)
+      beforeBeginCommit()
+      writeManifest(table, gen, swapping = true,
+        if (firstTime) Nil else Seq(""),
+        if (firstTime) Seq("") else Nil,
+        // committed file inventory, recorded while dst is still intact
+        if (firstTime) Map.empty else Map("" -> dataFiles(fs, dst)),
+        tmpName = Some(tmp.getName), expectedPrev = Some(seq0))
+      snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
+      if (!firstTime) fs.rename(dst, bak)
+      swapFault(1)
+      fs.rename(tmp, dst)
+      swapFault(2)
+      commitManifest(table, gen + 1, seq0 + 1)
+      disposeOld(table, bak, gen, fs)
+    } catch {
+      case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
+    }
     ()
   }
 
@@ -597,12 +764,17 @@ final class TableStore(spark: SparkSession, root: String,
   private[sources] def rewriteAffected(table: String,
                                        partitionCols: Seq[String],
                                        hitParts: DataFrame,
-                                       transform: DataFrame => DataFrame): Unit = {
+                                       transform: DataFrame => DataFrame): Unit =
+    retryCommit(
+      rewriteAffectedBody(table, partitionCols, hitParts, transform))
+
+  private def rewriteAffectedBody(table: String,
+                                  partitionCols: Seq[String],
+                                  hitParts: DataFrame,
+                                  transform: DataFrame => DataFrame): Unit = {
     recover(table)
     val affected = hitParts.collect()
     if (affected.isEmpty) return
-    val gen = readManifest(table).map(_.gen).getOrElse(0L)
-    snapBeforeMutation(table, fsOf(hpath(table)))
     val affectedDf = broadcast(
       spark.createDataFrame(java.util.Arrays.asList(affected: _*),
         hitParts.schema))
@@ -610,15 +782,18 @@ final class TableStore(spark: SparkSession, root: String,
       read(table).join(affectedDf, partitionCols, "left_semi"))
 
     val dst = hpath(table)
-    val tmp = new Path(path(table) + "__tmp")
+    val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
     val fs = fsOf(dst)
-    fs.delete(tmp, true)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
+    val head0 = readManifest(table)
+    val seq0 = head0.map(_.seq).getOrElse(0L)
+    val gen = head0.map(_.gen).getOrElse(0L)
     // phase 1: job output goes to the tmp sibling; a failure anywhere
     // in here leaves the live table byte-identical
     updated.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    try {
 
     // leaf partition dirs the job actually wrote (a transform may also
     // emit rows into partition values outside `affected`, e.g. a flag
@@ -645,13 +820,16 @@ final class TableStore(spark: SparkSession, root: String,
     // and crash-window reads exclude them
     val freshRels = written.filter(rel => !fs.exists(new Path(dst, rel)))
     val touchedCommitted = ((written -- freshRels) ++ emptied).toSeq.sorted
+    beforeBeginCommit()
     writeManifest(table, gen, swapping = true,
       touchedCommitted,
       freshRels.toSeq.sorted,
       // committed file inventory per touched dir, recorded while every
       // live dir is still intact (before the first rename)
       touchedCommitted.map(rel =>
-        rel -> dataFiles(fs, new Path(dst, rel))).toMap)
+        rel -> dataFiles(fs, new Path(dst, rel))).toMap,
+      tmpName = Some(tmp.getName), expectedPrev = Some(seq0))
+    snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
 
     // phase 2: per-partition swap. Old data moves to the OUTSIDE
     // sibling `__old` (an `…__old` dir inside the table would read as
@@ -680,9 +858,12 @@ final class TableStore(spark: SparkSession, root: String,
       }
       swaps += 1; swapFault(swaps)
     }
-    writeManifest(table, gen + 1, swapping = false, Nil)
+    commitManifest(table, gen + 1, seq0 + 1)
     fs.delete(tmp, true)
     disposeOld(table, bak, gen, fs)
+    } catch {
+      case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
+    }
     ()
   }
 
@@ -811,6 +992,25 @@ final class TableStore(spark: SparkSession, root: String,
     if (snaps != null) snaps.foreach { st =>
       val g = st.getPath.getName.stripPrefix(snapName(table)).toLongOption
       if (g.exists(_ < cutoff)) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Delete orphaned staging siblings (`<table>__tmp.*` /
+    * `<table>__add.*`) not referenced by the head manifest — leftovers
+    * of writers that died BEFORE their begin-commit CAS (after the
+    * CAS, [[recover]] owns cleanup via the manifest's `tmp=` record).
+    * Run only when no writer is active on the table: a LIVE writer's
+    * in-flight staging is indistinguishable from an orphan.
+    */
+  def cleanStaging(table: String): Unit = {
+    val rootP = new Path(root)
+    val fs = fsOf(rootP)
+    val live = readManifest(table).flatMap(_.tmp).toSet
+    Seq("__tmp.*", "__add.*").foreach { pat =>
+      val st = fs.globStatus(new Path(rootP, table + pat))
+      if (st != null) st.foreach { s =>
+        if (!live.contains(s.getPath.getName)) fs.delete(s.getPath, true)
+      }
     }
   }
 

@@ -357,7 +357,11 @@ class TableStoreSpec extends SparkSpec {
     val split = bakD2.listFiles().filter(_.getName.startsWith("part-")).head
     java.nio.file.Files.move(split.toPath,
       new java.io.File(curD2, split.getName).toPath)
-    val tmpD2 = new java.io.File(s"${dir}__tmp/day=d2")
+    // staging is writer-unique since round 8 — resolve the crashed
+    // writer's staging sibling from the manifest's tmp= record
+    val stagingName = m.tmp.get
+    val tmpD2 = new java.io.File(
+      new java.io.File(dir).getParent, s"$stagingName/day=d2")
     val leaked = tmpD2.listFiles().filter(_.getName.startsWith("part-")).head
     java.nio.file.Files.copy(leaked.toPath,
       new java.io.File(curD2, leaked.getName).toPath)
@@ -563,5 +567,143 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.readAt("t", 1).count() == g1)
     assert(ts.readAt("t", 2).count() == g1 - 1)
     assert(ts.read("t").filter($"flag" === 5).count() == 1)
+  }
+
+  /** Root-dir inventory: no staging (`__tmp.*`/`__add.*`), no `__old`,
+    * exactly one commit manifest — the no-file-leaks check for the
+    * optimistic-concurrency cases.
+    */
+  private def assertNoLeaks(root: String, table: String): Unit = {
+    val names = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.contains("__tmp")), s"staging leak: $names")
+    assert(!names.exists(_.contains("__add")), s"staging leak: $names")
+    assert(!names.exists(_.contains("__old")), s"__old leak: $names")
+    assert(names.count(_.startsWith(s"$table._graft_commit.")) == 1,
+      s"manifest leak: $names")
+  }
+
+  test("OCC: interleaved upsert+upsert — exactly one winner per sequence, loser retries clean") {
+    val root = Files.createTempDirectory("graft_occ").toString
+    val w1 = new TableStore(spark, root)
+    val w2 = new TableStore(spark, root)
+    w1.rewrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // gen 1
+    // w2 stages its batch, then w1 commits an OVERLAPPING upsert first:
+    // w2's begin-commit CAS must lose, clean its staging, and retry
+    // against w1's generation (key 3 now conflicts and is skipped)
+    var fired = false
+    w2.beforeBeginCommit = () => if (!fired) {
+      fired = true
+      w1.upsert("t", Seq((3L, "w1"), (4L, "w1")).toDF("k", "v"),
+        Seq("k"), Seq("v")) // gen 2
+    }
+    w2.upsert("t", Seq((3L, "w2"), (5L, "w2")).toDF("k", "v"),
+      Seq("k"), Seq("v")) // gen 3 on retry
+    w2.beforeBeginCommit = () => ()
+    assert(fired)
+    // ON CONFLICT DO NOTHING serialized: w1 won key 3; w2's retry saw
+    // it and inserted only its novel key
+    assert(w1.read("t").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "w1", 4L -> "w1", 5L -> "w2"))
+    // one generation per commit — the two upserts serialized as 2 and 3
+    assert(w1.readManifest("t").get.gen == 3)
+    assert(!w1.readManifest("t").get.swapping)
+    assertNoLeaks(root, "t")
+    // every data file on disk is referenced by the read (none orphaned
+    // by the loser's aborted first attempt)
+    def dataFilesOnDisk(d: java.io.File): Seq[String] =
+      d.listFiles().toSeq.flatMap { f =>
+        if (f.isDirectory) dataFilesOnDisk(f)
+        else if (f.getName.startsWith("part-")) Seq(f.getName) else Nil
+      }
+    val onDisk = dataFilesOnDisk(new java.io.File(s"$root/t")).sorted
+    val scanned = w1.read("t").inputFiles.toSeq
+      .map(_.split('/').last).sorted
+    assert(onDisk == scanned, "orphaned data files in the table dir")
+  }
+
+  test("OCC: interleaved append vs rewrite serialize; appended rows survive a lost race") {
+    val root = Files.createTempDirectory("graft_occ2").toString
+    val w1 = new TableStore(spark, root)
+    val w2 = new TableStore(spark, root)
+    w1.rewrite("t", Seq((1L, "a")).toDF("k", "v")) // gen 1
+    var fired = false
+    w2.beforeBeginCommit = () => if (!fired) {
+      fired = true
+      w1.rewrite("t", Seq((10L, "rw")).toDF("k", "v")) // gen 2
+    }
+    w2.append("t", Seq((20L, "ap")).toDF("k", "v")) // gen 3 on retry
+    w2.beforeBeginCommit = () => ()
+    // the append retried ON TOP of the rewrite — not lost, not doubled
+    assert(w1.read("t").as[(Long, String)].collect().toSet ==
+      Set((10L, "rw"), (20L, "ap")))
+    assert(w1.readManifest("t").get.gen == 3)
+    assertNoLeaks(root, "t")
+  }
+
+  test("OCC: retries exhausted surfaces ConcurrentCommitException; staging cleaned") {
+    val root = Files.createTempDirectory("graft_occ3").toString
+    val w1 = new TableStore(spark, root)
+    val w0 = new TableStore(spark, root, maxCommitRetries = 0)
+    w1.rewrite("t", Seq((1L, "a")).toDF("k", "v"))
+    // the competing commit fires on EVERY attempt — w0 (no retries)
+    // must abort loudly instead of committing on stale inputs
+    w0.beforeBeginCommit =
+      () => w1.append("t", Seq((9L, "x")).toDF("k", "v"))
+    val e = intercept[ConcurrentCommitException] {
+      w0.append("t", Seq((7L, "y")).toDF("k", "v"))
+    }
+    w0.beforeBeginCommit = () => ()
+    assert(e.table == "t")
+    // the loser's batch is NOT in the table; the winner's is; no staging
+    assert(w1.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (9L, "x")))
+    assertNoLeaks(root, "t")
+  }
+
+  test("OCC: crash between begin-commit CAS and first rename recovers; staging cleared") {
+    val root = Files.createTempDirectory("graft_occ4").toString
+    val ts = new TableStore(spark, root)
+    ts.append("t", Seq((1L, "a")).toDF("k", "v"))
+    ts.failAfterSwaps = 1 // throw AFTER the CAS, before any rename
+    intercept[IllegalStateException] {
+      ts.append("t", Seq((2L, "b")).toDF("k", "v"))
+    }
+    ts.failAfterSwaps = -1
+    // the claimed-but-dead commit: swapping manifest with the staging
+    // sibling recorded, batch invisible to reads
+    val m = ts.readManifest("t").get
+    assert(m.swapping && m.tmp.nonEmpty)
+    assert(ts.read("t").count() == 1)
+    // next mutation recovers: rollback manifest, staging deleted, then
+    // the new batch lands exactly once
+    ts.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assert(ts.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+    assertNoLeaks(root, "t")
+  }
+
+  test("OCC: cleanStaging drops pre-CAS orphans, never the manifest-recorded staging") {
+    val root = Files.createTempDirectory("graft_occ5").toString
+    val ts = new TableStore(spark, root)
+    ts.append("t", Seq((1L, "a")).toDF("k", "v"))
+    // fabricate a pre-CAS orphan (writer died before its manifest)
+    val orphan = new java.io.File(root, "t__add.deadbeef0000")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-orphan.parquet").createNewFile()
+    // and a live crashed-after-CAS staging (manifest-recorded)
+    ts.failAfterSwaps = 1
+    intercept[IllegalStateException] {
+      ts.append("t", Seq((2L, "b")).toDF("k", "v"))
+    }
+    ts.failAfterSwaps = -1
+    val recorded = ts.readManifest("t").get.tmp.get
+    ts.cleanStaging("t")
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names.contains("t__add.deadbeef0000"), "orphan survived")
+    assert(names.contains(recorded),
+      "cleanStaging deleted the manifest-recorded (recover-owned) staging")
+    // recover still owns the recorded staging
+    ts.append("t", Seq((3L, "c")).toDF("k", "v"))
+    assertNoLeaks(root, "t")
   }
 }
