@@ -1,0 +1,45 @@
+package graft
+
+/** Engine-level lifecycle surface. Five operator families pin
+  * intermediates (owned `persist()`s released via each owner's
+  * `releaseIntermediates()`); a long-lived session running several
+  * families previously had to know to call every owner — this is the
+  * single release point. Owners self-register here at class-load via
+  * [[register]], so adding a pin registry to a new operator family is
+  * one line and [[releaseAll]] stays complete.
+  */
+object Engine {
+
+  private val owners =
+    scala.collection.mutable.ListBuffer.empty[(String, () => Unit)]
+
+  /** Register a pin-registry release hook (idempotent per name). */
+  def register(name: String)(release: () => Unit): Unit = synchronized {
+    if (!owners.exists(_._1 == name)) owners += (name -> release)
+  }
+
+  /** Names of the registered pin owners (forces owner class-load). */
+  def ownerNames: Seq[String] = synchronized { builtin(); owners.map(_._1).toSeq }
+
+  /** Release every operator family's pinned intermediates. Returned
+    * frames stay valid — re-evaluation recomputes from source (each
+    * owner's own contract). Call at session idle points or teardown.
+    */
+  def releaseAll(): Unit = synchronized {
+    builtin()
+    owners.foreach { case (_, release) => release() }
+  }
+
+  // self-registration happens in each owner's object initializer; an
+  // owner whose class never loaded has nothing pinned, but releaseAll
+  // must not DEPEND on prior use — force-load the built-in owners
+  private def builtin(): Unit = {
+    // a release on an empty registry is a no-op, but the CALL forces
+    // the owner object's initializer (and so its register()) to run
+    operators.Dedup.releaseIntermediates()
+    operators.Similarity.releaseIntermediates()
+    operators.Collocations.releaseIntermediates()
+    operators.GraphRank.releaseIntermediates()
+    operators.Bpe.releaseIntermediates()
+  }
+}

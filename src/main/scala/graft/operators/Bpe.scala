@@ -47,6 +47,8 @@ object Bpe {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // one-line enrollment in the engine-wide release point
+  graft.Engine.register("Bpe")(() => releaseIntermediates())
 
   /** Unpersist every vocab round frame the trainer has pinned. */
   def releaseIntermediates(): Unit = synchronized {

@@ -42,6 +42,8 @@ object Collocations {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // one-line enrollment in the engine-wide release point
+  graft.Engine.register("Collocations")(() => releaseIntermediates())
 
   /** Unpersist the vocab-sized count tables pinned by [[topPmi]].
     * Returned frames stay valid — re-evaluation recomputes from source.

@@ -30,6 +30,8 @@ object Dedup {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // one-line enrollment in the engine-wide release point
+  graft.Engine.register("Dedup")(() => releaseIntermediates())
   // loop rounds unpersist their predecessor inline: drop it from the
   // registry too, so a long CC run holds live pins only, not one dead
   // DataFrame/plan reference per round

@@ -19,6 +19,8 @@ object GraphRank {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // one-line enrollment in the engine-wide release point
+  graft.Engine.register("GraphRank")(() => releaseIntermediates())
 
   /** Unpersist every frame PageRank runs have pinned. */
   def releaseIntermediates(): Unit = synchronized {

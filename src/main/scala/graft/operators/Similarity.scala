@@ -40,6 +40,8 @@ object Similarity {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // one-line enrollment in the engine-wide release point
+  graft.Engine.register("Similarity")(() => releaseIntermediates())
 
   /** Unpersist every intermediate frame Similarity operators have
     * pinned (currently: [[semDedup]]'s assignment relation). Returned
@@ -821,7 +823,9 @@ object Similarity {
     * selection step after any retrieval (and the classic
     * diverse-exemplar picker for training-data curation). The
     * candidate set per query is BOUNDED by contract (a retrieval
-    * top-N), so the only unbounded work — the candidate×candidate
+    * top-N) and ENFORCED by `maxPool` (a cheap per-qid count
+    * pre-aggregate throws, naming offending qids, before the pool²
+    * join runs), so the only unbounded work — the candidate×candidate
     * cosines — is a per-query N² of gated `graft_cosine` rows, and
     * the greedy loop runs in typed `flatMapGroups` over one group's
     * bounded rows (the container-decoder mapPartitions precedent;
@@ -837,14 +841,30 @@ object Similarity {
     */
   def mmrSelect(cands: DataFrame, qidCol: String, idCol: String,
                 vecCol: String, relCol: String, lambda: Double,
-                k: Int): DataFrame = {
+                k: Int, maxPool: Int = 1024): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     require(k >= 1, s"k >= 1, got $k")
+    require(maxPool >= 1, s"maxPool >= 1, got $maxPool")
     val spark = cands.sparkSession
     import spark.implicits._
     val c = cands.select(col(qidCol).cast("long").as("qid"),
       col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       col(relCol).cast("double").as("rel"))
+    // the bounded-retrieval-pool contract, ENFORCED: the self-join
+    // below builds pool² sim rows per query and flatMapGroups holds a
+    // pool²-entry map in one executor's memory — an unbounded pool is
+    // a silent quadratic and an OOM, so oversize pools fail loudly
+    // (naming offenders) before any pair is built. One cheap count
+    // pre-aggregate, grouped exchange bounded by |queries|.
+    val over = c.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPool)
+      .orderBy(col("qid")).limit(10)
+      .as[(Long, Long)].collect()
+    require(over.isEmpty,
+      s"mmrSelect: candidate pool exceeds maxPool=$maxPool for qids " +
+        over.map { case (q, n) => s"$q($n)" }.mkString(", ") +
+        " — MMR is quadratic in the pool; pass a bounded retrieval " +
+        "top-N (or raise maxPool deliberately)")
     val a = c.select(col("qid"), col("id").as("a"),
       col("rel").as("arel"), col("v").as("av"))
     val b = c.select(col("qid"), col("id").as("b"), col("v").as("bv"))

@@ -964,6 +964,29 @@ class SimilaritySpec extends SparkSpec {
       == Seq(0L))
   }
 
+  test("mmrSelect: oversize pool fails loudly naming qids; at-pool unchanged") {
+    val q = emb.filter($"vec_id" < 2)
+    val cands = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k = 20)
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("v")),
+        Seq("nid"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"qid", $"rk").as[(Long, Long, Long, Double)]
+        .collect().toSeq
+    val base = rows(Similarity.mmrSelect(cands, "qid", "nid", "v",
+      "sim", 0.5, k = 5))
+    // pool exactly at the cap: identical result
+    assert(rows(Similarity.mmrSelect(cands, "qid", "nid", "v", "sim",
+      0.5, k = 5, maxPool = 20)) == base)
+    // one over: throws BEFORE the pool² join, naming the offenders
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cands, "qid", "nid", "v", "sim", 0.5,
+        k = 5, maxPool = 19)
+    }
+    assert(e.getMessage.contains("maxPool") &&
+      e.getMessage.contains("0(20)"), e.getMessage)
+  }
+
   test("semDedup: empty centroid relation fails loudly, not zero survivors") {
     // id domain with NO multiples of centroidEvery: silent behavior
     // would assign nothing and return an empty frame — a curation run
