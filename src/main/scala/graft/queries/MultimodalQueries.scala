@@ -190,5 +190,79 @@ object MultimodalQueries {
         doc_id % 9 <> 0 AS ok
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80)
+  /** q106 — REAL PNG PIXEL decode (round 8,
+    * [[graft.operators.Multimodal.parsePngPixels]]): the
+    * encode→decode round trip now covers the full pixel path —
+    * per-doc payloads are COMPLETE depth-8 RGB PNGs
+    * ([[graft.operators.Multimodal.ImageBytes.pngFull]]: real
+    * filtered scanlines cycling all five PNG filters, zlib IDAT,
+    * correct CRCs), dims `(doc_id % 13 + 1) × (doc_id % 11 + 1)`,
+    * sample value `(x + 2y + 3c + doc_id) % 256`; every 9th payload
+    * is truncated (IEND chopped) and must quarantine. The decoder
+    * inflates, DEFILTERS (Sub/Up/Average/Paeth reconstruction), and
+    * accumulates exact-long pixel statistics; the oracle recomputes
+    * the expected sums analytically by enumerating the (small) pixel
+    * grid in SQL — any inflate/defilter/accounting bug shifts the
+    * sums and fails the hash.
+    */
+  private val q106 = Q("q106_png_pixel_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 1).toInt
+        val h = (id % 11 + 1).toInt
+        val full = Multimodal.ImageBytes.pngFull(w, h, channels = 3,
+          (x, y, c) => ((x + 2L * y + 3L * c + id) % 256).toInt)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.pngPixelStats(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_px"), col("sum_v"), col("sumsq_v"),
+          col("min_v"), col("max_v"), col("all_black"),
+          col("all_white"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+          CAST(doc_id % 11 + 1 AS BIGINT) AS h FROM documents),
+      xs AS (SELECT doc_id, w, h, UNNEST(RANGE(w)) AS x FROM d),
+      ys AS (SELECT doc_id, w, h, x, UNNEST(RANGE(h)) AS y FROM xs),
+      pc AS (SELECT doc_id, w, h, x, y, UNNEST(RANGE(3)) AS c FROM ys),
+      v AS (SELECT doc_id, w, h,
+          (x + 2*y + 3*c + doc_id) % 256 AS v FROM pc),
+      st AS (SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+          SUM(v) AS sum_v, SUM(v*v) AS sumsq_v,
+          MIN(v) AS min_v, MAX(v) AS max_v
+        FROM v GROUP BY doc_id)
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(w AS INT) END AS width,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(h AS INT) END AS height,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(3 AS INT) END AS channels,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(w * h AS BIGINT) END AS n_px,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(sum_v AS BIGINT) END AS sum_v,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(sumsq_v AS BIGINT) END AS sumsq_v,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(min_v AS INT) END AS min_v,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(max_v AS INT) END AS max_v,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE max_v = 0 END AS all_black,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE min_v = 255 END AS all_white,
+        doc_id % 9 <> 0 AS ok
+      FROM st ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106)
 }

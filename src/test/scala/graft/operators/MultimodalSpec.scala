@@ -206,6 +206,94 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2).getAs[Boolean]("ok") && out(2).isNullAt(1))
   }
 
+  test("parsePngPixels: encode-decode round trip, all filters and color types") {
+    // ≥5 rows exercises every filter (pngFull stamps filter y % 5)
+    for (ch <- Seq(1, 2, 3, 4); (w, h) <- Seq((7, 9), (1, 6), (13, 5))) {
+      def px(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 31 + 5) % 256
+      val bytes = Multimodal.ImageBytes.pngFull(w, h, ch, px)
+      val st = Multimodal.parsePngPixels(bytes).getOrElse(
+        fail(s"decode failed for ch=$ch ${w}x$h"))
+      assert(st.width == w && st.height == h && st.channels == ch)
+      assert(st.nPx == w.toLong * h)
+      // direct recomputation of the expected stats, no PNG involved
+      val vals = for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        yield px(x, y, c)
+      assert(st.sumV == vals.map(_.toLong).sum, s"ch=$ch ${w}x$h")
+      assert(st.sumSqV == vals.map(v => v.toLong * v).sum)
+      assert(st.minV == vals.min && st.maxV == vals.max)
+      for (c <- 0 until ch) {
+        val cv = for (y <- 0 until h; x <- 0 until w) yield px(x, y, c)
+        assert(st.chSum(c) == cv.map(_.toLong).sum)
+        assert(st.chSumSq(c) == cv.map(v => v.toLong * v).sum)
+      }
+      assert(!st.allBlack && !st.allWhite)
+    }
+    // all-black / all-white detection
+    val black = Multimodal.parsePngPixels(
+      Multimodal.ImageBytes.pngFull(6, 6, 3, (_, _, _) => 0)).get
+    assert(black.allBlack && !black.allWhite && black.sumV == 0)
+    val white = Multimodal.parsePngPixels(
+      Multimodal.ImageBytes.pngFull(6, 6, 1, (_, _, _) => 255)).get
+    assert(white.allWhite && !white.allBlack &&
+      white.sumV == 36L * 255)
+  }
+
+  test("parsePngPixels: corrupt, adversarial, and unsupported inputs quarantine") {
+    val good = Multimodal.ImageBytes.pngFull(9, 7, 3,
+      (x, y, c) => x + y + c)
+    assert(Multimodal.parsePngPixels(good).nonEmpty)
+    // truncated anywhere: mid-IDAT, mid-IEND, mid-signature
+    for (cut <- Seq(4, 20, good.length / 2, good.length - 3))
+      assert(Multimodal.parsePngPixels(good.take(cut)).isEmpty,
+        s"cut=$cut parsed")
+    // one flipped IDAT byte: the chunk CRC catches it
+    val flip = good.clone()
+    flip(45) = (flip(45) ^ 0x5A).toByte
+    assert(Multimodal.parsePngPixels(flip).isEmpty)
+    // forged IHDR claiming absurd dims must quarantine WITHOUT
+    // allocating (maxPixels guard precedes allocation); re-CRC the
+    // forged chunk so only the size guard can reject it
+    val forged = good.clone()
+    // width bytes at offset 16 (BE32): claim 2^30
+    forged(16) = 0x40.toByte; forged(17) = 0; forged(18) = 0; forged(19) = 0
+    val crc = new java.util.zip.CRC32
+    crc.update(forged, 12, 4 + 13)
+    val cv = crc.getValue
+    forged(29) = ((cv >> 24) & 0xFF).toByte
+    forged(30) = ((cv >> 16) & 0xFF).toByte
+    forged(31) = ((cv >> 8) & 0xFF).toByte
+    forged(32) = (cv & 0xFF).toByte
+    assert(Multimodal.parsePngPixels(forged).isEmpty)
+    // header-only PNG (no IDAT rows): stream ends short -> quarantine
+    assert(Multimodal.parsePngPixels(
+      Multimodal.ImageBytes.png(5, 5)).isEmpty)
+    // non-PNG bytes and NULL-ish input
+    assert(Multimodal.parsePngPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parsePngPixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("pngPixelStats: typed operator quarantines corrupt rows; stats match") {
+    val ok1 = Multimodal.ImageBytes.pngFull(4, 6, 3, (x, y, c) => x + 10 * c)
+    val ok2 = Multimodal.ImageBytes.pngFull(3, 3, 1, (_, _, _) => 255)
+    val rows = Seq((1L, ok1), (2L, ok2),
+      (3L, ok1.take(30)), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.pngPixelStats(rows, "doc_id", "payload")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Boolean]("ok") &&
+      out(0).getAs[Int]("width") == 4 &&
+      out(0).getAs[Long]("n_px") == 24L)
+    val exp1 = (for (y <- 0 until 6; x <- 0 until 4; c <- 0 until 3)
+      yield (x + 10 * c).toLong).sum
+    assert(out(0).getAs[Long]("sum_v") == exp1)
+    assert(out(1).getAs[Boolean]("ok") &&
+      out(1).getAs[Boolean]("all_white"))
+    assert(!out(2).getAs[Boolean]("ok") && out(2).isNullAt(1))
+    assert(!out(3).getAs[Boolean]("ok"))
+    // per-channel arrays carried for the downstream quality filters
+    assert(out(0).getAs[scala.collection.Seq[Long]]("ch_sum").length == 3)
+  }
+
   test("resizeTo: deterministic stride subsample + refreshed metadata") {
     val payload = (0 until 1000).map(i => (i % 256).toByte).toArray
     val docs = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))
