@@ -48,11 +48,15 @@ object GraphRank {
     * symmetrized form, where none can exist).
     *
     * Scale shape per iteration (the Pregel norm): one ranks⋈edges join
-    * shuffled on src, one dst-keyed exact-long aggregation, one
-    * deg-relation join back — all rows are bare (id, deg, rank);
-    * lineage truncates per round (the [[Dedup.connectedComponents]]
-    * RDD pattern) so round i never re-executes rounds 1..i−1, and the
-    * edge list persists for the loop.
+    * shuffled on src, then ONE dst-keyed exact-long aggregation that
+    * also carries deg — each node contributes a ZERO-contribution seed
+    * row (c=0, deg) unioned into the same exchange, so nodes with no
+    * in-edges still emerge and the former per-round deg join-back is
+    * folded away (round 8; was join + agg + join per round). All rows
+    * are bare (id, deg, rank); lineage truncates per round (the
+    * [[Dedup.connectedComponents]] RDD pattern) so round i never
+    * re-executes rounds 1..i−1, and the edge list persists for the
+    * loop.
     *
     * Returns (id, r_q, r): the exact long rank and its double form
     * (one division — deterministic).
@@ -88,13 +92,20 @@ object GraphRank {
       var ranks = cached
       for (_ <- 1 to iters) {
         val contrib = e.join(ranks, e("src") === ranks("id"))
-          .select(col("dst"), expr("r_q div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-        val step = cached.select(col("id"), col("deg")).as("d")
-          .join(contrib, col("d.id") === contrib("dst"), "left")
-          .select(col("d.id").as("id"), col("d.deg").as("deg"),
+          .select(col("dst"), expr("r_q div deg").as("c"),
+            lit(null).cast("long").as("deg0"))
+        // zero-contribution seed per node: adds 0 to the exact sum,
+        // carries deg through the SAME aggregate exchange (max over
+        // exactly one non-null), and guarantees every node emerges —
+        // the former deg join-back per round is gone
+        val seeds = ranks.select(col("id").as("dst"), lit(0L).as("c"),
+          col("deg").as("deg0"))
+        val step = contrib.unionByName(seeds)
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("csum"), max(col("deg0")).as("deg"))
+          .select(col("dst").as("id"), col("deg"),
             (lit(baseQ) +
-              expr(s"coalesce(csum, 0L) * $dampingNum div $dampingDen"))
+              expr(s"csum * $dampingNum div $dampingDen"))
               .as("r_q"))
           .persist()
         step.count() // materialize before releasing the predecessor
