@@ -479,6 +479,33 @@ final class TableStore(spark: SparkSession, root: String,
     case _ => spark.read.parquet(path(table))
   }
 
+  /** Reader SNAPSHOT against concurrent writers: pin the committed
+    * data-file inventory NOW and return a frame over those explicit
+    * paths. A plain [[read]] lists the directory at plan time and can
+    * pick up a concurrent append's files arriving between planning
+    * and execution (or between two actions on the same frame) —
+    * `readPinned` cannot: the file list is fixed at this call.
+    * Appends never move existing files, so the pinned frame stays
+    * valid for the reader's lifetime under any number of concurrent
+    * appends/upserts. Concurrent REWRITES move the pinned files
+    * themselves: with retention on (`retainGenerations > 0`) replaced
+    * files stay resolvable (archive) — a reader that must survive
+    * rewrites should pin `generations().last` and use [[readAt]],
+    * which re-probes per file. Cost: one recursive listing here.
+    * Under a crashed-swap manifest this delegates to [[read]]'s
+    * committed-generation resolution (already explicit-path-based).
+    */
+  def readPinned(table: String): DataFrame = readManifest(table) match {
+    case Some(m) if m.swapping => read(table)
+    case _ =>
+      val dstS = path(table)
+      val fs = fsOf(hpath(table))
+      val files = dataFiles(fs, hpath(table))
+      if (files.isEmpty) spark.read.parquet(dstS)
+      else spark.read.option("basePath", dstS)
+        .parquet(files.map(f => s"$dstS/$f"): _*)
+  }
+
   /** Manifest-fenced append (K3): the batch lands in an `__add`
     * sibling first, the incoming file list is recorded in a swapping
     * manifest, and only then do the files move in (one rename each —

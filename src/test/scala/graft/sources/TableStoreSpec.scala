@@ -682,6 +682,27 @@ class TableStoreSpec extends SparkSpec {
     assertNoLeaks(root, "t")
   }
 
+  test("readPinned: snapshot against concurrent appends; read sees them") {
+    val root = Files.createTempDirectory("graft_pin").toString
+    val w = new TableStore(spark, root)
+    w.append("t", Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("k", "v", "day"),
+      partitionBy = Seq("day"))
+    val pinned = w.readPinned("t")
+    assert(pinned.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "d1"), (2L, "b", "d2")))
+    // a concurrent writer appends — the PINNED frame must not see it,
+    // a fresh read must (partition values survive via basePath)
+    new TableStore(spark, root).append("t",
+      Seq((3L, "c", "d1")).toDF("k", "v", "day"), partitionBy = Seq("day"))
+    assert(pinned.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "d1"), (2L, "b", "d2")),
+      "pinned snapshot leaked a concurrent append")
+    assert(w.read("t").as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "d1"), (2L, "b", "d2"), (3L, "c", "d1")))
+    // a new pin picks up the appended generation
+    assert(w.readPinned("t").count() == 3)
+  }
+
   test("OCC: cleanStaging drops pre-CAS orphans, never the manifest-recorded staging") {
     val root = Files.createTempDirectory("graft_occ5").toString
     val ts = new TableStore(spark, root)
