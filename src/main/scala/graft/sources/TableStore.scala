@@ -134,7 +134,8 @@ final class TableStore(spark: SparkSession, root: String,
                                        fresh: Seq[String],
                                        files: Map[String, Seq[String]] = Map.empty,
                                        adds: Seq[String] = Nil,
-                                       tmp: Option[String] = None)
+                                       tmp: Option[String] = None,
+                                       txns: Map[String, Long] = Map.empty)
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
@@ -179,9 +180,14 @@ final class TableStore(spark: SparkSession, root: String,
           files(d) = files.getOrElse(d, Vector.empty) :+ l.stripPrefix("f=")
         }
       }
+      val txns = vs("txn").flatMap { t =>
+        val cut = t.lastIndexOf(':')
+        if (cut <= 0) None
+        else t.drop(cut + 1).toLongOption.map(t.take(cut) -> _)
+      }.toMap
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
         vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
-        files.toMap, vs("add"), vs("tmp").headOption))
+        files.toMap, vs("add"), vs("tmp").headOption, txns))
     }
   }
 
@@ -203,14 +209,21 @@ final class TableStore(spark: SparkSession, root: String,
                             files: Map[String, Seq[String]] = Map.empty,
                             adds: Seq[String] = Nil,
                             tmpName: Option[String] = None,
-                            expectedPrev: Option[Long] = None): Unit = {
+                            expectedPrev: Option[Long] = None,
+                            txnUpdate: Option[(String, Long)] = None): Unit = {
     val fs = fsOf(new Path(root))
+    // stream-fencing records ride EVERY manifest (carried forward from
+    // the head, updated only by an exactly-once commit) — losing one
+    // on an unrelated commit would re-open the replay window
+    val txns = readManifest(table).map(_.txns).getOrElse(Map.empty) ++
+      txnUpdate
     val body = (Seq(s"gen=$gen",
       s"state=${if (swapping) "swapping" else "clean"}") ++
       dirs.flatMap(d => ("dir=" + d) +:
         files.getOrElse(d, Nil).map("f=" + _)) ++
       fresh.map("new=" + _) ++ adds.map("add=" + _) ++
-      tmpName.map("tmp=" + _))
+      tmpName.map("tmp=" + _) ++
+      txns.toSeq.sortBy(_._1).map { case (s, b) => s"txn=$s:$b" })
       .mkString("", "\n", "\n")
     // returns false only when the exclusive create lost a race
     def create(seq: Long, known: Seq[(Long, Path)]): Boolean = {
@@ -522,9 +535,12 @@ final class TableStore(spark: SparkSession, root: String,
     retryCommit(appendBody(table, df, partitionBy))
 
   private def appendBody(table: String, df: DataFrame,
-                         partitionBy: Seq[String]): Unit = {
+                         partitionBy: Seq[String],
+                         txnUpdate: Option[(String, Long)] = None): Unit = {
     recover(table) // never append into a half-swapped layout
-    if (!exists(table)) { rewriteBody(table, df, partitionBy); return }
+    if (!exists(table)) {
+      rewriteBody(table, df, partitionBy, txnUpdate); return
+    }
     val dst = hpath(table)
     val fs = fsOf(dst)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
@@ -554,7 +570,7 @@ final class TableStore(spark: SparkSession, root: String,
         moves += 1; swapFault(moves)
         fs.rename(sub(tmp, rel), to)
       }
-      commitManifest(table, gen + 1, seq0 + 1)
+      commitManifest(table, gen + 1, seq0 + 1, txnUpdate)
       fs.delete(tmp, true)
       // appends replace nothing, so there is no __old to dispose — but
       // the retention window must still prune, or an append-only
@@ -574,9 +590,10 @@ final class TableStore(spark: SparkSession, root: String,
     * writers both mutated.
     */
   private def commitManifest(table: String, newGen: Long,
-                             swapSeq: Long): Unit =
+                             swapSeq: Long,
+                             txnUpdate: Option[(String, Long)] = None): Unit =
     try writeManifest(table, newGen, swapping = false, Nil,
-      expectedPrev = Some(swapSeq))
+      expectedPrev = Some(swapSeq), txnUpdate = txnUpdate)
     catch {
       case e: ConcurrentCommitException => throw new IllegalStateException(
         s"table $table: manifest advanced past this writer's IN-FLIGHT " +
@@ -584,6 +601,41 @@ final class TableStore(spark: SparkSession, root: String,
           "holds both writers' renames; inspect manifests and __old " +
           "before trusting reads.", e)
     }
+
+  /** Last batch id committed for `streamId`, −1 when none. */
+  def lastTxn(table: String, streamId: String): Long =
+    readManifest(table).flatMap(_.txns.get(streamId)).getOrElse(-1L)
+
+  /** EXACTLY-ONCE idempotent append — the Delta txn-version pattern
+    * for `foreachBatch` sinks: the (streamId, batchId) fence rides the
+    * SAME clean commit manifest as the append (one atomic CAS commits
+    * data + fence together), and a replayed batch whose id is ≤ the
+    * recorded fence is SKIPPED. A crash between the sink commit and
+    * the checkpoint advance therefore cannot duplicate the batch: the
+    * restarted query re-delivers it, the fence rejects it. Fences are
+    * carried forward across every other writer's commits (the manifest
+    * writer preserves `txn=` records), so interleaved non-streaming
+    * mutations never re-open the replay window. Batch ids must be
+    * monotonically increasing per stream (the Structured Streaming
+    * contract). Returns true when the batch appended, false when the
+    * fence skipped a replay.
+    */
+  def appendExactlyOnce(table: String, df: DataFrame, streamId: String,
+                        batchId: Long,
+                        partitionBy: Seq[String] = Nil): Boolean = {
+    require(streamId.nonEmpty && !streamId.contains('\n'),
+      "streamId must be a non-empty single-line token")
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    retryCommit {
+      recover(table)
+      if (lastTxn(table, streamId) >= batchId) false
+      else {
+        appendBody(table, df, partitionBy,
+          txnUpdate = Some(streamId -> batchId))
+        true
+      }
+    }
+  }
 
   /** INSERT ... ON CONFLICT DO NOTHING: append only new-keyed rows.
     * `tieBreak` makes intra-batch dedup deterministic.
@@ -740,7 +792,8 @@ final class TableStore(spark: SparkSession, root: String,
     retryCommit(rewriteBody(table, df, partitionBy))
 
   private def rewriteBody(table: String, df: DataFrame,
-                          partitionBy: Seq[String]): Unit = {
+                          partitionBy: Seq[String],
+                          txnUpdate: Option[(String, Long)] = None): Unit = {
     recover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
@@ -769,7 +822,7 @@ final class TableStore(spark: SparkSession, root: String,
       swapFault(1)
       fs.rename(tmp, dst)
       swapFault(2)
-      commitManifest(table, gen + 1, seq0 + 1)
+      commitManifest(table, gen + 1, seq0 + 1, txnUpdate)
       disposeOld(table, bak, gen, fs)
     } catch {
       case e: ConcurrentCommitException => fs.delete(tmp, true); throw e

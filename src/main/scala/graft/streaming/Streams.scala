@@ -250,4 +250,30 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream → [[graft.sources.TableStore]] with EXACTLY-ONCE batches:
+    * `foreachBatch` over [[graft.sources.TableStore.appendExactlyOnce]],
+    * whose (streamId, batchId) fence commits ATOMICALLY with the
+    * appended files (one manifest CAS). A crash after the table commit
+    * but before the checkpoint advance re-delivers the batch on
+    * restart; the fence skips it — the table never holds a batch
+    * twice, under any kill point, which a plain parquet-sink append
+    * cannot promise. Drains everything available, then returns.
+    */
+  def appendStreamExactlyOnce(df: DataFrame,
+                              store: graft.sources.TableStore,
+                              table: String, streamId: String,
+                              checkpointDir: String,
+                              partitionBy: Seq[String] = Nil): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendExactlyOnce(table, batch, streamId, batchId,
+          partitionBy)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

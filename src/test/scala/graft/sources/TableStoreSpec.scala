@@ -703,6 +703,39 @@ class TableStoreSpec extends SparkSpec {
     assert(w.readPinned("t").count() == 3)
   }
 
+  test("appendExactlyOnce: fence skips replays; survives interleaved writers and crashes") {
+    val root = Files.createTempDirectory("graft_eo").toString
+    val ts = new TableStore(spark, root)
+    def batch(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("k", "v")
+    // batch 0 creates the table; replaying it is a no-op
+    assert(ts.appendExactlyOnce("t", batch(1, 2), "sA", 0))
+    assert(!ts.appendExactlyOnce("t", batch(1, 2), "sA", 0))
+    assert(ts.lastTxn("t", "sA") == 0L)
+    assert(ts.read("t").count() == 2)
+    // the fence is PER STREAM: another stream's batch 0 still lands
+    assert(ts.appendExactlyOnce("t", batch(10), "sB", 0))
+    // a non-streaming writer's commits CARRY the fences forward
+    ts.append("t", batch(20))
+    new TableStore(spark, root).upsert("t", batch(21), Seq("k"), Seq("v"))
+    assert(ts.lastTxn("t", "sA") == 0L && ts.lastTxn("t", "sB") == 0L)
+    assert(!ts.appendExactlyOnce("t", batch(1, 2), "sA", 0),
+      "interleaved commits re-opened the replay window")
+    // batch 1 lands once; crash MID-APPEND of batch 2 leaves the fence
+    // at 1, so the retried delivery of batch 2 appends exactly once
+    assert(ts.appendExactlyOnce("t", batch(3), "sA", 1))
+    ts.failAfterSwaps = 1
+    intercept[IllegalStateException] {
+      ts.appendExactlyOnce("t", batch(4), "sA", 2)
+    }
+    ts.failAfterSwaps = -1
+    assert(ts.lastTxn("t", "sA") == 1L, "crashed batch advanced the fence")
+    assert(ts.read("t").filter($"k" === 4L).count() == 0)
+    assert(ts.appendExactlyOnce("t", batch(4), "sA", 2))
+    assert(!ts.appendExactlyOnce("t", batch(4), "sA", 2))
+    assert(ts.read("t").filter($"k" === 4L).count() == 1)
+    assert(ts.read("t").count() == 7)
+  }
+
   test("OCC: cleanStaging drops pre-CAS orphans, never the manifest-recorded staging") {
     val root = Files.createTempDirectory("graft_occ5").toString
     val ts = new TableStore(spark, root)

@@ -221,6 +221,37 @@ class StreamsSpec extends SparkSpec {
     assert(got.sortBy(r => (-r._2, r._1)).map(_._3) == got.map(_._3))
   }
 
+  test("appendStreamExactlyOnce: table holds every batch once across restarts") {
+    import graft.sources.TableStore
+    val in = Files.createTempDirectory("graft_eos_in").toString
+    val ckpt = Files.createTempDirectory("graft_eos_ckpt").toString
+    val root = Files.createTempDirectory("graft_eos_store").toString
+    val store = new TableStore(spark, root)
+    val sch = StructType.fromDDL("id long, v string")
+    writeBatch(in, "b1.json",
+      Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    def run(): Unit = Streams.appendStreamExactlyOnce(
+      Streams.jsonStream(spark, sch, in), store, "t", "ingest", ckpt)
+    run()
+    assert(store.read("t").count() == 2)
+    // drained restart with nothing new: no duplicates
+    run()
+    assert(store.read("t").count() == 2)
+    writeBatch(in, "b2.json", Seq("""{"id":3,"v":"c"}"""))
+    run()
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the fence advanced with the stream's delivered batches
+    assert(store.lastTxn("t", "ingest") >= 1L)
+    // SINK-COMMITTED-BUT-CHECKPOINT-LOST replay: re-deliver batch ids
+    // 0..n through the fence directly — every one must be skipped
+    (0L to store.lastTxn("t", "ingest")).foreach { b =>
+      assert(!store.appendExactlyOnce("t",
+        Seq((99L, "dup")).toDF("id", "v"), "ingest", b))
+    }
+    assert(store.read("t").count() == 3)
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
