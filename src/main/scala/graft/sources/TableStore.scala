@@ -413,7 +413,7 @@ final class TableStore(spark: SparkSession, root: String,
         val keep = dataFiles(fs, dst).filterNot(m.adds.toSet)
         if (keep.isEmpty) throw new IllegalStateException(
           s"table $table: crashed append left no committed files")
-        spark.read.option("basePath", dstS)
+        rd(table).option("basePath", dstS)
           .parquet(keep.map(r => s"$dstS/$r"): _*)
       }
       else if (m.files.nonEmpty) {
@@ -448,10 +448,10 @@ final class TableStore(spark: SparkSession, root: String,
         val curPaths = fromCur.result()
         val oldDf =
           if (bakPaths.isEmpty) None
-          else Some(spark.read.option("basePath", bakS).parquet(bakPaths: _*))
+          else Some(rd(table).option("basePath", bakS).parquet(bakPaths: _*))
         val curDf =
           if (curPaths.isEmpty) None
-          else Some(spark.read.option("basePath", dstS).parquet(curPaths: _*))
+          else Some(rd(table).option("basePath", dstS).parquet(curPaths: _*))
         (oldDf, curDf) match {
           case (Some(o), Some(c)) => o.unionByName(c)
           case (Some(o), None)    => o
@@ -462,8 +462,8 @@ final class TableStore(spark: SparkSession, root: String,
         }
       }
       else if (liveOld.isEmpty && m.fresh.isEmpty)
-        spark.read.parquet(dstS)
-      else if (liveOld.contains("")) spark.read.parquet(bakS)
+        rd(table).parquet(dstS)
+      else if (liveOld.contains("")) rd(table).parquet(bakS)
       else {
         val depth = (liveOld ++ m.fresh).head.count(_ == '/') + 1
         val allCur =
@@ -474,11 +474,11 @@ final class TableStore(spark: SparkSession, root: String,
         val curKeep = allCur.filterNot((liveOld ++ m.fresh).toSet)
         val oldDf =
           if (liveOld.isEmpty) None
-          else Some(spark.read.option("basePath", bakS)
+          else Some(rd(table).option("basePath", bakS)
             .parquet(liveOld.map(r => s"$bakS/$r"): _*))
         val curDf =
           if (curKeep.isEmpty) None
-          else Some(spark.read.option("basePath", dstS)
+          else Some(rd(table).option("basePath", dstS)
             .parquet(curKeep.map(r => s"$dstS/$r"): _*))
         (oldDf, curDf) match {
           case (Some(o), Some(c)) => o.unionByName(c)
@@ -489,7 +489,7 @@ final class TableStore(spark: SparkSession, root: String,
               s"table $table: crashed swap left no committed partitions")
         }
       }
-    case _ => spark.read.parquet(path(table))
+    case _ => rd(table).parquet(path(table))
   }
 
   /** Reader SNAPSHOT against concurrent writers: pin the committed
@@ -514,8 +514,8 @@ final class TableStore(spark: SparkSession, root: String,
       val dstS = path(table)
       val fs = fsOf(hpath(table))
       val files = dataFiles(fs, hpath(table))
-      if (files.isEmpty) spark.read.parquet(dstS)
-      else spark.read.option("basePath", dstS)
+      if (files.isEmpty) rd(table).parquet(dstS)
+      else rd(table).option("basePath", dstS)
         .parquet(files.map(f => s"$dstS/$f"): _*)
   }
 
@@ -601,6 +601,72 @@ final class TableStore(spark: SparkSession, root: String,
           "holds both writers' renames; inspect manifests and __old " +
           "before trusting reads.", e)
     }
+
+  // ---------------------------------------------------- schema evolution
+
+  private def evolvedMarker(table: String) =
+    new Path(root, s"$table._graft_evolved")
+
+  /** True once a schema-adding append has widened the table: reads
+    * must merge footers (files written before the widening lack the
+    * new columns). One existence probe per read — same order of cost
+    * as the manifest glob every read already pays.
+    */
+  def isEvolved(table: String): Boolean = {
+    val p = evolvedMarker(table)
+    fsOf(p).exists(p)
+  }
+
+  /** The store's reader for `table`: plain parquet normally; with
+    * footer-merging once the table's schema has evolved (pre-widening
+    * files resolve the added columns as NULL).
+    */
+  private def rd(table: String) = {
+    val r = spark.read
+    if (isEvolved(table)) r.option("mergeSchema", "true") else r
+  }
+
+  /** Append with SCHEMA EVOLUTION: batch columns the table lacks are
+    * ADDED (earlier files read them back as NULL via merged footers);
+    * table columns the batch lacks are filled with typed NULLs; shared
+    * columns must match types EXACTLY — a silent cast is how a
+    * corpus-wide column turns to garbage, so mismatches throw. The
+    * widening is recorded in a `._graft_evolved` marker (written
+    * before the append commits: a crash in between costs only an
+    * unnecessary footer merge, never a wrong read).
+    */
+  def appendEvolve(table: String, df: DataFrame,
+                   partitionBy: Seq[String] = Nil): Unit = retryCommit {
+    recover(table)
+    if (!exists(table)) { rewriteBody(table, df, partitionBy); () }
+    else {
+      val tableSchema = read(table).schema
+      val batchSchema = df.schema
+      val conflicts = tableSchema.flatMap { tf =>
+        batchSchema.find(_.name == tf.name)
+          .filter(_.dataType != tf.dataType)
+          .map(bf => s"${tf.name}: table ${tf.dataType.simpleString} " +
+            s"vs batch ${bf.dataType.simpleString}")
+      }
+      require(conflicts.isEmpty,
+        "appendEvolve: column type conflict(s) — a silent cast would " +
+          s"corrupt the corpus: ${conflicts.mkString("; ")}")
+      // table columns first (their canonical order), new columns after
+      val aligned = df.select(
+        tableSchema.map { tf =>
+          if (batchSchema.exists(_.name == tf.name)) col(tf.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(tf.dataType).as(tf.name)
+        } ++ batchSchema.filterNot(bf =>
+          tableSchema.exists(_.name == bf.name))
+          .map(bf => col(bf.name)): _*)
+      val widens = batchSchema.exists(bf =>
+        !tableSchema.exists(_.name == bf.name))
+      if (widens && !isEvolved(table))
+        fsOf(evolvedMarker(table)).create(evolvedMarker(table), true).close()
+      appendBody(table, aligned, partitionBy)
+    }
+  }
 
   /** Last batch id committed for `streamId`, −1 when none. */
   def lastTxn(table: String, streamId: String): Long =
@@ -756,13 +822,32 @@ final class TableStore(spark: SparkSession, root: String,
     * never move, a crash leaves each partition wholly old or new.
     * Unpartitioned tables rewrite into `targetFiles` files via the
     * [[rewrite]] temp-swap.
+    *
+    * `sortBy` additionally CLUSTERS each written file on the given
+    * columns (`sortWithinPartitions` — no extra exchange beyond the
+    * compaction's own repartition): parquet writes per-row-group
+    * min/max statistics, so a point or range predicate on a sorted
+    * column skips whole row groups at scan time instead of decoding
+    * them — at 100 TB, sort-on-compact is the difference between a
+    * key lookup reading one row group and reading the table. Contents
+    * are unchanged (a sort is a permutation; spec-verified).
     */
   def compact(table: String, partitionCols: Seq[String] = Nil,
-              maxFiles: Int = 1, targetFiles: Int = 8): Unit = retryCommit {
+              maxFiles: Int = 1, targetFiles: Int = 8,
+              sortBy: Seq[String] = Nil): Unit = retryCommit {
     recover(table)
     import org.apache.spark.sql.functions._
+    // the dynamic-partition writer inserts its own task-local sort on
+    // the partition columns; prefixing them keeps that sort satisfied
+    // so the sortBy clustering SURVIVES the write (without the prefix
+    // the writer's re-sort scrambles it)
+    def clustered(df: DataFrame): DataFrame =
+      if (sortBy.isEmpty) df
+      else df.sortWithinPartitions(
+        (partitionCols ++ sortBy).map(col): _*)
     if (partitionCols.isEmpty) {
-      rewriteBody(table, read(table).repartition(targetFiles), Nil)
+      rewriteBody(table, clustered(read(table).repartition(targetFiles)),
+        Nil)
     } else {
       // input_file_name() is nondeterministic, so it must be projected
       // before the aggregate; the scan reads no data columns (footer
@@ -776,7 +861,8 @@ final class TableStore(spark: SparkSession, root: String,
       // repartition BY the partition columns: each partition value
       // lands wholly in one task, so each swapped dir gets one file
       rewriteAffectedBody(table, partitionCols, hit,
-        transform = df => df.repartition(partitionCols.map(col): _*))
+        transform =
+          df => clustered(df.repartition(partitionCols.map(col): _*)))
     }
   }
 
@@ -1148,7 +1234,7 @@ final class TableStore(spark: SparkSession, root: String,
       byBase(base) = byBase.getOrElse(base, Vector.empty) :+ s"$base/$rel"
     }
     byBase.map { case (base, paths) =>
-      spark.read.option("basePath", base).parquet(paths: _*)
+      rd(table).option("basePath", base).parquet(paths: _*)
     }.reduce(_ unionByName _)
   }
 }

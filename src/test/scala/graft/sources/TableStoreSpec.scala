@@ -703,6 +703,73 @@ class TableStoreSpec extends SparkSpec {
     assert(w.readPinned("t").count() == 3)
   }
 
+  test("compact(sortBy): files come back clustered; contents unchanged") {
+    val ts = freshStore()
+    // many small appends with interleaved keys -> unsorted small files
+    (0 until 6).foreach { b =>
+      ts.append("t", Seq((b * 2 + 17L) % 13, (b * 7 + 5L) % 13)
+        .map(k => (k, s"v$k", s"d${k % 2}")).toDF("k", "v", "day"),
+        partitionBy = Seq("day"))
+    }
+    val before = ts.read("t").as[(Long, String, String)].collect().toSet
+    ts.compact("t", partitionCols = Seq("day"), sortBy = Seq("k"))
+    assert(ts.read("t").as[(Long, String, String)].collect().toSet ==
+      before, "compaction changed contents")
+    // every file individually sorted on k (row-group stats monotone)
+    val dir = ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/day=.*", "")
+    new java.io.File(dir).listFiles().filter(_.getName.contains("="))
+      .foreach { p =>
+        p.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+          val ks = spark.read.parquet(f.getAbsolutePath)
+            .select($"k").as[Long].collect().toSeq
+          assert(ks == ks.sorted, s"${f.getName} not clustered: $ks")
+        }
+      }
+    // unpartitioned path too
+    val ts2 = freshStore()
+    ts2.append("u", Seq(5L, 1L, 9L, 3L).map(k => (k, s"v$k"))
+      .toDF("k", "v"))
+    ts2.compact("u", targetFiles = 1, sortBy = Seq("k"))
+    assert(ts2.read("u").inputFiles.forall { f =>
+      val ks = spark.read.parquet(f.replaceFirst("file:", ""))
+        .select($"k").as[Long].collect().toSeq
+      ks == ks.sorted
+    })
+  }
+
+  test("appendEvolve: widens schema; old rows read NULL; conflicts throw") {
+    val root = Files.createTempDirectory("graft_evo").toString
+    val ts = new TableStore(spark, root)
+    ts.append("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(!ts.isEvolved("t"))
+    // batch carries a NEW column -> widened; earlier rows read NULL
+    ts.appendEvolve("t", Seq((3L, "c", 0.9)).toDF("k", "v", "score"))
+    assert(ts.isEvolved("t"))
+    val rows = ts.read("t").select($"k", $"v", $"score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.9))))
+    // batch MISSING a table column -> typed NULL fill
+    ts.appendEvolve("t", Seq((4L, 0.5)).toDF("k", "score"))
+    assert(ts.read("t").filter($"k" === 4L)
+      .select($"v", $"score").as[(Option[String], Option[Double])]
+      .collect().toSeq == Seq((None, Some(0.5))))
+    // readPinned and readAt-independent plain read agree post-evolution
+    assert(ts.readPinned("t").count() == 4)
+    // type conflict: loud, nothing written
+    val e = intercept[IllegalArgumentException] {
+      ts.appendEvolve("t", Seq((5L, 7)).toDF("k", "score"))
+    }
+    assert(e.getMessage.contains("score"))
+    assert(ts.read("t").count() == 4)
+    // plain append of the ORIGINAL narrow schema still reads merged
+    // (append aligns nothing — parquet merge resolves missing as NULL)
+    ts.appendEvolve("t", Seq((6L, "f")).toDF("k", "v"))
+    assert(ts.read("t").filter($"k" === 6L).select($"score")
+      .as[Option[Double]].collect().toSeq == Seq(None))
+  }
+
   test("appendExactlyOnce: fence skips replays; survives interleaved writers and crashes") {
     val root = Files.createTempDirectory("graft_eo").toString
     val ts = new TableStore(spark, root)
