@@ -155,6 +155,34 @@ object TextQueries {
         >= 0.2
       ORDER BY id_a, id_b"""))
 
+  /** q107 — edit-distance near-dup pairs (round 8,
+    * [[Dedup.editDistancePairs]]): Levenshtein ≤ 8 on each doc's
+    * 40-char SUFFIX (the near-dup generator's one-word substitution
+    * shifts the tail by the length delta, so the surviving pairs
+    * exercise real banded-DP alignment, not just equality). Candidates
+    * via the complete length-banded self-join; verify with the
+    * thresholded Levenshtein kernel. Distances are exact integers —
+    * any engine's DP agrees bit-for-bit; the oracle replays the same
+    * algebra with DuckDB's core levenshtein().
+    */
+  private val q107 = Q("q107_dedup_editdistance",
+    (s, dir) => {
+      val suffixed = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"),
+          expr("right(text, 40)").as("s40"))
+      Dedup.editDistancePairs(suffixed, "doc_id", "s40", maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH t AS (SELECT doc_id, RIGHT(text, 40) AS s
+        FROM documents WHERE lang = 'en'),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          levenshtein(a.s, b.s) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+          AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 8)
+      SELECT id_a, id_b, CAST(dist AS INT) AS dist
+      FROM p WHERE dist <= 8 ORDER BY id_a, id_b"""))
+
   /** q95 — containment-similarity pairs (inter/min(n_a,n_b), Broder's
     * companion measure to resemblance): the asymmetric near-dup
     * detector — a short doc embedded in a long one scores ~1.0 here
@@ -1033,5 +1061,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
-    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99)
+    q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
+    q107)
 }

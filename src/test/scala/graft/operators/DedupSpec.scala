@@ -31,6 +31,51 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("editDistancePairs: complete vs brute force; bucket boundaries; threshold bites") {
+    val rows = Seq(
+      (1L, "spark engine"),        // dist 1 to 2 (substitution)
+      (2L, "spork engine"),
+      (3L, "spark engines"),       // dist 1 to 1 (insertion)
+      (4L, "a"),                   // short strings straddle buckets
+      (5L, "ab"),
+      (6L, "abc"),
+      (7L, "completely different"),
+      (8L, "spark engine"),        // exact dup of 1 -> dist 0
+      (9L, null.asInstanceOf[String]), // NULL quarantined
+      (10L, "spark enginexyz")     // dist 3 to 1 (three insertions)
+    ).toDF("id", "s")
+    val d = 3
+    val got = Dedup.editDistancePairs(rows, "id", "s", d)
+      .as[(Long, Long, Int)].collect().toSet
+    // driver brute force over all pairs (classic DP)
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val data = Seq(1L -> "spark engine", 2L -> "spork engine",
+      3L -> "spark engines", 4L -> "a", 5L -> "ab", 6L -> "abc",
+      7L -> "completely different", 8L -> "spark engine",
+      10L -> "spark enginexyz")
+    val want = (for {
+      (ia, sa) <- data; (ib, sb) <- data if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist)).toSet
+    assert(got == want)
+    // the expected set is non-trivial at every distance 0..d
+    assert((0 to d).forall(k => want.exists(_._3 == k)), want.toString)
+    // deterministic under repartition
+    assert(Dedup.editDistancePairs(rows.repartition(7), "id", "s", d)
+      .as[(Long, Long, Int)].collect().toSet == want)
+    // maxDist=0 degenerates to exact string equality
+    assert(Dedup.editDistancePairs(rows, "id", "s", 0)
+      .as[(Long, Long, Int)].collect().toSet == Set((1L, 8L, 0)))
+  }
+
   test("containmentPairs: embedded doc scores ~1.0 where Jaccard misses it") {
     // doc 11 = 6 tokens fully embedded in doc 12's 40: containment 1.0,
     // Jaccard small — the asymmetric class jaccardPairs can't threshold
