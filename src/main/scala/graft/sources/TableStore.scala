@@ -1036,6 +1036,143 @@ final class TableStore(spark: SparkSession, root: String,
   /** Leaf partition dirs (relative `col=v/...` paths) `depth` levels
     * under `base`.
     */
+  // ------------------------------------------------- file statistics
+
+  private def statsPath(table: String) =
+    new Path(root, s"$table._graft_stats")
+
+  /** Compute and persist per-FILE min/max/null-count statistics for
+    * `statsCols` — the store-level data-skipping index
+    * ([[FileStats]]; Delta/Iceberg's file-stats shape on this store's
+    * sidecar machinery). One metadata-bounded aggregate job: the scan
+    * groups by `_metadata.file_path`, so the collected result is one
+    * row per data file regardless of table size. Stats are keyed by
+    * file name (Spark part names are UUID-unique), so entries for
+    * files a later rewrite replaced are simply never consulted, and
+    * files appended after the analyze are scanned unconditionally —
+    * staleness degrades SKIPPING, never correctness. Timestamp
+    * columns are projected to epoch micros before aggregation
+    * (monotonic; assumes the engine's UTC-pinned session for NTZ).
+    * Supported column types: integral, float/double (non-finite
+    * boundaries drop that file's entry — conservative), decimal,
+    * string, boolean, date, timestamp.
+    */
+  def analyze(table: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(statsCols.nonEmpty, "analyze: name at least one column")
+    require(readManifest(table).forall(!_.swapping),
+      s"table $table: crashed swap pending — run recover()/a mutation " +
+        "before analyze")
+    val df = readPinned(table)
+    val schema = df.schema
+    statsCols.foreach(c => require(schema.exists(_.name == c),
+      s"analyze: column $c not in ${schema.map(_.name).mkString(",")}"))
+    def normCol(c: String) = schema(schema.fieldIndex(c)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(c).cast(LongType)
+      case FloatType  => col(c).cast(DoubleType)
+      case DoubleType => col(c)
+      case _: DecimalType | StringType | BooleanType => col(c)
+      case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"analyze: unsupported stats type ${other.simpleString} for $c")
+    }
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(normCol(c)).as(s"__min_$c"), max(normCol(c)).as(s"__max_$c"),
+        sum(col(c).isNull.cast(LongType)).as(s"__null_$c"))
+    }
+    val perFile = df.withColumn("__path", col("_metadata.file_path"))
+      .groupBy("__path")
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect() // one row per data file: metadata-scale by construction
+    // URI-path compare: `_metadata.file_path` renders `file:///x` where
+    // makeQualified renders `file:/x` — same location, different
+    // authority spelling; the path component is the stable key
+    val base = fsOf(hpath(table)).makeQualified(hpath(table)).toUri.getPath
+    def comparable(v: Any): Option[Any] = v match {
+      case null                 => None
+      case l: java.lang.Long    => Some(new java.math.BigDecimal(l))
+      case i: java.lang.Integer => Some(new java.math.BigDecimal(
+        i.longValue()))
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d.doubleValue()))
+      case b: java.math.BigDecimal => Some(b)
+      case s: String               => Some(s)
+      case b: java.lang.Boolean    => Some(b)
+      case other => throw new IllegalStateException(
+        s"analyze: unexpected aggregate value ${other.getClass}")
+    }
+    val stats = perFile.flatMap { r =>
+      val full = new Path(r.getAs[String]("__path")).toUri.getPath
+      if (!full.startsWith(base + "/")) None // foreign base: never prune
+      else {
+        val rel = full.stripPrefix(base + "/")
+        val rows = r.getAs[Long]("__rows")
+        val cols = statsCols.flatMap { c =>
+          val nulls = r.getAs[Long](s"__null_$c")
+          (comparable(r.getAs[Any](s"__min_$c")),
+            comparable(r.getAs[Any](s"__max_$c"))) match {
+            case (Some(mn), Some(mx)) =>
+              Some(c -> FileStats.ColStats(rows, nulls, Some(mn), Some(mx)))
+            case (None, None) if nulls == rows => // all-null: prunable
+              Some(c -> FileStats.ColStats(rows, nulls, None, None))
+            case _ => None // non-finite boundary: no stats for this col
+          }
+        }.toMap
+        Some(rel -> FileStats.PerFile(rows, cols))
+      }
+    }.toMap
+    val p = statsPath(table)
+    val out = fsOf(p).create(p, true)
+    try out.write(FileStats.serialize(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Predicate read with FILE-LEVEL skipping: files whose analyzed
+    * [min,max]/null stats prove the predicate empty are excluded from
+    * the scan — no task, no footer read — and the full predicate is
+    * re-applied to the survivors, so pruning is invisible to results.
+    * Files without stats (appended since the last [[analyze]], or a
+    * column the analyze didn't cover) are always scanned. With no
+    * sidecar, or under a crashed swap, this is exactly
+    * `read(table).filter(pred)`.
+    */
+  def readWhere(table: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    def plain = read(table).filter(pred)
+    if (readManifest(table).exists(_.swapping)) return plain
+    val sp = statsPath(table)
+    val fs = fsOf(sp)
+    if (!fs.exists(sp)) return plain
+    val in = fs.open(sp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val stats = FileStats.deserialize(txt)
+    val files = dataFiles(fs, hpath(table))
+    if (files.isEmpty) return plain
+    // the predicate's RESOLVED, constant-folded form: analyze+optimize
+    // the filtered frame (driver-side, no job) and collect every
+    // Filter condition — typed literals, no unresolved nodes, the
+    // optimizer's implied-IsNotNull conjuncts included. A predicate
+    // the optimizer folds away entirely leaves no Filter: no pruning.
+    val conds = plain.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    val kept = files.filter(rel =>
+      stats.get(rel).forall(pf =>
+        conds.forall(c => FileStats.mayMatch(c, pf))))
+    if (kept.size == files.size) plain
+    else if (kept.isEmpty) plain.limit(0) // no file can match
+    else rd(table).option("basePath", path(table))
+      .parquet(kept.map(r => s"${path(table)}/$r"): _*)
+      .filter(pred)
+  }
+
   private def leafDirs(fs: FileSystem, base: Path, depth: Int,
                        rel: String): Seq[String] =
     if (depth == 0) Seq(rel)

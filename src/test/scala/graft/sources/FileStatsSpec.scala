@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import java.nio.file.Files
+
+/** File-level data skipping: [[FileStats]] evaluator semantics (prune
+  * only on proof, keep on any uncertainty) and the
+  * [[TableStore.analyze]]/[[TableStore.readWhere]] contract — pruned
+  * reads return EXACTLY what the plain filtered read returns, while
+  * scanning fewer files when the clustering makes that provable.
+  * Evaluator cases build Catalyst predicates directly (the same node
+  * shapes `readWhere` collects from the optimized plan).
+  */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import FileStats._
+
+  private def a(n: String) = UnresolvedAttribute(n)
+  private def bd(l: Long) = new java.math.BigDecimal(l)
+  private def cs(rows: Long, nulls: Long, mn: Long, mx: Long) =
+    ColStats(rows, nulls, Some(bd(mn)), Some(bd(mx)))
+
+  test("serialize/deserialize round-trips every value kind and escape") {
+    val stats = Map(
+      "part-a.parquet" -> PerFile(10, Map(
+        "k" -> cs(10, 0, -5, 17),
+        "name" -> ColStats(10, 2, Some("a%b\tc\nd"), Some("zz")),
+        "flag" -> ColStats(10, 0, Some(java.lang.Boolean.FALSE),
+          Some(java.lang.Boolean.TRUE)),
+        "dead" -> ColStats(10, 10, None, None))),
+      "day=x%25/part-b.parquet" -> PerFile(0, Map.empty))
+    assert(deserialize(serialize(stats)) == stats)
+  }
+
+  test("mayMatch: range proofs prune, uncertainty keeps") {
+    val pf = PerFile(100, Map("k" -> cs(100, 0, 10, 20),
+      "s" -> ColStats(100, 5, Some("mango"), Some("peach")),
+      "allnull" -> ColStats(100, 100, None, None)))
+    def m(e: Expression) = mayMatch(e, pf)
+    val k = a("k")
+    // equality inside / outside the window
+    assert(m(EqualTo(k, Literal(15))) && m(EqualTo(k, Literal(10))) &&
+      m(EqualTo(k, Literal(20))))
+    assert(!m(EqualTo(k, Literal(9))) && !m(EqualTo(k, Literal(21))))
+    // long literals against long stats
+    assert(m(EqualTo(k, Literal(15L))) && !m(EqualTo(k, Literal(9L))))
+    // inequalities, both literal positions
+    assert(!m(LessThan(k, Literal(10))) && m(LessThanOrEqual(k, Literal(10))))
+    assert(!m(GreaterThan(k, Literal(20))) &&
+      m(GreaterThanOrEqual(k, Literal(20))))
+    assert(!m(LessThan(Literal(21), k)) && m(LessThanOrEqual(Literal(20), k)))
+    assert(m(GreaterThan(Literal(11), k)) && !m(GreaterThan(Literal(10), k)))
+    // In: any member inside keeps; InSet likewise (internal values)
+    assert(m(In(k, Seq(Literal(1), Literal(2), Literal(15)))))
+    assert(!m(In(k, Seq(Literal(1), Literal(2), Literal(30)))))
+    val kr = AttributeReference("k", org.apache.spark.sql.types.LongType)()
+    assert(mayMatch(InSet(kr, Set[Any](1L, 15L)), pf))
+    assert(!mayMatch(InSet(kr, Set[Any](1L, 30L)), pf))
+    // And needs both sides; Or either
+    assert(!m(And(EqualTo(k, Literal(15)), EqualTo(k, Literal(9)))))
+    assert(m(Or(EqualTo(k, Literal(9)), EqualTo(k, Literal(15)))))
+    // null proofs
+    assert(!m(IsNull(k)) && m(IsNotNull(k)))
+    assert(m(IsNull(a("allnull"))) && !m(IsNotNull(a("allnull"))))
+    assert(!m(EqualTo(a("allnull"), Literal(5)))) // no value to compare
+    // != prunes only a constant file
+    assert(m(Not(EqualTo(k, Literal(15)))))
+    val const = PerFile(4, Map("k" -> cs(4, 0, 7, 7)))
+    assert(!mayMatch(Not(EqualTo(a("k"), Literal(7))), const))
+    assert(mayMatch(Not(EqualTo(a("k"), Literal(8))), const))
+    // string prefix: window proofs, prefix-class edge kept
+    val s = a("s")
+    assert(m(StartsWith(s, Literal("m"))) && m(StartsWith(s, Literal("pea"))))
+    assert(!m(StartsWith(s, Literal("z"))) && !m(StartsWith(s, Literal("a"))))
+    val edge = PerFile(3, Map("s" ->
+      ColStats(3, 0, Some("ab￿x"), Some("ac"))))
+    assert(mayMatch(StartsWith(a("s"), Literal("ab")), edge)) // min IS prefixed
+    // unknown shapes and statless columns never prune
+    assert(m(EqualTo(Abs(k), Literal(9)))) // wrapped attribute: conservative
+    assert(m(EqualTo(a("other"), Literal(1))))
+    // a zero-row file always prunes
+    assert(!mayMatch(EqualTo(a("x"), a("x")), PerFile(0, Map.empty)))
+    // type drift between stats and literal keeps
+    assert(m(EqualTo(s, Literal(5))))
+  }
+
+  test("mayMatch: double boundaries compare exactly") {
+    val pf = PerFile(5, Map("d" -> ColStats(5, 0,
+      Some(new java.math.BigDecimal(0.1)), // exact binary expansion
+      Some(new java.math.BigDecimal(0.3)))))
+    assert(mayMatch(EqualTo(a("d"), Literal(0.1)), pf))
+    assert(!mayMatch(LessThan(a("d"), Literal(0.1)), pf))
+    assert(!mayMatch(GreaterThan(a("d"), Literal(0.3)), pf))
+    assert(mayMatch(GreaterThanOrEqual(a("d"), Literal(0.3)), pf))
+    // NaN literal: outside the evaluator's domain — keeps
+    assert(mayMatch(EqualTo(a("d"), Literal(Double.NaN)), pf))
+  }
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_fs").toString)
+
+  test("analyze + readWhere: prunes clustered files, results identical") {
+    val ts = freshStore()
+    // 4 range-clustered files over k ∈ [0,400): file boundaries are
+    // disjoint k windows, so a point/range predicate can prove 3 of 4 away
+    ts.rewrite("t", spark.range(400).toDF("k")
+      .withColumn("s", concat(lit("u"), format_string("%03d", $"k")))
+      .withColumn("grp", ($"k" % 7).cast("int"))
+      .repartitionByRange(4, $"k"))
+    val total = ts.read("t").inputFiles.length
+    assert(total == 4)
+    ts.analyze("t", Seq("k", "s"))
+
+    val point = ts.readWhere("t", $"k" === 42)
+    assert(point.inputFiles.length == 1)
+    assert(point.as[(Long, String, Int)].collect().toSet ==
+      ts.read("t").filter($"k" === 42).as[(Long, String, Int)]
+        .collect().toSet)
+
+    val range = ts.readWhere("t", $"k" >= 150 && $"k" < 260)
+    assert(range.inputFiles.length < total)
+    assert(range.select(sum($"k")).as[Long].head() ==
+      (150L until 260L).sum)
+
+    // string-prefix pruning rides the same stats
+    val pre = ts.readWhere("t", $"s".startsWith("u39"))
+    assert(pre.inputFiles.length == 1 && pre.count() == 10)
+
+    // a provably-empty predicate reads zero rows (and stays schema-true)
+    val none = ts.readWhere("t", $"k" === -1)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "s", "grp"))
+
+    // un-analyzed column: no pruning, still correct
+    val g = ts.readWhere("t", $"grp" === 3)
+    assert(g.inputFiles.length == total)
+    assert(g.count() == ts.read("t").filter($"grp" === 3).count())
+  }
+
+  test("readWhere: stale stats keep appended files visible") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(100).toDF("k").repartitionByRange(2, $"k"))
+    ts.analyze("t", Seq("k"))
+    // appended AFTER analyze: no stats for the new file — must be scanned
+    ts.append("t", Seq(1000L, 1001L).toDF("k"))
+    val got = ts.readWhere("t", $"k" >= 1000)
+    assert(got.as[Long].collect().toSet == Set(1000L, 1001L))
+    // and the analyzed files still prune underneath the stale sidecar
+    assert(got.inputFiles.length < ts.read("t").inputFiles.length)
+  }
+
+  test("analyze + readWhere prune all-null and partitioned layouts") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(60)
+      .select($"id".as("k"),
+        when($"id" < 30, $"id".cast("string")).as("v"),
+        concat(lit("d"), ($"id" % 3)).as("day"))
+      .repartition($"day"), partitionBy = Seq("day"))
+    ts.analyze("t", Seq("k", "v", "day"))
+    // partition-column predicate prunes at the FILE level via the same stats
+    val one = ts.readWhere("t", $"day" === "d1")
+    assert(one.inputFiles.length < ts.read("t").inputFiles.length)
+    assert(one.count() == 20)
+    // every day-file mixes null and non-null v: isNotNull keeps all, correct
+    assert(ts.readWhere("t", $"v".isNotNull).count() == 30)
+  }
+}
