@@ -866,6 +866,48 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Z-ORDER clustering compaction (Delta's OPTIMIZE ZORDER BY shape,
+    * [[ZOrder]]): rewrite the table into `targetFiles` files
+    * range-partitioned and sorted on the Morton interleave of
+    * `zCols`, so EVERY interleaved dimension gets bounded per-file
+    * [min,max] windows — run [[analyze]] on the same columns after and
+    * [[readWhere]] predicates on any one of them prune files, where a
+    * plain `compact(sortBy)` clusters only its leading column. One
+    * extra exchange vs `compact`: the range partition on the z-value
+    * (which IS the clustering). The z-value is a transient sort key —
+    * projected away before the write, so the stored schema is
+    * unchanged; contents are a permutation (spec-verified). For
+    * PARTITIONED tables pass `partitionCols`: clustering applies
+    * within each partition and untouched partition semantics follow
+    * [[compact]]'s partition-targeted rewrite.
+    */
+  def compactZOrder(table: String, zCols: Seq[String],
+                    targetFiles: Int = 8,
+                    partitionCols: Seq[String] = Nil): Unit = retryCommit {
+    recover(table)
+    import org.apache.spark.sql.functions._
+    def clustered(df: DataFrame): DataFrame = {
+      val z = ZOrder.zColumn(df, zCols)
+      val zdf = df.withColumn("__graft_z", z)
+      val parted =
+        if (partitionCols.isEmpty)
+          zdf.repartitionByRange(targetFiles, col("__graft_z"))
+        else zdf.repartition(partitionCols.map(col): _*)
+      // the dynamic-partition writer re-sorts on partition columns;
+      // prefixing them keeps the z clustering intact (same lesson as
+      // compact(sortBy))
+      parted.sortWithinPartitions(
+        (partitionCols :+ "__graft_z").map(col): _*)
+        .drop("__graft_z")
+    }
+    if (partitionCols.isEmpty)
+      rewriteBody(table, clustered(read(table)), Nil)
+    else {
+      val hit = read(table).select(partitionCols.map(col): _*).distinct()
+      rewriteAffectedBody(table, partitionCols, hit, transform = clustered)
+    }
+  }
+
   /** Full-table rewrite via temp dir + rename through the table's
     * FileSystem (single writer), manifest-fenced: `state=swapping` is
     * recorded before the first rename and the generation commits only
