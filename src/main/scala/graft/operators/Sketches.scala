@@ -94,6 +94,88 @@ object Sketches {
             col("kth_min").cast("double")))
   }
 
+  /** HyperLogLog register relation (Flajolet et al. 2007) — the
+    * distinct sketch whose STATE is 2^p bytes per group versus KMV's
+    * k longs: registers merge by `max`, so shards, days, or streaming
+    * micro-batches combine with one grouped aggregate and the sketch
+    * never revisits data. Unlike `approx_count_distinct` (whose
+    * HLL++ register layout is Spark-private and unverifiable), every
+    * piece here is the engine's portable md5 algebra: bucket = first
+    * 16 hash bits mod 2^p, rho = leading-zero count of an INDEPENDENT
+    * 48-bit hash + 1, computed by hex-char CASE arithmetic that any
+    * SQL engine reproduces bit-for-bit (q108 gates it in DuckDB).
+    *
+    * Scale shape: narrow projection → grouped max (map-side combine
+    * collapses each partition to ≤ 2^p registers per group before the
+    * ONE exchange — the mergeability argument, same as CMS/MG).
+    * Output: (groupCols…, bucket, m) for OBSERVED buckets; absent
+    * bucket ⇒ register 0.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   p: Int, salt: String): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")
+    val m = 1L << p
+    val bucket = pmod(Sampling.hashBucket(col(keyCol), s"$salt:b",
+      hexChars = 4), lit(m))
+    // independent hash for the rank: 12 hex chars = 48 bits
+    val sub = substring(md5(concat_ws(":", lit(s"$salt:r"),
+      coalesce(col(keyCol).cast("string"), lit(Sampling.NullKey)))), 1, 12)
+    val z = length(regexp_extract(sub, "^0*", 0))
+    val nxt = substr(sub, z + lit(1), lit(1))
+    val lzd = when(nxt === "1", 3)
+      .when(nxt.isin("2", "3"), 2)
+      .when(nxt.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(z === 12, lit(49L))
+      .otherwise((z * 4 + lzd + 1).cast("long"))
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+
+        rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** The HLL raw estimate from a register relation, in EXACT integer
+    * arithmetic so any engine agrees to the last digit: the harmonic
+    * denominator Σ 2^−M_j is scaled by 2^49 (every term is then an
+    * integer ≤ 2^48, summed in decimal(38,0) — no float
+    * order-dependence), and est = ⌊α_m·m²·2^49 / S⌋ with α_m as the
+    * published exact rational (673/1000, 697/1000, 709/1000 for
+    * m = 16/32/64; 0.7213/(1+1.079/m) = 7213·m/(10·(1000m+1079))
+    * above). The small-range linear-counting correction
+    * (m·ln(m/V), transcendental — not cross-engine-gateable) is
+    * deliberately NOT folded in: `v_empty` is emitted so a consumer
+    * can apply it; below ~2.5m the raw `est` reads high (documented
+    * HLL behavior), and the q108 gate checks the ALGEBRA, with
+    * accuracy pinned separately by spec on a large-n fixture.
+    * Output: (groupCols…, v_empty, s_scaled, est).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")
+    val m = 1L << p
+    val (n0, d0): (BigInt, BigInt) =
+      if (p >= 7) (BigInt(7213) * BigInt(m).pow(3) * BigInt(2).pow(49),
+        BigInt(10) * (BigInt(1000) * m + 1079))
+      else {
+        val a = p match { case 4 => 673; case 5 => 697; case 6 => 709 }
+        (BigInt(a) * BigInt(m).pow(2) * BigInt(2).pow(49), BigInt(1000))
+      }
+    val two49 = new java.math.BigDecimal(BigInt(2).pow(49).bigInteger)
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))" +
+          " AS DECIMAL(38,0))")).as("__sp"))
+      .withColumn("v_empty", lit(m) - col("__present"))
+      .withColumn("s_scaled",
+        col("__sp") + col("v_empty").cast("decimal(38,0)") * lit(two49))
+      .withColumn("est",
+        expr(s"CAST(CAST('$n0' AS DECIMAL(38,0)) DIV " +
+          s"(CAST('$d0' AS DECIMAL(38,0)) * s_scaled) AS BIGINT)"))
+      .select((groupCols.map(col) :+ col("v_empty") :+
+        col("s_scaled").cast("decimal(38,0)").as("s_scaled") :+
+        col("est")): _*)
+  }
+
   /** Per-depth-row CMS cell of a key: (row, bucket) with
     * bucket = hashBucket(key, "salt:j") mod width — the ONE convention
     * [[cmsBuild]] and [[cmsEstimate]] share (and the q99 oracle

@@ -1008,6 +1008,71 @@ object TextQueries {
     SELECT w1, w2, c12, c1, c2, pmi_q, rk FROM ranked WHERE rk <= 30
     ORDER BY pmi_q DESC, w1, w2"""))
 
+  /** q108 — HyperLogLog distinct estimate (round 8,
+    * [[graft.operators.Sketches.hllRegisters]]/[[Sketches.hllEstimate]]):
+    * per-lang cardinality of `doc_id % 997` at p=6 (m=64 registers),
+    * next to the exact distinct count — the audit form. Every register
+    * (md5 bucket, hex-algebra leading-zero rank) and the exact-integer
+    * harmonic sum (Σ 2^−M scaled by 2^49, summed as integers so no
+    * float order-dependence exists to drift) and the ⌊α·m²·2^49/S⌋
+    * division are replayed by the oracle digit-for-digit. The raw
+    * estimate reads high below the ~2.5m linear-counting regime
+    * (documented; v_empty is emitted for the correction) — the gate
+    * pins the ALGEBRA, accuracy is spec-pinned at p=10/n=60k in
+    * SketchesSpec.
+    */
+  private val q108 = {
+    val (p, salt) = (6, "graft")
+    Q("q108_hll_distinct",
+      (s, dir) => {
+        val keyed = t(s, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 997).as("key"))
+        val regs = Sketches.hllRegisters(keyed, Seq("lang"), "key", p, salt)
+        val est = Sketches.hllEstimate(regs, Seq("lang"), p)
+        val exact = keyed.groupBy(col("lang"))
+          .agg(countDistinct(col("key")).as("n_exact"))
+        exact.join(est, Seq("lang"))
+          .select(col("lang"), col("n_exact"), col("v_empty"),
+            col("s_scaled").cast("long").as("s_scaled"), col("est"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val bucket4 = SamplingQueries.bucketSql("hb", 4)
+        val n0 = (BigInt(709) * 64 * 64 * BigInt(2).pow(49)).toString
+        s"""WITH k AS (SELECT lang, doc_id % 997 AS key FROM documents),
+        h AS (SELECT lang, key,
+            ${SamplingQueries.hashSql(s"$salt:b", "key")} AS hb,
+            SUBSTRING(${SamplingQueries.hashSql(s"$salt:r", "key")}, 1, 12)
+              AS hr
+          FROM k),
+        z AS (SELECT lang, key, CAST($bucket4 AS BIGINT) % 64 AS bucket,
+            LENGTH(REGEXP_EXTRACT(hr, '^0*', 0)) AS z,
+            SUBSTRING(hr, LENGTH(REGEXP_EXTRACT(hr, '^0*', 0)) + 1, 1) AS c
+          FROM h),
+        rho AS (SELECT lang, bucket,
+            CASE WHEN z = 12 THEN 49
+                 ELSE 4*z + (CASE WHEN c = '1' THEN 3
+                                  WHEN c IN ('2','3') THEN 2
+                                  WHEN c IN ('4','5','6','7') THEN 1
+                                  ELSE 0 END) + 1 END AS rho
+          FROM z),
+        regs AS MATERIALIZED (SELECT lang, bucket, MAX(rho) AS mm
+          FROM rho GROUP BY 1, 2),
+        est AS (SELECT lang, COUNT(*) AS present,
+            SUM(CAST(POWER(2, 49 - mm) AS HUGEINT)) AS sp
+          FROM regs GROUP BY 1),
+        fin AS (SELECT lang, 64 - present AS v_empty,
+            sp + (64 - present) * CAST(POWER(2, 49) AS HUGEINT) AS s
+          FROM est),
+        ex AS (SELECT lang, COUNT(DISTINCT doc_id % 997) AS n_exact
+          FROM documents GROUP BY 1)
+        SELECT ex.lang, CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(v_empty AS BIGINT) AS v_empty, CAST(s AS BIGINT) AS s_scaled,
+          CAST(CAST('$n0' AS HUGEINT) // (1000 * s) AS BIGINT) AS est
+        FROM ex JOIN fin ON ex.lang = fin.lang ORDER BY ex.lang"""
+      })
+  }
+
   /** q99 — count-min-sketch point-frequency estimates
     * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
     * build a 4×512 CMS over the token stream, then read back estimates
@@ -1062,5 +1127,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107)
+    q107, q108)
 }

@@ -68,6 +68,59 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("UNBOUNDED FOLLOWING"), plan)
   }
 
+
+  test("HLL: registers merge by max across any split; partitioning-invariant") {
+    val df = (1 to 3000).map(i => (s"g${i % 2}", s"k$i")).toDF("grp", "key")
+    val full = Sketches.hllRegisters(df, Seq("grp"), "key", p = 8, "t")
+      .collect().map(_.toSeq).toSet
+    val half1 = Sketches.hllRegisters(df.filter($"key" < "k5"),
+      Seq("grp"), "key", p = 8, "t")
+    val half2 = Sketches.hllRegisters(df.filter($"key" >= "k5"),
+      Seq("grp"), "key", p = 8, "t")
+    val merged = half1.unionByName(half2)
+      .groupBy("grp", "bucket").agg(max("m").as("m"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == full) // the HLL mergeability law, exactly
+    val reparted = Sketches.hllRegisters(df.repartition(7), Seq("grp"),
+      "key", p = 8, "t").collect().map(_.toSeq).toSet
+    assert(reparted == full)
+    // registers are sane: bucket in [0, 256), rank in [1, 49]
+    full.foreach { r =>
+      val b = r(1).asInstanceOf[Long]; val m = r(2).asInstanceOf[Long]
+      assert(b >= 0 && b < 256 && m >= 1 && m <= 49)
+    }
+  }
+
+  test("HLL: estimate accuracy in the raw-estimate regime (n >> 2.5m)") {
+    // n = 60000 distinct, p = 10 (m = 1024): stderr ~ 1.04/32 = 3.3 pct
+    val df = (1 to 60000).map(i => ("g", i)).toDF("grp", "key")
+    val regs = Sketches.hllRegisters(df, Seq("grp"), "key", p = 10, "t")
+    val r = Sketches.hllEstimate(regs, Seq("grp"), p = 10).head()
+    val est = r.getAs[Long]("est")
+    assert(math.abs(est - 60000.0) / 60000.0 < 0.1, s"est=$est")
+    // duplicates change nothing (distinct semantics)
+    val dup = df.unionByName(df.limit(10000))
+    val r2 = Sketches.hllEstimate(
+      Sketches.hllRegisters(dup, Seq("grp"), "key", p = 10, "t"),
+      Seq("grp"), p = 10).head()
+    assert(r2.getAs[Long]("est") == est)
+  }
+
+  test("HLL: small-m exact-alpha path and v_empty accounting") {
+    val df = (1 to 500).map(i => ("g", i)).toDF("grp", "key")
+    val regs = Sketches.hllRegisters(df, Seq("grp"), "key", p = 4, "t")
+    val r = Sketches.hllEstimate(regs, Seq("grp"), p = 4).head()
+    val present = regs.count()
+    assert(r.getAs[Long]("v_empty") == 16 - present)
+    assert(r.getAs[Long]("est") > 0)
+    // s_scaled is the exact integer harmonic sum: recompute on driver
+    val ms = regs.select("m").as[Long].collect()
+    val expectS = ms.map(m => BigInt(2).pow((49 - m).toInt)).sum +
+      BigInt(16 - present) * BigInt(2).pow(49)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("s_scaled")
+      .toBigInteger) == expectS)
+  }
+
   test("CMS: est >= exact always; no-collision keys read exactly") {
     val df = (1 to 300).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
       .toDF("key")
