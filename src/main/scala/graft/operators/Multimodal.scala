@@ -684,6 +684,136 @@ object Multimodal {
       "RIFF".getBytes("US-ASCII") ++ l32(4 + fmt.length + data.length) ++
         "WAVE".getBytes("US-ASCII") ++ fmt ++ data
     }
+
+    /** COMPLETE 16-bit PCM WAV with real sample data (the encode side
+      * of [[parseWavPcm]]): `sample(frame, ch)` must return a value in
+      * [−32768, 32767], written little-endian interleaved — the actual
+      * on-disk PCM layout, so the decoder's byte walk is exercised for
+      * real, not against zero-fill.
+      */
+    def wavPcm(channels: Int, sampleRate: Int, nFrames: Int,
+               sample: (Int, Int) => Int): Array[Byte] = {
+      val block = channels * 2
+      val data = new Array[Byte](nFrames * block)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val v = sample(f, c)
+          require(v >= -32768 && v <= 32767, s"sample out of int16: $v")
+          val at = f * block + c * 2
+          data(at) = (v & 0xFF).toByte
+          data(at + 1) = ((v >> 8) & 0xFF).toByte
+          c += 1
+        }
+        f += 1
+      }
+      val fmt = "fmt ".getBytes("US-ASCII") ++ l32(16) ++
+        l16(1) ++ l16(channels) ++ l32(sampleRate.toLong) ++
+        l32(sampleRate.toLong * block) ++ l16(block) ++ l16(16)
+      val dataC = "data".getBytes("US-ASCII") ++ l32(data.length.toLong) ++
+        data
+      "RIFF".getBytes("US-ASCII") ++ l32(4 + fmt.length + dataC.length) ++
+        "WAVE".getBytes("US-ASCII") ++ fmt ++ dataC
+    }
+  }
+
+  /** Exact-integer PCM sample statistics of one decoded WAV.
+    * `nSamples` counts individual sample VALUES (frames × channels);
+    * `nClipped` counts full-scale samples (±32767/−32768), the
+    * standard clipping-detection corpus filter.
+    */
+  final case class WavPcmStats(channels: Int, sampleRate: Int,
+                               nSamples: Long, sumS: Long, sumSqS: Long,
+                               minS: Int, maxS: Int, nClipped: Long)
+
+  /** REAL 16-bit PCM decode, dependency-free: RIFF walk to `fmt ` and
+    * `data`, then one linear pass over the little-endian interleaved
+    * samples accumulating exact-long statistics — the audio member of
+    * the real-decode family ([[parsePngPixels]] for images). Nothing
+    * is materialized beyond the accumulator, so memory is O(1)
+    * regardless of duration.
+    *
+    * Quarantines (None, the never-throw contract): non-WAV bytes, a
+    * missing/short `fmt `, non-PCM format tags, bit depths other than
+    * 16, a declared `data` size that overruns the payload (truncated
+    * file — partial stats would silently misreport, so none are
+    * returned), zero-length data, or more than `maxSamples` samples
+    * (adversarial-size hardening: checked BEFORE the pass).
+    */
+  def parseWavPcm(bytes: Array[Byte],
+                  maxSamples: Long = 1L << 28): Option[WavPcmStats] = {
+    val n = bytes.length
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12L
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Long)] = None // (offset, size)
+    while (i + 8 <= n) {
+      val at = i.toInt
+      val id = tag(at)
+      val size = le32(bytes, at + 4)
+      if (size < 0) return None
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > n) return None
+        fmt = Some((le16(bytes, at + 8), le16(bytes, at + 10),
+          le32(bytes, at + 12).toInt, le16(bytes, at + 20),
+          le16(bytes, at + 22)))
+      } else if (id == "data") data = Some((at + 8, size))
+      i += 8L + size + (size & 1L)
+    }
+    (fmt, data) match {
+      case (Some((audioFmt, ch, rate, block, bits)), Some((off, size))) =>
+        if (audioFmt != 1 || bits != 16 || ch <= 0 || rate <= 0 ||
+            block != ch * 2) return None
+        if (off + size > n || size == 0 || size % 2 != 0) return None
+        val count = size / 2
+        if (count > maxSamples) return None
+        var k = 0L
+        var sum = 0L; var sumSq = 0L; var clipped = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        while (k < count) {
+          val at = (off + 2 * k).toInt
+          // little-endian signed int16
+          val v = ((bytes(at) & 0xFF) | (bytes(at + 1) << 8)).toShort.toInt
+          sum += v; sumSq += v.toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (v == 32767 || v == -32768) clipped += 1
+          k += 1
+        }
+        Some(WavPcmStats(ch, rate, count, sum, sumSq, mn, mx, clipped))
+      case _ => None
+    }
+  }
+
+  final case class WavPcmRow(doc_id: Long, channels: Option[Int],
+                             sample_rate: Option[Int],
+                             n_samples: Option[Long], sum_s: Option[Long],
+                             sumsq_s: Option[Long], min_s: Option[Int],
+                             max_s: Option[Int], n_clipped: Option[Long],
+                             ok: Boolean)
+
+  /** PCM sample statistics of (idCol: long, payloadCol: binary) as
+    * real columns, corrupt rows quarantined as ok=false — the audio
+    * twin of [[pngPixelStats]] (typed mapPartitions: linear scan,
+    * streaming-legal, no decoded samples ever leave the accumulator).
+    */
+  def wavPcmStats(df: DataFrame, idCol: String, payloadCol: String,
+                  maxSamples: Long = 1L << 28): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parseWavPcm(_, maxSamples)) match {
+          case Some(st) => WavPcmRow(id, Some(st.channels),
+            Some(st.sampleRate), Some(st.nSamples), Some(st.sumS),
+            Some(st.sumSqS), Some(st.minS), Some(st.maxS),
+            Some(st.nClipped), ok = true)
+          case None => WavPcmRow(id, None, None, None, None, None, None,
+            None, None, ok = false)
+        }
+      }).toDF()
   }
 
   // -------------------------------------------------------- video headers

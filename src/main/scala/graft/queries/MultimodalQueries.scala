@@ -264,5 +264,73 @@ object MultimodalQueries {
         doc_id % 9 <> 0 AS ok
       FROM st ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106)
+  /** q109 — REAL 16-bit PCM WAV sample decode (round 8,
+    * [[graft.operators.Multimodal.parseWavPcm]]): the audio member of
+    * the real-decode family — per-doc payloads are COMPLETE PCM WAVs
+    * ([[graft.operators.Multimodal.AudioBytes.wavPcm]]: interleaved
+    * little-endian samples, correct RIFF/fmt/data chunks), channels
+    * `doc_id % 2 + 1`, frames `doc_id % 50 + 1`, sample value
+    * `(7·doc_id + 31·f + 17·c) % 65536 − 32768` (spans the FULL int16
+    * range incl. both clipping rails); every 9th payload is truncated
+    * (data chunk overruns) and must quarantine. The decoder's byte
+    * walk, sign handling, and exact-long accumulation are pinned by
+    * an oracle that re-derives every statistic analytically from the
+    * (frame, channel) grid in SQL.
+    */
+  private val q109 = Q("q109_wav_pcm_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 50 + 1).toInt
+        val full = Multimodal.AudioBytes.wavPcm(ch, 8000, frames,
+          (f, c) => ((7 * id + 31L * f + 17L * c) % 65536).toInt - 32768)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.wavPcmStats(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), col("sum_s"), col("sumsq_s"), col("min_s"),
+          col("max_s"), col("n_clipped"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+          CAST(doc_id % 50 + 1 AS BIGINT) AS frames FROM documents),
+      fs AS (SELECT doc_id, ch, frames, UNNEST(RANGE(frames)) AS f FROM d),
+      cs AS (SELECT doc_id, ch, frames, f, UNNEST(RANGE(ch)) AS c FROM fs),
+      v AS (SELECT doc_id, ch, frames,
+          (7*doc_id + 31*f + 17*c) % 65536 - 32768 AS v FROM cs),
+      st AS (SELECT doc_id, MIN(ch) AS ch, MIN(frames) AS frames,
+          SUM(v) AS sum_s, SUM(v*v) AS sumsq_s,
+          MIN(v) AS min_s, MAX(v) AS max_s,
+          SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+            AS n_clipped
+        FROM v GROUP BY doc_id)
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(ch AS INT) END AS channels,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(8000 AS INT) END AS sample_rate,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(ch * frames AS BIGINT) END AS n_samples,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(sum_s AS BIGINT) END AS sum_s,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(sumsq_s AS BIGINT) END AS sumsq_s,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(min_s AS INT) END AS min_s,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(max_s AS INT) END AS max_s,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+             ELSE CAST(n_clipped AS BIGINT) END AS n_clipped,
+        doc_id % 9 <> 0 AS ok
+      FROM st ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109)
 }

@@ -294,6 +294,74 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[scala.collection.Seq[Long]]("ch_sum").length == 3)
   }
 
+
+  test("parseWavPcm: exact stats round-trip against a driver brute force") {
+    val ch = 2; val frames = 37
+    def sample(f: Int, c: Int): Int = ((f * 31 + c * 17 + 5) % 65536) - 32768
+    val bytes = Multimodal.AudioBytes.wavPcm(ch, 8000, frames, sample)
+    val st = Multimodal.parseWavPcm(bytes).get
+    val vs = for (f <- 0 until frames; c <- 0 until ch) yield sample(f, c)
+    assert(st.channels == ch && st.sampleRate == 8000)
+    assert(st.nSamples == vs.size.toLong)
+    assert(st.sumS == vs.map(_.toLong).sum)
+    assert(st.sumSqS == vs.map(v => v.toLong * v).sum)
+    assert(st.minS == vs.min && st.maxS == vs.max)
+    assert(st.nClipped ==
+      vs.count(v => v == 32767 || v == -32768).toLong)
+    // full-scale rails register as clipping
+    val railed = Multimodal.AudioBytes.wavPcm(1, 8000, 4,
+      (f, _) => if (f % 2 == 0) 32767 else -32768)
+    assert(Multimodal.parseWavPcm(railed).get.nClipped == 4L)
+  }
+
+  test("parseWavPcm: truncation, non-PCM, wrong depth, size cap quarantine") {
+    val good = Multimodal.AudioBytes.wavPcm(1, 8000, 20, (f, _) => f)
+    assert(Multimodal.parseWavPcm(good).isDefined)
+    // data chunk overruns the payload: partial stats must NOT be returned
+    assert(Multimodal.parseWavPcm(good.take(good.length - 2)).isEmpty)
+    // zero-fill 8-bit wav (wrong depth for the PCM16 decoder)
+    assert(Multimodal.parseWavPcm(
+      Multimodal.AudioBytes.wav(1, 8000, 8, 20)).isEmpty)
+    // zero-length data
+    assert(Multimodal.parseWavPcm(
+      Multimodal.AudioBytes.wavPcm(1, 8000, 0, (_, _) => 0)).isEmpty)
+    // adversarial declared size is rejected before any pass
+    assert(Multimodal.parseWavPcm(good, maxSamples = 10).isEmpty)
+    // non-WAV bytes and NULL-ish short arrays
+    assert(Multimodal.parseWavPcm(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseWavPcm("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("wavPcmStats: typed operator quarantines corrupt rows; stats match") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0L until 30L).map { id =>
+      val full = Multimodal.AudioBytes.wavPcm((id % 2 + 1).toInt, 8000,
+        (id % 5 + 1).toInt, (f, c) => ((id * 7 + f * 3 + c) % 100).toInt)
+      Row(id, if (id % 9 == 0) full.take(full.length - 4) else full)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val got = Multimodal.wavPcmStats(df, "doc_id", "payload").collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 9 == 0) {
+        assert(!r.getAs[Boolean]("ok") && r.isNullAt(r.fieldIndex("sum_s")))
+      } else {
+        assert(r.getAs[Boolean]("ok"))
+        assert(r.getAs[Long]("n_samples") == (id % 2 + 1) * (id % 5 + 1))
+        val vs = for (f <- 0 until (id % 5 + 1).toInt;
+                      c <- 0 until (id % 2 + 1).toInt)
+          yield ((id * 7 + f * 3 + c) % 100).toInt
+        assert(r.getAs[Long]("sum_s") == vs.map(_.toLong).sum)
+        assert(r.getAs[Int]("min_s") == vs.min)
+      }
+    }
+  }
+
   test("resizeTo: deterministic stride subsample + refreshed metadata") {
     val payload = (0 until 1000).map(i => (i % 256).toByte).toArray
     val docs = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))
