@@ -273,6 +273,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** PRODUCTION form of [[editDistancePairs]]: LSH-banded candidate
+    * generation over CHARACTER n-grams, then the same thresholded
+    * Levenshtein verify. At corpus scale string length is a weak
+    * discriminator (the length-banded oracle form degenerates toward
+    * all-pairs when lengths concentrate — exactly what happened on the
+    * q107 suffix fixture), while two strings within edit distance d
+    * share all but ≤ d·gramN of their character n-grams, so minhash
+    * banding over those grams routes near-pairs into shared buckets
+    * with the one-band-shuffle cost profile of [[lshCandidatePairs]].
+    *
+    * Semantics: PRECISION is exact (every emitted pair is verified by
+    * the thresholded DP, distances bit-identical to the oracle form);
+    * RECALL is the banding's — a pair sharing no band is not seen
+    * (tune k/bands; bands = k gives the highest recall at k times the
+    * band fan-out). The differential spec pins LSH == oracle form on
+    * the near-dup fixture at bands = k.
+    */
+  def editDistancePairsLsh(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int, gramN: Int = 3, k: Int = 24,
+                           bands: Int = 24): DataFrame = {
+    require(maxDist >= 0, s"maxDist >= 0, got $maxDist")
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val grams = array_distinct(filter(
+      transform(
+        sequence(lit(1), greatest(length(col("s")) - (gramN - 1), lit(1))),
+        i => substr(col("s"), i, lit(gramN))),
+      g => length(g) > 0))
+    val sigs = track(df
+      .filter(col(strCol).isNotNull)
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("sig", minhashSignature(grams, k))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, k / bands)))
+      .drop("sig")
+      .persist())
+    val a = sigs.select(col("band"), col("id").as("id_a"), col("s").as("sa"))
+    val b = sigs.select(col("band"), col("id").as("id_b"), col("s").as("sb"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb")).distinct()
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Shared inverted-index pair-count stage of [[jaccardPairs]] /
     * [[containmentPairs]]: (id_a, id_b, inter, n_a, n_b) for every
     * pair sharing ≥ 1 surviving shingle. One shuffle on the shingle;

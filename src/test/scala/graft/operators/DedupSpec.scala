@@ -76,6 +76,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet == Set((1L, 8L, 0)))
   }
 
+
+  test("editDistancePairsLsh: production twin matches the oracle form at bands=k") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),
+      (3L, "the quick brawn fox jumps"),
+      (4L, "completely different string"),
+      (5L, "completely different strings"),
+      (6L, "unrelated zebra text"),
+      (7L, null.asInstanceOf[String]),
+      (8L, "the quick brown fox jumps")
+    ).toDF("id", "s")
+    val oracle = Dedup.editDistancePairs(rows, "id", "s", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val lsh = Dedup.editDistancePairsLsh(rows, "id", "s", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // the fixture's near-dups share most character grams, so bands=k
+    // banding finds every oracle pair — and the verify stage makes the
+    // two forms emit IDENTICAL (id_a, id_b, dist) rows
+    assert(oracle.nonEmpty && lsh == oracle)
+    // every distance class 0..3 is exercised
+    assert(Set(0, 1).subsetOf(oracle.map(_._3)))
+    // coarser banding can only lose candidates, never invent pairs
+    val coarse = Dedup.editDistancePairsLsh(rows, "id", "s", 3,
+      gramN = 3, k = 24, bands = 4).as[(Long, Long, Int)].collect().toSet
+    assert(coarse.subsetOf(oracle))
+    Dedup.releaseIntermediates()
+  }
+
   test("containmentPairs: embedded doc scores ~1.0 where Jaccard misses it") {
     // doc 11 = 6 tokens fully embedded in doc 12's 40: containment 1.0,
     // Jaccard small — the asymmetric class jaccardPairs can't threshold
