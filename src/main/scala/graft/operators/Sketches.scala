@@ -111,15 +111,20 @@ object Sketches {
     * Output: (groupCols…, bucket, m) for OBSERVED buckets; absent
     * bucket ⇒ register 0.
     */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
-                   p: Int, salt: String): DataFrame = {
-    require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")
+  /** The ONE (bucket, rho) convention [[hllRegisters]] and the
+    * streaming [[graft.streaming.Streams.hllMaintain]] twin share —
+    * and the q108 oracle mirrors. Bucket: first 16 hash bits mod 2^p;
+    * rho: leading-zero count of an independent 48-bit hash, + 1, by
+    * hex-char CASE arithmetic.
+    */
+  private[graft] def hllBucketRho(key: Column, p: Int,
+                                  salt: String): (Column, Column) = {
     val m = 1L << p
-    val bucket = pmod(Sampling.hashBucket(col(keyCol), s"$salt:b",
+    val bucket = pmod(Sampling.hashBucket(key, s"$salt:b",
       hexChars = 4), lit(m))
     // independent hash for the rank: 12 hex chars = 48 bits
     val sub = substring(md5(concat_ws(":", lit(s"$salt:r"),
-      coalesce(col(keyCol).cast("string"), lit(Sampling.NullKey)))), 1, 12)
+      coalesce(key.cast("string"), lit(Sampling.NullKey)))), 1, 12)
     val z = length(regexp_extract(sub, "^0*", 0))
     val nxt = substr(sub, z + lit(1), lit(1))
     val lzd = when(nxt === "1", 3)
@@ -128,6 +133,13 @@ object Sketches {
       .otherwise(0)
     val rho = when(z === 12, lit(49L))
       .otherwise((z * 4 + lzd + 1).cast("long"))
+    (bucket, rho)
+  }
+
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   p: Int, salt: String): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")
+    val (bucket, rho) = hllBucketRho(col(keyCol), p, salt)
     df.select((groupCols.map(col) :+ bucket.as("bucket") :+
         rho.as("rho")): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)

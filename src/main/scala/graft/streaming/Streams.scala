@@ -236,6 +236,55 @@ object Streams {
       .toDF("row", "bucket", "c", "ver")
   }
 
+  /** Streaming HyperLogLog maintenance — the stream form of
+    * [[graft.operators.Sketches.hllRegisters]]: per-register running
+    * max-rho in `flatMapGroupsWithState` keyed by bucket. Registers
+    * merge by MAX and the (bucket, rho) pair is content-addressed
+    * (same md5 convention as the batch form, shared via
+    * `hllBucketRho`), so the maintained registers CONVERGE TO THE
+    * BATCH SKETCH of everything ingested regardless of the
+    * micro-batch split — re-delivered keys are absorbed free (max is
+    * idempotent), making the sketch exactly-once-insensitive. State:
+    * ≤ 2^p longs total. A stateless per-partition max BEFORE the
+    * stateful exchange ships ≤ 2^p (bucket, rho) rows per partition
+    * per micro-batch (the batch form's map-side combine, hand-rolled
+    * as in [[cmsMaintain]]). Touched registers emit versioned
+    * snapshots (append-sink convention); readers take max-`ver` per
+    * bucket and feed [[graft.operators.Sketches.hllEstimate]].
+    * Returns (bucket, m, ver).
+    */
+  def hllMaintain(df: DataFrame, keyCol: String, p: Int,
+                  salt: String): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (bucket, rho) = graft.operators.Sketches
+      .hllBucketRho(col(keyCol), p, salt)
+    val regs = df.select(bucket.as("bucket"), rho.as("rho"))
+      .as[(Long, Long)]
+    val partials = regs.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach { case (b, r) =>
+        if (r > m.getOrElse(b, 0L)) m.update(b, r)
+      }
+      m.iterator
+    }
+    def bump(b: Long, rows: Iterator[(Long, Long)],
+             state: GroupState[(Long, Long)])
+        : Iterator[(Long, Long, Long)] = {
+      val (prevVer, prevM) = state.getOption.getOrElse((0L, 0L))
+      val m = math.max(prevM, rows.map(_._2).max)
+      val ver = prevVer + 1
+      state.update((ver, m))
+      Iterator.single((b, m, ver))
+    }
+    partials.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(bump)
+      .toDF("bucket", "m", "ver")
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

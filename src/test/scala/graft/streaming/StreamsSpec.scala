@@ -282,6 +282,46 @@ class StreamsSpec extends SparkSpec {
     assert(res == Seq(2L, 5L))
   }
 
+
+  test("hllMaintain converges to the batch registers; re-delivery is free") {
+    import graft.operators.Sketches
+    val in = Files.createTempDirectory("graft_hll_in").toString
+    val out = Files.createTempDirectory("graft_hll_out").toString
+    val ckpt = Files.createTempDirectory("graft_hll_ckpt").toString
+    val sch = StructType.fromDDL("k string")
+    val (p, salt) = (6, "shll")
+    val keys = (0 until 300).map(i => s"k${i % 180}")
+    val (b1, b2) = keys.splitAt(97)
+    def js(rows: Seq[String]) = rows.map(k => s"""{"k":"$k"}""")
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.hllMaintain(spark.readStream.schema(sch).json(in),
+        "k", p, salt), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    // a FULL re-delivery of batch 1 (sink-committed-but-lost replay):
+    // max is idempotent, registers must not move
+    writeBatch(in, "b3.json", js(b1))
+    run()
+    val snaps = spark.read.parquet(out)
+    val latest = snaps.groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = snaps.join(latest, Seq("bucket", "ver"))
+      .select($"bucket", $"m").as[(Long, Long)].collect().toSet
+    val expect = Sketches.hllRegisters(keys.toDF("k"), Nil, "k", p, salt)
+      .select($"bucket", $"m").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    // the maintained registers feed the SAME estimate as the batch path
+    val se = Sketches.hllEstimate(
+      snaps.join(latest, Seq("bucket", "ver")).select($"bucket", $"m"),
+      Nil, p).select($"est").as[Long].head()
+    val be = Sketches.hllEstimate(
+      Sketches.hllRegisters(keys.toDF("k"), Nil, "k", p, salt),
+      Nil, p).select($"est").as[Long].head()
+    assert(se == be)
+  }
+
   test("cmsMaintain converges to the batch sketch across micro-batches") {
     import graft.operators.Sketches
     val in = Files.createTempDirectory("graft_cms_in").toString
