@@ -196,6 +196,13 @@ object TextFunctions {
     * native kernel is differential-tested against (the
     * planeSignatureHof precedent).
     */
+  /** Unicode NFC normalization (native codegen kernel,
+    * [[graft.plans.NfcNormalizeExpr]]): run BEFORE any fingerprint /
+    * shingle / equality dedup so canonically-equivalent text (combining
+    * marks vs precomposed chars, decomposed Hangul) hashes together.
+    */
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
+
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("graft_canonical_url", url)
 

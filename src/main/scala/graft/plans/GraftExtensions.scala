@@ -35,6 +35,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => RollingHashExpr(c(0))),
     (FunctionIdentifier("graft_canonical_url"), info("graft_canonical_url"),
       (c: Seq[Expression]) => CanonicalUrlExpr(c(0))),
+    (FunctionIdentifier("graft_nfc"), info("graft_nfc"),
+      (c: Seq[Expression]) => NfcNormalizeExpr(c(0))),
     (FunctionIdentifier("graft_hash_embedding"), info("graft_hash_embedding"),
       (c: Seq[Expression]) => HashEmbeddingExpr(c(0), c(1))),
     (FunctionIdentifier("graft_norm_tokens"), info("graft_norm_tokens"),

@@ -298,6 +298,22 @@ object NativeKernels extends Serializable {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
+  /** See [[NfcNormalizeExpr]]: Unicode NFC normalization via the
+    * JDK's `java.text.Normalizer` (Unicode-standard algorithm — any
+    * conformant engine agrees byte-for-byte; DuckDB's
+    * `nfc_normalize` is the q110 oracle mirror). `isNormalized` fast
+    * path: real-world corpora are overwhelmingly already NFC, so the
+    * common case is one scan and ZERO allocation — the input
+    * UTF8String is returned as-is.
+    */
+  def nfcNormalize(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** See [[CanonicalUrlExpr]]: single-pass URL canonicalization,
     * semantics bit-equal to the composed column-algebra form in
     * `TextFunctions.canonicalUrl` (differential-spec-proven). Returns
@@ -436,6 +452,35 @@ case class CanonicalUrlExpr(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(n: Expression): CanonicalUrlExpr =
+    copy(child = n)
+}
+
+/** Unicode NFC normalization (canonical composition) — the standard
+  * corpus-cleaning step that makes `é` (precomposed U+00E9) and
+  * `e`+U+0301 (combining acute) the SAME string before any dedup
+  * fingerprint, shingle, or equality sees them: without it, visually
+  * identical documents hash apart and every downstream dedup silently
+  * under-merges. Spark has no built-in; a native expression (JDK
+  * Normalizer behind codegen) keeps it inside whole-stage codegen —
+  * no UDF. NFC (not NFKC) on purpose: canonical composition is
+  * lossless, while compatibility folding (ﬁ→fi, ²→2) is a POLICY
+  * decision a pipeline should opt into explicitly.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(s: Any): Any =
+    NativeKernels.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, s => s"$kernel.nfcNormalize($s)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): NfcNormalizeExpr =
     copy(child = n)
 }
 

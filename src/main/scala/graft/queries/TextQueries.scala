@@ -1073,6 +1073,54 @@ object TextQueries {
       })
   }
 
+  /** q110 — Unicode NFC normalization (round 8, native
+    * [[graft.plans.NfcNormalizeExpr]] kernel behind
+    * [[TextFunctions.nfc]]): canonically-equivalent text must hash
+    * together before dedup sees it. Per doc a synthesized fragment
+    * cycles the canonical-composition cases — combining acute/diaeresis
+    * onto a base letter, decomposed Hangul jamo, an already-precomposed
+    * char, plain ASCII — and the oracle rebuilds the identical code
+    * points with CHR() and replays through DuckDB's `nfc_normalize`
+    * (both sides implement the one Unicode-standard algorithm, so
+    * normalized strings, code-point lengths, and changed flags match
+    * byte-for-byte). `text_is_nfc` additionally pins the corpus text
+    * column through both engines' normalizers.
+    */
+  private val q110 = Q("q110_nfc_normalize",
+    (s, dir) => {
+      val k = pmod(col("doc_id"), lit(5))
+      val frag = when(k === 0, lit("e\u0301"))
+        .when(k === 1, lit("o\u0308"))
+        .when(k === 2, lit("\u1100\u1161"))
+        .when(k === 3, lit("\u00e9"))
+        .otherwise(lit("plain"))
+      val raw = concat(lit("w"), frag, lit("z"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"), col("text"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("int").as("raw_cp"),
+          TextFunctions.nfc(col("raw")).as("nfc_str"),
+          length(TextFunctions.nfc(col("raw"))).cast("int").as("nfc_cp"),
+          (TextFunctions.nfc(col("raw")) =!= col("raw")).as("changed"),
+          (TextFunctions.nfc(col("text")) === col("text")).as("text_is_nfc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN CHR(101) || CHR(769)
+            WHEN 1 THEN CHR(111) || CHR(776)
+            WHEN 2 THEN CHR(4352) || CHR(4449)
+            WHEN 3 THEN CHR(233)
+            ELSE 'plain' END AS frag,
+          text FROM documents),
+      r AS (SELECT doc_id, 'w' || frag || 'z' AS raw, text FROM f)
+      SELECT doc_id, CAST(LENGTH(raw) AS INT) AS raw_cp,
+        nfc_normalize(raw) AS nfc_str,
+        CAST(LENGTH(nfc_normalize(raw)) AS INT) AS nfc_cp,
+        nfc_normalize(raw) <> raw AS changed,
+        nfc_normalize(text) = text AS text_is_nfc
+      FROM r ORDER BY doc_id"""))
+
   /** q99 — count-min-sketch point-frequency estimates
     * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
     * build a 4×512 CMS over the token stream, then read back estimates
@@ -1127,5 +1175,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108)
+    q107, q108, q110)
 }

@@ -53,6 +53,31 @@ class NativeExprsSpec extends SparkSpec {
       .findFirstIn(shPlan).isDefined, shPlan)
   }
 
+
+  test("graft_nfc == JDK Normalizer; fast path; codegen-starred") {
+    val cases = Seq(
+      "plain ascii", "", "we\u0301z", "o\u0308", "\u1100\u1161",
+      "\u00e9 already nfc", "mixed e\u0301 and \u00e9 and \u1100\u1161",
+      "tail combining e\u0301\u0301", null.asInstanceOf[String])
+    val got = cases.toDF("s")
+      .select(TextFunctions.nfc($"s")).as[String].collect()
+    val want = cases.map(c =>
+      if (c == null) null
+      else java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    // composition really happened: the combining pair became one char
+    assert(got(2) == "w\u00e9z" && got(4).length == 1)
+    // already-normalized input is returned unchanged (identity fast path
+    // at the kernel level; value equality is the observable contract)
+    assert(got(0) == "plain ascii")
+    // the kernel stays inside the fused codegen stage (a local-Seq
+    // frame would collapse to LocalTableScan — use the file scan)
+    val plan = docs.select(TextFunctions.nfc($"text").as("n"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*graft_nfc".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("strict codegen mode: generated kernels compile and agree") {
     // CODEGEN_ONLY makes a Janino failure throw instead of silently
     // falling back to interpreted eval, so a broken doGenCode cannot
