@@ -1100,13 +1100,26 @@ final class TableStore(spark: SparkSession, root: String,
     * string, boolean, date, timestamp.
     */
   def analyze(table: String, statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     require(statsCols.nonEmpty, "analyze: name at least one column")
     require(readManifest(table).forall(!_.swapping),
       s"table $table: crashed swap pending — run recover()/a mutation " +
         "before analyze")
-    val df = readPinned(table)
+    val stats = statsOf(readPinned(table), table, statsCols)
+    val p = statsPath(table)
+    val out = fsOf(p).create(p, true)
+    try out.write(FileStats.serialize(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The stats aggregation behind [[analyze]]/[[analyzeIncremental]]:
+    * one job over `df` grouped by `_metadata.file_path`, collected as
+    * one row per data file.
+    */
+  private def statsOf(df: DataFrame, table: String,
+                      statsCols: Seq[String])
+      : Map[String, FileStats.PerFile] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val schema = df.schema
     statsCols.foreach(c => require(schema.exists(_.name == c),
       s"analyze: column $c not in ${schema.map(_.name).mkString(",")}"))
@@ -1168,9 +1181,51 @@ final class TableStore(spark: SparkSession, root: String,
         Some(rel -> FileStats.PerFile(rows, cols))
       }
     }.toMap
-    val p = statsPath(table)
-    val out = fsOf(p).create(p, true)
-    try out.write(FileStats.serialize(stats).getBytes("UTF-8"))
+    stats
+  }
+
+  /** INCREMENTAL [[analyze]]: compute stats ONLY for committed files
+    * the sidecar does not know yet (appended since the last analyze)
+    * and merge them in — the steady-state maintenance call for an
+    * append-heavy corpus: cost scales with the NEW bytes, not the
+    * table. Entries for files a rewrite replaced are pruned from the
+    * sidecar (their names are gone from the inventory). `statsCols`
+    * must match the previous analyze's columns for uniform skipping
+    * (not enforced — files analyzed with fewer columns simply prune
+    * on fewer; correctness is unaffected either way). No-op when
+    * nothing is new.
+    */
+  def analyzeIncremental(table: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "analyzeIncremental: name at least one column")
+    require(readManifest(table).forall(!_.swapping),
+      s"table $table: crashed swap pending — run recover()/a mutation " +
+        "before analyze")
+    val sp = statsPath(table)
+    val fs = fsOf(sp)
+    if (!fs.exists(sp)) { analyze(table, statsCols); return }
+    val in = fs.open(sp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val prior = FileStats.deserialize(txt)
+    val current = dataFiles(fs, hpath(table))
+    val missing = current.filterNot(prior.contains)
+    val live = prior.view.filterKeys(current.contains).toMap
+    if (missing.isEmpty) {
+      if (live.size != prior.size) { // rewrite pruned files: shrink sidecar
+        val out = fs.create(sp, true)
+        try out.write(FileStats.serialize(live).getBytes("UTF-8"))
+        finally out.close()
+      }
+      return
+    }
+    val dstS = path(table)
+    val delta = statsOf(
+      rd(table).option("basePath", dstS)
+        .parquet(missing.map(r => s"$dstS/$r"): _*),
+      table, statsCols)
+    val out = fs.create(sp, true)
+    try out.write(FileStats.serialize(live ++ delta).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -1213,6 +1268,131 @@ final class TableStore(spark: SparkSession, root: String,
     else rd(table).option("basePath", path(table))
       .parquet(kept.map(r => s"${path(table)}/$r"): _*)
       .filter(pred)
+  }
+
+  // ---------------------------------------------- incremental rollups
+
+  private def rollupKey(src: String) = s"__rollup:$src"
+  private def rollupSidecar(rollup: String, seq: Long) =
+    new Path(root, s"$rollup._graft_rollup.$seq")
+
+  private def readRollupSidecar(rollup: String, seq: Long): Set[String] = {
+    val p = rollupSidecar(rollup, seq)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"rollup $rollup: folded-file sidecar seq $seq is missing — " +
+        "state is unrecoverable incrementally; delete the rollup table " +
+        "and refresh to rebuild")
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").filter(_.startsWith("f=")).map(_.stripPrefix("f=")).toSet
+  }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — keep `rollup` equal to
+    * `src.groupBy(groupCols).agg(...)` by folding in ONLY the files
+    * appended to `src` since the last refresh: at 100 TB the corpus
+    * rescan is the cost that kills scheduled rollups, and every agg
+    * kind here (`count`/`sum`/`min`/`max`) is MERGEABLE, so
+    * new-files-partial + previous-rollup re-aggregated is exactly the
+    * full recompute (spec-pinned). `aggs` = (outCol, kind, srcCol)
+    * with kind ∈ count|sum|min|max (count ignores srcCol).
+    *
+    * Protocol (exactly-once under crashes, the txn-fence shape): the
+    * cumulative folded-file list is written to a SEQUENCED sidecar
+    * first, then the rollup table is rewritten with the matching
+    * `txn=__rollup:src` fence in the SAME commit CAS — a crash
+    * between the two leaves the fence at the old sequence, so the
+    * next refresh re-reads the OLD sidecar and re-derives the same
+    * delta (the orphan sidecar is overwritten); double-folding a file
+    * is impossible because the list and the fence advance together.
+    * A REWRITE/compaction of `src` (folded file names vanish from its
+    * inventory) triggers a loud full rebuild — file identity is the
+    * incremental contract, and silently treating renamed files as new
+    * would double-count every row. Returns the number of source
+    * files folded this call (0 = no-op).
+    */
+  def refreshRollup(src: String, rollup: String, groupCols: Seq[String],
+                    aggs: Seq[(String, String, String)]): Long = {
+    import org.apache.spark.sql.functions._
+    require(groupCols.nonEmpty, "refreshRollup: name group columns")
+    require(aggs.nonEmpty, "refreshRollup: name at least one aggregate")
+    val kinds = Set("count", "sum", "min", "max")
+    aggs.foreach { case (o, k, _) => require(kinds(k),
+      s"refreshRollup: unsupported kind '$k' for $o (count|sum|min|max)") }
+    require(this.exists(src),
+      s"refreshRollup: source table $src does not exist")
+    recover(src)
+    recover(rollup)
+    val fs = fsOf(hpath(src))
+    val current = dataFiles(fs, hpath(src)).toSet
+    val n = lastTxn(rollup, rollupKey(src))
+    val folded: Set[String] =
+      if (n < 0) Set.empty else readRollupSidecar(rollup, n)
+    val rebuild = (folded -- current).nonEmpty // src was rewritten
+    val base = if (rebuild) Set.empty[String] else folded
+    val newFiles = (current -- base).toSeq.sorted
+    if (newFiles.isEmpty && !rebuild && n >= 0) return 0L
+    def widenSum(c: String): org.apache.spark.sql.Column =
+      read(src).schema.find(_.name == c).map(_.dataType) match {
+        case Some(d: org.apache.spark.sql.types.DecimalType) =>
+          col(c).cast(org.apache.spark.sql.types.DecimalType(38, d.scale))
+        case _ => col(c)
+      }
+    val partialAggs = aggs.map {
+      case (o, "count", _) => count(lit(1)).as(o)
+      case (o, "sum", c)   => sum(widenSum(c)).as(o)
+      case (o, "min", c)   => min(col(c)).as(o)
+      case (o, "max", c)   => max(col(c)).as(o)
+    }
+    val mergeAggs = aggs.map {
+      case (o, "count", _) => sum(col(o)).as(o)
+      case (o, "sum", _)   => sum(col(o)).as(o)
+      case (o, "min", _)   => min(col(o)).as(o)
+      case (o, "max", _)   => max(col(o)).as(o)
+    }
+    val srcS = path(src)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(partialAggs.head, partialAggs.tail: _*)
+    val delta =
+      if (newFiles.isEmpty) None
+      else Some(partial(rd(src).option("basePath", srcS)
+        .parquet(newFiles.map(r => s"$srcS/$r"): _*)))
+    val prior =
+      if (rebuild || n < 0 || !this.exists(rollup)) None
+      else Some(read(rollup))
+    val combined = (prior, delta) match {
+      case (Some(p), Some(d)) =>
+        p.unionByName(d).groupBy(groupCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+      case (None, Some(d)) =>
+        // count partials are already final; re-merge is identity but
+        // normalizes output types with the union path
+        d.groupBy(groupCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+      case (Some(p), None) => p // rebuild with zero files cannot happen
+      case (None, None)    => partial(read(src).limit(0))
+    }
+    // sidecar FIRST (fence still at n — a crash here is invisible),
+    // then the rewrite carries the fence to n+1 in its commit CAS
+    val cum = (if (rebuild) Set.empty[String] else base) ++ newFiles
+    val sp = rollupSidecar(rollup, n + 1)
+    val out = fsOf(sp).create(sp, true)
+    try out.write(cum.toSeq.sorted.map("f=" + _)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    retryCommit(rewriteBody(rollup, combined, Nil,
+      txnUpdate = Some(rollupKey(src) -> (n + 1))))
+    // prune superseded sidecars (crash before this is harmless)
+    val done = fsOf(sp)
+    val old = done.globStatus(new Path(root, s"$rollup._graft_rollup.*"))
+    if (old != null) old.foreach { st =>
+      val s = st.getPath.getName.stripPrefix(s"$rollup._graft_rollup.")
+      if (s.toLongOption.exists(_ < n + 1)) done.delete(st.getPath, false)
+    }
+    newFiles.size.toLong
   }
 
   private def leafDirs(fs: FileSystem, base: Path, depth: Int,

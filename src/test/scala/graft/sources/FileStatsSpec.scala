@@ -151,6 +151,38 @@ class FileStatsSpec extends SparkSpec {
     assert(got.inputFiles.length < ts.read("t").inputFiles.length)
   }
 
+  test("analyzeIncremental: stats only the new files; skipping covers them") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(100).toDF("k").repartitionByRange(2, $"k"))
+    ts.analyze("t", Seq("k"))
+    ts.append("t", Seq(1000L, 1001L).toDF("k").coalesce(1))
+    // incremental pass stats ONLY the appended file; afterwards a
+    // predicate outside its window prunes it too (stale-stats test's
+    // counterpart: there the new file had to be scanned)
+    ts.analyzeIncremental("t", Seq("k"))
+    val low = ts.readWhere("t", $"k" < 50)
+    // the appended file ([1000,1001]) is pruned now that it has stats
+    // (range-partition boundaries are sample-based, so the two original
+    // files may both straddle 50 — the append is the provable prune)
+    assert(low.inputFiles.length < ts.read("t").inputFiles.length)
+    assert(low.count() == 50)
+    val high = ts.readWhere("t", $"k" >= 1000)
+    assert(high.inputFiles.length == 1 &&
+      high.as[Long].collect().toSet == Set(1000L, 1001L))
+    // no-op when nothing is new (sidecar content stable)
+    val sidecar = new java.io.File(ts.read("t").inputFiles.head
+      .replaceFirst("file:", "").replaceFirst("/t/.*", "") +
+      "/t._graft_stats")
+    val before = java.nio.file.Files.readAllBytes(sidecar.toPath).toSeq
+    ts.analyzeIncremental("t", Seq("k"))
+    assert(java.nio.file.Files.readAllBytes(sidecar.toPath).toSeq == before)
+    // a rewrite drops vanished files from the sidecar on the next pass
+    ts.compact("t", targetFiles = 3)
+    ts.analyzeIncremental("t", Seq("k"))
+    val again = ts.readWhere("t", $"k" >= 1000)
+    assert(again.as[Long].collect().toSet == Set(1000L, 1001L))
+  }
+
   test("analyze + readWhere prune all-null and partitioned layouts") {
     val ts = freshStore()
     ts.rewrite("t", spark.range(60)
