@@ -109,6 +109,15 @@ final class TableStore(spark: SparkSession, root: String,
     if (failBeforeDispose)
       throw new IllegalStateException("injected crash before dispose")
 
+  /** Third seam: throw AFTER a predicate-delete's tombstone commit but
+    * BEFORE its physical settle — the window where reads must exclude
+    * tombstoned files that still exist on disk.
+    */
+  private[sources] var failBeforeSettle: Boolean = false
+  private def settleFault(): Unit =
+    if (failBeforeSettle)
+      throw new IllegalStateException("injected crash before settle")
+
   // ------------------------------------------------------ commit manifest
 
   /** `dirs` = touched dirs that HAD a committed copy (rollback =
@@ -135,7 +144,8 @@ final class TableStore(spark: SparkSession, root: String,
                                        files: Map[String, Seq[String]] = Map.empty,
                                        adds: Seq[String] = Nil,
                                        tmp: Option[String] = None,
-                                       txns: Map[String, Long] = Map.empty)
+                                       txns: Map[String, Long] = Map.empty,
+                                       drops: Seq[String] = Nil)
 
   private def manifestName(table: String) = s"$table._graft_commit."
 
@@ -187,7 +197,7 @@ final class TableStore(spark: SparkSession, root: String,
       }.toMap
       Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
         vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
-        files.toMap, vs("add"), vs("tmp").headOption, txns))
+        files.toMap, vs("add"), vs("tmp").headOption, txns, vs("drop")))
     }
   }
 
@@ -210,7 +220,8 @@ final class TableStore(spark: SparkSession, root: String,
                             adds: Seq[String] = Nil,
                             tmpName: Option[String] = None,
                             expectedPrev: Option[Long] = None,
-                            txnUpdate: Option[(String, Long)] = None): Unit = {
+                            txnUpdate: Option[(String, Long)] = None,
+                            drops: Seq[String] = Nil): Unit = {
     val fs = fsOf(new Path(root))
     // stream-fencing records ride EVERY manifest (carried forward from
     // the head, updated only by an exactly-once commit) — losing one
@@ -223,7 +234,8 @@ final class TableStore(spark: SparkSession, root: String,
         files.getOrElse(d, Nil).map("f=" + _)) ++
       fresh.map("new=" + _) ++ adds.map("add=" + _) ++
       tmpName.map("tmp=" + _) ++
-      txns.toSeq.sortBy(_._1).map { case (s, b) => s"txn=$s:$b" })
+      txns.toSeq.sortBy(_._1).map { case (s, b) => s"txn=$s:$b" } ++
+      drops.map("drop=" + _))
       .mkString("", "\n", "\n")
     // returns false only when the exclusive create lost a race
     def create(seq: Long, known: Seq[(Long, Path)]): Boolean = {
@@ -489,8 +501,59 @@ final class TableStore(spark: SparkSession, root: String,
               s"table $table: crashed swap left no committed partitions")
         }
       }
+    case Some(m) if m.drops.nonEmpty =>
+      // clean manifest with TOMBSTONES: a predicate delete committed
+      // but its dropped files are not yet physically settled — the
+      // committed generation is every data file EXCEPT the drops
+      val dstS = path(table)
+      val fs = fsOf(hpath(table))
+      val keep = dataFiles(fs, hpath(table)).filterNot(m.drops.toSet)
+      if (keep.isEmpty) rd(table).parquet(dstS).limit(0) // all rows deleted
+      else rd(table).option("basePath", dstS)
+        .parquet(keep.map(r => s"$dstS/$r"): _*)
     case _ => rd(table).parquet(path(table))
   }
+
+  /** The committed data-file inventory: the physical listing minus any
+    * unsettled tombstones on the head manifest. Every metadata-level
+    * consumer (skipping, rollups, pinned reads) must use THIS, not the
+    * raw listing — a raw listing between a predicate-delete commit and
+    * its physical settle would resurrect deleted rows.
+    */
+  private def committedFiles(table: String, fs: FileSystem): Seq[String] = {
+    val all = dataFiles(fs, hpath(table))
+    readManifest(table).filter(!_.swapping).map(_.drops.toSet) match {
+      case Some(d) if d.nonEmpty => all.filterNot(d)
+      case _                     => all
+    }
+  }
+
+  /** Physically settle committed tombstones: archive (retention) or
+    * delete the dropped files, then write a fresh dropless clean
+    * manifest at the SAME generation. Idempotent; a crash mid-settle
+    * leaves the drops on the manifest and every read still excludes
+    * them. Mutations call this before proceeding — a later clean
+    * manifest that failed to carry the drops would resurrect the
+    * deleted rows.
+    */
+  private def settleDrops(table: String, fs: FileSystem): Unit =
+    readManifest(table).filter(m => !m.swapping && m.drops.nonEmpty)
+      .foreach { m =>
+        val dst = hpath(table)
+        m.drops.foreach { rel =>
+          val p = sub(dst, rel)
+          if (fs.exists(p)) {
+            if (retainGenerations > 0) {
+              // the dropped file belonged to the PREVIOUS generation
+              val dest = new Path(
+                new Path(archiveRoot(table), s"gen=${m.gen - 1}"), rel)
+              fs.mkdirs(dest.getParent)
+              fs.rename(p, dest)
+            } else fs.delete(p, false)
+          }
+        }
+        writeManifest(table, m.gen, swapping = false, Nil)
+      }
 
   /** Reader SNAPSHOT against concurrent writers: pin the committed
     * data-file inventory NOW and return a frame over those explicit
@@ -513,8 +576,8 @@ final class TableStore(spark: SparkSession, root: String,
     case _ =>
       val dstS = path(table)
       val fs = fsOf(hpath(table))
-      val files = dataFiles(fs, hpath(table))
-      if (files.isEmpty) rd(table).parquet(dstS)
+      val files = committedFiles(table, fs)
+      if (files.isEmpty) read(table) // empty or all-tombstoned: delegate
       else rd(table).option("basePath", dstS)
         .parquet(files.map(f => s"$dstS/$f"): _*)
   }
@@ -544,6 +607,7 @@ final class TableStore(spark: SparkSession, root: String,
     val dst = hpath(table)
     val fs = fsOf(dst)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
+    settleDrops(table, fs) // physically retire committed tombstones
     // the state this mutation is based on; the begin-commit CAS below
     // validates nobody committed past it while we staged
     val head0 = readManifest(table)
@@ -591,9 +655,10 @@ final class TableStore(spark: SparkSession, root: String,
     */
   private def commitManifest(table: String, newGen: Long,
                              swapSeq: Long,
-                             txnUpdate: Option[(String, Long)] = None): Unit =
+                             txnUpdate: Option[(String, Long)] = None,
+                             drops: Seq[String] = Nil): Unit =
     try writeManifest(table, newGen, swapping = false, Nil,
-      expectedPrev = Some(swapSeq), txnUpdate = txnUpdate)
+      expectedPrev = Some(swapSeq), txnUpdate = txnUpdate, drops = drops)
     catch {
       case e: ConcurrentCommitException => throw new IllegalStateException(
         s"table $table: manifest advanced past this writer's IN-FLIGHT " +
@@ -786,6 +851,126 @@ final class TableStore(spark: SparkSession, root: String,
         transform = Upsert.antiDelete(_, toDelete, keys))
   }
 
+  /** PREDICATE DELETE with FILE-LEVEL targeting — `DELETE FROM table
+    * WHERE pred` that moves only the bytes that might match: files
+    * whose [[analyze]]d [min,max] window provably excludes the
+    * predicate are NEVER read or rewritten (the GDPR-delete shape at
+    * 100 TB: a keyed compliance delete on a clustered+analyzed table
+    * touches the handful of files holding the key range, where
+    * [[deleteByKeys]]'s unpartitioned path rewrites the table).
+    * Rows where `pred` is NULL are KEPT — SQL DELETE semantics.
+    *
+    * Protocol (the append fence run in reverse): survivors of the
+    * affected files are staged and fenced in as `add=` entries (a
+    * crash mid-move reads as the table WITHOUT them — wholly the old
+    * generation), and the clean gen+1 manifest carries the affected
+    * files as `drop=` TOMBSTONES in the same commit CAS; reads
+    * exclude tombstoned files immediately, and the physical retire
+    * ([[settleDrops]]: archive under retention, else delete) runs
+    * right after — or at the NEXT mutation if a crash intervenes.
+    * Untouched files never move, so a concurrent [[readPinned]]
+    * stays valid. Returns the number of affected (rewritten) files;
+    * 0 = the stats proved nothing matched and nothing moved.
+    *
+    * With `partitionCols` the delete is partition-targeted instead
+    * (the [[deleteByKeys]] machinery); returns affected partitions.
+    */
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Column,
+                  partitionCols: Seq[String] = Nil): Long = retryCommit {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    recover(table)
+    require(this.exists(table), s"deleteWhere: table $table does not exist")
+    val keep = not(coalesce(pred, lit(false)))
+    if (partitionCols.nonEmpty) {
+      val hit = readWhere(table, pred)
+        .select(partitionCols.map(col): _*).distinct()
+      val n = hit.count()
+      if (n > 0)
+        rewriteAffectedBody(table, partitionCols, hit, _.filter(keep))
+      n
+    } else {
+      val dst = hpath(table)
+      val fs = fsOf(dst)
+      settleOld(table, fs)
+      settleDrops(table, fs)
+      val dstS = path(table)
+      val all = committedFiles(table, fs)
+      if (all.isEmpty) return 0L
+      val sp = statsPath(table)
+      var sidecarCols: Seq[String] = Nil
+      val affected: Seq[String] =
+        if (!fs.exists(sp)) all
+        else {
+          val in = fs.open(sp)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val stats = FileStats.deserialize(txt)
+          sidecarCols = stats.values.flatMap(_.cols.keys).toSeq.distinct
+          val conds = read(table).filter(pred)
+            .queryExecution.optimizedPlan.collect {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+          all.filter(rel => stats.get(rel).forall(pf =>
+            conds.forall(c => FileStats.mayMatch(c, pf))))
+        }
+      if (affected.isEmpty) return 0L
+      val head0 = readManifest(table)
+      val seq0 = head0.map(_.seq).getOrElse(0L)
+      val gen = head0.map(_.gen).getOrElse(0L)
+      val tmp = freshStaging(table, "__add")
+      try {
+        val survivors = rd(table).option("basePath", dstS)
+          .parquet(affected.map(r => s"$dstS/$r"): _*)
+          .filter(keep)
+        survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        var incoming = dataFiles(fs, tmp)
+        if (incoming.isEmpty && affected.size == all.size) {
+          // every row deleted: keep one empty schema-bearing file so
+          // the settled table still reads (with its schema) as empty
+          survivors.repartition(1).write.mode(SaveMode.Overwrite)
+            .parquet(tmp.toString)
+          incoming = dataFiles(fs, tmp)
+        }
+        beforeBeginCommit()
+        // retention inventory BEFORE any commit: the outgoing
+        // generation still owns every affected file here (a lost CAS
+        // leaves an orphan snapshot that the retry overwrites)
+        snapBeforeMutation(table, fs)
+        if (incoming.isEmpty) {
+          // no surviving bytes to move: the tombstone commit IS the CAS
+          writeManifest(table, gen + 1, swapping = false, Nil,
+            expectedPrev = Some(seq0), drops = affected)
+          fs.delete(tmp, true)
+        } else {
+          writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
+            adds = incoming, tmpName = Some(tmp.getName),
+            expectedPrev = Some(seq0))
+          var moves = 0
+          incoming.foreach { rel =>
+            val to = sub(dst, rel)
+            fs.mkdirs(to.getParent)
+            moves += 1; swapFault(moves)
+            fs.rename(sub(tmp, rel), to)
+          }
+          commitManifest(table, gen + 1, seq0 + 1, drops = affected)
+          fs.delete(tmp, true)
+        }
+        settleFault()
+        settleDrops(table, fs)
+        if (retainGenerations > 0) vacuum(table, keepLast = retainGenerations)
+        // keep skipping fresh: drop tombstoned entries, stat survivors
+        // (the NEXT targeted delete would otherwise conservatively
+        // rewrite every statless survivor file)
+        if (sidecarCols.nonEmpty) analyzeIncremental(table, sidecarCols)
+      } catch {
+        case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
+      }
+      affected.size.toLong
+    }
+  }
+
   /** Flag flip: set `flagCol = value` on rows whose key is in `keysDf`
     * (reference: summarized=1 / vectorized=1 rewrites). With
     * `partitionCols`, only the partitions containing a keyed row are
@@ -932,6 +1117,7 @@ final class TableStore(spark: SparkSession, root: String,
     val fs = fsOf(dst)
     try {
       settleOld(table, fs) // archive (not delete) a post-commit leftover
+    settleDrops(table, fs) // physically retire committed tombstones
       val head0 = readManifest(table)
       val seq0 = head0.map(_.seq).getOrElse(0L)
       val gen = head0.map(_.gen).getOrElse(0L)
@@ -994,6 +1180,7 @@ final class TableStore(spark: SparkSession, root: String,
     val bak = new Path(path(table) + "__old")
     val fs = fsOf(dst)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
+    settleDrops(table, fs) // physically retire committed tombstones
     val head0 = readManifest(table)
     val seq0 = head0.map(_.seq).getOrElse(0L)
     val gen = head0.map(_.gen).getOrElse(0L)
@@ -1208,7 +1395,7 @@ final class TableStore(spark: SparkSession, root: String,
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val prior = FileStats.deserialize(txt)
-    val current = dataFiles(fs, hpath(table))
+    val current = committedFiles(table, fs)
     val missing = current.filterNot(prior.contains)
     val live = prior.view.filterKeys(current.contains).toMap
     if (missing.isEmpty) {
@@ -1249,7 +1436,7 @@ final class TableStore(spark: SparkSession, root: String,
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val stats = FileStats.deserialize(txt)
-    val files = dataFiles(fs, hpath(table))
+    val files = committedFiles(table, fs)
     if (files.isEmpty) return plain
     // the predicate's RESOLVED, constant-folded form: analyze+optimize
     // the filtered frame (driver-side, no job) and collect every
@@ -1326,7 +1513,7 @@ final class TableStore(spark: SparkSession, root: String,
     recover(src)
     recover(rollup)
     val fs = fsOf(hpath(src))
-    val current = dataFiles(fs, hpath(src)).toSet
+    val current = committedFiles(src, fs).toSet
     val n = lastTxn(rollup, rollupKey(src))
     val folded: Set[String] =
       if (n < 0) Set.empty else readRollupSidecar(rollup, n)
