@@ -878,15 +878,56 @@ final class TableStore(spark: SparkSession, root: String,
   def deleteWhere(table: String, pred: org.apache.spark.sql.Column,
                   partitionCols: Seq[String] = Nil): Long = retryCommit {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    recover(table)
-    require(this.exists(table), s"deleteWhere: table $table does not exist")
     val keep = not(coalesce(pred, lit(false)))
+    predicateMutation(table, pred, partitionCols, "deleteWhere",
+      _.filter(keep))
+  }
+
+  /** PREDICATE UPDATE with FILE-LEVEL targeting — `UPDATE table SET
+    * c = v WHERE pred` through the same stats-pruned
+    * tombstone-and-fence machinery as [[deleteWhere]]: files the
+    * predicate provably cannot touch never move. `assignments` values
+    * are cast to each column's EXISTING type (a predicate update must
+    * never drift the table schema); rows where `pred` is NULL are
+    * unchanged — SQL UPDATE semantics. Returns affected files (or
+    * partitions with `partitionCols`).
+    */
+  def updateWhere(table: String, pred: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  partitionCols: Seq[String] = Nil): Long = retryCommit {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    require(assignments.nonEmpty, "updateWhere: name at least one assignment")
+    val schema = read(table).schema
+    assignments.foreach { case (c, _) =>
+      require(schema.exists(_.name == c),
+        s"updateWhere: column $c not in ${schema.map(_.name).mkString(",")}")
+    }
+    def apply(df: DataFrame): DataFrame =
+      assignments.foldLeft(df) { case (d, (c, v)) =>
+        val t = schema(schema.fieldIndex(c)).dataType
+        d.withColumn(c,
+          when(coalesce(pred, lit(false)), v.cast(t)).otherwise(col(c)))
+      }
+    predicateMutation(table, pred, partitionCols, "updateWhere", apply)
+  }
+
+  /** The shared stats-targeted mutation engine behind [[deleteWhere]] /
+    * [[updateWhere]]: select affected files by the predicate's stats
+    * window, replace them with `transform`(affected rows), tombstone
+    * the originals. See [[deleteWhere]] for the crash protocol.
+    */
+  private def predicateMutation(table: String,
+                                pred: org.apache.spark.sql.Column,
+                                partitionCols: Seq[String], op: String,
+                                transform: DataFrame => DataFrame): Long = {
+    recover(table)
+    require(this.exists(table), s"$op: table $table does not exist")
     if (partitionCols.nonEmpty) {
       val hit = readWhere(table, pred)
         .select(partitionCols.map(col): _*).distinct()
       val n = hit.count()
       if (n > 0)
-        rewriteAffectedBody(table, partitionCols, hit, _.filter(keep))
+        rewriteAffectedBody(table, partitionCols, hit, transform)
       n
     } else {
       val dst = hpath(table)
@@ -921,9 +962,8 @@ final class TableStore(spark: SparkSession, root: String,
       val gen = head0.map(_.gen).getOrElse(0L)
       val tmp = freshStaging(table, "__add")
       try {
-        val survivors = rd(table).option("basePath", dstS)
-          .parquet(affected.map(r => s"$dstS/$r"): _*)
-          .filter(keep)
+        val survivors = transform(rd(table).option("basePath", dstS)
+          .parquet(affected.map(r => s"$dstS/$r"): _*))
         survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         var incoming = dataFiles(fs, tmp)
         if (incoming.isEmpty && affected.size == all.size) {

@@ -107,6 +107,63 @@ class DeleteWhereSpec extends SparkSpec {
       (0L until 60L).sum)
   }
 
+
+  test("updateWhere: stats-targeted, type-preserving, NULL pred unchanged") {
+    val (ts, _) = fresh()
+    ts.rewrite("t", spark.range(400).toDF("k")
+      .withColumn("flag", lit(0))
+      .withColumn("s", when($"k" % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), $"k")))
+      .repartitionByRange(4, $"k"))
+    ts.analyze("t", Seq("k"))
+    val before = names(ts)
+    val touched = ts.updateWhere("t", $"k" >= 100 && $"k" < 150,
+      Seq("flag" -> lit(9)))
+    assert(touched >= 1 && touched <= 2, s"touched $touched of 4")
+    assert((before intersect names(ts)).size == before.size - touched)
+    // exactly the matching rows updated; assigned value cast to INT
+    // (the column's existing type), not the literal's
+    val got = ts.read("t")
+    assert(got.schema("flag").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.filter($"flag" === 9).count() == 50)
+    assert(got.filter($"flag" === 9).select(min($"k"), max($"k"))
+      .as[(Long, Long)].head() == ((100L, 149L)))
+    // a NULL-valued predicate leaves the row unchanged
+    val t2 = ts.updateWhere("t", $"s".startsWith("u1"),
+      Seq("flag" -> lit(1)))
+    assert(t2 >= 1)
+    assert(ts.read("t").filter($"s".isNull && $"flag" === 1).count() == 0)
+    // consecutive targeted updates stay targeted (sidecar auto-refresh)
+    val b3 = names(ts)
+    val t3 = ts.updateWhere("t", $"k" === 120, Seq("flag" -> lit(2)))
+    assert(t3 == 1L, s"expected 1 targeted file, got $t3")
+    assert((b3 intersect names(ts)).size == b3.size - 1)
+    assert(ts.read("t").filter($"flag" === 2).select($"k")
+      .as[Long].collect().toSeq == Seq(120L))
+  }
+
+  test("updateWhere partition-targeted; unknown column rejected") {
+    val (ts, root) = fresh()
+    ts.append("t", spark.range(60)
+      .select($"id".as("k"), lit(0).as("flag"),
+        concat(lit("d"), $"id" % 3).as("day")),
+      partitionBy = Seq("day"))
+    def files(day: String) =
+      new java.io.File(s"$root/t/day=$day").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    val d0 = files("d0")
+    val hit = ts.updateWhere("t", $"day" === "d1" && $"k" < 10,
+      Seq("flag" -> lit(5)), partitionCols = Seq("day"))
+    assert(hit == 1L)
+    assert(files("d0") == d0)
+    assert(ts.read("t").filter($"flag" === 5).select($"k")
+      .as[Long].collect().toSet == Set(1L, 4L, 7L))
+    intercept[IllegalArgumentException] {
+      ts.updateWhere("t", $"k" === 1, Seq("nope" -> lit(1)))
+    }
+  }
+
   test("partition-targeted deleteWhere rewrites only hit partitions") {
     val (ts, root) = fresh()
     ts.append("t", spark.range(90)
