@@ -911,6 +911,114 @@ final class TableStore(spark: SparkSession, root: String,
     predicateMutation(table, pred, partitionCols, "updateWhere", apply)
   }
 
+  import TableStore.{MergeAction, MergeUpdate, MergeDelete}
+
+  /** MERGE INTO — the canonical lakehouse upsert
+    * (`WHEN MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED THEN
+    * INSERT`), with FILE-LEVEL key-range targeting: only table files
+    * whose analyzed `keyCol` window intersects the source's key range
+    * are read and rewritten — files the stats prove key-disjoint
+    * cannot contain a match, so a small keyed batch merged into a
+    * clustered 100 TB table moves the files holding its key range,
+    * not the table. Unmatched source rows are inserted (they ride the
+    * same staged `add=` files as the rewritten survivors — one commit
+    * CAS covers updates, deletes, and inserts atomically). Source
+    * keys must be unique and non-null (checked loudly: a duplicate
+    * source key makes "the matched row's new value" ambiguous).
+    * Returns the number of table files rewritten (0 = pure insert).
+    *
+    * `source` must carry `keyCol` plus every column a `MergeUpdate`
+    * names; inserted rows take the table's schema with NULLs for
+    * table columns the source lacks, and source-only columns are
+    * rejected (schema drift — use [[appendEvolve]] deliberately).
+    */
+  def merge(table: String, source: DataFrame, keyCol: String,
+            whenMatched: MergeAction,
+            insertNotMatched: Boolean = true): Long = retryCommit {
+    import org.apache.spark.sql.functions._
+    recover(table)
+    require(this.exists(table), s"merge: table $table does not exist")
+    val tableSchema = read(table).schema
+    require(tableSchema.exists(_.name == keyCol),
+      s"merge: key $keyCol not in table")
+    require(source.columns.contains(keyCol),
+      s"merge: key $keyCol not in source")
+    val extras = source.columns.filterNot(c =>
+      tableSchema.exists(_.name == c))
+    require(extras.isEmpty,
+      s"merge: source columns ${extras.mkString(",")} not in table — " +
+        "widen with appendEvolve first if intended")
+    whenMatched match {
+      case MergeUpdate(cols) => cols.foreach(c => require(
+        source.columns.contains(c) && tableSchema.exists(_.name == c),
+        s"merge: update column $c must exist in source and table"))
+      case MergeDelete =>
+    }
+    // pin the source once: it is consumed by the key-range probe, the
+    // matched-transform, and the insert — and must not re-execute
+    // differently between them
+    val src = TableStore.eagerSnapshot(
+      source.filter(col(keyCol).isNotNull))
+    try {
+      val nSrc = src.count()
+      require(nSrc == source.count(),
+        "merge: source has NULL keys — a NULL can never match and its " +
+          "insert would be unkeyable; filter or fix upstream")
+      require(src.select(keyCol).distinct().count() == nSrc,
+        "merge: duplicate source keys — matched-row result is ambiguous")
+      if (nSrc == 0) return 0L
+      val mm = src.agg(min(col(keyCol)), max(col(keyCol))).head()
+      val rangePred = col(keyCol).between(lit(mm.get(0)), lit(mm.get(1)))
+      // inserted rows take the table's column set, NULL-filling gaps
+      def asTableRows(df: DataFrame): DataFrame = df.select(
+        tableSchema.map { f =>
+          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      def transform(affected: DataFrame): DataFrame = {
+        val srcK = src.withColumnRenamed(keyCol, "__mk")
+        val hit = broadcastIfSmall(srcK)
+        val joined = affected.join(hit,
+          affected(keyCol) === hit("__mk"), "left")
+        val survivors = whenMatched match {
+          case MergeDelete =>
+            // dataframe-qualified projection: joined carries BOTH
+            // sides' same-named columns
+            joined.filter(col("__mk").isNull)
+              .select(tableSchema.map(f => affected(f.name)): _*)
+          case MergeUpdate(cols) =>
+            val updated = tableSchema.map { f =>
+              if (cols.contains(f.name))
+                when(col("__mk").isNotNull,
+                  hit(f.name).cast(f.dataType))
+                  .otherwise(affected(f.name)).as(f.name)
+              else affected(f.name)
+            }
+            joined.select(updated: _*)
+        }
+        if (!insertNotMatched) survivors
+        else {
+          // unmatched = source keys absent from the AFFECTED rows;
+          // complete because pruned files are stats-proven key-disjoint
+          val matchedKeys = affected.select(col(keyCol).as("__mk"))
+          val inserts = srcK.join(matchedKeys, Seq("__mk"), "left_anti")
+            .withColumnRenamed("__mk", keyCol)
+          survivors.unionByName(asTableRows(inserts))
+        }
+      }
+      val touched = predicateMutation(table, rangePred, Nil, "merge",
+        transform)
+      if (touched == 0L && insertNotMatched) {
+        // nothing in range anywhere: every source row is an insert
+        appendBody(table, asTableRows(src), Nil)
+      }
+      touched
+    } finally src.unpersist(blocking = false)
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    org.apache.spark.sql.functions.broadcast(df)
+
   /** The shared stats-targeted mutation engine behind [[deleteWhere]] /
     * [[updateWhere]]: select affected files by the predicate's stats
     * window, replace them with `transform`(affected rows), tombstone
@@ -1826,6 +1934,13 @@ final class TableStore(spark: SparkSession, root: String,
 }
 
 object TableStore {
+
+  /** What [[TableStore.merge]] does to a matched row. */
+  sealed trait MergeAction
+  /** Overwrite the listed columns with the SOURCE row's values. */
+  final case class MergeUpdate(cols: Seq[String]) extends MergeAction
+  /** Remove matched rows. */
+  case object MergeDelete extends MergeAction
 
   /** RDD-backed snapshot of a frame that must survive a mutation of the
     * very table files it reads (K7/K8 flag-flip/delete rewrites). The

@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.TableStore.{MergeDelete, MergeUpdate}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** MERGE INTO with file-level key-range targeting: matched rows
+  * update/delete, unmatched source rows insert, all in one commit; only
+  * table files whose key window intersects the source's range move.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh() = {
+    val root = Files.createTempDirectory("graft_mg").toString
+    new TableStore(spark, root)
+  }
+
+  private def names(ts: TableStore): Set[String] =
+    ts.read("t").inputFiles.map(_.split("/").last).toSet
+
+  test("matched update + unmatched insert in one commit; files targeted") {
+    val ts = fresh()
+    ts.rewrite("t", spark.range(400)
+      .select($"id".as("k"), ($"id" * 10).as("v"), lit("old").as("tag"))
+      .repartitionByRange(4, $"k"))
+    ts.analyze("t", Seq("k"))
+    val before = names(ts)
+    // source: keys 100..104 exist (update), 1000..1002 are new (insert)
+    val src = ((100L to 104L) ++ (1000L to 1002L))
+      .map(k => (k, k + 7, "new")).toDF("k", "v", "tag")
+    val touched = ts.merge("t", src, "k", MergeUpdate(Seq("v", "tag")))
+    assert(touched >= 1 && touched < 4, s"touched $touched of 4")
+    // key-disjoint files never moved
+    assert((before intersect names(ts)).size == before.size - touched)
+    val t = ts.read("t")
+    assert(t.count() == 403)
+    // matched rows took the source's values
+    assert(t.filter($"k".between(100, 104))
+      .select($"v", $"tag").as[(Long, String)].collect().toSet ==
+      (100L to 104L).map(k => (k + 7, "new")).toSet)
+    // neighbors inside the touched file(s) are untouched
+    assert(t.filter($"k" === 99).select($"v", $"tag")
+      .as[(Long, String)].head() == ((990L, "old")))
+    // inserts landed once each
+    assert(t.filter($"k" >= 1000).select($"k", $"v", $"tag")
+      .as[(Long, Long, String)].collect().toSet ==
+      (1000L to 1002L).map(k => (k, k + 7, "new")).toSet)
+  }
+
+  test("matched delete + insert; pure-insert merge appends without rewrites") {
+    val ts = fresh()
+    ts.rewrite("t", spark.range(100)
+      .select($"id".as("k"), ($"id" % 5).as("v"))
+      .repartitionByRange(2, $"k"))
+    ts.analyze("t", Seq("k"))
+    val touched = ts.merge("t",
+      Seq((10L, 0L), (11L, 0L), (500L, 9L)).toDF("k", "v"),
+      "k", MergeDelete)
+    assert(touched >= 1)
+    val t = ts.read("t")
+    assert(t.count() == 100 - 2 + 1)
+    assert(t.filter($"k".isin(10, 11)).count() == 0)
+    assert(t.filter($"k" === 500).select($"v").as[Long].head() == 9L)
+    // a source wholly outside every file's window: zero rewrites, pure append
+    val before = names(ts)
+    val t2 = ts.merge("t", Seq((9000L, 1L)).toDF("k", "v"), "k",
+      MergeUpdate(Seq("v")))
+    assert(t2 == 0L)
+    assert(before.subsetOf(names(ts))) // nothing rewritten, one add
+    assert(ts.read("t").filter($"k" === 9000).count() == 1)
+  }
+
+  test("insertNotMatched=false updates only; guards fire loudly") {
+    val ts = fresh()
+    ts.rewrite("t", spark.range(50).select($"id".as("k"), lit(1L).as("v")))
+    val touched = ts.merge("t",
+      Seq((5L, 99L), (777L, 99L)).toDF("k", "v"), "k",
+      MergeUpdate(Seq("v")), insertNotMatched = false)
+    assert(touched >= 1)
+    assert(ts.read("t").count() == 50) // 777 NOT inserted
+    assert(ts.read("t").filter($"k" === 5).select($"v").as[Long]
+      .head() == 99L)
+    // duplicate source keys are ambiguous
+    intercept[IllegalArgumentException] {
+      ts.merge("t", Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), "k",
+        MergeUpdate(Seq("v")))
+    }
+    // NULL source keys rejected
+    intercept[IllegalArgumentException] {
+      ts.merge("t", Seq((java.lang.Long.valueOf(1L), 1L),
+        (null.asInstanceOf[java.lang.Long], 2L)).toDF("k", "v"), "k",
+        MergeUpdate(Seq("v")))
+    }
+    // source-only columns rejected (schema drift)
+    intercept[IllegalArgumentException] {
+      ts.merge("t", Seq((1L, 1L, "x")).toDF("k", "v", "extra"), "k",
+        MergeUpdate(Seq("v")))
+    }
+  }
+
+  test("merge equals the driver-computed expectation on a mixed batch") {
+    val ts = fresh()
+    ts.rewrite("t", spark.range(200)
+      .select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(3, $"k"))
+    ts.analyze("t", Seq("k"))
+    val srcRows = (150L to 260L by 10).map(k => (k, -k)).toSeq
+    ts.merge("t", srcRows.toDF("k", "v"), "k", MergeUpdate(Seq("v")))
+    val expect = ((0L until 200L).map(k => (k, k * 2)).toMap ++
+      srcRows.toMap).toSet
+    assert(ts.read("t").as[(Long, Long)].collect().toSet == expect)
+  }
+}
