@@ -709,6 +709,58 @@ object CorpusQueries {
         GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30"""))
   }
 
+  /** q111 — corpus DATA CARD (round 8): the per-language summary a
+    * dataset release ships — document/token volumes, exact-duplicate
+    * mass, quality-gate failure counts, char-length extremes — as ONE
+    * grouped aggregate over the proven kernels (tokenCount,
+    * fingerprint = md5∘normalize, the Gopher keep predicate). Every
+    * field is an exact integer; the oracle recomputes the whole card
+    * from scratch in SQL, so a drift in ANY underlying kernel
+    * (normalization, tokenization, fingerprint, quality rules) moves a
+    * count and fails the hash. One narrow projection → one exchange.
+    */
+  private val q111 = {
+    val cfg = graft.functions.QualityRules.Config()
+    Q("q111_data_card",
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val d = t(s, dir, "documents")
+          .withColumn("nrm", TextFunctions.normalizeText(col("text")))
+          .withColumn("toks", TextFunctions.tokens(col("text")))
+        val e = d
+          .withColumn("n_tok",
+            TextFunctions.tokenCountOf(col("toks"), col("nrm")))
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .withColumn("keep",
+            QualityRules.keepOf(col("text"), col("nrm"), col("toks"), cfg))
+        e.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_quality_fail"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (SELECT lang, text, n_chars,
+          ${normSql("text")} AS nrm,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks
+        FROM documents),
+      e AS (SELECT lang, n_chars,
+          (CASE WHEN LENGTH(nrm) = 0 THEN CAST(0 AS BIGINT)
+                ELSE LEN(toks) END) AS n_tok,
+          MD5(nrm) AS fp,
+          (${keepPredSql(cfg)}) AS keep
+        FROM d)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+        CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quality_fail,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM e GROUP BY lang ORDER BY lang"""))
+  }
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98)
+    q93, q94, q97, q98, q111)
 }
