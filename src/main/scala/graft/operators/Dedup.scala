@@ -258,14 +258,25 @@ object Dedup {
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist >= 0, got $maxDist")
     val w = maxDist + 1
+    // repartition by id: with a small probes side the band join plans
+    // as a BROADCAST join, whose output inherits THIS side's
+    // partitioning — a single-file input would otherwise run every
+    // thresholded-DP verify in one task (the q107 9 s lesson)
     val t = df
       .filter(col(strCol).isNotNull)
+      .repartition(col(idCol))
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("b", floor(length(col("s")) / w))
     val probes = t.select(col("id").as("id_b"), col("s").as("sb"),
       explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    t.select(col("id").as("id_a"), col("s").as("sa"), col("b"))
-      .join(probes, Seq("b"))
+    // SALTED band join: real corpora concentrate lengths (the q107
+    // suffix fixture is one bucket), and an equi-join on a single hot
+    // bucket runs as ONE task no matter how many cores exist — the
+    // deterministic Skew salt spreads the bucket's pair work 32 ways
+    // with identical output (verify filter unchanged)
+    Skew.saltedJoin(
+      t.select(col("id").as("id_a"), col("s").as("sa"), col("b")),
+      probes, Seq("b"), saltBy = Seq(col("id_a")), salts = 32)
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("sa")) - length(col("sb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
