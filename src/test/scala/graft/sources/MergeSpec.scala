@@ -100,6 +100,35 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+
+  test("OCC: merge retries cleanly when a concurrent append wins the sequence") {
+    val root = Files.createTempDirectory("graft_mgocc").toString
+    val w1 = new TableStore(spark, root)
+    val w2 = new TableStore(spark, root)
+    w1.rewrite("t", spark.range(100)
+      .select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"k"))
+    w1.analyze("t", Seq("k"))
+    // w2 stages its merge, then w1 appends first: w2's CAS loses and
+    // the WHOLE merge re-derives against w1's generation — including
+    // re-reading the now-larger table (key 300 exists after the append,
+    // so the retry must UPDATE it instead of inserting a duplicate)
+    var fired = false
+    w2.beforeBeginCommit = () => if (!fired) {
+      fired = true
+      w1.append("t", Seq((300L, 0L)).toDF("k", "v"))
+    }
+    w2.merge("t", Seq((50L, -1L), (300L, -2L)).toDF("k", "v"), "k",
+      TableStore.MergeUpdate(Seq("v")))
+    w2.beforeBeginCommit = () => ()
+    assert(fired)
+    val got = w1.read("t").as[(Long, Long)].collect()
+    assert(got.length == 101) // no duplicate key 300
+    val m = got.toMap
+    assert(m(50L) == -1L && m(300L) == -2L && m(49L) == 98L)
+    assert(!w1.readManifest("t").get.swapping)
+  }
+
   test("merge equals the driver-computed expectation on a mixed batch") {
     val ts = fresh()
     ts.rewrite("t", spark.range(200)
