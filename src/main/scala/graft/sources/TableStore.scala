@@ -931,13 +931,44 @@ final class TableStore(spark: SparkSession, root: String,
     * names; inserted rows take the table's schema with NULLs for
     * table columns the source lacks, and source-only columns are
     * rejected (schema drift — use [[appendEvolve]] deliberately).
+    *
+    * `txn = Some(streamId -> batchId)` makes the merge EXACTLY-ONCE
+    * for streaming `foreachBatch` upserts (the [[appendExactlyOnce]]
+    * fence riding this merge's own commit CAS): a replayed batch id
+    * at-or-below the fence returns −1 and changes nothing.
     */
   def merge(table: String, source: DataFrame, keyCol: String,
             whenMatched: MergeAction,
-            insertNotMatched: Boolean = true): Long = retryCommit {
+            insertNotMatched: Boolean = true,
+            txn: Option[(String, Long)] = None): Long = retryCommit {
     import org.apache.spark.sql.functions._
     recover(table)
-    require(this.exists(table), s"merge: table $table does not exist")
+    // exactly-once fence (the appendExactlyOnce pattern): a replayed
+    // batch id at-or-below the recorded fence is SKIPPED — the fence
+    // advances atomically with the merge's own commit below
+    txn.foreach { case (streamId, batchId) =>
+      require(streamId.nonEmpty && !streamId.contains('\n'),
+        "merge: streamId must be a non-empty single-line token")
+      if (lastTxn(table, streamId) >= batchId) return -1L
+    }
+    if (!this.exists(table)) {
+      // first batch of a CDC stream: nothing to match — the inserts
+      // CREATE the table (source schema), fence riding the commit
+      require(insertNotMatched,
+        s"merge: table $table does not exist and insertNotMatched=false")
+      val src0 = TableStore.eagerSnapshot(
+        source.filter(col(keyCol).isNotNull))
+      try {
+        val n = src0.count()
+        require(n == source.count(),
+          "merge: source has NULL keys — a NULL can never match and " +
+            "its insert would be unkeyable; filter or fix upstream")
+        require(src0.select(keyCol).distinct().count() == n,
+          "merge: duplicate source keys — matched-row result is ambiguous")
+        rewriteBody(table, src0, Nil, txnUpdate = txn)
+      } finally src0.unpersist(blocking = false)
+      return 0L
+    }
     val tableSchema = read(table).schema
     require(tableSchema.exists(_.name == keyCol),
       s"merge: key $keyCol not in table")
@@ -1007,10 +1038,10 @@ final class TableStore(spark: SparkSession, root: String,
         }
       }
       val touched = predicateMutation(table, rangePred, Nil, "merge",
-        transform)
+        transform, txnUpdate = txn)
       if (touched == 0L && insertNotMatched) {
         // nothing in range anywhere: every source row is an insert
-        appendBody(table, asTableRows(src), Nil)
+        appendBody(table, asTableRows(src), Nil, txnUpdate = txn)
       }
       touched
     } finally src.unpersist(blocking = false)
@@ -1027,9 +1058,13 @@ final class TableStore(spark: SparkSession, root: String,
   private def predicateMutation(table: String,
                                 pred: org.apache.spark.sql.Column,
                                 partitionCols: Seq[String], op: String,
-                                transform: DataFrame => DataFrame): Long = {
+                                transform: DataFrame => DataFrame,
+                                txnUpdate: Option[(String, Long)] = None)
+      : Long = {
     recover(table)
     require(this.exists(table), s"$op: table $table does not exist")
+    require(txnUpdate.isEmpty || partitionCols.isEmpty,
+      s"$op: txn fences ride the file-level commit path only")
     if (partitionCols.nonEmpty) {
       val hit = readWhere(table, pred)
         .select(partitionCols.map(col): _*).distinct()
@@ -1089,7 +1124,8 @@ final class TableStore(spark: SparkSession, root: String,
         if (incoming.isEmpty) {
           // no surviving bytes to move: the tombstone commit IS the CAS
           writeManifest(table, gen + 1, swapping = false, Nil,
-            expectedPrev = Some(seq0), drops = affected)
+            expectedPrev = Some(seq0), txnUpdate = txnUpdate,
+            drops = affected)
           fs.delete(tmp, true)
         } else {
           writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
@@ -1102,7 +1138,8 @@ final class TableStore(spark: SparkSession, root: String,
             moves += 1; swapFault(moves)
             fs.rename(sub(tmp, rel), to)
           }
-          commitManifest(table, gen + 1, seq0 + 1, drops = affected)
+          commitManifest(table, gen + 1, seq0 + 1, txnUpdate = txnUpdate,
+            drops = affected)
           fs.delete(tmp, true)
         }
         settleFault()

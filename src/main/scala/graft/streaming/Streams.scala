@@ -325,4 +325,33 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming CDC upsert — stream → [[graft.sources.TableStore.merge]]
+    * with the EXACTLY-ONCE (streamId, batchId) fence riding each
+    * merge's own commit CAS: a crash between the table commit and the
+    * checkpoint advance re-delivers the batch, the fence skips it, and
+    * the table never applies a batch twice — the streaming MERGE INTO
+    * shape (change feeds folding into a keyed corpus table, updates
+    * and inserts in one atomic commit per micro-batch, file-level
+    * key-range targeting inside). Batches must carry unique non-null
+    * keys ([[graft.sources.TableStore.merge]]'s loud guard).
+    */
+  def mergeStreamExactlyOnce(df: DataFrame,
+                             store: graft.sources.TableStore,
+                             table: String, keyCol: String,
+                             whenMatched: graft.sources.TableStore.MergeAction,
+                             streamId: String,
+                             checkpointDir: String,
+                             insertNotMatched: Boolean = true): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.merge(table, batch, keyCol, whenMatched, insertNotMatched,
+          txn = Some(streamId -> batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

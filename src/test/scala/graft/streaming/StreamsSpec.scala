@@ -252,6 +252,42 @@ class StreamsSpec extends SparkSpec {
     assert(store.read("t").count() == 3)
   }
 
+
+  test("mergeStreamExactlyOnce: CDC upsert folds batches once, replays skipped") {
+    import graft.sources.TableStore
+    val in = Files.createTempDirectory("graft_cdc_in").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val root = Files.createTempDirectory("graft_cdc_store").toString
+    val store = new TableStore(spark, root)
+    val sch = StructType.fromDDL("k long, v string")
+    def run(): Unit = Streams.mergeStreamExactlyOnce(
+      Streams.jsonStream(spark, sch, in), store, "t", "k",
+      TableStore.MergeUpdate(Seq("v")), "cdc", ckpt)
+    // first batch CREATES the table
+    writeBatch(in, "b1.json",
+      Seq("""{"k":1,"v":"a"}""", """{"k":2,"v":"b"}"""))
+    run()
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // second batch: one update, one insert — folded exactly once
+    writeBatch(in, "b2.json",
+      Seq("""{"k":2,"v":"B2"}""", """{"k":3,"v":"c"}"""))
+    run()
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // drained restart: no re-application
+    run()
+    assert(store.read("t").count() == 3)
+    // SINK-COMMITTED-BUT-CHECKPOINT-LOST replay through the fence:
+    // every delivered batch id skips with -1 and the table is untouched
+    (0L to store.lastTxn("t", "cdc")).foreach { b =>
+      assert(store.merge("t", Seq((2L, "dup")).toDF("k", "v"), "k",
+        TableStore.MergeUpdate(Seq("v")), txn = Some("cdc" -> b)) == -1L)
+    }
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
