@@ -1100,6 +1100,19 @@ final class TableStore(spark: SparkSession, root: String,
             conds.forall(c => FileStats.mayMatch(c, pf))))
         }
       if (affected.isEmpty) return 0L
+      // a PARTITIONED layout must be preserved: survivors are written
+      // with the same partitionBy (derived from the dir structure the
+      // files live in), so replacement files land INSIDE partition
+      // dirs — a flat write would leave mixed root/partition files
+      // and break partition discovery
+      val layoutCols: Seq[String] = {
+        val shapes = all.map(_.split("/").dropRight(1)
+          .map(_.takeWhile(_ != '=')).toSeq).distinct
+        require(shapes.size == 1,
+          s"$op: inconsistent partition layouts in $table: " +
+            shapes.map(_.mkString("/")).mkString(" vs "))
+        shapes.head
+      }
       val head0 = readManifest(table)
       val seq0 = head0.map(_.seq).getOrElse(0L)
       val gen = head0.map(_.gen).getOrElse(0L)
@@ -1107,7 +1120,9 @@ final class TableStore(spark: SparkSession, root: String,
       try {
         val survivors = transform(rd(table).option("basePath", dstS)
           .parquet(affected.map(r => s"$dstS/$r"): _*))
-        survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val w0 = survivors.write.mode(SaveMode.Overwrite)
+        (if (layoutCols.isEmpty) w0 else w0.partitionBy(layoutCols: _*))
+          .parquet(tmp.toString)
         var incoming = dataFiles(fs, tmp)
         if (incoming.isEmpty && affected.size == all.size) {
           // every row deleted: keep one empty schema-bearing file so

@@ -164,6 +164,45 @@ class DeleteWhereSpec extends SparkSpec {
     }
   }
 
+
+  test("file-level mutations preserve a PARTITIONED layout") {
+    val (ts, root) = fresh()
+    ts.append("t", spark.range(120)
+      .select($"id".as("k"), ($"id" * 2).as("v"),
+        concat(lit("d"), $"id" % 3).as("day")),
+      partitionBy = Seq("day"))
+    ts.analyze("t", Seq("k"))
+    // file-level (partitionCols = Nil) delete on a partitioned table:
+    // replacement files must land INSIDE partition dirs
+    val touched = ts.deleteWhere("t", $"k" >= 30 && $"k" < 40)
+    assert(touched >= 1)
+    assert(!new java.io.File(s"$root/t").listFiles()
+      .exists(f => f.isFile && f.getName.startsWith("part-")),
+      "replacement files leaked to the table root")
+    val t = ts.read("t")
+    assert(t.count() == 110)
+    assert(t.filter($"k".between(30, 39)).count() == 0)
+    // partition column still discovered and prunable
+    assert(t.filter($"day" === "d1").count() ==
+      (0L until 120L).count(k => k % 3 == 1 && !(k >= 30 && k < 40)))
+    // updateWhere through the same path
+    val u = ts.updateWhere("t", $"k" === 50, Seq("v" -> lit(-1L)))
+    assert(u >= 1)
+    assert(ts.read("t").filter($"k" === 50).select($"v")
+      .as[Long].head() == -1L)
+    assert(ts.read("t").count() == 110)
+    // merge (always file-level) on the partitioned table
+    ts.merge("t", Seq((60L, -5L, "d0"), (2000L, 1L, "d2"))
+      .toDF("k", "v", "day"), "k",
+      TableStore.MergeUpdate(Seq("v")))
+    val after = ts.read("t")
+    assert(after.filter($"k" === 60).select($"v").as[Long].head() == -5L)
+    assert(after.filter($"k" === 2000).count() == 1)
+    assert(after.count() == 111)
+    assert(!new java.io.File(s"$root/t").listFiles()
+      .exists(f => f.isFile && f.getName.startsWith("part-")))
+  }
+
   test("partition-targeted deleteWhere rewrites only hit partitions") {
     val (ts, root) = fresh()
     ts.append("t", spark.range(90)
