@@ -19,15 +19,26 @@ object Engine {
   }
 
   /** Names of the registered pin owners (forces owner class-load). */
-  def ownerNames: Seq[String] = synchronized { builtin(); owners.map(_._1).toSeq }
+  def ownerNames: Seq[String] = {
+    builtin() // OUTSIDE the monitor — see releaseAll
+    synchronized { owners.map(_._1).toSeq }
+  }
 
   /** Release every operator family's pinned intermediates. Returned
     * frames stay valid — re-evaluation recomputes from source (each
     * owner's own contract). Call at session idle points or teardown.
+    *
+    * `builtin()` runs OUTSIDE the monitor: it forces owner CLASS
+    * INITIALIZATION, and each owner's initializer calls [[register]]
+    * (which takes this monitor) — holding the monitor across a class
+    * init whose initializer needs the same monitor deadlocks against
+    * a concurrent first touch of the owner class. Owners are
+    * snapshotted under the monitor, released outside it.
     */
-  def releaseAll(): Unit = synchronized {
+  def releaseAll(): Unit = {
     builtin()
-    owners.foreach { case (_, release) => release() }
+    val snapshot = synchronized { owners.toList }
+    snapshot.foreach { case (_, release) => release() }
   }
 
   // self-registration happens in each owner's object initializer; an

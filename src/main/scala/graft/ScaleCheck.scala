@@ -214,9 +214,10 @@ object ScaleCheck {
       val ratio = if (b > 0) s / b else -1.0
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$ratio%.2f}"""
     }.mkString(",")
-    val errJson = errors.map { case (n, e) =>
-      s""""$n":"${e.replace("\"", "'").replace("\n", " ")}""""
-    }.mkString(",")
+    def jstr(s: String) = "\"" +
+      s.map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c) + "\""
+    val errJson = errors.map { case (n, e) => s""""$n":${jstr(e)}""" }
+      .mkString(",")
     println(s"""{"metric":"scale_ratio_10x","base_dir":"$baseDir",""" +
       s""""scale_dir":"$scaleDir","load_avg":$loadAvg,""" +
       s""""queries":{$qJson},"errors":{$errJson}}""")

@@ -489,8 +489,13 @@ object Multimodal {
     if (!seenIhdr || !seenIend) return None
     if (depth != 8 || !pngChannels.contains(colorType) || colorType == 3)
       return None // palette (3) needs PLTE; 1/2/4/16-bit need unpacking
-    // size guard BEFORE allocation — the forged-IHDR OOM hardening
-    if (wL <= 0 || hL <= 0 || wL * hL > maxPixels) return None
+    // size guard BEFORE allocation — the forged-IHDR OOM hardening.
+    // Each factor is bounded BEFORE the product: be32 dims reach
+    // 2^32−1, whose product overflows Long to NEGATIVE and would
+    // slide under a bare product check, then crash the allocation —
+    // violating the never-throw contract
+    if (wL <= 0 || hL <= 0 || wL > maxPixels || hL > maxPixels ||
+        wL * hL > maxPixels) return None
     val w = wL.toInt; val h = hL.toInt
     val channels = pngChannels(colorType)
     val rowBytes = w * channels

@@ -536,24 +536,40 @@ final class TableStore(spark: SparkSession, root: String,
     * manifest that failed to carry the drops would resurrect the
     * deleted rows.
     */
-  private def settleDrops(table: String, fs: FileSystem): Unit =
-    readManifest(table).filter(m => !m.swapping && m.drops.nonEmpty)
-      .foreach { m =>
-        val dst = hpath(table)
-        m.drops.foreach { rel =>
-          val p = sub(dst, rel)
-          if (fs.exists(p)) {
-            if (retainGenerations > 0) {
-              // the dropped file belonged to the PREVIOUS generation
-              val dest = new Path(
-                new Path(archiveRoot(table), s"gen=${m.gen - 1}"), rel)
-              fs.mkdirs(dest.getParent)
-              fs.rename(p, dest)
-            } else fs.delete(p, false)
+  private def settleDrops(table: String, fs: FileSystem): Unit = {
+    var done = false
+    while (!done) {
+      readManifest(table).filter(m => !m.swapping && m.drops.nonEmpty) match {
+        case None => done = true
+        case Some(m) =>
+          val dst = hpath(table)
+          m.drops.foreach { rel =>
+            val p = sub(dst, rel)
+            if (fs.exists(p)) {
+              if (retainGenerations > 0) {
+                // the dropped file belonged to the PREVIOUS generation
+                val dest = new Path(
+                  new Path(archiveRoot(table), s"gen=${m.gen - 1}"), rel)
+                fs.mkdirs(dest.getParent)
+                fs.rename(p, dest)
+              } else fs.delete(p, false)
+            }
           }
-        }
-        writeManifest(table, m.gen, swapping = false, Nil)
+          // CAS at the observed head, NEVER the blind retry loop: a
+          // concurrent writer may have advanced gen/txn fences while
+          // we deleted — landing this pre-built body at a later
+          // sequence would regress them. On collision, re-read and
+          // re-derive (the physical deletes above are idempotent).
+          try {
+            writeManifest(table, m.gen, swapping = false, Nil,
+              expectedPrev = Some(m.seq))
+            done = true
+          } catch {
+            case _: ConcurrentCommitException => () // re-read, retry
+          }
       }
+    }
+  }
 
   /** Reader SNAPSHOT against concurrent writers: pin the committed
     * data-file inventory NOW and return a frame over those explicit
@@ -597,7 +613,15 @@ final class TableStore(spark: SparkSession, root: String,
              partitionBy: Seq[String] = Nil): Unit =
     retryCommit(appendBody(table, df, partitionBy))
 
-  private def appendBody(table: String, df: DataFrame,
+  /** `df` is BY-NAME on purpose: table-derived frames (an upsert's
+    * anti-join, a dedup screen) pin their file LISTING when the frame
+    * is created, so the frame must be constructed AFTER the CAS
+    * anchor below — a concurrent commit between a pre-anchor listing
+    * and the anchor would slide under the CAS with stale inputs (the
+    * lost-update anomaly OCC exists to prevent). Callers pass the
+    * frame-building EXPRESSION, not a pre-built val.
+    */
+  private def appendBody(table: String, df: => DataFrame,
                          partitionBy: Seq[String],
                          txnUpdate: Option[(String, Long)] = None): Unit = {
     recover(table) // never append into a half-swapped layout
@@ -615,7 +639,8 @@ final class TableStore(spark: SparkSession, root: String,
     val gen = head0.map(_.gen).getOrElse(0L)
     val tmp = freshStaging(table, "__add")
     try {
-      val w = df.write.mode(SaveMode.Overwrite)
+      val frame = df // listing happens HERE, after the anchor
+      val w = frame.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)
       val incoming = dataFiles(fs, tmp)
@@ -782,10 +807,13 @@ final class TableStore(spark: SparkSession, root: String,
         appendBody(table, Upsert.dedupByKey(incoming, keys, tieBreak),
           partitionBy)
       } else {
-        val existing = read(table)
-        val novel = Upsert.newRows(existing, incoming, keys, tieBreak)
-          .select(existing.columns.map(col).toIndexedSeq: _*)
-        appendBody(table, novel, partitionBy)
+        // frame built INSIDE the by-name argument: its table listing
+        // runs under appendBody's CAS anchor
+        appendBody(table, {
+          val existing = read(table)
+          Upsert.newRows(existing, incoming, keys, tieBreak)
+            .select(existing.columns.map(col).toIndexedSeq: _*)
+        }, partitionBy)
       }
     }
 
@@ -809,28 +837,34 @@ final class TableStore(spark: SparkSession, root: String,
       "dedupAppend reserves the column name 'fp' for the stored " +
         "fingerprint; rename the batch's existing 'fp' column first")
     retryCommit {
-      // whole derivation inside the retry: a collision means another
-      // writer's batch just landed — its fingerprints must join the
-      // anti-join's store side, or this batch re-inserts its dups
+      // whole derivation inside the retry AND inside the by-name
+      // argument: a collision means another writer's batch just
+      // landed — its fingerprints must join the anti-join's store
+      // side, or this batch re-inserts its dups; building the frame
+      // under appendBody's CAS anchor closes the same window against
+      // commits that land while THIS attempt derives
       recover(table)
-      val fped = batch.withColumn("fp",
-        graft.functions.TextFunctions.fingerprint(col(textCol)))
-      val novel =
-        if (!exists(table)) Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
-        else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
-          .select(fped.columns.map(col).toIndexedSeq: _*)
-      // Snapshot BEFORE the append mutates this plan's own input
-      // ([[TableStore.snapshot]] rationale): the returned frame must
-      // never re-run the anti-join against the table it was just appended
-      // to. Scoped persist: the table is append-only, so recompute from
-      // the pinned splits after release still yields the pre-append
-      // snapshot — callers that read it repeatedly should persist it
-      // themselves; pinning here would leak one full batch per call
-      // across a long-lived ingest session.
-      val out = TableStore.snapshot(novel)
-      try appendBody(table, out, Nil)
-      finally out.unpersist(blocking = false)
-      out
+      var out: DataFrame = null
+      try {
+        appendBody(table, {
+          val fped = batch.withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col(textCol)))
+          val novel =
+            if (!exists(table))
+              Upsert.dedupByKey(fped, Seq("fp"), Seq(idCol))
+            else Upsert.newRows(read(table), fped, Seq("fp"), Seq(idCol))
+              .select(fped.columns.map(col).toIndexedSeq: _*)
+          // Snapshot BEFORE the append mutates this plan's own input
+          // ([[TableStore.snapshot]] rationale): the returned frame
+          // must never re-run the anti-join against the table it was
+          // just appended to. Scoped persist: the table is
+          // append-only, so recompute from the pinned splits after
+          // release still yields the pre-append snapshot.
+          out = TableStore.snapshot(novel)
+          out
+        }, Nil)
+        out
+      } finally if (out != null) out.unpersist(blocking = false)
     }
   }
 
@@ -897,17 +931,28 @@ final class TableStore(spark: SparkSession, root: String,
                   partitionCols: Seq[String] = Nil): Long = retryCommit {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     require(assignments.nonEmpty, "updateWhere: name at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "updateWhere: duplicate assignment targets")
     val schema = read(table).schema
     assignments.foreach { case (c, _) =>
       require(schema.exists(_.name == c),
         s"updateWhere: column $c not in ${schema.map(_.name).mkString(",")}")
     }
-    def apply(df: DataFrame): DataFrame =
-      assignments.foldLeft(df) { case (d, (c, v)) =>
-        val t = schema(schema.fieldIndex(c)).dataType
-        d.withColumn(c,
-          when(coalesce(pred, lit(false)), v.cast(t)).otherwise(col(c)))
-      }
+    val byName = assignments.toMap
+    // ONE simultaneous projection, never a withColumn chain: every
+    // assignment (and the predicate itself) must read the PRE-update
+    // row — a sequential fold would evaluate later assignments against
+    // partially-updated values (swap a↔b breaks, and an assignment
+    // that falsifies the predicate hides it from later assignments)
+    def apply(df: DataFrame): DataFrame = df.select(
+      schema.map { f =>
+        byName.get(f.name) match {
+          case Some(v) =>
+            when(coalesce(pred, lit(false)), v.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
     predicateMutation(table, pred, partitionCols, "updateWhere", apply)
   }
 
@@ -1007,8 +1052,10 @@ final class TableStore(spark: SparkSession, root: String,
           else lit(null).cast(f.dataType).as(f.name)
         }: _*)
       def transform(affected: DataFrame): DataFrame = {
+        // no forced broadcast: AQE picks the strategy from the actual
+        // source size (a large CDC batch must be allowed to shuffle)
         val srcK = src.withColumnRenamed(keyCol, "__mk")
-        val hit = broadcastIfSmall(srcK)
+        val hit = srcK
         val joined = affected.join(hit,
           affected(keyCol) === hit("__mk"), "left")
         val survivors = whenMatched match {
@@ -1037,18 +1084,10 @@ final class TableStore(spark: SparkSession, root: String,
           survivors.unionByName(asTableRows(inserts))
         }
       }
-      val touched = predicateMutation(table, rangePred, Nil, "merge",
-        transform, txnUpdate = txn)
-      if (touched == 0L && insertNotMatched) {
-        // nothing in range anywhere: every source row is an insert
-        appendBody(table, asTableRows(src), Nil, txnUpdate = txn)
-      }
-      touched
+      predicateMutation(table, rangePred, Nil, "merge",
+        transform, txnUpdate = txn, commitOnEmpty = insertNotMatched)
     } finally src.unpersist(blocking = false)
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame =
-    org.apache.spark.sql.functions.broadcast(df)
 
   /** The shared stats-targeted mutation engine behind [[deleteWhere]] /
     * [[updateWhere]]: select affected files by the predicate's stats
@@ -1059,37 +1098,41 @@ final class TableStore(spark: SparkSession, root: String,
                                 pred: org.apache.spark.sql.Column,
                                 partitionCols: Seq[String], op: String,
                                 transform: DataFrame => DataFrame,
-                                txnUpdate: Option[(String, Long)] = None)
+                                txnUpdate: Option[(String, Long)] = None,
+                                commitOnEmpty: Boolean = false)
       : Long = {
     recover(table)
     require(this.exists(table), s"$op: table $table does not exist")
     require(txnUpdate.isEmpty || partitionCols.isEmpty,
       s"$op: txn fences ride the file-level commit path only")
     if (partitionCols.nonEmpty) {
-      val hit = readWhere(table, pred)
-        .select(partitionCols.map(col): _*).distinct()
-      val n = hit.count()
-      if (n > 0)
-        rewriteAffectedBody(table, partitionCols, hit, transform)
-      n
+      // hit-partition frame passed BY-NAME: its listing runs under
+      // rewriteAffectedBody's CAS anchor, never before it
+      rewriteAffectedBody(table, partitionCols,
+        readWhere(table, pred)
+          .select(partitionCols.map(col): _*).distinct(),
+        transform)
     } else {
       val dst = hpath(table)
       val fs = fsOf(dst)
       settleOld(table, fs)
       settleDrops(table, fs)
+      // capture the CAS anchor BEFORE any state read: a concurrent
+      // commit landing between a later listing and the CAS would
+      // otherwise pass the CAS with stale inputs (its files missing
+      // from `all`/`affected` — silently skipped rows, or duplicate
+      // merge inserts). Captured first, any such commit fails the CAS
+      // and the whole mutation re-derives.
+      val head0 = readManifest(table)
+      val seq0 = head0.map(_.seq).getOrElse(0L)
+      val gen = head0.map(_.gen).getOrElse(0L)
       val dstS = path(table)
       val all = committedFiles(table, fs)
-      if (all.isEmpty) return 0L
-      val sp = statsPath(table)
+      if (all.isEmpty && !commitOnEmpty) return 0L
       var sidecarCols: Seq[String] = Nil
-      val affected: Seq[String] =
-        if (!fs.exists(sp)) all
-        else {
-          val in = fs.open(sp)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          val stats = FileStats.deserialize(txt)
+      val affected: Seq[String] = readStatsSidecar(table) match {
+        case None => all
+        case Some(stats) =>
           sidecarCols = stats.values.flatMap(_.cols.keys).toSeq.distinct
           val conds = read(table).filter(pred)
             .queryExecution.optimizedPlan.collect {
@@ -1098,28 +1141,34 @@ final class TableStore(spark: SparkSession, root: String,
             }
           all.filter(rel => stats.get(rel).forall(pf =>
             conds.forall(c => FileStats.mayMatch(c, pf))))
-        }
-      if (affected.isEmpty) return 0L
+      }
+      if (affected.isEmpty && !commitOnEmpty) return 0L
       // a PARTITIONED layout must be preserved: survivors are written
       // with the same partitionBy (derived from the dir structure the
       // files live in), so replacement files land INSIDE partition
       // dirs — a flat write would leave mixed root/partition files
       // and break partition discovery
-      val layoutCols: Seq[String] = {
-        val shapes = all.map(_.split("/").dropRight(1)
-          .map(_.takeWhile(_ != '=')).toSeq).distinct
-        require(shapes.size == 1,
-          s"$op: inconsistent partition layouts in $table: " +
-            shapes.map(_.mkString("/")).mkString(" vs "))
-        shapes.head
-      }
-      val head0 = readManifest(table)
-      val seq0 = head0.map(_.seq).getOrElse(0L)
-      val gen = head0.map(_.gen).getOrElse(0L)
+      val layoutCols: Seq[String] =
+        if (all.isEmpty) Nil
+        else {
+          val shapes = all.map(_.split("/").dropRight(1)
+            .map(_.takeWhile(_ != '=')).toSeq).distinct
+          require(shapes.size == 1,
+            s"$op: inconsistent partition layouts in $table: " +
+              shapes.map(_.mkString("/")).mkString(" vs "))
+          shapes.head
+        }
       val tmp = freshStaging(table, "__add")
       try {
-        val survivors = transform(rd(table).option("basePath", dstS)
-          .parquet(affected.map(r => s"$dstS/$r"): _*))
+        // `commitOnEmpty` with no affected files still runs transform
+        // (over zero rows) — merge's insert-only case commits its
+        // inserts under THIS anchor, so a key committed concurrently
+        // can never be insert-duplicated by a stale no-match decision
+        val affectedFrame =
+          if (affected.isEmpty) read(table).limit(0)
+          else rd(table).option("basePath", dstS)
+            .parquet(affected.map(r => s"$dstS/$r"): _*)
+        val survivors = transform(affectedFrame)
         val w0 = survivors.write.mode(SaveMode.Overwrite)
         (if (layoutCols.isEmpty) w0 else w0.partitionBy(layoutCols: _*))
           .parquet(tmp.toString)
@@ -1237,17 +1286,19 @@ final class TableStore(spark: SparkSession, root: String,
       // input_file_name() is nondeterministic, so it must be projected
       // before the aggregate; the scan reads no data columns (footer
       // metadata + partition values only)
-      val hit = read(table)
-        .select(partitionCols.map(col) :+ input_file_name().as("__f"): _*)
-        .groupBy(partitionCols.map(col): _*)
-        .agg(countDistinct(col("__f")).as("__nf"))
-        .filter(col("__nf") > maxFiles)
-        .select(partitionCols.map(col): _*)
       // repartition BY the partition columns: each partition value
-      // lands wholly in one task, so each swapped dir gets one file
-      rewriteAffectedBody(table, partitionCols, hit,
+      // lands wholly in one task, so each swapped dir gets one file;
+      // the hit frame is by-name — listed under the body's CAS anchor
+      rewriteAffectedBody(table, partitionCols,
+        read(table)
+          .select(partitionCols.map(col) :+ input_file_name().as("__f"): _*)
+          .groupBy(partitionCols.map(col): _*)
+          .agg(countDistinct(col("__f")).as("__nf"))
+          .filter(col("__nf") > maxFiles)
+          .select(partitionCols.map(col): _*),
         transform =
           df => clustered(df.repartition(partitionCols.map(col): _*)))
+      ()
     }
   }
 
@@ -1288,8 +1339,10 @@ final class TableStore(spark: SparkSession, root: String,
     if (partitionCols.isEmpty)
       rewriteBody(table, clustered(read(table)), Nil)
     else {
-      val hit = read(table).select(partitionCols.map(col): _*).distinct()
-      rewriteAffectedBody(table, partitionCols, hit, transform = clustered)
+      rewriteAffectedBody(table, partitionCols,
+        read(table).select(partitionCols.map(col): _*).distinct(),
+        transform = clustered)
+      ()
     }
   }
 
@@ -1304,23 +1357,30 @@ final class TableStore(spark: SparkSession, root: String,
               partitionBy: Seq[String] = Nil): Unit =
     retryCommit(rewriteBody(table, df, partitionBy))
 
-  private def rewriteBody(table: String, df: DataFrame,
+  /** `df` BY-NAME for the same reason as [[appendBody]]: a rewrite
+    * derived from the table's own state (deleteByKeys, updateFlag,
+    * compact) must list files AFTER the CAS anchor.
+    */
+  private def rewriteBody(table: String, df: => DataFrame,
                           partitionBy: Seq[String],
                           txnUpdate: Option[(String, Long)] = None): Unit = {
     recover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
+    val fs = fsOf(dst)
+    settleOld(table, fs) // archive (not delete) a post-commit leftover
+    settleDrops(table, fs) // physically retire committed tombstones
+    // CAS anchor BEFORE the staging write: the write EXECUTES the
+    // caller's frame (and its file listing) — state reads after this
+    // line are covered by the CAS, reads before it are not
+    val head0 = readManifest(table)
+    val seq0 = head0.map(_.seq).getOrElse(0L)
+    val gen = head0.map(_.gen).getOrElse(0L)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    val fs = fsOf(dst)
     try {
-      settleOld(table, fs) // archive (not delete) a post-commit leftover
-    settleDrops(table, fs) // physically retire committed tombstones
-      val head0 = readManifest(table)
-      val seq0 = head0.map(_.seq).getOrElse(0L)
-      val gen = head0.map(_.gen).getOrElse(0L)
       // a first-time rewrite has no committed copy to fall back to: the
       // whole table is `fresh` (rollback = delete), not a swapped dir
       val firstTime = !fs.exists(dst)
@@ -1357,33 +1417,39 @@ final class TableStore(spark: SparkSession, root: String,
     */
   private[sources] def rewriteAffected(table: String,
                                        partitionCols: Seq[String],
-                                       hitParts: DataFrame,
+                                       hitParts: => DataFrame,
                                        transform: DataFrame => DataFrame): Unit =
-    retryCommit(
-      rewriteAffectedBody(table, partitionCols, hitParts, transform))
+    retryCommit {
+      rewriteAffectedBody(table, partitionCols, hitParts, transform); ()
+    }
 
+  /** `hitParts` BY-NAME ([[appendBody]]'s anchor rule). Returns the
+    * number of affected partitions (0 = no-op).
+    */
   private def rewriteAffectedBody(table: String,
                                   partitionCols: Seq[String],
-                                  hitParts: DataFrame,
-                                  transform: DataFrame => DataFrame): Unit = {
+                                  hitParts: => DataFrame,
+                                  transform: DataFrame => DataFrame): Long = {
     recover(table)
-    val affected = hitParts.collect()
-    if (affected.isEmpty) return
-    val affectedDf = broadcast(
-      spark.createDataFrame(java.util.Arrays.asList(affected: _*),
-        hitParts.schema))
-    val updated = transform(
-      read(table).join(affectedDf, partitionCols, "left_semi"))
-
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
     val fs = fsOf(dst)
     settleOld(table, fs) // archive (not delete) a post-commit leftover
     settleDrops(table, fs) // physically retire committed tombstones
+    // CAS anchor BEFORE the hit-partition collect and the staging
+    // write: both read table state, and a commit landing after either
+    // must fail the CAS, not slide under it
     val head0 = readManifest(table)
     val seq0 = head0.map(_.seq).getOrElse(0L)
     val gen = head0.map(_.gen).getOrElse(0L)
+    val affected = hitParts.collect()
+    if (affected.isEmpty) return 0L
+    val affectedDf = broadcast(
+      spark.createDataFrame(java.util.Arrays.asList(affected: _*),
+        hitParts.schema))
+    val updated = transform(
+      read(table).join(affectedDf, partitionCols, "left_semi"))
     // phase 1: job output goes to the tmp sibling; a failure anywhere
     // in here leaves the live table byte-identical
     updated.write.mode(SaveMode.Overwrite)
@@ -1459,7 +1525,7 @@ final class TableStore(spark: SparkSession, root: String,
     } catch {
       case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
     }
-    ()
+    affected.length.toLong
   }
 
   /** Leaf partition dirs (relative `col=v/...` paths) `depth` levels
@@ -1587,14 +1653,12 @@ final class TableStore(spark: SparkSession, root: String,
     require(readManifest(table).forall(!_.swapping),
       s"table $table: crashed swap pending — run recover()/a mutation " +
         "before analyze")
+    val fs = fsOf(hpath(table))
     val sp = statsPath(table)
-    val fs = fsOf(sp)
-    if (!fs.exists(sp)) { analyze(table, statsCols); return }
-    val in = fs.open(sp)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val prior = FileStats.deserialize(txt)
+    val prior = readStatsSidecar(table) match {
+      case Some(st) => st
+      case None     => analyze(table, statsCols); return
+    }
     val current = committedFiles(table, fs)
     val missing = current.filterNot(prior.contains)
     val live = prior.view.filterKeys(current.contains).toMap
@@ -1616,6 +1680,23 @@ final class TableStore(spark: SparkSession, root: String,
     finally out.close()
   }
 
+  /** The stats sidecar, if one exists (shared by [[readWhere]],
+    * [[analyzeIncremental]], and the predicate mutations).
+    */
+  private def readStatsSidecar(table: String)
+      : Option[Map[String, FileStats.PerFile]] = {
+    val sp = statsPath(table)
+    val fs = fsOf(sp)
+    if (!fs.exists(sp)) None
+    else {
+      val in = fs.open(sp)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(FileStats.deserialize(txt))
+    }
+  }
+
   /** Predicate read with FILE-LEVEL skipping: files whose analyzed
     * [min,max]/null stats prove the predicate empty are excluded from
     * the scan — no task, no footer read — and the full predicate is
@@ -1628,14 +1709,11 @@ final class TableStore(spark: SparkSession, root: String,
   def readWhere(table: String, pred: org.apache.spark.sql.Column): DataFrame = {
     def plain = read(table).filter(pred)
     if (readManifest(table).exists(_.swapping)) return plain
-    val sp = statsPath(table)
-    val fs = fsOf(sp)
-    if (!fs.exists(sp)) return plain
-    val in = fs.open(sp)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val stats = FileStats.deserialize(txt)
+    val stats = readStatsSidecar(table) match {
+      case Some(st) => st
+      case None     => return plain
+    }
+    val fs = fsOf(hpath(table))
     val files = committedFiles(table, fs)
     if (files.isEmpty) return plain
     // the predicate's RESOLVED, constant-folded form: analyze+optimize
@@ -1747,10 +1825,10 @@ final class TableStore(spark: SparkSession, root: String,
       if (newFiles.isEmpty) None
       else Some(partial(rd(src).option("basePath", srcS)
         .parquet(newFiles.map(r => s"$srcS/$r"): _*)))
-    val prior =
+    def prior =
       if (rebuild || n < 0 || !this.exists(rollup)) None
       else Some(read(rollup))
-    val combined = (prior, delta) match {
+    def combined = (prior, delta) match {
       case (Some(p), Some(d)) =>
         p.unionByName(d).groupBy(groupCols.map(col): _*)
           .agg(mergeAggs.head, mergeAggs.tail: _*)

@@ -362,6 +362,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+
+  test("parsePngPixels: forged IHDR dims that overflow Long quarantine") {
+    // width = height = 0xF0000000: the dim PRODUCT wraps Long negative;
+    // a bare product guard would pass and crash the allocation
+    val good = Multimodal.ImageBytes.pngFull(2, 2, 3,
+      (x, y, c) => (x + y + c) % 256)
+    // splice forged BE32 dims into the IHDR (offset 16: width, 20:
+    // height) and fix nothing else — CRC now wrong, which is ALSO a
+    // quarantine path; craft with correct CRC via pngFull internals
+    // being unavailable, so instead check the guard directly at the
+    // API level with a structurally-valid-but-huge header built from
+    // the real encoder at the largest craftable size
+    val forged = good.clone()
+    def put32(at: Int, v: Long): Unit = {
+      forged(at) = ((v >> 24) & 0xFF).toByte
+      forged(at + 1) = ((v >> 16) & 0xFF).toByte
+      forged(at + 2) = ((v >> 8) & 0xFF).toByte
+      forged(at + 3) = (v & 0xFF).toByte
+    }
+    put32(16, 0xF0000000L); put32(20, 0xF0000000L)
+    // recompute the IHDR CRC so the SIZE GUARD (not the CRC check) is
+    // the line that rejects — the overflow would hide behind a bad CRC
+    val crc = new java.util.zip.CRC32()
+    crc.update(forged, 12, 17) // chunk type + 13 data bytes
+    put32(29, crc.getValue)
+    assert(Multimodal.parsePngPixels(forged).isEmpty) // never throws
+  }
+
   test("resizeTo: deterministic stride subsample + refreshed metadata") {
     val payload = (0 until 1000).map(i => (i % 256).toByte).toArray
     val docs = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))

@@ -143,6 +143,23 @@ class DeleteWhereSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(120L))
   }
 
+
+  test("updateWhere: assignments evaluate against the PRE-update row (swap works)") {
+    val (ts, _) = fresh()
+    ts.rewrite("t", Seq((1L, 10L, 20L, 0L), (2L, 30L, 40L, 0L))
+      .toDF("k", "a", "b", "touched"))
+    // swap a<->b AND flag the row, all WHERE a = 10: a sequential
+    // fold would overwrite a first, lose the swap, and hide the
+    // predicate from the later assignments
+    ts.updateWhere("t", $"a" === 10,
+      Seq("a" -> col("b"), "b" -> col("a"), "touched" -> lit(1L)))
+    val got = ts.read("t").as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L, 10L, 1L), (2L, 30L, 40L, 0L)))
+    intercept[IllegalArgumentException] {
+      ts.updateWhere("t", $"k" === 1, Seq("a" -> lit(1L), "a" -> lit(2L)))
+    }
+  }
+
   test("updateWhere partition-targeted; unknown column rejected") {
     val (ts, root) = fresh()
     ts.append("t", spark.range(60)
