@@ -709,6 +709,64 @@ object CorpusQueries {
         GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30"""))
   }
 
+  /** q112 — TOKENIZER EVALUATION: per-language BPE fertility and
+    * compression (round 8). Fertility (subwords per word) and
+    * compression (chars per subword) are THE standard tokenizer-eval
+    * metrics for multilingual corpora — a language whose fertility
+    * spikes under a shared vocabulary is under-served by it. Train 6
+    * merges (q97's artifact), segment the corpus (q98's kernel), then
+    * one grouped aggregate; ratios are quantized by exact integer
+    * division (`div` ⇄ `//`) so the gate is bit-exact. The oracle
+    * reuses the q97/q98 unrolled CTE chain and recomputes both
+    * metrics from per-(lang, word) counts × the replayed
+    * segmentation lengths.
+    */
+  private val q112 = {
+    val k = 6
+    Q("q112_bpe_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", k)
+          .orderBy(col("step"))
+          .select(col("left"), col("right")).as[(String, String)]
+          .collect().toSeq
+        val kept = docs.filter(col("text").isNotNull &&
+          length(TextFunctions.normalizeText(col("text"))) > 0)
+        graft.operators.Bpe.segment(kept, "text", merges)
+          .select(col("lang"),
+            TextFunctions.tokenCount(col("text")).as("nw"),
+            size(col("bpe_tokens")).cast("long").as("nb"),
+            length(regexp_replace(TextFunctions.normalizeText(col("text")),
+              " ", "")).cast("long").as("nc"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"),
+            sum(col("nc")).as("n_chars"))
+          .withColumn("fertility_q",
+            expr("n_bpe * 1000000 div n_words"))
+          .withColumn("compression_q",
+            expr("n_chars * 1000000 div n_bpe"))
+          .orderBy(col("lang"))
+      },
+      Some("WITH RECURSIVE " + bpeCtes(k).mkString(",\n") + s""",
+      lw AS MATERIALIZED (SELECT lang, t.tok AS w, COUNT(*) AS c
+        FROM (SELECT lang, STRING_SPLIT(${normSql("text")}, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL
+            AND LENGTH(${normSql("text")}) > 0) nt2,
+          UNNEST(toks) AS t(tok)
+        GROUP BY 1, 2),
+      agg AS (SELECT lang, SUM(c) AS n_words,
+          SUM(c * LEN(v.syms)) AS n_bpe,
+          SUM(c * LENGTH(lw.w)) AS n_chars
+        FROM lw JOIN v$k v ON v.w = lw.w GROUP BY 1)
+      SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_bpe AS BIGINT) AS n_bpe,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(n_bpe * 1000000 // n_words AS BIGINT) AS fertility_q,
+        CAST(n_chars * 1000000 // n_bpe AS BIGINT) AS compression_q
+      FROM agg ORDER BY lang"""))
+  }
+
   /** q111 — corpus DATA CARD (round 8): the per-language summary a
     * dataset release ships — document/token volumes, exact-duplicate
     * mass, quality-gate failure counts, char-length extremes — as ONE
@@ -762,5 +820,5 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111)
+    q93, q94, q97, q98, q111, q112)
 }
