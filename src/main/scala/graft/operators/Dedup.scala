@@ -273,10 +273,12 @@ object Dedup {
     // suffix fixture is one bucket), and an equi-join on a single hot
     // bucket runs as ONE task no matter how many cores exist — the
     // deterministic Skew salt spreads the bucket's pair work 32 ways
-    // with identical output (verify filter unchanged)
+    // with identical output (verify filter unchanged); 128 salts over 32
+    // shuffle partitions keeps the per-partition load balanced (32
+    // salts into 32 hash partitions left 2-3x stragglers)
     Skew.saltedJoin(
       t.select(col("id").as("id_a"), col("s").as("sa"), col("b")),
-      probes, Seq("b"), saltBy = Seq(col("id_a")), salts = 32)
+      probes, Seq("b"), saltBy = Seq(col("id_a")), salts = 128)
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("sa")) - length(col("sb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))

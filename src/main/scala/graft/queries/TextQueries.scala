@@ -172,7 +172,12 @@ object TextQueries {
           expr("right(text, 40)").as("s40"))
       Dedup.editDistancePairs(suffixed, "doc_id", "s40", maxDist = 8)
         .select(col("id_a"), col("id_b"), col("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // repartition(1)+sortWithinPartitions, NOT orderBy: a global
+        // sort range-samples its child, which EXECUTES the whole
+        // thresholded-DP verify twice (measured 2× on this query);
+        // the result is tiny, so one post-shuffle partition sorts it
+        // with identical output order
+        .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
     },
     Some("""WITH t AS (SELECT doc_id, RIGHT(text, 40) AS s
         FROM documents WHERE lang = 'en'),
