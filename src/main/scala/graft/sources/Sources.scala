@@ -73,10 +73,22 @@ object Sources {
   def geoJsonFeatures(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", true)
       .json(path)
-    raw.select(explode(col("features")).as("f"))
-      .select(
-        col("f.geometry.type").as("geom_type"),
-        to_json(col("f.geometry.coordinates")).as("coordinates_json"),
-        col("f.properties.*"))
+    val feats = raw.select(explode(col("features")).as("f"))
+    // mixed geometry types (Point next to Polygon — the normal case
+    // for real feature collections) make schema inference collapse
+    // `coordinates` to StringType, and to_json(string) is an
+    // AnalysisException: only re-encode when a structured type was
+    // actually inferred
+    val coordsType = feats.select(col("f.geometry.coordinates"))
+      .schema.head.dataType
+    val coordsJson = coordsType match {
+      case org.apache.spark.sql.types.StringType =>
+        col("f.geometry.coordinates")
+      case _ => to_json(col("f.geometry.coordinates"))
+    }
+    feats.select(
+      col("f.geometry.type").as("geom_type"),
+      coordsJson.as("coordinates_json"),
+      col("f.properties.*"))
   }
 }

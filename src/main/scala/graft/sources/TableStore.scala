@@ -77,10 +77,13 @@ final class ConcurrentCommitException(val table: String,
   * times — the Delta/Iceberg commit-CAS shape on the existing
   * manifest machinery. The swapping manifest doubles as the swap
   * lock: no competing writer can CAS past it, so the rename phase is
-  * exclusive and `__old` stays single-owner. Caveat (documented, not
-  * solved here): [[recover]] treats any swapping head as CRASHED —
-  * run it only when the writer that owns the swap is known dead
-  * (liveness detection / leases are out of scope).
+  * exclusive and `__old` stays single-owner. A retrying LOSER first
+  * waits (`swapWaitMs`) for the winner's in-flight swap to settle, so
+  * an ordinary collision never rolls back a live writer's swap.
+  * Residual caveat: [[recover]] itself still treats a swapping head
+  * as CRASHED — true liveness detection (leases) is out of scope, so
+  * an EXTERNAL recover() run against a live writer, or a winner
+  * stalled past the wait window, remains a protocol violation.
   */
 final class TableStore(spark: SparkSession, root: String,
                        retainGenerations: Int = 0,
@@ -168,15 +171,33 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   private[sources] def readManifest(table: String): Option[Manifest] = {
-    val ms = listManifests(table)
-    if (ms.isEmpty) None
-    else {
+    // a concurrent writer prunes superseded manifests AFTER creating
+    // its successor: the file we globbed can vanish before our open.
+    // Re-list on FileNotFound — by then the successor exists (prune
+    // strictly follows create), so the loop terminates
+    var attempts = 0
+    while (true) {
+      val ms = listManifests(table)
+      if (ms.isEmpty) return None
       val (seq, p) = ms.maxBy(_._1)
-      val in = fsOf(p).open(p)
       val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+        try {
+          val in = fsOf(p).open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            attempts += 1
+            if (attempts > 50) throw e
+            null
+        }
+      if (txt != null) return Some(parseManifest(seq, txt))
+    }
+    None
+  }
+
+  private def parseManifest(seq: Long, txt: String): Manifest = {
+    val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
       def vs(k: String) =
         lines.filter(_.startsWith(k + "=")).map(_.stripPrefix(k + "="))
       // `f=` lines belong to the most recent `dir=` line (positional:
@@ -195,10 +216,9 @@ final class TableStore(spark: SparkSession, root: String,
         if (cut <= 0) None
         else t.drop(cut + 1).toLongOption.map(t.take(cut) -> _)
       }.toMap
-      Some(Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
-        vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
-        files.toMap, vs("add"), vs("tmp").headOption, txns, vs("drop")))
-    }
+    Manifest(seq, vs("gen").headOption.map(_.toLong).getOrElse(0L),
+      vs("state").headOption.contains("swapping"), vs("dir"), vs("new"),
+      files.toMap, vs("add"), vs("tmp").headOption, txns, vs("drop"))
   }
 
   /** New manifests get a fresh sequence number and older files are
@@ -243,7 +263,19 @@ final class TableStore(spark: SparkSession, root: String,
       val won =
         try {
           val out = fs.create(p, false)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
+          // from here the path is OURS (create was exclusive): a
+          // write/close failure must DELETE the partial file before
+          // escalating — "exists" alone cannot distinguish my
+          // truncated manifest from a competitor's, and a truncated
+          // manifest left as head parses as gen=0 with EMPTY txn
+          // fences (re-opening every exactly-once replay window)
+          try {
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: Throwable =>
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              throw e
+          }
           true
         } catch {
           case e: java.io.IOException => if (fs.exists(p)) false else throw e
@@ -284,18 +316,57 @@ final class TableStore(spark: SparkSession, root: String,
     new Path(path(table) + kind + "." +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12))
 
+  /** How long a retrying loser waits for the WINNING writer's swap
+    * phase (renames + clean commit — normally milliseconds) to settle
+    * before presuming the winner dead. Test seam; production default
+    * is generous because a wrong "dead" call rolls back a live swap.
+    */
+  private[sources] var swapWaitMs: Long = 10000L
+
+  /** After LOSING a commit CAS, the head manifest may be the winner's
+    * LIVE in-flight swap. The body's recover() would treat it as
+    * crashed and roll it back mid-rename — the protocol violation the
+    * class doc forbids (the winner's files orphan, its clean commit
+    * escalates). A loser KNOWS a competitor is alive (it just lost to
+    * one), so it waits for the swap to settle; only a swap that makes
+    * no progress for the full window is presumed crashed and left to
+    * recover(). First-entry mutations (no collision observed) still
+    * recover immediately — crash repair must not wait.
+    */
+  private def awaitSwapSettled(table: String): Unit = {
+    val deadline = System.nanoTime + swapWaitMs * 1000000L
+    while (System.nanoTime < deadline &&
+        readManifest(table).exists(_.swapping)) {
+      Thread.sleep(50)
+    }
+  }
+
+  /** Every mutation's entry gate: if the head manifest is a swapping
+    * one, it may be a LIVE competitor mid-rename — wait for it to
+    * settle (normally milliseconds) before recover() treats whatever
+    * remains as crashed. Zero overhead on the common clean-head path.
+    */
+  private def settleOrRecover(table: String): Unit = {
+    if (readManifest(table).exists(_.swapping)) awaitSwapSettled(table)
+    recover(table)
+  }
+
   /** Retry a whole mutation on optimistic-commit collision: the body
     * must RE-DERIVE everything (re-read table state, recompute frames,
     * re-stage) each attempt — it runs against a newer generation.
     */
   private def retryCommit[T](body: => T): T = {
     var attempt = 0
+    var lostTo: String = null
     while (true) {
-      try return body
-      catch {
+      try {
+        if (lostTo != null) awaitSwapSettled(lostTo)
+        return body
+      } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxCommitRetries) throw e
+          lostTo = e.table
       }
     }
     throw new IllegalStateException("unreachable")
@@ -307,6 +378,14 @@ final class TableStore(spark: SparkSession, root: String,
     * a deterministic commit collision. Never set outside tests.
     */
   private[sources] var beforeBeginCommit: () => Unit = () => ()
+
+  /** Fourth seam: invoked INSIDE an append's swap window (swapping
+    * manifest committed, renames not yet run) — a spec blocks here to
+    * hold a LIVE swap open while a competing writer collides, proving
+    * the loser waits instead of rolling the live swap back. Never set
+    * outside tests.
+    */
+  private[sources] var midSwapPause: () => Unit = () => ()
 
   /** Relative paths of the committed data files under `dir` (recursive:
     * an unpartitioned touched dir is the whole table tree). Metadata
@@ -624,7 +703,7 @@ final class TableStore(spark: SparkSession, root: String,
   private def appendBody(table: String, df: => DataFrame,
                          partitionBy: Seq[String],
                          txnUpdate: Option[(String, Long)] = None): Unit = {
-    recover(table) // never append into a half-swapped layout
+    settleOrRecover(table) // never append into a half-swapped layout
     if (!exists(table)) {
       rewriteBody(table, df, partitionBy, txnUpdate); return
     }
@@ -637,6 +716,17 @@ final class TableStore(spark: SparkSession, root: String,
     val head0 = readManifest(table)
     val seq0 = head0.map(_.seq).getOrElse(0L)
     val gen = head0.map(_.gen).getOrElse(0L)
+    // layout guard: appending flat files into a partitioned table (or
+    // with a DIFFERENT partitionBy) commits a mixed directory layout
+    // that breaks partition discovery on every later read — reject
+    // BEFORE staging (a committed layout corruption is not
+    // auto-recoverable)
+    val existingLayout = partitionLayoutOf(
+      committedFiles(table, fs), "append")
+    require(existingLayout.isEmpty || existingLayout == partitionBy.toList,
+      s"append: table $table is partitioned by " +
+        s"${existingLayout.mkString("/")} but the batch uses " +
+        s"partitionBy=${partitionBy.mkString("/")} — layouts must match")
     val tmp = freshStaging(table, "__add")
     try {
       val frame = df // listing happens HERE, after the anchor
@@ -651,6 +741,7 @@ final class TableStore(spark: SparkSession, root: String,
       writeManifest(table, gen, swapping = true, Nil, Nil, Map.empty,
         adds = incoming, tmpName = Some(tmp.getName),
         expectedPrev = Some(seq0))
+      midSwapPause() // test seam: hold the live swap open
       snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
       var moves = 0
       incoming.foreach { rel =>
@@ -727,7 +818,7 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def appendEvolve(table: String, df: DataFrame,
                    partitionBy: Seq[String] = Nil): Unit = retryCommit {
-    recover(table)
+    settleOrRecover(table)
     if (!exists(table)) { rewriteBody(table, df, partitionBy); () }
     else {
       val tableSchema = read(table).schema
@@ -783,7 +874,7 @@ final class TableStore(spark: SparkSession, root: String,
       "streamId must be a non-empty single-line token")
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     retryCommit {
-      recover(table)
+      settleOrRecover(table)
       if (lastTxn(table, streamId) >= batchId) false
       else {
         appendBody(table, df, partitionBy,
@@ -802,7 +893,7 @@ final class TableStore(spark: SparkSession, root: String,
       // the anti-join's table read happens INSIDE the retry: a retry
       // after a commit collision re-lists and re-reads the winner's
       // generation, so already-inserted keys are seen and skipped
-      recover(table)
+      settleOrRecover(table)
       if (!exists(table)) {
         appendBody(table, Upsert.dedupByKey(incoming, keys, tieBreak),
           partitionBy)
@@ -829,7 +920,8 @@ final class TableStore(spark: SparkSession, root: String,
     * min-`idCol` tie-break, cross-batch dups removed via the store).
     */
   def dedupAppend(table: String, batch: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+                  textCol: String,
+                  partitionBy: Seq[String] = Nil): DataFrame = {
     // fp is this sink's column: silently overwriting caller data that
     // already carries one would corrupt it AND poison the cross-batch
     // anti-join — reject loudly instead
@@ -843,7 +935,7 @@ final class TableStore(spark: SparkSession, root: String,
       // side, or this batch re-inserts its dups; building the frame
       // under appendBody's CAS anchor closes the same window against
       // commits that land while THIS attempt derives
-      recover(table)
+      settleOrRecover(table)
       var out: DataFrame = null
       try {
         appendBody(table, {
@@ -862,7 +954,7 @@ final class TableStore(spark: SparkSession, root: String,
           // release still yields the pre-append snapshot.
           out = TableStore.snapshot(novel)
           out
-        }, Nil)
+        }, partitionBy)
         out
       } finally if (out != null) out.unpersist(blocking = false)
     }
@@ -874,7 +966,7 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def deleteByKeys(table: String, toDelete: DataFrame, keys: Seq[String],
                    partitionCols: Seq[String] = Nil): Unit = retryCommit {
-    recover(table) // hitParts reads the table lazily — fix layout first
+    settleOrRecover(table) // hitParts reads the table lazily — fix layout first
     if (partitionCols.isEmpty)
       rewriteBody(table, Upsert.antiDelete(read(table), toDelete, keys), Nil)
     else
@@ -987,7 +1079,7 @@ final class TableStore(spark: SparkSession, root: String,
             insertNotMatched: Boolean = true,
             txn: Option[(String, Long)] = None): Long = retryCommit {
     import org.apache.spark.sql.functions._
-    recover(table)
+    settleOrRecover(table)
     // exactly-once fence (the appendExactlyOnce pattern): a replayed
     // batch id at-or-below the recorded fence is SKIPPED — the fence
     // advances atomically with the merge's own commit below
@@ -1001,17 +1093,21 @@ final class TableStore(spark: SparkSession, root: String,
       // CREATE the table (source schema), fence riding the commit
       require(insertNotMatched,
         s"merge: table $table does not exist and insertNotMatched=false")
-      val src0 = TableStore.eagerSnapshot(
-        source.filter(col(keyCol).isNotNull))
+      // pin the RAW source once: the null-key audit and the write both
+      // read the snapshot — the un-pinned plan never re-executes (a
+      // non-deterministic source would otherwise fail the audit
+      // spuriously, and a big one would compute twice)
+      val srcAll = TableStore.eagerSnapshot(source)
       try {
+        val src0 = srcAll.filter(col(keyCol).isNotNull)
         val n = src0.count()
-        require(n == source.count(),
+        require(n == srcAll.count(),
           "merge: source has NULL keys — a NULL can never match and " +
             "its insert would be unkeyable; filter or fix upstream")
         require(src0.select(keyCol).distinct().count() == n,
           "merge: duplicate source keys — matched-row result is ambiguous")
         rewriteBody(table, src0, Nil, txnUpdate = txn)
-      } finally src0.unpersist(blocking = false)
+      } finally srcAll.unpersist(blocking = false)
       return 0L
     }
     val tableSchema = read(table).schema
@@ -1024,20 +1120,37 @@ final class TableStore(spark: SparkSession, root: String,
     require(extras.isEmpty,
       s"merge: source columns ${extras.mkString(",")} not in table — " +
         "widen with appendEvolve first if intended")
-    whenMatched match {
-      case MergeUpdate(cols) => cols.foreach(c => require(
-        source.columns.contains(c) && tableSchema.exists(_.name == c),
-        s"merge: update column $c must exist in source and table"))
-      case MergeDelete =>
+    // shared columns must match types EXACTLY (the appendEvolve
+    // stance): a silent cast turns un-castable source values into
+    // NULLs OVER matched rows — corpus corruption, not coercion
+    val typeConflicts = source.schema.flatMap { sf =>
+      tableSchema.find(_.name == sf.name)
+        .filter(_.dataType != sf.dataType)
+        .map(tf => s"${sf.name}: table ${tf.dataType.simpleString} " +
+          s"vs source ${sf.dataType.simpleString}")
     }
-    // pin the source once: it is consumed by the key-range probe, the
-    // matched-transform, and the insert — and must not re-execute
-    // differently between them
-    val src = TableStore.eagerSnapshot(
-      source.filter(col(keyCol).isNotNull))
+    require(typeConflicts.isEmpty,
+      "merge: column type conflict(s) — cast in the source explicitly: " +
+        typeConflicts.mkString("; "))
+    // the key itself never needs updating (matched ⇒ equal), and after
+    // the __mk rename the source no longer HAS keyCol — drop it here
+    val updateCols = whenMatched match {
+      case MergeUpdate(cols) =>
+        cols.foreach(c => require(
+          source.columns.contains(c) && tableSchema.exists(_.name == c),
+          s"merge: update column $c must exist in source and table"))
+        cols.filterNot(_ == keyCol)
+      case MergeDelete => Nil
+    }
+    // pin the RAW source once: audits, key-range probe,
+    // matched-transform, and insert all read the snapshot — the
+    // un-pinned plan never re-executes (non-deterministic sources stay
+    // consistent; big ones compute once per attempt)
+    val srcAll = TableStore.eagerSnapshot(source)
     try {
+      val src = srcAll.filter(col(keyCol).isNotNull)
       val nSrc = src.count()
-      require(nSrc == source.count(),
+      require(nSrc == srcAll.count(),
         "merge: source has NULL keys — a NULL can never match and its " +
           "insert would be unkeyable; filter or fix upstream")
       require(src.select(keyCol).distinct().count() == nSrc,
@@ -1064,9 +1177,9 @@ final class TableStore(spark: SparkSession, root: String,
             // sides' same-named columns
             joined.filter(col("__mk").isNull)
               .select(tableSchema.map(f => affected(f.name)): _*)
-          case MergeUpdate(cols) =>
+          case MergeUpdate(_) =>
             val updated = tableSchema.map { f =>
-              if (cols.contains(f.name))
+              if (updateCols.contains(f.name))
                 when(col("__mk").isNotNull,
                   hit(f.name).cast(f.dataType))
                   .otherwise(affected(f.name)).as(f.name)
@@ -1086,8 +1199,24 @@ final class TableStore(spark: SparkSession, root: String,
       }
       predicateMutation(table, rangePred, Nil, "merge",
         transform, txnUpdate = txn, commitOnEmpty = insertNotMatched)
-    } finally src.unpersist(blocking = false)
+    } finally srcAll.unpersist(blocking = false)
   }
+
+  /** Partition column names implied by the committed files' directory
+    * structure (empty = unpartitioned or no files); inconsistent
+    * layouts fail loudly.
+    */
+  private def partitionLayoutOf(files: Seq[String],
+                                op: String): List[String] =
+    if (files.isEmpty) Nil
+    else {
+      val shapes = files.map(_.split("/").dropRight(1)
+        .map(_.takeWhile(_ != '=')).toList).distinct
+      require(shapes.size == 1,
+        s"$op: inconsistent partition layouts: " +
+          shapes.map(_.mkString("/")).mkString(" vs "))
+      shapes.head
+    }
 
   /** The shared stats-targeted mutation engine behind [[deleteWhere]] /
     * [[updateWhere]]: select affected files by the predicate's stats
@@ -1101,7 +1230,7 @@ final class TableStore(spark: SparkSession, root: String,
                                 txnUpdate: Option[(String, Long)] = None,
                                 commitOnEmpty: Boolean = false)
       : Long = {
-    recover(table)
+    settleOrRecover(table)
     require(this.exists(table), s"$op: table $table does not exist")
     require(txnUpdate.isEmpty || partitionCols.isEmpty,
       s"$op: txn fences ride the file-level commit path only")
@@ -1148,16 +1277,7 @@ final class TableStore(spark: SparkSession, root: String,
       // files live in), so replacement files land INSIDE partition
       // dirs — a flat write would leave mixed root/partition files
       // and break partition discovery
-      val layoutCols: Seq[String] =
-        if (all.isEmpty) Nil
-        else {
-          val shapes = all.map(_.split("/").dropRight(1)
-            .map(_.takeWhile(_ != '=')).toSeq).distinct
-          require(shapes.size == 1,
-            s"$op: inconsistent partition layouts in $table: " +
-              shapes.map(_.mkString("/")).mkString(" vs "))
-          shapes.head
-        }
+      val layoutCols: Seq[String] = partitionLayoutOf(all, op)
       val tmp = freshStaging(table, "__add")
       try {
         // `commitOnEmpty` with no affected files still runs transform
@@ -1228,7 +1348,7 @@ final class TableStore(spark: SparkSession, root: String,
   def updateFlag(table: String, keysDf: DataFrame, keys: Seq[String],
                  flagCol: String, value: Int,
                  partitionCols: Seq[String] = Nil): Unit = retryCommit {
-    recover(table) // hitParts reads the table lazily — fix layout first
+    settleOrRecover(table) // hitParts reads the table lazily — fix layout first
     import org.apache.spark.sql.functions._
     def flip(df: DataFrame): DataFrame =
       df.join(keysDf.select(keys.map(col): _*).distinct()
@@ -1269,7 +1389,7 @@ final class TableStore(spark: SparkSession, root: String,
   def compact(table: String, partitionCols: Seq[String] = Nil,
               maxFiles: Int = 1, targetFiles: Int = 8,
               sortBy: Seq[String] = Nil): Unit = retryCommit {
-    recover(table)
+    settleOrRecover(table)
     import org.apache.spark.sql.functions._
     // the dynamic-partition writer inserts its own task-local sort on
     // the partition columns; prefixing them keeps that sort satisfied
@@ -1320,7 +1440,7 @@ final class TableStore(spark: SparkSession, root: String,
   def compactZOrder(table: String, zCols: Seq[String],
                     targetFiles: Int = 8,
                     partitionCols: Seq[String] = Nil): Unit = retryCommit {
-    recover(table)
+    settleOrRecover(table)
     import org.apache.spark.sql.functions._
     def clustered(df: DataFrame): DataFrame = {
       val z = ZOrder.zColumn(df, zCols)
@@ -1364,7 +1484,7 @@ final class TableStore(spark: SparkSession, root: String,
   private def rewriteBody(table: String, df: => DataFrame,
                           partitionBy: Seq[String],
                           txnUpdate: Option[(String, Long)] = None): Unit = {
-    recover(table)
+    settleOrRecover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
@@ -1430,7 +1550,7 @@ final class TableStore(spark: SparkSession, root: String,
                                   partitionCols: Seq[String],
                                   hitParts: => DataFrame,
                                   transform: DataFrame => DataFrame): Long = {
-    recover(table)
+    settleOrRecover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
     val bak = new Path(path(table) + "__old")
@@ -1660,8 +1780,9 @@ final class TableStore(spark: SparkSession, root: String,
       case None     => analyze(table, statsCols); return
     }
     val current = committedFiles(table, fs)
+    val currentSet = current.toSet
     val missing = current.filterNot(prior.contains)
-    val live = prior.view.filterKeys(current.contains).toMap
+    val live = prior.view.filterKeys(currentSet).toMap
     if (missing.isEmpty) {
       if (live.size != prior.size) { // rewrite pruned files: shrink sidecar
         val out = fs.create(sp, true)
@@ -1788,8 +1909,8 @@ final class TableStore(spark: SparkSession, root: String,
       s"refreshRollup: unsupported kind '$k' for $o (count|sum|min|max)") }
     require(this.exists(src),
       s"refreshRollup: source table $src does not exist")
-    recover(src)
-    recover(rollup)
+    settleOrRecover(src)
+    settleOrRecover(rollup)
     val fs = fsOf(hpath(src))
     val current = committedFiles(src, fs).toSet
     val n = lastTxn(rollup, rollupKey(src))

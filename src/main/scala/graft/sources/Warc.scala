@@ -143,7 +143,11 @@ object Warc {
     */
   def records(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    // a NULL id cannot be attributed to any blob: decoding it into the
+    // primitive-Long tuple would NPE the whole stage (violating the
+    // never-throw contract) — such rows are dropped, loudly documented
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         Option(b).map(decode).getOrElse(Nil).zipWithIndex.map {

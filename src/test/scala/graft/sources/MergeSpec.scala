@@ -129,6 +129,23 @@ class MergeSpec extends SparkSpec {
     assert(!w1.readManifest("t").get.swapping)
   }
 
+
+  test("review fixes: key in update cols is a no-op; type conflicts reject") {
+    val ts = fresh()
+    ts.rewrite("t", spark.range(20).select($"id".as("k"), lit(1L).as("v")))
+    // the CDC-common shape: update list includes the key itself
+    val touched = ts.merge("t", Seq((5L, 50L), (100L, 77L)).toDF("k", "v"),
+      "k", MergeUpdate(Seq("k", "v")))
+    assert(touched >= 1)
+    val got = ts.read("t").as[(Long, Long)].collect().toMap
+    assert(got(5L) == 50L && got(100L) == 77L && got.size == 21)
+    // a shared column with a DIFFERENT type must throw, not null-cast
+    intercept[IllegalArgumentException] {
+      ts.merge("t", Seq((1L, "12x")).toDF("k", "v"), "k",
+        MergeUpdate(Seq("v")))
+    }
+  }
+
   test("merge equals the driver-computed expectation on a mixed batch") {
     val ts = fresh()
     ts.rewrite("t", spark.range(200)

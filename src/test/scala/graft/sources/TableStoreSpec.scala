@@ -23,8 +23,14 @@ class TableStoreSpec extends SparkSpec {
       .toMap
   }
 
-  private def freshStore() =
-    new TableStore(spark, Files.createTempDirectory("graft_ts").toString)
+  private def freshStore() = {
+    val ts =
+      new TableStore(spark, Files.createTempDirectory("graft_ts").toString)
+    // crash-injection specs leave swapping manifests deliberately; the
+    // live-swap patience window would add swapWaitMs per recover here
+    ts.swapWaitMs = 0L
+    ts
+  }
 
   private def seedPartitioned(ts: TableStore, table: String): Unit =
     ts.append(table,
@@ -582,10 +588,57 @@ class TableStoreSpec extends SparkSpec {
       s"manifest leak: $names")
   }
 
+
+  test("append with a mismatched partition layout is rejected before commit") {
+    val ts = freshStore()
+    seedPartitioned(ts, "t")
+    // flat append into the day-partitioned table would commit a mixed
+    // layout that breaks partition discovery forever
+    intercept[IllegalArgumentException] {
+      ts.append("t", Seq((500L, 1, "d9")).toDF("id", "flag", "day"))
+    }
+    intercept[IllegalArgumentException] {
+      ts.append("t", Seq((500L, 1, "d9")).toDF("id", "flag", "day"),
+        partitionBy = Seq("flag"))
+    }
+    // the matching layout still appends
+    ts.append("t", Seq((500L, 1, "d9")).toDF("id", "flag", "day"),
+      partitionBy = Seq("day"))
+    assert(ts.read("t").count() == 101)
+  }
+
+  test("OCC: a loser WAITS for the winner's live mid-swap instead of recovering it") {
+    val root = Files.createTempDirectory("graft_liveswap").toString
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    b.swapWaitMs = 15000L
+    a.rewrite("t", Seq((1L, "seed")).toDF("k", "v"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val inSwap = new java.util.concurrent.CountDownLatch(1)
+    a.midSwapPause = () => { inSwap.countDown(); gate.await() }
+    val winner = new Thread(() =>
+      a.append("t", Seq((2L, "winner")).toDF("k", "v")))
+    winner.start()
+    inSwap.await() // A holds a LIVE swapping manifest, renames pending
+    // release the winner shortly after B starts waiting on its retry
+    val releaser = new Thread(() => { Thread.sleep(800); gate.countDown() })
+    releaser.start()
+    // B collides with A's swapping head, must WAIT (not recover), then
+    // land on top of A's commit
+    b.append("t", Seq((3L, "loser")).toDF("k", "v"))
+    winner.join(30000); releaser.join(30000)
+    a.midSwapPause = () => ()
+    // BOTH appends survived — the loser did not roll back the live swap
+    assert(a.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "seed"), (2L, "winner"), (3L, "loser")))
+    assert(!a.readManifest("t").get.swapping)
+  }
+
   test("OCC: interleaved upsert+upsert — exactly one winner per sequence, loser retries clean") {
     val root = Files.createTempDirectory("graft_occ").toString
     val w1 = new TableStore(spark, root)
     val w2 = new TableStore(spark, root)
+    w1.swapWaitMs = 0L; w2.swapWaitMs = 0L
     w1.rewrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // gen 1
     // w2 stages its batch, then w1 commits an OVERLAPPING upsert first:
     // w2's begin-commit CAS must lose, clean its staging, and retry
@@ -625,6 +678,7 @@ class TableStoreSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_occ2").toString
     val w1 = new TableStore(spark, root)
     val w2 = new TableStore(spark, root)
+    w1.swapWaitMs = 0L; w2.swapWaitMs = 0L
     w1.rewrite("t", Seq((1L, "a")).toDF("k", "v")) // gen 1
     var fired = false
     w2.beforeBeginCommit = () => if (!fired) {
