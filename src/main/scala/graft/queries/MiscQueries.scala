@@ -544,6 +544,53 @@ object MiscQueries {
       FROM r3 ORDER BY id"""
     })
 
+  /** q113 — per-node TRIANGLE counts (round 8,
+    * [[graft.operators.GraphRank.triangleCounts]]): the local
+    * clustering companion to q90's centrality. The fixture is a
+    * deterministic ring over doc ids with +1/+2 chords plus sparse +4
+    * and ×3 chord families (counts vary 3–5, so a miscount anywhere
+    * shifts the hash). The operator runs the degree-ordered
+    * compact-forward algorithm (O(m^1.5) — hub nodes never enumerate
+    * full neighbor pairs); the oracle closes the plain a<b<c triple
+    * join over the same canonical edges — identical triangles either
+    * way, exact integer counts.
+    */
+  private val q113 = Q("q113_triangle_counts",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      def ring(off: Int) =
+        docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+      val edges = ring(1)
+        .unionByName(ring(2))
+        .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+          .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+        .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+          .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+      GraphRank.triangleCounts(edges, "src", "dst")
+        .orderBy(col("id"))
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+          (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 5 = 0),
+      ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+          GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+      perv AS (SELECT UNNEST([x, y, z]) AS id FROM tri)
+      SELECT id, COUNT(*) AS triangles FROM perv
+      GROUP BY id ORDER BY id"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90)
+    q48, q52, q67, q81, q82, q90, q113)
 }
