@@ -91,9 +91,14 @@ object Dedup {
     * ~7.2 bits/item at this ctor, ~3% fpp); a bad estimate only
     * degrades the prefilter rate, never correctness.
     */
-  def newAgainstCorpus(corpus: DataFrame, batch: DataFrame,
-                       idCol: String, textCol: String,
-                       estItems: Long = 1000000L): DataFrame = {
+  /** The ONE bloom-screen construction [[newAgainstCorpus]] and the
+    * streaming twin (`Streams.screenAgainstCorpus`) share: fold the
+    * corpus fingerprints into a mergeable bloom, return the
+    * `might_contain` predicate over `textCol`'s fingerprint. None =
+    * empty corpus (nothing can be a dup).
+    */
+  private[graft] def corpusBloomScreen(corpus: DataFrame, textCol: String,
+                                       estItems: Long): Option[Column] = {
     require(estItems > 0, s"estItems > 0, got $estItems")
     val fp = TextFunctions.fingerprint(col(textCol))
     val bloomBytes = corpus
@@ -101,10 +106,20 @@ object Dedup {
       .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
         .as("bloom"))
       .head().getAs[Array[Byte]](0)
-    // empty corpus -> aggregate yields null -> nothing can be a dup
-    if (bloomBytes == null) return batch
-    val mightContain =
-      call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(fp))
+    // empty corpus -> aggregate yields null
+    if (bloomBytes == null) None
+    else Some(call_function("graft_bloom_contains", lit(bloomBytes),
+      xxhash64(fp)))
+  }
+
+  def newAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       estItems: Long = 1000000L): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val mightContain = corpusBloomScreen(corpus, textCol, estItems) match {
+      case None => return batch // empty corpus: everything is new
+      case Some(mc) => mc
+    }
     val positives = batch.filter(mightContain)
       .select(fp.as("__fp")).distinct()
     val confirmed = corpus.select(fp.as("__fp"))
@@ -275,7 +290,11 @@ object Dedup {
     // deterministic Skew salt spreads the bucket's pair work 32 ways
     // with identical output (verify filter unchanged); 128 salts over 32
     // shuffle partitions keeps the per-partition load balanced (32
-    // salts into 32 hash partitions left 2-3x stragglers)
+    // salts into 32 hash partitions left 2-3x stragglers). NOTE: the
+    // salt replicates the probes side ×salts — acceptable for THIS
+    // oracle form's contract (small fixtures; the Θ(n²) verify
+    // dominates anyway); the corpus-scale path is
+    // [[editDistancePairsLsh]], whose band join is not salted
     Skew.saltedJoin(
       t.select(col("id").as("id_a"), col("s").as("sa"), col("b")),
       probes, Seq("b"), saltBy = Seq(col("id_a")), salts = 128)
@@ -742,6 +761,14 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxDist: Int, bands: Int = 4): DataFrame = {
+    // loud envelope (the cmsBuild/hllRegisters convention): bands=0
+    // divides by zero; bands>64 makes width=0 and EVERY band key
+    // identical — the all-pairs cross join this design exists to avoid
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"simhashPairs: bands must divide 64 (1..64), got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"simhashPairs: pigeonhole completeness needs maxDist < bands " +
+        s"(got maxDist=$maxDist, bands=$bands)")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val bandKeys = array((0 until bands).map(b =>

@@ -22,6 +22,14 @@ object GraphRank {
   // one-line enrollment in the engine-wide release point
   graft.Engine.register("GraphRank")(() => releaseIntermediates())
 
+  // loop rounds unpersist their predecessor inline: drop it from the
+  // registry too (the Dedup discipline), so a crashed round leaves
+  // nothing unreleasable
+  private def release(df: DataFrame): Unit = synchronized {
+    df.unpersist(blocking = false)
+    pinned.filterInPlace(_ ne df)
+  }
+
   /** Unpersist every frame PageRank runs have pinned. */
   def releaseIntermediates(): Unit = synchronized {
     pinned.foreach(_.unpersist(blocking = false))
@@ -87,8 +95,11 @@ object GraphRank {
       // exact long constants (any engine recomputing them agrees)
       val r0q = scale / n
       val baseQ = (scale - scale * dampingNum / dampingDen) / n
-      var cached = deg.select(col("src").as("id"), col("deg"),
-        lit(r0q).as("r_q")).persist()
+      // every round's pin is TRACKED at persist time: a failure
+      // mid-loop (executor loss, OOM) leaves no frame
+      // releaseIntermediates() cannot free
+      var cached = track(deg.select(col("src").as("id"), col("deg"),
+        lit(r0q).as("r_q")).persist())
       var ranks = cached
       for (_ <- 1 to iters) {
         val contrib = e.join(ranks, e("src") === ranks("id"))
@@ -108,12 +119,13 @@ object GraphRank {
               expr(s"csum * $dampingNum div $dampingDen"))
               .as("r_q"))
           .persist()
+        track(step)
         step.count() // materialize before releasing the predecessor
-        cached.unpersist(blocking = false)
+        release(cached)
         cached = step
         ranks = step.sparkSession.createDataFrame(step.rdd, step.schema)
       }
-      track(cached) // returned pinned; releaseIntermediates() frees it
+      // cached is already tracked; returned pinned — releaseIntermediates()
       ranks.select(col("id"), col("r_q"),
         (col("r_q").cast("double") / lit(scale.toDouble)).as("r"))
     } finally e.unpersist(blocking = false)
@@ -159,10 +171,14 @@ object GraphRank {
       .select(col("a"), col("b"),
         struct(col("da").as("d"), col("a").as("i")).as("ka"),
         struct(col("db").as("d"), col("b").as("i")).as("kb"))
-    val oriented = withKeys.select(
+    // oriented feeds THREE join sides (both wedge legs + the closure
+    // probe on a different key): pin it, or the canon→deg double-join
+    // subtree re-executes per consumer (the lshCandidatePairs rule)
+    val oriented = track(withKeys.select(
       when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("w"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kw"))
+      .persist())
     val wedges = oriented.select(col("u"), col("w").as("v1"),
         col("kw").as("k1"))
       .join(oriented.select(col("u"), col("w").as("v2"),

@@ -69,7 +69,12 @@ object Multimodal {
                       decoder: MediaDecoder = FakeDecoder,
                       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
+    // NULL id/payload rows are DROPPED (documented): they cannot be
+    // decoded or attributed, and one would otherwise NPE the stage —
+    // the typed header decoders (ok=false rows) are the
+    // quarantine-visible path for malformed-but-present payloads
     val input = df.select(df(idCol).cast("long"), df(payloadCol))
+      .filter(df(idCol).isNotNull && df(payloadCol).isNotNull)
     val rdd = input.rdd.mapPartitions { rows =>
       rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
         .grouped(batchSize)
@@ -111,7 +116,9 @@ object Multimodal {
                   decoder: FrameDecoder = FixedSizeFrames(256)): DataFrame = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     val spark = df.sparkSession
+    // NULL rows dropped — see extractFeatures
     val input = df.select(df(idCol).cast("long"), df(payloadCol))
+      .filter(df(idCol).isNotNull && df(payloadCol).isNotNull)
     val rdd = input.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         decoder.frames(r.getAs[Array[Byte]](1))
@@ -494,7 +501,8 @@ object Multimodal {
     // 2^32−1, whose product overflows Long to NEGATIVE and would
     // slide under a bare product check, then crash the allocation —
     // violating the never-throw contract
-    if (wL <= 0 || hL <= 0 || wL > maxPixels || hL > maxPixels ||
+    if (wL <= 0 || hL <= 0 || wL > Int.MaxValue || hL > Int.MaxValue ||
+        wL > maxPixels || hL > maxPixels ||
         wL * hL > maxPixels) return None
     val w = wL.toInt; val h = hL.toInt
     val channels = pngChannels(colorType)
@@ -641,7 +649,13 @@ object Multimodal {
         if (size < 16 || i + 8 + 16 > n) return None
         fmt = Some((le16(bytes, at + 10), le32(bytes, at + 12).toInt,
           le16(bytes, at + 20), le16(bytes, at + 22)))
-      } else if (id == "data") dataSize = Some(size)
+      } else if (id == "data") {
+        // a declared data size overrunning the payload is a TRUNCATED
+        // file: trusting it would report phantom frame counts with
+        // ok=true (parseWavPcm's own quarantine rule, applied here)
+        if (i + 8 + size > n) return None
+        dataSize = Some(size)
+      }
       i += 8L + size + (size & 1L) // chunks pad to even
     }
     fmt.flatMap { case (ch, rate, block, bits) =>
@@ -962,7 +976,9 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType),
       StructField("meta", mediaMetaType)))
+    // NULL rows dropped — see extractFeatures
     val input = df.select(df(idCol).cast("long"), df(payloadCol))
+      .filter(df(idCol).isNotNull && df(payloadCol).isNotNull)
     val rdd = input.rdd.mapPartitions { rows =>
       rows.map { r =>
         val out = resizer.resize(r.getAs[Array[Byte]](1), w, h)

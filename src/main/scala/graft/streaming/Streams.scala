@@ -28,12 +28,13 @@ object Streams {
     */
   def windowedEventCounts(events: DataFrame, tsCol: String,
                           keyCol: String, window: String,
-                          watermark: String): DataFrame =
+                          watermark: String,
+                          valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(functionsWindow(col(tsCol), window), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col(keyCol), col("n"), col("sum_value"))
 
@@ -47,11 +48,13 @@ object Streams {
     * custom `flatMapGroupsWithState` needed.
     */
   def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
-                   gap: String, watermark: String): DataFrame =
+                   gap: String, watermark: String,
+                   valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))
@@ -105,20 +108,19 @@ object Streams {
                           textCol: String,
                           estItems: Long = 1000000L): DataFrame = {
     import graft.functions.TextFunctions
-    require(estItems > 0, s"estItems > 0, got $estItems")
     val fp = TextFunctions.fingerprint(col(textCol))
-    val bloomBytes = corpus
-      .select(xxhash64(fp).as("h"))
-      .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
-        .as("bloom"))
-      .head().getAs[Array[Byte]](0)
-    if (bloomBytes == null) return stream // empty corpus: all rows new
-    val mightContain =
-      call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(fp))
-    val corpusFps = corpus.select(fp.as("__fp")).distinct()
-    val confirmedNew = stream.filter(mightContain)
-      .join(corpusFps, fp === col("__fp"), "left_anti")
-    stream.filter(!mightContain).unionByName(confirmedNew)
+    // ONE bloom-screen construction, shared with the batch twin
+    // (Dedup.newAgainstCorpus) so the two specified-identical screens
+    // cannot drift
+    graft.operators.Dedup.corpusBloomScreen(corpus, textCol,
+        estItems) match {
+      case None => stream // empty corpus: all rows new
+      case Some(mightContain) =>
+        val corpusFps = corpus.select(fp.as("__fp")).distinct()
+        val confirmedNew = stream.filter(mightContain)
+          .join(corpusFps, fp === col("__fp"), "left_anti")
+        stream.filter(!mightContain).unionByName(confirmedNew)
+    }
   }
 
   /** Streaming weighted reservoir — the A-ES stream form of
