@@ -474,6 +474,65 @@ object CorpusQueries {
         LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY doc_id"""))
 
+  /** q114 — stupid-backoff LM scoring ([[graft.operators.Lm]]): every
+    * document's quantized score under a Brants et al. 2007
+    * stupid-backoff bigram model trained on the src0-1 slice — seen
+    * bigrams score `ln(c12/c1)`, unseen back off to `ln(0.4·c2/N)`,
+    * OOV hits the `ln(0.4/V)` floor, so docs from the other sources
+    * exercise all three branches. The oracle rebuilds the counts,
+    * N/V, and the verbatim three-way CASE; margins audited in
+    * LmSpec, exact-long sums hash-match.
+    */
+  private val q114 = Q("q114_stupid_backoff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lm.stupidBackoffScores(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents WHERE source IN ('src0', 'src1')),
+        bc AS (SELECT g, COUNT(*) AS c12 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+            FROM tnt WHERE LEN(toks) >= 2) GROUP BY g),
+        uc AS (SELECT w, COUNT(*) AS c FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}) AS w
+            FROM tnt) GROUP BY w),
+        nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uc),
+        cnt AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents),
+        pg AS (SELECT doc_id,
+            UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+          FROM cnt WHERE LEN(toks) >= 2),
+        j AS (SELECT pg.doc_id AS doc_id, pg.g AS g, bc.c12 AS c12,
+            u1.c AS c1, u2.c AS c2
+          FROM pg LEFT JOIN bc ON pg.g = bc.g
+            LEFT JOIN uc u1 ON STRING_SPLIT(pg.g, ' ')[1] = u1.w
+            LEFT JOIN uc u2 ON STRING_SPLIT(pg.g, ' ')[2] = u2.w),
+        scored AS (SELECT doc_id,
+            CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+            CASE WHEN c12 IS NULL AND c2 IS NOT NULL
+              THEN 1 ELSE 0 END AS back,
+            CAST(FLOOR(1000000 * CASE
+              WHEN c12 IS NOT NULL THEN
+                LN(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+              WHEN c2 IS NOT NULL THEN LN(0.4 * (CAST(c2 AS DOUBLE) /
+                CAST((SELECT n FROM nv) AS DOUBLE)))
+              ELSE LN(0.4 / CAST((SELECT v FROM nv) AS DOUBLE))
+              END) AS BIGINT) AS q
+          FROM j),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            SUM(hit) AS n_hit, SUM(back) AS n_backoff,
+            SUM(q) AS sb_score FROM scored GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+        CAST(COALESCE(a.sb_score, 0) AS BIGINT) AS sb_score
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY doc_id"""))
+
   /** q77 — cross-source overlap matrix
     * ([[graft.operators.Boilerplate.sourceOverlapMatrix]]): distinct
     * shared segments per source pair + containment fraction — the
@@ -820,5 +879,5 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112)
+    q93, q94, q97, q98, q111, q112, q114)
 }

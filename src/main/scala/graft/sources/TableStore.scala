@@ -16,10 +16,11 @@ import graft.operators.Upsert
   */
 final class ConcurrentCommitException(val table: String,
                                       val expectedSeq: Long,
-                                      val foundSeq: Long)
+                                      val foundSeq: Long,
+                                      what: String = "manifest seq")
   extends RuntimeException(
-    s"table $table: concurrent writer committed manifest seq $foundSeq " +
-      s"(this mutation read state at seq $expectedSeq) — inputs are " +
+    s"table $table: concurrent writer advanced $what to $foundSeq " +
+      s"(this mutation read $what $expectedSeq) — inputs are " +
       "stale; retry the operation against the new generation")
 
 /** Parquet-backed table store: the engine-native replacement for the
@@ -379,6 +380,33 @@ final class TableStore(spark: SparkSession, root: String,
     */
   private[sources] var beforeBeginCommit: () => Unit = () => ()
 
+  /** Fifth seam: invoked immediately AFTER a fenced mutation
+    * ([[appendExactlyOnce]], [[merge]] with `txn`, [[refreshRollup]])
+    * reads its txn fence and decides to proceed — a spec interleaves a
+    * competing fenced commit here to prove the fence is re-validated
+    * under the commit-CAS anchor (the zombie-writer TOCTOU window).
+    * Never set outside tests.
+    */
+  private[sources] var afterFenceRead: () => Unit = () => ()
+
+  /** Fence re-validation under the CAS anchor: a fenced mutation reads
+    * `lastTxn` BEFORE staging, but only the head manifest captured as
+    * the commit-CAS anchor is race-free — a zombie writer committing
+    * the same fence between the two reads would otherwise be invisible
+    * (the anchor sees the newer seq, the CAS succeeds, the batch lands
+    * twice). Bodies call this on their anchored head; a mismatch
+    * throws [[ConcurrentCommitException]] so `retryCommit` re-reads
+    * the fence and skips the replay.
+    */
+  private def checkFence(table: String, head: Option[Manifest],
+                         expected: Option[(String, Long)]): Unit =
+    expected.foreach { case (k, v) =>
+      val cur = head.flatMap(_.txns.get(k)).getOrElse(-1L)
+      if (cur != v)
+        throw new ConcurrentCommitException(table, v, cur,
+          what = s"txn fence $k")
+    }
+
   /** Fourth seam: invoked INSIDE an append's swap window (swapping
     * manifest committed, renames not yet run) — a spec blocks here to
     * hold a LIVE swap open while a competing writer collides, proving
@@ -702,10 +730,13 @@ final class TableStore(spark: SparkSession, root: String,
     */
   private def appendBody(table: String, df: => DataFrame,
                          partitionBy: Seq[String],
-                         txnUpdate: Option[(String, Long)] = None): Unit = {
+                         txnUpdate: Option[(String, Long)] = None,
+                         expectedFence: Option[(String, Long)] = None)
+      : Unit = {
     settleOrRecover(table) // never append into a half-swapped layout
     if (!exists(table)) {
-      rewriteBody(table, df, partitionBy, txnUpdate); return
+      rewriteBody(table, df, partitionBy, txnUpdate,
+        expectedFence = expectedFence); return
     }
     val dst = hpath(table)
     val fs = fsOf(dst)
@@ -714,19 +745,23 @@ final class TableStore(spark: SparkSession, root: String,
     // the state this mutation is based on; the begin-commit CAS below
     // validates nobody committed past it while we staged
     val head0 = readManifest(table)
+    checkFence(table, head0, expectedFence)
     val seq0 = head0.map(_.seq).getOrElse(0L)
     val gen = head0.map(_.gen).getOrElse(0L)
     // layout guard: appending flat files into a partitioned table (or
-    // with a DIFFERENT partitionBy) commits a mixed directory layout
-    // that breaks partition discovery on every later read — reject
-    // BEFORE staging (a committed layout corruption is not
-    // auto-recoverable)
-    val existingLayout = partitionLayoutOf(
-      committedFiles(table, fs), "append")
-    require(existingLayout.isEmpty || existingLayout == partitionBy.toList,
+    // with a DIFFERENT partitionBy — INCLUDING partitioned files into
+    // a flat non-empty table) commits a mixed directory layout that
+    // breaks partition discovery on every later read — reject BEFORE
+    // staging (a committed layout corruption is not auto-recoverable).
+    // Only a table with NO committed files waives the check: a flat
+    // table's layout is Nil, which must still match the batch's.
+    val committed = committedFiles(table, fs)
+    val existingLayout = partitionLayoutOf(committed, "append")
+    require(committed.isEmpty || existingLayout == partitionBy.toList,
       s"append: table $table is partitioned by " +
-        s"${existingLayout.mkString("/")} but the batch uses " +
-        s"partitionBy=${partitionBy.mkString("/")} — layouts must match")
+        s"[${existingLayout.mkString("/")}] but the batch uses " +
+        s"partitionBy=[${partitionBy.mkString("/")}] — layouts must " +
+        "match (empty = flat)")
     val tmp = freshStaging(table, "__add")
     try {
       val frame = df // listing happens HERE, after the anchor
@@ -875,10 +910,19 @@ final class TableStore(spark: SparkSession, root: String,
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     retryCommit {
       settleOrRecover(table)
-      if (lastTxn(table, streamId) >= batchId) false
+      val fence = lastTxn(table, streamId)
+      if (fence >= batchId) false
       else {
+        afterFenceRead() // test seam: zombie-writer TOCTOU window
+        // the fence observed above is re-validated under appendBody's
+        // CAS anchor: a zombie committing this (streamId, batchId)
+        // between the two reads advances the fence, fails the check,
+        // and the retry's fence read skips the replay — without it
+        // the anchor would see the newer head, the CAS would succeed,
+        // and the batch would land twice
         appendBody(table, df, partitionBy,
-          txnUpdate = Some(streamId -> batchId))
+          txnUpdate = Some(streamId -> batchId),
+          expectedFence = Some(streamId -> fence))
         true
       }
     }
@@ -1082,12 +1126,20 @@ final class TableStore(spark: SparkSession, root: String,
     settleOrRecover(table)
     // exactly-once fence (the appendExactlyOnce pattern): a replayed
     // batch id at-or-below the recorded fence is SKIPPED — the fence
-    // advances atomically with the merge's own commit below
-    txn.foreach { case (streamId, batchId) =>
-      require(streamId.nonEmpty && !streamId.contains('\n'),
-        "merge: streamId must be a non-empty single-line token")
-      if (lastTxn(table, streamId) >= batchId) return -1L
-    }
+    // advances atomically with the merge's own commit below, and the
+    // value observed HERE is re-validated under the commit-CAS anchor
+    // (expectedFence): a zombie writer committing the same batch
+    // between this read and the anchor fails the check and the retry
+    // skips the replay instead of landing it twice
+    val expectedFence: Option[(String, Long)] =
+      txn.map { case (streamId, batchId) =>
+        require(streamId.nonEmpty && !streamId.contains('\n'),
+          "merge: streamId must be a non-empty single-line token")
+        val fence = lastTxn(table, streamId)
+        if (fence >= batchId) return -1L
+        streamId -> fence
+      }
+    if (txn.nonEmpty) afterFenceRead() // test seam: TOCTOU window
     if (!this.exists(table)) {
       // first batch of a CDC stream: nothing to match — the inserts
       // CREATE the table (source schema), fence riding the commit
@@ -1106,7 +1158,8 @@ final class TableStore(spark: SparkSession, root: String,
             "its insert would be unkeyable; filter or fix upstream")
         require(src0.select(keyCol).distinct().count() == n,
           "merge: duplicate source keys — matched-row result is ambiguous")
-        rewriteBody(table, src0, Nil, txnUpdate = txn)
+        rewriteBody(table, src0, Nil, txnUpdate = txn,
+          expectedFence = expectedFence)
       } finally srcAll.unpersist(blocking = false)
       return 0L
     }
@@ -1198,7 +1251,8 @@ final class TableStore(spark: SparkSession, root: String,
         }
       }
       predicateMutation(table, rangePred, Nil, "merge",
-        transform, txnUpdate = txn, commitOnEmpty = insertNotMatched)
+        transform, txnUpdate = txn, commitOnEmpty = insertNotMatched,
+        expectedFence = expectedFence)
     } finally srcAll.unpersist(blocking = false)
   }
 
@@ -1228,7 +1282,8 @@ final class TableStore(spark: SparkSession, root: String,
                                 partitionCols: Seq[String], op: String,
                                 transform: DataFrame => DataFrame,
                                 txnUpdate: Option[(String, Long)] = None,
-                                commitOnEmpty: Boolean = false)
+                                commitOnEmpty: Boolean = false,
+                                expectedFence: Option[(String, Long)] = None)
       : Long = {
     settleOrRecover(table)
     require(this.exists(table), s"$op: table $table does not exist")
@@ -1253,6 +1308,7 @@ final class TableStore(spark: SparkSession, root: String,
       // merge inserts). Captured first, any such commit fails the CAS
       // and the whole mutation re-derives.
       val head0 = readManifest(table)
+      checkFence(table, head0, expectedFence)
       val seq0 = head0.map(_.seq).getOrElse(0L)
       val gen = head0.map(_.gen).getOrElse(0L)
       val dstS = path(table)
@@ -1480,10 +1536,21 @@ final class TableStore(spark: SparkSession, root: String,
   /** `df` BY-NAME for the same reason as [[appendBody]]: a rewrite
     * derived from the table's own state (deleteByKeys, updateFlag,
     * compact) must list files AFTER the CAS anchor.
+    *
+    * `preCommit` runs AFTER the begin-commit CAS claims the sequence
+    * (swap lock held — no competing writer can commit) and BEFORE any
+    * live-tree rename: side-effect writes that must pair atomically
+    * with this commit (a rollup's folded-file sidecar) go here, where
+    * a concurrent loser can never clobber them. A failure inside it
+    * leaves a swapping manifest with zero renames done — recover()
+    * rolls back cleanly and the orphan side effect is overwritten on
+    * the next attempt.
     */
   private def rewriteBody(table: String, df: => DataFrame,
                           partitionBy: Seq[String],
-                          txnUpdate: Option[(String, Long)] = None): Unit = {
+                          txnUpdate: Option[(String, Long)] = None,
+                          expectedFence: Option[(String, Long)] = None,
+                          preCommit: () => Unit = () => ()): Unit = {
     settleOrRecover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
@@ -1495,6 +1562,7 @@ final class TableStore(spark: SparkSession, root: String,
     // caller's frame (and its file listing) — state reads after this
     // line are covered by the CAS, reads before it are not
     val head0 = readManifest(table)
+    checkFence(table, head0, expectedFence)
     val seq0 = head0.map(_.seq).getOrElse(0L)
     val gen = head0.map(_.gen).getOrElse(0L)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -1511,6 +1579,7 @@ final class TableStore(spark: SparkSession, root: String,
         // committed file inventory, recorded while dst is still intact
         if (firstTime) Map.empty else Map("" -> dataFiles(fs, dst)),
         tmpName = Some(tmp.getName), expectedPrev = Some(seq0))
+      preCommit() // sequence claimed: paired side effects are exclusive
       snapBeforeMutation(table, fs) // retention: outgoing-gen inventory
       if (!firstTime) fs.rename(dst, bak)
       swapFault(1)
@@ -1678,10 +1747,37 @@ final class TableStore(spark: SparkSession, root: String,
       s"table $table: crashed swap pending — run recover()/a mutation " +
         "before analyze")
     val stats = statsOf(readPinned(table), table, statsCols)
+    writeStatsSidecar(table, stats)
+  }
+
+  /** Atomic (write-temp-then-rename) stats-sidecar replacement: an
+    * in-place overwrite would let a concurrent [[readWhere]] /
+    * predicate mutation open the sidecar mid-write and parse a
+    * truncated line — an exception where the contract promises
+    * "staleness degrades skipping, never correctness". The rename
+    * leaves at most a brief no-sidecar window (dst deleted, rename
+    * pending), which readers already degrade through (scan
+    * everything); [[readStatsSidecar]] additionally treats any parse
+    * failure as no-sidecar for stores whose rename is not atomic.
+    */
+  private def writeStatsSidecar(table: String,
+                                stats: Map[String, FileStats.PerFile])
+      : Unit = {
     val p = statsPath(table)
-    val out = fsOf(p).create(p, true)
+    val fs = fsOf(p)
+    val tmp = new Path(p.toString + ".tmp." +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    val out = fs.create(tmp, true)
     try out.write(FileStats.serialize(stats).getBytes("UTF-8"))
     finally out.close()
+    // HDFS/local rename-onto-existing fails: clear dst first. The gap
+    // between the two is the degrade-only no-sidecar window.
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"analyze: could not move stats sidecar into place for $table")
+    }
   }
 
   /** The stats aggregation behind [[analyze]]/[[analyzeIncremental]]:
@@ -1774,7 +1870,6 @@ final class TableStore(spark: SparkSession, root: String,
       s"table $table: crashed swap pending — run recover()/a mutation " +
         "before analyze")
     val fs = fsOf(hpath(table))
-    val sp = statsPath(table)
     val prior = readStatsSidecar(table) match {
       case Some(st) => st
       case None     => analyze(table, statsCols); return
@@ -1784,11 +1879,8 @@ final class TableStore(spark: SparkSession, root: String,
     val missing = current.filterNot(prior.contains)
     val live = prior.view.filterKeys(currentSet).toMap
     if (missing.isEmpty) {
-      if (live.size != prior.size) { // rewrite pruned files: shrink sidecar
-        val out = fs.create(sp, true)
-        try out.write(FileStats.serialize(live).getBytes("UTF-8"))
-        finally out.close()
-      }
+      if (live.size != prior.size) // rewrite pruned files: shrink sidecar
+        writeStatsSidecar(table, live)
       return
     }
     val dstS = path(table)
@@ -1796,9 +1888,7 @@ final class TableStore(spark: SparkSession, root: String,
       rd(table).option("basePath", dstS)
         .parquet(missing.map(r => s"$dstS/$r"): _*),
       table, statsCols)
-    val out = fs.create(sp, true)
-    try out.write(FileStats.serialize(live ++ delta).getBytes("UTF-8"))
-    finally out.close()
+    writeStatsSidecar(table, live ++ delta)
   }
 
   /** The stats sidecar, if one exists (shared by [[readWhere]],
@@ -1808,13 +1898,22 @@ final class TableStore(spark: SparkSession, root: String,
       : Option[Map[String, FileStats.PerFile]] = {
     val sp = statsPath(table)
     val fs = fsOf(sp)
-    if (!fs.exists(sp)) None
-    else {
-      val in = fs.open(sp)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(FileStats.deserialize(txt))
+    // ANY failure here — vanished between exists and open (concurrent
+    // [[writeStatsSidecar]] replacement), or a truncated/garbled body
+    // on a store without atomic rename — degrades to "no sidecar"
+    // (scan everything): staleness may cost skipping, never
+    // correctness, and never an exception in a reader
+    try {
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(FileStats.deserialize(txt))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -1885,13 +1984,20 @@ final class TableStore(spark: SparkSession, root: String,
     * full recompute (spec-pinned). `aggs` = (outCol, kind, srcCol)
     * with kind ∈ count|sum|min|max (count ignores srcCol).
     *
-    * Protocol (exactly-once under crashes, the txn-fence shape): the
-    * cumulative folded-file list is written to a SEQUENCED sidecar
-    * first, then the rollup table is rewritten with the matching
-    * `txn=__rollup:src` fence in the SAME commit CAS — a crash
-    * between the two leaves the fence at the old sequence, so the
-    * next refresh re-reads the OLD sidecar and re-derives the same
-    * delta (the orphan sidecar is overwritten); double-folding a file
+    * Protocol (exactly-once under crashes AND concurrent refreshes,
+    * the txn-fence shape): the whole derivation — fence read, folded
+    * list, delta — runs inside the commit retry, the fence value it
+    * observed is RE-VALIDATED under the rewrite's CAS anchor
+    * (`expectedFence`), and the cumulative folded-file list is
+    * written to its SEQUENCED sidecar only AFTER the begin-commit CAS
+    * claims the sequence (`preCommit`) — so two overlapping refreshes
+    * can never both fold the same delta (the loser's fence check
+    * fails and it re-derives against the winner's state, normally a
+    * no-op) and a loser can never clobber the winner's sidecar (it
+    * never reaches the claimed region). A crash between the sidecar
+    * write and the clean commit rolls back via recover(): the fence
+    * stays at the old sequence, the next refresh re-derives the same
+    * delta and overwrites the orphan sidecar; double-folding a file
     * is impossible because the list and the fence advance together.
     * A REWRITE/compaction of `src` (folded file names vanish from its
     * inventory) triggers a loud full rebuild — file identity is the
@@ -1909,17 +2015,32 @@ final class TableStore(spark: SparkSession, root: String,
       s"refreshRollup: unsupported kind '$k' for $o (count|sum|min|max)") }
     require(this.exists(src),
       s"refreshRollup: source table $src does not exist")
+    retryCommit {
     settleOrRecover(src)
     settleOrRecover(rollup)
     val fs = fsOf(hpath(src))
     val current = committedFiles(src, fs).toSet
     val n = lastTxn(rollup, rollupKey(src))
+    afterFenceRead() // test seam: concurrent-refresh TOCTOU window
     val folded: Set[String] =
-      if (n < 0) Set.empty else readRollupSidecar(rollup, n)
+      if (n < 0) Set.empty
+      else try readRollupSidecar(rollup, n) catch {
+        // a concurrent refresh that advanced the fence past n also
+        // prunes the seq-n sidecar — for a stale reader that is a
+        // collision (re-derive against the new fence), not the
+        // unrecoverable-state error a genuinely missing sidecar is
+        case e: IllegalStateException =>
+          val now = lastTxn(rollup, rollupKey(src))
+          if (now != n)
+            throw new ConcurrentCommitException(rollup, n, now,
+              what = s"txn fence ${rollupKey(src)}")
+          else throw e
+      }
     val rebuild = (folded -- current).nonEmpty // src was rewritten
     val base = if (rebuild) Set.empty[String] else folded
     val newFiles = (current -- base).toSeq.sorted
-    if (newFiles.isEmpty && !rebuild && n >= 0) return 0L
+    if (newFiles.isEmpty && !rebuild && n >= 0) 0L
+    else {
     def widenSum(c: String): org.apache.spark.sql.Column =
       read(src).schema.find(_.name == c).map(_.dataType) match {
         case Some(d: org.apache.spark.sql.types.DecimalType) =>
@@ -1961,16 +2082,23 @@ final class TableStore(spark: SparkSession, root: String,
       case (Some(p), None) => p // rebuild with zero files cannot happen
       case (None, None)    => partial(read(src).limit(0))
     }
-    // sidecar FIRST (fence still at n — a crash here is invisible),
-    // then the rewrite carries the fence to n+1 in its commit CAS
+    // sidecar written INSIDE the claimed commit window (preCommit):
+    // after the begin-commit CAS no competing refresh can reach this
+    // point at the same sequence, so the winner's sidecar can never
+    // be clobbered by a stale loser — and the fence value observed
+    // above is re-validated under the same anchor (expectedFence),
+    // closing the read-fence/commit TOCTOU (double-fold) window
     val cum = (if (rebuild) Set.empty[String] else base) ++ newFiles
     val sp = rollupSidecar(rollup, n + 1)
-    val out = fsOf(sp).create(sp, true)
-    try out.write(cum.toSeq.sorted.map("f=" + _)
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    retryCommit(rewriteBody(rollup, combined, Nil,
-      txnUpdate = Some(rollupKey(src) -> (n + 1))))
+    rewriteBody(rollup, combined, Nil,
+      txnUpdate = Some(rollupKey(src) -> (n + 1)),
+      expectedFence = Some(rollupKey(src) -> n),
+      preCommit = () => {
+        val out = fsOf(sp).create(sp, true)
+        try out.write(cum.toSeq.sorted.map("f=" + _)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+      })
     // prune superseded sidecars (crash before this is harmless)
     val done = fsOf(sp)
     val old = done.globStatus(new Path(root, s"$rollup._graft_rollup.*"))
@@ -1979,6 +2107,8 @@ final class TableStore(spark: SparkSession, root: String,
       if (s.toLongOption.exists(_ < n + 1)) done.delete(st.getPath, false)
     }
     newFiles.size.toLong
+    }
+    }
   }
 
   private def leafDirs(fs: FileSystem, base: Path, depth: Int,

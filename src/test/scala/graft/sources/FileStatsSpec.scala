@@ -198,4 +198,36 @@ class FileStatsSpec extends SparkSpec {
     // every day-file mixes null and non-null v: isNotNull keeps all, correct
     assert(ts.readWhere("t", $"v".isNotNull).count() == 30)
   }
+
+  test("corrupt/truncated stats sidecar degrades to full scan — never a reader exception") {
+    val root = Files.createTempDirectory("graft_fscorrupt").toString
+    val ts = new TableStore(spark, root)
+    ts.rewrite("t", spark.range(100).toDF("k")
+      .withColumn("v", $"k" * 3).repartitionByRange(4, $"k"))
+    ts.analyze("t", Seq("k"))
+    assert(ts.readWhere("t", $"k" === 5).count() == 1)
+    // clobber the sidecar the way a torn concurrent overwrite would:
+    // a numeric field truncated mid-line (the in-place-write hazard
+    // the atomic-rename write now prevents; non-atomic-rename stores
+    // can still surface this, so the reader must degrade, not throw)
+    val sp = new java.io.File(root, "t._graft_stats")
+    assert(sp.exists())
+    val w = new java.io.PrintWriter(sp)
+    w.print("file=part-0000\nrows=12\ncol=k rows=12 nulls=")
+    w.close()
+    // readers: full scan, exact results, zero exceptions
+    val r = ts.readWhere("t", $"k" >= 10 && $"k" < 20)
+    assert(r.count() == 10)
+    assert(r.inputFiles.length == ts.read("t").inputFiles.length,
+      "corrupt sidecar must disable skipping, not break the read")
+    // predicate mutations: conservative all-file targeting, correct
+    assert(ts.deleteWhere("t", $"k" === 50) >= 1)
+    assert(ts.read("t").count() == 99)
+    // analyzeIncremental self-heals: corrupt parses as no-sidecar →
+    // full re-analyze, after which skipping works again
+    ts.analyzeIncremental("t", Seq("k"))
+    val pruned = ts.readWhere("t", $"k" === 5)
+    assert(pruned.count() == 1)
+    assert(pruned.inputFiles.length < ts.read("t").inputFiles.length)
+  }
 }

@@ -158,4 +158,35 @@ class MergeSpec extends SparkSpec {
       srcRows.toMap).toSet
     assert(ts.read("t").as[(Long, Long)].collect().toSet == expect)
   }
+
+  test("merge txn fence: zombie batch between fence read and CAS anchor is skipped, not doubled") {
+    val root = Files.createTempDirectory("graft_mgfence").toString
+    val w1 = new TableStore(spark, root)
+    val w2 = new TableStore(spark, root)
+    w1.swapWaitMs = 0L; w2.swapWaitMs = 0L
+    // batch 1 creates the table (fence cdc:1)
+    assert(w1.merge("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "k",
+      TableStore.MergeUpdate(Seq("v")), txn = Some("cdc" -> 1L)) == 0L)
+    // w1 reads fence=1 and decides to apply batch 2; a zombie (w2)
+    // commits the SAME batch before w1's CAS anchor. The anchor sees
+    // the newer seq, so the sequence CAS alone would pass — the fence
+    // re-validation must catch it and the retry must fence-skip.
+    var fired = false
+    w1.afterFenceRead = () => if (!fired) {
+      fired = true
+      assert(w2.merge("t", Seq((2L, -2L), (3L, 30L)).toDF("k", "v"),
+        "k", TableStore.MergeUpdate(Seq("v")),
+        txn = Some("cdc" -> 2L)) >= 0L)
+    }
+    val r = w1.merge("t", Seq((2L, -2L), (3L, 30L)).toDF("k", "v"), "k",
+      TableStore.MergeUpdate(Seq("v")), txn = Some("cdc" -> 2L))
+    w1.afterFenceRead = () => ()
+    assert(fired)
+    assert(r == -1L, "replayed batch must be fence-skipped")
+    // batch 2 applied exactly once: key 3 inserted once, key 2 updated
+    val got = w1.read("t").as[(Long, Long)].collect()
+    assert(got.length == 3, s"duplicate insert: ${got.toSeq}")
+    assert(got.toMap == Map(1L -> 10L, 2L -> -2L, 3L -> 30L))
+    assert(w1.lastTxn("t", "cdc") == 2L)
+  }
 }

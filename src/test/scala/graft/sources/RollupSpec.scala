@@ -111,4 +111,66 @@ class RollupSpec extends SparkSpec {
       "a" -> ((BigDecimal("3.75"), 2L)),
       "b" -> ((BigDecimal("4.75"), 2L))))
   }
+
+  test("concurrent refresh landing AFTER the fence read cannot double-fold") {
+    val root = Files.createTempDirectory("graft_rucc").toString
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    a.swapWaitMs = 0L; b.swapWaitMs = 0L
+    a.append("src", batch(0, 30))
+    a.refreshRollup("src", "rollup", Seq("g"), aggs)
+    a.append("src", batch(30, 45))
+    // the double-fold window: a reads fence n and derives its delta; b
+    // runs a FULL competing refresh (folding the same delta, fence →
+    // n+1) before a reaches its commit. Without the anchored fence
+    // re-validation a's by-name `combined` would re-read the rollup b
+    // just wrote and fold the delta AGAIN under the same fence value.
+    var fired = false
+    a.afterFenceRead = () => if (!fired) {
+      fired = true
+      assert(b.refreshRollup("src", "rollup", Seq("g"), aggs) >= 1)
+    }
+    val folded = a.refreshRollup("src", "rollup", Seq("g"), aggs)
+    a.afterFenceRead = () => ()
+    assert(fired)
+    assert(folded == 0L, "loser's retry must see b's fold and no-op")
+    assertEqual(a)
+    // the protocol keeps serving exactly afterwards
+    a.append("src", batch(45, 60))
+    assert(a.refreshRollup("src", "rollup", Seq("g"), aggs) >= 1)
+    assertEqual(a)
+  }
+
+  test("concurrent refresh landing AFTER the CAS anchor cannot double-fold or clobber the sidecar") {
+    val root = Files.createTempDirectory("graft_rucc2").toString
+    val a = new TableStore(spark, root)
+    val b = new TableStore(spark, root)
+    a.swapWaitMs = 0L; b.swapWaitMs = 0L
+    a.append("src", batch(0, 30))
+    a.refreshRollup("src", "rollup", Seq("g"), aggs)
+    a.append("src", batch(30, 45))
+    // here the competing refresh lands after a's anchor but before its
+    // begin-commit CAS: a loses the SEQUENCE race instead of the fence
+    // check — and, because the folded-file sidecar is written inside
+    // the claimed commit window, a's aborted attempt can never clobber
+    // the sidecar b committed.
+    var fired = false
+    a.beforeBeginCommit = () => if (!fired) {
+      fired = true
+      assert(b.refreshRollup("src", "rollup", Seq("g"), aggs) >= 1)
+    }
+    val folded = a.refreshRollup("src", "rollup", Seq("g"), aggs)
+    a.beforeBeginCommit = () => ()
+    assert(fired)
+    assert(folded == 0L, "loser's retry must see b's fold and no-op")
+    assertEqual(a)
+    // sidecar must pair with b's commit: a further incremental refresh
+    // folds ONLY the genuinely new files (a corrupt/clobbered sidecar
+    // would force a rebuild or double-fold here)
+    a.append("src", batch(45, 60))
+    val next = a.refreshRollup("src", "rollup", Seq("g"), aggs)
+    assert(next >= 1 && next < a.read("src").inputFiles.length,
+      s"folded $next — sidecar lost incremental identity")
+    assertEqual(a)
+  }
 }

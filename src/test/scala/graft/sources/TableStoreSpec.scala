@@ -881,4 +881,57 @@ class TableStoreSpec extends SparkSpec {
     ts.append("t", Seq((3L, "c")).toDF("k", "v"))
     assertNoLeaks(root, "t")
   }
+
+  test("append layout guard: partitioned batch into a FLAT non-empty table rejects") {
+    val ts = freshStore()
+    // flat table WITH committed files — its layout is Nil, which is
+    // NOT a waiver: a partitioned batch would commit partition dirs
+    // next to root data files (broken partition discovery, not
+    // auto-recoverable)
+    ts.append("t", Seq((1L, "a", "d0")).toDF("k", "v", "day"))
+    val e = intercept[IllegalArgumentException] {
+      ts.append("t", Seq((2L, "b", "d1")).toDF("k", "v", "day"),
+        partitionBy = Seq("day"))
+    }
+    assert(e.getMessage.contains("layouts must match"))
+    // nothing committed, table still reads flat
+    assert(ts.read("t").count() == 1)
+    assert(ts.read("t").inputFiles.forall(!_.contains("day=")))
+    // the reverse directions stay rejected too
+    val ts2 = freshStore()
+    seedPartitioned(ts2, "p")
+    intercept[IllegalArgumentException] {
+      ts2.append("p", Seq((1L, 0, "d9")).toDF("id", "flag", "day"))
+    }
+  }
+
+  test("exactly-once fence: zombie commit between fence read and CAS anchor cannot double the batch") {
+    val root = Files.createTempDirectory("graft_fence").toString
+    val w1 = new TableStore(spark, root)
+    val w2 = new TableStore(spark, root)
+    w1.swapWaitMs = 0L; w2.swapWaitMs = 0L
+    w1.append("t", Seq((1L, "seed")).toDF("k", "v"))
+    assert(w1.appendExactlyOnce("t", Seq((2L, "b5")).toDF("k", "v"),
+      "s", 5L))
+    // the TOCTOU window: w1 reads fence=5 and decides to append batch
+    // 6; a zombie (w2, the pre-crash incarnation's in-flight write)
+    // commits the SAME batch before w1 reaches its CAS anchor. The
+    // anchor sees the newer head, so the seq CAS alone would pass —
+    // only the fence re-validation catches the replay.
+    var fired = false
+    w1.afterFenceRead = () => if (!fired) {
+      fired = true
+      assert(w2.appendExactlyOnce("t", Seq((3L, "b6")).toDF("k", "v"),
+        "s", 6L))
+    }
+    val appended = w1.appendExactlyOnce("t",
+      Seq((3L, "b6")).toDF("k", "v"), "s", 6L)
+    w1.afterFenceRead = () => ()
+    assert(fired)
+    assert(!appended, "replayed batch must be fence-skipped")
+    // batch 6 landed EXACTLY once
+    assert(w1.read("t").count() == 3)
+    assert(w1.lastTxn("t", "s") == 6L)
+    assertNoLeaks(root, "t")
+  }
 }
