@@ -203,6 +203,27 @@ object TextFunctions {
     */
   def nfc(c: Column): Column = call_function("graft_nfc", c)
 
+  /** Blocklist screen (native Aho–Corasick kernel,
+    * [[graft.plans.AcMatchExpr]]): DISTINCT indexes (ascending) of the
+    * `patterns` that occur as raw substrings of `c` — ONE linear pass
+    * regardless of pattern count, vs K `contains()` scans (the
+    * C4-badwords shape: at a real blocklist size the K-scan form is a
+    * K× read amplification of the corpus-clean hot loop). Patterns are
+    * compiled into the automaton at plan time; match is
+    * case-sensitive — lowercase/normalize the column first for
+    * case-blind policy screens.
+    */
+  def blocklistMatches(c: Column, patterns: Seq[String]): Column =
+    call_function("graft_ac_match", c,
+      array(patterns.map(lit): _*))
+
+  /** Unicode-script histogram (native one-pass kernel,
+    * [[graft.plans.ScriptMixExpr]]): `array<long>` of
+    * [latin, digit, cyrillic, cjk, other] code-point counts — the
+    * mixed-script junk signal and language-pipeline router.
+    */
+  def scriptMix(c: Column): Column = call_function("graft_script_mix", c)
+
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("graft_canonical_url", url)
 

@@ -57,6 +57,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => AlphaWordsExpr(c(0))),
     (FunctionIdentifier("graft_bpe_segment"), info("graft_bpe_segment"),
       (c: Seq[Expression]) => BpeSegmentExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_ac_match"), info("graft_ac_match"),
+      (c: Seq[Expression]) => AcMatchExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_script_mix"), info("graft_script_mix"),
+      (c: Seq[Expression]) => ScriptMixExpr(c(0))),
     (FunctionIdentifier("graft_mg"), info("graft_mg"),
       (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)),
     // Spark's own runtime-bloom-join machinery, surfaced as callable

@@ -195,6 +195,53 @@ object TextKernels extends Serializable {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** See [[ScriptMixExpr]]: ONE code-point pass classifying into
+    * (latin, digit, cyrillic, cjk, other) — the ranges are explicit
+    * code-point windows so the SQL oracle can replay them as RE2
+    * `[\x{…}-\x{…}]` classes with identical semantics.
+    */
+  def scriptMix(input: UTF8String): ArrayData = {
+    val s = input.toString
+    var lat = 0L; var dig = 0L; var cyr = 0L; var cjk = 0L; var oth = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) lat += 1
+      else if (cp >= '0' && cp <= '9') dig += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+      else oth += 1
+    }
+    new GenericArrayData(Array[Any](lat, dig, cyr, cjk, oth))
+  }
+}
+
+/** Unicode-script histogram over a string — the mixed-script spam /
+  * wrong-language-routing signal in web-corpus cleaning (a document
+  * whose letters split across scripts is a strong junk indicator, and
+  * script routing gates which language-specific pipeline a doc enters).
+  * Returns `array<long>` of five counts: [latin, digit, cyrillic
+  * U+0400–U+04FF, CJK U+4E00–U+9FFF, other] — one code-point pass
+  * (codegen), instead of four regexp_replace scans.
+  */
+case class ScriptMixExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_script_mix"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.scriptMix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$kernel.scriptMix($c)")
+  }
+
+  override protected def withNewChildInternal(n: Expression): ScriptMixExpr =
+    copy(child = n)
 }
 
 /** Word n-gram shingles over a token array; n is a literal. */

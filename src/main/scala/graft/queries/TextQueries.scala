@@ -1126,6 +1126,43 @@ object TextQueries {
         nfc_normalize(text) = text AS text_is_nfc
       FROM r ORDER BY doc_id"""))
 
+  /** q115 — Aho–Corasick blocklist screen
+    * ([[graft.plans.AcMatchExpr]] behind
+    * [[TextFunctions.blocklistMatches]]): which of K policy phrases
+    * occur in each document, ONE automaton pass per doc instead of K
+    * `contains` scans — the C4-badwords corpus-clean shape. The
+    * pattern set nests prefixes/suffixes ("art" ⊂ "part", a two-word
+    * phrase) so the fail-link/output-inheritance paths are exercised
+    * under the gate; the oracle replays plain per-pattern containment
+    * (the semantics the automaton must reproduce exactly).
+    */
+  private val q115 = {
+    val pats = Seq("merge join", "window", "spark", "scan", "art",
+      "part", "zzznope")
+    val plist = pats.map(p => s"'$p'").mkString("[", ", ", "]")
+    val hits = s"LIST_FILTER(RANGE(0, ${pats.size}), " +
+      "i -> CONTAINS(text, pats[CAST(i + 1 AS INT)]))"
+    Q("q115_blocklist_screen",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.blocklistMatches(col("text"), pats).as("__ids"))
+          .select(col("doc_id"),
+            size(col("__ids")).as("n_terms"),
+            array_join(transform(col("__ids"),
+              i => i.cast("string")), ",").as("term_ids"),
+            (size(col("__ids")) > 0).as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT $plist AS pats)
+        SELECT doc_id,
+          CAST(LEN($hits) AS INT) AS n_terms,
+          ARRAY_TO_STRING(LIST_TRANSFORM($hits,
+            i -> CAST(i AS VARCHAR)), ',') AS term_ids,
+          LEN($hits) > 0 AS flagged
+        FROM documents, p ORDER BY doc_id"""))
+  }
+
   /** q99 — count-min-sketch point-frequency estimates
     * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
     * build a 4×512 CMS over the token stream, then read back estimates
@@ -1180,5 +1217,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110)
+    q107, q108, q110, q115)
 }
