@@ -217,6 +217,50 @@ object TextFunctions {
     call_function("graft_ac_match", c,
       array(patterns.map(lit): _*))
 
+  /** Span-level blocklist screen ([[graft.plans.AcSpansExpr]]):
+    * `array<struct<id:int,start:int,end:int>>` of EVERY match
+    * occurrence of `patterns` in `c`, sorted by (start, end, id) —
+    * the redaction / span-policy shape. Offsets are UTF-16 char units
+    * (`end` exclusive), overlapping and nested matches are all
+    * emitted; a redactor should union overlapping spans before
+    * cutting. Same one-automaton-pass cost as [[blocklistMatches]].
+    */
+  def blocklistSpans(c: Column, patterns: Seq[String]): Column =
+    call_function("graft_ac_spans", c,
+      array(patterns.map(lit): _*))
+
+  /** Multi-term redaction ([[graft.plans.AcRedactExpr]]): replace the
+    * UNION of all `patterns` match intervals in `c` with `replacement`
+    * — overlapping/nested/adjacent matches merge into one maximal
+    * interval before cutting, so the result never re-exposes a partial
+    * term the way K sequential order-dependent `regexp_replace`
+    * rewrites can. One automaton pass regardless of pattern count —
+    * the PII/policy-term companion to
+    * [[graft.functions.PiiRules.redact]]'s pattern-shaped rules.
+    */
+  def redactTerms(c: Column, patterns: Seq[String],
+                  replacement: String): Column =
+    call_function("graft_ac_redact", c,
+      array(patterns.map(lit): _*), lit(replacement))
+
+  /** Case- and canonical-form-blind variant of [[blocklistMatches]]:
+    * compiles the automaton over NFC-normalized lowercase patterns and
+    * runs it against `graft_nfc(lower(c))` — one projection, no
+    * second materialized text column. Returned indexes refer to the
+    * ORIGINAL `patterns` order. Lowercasing uses Spark's `lower`
+    * (locale-independent simple case folding) on the column and Java
+    * `toLowerCase(Locale.ROOT)` on the patterns, which agree on the
+    * scripts a policy blocklist realistically contains; the automaton
+    * is byte-equality after that, no further folding.
+    */
+  def blocklistMatchesNormalized(c: Column, patterns: Seq[String]): Column = {
+    val norm = patterns.map(p => java.text.Normalizer.normalize(
+      p.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFC))
+    call_function("graft_ac_match", nfc(lower(c)),
+      array(norm.map(lit): _*))
+  }
+
   /** Unicode-script histogram (native one-pass kernel,
     * [[graft.plans.ScriptMixExpr]]): `array<long>` of
     * [latin, digit, cyrillic, cjk, other] code-point counts — the

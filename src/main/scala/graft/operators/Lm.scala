@@ -95,7 +95,126 @@ object Lm {
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
+  /** Trigram stupid backoff — the whole point of the scheme (Brants
+    * 2007 §3: backoff makes HIGHER orders cheap because no
+    * normalization statistics are needed): score each trigram
+    * transition by the recursive rule
+    * `S(w3|w1w2) = c123/c12  if the trigram was seen,
+    *  else α·S(w3|w2)` which expands to the four-way CASE
+    * `c123/c12 → α·c23/c2 → α²·c3/N → α²/V` (a seen trigram implies
+    * its prefix bigram, a seen bigram implies its first word — the
+    * denominators of the taken branch are never NULL). One row per
+    * corpus doc: (idCol, n_trigrams, n_hit3, n_hit2, n_backoff,
+    * sb_score) — n_hit3 scored from the trigram table, n_hit2 from
+    * the bigram backoff, n_backoff from the unigram, OOV (floor)
+    * under none. Docs with < 3 tokens stay in the output at zeros.
+    *
+    * Scale envelope: ONE extra model exchange vs the bigram form (the
+    * trigram table); the probe adds two gram-keyed LEFT joins against
+    * the same bigram table (both sides of the backoff) — still
+    * model-scale exchanges only, N/V ride the same one-row broadcast.
+    */
+  def stupidBackoffTrigramScores(corpus: DataFrame, target: DataFrame,
+                                 idCol: String, textCol: String,
+                                 alpha: Double = 0.4,
+                                 minQuantMargin: Option[Double] = None)
+      : DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    minQuantMargin.foreach { threshold =>
+      val m = minQuantizationMarginTrigram(corpus, target, idCol,
+        textCol, alpha)
+      if (m < threshold) throw new IllegalStateException(
+        f"Lm.stupidBackoffTrigramScores quantization margin $m%.3e " +
+          f"below threshold $threshold%.3e: a transition score sits " +
+          "close enough to its floor boundary that cross-engine ln " +
+          "drift could flip the quantized sum — re-audit the fixture " +
+          "before trusting a hash-compared oracle")
+    }
+    val g = scoredTrigrams(corpus, target, idCol, textCol, alpha)
+    g.df.groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_trigrams"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c123").isNotNull,
+          1L)), lit(0L)).as("n_hit3"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c123").isNull &&
+          col("__c23").isNotNull, 1L)), lit(0L)).as("n_hit2"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c123").isNull &&
+          col("__c23").isNull && col("__c3").isNotNull, 1L)), lit(0L))
+          .as("n_backoff"),
+        coalesce(sum(when(col("__g").isNotNull,
+          floor(g.y).cast("long"))), lit(0L)).as("sb_score"))
+  }
+
+  /** [[minQuantizationMargin]] for the trigram form, with one extra
+    * exclusion the bigram form rarely needs: a UNIQUE-CONTINUATION
+    * context (c123 == c12 — at trigram order most contexts are
+    * unique) scores exactly 1, and `ln(1.0) = 0.0` sits ON a floor
+    * boundary — but it is EXACT in every engine (the ratio of equal
+    * longs is exactly 1.0 and ln(1.0) returns exactly 0.0 in
+    * java.lang.Math and DuckDB alike), so it cannot drift and is
+    * excluded from the audit rather than failing it.
+    */
+  def minQuantizationMarginTrigram(corpus: DataFrame, target: DataFrame,
+                                   idCol: String, textCol: String,
+                                   alpha: Double = 0.4): Double = {
+    val g = scoredTrigrams(corpus, target, idCol, textCol, alpha)
+    val frac = g.y - floor(g.y)
+    val row = g.df.filter(col("__g").isNotNull && g.y =!= lit(0.0))
+      .agg(min(least(frac, lit(1.0) - frac))).head()
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
   private final case class ScoredGrams(df: DataFrame, y: Column)
+
+  /** One row per (doc, trigram transition) with all backoff-level
+    * counts joined in plus the unquantized `10⁶·ln(score)` column —
+    * the four-way CASE mirrored verbatim by q117's oracle.
+    */
+  private def scoredTrigrams(corpus: DataFrame, target: DataFrame,
+                             idCol: String, textCol: String,
+                             alpha: Double): ScoredGrams = {
+    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val tc = tt.filter(size(col("__t")) >= 3)
+      .select(explode(gramsOf(col("__t"), 3)).as("__mg3"))
+      .groupBy(col("__mg3")).agg(count(lit(1)).as("__c123"))
+    val bc = tt.filter(size(col("__t")) >= 2)
+      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
+      .groupBy(col("__mg")).agg(count(lit(1)).as("__cb"))
+    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val nvF = uc.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val pg = corpus
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(
+        when(size(col("__t")) >= 3, gramsOf(col("__t"), 3))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+    val parts = split(col("__g"), " ")
+    val b12 = concat_ws(" ", element_at(parts, 1), element_at(parts, 2))
+    val b23 = concat_ws(" ", element_at(parts, 2), element_at(parts, 3))
+    val vOk = when(col("__v") > 0, col("__v")).otherwise(raise_error(
+      lit("Lm.stupidBackoffTrigramScores: target corpus has no tokens " +
+        "(V = 0)")))
+    val y = lit(Scale) * when(col("__c123").isNotNull,
+        log(col("__c123").cast("double") / col("__c12").cast("double")))
+      .when(col("__c23").isNotNull,
+        log(lit(alpha) *
+          (col("__c23").cast("double") / col("__c2").cast("double"))))
+      .when(col("__c3").isNotNull,
+        log(lit(alpha) * lit(alpha) *
+          (col("__c3").cast("double") / col("__n").cast("double"))))
+      .otherwise(log(lit(alpha) * lit(alpha) / vOk.cast("double")))
+    ScoredGrams(
+      pg.join(tc, col("__g") === col("__mg3"), "left")
+        .join(bc.select(col("__mg").as("__mg12"), col("__cb").as("__c12")),
+          b12 === col("__mg12"), "left")
+        .join(bc.select(col("__mg").as("__mg23"), col("__cb").as("__c23")),
+          b23 === col("__mg23"), "left")
+        .join(uc.select(col("__w").as("__w2"), col("__c").as("__c2")),
+          element_at(parts, 2) === col("__w2"), "left")
+        .join(uc.select(col("__w").as("__w3"), col("__c").as("__c3")),
+          element_at(parts, 3) === col("__w3"), "left")
+        .crossJoin(broadcast(nvF)),
+      y)
+  }
 
   /** One row per (doc, transition) with model counts joined in plus
     * the unquantized `10⁶·ln(score)` column. The three-way CASE is

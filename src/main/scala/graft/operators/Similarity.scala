@@ -259,7 +259,7 @@ object Similarity {
     * dropped before anything shuffles. Shared by the IVF probe and
     * [[semDedup]].
     */
-  private def centroidScores(df: DataFrame, id: String,
+  private[operators] def centroidScores(df: DataFrame, id: String,
                              cents: DataFrame): DataFrame =
     filterOnce(df.crossJoin(broadcast(cents)),
       "csim", VectorFunctions.cosine(col(s"${id}_v"), col("cent_v")),
@@ -273,13 +273,13 @@ object Similarity {
     * get no assignment and vanish, matching the oracle's
     * `WHERE csim IS NOT NULL` rank.
     */
-  private def assignToCentroids(df: DataFrame, id: String,
+  private[operators] def assignToCentroids(df: DataFrame, id: String,
                                 cents: DataFrame): DataFrame =
     centroidScores(df, id, cents).groupBy(col(id))
       .agg(max_by(col("cent_id"),
         struct(col("csim"), (-col("cent_id")).as("tb"))).as("cent_id"))
 
-  private def ivfWithCentroids(queries: DataFrame, corpus: DataFrame,
+  private[operators] def ivfWithCentroids(queries: DataFrame, corpus: DataFrame,
                                qidCol: String, idCol: String,
                                vecCol: String, k: Int, nprobe: Int,
                                cents: DataFrame): DataFrame = {
@@ -317,7 +317,22 @@ object Similarity {
               k: Int, dim: Int, planes: Int = 16, bandBits: Int = 4,
               seed: Long = 42L): DataFrame = {
     require(planes % bandBits == 0, "bandBits must divide planes")
-    val hp = hyperplanes(planes, dim, seed)
+    lshTopKWithPlanes(queries, corpus, qidCol, idCol, vecCol, k,
+      hyperplanes(planes, dim, seed), bandBits)
+  }
+
+  /** [[lshTopK]] against EXPLICIT hyperplanes — the serving form for a
+    * persisted plane set ([[AnnIndex.lshTopK]]): the saved artifact,
+    * not the (seed, dim) generator, is the recall contract a serving
+    * fleet loads.
+    */
+  def lshTopKWithPlanes(queries: DataFrame, corpus: DataFrame,
+                        qidCol: String, idCol: String, vecCol: String,
+                        k: Int, hp: Array[Array[Double]],
+                        bandBits: Int): DataFrame = {
+    val planes = hp.length
+    require(planes > 0 && planes % bandBits == 0,
+      "bandBits must divide the plane count")
     val nBands = planes / bandBits
     val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
     val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
@@ -719,7 +734,7 @@ object Similarity {
     * sub·ksub+cid → the exact sub-block l2Sq of the query against that
     * codeword. m·ksub doubles per query — kilobytes — always broadcast.
     */
-  private def pqDistTables(queries: DataFrame, qidCol: String,
+  private[operators] def pqDistTables(queries: DataFrame, qidCol: String,
                            vecCol: String, dim: Int, m: Int, ksub: Int,
                            codebook: DataFrame): DataFrame =
     queries
@@ -735,13 +750,13 @@ object Similarity {
         col("__d").as("d")))).as("dtab"))
 
   /** Σⱼ dtab[j·ksub+codesⱼ] as a fixed-order left-to-right fold. */
-  private def adcScore(dtab: Column, codes: Column, ksub: Int): Column =
+  private[operators] def adcScore(dtab: Column, codes: Column, ksub: Int): Column =
     aggregate(
       transform(codes, (c, j) =>
         element_at(dtab, (j.cast("long") * ksub + c))),
       lit(0.0), (acc, v) => acc + v)
 
-  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def pqRank(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wspec = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("id"))

@@ -59,6 +59,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => BpeSegmentExpr(c(0), c(1))),
     (FunctionIdentifier("graft_ac_match"), info("graft_ac_match"),
       (c: Seq[Expression]) => AcMatchExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_ac_spans"), info("graft_ac_spans"),
+      (c: Seq[Expression]) => AcSpansExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_ac_redact"), info("graft_ac_redact"),
+      (c: Seq[Expression]) => AcRedactExpr(c(0), c(1), c(2))),
     (FunctionIdentifier("graft_script_mix"), info("graft_script_mix"),
       (c: Seq[Expression]) => ScriptMixExpr(c(0))),
     (FunctionIdentifier("graft_mg"), info("graft_mg"),

@@ -199,7 +199,15 @@ object TextKernels extends Serializable {
   /** See [[ScriptMixExpr]]: ONE code-point pass classifying into
     * (latin, digit, cyrillic, cjk, other) — the ranges are explicit
     * code-point windows so the SQL oracle can replay them as RE2
-    * `[\x{…}-\x{…}]` classes with identical semantics.
+    * `[\x{…}-\x{…}]` classes with identical semantics. Exact windows
+    * (any drift here must be mirrored in the q116 oracle classes):
+    *   latin    = [A-Za-z  \x{00C0}-\x{00D6}  \x{00D8}-\x{00F6}
+    *               \x{00F8}-\x{024F}]   (ASCII letters + Latin-1
+    *               Supplement letters excluding × ÷ + Latin
+    *               Extended-A/B — é ü ñ are latin, not junk)
+    *   digit    = [0-9]
+    *   cyrillic = [\x{0400}-\x{052F}]   (base block + Supplement)
+    *   cjk      = [\x{4E00}-\x{9FFF}]   (Unified Ideographs)
     */
   def scriptMix(input: UTF8String): ArrayData = {
     val s = input.toString
@@ -208,9 +216,11 @@ object TextKernels extends Serializable {
     while (i < s.length) {
       val cp = s.codePointAt(i)
       i += Character.charCount(cp)
-      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) lat += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0x00C0 && cp <= 0x024F && cp != 0x00D7 && cp != 0x00F7))
+        lat += 1
       else if (cp >= '0' && cp <= '9') dig += 1
-      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if (cp >= 0x0400 && cp <= 0x052F) cyr += 1
       else if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
       else oth += 1
     }
@@ -222,9 +232,10 @@ object TextKernels extends Serializable {
   * wrong-language-routing signal in web-corpus cleaning (a document
   * whose letters split across scripts is a strong junk indicator, and
   * script routing gates which language-specific pipeline a doc enters).
-  * Returns `array<long>` of five counts: [latin, digit, cyrillic
-  * U+0400–U+04FF, CJK U+4E00–U+9FFF, other] — one code-point pass
-  * (codegen), instead of four regexp_replace scans.
+  * Returns `array<long>` of five counts: [latin, digit, cyrillic,
+  * cjk, other] — exact code-point windows documented (and oracle-
+  * replayed as RE2 classes) at [[TextKernels.scriptMix]]. One
+  * code-point pass (codegen), instead of four regexp_replace scans.
   */
 case class ScriptMixExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -533,6 +533,78 @@ object CorpusQueries {
         LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY doc_id"""))
 
+  /** q117 — TRIGRAM stupid-backoff LM scoring
+    * ([[graft.operators.Lm.stupidBackoffTrigramScores]]): the
+    * recursive four-way backoff `c123/c12 → α·c23/c2 → α²·c3/N →
+    * α²/V` over the same src0-1-trained model — cross-source docs
+    * exercise every branch. The oracle rebuilds the trigram/bigram/
+    * unigram tables and replays the CASE verbatim (q114's kit, one
+    * order higher); margins audited in LmSpec.
+    */
+  private val q117 = Q("q117_trigram_backoff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lm.stupidBackoffTrigramScores(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents WHERE source IN ('src0', 'src1')),
+        tc AS (SELECT g, COUNT(*) AS c123 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 3)}) AS g
+            FROM tnt WHERE LEN(toks) >= 3) GROUP BY g),
+        bc AS (SELECT g, COUNT(*) AS cb FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+            FROM tnt WHERE LEN(toks) >= 2) GROUP BY g),
+        uc AS (SELECT w, COUNT(*) AS c FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}) AS w
+            FROM tnt) GROUP BY w),
+        nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uc),
+        cnt AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents),
+        pg AS (SELECT doc_id,
+            UNNEST(${TextQueries.ngramsSql("toks", 3)}) AS g
+          FROM cnt WHERE LEN(toks) >= 3),
+        j AS (SELECT pg.doc_id AS doc_id, pg.g AS g, tc.c123 AS c123,
+            b12.cb AS c12, b23.cb AS c23, u2.c AS c2, u3.c AS c3
+          FROM pg LEFT JOIN tc ON pg.g = tc.g
+            LEFT JOIN bc b12 ON STRING_SPLIT(pg.g, ' ')[1] || ' ' ||
+              STRING_SPLIT(pg.g, ' ')[2] = b12.g
+            LEFT JOIN bc b23 ON STRING_SPLIT(pg.g, ' ')[2] || ' ' ||
+              STRING_SPLIT(pg.g, ' ')[3] = b23.g
+            LEFT JOIN uc u2 ON STRING_SPLIT(pg.g, ' ')[2] = u2.w
+            LEFT JOIN uc u3 ON STRING_SPLIT(pg.g, ' ')[3] = u3.w),
+        scored AS (SELECT doc_id,
+            CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+            CASE WHEN c123 IS NULL AND c23 IS NOT NULL
+              THEN 1 ELSE 0 END AS h2,
+            CASE WHEN c123 IS NULL AND c23 IS NULL AND c3 IS NOT NULL
+              THEN 1 ELSE 0 END AS b1,
+            CAST(FLOOR(1000000 * CASE
+              WHEN c123 IS NOT NULL THEN
+                LN(CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE))
+              WHEN c23 IS NOT NULL THEN LN(0.4 *
+                (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE)))
+              WHEN c3 IS NOT NULL THEN LN(0.4 * 0.4 *
+                (CAST(c3 AS DOUBLE) /
+                  CAST((SELECT n FROM nv) AS DOUBLE)))
+              ELSE LN(0.4 * 0.4 /
+                CAST((SELECT v FROM nv) AS DOUBLE))
+              END) AS BIGINT) AS q
+          FROM j),
+        agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+            SUM(h3) AS n_hit3, SUM(h2) AS n_hit2, SUM(b1) AS n_backoff,
+            SUM(q) AS sb_score FROM scored GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, COALESCE(a.n_trigrams, 0) AS n_trigrams,
+        CAST(COALESCE(a.n_hit3, 0) AS BIGINT) AS n_hit3,
+        CAST(COALESCE(a.n_hit2, 0) AS BIGINT) AS n_hit2,
+        CAST(COALESCE(a.n_backoff, 0) AS BIGINT) AS n_backoff,
+        CAST(COALESCE(a.sb_score, 0) AS BIGINT) AS sb_score
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY doc_id"""))
+
   /** q77 — cross-source overlap matrix
     * ([[graft.operators.Boilerplate.sourceOverlapMatrix]]): distinct
     * shared segments per source pair + containment fraction — the
@@ -879,5 +951,5 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112, q114)
+    q93, q94, q97, q98, q111, q112, q114, q117)
 }

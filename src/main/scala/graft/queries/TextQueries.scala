@@ -1157,10 +1157,118 @@ object TextQueries {
       Some(s"""WITH p AS (SELECT $plist AS pats)
         SELECT doc_id,
           CAST(LEN($hits) AS INT) AS n_terms,
-          ARRAY_TO_STRING(LIST_TRANSFORM($hits,
-            i -> CAST(i AS VARCHAR)), ',') AS term_ids,
+          COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM($hits,
+            i -> CAST(i AS VARCHAR)), ','), '') AS term_ids,
           LEN($hits) > 0 AS flagged
         FROM documents, p ORDER BY doc_id"""))
+  }
+
+  /** q116 — Unicode-script histogram ([[graft.plans.ScriptMixExpr]]
+    * behind [[TextFunctions.scriptMix]]): per-doc (latin, digit,
+    * cyrillic, cjk, other) code-point counts + the mixed-script junk
+    * flag. Per doc a synthesized fragment (q110's CHR-rebuild
+    * pattern) pins every window edge the kernel documents — Cyrillic
+    * base + Supplement (ԁ U+0501), CJK window edges, accented Latin
+    * (é ü ñ must count latin, not junk), the excluded × ÷ (must count
+    * other) — and the oracle replays the exact code-point windows as
+    * RE2 classes over the identical rebuilt string.
+    */
+  private val q116 = {
+    // fragments cycle the script families; code points mirrored into
+    // the oracle via CHR() so both engines see the same string
+    val frags = Seq(
+      "привет ԁ",  // привет + Supplement
+      "汉字 一鿿",                    // CJK incl. edges
+      "café üñ ×÷",          // é ü ñ + × ÷
+      "ab пр 汉 12",                    // three scripts
+      "plain 42")
+    def chrSql(s: String): String =
+      s.codePoints().toArray.map(cp => s"CHR($cp)").mkString(" || ")
+    val latCls = """A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}"""
+    def cnt(cls: String) =
+      s"CAST(LENGTH(REGEXP_REPLACE(raw, '[^$cls]', '', 'g')) AS BIGINT)"
+    Q("q116_script_mix",
+      (s, dir) => {
+        val k = pmod(col("doc_id"), lit(5))
+        val frag = when(k === 0, lit(frags(0))).when(k === 1, lit(frags(1)))
+          .when(k === 2, lit(frags(2))).when(k === 3, lit(frags(3)))
+          .otherwise(lit(frags(4)))
+        val mix = TextFunctions.scriptMix(
+          concat(col("text"), lit(" "), frag))
+        val scripts = Seq(1, 3, 4) // latin, cyrillic, cjk histogram slots
+          .map(i => when(element_at(col("__mix"), i) > 0, 1).otherwise(0))
+          .reduce(_ + _)
+        t(s, dir, "documents")
+          .select(col("doc_id"), mix.as("__mix"))
+          .select(col("doc_id"),
+            element_at(col("__mix"), 1).as("n_latin"),
+            element_at(col("__mix"), 2).as("n_digit"),
+            element_at(col("__mix"), 3).as("n_cyrillic"),
+            element_at(col("__mix"), 4).as("n_cjk"),
+            element_at(col("__mix"), 5).as("n_other"),
+            (scripts >= 2).as("mixed_script"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text || ' ' ||
+            CASE doc_id % 5
+              WHEN 0 THEN ${chrSql(frags(0))}
+              WHEN 1 THEN ${chrSql(frags(1))}
+              WHEN 2 THEN ${chrSql(frags(2))}
+              WHEN 3 THEN ${chrSql(frags(3))}
+              ELSE ${chrSql(frags(4))} END AS raw
+          FROM documents),
+        c AS (SELECT doc_id,
+            ${cnt(latCls)} AS n_latin,
+            ${cnt("0-9")} AS n_digit,
+            ${cnt("""\x{0400}-\x{052F}""")} AS n_cyrillic,
+            ${cnt("""\x{4E00}-\x{9FFF}""")} AS n_cjk,
+            CAST(LENGTH(raw) AS BIGINT) AS n_all
+          FROM f)
+        SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk,
+          n_all - n_latin - n_digit - n_cyrillic - n_cjk AS n_other,
+          (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END +
+           CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END +
+           CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END) >= 2 AS mixed_script
+        FROM c ORDER BY doc_id"""))
+  }
+
+  /** q118 — span-level blocklist screen ([[graft.plans.AcSpansExpr]]
+    * behind [[TextFunctions.blocklistSpans]]): EVERY match occurrence
+    * as (id, start, end), sorted (start, end, id) — the redaction
+    * evidence shape. The pattern set nests "art" ⊂ "part" and
+    * suffixes "park" ⊂ "spark" so overlap emission and
+    * output-inheritance are both under the gate; spans are encoded as
+    * zero-padded `start|end|id` strings (padding makes the kernel's
+    * numeric order equal lexicographic order) and the oracle replays
+    * plain position-scan substring matching per pattern.
+    */
+  private val q118 = {
+    val pats = Seq("spark", "park", "art", "part", "scan", "an")
+    val perPat = pats.zipWithIndex.map { case (p, i) =>
+      s"""LIST_TRANSFORM(
+        LIST_FILTER(RANGE(0, LENGTH(text) - ${p.length} + 1),
+          s -> SUBSTR(text, CAST(s + 1 AS INT), ${p.length}) = '$p'),
+        s -> printf('%06d|%06d|%03d', s, s + ${p.length}, $i))"""
+    }.mkString("[", ", ", "]")
+    Q("q118_blocklist_spans",
+      (s, dir) => {
+        val spans = TextFunctions.blocklistSpans(col("text"), pats)
+        t(s, dir, "documents")
+          .select(col("doc_id"), spans.as("__sp"))
+          .select(col("doc_id"),
+            size(col("__sp")).as("n_spans"),
+            array_join(transform(col("__sp"), sp =>
+              format_string("%06d|%06d|%03d", sp.getField("start"),
+                sp.getField("end"), sp.getField("id"))), ",")
+              .as("spans_str"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sp AS (SELECT doc_id,
+            LIST_SORT(FLATTEN($perPat)) AS spans
+          FROM documents)
+        SELECT doc_id, CAST(LEN(spans) AS INT) AS n_spans,
+          COALESCE(ARRAY_TO_STRING(spans, ','), '') AS spans_str
+        FROM sp ORDER BY doc_id"""))
   }
 
   /** q99 — count-min-sketch point-frequency estimates
@@ -1217,5 +1325,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110, q115)
+    q107, q108, q110, q115, q116, q118)
 }

@@ -573,6 +573,27 @@ object VectorQueries {
     * restriction on the score join — upgrading the composition from
     * spec-gated to oracle-gated.
     */
+  /** The q101 oracle body, shared verbatim with q119 (a SERVED saved
+    * index must equal the inline-trained pipeline, so one SQL replay
+    * gates both).
+    */
+  private def ivfPqOracleSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                             kCoarse: Int, nprobe: Int,
+                             coarseIters: Int, k: Int): String = {
+    val ctes = pqOracleCtes(dim, m, ksub, iters) ++
+      kmeansChainSql("pts", "c_", kCoarse, coarseIters) ++
+      coarseAssignCtes(coarseIters, nprobe) ++ Seq(
+      """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
+        list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
+        FROM enc e
+        JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
+        JOIN adoc a ON a.vec_id = e.vec_id
+        JOIN probes pr ON pr.qid = qt.qid
+          AND pr.cent_id = a.cent_id
+        GROUP BY qt.qid, e.vec_id)""")
+    "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
+  }
+
   private val q101 = {
     val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
     val (kCoarse, nprobe, coarseIters) = (6, 2, 2)
@@ -585,20 +606,41 @@ object VectorQueries {
           coarseIters = coarseIters, pqIters = iters)
           .orderBy(col("qid"), col("rk"))
       },
-      Some {
-        val ctes = pqOracleCtes(dim, m, ksub, iters) ++
-          kmeansChainSql("pts", "c_", kCoarse, coarseIters) ++
-          coarseAssignCtes(coarseIters, nprobe) ++ Seq(
-          """sc AS MATERIALIZED (SELECT qt.qid, e.vec_id AS id,
-            list_reduce(LIST(qt.d ORDER BY qt.sub), (a,b) -> a+b) AS dist
-            FROM enc e
-            JOIN qt ON qt.sub = e.sub AND qt.cid = e.cid
-            JOIN adoc a ON a.vec_id = e.vec_id
-            JOIN probes pr ON pr.qid = qt.qid
-              AND pr.cent_id = a.cent_id
-            GROUP BY qt.qid, e.vec_id)""")
-        "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
-      })
+      Some(ivfPqOracleSql(dim, m, ksub, iters, kCoarse, nprobe,
+        coarseIters, k)))
+  }
+
+  /** q119 — SERVED saved-index IVF-PQ ([[graft.operators.AnnIndex]]):
+    * train the q101 index ONCE, [[AnnIndex.save]] it through a
+    * TableStore (OCC commit, pinned generation), [[AnnIndex.loadAt]]
+    * that generation back, and serve with training skipped — the
+    * train-once/serve-many shape a 100 TB deployment actually runs.
+    * The oracle is VERBATIM q101's: a persisted-then-loaded index
+    * must reproduce the inline-trained pipeline bit-for-bit (the
+    * save/load round-trip and the generation pin are what's under
+    * test; AnnIndexSpec covers the other methods + retrain
+    * isolation).
+    */
+  private val q119 = {
+    val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
+    val (kCoarse, nprobe, coarseIters) = (6, 2, 2)
+    Q("q119_ivfpq_served_index",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q119_idx").toString
+        val store = new graft.sources.TableStore(s, root)
+        val gen = graft.operators.AnnIndex.save(store, "ix",
+          graft.operators.AnnIndex.trainIvfPq(e, "vec_id", "embedding",
+            dim, m, ksub, kCoarse, coarseIters = coarseIters,
+            pqIters = iters))
+        val idx = graft.operators.AnnIndex.loadAt(store, "ix", gen)
+        graft.operators.AnnIndex.ivfPqTopK(e.filter(col("vec_id") < 5),
+          e, "vec_id", "vec_id", "embedding", k, nprobe, idx)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(ivfPqOracleSql(dim, m, ksub, iters, kCoarse, nprobe,
+        coarseIters, k)))
   }
 
   /** q102 — RESIDUAL IVF-PQ ([[Similarity.ivfPqTopKResidual]], the
@@ -826,5 +868,5 @@ object VectorQueries {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105)
+      q102, q103, q104, q105, q119)
 }

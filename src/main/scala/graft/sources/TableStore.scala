@@ -1765,6 +1765,15 @@ final class TableStore(spark: SparkSession, root: String,
       : Unit = {
     val p = statsPath(table)
     val fs = fsOf(p)
+    // prune temps orphaned by a crash between create and rename (or a
+    // failed rename): nothing else ever reads or deletes them, so
+    // repeated crashes would otherwise accumulate files forever
+    try {
+      fs.globStatus(new Path(p.toString + ".tmp.*")) match {
+        case null => ()
+        case stale => stale.foreach(s => fs.delete(s.getPath, false))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val tmp = new Path(p.toString + ".tmp." +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12))
     val out = fs.create(tmp, true)
@@ -1902,7 +1911,11 @@ final class TableStore(spark: SparkSession, root: String,
     // [[writeStatsSidecar]] replacement), or a truncated/garbled body
     // on a store without atomic rename — degrades to "no sidecar"
     // (scan everything): staleness may cost skipping, never
-    // correctness, and never an exception in a reader
+    // correctness, and never an exception in a reader. But the
+    // degrade must stay OBSERVABLE: a persistent IO/permission
+    // problem silently disabling skipping on every read would be an
+    // invisible performance regression, so a sidecar that EXISTS yet
+    // fails to open/parse logs one warning per table.
     try {
       if (!fs.exists(sp)) None
       else {
@@ -1913,7 +1926,14 @@ final class TableStore(spark: SparkSession, root: String,
         Some(FileStats.deserialize(txt))
       }
     } catch {
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(e) =>
+        if (TableStore.sidecarWarned.add(sp.toString))
+          org.slf4j.LoggerFactory.getLogger(classOf[TableStore]).warn(
+            s"stats sidecar for table $table exists but failed to " +
+              s"open/parse (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "file skipping disabled for this table until a successful " +
+              "analyze() — results remain correct, reads scan everything")
+        None
     }
   }
 
@@ -2293,6 +2313,17 @@ final class TableStore(spark: SparkSession, root: String,
     // later schema-changing rewrite changes what an empty pin reads
     // back with — there are no rows for it to matter)
     if (files.isEmpty) return read(table).limit(0)
+    readFilesResolved(table, files, asOfGen, cur)
+  }
+
+  /** Read `files` (relative paths) of generation `asOfGen`: each file
+    * may sit in the live tree, a pending `__old` sibling, or any
+    * retained `gen=h` archive for h in [asOfGen, cur) — a file
+    * archived by a later rewrite landed under the generation it was
+    * dropped FROM. Shared by [[readAt]] and [[changesBetween]].
+    */
+  private def readFilesResolved(table: String, files: Seq[String],
+                                asOfGen: Long, cur: Long): DataFrame = {
     val dstS = path(table)
     val fs = fsOf(hpath(table))
     val bases: Seq[String] =
@@ -2312,9 +2343,69 @@ final class TableStore(spark: SparkSession, root: String,
       rd(table).option("basePath", base).parquet(paths: _*)
     }.reduce(_ unionByName _)
   }
+
+  /** CHANGE FEED between two committed generations: every row that is
+    * in `toGen` but not `fromGen` (`__change_type = 'insert'`) and
+    * every row in `fromGen` but not `toGen` (`'delete'`) — the
+    * incremental-consumer primitive (downstream rollup/index/CDC
+    * maintenance reads the delta, never the table). An update
+    * surfaces as its delete + insert pair.
+    *
+    * Cost scales with the CHURN, not the table: only files that
+    * CHANGED between the inventories are read (a file present in both
+    * generations contributes nothing and is never opened), and the
+    * one exchange is the multiset anti-join between added-file and
+    * removed-file rows. That anti-join is also what makes pure
+    * reorganizations invisible: a compaction / Z-order rewrite drops
+    * and re-adds the same ROWS in different files, so both sides
+    * cancel and the feed is EMPTY — consumers see data changes, never
+    * layout changes. (Duplicate rows are handled as multisets:
+    * going 3 copies → 1 copy feeds 2 deletes.)
+    *
+    * `fromGen`/`toGen` must be committed generations with retained
+    * inventories ([[generations]]); `toGen` may be the live one.
+    * `fromGen == toGen` returns the empty feed.
+    */
+  def changesBetween(table: String, fromGen: Long, toGen: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromGen <= toGen,
+      s"changesBetween: fromGen $fromGen > toGen $toGen")
+    val cur = readManifest(table).map(_.gen).getOrElse(0L)
+    require(toGen <= cur,
+      s"table $table: generation $toGen is in the future (current $cur)")
+    def filesOf(gen: Long): Seq[String] =
+      if (gen == cur) committedFiles(table, fsOf(hpath(table)))
+      else readSnap(table, gen).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $table: generation $gen is not retained — " +
+            "retention off, vacuumed, or never committed"))
+    val empty = read(table).limit(0)
+      .withColumn("__change_type", lit("insert"))
+    if (fromGen == toGen) return empty
+    val from = filesOf(fromGen).toSet
+    val to = filesOf(toGen).toSet
+    val added = (to -- from).toSeq.sorted
+    val removed = (from -- to).toSeq.sorted
+    def rowsOf(rels: Seq[String], gen: Long): DataFrame =
+      if (rels.isEmpty) read(table).limit(0)
+      else readFilesResolved(table, rels, gen, cur)
+    val ins = rowsOf(added, toGen)
+    val del = rowsOf(removed, fromGen)
+    ins.exceptAll(del).withColumn("__change_type", lit("insert"))
+      .unionByName(
+        del.exceptAll(ins).withColumn("__change_type", lit("delete")))
+  }
 }
 
 object TableStore {
+
+  /** Sidecar paths that already logged a read-degrade warning — keeps
+    * [[TableStore.readStatsSidecar]]'s failure path observable without
+    * flooding the log once per read.
+    */
+  private[sources] val sidecarWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** What [[TableStore.merge]] does to a matched row. */
   sealed trait MergeAction

@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted index artifacts: the differential contract is
+  * save → load → serve ≡ the inline-trained entry point on the same
+  * fixture (the q100-q102 shapes), and a PINNED generation re-serves
+  * the original results after a retrain has been committed on top.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val (dim, m, ksub, k) = (64, 4, 8, 10)
+  private val (kCoarse, nprobe) = (6, 2)
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.select(col("qid").cast("long"), col("id").cast("long"),
+        col("dist"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  private def rowsIvf(df: DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.select(col("qid").cast("long"), col("nid").cast("long"),
+        col("sim").cast("double"), col("rk").cast("long"))
+      .orderBy(col("qid"), col("rk"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_idx").toString)
+
+  test("ivf-pq: save → load → serve == inline-trained (exact rows)") {
+    val store = freshStore()
+    val idx = AnnIndex.trainIvfPq(emb, "vec_id", "embedding",
+      dim, m, ksub, kCoarse)
+    AnnIndex.save(store, "ix", idx)
+    val served = AnnIndex.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, nprobe, AnnIndex.load(store, "ix"))
+    val inline = Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", dim, m, ksub, k, kCoarse = kCoarse, nprobe = nprobe)
+    assert(rows(served) == rows(inline))
+  }
+
+  test("ivf-pq residual: save → load → serve == inline-trained") {
+    val store = freshStore()
+    val idx = AnnIndex.trainIvfPqResidual(emb, "vec_id", "embedding",
+      dim, m, ksub, kCoarse)
+    AnnIndex.save(store, "ix", idx)
+    val served = AnnIndex.ivfPqResidualTopK(queries, emb, "vec_id",
+      "vec_id", "embedding", k, nprobe, AnnIndex.load(store, "ix"))
+    val inline = Similarity.ivfPqTopKResidual(queries, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, kCoarse = kCoarse,
+      nprobe = nprobe)
+    assert(rows(served) == rows(inline))
+  }
+
+  test("pq: save → load → serve == inline train+encode+rank") {
+    val store = freshStore()
+    AnnIndex.save(store, "ix",
+      AnnIndex.trainPq(emb, "vec_id", "embedding", dim, m, ksub))
+    val served = AnnIndex.pqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, AnnIndex.load(store, "ix"))
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim, m,
+      ksub, 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim, m, cb)
+    val inline = Similarity.pqTopK(queries, codes, cb, "vec_id",
+      "embedding", dim, m, ksub, k)
+    assert(rows(served) == rows(inline))
+  }
+
+  test("ivf (coarse k-means): served routing == ivfTopKKmeans inline") {
+    val store = freshStore()
+    AnnIndex.save(store, "ix",
+      AnnIndex.trainIvf(emb, "vec_id", "embedding", kCoarse, iters = 3))
+    val served = AnnIndex.ivfTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, nprobe, AnnIndex.load(store, "ix"))
+    val inline = Similarity.ivfTopKKmeans(queries, emb, "vec_id",
+      "vec_id", "embedding", k, kCentroids = kCoarse, trainIters = 3,
+      nprobe = nprobe)
+    assert(rowsIvf(served) == rowsIvf(inline))
+  }
+
+  test("lsh: saved planes == seeded generator planes, same top-k") {
+    val store = freshStore()
+    AnnIndex.save(store, "ix",
+      AnnIndex.trainLsh(dim, planes = 16, bandBits = 4, seed = 42L))
+    val loaded = AnnIndex.load(store, "ix")
+    // the artifact IS the generator output, exactly
+    val hp = Similarity.hyperplanes(16, dim, 42L)
+    assert(loaded.planes.get.map(_.toSeq).toSeq == hp.map(_.toSeq).toSeq)
+    val served = AnnIndex.lshTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, loaded)
+    val inline = Similarity.lshTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, dim, planes = 16, bandBits = 4, seed = 42L)
+    assert(rowsIvf(served) == rowsIvf(inline))
+  }
+
+  test("generation pinning: loadAt re-serves the ORIGINAL index after a retrain") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_idx").toString,
+      retainGenerations = 4)
+    val gen1 = AnnIndex.save(store, "ix",
+      AnnIndex.trainIvfPq(emb, "vec_id", "embedding", dim, m, ksub,
+        kCoarse))
+    val want = rows(AnnIndex.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, nprobe, AnnIndex.load(store, "ix")))
+    // retrain on a skewed subset — different centroids/codebook — and
+    // commit over the live generation
+    val gen2 = AnnIndex.save(store, "ix",
+      AnnIndex.trainIvfPq(emb.filter(col("vec_id") % 3 === 0), "vec_id",
+        "embedding", dim, m, ksub, kCoarse))
+    assert(gen2 > gen1)
+    val live = rows(AnnIndex.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", k, nprobe, AnnIndex.load(store, "ix")))
+    val pinned = rows(AnnIndex.ivfPqTopK(queries, emb, "vec_id",
+      "vec_id", "embedding", k, nprobe,
+      AnnIndex.loadAt(store, "ix", gen1)))
+    assert(pinned == want, "pinned generation must re-serve exactly")
+    assert(live != want, "the retrain must actually have changed results")
+  }
+
+  test("params round-trip through the meta row incl. escaping") {
+    val m0 = Map("dim" -> "64", "note" -> "a\"b\\c\nd", "z" -> "")
+    assert(AnnIndex.parseJson(AnnIndex.jsonOf(m0)) == m0)
+  }
+
+  test("serving a mismatched method fails loudly") {
+    val store = freshStore()
+    AnnIndex.save(store, "ix",
+      AnnIndex.trainLsh(dim, 16, 4, 42L))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopK(queries, emb, "vec_id", "vec_id", "embedding",
+        k, nprobe, AnnIndex.load(store, "ix"))
+    }
+    assert(e.getMessage.contains("method mismatch"), e.getMessage)
+  }
+}

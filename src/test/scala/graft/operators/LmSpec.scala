@@ -131,6 +131,114 @@ class LmSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("V = 0")), e.toString)
   }
 
+  // ---- trigram recursive backoff ----
+
+  private def refTrigrams(ts: Seq[String]): Seq[String] =
+    if (ts.size < 3) Seq.empty
+    else ts.sliding(3).map(_.mkString(" ")).toSeq
+
+  test("trigram differential: distributed scores == reference, four branches") {
+    val got = Lm.stupidBackoffTrigramScores(docs, tgt, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val tgtToks = tgt.select("text").as[String].collect().map(refTokens)
+    val tc = tgtToks.flatMap(refTrigrams).groupBy(identity)
+      .map { case (g, gs) => g -> gs.size.toLong }
+    val bc = tgtToks.flatMap(refBigrams).groupBy(identity)
+      .map { case (g, gs) => g -> gs.size.toLong }
+    val uc = tgtToks.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val n = uc.values.sum
+    val v = uc.size.toLong
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.size == all.length)
+    var h3s = 0L; var h2s = 0L; var b1s = 0L
+    all.foreach { case (id, text) =>
+      val gs = refTrigrams(refTokens(text))
+      var h3 = 0L; var h2 = 0L; var b1 = 0L; var s = 0L
+      gs.foreach { g =>
+        val Array(w1, w2, w3) = g.split(" ", 3)
+        val y =
+          if (tc.contains(g)) {
+            h3 += 1
+            math.log(tc(g).toDouble / bc(s"$w1 $w2").toDouble)
+          } else if (bc.contains(s"$w2 $w3")) {
+            h2 += 1
+            math.log(0.4 * (bc(s"$w2 $w3").toDouble / uc(w2).toDouble))
+          } else if (uc.contains(w3)) {
+            b1 += 1
+            math.log(0.4 * 0.4 * (uc(w3).toDouble / n.toDouble))
+          } else math.log(0.4 * 0.4 / v.toDouble)
+        s += math.floor(Lm.Scale * y).toLong
+      }
+      h3s += h3; h2s += h2; b1s += b1
+      assert(got(id) == ((gs.size.toLong, h3, h2, b1, s)),
+        s"doc $id: got ${got(id)}, want (${gs.size}, $h3, $h2, $b1, $s)")
+    }
+    // the cross-source fixture must exercise the recursive levels
+    assert(h3s > 0 && h2s > 0,
+      s"fixture exercises hit3=$h3s hit2=$h2s back1=$b1s")
+  }
+
+  test("trigram hand fixture: every backoff level scores per the recursion") {
+    // target: "a b c a b d" → trigrams: abc, bca, cab, abd
+    // bigrams: ab×2 bc ca bd ; unigrams: a×2 b×2 c d ; N=6 V=4
+    val t0 = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    // probe "a b c d z a": transitions
+    //  "a b c" seen       → ln(1/2)            (c123/c12, hit3)
+    //  "b c d" unseen, bigram "c d" unseen, d in vocab
+    //                     → ln(0.16·(1/6))     (back1)
+    //  "c d z" unseen, "d z" unseen, z OOV → ln(0.16/4)  (floor)
+    //  "d z a" unseen, "z a" unseen, a in vocab → ln(0.16·(2/6))
+    val c0 = Seq((7L, "a b c d z a")).toDF("doc_id", "text")
+    val r = Lm.stupidBackoffTrigramScores(c0, t0, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val want = math.floor(1e6 * math.log(1.0 / 2.0)).toLong +
+      math.floor(1e6 * math.log(0.4 * 0.4 * (1.0 / 6.0))).toLong +
+      math.floor(1e6 * math.log(0.4 * 0.4 / 4.0)).toLong +
+      math.floor(1e6 * math.log(0.4 * 0.4 * (2.0 / 6.0))).toLong
+    assert(r == ((7L, 4L, 1L, 0L, 2L, want)), r.toString)
+    // hit2 level: probe "x b c" has trigram unseen (x OOV) but the
+    // SUFFIX bigram "b c" seen → α·c(bc)/c(b) = 0.4·(1/2)
+    val c1 = Seq((8L, "x b c")).toDF("doc_id", "text")
+    val r1 = Lm.stupidBackoffTrigramScores(c1, t0, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val wantB = math.floor(1e6 * math.log(0.4 * (1.0 / 2.0))).toLong
+    assert(r1 == ((8L, 1L, 0L, 1L, 0L, wantB)), r1.toString)
+  }
+
+  test("trigram degenerate docs (< 3 tokens) stay at all-zero") {
+    val funky = Seq((1L, "one two"), (2L, ""), (3L, null: String),
+      (4L, "three word doc")).toDF("doc_id", "text")
+    val out = Lm.stupidBackoffTrigramScores(funky, tgt, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._2 == 0 && out(id)._6 == 0, s"doc $id: ${out(id)}")
+    }
+    assert(out(4L)._2 == 1)
+  }
+
+  test("trigram plan: no cartesian, ONE doc-keyed final agg exchange") {
+    val out = Lm.stupidBackoffTrigramScores(docs, tgt, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1,
+      s"exactly ONE doc-keyed aggregation exchange:\n$plan")
+  }
+
+  test("trigram quantization-margin guard mirrors the bigram kit") {
+    val m = Lm.minQuantizationMarginTrigram(docs, tgt, "doc_id", "text")
+    assert(m > 0 && m <= 0.5, s"margin $m")
+    info(f"trigram fixture quantization margin = $m%.3e")
+    val boom = intercept[IllegalStateException] {
+      Lm.stupidBackoffTrigramScores(docs, tgt, "doc_id", "text",
+        minQuantMargin = Some(m + 1e-12))
+    }
+    assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
+  }
+
   test("quantization-margin guard: throws above the fixture's margin, passes below") {
     val m = Lm.minQuantizationMargin(docs, tgt, "doc_id", "text")
     assert(m > 0 && m <= 0.5, s"margin $m")
