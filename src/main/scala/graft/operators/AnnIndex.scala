@@ -325,6 +325,75 @@ object AnnIndex {
       k, index.planes.get, index.intParam("bandBits"))
   }
 
+  // ------------------------------------- persisted codes (serving data)
+
+  /** Encode `corpus` under the index's codebook and persist the codes
+    * as TableStore table `codesTable` (`id`, `codes`) — the
+    * corpus-scale half of the serving state (m bytes per vector vs
+    * dim·4; the codebook itself stays kilobytes in the index table).
+    * Full (re)build: [[refreshCodes]] is the incremental maintenance
+    * path once the table exists. Returns the committed generation —
+    * pin it NEXT TO the index generation; the pair is the complete
+    * reproducible serving state.
+    */
+  def encodeAndSaveCodes(store: TableStore, codesTable: String,
+                         corpus: DataFrame, idCol: String,
+                         vecCol: String, index: AnnIndex): Long = {
+    val codes = encodeFor(corpus, idCol, vecCol, index)
+    if (store.exists(codesTable)) store.rewrite(codesTable, codes)
+    else store.append(codesTable, codes)
+    store.generations(codesTable).last
+  }
+
+  /** INCREMENTAL code maintenance from a corpus CHANGE FEED
+    * ([[TableStore.changesBetween]] output: rows + `__change_type`):
+    * deleted ids leave the codes table, inserted rows are encoded and
+    * appended — cost scales with the CHURN, never the corpus (an
+    * update re-encodes exactly its one row via its delete+insert
+    * pair; a corpus compaction feeds nothing and this is a no-op).
+    * The invariant (spec-gated): after a refresh, the codes table
+    * equals a full [[encodeAndSaveCodes]] of the live corpus.
+    * Corpus ids must be unique (the store's upsert-key convention).
+    */
+  def refreshCodes(store: TableStore, codesTable: String,
+                   changes: DataFrame, idCol: String, vecCol: String,
+                   index: AnnIndex): Unit = {
+    val del = changes.filter(col("__change_type") === "delete")
+      .select(col(idCol).as("id")).distinct()
+    val ins = changes.filter(col("__change_type") === "insert")
+    // delete FIRST: an updated id rides the feed as delete+insert, so
+    // its stale code row must leave before the fresh one lands
+    store.deleteByKeys(codesTable, del, Seq("id"))
+    store.append(codesTable, encodeFor(ins, idCol, vecCol, index))
+  }
+
+  /** Serve PQ/IVF-PQ top-k from PERSISTED codes — no per-call encode:
+    * the steady-state query path ([[Similarity.pqTopK]] over the codes
+    * relation; corpus vectors are never read). `codes` is
+    * `store.read(codesTable)` or a pinned `readAt`.
+    */
+  def pqTopKOnCodes(queries: DataFrame, codes: DataFrame,
+                    qidCol: String, vecCol: String, k: Int,
+                    index: AnnIndex): DataFrame = {
+    index.requireMethod(MethodPq)
+    val (dim, m, ksub) = (index.intParam("dim"), index.intParam("m"),
+      index.intParam("ksub"))
+    Similarity.pqTopK(queries, codes, bcast(index.codebook.get), qidCol,
+      vecCol, dim, m, ksub, k)
+  }
+
+  /** The one encode convention shared by full build, incremental
+    * refresh, and the serving differentials — raw-vector PQ codes
+    * under the index codebook.
+    */
+  private def encodeFor(corpus: DataFrame, idCol: String,
+                        vecCol: String, index: AnnIndex): DataFrame = {
+    index.requireMethod(MethodPq)
+    val (dim, m) = (index.intParam("dim"), index.intParam("m"))
+    Similarity.pqEncode(corpus, idCol, vecCol, dim, m,
+      bcast(index.codebook.get))
+  }
+
   // -------------------------------------------------------- helpers
 
   /** The residual projection [[Similarity.ivfPqTopKResidual]] uses,

@@ -128,6 +128,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(live != want, "the retrain must actually have changed results")
   }
 
+  test("persisted codes: change-feed refresh == full rebuild; serving from codes == inline") {
+    import spark.implicits._
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_codes").toString,
+      retainGenerations = 10)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    store.append("corpus", base.filter(col("vec_id") < 300))
+    val g1 = store.generations("corpus").last
+    val idx = AnnIndex.trainPq(store.read("corpus"), "vec_id",
+      "embedding", dim, m, ksub)
+    AnnIndex.save(store, "ix", idx)
+    AnnIndex.encodeAndSaveCodes(store, "codes", store.read("corpus"),
+      "vec_id", "embedding", idx)
+    // churn the corpus: append new docs, delete some, update others
+    store.append("corpus",
+      base.filter(col("vec_id") >= 300 && col("vec_id") < 350))
+    store.deleteByKeys("corpus",
+      (0L until 20L).toDF("vec_id"), Seq("vec_id"))
+    store.merge("corpus",
+      base.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x * lit(0.5)).cast("float")).as("embedding")),
+      "vec_id", TableStore.MergeUpdate(Seq("embedding")))
+    val g2 = store.generations("corpus").last
+    // incremental: only the churned rows re-encode
+    AnnIndex.refreshCodes(store, "codes",
+      store.changesBetween("corpus", g1, g2), "vec_id", "embedding", idx)
+    val got = store.read("codes")
+      .as[(Long, Seq[Long])].collect().toMap
+    val fullStore = new TableStore(spark,
+      Files.createTempDirectory("graft_codes2").toString)
+    AnnIndex.encodeAndSaveCodes(fullStore, "codes",
+      store.read("corpus"), "vec_id", "embedding", idx)
+    val want = fullStore.read("codes")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == want,
+      s"sizes ${got.size} vs ${want.size}; " +
+        s"diff ${(got.toSet diff want.toSet).take(3)}")
+    // and the steady-state query path: saved codes, no per-call encode
+    val served = rows(AnnIndex.pqTopKOnCodes(queries,
+      store.read("codes"), "vec_id", "embedding", k, idx))
+    val inline = rows(AnnIndex.pqTopK(queries, store.read("corpus"),
+      "vec_id", "vec_id", "embedding", k, idx))
+    assert(served == inline)
+  }
+
   test("params round-trip through the meta row incl. escaping") {
     val m0 = Map("dim" -> "64", "note" -> "a\"b\\c\nd", "z" -> "")
     assert(AnnIndex.parseJson(AnnIndex.jsonOf(m0)) == m0)
