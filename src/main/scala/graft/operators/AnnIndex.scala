@@ -367,8 +367,8 @@ object AnnIndex {
     store.append(codesTable, encodeFor(ins, idCol, vecCol, index))
   }
 
-  /** Serve PQ/IVF-PQ top-k from PERSISTED codes — no per-call encode:
-    * the steady-state query path ([[Similarity.pqTopK]] over the codes
+  /** Serve PQ top-k from PERSISTED codes — no per-call encode: the
+    * steady-state query path ([[Similarity.pqTopK]] over the codes
     * relation; corpus vectors are never read). `codes` is
     * `store.read(codesTable)` or a pinned `readAt`.
     */
@@ -382,16 +382,101 @@ object AnnIndex {
       vecCol, dim, m, ksub, k)
   }
 
+  /** Serve IVF-PQ top-k from PERSISTED (id, cent_id, codes) rows: the
+    * complete steady-state query path — route queries to nprobe cells
+    * against the saved centroids, ADC-fold ONLY the codes in probed
+    * cells. Per query batch nothing corpus-scale moves: the codes
+    * relation is filtered by the broadcast probe set and never
+    * re-encoded, corpus vectors are never read.
+    */
+  def ivfPqTopKOnCodes(queries: DataFrame, codes: DataFrame,
+                       qidCol: String, vecCol: String, k: Int,
+                       nprobe: Int, index: AnnIndex): DataFrame = {
+    index.requireMethod(MethodIvfPq)
+    val (dim, m, ksub) = (index.intParam("dim"), index.intParam("m"),
+      index.intParam("ksub"))
+    val cents = bcast(index.centroids.get)
+    val cb = bcast(index.codebook.get)
+    val qv = queries.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val probes = TopK.perGroup(
+      Similarity.centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    val dtab = Similarity.pqDistTables(queries, qidCol, vecCol, dim, m,
+      ksub, cb)
+    val scored = codes
+      .join(broadcast(probes.join(dtab, Seq("qid"))), Seq("cent_id"))
+      .withColumn("dist",
+        Similarity.adcScore(col("dtab"), col("codes"), ksub))
+    Similarity.pqRank(scored, k)
+  }
+
+  /** [[ivfPqTopKOnCodes]] for a RESIDUAL index: saved codes encode
+    * v − centroid, so each query carries one distance table per
+    * probed cell (computed on its own residual against that cell).
+    */
+  def ivfPqResidualTopKOnCodes(queries: DataFrame, codes: DataFrame,
+                               qidCol: String, vecCol: String, k: Int,
+                               nprobe: Int, index: AnnIndex): DataFrame = {
+    index.requireMethod(MethodIvfPqResidual)
+    val (dim, m, ksub) = (index.intParam("dim"), index.intParam("m"),
+      index.intParam("ksub"))
+    val cents = bcast(index.centroids.get)
+    val cb = bcast(index.codebook.get)
+    val qv = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qid_v"))
+    val probes = TopK.perGroup(
+      Similarity.centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    val qres = probes.join(qv, Seq("qid")).join(broadcast(cents),
+        Seq("cent_id"))
+      .select(struct(col("qid"), col("cent_id")).as("qid"),
+        zip_with(col("qid_v"), col("cent_v"), (a, b) => a - b).as("qres"))
+    val dtab = Similarity.pqDistTables(qres, "qid", "qres", dim, m,
+      ksub, cb)
+      .select(col("qid.qid").as("qid"), col("qid.cent_id").as("cent_id"),
+        col("dtab"))
+    val scored = codes
+      .join(broadcast(dtab), Seq("cent_id"))
+      .withColumn("dist",
+        Similarity.adcScore(col("dtab"), col("codes"), ksub))
+    Similarity.pqRank(scored, k)
+  }
+
   /** The one encode convention shared by full build, incremental
-    * refresh, and the serving differentials — raw-vector PQ codes
-    * under the index codebook.
+    * refresh, and the serving differentials. Per method:
+    * pq → (id, codes) raw-vector codes; ivf-pq → (id, cent_id, codes)
+    * raw-vector codes + cell assignment; ivf-pq-residual →
+    * (id, cent_id, codes) where codes encode v − assigned centroid.
     */
   private def encodeFor(corpus: DataFrame, idCol: String,
                         vecCol: String, index: AnnIndex): DataFrame = {
-    index.requireMethod(MethodPq)
     val (dim, m) = (index.intParam("dim"), index.intParam("m"))
-    Similarity.pqEncode(corpus, idCol, vecCol, dim, m,
-      bcast(index.codebook.get))
+    val cb = bcast(index.codebook.getOrElse(throw
+      new IllegalArgumentException(
+        s"AnnIndex(${index.method}): no codebook — codes need a " +
+          "pq / ivf-pq / ivf-pq-residual index")))
+    index.method match {
+      case MethodPq =>
+        Similarity.pqEncode(corpus, idCol, vecCol, dim, m, cb)
+      case MethodIvfPq =>
+        val cents = bcast(index.centroids.get)
+        val assigned = Similarity.assignToCentroids(
+          corpus.select(col(idCol).as("nid"), col(vecCol).as("nid_v")),
+          "nid", cents)
+          .select(col("nid").as("id"), col("cent_id"))
+        Similarity.pqEncode(corpus, idCol, vecCol, dim, m, cb)
+          .join(assigned, Seq("id"))
+      case MethodIvfPqResidual =>
+        val cents = bcast(index.centroids.get)
+        val resDocs = residualDocs(corpus, idCol, vecCol, cents)
+        Similarity.pqEncode(resDocs, "nid", "res", dim, m, cb)
+          .join(resDocs.select(col("nid").as("id"), col("cent_id")),
+            Seq("id"))
+      case other => throw new IllegalArgumentException(
+        s"AnnIndex($other): codes are a PQ-family artifact")
+    }
   }
 
   // -------------------------------------------------------- helpers

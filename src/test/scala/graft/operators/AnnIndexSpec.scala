@@ -174,6 +174,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(served == inline)
   }
 
+  test("ivf-pq + residual: serving from persisted (cent_id, codes) == inline") {
+    val store = freshStore()
+    val ipq = AnnIndex.trainIvfPq(emb, "vec_id", "embedding",
+      dim, m, ksub, kCoarse)
+    AnnIndex.save(store, "ix", ipq)
+    val loaded = AnnIndex.load(store, "ix")
+    AnnIndex.encodeAndSaveCodes(store, "codes", emb, "vec_id",
+      "embedding", loaded)
+    val served = AnnIndex.ivfPqTopKOnCodes(queries,
+      store.read("codes"), "vec_id", "embedding", k, nprobe, loaded)
+    val inline = Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+      "embedding", dim, m, ksub, k, kCoarse = kCoarse, nprobe = nprobe)
+    assert(rows(served) == rows(inline))
+
+    val res = AnnIndex.trainIvfPqResidual(emb, "vec_id", "embedding",
+      dim, m, ksub, kCoarse)
+    AnnIndex.save(store, "ixr", res)
+    val loadedR = AnnIndex.load(store, "ixr")
+    AnnIndex.encodeAndSaveCodes(store, "codesr", emb, "vec_id",
+      "embedding", loadedR)
+    val servedR = AnnIndex.ivfPqResidualTopKOnCodes(queries,
+      store.read("codesr"), "vec_id", "embedding", k, nprobe, loadedR)
+    val inlineR = Similarity.ivfPqTopKResidual(queries, emb, "vec_id",
+      "vec_id", "embedding", dim, m, ksub, k, kCoarse = kCoarse,
+      nprobe = nprobe)
+    assert(rows(servedR) == rows(inlineR))
+  }
+
   test("params round-trip through the meta row incl. escaping") {
     val m0 = Map("dim" -> "64", "note" -> "a\"b\\c\nd", "z" -> "")
     assert(AnnIndex.parseJson(AnnIndex.jsonOf(m0)) == m0)
