@@ -145,7 +145,11 @@ object ScaleCheck {
   private val defaultQueries = Seq(
     "q16", "q18", "q20", "q21", "q31", "q38", "q55", "q57", "q61",
     "q66", "q78", "q79", "q80", "q81", "q82", "q88", "q90", "q106",
-    "q108", "q109", "q110")
+    "q108", "q109", "q110",
+    // round 10: AC blocklist screen/spans/redaction (one automaton
+    // pass, linear), trigram LM (model-scale exchanges), script-mix
+    // kernel, served saved-index IVF-PQ
+    "q115", "q116", "q117", "q118", "q119", "q120")
 
   def main(args: Array[String]): Unit = {
     val baseDir =

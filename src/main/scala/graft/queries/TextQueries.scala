@@ -1271,6 +1271,92 @@ object TextQueries {
         FROM sp ORDER BY doc_id"""))
   }
 
+  /** q120 — multi-term interval-union redaction
+    * ([[graft.plans.AcRedactExpr]] behind [[TextFunctions.redactTerms]]
+    * / [[graft.functions.PiiRules.redactBlocklist]]): the q118 span
+    * set's UNION of match intervals is cut and replaced — nested
+    * ("art" ⊂ "part") and adjacent matches merge into ONE marker. The
+    * oracle replays interval merging as a gaps-and-islands window
+    * chain (prev-max-end → island ids → per-island [min,max]) and
+    * rebuilds the redacted string with an ordered STRING_AGG of the
+    * inter-island segments; n_cuts / cut_chars audit the merged
+    * intervals on both sides (Spark derives them from
+    * [[TextFunctions.blocklistSpans]] with one aggregate() fold).
+    */
+  private val q120 = {
+    val pats = Seq("spark", "park", "art", "part", "scan", "an")
+    val perPat = pats.map { p =>
+      s"""LIST_TRANSFORM(
+        LIST_FILTER(RANGE(0, LENGTH(text) - ${p.length} + 1),
+          s -> SUBSTR(text, CAST(s + 1 AS INT), ${p.length}) = '$p'),
+        s -> struct_pack(s := s, e := s + ${p.length}))"""
+    }.mkString("[", ", ", "]")
+    Q("q120_blocklist_redact",
+      (s, dir) => {
+        val sp = TextFunctions.blocklistSpans(col("text"), pats)
+        // merged-interval stats: one left-to-right fold over the
+        // (start, end, id)-sorted spans — the same union the kernel
+        // cuts, so the counts audit the REDACTION, not the raw spans
+        val acc0 = struct(lit(0).as("n"), lit(0).as("ch"),
+          lit(-1).as("cs"), lit(-1).as("ce"))
+        def st(n: org.apache.spark.sql.Column,
+               ch: org.apache.spark.sql.Column,
+               cs: org.apache.spark.sql.Column,
+               ce: org.apache.spark.sql.Column) =
+          struct(n.as("n"), ch.as("ch"), cs.as("cs"), ce.as("ce"))
+        val folded = aggregate(sp, acc0, (a, x) =>
+          when(a("cs") === -1,
+            st(a("n"), a("ch"), x("start"), x("end")))
+          .when(x("start") > a("ce"),
+            st(a("n") + 1, a("ch") + a("ce") - a("cs"),
+              x("start"), x("end")))
+          .otherwise(
+            st(a("n"), a("ch"), a("cs"), greatest(a("ce"), x("end")))),
+          a => struct(
+            when(a("cs") === -1, a("n")).otherwise(a("n") + 1).as("n"),
+            when(a("cs") === -1, a("ch"))
+              .otherwise(a("ch") + a("ce") - a("cs")).as("ch")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.redactTerms(col("text"), pats, "[X]")
+              .as("redacted"),
+            folded.as("__f"))
+          .select(col("doc_id"), col("redacted"),
+            col("__f.n").cast("long").as("n_cuts"),
+            col("__f.ch").cast("long").as("cut_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sp AS (
+          SELECT doc_id, UNNEST(FLATTEN($perPat)) AS iv FROM documents),
+        flat AS (SELECT doc_id, iv.s AS s, iv.e AS e FROM sp),
+        pm AS (SELECT doc_id, s, e,
+            COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              AS pmax
+          FROM flat),
+        isl AS (SELECT doc_id, s, e,
+            SUM(CASE WHEN s > pmax THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+          FROM pm),
+        mi AS (SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+          FROM isl GROUP BY doc_id, island),
+        seg AS (SELECT m.doc_id, m.ms, m.me, d.text,
+            COALESCE(LAG(m.me) OVER (PARTITION BY m.doc_id
+              ORDER BY m.ms), 0) AS pe
+          FROM mi m JOIN documents d ON d.doc_id = m.doc_id),
+        red AS (SELECT doc_id,
+            STRING_AGG(SUBSTR(text, CAST(pe + 1 AS INT),
+                CAST(ms - pe AS INT)) || '[X]', '' ORDER BY ms)
+              || SUBSTR(MIN(text), CAST(MAX(me) + 1 AS INT)) AS r,
+            COUNT(*) AS n_cuts, SUM(me - ms) AS cut_chars
+          FROM seg GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(r.r, d.text) AS redacted,
+          CAST(COALESCE(r.n_cuts, 0) AS BIGINT) AS n_cuts,
+          CAST(COALESCE(r.cut_chars, 0) AS BIGINT) AS cut_chars
+        FROM documents d LEFT JOIN red r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id"""))
+  }
+
   /** q99 — count-min-sketch point-frequency estimates
     * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
     * build a 4×512 CMS over the token stream, then read back estimates
@@ -1325,5 +1411,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110, q115, q116, q118)
+    q107, q108, q110, q115, q116, q118, q120)
 }

@@ -44,4 +44,22 @@ class PiiRulesSpec extends SparkSpec {
     assert(r == "[EMAIL] [EMAIL] [PHONE] [PHONE]")
     assert((e, p) == ((2L, 2L)))
   }
+
+  test("blocklist redaction composes with the pattern rules") {
+    // literal terms cut via the AC interval-union kernel FIRST, then
+    // the pattern cascade — a term containing '@' is taken whole, not
+    // half-eaten by the email rule
+    val terms = Seq("project zeus", "zeus", "ops@internal")
+    val got = Seq(
+      "about project zeus and ops@internal today",
+      "mail a@b.com about zeus",
+      "clean line").toDF("t")
+      .withColumn("r", PiiRules.redact(
+        PiiRules.redactBlocklist($"t", terms)))
+      .select($"r").as[String].collect().toSeq
+    assert(got == Seq(
+      "about [REDACTED] and [REDACTED] today",
+      "mail [EMAIL] about [REDACTED]",
+      "clean line"), got.toString)
+  }
 }
