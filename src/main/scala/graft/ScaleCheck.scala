@@ -148,8 +148,10 @@ object ScaleCheck {
     "q108", "q109", "q110",
     // round 10: AC blocklist screen/spans/redaction (one automaton
     // pass, linear), trigram LM (model-scale exchanges), script-mix
-    // kernel, served saved-index IVF-PQ
-    "q115", "q116", "q117", "q118", "q119", "q120")
+    // kernel, served saved-index IVF-PQ, quality election, classifier
+    // training, leakage-free splits
+    "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
+    "q123")
 
   def main(args: Array[String]): Unit = {
     val baseDir =

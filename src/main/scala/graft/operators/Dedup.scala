@@ -720,6 +720,45 @@ object Dedup {
         min(col("id")).as("survivor_id"),
         (count(lit(1)) - 1).as("n_removed"))
 
+  /** Quality-aware survivor election over component labels
+    * ([[connectedComponents]]/[[connectedComponentsStar]] output): the
+    * retention policy a curation pipeline actually wants. Min-id
+    * election ([[neardupClusters]]) keeps an arbitrary member; this
+    * keeps, per component, the member passing the MOST
+    * [[graft.functions.QualityRules]] gates (ties: more words, then
+    * min id — a total order, so the election is deterministic).
+    *
+    * Scale shape: ONE id-keyed join (labels → per-doc integer quality
+    * columns; both sides hash-partition on id) + ONE comp-keyed
+    * aggregate. The argmax rides the aggregate as a lexicographic
+    * `max(struct(passes, n_words, -id))` over exact integer fields —
+    * it folds map-side under partial aggregation, so no window, no
+    * per-component row materialization, and component size never
+    * concentrates on one task beyond the aggregate's partial rows.
+    */
+  def electSurvivorsByQuality(labels: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String,
+      cfg: graft.functions.QualityRules.Config =
+        graft.functions.QualityRules.Config()): DataFrame = {
+    import graft.functions.QualityRules
+    val ann = QualityRules.annotate(
+      docs.select(col(idCol).as("id"), col(textCol)), textCol, cfg)
+    val passes = QualityRules.rules(cfg)
+      .map { case (n, _) => col(n) }.reduce(_ + _)
+    val scored = labels.join(
+      ann.select(col("id"), passes.as("passes"), col("n_words")),
+      Seq("id"))
+    scored.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("passes"), col("n_words"),
+          (-col("id")).as("nid"))).as("__k"))
+      .select(col("comp"), col("n_members"),
+        (-col("__k.nid")).as("keep_id"),
+        col("__k.passes").as("keep_passes"),
+        col("__k.n_words").as("keep_words"),
+        (col("n_members") - 1).as("n_removed"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: bit j of the result is 1 iff the

@@ -73,6 +73,30 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Leakage-free (dedup-aware) [[assignSplits]]: every member of a
+    * near-dup component is keyed by the component REPRESENTATIVE (its
+    * min member id — the `comp` label from
+    * [[Dedup.connectedComponents]]), singletons by their own id — so a
+    * train/test split can never straddle a duplicate cluster. This is
+    * eval decontamination by construction: with per-doc keys (q40's
+    * shape) a near-dup pair lands train+test with probability
+    * 2·p·(1−p), leaking the answer into training.
+    *
+    * Scale: one left join against the label frame (only CLUSTERED docs
+    * appear in it — typically a small fraction of the corpus, so AQE
+    * broadcasts it when it fits), then the same narrow no-shuffle
+    * bucket projection as [[assignSplits]]. Adds `repCol` + `splitCol`.
+    */
+  def assignSplitsLeakageFree(df: DataFrame, idCol: String,
+      labels: DataFrame, splits: Seq[(String, Double)], salt: String,
+      splitCol: String = "split", repCol: String = "rep_id"): DataFrame = {
+    val lab = labels.select(col("id").as(idCol), col("comp").as("__comp"))
+    val withRep = df.join(lab, Seq(idCol), "left")
+      .withColumn(repCol, coalesce(col("__comp"), col(idCol)))
+      .drop("__comp")
+    assignSplits(withRep, repCol, splits, salt, splitCol)
+  }
+
   /** Exactly-k-per-stratum sample: rank rows within each stratum by
     * their hash bucket (a deterministic "random" order) and keep the
     * first k. Reproducible like everything here; one shuffle on the

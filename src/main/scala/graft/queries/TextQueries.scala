@@ -1357,6 +1357,210 @@ object TextQueries {
         ORDER BY d.doc_id"""))
   }
 
+  /** q121 — quality-aware survivor election
+    * ([[graft.operators.Dedup.electSurvivorsByQuality]]): q61's
+    * near-dup components, but the survivor is the member passing the
+    * most [[graft.functions.QualityRules]] gates (ties: more words,
+    * then min id) instead of blindly the min id — the retention policy
+    * a curation pipeline actually wants ("keep the best copy"). At
+    * sf0.01 eight of the 23 components elect a NON-min-id survivor, so
+    * a min-id labeling cannot pass the hash compare. The argmax rides
+    * the comp aggregate as a lexicographic max(struct) over exact
+    * integers (no window); the oracle replays it as a ROW_NUMBER pick
+    * over the same (passes, n_words, id) order.
+    */
+  private val q121 = {
+    val cfg = graft.functions.QualityRules.Config()
+    Q("q121_cluster_retention",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4)
+        val pairs = Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.electSurvivorsByQuality(labels, docs, "doc_id", "text", cfg)
+          .orderBy(col("comp"))
+      },
+      Some {
+        val passesSql = gopherFlagsSql(cfg)
+          .map { case (_, e) => s"($e)" }.mkString("(", " + ", ")")
+        s"""WITH RECURSIVE $gopherMeasuresCtesSql,
+        sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+        pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+            >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        cc AS (SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+        lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        scored AS (SELECT l.comp, l.id, $passesSql AS passes, m.n_words
+          FROM lab l JOIN m ON m.doc_id = l.id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+            ORDER BY passes DESC, n_words DESC, id ASC) AS rn FROM scored)
+        SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+          MIN(CASE WHEN rn = 1 THEN id END) AS keep_id,
+          MIN(CASE WHEN rn = 1 THEN passes END) AS keep_passes,
+          MIN(CASE WHEN rn = 1 THEN n_words END) AS keep_words,
+          CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+        FROM ranked GROUP BY comp ORDER BY comp"""
+      })
+  }
+
+  /** q123 — leakage-free (dedup-aware) train/val/test split
+    * ([[graft.operators.Sampling.assignSplitsLeakageFree]]): q40's
+    * reproducible hash split, but keyed by the near-dup component
+    * representative (q61's labels) so a duplicate cluster can never
+    * straddle train/test — eval decontamination by construction. At
+    * sf0.01 the 23 clusters cover 49 docs; with per-doc keys several
+    * straddle, so a split that ignores the labels fails the hash
+    * compare. Oracle: the q61 CC replay + the q40 bucket/boundary
+    * mirror over COALESCE(comp, doc_id).
+    */
+  private val q123 = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    Q("q123_leakage_free_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4)
+        val pairs = Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Sampling.assignSplitsLeakageFree(docs, "doc_id", labels,
+            splits, salt = "graft")
+          .select(col("doc_id"), col("rep_id"),
+            Sampling.hashBucket(col("rep_id"), "graft").as("bucket"),
+            col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+          .map(c => math.round(c * Sampling.BucketSpace))
+        val cases = splits.map(_._1).zip(bounds)
+          .map { case (n, b) => s"WHEN bucket < $b THEN '$n'" }
+          .mkString(" ")
+        s"""WITH RECURSIVE nt AS (SELECT doc_id,
+            STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+        pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+            >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        cc AS (SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+        lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        r AS (SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS rep_id
+          FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+        b AS (SELECT doc_id, rep_id, CAST(${SamplingQueries.bucketSql(
+            SamplingQueries.hashSql("graft", "rep_id"))} AS BIGINT)
+            AS bucket FROM r)
+        SELECT doc_id, rep_id, bucket, CASE $cases ELSE NULL END AS split
+        FROM b ORDER BY doc_id"""
+      })
+  }
+
+  /** q122 — in-engine trainable quality classifier
+    * ([[graft.operators.Classifier]]): distill the Gopher rule cascade
+    * (q42's keep gate = the labels) into a hashed bag-of-words linear
+    * model — the fastText-style cheap proxy scorer curation pipelines
+    * train so the full corpus can be scored at scan speed. Six
+    * full-batch GD steps with the halving schedule η_t = 2^-(t+1);
+    * accuracy on the fixture goes 64% (majority) → 78% — the oracle
+    * replays EVERY step bit-exactly because training is all integer
+    * arithmetic (fixed-point weights, hard-sigmoid surrogate,
+    * truncating division — zero transcendentals, so no margin kit).
+    * The unrolled SQL materializes per-iteration weight/bias tables
+    * w1..w6/b1..b6 (AS MATERIALIZED per the q97 lesson) and scores
+    * with the last.
+    */
+  private val q122 = {
+    val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
+    val qcfg = graft.functions.QualityRules.Config()
+    Q("q122_train_classifier",
+      (s, dir) => {
+        graft.operators.Classifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.functions.QualityRules.keep(col("text"), qcfg), cfg)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val S = cfg.scale
+        val dim = cfg.dim
+        def tdiv(a: String, b: String) =
+          s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+        val keepConj = gopherFlagsSql(qcfg)
+          .map { case (_, e) => s"($e) = 1" }.mkString(" AND ")
+        val bucket = SamplingQueries.bucketSql(
+          s"MD5('${cfg.salt}:' || w)")
+        val head = s"""WITH $gopherMeasuresCtesSql,
+          lab AS MATERIALIZED (SELECT doc_id,
+            CAST($keepConj AS BIGINT) AS y FROM m),
+          feats AS MATERIALIZED (SELECT n.doc_id, l.y,
+              $bucket % $dim AS bucket, COUNT(*) AS cnt
+            FROM (SELECT doc_id, UNNEST(LIST_FILTER(toks,
+              x -> LENGTH(x) > 0)) AS w FROM nt) n
+            JOIN lab l ON l.doc_id = n.doc_id
+            GROUP BY n.doc_id, l.y, bucket),
+          nn AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n FROM feats),
+          w0 AS MATERIALIZED (SELECT DISTINCT bucket,
+            CAST(0 AS BIGINT) AS w FROM feats),
+          b0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS b)"""
+        val iters = (1 to cfg.iters).map { tt =>
+          val den = s"(SELECT n FROM nn) * ${1L << tt}"
+          s"""z$tt AS MATERIALIZED (SELECT f.doc_id, MAX(f.y) AS y,
+              (SELECT b FROM b${tt - 1}) + COALESCE(SUM(w.w * f.cnt), 0) AS z
+            FROM feats f LEFT JOIN w${tt - 1} w ON w.bucket = f.bucket
+            GROUP BY f.doc_id),
+          e$tt AS MATERIALIZED (SELECT doc_id, y,
+            GREATEST(0, LEAST($S, ${S / 2} + ${tdiv("z", "4")})) - y * $S
+              AS err FROM z$tt),
+          g$tt AS MATERIALIZED (SELECT f.bucket, SUM(e.err * f.cnt) AS g
+            FROM feats f JOIN e$tt e ON e.doc_id = f.doc_id
+            GROUP BY f.bucket),
+          w$tt AS MATERIALIZED (SELECT w.bucket,
+              w.w - ${tdiv("COALESCE(g.g, 0)", den)} AS w
+            FROM w${tt - 1} w LEFT JOIN g$tt g ON g.bucket = w.bucket),
+          b$tt AS MATERIALIZED (SELECT
+            (SELECT b FROM b${tt - 1}) -
+              ${tdiv(s"(SELECT SUM(err) FROM e$tt)", den)} AS b)"""
+        }.mkString(",\n")
+        val k = cfg.iters
+        val p = s"GREATEST(0, LEAST($S, ${S / 2} + ${tdiv("z", "4")}))"
+        s"""$head,
+          $iters,
+          zf AS (SELECT f.doc_id, MAX(f.y) AS y,
+              (SELECT b FROM b$k) + COALESCE(SUM(w.w * f.cnt), 0) AS z
+            FROM feats f LEFT JOIN w$k w ON w.bucket = f.bucket
+            GROUP BY f.doc_id)
+          SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(z AS BIGINT) AS z,
+            CAST($p AS BIGINT) AS p,
+            CAST(2 * $p > $S AS BIGINT) AS pred
+          FROM zf ORDER BY doc_id"""
+      })
+  }
+
   /** q99 — count-min-sketch point-frequency estimates
     * ([[graft.operators.Sketches.cmsBuild]]/[[Sketches.cmsEstimate]]):
     * build a 4×512 CMS over the token stream, then read back estimates
@@ -1411,5 +1615,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110, q115, q116, q118, q120)
+    q107, q108, q110, q115, q116, q118, q120, q121, q122, q123)
 }

@@ -1108,4 +1108,28 @@ class SimilaritySpec extends SparkSpec {
     val encPlan = codes.queryExecution.executedPlan.toString
     assert(encPlan.contains("BroadcastHashJoin"), encPlan) // codebook side
   }
+
+  test("electSurvivorsByQuality keeps the best copy, not the min id") {
+    // comp 1: doc 1 is junk (numeric tokens: fails alpha/mean-len/
+    // stopwords), doc 2 mid (no stopwords), doc 3 passes 4 of 5 gates
+    // (everything but the 50-word minimum) -> elected despite max id.
+    // comp 10: identical texts tie on (passes, n_words) -> min id.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("id", "comp")
+    val docs = Seq(
+      (1L, "9 8 7 6 5"),
+      (2L, "cats run far away today"),
+      (3L, "the cat and the dog with that fish"),
+      (10L, "cats run far away today"),
+      (11L, "cats run far away today")).toDF("doc_id", "text")
+    val got = Dedup.electSurvivorsByQuality(labels, docs, "doc_id", "text")
+      .orderBy($"comp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 4L, 8L, 2L),
+      (10L, 2L, 10L, 3L, 5L, 1L)), got.toString)
+    // election is ONE aggregate over the id-join: no window exchange
+    val plan = Dedup.electSurvivorsByQuality(labels, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

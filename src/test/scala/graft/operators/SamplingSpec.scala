@@ -56,6 +56,33 @@ class SamplingSpec extends SparkSpec {
     assert(h.filter($"split".isNull).count() > 0)
   }
 
+  test("assignSplitsLeakageFree: cluster members share the rep's split") {
+    // comp 1 = {1, 2, 900}, comp 5 = {5, 6}; everything else singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (900L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "comp")
+    val base = docs.limit(0).sparkSession.range(0, 1000)
+      .select($"id".as("doc_id"))
+    val s = Sampling.assignSplitsLeakageFree(base, "doc_id", labels,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+    val bySplit = s.groupBy($"rep_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(bySplit == 0)
+    // members keyed by the representative, not themselves
+    val m = s.filter($"doc_id".isin(1L, 2L, 900L))
+      .select($"rep_id", $"split").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(m.size == 1 && m.head._1 == 1L, m.toString)
+    // singletons degrade to exactly the per-doc assignSplits
+    val plain = Sampling.assignSplits(base, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+      .filter(!$"doc_id".isin(1L, 2L, 900L, 5L, 6L))
+      .select($"doc_id", $"split")
+    val singles = s.filter(!$"doc_id".isin(1L, 2L, 900L, 5L, 6L))
+      .select($"doc_id", $"split")
+    assert(plain.exceptAll(singles).count() == 0 &&
+      singles.exceptAll(plain).count() == 0)
+  }
+
   test("mixDomains applies per-domain rates; defaultRate covers the rest") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
     val kept = Sampling.mixDomains(docs, "source", "doc_id", rates, "m")
