@@ -163,6 +163,134 @@ object Lm {
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing stupid backoff explicitly approximates — Brants 2007
+    * §3): each transition scores
+    *
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/B
+    *
+    * with absolute discount d = 3/4 and continuation probability
+    * N1+(·w2)/B (B = distinct bigram types) — the "how many contexts
+    * does w2 continue" statistic that makes KN beat raw frequency on
+    * Francisco-type words. Four-way CASE by what the model has seen:
+    *
+    *   1. seen bigram      → the full interpolated formula
+    *   2. seen w1 (with continuations) and seen-continuation w2
+    *                       → discount mass only: d·N1+(w1·)/c1·N1+(·w2)/B
+    *   3. seen-continuation w2 (w1 unseen / continuation-less)
+    *                       → P_cont(w2) = N1+(·w2)/B
+    *   4. else             → uniform 1/V floor (the stupid-backoff OOV
+    *                         convention; true KN assigns such tokens
+    *                         zero mass, which ln cannot score)
+    *
+    * Determinism: d = 3/4 makes every probability a ratio of EXACT
+    * integers — num = max(4·c12−3, 0)·B + 3·N1+(w1·)·N1+(·w2), den =
+    * 4·c1·B — so the score is `ln` of ONE correctly-rounded double
+    * division (no a+b·c shape for DuckDB's FMA contraction to break,
+    * the q90 lesson) and the usual quantized-ln margin audit
+    * ([[minQuantizationMarginKn]]) covers the rest. Integer guard:
+    * num ≤ 4·c12·B + 3·N1f·N1c stays well under 2^53 through sf1;
+    * beyond that promote the numerator to decimal before the divide.
+    *
+    * Scale envelope: the bigram/unigram model exchanges of
+    * [[stupidBackoffScores]] plus TWO model-scale aggregates over the
+    * bigram table (N1+(w1·), N1+(·w2) — grouped counts of distinct
+    * types, not corpus passes); B rides the same one-row broadcast as
+    * N/V. The probe adds two word-keyed LEFT joins.
+    */
+  def kneserNeyScores(corpus: DataFrame, target: DataFrame,
+                      idCol: String, textCol: String,
+                      minQuantMargin: Option[Double] = None): DataFrame = {
+    minQuantMargin.foreach { threshold =>
+      val m = minQuantizationMarginKn(corpus, target, idCol, textCol)
+      if (m < threshold) throw new IllegalStateException(
+        f"Lm.kneserNeyScores quantization margin $m%.3e below " +
+          f"threshold $threshold%.3e: a transition score sits close " +
+          "enough to its floor boundary that cross-engine ln drift " +
+          "could flip the quantized sum — re-audit the fixture before " +
+          "trusting a hash-compared oracle")
+    }
+    val g = scoredKn(corpus, target, idCol, textCol)
+    g.df.groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_bigrams"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c12").isNotNull,
+          1L)), lit(0L)).as("n_top"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c12").isNull &&
+          col("__c1").isNotNull && col("__n1f").isNotNull &&
+          col("__n1c").isNotNull, 1L)), lit(0L)).as("n_interp"),
+        coalesce(sum(when(col("__g").isNotNull && col("__c12").isNull &&
+          (col("__c1").isNull || col("__n1f").isNull) &&
+          col("__n1c").isNotNull, 1L)), lit(0L)).as("n_cont"),
+        coalesce(sum(when(col("__g").isNotNull,
+          floor(g.y).cast("long"))), lit(0L)).as("kn_score"))
+  }
+
+  /** [[minQuantizationMargin]] for the KN form (exact-1 scores
+    * excluded like the trigram audit — a ratio of equal longs and
+    * ln(1.0)=0.0 are exact in every engine).
+    */
+  def minQuantizationMarginKn(corpus: DataFrame, target: DataFrame,
+                              idCol: String, textCol: String): Double = {
+    val g = scoredKn(corpus, target, idCol, textCol)
+    val frac = g.y - floor(g.y)
+    val row = g.df.filter(col("__g").isNotNull && g.y =!= lit(0.0))
+      .agg(min(least(frac, lit(1.0) - frac))).head()
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
+  /** One row per (doc, bigram transition) with the KN statistics
+    * joined in plus the unquantized `10⁶·ln(P)` column (q124's oracle
+    * replays the CASE verbatim).
+    */
+  private def scoredKn(corpus: DataFrame, target: DataFrame,
+                       idCol: String, textCol: String): ScoredGrams = {
+    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val bc = tt.filter(size(col("__t")) >= 2)
+      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
+      .groupBy(col("__mg")).agg(count(lit(1)).as("__c12"))
+    val mgParts = split(col("__mg"), " ")
+    val n1f = bc.groupBy(element_at(mgParts, 1).as("__fw"))
+      .agg(count(lit(1)).as("__n1f"))
+    val n1b = bc.groupBy(element_at(mgParts, 2).as("__cw"))
+      .agg(count(lit(1)).as("__n1c"))
+    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    // B (bigram types) + V (vocab) in one one-row broadcast; both
+    // aggregates reuse their model table's exchange
+    val bvF = bc.agg(count(lit(1)).as("__b"))
+      .crossJoin(uc.agg(count(lit(1)).as("__v")))
+    val pg = corpus
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(
+        when(size(col("__t")) >= 2, gramsOf(col("__t"), 2))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+    val parts = split(col("__g"), " ")
+    val vOk = when(col("__v") > 0, col("__v")).otherwise(raise_error(
+      lit("Lm.kneserNeyScores: target corpus has no tokens (V = 0)")))
+    // exact-integer numerator/denominator (d = 3/4 multiplied through)
+    val numTop = (lit(4L) * col("__c12") - lit(3L)) * col("__b") +
+      lit(3L) * col("__n1f") * col("__n1c")
+    val numInterp = lit(3L) * col("__n1f") * col("__n1c")
+    val denC1 = lit(4L) * col("__c1") * col("__b")
+    val y = lit(Scale) * when(col("__c12").isNotNull,
+        log(numTop.cast("double") / denC1.cast("double")))
+      .when(col("__c1").isNotNull && col("__n1f").isNotNull &&
+          col("__n1c").isNotNull,
+        log(numInterp.cast("double") / denC1.cast("double")))
+      .when(col("__n1c").isNotNull,
+        log(col("__n1c").cast("double") / col("__b").cast("double")))
+      .otherwise(log(lit(1.0) / vOk.cast("double")))
+    ScoredGrams(
+      pg.join(bc.select(col("__mg"), col("__c12")),
+          col("__g") === col("__mg"), "left")
+        .join(uc.select(col("__w").as("__w1"), col("__c").as("__c1")),
+          element_at(parts, 1) === col("__w1"), "left")
+        .join(n1f, element_at(parts, 1) === col("__fw"), "left")
+        .join(n1b, element_at(parts, 2) === col("__cw"), "left")
+        .crossJoin(broadcast(bvF)),
+      y)
+  }
+
   private final case class ScoredGrams(df: DataFrame, y: Column)
 
   /** One row per (doc, trigram transition) with all backoff-level

@@ -533,6 +533,85 @@ object CorpusQueries {
         LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY doc_id"""))
 
+  /** q124 — interpolated Kneser–Ney bigram scoring
+    * ([[graft.operators.Lm.kneserNeyScores]]): the smoothing stupid
+    * backoff approximates (Brants 2007 §3), over the same
+    * src0-1-trained model — `max(c12−d,0)/c1 + d·N1⁺(w1·)/c1 ·
+    * N1⁺(·w2)/B` with d = 3/4, which makes every probability a ratio
+    * of EXACT integers (num = max(4c12−3,0)·B + 3·N1f·N1c, den =
+    * 4·c1·B): one correctly-rounded double division into the
+    * quantized-ln kit, and no a+b·c double shape for DuckDB's FMA
+    * contraction to break (the q90 lesson). The oracle rebuilds
+    * bigram/unigram/N1⁺ tables and replays the four-way CASE
+    * verbatim; margins audited in LmSpec (1.3e-4 at the spec
+    * fixture).
+    */
+  private val q124 = Q("q124_kneser_ney",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lm.kneserNeyScores(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents WHERE source IN ('src0', 'src1')),
+        bc AS MATERIALIZED (SELECT g, COUNT(*) AS c12 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+            FROM tnt WHERE LEN(toks) >= 2) GROUP BY g),
+        uc AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}) AS w
+            FROM tnt) GROUP BY w),
+        n1f AS MATERIALIZED (SELECT STRING_SPLIT(g, ' ')[1] AS w,
+          COUNT(*) AS n1 FROM bc GROUP BY 1),
+        n1b AS MATERIALIZED (SELECT STRING_SPLIT(g, ' ')[2] AS w,
+          COUNT(*) AS n1c FROM bc GROUP BY 1),
+        bv AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM bc) AS b,
+          (SELECT COUNT(*) FROM uc) AS v),
+        cnt AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents),
+        pg AS (SELECT doc_id,
+            UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+          FROM cnt WHERE LEN(toks) >= 2),
+        j AS (SELECT pg.doc_id AS doc_id, pg.g AS g, bc.c12 AS c12,
+            u1.c AS c1, f.n1 AS n1f, bk.n1c AS n1c
+          FROM pg LEFT JOIN bc ON pg.g = bc.g
+            LEFT JOIN uc u1 ON STRING_SPLIT(pg.g, ' ')[1] = u1.w
+            LEFT JOIN n1f f ON STRING_SPLIT(pg.g, ' ')[1] = f.w
+            LEFT JOIN n1b bk ON STRING_SPLIT(pg.g, ' ')[2] = bk.w),
+        scored AS (SELECT doc_id,
+            CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END AS top,
+            CASE WHEN c12 IS NULL AND c1 IS NOT NULL AND n1f IS NOT NULL
+              AND n1c IS NOT NULL THEN 1 ELSE 0 END AS itp,
+            CASE WHEN c12 IS NULL AND (c1 IS NULL OR n1f IS NULL)
+              AND n1c IS NOT NULL THEN 1 ELSE 0 END AS ct,
+            CAST(FLOOR(1000000 * CASE
+              WHEN c12 IS NOT NULL THEN
+                LN(CAST((4 * c12 - 3) * (SELECT b FROM bv)
+                    + 3 * n1f * n1c AS DOUBLE)
+                  / CAST(4 * c1 * (SELECT b FROM bv) AS DOUBLE))
+              WHEN c1 IS NOT NULL AND n1f IS NOT NULL
+                  AND n1c IS NOT NULL THEN
+                LN(CAST(3 * n1f * n1c AS DOUBLE)
+                  / CAST(4 * c1 * (SELECT b FROM bv) AS DOUBLE))
+              WHEN n1c IS NOT NULL THEN
+                LN(CAST(n1c AS DOUBLE)
+                  / CAST((SELECT b FROM bv) AS DOUBLE))
+              ELSE LN(1.0 / CAST((SELECT v FROM bv) AS DOUBLE))
+              END) AS BIGINT) AS q
+          FROM j),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(top) AS n_top,
+            SUM(itp) AS n_interp, SUM(ct) AS n_cont, SUM(q) AS kn_score
+          FROM scored GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        CAST(COALESCE(a.n_top, 0) AS BIGINT) AS n_top,
+        CAST(COALESCE(a.n_interp, 0) AS BIGINT) AS n_interp,
+        CAST(COALESCE(a.n_cont, 0) AS BIGINT) AS n_cont,
+        CAST(COALESCE(a.kn_score, 0) AS BIGINT) AS kn_score
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY doc_id"""))
+
   /** q117 — TRIGRAM stupid-backoff LM scoring
     * ([[graft.operators.Lm.stupidBackoffTrigramScores]]): the
     * recursive four-way backoff `c123/c12 → α·c23/c2 → α²·c3/N →
@@ -951,5 +1030,5 @@ object CorpusQueries {
   }
 
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112, q114, q117)
+    q93, q94, q97, q98, q111, q112, q114, q117, q124)
 }

@@ -252,4 +252,108 @@ class LmSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
   }
+
+  // ---- interpolated Kneser-Ney ----
+
+  test("KN differential: distributed scores == driver-side reference, branch counts") {
+    val got = Lm.kneserNeyScores(docs, tgt, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val tgtToks = tgt.select("text").as[String].collect().map(refTokens)
+    val bc = tgtToks.flatMap(refBigrams).groupBy(identity)
+      .map { case (g, gs) => g -> gs.size.toLong }
+    val uc = tgtToks.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    // .toSeq first: bc.keys is set-backed, a direct .map would collapse
+    // duplicate first/second words and leave every N1+ count at 1
+    val n1f = bc.keys.toSeq.map(_.split(" ", 2)(0)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val n1b = bc.keys.toSeq.map(_.split(" ", 2)(1)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val b = bc.size.toLong
+    val v = uc.size.toLong
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    var tops = 0L; var interps = 0L; var conts = 0L; var floors = 0L
+    all.foreach { case (id, text) =>
+      val gs = refBigrams(refTokens(text))
+      var t = 0L; var i = 0L; var c = 0L; var s = 0L
+      gs.foreach { g =>
+        val Array(w1, w2) = g.split(" ", 2)
+        val y =
+          if (bc.contains(g)) {
+            t += 1
+            val num = (4L * bc(g) - 3L) * b + 3L * n1f(w1) * n1b(w2)
+            math.log(num.toDouble / (4L * uc(w1) * b).toDouble)
+          } else if (uc.contains(w1) && n1f.contains(w1) &&
+              n1b.contains(w2)) {
+            i += 1
+            val num = 3L * n1f(w1) * n1b(w2)
+            math.log(num.toDouble / (4L * uc(w1) * b).toDouble)
+          } else if (n1b.contains(w2)) {
+            c += 1
+            math.log(n1b(w2).toDouble / b.toDouble)
+          } else math.log(1.0 / v.toDouble)
+        s += math.floor(Lm.Scale * y).toLong
+      }
+      tops += t; interps += i; conts += c; floors += gs.size - t - i - c
+      assert(got(id) == ((gs.size.toLong, t, i, c, s)),
+        s"doc $id: got ${got(id)}, want (${gs.size}, $t, $i, $c, $s)")
+    }
+    assert(tops > 0 && interps > 0,
+      s"fixture exercises top=$tops interp=$interps cont=$conts floor=$floors")
+  }
+
+  test("KN hand fixture: each branch scores the interpolated formula") {
+    // target: "a b", "a c", "b c" -> bc: ab ac bc (each 1); uc: a2 b2 c2
+    // n1f: a->2 b->1; n1b: b->1 c->2; B=3 V=3
+    val target = Seq((1L, "a b"), (2L, "a c"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    // corpus doc exercises: "a b" top, "c a" w1-seen-but-continuationless
+    // (c has no continuations -> n1f(c) null -> cont branch on a? n1b(a)
+    // null -> floor), "b c" top, "c z" floor (z OOV)
+    val corpus = Seq((10L, "a b c z")).toDF("doc_id", "text")
+    val got = Lm.kneserNeyScores(corpus, target, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // transitions: "a b" (top), "b c" (top), "c z" (floor: z unseen)
+    val yab = math.log(((4L * 1 - 3) * 3 + 3L * 2 * 1).toDouble /
+      (4L * 2 * 3).toDouble)
+    val ybc = math.log(((4L * 1 - 3) * 3 + 3L * 1 * 2).toDouble /
+      (4L * 2 * 3).toDouble)
+    val yz = math.log(1.0 / 3.0)
+    val want = Seq(yab, ybc, yz)
+      .map(y => math.floor(Lm.Scale * y).toLong).sum
+    assert(got == ((10L, 3L, 2L, 0L, 0L, want)), got.toString)
+  }
+
+  test("KN cont branch: seen-continuation w2 under an unseen w1") {
+    // "z a": w1 z unseen entirely, w2 a IS a continuation (b a)
+    val target = Seq((1L, "b a"), (2L, "a c")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "z a")).toDF("doc_id", "text")
+    val got = Lm.kneserNeyScores(corpus, target, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val want = math.floor(Lm.Scale * math.log(1.0 / 2.0)).toLong
+    assert(got == ((10L, 1L, 0L, 0L, 1L, want)), got.toString)
+  }
+
+  test("KN plan: no cartesian beyond the one-row broadcast, ONE doc agg exchange") {
+    val out = Lm.kneserNeyScores(docs, tgt, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1,
+      s"exactly ONE doc-keyed aggregation exchange:\n$plan")
+  }
+
+  test("KN quantization-margin guard mirrors the bigram kit") {
+    val m = Lm.minQuantizationMarginKn(docs, tgt, "doc_id", "text")
+    assert(m > 0 && m <= 0.5, s"margin $m")
+    info(f"KN fixture quantization margin = $m%.3e")
+    Lm.kneserNeyScores(docs, tgt, "doc_id", "text",
+      minQuantMargin = Some(m / 2)).count()
+    val boom = intercept[IllegalStateException] {
+      Lm.kneserNeyScores(docs, tgt, "doc_id", "text",
+        minQuantMargin = Some(m + 1e-12))
+    }
+    assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
+  }
 }
