@@ -83,7 +83,8 @@ object LexIndex {
       .sortWithinPartitions(col("component"), col("term"), col("doc_id"))
     if (store.exists(table)) store.rewrite(table, clustered)
     else store.append(table, clustered)
-    store.analyze(table, Seq("component", "term", "doc_id"))
+    store.analyze(table, Seq("component", "term", "doc_id"),
+      bloomCols = Seq("term"))
     store.generations(table).last
   }
 
@@ -126,7 +127,8 @@ object LexIndex {
     store.append(table, statsRowsFromDoclen(
       store.readWhere(table, col("component") === "doclen")))
     // keep serve-path file pruning live for the churned files
-    store.analyzeIncremental(table, Seq("component", "term", "doc_id"))
+    store.analyzeIncremental(table, Seq("component", "term", "doc_id"),
+      bloomCols = Seq("term"))
   }
 
   /** Serve BM25 top-k from the LIVE index with FILE-LEVEL pruning:

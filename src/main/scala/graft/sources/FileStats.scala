@@ -32,13 +32,40 @@ import java.math.{BigDecimal => JBigDecimal}
   */
 object FileStats {
 
+  /** Per-file BLOOM filter over one column's values — the equality/IN
+    * skipping complement to [min,max] ranges: interleaved or high-
+    * entropy keys give every file the SAME wide range (no range ever
+    * prunes), while a bloom answers "this exact value cannot be here"
+    * with no false negatives. `m` bits as packed little-endian long
+    * words, `k` double-hashed probes (pos_i = (h1 + i·h2) mod m over
+    * the two xxhash64 streams [[FileStats.bloomHashes]] defines).
+    * False positives only COST I/O (the file is read and filtered);
+    * false negatives are impossible by construction, which the spec
+    * pins by probing every value actually present.
+    */
+  final case class Bloom(m: Int, k: Int, words: Array[Long]) {
+    def mightContain(h1: Long, h2: Long): Boolean = {
+      val b1 = java.lang.Math.floorMod(h1, m.toLong)
+      val b2 = java.lang.Math.floorMod(h2, m.toLong)
+      var i = 0
+      while (i < k) {
+        val pos = ((b1 + i * b2) % m).toInt
+        if ((words(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   /** One column's file-level stats. `min`/`max` are None when every
     * value in the file is NULL. Values are normalized comparables:
     * `JBigDecimal` for every numeric/date/timestamp kind, `String` for
-    * strings, `java.lang.Boolean` for booleans.
+    * strings, `java.lang.Boolean` for booleans. `bloom` is present
+    * only for columns the analyze named in `bloomCols`.
     */
   final case class ColStats(rows: Long, nulls: Long,
-                            min: Option[Any], max: Option[Any])
+                            min: Option[Any], max: Option[Any],
+                            bloom: Option[Bloom] = None)
 
   /** `rows` = file row count; `cols` = per-column stats for the
     * analyzed columns (absent column ⇒ no pruning on it).
@@ -77,9 +104,31 @@ object FileStats {
     else if (s.startsWith("b:")) Some(java.lang.Boolean.valueOf(s.drop(2)))
     else throw new IllegalStateException(s"bad stat value encoding: $s")
 
+  private def encBloom(b: Option[Bloom]): String = b match {
+    case None => "-"
+    case Some(bl) =>
+      val hex = new StringBuilder(bl.words.length * 16)
+      bl.words.foreach(w => hex.append(f"$w%016x"))
+      s"b:${bl.m}:${bl.k}:$hex"
+  }
+
+  private def decBloom(s: String): Option[Bloom] =
+    if (s == "-" || !s.startsWith("b:")) None
+    else {
+      val p = s.drop(2).split(":", 3)
+      val (m, k, hex) = (p(0).toInt, p(1).toInt, p(2))
+      val words = Array.tabulate(hex.length / 16)(i =>
+        java.lang.Long.parseUnsignedLong(
+          hex.substring(i * 16, i * 16 + 16), 16))
+      Some(Bloom(m, k, words))
+    }
+
   /** `file rel path → PerFile` as sidecar lines, one per (file, col):
-    * `s=<rel>\t<col>\t<rows>\t<nulls>\t<min>\t<max>` plus a bare
-    * `r=<rel>\t<rows>` row-count line per file.
+    * `s=<rel>\t<col>\t<rows>\t<nulls>\t<min>\t<max>[\t<bloom>]` plus a
+    * bare `r=<rel>\t<rows>` row-count line per file. The bloom field
+    * is optional both ways: pre-bloom sidecars parse (bloom = None)
+    * and pre-bloom readers ignore the extra field — staleness of the
+    * sidecar only ever degrades skipping.
     */
   def serialize(stats: Map[String, PerFile]): String = {
     val sb = new StringBuilder
@@ -87,7 +136,7 @@ object FileStats {
       sb.append(s"r=${enc(rel)}\t${pf.rows}\n")
       pf.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
         sb.append(s"s=${enc(rel)}\t${enc(c)}\t${cs.rows}\t${cs.nulls}\t" +
-          s"${encVal(cs.min)}\t${encVal(cs.max)}\n")
+          s"${encVal(cs.min)}\t${encVal(cs.max)}\t${encBloom(cs.bloom)}\n")
       }
     }
     sb.toString
@@ -104,9 +153,10 @@ object FileStats {
       } else if (l.startsWith("s=")) {
         val p = l.drop(2).split("\t", -1)
         val rel = dec(p(0))
+        val bloom = if (p.length > 6) decBloom(p(6)) else None
         cols(rel) = cols.getOrElse(rel, Map.empty) +
           (dec(p(1)) -> ColStats(p(2).toLong, p(3).toLong,
-            decVal(p(4)), decVal(p(5))))
+            decVal(p(4)), decVal(p(5)), bloom))
       }
     }
     rows.map { case (rel, n) =>
@@ -147,6 +197,60 @@ object FileStats {
       case _ => None
     }
   }
+
+  // --------------------------------------------------- bloom hashing
+
+  /** Salt prepended (as a string literal child) to xxhash64 for the
+    * second hash stream — composing children is how a SECOND
+    * independent hash function is obtained without private Catalyst
+    * constructors, and the engine-side aggregation and this driver-side
+    * replay share it by name.
+    */
+  val BloomSalt = "graft_bloom2"
+
+  /** A predicate literal re-typed exactly as the analyze-side bloom
+    * projection hashes the column ([[TableStore.analyze]]'s `normCol`:
+    * integral → long, float → double, date → Int days, timestamp →
+    * long micros; string/bool/decimal as-is) — the two xxhash64
+    * streams only agree if the Catalyst input TYPE agrees, not just
+    * the value. None ⇒ outside the bloom's domain (keep the file).
+    */
+  private def bloomLit(v: Any, t: DataType): Option[Literal] = {
+    if (v == null) return None
+    t match {
+      case ByteType    => Some(Literal(v.asInstanceOf[Byte].toLong, LongType))
+      case ShortType   => Some(Literal(v.asInstanceOf[Short].toLong, LongType))
+      case IntegerType => Some(Literal(v.asInstanceOf[Int].toLong, LongType))
+      case LongType    => Some(Literal(v.asInstanceOf[Long], LongType))
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None
+        else Some(Literal(f.toDouble, DoubleType))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None else Some(Literal(d, DoubleType))
+      case dt: DecimalType => Some(Literal(v, dt))
+      case StringType      => Some(Literal(v, StringType))
+      case BooleanType     => Some(Literal(v, BooleanType))
+      case DateType        => Some(Literal(v.asInstanceOf[Int], IntegerType))
+      case TimestampType | TimestampNTZType =>
+        Some(Literal(v.asInstanceOf[Long], LongType))
+      case _ => None
+    }
+  }
+
+  /** (h1, h2) for a predicate literal — the same two xxhash64 streams
+    * the analyze-side bloom aggregation computes per row.
+    */
+  def bloomHashes(v: Any, t: DataType): Option[(Long, Long)] =
+    bloomLit(v, t).map { l =>
+      val h1 = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+      val h2 = XxHash64(Seq(
+        Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString(BloomSalt), StringType), l), 42L)
+        .eval(null).asInstanceOf[Long]
+      (h1, h2)
+    }
 
   /** Exact total-order compare of two normalized comparables; None when
     * the kinds are incompatible (schema drift between stats and
@@ -198,6 +302,20 @@ object FileStats {
         case _ => true
       }
 
+    /** bloom probe: prove the exact value absent even when the
+      * [min,max] window admits it. No bloom / null literal / foreign
+      * type ⇒ keep.
+      */
+    def bloomKeep(name: String, litV: Any, litT: DataType): Boolean =
+      stats(name).flatMap(_.bloom) match {
+        case Some(b) if litV != null =>
+          bloomHashes(litV, litT) match {
+            case Some((h1, h2)) => b.mightContain(h1, h2)
+            case None           => true
+          }
+        case _ => true
+      }
+
     def eval(e: Expression): Boolean = e match {
       case And(a, b) => eval(a) && eval(b)
       case Or(a, b)  => eval(a) || eval(b)
@@ -205,7 +323,8 @@ object FileStats {
       case EqualTo(a, l) if attrName(a).isDefined && litOf(l).isDefined =>
         val (v, t) = litOf(l).get
         rangeKeep(attrName(a).get, v, t, (cMin, cMax) =>
-          cMin <= 0 && cMax >= 0)
+          cMin <= 0 && cMax >= 0) &&
+          bloomKeep(attrName(a).get, v, t)
       case EqualTo(l, a) if attrName(a).isDefined && litOf(l).isDefined =>
         eval(EqualTo(a, l))
 

@@ -1741,12 +1741,30 @@ final class TableStore(spark: SparkSession, root: String,
     * boundaries drop that file's entry — conservative), decimal,
     * string, boolean, date, timestamp.
     */
-  def analyze(table: String, statsCols: Seq[String]): Unit = {
+  def analyze(table: String, statsCols: Seq[String]): Unit =
+    analyze(table, statsCols, Nil)
+
+  /** [[analyze]] with per-file BLOOM filters on `bloomCols` (⊆
+    * `statsCols`): the equality/IN skipping complement to [min,max]
+    * ranges. Interleaved or high-entropy keys give every file the same
+    * wide range — no range ever prunes a point lookup — while a bloom
+    * proves "this exact value is not in this file" with NO false
+    * negatives, so `readWhere(key === x)` launches tasks only for the
+    * handful of files that might hold x (the 100 TB point-read shape).
+    * `bloomBits` sizes each filter (k = 4 double-hashed probes;
+    * ~1% false-positive rate at bits/12 distinct values per file —
+    * false positives cost I/O, never rows). Cost: `bloomBits/8` bytes
+    * per (file, col) in the sidecar and k bounded collect_sets riding
+    * the same one stats job.
+    */
+  def analyze(table: String, statsCols: Seq[String],
+              bloomCols: Seq[String], bloomBits: Int = 8192): Unit = {
     require(statsCols.nonEmpty, "analyze: name at least one column")
     require(readManifest(table).forall(!_.swapping),
       s"table $table: crashed swap pending — run recover()/a mutation " +
         "before analyze")
-    val stats = statsOf(readPinned(table), table, statsCols)
+    val stats = statsOf(readPinned(table), table, statsCols, bloomCols,
+      bloomBits)
     writeStatsSidecar(table, stats)
   }
 
@@ -1794,13 +1812,21 @@ final class TableStore(spark: SparkSession, root: String,
     * one row per data file.
     */
   private def statsOf(df: DataFrame, table: String,
-                      statsCols: Seq[String])
+                      statsCols: Seq[String],
+                      bloomCols: Seq[String] = Nil,
+                      bloomBits: Int = 8192)
       : Map[String, FileStats.PerFile] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val schema = df.schema
     statsCols.foreach(c => require(schema.exists(_.name == c),
       s"analyze: column $c not in ${schema.map(_.name).mkString(",")}"))
+    require(bloomCols.forall(statsCols.contains),
+      s"analyze: bloomCols must be a subset of statsCols — extra: " +
+        bloomCols.filterNot(statsCols.contains).mkString(","))
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      s"analyze: bloomBits must be a positive multiple of 64, got $bloomBits")
+    val bloomK = 4
     def normCol(c: String) = schema(schema.fieldIndex(c)).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         col(c).cast(LongType)
@@ -1817,9 +1843,24 @@ final class TableStore(spark: SparkSession, root: String,
       Seq(min(normCol(c)).as(s"__min_$c"), max(normCol(c)).as(s"__max_$c"),
         sum(col(c).isNull.cast(LongType)).as(s"__null_$c"))
     }
+    // bloom bit positions as k bounded collect_sets per column, riding
+    // the SAME stats job: pos_i = (h1 + i·h2) mod m over the two
+    // xxhash64 streams FileStats.bloomHashes replays driver-side.
+    // Null rows hash to a constant position — one spurious bit, which
+    // only widens false positives (never a false negative). Each
+    // inner pmod is < m, so the sum stays far from Long overflow
+    // (ANSI-safe).
+    val bloomAggs = bloomCols.flatMap { c =>
+      val h1 = pmod(xxhash64(normCol(c)), lit(bloomBits.toLong))
+      val h2 = pmod(xxhash64(lit(FileStats.BloomSalt), normCol(c)),
+        lit(bloomBits.toLong))
+      (0 until bloomK).map(i => collect_set(
+        pmod(h1 + lit(i.toLong) * h2, lit(bloomBits.toLong)).cast(IntegerType))
+        .as(s"__bloom_${i}_$c"))
+    }
     val perFile = df.withColumn("__path", col("_metadata.file_path"))
       .groupBy("__path")
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .agg(count(lit(1)).as("__rows"), (aggs ++ bloomAggs): _*)
       .collect() // one row per data file: metadata-scale by construction
     // URI-path compare: `_metadata.file_path` renders `file:///x` where
     // makeQualified renders `file:/x` — same location, different
@@ -1845,12 +1886,23 @@ final class TableStore(spark: SparkSession, root: String,
       else {
         val rel = full.stripPrefix(base + "/")
         val rows = r.getAs[Long]("__rows")
+        def bloomOf(c: String): Option[FileStats.Bloom] =
+          if (!bloomCols.contains(c)) None
+          else {
+            val words = new Array[Long](bloomBits / 64)
+            (0 until bloomK).foreach { i =>
+              r.getAs[scala.collection.Seq[Int]](s"__bloom_${i}_$c")
+                .foreach(p => words(p >> 6) |= 1L << (p & 63))
+            }
+            Some(FileStats.Bloom(bloomBits, bloomK, words))
+          }
         val cols = statsCols.flatMap { c =>
           val nulls = r.getAs[Long](s"__null_$c")
           (comparable(r.getAs[Any](s"__min_$c")),
             comparable(r.getAs[Any](s"__max_$c"))) match {
             case (Some(mn), Some(mx)) =>
-              Some(c -> FileStats.ColStats(rows, nulls, Some(mn), Some(mx)))
+              Some(c -> FileStats.ColStats(rows, nulls, Some(mn), Some(mx),
+                bloomOf(c)))
             case (None, None) if nulls == rows => // all-null: prunable
               Some(c -> FileStats.ColStats(rows, nulls, None, None))
             case _ => None // non-finite boundary: no stats for this col
@@ -1873,7 +1925,18 @@ final class TableStore(spark: SparkSession, root: String,
     * on fewer; correctness is unaffected either way). No-op when
     * nothing is new.
     */
-  def analyzeIncremental(table: String, statsCols: Seq[String]): Unit = {
+  def analyzeIncremental(table: String, statsCols: Seq[String]): Unit =
+    analyzeIncremental(table, statsCols, Nil)
+
+  /** [[analyzeIncremental]] with BLOOM filters on `bloomCols` for the
+    * new files (see the bloom [[analyze]] overload); previously
+    * analyzed files keep whatever stats (with or without blooms) they
+    * already have — skipping uniformity is per-file, correctness is
+    * unaffected either way.
+    */
+  def analyzeIncremental(table: String, statsCols: Seq[String],
+                         bloomCols: Seq[String],
+                         bloomBits: Int = 8192): Unit = {
     require(statsCols.nonEmpty, "analyzeIncremental: name at least one column")
     require(readManifest(table).forall(!_.swapping),
       s"table $table: crashed swap pending — run recover()/a mutation " +
@@ -1881,7 +1944,7 @@ final class TableStore(spark: SparkSession, root: String,
     val fs = fsOf(hpath(table))
     val prior = readStatsSidecar(table) match {
       case Some(st) => st
-      case None     => analyze(table, statsCols); return
+      case None     => analyze(table, statsCols, bloomCols, bloomBits); return
     }
     val current = committedFiles(table, fs)
     val currentSet = current.toSet
@@ -1896,7 +1959,7 @@ final class TableStore(spark: SparkSession, root: String,
     val delta = statsOf(
       rd(table).option("basePath", dstS)
         .parquet(missing.map(r => s"$dstS/$r"): _*),
-      table, statsCols)
+      table, statsCols, bloomCols, bloomBits)
     writeStatsSidecar(table, live ++ delta)
   }
 

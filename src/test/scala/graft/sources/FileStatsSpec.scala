@@ -230,4 +230,105 @@ class FileStatsSpec extends SparkSpec {
     assert(pruned.count() == 1)
     assert(pruned.inputFiles.length < ts.read("t").inputFiles.length)
   }
+
+  // ------------------------------------------------------ bloom skipping
+
+  test("bloom: point lookups prune interleaved files ranges cannot") {
+    val ts = freshStore()
+    // k = even numbers interleaved by k % 4: every file's [min,max]
+    // window spans nearly the whole domain, so RANGE stats prove
+    // nothing for a point predicate — the bloom is what prunes
+    ts.rewrite("t", spark.range(400).toDF("i")
+      .withColumn("k", $"i" * 2)
+      .withColumn("s", concat(lit("u"), format_string("%03d", $"k")))
+      .repartitionByRange(4, pmod($"i", lit(4))).drop("i"))
+    assert(ts.read("t").inputFiles.length == 4)
+    ts.analyze("t", Seq("k", "s"), bloomCols = Seq("k", "s"))
+
+    // range stats alone keep all 4; the bloom narrows to the one file
+    // actually holding the value (hashes are fixed: deterministic)
+    val point = ts.readWhere("t", $"k" === 42L)
+    assert(point.inputFiles.length == 1,
+      s"bloom must prune, kept ${point.inputFiles.length}")
+    assert(point.select($"s").as[String].head() == "u042")
+
+    val sPoint = ts.readWhere("t", $"s" === "u042")
+    assert(sPoint.inputFiles.length == 1)
+    assert(sPoint.select($"k").as[Long].head() == 42L)
+
+    // inside-range but ABSENT value (odd): range keeps, bloom proves
+    // every file empty
+    val absent = ts.readWhere("t", $"k" === 43L)
+    assert(absent.count() == 0)
+    assert(absent.inputFiles.isEmpty)
+
+    // IN-list: prunes to the union of member files
+    val inl = ts.readWhere("t", $"k".isin(42L, 43L, 100L))
+    assert(inl.inputFiles.length <= 2)
+    assert(inl.select(sum($"k")).as[Long].head() == 142L)
+  }
+
+  test("bloom: no false negatives — every present value keeps its file") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(300).toDF("i")
+      .withColumn("k", $"i" * 3 + 1)
+      .withColumn("s", md5($"k".cast("string")))
+      .repartitionByRange(5, pmod($"i", lit(5))).drop("i"))
+    ts.analyze("t", Seq("k", "s"), bloomCols = Seq("k", "s"))
+    val all = ts.read("t").as[(Long, String)].collect().toMap
+    all.keys.filter(_ % 17 == 0).foreach { k =>
+      val got = ts.readWhere("t", $"k" === k).as[(Long, String)].collect()
+      assert(got.toSeq == Seq(k -> all(k)), s"k=$k")
+      val gotS = ts.readWhere("t", $"s" === all(k)).as[(Long, String)]
+        .collect()
+      assert(gotS.toSeq == Seq(k -> all(k)), s"s of k=$k")
+    }
+  }
+
+  test("bloom: sidecar round-trips; pre-bloom lines still parse") {
+    val words = new Array[Long](8192 / 64)
+    def set(h1: Long, h2: Long): Unit = {
+      val b1 = java.lang.Math.floorMod(h1, 8192L)
+      val b2 = java.lang.Math.floorMod(h2, 8192L)
+      (0 until 4).foreach { i =>
+        val pos = ((b1 + i * b2) % 8192).toInt
+        words(pos >> 6) |= 1L << (pos & 63)
+      }
+    }
+    val (h1, h2) = FileStats.bloomHashes(42L,
+      org.apache.spark.sql.types.LongType).get
+    set(h1, h2)
+    val stats = Map("f.parquet" -> PerFile(5, Map(
+      "k" -> ColStats(5, 0, Some(bd(0)), Some(bd(100)),
+        Some(Bloom(8192, 4, words))))))
+    val rt = deserialize(serialize(stats))
+    assert(rt("f.parquet").cols("k").bloom.get.words.toSeq ==
+      words.toSeq)
+    // present value keeps, absent value prunes, range still applies
+    val pf = rt("f.parquet")
+    assert(mayMatch(EqualTo(a("k"), Literal(42L)), pf))
+    assert(!mayMatch(EqualTo(a("k"), Literal(43L)), pf))
+    assert(!mayMatch(EqualTo(a("k"), Literal(101L)), pf)) // range proof
+    // a pre-bloom 6-field sidecar line parses with bloom = None
+    val legacy = "r=f.parquet\t5\ns=f.parquet\tk\t5\t0\tn:0\tn:100\n"
+    val old = deserialize(legacy)
+    assert(old("f.parquet").cols("k").bloom.isEmpty)
+    assert(mayMatch(EqualTo(a("k"), Literal(43L)), old("f.parquet")))
+  }
+
+  test("bloom: analyzeIncremental covers appended files") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(100).toDF("i")
+      .withColumn("k", $"i" * 2)
+      .repartitionByRange(2, pmod($"i", lit(2))).drop("i"))
+    ts.analyze("t", Seq("k"), bloomCols = Seq("k"))
+    ts.append("t", Seq(1001L, 1003L).toDF("k"))
+    ts.analyzeIncremental("t", Seq("k"), bloomCols = Seq("k"))
+    // the appended file's bloom proves 1005 absent; with ranges alone
+    // its [1001,1003] window would already exclude it — so probe 1001
+    // (present) and 43 (absent-in-range of the first two files)
+    assert(ts.readWhere("t", $"k" === 1001L).count() == 1)
+    val absent = ts.readWhere("t", $"k" === 43L)
+    assert(absent.count() == 0 && absent.inputFiles.isEmpty)
+  }
 }
