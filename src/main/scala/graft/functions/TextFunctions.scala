@@ -268,6 +268,13 @@ object TextFunctions {
     */
   def scriptMix(c: Column): Column = call_function("graft_script_mix", c)
 
+  /** Unigram-LM Viterbi corpus-encoding score under a trained piece
+    * model ([[graft.plans.UnigramScoreExpr]]); `model` is the
+    * [[graft.operators.Unigram]] serialized literal.
+    */
+  def unigramScore(c: Column, model: String): Column =
+    call_function("graft_unigram_score", c, lit(model))
+
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("graft_canonical_url", url)
 

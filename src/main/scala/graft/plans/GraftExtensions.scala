@@ -65,6 +65,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => AcRedactExpr(c(0), c(1), c(2))),
     (FunctionIdentifier("graft_script_mix"), info("graft_script_mix"),
       (c: Seq[Expression]) => ScriptMixExpr(c(0))),
+    (FunctionIdentifier("graft_unigram_score"), info("graft_unigram_score"),
+      (c: Seq[Expression]) => UnigramScoreExpr(c(0), c(1))),
     (FunctionIdentifier("graft_mg"), info("graft_mg"),
       (c: Seq[Expression]) => MisraGriesAgg.fromArgs(c)),
     // Spark's own runtime-bloom-join machinery, surfaced as callable

@@ -226,6 +226,53 @@ object TextKernels extends Serializable {
     }
     new GenericArrayData(Array[Any](lat, dig, cyr, cjk, oth))
   }
+
+  /** See [[UnigramScoreExpr]]: tokenize ([[normTokens]] semantics),
+    * then per word run the Viterbi max-score DP over the piece table —
+    * dp[j] = max over piece lengths l of dp[j−l] + cost(w[j−l..j)),
+    * with the single-character FALLBACK cost standing in when a
+    * length-1 piece is absent (so every word is scorable). Returns the
+    * SUM of per-word best scores: the max is a unique value, so the
+    * result is deterministic even when distinct segmentations tie —
+    * the reason this kernel reports scores, never piece sequences.
+    */
+  def unigramScore(input: UTF8String,
+                   costs: java.util.HashMap[String, java.lang.Long],
+                   maxPieceLen: Int, fallback: Long): Long = {
+    val toks = normTokens(input)
+    val Neg = java.lang.Long.MIN_VALUE / 4
+    var total = 0L
+    var t = 0
+    while (t < toks.numElements()) {
+      val w = toks.getUTF8String(t).toString
+      val n = w.length
+      if (n > 0) {
+        val dp = new Array[Long](n + 1)
+        var j = 1
+        while (j <= n) {
+          var best = Neg
+          val lMax = if (j < maxPieceLen) j else maxPieceLen
+          var l = 1
+          while (l <= lMax) {
+            if (dp(j - l) > Neg / 2) {
+              val c = costs.get(w.substring(j - l, j))
+              if (c != null) {
+                val s = dp(j - l) + c.longValue(); if (s > best) best = s
+              } else if (l == 1) {
+                val s = dp(j - 1) + fallback; if (s > best) best = s
+              }
+            }
+            l += 1
+          }
+          dp(j) = best
+          j += 1
+        }
+        total += dp(n)
+      }
+      t += 1
+    }
+    total
+  }
 }
 
 /** Unicode-script histogram over a string — the mixed-script spam /
@@ -403,4 +450,69 @@ case class BpeSegmentExpr(child: Expression, mergesExpr: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeSegmentExpr =
     copy(child = newLeft, mergesExpr = newRight)
+}
+
+/** Unigram-LM (SentencePiece-style) Viterbi scoring of a text column
+  * under a trained piece table — the native kernel behind
+  * [[graft.operators.Unigram.scoreDocs]] (Kudo 2018's unigram language
+  * model tokenizer, the other mainstream subword scheme beside BPE;
+  * public literature, no reference counterpart). Each normalized word
+  * is segmented by the max-score DP over quantized-ln piece costs and
+  * the expression returns the per-document SUM of best scores — the
+  * corpus "encoding cost" a tokenizer evaluation compares across
+  * vocabularies. Scores only, never piece sequences: the max is a
+  * unique value, so ties between segmentations cannot make the gate
+  * engine-order-sensitive.
+  *
+  * `modelExpr` must be a foldable string literal: first line
+  * `<maxPieceLen> <fallbackCost>`, then one `<piece> <costQ>` line per
+  * vocabulary piece (pieces are normalized [a-z0-9] substrings — never
+  * contain spaces/newlines), parsed once per expression instance (the
+  * [[BpeSegmentExpr]] literal pattern).
+  */
+case class UnigramScoreExpr(child: Expression, modelExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = modelExpr
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_unigram_score"
+
+  @transient private lazy val (costs, maxPieceLen, fallback):
+      (java.util.HashMap[String, java.lang.Long], Int, Long) = {
+    require(modelExpr.foldable, "graft_unigram_score model must be a literal")
+    val s = Option(modelExpr.eval(null).asInstanceOf[UTF8String])
+      .map(_.toString).getOrElse("")
+    val lines = s.split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty, "graft_unigram_score: empty model")
+    val head = lines.head.split(' ')
+    require(head.length == 2, s"bad model header: '${lines.head}'")
+    val (ml, fb) = (head(0).toInt, head(1).toLong)
+    require(ml >= 1, s"maxPieceLen must be >= 1, got $ml")
+    val m = new java.util.HashMap[String, java.lang.Long](lines.length * 2)
+    lines.drop(1).foreach { l =>
+      val i = l.indexOf(' ')
+      require(i > 0, s"bad model line: '$l'")
+      m.put(l.substring(0, i), java.lang.Long.valueOf(l.substring(i + 1)))
+    }
+    (m, ml, fb)
+  }
+
+  override def nullSafeEval(input: Any, m: Any): Any =
+    TextKernels.unigramScore(input.asInstanceOf[UTF8String], costs,
+      maxPieceLen, fallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    val cm = ctx.addReferenceObj("unigramCosts", costs,
+      "java.util.HashMap<String, Long>")
+    defineCodeGen(ctx, ev, (a, _) =>
+      s"$kernel.unigramScore($a, $cm, $maxPieceLen, ${fallback}L)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramScoreExpr =
+    copy(child = newLeft, modelExpr = newRight)
 }

@@ -1029,6 +1029,99 @@ object CorpusQueries {
       FROM e GROUP BY lang ORDER BY lang"""))
   }
 
+  /** q127 — unigram-LM tokenizer scoring
+    * ([[graft.operators.Unigram]], Kudo 2018 / SentencePiece): train
+    * the deterministic substring-frequency vocabulary (top-40 pieces ∪
+    * all single chars, quantized-ln costs, margin-audited), then
+    * Viterbi-score every document in ONE codegen pass — per doc the
+    * sum of per-word max-score segmentations (scores only: a max is a
+    * unique value, so segmentation ties can't break the hash gate).
+    * The oracle rebuilds the vocabulary (`SELECT DISTINCT … UNION ALL`
+    * instead of bare UNION — under WITH RECURSIVE, DuckDB 1.0 skips
+    * the dedup a bare UNION promises) and replays the DP as a
+    * sliding-window recursive CTE over each distinct word: each row
+    * carries (dp[p], dp[p−1], dp[p−2], dp[p−3]) and steps via four
+    * LEFT JOINs to the cost table, GREATEST with −4e18 sentinels for
+    * invalid transitions and the single-char fallback COALESCE.
+    */
+  private val q127 = {
+    val v = 40
+    Q("q127_unigram_lm_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Unigram.trainModel(docs, "text", v,
+          minQuantMargin = Some(1e-6))
+        graft.operators.Unigram.scoreDocs(docs, "doc_id", "text", model)
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("uni_q"), lit(0L)).as("uni_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+        tnt AS MATERIALIZED (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM
+          (SELECT UNNEST(toks) AS w FROM tnt) WHERE LEN(w) > 0
+          GROUP BY w),
+        dw AS MATERIALIZED (SELECT w, cnt, LEN(w) AS n FROM wc),
+        cand AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT)
+            AS freq FROM (
+          SELECT SUBSTR(d.w, CAST(t.i AS INT), CAST(u.l AS INT))
+              AS piece, d.cnt AS cnt
+          FROM dw d, RANGE(1, ${graft.operators.Unigram.MaxStarts + 1})
+            t(i), RANGE(1, ${graft.operators.Unigram.MaxPieceLen + 1}) u(l)
+          WHERE CAST(t.i AS INT) + CAST(u.l AS INT) - 1 <= d.n)
+          GROUP BY piece),
+        topv AS MATERIALIZED (SELECT piece, freq FROM (
+          SELECT piece, freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
+          FROM cand) WHERE rn <= $v),
+        vocab AS MATERIALIZED (SELECT DISTINCT piece, freq FROM (
+          SELECT piece, freq FROM topv UNION ALL
+          SELECT piece, freq FROM cand WHERE LEN(piece) = 1)),
+        tot AS MATERIALIZED (SELECT CAST(SUM(freq) AS BIGINT) AS t
+          FROM vocab),
+        cost AS MATERIALIZED (SELECT piece, CAST(FLOOR(1000000.0 *
+          LN(CAST(freq AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)))
+          AS BIGINT) AS c FROM vocab),
+        fb AS MATERIALIZED (SELECT CAST(FLOOR(1000000.0 *
+          LN(1.0 / CAST(t AS DOUBLE))) AS BIGINT) AS f FROM tot),
+        dp AS (
+          SELECT w, n, 0 AS pos, CAST(0 AS BIGINT) AS s0,
+            CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+            CAST(NULL AS BIGINT) AS s3 FROM dw
+          UNION ALL
+          SELECT d.w, d.n, d.pos + 1,
+            GREATEST(
+              d.s0 + COALESCE(c1.c, (SELECT f FROM fb)),
+              COALESCE(d.s1 + c2.c, CAST(-4000000000000000000 AS BIGINT)),
+              COALESCE(d.s2 + c3.c, CAST(-4000000000000000000 AS BIGINT)),
+              COALESCE(d.s3 + c4.c, CAST(-4000000000000000000 AS BIGINT)))
+              AS s0,
+            d.s0, d.s1, d.s2
+          FROM dp d
+          LEFT JOIN cost c1 ON c1.piece = SUBSTR(d.w, d.pos + 1, 1)
+          LEFT JOIN cost c2 ON c2.piece = SUBSTR(d.w, d.pos, 2)
+            AND d.pos >= 1
+          LEFT JOIN cost c3 ON c3.piece = SUBSTR(d.w, d.pos - 1, 3)
+            AND d.pos >= 2
+          LEFT JOIN cost c4 ON c4.piece = SUBSTR(d.w, d.pos - 2, 4)
+            AND d.pos >= 3
+          WHERE d.pos < d.n),
+        final AS MATERIALIZED (SELECT w, s0 AS ws FROM dp WHERE pos = n),
+        docw AS (SELECT doc_id, UNNEST(toks) AS w FROM tnt),
+        agg AS (SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(f.ws) AS BIGINT) AS uni_q
+          FROM (SELECT doc_id, w FROM docw WHERE LEN(w) > 0) dd
+          JOIN final f USING (w) GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id,
+        CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+        COALESCE(a.uni_q, 0) AS uni_q
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112, q114, q117, q124)
+    q93, q94, q97, q98, q111, q112, q114, q117, q124, q127)
 }
