@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation — the feedback loop every served index
@@ -64,5 +64,59 @@ object Eval {
       .select(col("qid"), col("n_exact"), col("n_hit"),
         expr("(1000000 * n_hit) div n_exact").as("recall_ppm"),
         col("mrr_ppm"))
+  }
+
+  /** Quantized position weight for nDCG: ⌊1e6 / log2(1+i)⌋. Computed
+    * ONCE driver-side and embedded as literals in BOTH the Spark plan
+    * and the oracle SQL (the hyperplane-literal precedent) — the
+    * irrational log2 weights never cross an engine boundary, so the
+    * gate needs no margin audit at all.
+    */
+  def dcgWeight(i: Int): Long =
+    math.floor(1000000.0 / (math.log(1.0 + i) / math.log(2.0))).toLong
+
+  /** Per-query nDCG@k of an approximate top-k list against the exact
+    * baseline, with graded relevance DERIVED from the baseline rank:
+    * rel(doc) = k + 1 − erk (the baseline's #1 doc grades k, its #k
+    * grades 1, anything outside grades 0). All-integer:
+    * {{{
+    *   dcg_q    = Σ_{approx pos i} rel(doc_i) · dcgWeight(i)
+    *   idcg_q   = Σ_{i ≤ n_exact} (k + 1 − i) · dcgWeight(i)
+    *   ndcg_ppm = 1e6 · dcg_q div idcg_q
+    * }}}
+    * One row per qid present in `exact`; a qid with no approx rows
+    * scores 0. Same bounded-list scale shape as [[recallAtK]].
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+              idCol: String, rkCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val w: Column = element_at(
+      map((1 to k).flatMap(i => Seq(lit(i.toLong), lit(dcgWeight(i)))): _*),
+      col("ark"))
+    val ap = approx.select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(rkCol).cast("long").as("ark"))
+      .filter(col("ark") <= k)
+    val ex = exact.select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(rkCol).cast("long").as("erk"))
+      .filter(col("erk") <= k)
+    val idcgByN: Column = element_at(
+      map((1 to k).flatMap { n =>
+        Seq(lit(n.toLong), lit((1 to n).map(i =>
+          (k + 1 - i).toLong * dcgWeight(i)).sum))
+      }: _*), col("n_exact"))
+    // dcg rides the same left join as recallAtK: baseline rows keep
+    // their grade, approx-side rank supplies the position weight
+    ex.join(ap, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(when(col("ark").isNotNull,
+          (lit(k + 1).cast("long") - col("erk")) * w)), lit(0L))
+          .as("dcg_q"))
+      .select(col("qid"), col("n_exact"), col("dcg_q"),
+        idcgByN.as("idcg_q"))
+      .select(col("qid"), col("n_exact"), col("dcg_q"), col("idcg_q"),
+        expr("(1000000 * dcg_q) div idcg_q").as("ndcg_ppm"))
   }
 }

@@ -889,11 +889,31 @@ object VectorQueries {
         "rk", 10).orderBy(col("qid"))
     },
     Some {
-      val hp = Similarity.hyperplanes(16, 64)
-      val hpValues = hp.zipWithIndex.map { case (p, i) =>
-        s"(${i}, [${p.mkString(", ")}])"
-      }.mkString(",\n        ")
-      s"""WITH hp(plane_id, pv) AS (VALUES
+      s"""WITH ${annEvalCtes(10)},
+      j AS (SELECT ex.qid AS qid, ex.erk AS erk, ap.ark AS ark
+        FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid),
+      agg AS (SELECT qid, COUNT(*) AS n_exact,
+          COALESCE(SUM(CASE WHEN ark IS NOT NULL THEN 1 END), 0)
+            AS n_hit,
+          COALESCE(MAX(CASE WHEN erk = 1 AND ark IS NOT NULL
+            THEN 1000000 // ark END), 0) AS mrr_ppm
+        FROM j GROUP BY qid)
+      SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST((1000000 * n_hit) // n_exact AS BIGINT) AS recall_ppm,
+        CAST(mrr_ppm AS BIGINT) AS mrr_ppm
+      FROM agg ORDER BY qid"""
+    })
+
+  /** The q21 LSH chain + q20 brute chain joined into (ap, ex) rank
+    * CTEs — shared by q126 (recall/MRR tail) and q128 (nDCG tail).
+    */
+  private def annEvalCtes(k: Int): String = {
+    val hp = Similarity.hyperplanes(16, 64)
+    val hpValues = hp.zipWithIndex.map { case (p, i) =>
+      s"(${i}, [${p.mkString(", ")}])"
+    }.mkString(",\n        ")
+    s"""hp(plane_id, pv) AS (VALUES
         $hpValues),
       v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
         FROM embeddings),
@@ -919,7 +939,7 @@ object VectorQueries {
       ap AS (SELECT qid, nid, ark FROM (SELECT qid, nid,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
             AS ark
-        FROM lscored WHERE sim IS NOT NULL) WHERE ark <= 10),
+        FROM lscored WHERE sim IS NOT NULL) WHERE ark <= $k),
       bscored AS (SELECT q.qid, c.vec_id AS nid,
           (list_dot_product(c.vv, q.av) /
             (SQRT(list_dot_product(q.av, q.av)) *
@@ -929,23 +949,58 @@ object VectorQueries {
       ex AS (SELECT qid, nid, erk FROM (SELECT qid, nid,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
             AS erk
-        FROM bscored WHERE sim IS NOT NULL) WHERE erk <= 10),
-      j AS (SELECT ex.qid AS qid, ex.erk AS erk, ap.ark AS ark
-        FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid),
-      agg AS (SELECT qid, COUNT(*) AS n_exact,
-          COALESCE(SUM(CASE WHEN ark IS NOT NULL THEN 1 END), 0)
-            AS n_hit,
-          COALESCE(MAX(CASE WHEN erk = 1 AND ark IS NOT NULL
-            THEN 1000000 // ark END), 0) AS mrr_ppm
-        FROM j GROUP BY qid)
-      SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
-        CAST(n_hit AS BIGINT) AS n_hit,
-        CAST((1000000 * n_hit) // n_exact AS BIGINT) AS recall_ppm,
-        CAST(mrr_ppm AS BIGINT) AS mrr_ppm
-      FROM agg ORDER BY qid"""
-    })
+        FROM bscored WHERE sim IS NOT NULL) WHERE erk <= $k)"""
+  }
+
+  /** q128 — nDCG@10 of the LSH path against the exact baseline
+    * ([[graft.operators.Eval.ndcgAtK]]): graded relevance derived from
+    * the baseline rank (rel = k+1−erk), position weights
+    * ⌊1e6/log2(1+i)⌋ computed ONCE driver-side and embedded as
+    * LITERALS in both plans (the hyperplane precedent — the irrational
+    * log2 never crosses an engine boundary), integer-division ppm.
+    */
+  private val q128 = {
+    val k = 10
+    Q("q128_ann_ndcg",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+        val approx = Similarity.lshTopK(queries = q, corpus = e,
+          qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+          k = k, dim = 64, planes = 16, bandBits = 2)
+        val exact = Similarity.bruteForceTopK(queries = q, corpus = e,
+          qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+          k = k)
+        graft.operators.Eval.ndcgAtK(approx, exact, "qid", "nid",
+          "rk", k).orderBy(col("qid"))
+      },
+      Some {
+        val wt = (1 to k).map(i =>
+          s"($i, ${graft.operators.Eval.dcgWeight(i)})").mkString(", ")
+        val ic = (1 to k).map { n =>
+          val v = (1 to n).map(i =>
+            (k + 1 - i).toLong * graft.operators.Eval.dcgWeight(i)).sum
+          s"($n, $v)"
+        }.mkString(", ")
+        s"""WITH ${annEvalCtes(k)},
+        wt(i, w) AS (VALUES $wt),
+        ic(n, v) AS (VALUES $ic),
+        j AS (SELECT ex.qid AS qid, ex.erk AS erk, ap.ark AS ark
+          FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid),
+        agg AS (SELECT qid, COUNT(*) AS n_exact,
+            COALESCE(SUM(CASE WHEN j.ark IS NOT NULL
+              THEN (${k + 1} - j.erk) * wt.w END), 0) AS dcg
+          FROM j LEFT JOIN wt ON wt.i = j.ark GROUP BY qid)
+        SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(dcg AS BIGINT) AS dcg_q,
+          CAST(ic.v AS BIGINT) AS idcg_q,
+          CAST((1000000 * dcg) // ic.v AS BIGINT) AS ndcg_ppm
+        FROM agg JOIN ic ON ic.n = agg.n_exact
+        ORDER BY qid"""
+      })
+  }
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119, q126)
+      q102, q103, q104, q105, q119, q126, q128)
 }

@@ -82,4 +82,73 @@ class EvalSpec extends SparkSpec {
     // params misses some of the exact top-10)
     assert(got.exists(_._4 < 1000000L) || got.forall(_._4 == 1000000L))
   }
+
+  // ------------------------------------------------------------- nDCG
+
+  test("nDCG hand fixture: perfect, reordered, and missed lists") {
+    val k = 3
+    def w(i: Int) = Eval.dcgWeight(i)
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L)
+    ).toDF("qid", "id", "rk")
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // perfect
+      (2L, 21L, 1L), (2L, 20L, 2L), (2L, 99L, 3L)  // swap + miss
+      // qid 3: no approx rows at all
+    ).toDF("qid", "id", "rk")
+    val got = Eval.ndcgAtK(approx, exact, "qid", "id", "rk", k)
+      .orderBy("qid")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val idcg = 3L * w(1) + 2L * w(2) + 1L * w(3)
+    val dcg2 = 2L * w(1) + 3L * w(2) // rel(21)=2 at pos 1, rel(20)=3 at 2
+    assert(got == Seq(
+      (1L, 3L, idcg, idcg, 1000000L * idcg / idcg),
+      (2L, 3L, dcg2, idcg, 1000000L * dcg2 / idcg),
+      (3L, 3L, 0L, idcg, 0L)), got.toString)
+  }
+
+  test("nDCG: short baseline list scales IDCG by n_exact") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "id", "rk")
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "id", "rk")
+    val got = Eval.ndcgAtK(approx, exact, "qid", "id", "rk", 5)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val idcg = 5L * Eval.dcgWeight(1) + 4L * Eval.dcgWeight(2)
+    assert(got == ((1L, 2L, idcg, idcg, 1000000L)), got.toString)
+  }
+
+  test("nDCG integration: LSH vs brute matches a driver-side reference") {
+    val k = 10
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val approx = Similarity.lshTopK(queries = q, corpus = e,
+      qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+      k = k, dim = 64, planes = 16, bandBits = 2)
+    val exact = Similarity.bruteForceTopK(queries = q, corpus = e,
+      qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding", k = k)
+    val got = Eval.ndcgAtK(approx, exact, "qid", "nid", "rk", k)
+      .orderBy("qid").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ap = approx.select(col("qid").cast("long"),
+        col("nid").cast("long"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exRows = exact.select(col("qid").cast("long"),
+        col("nid").cast("long"), col("rk").cast("long"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    got.foreach { case (qid, nExact, dcg, idcg, ppm) =>
+      val exq = exRows(qid)
+      val apq = ap.getOrElse(qid, Map.empty[Long, Long])
+      val wantDcg = exq.collect {
+        case (_, id, erk) if apq.contains(id) =>
+          (k + 1 - erk) * Eval.dcgWeight(apq(id).toInt)
+      }.sum
+      val wantIdcg = (1 to exq.length).map(i =>
+        (k + 1 - i).toLong * Eval.dcgWeight(i)).sum
+      assert((nExact, dcg, idcg, ppm) ==
+        ((exq.length.toLong, wantDcg, wantIdcg,
+          1000000L * wantDcg / wantIdcg)), s"qid $qid")
+    }
+  }
 }
