@@ -31,6 +31,10 @@ import graft.sources.TableStore
   *                        postings so serving needs NO doc-length join)
   *   n_docs    BIGINT  -- stats row only: corpus document count
   *   sum_dl    BIGINT  -- stats row only: corpus token count
+  *   corpus_gen BIGINT -- stats row only: the corpus-table generation
+  *                        this index reflects ([[buildFromCorpus]] /
+  *                        [[refreshFromCorpus]]); NULL for plain
+  *                        DataFrame builds
   * }}}
   *
   * Scale shape (the 100 TB contract):
@@ -67,8 +71,27 @@ object LexIndex {
     */
   def buildAndSave(store: TableStore, table: String, corpus: DataFrame,
                    idCol: String, textCol: String,
-                   clusterFiles: Option[Int] = None): Long = {
-    val df = indexRows(corpus, idCol, textCol)
+                   clusterFiles: Option[Int] = None): Long =
+    buildAndSave(store, table, corpus, idCol, textCol, clusterFiles,
+      corpusGen = None)
+
+  /** [[buildAndSave]] over a CORPUS TABLE in the same store, recording
+    * the corpus generation the build consumed in the stats row — the
+    * anchor [[refreshFromCorpus]] resumes from.
+    */
+  def buildFromCorpus(store: TableStore, corpusTable: String,
+                      lexTable: String, idCol: String, textCol: String,
+                      clusterFiles: Option[Int] = None): Long = {
+    val gen = store.generations(corpusTable).last
+    buildAndSave(store, lexTable, store.read(corpusTable), idCol,
+      textCol, clusterFiles, corpusGen = Some(gen))
+  }
+
+  private def buildAndSave(store: TableStore, table: String,
+                           corpus: DataFrame, idCol: String,
+                           textCol: String, clusterFiles: Option[Int],
+                           corpusGen: Option[Long]): Long = {
+    val df = indexRows(corpus, idCol, textCol, corpusGen)
     // range-cluster by (component, term): tight per-file term windows
     // make the analyze() sidecar (and parquet row-group stats)
     // actually selective for term-IN-vocab serving reads. Default file
@@ -112,8 +135,19 @@ object LexIndex {
     * next step, not this operator's.
     */
   def refresh(store: TableStore, table: String, changes: DataFrame,
-              idCol: String, textCol: String): Unit = {
-    val del = changes.filter(col("__change_type") === "delete")
+              idCol: String, textCol: String): Unit =
+    refresh(store, table, changes, idCol, textCol, corpusGen = None)
+
+  private def refresh(store: TableStore, table: String,
+                      changes: DataFrame, idCol: String, textCol: String,
+                      corpusGen: Option[Long]): Unit = {
+    // delete BOTH churned id sets (deletes AND inserts): for an update
+    // pair they're the same id anyway, and deleting insert ids first
+    // makes the whole refresh IDEMPOTENT — re-running after a crash
+    // between the postings append and the stats swap removes the first
+    // attempt's rows before re-appending identical content
+    val del = changes
+      .filter(col("__change_type").isin("delete", "insert"))
       .select(col(idCol).cast("long").as("doc_id")).distinct()
     // stats row has doc_id NULL: never equal to a key, always survives
     store.deleteByKeys(table, del, Seq("doc_id"))
@@ -122,13 +156,47 @@ object LexIndex {
       postingRows(ins, idCol, textCol).unionByName(
         doclenRows(ins, idCol, textCol)))
     // stats swap LAST, derived from what is now committed: delete the
-    // stale row, append the recount of the narrow doclen component
+    // stale row, append the recount of the narrow doclen component —
+    // the new corpus_gen anchor commits here, so a crash ANYWHERE
+    // earlier leaves the OLD anchor and the next refreshFromCorpus
+    // re-applies the same (idempotent) churn
     store.deleteWhere(table, col("component") === "stats")
     store.append(table, statsRowsFromDoclen(
-      store.readWhere(table, col("component") === "doclen")))
+      store.readWhere(table, col("component") === "doclen"), corpusGen))
     // keep serve-path file pruning live for the churned files
     store.analyzeIncremental(table, Seq("component", "term", "doc_id"),
       bloomCols = Seq("term"))
+  }
+
+  /** Catch the index up to the corpus table's CURRENT generation,
+    * resuming from the generation anchor the stats row recorded at
+    * [[buildFromCorpus]] / the last refresh — the complete incremental
+    * serving loop (ingest → `refreshFromCorpus` → [[topKServed]]) with
+    * no full rebuilds and no external bookkeeping. Crash-safe: the
+    * anchor advances in the LAST commit of the refresh and the churn
+    * application is idempotent, so a crash anywhere mid-refresh is
+    * healed by simply calling this again. No-op when the index is
+    * already current. Returns the corpus generation the index now
+    * reflects.
+    */
+  def refreshFromCorpus(store: TableStore, corpusTable: String,
+                        lexTable: String, idCol: String,
+                        textCol: String): Long = {
+    val statRows = store.readWhere(lexTable, col("component") === "stats")
+      .select(col("corpus_gen")).collect()
+    require(statRows.length == 1,
+      s"index $lexTable must hold exactly ONE stats row, " +
+        s"found ${statRows.length}")
+    require(!statRows.head.isNullAt(0),
+      s"index $lexTable has no corpus generation anchor - it was built " +
+        "from a plain DataFrame; build with buildFromCorpus to enable " +
+        "refreshFromCorpus")
+    val from = statRows.head.getLong(0)
+    val to = store.generations(corpusTable).last
+    if (to != from) refresh(store, lexTable,
+      store.changesBetween(corpusTable, from, to), idCol, textCol,
+      corpusGen = Some(to))
+    to
   }
 
   /** Serve BM25 top-k from the LIVE index with FILE-LEVEL pruning:
@@ -193,7 +261,8 @@ object LexIndex {
       .select(lit("posting").as("component"), col("term"),
         col("doc_id"), col("tf"), col("dl"),
         lit(null).cast("long").as("n_docs"),
-        lit(null).cast("long").as("sum_dl"))
+        lit(null).cast("long").as("sum_dl"),
+        lit(null).cast("long").as("corpus_gen"))
 
   private def doclenRows(corpus: DataFrame, idCol: String,
                          textCol: String): DataFrame =
@@ -202,9 +271,11 @@ object LexIndex {
         lit(null).cast("string").as("term"), col("doc_id"),
         lit(null).cast("long").as("tf"), col("dl"),
         lit(null).cast("long").as("n_docs"),
-        lit(null).cast("long").as("sum_dl"))
+        lit(null).cast("long").as("sum_dl"),
+        lit(null).cast("long").as("corpus_gen"))
 
-  private def statsRowsFromDoclen(doclen: DataFrame): DataFrame =
+  private def statsRowsFromDoclen(doclen: DataFrame,
+                                  corpusGen: Option[Long]): DataFrame =
     doclen.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .select(lit("stats").as("component"),
@@ -212,14 +283,17 @@ object LexIndex {
         lit(null).cast("long").as("doc_id"),
         lit(null).cast("long").as("tf"),
         lit(null).cast("long").as("dl"),
-        col("n_docs"), col("sum_dl"))
+        col("n_docs"), col("sum_dl"),
+        corpusGen.map(lit(_)).getOrElse(lit(null)).cast("long")
+          .as("corpus_gen"))
 
   private def indexRows(corpus: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String,
+                        corpusGen: Option[Long]): DataFrame = {
     val dlr = doclenRows(corpus, idCol, textCol)
     postingRows(corpus, idCol, textCol)
       .unionByName(dlr)
-      .unionByName(statsRowsFromDoclen(dlr))
+      .unionByName(statsRowsFromDoclen(dlr, corpusGen))
   }
 
   // ----------------------------------------------------------- serve

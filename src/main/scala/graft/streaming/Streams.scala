@@ -338,6 +338,44 @@ object Streams {
     * key-range targeting inside). Batches must carry unique non-null
     * keys ([[graft.sources.TableStore.merge]]'s loud guard).
     */
+  /** Streaming CDC -> corpus table -> INVERTED INDEX, end to end: each
+    * micro-batch upserts into the corpus exactly-once (the
+    * [[mergeStreamExactlyOnce]] fence riding the merge's own commit
+    * CAS), then [[graft.operators.LexIndex.refreshFromCorpus]] catches
+    * the index up to whatever generation the corpus now heads — the
+    * complete incremental serving loop (ingest → index →
+    * `LexIndex.topKServed`) with no full rebuilds.
+    *
+    * Exactly-once WITHOUT a shared transaction: the two stores advance
+    * on INDEPENDENT anchors. A replayed batch is skipped by the merge
+    * fence (corpus unchanged) and the index refresh no-ops on an equal
+    * generation; a crash BETWEEN merge and refresh is healed on the
+    * next batch/restart because `refreshFromCorpus` resumes from the
+    * generation anchor in the index's own stats row and its churn
+    * application is idempotent. The index table must exist
+    * ([[graft.operators.LexIndex.buildFromCorpus]], empty corpus is
+    * fine) before the stream starts.
+    */
+  def lexIndexMaintain(df: DataFrame,
+                       store: graft.sources.TableStore,
+                       corpusTable: String, lexTable: String,
+                       keyCol: String, textCol: String,
+                       streamId: String, checkpointDir: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.merge(corpusTable, batch, keyCol,
+          graft.sources.TableStore.MergeUpdate(Seq(textCol)),
+          insertNotMatched = true, txn = Some(streamId -> batchId))
+        graft.operators.LexIndex.refreshFromCorpus(store, corpusTable,
+          lexTable, keyCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def mergeStreamExactlyOnce(df: DataFrame,
                              store: graft.sources.TableStore,
                              table: String, keyCol: String,

@@ -117,6 +117,57 @@ class LexIndexSpec extends SparkSpec {
       s"readWhere kept $pruned of $allFiles files - no pruning")
   }
 
+  test("refreshFromCorpus: resumes from the recorded anchor, no-ops when current") {
+    val store = freshStore()
+    val base = docs.select(col("doc_id"), col("text"))
+    store.append("corpus", base.filter(col("doc_id") < 300))
+    LexIndex.buildFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    // churn TWICE before any refresh: the anchor must span generations
+    store.append("corpus",
+      base.filter(col("doc_id") >= 300 && col("doc_id") < 330))
+    store.deleteByKeys("corpus", (0L until 20L).toDF("doc_id"),
+      Seq("doc_id"))
+    val g = LexIndex.refreshFromCorpus(store, "corpus", "lex",
+      "doc_id", "text")
+    assert(g == store.generations("corpus").last)
+    val want = freshStore()
+    want.append("corpus", store.read("corpus"))
+    LexIndex.buildAndSave(want, "lex", want.read("corpus"),
+      "doc_id", "text")
+    // compare everything except the anchor column (the rebuild store's
+    // generation numbering differs by construction)
+    def content(s: TableStore) = s.read("lex").drop("corpus_gen")
+      .as[(String, Option[String], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect().sorted.toSeq
+    assert(content(store) == content(want))
+    // already current: no new lex generations
+    val gensBefore = store.generations("lex")
+    LexIndex.refreshFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    assert(store.generations("lex") == gensBefore, "must no-op")
+  }
+
+  test("refresh is idempotent: re-applying the same feed leaves identical content") {
+    val store = freshStore()
+    val base = docs.select(col("doc_id"), col("text"))
+    store.append("corpus", base.filter(col("doc_id") < 200))
+    val g1 = store.generations("corpus").last
+    LexIndex.buildAndSave(store, "lex", store.read("corpus"),
+      "doc_id", "text")
+    store.append("corpus",
+      base.filter(col("doc_id") >= 200 && col("doc_id") < 220))
+    store.deleteByKeys("corpus", (0L until 10L).toDF("doc_id"),
+      Seq("doc_id"))
+    val g2 = store.generations("corpus").last
+    val feed = store.changesBetween("corpus", g1, g2)
+    LexIndex.refresh(store, "lex", feed, "doc_id", "text")
+    val once = indexContent(store, "lex")
+    // a crash between the postings append and the stats swap replays
+    // the WHOLE refresh: content must not duplicate
+    LexIndex.refresh(store, "lex",
+      store.changesBetween("corpus", g1, g2), "doc_id", "text")
+    assert(indexContent(store, "lex") == once)
+  }
+
   test("serve guards: missing stats row and empty vocabulary fail loudly") {
     val store = freshStore()
     LexIndex.buildAndSave(store, "lex", docs, "doc_id", "text")

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -286,6 +287,57 @@ class StreamsSpec extends SparkSpec {
     }
     assert(store.read("t").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("lexIndexMaintain: streamed CDC keeps the inverted index == full rebuild") {
+    import graft.sources.TableStore
+    import graft.operators.LexIndex
+    val in = Files.createTempDirectory("graft_lexm_in").toString
+    val ckpt = Files.createTempDirectory("graft_lexm_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_lexm_store").toString,
+      retainGenerations = 20)
+    val sch = StructType.fromDDL("doc_id long, text string")
+    // seed corpus + index before the stream starts
+    store.append("corpus",
+      Seq((1L, "spark join fast"), (2L, "hash table scan"))
+        .toDF("doc_id", "text"))
+    LexIndex.buildFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    def run(): Unit = Streams.lexIndexMaintain(
+      Streams.jsonStream(spark, sch, in), store, "corpus", "lex",
+      "doc_id", "text", "lexcdc", ckpt)
+    def rebuilt(): Seq[(Long, Long, Long, Long)] = {
+      val s2 = new TableStore(spark,
+        Files.createTempDirectory("graft_lexm_rb").toString)
+      s2.append("corpus", store.read("corpus"))
+      LexIndex.buildFromCorpus(s2, "corpus", "lex", "doc_id", "text")
+      served(s2)
+    }
+    def served(s: TableStore): Seq[(Long, Long, Long, Long)] =
+      LexIndex.topKServed(s, "lex",
+          Seq(0L -> "spark join", 1L -> "table scan"), 5)
+        .select(col("qid").cast("long"), col("doc_id").cast("long"),
+          col("score_q").cast("long"), col("rk").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // batch 1: one update (doc 2) + one insert (doc 3)
+    writeBatch(in, "b1.json",
+      Seq("""{"doc_id":2,"text":"fast spark join scan"}""",
+        """{"doc_id":3,"text":"window table join"}"""))
+    run()
+    assert(served(store) == rebuilt(), "after batch 1")
+    // drained restart: no duplicate application
+    run()
+    assert(served(store) == rebuilt(), "after drained restart")
+    // batch 2: another insert
+    writeBatch(in, "b2.json", Seq("""{"doc_id":4,"text":"scan scan"}"""))
+    run()
+    assert(served(store) == rebuilt(), "after batch 2")
+    // crash-between-merge-and-refresh simulation: churn the corpus
+    // OUTSIDE the stream (the index now lags), then any refresh call
+    // heals from the recorded anchor
+    store.deleteByKeys("corpus", Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    LexIndex.refreshFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    assert(served(store) == rebuilt(), "after out-of-band churn heal")
   }
 
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
