@@ -122,4 +122,46 @@ object Perplexity {
         .crossJoin(broadcast(vF)),
       y)
   }
+
+  /** CCNet-style perplexity-bucket curation (Wenzek et al. 2020): per
+    * language, rank documents by their average per-transition model
+    * cost and cut into TERCILES — head (best third), middle, tail;
+    * CCNet keeps head+middle and drops the tail. All-integer and
+    * tie-proof for the hash gate:
+    *
+    *  - cost_q = (−logprob) div n_bigrams — the NEGATED quantized sum
+    *    divided as positive integers (Spark `div` truncates toward
+    *    zero, DuckDB `//` floors: they agree only on non-negative
+    *    operands, so the sign is flipped BEFORE the division);
+    *    transition-less docs (< 2 tokens) cost 0 and sort first;
+    *  - bucket = (3·(rank−1)) div n_lang over the total order
+    *    (cost_q asc, id asc) within each language — the q47
+    *    rank-discrete-quantile convention, never an interpolated
+    *    percentile;
+    *  - kept = bucket < 2.
+    *
+    * Scale note: this is the RANKED form (one per-language sort — the
+    * oracle-checkable verifier). At 100 TB the cut is served by
+    * joining rank-quantile BOUNDARIES (the `tokenQuantiles` machinery)
+    * against the score column instead of ranking every row; the
+    * boundary form changes no semantics, only the exchange.
+    */
+  def ccnetBuckets(corpus: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bigramScores(corpus, target, idCol, textCol)
+    val withLang = scores.join(
+      corpus.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("cost_q", when(col("n_bigrams") > 0,
+        expr("(-logprob) div n_bigrams")).otherwise(lit(0L)))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("cost_q"), col(idCol))
+    val wc = Window.partitionBy(col(langCol))
+    withLang
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("bucket", expr("(3 * (__rn - 1)) div __n"))
+      .select(col(idCol), col(langCol), col("cost_q"), col("bucket"),
+        (col("bucket") < 2).as("kept"))
+  }
 }

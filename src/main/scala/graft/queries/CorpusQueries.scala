@@ -1122,6 +1122,63 @@ object CorpusQueries {
       ORDER BY doc_id"""))
   }
 
+  /** q129 — CCNet perplexity-bucket curation
+    * ([[graft.operators.Perplexity.ccnetBuckets]], Wenzek et al.
+    * 2020): per language, documents ranked by average per-transition
+    * model cost and cut into head/middle/tail terciles; head+middle
+    * kept. The oracle reuses q74's model chain, negates BEFORE the
+    * integer division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only on non-negative operands), and replays
+    * the rank-discrete tercile as window arithmetic.
+    */
+  private val q129 = Q("q129_ccnet_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Perplexity.ccnetBuckets(
+          docs, docs.filter(col("source").isin("src0", "src1", "src2")),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')),
+        bc AS (SELECT g, COUNT(*) AS c12 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+            FROM tnt WHERE LEN(toks) >= 2) GROUP BY g),
+        uc AS (SELECT w, COUNT(*) AS c1 FROM
+          (SELECT UNNEST(${TextQueries.ngramsSql("toks", 1)}) AS w
+            FROM tnt) GROUP BY w),
+        v AS (SELECT COUNT(*) AS v FROM uc),
+        cnt AS (SELECT doc_id, STRING_SPLIT(${normSql("text")}, ' ')
+          AS toks FROM documents),
+        pg AS (SELECT doc_id,
+            UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
+          FROM cnt WHERE LEN(toks) >= 2),
+        scored AS (SELECT pg.doc_id AS doc_id,
+            CAST(FLOOR(1000000 * LN(
+              CAST(COALESCE(bc.c12, 0) + 1 AS DOUBLE) /
+              CAST(COALESCE(uc.c1, 0) + (SELECT v FROM v) AS DOUBLE)))
+              AS BIGINT) AS q
+          FROM pg LEFT JOIN bc ON pg.g = bc.g
+            LEFT JOIN uc ON STRING_SPLIT(pg.g, ' ')[1] = uc.w),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(q) AS BIGINT) AS logprob FROM scored
+          GROUP BY doc_id),
+        costs AS (SELECT d.doc_id AS doc_id, d.lang AS lang,
+            CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+              THEN (-a.logprob) // a.n_bigrams
+              ELSE CAST(0 AS BIGINT) END AS cost_q
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        ranked AS (SELECT doc_id, lang, cost_q,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY cost_q, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM costs)
+      SELECT doc_id, lang, cost_q,
+        CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket,
+        ((3 * (rn - 1)) // n) < 2 AS kept
+      FROM ranked ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112, q114, q117, q124, q127)
+    q93, q94, q97, q98, q111, q112, q114, q117, q124, q127, q129)
 }

@@ -106,4 +106,41 @@ class PerplexitySpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("quantization margin"), boom.getMessage)
   }
+
+  test("ccnetBuckets: per-lang terciles over average cost, head+middle kept") {
+    val got = Perplexity.ccnetBuckets(docs,
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got.size == docs.count())
+    // reference: recompute buckets from the spec-pinned scores
+    val scores = Perplexity.bigramScores(docs,
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nb, lp) =>
+        id -> (if (nb > 0) (-lp) / nb else 0L)
+      }.toMap
+    val langOf = docs.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val order = rows.map(r => (scores(r._1), r._1)).sorted
+      val n = rows.size
+      val wantBucket = order.zipWithIndex.map { case ((_, id), i) =>
+        id -> (3L * i / n)
+      }.toMap
+      rows.foreach { case (id, l, cost, bucket, kept) =>
+        assert(l == langOf(id) && cost == scores(id), s"doc $id")
+        assert(bucket == wantBucket(id), s"doc $id bucket")
+        assert(kept == (bucket < 2), s"doc $id kept")
+      }
+      // terciles are balanced within 1 (rank-discrete cut)
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(0L, 1L, 2L)))
+      if (n >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    }
+    // the cut is non-trivial on the fixture: some docs are dropped
+    assert(got.exists(!_._5) && got.exists(_._5))
+  }
 }
