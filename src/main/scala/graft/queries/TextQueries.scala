@@ -924,17 +924,51 @@ object TextQueries {
         "doc_id", "text", bm25Queries, k = 20,
         minQuantMargin = Some(5e-4))
         .select(col("qid"), col("doc_id"), col("rk"))
-      val e = t(s, dir, "embeddings")
-      val vec = Similarity.bruteForceTopK(
-        queries = e.filter(col("vec_id") < 3), corpus = e,
-        qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
-        k = 20)
-        .select(col("qid"), col("nid").as("doc_id"), col("rk"))
-      graft.operators.Fusion.rrf(lex, vec, k = 10)
+      graft.operators.Fusion.rrf(lex, hybridVecChannel(s, dir), k = 10)
         .withColumn("rk", col("rk").cast("long"))
         .orderBy(col("qid"), col("rk"))
     },
-    Some {
+    Some(hybridRrfOracleSql))
+
+  /** The q89 vector channel (exact cosine top-20 at qid < 3), shared
+    * with q130's served twin.
+    */
+  private def hybridVecChannel(s: org.apache.spark.sql.SparkSession,
+                               dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        queries = e.filter(col("vec_id") < 3), corpus = e,
+        qidCol = "vec_id", idCol = "vec_id", vecCol = "embedding",
+        k = 20)
+      .select(col("qid"), col("nid").as("doc_id"), col("rk"))
+  }
+
+  /** q130 — hybrid retrieval SERVED from the persisted inverted index
+    * ([[graft.operators.LexIndex.topKServed]] at k = 20 fused with the
+    * exact vector channel): the complete RAG serving story with the
+    * lexical side never scanning corpus text. The oracle is VERBATIM
+    * q89's — a served hybrid must reproduce the inline one
+    * bit-for-bit (the q119/q125 persisted-twin contract).
+    */
+  private val q130 = Q("q130_hybrid_rrf_served",
+    (s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q130_lex").toString
+      val store = new graft.sources.TableStore(s, root)
+      graft.operators.LexIndex.buildAndSave(store, "lex",
+        t(s, dir, "documents"), "doc_id", "text")
+      val lex = graft.operators.LexIndex.topKServed(store, "lex",
+          bm25Queries, k = 20, minQuantMargin = Some(5e-4))
+        .select(col("qid"), col("doc_id"), col("rk"))
+      graft.operators.Fusion.rrf(lex, hybridVecChannel(s, dir), k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(hybridRrfOracleSql))
+
+  /** q89's oracle body, shared verbatim with q130 (served twin). */
+  private def hybridRrfOracleSql: String = {
       // lexical CTE chain = q88's oracle at k=20; vector = q20's at
       // qid<3/k=20; fusion mirrors Fusion.rrf's expression order
       val vocab = bm25Queries
@@ -1002,7 +1036,7 @@ object TextQueries {
           FROM fused)
         SELECT qid, doc_id, rrf, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 10 ORDER BY qid, rk"""
-    })
+  }
 
   /** q96 — PMI collocations ([[graft.operators.Collocations.topPmi]]):
     * top-30 adjacent pairs by quantized ⌊10⁶·ln⌋ pointwise mutual
@@ -1646,5 +1680,6 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
-    q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125)
+    q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
+    q130)
 }
