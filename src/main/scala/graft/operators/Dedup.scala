@@ -61,6 +61,73 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** CONTENT-DEFINED CHUNK dedup at word granularity — the
+    * storage-dedup shape (Muthitacharoen et al. 2001 LBFS; FastCDC's
+    * gear-hash boundary rule) applied to corpus text: chunk boundaries
+    * fall where a hash of the LOCAL 2-word window clears a divisor
+    * test, so an insertion or deletion re-chunks only its
+    * neighborhood — unlike fixed-width shingles, identical passages
+    * re-align immediately and dedup even when documents shift around
+    * them. Per document: number of chunks, words inside chunks whose
+    * fingerprint occurs more than once CORPUS-WIDE, and the duplicate
+    * fraction in ppm (exact integer division).
+    *
+    * Determinism: boundaries and fingerprints ride the md5 kit
+    * ([[graft.operators.Sampling.hashBucket]]'s conv-of-md5 form ⇄ the
+    * oracle's STRPOS hex parse) — no wrapping-overflow arithmetic, so
+    * no native kernel is needed. Chunk text rebuilds through the
+    * sorted-collect pattern (array_sort over (pos, word) structs ⇄
+    * `STRING_AGG(w, ' ' ORDER BY pos)`).
+    *
+    * Scale shape: per-doc windows partition by doc_id (never global);
+    * ONE chunk-fingerprint count exchange (chunk-table scale, ~n_words
+    * / divisor rows) + one fp join back; everything else is narrow.
+    * `divisor` sets the expected chunk length in words.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    divisor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(divisor >= 2, s"divisor >= 2, got $divisor")
+    val wp = df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gear = conv(substring(md5(
+      concat_ws(" ", lag(col("w"), 1).over(byDoc), col("w"))),
+      1, 8), 16, 10).cast("long")
+    val bounded = wp.withColumn("__b",
+      when(row_number().over(byDoc) === 1, 1L)
+        .when(gear % divisor === 0, 1L).otherwise(0L))
+    val ch = bounded.withColumn("__cid",
+      sum(col("__b")).over(byDoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val chunks = ch.groupBy(col("doc_id"), col("__cid"))
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("fp"),
+        count(lit(1)).as("len"))
+    val cnt = chunks.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+    val agg = chunks.join(cnt, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("__n") > 1, col("len"))), lit(0L))
+          .as("dup_words"))
+    // every input doc reports — token-less docs as zeros (one id-keyed
+    // left join of doc-scale aggregates)
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          expr("(1000000 * dup_words) div n_words"))
+          .otherwise(lit(0L)).as("dup_ppm"))
+  }
+
   /** EXACT incremental dedup of an ingest batch against a standing
     * corpus: batch rows whose content fingerprint already exists in the
     * corpus are dropped; everything else passes. The result is exact

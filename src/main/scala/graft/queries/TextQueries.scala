@@ -1678,8 +1678,61 @@ object TextQueries {
       })
   }
 
+  /** q131 — content-defined chunk dedup
+    * ([[graft.operators.Dedup.cdcChunkStats]], LBFS/FastCDC gear-hash
+    * boundaries at word granularity): per doc the chunk count, words
+    * in corpus-duplicated chunks, and the duplicate fraction in ppm.
+    * The oracle replays the boundary rule (md5 of the 2-word window
+    * through the STRPOS hex parse, divisor test), the running-sum
+    * chunk ids, ordered STRING_AGG chunk rebuild, and the corpus-wide
+    * fingerprint counts.
+    */
+  private val q131 = {
+    val d = 8
+    val gear = SamplingQueries.bucketSql("md5(CONCAT(pw, ' ', w))")
+    Q("q131_cdc_chunk_dedup",
+      (s, dir) => {
+        graft.operators.Dedup.cdcChunkStats(
+            t(s, dir, "documents"), "doc_id", "text", divisor = d)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH nt AS (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+        wp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+            toks[CAST(t.i + 1 AS INT)] AS w,
+            CASE WHEN t.i = 0 THEN NULL
+              ELSE toks[CAST(t.i AS INT)] END AS pw
+          FROM nt, UNNEST(RANGE(0, LEN(toks))) AS t(i)
+          WHERE LEN(toks[CAST(t.i + 1 AS INT)]) > 0),
+        bnd AS (SELECT doc_id, pos, w,
+            CASE WHEN pos = 0 THEN 1
+              WHEN ($gear) % $d = 0 THEN 1 ELSE 0 END AS b
+          FROM wp),
+        ch AS (SELECT doc_id, pos, w,
+            SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+          FROM bnd),
+        chunks AS (SELECT doc_id, cid,
+            md5(STRING_AGG(w, ' ' ORDER BY pos)) AS fp,
+            COUNT(*) AS len
+          FROM ch GROUP BY doc_id, cid),
+        cnt AS (SELECT fp, COUNT(*) AS n FROM chunks GROUP BY fp),
+        agg AS (SELECT c.doc_id, CAST(SUM(c.len) AS BIGINT) AS n_words,
+            COUNT(*) AS n_chunks,
+            CAST(COALESCE(SUM(CASE WHEN t.n > 1 THEN c.len END), 0)
+              AS BIGINT) AS dup_words
+          FROM chunks c JOIN cnt t USING (fp) GROUP BY c.doc_id)
+        SELECT d.doc_id AS doc_id, COALESCE(a.n_words, 0) AS n_words,
+          CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+          COALESCE(a.dup_words, 0) AS dup_words,
+          CASE WHEN COALESCE(a.n_words, 0) > 0
+            THEN (1000000 * a.dup_words) // a.n_words
+            ELSE CAST(0 AS BIGINT) END AS dup_ppm
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130)
+    q130, q131)
 }

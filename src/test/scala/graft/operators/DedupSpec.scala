@@ -449,6 +449,87 @@ class DedupSpec extends SparkSpec {
     // released frames stay valid — they recompute from source
     assert(labels.count() == got)
   }
+
+  // ------------------------------------------ content-defined chunks
+
+  test("cdcChunkStats: differential vs driver-side reference on the fixture") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = 8
+    val got = Dedup.cdcChunkStats(real, "doc_id", "text", d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def toks(t: String): Seq[String] = {
+      val n = Option(t).getOrElse("").toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").replaceAll("\\s+", " ").trim
+      if (n.isEmpty) Seq.empty else n.split(" ").toSeq
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def chunksOf(ws: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      ws.zipWithIndex.foreach { case (w, i) =>
+        if (i > 0 && bucket(ws(i - 1) + " " + w) % d == 0) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+        }
+        cur += w
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val all = real.select("doc_id", "text").as[(Long, String)].collect()
+    val fpCount = scala.collection.mutable.Map.empty[String, Long]
+    val perDoc = all.map { case (id, t) =>
+      val chs = chunksOf(toks(t))
+      chs.foreach { c =>
+        val fp = md5hex(c.mkString(" "))
+        fpCount(fp) = fpCount.getOrElse(fp, 0L) + 1
+      }
+      id -> chs
+    }
+    var anyDup = false
+    perDoc.foreach { case (id, chs) =>
+      val nw = chs.map(_.size).sum.toLong
+      val dup = chs.filter(c =>
+        fpCount(md5hex(c.mkString(" "))) > 1).map(_.size).sum.toLong
+      if (dup > 0) anyDup = true
+      val ppm = if (nw > 0) 1000000L * dup / nw else 0L
+      assert(got(id) == ((nw, chs.size.toLong, dup, ppm)), s"doc $id")
+    }
+    assert(anyDup, "fixture must exercise duplicate chunks")
+  }
+
+  test("cdcChunkStats: an insertion re-chunks only its neighborhood") {
+    // two long docs identical except ONE inserted word in the middle:
+    // chunks after the insertion point re-align, so most words still
+    // count as duplicated — the locality property fixed-width shingles
+    // lack. (With one global prefix hash every post-edit chunk would
+    // shift and nothing downstream would dedup.)
+    val words = (0 until 200).map(i => s"w${i % 37}x$i")
+    val a = words.mkString(" ")
+    val b = (words.take(100) ++ Seq("inserted") ++ words.drop(100))
+      .mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val r = Dedup.cdcChunkStats(two, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x._5).toMap
+    assert(r(1L) > 500000L, s"doc 1 should stay >50% duplicated: $r")
+    assert(r(2L) > 500000L, s"doc 2 should stay >50% duplicated: $r")
+  }
+
+  test("cdcChunkStats: degenerate docs (empty/null) report zeros") {
+    val d = Seq((1L, Some("")), (2L, Option.empty[String]),
+      (3L, Some("hello")))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStats(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L, 0L), (2L, 0L, 0L, 0L, 0L),
+      (3L, 1L, 1L, 0L, 0L)), got.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -1132,4 +1213,5 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
 }
