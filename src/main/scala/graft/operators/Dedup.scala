@@ -197,6 +197,42 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
+
+  /** The banded-LSH S-curve: probability two sets of Jaccard
+    * similarity `sim` share at least one band bucket under `bands`
+    * bands of `rowsPerBand` MinHash rows —
+    * `1 − (1 − sim^r)^b` (Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    * The planning primitive behind [[lshCandidatePairs]]' parameters.
+    */
+  def lshCollisionProb(sim: Double, bands: Int,
+                       rowsPerBand: Int): Double = {
+    require(sim >= 0.0 && sim <= 1.0, s"sim in [0,1], got $sim")
+    require(bands >= 1 && rowsPerBand >= 1, "bands, rowsPerBand >= 1")
+    1.0 - math.pow(1.0 - math.pow(sim, rowsPerBand), bands)
+  }
+
+  /** Choose (bands, rowsPerBand) for a signature of `k` MinHash rows
+    * so the S-curve threshold `(1/b)^(1/r)` — the similarity where
+    * collision probability crosses ~1/2 — lands closest to the target:
+    * the "how do I set b and r" answer every LSH deployment needs.
+    * Candidates are the exact divisor splits b·r = k; ties prefer MORE
+    * bands (recall-leaning: candidate pairs are verified exactly
+    * downstream, so extra candidates cost I/O, missed ones cost
+    * recall). Returns (bands, rowsPerBand).
+    */
+  def lshPlan(k: Int, threshold: Double): (Int, Int) = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold in (0,1), got $threshold")
+    val splits = (1 to k).filter(k % _ == 0)
+      .map(b => (b, k / b))
+    splits.minBy { case (b, r) =>
+      val t = math.pow(1.0 / b, 1.0 / r)
+      // distance first, then recall-leaning tie-break on fewer rows
+      (math.abs(t - threshold), r)
+    }
+  }
+
   /** MinHash signature: k independent minima of seeded 64-bit hashes of
     * the shingle set. Narrow projection; k×|shingles| hashes per row.
     * Native expression (bit-equal to [[minhashSignatureHof]]).

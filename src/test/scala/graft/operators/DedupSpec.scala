@@ -450,6 +450,34 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() == got)
   }
 
+  // ------------------------------------------------- LSH planning
+
+  test("lshPlan: divisor splits, threshold placement, recall-leaning ties") {
+    // MMDS worked example: k=100, t=0.8 -> the curve threshold
+    // (1/b)^(1/r) should land near 0.8
+    val (b, r) = Dedup.lshPlan(100, 0.8)
+    assert(b * r == 100)
+    val t = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(t - 0.8) < 0.1, s"b=$b r=$r t=$t")
+    // exhaustive optimality: no other divisor split lands closer
+    (1 to 100).filter(100 % _ == 0).foreach { bb =>
+      val tt = math.pow(1.0 / bb, 1.0 / (100 / bb))
+      assert(math.abs(t - 0.8) <= math.abs(tt - 0.8) + 1e-12)
+    }
+    // low threshold -> many bands; high threshold -> many rows
+    val (bLow, _) = Dedup.lshPlan(64, 0.2)
+    val (bHigh, _) = Dedup.lshPlan(64, 0.95)
+    assert(bLow > bHigh, s"$bLow vs $bHigh")
+    // the S-curve is monotone in sim and hits the endpoints
+    assert(Dedup.lshCollisionProb(0.0, 8, 8) == 0.0)
+    assert(Dedup.lshCollisionProb(1.0, 8, 8) == 1.0)
+    val probs = (0 to 10).map(i => Dedup.lshCollisionProb(i / 10.0, 8, 8))
+    assert(probs == probs.sorted, probs.toString)
+    // collision prob at the planned threshold is mid-curve
+    val p = Dedup.lshCollisionProb(t, b, r)
+    assert(p > 0.3 && p < 0.8, s"p($t)=$p")
+  }
+
   // ------------------------------------------ content-defined chunks
 
   test("cdcChunkStats: differential vs driver-side reference on the fixture") {
