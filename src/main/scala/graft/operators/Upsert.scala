@@ -59,6 +59,13 @@ object Upsert {
     */
   def antiDelete(table: DataFrame, toDelete: DataFrame,
                  keys: Seq[String]): DataFrame =
+    // restore the table's column ORDER: a USING-column join moves the
+    // key columns to the front, and a rewrite that persists that order
+    // writes files whose parquet schema disagrees with the table's
+    // other files — readers then resolve a NONDETERMINISTIC column
+    // order (whichever footer gets sampled first) and positional
+    // consumers break at random (the LexIndexSpec-under-load find)
     table.join(toDelete.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
+      .select(table.columns.map(col).toIndexedSeq: _*)
 }

@@ -764,7 +764,24 @@ final class TableStore(spark: SparkSession, root: String,
         "match (empty = flat)")
     val tmp = freshStaging(table, "__add")
     try {
-      val frame = df // listing happens HERE, after the anchor
+      val frame0 = df // listing happens HERE, after the anchor
+      // COLUMN-ORDER normalization (defense in depth; the
+      // Upsert.antiDelete find): parquet resolves a multi-file table's
+      // schema from ONE sampled footer, so files whose columns agree
+      // in NAME but not ORDER make every later read's column order
+      // NONDETERMINISTIC. When the batch carries exactly the committed
+      // columns in a different order, reorder it; a different column
+      // SET is appendEvolve's business and passes through untouched.
+      val frame =
+        if (committed.isEmpty) frame0 // emptied table: no schema to match
+        else scala.util.Try {
+          val committedCols = read(table).schema.map(_.name)
+          if (committedCols.toSet == frame0.columns.toSet &&
+              committedCols != frame0.columns.toSeq)
+            frame0.select(committedCols.map(
+              org.apache.spark.sql.functions.col): _*)
+          else frame0
+        }.getOrElse(frame0) // best-effort: never block an append
       val w = frame.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)

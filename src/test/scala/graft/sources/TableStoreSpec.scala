@@ -934,4 +934,27 @@ class TableStoreSpec extends SparkSpec {
     assert(w1.lastTxn("t", "s") == 6L)
     assertNoLeaks(root, "t")
   }
+
+  test("column order stays uniform across files: reordered appends and key deletes") {
+    val ts = freshStore()
+    // table whose KEY is not the first column — the antiDelete find
+    ts.append("t", Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L))
+      .toDF("tag", "k", "v"))
+    // 1. deleteByKeys must NOT persist the join's key-first order
+    ts.deleteByKeys("t", Seq(2L).toDF("k"), Seq("k"))
+    assert(ts.read("t").columns.toSeq == Seq("tag", "k", "v"))
+    // 2. an append with the same columns in a DIFFERENT order is
+    //    normalized to the committed order before it writes
+    ts.append("t", Seq((4L, 40L, "d")).toDF("k", "v", "tag"))
+    val files = ts.read("t").inputFiles
+    assert(files.length >= 2)
+    files.foreach { f =>
+      val cols = spark.read.parquet(f).columns.toSeq
+      assert(cols == Seq("tag", "k", "v"), s"$f has $cols")
+    }
+    // positional consumers see one stable order regardless of which
+    // footer gets sampled
+    assert(ts.read("t").as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 10L), ("c", 3L, 30L), ("d", 4L, 40L)))
+  }
 }
