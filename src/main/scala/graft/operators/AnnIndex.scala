@@ -358,11 +358,16 @@ object AnnIndex {
   def refreshCodes(store: TableStore, codesTable: String,
                    changes: DataFrame, idCol: String, vecCol: String,
                    index: AnnIndex): Unit = {
-    val del = changes.filter(col("__change_type") === "delete")
+    // delete BOTH churned id sets (deletes AND inserts): an updated id
+    // rides the feed as delete+insert so its stale code row must leave
+    // first — and deleting insert ids too makes the refresh IDEMPOTENT
+    // under at-least-once replays (a crash between the delete and the
+    // append re-runs cleanly instead of duplicating code rows, which
+    // would surface one doc at two ranks in *TopKOnCodes)
+    val del = changes
+      .filter(col("__change_type").isin("delete", "insert"))
       .select(col(idCol).as("id")).distinct()
     val ins = changes.filter(col("__change_type") === "insert")
-    // delete FIRST: an updated id rides the feed as delete+insert, so
-    // its stale code row must leave before the fresh one lands
     store.deleteByKeys(codesTable, del, Seq("id"))
     store.append(codesTable, encodeFor(ins, idCol, vecCol, index))
   }

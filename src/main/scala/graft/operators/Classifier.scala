@@ -174,9 +174,6 @@ object Classifier {
         hardSigmoid(col("z"), cfg.scale).as("p"))
       .withColumn("pred", (col("p") * 2 > cfg.scale).cast("long"))
 
-  /** Train-then-score in one call — the q122 surface. Builds and
-    * persists the feature frame, trains, scores, releases the pin.
-    */
   // ---------------------------------------------------- persistence
 
   /** Persist a trained model as TableStore table `table` — the same
@@ -270,10 +267,14 @@ object Classifier {
                     changes: DataFrame, idCol: String, textCol: String,
                     weights: Array[Long], bias: Long,
                     cfg: Config = Config()): Unit = {
-    val del = changes.filter(col("__change_type") === "delete")
+    // delete BOTH churned id sets (deletes AND inserts): updates ride
+    // the feed as delete+insert pairs, and deleting insert ids too
+    // makes the refresh IDEMPOTENT under at-least-once replays (a
+    // crash-retry re-runs cleanly instead of duplicating score rows)
+    val del = changes
+      .filter(col("__change_type").isin("delete", "insert"))
       .select(col(idCol).as("id")).distinct()
     val ins = changes.filter(col("__change_type") === "insert")
-    // delete FIRST: an updated id rides the feed as delete+insert
     store.deleteByKeys(scoresTable, del, Seq("id"))
     store.append(scoresTable,
       scoreDocs(ins, idCol, textCol, weights, bias, cfg))
@@ -289,6 +290,13 @@ object Classifier {
     score(hashedFeatures(docs, idCol, textCol, lit(0L), cfg),
       weights, bias, cfg).drop("y")
 
+  /** Train-then-score in one call — the q122 surface. Builds and
+    * PINS the feature frame (it feeds every GD round and the final
+    * scoring); the pin is registered with the engine release point and
+    * freed by [[releaseIntermediates]]/`Engine.releaseAll`, NOT per
+    * call — repeated calls in a long-lived session should release
+    * between them.
+    */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, cfg: Config = Config()): DataFrame = {
     val feats = synchronized {

@@ -91,7 +91,17 @@ object LexIndex {
                            corpus: DataFrame, idCol: String,
                            textCol: String, clusterFiles: Option[Int],
                            corpusGen: Option[Long]): Long = {
-    val df = indexRows(corpus, idCol, textCol, corpusGen)
+    // the shared token frame pins so the three components (postings,
+    // doclen, stats) tokenize the corpus exactly ONCE
+    val tf = tokFrame(corpus, idCol, textCol).persist()
+    try { buildFrom(store, table, tf, clusterFiles, corpusGen) }
+    finally tf.unpersist(blocking = false)
+  }
+
+  private def buildFrom(store: TableStore, table: String, tf: DataFrame,
+                        clusterFiles: Option[Int],
+                        corpusGen: Option[Long]): Long = {
+    val df = indexRows(tf, corpusGen)
     // range-cluster by (component, term): tight per-file term windows
     // make the analyze() sidecar (and parquet row-group stats)
     // actually selective for term-IN-vocab serving reads. Default file
@@ -121,9 +131,12 @@ object LexIndex {
     * invariant (spec-gated): after a refresh the index CONTENT equals
     * a fresh [[buildAndSave]] of the live corpus.
     *
-    * Not one atomic commit (delete / append / stats swap are separate
-    * OCC commits, the [[AnnIndex.refreshCodes]] shape): concurrent
-    * readers wanting a consistent view pin a generation.
+    * Crash contract: the churn application (delete + append) is
+    * IDEMPOTENT and the stats row + generation anchor advance in ONE
+    * final `updateWhere` commit — a crash anywhere mid-refresh leaves
+    * a complete OLD stats row, and re-running the refresh (or
+    * [[refreshFromCorpus]]) heals. Not one atomic commit overall:
+    * concurrent readers wanting a consistent view pin a generation.
     *
     * Known layout trade-off: postings are TERM-clustered for the read
     * path, so a doc-keyed delete cannot file-target (every term file
@@ -152,17 +165,29 @@ object LexIndex {
     // stats row has doc_id NULL: never equal to a key, always survives
     store.deleteByKeys(table, del, Seq("doc_id"))
     val ins = changes.filter(col("__change_type") === "insert")
-    store.append(table,
-      postingRows(ins, idCol, textCol).unionByName(
-        doclenRows(ins, idCol, textCol)))
-    // stats swap LAST, derived from what is now committed: delete the
-    // stale row, append the recount of the narrow doclen component —
-    // the new corpus_gen anchor commits here, so a crash ANYWHERE
-    // earlier leaves the OLD anchor and the next refreshFromCorpus
-    // re-applies the same (idempotent) churn
-    store.deleteWhere(table, col("component") === "stats")
-    store.append(table, statsRowsFromDoclen(
-      store.readWhere(table, col("component") === "doclen"), corpusGen))
+    val tf = tokFrame(ins, idCol, textCol).persist()
+    try {
+      store.append(table,
+        postingRowsOf(tf).unionByName(doclenRowsOf(tf)))
+    } finally tf.unpersist(blocking = false)
+    // stats swap LAST and in ONE commit (updateWhere of the existing
+    // row — never a delete+append pair, whose crash window would leave
+    // ZERO stats rows and break serving unrecoverably): the recount is
+    // two bounded longs off the narrow doclen component, and the new
+    // corpus_gen anchor rides the same commit — a crash ANYWHERE
+    // earlier leaves the OLD complete stats row + anchor, and the next
+    // refreshFromCorpus re-applies the same (idempotent) churn
+    val Seq((n, sumdl)) = {
+      val spark = changes.sparkSession
+      import spark.implicits._
+      store.readWhere(table, col("component") === "doclen")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+        .as[(Long, Long)].collect().toSeq
+    }
+    store.updateWhere(table, col("component") === "stats",
+      Seq("n_docs" -> lit(n), "sum_dl" -> lit(sumdl),
+        "corpus_gen" -> corpusGen.map(lit(_))
+          .getOrElse(lit(null)).cast("long")))
     // keep serve-path file pruning live for the churned files
     store.analyzeIncremental(table, Seq("component", "term", "doc_id"),
       bloomCols = Seq("term"))
@@ -252,10 +277,11 @@ object LexIndex {
         TextFunctions.tokens(col(textCol)).as("__toks"),
         TextFunctions.tokenCount(col(textCol)).as("dl"))
 
-  private def postingRows(corpus: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
-    tokFrame(corpus, idCol, textCol)
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+  /** Components off a SHARED (persisted) token frame, so one build or
+    * refresh tokenizes its input exactly once.
+    */
+  private def postingRowsOf(tf: DataFrame): DataFrame =
+    tf.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .select(lit("posting").as("component"), col("term"),
@@ -264,10 +290,8 @@ object LexIndex {
         lit(null).cast("long").as("sum_dl"),
         lit(null).cast("long").as("corpus_gen"))
 
-  private def doclenRows(corpus: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
-    tokFrame(corpus, idCol, textCol)
-      .select(lit("doclen").as("component"),
+  private def doclenRowsOf(tf: DataFrame): DataFrame =
+    tf.select(lit("doclen").as("component"),
         lit(null).cast("string").as("term"), col("doc_id"),
         lit(null).cast("long").as("tf"), col("dl"),
         lit(null).cast("long").as("n_docs"),
@@ -287,11 +311,10 @@ object LexIndex {
         corpusGen.map(lit(_)).getOrElse(lit(null)).cast("long")
           .as("corpus_gen"))
 
-  private def indexRows(corpus: DataFrame, idCol: String,
-                        textCol: String,
+  private def indexRows(tf: DataFrame,
                         corpusGen: Option[Long]): DataFrame = {
-    val dlr = doclenRows(corpus, idCol, textCol)
-    postingRows(corpus, idCol, textCol)
+    val dlr = doclenRowsOf(tf)
+    postingRowsOf(tf)
       .unionByName(dlr)
       .unionByName(statsRowsFromDoclen(dlr, corpusGen))
   }
@@ -332,6 +355,7 @@ object LexIndex {
     val tf = postings
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
       .persist()
+    try {
     val statRows = stats.select(col("n_docs"), col("sum_dl"))
       .as[(Long, Long)].collect().toSeq
     require(statRows.size == 1,
@@ -378,8 +402,10 @@ object LexIndex {
       Seq(col("score_q").desc, col("doc_id")), k)
       .select(col("qid"), col("doc_id"), col("score_q"), col("rk"))
     val rows = top.collect().toSeq
-    tf.unpersist(blocking = false)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       top.schema)
+    // every exit — incl. guard throws (bad index, margin audit) in a
+    // long-lived serving process — releases the postings pin
+    } finally tf.unpersist(blocking = false)
   }
 }

@@ -166,6 +166,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == want,
       s"sizes ${got.size} vs ${want.size}; " +
         s"diff ${(got.toSet diff want.toSet).take(3)}")
+    // at-least-once replay: re-applying the SAME feed (crash-retry)
+    // must leave the codes table unchanged, never duplicate rows
+    AnnIndex.refreshCodes(store, "codes",
+      store.changesBetween("corpus", g1, g2), "vec_id", "embedding", idx)
+    assert(store.read("codes").count() == want.size,
+      "replayed refresh duplicated code rows")
+    assert(store.read("codes").as[(Long, Seq[Long])].collect().toMap
+      == want)
     // and the steady-state query path: saved codes, no per-call encode
     val served = rows(AnnIndex.pqTopKOnCodes(queries,
       store.read("codes"), "vec_id", "embedding", k, idx))

@@ -145,6 +145,12 @@ class ClassifierSpec extends SparkSpec {
       "text", w, b, cfg)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == want, s"\ngot  $got\nwant $want")
+    // at-least-once replay: the SAME feed re-applied (crash-retry)
+    // leaves the scores table unchanged, never duplicated
+    Classifier.refreshScores(store, "scores",
+      store.changesBetween("corpus", g1, g2), "doc_id", "text", w, b, cfg)
+    assert(store.read("scores").count() == want.size,
+      "replayed refresh duplicated score rows")
   }
 
   test("scale shape: broadcast weights, id-partitioned feats, no window") {

@@ -129,12 +129,6 @@ class UnigramSpec extends SparkSpec {
   }
 
   test("quantization-margin guard: throws above, passes below") {
-    val m = {
-      val model = Unigram.trainModel(docs, "text", 40)
-      val t = 0 // margin recomputed through the guard itself below
-      val vals = model.pieces.map(_._2) // not the margin; probe via API
-      vals.size // silence unused warnings
-    }
     Unigram.trainModel(docs, "text", 40, minQuantMargin = Some(1e-9))
     val boom = intercept[IllegalStateException] {
       Unigram.trainModel(docs, "text", 40, minQuantMargin = Some(0.49))
