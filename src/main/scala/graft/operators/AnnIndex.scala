@@ -174,9 +174,11 @@ object AnnIndex {
       case (v, i) => ("plane", -1, i.toLong, v.toSeq, null: String)
     }.toDF("component", "sub", "cid", "vec", "meta"))
     val df = (Seq(metaRow) ++ cents ++ cb ++ pl).reduce(_ unionByName _)
+    // the generation comes from THIS commit's CAS — a post-commit
+    // generations().last could race a concurrent writer and pin a
+    // later generation as the reproducibility anchor
     if (store.exists(table)) store.rewrite(table, df)
     else store.append(table, df)
-    store.generations(table).last
   }
 
   /** Load the LIVE index generation. */
@@ -340,9 +342,9 @@ object AnnIndex {
                          corpus: DataFrame, idCol: String,
                          vecCol: String, index: AnnIndex): Long = {
     val codes = encodeFor(corpus, idCol, vecCol, index)
+    // generation from this commit's CAS, not a racy generations().last
     if (store.exists(codesTable)) store.rewrite(codesTable, codes)
     else store.append(codesTable, codes)
-    store.generations(codesTable).last
   }
 
   /** INCREMENTAL code maintenance from a corpus CHANGE FEED

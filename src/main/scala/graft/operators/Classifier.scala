@@ -202,9 +202,9 @@ object Classifier {
       (("weight", -1L, bias, null: String))
     val df = metaRow.unionByName(
       rows.toSeq.toDF("component", "bucket", "w", "meta"))
+    // generation from this commit's CAS, not a racy generations().last
     if (store.exists(table)) store.rewrite(table, df)
     else store.append(table, df)
-    store.generations(table).last
   }
 
   /** Load the LIVE model generation: (weights, bias, cfg). */
@@ -249,9 +249,9 @@ object Classifier {
                    weights: Array[Long], bias: Long,
                    cfg: Config = Config()): Long = {
     val scores = scoreDocs(docs, idCol, textCol, weights, bias, cfg)
+    // generation from this commit's CAS, not a racy generations().last
     if (store.exists(scoresTable)) store.rewrite(scoresTable, scores)
     else store.append(scoresTable, scores)
-    store.generations(scoresTable).last
   }
 
   /** INCREMENTAL score maintenance from a corpus change feed

@@ -83,7 +83,10 @@ object LexIndex {
                       lexTable: String, idCol: String, textCol: String,
                       clusterFiles: Option[Int] = None): Long = {
     val gen = store.generations(corpusTable).last
-    buildAndSave(store, lexTable, store.read(corpusTable), idCol,
+    // readAt(gen), not read(): a corpus commit between the two calls
+    // would otherwise index NEWER data than the anchor claims — the
+    // pinned read makes consumed-data == anchored-generation exact
+    buildAndSave(store, lexTable, store.readAt(corpusTable, gen), idCol,
       textCol, clusterFiles, corpusGen = Some(gen))
   }
 
@@ -114,11 +117,15 @@ object LexIndex {
     }
     val clustered = ranged
       .sortWithinPartitions(col("component"), col("term"), col("doc_id"))
-    if (store.exists(table)) store.rewrite(table, clustered)
-    else store.append(table, clustered)
+    // pin the generation from the commit itself — a post-commit
+    // generations().last could observe a concurrent writer's LATER
+    // generation and anchor the wrong snapshot
+    val committedGen =
+      if (store.exists(table)) store.rewrite(table, clustered)
+      else store.append(table, clustered)
     store.analyze(table, Seq("component", "term", "doc_id"),
       bloomCols = Seq("term"))
-    store.generations(table).last
+    committedGen
   }
 
   /** INCREMENTAL index maintenance from a corpus CHANGE FEED
@@ -146,6 +153,12 @@ object LexIndex {
     * (postings are a compressed fraction of corpus text). Merge-on-
     * read delete bitmaps would remove that pass and are the store's
     * next step, not this operator's.
+    *
+    * On an index built via [[buildFromCorpus]], the corpus-generation
+    * anchor is PRESERVED (not advanced, never nulled): this overload
+    * cannot know what generation the hand-fed churn corresponds to,
+    * and a lagging anchor is safe — the next [[refreshFromCorpus]]
+    * replays the span since it, which is idempotent.
     */
   def refresh(store: TableStore, table: String, changes: DataFrame,
               idCol: String, textCol: String): Unit =
@@ -184,10 +197,16 @@ object LexIndex {
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
         .as[(Long, Long)].collect().toSeq
     }
+    // corpus_gen is assigned ONLY when this refresh carries an anchor
+    // (refreshFromCorpus): a public refresh() on an index built via
+    // buildFromCorpus must PRESERVE the existing anchor, not null it —
+    // the anchor may then lag the out-of-band churn just applied, but
+    // replaying an already-applied span is idempotent by design, so a
+    // stale anchor is safe while a destroyed one breaks
+    // refreshFromCorpus unrecoverably
     store.updateWhere(table, col("component") === "stats",
-      Seq("n_docs" -> lit(n), "sum_dl" -> lit(sumdl),
-        "corpus_gen" -> corpusGen.map(lit(_))
-          .getOrElse(lit(null)).cast("long")))
+      Seq("n_docs" -> lit(n), "sum_dl" -> lit(sumdl)) ++
+        corpusGen.map(g => "corpus_gen" -> lit(g).cast("long")))
     // keep serve-path file pruning live for the churned files
     store.analyzeIncremental(table, Seq("component", "term", "doc_id"),
       bloomCols = Seq("term"))

@@ -715,9 +715,17 @@ final class TableStore(spark: SparkSession, root: String,
     * moved. Without the fence a crash mid-write left a partial batch
     * VISIBLE (parquet scans do not honor _SUCCESS markers). A
     * first-time append routes through [[rewrite]]'s fresh-table fence.
+    *
+    * Returns the COMMITTED generation, taken from this append's own
+    * commit CAS — under a concurrent writer on the same table,
+    * re-reading `generations().last` after the call could observe a
+    * LATER writer's generation and pin the wrong reproducibility
+    * anchor; the returned value cannot. An empty batch commits
+    * nothing and returns the current generation (whose content the
+    * no-op batch trivially reflects).
     */
   def append(table: String, df: DataFrame,
-             partitionBy: Seq[String] = Nil): Unit =
+             partitionBy: Seq[String] = Nil): Long =
     retryCommit(appendBody(table, df, partitionBy))
 
   /** `df` is BY-NAME on purpose: table-derived frames (an upsert's
@@ -732,11 +740,11 @@ final class TableStore(spark: SparkSession, root: String,
                          partitionBy: Seq[String],
                          txnUpdate: Option[(String, Long)] = None,
                          expectedFence: Option[(String, Long)] = None)
-      : Unit = {
+      : Long = {
     settleOrRecover(table) // never append into a half-swapped layout
     if (!exists(table)) {
-      rewriteBody(table, df, partitionBy, txnUpdate,
-        expectedFence = expectedFence); return
+      return rewriteBody(table, df, partitionBy, txnUpdate,
+        expectedFence = expectedFence)
     }
     val dst = hpath(table)
     val fs = fsOf(dst)
@@ -781,12 +789,23 @@ final class TableStore(spark: SparkSession, root: String,
             frame0.select(committedCols.map(
               org.apache.spark.sql.functions.col): _*)
           else frame0
-        }.getOrElse(frame0) // best-effort: never block an append
+        } match { // best-effort: never block an append — but LOUDLY,
+          // or a persistently unreadable committed schema silently
+          // skips the reorder and writes the exact mis-ordered file
+          // this normalization exists to prevent
+          case scala.util.Success(f) => f
+          case scala.util.Failure(e) =>
+            org.slf4j.LoggerFactory.getLogger(classOf[TableStore]).warn(
+              s"append $table: column-order normalization skipped — " +
+                s"committed schema unreadable " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+            frame0
+        }
       val w = frame.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)
       val incoming = dataFiles(fs, tmp)
-      if (incoming.isEmpty) { fs.delete(tmp, true); return }
+      if (incoming.isEmpty) { fs.delete(tmp, true); return gen }
       beforeBeginCommit()
       // begin-commit CAS: claims seq0+1 or detects a concurrent commit
       // BEFORE any live-tree rename (abort is then staging-only)
@@ -811,7 +830,7 @@ final class TableStore(spark: SparkSession, root: String,
     } catch {
       case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
     }
-    ()
+    gen + 1
   }
 
   /** The clean generation-bump manifest, CAS'd at `swapSeq + 1`. A
@@ -1545,9 +1564,13 @@ final class TableStore(spark: SparkSession, root: String,
     * after the swap, so a crash between the two renames (the window on
     * stores without atomic dir rename) still [[read]]s as wholly the
     * old table — never missing, never mixed.
+    *
+    * Returns the COMMITTED generation from this rewrite's own commit
+    * CAS (see [[append]] — a post-call `generations().last` can race
+    * a concurrent writer; the returned value cannot).
     */
   def rewrite(table: String, df: DataFrame,
-              partitionBy: Seq[String] = Nil): Unit =
+              partitionBy: Seq[String] = Nil): Long =
     retryCommit(rewriteBody(table, df, partitionBy))
 
   /** `df` BY-NAME for the same reason as [[appendBody]]: a rewrite
@@ -1567,7 +1590,7 @@ final class TableStore(spark: SparkSession, root: String,
                           partitionBy: Seq[String],
                           txnUpdate: Option[(String, Long)] = None,
                           expectedFence: Option[(String, Long)] = None,
-                          preCommit: () => Unit = () => ()): Unit = {
+                          preCommit: () => Unit = () => ()): Long = {
     settleOrRecover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
@@ -1607,7 +1630,7 @@ final class TableStore(spark: SparkSession, root: String,
     } catch {
       case e: ConcurrentCommitException => fs.delete(tmp, true); throw e
     }
-    ()
+    gen + 1
   }
 
   /** Rewrite ONLY the partitions in `hitParts`, write-then-swap:

@@ -181,4 +181,32 @@ class LexIndexSpec extends SparkSpec {
     }
     assert(boom2.getMessage.contains("normalization"), boom2.getMessage)
   }
+
+  test("public refresh PRESERVES the corpus-generation anchor") {
+    val store = freshStore()
+    val base = docs.select(col("doc_id"), col("text"))
+    store.append("corpus", base.filter(col("doc_id") < 200))
+    val corpusG = store.generations("corpus").last
+    LexIndex.buildFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    // out-of-band churn through the PUBLIC refresh (no anchor known):
+    // the stats row's corpus_gen must survive, not get nulled
+    val churn = base
+      .filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .withColumn("__change_type", lit("insert"))
+    LexIndex.refresh(store, "lex", churn, "doc_id", "text")
+    val anchor = store.readWhere("lex", col("component") === "stats")
+      .select(col("corpus_gen")).as[Option[Long]].collect().toSeq
+    assert(anchor == Seq(Some(corpusG)), s"anchor destroyed: $anchor")
+    // and the serving loop still works: commit the same churn to the
+    // corpus, catch up from the (now lagging) anchor — the replay of
+    // the already-applied span is idempotent — and the index equals a
+    // fresh rebuild of the live corpus
+    store.append("corpus",
+      base.filter(col("doc_id") >= 200 && col("doc_id") < 220))
+    LexIndex.refreshFromCorpus(store, "corpus", "lex", "doc_id", "text")
+    val full = freshStore()
+    LexIndex.buildAndSave(full, "lex", store.read("corpus"),
+      "doc_id", "text")
+    assert(indexContent(store, "lex") == indexContent(full, "lex"))
+  }
 }

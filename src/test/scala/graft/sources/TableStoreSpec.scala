@@ -957,4 +957,31 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.read("t").as[(String, Long, Long)].collect().toSet ==
       Set(("a", 1L, 10L), ("c", 3L, 30L), ("d", 4L, 40L)))
   }
+
+  test("append/rewrite return THIS commit's generation; readAt(pin) reproduces it") {
+    // retention on: the returned generation is exercised as a
+    // time-travel pin below
+    val ts = new TableStore(spark,
+      Files.createTempDirectory("graft_ts").toString,
+      retainGenerations = 10)
+    // first-time append routes through the fresh-table rewrite fence
+    val g1 = ts.append("g", spark.range(5).toDF("id"))
+    assert(g1 == ts.generations("g").last)
+    val g2 = ts.append("g", spark.range(5, 10).toDF("id"))
+    assert(g2 == g1 + 1 && g2 == ts.generations("g").last)
+    // a batch that commits nothing returns the CURRENT generation
+    // (whose content the no-op batch trivially reflects)
+    val gE = ts.append("g", spark.range(0).toDF("id"))
+    assert(gE == ts.generations("g").last)
+    val g3 = ts.rewrite("g", spark.range(100, 103).toDF("id"))
+    assert(g3 == ts.generations("g").last)
+    // the returned value is the caller's reproducibility anchor: later
+    // commits must not disturb what the pinned generation re-reads —
+    // the race the old post-commit generations().last read had
+    ts.append("g", spark.range(200, 210).toDF("id"))
+    assert(ts.readAt("g", g3).as[Long].collect().toSet ==
+      Set(100L, 101L, 102L))
+    assert(ts.readAt("g", g2).as[Long].collect().toSet ==
+      (0L until 10L).toSet)
+  }
 }
