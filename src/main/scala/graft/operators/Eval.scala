@@ -119,4 +119,71 @@ object Eval {
       .select(col("qid"), col("n_exact"), col("dcg_q"), col("idcg_q"),
         expr("(1000000 * dcg_q) div idcg_q").as("ndcg_ppm"))
   }
+
+  /** ROUGE-N text-overlap evaluation (Lin 2004, "ROUGE: A Package for
+    * Automatic Evaluation of Summaries" §2 — the clipped n-gram
+    * co-occurrence family): per (candidate, reference) text pair, the
+    * clipped n-gram overlap `Σ_g min(count_cand(g), count_ref(g))` and
+    * the derived precision / recall / F1. The generation-quality
+    * measure of a summarize/rewrite pipeline (the engine's
+    * [[graft.pipelines.Transcripts]] map-reduce summarization seam),
+    * and equally the candidate-vs-source overlap score data-curation
+    * uses to flag near-extractive rewrites.
+    *
+    * Determinism contract: ALL outputs exact integers — gram counts
+    * and ppm ratios via integer division (`div` ⇄ `//`). F1 needs no
+    * harmonic-mean double: with P = o/tc and R = o/tr,
+    * F1 = 2PR/(P+R) = 2o/(tc+tr) — one integral division.
+    *
+    * n-grams are [[graft.functions.TextFunctions.shingles]] windows
+    * over NORMALIZED tokens (multiset, short-text truncated window
+    * included) so the gate shares the corpus tokenization convention.
+    *
+    * Scale shape: pair-keyed throughout — one narrow shingle explode
+    * per side, per-(pair, gram-md5) counts with map-side partials, one
+    * (pair, gram) equi-join of the two count relations (inner: only
+    * grams present in BOTH sides contribute to clipped overlap), one
+    * pair-keyed rollup. No corpus self-join; cost is linear in total
+    * grams. Returns one row per pair:
+    * (pair_id, overlap, cand_grams, ref_grams, p_ppm, r_ppm, f1_ppm);
+    * a side with no grams (empty/NULL text) scores 0 ppm.
+    */
+  def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
+             refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    import graft.functions.TextFunctions
+    val base = pairs.repartition(col(pairIdCol))
+      .select(col(pairIdCol).cast("long").as("pair_id"),
+        TextFunctions.shingles(col(candCol), n).as("__cg"),
+        TextFunctions.shingles(col(refCol), n).as("__rg"))
+    // narrow, recomputed per consumer rather than pinning (the
+    // dupNgramCoverage trade); grams travel as md5 — 16 bytes instead
+    // of the n-token string on every exchange
+    def counts(side: String, out: String) = base
+      .select(col("pair_id"), explode(col(side)).as("__g"))
+      .groupBy(col("pair_id"), md5(col("__g")).as("__gh"))
+      .agg(count(lit(1)).as(out))
+    val ov = counts("__cg", "__cc")
+      .join(counts("__rg", "__cr"), Seq("pair_id", "__gh"))
+      .groupBy(col("pair_id"))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("overlap"))
+    base.select(col("pair_id"), size(col("__cg")).cast("long")
+          .as("cand_grams"),
+        size(col("__rg")).cast("long").as("ref_grams"))
+      .join(ov, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("cand_grams"), col("ref_grams"))
+      .select(col("pair_id"), col("overlap"), col("cand_grams"),
+        col("ref_grams"),
+        when(col("cand_grams") > 0,
+          expr("(1000000 * overlap) div cand_grams"))
+          .otherwise(lit(0L)).as("p_ppm"),
+        when(col("ref_grams") > 0,
+          expr("(1000000 * overlap) div ref_grams"))
+          .otherwise(lit(0L)).as("r_ppm"),
+        when(col("cand_grams") + col("ref_grams") > 0,
+          expr("(2000000 * overlap) div (cand_grams + ref_grams)"))
+          .otherwise(lit(0L)).as("f1_ppm"))
+  }
 }

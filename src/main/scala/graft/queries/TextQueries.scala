@@ -1731,8 +1731,61 @@ object TextQueries {
           LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""))
   }
 
+  /** q132 — ROUGE-2 clipped n-gram overlap
+    * ([[graft.operators.Eval.rougeN]], Lin 2004): candidate doc i vs
+    * reference doc (i + N/2) mod N, per-pair clipped bigram overlap
+    * with precision / recall / F1 in exact ppm. The oracle replays the
+    * multiset bigram construction (`ngramsSql`, the same windows as
+    * the engine's shingle kernel), the per-(pair, gram) counts, the
+    * LEAST-clipped inner join, and the three integral divisions
+    * (F1 = 2o/(tc+tr) — no harmonic-mean double anywhere).
+    */
+  private val q132 = Q("q132_rouge_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val cand = d.select(col("doc_id").as("pair_id"),
+        col("text").as("cand"))
+      val ref = d.select(col("doc_id").as("rid"), col("text").as("ref"))
+      val pairs = cand.join(ref,
+          col("rid") === pmod(col("pair_id") + lit(n / 2), lit(n)))
+        .select(col("pair_id"), col("cand"), col("ref"))
+      graft.operators.Eval.rougeN(pairs, "pair_id", "cand", "ref", n = 2)
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      nt AS MATERIALIZED (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      pairs AS MATERIALIZED (SELECT c.doc_id AS pair_id,
+          ${ngramsSql("c.toks", 2)} AS cgs,
+          ${ngramsSql("r.toks", 2)} AS rgs
+        FROM nt c JOIN nt r
+          ON r.doc_id = (c.doc_id + (SELECT n // 2 FROM nn))
+            % (SELECT n FROM nn)),
+      cg AS (SELECT pair_id, t.g AS g, COUNT(*) AS cc
+        FROM pairs, UNNEST(cgs) AS t(g) GROUP BY pair_id, g),
+      rg AS (SELECT pair_id, t.g AS g, COUNT(*) AS cr
+        FROM pairs, UNNEST(rgs) AS t(g) GROUP BY pair_id, g),
+      ov AS (SELECT pair_id, SUM(LEAST(cc, cr)) AS o
+        FROM cg JOIN rg USING (pair_id, g) GROUP BY pair_id),
+      tot AS (SELECT pair_id, LEN(cgs) AS tc, LEN(rgs) AS tr FROM pairs)
+      SELECT t.pair_id AS pair_id,
+        CAST(COALESCE(o.o, 0) AS BIGINT) AS overlap,
+        CAST(t.tc AS BIGINT) AS cand_grams,
+        CAST(t.tr AS BIGINT) AS ref_grams,
+        CAST(CASE WHEN t.tc > 0
+          THEN (1000000 * COALESCE(o.o, 0)) // t.tc
+          ELSE 0 END AS BIGINT) AS p_ppm,
+        CAST(CASE WHEN t.tr > 0
+          THEN (1000000 * COALESCE(o.o, 0)) // t.tr
+          ELSE 0 END AS BIGINT) AS r_ppm,
+        CAST(CASE WHEN t.tc + t.tr > 0
+          THEN (2000000 * COALESCE(o.o, 0)) // (t.tc + t.tr)
+          ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM tot t LEFT JOIN ov o USING (pair_id) ORDER BY pair_id"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131)
+    q130, q131, q132)
 }

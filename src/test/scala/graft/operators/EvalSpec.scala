@@ -151,4 +151,71 @@ class EvalSpec extends SparkSpec {
           1000000L * wantDcg / wantIdcg)), s"qid $qid")
     }
   }
+
+  private def rougeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("pair_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("rougeN hand fixture: clipping, identity, disjoint, short text") {
+    val pairs = Seq(
+      // identical texts: full overlap, F1 = 1e6
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      // clipped repeat: cand has "a a a a" (3x "a a"), ref "a a" (1x)
+      // -> overlap min(3,1)=1; tc=3, tr=1
+      (2L, "a a a a", "a a"),
+      // disjoint
+      (3L, "alpha beta gamma", "delta epsilon zeta"),
+      // shorter than n: one truncated single-token window each side
+      (4L, "hello", "hello"),
+      // empty candidate
+      (5L, "", "some text here")
+    ).toDF("pair_id", "cand", "ref")
+    val got = rougeRows(Eval.rougeN(pairs, "pair_id", "cand", "ref", 2))
+    assert(got == Seq(
+      // (pair_id, overlap, cand_grams, ref_grams, p, r, f1)
+      (1L, 5L, 5L, 5L, 1000000L, 1000000L, 1000000L),
+      (2L, 1L, 3L, 1L, 333333L, 1000000L, 500000L),
+      (3L, 0L, 2L, 2L, 0L, 0L, 0L),
+      (4L, 1L, 1L, 1L, 1000000L, 1000000L, 1000000L),
+      (5L, 0L, 0L, 2L, 0L, 0L, 0L)), got.toString)
+  }
+
+  test("rougeN matches a driver-side clipped-count reference on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val local = docs.as[(Long, String)].collect().toMap
+    val n = 2
+    def grams(s: String): Seq[String] = {
+      val toks = graft.functions.TextFunctions.normalizeString(s)
+        .split(" ").toSeq
+      (0 to math.max(toks.length - n, 0))
+        .map(i => toks.slice(i, i + n).mkString(" "))
+        .filter(_.nonEmpty)
+    }
+    val ids = local.keys.toSeq.sorted
+    val ref = ids.zip(ids.drop(30) ++ ids.take(30)).map { case (c, r) =>
+      val (cg, rg) = (grams(local(c)), grams(local(r)))
+      val (cc, rc) = (cg.groupBy(identity).view.mapValues(_.size),
+        rg.groupBy(identity).view.mapValues(_.size))
+      val o = cc.map { case (g, k) =>
+        math.min(k, rc.getOrElse(g, 0)) }.sum.toLong
+      val (tc, tr) = (cg.size.toLong, rg.size.toLong)
+      (c, o, tc, tr,
+        if (tc > 0) 1000000L * o / tc else 0L,
+        if (tr > 0) 1000000L * o / tr else 0L,
+        if (tc + tr > 0) 2000000L * o / (tc + tr) else 0L)
+    }
+    val cand = docs.select(col("doc_id").as("pair_id"),
+      col("text").as("cand"))
+    val refs = docs.select(col("doc_id").as("rid"),
+      col("text").as("ref"))
+    val rot = ids.zip(ids.drop(30) ++ ids.take(30))
+      .toDF("pair_id", "rid")
+    val paired = cand.join(rot, "pair_id").join(refs, "rid")
+      .select(col("pair_id"), col("cand"), col("ref"))
+    val got = rougeRows(Eval.rougeN(paired, "pair_id", "cand", "ref", n))
+    assert(got == ref.sortBy(_._1), s"first diff: ${
+      got.zip(ref.sortBy(_._1)).find(p => p._1 != p._2)}")
+  }
 }

@@ -20,6 +20,14 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated query names to check (fast iteration
+# on a new oracle; graft.VerifyOne writes oracle_one.json for this)
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    alt = f"{out_dir}/oracle_one.json"
+    if os.path.exists(alt):
+        oracle.update(json.load(open(alt)))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Columns sorted by name, every value canonicalized to its repr
@@ -80,7 +88,8 @@ for name in sorted(oracle):
         fails += 1
 
 missing = [d for d in sorted(os.listdir(out_dir))
-           if os.path.isdir(f"{out_dir}/{d}") and d not in oracle]
+           if os.path.isdir(f"{out_dir}/{d}") and d not in oracle
+           and (len(sys.argv) <= 3 or d in only)]
 for d in missing:
     n = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/{d}/*.parquet')"
