@@ -190,4 +190,65 @@ object GraphRank {
     tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") — the soft-cluster
+    * companion to [[Dedup.connectedComponents]] (which only finds
+    * reachability): template farms, mirror rings and topic hubs show
+    * up as label communities even when the whole graph is one
+    * connected component. Edges are read UNDIRECTED; self-loops and
+    * duplicate/reverse edges collapse first (simple graph — a
+    * multi-edge must not double its vote).
+    *
+    * Determinism contract: the paper's random asynchronous updates and
+    * random tie-breaks would make the gate unhashable, so this is the
+    * deterministic synchronous variant — every node updates from the
+    * SAME previous round, and the vote winner is the total order
+    * (count DESC, label ASC): most frequent neighbor label, ties to
+    * the smallest. Fixed `iters` rounds (synchronous LPA can
+    * oscillate on bipartite-ish structure; a fixed-round snapshot is
+    * the reproducible form — the classic caveat from the paper §3).
+    * Label values are node ids, so min-tie-breaking needs only the id
+    * type's natural ordering (longs or strings both work).
+    *
+    * Scale shape per round (the Pregel norm, [[pageRank]]'s loop
+    * discipline): ONE labels⋈edges join shuffled on src, one
+    * (dst, label)-keyed exact count — map-side partials collapse hot
+    * labels before the exchange — and one dst-keyed argmax as
+    * `min(struct(−count, label))` (no window function: the argmax
+    * folds map-side too). Labels are one row per node; lineage
+    * truncates per round so round i never re-executes 1..i−1.
+    *
+    * Returns (id, lbl) — every node that appears in any edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters >= 1, got $iters")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    try {
+      var cached = track(e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).persist())
+      var labels = cached
+      for (_ <- 1 to iters) {
+        val votes = e.join(labels, e("src") === labels("id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        val step = votes.groupBy(col("dst"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+            .as("m"))
+          .select(col("dst").as("id"), col("m.l").as("lbl"))
+          .persist()
+        track(step)
+        step.count() // materialize before releasing the predecessor
+        release(cached)
+        cached = step
+        labels = step.sparkSession.createDataFrame(step.rdd, step.schema)
+      }
+      labels
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -591,6 +591,64 @@ object MiscQueries {
       SELECT id, COUNT(*) AS triangles FROM perv
       GROUP BY id ORDER BY id"""))
 
+  /** q133 — label-propagation communities (round 11,
+    * [[graft.operators.GraphRank.labelPropagation]], Raghavan 2007):
+    * the soft-cluster layer on q113's ring+chord fixture — 3
+    * synchronous rounds, vote winner (count DESC, label ASC). The
+    * oracle unrolls the rounds as CTEs with a ROW_NUMBER argmax (the
+    * engine's min(struct(−c, lbl)) is the same total order) and joins
+    * community sizes back.
+    */
+  private val q133 = Q("q133_label_propagation",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      def ring(off: Int) =
+        docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+      val edges = ring(1)
+        .unionByName(ring(2))
+        .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+          .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+        .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+          .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+      val labels = GraphRank.labelPropagation(edges, "src", "dst",
+        iters = 3)
+      val comm = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("comm_size"))
+      labels.join(comm, Seq("lbl"))
+        .select(col("id"), col("lbl").as("label"), col("comm_size"))
+        .orderBy(col("id"))
+    },
+    Some {
+      def rnd(i: Int, prev: String): String =
+        s"""v$i AS (SELECT e.dst AS id, l.lbl AS lbl, COUNT(*) AS c
+          FROM e JOIN $prev l ON e.src = l.id GROUP BY e.dst, l.lbl),
+        l$i AS (SELECT id, lbl FROM (SELECT id, lbl,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+              AS rn FROM v$i) WHERE rn = 1)"""
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+          (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 5 = 0),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst FROM e0
+          WHERE src <> dst)),
+      l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+      ${rnd(1, "l0")}, ${rnd(2, "l1")}, ${rnd(3, "l2")},
+      comm AS (SELECT lbl, COUNT(*) AS comm_size FROM l3 GROUP BY lbl)
+      SELECT l.id AS id, l.lbl AS label,
+        CAST(c.comm_size AS BIGINT) AS comm_size
+      FROM l3 l JOIN comm c USING (lbl) ORDER BY id"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113)
+    q48, q52, q67, q81, q82, q90, q113, q133)
 }

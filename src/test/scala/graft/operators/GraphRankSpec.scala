@@ -87,4 +87,47 @@ class GraphRankSpec extends SparkSpec {
     GraphRank.releaseIntermediates()
   }
 
+  test("labelPropagation: two cliques with one bridge split into two communities") {
+    // cliques {0..3} and {10..13}, bridge 3-10: every node's neighbor
+    // majority stays inside its clique, so labels converge to the
+    // clique minimum (0 and 10) and the bridge cannot flip either side
+    val c1 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val c2 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val edges = (c1 ++ c2 :+ (3L, 10L)).toDF("src", "dst")
+    val got = GraphRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L), got.toString)
+    assert((10L to 13L).forall(got(_) == 10L), got.toString)
+    GraphRank.releaseIntermediates()
+  }
+
+  test("labelPropagation == driver-side synchronous reference on a seeded graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val raw = (0 until 120).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong))
+    // driver reference: symmetrized simple graph, synchronous rounds,
+    // (count DESC, label ASC) winner
+    val und = raw.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (v, ns) =>
+        val votes = ns.map(lbl).groupBy(identity).view
+          .mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = GraphRank.labelPropagation(
+      raw.toDF("src", "dst").repartition(13), "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lbl, s"diff: ${got.toSet.diff(lbl.toSet)}")
+    // partitioning invariance
+    val got1 = GraphRank.labelPropagation(
+      raw.toDF("src", "dst").coalesce(1), "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == got)
+    GraphRank.releaseIntermediates()
+  }
 }
