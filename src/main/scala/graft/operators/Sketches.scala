@@ -250,4 +250,83 @@ object Sketches {
       .groupBy(keys.columns.map(col): _*)
       .agg(min(coalesce(col("__c"), lit(0L))).as("est"))
   }
+
+  // ------------------------- bottom-k uniform-sample quantile sketch
+
+  /** MERGEABLE per-group uniform sample: the k rows whose key hashes
+    * smallest under [[hash60]] — the KMV selection rule applied to
+    * whole rows instead of hashes, which makes it a bounded-state
+    * QUANTILE sketch (Cohen & Kaplan 2007, "Summarizing data using
+    * bottom-k sketches"): the hash order is independent of the value
+    * column, so the kept rows are a uniform k-sample of the group and
+    * any order statistic of the sample estimates the group's with the
+    * usual O(1/√k) sampling error.
+    *
+    * Mergeable by construction: bottom-k of a union == bottom-k of the
+    * concatenated bottom-k sketches (the k smallest of all rows are
+    * among each part's k smallest) — re-run this function over UNIONED
+    * sample frames (same salt, same k) to merge shards or days.
+    * Deterministic: (hash, key) is a total order, so the sample —
+    * and every estimate derived from it — is exactly reproducible in
+    * any engine, unlike rand()-based sampling.
+    *
+    * Scale shape: narrow hash projection, then ONE per-group bottom-k
+    * (`row_number ≤ k` takes Spark's WindowGroupLimit rewrite — k rows
+    * per group per partition reach the exchange, a giant group never
+    * materializes). State is ≤ k rows per group regardless of group
+    * size. Returns groupCols + (__key, __val, __h).
+    */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String],
+                    keyCol: String, valueCol: String, k: Int,
+                    salt: String = "bkq"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g ++ Seq(col(keyCol).as("__key"),
+        col(valueCol).as("__val")): _*)
+      .withColumn("__h", hash60(col("__key"), salt))
+    TopK.perGroup(hashed, g, Seq(col("__h"), col("__key")), k,
+      rankCol = "__rk").drop("__rk")
+  }
+
+  /** Rank-discrete quantiles of a [[bottomKSample]] frame: for each
+    * (name, num, den) the sample value at 1-based index
+    * ⌈(num/den)·m⌉ = (num·m + den − 1) div den — all-integer index
+    * arithmetic (the q47 convention), never an interpolated
+    * percentile, so both engines pick the same concrete element.
+    * The per-group fold is a ≤ k-element sorted array — bounded by the
+    * sketch contract, safe to collect per group. Output: groupCols +
+    * n_sample + one column per quantile name.
+    */
+  def quantilesOfSample(sample: DataFrame, groupCols: Seq[String],
+                        quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, num, den) =>
+      require(num >= 1 && num <= den,
+        s"quantile $n: $num/$den outside (0,1]") }
+    val g = groupCols.map(col)
+    val agged = sample.groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__val"))).as("__vs"),
+        count(lit(1)).as("n_sample"))
+    val qCols = quantiles.map { case (name, num, den) =>
+      // `div`, never `/`: Column `/` is double division and the index
+      // must be exact integer arithmetic
+      element_at(col("__vs"),
+        expr(s"CAST((${num}L * n_sample + ${den - 1}L) div ${den}L " +
+          "AS INT)")).as(name)
+    }
+    agged.select(g ++ Seq(col("n_sample")) ++ qCols: _*)
+  }
+
+  /** [[bottomKSample]] + [[quantilesOfSample]] in one call — the
+    * direct estimate path; keep the sample frame instead when you
+    * need to merge shards or serve multiple quantile sets.
+    */
+  def bottomKQuantiles(df: DataFrame, groupCols: Seq[String],
+                       keyCol: String, valueCol: String, k: Int,
+                       quantiles: Seq[(String, Int, Int)],
+                       salt: String = "bkq"): DataFrame =
+    quantilesOfSample(
+      bottomKSample(df, groupCols, keyCol, valueCol, k, salt),
+      groupCols, quantiles)
 }

@@ -457,6 +457,39 @@ object SamplingQueries {
       SELECT doc_id, source, wkey, rk FROM ranked WHERE rk <= 10
       ORDER BY source, rk"""))
 
+  /** q134 — bottom-k uniform-sample quantile sketch (round 11,
+    * [[graft.operators.Sketches.bottomKQuantiles]], Cohen & Kaplan
+    * 2007): per-language n_chars quantiles from the k=64 rows whose
+    * doc_id hashes smallest — the MERGEABLE bounded-state alternative
+    * to q47's exact windowed quantiles (which sort the whole group).
+    * Rank-discrete index ⌈q·m⌉ in all-integer arithmetic; the
+    * md5-derived hash makes the sample — and so the estimate — exactly
+    * reproducible in SQL.
+    */
+  private val q134 = Q("q134_bottomk_quantiles",
+    (s, dir) => {
+      graft.operators.Sketches.bottomKQuantiles(
+          t(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars",
+          k = 64, quantiles = Seq(("p25", 1, 4), ("p50", 1, 2),
+            ("p75", 3, 4), ("p95", 19, 20)), salt = "bkq")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH h AS (SELECT lang, doc_id, n_chars,
+          CAST(${bucketSql15(hashSql("bkq", "doc_id"))} AS BIGINT) AS hh
+        FROM documents),
+      r AS (SELECT lang, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+            AS rn FROM h),
+      samp AS (SELECT lang, n_chars FROM r WHERE rn <= 64),
+      arr AS (SELECT lang, LIST(n_chars ORDER BY n_chars) AS vs,
+          COUNT(*) AS m FROM samp GROUP BY lang)
+      SELECT lang, CAST(m AS BIGINT) AS n_sample,
+        vs[CAST((1 * m + 3) // 4 AS INT)] AS p25,
+        vs[CAST((1 * m + 1) // 2 AS INT)] AS p50,
+        vs[CAST((3 * m + 3) // 4 AS INT)] AS p75,
+        vs[CAST((19 * m + 19) // 20 AS INT)] AS p95
+      FROM arr ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92)
+    q87, q92, q134)
 }

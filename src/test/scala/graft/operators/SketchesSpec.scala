@@ -169,4 +169,53 @@ class SketchesSpec extends SparkSpec {
     assert(build.contains("partial_count") || build.contains("HashAggregate"),
       build)
   }
+
+  test("bottomK: merge of shard sketches == sketch of the union") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val k = 8
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("__key").cast("long"),
+          col("__val").cast("long"), col("__h"))
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val direct = Sketches.bottomKSample(docs, Seq("lang"), "doc_id",
+      "n_chars", k)
+    // three arbitrary shards; per-shard sketches union, then the SAME
+    // selection re-runs over the union — the merge contract
+    val parts = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val shardSketches = parts.map(p =>
+      Sketches.bottomKSample(p, Seq("lang"), "doc_id", "n_chars", k))
+    val merged = Sketches.bottomKSample(
+      shardSketches.reduce(_ unionByName _), Seq("lang"), "__key",
+      "__val", k)
+    assert(canon(merged) == canon(direct))
+    // and the derived quantiles agree too
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    val a = Sketches.quantilesOfSample(merged, Seq("lang"), qs)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val b = Sketches.quantilesOfSample(direct, Seq("lang"), qs)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("bottomK quantiles: exact when the group fits in k; close at k << n") {
+    // group of 20 values 1..20 with k=64: the sample IS the group, so
+    // the rank-discrete quantiles are exact
+    val tiny = (1L to 20L).map(v => ("g", v, v)).toDF("g", "id", "v")
+    val exact = Sketches.bottomKQuantiles(tiny, Seq("g"), "id", "v",
+        k = 64, quantiles = Seq(("p25", 1, 4), ("p50", 1, 2),
+          ("p95", 19, 20)))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(exact == Seq(("g", 20L, 5L, 10L, 19L)), exact.toString)
+    // 10k uniform values, k=256: p50 within 10% of the true median
+    val big = spark.range(10000)
+      .select(lit("g").as("g"), col("id"), col("id").as("v"))
+    val Seq((_, m, p50)) = Sketches.bottomKQuantiles(big, Seq("g"),
+        "id", "v", k = 256, quantiles = Seq(("p50", 1, 2)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(m == 256L)
+    assert(math.abs(p50 - 5000L) < 1000L, s"p50 estimate $p50")
+  }
 }
