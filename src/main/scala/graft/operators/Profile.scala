@@ -126,4 +126,87 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** Per-group token-distribution DRIFT vs the whole corpus — the
+    * Pearson χ² goodness-of-fit statistic over a top-V vocabulary
+    * plus an OTHER bucket (the textbook contingency reduction; χ²
+    * over a full web-scale vocabulary is both statistically wrong —
+    * sparse cells — and a scale hazard). The data-mixing monitor:
+    * a source whose χ² spikes is drifting away from the corpus mix
+    * (crawler change, template flood, language shift) and should be
+    * re-weighted or audited before training.
+    *
+    * Statistic, exact-integer quantized: with o = observed count of
+    * token t in group g, nₛ = group tokens, c = corpus count of t,
+    * N = corpus tokens, each cell contributes
+    * `(o·N − nₛ·c)²·scale div (N·nₛ·c)` — the algebraic expansion of
+    * (o−e)²/e with e = nₛ·c/N, kept as one integral division per cell
+    * so both engines agree bit-for-bit (numerator is a SQUARE, so
+    * `div`-truncation ⇄ `//`-floor agree — the q129 sign lesson).
+    * Cell arithmetic rides decimal(38,0) (the [[Classifier]] grad-cell
+    * precedent): |o·N| ≤ N² ≲ 10¹⁷ per factor at petabyte scale keeps
+    * d²·scale inside 38 digits for corpora to ~10¹⁴ tokens.
+    *
+    * Scale shape: one narrow token explode → ONE (group, token)
+    * exchange with map-side partials; corpus counts and the top-V
+    * vocabulary are token-vocabulary-scale; the scored grid is
+    * |groups|·(V+1) rows with the vocabulary BROADCAST — the corpus is
+    * never reshuffled by token. Two bounded driver collects (V vocab
+    * rows, one grand total). Zero-cells (group lacks a vocab token)
+    * are materialized by the grid — they carry real χ² mass.
+    *
+    * Returns (grp, n_tokens, chi2_q) — chi2_q is χ²·scale as an exact
+    * long; compare across groups or against a χ²(V) tail bound.
+    */
+  def tokenDriftChi2(df: DataFrame, groupCol: String, textCol: String,
+                     vocabSize: Int = 50,
+                     scale: Long = 1000000L): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
+    require(scale >= 1, s"scale >= 1, got $scale")
+    import graft.functions.TextFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gt = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("o"))
+      .persist()
+    try {
+      // bounded driver collects: V vocabulary rows + one grand total
+      val vocab = gt.groupBy(col("t")).agg(sum(col("o")).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(vocabSize)
+        .select(col("t"), col("c").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ns = gt.groupBy(col("grp"))
+        .agg(sum(col("o")).cast("long").as("n_s"))
+      val bigN = gt.agg(sum(col("o")).cast("long")).head().getLong(0)
+      require(bigN > 0, "empty corpus")
+      val cOther = bigN - vocab.map(_._2).sum
+      val vdf = broadcast(vocab.toDF("t", "c"))
+      val grid = ns.crossJoin(vdf).join(gt, Seq("grp", "t"), "left")
+        .select(col("grp"), col("n_s"), col("c"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val vocabHits = gt.join(vdf.select(col("t")), Seq("t"))
+        .groupBy(col("grp")).agg(sum(col("o")).as("__ov"))
+      // the OTHER bucket: everything outside the vocabulary, one cell
+      // per group (skipped when the vocabulary covers the corpus —
+      // then every group's other-count is provably 0 too)
+      val other = ns.join(vocabHits, Seq("grp"), "left")
+        .select(col("grp"), col("n_s"), lit(cOther).as("c"),
+          (col("n_s") - coalesce(col("__ov"), lit(0L))).as("o"))
+      val cells = if (cOther > 0) grid.unionByName(other) else grid
+      val D = "decimal(38,0)"
+      cells
+        .withColumn("__d",
+          col("o").cast(D) * lit(bigN).cast(D) -
+            col("n_s").cast(D) * col("c").cast(D))
+        .withColumn("__den",
+          lit(bigN).cast(D) * col("n_s").cast(D) * col("c").cast(D))
+        .withColumn("__term",
+          expr(s"(__d * __d * CAST($scale AS $D)) div __den"))
+        .groupBy(col("grp"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("__term")).as("chi2_q"))
+    } finally gt.unpersist(blocking = false)
+  }
 }

@@ -1784,8 +1784,58 @@ object TextQueries {
           ELSE 0 END AS BIGINT) AS f1_ppm
       FROM tot t LEFT JOIN ov o USING (pair_id) ORDER BY pair_id"""))
 
+  /** q135 — per-source χ² token-distribution drift (round 11,
+    * [[graft.operators.Profile.tokenDriftChi2]]): the data-mixing
+    * monitor — each source's unigram distribution against the corpus
+    * over the top-50 vocabulary + OTHER bucket, every cell one
+    * integral division of exact integers (squared numerator, so
+    * truncate ⇄ floor agree). The oracle replays the vocabulary
+    * selection, the zero-cell grid, the other bucket, and the HUGEINT
+    * cell algebra.
+    */
+  private val q135 = Q("q135_token_drift_chi2",
+    (s, dir) => {
+      graft.operators.Profile.tokenDriftChi2(
+          t(s, dir, "documents"), "source", "text", vocabSize = 50)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH nt AS (SELECT source,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      tok AS (SELECT source, UNNEST(toks) AS t FROM nt),
+      gt AS MATERIALIZED (SELECT source, t, COUNT(*) AS o FROM tok
+        WHERE LENGTH(t) > 0 GROUP BY source, t),
+      ct AS MATERIALIZED (SELECT t, SUM(o) AS c FROM gt GROUP BY t),
+      vocab AS MATERIALIZED (SELECT t, CAST(c AS BIGINT) AS c FROM (
+        SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn
+        FROM ct) WHERE rn <= 50),
+      ns AS MATERIALIZED (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+        FROM gt GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+      vsum AS (SELECT CAST(SUM(c) AS BIGINT) AS cs FROM vocab),
+      cells AS (
+        SELECT g.source, g.n_s, v.c, COALESCE(o.o, 0) AS o
+        FROM ns g CROSS JOIN vocab v
+          LEFT JOIN gt o ON o.source = g.source AND o.t = v.t
+        UNION ALL
+        SELECT g.source, g.n_s,
+          (SELECT n FROM tot) - (SELECT cs FROM vsum) AS c,
+          g.n_s - COALESCE((SELECT SUM(o.o) FROM gt o
+            JOIN vocab v ON o.t = v.t WHERE o.source = g.source), 0)
+            AS o
+        FROM ns g
+        WHERE (SELECT n FROM tot) - (SELECT cs FROM vsum) > 0),
+      terms AS (SELECT source, n_s,
+          (CAST(o AS HUGEINT) * (SELECT n FROM tot)
+            - CAST(n_s AS HUGEINT) * c) AS d,
+          CAST(n_s AS HUGEINT) * c * (SELECT n FROM tot) AS den
+        FROM cells)
+      SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        CAST(SUM((d * d * 1000000) // den) AS BIGINT) AS chi2_q
+      FROM terms GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132)
+    q130, q131, q132, q135)
 }

@@ -83,4 +83,60 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(nA - nE) <= docs.count() / 20,
       s"approx kept $nA vs exact $nE")
   }
+
+  test("tokenDriftChi2 == BigInt driver reference on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("text"))
+    val V = 20
+    // driver reference: same vocab rule, same quantized cell algebra
+    val local = docs.as[(String, String)].collect().toSeq
+    def toks(s: String) = graft.functions.TextFunctions
+      .normalizeString(s).split(" ").filter(_.nonEmpty).toSeq
+    val gt = local.flatMap { case (g, t) => toks(t).map(g -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = gt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val vocab = ct.toSeq.sortBy { case (t, c) => (-c, t) }.take(V)
+    val ns = gt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val bigN = ns.values.sum
+    val cOther = bigN - vocab.map(_._2).sum
+    def term(o: Long, nS: Long, c: Long): BigInt = {
+      val d = BigInt(o) * bigN - BigInt(nS) * c
+      d * d * 1000000L / (BigInt(bigN) * nS * c)
+    }
+    val want = ns.map { case (g, nS) =>
+      val vTerms = vocab.map { case (t, c) =>
+        term(gt.getOrElse((g, t), 0L), nS, c) }.sum
+      val oOther = nS - vocab.map { case (t, _) =>
+        gt.getOrElse((g, t), 0L) }.sum
+      val all = if (cOther > 0) vTerms + term(oOther, nS, cOther)
+        else vTerms
+      (g, nS, all.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Profile.tokenDriftChi2(docs, "source", "text", V)
+      .orderBy(col("grp")).as[(String, Long, Long)].collect().toSeq
+    assert(got == want, s"first diff: ${
+      got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("tokenDriftChi2: uniform groups score ~0; a skewed group spikes") {
+    // two groups with IDENTICAL token mixes -> every cell has o == e
+    // exactly (equal halves), chi2 == 0
+    val even = Seq(("a", "x x y z"), ("b", "x x y z"))
+      .toDF("g", "text")
+    val r1 = Profile.tokenDriftChi2(even, "g", "text", vocabSize = 10)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, c) => g -> ((n, c)) }.toMap
+    assert(r1 == Map("a" -> ((4L, 0L)), "b" -> ((4L, 0L))), r1.toString)
+    // vocabulary covers everything -> the other bucket must vanish
+    // (no division by a zero corpus count); skewed group dominates
+    val skew = Seq(("a", "x x x x x x x x"), ("b", "y y y y y y y y"))
+      .toDF("g", "text")
+    val r2 = Profile.tokenDriftChi2(skew, "g", "text", vocabSize = 10)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, _, c) => g -> c }.toMap
+    // o=8,e=4 on own token and o=0,e=4 on the other: per cell
+    // (8*16-8*8)^2*1e6/(16*8*8) = 4e6; two cells -> 8e6 per group
+    assert(r2 == Map("a" -> 8000000L, "b" -> 8000000L), r2.toString)
+  }
 }
