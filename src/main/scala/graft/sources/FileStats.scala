@@ -416,4 +416,125 @@ object FileStats {
 
     eval(pred)
   }
+
+  /** Dual of [[mayMatch]]: can the stats PROVE every row of the file
+    * satisfies `pred`? Conservative the other way — `true` only on
+    * proof, `false` for any unknown shape — so
+    * `allMatch ⇒ the file contributes exactly its row count` to a
+    * predicate COUNT without being read ([[TableStore.countWhere]]).
+    * SQL three-valued semantics: a NULL operand makes a comparison
+    * non-matching, so every comparison proof also requires nulls == 0.
+    */
+  def allMatch(pred: Expression, pf: PerFile): Boolean = {
+    if (pf.rows == 0L) return true // vacuously: zero rows all match
+
+    def stats(name: String): Option[ColStats] = pf.cols.get(name)
+
+    /** proof by range: EVERY value (and there are no nulls) compares
+      * `keepIf` against the literal.
+      */
+    def rangeAll(name: String, litV: Any, litT: DataType,
+                 keepIf: (Int, Int) => Boolean): Boolean =
+      (stats(name), normLit(litV, litT)) match {
+        case (Some(cs), Some(l)) if cs.nulls == 0 =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) =>
+              (cmp(mn, l), cmp(mx, l)) match {
+                case (Some(cMin), Some(cMax)) => keepIf(cMin, cMax)
+                case _                        => false
+              }
+            case _ => false
+          }
+        case _ => false
+      }
+
+    def eval(e: Expression): Boolean = e match {
+      case And(a, b) => eval(a) && eval(b)
+      // sufficient, not necessary: a file can satisfy a∨b row-wise
+      // without either side covering it alone — that file just reads
+      case Or(a, b) => eval(a) || eval(b)
+
+      case EqualTo(a, l) if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t,
+          (cMin, cMax) => cMin == 0 && cMax == 0)
+      case EqualTo(l, a) if attrName(a).isDefined && litOf(l).isDefined =>
+        eval(EqualTo(a, l))
+
+      case LessThan(a, l) if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t, (_, cMax) => cMax < 0)
+      case LessThan(l, a) if attrName(a).isDefined && litOf(l).isDefined =>
+        eval(GreaterThan(a, l))
+
+      case LessThanOrEqual(a, l)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t, (_, cMax) => cMax <= 0)
+      case LessThanOrEqual(l, a)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        eval(GreaterThanOrEqual(a, l))
+
+      case GreaterThan(a, l)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t, (cMin, _) => cMin > 0)
+      case GreaterThan(l, a)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        eval(LessThan(a, l))
+
+      case GreaterThanOrEqual(a, l)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t, (cMin, _) => cMin >= 0)
+      case GreaterThanOrEqual(l, a)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        eval(LessThanOrEqual(a, l))
+
+      // a constant no-null file whose single value the list contains
+      case In(a, list) if attrName(a).isDefined &&
+          list.nonEmpty && list.forall(litOf(_).isDefined) =>
+        list.exists(l => eval(EqualTo(a, l)))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        hset.exists(v => eval(EqualTo(a, Literal(v, a.dataType))))
+
+      case IsNull(a) if attrName(a).isDefined =>
+        stats(attrName(a).get).exists(cs => cs.nulls == cs.rows)
+      case IsNotNull(a) if attrName(a).isDefined =>
+        stats(attrName(a).get).exists(_.nulls == 0)
+
+      case Not(IsNull(a))    => eval(IsNotNull(a))
+      case Not(IsNotNull(a)) => eval(IsNull(a))
+      // != lit holds everywhere when the whole no-null window misses it
+      case Not(EqualTo(a, l))
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        val (v, t) = litOf(l).get
+        rangeAll(attrName(a).get, v, t,
+          (cMin, cMax) => cMax < 0 || cMin > 0)
+
+      case StartsWith(a, l)
+          if attrName(a).isDefined && litOf(l).isDefined =>
+        litOf(l).get match {
+          case (v, StringType) if v != null =>
+            val prefix = v.toString
+            stats(attrName(a).get) match {
+              case Some(cs) if cs.nulls == 0 =>
+                (cs.min, cs.max) match {
+                  // both bounds inside the prefix class ⇒ every value
+                  // between them is too (prefix classes are string-
+                  // order intervals)
+                  case (Some(mn: String), Some(mx: String)) =>
+                    mn.startsWith(prefix) && mx.startsWith(prefix)
+                  case _ => false
+                }
+              case _ => false
+            }
+          case _ => false
+        }
+
+      case _ => false // unknown shape: never prove
+    }
+
+    eval(pred)
+  }
 }

@@ -2078,6 +2078,65 @@ final class TableStore(spark: SparkSession, root: String,
       .filter(pred)
   }
 
+  /** Predicate COUNT answered from METADATA wherever the stats sidecar
+    * can prove it: each file is classified ALL (every row provably
+    * matches — contributes its sidecar row count, zero I/O), NONE
+    * (provably empty under the predicate — contributes 0), or
+    * BOUNDARY (indeterminate — read and counted). At 100 TB a
+    * time-range or partition-key count touches only the files
+    * straddling the range edges; the interior — almost everything —
+    * is settled from the sidecar. Exactness is unconditional: the
+    * ALL/NONE proofs are [[FileStats.allMatch]]/[[FileStats.mayMatch]]
+    * (both conservative, SQL null semantics), and stale-stats files
+    * simply classify BOUNDARY and get read. Falls back to a plain
+    * filtered count with no sidecar, under a live swap, or when the
+    * optimizer folds the predicate away entirely (no Filter conjuncts
+    * to prove against — including a literal-false predicate whose
+    * plan collapses to an empty relation).
+    */
+  def countWhere(table: String, pred: org.apache.spark.sql.Column): Long =
+    countWhereDetail(table, pred)._1
+
+  /** [[countWhere]] + file accounting for audits and specs:
+    * (count, provedAll, provedNone, scanned).
+    */
+  private[graft] def countWhereDetail(
+      table: String, pred: org.apache.spark.sql.Column)
+      : (Long, Int, Int, Int) = {
+    def plain = read(table).filter(pred)
+    def fallback = (plain.count(), 0, 0, -1)
+    if (readManifest(table).exists(_.swapping)) return fallback
+    val stats = readStatsSidecar(table) match {
+      case Some(st) => st
+      case None     => return fallback
+    }
+    val fs = fsOf(hpath(table))
+    val files = committedFiles(table, fs)
+    if (files.isEmpty) return (0L, 0, 0, 0)
+    val conds = plain.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    // no Filter left: the optimizer folded the predicate — true AND
+    // false both land here, so the metadata path cannot distinguish
+    // them; execute the plain count (correctness over cleverness)
+    if (conds.isEmpty) return fallback
+    val (provedAll, rest) = files.partition(rel =>
+      stats.get(rel).exists(pf =>
+        conds.forall(c => FileStats.allMatch(c, pf))))
+    val (scanned, provedNone) = rest.partition(rel =>
+      stats.get(rel).forall(pf =>
+        conds.forall(c => FileStats.mayMatch(c, pf))))
+    val metaCount = provedAll.map(stats(_).rows).sum
+    val scanCount =
+      if (scanned.isEmpty) 0L
+      else rd(table).option("basePath", path(table))
+        .parquet(scanned.map(r => s"${path(table)}/$r"): _*)
+        .filter(pred).count()
+    (metaCount + scanCount, provedAll.size, provedNone.size,
+      scanned.size)
+  }
+
   // ---------------------------------------------- incremental rollups
 
   private def rollupKey(src: String) = s"__rollup:$src"

@@ -331,4 +331,75 @@ class FileStatsSpec extends SparkSpec {
     val absent = ts.readWhere("t", $"k" === 43L)
     assert(absent.count() == 0 && absent.inputFiles.isEmpty)
   }
+
+  test("allMatch: proofs require full coverage and zero nulls") {
+    val pf = PerFile(100, Map("k" -> cs(100, 0, 10, 20),
+      "n" -> ColStats(100, 5, Some(bd(1)), Some(bd(2))),
+      "s" -> ColStats(100, 0, Some("ua"), Some("uz")),
+      "allnull" -> ColStats(100, 100, None, None),
+      "const" -> cs(100, 0, 7, 7)))
+    def am(e: Expression) = allMatch(e, pf)
+    val k = a("k")
+    // range containment proves; touching a bound flips by strictness
+    assert(am(GreaterThanOrEqual(k, Literal(10))) &&
+      !am(GreaterThan(k, Literal(10))) &&
+      am(GreaterThan(k, Literal(9))))
+    assert(am(LessThanOrEqual(k, Literal(20))) &&
+      !am(LessThan(k, Literal(20))) && am(LessThan(k, Literal(21))))
+    // a single null poisons any comparison proof
+    assert(!am(GreaterThan(a("n"), Literal(0))))
+    // equality only for constant files; In via the same route
+    assert(!am(EqualTo(k, Literal(15))))
+    assert(am(EqualTo(a("const"), Literal(7))) &&
+      am(In(a("const"), Seq(Literal(3), Literal(7)))))
+    assert(am(Not(EqualTo(k, Literal(9)))) &&
+      !am(Not(EqualTo(k, Literal(15)))))
+    // null proofs
+    assert(am(IsNull(a("allnull"))) && am(IsNotNull(k)) &&
+      !am(IsNotNull(a("n"))) && !am(IsNull(a("n"))))
+    // prefix class containment
+    assert(am(StartsWith(a("s"), Literal("u"))) &&
+      !am(StartsWith(a("s"), Literal("ua"))))
+    // And/Or composition; unknown shapes never prove
+    assert(am(And(GreaterThan(k, Literal(5)), IsNotNull(k))))
+    assert(am(Or(EqualTo(k, Literal(999)), LessThan(k, Literal(50)))))
+    assert(!am(EqualTo(k, a("const"))))
+    // empty file: vacuous truth
+    assert(allMatch(EqualTo(k, Literal(1)), PerFile(0, Map.empty)))
+  }
+
+  test("countWhere: interior files settle from metadata, boundaries scan") {
+    val ts = freshStore()
+    ts.rewrite("t", spark.range(400).toDF("k")
+      .withColumn("s", concat(lit("u"), format_string("%03d", $"k")))
+      .repartitionByRange(4, $"k"))
+    ts.analyze("t", Seq("k", "s"))
+    def check(pred: org.apache.spark.sql.Column): (Long, Int, Int, Int) = {
+      val d = ts.countWhereDetail("t", pred)
+      assert(d._1 == ts.read("t").filter(pred).count(), s"count for $pred")
+      d
+    }
+    // range straddling one file boundary: 2 interior proofs, ≤2 scans
+    val r = check($"k" >= 50 && $"k" < 350)
+    assert(r._2 >= 2 && r._4 <= 2, r.toString)
+    // whole-table predicate: pure metadata, zero files read
+    val all = check($"k" >= 0)
+    assert(all == ((400L, 4, 0, 0)), all.toString)
+    // provably-empty: zero everything
+    val none = check($"k" === -5)
+    assert(none == ((0L, 0, 4, 0)), none.toString)
+    // point predicate: one boundary file scanned
+    val pt = check($"k" === 123)
+    assert(pt._1 == 1L && pt._4 == 1, pt.toString)
+    // un-analyzed shape: falls back to a correct full count
+    assert(ts.countWhere("t", $"s".contains("39")) ==
+      ts.read("t").filter($"s".contains("39")).count())
+    // stale stats: appended file has no stats, classifies BOUNDARY
+    ts.append("t", Seq((1001L, "zz")).toDF("k", "s"))
+    val stale = check($"k" >= 1000)
+    assert(stale._1 == 1L, stale.toString)
+    // literal-false predicate folds away -> plain fallback, still 0
+    assert(ts.countWhere("t", lit(false)) == 0L)
+    assert(ts.countWhere("t", lit(true)) == 401L)
+  }
 }
