@@ -287,6 +287,83 @@ object Streams {
       .toDF("bucket", "m", "ver")
   }
 
+  /** Streaming maintenance of the bottom-k uniform-sample QUANTILE
+    * sketch ([[graft.operators.Sketches.bottomKSample]]): per group,
+    * keep the k rows whose key hashes smallest across all micro-
+    * batches — converges EXACTLY to the batch sketch of the union
+    * under any batch split (bottom-k is a semilattice merge, like
+    * [[hllMaintain]]'s register max). Re-delivered (key, value) rows
+    * are absorbed free (set semantics on the hash-keyed state); a key
+    * re-arriving with a CHANGED value keeps the max value —
+    * deterministic regardless of delivery order. State: ≤ k
+    * (hash, key, value) triples per group. A stateless per-partition
+    * bottom-k BEFORE the stateful exchange ships ≤ k rows per
+    * partition per group per micro-batch (the batch form's
+    * WindowGroupLimit, hand-rolled). Snapshots are versioned
+    * (append-sink convention): readers take max-`ver` per group and
+    * feed [[graft.operators.Sketches.quantilesOfSample]] (rename
+    * key/v to __key/__val, h to __h).
+    * Returns (grp, h, key, v, ver).
+    */
+  def bottomKMaintain(df: DataFrame, groupCol: String, keyCol: String,
+                      valueCol: String, k: Int,
+                      salt: String = "bkq"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple2[Long, Long]
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+        graft.operators.Sketches.hash60(col(keyCol), salt).as("h"),
+        col(keyCol).cast("long").as("key"),
+        col(valueCol).cast("long").as("v"))
+      .as[(String, Long, Long, Long)]
+    val partials = rows.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.TreeMap[(Long, Long), Long]]
+      it.foreach { case (g, h, key, v) =>
+        val t = m.getOrElseUpdate(g,
+          scala.collection.mutable.TreeMap.empty(ord))
+        val hk = (h, key)
+        t.get(hk) match {
+          case Some(pv) => if (v > pv) t.update(hk, v)
+          case None =>
+            if (t.size < k) t.update(hk, v)
+            else if (ord.lt(hk, t.lastKey)) {
+              t.remove(t.lastKey); t.update(hk, v)
+            }
+        }
+      }
+      m.iterator.flatMap { case (g, t) =>
+        t.iterator.map { case ((h, key), v) => (g, h, key, v) } }
+    }
+    def merge(g: String, it: Iterator[(String, Long, Long, Long)],
+              state: GroupState[(Long, Seq[(Long, Long, Long)])])
+        : Iterator[(String, Long, Long, Long, Long)] = {
+      val (prevVer, prev) =
+        state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+      val t = scala.collection.mutable.TreeMap.empty[(Long, Long), Long](ord)
+      prev.foreach { case (h, key, v) => t.update((h, key), v) }
+      it.foreach { case (_, h, key, v) =>
+        val hk = (h, key)
+        t.get(hk) match {
+          case Some(pv) => if (v > pv) t.update(hk, v)
+          case None     => t.update(hk, v)
+        }
+      }
+      while (t.size > k) t.remove(t.lastKey)
+      val ver = prevVer + 1
+      val snap = t.iterator
+        .map { case ((h, key), v) => (h, key, v) }.toSeq
+      state.update((ver, snap))
+      snap.iterator.map { case (h, key, v) => (g, h, key, v, ver) }
+    }
+    partials.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(merge)
+      .toDF("grp", "h", "key", "v", "ver")
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -450,4 +450,51 @@ class StreamsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(se == be)
   }
+
+  test("bottomKMaintain converges to the batch sketch of the union; replays absorbed") {
+    import graft.operators.Sketches
+    val in = Files.createTempDirectory("graft_bkm_in").toString
+    val out = Files.createTempDirectory("graft_bkm_out").toString
+    val ckpt = Files.createTempDirectory("graft_bkm_ckpt").toString
+    val sch = StructType.fromDDL("id long, g string, v long")
+    val k = 6
+    val b1 = (0L until 30L).map(i => (i, s"g${i % 2}", i * 10))
+    val b2 = (30L until 80L).map(i => (i, s"g${i % 2}", i * 10))
+    def js(rows: Seq[(Long, String, Long)]) =
+      rows.map(r => s"""{"id":${r._1},"g":"${r._2}","v":${r._3}}""")
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.bottomKMaintain(
+        spark.readStream.schema(sch).json(in), "g", "id", "v", k,
+        salt = "bkm"), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    // a verbatim replay of batch 2 must change nothing but ver
+    writeBatch(in, "b3.json", js(b2))
+    run()
+    val snaps = spark.read.parquet(out)
+    val latest = snaps.groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.max($"ver").as("ver"))
+    val got = snaps.join(latest, Seq("grp", "ver"))
+      .select($"grp", $"h", $"key", $"v")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val expect = Sketches.bottomKSample(
+        (b1 ++ b2).toDF("id", "g", "v"), Seq("g"), "id", "v", k,
+        salt = "bkm")
+      .select($"g", $"__h", $"__key".cast("long"), $"__val".cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // and the derived quantiles agree with the batch sketch's
+    val fromStream = snaps.join(latest, Seq("grp", "ver"))
+      .select($"grp".as("g"), $"key".as("__key"), $"v".as("__val"),
+        $"h".as("__h"))
+    val qs = Seq(("p50", 1, 2))
+    val a = Sketches.quantilesOfSample(fromStream, Seq("g"), qs)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Sketches.bottomKQuantiles((b1 ++ b2).toDF("id", "g", "v"),
+        Seq("g"), "id", "v", k, qs, salt = "bkm")
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
