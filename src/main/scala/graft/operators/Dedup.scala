@@ -345,6 +345,27 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
 
+  /** Blocking-screen candidate pairs: every (id_a < id_b) pair sharing
+    * at least `minCommon` distinct `shingleN`-gram shingles — the
+    * inverted-index CANDIDATE stage of [[jaccardPairs]] exposed on its
+    * own, for screen-quality evaluation
+    * ([[Eval.pairsPrecisionRecall]], the q136 gate) and for pipelines
+    * that verify candidates with a different measure than Jaccard.
+    * minCommon = 1 is recall-complete for any Jaccard threshold > 0
+    * (a positive intersection shares a shingle by definition); higher
+    * values trade recall for a smaller candidate set — measure the
+    * trade with the evaluator before committing to a threshold.
+    * Same scale shape and `maxShingleDf` stop-shingle cap as
+    * [[jaccardPairs]]. Returns (id_a, id_b, inter, n_a, n_b).
+    */
+  def blockingPairs(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, minCommon: Long,
+                    maxShingleDf: Int = 0): DataFrame = {
+    require(minCommon >= 1, s"minCommon >= 1, got $minCommon")
+    invertedPairCounts(df, idCol, textCol, shingleN, maxShingleDf)
+      .filter(col("inter") >= minCommon)
+  }
+
   /** Edit-distance near-duplicate pairs — the CHARACTER-level member
     * of the pair family (Levenshtein ≤ `maxDist` on `strCol`): the
     * classic fuzzy-key dedup for titles, URLs, product names, OCR

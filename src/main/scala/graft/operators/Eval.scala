@@ -186,4 +186,42 @@ object Eval {
           expr("(2000000 * overlap) div (cand_grams + ref_grams)"))
           .otherwise(lit(0L)).as("f1_ppm"))
   }
+
+  /** Pair-set precision/recall — the screen-quality evaluator for the
+    * dedup candidate family ([[Dedup.blockingPairs]],
+    * `lshCandidatePairs`, SimHash banding, embedding LSH): an
+    * approximate pair screen against the exact truth set, as ONE row
+    * of exact integers. Both sides canonicalize to (min, max) and
+    * dedup first, so edge direction and repeats can't skew the counts;
+    * the F1 is the same 2h/(nₐ+nₑ) single-division identity as
+    * [[rougeN]]'s.
+    *
+    * Scale shape: candidate/truth pair sets are screen outputs —
+    * orders of magnitude below corpus scale by construction — and the
+    * measure is one (a, b) equi-join plus one global fold. Returns
+    * (n_approx, n_exact, n_hit, precision_ppm, recall_ppm, f1_ppm).
+    */
+  def pairsPrecisionRecall(approx: DataFrame, exact: DataFrame,
+                           aCol: String, bCol: String): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val a = canon(approx).withColumn("__ina", lit(1L))
+    val e = canon(exact).withColumn("__ine", lit(1L))
+    a.join(e, Seq("a", "b"), "full")
+      .agg(coalesce(sum(col("__ina")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("__ine")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("__ina") * col("__ine")), lit(0L)).as("n_hit"))
+      .select(col("n_approx"), col("n_exact"), col("n_hit"),
+        when(col("n_approx") > 0,
+          expr("(1000000 * n_hit) div n_approx"))
+          .otherwise(lit(0L)).as("precision_ppm"),
+        when(col("n_exact") > 0,
+          expr("(1000000 * n_hit) div n_exact"))
+          .otherwise(lit(0L)).as("recall_ppm"),
+        when(col("n_approx") + col("n_exact") > 0,
+          expr("(2000000 * n_hit) div (n_approx + n_exact)"))
+          .otherwise(lit(0L)).as("f1_ppm"))
+  }
 }

@@ -1834,8 +1834,58 @@ object TextQueries {
         CAST(SUM((d * d * 1000000) // den) AS BIGINT) AS chi2_q
       FROM terms GROUP BY source ORDER BY source"""))
 
+  /** q136 — dedup-screen quality evaluation (round 11,
+    * [[graft.operators.Eval.pairsPrecisionRecall]] over
+    * [[graft.operators.Dedup.blockingPairs]]): the ≥3-common-shingle
+    * blocking screen measured against the exact Jaccard ≥ 0.2 truth
+    * set — precision/recall/F1 of a candidate generator as ONE row of
+    * exact ppm integers (at sf0.01: 130 candidates cover all 25 true
+    * pairs — recall 1e6, precision ~0.19e6). The oracle replays the
+    * shared inverted-index chain for both sides and the full-join
+    * fold.
+    */
+  private val q136 = Q("q136_dedup_screen_eval",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Eval.pairsPrecisionRecall(
+        Dedup.blockingPairs(docs, "doc_id", "text", shingleN = 3,
+          minCommon = 3),
+        Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3,
+          threshold = 0.2),
+        "id_a", "id_b")
+    },
+    Some(s"""WITH nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+      sh AS MATERIALIZED (SELECT doc_id,
+        UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS MATERIALIZED (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      ap AS (SELECT id_a, id_b, 1 AS ina FROM inter WHERE inter >= 3),
+      ex AS (SELECT id_a, id_b, 1 AS ine FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (CAST(inter AS DOUBLE)
+          / CAST(sa.n + sb.n - inter AS DOUBLE)) >= 0.2),
+      m AS (SELECT COALESCE(SUM(ina), 0) AS na,
+          COALESCE(SUM(ine), 0) AS ne,
+          COALESCE(SUM(ina * ine), 0) AS nh
+        FROM (SELECT COALESCE(a.ina, 0) AS ina, COALESCE(e.ine, 0) AS ine
+          FROM ap a FULL JOIN ex e USING (id_a, id_b)))
+      SELECT CAST(na AS BIGINT) AS n_approx,
+        CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hit,
+        CAST(CASE WHEN na > 0 THEN (1000000 * nh) // na ELSE 0 END
+          AS BIGINT) AS precision_ppm,
+        CAST(CASE WHEN ne > 0 THEN (1000000 * nh) // ne ELSE 0 END
+          AS BIGINT) AS recall_ppm,
+        CAST(CASE WHEN na + ne > 0 THEN (2000000 * nh) // (na + ne)
+          ELSE 0 END AS BIGINT) AS f1_ppm
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135)
+    q130, q131, q132, q135, q136)
 }

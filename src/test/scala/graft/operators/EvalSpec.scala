@@ -218,4 +218,41 @@ class EvalSpec extends SparkSpec {
     assert(got == ref.sortBy(_._1), s"first diff: ${
       got.zip(ref.sortBy(_._1)).find(p => p._1 != p._2)}")
   }
+
+  test("pairsPrecisionRecall: canonicalization, duplicates, empty sides") {
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // approx holds (1,2) twice in both directions + a false positive;
+    // exact holds (2,1) reversed + a missed pair
+    val approx = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val exact = Seq((2L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = one(Eval.pairsPrecisionRecall(approx, exact,
+      "id_a", "id_b"))
+    // na=2 {(1,2),(3,4)}, ne=2 {(1,2),(5,6)}, hit=1
+    assert(got == ((2L, 2L, 1L, 500000L, 500000L, 500000L)),
+      got.toString)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(one(Eval.pairsPrecisionRecall(empty, exact, "id_a", "id_b"))
+      == ((0L, 2L, 0L, 0L, 0L, 0L)))
+    assert(one(Eval.pairsPrecisionRecall(approx, empty, "id_a", "id_b"))
+      == ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("blockingPairs: superset of jaccard pairs; minCommon monotone") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val b1 = pairs(graft.operators.Dedup.blockingPairs(docs, "doc_id",
+      "text", shingleN = 3, minCommon = 1))
+    val b3 = pairs(graft.operators.Dedup.blockingPairs(docs, "doc_id",
+      "text", shingleN = 3, minCommon = 3))
+    val truth = pairs(graft.operators.Dedup.jaccardPairs(docs, "doc_id",
+      "text", shingleN = 3, threshold = 0.2))
+    assert(b3.subsetOf(b1))
+    // minCommon = 1 is recall-complete for any positive threshold
+    assert(truth.subsetOf(b1))
+  }
 }
