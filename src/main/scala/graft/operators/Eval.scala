@@ -224,4 +224,40 @@ object Eval {
           expr("(2000000 * n_hit) div (n_approx + n_exact)"))
           .otherwise(lit(0L)).as("f1_ppm"))
   }
+
+  /** ROC AUC of an integer score against a binary label, EXACT via the
+    * Mann–Whitney identity: AUC = (U + T/2)/(nP·nN) with U the
+    * (pos, neg) pairs the score orders correctly and T the tied pairs
+    * — kept as `(1e6·(2U + T)) div (2·nP·nN)`, one integral division,
+    * no rank interpolation. The quality-signal selector: before
+    * training a [[Classifier]] on a proxy signal (perplexity, length,
+    * rule count), measure whether the signal RANKS keep-vs-drop at
+    * all.
+    *
+    * Scores must be integers (fixed-point quantized upstream — the
+    * [[Classifier.scoreDocs]] `z` contract); labels are 0/1. Scale
+    * shape: one (score)-keyed exact aggregate with map-side partials,
+    * then a single-partition running sum over the DISTINCT-SCORE
+    * relation — bounded by the score domain, not the corpus (quantized
+    * scores collapse; re-quantize coarser if a raw score is near-
+    * unique). Returns one row (n_pos, n_neg, auc_ppm).
+    */
+  def aucPpm(df: DataFrame, scoreCol: String,
+             labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nb", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(lit(2L) * col("p") * col("nb") + col("p") * col("n"))
+          .as("__num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000 * __num) div (2 * n_pos * n_neg)"))
+          .otherwise(lit(0L)).as("auc_ppm"))
+  }
 }

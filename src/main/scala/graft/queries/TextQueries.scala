@@ -1884,8 +1884,49 @@ object TextQueries {
           ELSE 0 END AS BIGINT) AS f1_ppm
       FROM m"""))
 
+  /** q137 — quality-signal AUC (round 11,
+    * [[graft.operators.Eval.aucPpm]]): does raw document LENGTH rank
+    * the Gopher keep decision? Exact Mann–Whitney AUC of n_words vs
+    * the rule-cascade label, ties handled by the 2U+T identity, one
+    * integral division — the signal-selection measure run before
+    * training a [[graft.operators.Classifier]] on any proxy. The
+    * oracle reuses the factored Gopher measure/flag mirrors and
+    * replays the distinct-score running-sum fold.
+    */
+  private val q137 = {
+    val cfg = graft.functions.QualityRules.Config()
+    Q("q137_signal_auc",
+      (s, dir) => {
+        val ann = graft.functions.QualityRules
+          .annotate(t(s, dir, "documents").repartition(col("doc_id")),
+            "text", cfg)
+          .select(col("n_words"), col("keep").cast("long").as("y"))
+        graft.operators.Eval.aucPpm(ann, "n_words", "y")
+      },
+      Some {
+        val keepConj = gopherFlagsSql(cfg)
+          .map { case (_, e) => s"($e) = 1" }.mkString(" AND ")
+        s"""WITH $gopherMeasuresCtesSql,
+        lab AS (SELECT n_words AS s, CAST($keepConj AS BIGINT) AS y
+          FROM m),
+        g AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS n FROM lab
+          GROUP BY s),
+        w AS (SELECT s, p, n, COALESCE(SUM(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+          FROM g),
+        tt AS (SELECT SUM(p) AS np, SUM(n) AS nn2,
+            SUM(2 * p * nb + p * n) AS num FROM w)
+        SELECT CAST(np AS BIGINT) AS n_pos,
+          CAST(nn2 AS BIGINT) AS n_neg,
+          CAST(CASE WHEN np > 0 AND nn2 > 0
+            THEN (1000000 * num) // (2 * np * nn2)
+            ELSE 0 END AS BIGINT) AS auc_ppm
+        FROM tt"""
+      })
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136)
+    q130, q131, q132, q135, q136, q137)
 }

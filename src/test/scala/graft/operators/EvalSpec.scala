@@ -255,4 +255,29 @@ class EvalSpec extends SparkSpec {
     // minCommon = 1 is recall-complete for any positive threshold
     assert(truth.subsetOf(b1))
   }
+
+  test("aucPpm: separation, reversal, ties, and a brute-force pair reference") {
+    def auc(rows: Seq[(Long, Long)]) =
+      Eval.aucPpm(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Long)].collect().head
+    // perfect separation / reversal / coin-flip ties
+    assert(auc(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))) ==
+      ((2L, 2L, 1000000L)))
+    assert(auc(Seq((4L, 0L), (3L, 0L), (1L, 1L), (2L, 1L))) ==
+      ((2L, 2L, 0L)))
+    assert(auc(Seq((7L, 0L), (7L, 1L), (7L, 0L), (7L, 1L))) ==
+      ((2L, 2L, 500000L)))
+    // degenerate single-class input scores 0, not a crash
+    assert(auc(Seq((1L, 1L), (2L, 1L))) == ((2L, 0L, 0L)))
+    // seeded fixture vs the O(nP*nN) definition
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(2).toLong))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val want = 1000000L * num / (2L * pos.length * neg.length)
+    assert(auc(rows) == ((pos.length.toLong, neg.length.toLong, want)))
+  }
 }
