@@ -715,34 +715,40 @@ object TextQueries {
           col("jaccard"))
         .orderBy(col("corpus_id"), col("batch_id"))
     },
-    Some {
-      val h = SamplingQueries.hashSql("ingest", "doc_id")
-      val bucket = SamplingQueries.bucketSql("h")
-      val cut = math.round(0.8 * Sampling.BucketSpace)
-      s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
-        sides AS (SELECT doc_id, text,
-          CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
-          FROM b),
-        nt AS (SELECT doc_id, side,
-          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM sides),
-        sh AS (SELECT doc_id, side, UNNEST(${shinglesSql("toks", 3)}) AS sh
-          FROM nt),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT x.doc_id AS corpus_id, y.doc_id AS batch_id,
-            COUNT(*) AS inter
-          FROM sh x JOIN sh y ON x.sh = y.sh
-          WHERE x.side = 'corpus' AND y.side = 'batch'
-          GROUP BY x.doc_id, y.doc_id)
-        SELECT corpus_id, batch_id,
-          (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
-            AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = corpus_id
-        JOIN sizes sb ON sb.doc_id = batch_id
-        WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
-          >= 0.2
-        ORDER BY corpus_id, batch_id"""
-    })
+    Some(incrementalDedupOracleSql))
+
+  /** q83's oracle body, shared VERBATIM with q138 (served twin — the
+    * q89/q130 contract: a persisted-state serve must gate against the
+    * exact oracle its inline form does).
+    */
+  private[queries] def incrementalDedupOracleSql: String = {
+    val h = SamplingQueries.hashSql("ingest", "doc_id")
+    val bucket = SamplingQueries.bucketSql("h")
+    val cut = math.round(0.8 * Sampling.BucketSpace)
+    s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
+      sides AS (SELECT doc_id, text,
+        CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
+        FROM b),
+      nt AS (SELECT doc_id, side,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM sides),
+      sh AS (SELECT doc_id, side, UNNEST(${shinglesSql("toks", 3)}) AS sh
+        FROM nt),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS corpus_id, y.doc_id AS batch_id,
+          COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.sh = y.sh
+        WHERE x.side = 'corpus' AND y.side = 'batch'
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT corpus_id, batch_id,
+        (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+          AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = corpus_id
+      JOIN sizes sb ON sb.doc_id = batch_id
+      WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+        >= 0.2
+      ORDER BY corpus_id, batch_id"""
+  }
 
   /** q84 — EXACT φ-heavy-hitter vocabulary via the mergeable
     * Misra–Gries sketch + candidate recount
@@ -1925,8 +1931,39 @@ object TextQueries {
       })
   }
 
+  /** q138 — incremental dedup screen SERVED from the persisted band
+    * index (round 11, [[graft.operators.DedupIndex]]): the corpus is
+    * banded ONCE into a TableStore table, the ingest batch screens
+    * against the stored bands with the index's pinned parameters —
+    * corpus text never re-tokenized — and survivors verify exactly.
+    * Gated against q83's oracle VERBATIM (the q119/q125/q130
+    * persisted-twin contract).
+    */
+  private val q138 = Q("q138_dedup_screen_served",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val corpus = docs.filter(bucket < cut)
+      val batch = docs.filter(bucket >= cut)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q138_ix").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("corpus", corpus.select(col("doc_id"), col("text")))
+      graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      val cands = graft.operators.DedupIndex.screen(store, "lsh", batch,
+        "doc_id", "text")
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+          col("jaccard"))
+        .orderBy(col("corpus_id"), col("batch_id"))
+    },
+    Some(incrementalDedupOracleSql))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137)
+    q130, q131, q132, q135, q136, q137, q138)
 }
