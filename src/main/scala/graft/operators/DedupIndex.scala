@@ -155,6 +155,69 @@ object DedupIndex {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** [[screen]] + exact-Jaccard verification in one call, with the
+    * verify stage's shingle width taken from the INDEX's pinned
+    * parameters (a caller-supplied width could silently verify in a
+    * different shingle space than the bands were built in). Texts come
+    * from the corpus TABLE for the corpus side and the batch frame for
+    * the batch side; the corpus side is SEMI-JOINED down to the ids the
+    * band screen actually surfaced before any tokenization, so the
+    * verify cost is candidate-bounded — the standing corpus is never
+    * re-shingled wholesale. Returns (id_a corpus, id_b batch, inter,
+    * n_a, n_b, jaccard) at `jaccard >= threshold`, i.e.
+    * [[Dedup.verifyJaccard]]'s schema. Sides must be id-disjoint (the
+    * [[Dedup.lshCandidatePairsAgainst]] contract — ingest screens NEW
+    * docs); a batch id already in the corpus would feed both texts
+    * into the verify join and double its pairs.
+    */
+  def screenVerified(store: TableStore, indexTable: String,
+                     corpusTable: String, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     threshold: Double): DataFrame = {
+    val (shingleN, _, _, _) = params(store, indexTable)
+    val cands = screen(store, indexTable, batch, idCol, textCol)
+    val corpusTexts = store.read(corpusTable)
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .join(cands.select(col("id_a").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+    val texts = corpusTexts.unionByName(
+      batch.select(col(idCol).cast("long").as(idCol), col(textCol)))
+    Dedup.verifyJaccard(cands, texts, idCol, textCol, shingleN,
+      threshold)
+  }
+
+  /** The ADMISSION decision for an ingest batch — the screen turned
+    * into a filter: drop every batch doc with a verified near-dup in
+    * the standing corpus ([[screenVerified]]), and of the verified
+    * WITHIN-BATCH dup pairs (banded with the same pinned parameters
+    * via [[Dedup.lshCandidatePairs]]) drop every doc that has a
+    * SMALLER-id verified dup — the standard greedy MinHash-dedup
+    * policy: deterministic, keeps each dup component's min id (it has
+    * no smaller dup), and may drop a transitive member whose only dup
+    * was itself dropped (by design — admission is conservative;
+    * component-exact survivor election is [[Dedup.nearDupComponents]]
+    * + [[Dedup.electSurvivorsByQuality]] on the batch path). Returns
+    * the surviving batch rows UNCHANGED (original schema). Batch ids
+    * must be new (id-disjoint from the corpus — [[screenVerified]]'s
+    * contract).
+    */
+  def admit(store: TableStore, indexTable: String, corpusTable: String,
+            batch: DataFrame, idCol: String, textCol: String,
+            threshold: Double): DataFrame = {
+    val (shingleN, k, bands, _) = params(store, indexTable)
+    val vsCorpus = screenVerified(store, indexTable, corpusTable, batch,
+      idCol, textCol, threshold).select(col("id_b").as("__dup"))
+    val withinB = Dedup.verifyJaccard(
+        Dedup.lshCandidatePairs(
+          batch.select(col(idCol).cast("long").as(idCol), col(textCol)),
+          idCol, textCol, shingleN, k, bands),
+        batch.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, shingleN, threshold)
+      .select(col("id_b").as("__dup")) // id_a < id_b: drop the larger
+    batch.join(vsCorpus.unionByName(withinB).distinct(),
+      batch(idCol).cast("long") === col("__dup"), "left_anti")
+  }
+
   /** [[screen]] from a PINNED index generation
     * ([[TableStore.readAt]]) — the reproducible-screening path.
     */

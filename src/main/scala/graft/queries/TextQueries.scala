@@ -1962,8 +1962,66 @@ object TextQueries {
     },
     Some(incrementalDedupOracleSql))
 
+  /** q139 — the ADMISSION decision ([[graft.operators.DedupIndex
+    * .admit]], the batch form of `Streams.dedupIndexMaintain`'s
+    * per-micro-batch filter): batch docs surviving BOTH the
+    * served-index corpus screen and the greedy within-batch dedup
+    * (drop any doc with a smaller-id verified dup). Oracle replays the
+    * exact-Jaccard admission over ALL shingle-sharing pairs — cross
+    * AND within-batch — so the gate also proves the within-batch LSH
+    * screen's full recall at t=0.2 on this fixture (the q83/q18
+    * recall argument restricted to the batch side).
+    */
+  private val q139 = Q("q139_dedup_admission",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val corpus = docs.filter(bucket < cut)
+      val batch = docs.filter(bucket >= cut)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q139_ix").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("corpus", corpus.select(col("doc_id"), col("text")))
+      graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      graft.operators.DedupIndex.admit(store, "lsh", "corpus",
+          batch.select(col("doc_id"), col("text")), "doc_id", "text",
+          threshold = 0.2)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some {
+      val h = SamplingQueries.hashSql("ingest", "doc_id")
+      val bucket = SamplingQueries.bucketSql("h")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
+        sides AS (SELECT doc_id, text,
+          CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
+          FROM b),
+        nt AS (SELECT doc_id, side,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM sides),
+        sh AS (SELECT doc_id, side, UNNEST(${shinglesSql("toks", 3)}) AS sh
+          FROM nt),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+            COUNT(*) AS inter
+          FROM sh x JOIN sh y ON x.sh = y.sh
+          WHERE (x.side = 'corpus' AND y.side = 'batch')
+             OR (x.side = 'batch' AND y.side = 'batch'
+                 AND x.doc_id < y.doc_id)
+          GROUP BY x.doc_id, y.doc_id),
+        dropped AS (SELECT DISTINCT id_b FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE (CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE)) >= 0.2)
+        SELECT doc_id FROM sides
+        WHERE side = 'batch' AND doc_id NOT IN (SELECT id_b FROM dropped)
+        ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137, q138)
+    q130, q131, q132, q135, q136, q137, q138, q139)
 }

@@ -453,6 +453,57 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming NEAR-DUP ADMISSION against the persisted band index,
+    * end to end: each micro-batch (1) screens its docs against the
+    * standing corpus through [[graft.operators.DedupIndex.admit]]
+    * (band join on the PERSISTED index + candidate-bounded
+    * exact-Jaccard verify + within-batch greedy dedup — corpus text is
+    * never re-shingled wholesale), (2) merges only the SURVIVORS into
+    * the corpus EXACTLY-ONCE (the (streamId, batchId) fence rides the
+    * merge's own commit CAS), and (3)
+    * [[graft.operators.DedupIndex.refreshFromCorpus]] re-bands just
+    * the admitted churn — so the NEXT batch screens against everything
+    * admitted so far, with no full rebuilds: the steady-state 100 TB
+    * ingest-dedup loop.
+    *
+    * Exactly-once on the [[lexIndexMaintain]] protocol — two stores,
+    * INDEPENDENT anchors, no shared transaction: a replayed batch may
+    * compute a DIFFERENT (even empty) admission set, because its docs
+    * already sit in the corpus from the first delivery — but the merge
+    * fence discards it and the index refresh no-ops on an equal
+    * generation, so state is unaffected; a crash BETWEEN merge and
+    * refresh heals on the next batch/restart from the index's own
+    * generation anchor. The corpus table and band index must exist
+    * ([[graft.operators.DedupIndex.buildFromCorpus]]; empty corpus is
+    * fine) before the stream starts; batch keys must be NEW doc ids
+    * (admission ingests new docs, it does not re-admit updates).
+    */
+  def dedupIndexMaintain(df: DataFrame,
+                         store: graft.sources.TableStore,
+                         corpusTable: String, indexTable: String,
+                         keyCol: String, textCol: String,
+                         threshold: Double, streamId: String,
+                         checkpointDir: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val admitted = graft.operators.DedupIndex.admit(store,
+            indexTable, corpusTable, b, keyCol, textCol, threshold)
+          store.merge(corpusTable, admitted, keyCol,
+            graft.sources.TableStore.MergeUpdate(Seq(textCol)),
+            insertNotMatched = true, txn = Some(streamId -> batchId))
+          graft.operators.DedupIndex.refreshFromCorpus(store,
+            corpusTable, indexTable, keyCol, textCol)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def mergeStreamExactlyOnce(df: DataFrame,
                              store: graft.sources.TableStore,
                              table: String, keyCol: String,

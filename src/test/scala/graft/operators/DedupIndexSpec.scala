@@ -89,6 +89,56 @@ class DedupIndexSpec extends SparkSpec {
     assert(content(store, "lsh") == content(full, "lsh"))
   }
 
+  test("screenVerified == verifyJaccard over the full doc set") {
+    val store = freshStore()
+    val corpus = docs.filter(col("doc_id") < 35)
+    val batch = docs.filter(col("doc_id") >= 35)
+    store.append("corpus", corpus)
+    DedupIndex.buildFromCorpus(store, "corpus", "lsh", "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8)
+    val served = DedupIndex.screenVerified(store, "lsh", "corpus",
+        batch, "doc_id", "text", threshold = 0.2)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: verify EVERY inline candidate over all texts — the
+    // semi-join narrowing in screenVerified must not change results,
+    // and the shingle width must come from the pinned stats row (2,
+    // not the default 3)
+    val inline = Dedup.verifyJaccard(
+        Dedup.lshCandidatePairsAgainst(corpus, batch, "doc_id", "text",
+          shingleN = 2, k = 32, bands = 8),
+        docs, "doc_id", "text", shingleN = 2, threshold = 0.2)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == inline && served.nonEmpty)
+  }
+
+  test("admit: corpus dups and larger-id within-batch dups drop") {
+    val store = freshStore()
+    store.append("corpus", Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text"))
+    DedupIndex.buildFromCorpus(store, "corpus", "lsh", "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8)
+    val batch = Seq(
+      // near-dup of corpus doc 1 → dropped
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // mutual near-dups: 11 keeps (min id), 12 drops
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "one two three four five six seven eight ten"),
+      // unique → kept
+      (13L, "completely different content about spark plans here")
+    ).toDF("doc_id", "text")
+    val kept = DedupIndex.admit(store, "lsh", "corpus", batch,
+      "doc_id", "text", threshold = 0.5)
+    assert(kept.select(col("doc_id")).as[Long].collect().sorted.toSeq ==
+      Seq(11L, 13L))
+    // survivors keep the batch's original schema and rows unchanged
+    assert(kept.columns.toSeq == batch.columns.toSeq)
+  }
+
   test("screenAt: pinned generation re-screens pre-refresh results") {
     val store = freshStore()
     val batch = docs.filter(col("doc_id") >= 40)

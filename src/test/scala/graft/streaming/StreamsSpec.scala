@@ -340,6 +340,68 @@ class StreamsSpec extends SparkSpec {
     assert(served(store) == rebuilt(), "after out-of-band churn heal")
   }
 
+  test("dedupIndexMaintain: streamed admission keeps the corpus near-dup-free") {
+    import graft.sources.TableStore
+    import graft.operators.DedupIndex
+    val in = Files.createTempDirectory("graft_dixm_in").toString
+    val ckpt = Files.createTempDirectory("graft_dixm_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_dixm_store").toString,
+      retainGenerations = 20)
+    val sch = StructType.fromDDL("doc_id long, text string")
+    store.append("corpus", Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text"))
+    DedupIndex.buildFromCorpus(store, "corpus", "lsh", "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8)
+    def run(): Unit = Streams.dedupIndexMaintain(
+      Streams.jsonStream(spark, sch, in), store, "corpus", "lsh",
+      "doc_id", "text", threshold = 0.5, "dixcdc", ckpt)
+    def corpusIds(): Seq[Long] =
+      store.read("corpus").select(col("doc_id")).as[Long]
+        .collect().sorted.toSeq
+    // b1: near-dup of corpus doc 1 (dropped), within-batch pair
+    // (11 kept, 12 dropped), unique (kept)
+    writeBatch(in, "b1.json", Seq(
+      """{"doc_id":10,"text":"alpha beta gamma delta epsilon zeta eta iota"}""",
+      """{"doc_id":11,"text":"one two three four five six seven eight nine"}""",
+      """{"doc_id":12,"text":"one two three four five six seven eight ten"}""",
+      """{"doc_id":13,"text":"completely different content about spark plans here"}"""))
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L))
+    // the refresh kept the index == a fresh rebuild of the admitted corpus
+    val rebuilt = new TableStore(spark,
+      Files.createTempDirectory("graft_dixm_rb").toString)
+    rebuilt.append("corpus", store.read("corpus"))
+    DedupIndex.buildFromCorpus(rebuilt, "corpus", "lsh", "doc_id",
+      "text", shingleN = 2, k = 16, bands = 8)
+    def bands(s: TableStore): Seq[(Long, Long)] =
+      s.readWhere("lsh", col("component") === "band")
+        .select(col("doc_id"), col("band"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    assert(bands(store) == bands(rebuilt), "index == rebuild after b1")
+    // b2: near-dup of doc 11 ADMITTED IN B1 — only the refreshed index
+    // can catch it — plus another unique doc
+    writeBatch(in, "b2.json", Seq(
+      """{"doc_id":20,"text":"one two three four five six seven eight nine!"}""",
+      """{"doc_id":21,"text":"fresh streaming material with novel words entirely"}"""))
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+    // drained restart: nothing re-applies
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+    // sink-committed-but-checkpoint-lost replay through the fence: a
+    // replayed batch id computes a different admission set (its docs
+    // are in the corpus now) but the merge fence discards it
+    (0L to store.lastTxn("corpus", "dixcdc")).foreach { b =>
+      assert(store.merge("corpus",
+        Seq((99L, "whatever replay content")).toDF("doc_id", "text"),
+        "doc_id", TableStore.MergeUpdate(Seq("text")),
+        txn = Some("dixcdc" -> b)) == -1L)
+    }
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
