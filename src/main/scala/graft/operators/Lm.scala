@@ -43,6 +43,39 @@ object Lm {
   private def gramsOf(toks: Column, n: Int): Column =
     call_function("graft_shingles", toks, lit(n))
 
+  /** The trained model as FRAMES — unigram counts `(__w, __c)`,
+    * bigram counts `(__mg, __cb)`, trigram counts `(__mg3, __c123)`,
+    * and the one-row `(__n, __v)` totals — so the scoring joins are
+    * source-agnostic: [[modelFrames]] computes them from target text,
+    * [[LmIndex]] reads the SAME shapes from a persisted count table,
+    * and the shared scoring expressions guarantee served scores are
+    * bit-identical to inline ones. All frames are lazy; a scorer that
+    * never joins `tc` never pays for it.
+    */
+  private[operators] final case class LmFrames(uc: DataFrame,
+                                               bc: DataFrame,
+                                               tc: DataFrame,
+                                               nvF: DataFrame)
+
+  /** Count frames from target text: one tokenize feeding the unigram
+    * exchange (which N/V reuse), plus one bigram and one trigram
+    * exchange — each MODEL-scale (distinct grams), map-side combined.
+    */
+  private[operators] def modelFrames(target: DataFrame,
+                                     textCol: String): LmFrames = {
+    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val bc = tt.filter(size(col("__t")) >= 2)
+      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
+      .groupBy(col("__mg")).agg(count(lit(1)).as("__cb"))
+    val tc = tt.filter(size(col("__t")) >= 3)
+      .select(explode(gramsOf(col("__t"), 3)).as("__mg3"))
+      .groupBy(col("__mg3")).agg(count(lit(1)).as("__c123"))
+    val nvF = uc.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    LmFrames(uc, bc, tc, nvF)
+  }
+
   /** Score `corpus` docs under a stupid-backoff bigram model trained
     * on `target`: one row per corpus doc —
     * (idCol, n_bigrams, n_hit, n_backoff, sb_score) where `n_hit`
@@ -58,18 +91,29 @@ object Lm {
                           idCol: String, textCol: String,
                           alpha: Double = 0.4,
                           minQuantMargin: Option[Double] = None)
-      : DataFrame = {
+      : DataFrame =
+    stupidBackoffScoresFrom(corpus, modelFrames(target, textCol),
+      idCol, textCol, alpha, minQuantMargin)
+
+  /** [[stupidBackoffScores]] over pre-built model frames — the shared
+    * body the inline and [[LmIndex]]-served paths both run, so served
+    * scores are bit-identical by construction.
+    */
+  private[operators] def stupidBackoffScoresFrom(
+      corpus: DataFrame, m: LmFrames, idCol: String, textCol: String,
+      alpha: Double, minQuantMargin: Option[Double]): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
     minQuantMargin.foreach { threshold =>
-      val m = minQuantizationMargin(corpus, target, idCol, textCol, alpha)
-      if (m < threshold) throw new IllegalStateException(
-        f"Lm.stupidBackoffScores quantization margin $m%.3e below " +
+      val mg = marginOf(scoredGrams(corpus, m, idCol, textCol, alpha),
+        excludeExactOne = false)
+      if (mg < threshold) throw new IllegalStateException(
+        f"Lm.stupidBackoffScores quantization margin $mg%.3e below " +
           f"threshold $threshold%.3e: a transition score sits close " +
           "enough to its floor boundary that cross-engine ln drift " +
           "could flip the quantized sum — re-audit the fixture before " +
           "trusting a hash-compared oracle")
     }
-    val g = scoredGrams(corpus, target, idCol, textCol, alpha)
+    val g = scoredGrams(corpus, m, idCol, textCol, alpha)
     g.df.groupBy(col(idCol))
       .agg(count(col("__g")).as("n_bigrams"),
         coalesce(sum(when(col("__g").isNotNull && col("__c12").isNotNull,
@@ -87,11 +131,21 @@ object Lm {
     */
   def minQuantizationMargin(corpus: DataFrame, target: DataFrame,
                             idCol: String, textCol: String,
-                            alpha: Double = 0.4): Double = {
-    val g = scoredGrams(corpus, target, idCol, textCol, alpha)
+                            alpha: Double = 0.4): Double =
+    marginOf(scoredGrams(corpus, modelFrames(target, textCol), idCol,
+      textCol, alpha), excludeExactOne = false)
+
+  /** Min distance of any scored transition's unquantized value to its
+    * floor boundary; `excludeExactOne` drops score-exactly-1 rows
+    * (ln(1.0) = 0.0 is ON a boundary but exact in every engine — the
+    * trigram/KN audits' exclusion).
+    */
+  private def marginOf(g: ScoredGrams, excludeExactOne: Boolean)
+      : Double = {
     val frac = g.y - floor(g.y)
-    val row = g.df.filter(col("__g").isNotNull)
-      .agg(min(least(frac, lit(1.0) - frac))).head()
+    val base = g.df.filter(col("__g").isNotNull)
+    val rows = if (excludeExactOne) base.filter(g.y =!= lit(0.0)) else base
+    val row = rows.agg(min(least(frac, lit(1.0) - frac))).head()
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
@@ -118,19 +172,29 @@ object Lm {
                                  idCol: String, textCol: String,
                                  alpha: Double = 0.4,
                                  minQuantMargin: Option[Double] = None)
-      : DataFrame = {
+      : DataFrame =
+    stupidBackoffTrigramScoresFrom(corpus,
+      modelFrames(target, textCol), idCol, textCol, alpha,
+      minQuantMargin)
+
+  /** [[stupidBackoffTrigramScores]] over pre-built model frames (the
+    * [[LmIndex]] serve seam).
+    */
+  private[operators] def stupidBackoffTrigramScoresFrom(
+      corpus: DataFrame, m: LmFrames, idCol: String, textCol: String,
+      alpha: Double, minQuantMargin: Option[Double]): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
     minQuantMargin.foreach { threshold =>
-      val m = minQuantizationMarginTrigram(corpus, target, idCol,
-        textCol, alpha)
-      if (m < threshold) throw new IllegalStateException(
-        f"Lm.stupidBackoffTrigramScores quantization margin $m%.3e " +
+      val mg = marginOf(scoredTrigrams(corpus, m, idCol, textCol,
+        alpha), excludeExactOne = true)
+      if (mg < threshold) throw new IllegalStateException(
+        f"Lm.stupidBackoffTrigramScores quantization margin $mg%.3e " +
           f"below threshold $threshold%.3e: a transition score sits " +
           "close enough to its floor boundary that cross-engine ln " +
           "drift could flip the quantized sum — re-audit the fixture " +
           "before trusting a hash-compared oracle")
     }
-    val g = scoredTrigrams(corpus, target, idCol, textCol, alpha)
+    val g = scoredTrigrams(corpus, m, idCol, textCol, alpha)
     g.df.groupBy(col(idCol))
       .agg(count(col("__g")).as("n_trigrams"),
         coalesce(sum(when(col("__g").isNotNull && col("__c123").isNotNull,
@@ -155,13 +219,9 @@ object Lm {
     */
   def minQuantizationMarginTrigram(corpus: DataFrame, target: DataFrame,
                                    idCol: String, textCol: String,
-                                   alpha: Double = 0.4): Double = {
-    val g = scoredTrigrams(corpus, target, idCol, textCol, alpha)
-    val frac = g.y - floor(g.y)
-    val row = g.df.filter(col("__g").isNotNull && g.y =!= lit(0.0))
-      .agg(min(least(frac, lit(1.0) - frac))).head()
-    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
-  }
+                                   alpha: Double = 0.4): Double =
+    marginOf(scoredTrigrams(corpus, modelFrames(target, textCol),
+      idCol, textCol, alpha), excludeExactOne = true)
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * smoothing stupid backoff explicitly approximates — Brants 2007
@@ -200,17 +260,29 @@ object Lm {
     */
   def kneserNeyScores(corpus: DataFrame, target: DataFrame,
                       idCol: String, textCol: String,
-                      minQuantMargin: Option[Double] = None): DataFrame = {
+                      minQuantMargin: Option[Double] = None): DataFrame =
+    kneserNeyScoresFrom(corpus, modelFrames(target, textCol), idCol,
+      textCol, minQuantMargin)
+
+  /** [[kneserNeyScores]] over pre-built model frames (the [[LmIndex]]
+    * serve seam — the KN statistics N1+(w1·)/N1+(·w2)/B are DERIVED
+    * from the bigram frame, so a persisted uni+bi model serves KN
+    * with no extra components).
+    */
+  private[operators] def kneserNeyScoresFrom(
+      corpus: DataFrame, m: LmFrames, idCol: String, textCol: String,
+      minQuantMargin: Option[Double]): DataFrame = {
     minQuantMargin.foreach { threshold =>
-      val m = minQuantizationMarginKn(corpus, target, idCol, textCol)
-      if (m < threshold) throw new IllegalStateException(
-        f"Lm.kneserNeyScores quantization margin $m%.3e below " +
+      val mg = marginOf(scoredKn(corpus, m, idCol, textCol),
+        excludeExactOne = true)
+      if (mg < threshold) throw new IllegalStateException(
+        f"Lm.kneserNeyScores quantization margin $mg%.3e below " +
           f"threshold $threshold%.3e: a transition score sits close " +
           "enough to its floor boundary that cross-engine ln drift " +
           "could flip the quantized sum — re-audit the fixture before " +
           "trusting a hash-compared oracle")
     }
-    val g = scoredKn(corpus, target, idCol, textCol)
+    val g = scoredKn(corpus, m, idCol, textCol)
     g.df.groupBy(col(idCol))
       .agg(count(col("__g")).as("n_bigrams"),
         coalesce(sum(when(col("__g").isNotNull && col("__c12").isNotNull,
@@ -230,31 +302,23 @@ object Lm {
     * ln(1.0)=0.0 are exact in every engine).
     */
   def minQuantizationMarginKn(corpus: DataFrame, target: DataFrame,
-                              idCol: String, textCol: String): Double = {
-    val g = scoredKn(corpus, target, idCol, textCol)
-    val frac = g.y - floor(g.y)
-    val row = g.df.filter(col("__g").isNotNull && g.y =!= lit(0.0))
-      .agg(min(least(frac, lit(1.0) - frac))).head()
-    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
-  }
+                              idCol: String, textCol: String): Double =
+    marginOf(scoredKn(corpus, modelFrames(target, textCol), idCol,
+      textCol), excludeExactOne = true)
 
   /** One row per (doc, bigram transition) with the KN statistics
     * joined in plus the unquantized `10⁶·ln(P)` column (q124's oracle
     * replays the CASE verbatim).
     */
-  private def scoredKn(corpus: DataFrame, target: DataFrame,
+  private def scoredKn(corpus: DataFrame, m: LmFrames,
                        idCol: String, textCol: String): ScoredGrams = {
-    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
-    val bc = tt.filter(size(col("__t")) >= 2)
-      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
-      .groupBy(col("__mg")).agg(count(lit(1)).as("__c12"))
+    val bc = m.bc.select(col("__mg"), col("__cb").as("__c12"))
     val mgParts = split(col("__mg"), " ")
     val n1f = bc.groupBy(element_at(mgParts, 1).as("__fw"))
       .agg(count(lit(1)).as("__n1f"))
     val n1b = bc.groupBy(element_at(mgParts, 2).as("__cw"))
       .agg(count(lit(1)).as("__n1c"))
-    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val uc = m.uc
     // B (bigram types) + V (vocab) in one one-row broadcast; both
     // aggregates reuse their model table's exchange
     val bvF = bc.agg(count(lit(1)).as("__b"))
@@ -297,19 +361,13 @@ object Lm {
     * counts joined in plus the unquantized `10⁶·ln(score)` column —
     * the four-way CASE mirrored verbatim by q117's oracle.
     */
-  private def scoredTrigrams(corpus: DataFrame, target: DataFrame,
+  private def scoredTrigrams(corpus: DataFrame, m: LmFrames,
                              idCol: String, textCol: String,
                              alpha: Double): ScoredGrams = {
-    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
-    val tc = tt.filter(size(col("__t")) >= 3)
-      .select(explode(gramsOf(col("__t"), 3)).as("__mg3"))
-      .groupBy(col("__mg3")).agg(count(lit(1)).as("__c123"))
-    val bc = tt.filter(size(col("__t")) >= 2)
-      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
-      .groupBy(col("__mg")).agg(count(lit(1)).as("__cb"))
-    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val nvF = uc.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val tc = m.tc
+    val bc = m.bc
+    val uc = m.uc
+    val nvF = m.nvF
     val pg = corpus
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode_outer(
@@ -349,18 +407,12 @@ object Lm {
     * mirrored verbatim by the SQL oracle: seen bigram → `c12/c1`,
     * unigram backoff → `α·(c2/N)`, OOV floor → `α/V`.
     */
-  private def scoredGrams(corpus: DataFrame, target: DataFrame,
+  private def scoredGrams(corpus: DataFrame, m: LmFrames,
                           idCol: String, textCol: String,
                           alpha: Double): ScoredGrams = {
-    val tt = target.select(TextFunctions.tokens(col(textCol)).as("__t"))
-    val bc = tt.filter(size(col("__t")) >= 2)
-      .select(explode(gramsOf(col("__t"), 2)).as("__mg"))
-      .groupBy(col("__mg")).agg(count(lit(1)).as("__c12"))
-    val uc = tt.select(explode(gramsOf(col("__t"), 1)).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    // N (total target tokens) and V (vocab) in ONE one-row broadcast —
-    // the aggregate reuses uc's exchange (ReuseExchange)
-    val nvF = uc.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val bc = m.bc.select(col("__mg"), col("__cb").as("__c12"))
+    val uc = m.uc
+    val nvF = m.nvF
     val pg = corpus
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode_outer(

@@ -491,7 +491,14 @@ object CorpusQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
+    Some(stupidBackoffOracleSql))
+
+  /** q114's oracle body, shared VERBATIM with q140 (served twin — the
+    * q138/q125/q130 contract: a persisted-model serve must gate
+    * against the exact oracle its inline form does).
+    */
+  private[queries] def stupidBackoffOracleSql: String =
+    s"""WITH tnt AS (SELECT STRING_SPLIT(${normSql("text")}, ' ')
           AS toks FROM documents WHERE source IN ('src0', 'src1')),
         bc AS (SELECT g, COUNT(*) AS c12 FROM
           (SELECT UNNEST(${TextQueries.ngramsSql("toks", 2)}) AS g
@@ -531,7 +538,33 @@ object CorpusQueries {
         CAST(COALESCE(a.sb_score, 0) AS BIGINT) AS sb_score
       FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg a ON d.doc_id = a.doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  /** q140 — stupid-backoff scoring SERVED from the persisted n-gram
+    * count model (round 11, [[graft.operators.LmIndex]]): the target
+    * slice is tokenized/counted ONCE into a TableStore table, and the
+    * scoring run joins the persisted counts — target text never
+    * re-tokenized. Gated against q114's oracle VERBATIM (the
+    * q138/q125/q130 persisted-twin contract); LmIndexSpec covers the
+    * trigram/KN serves, the single-commit delta refresh, and the
+    * tombstone filter.
+    */
+  private val q140 = Q("q140_stupid_backoff_served",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q140_lm").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("target",
+        docs.filter(col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("text")))
+      graft.operators.LmIndex.buildFromCorpus(store, "target", "lm",
+        "text")
+      graft.operators.LmIndex.stupidBackoffScoresServed(store, "lm",
+          docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(stupidBackoffOracleSql))
 
   /** q124 — interpolated Kneser–Ney bigram scoring
     * ([[graft.operators.Lm.kneserNeyScores]]): the smoothing stupid
@@ -1180,5 +1213,6 @@ object CorpusQueries {
       FROM ranked ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
-    q93, q94, q97, q98, q111, q112, q114, q117, q124, q127, q129)
+    q93, q94, q97, q98, q111, q112, q114, q117, q124, q127, q129,
+    q140)
 }
