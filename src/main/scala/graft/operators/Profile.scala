@@ -209,4 +209,103 @@ object Profile {
           sum(col("__term")).as("chi2_q"))
     } finally gt.unpersist(blocking = false)
   }
+
+  /** Per-group Zipf rank-frequency fit — the corpus-health law check
+    * (Zipf 1949; a natural-language source's log-log rank-frequency
+    * line has slope ≈ −1, while template floods, boilerplate, and
+    * synthetic spam bend it): OLS slope of `ln(freq)` on `ln(rank)`
+    * over the group's full vocabulary, ranks assigned by
+    * (freq DESC, token ASC) so the fit is deterministic under ties.
+    *
+    * Exact-integer determinism: quantize x = ⌊10⁶·ln(rank)⌋ and
+    * y = ⌊10⁶·ln(freq)⌋ (ln args are INTEGERS, so the quantization
+    * margin is auditable over the observed rank/freq value sets —
+    * [[zipfQuantMargin]], the q72 kit; rank/freq 1 gives ln(1) = 0,
+    * boundary-exact in every engine, excluded from the audit), then
+    * every OLS sum is an exact integer in decimal(38,0) and the
+    * reported steepness is ONE integral division
+    * `10⁶·(Σx·Σy − n·Σxy) div (n·Σx² − (Σx)²)`. The NEGATED
+    * numerator is structurally non-negative — x increases with rank
+    * while y is non-increasing (ranked by freq), so their covariance
+    * is ≤ 0 by Chebyshev's sum inequality — which is what lets
+    * Spark's truncating `div` and DuckDB's flooring `//` agree (the
+    * q129 sign lesson). Overflow: |x|,|y| ≲ 10⁶·ln(10¹⁴) ≈ 3.2·10⁷,
+    * so n·Σxy ≲ V²·10¹⁵ stays inside 38 digits for vocabularies to
+    * ~10¹¹ types.
+    *
+    * Scale shape: ONE (group, token) counting exchange, then a
+    * vocabulary-scale per-group window for ranks (model-scale rows,
+    * NOT corpus rows) and one grouped sum — the corpus text is read
+    * once. Groups with a single vocabulary type have a zero OLS
+    * denominator and are emitted with neg_slope_ppm NULL.
+    *
+    * Returns (grp, n_types, n_tokens, neg_slope_ppm) — steepness in
+    * ppm (≈ 1 000 000 for a textbook Zipf corpus).
+    */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String,
+              minQuantMargin: Option[Double] = None): DataFrame = {
+    minQuantMargin.foreach { threshold =>
+      val m = zipfQuantMargin(df, groupCol, textCol)
+      if (m < threshold) throw new IllegalStateException(
+        f"Profile.zipfFit quantization margin $m%.3e below threshold " +
+          f"$threshold%.3e: an ln(rank)/ln(freq) value sits close " +
+          "enough to its floor boundary that cross-engine ln drift " +
+          "could flip a quantized sum — re-audit the fixture before " +
+          "trusting a hash-compared oracle")
+    }
+    val D = "decimal(38,0)"
+    val s = rankedFreqs(df, groupCol, textCol)
+      .withColumn("__x",
+        floor(lit(1000000.0) * log(col("__rk").cast("double")))
+          .cast(D))
+      .withColumn("__y",
+        floor(lit(1000000.0) * log(col("__c").cast("double")))
+          .cast(D))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("__c")).cast("long").as("n_tokens"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    s.withColumn("neg_slope_ppm",
+        when(col("n_types") >= 2, expr(s"CAST((CAST(1000000 AS $D) * " +
+          "(__sx * __sy - CAST(n_types AS decimal(38,0)) * __sxy)) div " +
+          "(CAST(n_types AS decimal(38,0)) * __sxx - __sx * __sx) " +
+          "AS BIGINT)")))
+      .select(col("grp"), col("n_types"), col("n_tokens"),
+        col("neg_slope_ppm"))
+  }
+
+  /** Min distance of any observed `10⁶·ln(rank)` / `10⁶·ln(freq)`
+    * value to its floor boundary, rank/freq = 1 excluded (ln(1) = 0
+    * is boundary-exact in every engine) — [[zipfFit]]'s cross-engine
+    * determinism audit.
+    */
+  def zipfQuantMargin(df: DataFrame, groupCol: String,
+                      textCol: String): Double = {
+    val args = rankedFreqs(df, groupCol, textCol)
+      .select(explode(array(col("__rk").cast("long"),
+        col("__c").cast("long"))).as("__k"))
+      .filter(col("__k") > 1L).distinct()
+    val q = lit(1000000.0) * log(col("__k").cast("double"))
+    val frac = q - floor(q)
+    val row = args.agg(min(least(frac, lit(1.0) - frac))).head()
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
+  /** (grp, token, __c count, __rk rank) — the shared frame behind
+    * [[zipfFit]] and its margin audit.
+    */
+  private def rankedFreqs(df: DataFrame, groupCol: String,
+                          textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("__c").desc, col("t"))))
+  }
 }

@@ -2020,8 +2020,47 @@ object TextQueries {
         ORDER BY doc_id"""
     })
 
+  /** q141 — per-source Zipf rank-frequency fit
+    * ([[graft.operators.Profile.zipfFit]], round 11): OLS steepness
+    * of ln(freq) on ln(rank) over each source's vocabulary, quantized
+    * to exact integers (x = ⌊10⁶·ln(rank)⌋, y = ⌊10⁶·ln(freq)⌋ — ln
+    * args are INTEGERS, margins audited in ProfileSpec: ≥ 5.2e-3 at
+    * both gate SFs) so every OLS sum is exact and the steepness is
+    * ONE integral division whose negated numerator is structurally
+    * non-negative (Chebyshev sum inequality) — `div` ⇄ `//` agree.
+    * The corpus-health law check: template floods and synthetic spam
+    * bend the Zipf line.
+    */
+  private val q141 = Q("q141_zipf_fit",
+    (s, dir) => {
+      graft.operators.Profile.zipfFit(
+          t(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH nt AS (SELECT source AS grp,
+          UNNEST(STRING_SPLIT(${normSql("text")}, ' ')) AS t
+          FROM documents),
+      f AS (SELECT grp, t, COUNT(*) AS c FROM nt WHERE LEN(t) > 0
+        GROUP BY grp, t),
+      r AS (SELECT grp, t, c, ROW_NUMBER() OVER (PARTITION BY grp
+        ORDER BY c DESC, t) AS rk FROM f),
+      q AS (SELECT grp, c,
+          CAST(FLOOR(1000000 * LN(CAST(rk AS DOUBLE))) AS HUGEINT) AS x,
+          CAST(FLOOR(1000000 * LN(CAST(c AS DOUBLE))) AS HUGEINT) AS y
+        FROM r),
+      s AS (SELECT grp, COUNT(*) AS n_types,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM q GROUP BY grp)
+      SELECT grp AS source, n_types, n_tokens,
+        CASE WHEN n_types >= 2 THEN
+          CAST((1000000 * (sx*sy - n_types*sxy))
+            // (n_types*sxx - sx*sx) AS BIGINT) END AS neg_slope_ppm
+      FROM s ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137, q138, q139)
+    q130, q131, q132, q135, q136, q137, q138, q139, q141)
 }

@@ -139,4 +139,41 @@ class ProfileSpec extends SparkSpec {
     // (8*16-8*8)^2*1e6/(16*8*8) = 4e6; two cells -> 8e6 per group
     assert(r2 == Map("a" -> 8000000L, "b" -> 8000000L), r2.toString)
   }
+
+  test("zipfFit matches an exact BigInt OLS reference; 1-type group null") {
+    // hand fixture: freqs 4,2,1,1 with a tie broken by token order
+    val df = Seq(
+      ("g1", "aa aa aa aa bb bb cc dd"),
+      ("g2", "solo solo solo")).toDF("g", "text")
+    val got = Profile.zipfFit(df, "g", "text")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference: quantized points (rank, freq) = (1,4),(2,2),(3,1),(4,1)
+    def q(k: Long): BigInt = BigInt(math.floor(1e6 * math.log(k)).toLong)
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L), (4L, 1L))
+      .map { case (r, c) => (q(r), q(c)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = (BigInt(1000000) * (sx * sy - n * sxy)) /
+      (n * sxx - sx * sx) // all values non-negative: / == div == floor
+    assert(got("g1") == ((4L, 8L, Some(expect.toLong))), got.toString)
+    assert(got("g2") == ((1L, 3L, None)), got.toString)
+    // the neg numerator really is non-negative (the div/floor accord)
+    assert(sx * sy - n * sxy >= 0)
+  }
+
+  test("zipf quantization margins are auditable on the gate fixtures") {
+    val m = Profile.zipfQuantMargin(docs, "source", "text")
+    info(f"sf0.001 zipf quantization margin = $m%.3e")
+    assert(m > 1e-4, s"margin $m too close to a floor boundary")
+    // the runtime guard accepts this fixture and rejects an absurd bar
+    Profile.zipfFit(docs, "source", "text",
+      minQuantMargin = Some(1e-6)).collect()
+    intercept[IllegalStateException] {
+      Profile.zipfFit(docs, "source", "text",
+        minQuantMargin = Some(1.0)).collect()
+    }
+  }
 }
