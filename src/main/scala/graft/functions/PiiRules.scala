@@ -65,4 +65,64 @@ object PiiRules {
   def redactBlocklist(c: Column, terms: Seq[String],
                       placeholder: String = "[REDACTED]"): Column =
     TextFunctions.redactTerms(c, terms, placeholder)
+
+  // ------------------------------------------- Luhn-validated cards
+
+  /** Candidate payment-card runs: 13-19 digits with optional single
+    * space/dash separators (Java∩RE2 dialect like every rule above).
+    * A digit-run REGEX ALONE is a terrible card detector — most
+    * 16-digit runs are ids, not cards — which is why the card rule is
+    * not in [[rules]]: candidates must pass the [[luhnValid]]
+    * checksum before anything is redacted.
+    */
+  val ccPattern: String = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn mod-10 sum of a digit-only string; positions counted from
+    * the RIGHT, digits at positions ≡ `doubleParity` (mod 2) doubled
+    * with 9-subtraction. Pure codegen HOFs (sequence → aggregate) —
+    * no UDF.
+    */
+  private def luhnSum(digits: Column, doubleParity: Int): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0),
+      (acc, i) => {
+        val d = ascii(digits.substr(length(digits) - i + lit(1),
+          lit(1))) - lit(48)
+        val dd = d * lit(2)
+        acc + when(i % 2 === doubleParity,
+          when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      })
+
+  /** Luhn checksum validity of a digit-only string (the full number,
+    * check digit included — rightmost digit undoubled).
+    */
+  def luhnValid(digits: Column): Column =
+    luhnSum(digits, 0) % 10 === 0
+
+  /** The check digit that makes `digits || d` Luhn-valid (digits =
+    * the number WITHOUT its check digit; every payload position
+    * shifts one left, so doubling lands on odd right-positions here).
+    */
+  def luhnCheckDigit(digits: Column): Column =
+    (lit(10) - luhnSum(digits, 1) % 10) % 10
+
+  /** All [[ccPattern]] candidate runs in the text, match order. */
+  def creditCardCandidates(c: Column): Column =
+    regexp_extract_all(c, lit(ccPattern), lit(0))
+
+  /** The candidates that pass Luhn after separator stripping. */
+  def validCreditCards(c: Column): Column =
+    filter(creditCardCandidates(c),
+      x => luhnValid(regexp_replace(x, "[ -]", "")))
+
+  /** Text with every LUHN-VALID candidate replaced by the
+    * placeholder — checksum-failing runs (ids, timestamps, order
+    * numbers) stay untouched, which is the entire point over a bare
+    * digit-run rule. Replacement is a fold over the valid matches in
+    * match order (literal replace, so a later match embedded in an
+    * earlier replacement cannot resurrect).
+    */
+  def redactCreditCards(c: Column,
+                        placeholder: String = "[CC]"): Column =
+    aggregate(validCreditCards(c), c,
+      (acc, x) => replace(acc, x, lit(placeholder)))
 }

@@ -2059,8 +2059,87 @@ object TextQueries {
             // (n_types*sxx - sx*sx) AS BIGINT) END AS neg_slope_ppm
       FROM s ORDER BY source"""))
 
+  /** q142 — Luhn-validated card redaction
+    * ([[graft.functions.PiiRules.redactCreditCards]], round 11): a
+    * digit-run regex alone over-redacts (most 16-digit runs are ids),
+    * so candidates must pass the Luhn mod-10 checksum before
+    * anything is cut. The corpus has no organic card numbers, so the
+    * query plants per-doc a VALID 16-digit PAN (check digit computed
+    * by the same arithmetic, spaced 4-4-4-4) and an INVALID twin
+    * (check+5 mod 10 — never equal, never valid); the oracle plants
+    * and validates the SAME via exploded digit positions and replays
+    * the fold-replace with list_reduce. The Spark side is pure
+    * codegen HOFs (sequence → aggregate → replace fold) — no UDF.
+    */
+  private val q142 = Q("q142_luhn_cc_redaction",
+    (s, dir) => {
+      val cfg = graft.functions.PiiRules
+      val pfx = concat(lit("411111"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("00000"))
+      val chk = cfg.luhnCheckDigit(pfx)
+      val ok16 = concat(pfx, chk.cast("string"))
+      val bad16 = concat(pfx, ((chk + 5) % 10).cast("string"))
+      val planted = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" pay "),
+          substring(ok16, 1, 4), lit(" "), substring(ok16, 5, 4),
+          lit(" "), substring(ok16, 9, 4), lit(" "),
+          substring(ok16, 13, 4), lit(" alt "), bad16, lit(" done"))
+          .as("t"))
+      planted.select(col("doc_id"),
+          size(cfg.creditCardCandidates(col("t"))).cast("long")
+            .as("n_cands"),
+          size(cfg.validCreditCards(col("t"))).cast("long")
+            .as("n_valid"),
+          cfg.redactCreditCards(col("t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d0 AS (SELECT doc_id, text,
+        '411111' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          || '00000' AS pfx
+        FROM documents),
+      ps AS (SELECT doc_id, i, CAST(SUBSTR(pfx, 16 - i, 1) AS INT) AS dg
+        FROM d0, generate_series(1, 15) AS t(i)),
+      sums AS (SELECT doc_id,
+          SUM(CASE WHEN i % 2 = 1 THEN CASE WHEN 2*dg > 9
+            THEN 2*dg - 9 ELSE 2*dg END ELSE dg END) AS s
+        FROM ps GROUP BY doc_id),
+      pl AS (SELECT d0.doc_id,
+          pfx || CAST((10 - s % 10) % 10 AS VARCHAR) AS ok16,
+          pfx || CAST((10 - s % 10 + 5) % 10 AS VARCHAR) AS bad16,
+          text FROM d0 JOIN sums USING(doc_id)),
+      planted AS (SELECT doc_id,
+          text || ' pay ' || SUBSTR(ok16,1,4) || ' ' || SUBSTR(ok16,5,4)
+            || ' ' || SUBSTR(ok16,9,4) || ' ' || SUBSTR(ok16,13,4)
+            || ' alt ' || bad16 || ' done' AS t
+        FROM pl),
+      cl0 AS (SELECT doc_id, t,
+          REGEXP_EXTRACT_ALL(t, '${graft.functions.PiiRules.ccPattern}')
+            AS l FROM planted),
+      cand AS (SELECT doc_id, t,
+          UNNEST(list_zip(l, generate_series(1, LEN(l)))) AS z
+        FROM cl0),
+      cn AS (SELECT doc_id, t, z[2] AS ci, z[1] AS c,
+          REGEXP_REPLACE(z[1], '[ -]', '', 'g') AS nm FROM cand),
+      cl AS (SELECT doc_id, t, ci, c, nm, i,
+          CAST(SUBSTR(nm, LEN(nm) - i + 1, 1) AS INT) AS dg
+        FROM cn, generate_series(1, 19) AS g(i) WHERE i <= LEN(nm)),
+      lv AS (SELECT doc_id, t, ci, c,
+          (SUM(CASE WHEN i % 2 = 0 THEN CASE WHEN 2*dg > 9
+            THEN 2*dg - 9 ELSE 2*dg END ELSE dg END) % 10 = 0) AS ok
+        FROM cl GROUP BY doc_id, t, ci, c),
+      agg AS (SELECT doc_id, ANY_VALUE(t) AS t, COUNT(*) AS n_cands,
+          SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
+          LIST(c ORDER BY ci) FILTER (WHERE ok) AS valids
+        FROM lv GROUP BY doc_id)
+      SELECT doc_id, CAST(n_cands AS BIGINT) AS n_cands,
+        CAST(n_valid AS BIGINT) AS n_valid,
+        LIST_REDUCE(LIST_PREPEND(t, COALESCE(valids, [])),
+          (acc, x) -> REPLACE(acc, x, '[CC]')) AS redacted
+      FROM agg ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137, q138, q139, q141)
+    q130, q131, q132, q135, q136, q137, q138, q139, q141, q142)
 }

@@ -62,4 +62,42 @@ class PiiRulesSpec extends SparkSpec {
       "mail [EMAIL] about [REDACTED]",
       "clean line"), got.toString)
   }
+
+  test("luhnValid matches the textbook checksums") {
+    // standard test PANs: Visa/MC/Amex valid; off-by-one invalid
+    val cases = Seq(
+      ("4111111111111111", true), ("5500005555555559", true),
+      ("378282246310005", true),  // 15-digit Amex
+      ("4111111111111112", false), ("1234567812345678", false))
+    val got = cases.map(_._1).toDF("d")
+      .withColumn("ok", PiiRules.luhnValid($"d"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, e) => assert(got(d) == e, d) }
+    // check digit inverts validity: payload + computed digit is valid
+    val payloads = Seq("411111111111111", "550000555555555",
+      "37828224631000")
+    val chk = payloads.toDF("p")
+      .withColumn("full",
+        concat($"p", PiiRules.luhnCheckDigit($"p").cast("string")))
+      .withColumn("ok", PiiRules.luhnValid($"full"))
+      .as[(String, String, Boolean)].collect()
+    chk.foreach { case (p, f, ok) => assert(ok, s"$p -> $f") }
+  }
+
+  test("redactCreditCards cuts only Luhn-valid runs") {
+    val got = Seq(
+      // spaced valid PAN + bare invalid run + short id untouched
+      "pay 4111 1111 1111 1111 ref 1234567812345678 id 12345",
+      // dashed valid + a 12-digit run (too short for a candidate)
+      "card 5500-0055-5555-5559 ok 123456789012",
+      "no digits at all").toDF("t")
+      .select(PiiRules.redactCreditCards($"t").as("r"),
+        size(PiiRules.creditCardCandidates($"t")).as("nc"),
+        size(PiiRules.validCreditCards($"t")).as("nv"))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      ("pay [CC] ref 1234567812345678 id 12345", 2, 1),
+      ("card [CC] ok 123456789012", 1, 1),
+      ("no digits at all", 0, 0)), got.toString)
+  }
 }
