@@ -504,6 +504,44 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC → corpus table → N-GRAM COUNT MODEL, end to end:
+    * each micro-batch upserts into the corpus exactly-once (the merge
+    * fence riding its commit CAS), then
+    * [[graft.operators.LmIndex.refreshFromCorpus]] folds the
+    * change-feed count deltas into the persisted model — the
+    * [[lexIndexMaintain]] loop for the LM family, so perplexity /
+    * stupid-backoff / Kneser–Ney serving stays current with ingest
+    * and the target corpus is never re-tokenized wholesale.
+    *
+    * Exactly-once across the two stores: the merge fence skips
+    * replayed batches, and the model refresh is ATOMIC (deltas +
+    * stats + anchor in one merge commit — [[graft.operators.LmIndex]]
+    * crash contract), so a crash anywhere leaves either the old or
+    * the new model and the next batch/restart heals the lag. The
+    * corpus and model tables must exist
+    * ([[graft.operators.LmIndex.buildFromCorpus]]) before the stream
+    * starts.
+    */
+  def lmIndexMaintain(df: DataFrame,
+                      store: graft.sources.TableStore,
+                      corpusTable: String, modelTable: String,
+                      keyCol: String, textCol: String,
+                      streamId: String, checkpointDir: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.merge(corpusTable, batch, keyCol,
+          graft.sources.TableStore.MergeUpdate(Seq(textCol)),
+          insertNotMatched = true, txn = Some(streamId -> batchId))
+        graft.operators.LmIndex.refreshFromCorpus(store, corpusTable,
+          modelTable, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def mergeStreamExactlyOnce(df: DataFrame,
                              store: graft.sources.TableStore,
                              table: String, keyCol: String,

@@ -402,6 +402,53 @@ class StreamsSpec extends SparkSpec {
     assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
   }
 
+  test("lmIndexMaintain: streamed CDC keeps the count model == full rebuild") {
+    import graft.sources.TableStore
+    import graft.operators.LmIndex
+    val in = Files.createTempDirectory("graft_lmm_in").toString
+    val ckpt = Files.createTempDirectory("graft_lmm_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_lmm_store").toString,
+      retainGenerations = 20)
+    val sch = StructType.fromDDL("doc_id long, text string")
+    store.append("corpus",
+      Seq((1L, "spark joins run fast"), (2L, "hash tables scan well"))
+        .toDF("doc_id", "text"))
+    LmIndex.buildFromCorpus(store, "corpus", "lm", "text")
+    def run(): Unit = Streams.lmIndexMaintain(
+      Streams.jsonStream(spark, sch, in), store, "corpus", "lm",
+      "doc_id", "text", "lmcdc", ckpt)
+    def servedModel(s: TableStore): Seq[(String, String, Long)] =
+      s.read("lm").filter(col("component") =!= "stats" &&
+          col("cnt") > 0L)
+        .select(col("component"), col("gram"), col("cnt"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+    def rebuilt(): Seq[(String, String, Long)] = {
+      val s2 = new TableStore(spark,
+        Files.createTempDirectory("graft_lmm_rb").toString)
+      s2.append("corpus", store.read("corpus"))
+      LmIndex.buildFromCorpus(s2, "corpus", "lm", "text")
+      servedModel(s2)
+    }
+    // batch 1: update doc 2 + insert doc 3
+    writeBatch(in, "b1.json",
+      Seq("""{"doc_id":2,"text":"hash tables probe fast"}""",
+        """{"doc_id":3,"text":"windows sort spark joins"}"""))
+    run()
+    assert(servedModel(store) == rebuilt(), "after batch 1")
+    // drained restart: nothing re-applies (delta replays would
+    // double-count — the fence and anchor must both hold)
+    run()
+    assert(servedModel(store) == rebuilt(), "after drained restart")
+    writeBatch(in, "b2.json", Seq("""{"doc_id":4,"text":"scan scan scan"}"""))
+    run()
+    assert(servedModel(store) == rebuilt(), "after batch 2")
+    // out-of-band churn then any refresh heals from the anchor
+    store.deleteByKeys("corpus", Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    LmIndex.refreshFromCorpus(store, "corpus", "lm", "text")
+    assert(servedModel(store) == rebuilt(), "after out-of-band churn")
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
