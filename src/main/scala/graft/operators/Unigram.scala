@@ -68,11 +68,19 @@ object Unigram {
     * positions capped at [[MaxStarts]]). One corpus-scan word count
     * (model-scale exchange), then a distinct-word-bounded explode.
     */
-  def pieceFrequencies(corpus: DataFrame, textCol: String): DataFrame = {
-    val words = corpus
+  def pieceFrequencies(corpus: DataFrame, textCol: String): DataFrame =
+    pieceFreqFromWords(corpus
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+
+  /** [[pieceFrequencies]] over a pre-counted (w, cnt) word frame —
+    * cnt may be NEGATIVE (a change-feed word-count delta yields piece
+    * DELTAS, the [[TokenizerIndex]] incremental-refresh seam: piece
+    * frequency is additive over words).
+    */
+  private[operators] def pieceFreqFromWords(words: DataFrame)
+      : DataFrame = {
     words
       .select(col("w"), col("cnt"),
         explode(sequence(lit(1),
@@ -90,17 +98,30 @@ object Unigram {
     */
   def trainModel(corpus: DataFrame, textCol: String, vocabSize: Int,
                  minQuantMargin: Option[Double] = None): Model = {
-    require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cand = pieceFrequencies(corpus, textCol).persist()
+    try modelFromFrequencies(cand, vocabSize, minQuantMargin)
+    finally { cand.unpersist(blocking = false); () }
+  }
+
+  /** [[trainModel]]'s derivation from an already-computed candidate
+    * frequency frame (piece, freq) — the [[TokenizerIndex]] serve
+    * seam: deriving from PERSISTED frequencies runs the identical
+    * top-V ∪ chars selection and cost chain, so the served model is
+    * bit-identical to the inline one.
+    */
+  private[operators] def modelFromFrequencies(
+      freqs: DataFrame, vocabSize: Int,
+      minQuantMargin: Option[Double]): Model = {
+    require(vocabSize >= 1, s"vocabSize >= 1, got $vocabSize")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    val cand = freqs.select(col("piece"), col("freq"))
     val top = cand.orderBy(col("freq").desc, col("piece"))
       .limit(vocabSize)
     val vocab = top
       .unionByName(cand.filter(length(col("piece")) === 1))
       .distinct()
       .as[(String, Long)].collect().toSeq.sortBy(_._1)
-    cand.unpersist(blocking = false)
     require(vocab.nonEmpty,
       "empty corpus vocabulary - no token survives normalization")
     val t = vocab.map(_._2).sum

@@ -946,10 +946,16 @@ object CorpusQueries {
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("tok")).limit(30)
       },
-      Some("WITH RECURSIVE " + bpeCtes(k).mkString(",\n") + s"""
-        SELECT s AS tok, CAST(SUM(cnt) AS BIGINT) AS cnt
-        FROM v$k, UNNEST(syms) t(s)
-        GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30"""))
+      Some(bpeSegmentOracleSql))
+  }
+
+  /** q98's oracle body, shared VERBATIM with q144 (served twin). */
+  private[queries] def bpeSegmentOracleSql: String = {
+    val k = 6
+    "WITH RECURSIVE " + bpeCtes(k).mkString(",\n") + s"""
+      SELECT s AS tok, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM v$k, UNNEST(syms) t(s)
+      GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 30"""
   }
 
   /** q112 — TOKENIZER EVALUATION: per-language BPE fertility and
@@ -1090,7 +1096,17 @@ object CorpusQueries {
             coalesce(col("uni_q"), lit(0L)).as("uni_q"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE
+      Some(unigramScoreOracleSql))
+  }
+
+  /** q127's oracle body, shared VERBATIM with q143 (served twin — the
+    * persisted-twin contract: a tokenizer served from the stored
+    * frequency table must gate against the exact oracle its inline
+    * form does).
+    */
+  private[queries] def unigramScoreOracleSql: String = {
+    val v = 40
+    s"""WITH RECURSIVE
         tnt AS MATERIALIZED (SELECT doc_id,
           STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
         wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM
@@ -1152,8 +1168,9 @@ object CorpusQueries {
         COALESCE(a.uni_q, 0) AS uni_q
       FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN agg a USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
   }
+
 
   /** q129 — CCNet perplexity-bucket curation
     * ([[graft.operators.Perplexity.ccnetBuckets]], Wenzek et al.
@@ -1212,7 +1229,60 @@ object CorpusQueries {
         ((3 * (rn - 1)) // n) < 2 AS kept
       FROM ranked ORDER BY doc_id"""))
 
+  /** q143 — unigram-LM scoring SERVED from the persisted candidate
+    * frequency table (round 11, [[graft.operators.TokenizerIndex]]):
+    * the model derives from stored frequencies with the pinned
+    * vocabSize through the exact inline selection/cost chain, corpus
+    * text never re-scanned for training. Gated against q127's oracle
+    * VERBATIM (the persisted-twin contract); TokenizerIndexSpec
+    * covers the delta refresh, tombstones, and generation pinning.
+    */
+  private val q143 = Q("q143_unigram_served",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q143_tok").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("corpus", docs.select(col("doc_id"), col("text")))
+      graft.operators.TokenizerIndex.buildUnigramFromCorpus(store,
+        "corpus", "uni", "text", vocabSize = 40)
+      graft.operators.TokenizerIndex.unigramScoreServed(store, "uni",
+          docs, "doc_id", "text", minQuantMargin = Some(1e-6))
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("uni_q"), lit(0L)).as("uni_q"))
+        .orderBy(col("doc_id"))
+    },
+    Some(unigramScoreOracleSql))
+
+  /** q144 — BPE segmentation SERVED from the persisted merge list
+    * (round 11, [[graft.operators.TokenizerIndex]]): q98's corpus
+    * segmentation with the merge chain read from the TableStore
+    * artifact instead of retrained — the training loop runs once per
+    * epoch, every downstream job replays the stored chain
+    * (generation-pinned via bpeMergesAt). Gated against q98's oracle
+    * VERBATIM.
+    */
+  private val q144 = Q("q144_bpe_segment_served",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q144_bpe").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("corpus", docs.select(col("doc_id"), col("text")))
+      graft.operators.TokenizerIndex.buildBpeFromCorpus(store,
+        "corpus", "bpe", "text", numMerges = 6)
+      val kept = docs.filter(col("text").isNotNull &&
+        length(TextFunctions.normalizeText(col("text"))) > 0)
+      graft.operators.TokenizerIndex.bpeSegmentServed(store, "bpe",
+          kept, "text")
+        .select(explode(col("bpe_tokens")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(30)
+    },
+    Some(bpeSegmentOracleSql))
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
     q93, q94, q97, q98, q111, q112, q114, q117, q124, q127, q129,
-    q140)
+    q140, q143, q144)
 }
