@@ -293,6 +293,105 @@ object Profile {
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
+  /** Per-group Heaps' law fit — [[zipfFit]]'s companion law (Heaps
+    * 1978: vocabulary grows as V(N) ≈ K·N^β, β ≈ 0.4-0.6 for natural
+    * language): OLS slope of ln(V_i) on ln(N_i) over the group's
+    * cumulative (tokens seen, distinct types seen) trajectory in
+    * `idCol` order — one point per document. A source whose β
+    * collapses is template-flooded (no new vocabulary); one whose β
+    * stays near 1 is id-spam. Same exact-integer kit as [[zipfFit]]
+    * (N_i/V_i are INTEGERS → auditable quantization,
+    * [[heapsQuantMargin]]); here the numerator is DIRECTLY
+    * non-negative (x and y both non-decreasing in i), so `div` ⇄ `//`
+    * agree without negation.
+    *
+    * Scale shape: one (group, doc) token-count exchange + one
+    * (group, token) first-occurrence exchange (both model/corpus-doc
+    * scale), then per-group running sums over DOC-count rows (not
+    * token rows). Degenerate groups (all-empty docs → constant x)
+    * emit NULL.
+    *
+    * Returns (grp, n_docs, beta_ppm) — β in ppm.
+    */
+  def heapsFit(df: DataFrame, groupCol: String, idCol: String,
+               textCol: String,
+               minQuantMargin: Option[Double] = None): DataFrame = {
+    minQuantMargin.foreach { threshold =>
+      val m = heapsQuantMargin(df, groupCol, idCol, textCol)
+      if (m < threshold) throw new IllegalStateException(
+        f"Profile.heapsFit quantization margin $m%.3e below threshold " +
+          f"$threshold%.3e: an ln(N)/ln(V) value sits close enough to " +
+          "its floor boundary that cross-engine ln drift could flip a " +
+          "quantized sum — re-audit the fixture before trusting a " +
+          "hash-compared oracle")
+    }
+    val D = "decimal(38,0)"
+    val s = heapsCum(df, groupCol, idCol, textCol)
+      .filter(col("__N") > 0L)
+      .withColumn("__x",
+        floor(lit(1000000.0) * log(col("__N").cast("double"))).cast(D))
+      .withColumn("__y",
+        floor(lit(1000000.0) * log(col("__V").cast("double"))).cast(D))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    s.withColumn("beta_ppm",
+        when(col("n_docs") >= 2 &&
+          expr(s"CAST(n_docs AS decimal(38,0)) * __sxx - __sx * __sx")
+            > 0,
+          expr(s"CAST((CAST(1000000 AS $D) * " +
+            "(CAST(n_docs AS decimal(38,0)) * __sxy - __sx * __sy)) " +
+            "div (CAST(n_docs AS decimal(38,0)) * __sxx - __sx * __sx) " +
+            "AS BIGINT)")))
+      .select(col("grp"), col("n_docs"), col("beta_ppm"))
+  }
+
+  /** [[zipfQuantMargin]] for the Heaps trajectory values (all
+    * distinct N_i and V_i > 1).
+    */
+  def heapsQuantMargin(df: DataFrame, groupCol: String, idCol: String,
+                       textCol: String): Double = {
+    val args = heapsCum(df, groupCol, idCol, textCol)
+      .select(explode(array(col("__N"), col("__V"))).as("__k"))
+      .filter(col("__k") > 1L).distinct()
+    val q = lit(1000000.0) * log(col("__k").cast("double"))
+    val frac = q - floor(q)
+    val row = args.agg(min(least(frac, lit(1.0) - frac))).head()
+    if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+  }
+
+  /** (grp, doc, __N cumulative tokens, __V cumulative distinct
+    * types) in `idCol` order — the shared frame behind [[heapsFit]]
+    * and its margin audit. Empty docs stay as points (N, V
+    * unchanged — a duplicate x is deterministic in both engines).
+    */
+  private def heapsCum(df: DataFrame, groupCol: String, idCol: String,
+                       textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val tk = df.select(col(groupCol).as("grp"), col(idCol).as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+    val perDoc = tk.groupBy(col("grp"), col("__doc"))
+      .agg(count(lit(1)).as("__ntok"))
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).as("__doc"))
+    val pdf = base.join(perDoc, Seq("grp", "__doc"), "left")
+      .select(col("grp"), col("__doc"),
+        coalesce(col("__ntok"), lit(0L)).as("__ntok"))
+    val firsts = tk.groupBy(col("grp"), col("t"))
+      .agg(min(col("__doc")).as("__fd"))
+      .groupBy(col("grp"), col("__fd").as("__doc"))
+      .agg(count(lit(1)).as("__nnew"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__doc"))
+    pdf.join(firsts, Seq("grp", "__doc"), "left")
+      .select(col("grp"), col("__doc"),
+        sum(col("__ntok")).over(w).as("__N"),
+        sum(coalesce(col("__nnew"), lit(0L))).over(w).as("__V"))
+  }
+
   /** (grp, token, __c count, __rk rank) — the shared frame behind
     * [[zipfFit]] and its margin audit.
     */

@@ -2138,8 +2138,57 @@ object TextQueries {
           (acc, x) -> REPLACE(acc, x, '[CC]')) AS redacted
       FROM agg ORDER BY doc_id"""))
 
+  /** q145 — per-source Heaps' law fit
+    * ([[graft.operators.Profile.heapsFit]], round 11; q141's
+    * companion law): OLS slope β of ln(cumulative vocabulary) on
+    * ln(cumulative tokens) along each source's doc_id-ordered
+    * trajectory, exact-integer quantized (margins ≥ 1.0e-5 at both
+    * gate SFs, audited in ProfileSpec); the numerator is directly
+    * non-negative (both series non-decreasing), so `div` ⇄ `//`
+    * agree. A collapsing β = template flood; β ≈ 1 = id-spam.
+    */
+  private val q145 = Q("q145_heaps_fit",
+    (s, dir) => {
+      graft.operators.Profile.heapsFit(
+          t(s, dir, "documents"), "source", "doc_id", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH nt AS (SELECT source AS grp, doc_id,
+          UNNEST(STRING_SPLIT(${normSql("text")}, ' ')) AS t
+          FROM documents),
+      tk AS (SELECT grp, doc_id, t FROM nt WHERE LEN(t) > 0),
+      pd AS (SELECT grp, doc_id, COUNT(*) AS n_tok FROM tk
+        GROUP BY grp, doc_id),
+      base AS (SELECT source AS grp, doc_id FROM documents),
+      pdf AS (SELECT b.grp, b.doc_id, COALESCE(pd.n_tok, 0) AS n_tok
+        FROM base b LEFT JOIN pd
+          ON pd.grp = b.grp AND pd.doc_id = b.doc_id),
+      fo AS (SELECT grp, t, MIN(doc_id) AS fd FROM tk GROUP BY grp, t),
+      nn AS (SELECT grp, fd AS doc_id, COUNT(*) AS n_new FROM fo
+        GROUP BY grp, fd),
+      cum AS (SELECT pdf.grp, pdf.doc_id,
+          SUM(pdf.n_tok) OVER (PARTITION BY pdf.grp
+            ORDER BY pdf.doc_id) AS N,
+          SUM(COALESCE(nn.n_new, 0)) OVER (PARTITION BY pdf.grp
+            ORDER BY pdf.doc_id) AS V
+        FROM pdf LEFT JOIN nn
+          ON nn.grp = pdf.grp AND nn.doc_id = pdf.doc_id),
+      q AS (SELECT grp,
+          CAST(FLOOR(1000000 * LN(CAST(N AS DOUBLE))) AS HUGEINT) AS x,
+          CAST(FLOOR(1000000 * LN(CAST(V AS DOUBLE))) AS HUGEINT) AS y
+        FROM cum WHERE N > 0),
+      st AS (SELECT grp, COUNT(*) AS n_docs, SUM(x) AS sx,
+          SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM q GROUP BY grp)
+      SELECT grp AS source, n_docs,
+        CASE WHEN n_docs >= 2 AND (n_docs*sxx - sx*sx) > 0 THEN
+          CAST((1000000 * (n_docs*sxy - sx*sy))
+            // (n_docs*sxx - sx*sx) AS BIGINT) END AS beta_ppm
+      FROM st ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137, q138, q139, q141, q142)
+    q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145)
 }

@@ -164,6 +164,43 @@ class ProfileSpec extends SparkSpec {
     assert(sx * sy - n * sxy >= 0)
   }
 
+  test("heapsFit matches an exact BigInt OLS reference; empty docs hold") {
+    // g1 trajectory: doc1 (3 tok, 3 new), doc2 (2 tok, 1 new),
+    // doc3 EMPTY (repeat point), doc4 (2 tok, 0 new)
+    val df = Seq(
+      ("g1", 1L, "aa bb cc"), ("g1", 2L, "aa dd"), ("g1", 3L, ""),
+      ("g1", 4L, "bb cc"),
+      ("g2", 9L, "solo")).toDF("g", "doc_id", "text")
+    val got = Profile.heapsFit(df, "g", "doc_id", "text")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def q(k: Long): BigInt = BigInt(math.floor(1e6 * math.log(k)).toLong)
+    val pts = Seq((3L, 3L), (5L, 4L), (5L, 4L), (7L, 4L))
+      .map { case (n, v) => (q(n), q(v)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = (BigInt(1000000) * (n * sxy - sx * sy)) /
+      (n * sxx - sx * sx)
+    assert(n * sxy - sx * sy >= 0) // the div/floor accord
+    assert(got("g1") == ((4L, Some(expect.toLong))), got.toString)
+    // single doc: N constant across one point -> zero denominator
+    assert(got("g2") == ((1L, None)), got.toString)
+  }
+
+  test("heaps quantization margins are auditable on the gate fixtures") {
+    val m = Profile.heapsQuantMargin(docs, "source", "doc_id", "text")
+    info(f"sf0.001 heaps quantization margin = $m%.3e")
+    assert(m > 1e-6, s"margin $m too close to a floor boundary")
+    Profile.heapsFit(docs, "source", "doc_id", "text",
+      minQuantMargin = Some(1e-7)).collect()
+    intercept[IllegalStateException] {
+      Profile.heapsFit(docs, "source", "doc_id", "text",
+        minQuantMargin = Some(1.0)).collect()
+    }
+  }
+
   test("zipf quantization margins are auditable on the gate fixtures") {
     val m = Profile.zipfQuantMargin(docs, "source", "text")
     info(f"sf0.001 zipf quantization margin = $m%.3e")
