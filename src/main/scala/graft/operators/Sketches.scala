@@ -94,6 +94,53 @@ object Sketches {
             col("kth_min").cast("double")))
   }
 
+  /** Pairwise set-RESEMBLANCE (Jaccard) estimates between group
+    * key-sets from their KMV bottom-k signatures (Broder 1997, "On
+    * the resemblance and containment of documents"): for each group
+    * pair, U = the k smallest hashes of the UNION of the two
+    * signatures and est = |U ∩ A ∩ B| / |U| — the one-sketch-per-
+    * group answer to "which sources share vocabulary / fingerprints"
+    * without any pairwise corpus scan. The md5-derived hashes make
+    * the ESTIMATE itself reproducible in SQL (q146 gates it), unlike
+    * an opaque minhash library.
+    *
+    * Exact-integer output: m = |U|, inter = |U ∩ A ∩ B|, res_ppm =
+    * 10⁶·inter div m (non-negative — `div` ⇄ `//` agree).
+    *
+    * Scale shape: the sketch build is [[kmvEstimate]]'s
+    * WindowGroupLimit shape (k rows per group cross the ONE
+    * exchange); the pairwise stage is |groups|²·k ARRAY work over the
+    * collected signatures — groups are sources/domains/shards
+    * (bounded metadata), never corpus rows. Groups with no keys have
+    * no signature and appear in no pair.
+    * Output: (g_a, g_b, m, inter, res_ppm) with g_a < g_b.
+    */
+  def kmvResemblance(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int, salt: String): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df
+      .select(col(groupCol).as("__g"),
+        hash60(col(keyCol), salt).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    val sig = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__h"))).as("__sig"))
+    val a = sig.select(col("__g").as("g_a"), col("__sig").as("__sa"))
+    val b = sig.select(col("__g").as("g_b"), col("__sig").as("__sb"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k))
+      .withColumn("m", size(col("__u")).cast("long"))
+      .withColumn("inter", size(array_intersect(col("__u"),
+        array_intersect(col("__sa"), col("__sb")))).cast("long"))
+      .withColumn("res_ppm", expr("CAST((1000000 * inter) div m AS BIGINT)"))
+      .select(col("g_a"), col("g_b"), col("m"), col("inter"),
+        col("res_ppm"))
+  }
+
   /** HyperLogLog register relation (Flajolet et al. 2007) — the
     * distinct sketch whose STATE is 2^p bytes per group versus KMV's
     * k longs: registers merge by `max`, so shards, days, or streaming

@@ -490,6 +490,56 @@ object SamplingQueries {
         vs[CAST((19 * m + 19) // 20 AS INT)] AS p95
       FROM arr ORDER BY lang"""))
 
+  /** q146 — pairwise source-vocabulary resemblance from KMV
+    * signatures ([[graft.operators.Sketches.kmvResemblance]], Broder
+    * 1997, round 11): which sources share vocabulary, answered from
+    * one k=16 sketch per source — no pairwise corpus scan; the
+    * estimate itself is md5-reproducible, so the oracle replays the
+    * bottom-k union/intersection relationally and the ppm ratio
+    * hash-matches.
+    */
+  private val q146 = Q("q146_kmv_resemblance",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{explode, length}
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.Sketches
+        .kmvResemblance(toks, "source", "tok", k = 16, salt = "resem")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+    Some(s"""WITH tok AS (SELECT DISTINCT source AS g, t FROM
+          (SELECT source, UNNEST(STRING_SPLIT(
+            ${TextQueries.normSql("text")}, ' ')) AS t FROM documents)
+          WHERE LEN(t) > 0),
+      h AS (SELECT DISTINCT g,
+          CAST(${bucketSql15(hashSql("resem", "t"))} AS BIGINT) AS hh
+        FROM tok),
+      bk AS (SELECT g, hh FROM (SELECT g, hh,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h)
+        WHERE rn <= 16),
+      gs AS (SELECT DISTINCT g FROM bk),
+      pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+        ON a.g < b.g),
+      ud AS (SELECT DISTINCT p.ga, p.gb, bk.hh FROM pairs p JOIN bk
+        ON bk.g = p.ga OR bk.g = p.gb),
+      uk AS (SELECT ga, gb, hh FROM (SELECT ga, gb, hh,
+          ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hh) AS rn
+          FROM ud) WHERE rn <= 16),
+      iv AS (SELECT u.ga, u.gb FROM uk u
+        JOIN bk x ON x.g = u.ga AND x.hh = u.hh
+        JOIN bk y ON y.g = u.gb AND y.hh = u.hh),
+      mm AS (SELECT ga, gb, COUNT(*) AS m FROM uk GROUP BY ga, gb),
+      ii AS (SELECT ga, gb, COUNT(*) AS inter FROM iv GROUP BY ga, gb)
+      SELECT mm.ga AS g_a, mm.gb AS g_b, CAST(m AS BIGINT) AS m,
+        CAST(COALESCE(inter, 0) AS BIGINT) AS inter,
+        (1000000 * CAST(COALESCE(inter, 0) AS BIGINT))
+          // CAST(m AS BIGINT) AS res_ppm
+      FROM mm LEFT JOIN ii ON ii.ga = mm.ga AND ii.gb = mm.gb
+      ORDER BY g_a, g_b"""))
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134)
+    q87, q92, q134, q146)
 }

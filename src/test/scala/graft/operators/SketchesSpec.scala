@@ -218,4 +218,34 @@ class SketchesSpec extends SparkSpec {
     assert(m == 256L)
     assert(math.abs(p50 - 5000L) < 1000L, s"p50 estimate $p50")
   }
+
+  test("kmvResemblance: exact when union fits in k; bounds and order hold") {
+    import org.apache.spark.sql.functions.col
+    // three groups over a small key universe: with k >= |union| the
+    // estimate IS the exact Jaccard of the key sets
+    val rows =
+      (1 to 10).map(i => ("a", i)) ++            // A = 1..10
+      (6 to 15).map(i => ("b", i)) ++            // B = 6..15, J(A,B)=5/15
+      (1 to 10).map(i => ("c", i)) ++            // C == A, J=1
+      Seq(("d", 99))                             // D disjoint from A
+    val df = rows.toDF("g", "key")
+    val got = Sketches.kmvResemblance(df, "g", "key", k = 32, salt = "t")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", "b")) == ((15L, 5L, 1000000L * 5 / 15)))
+    assert(got(("a", "c")) == ((10L, 10L, 1000000L)))
+    assert(got(("a", "d"))._3 == 0L)
+    // g_a < g_b on every pair, all pairs present
+    assert(got.keySet == Set(("a","b"),("a","c"),("a","d"),
+      ("b","c"),("b","d"),("c","d")))
+    // at k << |union| the estimate stays in [0, 1e6] and m == k
+    val big = ((1 to 500).map(i => ("x", i)) ++
+      (250 to 750).map(i => ("y", i))).toDF("g", "key")
+    val (m, inter, ppm) = Sketches
+      .kmvResemblance(big, "g", "key", k = 16, salt = "t")
+      .as[(String, String, Long, Long, Long)].collect().head match {
+        case (_, _, a, b, c) => (a, b, c)
+      }
+    assert(m == 16L && inter <= m && ppm >= 0L && ppm <= 1000000L)
+  }
 }
