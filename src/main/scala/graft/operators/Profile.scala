@@ -293,6 +293,75 @@ object Profile {
     if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
   }
 
+  /** Benford first-digit expectations, ppm-quantized ONCE driver-side
+    * (`round(10⁶·log10(1+1/d))`) and embedded as LITERALS in both the
+    * engine plan and the SQL oracle — the q126/q128 nDCG precedent
+    * for irrational constants: nothing transcendental ever crosses an
+    * engine boundary.
+    */
+  val BenfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** Per-group Benford first-digit audit — the numeric-column health
+    * check (Benford 1938; Nigrini's fraud-detection staple): natural
+    * multi-scale magnitudes (prices, populations, file sizes) follow
+    * P(d) = log10(1+1/d), while fabricated, capped, or
+    * uniformly-generated values do not. Pearson χ² of the observed
+    * first-digit counts against the Benford expectation over the nine
+    * digit cells.
+    *
+    * `valueCol` must be a POSITIVE INTEGRAL column (convert prices to
+    * cents first — shifting the decimal point never changes the
+    * leading digit); the first digit is taken from the decimal string
+    * (exact and engine-portable — no log10 of data at runtime, the
+    * only transcendental is the LITERAL expectation table). Cell
+    * arithmetic is the [[tokenDriftChi2]] exact-integer expansion
+    * with e_d = N·p_ppm/10⁶: `(10⁶·o_d − N·p_ppm)²·scale div
+    * (N·p_ppm·10⁶)` in decimal(38,0) — numerator a square, so `div`
+    * ⇄ `//` agree; all nine cells materialize (zero-observed digits
+    * carry real χ² mass). Fits 38 digits to N ≈ 3·10⁹ per group at
+    * scale 10⁶; BIGINT output holds to N ≈ 4·10¹¹.
+    *
+    * Scale shape: one narrow projection → ONE (group, digit)
+    * counting exchange (≤ 9 cells per group per partition after
+    * map-side combine) → a 9-row broadcast grid join.
+    *
+    * Returns (grp, n_vals, benford_q) — χ²·scale as an exact long;
+    * compare against a χ²(8) tail bound (20.09 at p=0.01 →
+    * benford_q ≈ 2·10⁷).
+    */
+  def benfordChi2(df: DataFrame, groupCol: String, valueCol: String,
+                  scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale >= 1, got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("grp"),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int").as("__d"))
+    val obs = digits.groupBy(col("grp"), col("__d"))
+      .agg(count(lit(1)).as("o"))
+    val ns = obs.groupBy(col("grp")).agg(sum(col("o")).as("n_vals"))
+    val pdf = broadcast(BenfordPpm.toDF("__d", "__p"))
+    val D = "decimal(38,0)"
+    ns.crossJoin(pdf)
+      .join(obs, Seq("grp", "__d"), "left")
+      .select(col("grp"), col("n_vals"), col("__p"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .withColumn("__diff",
+        col("o").cast(D) * lit(1000000L).cast(D) -
+          col("n_vals").cast(D) * col("__p").cast(D))
+      .withColumn("__den",
+        col("n_vals").cast(D) * col("__p").cast(D) *
+          lit(1000000L).cast(D))
+      .withColumn("__term",
+        expr(s"(__diff * __diff * CAST($scale AS $D)) div __den"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_vals")).cast("long").as("n_vals"),
+        sum(col("__term")).cast("long").as("benford_q"))
+  }
+
   /** Per-group Heaps' law fit — [[zipfFit]]'s companion law (Heaps
     * 1978: vocabulary grows as V(N) ≈ K·N^β, β ≈ 0.4-0.6 for natural
     * language): OLS slope of ln(V_i) on ln(N_i) over the group's

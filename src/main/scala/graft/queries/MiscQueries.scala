@@ -649,6 +649,53 @@ object MiscQueries {
       FROM l3 l JOIN comm c USING (lbl) ORDER BY id"""
     })
 
+  /** q147 — Benford first-digit audit over order totals
+    * ([[graft.operators.Profile.benfordChi2]], round 11): χ² of each
+    * priority class's first-digit distribution against Benford's law,
+    * the numeric-column health check for fabricated/capped values.
+    * Prices convert to integer CENTS (decimal shift never changes the
+    * leading digit; digit taken from the decimal STRING — no runtime
+    * log10), and the irrational Benford expectations are ppm LITERALS
+    * computed once driver-side and embedded in BOTH plans (the
+    * q126/q128 precedent), so every cell is one integral division of
+    * exact integers.
+    */
+  private val q147 = Q("q147_benford_totalprice",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      graft.operators.Profile.benfordChi2(
+          t(s, dir, "orders")
+            .select(col("o_orderpriority"), cents.as("cents")),
+          "o_orderpriority", "cents")
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    },
+    Some {
+      val pvals = graft.operators.Profile.BenfordPpm
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH p(d, ppm) AS (VALUES $pvals),
+        v AS (SELECT o_orderpriority AS grp,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders),
+        dg AS (SELECT grp,
+            CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+          FROM v WHERE c > 0),
+        obs AS (SELECT grp, d, COUNT(*) AS o FROM dg GROUP BY grp, d),
+        ns AS (SELECT grp, SUM(o) AS n FROM obs GROUP BY grp),
+        cells AS (SELECT ns.grp, ns.n, p.ppm, COALESCE(obs.o, 0) AS o
+          FROM ns CROSS JOIN p LEFT JOIN obs
+            ON obs.grp = ns.grp AND obs.d = p.d),
+        terms AS (SELECT grp, n,
+            ((1000000 * CAST(o AS HUGEINT) - CAST(n AS HUGEINT) * ppm)
+              * (1000000 * CAST(o AS HUGEINT) - CAST(n AS HUGEINT) * ppm)
+              * 1000000)
+              // (CAST(n AS HUGEINT) * ppm * 1000000) AS term
+          FROM cells)
+        SELECT grp AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_vals,
+          CAST(SUM(term) AS BIGINT) AS benford_q
+        FROM terms GROUP BY grp ORDER BY o_orderpriority"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113, q133)
+    q48, q52, q67, q81, q82, q90, q113, q133, q147)
 }

@@ -164,6 +164,34 @@ class ProfileSpec extends SparkSpec {
     assert(sx * sy - n * sxy >= 0)
   }
 
+  test("benfordChi2 == BigInt reference; Benford-ish beats uniform digits") {
+    // g1: first digits follow a rough Benford shape; g2: all the same
+    // digit (maximally non-Benford at equal n)
+    val g1 = Seq(1L, 1L, 1L, 10L, 12L, 2L, 25L, 3L, 4L, 6L)
+    val g2 = Seq.fill(10)(500L)
+    val df = (g1.map(("g1", _)) ++ g2.map(("g2", _))).toDF("g", "v")
+    val got = Profile.benfordChi2(df, "g", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // driver reference in BigInt over the same ppm literals
+    def ref(vals: Seq[Long]): Long = {
+      val o = vals.map(_.toString.head.asDigit)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = BigInt(vals.size)
+      Profile.BenfordPpm.map { case (d, p) =>
+        val diff = BigInt(1000000) * BigInt(o.getOrElse(d, 0L)) - n * p
+        (diff * diff * BigInt(1000000)) / (n * p * BigInt(1000000))
+      }.sum.toLong
+    }
+    assert(got("g1") == ((10L, ref(g1))), got.toString)
+    assert(got("g2") == ((10L, ref(g2))), got.toString)
+    assert(got("g2")._2 > got("g1")._2, "uniform digits must spike")
+    // zeros and negatives drop before digit extraction
+    val g3 = Seq(("g3", 0L), ("g3", -5L), ("g3", 7L)).toDF("g", "v")
+    assert(Profile.benfordChi2(g3, "g", "v")
+      .as[(String, Long, Long)].collect().head._2 == 1L)
+  }
+
   test("heapsFit matches an exact BigInt OLS reference; empty docs hold") {
     // g1 trajectory: doc1 (3 tok, 3 new), doc2 (2 tok, 1 new),
     // doc3 EMPTY (repeat point), doc4 (2 tok, 0 new)
