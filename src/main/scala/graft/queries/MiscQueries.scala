@@ -696,6 +696,41 @@ object MiscQueries {
         FROM terms GROUP BY grp ORDER BY o_orderpriority"""
     })
 
+  /** q148 — METADATA-ONLY predicate aggregates
+    * ([[graft.sources.TableStore.aggWhere]], round 11): a key-window
+    * revenue total over a range-clustered store table settles
+    * interior files from the stats sidecar's exact per-file sums —
+    * zero I/O — and reads only the boundary files; this gate builds
+    * the table from orders in-query and certifies the metadata path's
+    * (count, sum, min, max) against DuckDB's full aggregate over the
+    * same window. Cents keep the totals exact (the q147 conversion).
+    */
+  private val q148 = Q("q148_metadata_agg",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), cents.as("cents"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q148_st").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.rewrite("ord",
+        orders.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")))
+      store.analyze("ord", Seq("o_orderkey", "cents"))
+      val a = store.aggWhere("ord",
+        col("o_orderkey") >= 5000 && col("o_orderkey") < 50000, "cents")
+      def l(v: Option[java.math.BigDecimal]) =
+        v.map(b => lit(b.longValueExact()))
+          .getOrElse(lit(null).cast("long"))
+      s.range(1).select(lit(a.count).as("cnt"),
+        lit(a.sum.longValueExact()).as("sum_cents"),
+        l(a.min).as("min_cents"), l(a.max).as("max_cents"))
+    },
+    Some("""SELECT COUNT(*) AS cnt, CAST(SUM(c) AS BIGINT) AS sum_cents,
+        MIN(c) AS min_cents, MAX(c) AS max_cents
+      FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 50000)"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113, q133, q147)
+    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148)
 }

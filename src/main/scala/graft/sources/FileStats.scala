@@ -61,11 +61,18 @@ object FileStats {
     * value in the file is NULL. Values are normalized comparables:
     * `JBigDecimal` for every numeric/date/timestamp kind, `String` for
     * strings, `java.lang.Boolean` for booleans. `bloom` is present
-    * only for columns the analyze named in `bloomCols`.
+    * only for columns the analyze named in `bloomCols`. `sum` is the
+    * EXACT column total over the file's non-null values, recorded only
+    * for integral/decimal columns (float/double sums are
+    * order-dependent, so a metadata sum would not equal a scan) —
+    * the [[TableStore.aggWhere]] metadata-aggregate input; None on
+    * sidecars written before the field existed or for sum-unsafe
+    * types (degrades to scanning, never to a wrong total).
     */
   final case class ColStats(rows: Long, nulls: Long,
                             min: Option[Any], max: Option[Any],
-                            bloom: Option[Bloom] = None)
+                            bloom: Option[Bloom] = None,
+                            sum: Option[JBigDecimal] = None)
 
   /** `rows` = file row count; `cols` = per-column stats for the
     * analyzed columns (absent column ⇒ no pruning on it).
@@ -124,11 +131,11 @@ object FileStats {
     }
 
   /** `file rel path → PerFile` as sidecar lines, one per (file, col):
-    * `s=<rel>\t<col>\t<rows>\t<nulls>\t<min>\t<max>[\t<bloom>]` plus a
-    * bare `r=<rel>\t<rows>` row-count line per file. The bloom field
-    * is optional both ways: pre-bloom sidecars parse (bloom = None)
-    * and pre-bloom readers ignore the extra field — staleness of the
-    * sidecar only ever degrades skipping.
+    * `s=<rel>\t<col>\t<rows>\t<nulls>\t<min>\t<max>[\t<bloom>[\t<sum>]]`
+    * plus a bare `r=<rel>\t<rows>` row-count line per file. The bloom
+    * and sum fields are optional both ways: older sidecars parse
+    * (field = None) and older readers ignore the extra fields —
+    * staleness of the sidecar only ever degrades skipping.
     */
   def serialize(stats: Map[String, PerFile]): String = {
     val sb = new StringBuilder
@@ -136,7 +143,8 @@ object FileStats {
       sb.append(s"r=${enc(rel)}\t${pf.rows}\n")
       pf.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
         sb.append(s"s=${enc(rel)}\t${enc(c)}\t${cs.rows}\t${cs.nulls}\t" +
-          s"${encVal(cs.min)}\t${encVal(cs.max)}\t${encBloom(cs.bloom)}\n")
+          s"${encVal(cs.min)}\t${encVal(cs.max)}\t${encBloom(cs.bloom)}\t" +
+          s"${encVal(cs.sum.map(identity[Any]))}\n")
       }
     }
     sb.toString
@@ -154,9 +162,12 @@ object FileStats {
         val p = l.drop(2).split("\t", -1)
         val rel = dec(p(0))
         val bloom = if (p.length > 6) decBloom(p(6)) else None
+        val sumV = if (p.length > 7) decVal(p(7)).collect {
+          case b: JBigDecimal => b
+        } else None
         cols(rel) = cols.getOrElse(rel, Map.empty) +
           (dec(p(1)) -> ColStats(p(2).toLong, p(3).toLong,
-            decVal(p(4)), decVal(p(5)), bloom))
+            decVal(p(4)), decVal(p(5)), bloom, sumV))
       }
     }
     rows.map { case (rel, n) =>

@@ -1879,9 +1879,24 @@ final class TableStore(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(
         s"analyze: unsupported stats type ${other.simpleString} for $c")
     }
+    // exact per-file column totals for SUM-SAFE types only: integral
+    // sums in decimal(38,0), decimals widened to precision 38 at
+    // their own scale. Float/double sums are order-dependent (a
+    // metadata sum would not equal a re-scan), strings/bools/
+    // dates/timestamps have no meaningful total — no sum recorded,
+    // and aggWhere degrades those columns to scanning.
+    def sumCol(c: String): Option[org.apache.spark.sql.Column] =
+      schema(schema.fieldIndex(c)).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(sum(col(c).cast(DecimalType(38, 0))))
+        case d: DecimalType =>
+          Some(sum(col(c).cast(DecimalType(38, d.scale))))
+        case _ => None
+      }
     val aggs = statsCols.flatMap { c =>
       Seq(min(normCol(c)).as(s"__min_$c"), max(normCol(c)).as(s"__max_$c"),
-        sum(col(c).isNull.cast(LongType)).as(s"__null_$c"))
+        sum(col(c).isNull.cast(LongType)).as(s"__null_$c")) ++
+        sumCol(c).map(_.as(s"__sum_$c"))
     }
     // bloom bit positions as k bounded collect_sets per column, riding
     // the SAME stats job: pos_i = (h1 + i·h2) mod m over the two
@@ -1936,15 +1951,21 @@ final class TableStore(spark: SparkSession, root: String,
             }
             Some(FileStats.Bloom(bloomBits, bloomK, words))
           }
+        def sumOf(c: String): Option[java.math.BigDecimal] =
+          if (!r.schema.exists(_.name == s"__sum_$c")) None
+          else Option(r.getAs[java.math.BigDecimal](s"__sum_$c"))
+            // all-null file: SUM is NULL but the exact total is 0
+            .orElse(Some(java.math.BigDecimal.ZERO))
         val cols = statsCols.flatMap { c =>
           val nulls = r.getAs[Long](s"__null_$c")
           (comparable(r.getAs[Any](s"__min_$c")),
             comparable(r.getAs[Any](s"__max_$c"))) match {
             case (Some(mn), Some(mx)) =>
               Some(c -> FileStats.ColStats(rows, nulls, Some(mn), Some(mx),
-                bloomOf(c)))
+                bloomOf(c), sumOf(c)))
             case (None, None) if nulls == rows => // all-null: prunable
-              Some(c -> FileStats.ColStats(rows, nulls, None, None))
+              Some(c -> FileStats.ColStats(rows, nulls, None, None,
+                None, sumOf(c)))
             case _ => None // non-finite boundary: no stats for this col
           }
         }.toMap
@@ -2135,6 +2156,107 @@ final class TableStore(spark: SparkSession, root: String,
         .filter(pred).count()
     (metaCount + scanCount, provedAll.size, provedNone.size,
       scanned.size)
+  }
+
+  /** METADATA-ONLY predicate AGGREGATES — [[countWhere]] extended to
+    * (count, sum, min, max) of an integral/decimal `valueCol`: files
+    * the stats sidecar PROVES all-matching contribute their recorded
+    * row count, exact column total, and [min,max] with ZERO I/O;
+    * provably-empty files are skipped; only BOUNDARY files (range
+    * edges) are read, filtered, and aggregated — so a time-window
+    * revenue total over a clustered 100 TB table touches the two edge
+    * files, not the window. A proved-all file whose sidecar predates
+    * the sum field (or whose `valueCol` was not analyzed) is demoted
+    * to scanning — staleness degrades I/O, never totals. Falls back
+    * to a full filtered aggregate when there is no usable sidecar or
+    * the optimizer folded the predicate (the [[countWhere]]
+    * contract). SUM/MIN/MAX skip NULLs; COUNT counts matching ROWS
+    * (so it always equals [[countWhere]]). Float/double value columns
+    * are rejected loudly: their sum is order-dependent, a metadata
+    * total could not be certified against a scan.
+    */
+  def aggWhere(table: String, pred: org.apache.spark.sql.Column,
+               valueCol: String): TableStore.AggWhere =
+    aggWhereDetail(table, pred, valueCol)._1
+
+  /** [[aggWhere]] + file accounting for audits and specs:
+    * (agg, provedAll, provedNone, scanned).
+    */
+  private[graft] def aggWhereDetail(
+      table: String, pred: org.apache.spark.sql.Column,
+      valueCol: String): (TableStore.AggWhere, Int, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = read(table).schema
+    require(schema.exists(_.name == valueCol),
+      s"aggWhere: column $valueCol not in " +
+        schema.map(_.name).mkString(","))
+    val scale = schema(schema.fieldIndex(valueCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case d: DecimalType => d.scale
+      case other => throw new IllegalArgumentException(
+        s"aggWhere: $valueCol is ${other.simpleString}; only " +
+          "integral/decimal columns have exact order-independent sums")
+    }
+    val dt = DecimalType(38, scale)
+    def aggOf(df: DataFrame): TableStore.AggWhere = {
+      val r = df.agg(count(lit(1)), sum(col(valueCol).cast(dt)),
+        min(col(valueCol).cast(dt)), max(col(valueCol).cast(dt))).head()
+      TableStore.AggWhere(r.getLong(0),
+        Option(r.getAs[java.math.BigDecimal](1))
+          .getOrElse(java.math.BigDecimal.ZERO),
+        Option(r.getAs[java.math.BigDecimal](2)),
+        Option(r.getAs[java.math.BigDecimal](3)))
+    }
+    def fallback = (aggOf(read(table).filter(pred)), 0, 0, -1)
+    if (readManifest(table).exists(_.swapping)) return fallback
+    val stats = readStatsSidecar(table) match {
+      case Some(st) => st
+      case None     => return fallback
+    }
+    val fs = fsOf(hpath(table))
+    val files = committedFiles(table, fs)
+    if (files.isEmpty)
+      return (TableStore.AggWhere(0L, java.math.BigDecimal.ZERO, None,
+        None), 0, 0, 0)
+    val conds = read(table).filter(pred)
+      .queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+    if (conds.isEmpty) return fallback
+    // a proved-all file is metadata-usable only with a recorded sum
+    // for valueCol (all-null files carry sum 0)
+    def metaUsable(rel: String): Boolean =
+      stats.get(rel).exists(pf => pf.cols.get(valueCol)
+        .exists(_.sum.isDefined) &&
+        conds.forall(c => FileStats.allMatch(c, pf)))
+    val (provedAll, rest) = files.partition(metaUsable)
+    val (scanned, provedNone) = rest.partition(rel =>
+      stats.get(rel).forall(pf =>
+        conds.forall(c => FileStats.mayMatch(c, pf))))
+    val meta = provedAll.foldLeft(TableStore.AggWhere(0L,
+      java.math.BigDecimal.ZERO, None, None)) { (acc, rel) =>
+      val pf = stats(rel); val cs = pf.cols(valueCol)
+      def bd(v: Option[Any]) = v.collect {
+        case b: java.math.BigDecimal => b
+      }
+      TableStore.AggWhere(acc.count + pf.rows,
+        acc.sum.add(cs.sum.get),
+        TableStore.minOpt(acc.min, bd(cs.min)),
+        TableStore.maxOpt(acc.max, bd(cs.max)))
+    }
+    val scan =
+      if (scanned.isEmpty)
+        TableStore.AggWhere(0L, java.math.BigDecimal.ZERO, None, None)
+      else aggOf(rd(table).option("basePath", path(table))
+        .parquet(scanned.map(r => s"${path(table)}/$r"): _*)
+        .filter(pred))
+    (TableStore.AggWhere(meta.count + scan.count,
+      meta.sum.add(scan.sum),
+      TableStore.minOpt(meta.min, scan.min),
+      TableStore.maxOpt(meta.max, scan.max)),
+      provedAll.size, provedNone.size, scanned.size)
   }
 
   // ---------------------------------------------- incremental rollups
@@ -2575,6 +2697,29 @@ object TableStore {
   final case class MergeUpdate(cols: Seq[String]) extends MergeAction
   /** Remove matched rows. */
   case object MergeDelete extends MergeAction
+
+  /** [[TableStore.aggWhere]]'s result: exact matching-row count,
+    * exact column total (0 for no rows), and min/max over non-null
+    * values (None when every matching value is NULL or no row
+    * matches). All values are decimals at the column's own scale.
+    */
+  final case class AggWhere(count: Long, sum: java.math.BigDecimal,
+                            min: Option[java.math.BigDecimal],
+                            max: Option[java.math.BigDecimal])
+
+  private[sources] def minOpt(a: Option[java.math.BigDecimal],
+                              b: Option[java.math.BigDecimal])
+      : Option[java.math.BigDecimal] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.min(y))
+    case _                  => a.orElse(b)
+  }
+
+  private[sources] def maxOpt(a: Option[java.math.BigDecimal],
+                              b: Option[java.math.BigDecimal])
+      : Option[java.math.BigDecimal] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x.max(y))
+    case _                  => a.orElse(b)
+  }
 
   /** RDD-backed snapshot of a frame that must survive a mutation of the
     * very table files it reads (K7/K8 flag-flip/delete rewrites). The

@@ -402,4 +402,68 @@ class FileStatsSpec extends SparkSpec {
     assert(ts.countWhere("t", lit(false)) == 0L)
     assert(ts.countWhere("t", lit(true)) == 401L)
   }
+
+  test("aggWhere: exact sum/min/max from metadata, boundaries scan") {
+    import graft.sources.TableStore.AggWhere
+    val ts = freshStore()
+    // v = 3k + 1 keeps sums/extremes distinctive; one NULL v inside
+    ts.rewrite("t", spark.range(400).toDF("k")
+      .withColumn("v", when($"k" === 17, lit(null).cast("long"))
+        .otherwise($"k" * 3 + 1))
+      .repartitionByRange(4, $"k"))
+    ts.analyze("t", Seq("k", "v"))
+    def ref(pred: org.apache.spark.sql.Column): AggWhere = {
+      val rows = ts.read("t").filter(pred).select($"v")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      def bd(l: Long) = new java.math.BigDecimal(l)
+      val vs = rows.flatten
+      AggWhere(rows.length.toLong,
+        bd(vs.sum),
+        if (vs.isEmpty) None else Some(bd(vs.min)),
+        if (vs.isEmpty) None else Some(bd(vs.max)))
+    }
+    def check(pred: org.apache.spark.sql.Column)
+        : (AggWhere, Int, Int, Int) = {
+      val d = ts.aggWhereDetail("t", pred, "v")
+      assert(d._1 == ref(pred), s"agg for $pred: ${d._1} vs ${ref(pred)}")
+      d
+    }
+    // straddling range: interior files settle from metadata
+    val r = check($"k" >= 50 && $"k" < 350)
+    assert(r._2 >= 2 && r._4 <= 2, r.toString)
+    // whole table: pure metadata including the NULL-v row
+    val all = check($"k" >= 0)
+    assert(all._2 == 4 && all._4 == 0 && all._1.count == 400L,
+      all.toString)
+    // provably empty
+    val none = check($"k" === -5)
+    assert(none._1 == AggWhere(0L, java.math.BigDecimal.ZERO,
+      None, None) && none._3 == 4, none.toString)
+    // un-analyzed predicate shape: correct via fallback
+    check($"k" % 7 === 3)
+    // stale stats: appended file has no sidecar entry -> scanned
+    ts.append("t", Seq((1001L, java.lang.Long.valueOf(9L)))
+      .toDF("k", "v"))
+    val stale = check($"k" >= 1000)
+    assert(stale._1.sum == new java.math.BigDecimal(9L), stale.toString)
+    // legacy sidecar lines without the sum field parse to sum=None —
+    // aggWhere then DEMOTES proved-all files to scanning (wrong
+    // totals impossible, only I/O degrades); new lines round-trip
+    val legacy = FileStats.deserialize(
+      "r=f1\t2\ns=f1\tv\t2\t0\tn:1\tn:5\t-\n" + // 7-field (bloom era)
+      "r=f2\t1\ns=f2\tv\t1\t0\tn:3\tn:3\n")     // 6-field (pre-bloom)
+    assert(legacy("f1").cols("v").sum.isEmpty &&
+      legacy("f2").cols("v").sum.isEmpty)
+    val rt = FileStats.deserialize(FileStats.serialize(Map("f" ->
+      PerFile(2, Map("v" -> cs(2, 0, 1, 5).copy(
+        sum = Some(new java.math.BigDecimal(6))))))))
+    assert(rt("f").cols("v").sum.contains(new java.math.BigDecimal(6)))
+    // double columns are rejected loudly
+    val ts2 = freshStore()
+    ts2.rewrite("d", Seq((1L, 1.5)).toDF("k", "x"))
+    ts2.analyze("d", Seq("k", "x"))
+    intercept[IllegalArgumentException] {
+      ts2.aggWhere("d", $"k" >= 0, "x")
+    }
+  }
 }
