@@ -66,19 +66,27 @@ object DedupIndex {
 
   /** Build the band index over a CORPUS TABLE in the same store,
     * pinning the corpus generation consumed (readAt — consumed data ==
-    * recorded anchor exactly). Returns the committed index generation.
+    * recorded anchor exactly). `indexFiles` > 0 fixes the band-range
+    * file count (size files so a screen's pruned read stays I/O-lean;
+    * 0 lets AQE pick — small corpora coalesce to one file and every
+    * screen reads it). Returns the committed index generation.
     */
   def buildFromCorpus(store: TableStore, corpusTable: String,
                       indexTable: String, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 16,
-                      bands: Int = 4): Long = {
+                      bands: Int = 4, indexFiles: Int = 0): Long = {
     val gen = store.generations(corpusTable).last
     val rows = indexRows(
       bandFrame(store.readAt(corpusTable, gen), idCol, textCol,
         shingleN, k, bands), shingleN, k, bands, gen)
     // range-cluster band rows so band-predicated serves prune files;
     // the single stats row rides along in the lowest range
-    val clustered = rows.repartitionByRange(col("component"), col("band"))
+    val ranged =
+      if (indexFiles > 0)
+        rows.repartitionByRange(indexFiles, col("component"),
+          col("band"))
+      else rows.repartitionByRange(col("component"), col("band"))
+    val clustered = ranged
       .sortWithinPartitions(col("component"), col("band"), col("doc_id"))
     val committed =
       if (store.exists(indexTable)) store.rewrite(indexTable, clustered)
@@ -142,14 +150,35 @@ object DedupIndex {
     * survivors with [[Dedup.verifyJaccard]] as usual. ONE exchange on
     * the band key; steady-state ingest batches are small, so AQE
     * broadcasts the batch side.
+    *
+    * FILE PRUNING — the 100 TB point of the persisted layout: when
+    * the batch occupies at most `maxPrunedBands` distinct band keys
+    * (collected driver-side — bounded by |batch|·bands), the index
+    * read carries `band IN (batch bands)`, and the range clustering +
+    * band bloom recorded at build time let [[TableStore.readWhere]]
+    * skip every index file holding none of those bands — a small
+    * ingest batch touches the files its bands live in, not the
+    * index. The IN list never changes results (the band join would
+    * drop non-batch bands anyway); a huge batch falls back to the
+    * full band read. The batch is banded twice (key collect + join) —
+    * recomputation is deterministic and batch-sized, cheaper than a
+    * persist pin on the serve path.
     */
   def screen(store: TableStore, indexTable: String, batch: DataFrame,
-             idCol: String, textCol: String): DataFrame = {
+             idCol: String, textCol: String,
+             maxPrunedBands: Int = 4096): DataFrame = {
     val (shingleN, k, bands, _) = params(store, indexTable)
-    val ix = store.readWhere(indexTable, col("component") === "band")
-      .select(col("doc_id").as("id_a"), col("band"))
     val bb = bandFrame(batch, idCol, textCol, shingleN, k, bands)
       .select(col("doc_id").as("id_b"), col("band"))
+    val bandKeys = bb.select(col("band")).distinct()
+      .limit(maxPrunedBands + 1).collect().map(_.getLong(0))
+    val bandPred =
+      if (bandKeys.length <= maxPrunedBands && bandKeys.nonEmpty)
+        col("component") === "band" &&
+          col("band").isin(bandKeys.map(Long.box): _*)
+      else col("component") === "band"
+    val ix = store.readWhere(indexTable, bandPred)
+      .select(col("doc_id").as("id_a"), col("band"))
     ix.join(bb, Seq("band"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

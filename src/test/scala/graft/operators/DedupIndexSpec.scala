@@ -89,6 +89,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(content(store, "lsh") == content(full, "lsh"))
   }
 
+  test("screen prunes index files by the batch's bands; results equal") {
+    val store = freshStore()
+    val corpus = docs.filter(col("doc_id") < 60)
+    // one near-dup probe of a corpus doc (so the screen is non-empty)
+    val batch = docs.filter(col("doc_id") === 60)
+    store.append("corpus", corpus)
+    DedupIndex.buildFromCorpus(store, "corpus", "lsh", "doc_id", "text",
+      indexFiles = 4)
+    val total = store.read("lsh").inputFiles.length
+    assert(total > 1, s"fixture must split the index, got $total file(s)")
+    // the batch occupies few bands -> the IN-pruned read must touch
+    // fewer files than the full band component (batch side is
+    // in-memory, so inputFiles counts only index files)
+    val pruned = DedupIndex.screen(store, "lsh", batch,
+      "doc_id", "text")
+    assert(pruned.inputFiles.length < total,
+      s"${pruned.inputFiles.length} of $total")
+    // and pruning never changes the candidate set: force the full
+    // read via maxPrunedBands = 0 and compare
+    val full = DedupIndex.screen(store, "lsh", batch, "doc_id", "text",
+      maxPrunedBands = 0)
+    assert(pairs(pruned) == pairs(full))
+  }
+
   test("screenVerified == verifyJaccard over the full doc set") {
     val store = freshStore()
     val corpus = docs.filter(col("doc_id") < 35)
