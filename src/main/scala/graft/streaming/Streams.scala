@@ -364,6 +364,106 @@ object Streams {
       .toDF("grp", "h", "key", "v", "ver")
   }
 
+  /** Sliding-window event counting in O(log² W) state per key — the
+    * DGIM algorithm (Datar, Gionis, Indyk, Motwani 2002, "Maintaining
+    * stream statistics over sliding windows"; MMDS ch. 4): per key, a
+    * list of exponentially-sized buckets (ts = the bucket's most
+    * recent event, size a power of two, at most TWO buckets per
+    * size — a third merges the two oldest into one of double size
+    * keeping the newer timestamp), expired when the bucket timestamp
+    * leaves the window. The estimate `total − oldest/2` is within 50%
+    * of the true last-`windowLen` count — the textbook trade for
+    * counting "events in the last hour" per key over an unbounded
+    * stream WITHOUT keeping the events: exact windowed counts need
+    * the window's raw events in state; DGIM keeps ~2·log₂(W) longs.
+    *
+    * Event-time discipline: events apply in (ts) order within each
+    * micro-batch; an event older than the key's newest-seen ts is
+    * DROPPED and counted in `dropped_late` (DGIM has no out-of-order
+    * insert — feed it watermark-ordered data). Equal-ts events insert
+    * as identical size-1 buckets, so intra-ts order cannot affect the
+    * result. Emits one snapshot row per key per micro-batch:
+    * (grp, est, total, oldest, newest_ts, n_buckets, dropped_late,
+    * ver); `est` estimates events in `(newest_ts − windowLen,
+    * newest_ts]`. State rides the checkpoint across AvailableNow
+    * runs ([[bottomKMaintain]]'s restart contract).
+    */
+  def dgimMaintain(df: DataFrame, keyCol: String, tsCol: String,
+                   windowLen: Long): DataFrame = {
+    require(windowLen >= 1, s"windowLen >= 1, got $windowLen")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("grp"),
+        col(tsCol).cast("long").as("ts"))
+      .as[(String, Long)]
+    // state: (ver, newestTs, droppedLate, buckets newest-first as
+    // (ts, size))
+    def step(g: String, it: Iterator[(String, Long)],
+             state: GroupState[(Long, Long, Long, Seq[(Long, Long)])])
+        : Iterator[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+      val (prevVer, prevNewest, prevDropped, prevBuckets) =
+        state.getOption.getOrElse(
+          (0L, Long.MinValue, 0L, Seq.empty[(Long, Long)]))
+      var newest = prevNewest
+      var dropped = prevDropped
+      // newest-first working list
+      var buckets = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long)]
+      buckets ++= prevBuckets
+      def cascade(): Unit = {
+        // merge from the smallest size up: find any size with 3
+        // buckets, merge its two OLDEST (last two in newest-first
+        // order), keep the newer timestamp
+        var merged = true
+        while (merged) {
+          merged = false
+          val bySize = buckets.zipWithIndex.groupBy(_._1._2)
+          bySize.toSeq.sortBy(_._1).foreach { case (size, bs) =>
+            if (!merged && bs.size >= 3) {
+              val oldestTwo = bs.sortBy(_._2).takeRight(2)
+              val keepTs = oldestTwo.map(_._1._1).max
+              val idxs = oldestTwo.map(_._2).sorted
+              buckets.remove(idxs(1)); buckets.remove(idxs(0))
+              // insert the doubled bucket keeping ts order (newest
+              // first): position before the first strictly-older ts
+              val nb = (keepTs, size * 2L)
+              val at = buckets.indexWhere(_._1 < keepTs) match {
+                case -1 => buckets.size
+                case i  => i
+              }
+              buckets.insert(at, nb)
+              merged = true
+            }
+          }
+        }
+      }
+      it.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+        if (ts < newest) dropped += 1
+        else {
+          newest = ts
+          buckets.prepend((ts, 1L))
+          cascade()
+          // expire buckets whose most-recent event left the window
+          buckets.filterInPlace(_._1 > newest - windowLen)
+        }
+      }
+      val total = buckets.map(_._2).sum
+      val oldest = if (buckets.isEmpty) 0L else buckets.last._2
+      val est = total - oldest / 2
+      val ver = prevVer + 1
+      state.update((ver, newest, dropped, buckets.toSeq))
+      Iterator((g, est, total, oldest,
+        if (newest == Long.MinValue) 0L else newest,
+        buckets.size.toLong, dropped, ver))
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+      .toDF("grp", "est", "total", "oldest", "newest_ts", "n_buckets",
+        "dropped_late", "ver")
+  }
+
   /** Drain everything currently available into a parquet sink and stop
     * (micro-batch reprocessing; checkpoint carries state across runs).
     */

@@ -449,6 +449,64 @@ class StreamsSpec extends SparkSpec {
     assert(servedModel(store) == rebuilt(), "after out-of-band churn")
   }
 
+  test("dgimMaintain: 50%-bounded window counts in logarithmic state") {
+    val in = Files.createTempDirectory("graft_dgim_in").toString
+    val out = Files.createTempDirectory("graft_dgim_out").toString
+    val ckpt = Files.createTempDirectory("graft_dgim_ckpt").toString
+    val sch = StructType.fromDDL("k string, ts long")
+    val W = 1000L
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.dgimMaintain(Streams.jsonStream(spark, sch, in),
+        "k", "ts", W), out, ckpt)
+    def snap(): Map[String, (Long, Long, Long, Long, Long)] =
+      spark.read.parquet(out)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().groupBy(_._1).map { case (g, rs) =>
+          val r = rs.maxBy(_._8)
+          g -> ((r._2, r._3, r._4, r._5, r._7))
+        }
+    // deterministic bursty stream: key a gets 200 events over 2000
+    // ticks (half expire), key b gets 3 sparse events (exact regime)
+    val aTs = (0 until 200).map(i => 1L + i * 10L)
+    // two events stay as size-1 buckets (a third would merge a pair
+    // and cost half the merged bucket) — the exact regime
+    val bTs = Seq(100L, 990L)
+    writeBatch(in, "b1.json",
+      (aTs.take(120).map(t => s"""{"k":"a","ts":$t}""") ++
+        bTs.map(t => s"""{"k":"b","ts":$t}""")))
+    run()
+    writeBatch(in, "b2.json",
+      aTs.drop(120).map(t => s"""{"k":"a","ts":$t}"""))
+    run()
+    val s = snap()
+    // exact window counts from the raw fixture
+    def exact(ts: Seq[Long]): Long = {
+      val newest = ts.max
+      ts.count(t => t > newest - W && t <= newest).toLong
+    }
+    val (estA, totalA, oldestA, newestA, _) = s("a")
+    assert(newestA == aTs.max)
+    val exA = exact(aTs)
+    // the DGIM sandwich: exact ∈ [total − oldest + 1, total], and the
+    // half-oldest estimate is within the 50% guarantee
+    assert(exA <= totalA && exA >= totalA - oldestA + 1,
+      s"exact $exA vs total $totalA oldest $oldestA")
+    assert(math.abs(estA - exA) <= (oldestA + 1) / 2)
+    assert(math.abs(estA - exA) * 2 <= exA, "50% relative bound")
+    // sparse key: few events -> size-1 buckets -> exact
+    assert(s("b")._1 == exact(bTs))
+    // a late event drops and is accounted, never corrupting state
+    writeBatch(in, "b3.json", Seq("""{"k":"a","ts":5}"""))
+    run()
+    val s2 = snap()
+    assert(s2("a")._5 == 1L, s"dropped_late = ${s2("a")._5}")
+    assert(s2("a")._2 == totalA, "late event must not change buckets")
+    // drained restart: no new snapshot rows, state intact
+    val rows = spark.read.parquet(out).count()
+    run()
+    assert(spark.read.parquet(out).count() == rows)
+  }
+
   test("screenAgainstCorpus drops standing-corpus dups in flight, exactly") {
     val in = Files.createTempDirectory("graft_scr_in").toString
     val out = Files.createTempDirectory("graft_scr_out").toString
