@@ -68,14 +68,25 @@ object PiiRules {
 
   // ------------------------------------------- Luhn-validated cards
 
-  /** Candidate payment-card runs: 13-19 digits with optional single
-    * space/dash separators (Java∩RE2 dialect like every rule above).
-    * A digit-run REGEX ALONE is a terrible card detector — most
+  /** Candidate runs are MAXIMAL digit sequences (single space/dash
+    * separators allowed; Java∩RE2 dialect like every rule above) —
+    * maximal, because a bounded 13-19-digit pattern GREEDILY MERGES a
+    * card with an adjacent id ("ref 1234 4111111111111111" matched as
+    * one 19-digit candidate that fails Luhn) and the real PAN escapes
+    * redaction; judging whole runs closes that leak. A digit-run
+    * REGEX ALONE is a terrible card detector either way — most
     * 16-digit runs are ids, not cards — which is why the card rule is
-    * not in [[rules]]: candidates must pass the [[luhnValid]]
-    * checksum before anything is redacted.
+    * not in [[rules]]: a run must pass the [[luhnValid]] checksum
+    * (whole, or any 13-19-digit sub-window for oversized runs) before
+    * anything is redacted.
     */
-  val ccPattern: String = "[0-9](?:[ -]?[0-9]){12,18}"
+  val ccRunPattern: String = "[0-9](?:[ -]?[0-9])*"
+
+  /** Oversized runs are sub-window-scanned only up to this many
+    * digits — beyond it the quadratic window sweep is not worth it
+    * for what is a data blob, not a formatted PAN context.
+    */
+  val MaxCcRunDigits: Int = 48
 
   /** Luhn mod-10 sum of a digit-only string; positions counted from
     * the RIGHT, digits at positions ≡ `doubleParity` (mod 2) doubled
@@ -105,21 +116,53 @@ object PiiRules {
   def luhnCheckDigit(digits: Column): Column =
     (lit(10) - luhnSum(digits, 1) % 10) % 10
 
-  /** All [[ccPattern]] candidate runs in the text, match order. */
+  /** All maximal [[ccRunPattern]] runs with at least 13 digits after
+    * separator stripping, match order.
+    */
   def creditCardCandidates(c: Column): Column =
-    regexp_extract_all(c, lit(ccPattern), lit(0))
+    filter(regexp_extract_all(c, lit(ccRunPattern), lit(0)),
+      x => length(regexp_replace(x, "[ -]", "")) >= 13)
 
-  /** The candidates that pass Luhn after separator stripping. */
+  /** Does this maximal run contain a card? Luhn is checked on every
+    * SEPARATOR-GROUP-ALIGNED contiguous span whose digits total
+    * 13-19 — the whole run is always such a span, and a card pasted
+    * next to ids with its own formatting intact ("77-4111…1111-9",
+    * "ref 1234 4111 1111 1111 1111") is still one aligned span, so
+    * the greedy-merge leak is closed. Alignment is what keeps
+    * precision: RAW 13-19-digit sub-windows would fire on ~1−0.9^35
+    * of all 20-digit runs (Luhn passes a tenth of random strings),
+    * redacting nearly every long id; separator boundaries are the
+    * formatting evidence that a span is a number in its own right. A
+    * card fused into one UNSEPARATED digit blob has no boundary
+    * evidence and is out of detection scope (documented), as are runs
+    * beyond [[MaxCcRunDigits]] digits (data blobs, and the span sweep
+    * is quadratic in group count).
+    */
+  def runContainsCard(run: Column): Column = {
+    val gs = split(run, "[ -]")
+    val g = size(gs)
+    val n = length(regexp_replace(run, "[ -]", ""))
+    // all contiguous group spans, concatenated digits per span
+    val spans = flatten(transform(sequence(lit(1), g), i =>
+      transform(sequence(i, g), j =>
+        array_join(slice(gs, i, j - i + lit(1)), ""))))
+    n >= 13 && n <= MaxCcRunDigits &&
+      exists(spans,
+        w => length(w) >= 13 && length(w) <= 19 && luhnValid(w))
+  }
+
+  /** The candidate runs containing a Luhn-valid card. */
   def validCreditCards(c: Column): Column =
-    filter(creditCardCandidates(c),
-      x => luhnValid(regexp_replace(x, "[ -]", "")))
+    filter(creditCardCandidates(c), runContainsCard(_))
 
-  /** Text with every LUHN-VALID candidate replaced by the
-    * placeholder — checksum-failing runs (ids, timestamps, order
-    * numbers) stay untouched, which is the entire point over a bare
-    * digit-run rule. Replacement is a fold over the valid matches in
-    * match order (literal replace, so a later match embedded in an
-    * earlier replacement cannot resurrect).
+  /** Text with every card-bearing run replaced by the placeholder —
+    * checksum-failing runs (ids, timestamps, order numbers) stay
+    * untouched, which is the entire point over a bare digit-run rule,
+    * and a run where a card hides among adjacent digits is cut WHOLE
+    * (redaction must over-cut, never leak). Replacement is a fold
+    * over the matching runs in match order (literal replace, so a
+    * later match embedded in an earlier replacement cannot
+    * resurrect).
     */
   def redactCreditCards(c: Column,
                         placeholder: String = "[CC]"): Column =

@@ -261,24 +261,40 @@ object Dedup {
   /** Candidate id pairs (idA < idB) sharing at least one LSH band.
     * One shuffle on the band key; distinct to merge multi-band hits.
     */
+  /** THE banding projection — (outId, band) rows from text — shared
+    * by [[lshCandidatePairs]], [[lshCandidatePairsAgainst]], AND the
+    * persisted [[DedupIndex]] build: ONE definition, so the stored
+    * band table and the inline screens cannot drift in shingle
+    * distinctness, hash seed, or band packing (an edit here changes
+    * all three together — the compile-time form of the
+    * served-equals-inline property the specs pin). Repartition by id:
+    * shingling+hashing is the CPU-heavy narrow stage; a single small
+    * input file must not pin it to one task.
+    */
+  private[operators] def bandProjection(df: DataFrame, idCol: String,
+                                        outId: String, textCol: String,
+                                        shingleN: Int, k: Int,
+                                        bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    df.repartition(col(idCol))
+      .select(col(idCol).as(outId),
+        array_distinct(TextFunctions.shingles(col(textCol), shingleN))
+          .as("sh"))
+      .withColumn("band",
+        explode(lshBandKeys(minhashSignature(col("sh"), k), bands, r)))
+      .select(col(outId), col("band"))
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4)
       : DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val r = k / bands
-    // repartition by id: shingling+hashing is the CPU-heavy narrow stage;
-    // a single small input file must not pin it to one task. persist (not
-    // localCheckpoint): the band frame feeds both join sides — compute
-    // once, and the recomputable lineage survives executor loss, which
-    // truncated-lineage local checkpoints do not.
-    val sigs = track(df.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), shingleN))
-          .as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
-      .drop("sh")
-      .persist())
+    // persist (not localCheckpoint): the band frame feeds both join
+    // sides — compute once, and the recomputable lineage survives
+    // executor loss, which truncated-lineage local checkpoints do not.
+    val sigs = track(
+      bandProjection(df, idCol, "id", textCol, shingleN, k, bands)
+        .persist())
     val a = sigs.select(col("band"), col("id").as("id_a"))
     val b = sigs.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -306,21 +322,12 @@ object Dedup {
   def lshCandidatePairsAgainst(corpus: DataFrame, batch: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int = 3, k: Int = 16,
-                               bands: Int = 4): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val r = k / bands
-    def bandRows(df: DataFrame, outId: String) =
-      df.repartition(col(idCol))
-        .select(col(idCol).as(outId),
-          array_distinct(TextFunctions.shingles(col(textCol), shingleN))
-            .as("sh"))
-        .withColumn("sig", minhashSignature(col("sh"), k))
-        .withColumn("band", explode(lshBandKeys(col("sig"), bands, r)))
-        .select(col(outId), col("band"))
-    bandRows(corpus, "id_a").join(bandRows(batch, "id_b"), Seq("band"))
+                               bands: Int = 4): DataFrame =
+    bandProjection(corpus, idCol, "id_a", textCol, shingleN, k, bands)
+      .join(bandProjection(batch, idCol, "id_b", textCol, shingleN, k,
+        bands), Seq("band"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-  }
 
   // ---------------------------------------------------- exact jaccard
 

@@ -30,25 +30,16 @@ import graft.sources.TableStore
   */
 object DedupIndex {
 
-  /** The banding projection shared verbatim with
-    * [[Dedup.lshCandidatePairs]]/[[Dedup.lshCandidatePairsAgainst]] —
-    * ONE definition so the persisted index cannot drift from the
-    * inline screen.
+  /** [[Dedup.bandProjection]] — literally; one shared definition is
+    * what makes "the persisted index cannot drift from the inline
+    * screen" a compile-time property (long-cast ids, the table
+    * schema's key type).
     */
   private def bandFrame(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val r = k / bands
-    df.repartition(col(idCol))
-      .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(
-          graft.functions.TextFunctions.shingles(col(textCol), shingleN))
-          .as("sh"))
-      .withColumn("band",
-        explode(Dedup.lshBandKeys(
-          Dedup.minhashSignature(col("sh"), k), bands, r)))
-      .select(col("doc_id"), col("band"))
-  }
+                        shingleN: Int, k: Int, bands: Int): DataFrame =
+    Dedup.bandProjection(
+      df.select(col(idCol).cast("long").as(idCol), col(textCol)),
+      idCol, "doc_id", textCol, shingleN, k, bands)
 
   private def indexRows(bandRows: DataFrame, shingleN: Int, k: Int,
                         bands: Int, corpusGen: Long): DataFrame = {

@@ -152,10 +152,16 @@ object Eval {
              refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n >= 1, got $n")
     import graft.functions.TextFunctions
+    // coalesce NULL texts to empty gram arrays: shingles(NULL) is a
+    // NULL array whose size() is -1 under legacy sizeOfNull, which
+    // would emit a NEGATIVE gram count in a documented exact-count
+    // column — a NULL side scores 0 like an empty one
+    def grams(c: String) = coalesce(
+      TextFunctions.shingles(col(c), n),
+      array().cast("array<string>"))
     val base = pairs.repartition(col(pairIdCol))
       .select(col(pairIdCol).cast("long").as("pair_id"),
-        TextFunctions.shingles(col(candCol), n).as("__cg"),
-        TextFunctions.shingles(col(refCol), n).as("__rg"))
+        grams(candCol).as("__cg"), grams(refCol).as("__rg"))
     // narrow, recomputed per consumer rather than pinning (the
     // dupNgramCoverage trade); grams travel as md5 — 16 bytes instead
     // of the n-token string on every exchange

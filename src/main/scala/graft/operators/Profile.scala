@@ -196,7 +196,7 @@ object Profile {
           (col("n_s") - coalesce(col("__ov"), lit(0L))).as("o"))
       val cells = if (cOther > 0) grid.unionByName(other) else grid
       val D = "decimal(38,0)"
-      cells
+      val out = cells
         .withColumn("__d",
           col("o").cast(D) * lit(bigN).cast(D) -
             col("n_s").cast(D) * col("c").cast(D))
@@ -207,6 +207,14 @@ object Profile {
         .groupBy(col("grp"))
         .agg(max(col("n_s")).as("n_tokens"),
           sum(col("__term")).as("chi2_q"))
+      // materialize WHILE gt is pinned: the result is |groups| rows
+      // (bounded metadata), but its lazy plan references gt three
+      // ways — returned unevaluated, the finally-unpersist would make
+      // the caller recompute the corpus-scale (group, token) exchange
+      // once per reference
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
     } finally gt.unpersist(blocking = false)
   }
 

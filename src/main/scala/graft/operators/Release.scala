@@ -55,15 +55,28 @@ object Release {
     store.append(releaseTable, rows)
   }
 
-  /** The (table → generation) pins of a recorded release. */
+  /** The (table → generation) pins of a recorded release. Exactly ONE
+    * generation per (release, table) is demanded: [[record]]'s
+    * duplicate-name guard is check-then-act (the store has no
+    * multi-table transaction to close that window), so two concurrent
+    * records of the same name can both land — a silent
+    * keep-one-arbitrary-pin here would reproduce a release that never
+    * existed as a unit. Conflicting rows fail loudly instead.
+    */
   def pins(store: TableStore, releaseTable: String, name: String)
       : Map[String, Long] = {
-    val m = store.read(releaseTable)
+    val rows = store.read(releaseTable)
       .filter(col("release") === name)
       .select(col("table"), col("generation"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(m.nonEmpty, s"release '$name' not found in $releaseTable")
-    m
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(rows.nonEmpty, s"release '$name' not found in $releaseTable")
+    val conflicts = rows.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size > 1).keys.toSeq.sorted
+    require(conflicts.isEmpty,
+      s"release '$name' holds CONFLICTING pins for " +
+        s"${conflicts.mkString(", ")} — concurrent record() calls " +
+        "collided; re-record under a fresh name")
+    rows.toMap
   }
 
   /** A pinned table exactly as the release saw it

@@ -1954,8 +1954,17 @@ final class TableStore(spark: SparkSession, root: String,
         def sumOf(c: String): Option[java.math.BigDecimal] =
           if (!r.schema.exists(_.name == s"__sum_$c")) None
           else Option(r.getAs[java.math.BigDecimal](s"__sum_$c"))
-            // all-null file: SUM is NULL but the exact total is 0
-            .orElse(Some(java.math.BigDecimal.ZERO))
+            .orElse {
+              // SUM is NULL for an all-null file (exact total 0) but
+              // ALSO on decimal-38 overflow under non-ANSI Sum —
+              // recording 0 there would silently corrupt aggWhere
+              // totals, so only the provable all-null case maps to 0
+              // and an overflowed file carries NO sum (demotes to
+              // scanning, the degrade-I/O-never-totals contract)
+              if (r.getAs[Long](s"__null_$c") == rows)
+                Some(java.math.BigDecimal.ZERO)
+              else None
+            }
         val cols = statsCols.flatMap { c =>
           val nulls = r.getAs[Long](s"__null_$c")
           (comparable(r.getAs[Any](s"__min_$c")),
@@ -2202,10 +2211,15 @@ final class TableStore(spark: SparkSession, root: String,
     def aggOf(df: DataFrame): TableStore.AggWhere = {
       val r = df.agg(count(lit(1)), sum(col(valueCol).cast(dt)),
         min(col(valueCol).cast(dt)), max(col(valueCol).cast(dt))).head()
+      val mn = Option(r.getAs[java.math.BigDecimal](2))
+      val sm = Option(r.getAs[java.math.BigDecimal](1))
+      // non-null values present but a NULL sum = decimal-38 overflow
+      // under non-ANSI Sum; 0 would be silently wrong — fail loudly
+      if (sm.isEmpty && mn.isDefined) throw new ArithmeticException(
+        s"aggWhere($table, $valueCol): SUM overflowed decimal(38) " +
+          "during the scan — the total is not representable exactly")
       TableStore.AggWhere(r.getLong(0),
-        Option(r.getAs[java.math.BigDecimal](1))
-          .getOrElse(java.math.BigDecimal.ZERO),
-        Option(r.getAs[java.math.BigDecimal](2)),
+        sm.getOrElse(java.math.BigDecimal.ZERO), mn,
         Option(r.getAs[java.math.BigDecimal](3)))
     }
     def fallback = (aggOf(read(table).filter(pred)), 0, 0, -1)

@@ -100,4 +100,32 @@ class PiiRulesSpec extends SparkSpec {
       ("card [CC] ok 123456789012", 1, 1),
       ("no digits at all", 0, 0)), got.toString)
   }
+
+  test("a separated card glued to adjacent ids cannot escape redaction") {
+    val got = Seq(
+      // 4-digit id one space before a valid card: ONE 20-digit run,
+      // but the card keeps its group boundaries — the aligned span
+      // finds it and the whole run is cut (over-cut, never leak)
+      "ref 1234 4111 1111 1111 1111 end",
+      // same shape with the invalid twin: no aligned span passes
+      // (the only other 13-19-digit span, 1234+4111+1111+1111, fails
+      // Luhn too), so nothing is redacted
+      "ref 1234 4111 1111 1111 1112 end",
+      // card sandwiched between two dash-separated ids: 19 stripped
+      // digits, whole-run Luhn fails, the aligned PAN span still hits
+      "a 77-4111111111111111-9 b",
+      // an oversized unseparated blob (> MaxCcRunDigits digits) has
+      // no boundary evidence and is not scanned — documented cap
+      ("blob " + "9" * 40 + "4111111111111111" + "9" * 40 + " end")
+    ).toDF("t")
+      .select(PiiRules.redactCreditCards($"t").as("r"),
+        size(PiiRules.validCreditCards($"t")).as("nv"))
+      .as[(String, Int)].collect().toSeq
+    assert(got(0) == (("ref [CC] end", 1)), got(0).toString)
+    assert(got(1) == (("ref 1234 4111 1111 1111 1112 end", 0)),
+      got(1).toString)
+    assert(got(2) == (("a [CC] b", 1)), got(2).toString)
+    assert(got(3)._2 == 0 && got(3)._1.contains("9411"),
+      got(3).toString)
+  }
 }
