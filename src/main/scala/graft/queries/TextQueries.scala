@@ -1990,11 +1990,19 @@ object TextQueries {
           threshold = 0.2)
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
-    Some {
-      val h = SamplingQueries.hashSql("ingest", "doc_id")
-      val bucket = SamplingQueries.bucketSql("h")
-      val cut = math.round(0.8 * Sampling.BucketSpace)
-      s"""WITH b AS (SELECT doc_id, text, $h AS h FROM documents),
+    Some(s"""WITH $admissionCtes
+        SELECT doc_id FROM sides
+        WHERE side = 'batch' AND doc_id NOT IN (SELECT id_b FROM dropped)
+        ORDER BY doc_id"""))
+
+  /** The q139 admission CTE chain (corpus/batch split through the
+    * `dropped` set), shared VERBATIM with q149's release pipeline.
+    */
+  private[queries] def admissionCtes: String = {
+    val h = SamplingQueries.hashSql("ingest", "doc_id")
+    val bucket = SamplingQueries.bucketSql("h")
+    val cut = math.round(0.8 * Sampling.BucketSpace)
+    s"""b AS (SELECT doc_id, text, $h AS h FROM documents),
         sides AS (SELECT doc_id, text,
           CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END AS side
           FROM b),
@@ -2014,11 +2022,8 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE (CAST(inter AS DOUBLE)
-                 / CAST(sa.n + sb.n - inter AS DOUBLE)) >= 0.2)
-        SELECT doc_id FROM sides
-        WHERE side = 'batch' AND doc_id NOT IN (SELECT id_b FROM dropped)
-        ORDER BY doc_id"""
-    })
+                 / CAST(sa.n + sb.n - inter AS DOUBLE)) >= 0.2)"""
+  }
 
   /** q141 — per-source Zipf rank-frequency fit
     * ([[graft.operators.Profile.zipfFit]], round 11): OLS steepness
@@ -2195,8 +2200,69 @@ object TextQueries {
             // (n_docs*sxx - sx*sx) AS BIGINT) END AS beta_ppm
       FROM st ORDER BY source"""))
 
+  /** q149 — the RELEASE PIPELINE capstone (round 11): the full
+    * persisted-artifact ingest loop end to end in one gate — build
+    * the corpus table and band index, ADMIT the ingest batch through
+    * the served screen ([[graft.operators.DedupIndex.admit]], q139's
+    * decision), merge survivors, refresh the index from the change
+    * feed, [[graft.operators.Release.record]] the (corpus, index)
+    * generation pins, and report per-source doc/token counts of the
+    * released corpus READ THROUGH THE PIN
+    * ([[graft.operators.Release.readPinned]]) — so the gate certifies
+    * admission, merge, refresh, and generation time travel together.
+    * Oracle = q139's admission CTE chain VERBATIM + the released
+    * per-source rollup.
+    */
+  private val q149 = Q("q149_release_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val sel = Seq(col("doc_id"), col("text"), col("source"))
+      val corpus = docs.filter(bucket < cut).select(sel: _*)
+      val batch = docs.filter(bucket >= cut).select(sel: _*)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q149_rel").toString
+      // retention on: the index refresh reads the corpus change feed
+      // and the release pins replay via time travel
+      val store = new graft.sources.TableStore(s, root,
+        retainGenerations = 10)
+      store.append("corpus", corpus)
+      graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      val admitted = graft.operators.DedupIndex.admit(store, "lsh",
+        "corpus", batch, "doc_id", "text", threshold = 0.2)
+      store.merge("corpus", admitted, "doc_id",
+        graft.sources.TableStore.MergeUpdate(Seq("text")))
+      graft.operators.DedupIndex.refreshFromCorpus(store, "corpus",
+        "lsh", "doc_id", "text")
+      graft.operators.Release.record(store, "releases", "r1",
+        Seq("corpus", "lsh"))
+      graft.operators.Release.readPinned(store, "releases", "r1",
+          "corpus")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")))
+            .cast("long").as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $admissionCtes,
+        released AS (SELECT doc_id FROM sides WHERE side = 'corpus'
+          UNION ALL SELECT doc_id FROM sides WHERE side = 'batch'
+            AND doc_id NOT IN (SELECT id_b FROM dropped)),
+        tokc AS (SELECT doc_id, source,
+            ${lenTokSql("toks", "nrm")} AS n
+          FROM (SELECT doc_id, source,
+            STRING_SPLIT(${normSql("text")}, ' ') AS toks,
+            ${normSql("text")} AS nrm FROM documents))
+      SELECT t.source AS source, COUNT(*) AS n_docs,
+        CAST(SUM(t.n) AS BIGINT) AS n_tokens
+      FROM released r JOIN tokc t USING (doc_id)
+      GROUP BY t.source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
-    q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145)
+    q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
+    q149)
 }
