@@ -540,6 +540,53 @@ object SamplingQueries {
       FROM mm LEFT JOIN ii ON ii.ga = mm.ga AND ii.gb = mm.gb
       ORDER BY g_a, g_b"""))
 
+  /** q150 — concat-and-chunk sequence packing
+    * ([[graft.operators.Packing.packConcat]], round 11): documents
+    * hash-bucketed into 8 shards, concatenated in doc_id order within
+    * each shard, and the token stream cut into 512-token context
+    * blocks — the full placement map (which slice of which document
+    * lands at which offset of which block). The oracle replays the
+    * prefix-sum + block-intersection arithmetic from scratch on the
+    * same md5 shard buckets, so a drifted cut point, a lost slice, or
+    * a misordered concatenation all fail the hash. Everything is exact
+    * longs on both engines (`div` ⇄ `//`).
+    */
+  private val q150 = Q("q150_pack_blocks",
+    (s, dir) => {
+      val withN = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"),
+        pmod(Sampling.hashBucket(col("doc_id"), "pack"), lit(8L))
+          .as("shard"))
+      graft.operators.Packing
+        .packConcat(withN, "doc_id", "n_tok", "shard", capacity = 512L)
+        .orderBy(col("shard"), col("block_id"), col("doc_id"))
+    },
+    Some {
+      val h = hashSql("pack", "doc_id")
+      val nrm = TextQueries.normSql("text")
+      val n = TextQueries.lenTokSql("toks", "nrm")
+      s"""WITH tokc AS (SELECT doc_id, h, $n AS n
+          FROM (SELECT doc_id, $h AS h, STRING_SPLIT($nrm, ' ') AS toks,
+            $nrm AS nrm FROM documents)),
+        sh AS (SELECT doc_id, n,
+            CAST(${bucketSql("h")} % 8 AS BIGINT) AS shard
+          FROM tokc WHERE n > 0),
+        w AS (SELECT doc_id, shard, n,
+            CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS e
+          FROM sh),
+        spans AS (SELECT doc_id, shard, e - n AS b, e FROM w),
+        blocks AS (SELECT doc_id, shard, b, e,
+            UNNEST(generate_series(b // 512, (e - 1) // 512)) AS blk
+          FROM spans)
+      SELECT shard, blk AS block_id, doc_id,
+        GREATEST(b, blk * 512) - b AS doc_off,
+        GREATEST(b, blk * 512) - blk * 512 AS block_off,
+        LEAST(e, (blk + 1) * 512) - GREATEST(b, blk * 512) AS len
+      FROM blocks ORDER BY shard, block_id, doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146)
+    q87, q92, q134, q146, q150)
 }
