@@ -959,4 +959,105 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  // ---- winnowing (local fingerprinting / copy detection) ----
+
+  /** Positions fit the packed (hash, position) comparison key:
+    * winnowing supports documents up to 2^24 shingle positions (16M
+    * tokens — far past any sane document; compose with [[Chunker]]
+    * first if inputs can exceed it).
+    */
+  private val WinnowPosSpace: Long = 1L << 24
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every word `k`-gram, then
+    * in each sliding window of `w` consecutive hashes keep the
+    * minimum, ties resolved to the RIGHTMOST position. The selected
+    * (position, hash) set is a ~2/(w+1)-density LOCAL fingerprint of
+    * the document with the winnowing guarantee: any passage of
+    * ≥ w+k−1 shared tokens between two documents yields a shared
+    * fingerprint — substring-level copy detection that global MinHash
+    * (document-resemblance) cannot give. Boundary-inclusive variant:
+    * windows shorter than `w` at the document head also select (the
+    * frame clamps), so short documents still fingerprint; this only
+    * ADDS fingerprints, preserving the guarantee. Unlike fixed-stride
+    * sampling, selection is content-addressed — inserting a paragraph
+    * shifts positions but reselects the same hashes elsewhere.
+    *
+    * Returns one row per selected fingerprint: (idCol, pos, fp) — pos
+    * the 1-based shingle position (for match localization), fp the
+    * 36-bit md5-derived shingle hash ([[Sampling.hashBucket]]
+    * convention, so any engine can replay it — see q151's oracle).
+    *
+    * Scale design: shingle hashing is a narrow codegen'd
+    * explode+projection; the rightmost-min-per-window rule is ONE
+    * doc-partitioned window over packed (hash·2^24 + reversed-pos)
+    * longs — min of the packed key IS (min hash, rightmost pos),
+    * no second argmin pass — then a distinct that reuses the same
+    * (id) partitioning. Output is ~2/(w+1) of the shingle count.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5,
+                         salt: String = "winnow"): DataFrame = {
+    require(k >= 1, s"winnow: k must be >= 1, got $k")
+    require(w >= 1, s"winnow: w must be >= 1, got $w")
+    val P = WinnowPosSpace
+    val based = df
+      .filter(length(TextFunctions.normalizeText(col(textCol))) > 0)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      // one truncated shingle for docs shorter than k (the
+      // ShinglesExpr clamp convention) — every non-empty doc selects
+      .withColumn("__i", explode(sequence(lit(1L),
+        greatest(lit(1L), (size(col("__t")) - (k - 1)).cast("long")))))
+      .withColumn("__s",
+        array_join(slice(col("__t"), col("__i"), lit(k)), " "))
+      .withColumn("__key",
+        Sampling.hashBucket(col("__s"), salt, hexChars = 9) * P +
+          (lit(P - 1) - col("__i")))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions
+        .Window.currentRow)
+    based.withColumn("__skey", min(col("__key")).over(wspec))
+      .select(col(idCol), col("__skey")).distinct()
+      .select(col(idCol),
+        (lit(P - 1) - pmod(col("__skey"), lit(P))).as("pos"),
+        expr(s"__skey div $P").as("fp"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints —
+    * the copy-detection report (which documents contain the same
+    * passages, not just resemble each other). Fingerprints seen in
+    * more than `maxDf` documents are dropped before pairing: they are
+    * boilerplate (the q70 insight) and would otherwise fan a single
+    * hot hash into df² pairs — with the cap, per-fingerprint pair
+    * fan-out is ≤ maxDf·(maxDf−1)/2. Returns (id_a, id_b, n_shared),
+    * n_shared = count of DISTINCT shared fingerprint hashes.
+    *
+    * Scale: the document-frequency aggregate and the self-join are
+    * both fp-keyed — one partitioning, reused across the keep-filter
+    * join and both pair sides (ReuseExchange, the q65 shape). The
+    * keep list rides a plain fp join (NOT broadcast: shared
+    * fingerprint mass is proportional to duplication, unbounded at
+    * corpus scale — AQE may still choose broadcast when it fits).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Long = 2L,
+                  maxDf: Int = 8, salt: String = "winnow"): DataFrame = {
+    require(maxDf >= 2, s"winnow: maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1L,
+      s"winnow: minShared must be >= 1, got $minShared")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w, salt)
+      .select(col(idCol), col("fp")).distinct()
+    val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2 && col("__d") <= maxDf)
+      .select(col("fp"))
+    val pruned = fp.join(keep, "fp")
+    val a = pruned.select(col("fp"), col(idCol).as("id_a"))
+    val b = pruned.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

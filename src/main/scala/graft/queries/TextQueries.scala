@@ -2260,9 +2260,59 @@ object TextQueries {
       FROM released r JOIN tokc t USING (doc_id)
       GROUP BY t.source ORDER BY source"""))
 
+  /** q151 — winnowing copy detection
+    * ([[graft.operators.Dedup.winnowPairs]], Schleimer–Wilkerson–Aiken
+    * 2003, round 11): 4-gram shingle hashes, rightmost-min selection
+    * over windows of 5, boilerplate fingerprints (df > 8) dropped,
+    * pairs sharing ≥ 3 fingerprints. The oracle replays the whole
+    * selection — md5 shingle hashes, the packed (hash, reversed-pos)
+    * key, the window min, the df prune, the pair count — from scratch
+    * in SQL, so a drifted hash, window frame, tie-break, or prune all
+    * fail the gate. Everything is exact longs (the packed key tops
+    * out at 2^60).
+    */
+  private val q151 = Q("q151_winnow_pairs",
+    (s, dir) => {
+      graft.operators.Dedup.winnowPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 5, minShared = 3L, maxDf = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val h = SamplingQueries.hashSql("winnow", "s")
+      val b9 = SamplingQueries.bucketSql("h", 9)
+      val P = 1L << 24
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(${normSql("text")},
+            ' ') AS t
+          FROM documents WHERE LENGTH(${normSql("text")}) > 0),
+        pos AS (SELECT doc_id, t,
+            UNNEST(generate_series(1, GREATEST(1, LEN(t) - 3))) AS i
+          FROM toks),
+        sh AS (SELECT doc_id, i,
+            ARRAY_TO_STRING(t[i : i + 3], ' ') AS s
+          FROM pos),
+        hh AS (SELECT doc_id, i, CAST($b9 AS BIGINT) AS hv
+          FROM (SELECT doc_id, i, $h AS h FROM sh)),
+        keyed AS (SELECT doc_id, i,
+            hv * $P + ($P - 1 - i) AS key FROM hh),
+        sel AS (SELECT DISTINCT doc_id,
+            CAST(MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS skey
+          FROM keyed),
+        fp AS (SELECT DISTINCT doc_id, skey // $P AS h FROM sel),
+        dfreq AS (SELECT h, COUNT(*) AS d FROM fp GROUP BY h),
+        keep AS (SELECT h FROM dfreq WHERE d BETWEEN 2 AND 8),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS n_shared
+          FROM fp a JOIN keep USING (h) JOIN fp b USING (h)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149)
+    q149, q151)
 }
