@@ -484,4 +484,69 @@ object Profile {
         Window.partitionBy(col("grp"))
           .orderBy(col("__c").desc, col("t"))))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift: for every group, the
+    * KS statistic D = max_v |F_g(v) − F_rest(v)| between the group's
+    * distribution of an integral `valueCol` and the REST of the
+    * corpus — the distribution-shape companion to [[tokenDriftChi2]]
+    * (χ² sees per-cell mass, KS sees the worst cumulative gap, so a
+    * shifted-median source lights up KS even when every individual
+    * cell stays small). Returns (groupCol, n_a, n_b, d_scaled):
+    * n_a = group rows, n_b = rest rows, d_scaled = ⌊scale·D⌋ from the
+    * EXACT integer cross-multiplied form
+    * max_v |cum_g(v)·n_b − cum_rest(v)·n_a| · scale div (n_a·n_b) —
+    * no floats anywhere, so the statistic is engine-portable and
+    * gate-able (products ride decimal(38,0); corpora past 2^63 rows
+    * stay exact). A group that IS the whole corpus (n_b = 0) reports
+    * NULL.
+    *
+    * `valueCol` must be discrete (integral or pre-quantized): the
+    * evaluation grid is (distinct groups) × (distinct values), one
+    * bounded frame — bucket continuous metrics first (the
+    * [[tokenQuantilesApprox]] output, a `div`-bucketed score, …). The
+    * global value-CDF window is a single-task sort over that bounded
+    * distinct-value frame, never over the corpus; the corpus itself
+    * is touched by exactly ONE (group, value) counting exchange.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    // the ONE corpus-scale exchange
+    val c = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = c.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+    val nAll = tot.agg(sum(col("n_g")).as("N"))
+    // global CDF over the bounded distinct-value frame (explicitly
+    // un-partitioned: |values| rows by contract)
+    val glob = c.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("cum_all"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot.crossJoin(glob)
+      .join(c, Seq("grp", "v"), "left")
+      .withColumn("cum_g",
+        sum(coalesce(col("c"), lit(0L))).over(wg))
+      .crossJoin(nAll)
+      .withColumn("__d", abs(
+        col("cum_g").cast(D) * (col("N") - col("n_g")).cast(D) -
+          (col("cum_all") - col("cum_g")).cast(D) *
+            col("n_g").cast(D)))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).cast("long").as("n_a"),
+        max(col("N") - col("n_g")).cast("long").as("n_b"),
+        max(col("__d")).as("__dnum"))
+      .withColumn("d_scaled",
+        when(col("n_b") > 0,
+          expr(s"(__dnum * CAST($scale AS $D)) div " +
+            s"(CAST(n_a AS $D) * CAST(n_b AS $D))").cast("long")))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
+        col("d_scaled"))
+  }
 }

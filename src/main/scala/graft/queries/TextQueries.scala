@@ -2310,9 +2310,47 @@ object TextQueries {
       FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""
     })
 
+  /** q152 — exact two-sample Kolmogorov–Smirnov drift
+    * ([[graft.operators.Profile.ksDrift]], round 11): each source's
+    * n_chars distribution against the rest of the corpus, the
+    * cumulative-gap companion to q135's χ². The statistic is the
+    * exact cross-multiplied integer form (cum·n products in
+    * decimal(38,0) ⇄ HUGEINT, one integral `div` ⇄ `//` at the end),
+    * so both engines produce the identical scaled long.
+    */
+  private val q152 = Q("q152_ks_drift",
+    (s, dir) => graft.operators.Profile
+      .ksDrift(t(s, dir, "documents"), "source", "n_chars")
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1),
+        n AS (SELECT SUM(c) AS nn FROM c),
+        grid AS (SELECT s.source, vals.v
+          FROM (SELECT DISTINCT source FROM c) s
+          CROSS JOIN (SELECT DISTINCT v FROM c) vals),
+        gv AS (SELECT grid.source, grid.v, COALESCE(c.c, 0) AS cg,
+            (SELECT SUM(c2.c) FROM c c2 WHERE c2.v = grid.v) AS call
+          FROM grid LEFT JOIN c
+            ON c.source = grid.source AND c.v = grid.v),
+        cum AS (SELECT source, v,
+            SUM(cg) OVER (PARTITION BY source ORDER BY v) AS cumg,
+            SUM(call) OVER (PARTITION BY source ORDER BY v) AS cumall
+          FROM gv),
+        d AS (SELECT cum.source,
+            MAX(ABS(CAST(cumg AS HUGEINT) * (n.nn - tot.n)
+              - CAST(cumall - cumg AS HUGEINT) * tot.n)) AS dnum,
+            MAX(tot.n) AS na, MAX(n.nn - tot.n) AS nb
+          FROM cum JOIN tot USING (source) CROSS JOIN n
+          GROUP BY cum.source)
+      SELECT source, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(CASE WHEN nb > 0
+          THEN (1000000 * dnum) // (na * nb) END AS BIGINT) AS d_scaled
+      FROM d ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151)
+    q149, q151, q152)
 }

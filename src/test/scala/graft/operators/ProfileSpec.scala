@@ -241,4 +241,41 @@ class ProfileSpec extends SparkSpec {
         minQuantMargin = Some(1.0)).collect()
     }
   }
+
+  test("ksDrift matches a BigInt reference on a hand fixture") {
+    val rows = Seq.tabulate(40)(i => ("a", (i % 10).toLong)) ++
+      Seq.tabulate(30)(i => ("b", (i % 10 + 5).toLong)) ++ // shifted
+      Seq.tabulate(30)(i => ("c", (i % 10).toLong)) ++ // same as a
+      Seq(("a", -3L))
+    val df = rows.toDF("grp", "v")
+    val got = Profile.ksDrift(df, "grp", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // reference: exact integer KS per group vs rest
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val allVals = rows.map(_._2).distinct.sorted
+    byGrp.foreach { case (g, vs) =>
+      val rest = rows.filter(_._1 != g).map(_._2)
+      val (na, nb) = (vs.size.toLong, rest.size.toLong)
+      val dnum = allVals.map { v =>
+        (BigInt(vs.count(_ <= v)) * nb -
+          BigInt(rest.count(_ <= v)) * na).abs
+      }.max
+      val expect = (BigInt(1000000) * dnum / (BigInt(na) * nb)).toLong
+      val (gotA, gotB, gotD) = (got(g)._2, got(g)._3, got(g)._4)
+      assert((gotA, gotB, gotD) == ((na, nb, Some(expect))),
+        s"group $g: got ${got(g)}, expected ($na, $nb, $expect)")
+    }
+    // shifted group drifts far more than the identically-drawn one
+    assert(got("b")._4.get > got("c")._4.get * 2,
+      s"shifted group not detected: $got")
+  }
+
+  test("ksDrift: single-group corpus reports NULL; NULLs excluded") {
+    val one = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None))
+      .toDF("grp", "v")
+    val r = Profile.ksDrift(one, "grp", "v")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq(("a", 2L, 0L, None)), s"got $r")
+  }
 }
