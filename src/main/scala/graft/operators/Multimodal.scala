@@ -460,6 +460,46 @@ object Multimodal {
     */
   def parsePngPixels(bytes: Array[Byte],
                      maxPixels: Long = 1L << 24): Option[PngStats] = {
+    var chSum: Array[Long] = null
+    var chSumSq: Array[Long] = null
+    var minV = 255; var maxV = 0
+    decodePngRows(bytes, maxPixels) { (_, cur, _, _, channels) =>
+      if (chSum == null) {
+        chSum = new Array[Long](channels)
+        chSumSq = new Array[Long](channels)
+      }
+      var k = 0
+      while (k < cur.length) {
+        val rec = cur(k)
+        val ch = k % channels
+        chSum(ch) += rec
+        chSumSq(ch) += rec.toLong * rec
+        if (rec < minV) minV = rec
+        if (rec > maxV) maxV = rec
+        k += 1
+      }
+    }.map { case (w, h, channels) =>
+      if (chSum == null) { // h = 0 is rejected upstream; guard anyway
+        chSum = new Array[Long](channels)
+        chSumSq = new Array[Long](channels)
+      }
+      PngStats(w, h, channels, w.toLong * h, chSum.sum, chSumSq.sum,
+        minV, maxV, chSum.toSeq, chSumSq.toSeq)
+    }
+  }
+
+  /** The shared streaming PNG decode walk behind [[parsePngPixels]]
+    * and [[parsePngDHash]]: chunk walk + CRC, inflate, per-scanline
+    * defilter; `onRow(y, recon, w, h, channels)` fires once per
+    * scanline with the RECONSTRUCTED samples (length w·channels; the
+    * buffer is REUSED — consumers must copy anything they keep).
+    * Returns (w, h, channels) on success, None on any corruption
+    * (the never-throw quarantine contract documented on
+    * [[parsePngPixels]]).
+    */
+  private def decodePngRows(bytes: Array[Byte], maxPixels: Long)(
+      onRow: (Int, Array[Int], Int, Int, Int) => Unit)
+      : Option[(Int, Int, Int)] = {
     val n = bytes.length
     if (n < 8 || !bytes.take(8).sameElements(pngSig)) return None
     var i = 8
@@ -530,9 +570,6 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
 
-    val chSum = new Array[Long](channels)
-    val chSumSq = new Array[Long](channels)
-    var minV = 255; var maxV = 0
     val prior = new Array[Int](rowBytes)
     val cur = new Array[Int](rowBytes)
     var y = 0
@@ -561,18 +598,13 @@ object Multimodal {
             (x + pred) & 0xFF
         }
         cur(k) = rec
-        val ch = k % channels
-        chSum(ch) += rec
-        chSumSq(ch) += rec.toLong * rec
-        if (rec < minV) minV = rec
-        if (rec > maxV) maxV = rec
         k += 1
       }
+      onRow(y, cur, w, h, channels)
       System.arraycopy(cur, 0, prior, 0, rowBytes)
       y += 1
     }
-    Some(PngStats(w, h, channels, w.toLong * h, chSum.sum, chSumSq.sum,
-      minV, maxV, chSum.toSeq, chSumSq.toSeq))
+    Some((w, h, channels))
   }
 
   /** Typed output row for [[pngPixelStats]]: scalar stats (the q106
@@ -613,6 +645,86 @@ object Multimodal {
             Some(st.chSum), Some(st.chSumSq), ok = true)
           case None => PngPxRow(id, None, None, None, None, None, None,
             None, None, None, None, None, None, ok = false)
+        }
+      }).toDF()
+  }
+
+  /** Perceptual difference hash (dHash, the classic 64-bit
+    * image-near-dup signature): sample the decoded image on a 9×8
+    * luma grid (nearest-neighbor, exact integer coordinates
+    * x=⌊i·w/9⌋, y=⌊j·h/8⌋), set bit j·8+i iff grid(i+1,j) >
+    * grid(i,j) — the hash encodes horizontal GRADIENT signs, so it is
+    * invariant to uniform brightness/contrast changes and degrades by
+    * a few bits under noise/recompression, making Hamming distance a
+    * near-dup metric ([[graft.operators.Dedup.simhashPairs]] bands it
+    * directly — same 64-bit signature contract as SimHash). Luma is
+    * integer Rec.601: (299·R + 587·G + 114·B) div 1000 (gray channels
+    * replicate; alpha ignored). Exact integer end to end — any engine
+    * replays it (q153's oracle). Decode is the [[parsePngPixels]]
+    * streaming walk: only the 8 sampled scanlines are ever inspected,
+    * memory stays O(w·channels).
+    */
+  def parsePngDHash(bytes: Array[Byte],
+                    maxPixels: Long = 1L << 24): Option[(Int, Int, Long)] = {
+    val grid = Array.ofDim[Int](8, 9)
+    decodePngRows(bytes, maxPixels) { (y, cur, w, h, channels) =>
+      var j = 0
+      while (j < 8) {
+        if ((j.toLong * h / 8).toInt == y) {
+          var i = 0
+          while (i < 9) {
+            val x = (i.toLong * w / 9).toInt
+            val o = x * channels
+            val (r, g, b) = channels match {
+              case 1 | 2 => (cur(o), cur(o), cur(o)) // gray(+alpha)
+              case _     => (cur(o), cur(o + 1), cur(o + 2))
+            }
+            grid(j)(i) = (299 * r + 587 * g + 114 * b) / 1000
+            i += 1
+          }
+        }
+        j += 1
+      }
+    }.map { case (w, h, _) =>
+      var hash = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          if (grid(j)(i + 1) > grid(j)(i)) hash |= 1L << (j * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+      (w, h, hash)
+    }
+  }
+
+  /** Typed output row for [[pngDHash]]. */
+  final case class DHashRow(doc_id: Long, width: Option[Int],
+                            height: Option[Int], dhash: Option[Long],
+                            ok: Boolean)
+
+  /** dHash of (idCol: long, payloadCol: binary) as real columns — the
+    * image-near-dup signature stage of a multimodal corpus pipeline.
+    * Same execution contract as [[pngPixelStats]] (typed
+    * `mapPartitions`, streaming-legal, corrupt payloads quarantine as
+    * ok=false). Feed the `dhash` column to
+    * [[graft.operators.Dedup.simhashPairs]] for banded
+    * Hamming-distance pair generation: visually identical or
+    * near-identical images collide at distance ≲ 10 regardless of
+    * uniform brightness shifts.
+    */
+  def pngDHash(df: DataFrame, idCol: String, payloadCol: String,
+               maxPixels: Long = 1L << 24): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parsePngDHash(_, maxPixels)) match {
+          case Some((w, h, hash)) =>
+            DHashRow(id, Some(w), Some(h), Some(hash), ok = true)
+          case None => DHashRow(id, None, None, None, ok = false)
         }
       }).toDF()
   }

@@ -332,5 +332,71 @@ object MultimodalQueries {
         doc_id % 9 <> 0 AS ok
       FROM st ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109)
+  /** q153 — perceptual dHash over REAL decoded PNGs
+    * ([[graft.operators.Multimodal.pngDHash]], round 11): q106's
+    * complete-PNG fixture (dims `(id%13+4)×(id%11+4)`, sample value
+    * `(x+2y+3c+id)%256`, every 9th truncated → quarantine) pushed
+    * through the full decode → 9×8 nearest-neighbor luma grid →
+    * horizontal-gradient-sign bits → 64-bit signature. The oracle
+    * re-derives every bit analytically from the pixel formula — exact
+    * integer luma (Rec.601 `div 1000`), exact grid coordinates
+    * (`(i·w) div 9` ⇄ `//`), row bytes assembled into the signed
+    * 64-bit hash via HUGEINT mod-2^64 wrap (the q51 convention) — so
+    * a drifted sample coordinate, luma rounding, bit order, or sign
+    * handling all fail the hash compare. The signature feeds
+    * [[graft.operators.Dedup.simhashPairs]] unchanged (spec-gated).
+    */
+  private val q153 = Q("q153_png_dhash",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 4).toInt
+        val h = (id % 11 + 4).toInt
+        val full = Multimodal.ImageBytes.pngFull(w, h, channels = 3,
+          (x, y, c) => ((x + 2L * y + 3L * c + id) % 256).toInt)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.pngDHash(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("dhash"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val multCase = "CASE j " + (0 until 8).map(j =>
+        s"WHEN $j THEN CAST(${1L << (8 * j)} AS HUGEINT)")
+        .mkString(" ") + " END"
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+          CAST(doc_id % 11 + 4 AS BIGINT) AS h FROM documents),
+        g AS (SELECT doc_id, w, h, UNNEST(RANGE(9)) AS i FROM d),
+        gj AS (SELECT doc_id, w, h, i, UNNEST(RANGE(8)) AS j FROM g),
+        lum AS (SELECT doc_id, i, j,
+            (299*((x + 2*y + doc_id) % 256)
+             + 587*((x + 2*y + 3 + doc_id) % 256)
+             + 114*((x + 2*y + 6 + doc_id) % 256)) // 1000 AS L
+          FROM (SELECT doc_id, i, j, (i*w)//9 AS x, (j*h)//8 AS y
+            FROM gj)),
+        bits AS (SELECT a.doc_id, a.j, a.i,
+            CASE WHEN b.L > a.L THEN 1 ELSE 0 END AS bit
+          FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j
+            AND b.i = a.i + 1
+          WHERE a.i < 8),
+        rowb AS (SELECT doc_id, j, SUM(bit * (1 << i)) AS rb
+          FROM bits GROUP BY doc_id, j),
+        hsh AS (SELECT doc_id, SUM(CAST(rb AS HUGEINT) * $multCase) AS hu
+          FROM rowb GROUP BY doc_id)
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+            THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END
+            AS BIGINT) END AS dhash,
+        doc_id % 9 <> 0 AS ok
+      FROM hsh ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153)
 }

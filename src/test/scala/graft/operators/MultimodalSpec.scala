@@ -408,4 +408,66 @@ class MultimodalSpec extends SparkSpec {
       .orderBy($"doc_id").head().getAs[Array[Byte]]("payload")
     assert(again.toSeq == r1.getAs[Array[Byte]]("payload").toSeq)
   }
+
+  private def hamming64(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("parsePngDHash: identity, brightness invariance, noise locality") {
+    // a smooth gradient image, values kept in [20, 200] so a +40
+    // brightness shift cannot wrap mod 256
+    def base(x: Int, y: Int, c: Int): Int =
+      20 + (x * 7 + y * 11 + c * 3) % 180
+    val img = Multimodal.ImageBytes.pngFull(40, 30, 3, base)
+    val Some((w, h, h0)) = Multimodal.parsePngDHash(img)
+    assert((w, h) == (40, 30))
+    // identical bytes -> identical hash
+    assert(Multimodal.parsePngDHash(
+      Multimodal.ImageBytes.pngFull(40, 30, 3, base)).get._3 == h0)
+    // uniform brightness shift -> SAME hash (gradient signs unchanged)
+    val brighter = Multimodal.ImageBytes.pngFull(40, 30, 3,
+      (x, y, c) => base(x, y, c) + 40)
+    assert(Multimodal.parsePngDHash(brighter).get._3 == h0,
+      "dHash must be brightness-shift invariant")
+    // a few corrupted pixels -> small Hamming distance
+    val noisy = Multimodal.ImageBytes.pngFull(40, 30, 3,
+      (x, y, c) => if (x == 5 && y == 7) 255 else base(x, y, c))
+    val hn = Multimodal.parsePngDHash(noisy).get._3
+    assert(hamming64(h0, hn) <= 6,
+      s"single-pixel noise moved ${hamming64(h0, hn)} bits")
+    // a genuinely different image -> far hash
+    val other = Multimodal.ImageBytes.pngFull(40, 30, 3,
+      (x, y, c) => 20 + (x * 13 + (y % 3) * 91 + c) % 180)
+    assert(hamming64(h0, Multimodal.parsePngDHash(other).get._3) > 12,
+      "different image hashed too close")
+    // gray path replicates channels
+    val gray = Multimodal.ImageBytes.pngFull(40, 30, 1,
+      (x, y, _) => 20 + (x * 7 + y * 11) % 180)
+    assert(Multimodal.parsePngDHash(gray).isDefined)
+    // truncated quarantines
+    assert(Multimodal.parsePngDHash(img.take(img.length - 8)).isEmpty)
+  }
+
+  test("pngDHash feeds simhashPairs: near-dup images pair, others do not") {
+    def base(x: Int, y: Int, c: Int): Int =
+      20 + (x * 7 + y * 11 + c * 3) % 180
+    val imgs = Seq(
+      (1L, Multimodal.ImageBytes.pngFull(40, 30, 3, base)),
+      (2L, Multimodal.ImageBytes.pngFull(40, 30, 3,
+        (x, y, c) => base(x, y, c) + 30)), // brightness twin of 1
+      (3L, Multimodal.ImageBytes.pngFull(40, 30, 3,
+        (x, y, c) => if (x == 11 && y == 3) 0 else base(x, y, c))),
+      (4L, Multimodal.ImageBytes.pngFull(40, 30, 3,
+        (x, y, c) => 20 + (x * 13 + (y % 3) * 91 + c) % 180)),
+      (5L, Array[Byte](1, 2, 3)) // corrupt: excluded by ok filter
+    ).toDF("doc_id", "payload")
+    val sigs = Multimodal.pngDHash(imgs, "doc_id", "payload")
+      .filter($"ok").select($"doc_id", $"dhash")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", "dhash",
+        maxDist = 3, bands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"near-dup images not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image paired: $pairs")
+  }
 }
