@@ -874,6 +874,35 @@ object Multimodal {
     */
   def parseWavPcm(bytes: Array[Byte],
                   maxSamples: Long = 1L << 28): Option[WavPcmStats] = {
+    wavPcmDataChunk(bytes, maxSamples).map { case (ch, rate, off, count) =>
+      var k = 0L
+      var sum = 0L; var sumSq = 0L; var clipped = 0L
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      while (k < count) {
+        val v = pcm16(bytes, off, k)
+        sum += v; sumSq += v.toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (v == 32767 || v == -32768) clipped += 1
+        k += 1
+      }
+      WavPcmStats(ch, rate, count, sum, sumSq, mn, mx, clipped)
+    }
+  }
+
+  /** Little-endian signed int16 sample `k` of a PCM data chunk. */
+  private def pcm16(bytes: Array[Byte], off: Int, k: Long): Int = {
+    val at = (off + 2 * k).toInt
+    ((bytes(at) & 0xFF) | (bytes(at + 1) << 8)).toShort.toInt
+  }
+
+  /** The shared RIFF walk behind [[parseWavPcm]] and
+    * [[parseWavEnvelopeHash]]: validates the container (16-bit PCM
+    * only) and returns (channels, sampleRate, dataOffset,
+    * sampleCount); None quarantines per the never-throw contract.
+    */
+  private def wavPcmDataChunk(bytes: Array[Byte], maxSamples: Long)
+      : Option[(Int, Int, Int, Long)] = {
     val n = bytes.length
     def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
@@ -900,20 +929,7 @@ object Multimodal {
         if (off + size > n || size == 0 || size % 2 != 0) return None
         val count = size / 2
         if (count > maxSamples) return None
-        var k = 0L
-        var sum = 0L; var sumSq = 0L; var clipped = 0L
-        var mn = Int.MaxValue; var mx = Int.MinValue
-        while (k < count) {
-          val at = (off + 2 * k).toInt
-          // little-endian signed int16
-          val v = ((bytes(at) & 0xFF) | (bytes(at + 1) << 8)).toShort.toInt
-          sum += v; sumSq += v.toLong * v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          if (v == 32767 || v == -32768) clipped += 1
-          k += 1
-        }
-        Some(WavPcmStats(ch, rate, count, sum, sumSq, mn, mx, clipped))
+        Some((ch, rate, off, count))
       case _ => None
     }
   }
@@ -943,6 +959,72 @@ object Multimodal {
             Some(st.nClipped), ok = true)
           case None => WavPcmRow(id, None, None, None, None, None, None,
             None, None, ok = false)
+        }
+      }).toDF()
+  }
+
+  /** Audio energy-envelope hash — the PCM twin of [[parsePngDHash]]:
+    * sum |sample| over 65 equal time windows (sample of frame f lands
+    * in window ⌊f·65/nFrames⌋ — exact integer assignment), set bit b
+    * iff window b+1's MEAN energy exceeds window b's (compared
+    * cross-multiplied, env(b+1)·n(b) > env(b)·n(b+1), so unequal
+    * window sizes never need a division). The 64-bit signature
+    * encodes the loudness-gradient shape: invariant to exact gain
+    * scaling (both sides of every comparison scale together), a few
+    * bits under noise — Hamming distance is an audio near-dup metric
+    * and the signature feeds [[graft.operators.Dedup.simhashPairs]]
+    * directly, like the image dHash. Exact integers end to end
+    * (comparison products ride BigInt here, HUGEINT in q154's
+    * oracle). Empty windows (fewer frames than windows) contribute
+    * (0, 0) and compare false — deterministic, engine-portable.
+    * Returns (channels, nFrames, hash).
+    */
+  def parseWavEnvelopeHash(bytes: Array[Byte],
+                           maxSamples: Long = 1L << 28)
+      : Option[(Int, Long, Long)] = {
+    wavPcmDataChunk(bytes, maxSamples).map { case (ch, _, off, count) =>
+      val nFrames = (count + ch - 1) / ch
+      val env = new Array[Long](65)
+      val cnt = new Array[Long](65)
+      var k = 0L
+      while (k < count) {
+        val b = (((k / ch) * 65) / nFrames).toInt
+        env(b) += math.abs(pcm16(bytes, off, k).toLong)
+        cnt(b) += 1
+        k += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (BigInt(env(b + 1)) * cnt(b) > BigInt(env(b)) * cnt(b + 1))
+          hash |= 1L << b
+        b += 1
+      }
+      (ch, nFrames, hash)
+    }
+  }
+
+  /** Typed output row for [[wavEnvelopeHash]]. */
+  final case class EnvHashRow(doc_id: Long, channels: Option[Int],
+                              n_frames: Option[Long], ehash: Option[Long],
+                              ok: Boolean)
+
+  /** Envelope hash of (idCol: long, payloadCol: binary) as real
+    * columns — the audio near-dup signature stage. Same execution
+    * contract as [[wavPcmStats]] (typed mapPartitions, corrupt
+    * payloads quarantine as ok=false, O(1) state per payload beyond
+    * the 65-cell envelope).
+    */
+  def wavEnvelopeHash(df: DataFrame, idCol: String, payloadCol: String,
+                      maxSamples: Long = 1L << 28): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parseWavEnvelopeHash(_, maxSamples)) match {
+          case Some((ch, nf, h)) =>
+            EnvHashRow(id, Some(ch), Some(nf), Some(h), ok = true)
+          case None => EnvHashRow(id, None, None, None, ok = false)
         }
       }).toDF()
   }

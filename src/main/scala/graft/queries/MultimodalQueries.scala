@@ -398,5 +398,78 @@ object MultimodalQueries {
       FROM hsh ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153)
+  /** q154 — audio energy-envelope hash over REAL decoded PCM
+    * ([[graft.operators.Multimodal.wavEnvelopeHash]], round 11): the
+    * audio member of the near-dup-signature family. Complete PCM WAVs
+    * (channels `id%2+1`, frames `id%211+40`, sample value
+    * `((7·id+31·f+17·c)·131) % 65536 − 32768` — the ·131 makes the
+    * sawtooth WRAP repeatedly so window energies are non-monotone;
+    * q109's unwrapped ramp is monotone within a payload and would
+    * hash everything to 0), every 9th truncated → quarantine. The
+    * oracle re-derives the envelope windows (`(f·65) div nFrames` ⇄
+    * `//`), the cross-multiplied mean comparisons (HUGEINT), and the
+    * signed 64-bit assembly analytically from the sample formula.
+    */
+  private val q154 = Q("q154_wav_envelope_hash",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 211 + 40).toInt
+        val full = Multimodal.AudioBytes.wavPcm(ch, 8000, frames,
+          (f, c) =>
+            (((7 * id + 31L * f + 17L * c) * 131) % 65536).toInt - 32768)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.wavEnvelopeHash(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("ehash"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val multCase = "CASE j " + (0 until 8).map(j =>
+        s"WHEN $j THEN CAST(${1L << (8 * j)} AS HUGEINT)")
+        .mkString(" ") + " END"
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+          CAST(doc_id % 211 + 40 AS BIGINT) AS frames FROM documents),
+        fs AS (SELECT doc_id, ch, frames, UNNEST(RANGE(frames)) AS f
+          FROM d),
+        cs AS (SELECT doc_id, ch, frames, f, UNNEST(RANGE(ch)) AS c
+          FROM fs),
+        v AS (SELECT doc_id, frames, (f * 65) // frames AS b,
+            ABS(((7*doc_id + 31*f + 17*c) * 131) % 65536 - 32768) AS av
+          FROM cs),
+        e AS (SELECT doc_id, b, SUM(av) AS env, COUNT(*) AS cnt
+          FROM v GROUP BY doc_id, b),
+        grid AS (SELECT d.doc_id, g.b, COALESCE(e.env, 0) AS env,
+            COALESCE(e.cnt, 0) AS cnt
+          FROM d CROSS JOIN (SELECT UNNEST(RANGE(65)) AS b) g
+          LEFT JOIN e ON e.doc_id = d.doc_id AND e.b = g.b),
+        bits AS (SELECT a.doc_id, CAST(a.b // 8 AS BIGINT) AS j,
+            CAST(a.b % 8 AS BIGINT) AS i,
+            CASE WHEN CAST(x.env AS HUGEINT) * a.cnt
+                    > CAST(a.env AS HUGEINT) * x.cnt
+              THEN 1 ELSE 0 END AS bit
+          FROM grid a JOIN grid x ON x.doc_id = a.doc_id
+            AND x.b = a.b + 1
+          WHERE a.b < 64),
+        rowb AS (SELECT doc_id, j, SUM(bit * (1 << i)) AS rb
+          FROM bits GROUP BY doc_id, j),
+        hsh AS (SELECT doc_id, SUM(CAST(rb AS HUGEINT) * $multCase) AS hu
+          FROM rowb GROUP BY doc_id)
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+            THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END
+            AS BIGINT) END AS ehash,
+        doc_id % 9 <> 0 AS ok
+      FROM hsh ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153, q154)
 }

@@ -470,4 +470,57 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       s"distinct image paired: $pairs")
   }
+
+  test("parseWavEnvelopeHash: identity, gain invariance, noise locality") {
+    // a wrapping multi-tone-ish integer signal, headroom for 2x gain
+    def sig(f: Int, c: Int): Int =
+      ((f * 37 + c * 11) * 97) % 8192 - 4096
+    val a = Multimodal.AudioBytes.wavPcm(2, 8000, 400, sig)
+    val Some((ch, nf, h0)) = Multimodal.parseWavEnvelopeHash(a)
+    assert((ch, nf) == (2, 400L))
+    assert(Multimodal.parseWavEnvelopeHash(
+      Multimodal.AudioBytes.wavPcm(2, 8000, 400, sig)).get._3 == h0)
+    // exact 2x gain -> SAME hash (every comparison scales together)
+    val louder = Multimodal.AudioBytes.wavPcm(2, 8000, 400,
+      (f, c) => 2 * sig(f, c))
+    assert(Multimodal.parseWavEnvelopeHash(louder).get._3 == h0,
+      "envelope hash must be gain invariant")
+    // a short corrupted burst -> small Hamming distance
+    val noisy = Multimodal.AudioBytes.wavPcm(2, 8000, 400,
+      (f, c) => if (f >= 100 && f < 106) 4000 else sig(f, c))
+    val hn = Multimodal.parseWavEnvelopeHash(noisy).get._3
+    assert(hamming64(h0, hn) <= 6,
+      s"6-frame burst moved ${hamming64(h0, hn)} bits")
+    // a different signal -> far hash
+    val other = Multimodal.AudioBytes.wavPcm(2, 8000, 400,
+      (f, c) => ((f * 53 + c * 29) * 71) % 8192 - 4096)
+    assert(hamming64(h0,
+      Multimodal.parseWavEnvelopeHash(other).get._3) > 12)
+    // fewer frames than windows still hashes deterministically
+    val tiny = Multimodal.AudioBytes.wavPcm(1, 8000, 7, sig)
+    assert(Multimodal.parseWavEnvelopeHash(tiny).isDefined)
+    // truncation quarantines
+    assert(Multimodal.parseWavEnvelopeHash(a.take(a.length - 8)).isEmpty)
+  }
+
+  test("wavEnvelopeHash quarantines corrupt rows; near-dup audio pairs") {
+    def sig(f: Int, c: Int): Int =
+      ((f * 37 + c * 11) * 97) % 8192 - 4096
+    val rows = Seq(
+      (1L, Multimodal.AudioBytes.wavPcm(2, 8000, 400, sig)),
+      (2L, Multimodal.AudioBytes.wavPcm(2, 8000, 400,
+        (f, c) => 3 * sig(f, c))), // gain twin
+      (3L, Multimodal.AudioBytes.wavPcm(2, 8000, 400,
+        (f, c) => ((f * 53 + c * 29) * 71) % 8192 - 4096)),
+      (4L, Array[Byte](9, 9, 9))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.wavEnvelopeHash(rows, "doc_id", "payload")
+    assert(out.filter(!$"ok").select($"doc_id").as[Long].collect()
+      .toSeq == Seq(4L))
+    val pairs = Dedup.simhashPairs(
+        out.filter($"ok").select($"doc_id", $"ehash"),
+        "doc_id", "ehash", maxDist = 3, bands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the gain twin: $pairs")
+  }
 }
