@@ -731,6 +731,42 @@ object MiscQueries {
       FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
         FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 50000)"""))
 
+  /** q155 — order-independent content digest
+    * ([[graft.functions.Digest.tableDigest]], round 11): per-source
+    * mod-2^64 sums of 60-bit canonical row hashes over
+    * (doc_id, source, n_chars, text) — the cross-engine table
+    * integrity audit. The oracle recomputes every row hash (md5 +
+    * 15-hex-digit parse) and the HUGEINT wrap from scratch, so the
+    * gate certifies that BOTH engines agree on the digest of the same
+    * data — exactly the migration-audit use case.
+    */
+  private val q155 = Q("q155_content_digest",
+    (s, dir) => graft.functions.Digest
+      .tableDigest(t(s, dir, "documents"),
+        Seq("doc_id", "source", "n_chars", "text"), Seq("source"))
+      .orderBy(col("source")),
+    Some {
+      val b15 = SamplingQueries.bucketSql("h", 15)
+      s"""WITH rowh AS (SELECT source, CAST($b15 AS BIGINT) AS h
+          FROM (SELECT source, md5(CONCAT('digest', ':',
+              CONCAT_WS(CHR(1),
+                COALESCE(CAST(doc_id AS VARCHAR), '[NULL]'),
+                COALESCE(CAST(source AS VARCHAR), '[NULL]'),
+                COALESCE(CAST(n_chars AS VARCHAR), '[NULL]'),
+                COALESCE(CAST(text AS VARCHAR), '[NULL]')))) AS h,
+              source
+            FROM documents)),
+        d AS (SELECT source, COUNT(*) AS n_rows,
+            SUM(CAST(h AS HUGEINT))
+              % CAST('18446744073709551616' AS HUGEINT) AS du
+          FROM rowh GROUP BY source)
+      SELECT source, n_rows,
+        CAST(CASE WHEN du >= CAST('9223372036854775808' AS HUGEINT)
+          THEN du - CAST('18446744073709551616' AS HUGEINT) ELSE du END
+          AS BIGINT) AS digest
+      FROM d ORDER BY source"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148)
+    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155)
 }
