@@ -2277,29 +2277,7 @@ object TextQueries {
           "doc_id", "text", k = 4, w = 5, minShared = 3L, maxDf = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some {
-      val h = SamplingQueries.hashSql("winnow", "s")
-      val b9 = SamplingQueries.bucketSql("h", 9)
-      val P = 1L << 24
-      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(${normSql("text")},
-            ' ') AS t
-          FROM documents WHERE LENGTH(${normSql("text")}) > 0),
-        pos AS (SELECT doc_id, t,
-            UNNEST(generate_series(1, GREATEST(1, LEN(t) - 3))) AS i
-          FROM toks),
-        sh AS (SELECT doc_id, i,
-            ARRAY_TO_STRING(t[i : i + 3], ' ') AS s
-          FROM pos),
-        hh AS (SELECT doc_id, i, CAST($b9 AS BIGINT) AS hv
-          FROM (SELECT doc_id, i, $h AS h FROM sh)),
-        keyed AS (SELECT doc_id, i,
-            hv * $P + ($P - 1 - i) AS key FROM hh),
-        sel AS (SELECT DISTINCT doc_id,
-            CAST(MIN(key) OVER (PARTITION BY doc_id ORDER BY i
-              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS skey
-          FROM keyed),
-        fp AS (SELECT DISTINCT doc_id, skey // $P AS h FROM sel),
+    Some(s"""WITH $winnowFpCtes,
         dfreq AS (SELECT h, COUNT(*) AS d FROM fp GROUP BY h),
         keep AS (SELECT h FROM dfreq WHERE d BETWEEN 2 AND 8),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2307,8 +2285,36 @@ object TextQueries {
           FROM fp a JOIN keep USING (h) JOIN fp b USING (h)
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
       SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
-      FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""
-    })
+      FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""))
+
+  /** The q151 winnowing-selection CTE chain (tokens → shingle hashes →
+    * packed-key window min → distinct (doc_id, h) fingerprints),
+    * shared VERBATIM with q156's persisted-index screen.
+    */
+  private def winnowFpCtes: String = {
+    val h = SamplingQueries.hashSql("winnow", "s")
+    val b9 = SamplingQueries.bucketSql("h", 9)
+    val P = 1L << 24
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(${normSql("text")},
+          ' ') AS t
+        FROM documents WHERE LENGTH(${normSql("text")}) > 0),
+      pos AS (SELECT doc_id, t,
+          UNNEST(generate_series(1, GREATEST(1, LEN(t) - 3))) AS i
+        FROM toks),
+      sh AS (SELECT doc_id, i,
+          ARRAY_TO_STRING(t[i : i + 3], ' ') AS s
+        FROM pos),
+      hh AS (SELECT doc_id, i, CAST($b9 AS BIGINT) AS hv
+        FROM (SELECT doc_id, i, $h AS h FROM sh)),
+      keyed AS (SELECT doc_id, i,
+          hv * $P + ($P - 1 - i) AS key FROM hh),
+      sel AS (SELECT DISTINCT doc_id,
+          CAST(MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS skey
+        FROM keyed),
+      fp AS (SELECT DISTINCT doc_id, skey // $P AS h FROM sel)"""
+  }
 
   /** q152 — exact two-sample Kolmogorov–Smirnov drift
     * ([[graft.operators.Profile.ksDrift]], round 11): each source's
@@ -2348,9 +2354,62 @@ object TextQueries {
           THEN (1000000 * dnum) // (na * nb) END AS BIGINT) AS d_scaled
       FROM d ORDER BY source"""))
 
+  /** q156 — served passage screen over the PERSISTED winnowing index
+    * ([[graft.operators.WinnowIndex]], round 11): corpus/batch split
+    * by the q139 ingest-bucket convention, the corpus fingerprinted
+    * into a TableStore index (fp range-clustered + bloom), the batch
+    * screened against the STORED fingerprints — (corpus doc, batch
+    * doc, shared-fingerprint count) at n_shared ≥ 3 with the df ≤ 8
+    * boilerplate cap. Oracle = q151's winnowing CTE chain VERBATIM
+    * restricted to corpus×batch sides, so the gate proves the
+    * persisted serve path equals inline fingerprinting — the
+    * train-once/screen-many contract for substring-level copy
+    * detection.
+    */
+  private val q156 = Q("q156_winnow_index_screen",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
+      val sel = Seq(col("doc_id"), col("text"))
+      val corpus = docs.filter(bucket < cut).select(sel: _*)
+      val batch = docs.filter(bucket >= cut).select(sel: _*)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q156_wix").toString
+      val store = new graft.sources.TableStore(s, root)
+      store.append("corpus", corpus)
+      graft.operators.WinnowIndex.buildFromCorpus(store, "corpus",
+        "wix", "doc_id", "text", k = 4, w = 5)
+      graft.operators.WinnowIndex.screen(store, "wix", batch,
+          "doc_id", "text", minShared = 3L, maxDf = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val h = SamplingQueries.hashSql("ingest", "doc_id")
+      val bucket = SamplingQueries.bucketSql("hs")
+      val cut = math.round(0.8 * Sampling.BucketSpace)
+      s"""WITH $winnowFpCtes,
+        sides AS (SELECT doc_id,
+            CASE WHEN $bucket < $cut THEN 'corpus' ELSE 'batch' END
+              AS side
+          FROM (SELECT doc_id, $h AS hs FROM documents)),
+        cfp AS (SELECT f.doc_id, f.h FROM fp f
+          JOIN sides s ON s.doc_id = f.doc_id AND s.side = 'corpus'),
+        bfp AS (SELECT f.doc_id, f.h FROM fp f
+          JOIN sides s ON s.doc_id = f.doc_id AND s.side = 'batch'),
+        dfreq AS (SELECT h, COUNT(*) AS d FROM cfp GROUP BY h),
+        keep AS (SELECT h FROM dfreq WHERE d <= 8),
+        pairs AS (SELECT c.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS n_shared
+          FROM cfp c JOIN keep USING (h) JOIN bfp b USING (h)
+          GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152)
+    q149, q151, q152, q156)
 }
