@@ -177,4 +177,28 @@ object WinnowIndex {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The ADMISSION decision for an ingest batch — [[screen]] turned
+    * into a filter ([[DedupIndex.admit]]'s policy for passages): drop
+    * every batch doc sharing ≥ `minShared` fingerprints with the
+    * standing corpus, and of the WITHIN-BATCH pairs
+    * ([[Dedup.winnowPairs]] with the index's pinned parameters) drop
+    * every doc with a SMALLER-id match — deterministic, conservative
+    * (a doc whose only match was itself dropped still drops). Returns
+    * the surviving batch rows UNCHANGED (original schema). Batch ids
+    * must be new (id-disjoint from the corpus).
+    */
+  def admit(store: TableStore, indexTable: String, batch: DataFrame,
+            idCol: String, textCol: String, minShared: Long = 1L,
+            maxDf: Int = 64): DataFrame = {
+    val (k, w, salt, _) = params(store, indexTable)
+    val vsCorpus = screen(store, indexTable, batch, idCol, textCol,
+      minShared, maxDf).select(col("id_b").as("__dup"))
+    val withinB = Dedup.winnowPairs(
+        batch.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, k, w, minShared, maxDf, salt)
+      .select(col("id_b").as("__dup")) // id_a < id_b: drop the larger
+    batch.join(vsCorpus.unionByName(withinB).distinct(),
+      batch(idCol).cast("long") === col("__dup"), "left_anti")
+  }
 }

@@ -642,6 +642,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming PASSAGE-SCREENED ADMISSION against the persisted
+    * winnowing index — [[dedupIndexMaintain]]'s loop with
+    * substring-level copy detection in place of MinHash resemblance:
+    * each micro-batch (1) admits only docs sharing < minShared
+    * winnowing fingerprints with the standing corpus AND no
+    * smaller-id within-batch match
+    * ([[graft.operators.WinnowIndex.admit]] — fp-pruned index read,
+    * corpus text never re-fingerprinted wholesale), (2) merges
+    * survivors exactly-once (fence on the merge's commit CAS), and
+    * (3) [[graft.operators.WinnowIndex.refreshFromCorpus]]
+    * re-fingerprints just the admitted churn — so the next batch
+    * screens against everything admitted so far. Same replay/crash
+    * reasoning as [[dedupIndexMaintain]] (two stores, independent
+    * anchors): a replayed batch's different admission set is
+    * discarded by the fence, and refresh no-ops on an equal
+    * generation. Corpus table and winnow index must exist before the
+    * stream starts; batch keys must be NEW doc ids.
+    */
+  def winnowIndexMaintain(df: DataFrame,
+                          store: graft.sources.TableStore,
+                          corpusTable: String, indexTable: String,
+                          keyCol: String, textCol: String,
+                          minShared: Long, streamId: String,
+                          checkpointDir: String): Unit = {
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val admitted = graft.operators.WinnowIndex.admit(store,
+            indexTable, b, keyCol, textCol, minShared)
+          store.merge(corpusTable, admitted, keyCol,
+            graft.sources.TableStore.MergeUpdate(Seq(textCol)),
+            insertNotMatched = true, txn = Some(streamId -> batchId))
+          graft.operators.WinnowIndex.refreshFromCorpus(store,
+            corpusTable, indexTable, keyCol, textCol)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def mergeStreamExactlyOnce(df: DataFrame,
                              store: graft.sources.TableStore,
                              table: String, keyCol: String,

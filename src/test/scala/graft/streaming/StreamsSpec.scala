@@ -402,6 +402,67 @@ class StreamsSpec extends SparkSpec {
     assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
   }
 
+  test("winnowIndexMaintain: streamed passage admission tracks the index") {
+    import graft.sources.TableStore
+    import graft.operators.WinnowIndex
+    val in = Files.createTempDirectory("graft_wixm_in").toString
+    val ckpt = Files.createTempDirectory("graft_wixm_ckpt").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wixm_store").toString,
+      retainGenerations = 20)
+    val sch = StructType.fromDDL("doc_id long, text string")
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    store.append("corpus", Seq(
+      (1L, s"corpus carrier of $passage and more words here")
+    ).toDF("doc_id", "text"))
+    WinnowIndex.buildFromCorpus(store, "corpus", "wix", "doc_id",
+      "text", k = 3, w = 4)
+    def run(): Unit = Streams.winnowIndexMaintain(
+      Streams.jsonStream(spark, sch, in), store, "corpus", "wix",
+      "doc_id", "text", minShared = 2L, "wixcdc", ckpt)
+    def corpusIds(): Seq[Long] =
+      store.read("corpus").select(col("doc_id")).as[Long]
+        .collect().sorted.toSeq
+    // b1: quotes the corpus passage (dropped); within-batch passage
+    // pair (11 kept, 12 dropped); unique (kept)
+    writeBatch(in, "b1.json", Seq(
+      s"""{"doc_id":10,"text":"prefix words then $passage trailing"}""",
+      """{"doc_id":11,"text":"eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"}""",
+      """{"doc_id":12,"text":"other start eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"}""",
+      """{"doc_id":13,"text":"completely novel material with no overlap anywhere at all"}"""))
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L))
+    // index == fresh rebuild of the admitted corpus
+    val rebuilt = new TableStore(spark,
+      Files.createTempDirectory("graft_wixm_rb").toString)
+    rebuilt.append("corpus", store.read("corpus"))
+    WinnowIndex.buildFromCorpus(rebuilt, "corpus", "wix", "doc_id",
+      "text", k = 3, w = 4)
+    def fps(s: TableStore): Seq[(Long, Long)] =
+      s.readWhere("wix", col("component") === "fp")
+        .select(col("doc_id"), col("fp"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    assert(fps(store) == fps(rebuilt), "index != rebuild after b1")
+    // b2: quotes doc 11 ADMITTED IN B1 — only the refreshed index can
+    // catch it — plus a unique doc
+    writeBatch(in, "b2.json", Seq(
+      """{"doc_id":20,"text":"leading bits eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen end"}""",
+      """{"doc_id":21,"text":"entirely fresh streaming payload with original phrasing throughout"}"""))
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+    // drained restart: nothing re-applies
+    run()
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+    // fence: replayed batch ids are discarded
+    (0L to store.lastTxn("corpus", "wixcdc")).foreach { b =>
+      assert(store.merge("corpus",
+        Seq((99L, "replayed content")).toDF("doc_id", "text"),
+        "doc_id", TableStore.MergeUpdate(Seq("text")),
+        txn = Some("wixcdc" -> b)) == -1L)
+    }
+    assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
+  }
+
   test("lmIndexMaintain: streamed CDC keeps the count model == full rebuild") {
     import graft.sources.TableStore
     import graft.operators.LmIndex
