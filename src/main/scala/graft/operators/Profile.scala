@@ -508,6 +508,55 @@ object Profile {
     * distinct-value frame, never over the corpus; the corpus itself
     * is touched by exactly ONE (group, value) counting exchange.
     */
+  /** Robust per-group outlier accounting: median and MAD (median
+    * absolute deviation) of an integral `valueCol` by the exact
+    * rank-based lower-median convention (q47's discrete quantiles —
+    * never interpolated, so the result is an ACTUAL data value and
+    * engine-portable), plus the count of rows with
+    * |v − median| > k·MAD — the robust z-score filter that
+    * mean/stddev cannot give (one pathological document shifts a
+    * mean; it cannot shift a median). Ties in the rank order break on
+    * `idCol`, making the whole computation deterministic. Returns
+    * (groupCol, n_rows, med, mad, n_outliers).
+    *
+    * Exact audit form: two group-partitioned rank windows (value
+    * order, then deviation order) — correct and gate-able, but a
+    * giant group serializes its reducer's sort; at corpus scale swap
+    * the median/MAD extraction for the GK-sketch path
+    * ([[quantileTrimApprox]]'s shape) and keep the outlier filter,
+    * which is a narrow broadcast-join projection either way.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("grp"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"), col(idCol).as("__id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("__id"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val med = base.filter(col("rn") === expr("(n + 1) div 2"))
+      .groupBy(col("grp")).agg(max(col("v")).as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = dev
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("d"), col("__id"))))
+      .filter(col("rn2") === expr("(n + 1) div 2"))
+      .groupBy(col("grp")).agg(max(col("d")).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).cast("long").as("n_rows"),
+        max(col("med")).cast("long").as("med"),
+        max(col("mad")).cast("long").as("mad"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("med"),
+        col("mad"), col("n_outliers"))
+  }
+
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
               scale: Long = 1000000L): DataFrame = {
     require(scale >= 1, s"scale must be >= 1, got $scale")

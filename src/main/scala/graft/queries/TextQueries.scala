@@ -2407,9 +2407,45 @@ object TextQueries {
       FROM pairs WHERE n_shared >= 3 ORDER BY id_a, id_b"""
     })
 
+  /** q157 — robust median/MAD outlier accounting
+    * ([[graft.operators.Profile.madOutliers]], round 11): per-source
+    * n_chars median, median absolute deviation, and |v−med| > 3·MAD
+    * outlier counts — rank-based lower medians (actual data values,
+    * never interpolated), doc_id tie-break, all exact longs on both
+    * engines.
+    */
+  private val q157 = Q("q157_mad_outliers",
+    (s, dir) => graft.operators.Profile
+      .madOutliers(t(s, dir, "documents"), "source", "n_chars",
+        "doc_id")
+      .orderBy(col("source")),
+    Some("""WITH r AS (SELECT source, n_chars AS v, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      med AS (SELECT source, MAX(v) AS med FROM r
+        WHERE rn = (n + 1) // 2 GROUP BY source),
+      dev AS (SELECT r.source, r.v, r.doc_id,
+          ABS(r.v - med.med) AS d, r.n
+        FROM r JOIN med USING (source)),
+      r2 AS (SELECT source, v, d, n,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY d, doc_id)
+            AS rn2
+        FROM dev),
+      mad AS (SELECT source, MAX(d) AS mad FROM r2
+        WHERE rn2 = (n + 1) // 2 GROUP BY source)
+      SELECT d.source, CAST(MAX(d.n) AS BIGINT) AS n_rows,
+        CAST(MAX(med.med) AS BIGINT) AS med,
+        CAST(MAX(mad.mad) AS BIGINT) AS mad,
+        CAST(SUM(CASE WHEN d.d > 3 * mad.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM dev d JOIN med USING (source) JOIN mad USING (source)
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156)
+    q149, q151, q152, q156, q157)
 }

@@ -278,4 +278,33 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long])].collect().toSeq
     assert(r == Seq(("a", 2L, 0L, None)), s"got $r")
   }
+
+  test("madOutliers matches a sorted-reference on a planted fixture") {
+    // group a: tight cluster around 100 with two wild outliers a mean
+    // would chase; group b: clean ramp, no outliers
+    val rows = (1L to 21L).map(i => ("a", 100L + (i % 5), i)) ++
+      Seq(("a", 100000L, 50L), ("a", -90000L, 51L)) ++
+      (1L to 9L).map(i => ("b", 10L * i, 100L + i))
+    val df = rows.toDF("grp", "v", "id")
+    val got = Profile.madOutliers(df, "grp", "v", "id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // reference: lower median by (v, id) sort
+    def lowerMed(vs: Seq[(Long, Long)]): Long = {
+      val s = vs.sortBy(identity).map(_._1)
+      s((s.length + 1) / 2 - 1)
+    }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val med = lowerMed(rs.map(r => (r._2, r._3)))
+      val mad = lowerMed(rs.map(r => (math.abs(r._2 - med), r._3)))
+      val out = rs.count(r => math.abs(r._2 - med) > 3 * mad)
+      assert(got(g) == ((g, rs.size.toLong, med, mad, out.toLong)),
+        s"group $g: got ${got(g)}, expected ($med, $mad, $out)")
+    }
+    // the planted extremes are the only outliers in a; b has none
+    assert(got("a")._5 == 2L && got("b")._5 == 0L, got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.madOutliers(df, "grp", "v", "id", k = 0L)
+    }
+  }
 }
