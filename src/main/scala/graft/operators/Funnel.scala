@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step conversion funnels over an event stream — the classic
+  * product-analytics operator (how many users performed step 1, then
+  * step 2 strictly after it, then step 3 …, optionally all within a
+  * time window of their first step). Semantics are the standard
+  * GREEDY-EARLIEST match: each step binds to the user's earliest
+  * qualifying event strictly after the previous step's binding —
+  * deterministic (ties on the timestamp break on the event id, the
+  * q43/q67 convention), order-sensitive (a purchase BEFORE the first
+  * view does not count), and engine-portable (timestamps compared as
+  * epoch micros — exact longs; no session-zone arithmetic).
+  *
+  * Scale design: step i is ONE aggregate over the type-filtered event
+  * scan (the type predicate pushes to the scan) joined with the
+  * bounded per-user frame of step i−1 — after step 1 every frame is
+  * ≤ one row per user, so the k−1 later joins move per-user rows,
+  * never the event stream; all joins and aggregates share the ONE
+  * (user) hash partitioning. The earliest-qualifying choice is a
+  * `min(struct(t, id))` — an ordinary orderable-struct aggregate with
+  * map-side partials, no window, no sort.
+  */
+object Funnel {
+
+  private def key(t: Column, id: Column): Column =
+    struct(t.as("t"), id.as("id"))
+
+  /** Per-user step-completion frame: one row per user per completed
+    * step — (userCol, step (1-based), event_type, t, id) with the
+    * bound event's micros timestamp and id. `tsMicrosCol` must be
+    * epoch micros (project `unix_micros(cast(ts as timestamp))`
+    * first — the engine-neutral event-time convention).
+    * `maxSpanMicros` bounds every later step to within that span of
+    * the user's FIRST-step binding (the standard "convert within N
+    * hours" form).
+    */
+  def completions(events: DataFrame, userCol: String,
+                  tsMicrosCol: String, idCol: String, typeCol: String,
+                  steps: Seq[String],
+                  maxSpanMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    maxSpanMicros.foreach(s =>
+      require(s > 0, s"maxSpanMicros must be positive, got $s"))
+    val e = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"), col(tsMicrosCol).cast("long").as("__t"),
+      col(idCol).cast("long").as("__id"))
+    val first = e.filter(col("__ty") === steps.head)
+      .groupBy(col("__u"))
+      .agg(min(key(col("__t"), col("__id"))).as("__k"))
+      .withColumn("__t0", col("__k.t"))
+    val frames = steps.indices.tail.scanLeft(first) { (prev, i) =>
+      val spanOk = maxSpanMicros
+        .map(s => col("__t") - col("__t0") <= s).getOrElse(lit(true))
+      e.filter(col("__ty") === steps(i))
+        .join(prev.select(col("__u"), col("__k").as("__pk"),
+          col("__t0")), Seq("__u"))
+        .filter(key(col("__t"), col("__id")) > col("__pk") && spanOk)
+        .groupBy(col("__u"))
+        .agg(min(key(col("__t"), col("__id"))).as("__k"),
+          min(col("__t0")).as("__t0"))
+    }
+    frames.zipWithIndex.map { case (f, i) =>
+      f.select(col("__u").as(userCol), lit(i + 1L).as("step"),
+        lit(steps(i)).as("event_type"), col("__k.t").as("t"),
+        col("__k.id").as("id"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The funnel report: (step, event_type, n_users) — how many users
+    * reached each step under [[completions]]' semantics. Bounded
+    * output (k rows); each step's count is a map-side-combined
+    * aggregate of the per-user completion frame.
+    */
+  def conversion(events: DataFrame, userCol: String, tsMicrosCol: String,
+                 idCol: String, typeCol: String, steps: Seq[String],
+                 maxSpanMicros: Option[Long] = None): DataFrame = {
+    val got = completions(events, userCol, tsMicrosCol, idCol, typeCol,
+        steps, maxSpanMicros)
+      .groupBy(col("step"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    // every step appears in the report, zero-reached ones included
+    val spark = events.sparkSession
+    import spark.implicits._
+    val frame = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("step", "event_type")
+    frame.join(got, Seq("step", "event_type"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("__n"), lit(0L)).as("n_users"))
+  }
+}

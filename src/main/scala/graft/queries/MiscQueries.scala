@@ -767,6 +767,57 @@ object MiscQueries {
       FROM d ORDER BY source"""
     })
 
+  /** q158 — ordered-step conversion funnel
+    * ([[graft.operators.Funnel.conversion]], round 11): users
+    * completing view → click → purchase, each step strictly after the
+    * previous step's earliest binding and within 24 h of the first
+    * view — the classic product-analytics report. Timestamps compare
+    * as epoch micros on BOTH engines (`unix_micros` ⇄ `epoch_us`,
+    * event-id tie-break), so the greedy-earliest match is exact and
+    * engine-portable.
+    */
+  private val q158 = Q("q158_event_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.conversion(e, "user_id", "t_us",
+          "event_id", "event_type",
+          Seq("view", "click", "purchase"),
+          maxSpanMicros = Some(24L * 3600 * 1000000))
+        .orderBy(col("step"))
+    },
+    Some {
+      val span = 24L * 3600 * 1000000
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+        s1 AS (SELECT user_id,
+            MIN(struct_pack(t := t, id := event_id)) AS k1
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k2,
+            MIN((s1.k1).t) AS t0
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND struct_pack(t := e.t, id := e.event_id) > s1.k1
+            AND e.t - (s1.k1).t <= $span
+          GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND struct_pack(t := e.t, id := e.event_id) > s2.k2
+            AND e.t - s2.t0 <= $span
+          GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+          (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+      ORDER BY step"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155)
+    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158)
 }

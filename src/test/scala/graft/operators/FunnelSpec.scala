@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, type, t, id) — micros are plain longs here
+  private val events = Seq(
+    // u1: clean A -> B -> C
+    (1L, "A", 100L, 1L), (1L, "B", 200L, 2L), (1L, "C", 300L, 3L),
+    // u2: B before A does NOT count; the later B does
+    (2L, "B", 50L, 10L), (2L, "A", 100L, 11L), (2L, "B", 150L, 12L),
+    // u3: A only
+    (3L, "A", 100L, 20L),
+    // u4: C strictly before B's binding -> funnel stops at B
+    (4L, "A", 100L, 30L), (4L, "C", 150L, 31L), (4L, "B", 200L, 32L),
+    // u5: tie on t — id breaks it: B(id 41) binds AFTER A(id 40)
+    (5L, "A", 100L, 40L), (5L, "B", 100L, 41L), (5L, "C", 101L, 42L),
+    // u6: B exists but outside the span from first A
+    (6L, "A", 100L, 50L), (6L, "B", 10000L, 51L),
+    // u7: no A at all — never enters
+    (7L, "B", 100L, 60L), (7L, "C", 200L, 61L)
+  ).toDF("u", "ty", "t", "id")
+
+  private def report(span: Option[Long]) =
+    Funnel.conversion(events, "u", "t", "id", "ty",
+        Seq("A", "B", "C"), span)
+      .orderBy($"step")
+      .as[(Long, String, Long)].collect().toSeq
+
+  test("greedy-earliest semantics on a hand fixture") {
+    // unbounded span: u1,u2,u3,u4,u5,u6 enter; B: u1,u2,u4,u5,u6;
+    // C: u1 (300>200), u4? C(150) < B-binding(200) -> no; u5 yes
+    assert(report(None) == Seq((1L, "A", 6L), (2L, "B", 5L),
+      (3L, "C", 2L)))
+    // span 500 from first A: u6's B at 10000 is out
+    assert(report(Some(500L)) == Seq((1L, "A", 6L), (2L, "B", 4L),
+      (3L, "C", 2L)))
+  }
+
+  test("completions binds the earliest qualifying event per step") {
+    val c = Funnel.completions(events, "u", "t", "id", "ty",
+        Seq("A", "B", "C"))
+      .select($"u", $"step", $"t", $"id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // u2's B binds the 150/12 event (the 50/10 one precedes its A)
+    assert(c.contains((2L, 2L, 150L, 12L)))
+    assert(!c.contains((2L, 2L, 50L, 10L)))
+    // u5's tie: B binds at the same t with the larger id
+    assert(c.contains((5L, 2L, 100L, 41L)))
+    // u7 never enters the funnel
+    assert(!c.exists(_._1 == 7L))
+  }
+
+  test("zero-reached steps still report; guards are loud") {
+    val r = Funnel.conversion(events, "u", "t", "id", "ty",
+        Seq("A", "B", "C", "A2"), None)
+      .orderBy($"step").as[(Long, String, Long)].collect().toSeq
+    assert(r.last == ((4L, "A2", 0L)), r.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(events, "u", "t", "id", "ty", Nil, None)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(events, "u", "t", "id", "ty", Seq("A", "A"),
+        None)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(events, "u", "t", "id", "ty", Seq("A"),
+        Some(0L))
+    }
+  }
+
+  test("plan: user-keyed joins and aggregates, no window, no sort") {
+    val plan = Funnel.completions(events, "u", "t", "id", "ty",
+      Seq("A", "B", "C")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"funnel must join on the user key:\n$plan")
+  }
+}
