@@ -92,4 +92,33 @@ object Funnel {
       .select(col("step"), col("event_type"),
         coalesce(col("__n"), lit(0L)).as("n_users"))
   }
+
+  /** Retention cohort table — the funnel's longitudinal sibling:
+    * bucket time into `bucketMicros` periods, assign each user to the
+    * cohort of their FIRST active bucket, and report
+    * (cohort, k, n_users) = how many of each cohort's users were
+    * active again k buckets later (k = 0 is the cohort size). All
+    * exact integer bucket arithmetic (`div` ⇄ `//` on epoch micros),
+    * so the table is engine-portable.
+    *
+    * Scale: ONE distinct over (user, bucket) — corpus-scale but
+    * map-side combined — then a per-user min and a user-keyed join of
+    * two bounded frames; the report is |cohorts|·|horizon| rows. No
+    * window, no sort.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsMicrosCol: String,
+                       bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0,
+      s"bucketMicros must be positive, got $bucketMicros")
+    val act = events.select(col(userCol).as("__u"),
+        expr(s"CAST($tsMicrosCol AS BIGINT) div $bucketMicros")
+          .as("__b"))
+      .distinct()
+    val coh = act.groupBy(col("__u")).agg(min(col("__b")).as("__c"))
+    act.join(coh, Seq("__u"))
+      .groupBy(col("__c").as("cohort"),
+        (col("__b") - col("__c")).as("k"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

@@ -818,6 +818,32 @@ object MiscQueries {
       ORDER BY step"""
     })
 
+  /** q159 — daily retention cohorts
+    * ([[graft.operators.Funnel.retentionCohorts]], round 11): users
+    * bucketed by their first active day, (cohort, k) cells counting
+    * who returned k days later — exact epoch-micros bucket arithmetic
+    * on both engines.
+    */
+  private val q159 = Q("q159_retention_cohorts",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"))
+      graft.operators.Funnel.retentionCohorts(e, "user_id", "t_us",
+          bucketMicros = 24L * 3600 * 1000000)
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some {
+      val b = 24L * 3600 * 1000000
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        act AS (SELECT DISTINCT user_id, t // $b AS b FROM e),
+        coh AS (SELECT user_id, MIN(b) AS c FROM act GROUP BY user_id)
+      SELECT c AS cohort, CAST(b - c AS BIGINT) AS k,
+        COUNT(*) AS n_users
+      FROM act JOIN coh USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort, k"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
-    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158)
+    q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
+    q159)
 }

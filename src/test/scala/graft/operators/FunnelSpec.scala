@@ -72,6 +72,24 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts: first-bucket cohorts, k-offset return counts") {
+    val B = 10L
+    val act = Seq(
+      // cohort 0: u1 active buckets 0,1,3; u2 active 0 only
+      (1L, 1L), (1L, 5L), (1L, 12L), (1L, 33L),
+      (2L, 7L),
+      // cohort 2: u3 active buckets 2 and 3
+      (3L, 21L), (3L, 29L), (3L, 35L)
+    ).toDF("u", "t")
+    val got = Funnel.retentionCohorts(act, "u", "t", B)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (2L, 0L, 1L), (2L, 1L, 1L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.retentionCohorts(act, "u", "t", 0L)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
