@@ -1004,6 +1004,77 @@ object Multimodal {
     }
   }
 
+  /** Silence-run analysis of 16-bit PCM audio — the audio-quality
+    * screen (dead air, failed captures, padded recordings): a frame
+    * is SILENT when its peak |sample| across channels is below
+    * `threshold`; maximal runs of ≥ `minRunFrames` consecutive silent
+    * frames are counted. Returns (nRuns, longestRun, silentFrames —
+    * frames inside qualifying runs). One linear pass, O(1) state —
+    * runs are inherently sequential, which is exactly why this lives
+    * in the decoder walk and not in column algebra (the relational
+    * replay needs a gaps-and-islands window — q160's oracle).
+    */
+  def parseWavSilenceRuns(bytes: Array[Byte], threshold: Int,
+                          minRunFrames: Long,
+                          maxSamples: Long = 1L << 28)
+      : Option[(Long, Long, Long)] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(minRunFrames >= 1,
+      s"minRunFrames must be >= 1, got $minRunFrames")
+    wavPcmDataChunk(bytes, maxSamples).map { case (ch, _, off, count) =>
+      val nFrames = (count + ch - 1) / ch
+      var nRuns = 0L; var longest = 0L; var silentTotal = 0L
+      var run = 0L
+      def closeRun(): Unit = {
+        if (run >= minRunFrames) {
+          nRuns += 1; silentTotal += run
+          if (run > longest) longest = run
+        }
+        run = 0L
+      }
+      var f = 0L
+      while (f < nFrames) {
+        var peak = 0
+        var c = 0
+        while (c < ch && f * ch + c < count) {
+          val v = math.abs(pcm16(bytes, off, f * ch + c))
+          if (v > peak) peak = v
+          c += 1
+        }
+        if (peak < threshold) run += 1 else closeRun()
+        f += 1
+      }
+      closeRun()
+      (nRuns, longest, silentTotal)
+    }
+  }
+
+  /** Typed output row for [[wavSilenceRuns]]. */
+  final case class SilenceRow(doc_id: Long, n_runs: Option[Long],
+                              longest_run: Option[Long],
+                              n_silent_frames: Option[Long], ok: Boolean)
+
+  /** [[parseWavSilenceRuns]] of (idCol: long, payloadCol: binary) as
+    * real columns; same quarantine/mapPartitions contract as
+    * [[wavPcmStats]].
+    */
+  def wavSilenceRuns(df: DataFrame, idCol: String, payloadCol: String,
+                     threshold: Int, minRunFrames: Long,
+                     maxSamples: Long = 1L << 28): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(
+          parseWavSilenceRuns(_, threshold, minRunFrames, maxSamples))
+        match {
+          case Some((n, lg, tot)) =>
+            SilenceRow(id, Some(n), Some(lg), Some(tot), ok = true)
+          case None => SilenceRow(id, None, None, None, ok = false)
+        }
+      }).toDF()
+  }
+
   /** Typed output row for [[wavEnvelopeHash]]. */
   final case class EnvHashRow(doc_id: Long, channels: Option[Int],
                               n_frames: Option[Long], ehash: Option[Long],

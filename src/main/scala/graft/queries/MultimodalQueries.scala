@@ -471,5 +471,72 @@ object MultimodalQueries {
       FROM hsh ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153, q154)
+  /** q160 — PCM silence-run analysis
+    * ([[graft.operators.Multimodal.wavSilenceRuns]], round 11): the
+    * audio-quality screen over really-decoded samples — q154's WAV
+    * fixture with silence PLANTED in every third 16-frame block
+    * (sample value 0 there, the wrapping signal elsewhere); runs of
+    * ≥ 8 frames whose cross-channel peak |sample| < 500 are counted.
+    * The decoder's sequential run-length walk is replayed relationally
+    * by the oracle as a gaps-and-islands window (f − ROW_NUMBER
+    * island keys) over the analytic frame peaks.
+    */
+  private val q160 = Q("q160_wav_silence_runs",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 211 + 40).toInt
+        val full = Multimodal.AudioBytes.wavPcm(ch, 8000, frames,
+          (f, c) => if ((f / 16) % 3 == 0) 0
+            else (((7 * id + 31L * f + 17L * c) * 131) % 65536).toInt
+              - 32768)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.wavSilenceRuns(payloads, "doc_id", "payload",
+          threshold = 500, minRunFrames = 8L)
+        .select(col("doc_id"), col("n_runs"), col("longest_run"),
+          col("n_silent_frames"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+          CAST(doc_id % 211 + 40 AS BIGINT) AS frames FROM documents),
+      fs AS (SELECT doc_id, ch, frames, UNNEST(RANGE(frames)) AS f
+        FROM d),
+      cs AS (SELECT doc_id, ch, f, UNNEST(RANGE(ch)) AS c FROM fs),
+      v AS (SELECT doc_id, f,
+          CASE WHEN (f // 16) % 3 = 0 THEN 0
+            ELSE ABS(((7*doc_id + 31*f + 17*c) * 131) % 65536 - 32768)
+            END AS av
+        FROM cs),
+      pk AS (SELECT doc_id, f, MAX(av) AS peak FROM v
+        GROUP BY doc_id, f),
+      sil AS (SELECT doc_id, f,
+          f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+        FROM pk WHERE peak < 500),
+      runs AS (SELECT doc_id, isl, COUNT(*) AS len FROM sil
+        GROUP BY doc_id, isl),
+      agg AS (SELECT doc_id, COUNT(*) AS n_runs, MAX(len) AS longest,
+          SUM(len) AS n_silent
+        FROM runs WHERE len >= 8 GROUP BY doc_id)
+    SELECT d.doc_id,
+      CASE WHEN d.doc_id % 9 = 0 THEN NULL
+        ELSE CAST(COALESCE(a.n_runs, 0) AS BIGINT) END AS n_runs,
+      CASE WHEN d.doc_id % 9 = 0 THEN NULL
+        ELSE CAST(COALESCE(a.longest, 0) AS BIGINT) END AS longest_run,
+      CASE WHEN d.doc_id % 9 = 0 THEN NULL
+        ELSE CAST(COALESCE(a.n_silent, 0) AS BIGINT) END
+        AS n_silent_frames,
+      d.doc_id % 9 <> 0 AS ok
+    FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153, q154,
+    q160)
 }

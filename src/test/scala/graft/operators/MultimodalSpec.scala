@@ -503,6 +503,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavEnvelopeHash(a.take(a.length - 8)).isEmpty)
   }
 
+  test("parseWavSilenceRuns: run accounting on planted silence") {
+    // 100 frames: silence in [10,30) and [50,90), loud elsewhere
+    def sig(f: Int, c: Int): Int =
+      if ((f >= 10 && f < 30) || (f >= 50 && f < 90)) c // sub-threshold
+      else 5000 + c
+    val a = Multimodal.AudioBytes.wavPcm(2, 8000, 100, sig)
+    // both runs qualify at minRun 10: lengths 20 and 40
+    assert(Multimodal.parseWavSilenceRuns(a, 100, 10L).get
+      == ((2L, 40L, 60L)))
+    // minRun 25: only the 40-frame run counts
+    assert(Multimodal.parseWavSilenceRuns(a, 100, 25L).get
+      == ((1L, 40L, 40L)))
+    // a run touching the END of the stream closes correctly
+    val tail = Multimodal.AudioBytes.wavPcm(1, 8000, 50,
+      (f, _) => if (f >= 35) 0 else 9999)
+    assert(Multimodal.parseWavSilenceRuns(tail, 100, 10L).get
+      == ((1L, 15L, 15L)))
+    // all-loud: zero runs; truncation quarantines; loud envelopes
+    val loud = Multimodal.AudioBytes.wavPcm(1, 8000, 50,
+      (_, _) => 9999)
+    assert(Multimodal.parseWavSilenceRuns(loud, 100, 1L).get
+      == ((0L, 0L, 0L)))
+    assert(Multimodal.parseWavSilenceRuns(a.take(a.length - 8), 100,
+      10L).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWavSilenceRuns(a, 0, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWavSilenceRuns(a, 100, 0L)
+    }
+  }
+
   test("wavEnvelopeHash quarantines corrupt rows; near-dup audio pairs") {
     def sig(f: Int, c: Int): Int =
       ((f * 37 + c * 11) * 97) % 8192 - 4096
