@@ -843,7 +843,71 @@ object MiscQueries {
       GROUP BY 1, 2 ORDER BY cohort, k"""
     })
 
+  /** q161 — ROLLUP subtotal hierarchy (round 11): the multi-level
+    * aggregation surface (per (priority, status), per priority, grand
+    * total in ONE pass — Spark's Expand + single aggregate, no
+    * re-scan per level) with GROUPING markers distinguishing a real
+    * NULL group from a subtotal row. Money as the q147 cents
+    * convention (positive-value ROUND is correctly-rounded in both
+    * engines) so the sums gate exactly.
+    */
+  private val q161 = Q("q161_rollup_subtotals",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("long").as("gp"),
+          grouping(col("o_orderstatus")).cast("long").as("gs"),
+          count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("[ALL]")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("[ALL]")).as("status"),
+          (col("gp") + lit(2L) * col("gs")).as("gid"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("gid"), col("priority"), col("status"))
+    },
+    Some("""SELECT COALESCE(o_orderpriority, '[ALL]') AS priority,
+        COALESCE(o_orderstatus, '[ALL]') AS status,
+        CAST(GROUPING(o_orderpriority) + 2*GROUPING(o_orderstatus)
+          AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS sum_cents
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY gid, priority, status"""))
+
+  /** q162 — PIVOT to a wide event-type matrix (round 11): per
+    * user-bucket counts spread across one column per event type —
+    * Spark's `pivot` with an EXPLICIT value list (no
+    * distinct-discovery scan; at 100 TB the pivot values must be a
+    * declared vocabulary, never inferred). The oracle is the
+    * portable conditional-aggregation form; absent cells coalesce to
+    * 0 on both engines.
+    */
+  private val q162 = Q("q162_pivot_events",
+    (s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = t(s, dir, "events")
+        .select((col("user_id") % 10).as("ub"), col("event_type"))
+        .groupBy(col("ub"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("ub") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("ub"))
+    },
+    Some {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cells = types.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS $t").mkString(", ")
+      s"""SELECT user_id % 10 AS ub, $cells
+        FROM events GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159)
+    q159, q161, q162)
 }

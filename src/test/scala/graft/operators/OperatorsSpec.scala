@@ -125,4 +125,30 @@ class LimitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("rollup is one Expand + one aggregate pass (q161's shape)") {
+    val q = graft.queries.Registry
+      .queries("q161_rollup_subtotals")(spark,
+        "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size >= 1,
+      s"rollup must Expand, not re-scan per level:\n$plan")
+    // exactly one data aggregate exchange (+ the presentation sort's
+    // range partitioning) — subtotals do NOT scan the table per level
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one aggregate exchange:\n$plan")
+    assert(!plan.contains("Union"), s"no per-level re-scan union:\n$plan")
+  }
+
+  test("pivot with explicit values runs without a discovery pass") {
+    val q = graft.queries.Registry
+      .queries("q162_pivot_events")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"pivot should be a grouped aggregate, not a join:\n$plan")
+    assert(!plan.contains("Join"), s"pivot must not join:\n$plan")
+    // and it returns the declared vocabulary even for absent types
+    assert(q.columns.toSeq ==
+      Seq("ub", "click", "view", "purchase", "signup", "error"))
+  }
 }
