@@ -700,6 +700,94 @@ object Multimodal {
     }
   }
 
+  /** Letterbox/pillarbox border detection over decoded pixels — the
+    * image-quality screen for padded captures, black bars, and
+    * screenshot chrome: counts of consecutive UNIFORM scanlines from
+    * the top and bottom edges (every sample in the row equal) and of
+    * consecutive uniform COLUMNS from the left and right edges
+    * (constant down the whole image). One streaming pass piggybacked
+    * on the scanline walk: row uniformity is a per-row min==max check,
+    * column uniformity folds an O(width) candidate-value array —
+    * memory stays O(width·channels), pixels are never buffered.
+    * Returns (width, height, topRows, bottomRows, leftCols,
+    * rightCols); an entirely-uniform image reports full-height
+    * top/bottom runs (and full-width left/right).
+    */
+  def parsePngBorders(bytes: Array[Byte],
+                      maxPixels: Long = 1L << 24)
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    var topRun = 0L; var trailRun = 0L; var allTop = true
+    var colVal: Array[Int] = null
+    var colUni: Array[Boolean] = null
+    decodePngRows(bytes, maxPixels) { (_, cur, w, _, channels) =>
+      if (colVal == null) {
+        colVal = new Array[Int](w)
+        colUni = Array.fill(w)(true)
+        var x = 0
+        while (x < w) { colVal(x) = cur(x * channels); x += 1 }
+      }
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var k = 0
+      while (k < cur.length) {
+        val v = cur(k)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        k += 1
+      }
+      val uniform = mn == mx
+      if (uniform && allTop) topRun += 1 else allTop = false
+      if (uniform) trailRun += 1 else trailRun = 0
+      // a column is border-uniform iff every sample in it equals its
+      // first-row value (all channels)
+      var x = 0
+      while (x < w) {
+        if (colUni(x)) {
+          var c = 0
+          var ok = true
+          while (c < channels && ok) {
+            ok = cur(x * channels + c) == colVal(x)
+            c += 1
+          }
+          if (!ok) colUni(x) = false
+        }
+        x += 1
+      }
+    }.map { case (w, h, _) =>
+      var left = 0L
+      while (left < w && colUni(left.toInt)) left += 1
+      var right = 0L
+      while (right < w - left && colUni((w - 1 - right).toInt))
+        right += 1
+      (w, h, topRun, trailRun, left, right)
+    }
+  }
+
+  /** Typed output row for [[pngBorders]]. */
+  final case class BorderRow(doc_id: Long, width: Option[Int],
+                             height: Option[Int], top_rows: Option[Long],
+                             bottom_rows: Option[Long],
+                             left_cols: Option[Long],
+                             right_cols: Option[Long], ok: Boolean)
+
+  /** [[parsePngBorders]] of (idCol: long, payloadCol: binary) as real
+    * columns; same quarantine/mapPartitions contract as
+    * [[pngPixelStats]].
+    */
+  def pngBorders(df: DataFrame, idCol: String, payloadCol: String,
+                 maxPixels: Long = 1L << 24): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(df(idCol).cast("long"), df(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        Option(b).flatMap(parsePngBorders(_, maxPixels)) match {
+          case Some((w, h, t, bo, l, r)) => BorderRow(id, Some(w),
+            Some(h), Some(t), Some(bo), Some(l), Some(r), ok = true)
+          case None =>
+            BorderRow(id, None, None, None, None, None, None, ok = false)
+        }
+      }).toDF()
+  }
+
   /** Typed output row for [[pngDHash]]. */
   final case class DHashRow(doc_id: Long, width: Option[Int],
                             height: Option[Int], dhash: Option[Long],

@@ -537,6 +537,59 @@ object MultimodalQueries {
     FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
     ORDER BY d.doc_id"""))
 
+  /** q163 — letterbox/pillarbox border detection
+    * ([[graft.operators.Multimodal.pngBorders]], round 11): complete
+    * PNGs with borders PLANTED analytically — uniform value 17 in the
+    * top `id%4` rows, bottom `id%3` rows, left `id%5` and right
+    * `id%2` columns, a varying body elsewhere — decoded for real and
+    * measured; the oracle re-derives the expected border widths from
+    * the planting rule (the body varies with x within every interior
+    * row and with y within every interior column, so measured runs
+    * equal planted widths exactly). Every 9th payload truncated →
+    * quarantine.
+    */
+  private val q163 = Q("q163_png_borders",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val payloadType = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))
+      val payloads = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 8).toInt
+        val h = (id % 11 + 8).toInt
+        val (top, bot) = ((id % 4).toInt, (id % 3).toInt)
+        val (lef, rig) = ((id % 5).toInt, (id % 2).toInt)
+        val full = Multimodal.ImageBytes.pngFull(w, h, channels = 3,
+          (x, y, c) =>
+            if (y < top || y >= h - bot || x < lef || x >= w - rig) 17
+            else (20 + (x + 2L * y + 3L * c + id) % 200).toInt)
+        Row(id, if (id % 9 == 0) full.take(full.length - 8) else full)
+      }), payloadType)
+      Multimodal.pngBorders(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("top_rows"), col("bottom_rows"), col("left_cols"),
+          col("right_cols"), col("ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 13 + 8 AS INT) END AS width,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 11 + 8 AS INT) END AS height,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 4 AS BIGINT) END AS top_rows,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 3 AS BIGINT) END AS bottom_rows,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 5 AS BIGINT) END AS left_cols,
+        CASE WHEN doc_id % 9 = 0 THEN NULL
+          ELSE CAST(doc_id % 2 AS BIGINT) END AS right_cols,
+        doc_id % 9 <> 0 AS ok
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q39, q78, q79, q80, q106, q109, q153, q154,
-    q160)
+    q160, q163)
 }

@@ -503,6 +503,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavEnvelopeHash(a.take(a.length - 8)).isEmpty)
   }
 
+  test("parsePngBorders: planted letterbox widths measured exactly") {
+    def mk(w: Int, h: Int, top: Int, bot: Int, lef: Int, rig: Int) =
+      Multimodal.ImageBytes.pngFull(w, h, 3, (x, y, c) =>
+        if (y < top || y >= h - bot || x < lef || x >= w - rig) 0
+        else 20 + (x * 7 + y * 11 + c) % 200)
+    assert(Multimodal.parsePngBorders(mk(20, 16, 2, 3, 4, 1)).get
+      == ((20, 16, 2L, 3L, 4L, 1L)))
+    // no borders at all
+    assert(Multimodal.parsePngBorders(mk(20, 16, 0, 0, 0, 0)).get
+      == ((20, 16, 0L, 0L, 0L, 0L)))
+    // an entirely uniform image: full-height runs, full-width left
+    val flat = Multimodal.ImageBytes.pngFull(9, 7, 3, (_, _, _) => 5)
+    assert(Multimodal.parsePngBorders(flat).get
+      == ((9, 7, 7L, 7L, 9L, 0L)))
+    // a COLORED bar (r!=g) is not monochrome-uniform -> no border
+    val colored = Multimodal.ImageBytes.pngFull(12, 10, 3, (x, y, c) =>
+      if (y < 2) (if (c == 0) 200 else 0)
+      else 20 + (x * 7 + y * 11 + c) % 200)
+    assert(Multimodal.parsePngBorders(colored).get._3 == 0L)
+    // truncation quarantines
+    val g = mk(20, 16, 2, 3, 4, 1)
+    assert(Multimodal.parsePngBorders(g.take(g.length - 8)).isEmpty)
+  }
+
   test("parseWavSilenceRuns: run accounting on planted silence") {
     // 100 frames: silence in [10,30) and [50,90), loud elsewhere
     def sig(f: Int, c: Int): Int =
