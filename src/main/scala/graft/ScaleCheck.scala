@@ -151,7 +151,14 @@ object ScaleCheck {
     // kernel, served saved-index IVF-PQ, quality election, classifier
     // training, leakage-free splits
     "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
-    "q123")
+    "q123",
+    // round 11 (documents-scaling ops only — orders/events ride along
+    // unchanged in the fixture, so their queries would measure noise):
+    // release capstone, packing, winnowing pairs + persisted screen,
+    // KS drift, dHash / envelope / silence decodes, content digest,
+    // MAD outliers
+    "q149", "q150", "q151", "q152", "q153", "q154", "q155", "q156",
+    "q157", "q160")
 
   def main(args: Array[String]): Unit = {
     val baseDir =
@@ -181,8 +188,10 @@ object ScaleCheck {
     val prefixes = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
+    // exact id match (qNN == qNN_*): a bare startsWith would make
+    // "q16" swallow q160+ now that ids have three digits
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => prefixes.exists(n.startsWith))
+      .filter(n => prefixes.exists(p => n == p || n.startsWith(p + "_")))
 
     def clearCaches(): Unit = {
       spark.sqlContext.clearCache()

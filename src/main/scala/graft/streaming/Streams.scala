@@ -185,6 +185,63 @@ object Streams {
       .toDF("stratum", "id", "wkey", "rk", "ver")
   }
 
+  /** Streaming conversion-funnel maintenance — the online form of
+    * [[graft.operators.Funnel.completions]]: greedy-earliest funnel
+    * matching IS an online scan (maintain the next-needed step per
+    * user, bind the first qualifying event), so per-user state is
+    * O(1) — (steps completed, last binding (t, id), first-step t) —
+    * and each micro-batch emits the steps it completes, schema-equal
+    * to the batch operator. Rows are applied in (t, id) event order
+    * WITHIN each batch; the stream equals the batch computation
+    * exactly when ingestion is event-ordered across batches
+    * (spec-proven), and degrades MONOTONE-CONSERVATIVELY under
+    * disorder: a late event can only miss a conversion, never
+    * fabricate one or bind out of order. Emits
+    * (userCol, step, event_type, t, id) per completion; state rides
+    * the checkpoint across AvailableNow runs.
+    */
+  def funnelMaintain(df: DataFrame, userCol: String, tsMicrosCol: String,
+                     idCol: String, typeCol: String, steps: Seq[String],
+                     maxSpanMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    maxSpanMicros.foreach(s =>
+      require(s > 0, s"maxSpanMicros must be positive, got $s"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long"),
+        col(typeCol).cast("string"), col(tsMicrosCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, String, Long, Long)]
+    def advance(u: Long, rows: Iterator[(Long, String, Long, Long)],
+                state: GroupState[(Int, Long, Long, Long)])
+        : Iterator[(Long, Long, String, Long, Long)] = {
+      var (s, lastT, lastId, t0) =
+        state.getOption.getOrElse((0, Long.MinValue, Long.MinValue, 0L))
+      val out =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Long, Long)]
+      rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, ty, t, id)
+          =>
+        val after = t > lastT || (t == lastT && id > lastId)
+        val inSpan = s == 0 || maxSpanMicros.forall(t - t0 <= _)
+        if (s < steps.length && ty == steps(s) && after && inSpan) {
+          if (s == 0) t0 = t
+          s += 1; lastT = t; lastId = id
+          out += ((u, s.toLong, steps(s - 1), t, id))
+        }
+      }
+      state.update((s, lastT, lastId, t0))
+      out.iterator
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advance)
+      .toDF(userCol, "step", "event_type", "t", "id")
+  }
+
   /** Streaming count-min sketch maintenance — the stream form of
     * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
     * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are

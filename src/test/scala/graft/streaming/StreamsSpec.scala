@@ -402,6 +402,48 @@ class StreamsSpec extends SparkSpec {
     assert(corpusIds() == Seq(1L, 11L, 13L, 21L))
   }
 
+  test("funnelMaintain: streamed funnel == batch twin on ordered ingest") {
+    import graft.operators.Funnel
+    val in = Files.createTempDirectory("graft_fnl_in").toString
+    val out = Files.createTempDirectory("graft_fnl_out").toString
+    val ckpt = Files.createTempDirectory("graft_fnl_ckpt").toString
+    val sch = StructType.fromDDL("u long, ty string, t long, id long")
+    val all = Seq(
+      (1L, "A", 100L, 1L), (1L, "B", 200L, 2L), (1L, "C", 300L, 3L),
+      (2L, "B", 50L, 10L), (2L, "A", 100L, 11L), (2L, "B", 150L, 12L),
+      (3L, "A", 100L, 20L), (3L, "C", 120L, 21L), (3L, "B", 150L, 22L),
+      (3L, "C", 180L, 23L),
+      (4L, "A", 100L, 30L), (4L, "B", 100L, 31L), (4L, "C", 101L, 32L))
+    def js(rows: Seq[(Long, String, Long, Long)]) = rows.map(r =>
+      s"""{"u":${r._1},"ty":"${r._2}","t":${r._3},"id":${r._4}}""")
+    // event-ordered split: batch 1 = t <= 120, batch 2 = the rest —
+    // the cross-batch case that only carried state can stitch (u3's
+    // B@150 then C@180 complete against a batch-1 A@100)
+    val (b1, b2) = all.sortBy(r => (r._3, r._4)).partition(_._3 <= 120)
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.funnelMaintain(
+        spark.readStream.schema(sch).json(in), "u", "t", "id", "ty",
+        Seq("A", "B", "C"), maxSpanMicros = Some(500L)), out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val got = spark.read.parquet(out)
+      .select($"u", $"step", $"event_type", $"t", $"id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val expect = Funnel.completions(all.toDF("u", "ty", "t", "id"),
+        "u", "t", "id", "ty", Seq("A", "B", "C"),
+        maxSpanMicros = Some(500L))
+      .select($"u", $"step", $"event_type", $"t", $"id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(got == expect, s"streamed $got != batch $expect")
+    assert(expect.exists(e => e._1 == 3L && e._2 == 3L),
+      "fixture must exercise a cross-batch completion")
+    // drained restart emits nothing new
+    run()
+    assert(spark.read.parquet(out).count() == got.size.toLong)
+  }
+
   test("winnowIndexMaintain: streamed passage admission tracks the index") {
     import graft.sources.TableStore
     import graft.operators.WinnowIndex
