@@ -93,6 +93,43 @@ object Funnel {
         coalesce(col("__n"), lit(0L)).as("n_users"))
   }
 
+  /** First-order transition matrix over per-user event sequences —
+    * the Markov-chain view of behavior (and the drift monitor for it:
+    * compare two periods' matrices): for every ordered adjacent pair
+    * within a user's (t, id)-ordered history, count (prev, next)
+    * transitions and report the row-normalized probability as an
+    * exact ppm integral (10^6·n div row-total — `div` ⇄ `//`, no
+    * floats). Returns (prev_type, next_type, n, p_ppm).
+    *
+    * Scale: one user-partitioned lag window (per-user histories; a
+    * mega-user funnels its reducer — the q67 (user, time-bucket)
+    * stitch is the escape hatch, losing only bucket-boundary pairs),
+    * then a map-side-combined (prev, next) aggregate whose output is
+    * ≤ |types|² rows; the row-total join is over that bounded frame.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+                       tsMicrosCol: String, idCol: String,
+                       typeCol: String,
+                       scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsMicrosCol).cast("long"), col(idCol))
+    val c = events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        col(tsMicrosCol), col(idCol))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__tn"))
+    c.join(broadcast(tot), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"),
+        col("n").cast("long").as("n"),
+        expr(s"($scale * n) div __tn").cast("long").as("p_ppm"))
+  }
+
   /** Retention cohort table — the funnel's longitudinal sibling:
     * bucket time into `bucketMicros` periods, assign each user to the
     * cohort of their FIRST active bucket, and report

@@ -907,7 +907,36 @@ object MiscQueries {
         FROM events GROUP BY 1 ORDER BY 1"""
     })
 
+  /** q164 — first-order event transition matrix
+    * ([[graft.operators.Funnel.transitionMatrix]], round 11):
+    * (prev, next) counts over per-user (t, id)-ordered histories with
+    * exact ppm row probabilities — the Markov-chain behavior view.
+    */
+  private val q164 = Q("q164_transition_matrix",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.transitionMatrix(e, "user_id", "t_us",
+          "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      w AS (SELECT user_id, event_type AS nxt,
+          LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY t, event_id) AS prv
+        FROM e),
+      c AS (SELECT prv, nxt, COUNT(*) AS n FROM w
+        WHERE prv IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prv, SUM(n) AS tn FROM c GROUP BY prv)
+      SELECT c.prv AS prev_type, c.nxt AS next_type,
+        CAST(c.n AS BIGINT) AS n,
+        CAST((1000000 * c.n) // tot.tn AS BIGINT) AS p_ppm
+      FROM c JOIN tot USING (prv) ORDER BY prev_type, next_type"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162)
+    q159, q161, q162, q164)
 }

@@ -90,6 +90,23 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix: adjacent pairs per user, exact ppm rows") {
+    // u1: A->B->A ; u2: A->B ; ties on t break by id (u3: A(40),B(41))
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (2L, "A", 10L, 4L), (2L, "B", 20L, 5L),
+      (3L, "B", 100L, 41L), (3L, "A", 100L, 40L)
+    ).toDF("u", "ty", "t", "id")
+    val got = Funnel.transitionMatrix(ev, "u", "t", "id", "ty")
+      .as[(String, String, Long, Long)].collect().toSet
+    // transitions: A->B (u1, u2, u3) = 3; B->A (u1) = 1
+    assert(got == Set(("A", "B", 3L, 1000000L), ("B", "A", 1L,
+      1000000L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.transitionMatrix(ev, "u", "t", "id", "ty", scale = 0L)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
