@@ -124,10 +124,14 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
     val tot = c.groupBy(col("prev_type"))
       .agg(sum(col("n")).as("__tn"))
+    // products in decimal(38,0): scale·n tops Long past ~9·10^12
+    // transitions per cell — reachable at corpus scale, and ANSI mode
+    // would fail the whole job loudly rather than wrap
     c.join(broadcast(tot), Seq("prev_type"))
       .select(col("prev_type"), col("next_type"),
         col("n").cast("long").as("n"),
-        expr(s"($scale * n) div __tn").cast("long").as("p_ppm"))
+        expr(s"(CAST($scale AS decimal(38,0)) * n) div __tn")
+          .cast("long").as("p_ppm"))
   }
 
   /** Retention cohort table — the funnel's longitudinal sibling:
