@@ -562,31 +562,86 @@ object SamplingQueries {
         .packConcat(withN, "doc_id", "n_tok", "shard", capacity = 512L)
         .orderBy(col("shard"), col("block_id"), col("doc_id"))
     },
-    Some {
-      val h = hashSql("pack", "doc_id")
-      val nrm = TextQueries.normSql("text")
-      val n = TextQueries.lenTokSql("toks", "nrm")
-      s"""WITH tokc AS (SELECT doc_id, h, $n AS n
-          FROM (SELECT doc_id, $h AS h, STRING_SPLIT($nrm, ' ') AS toks,
-            $nrm AS nrm FROM documents)),
-        sh AS (SELECT doc_id, n,
-            CAST(${bucketSql("h")} % 8 AS BIGINT) AS shard
-          FROM tokc WHERE n > 0),
-        w AS (SELECT doc_id, shard, n,
-            CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id)
-              AS BIGINT) AS e
-          FROM sh),
-        spans AS (SELECT doc_id, shard, e - n AS b, e FROM w),
-        blocks AS (SELECT doc_id, shard, b, e,
-            UNNEST(generate_series(b // 512, (e - 1) // 512)) AS blk
-          FROM spans)
-      SELECT shard, blk AS block_id, doc_id,
+    Some(s"""WITH packsrc AS (SELECT doc_id FROM documents),
+        $packCtes
+      $packSelect"""))
+
+  /** The q150 packing CTE chain over the doc ids in a `packsrc` CTE —
+    * shared VERBATIM with q165's split-then-pack composition. CTE
+    * names are pack-prefixed so the chain composes with the q123
+    * leakage-split chain without collisions.
+    */
+  private[queries] def packCtes: String = {
+    val h = hashSql("pack", "doc_id")
+    val nrm = TextQueries.normSql("text")
+    val n = TextQueries.lenTokSql("toks", "nrm")
+    s"""ptokc AS (SELECT doc_id, h, $n AS n
+        FROM (SELECT d.doc_id, $h AS h, STRING_SPLIT($nrm, ' ') AS toks,
+          $nrm AS nrm
+          FROM documents d JOIN packsrc USING (doc_id))),
+      pshard AS (SELECT doc_id, n,
+          CAST(${bucketSql("h")} % 8 AS BIGINT) AS shard
+        FROM ptokc WHERE n > 0),
+      pw AS (SELECT doc_id, shard, n,
+          CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id)
+            AS BIGINT) AS e
+        FROM pshard),
+      pspans AS (SELECT doc_id, shard, e - n AS b, e FROM pw),
+      pblocks AS (SELECT doc_id, shard, b, e,
+          UNNEST(generate_series(b // 512, (e - 1) // 512)) AS blk
+        FROM pspans)"""
+  }
+
+  /** The final SELECT over [[packCtes]]' `pblocks`. */
+  private[queries] def packSelect: String =
+    """SELECT shard, blk AS block_id, doc_id,
         GREATEST(b, blk * 512) - b AS doc_off,
         GREATEST(b, blk * 512) - blk * 512 AS block_off,
         LEAST(e, (blk + 1) * 512) - GREATEST(b, blk * 512) AS len
-      FROM blocks ORDER BY shard, block_id, doc_id"""
+      FROM pblocks ORDER BY shard, block_id, doc_id"""
+
+  /** q165 — the TRAIN-SHARD BUILD composition (round 11): q123's
+    * leakage-free split (near-dup clusters keyed by their
+    * representative so no duplicate straddles train/test) filtered to
+    * the train split, then q150's concat-and-chunk packing into
+    * 512-token context blocks — the two-stage path an actual training
+    * run takes from a raw corpus to packed shards. Oracle = BOTH
+    * chains verbatim ([[graft.queries.TextQueries.leakageCtes]] +
+    * [[packCtes]]) composed through one `packsrc` CTE, so the gate
+    * certifies the INTERPLAY: a split drift repacks every downstream
+    * block, a packing drift moves a cut — either fails the hash.
+    */
+  private val q165 = Q("q165_split_pack_train",
+    (s, dir) => {
+      import graft.operators.{Dedup, Packing}
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4)
+      val pairs = Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val train = Sampling.assignSplitsLeakageFree(docs, "doc_id",
+          labels, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "graft")
+        .filter(col("split") === "train")
+      val withN = train.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"),
+        pmod(Sampling.hashBucket(col("doc_id"), "pack"), lit(8L))
+          .as("shard"))
+      Packing.packConcat(withN, "doc_id", "n_tok", "shard",
+          capacity = 512L)
+        .orderBy(col("shard"), col("block_id"), col("doc_id"))
+    },
+    Some {
+      val trainBound = math.round(0.8 * Sampling.BucketSpace)
+      s"""WITH RECURSIVE ${TextQueries.leakageCtes},
+        packsrc AS (SELECT doc_id FROM lb WHERE bucket < $trainBound),
+        $packCtes
+      $packSelect"""
     })
 
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150)
+    q87, q92, q134, q146, q150, q165)
 }

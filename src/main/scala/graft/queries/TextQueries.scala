@@ -1522,34 +1522,42 @@ object TextQueries {
         val cases = splits.map(_._1).zip(bounds)
           .map { case (n, b) => s"WHEN bucket < $b THEN '$n'" }
           .mkString(" ")
-        s"""WITH RECURSIVE nt AS (SELECT doc_id,
-            STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
-        sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
-          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-          GROUP BY x.doc_id, y.doc_id),
-        pairs AS (SELECT id_a, id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
-            >= 0.2),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT src AS id FROM edges),
-        cc AS (SELECT id, id AS comp FROM nodes
-          UNION
-          SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
-        lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
-        r AS (SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS rep_id
-          FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
-        b AS (SELECT doc_id, rep_id, CAST(${SamplingQueries.bucketSql(
-            SamplingQueries.hashSql("graft", "rep_id"))} AS BIGINT)
-            AS bucket FROM r)
+        s"""WITH RECURSIVE $leakageCtes
         SELECT doc_id, rep_id, bucket, CASE $cases ELSE NULL END AS split
-        FROM b ORDER BY doc_id"""
+        FROM lb ORDER BY doc_id"""
       })
   }
+
+  /** The q123 leakage-free-split CTE chain (near-dup CC replay →
+    * component-representative bucket; ends at `lb` =
+    * (doc_id, rep_id, bucket)), shared VERBATIM with q165's
+    * split-then-pack composition. Must run under WITH RECURSIVE.
+    */
+  private[queries] def leakageCtes: String =
+    s"""nt AS (SELECT doc_id,
+        STRING_SPLIT(${normSql("text")}, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, UNNEST(${shinglesSql("toks", 3)}) AS sh FROM nt),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+    pairs AS (SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE (CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE))
+        >= 0.2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc AS (SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id),
+    lab AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+    r AS (SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+    lb AS (SELECT doc_id, rep_id, CAST(${SamplingQueries.bucketSql(
+        SamplingQueries.hashSql("graft", "rep_id"))} AS BIGINT)
+        AS bucket FROM r)"""
 
   /** q122 — in-engine trainable quality classifier
     * ([[graft.operators.Classifier]]): distill the Gopher rule cascade
