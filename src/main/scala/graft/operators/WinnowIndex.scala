@@ -178,6 +178,42 @@ object WinnowIndex {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[screen]] from a PINNED index generation
+    * ([[TableStore.readAt]]) — the reproducible-screening path (the
+    * [[DedupIndex.screenAt]] contract): a release pin re-serves the
+    * exact screening decision no matter how many refreshes landed
+    * since. No file pruning (readAt reads the pinned inventory).
+    */
+  def screenAt(store: TableStore, indexTable: String, gen: Long,
+               batch: DataFrame, idCol: String, textCol: String,
+               minShared: Long = 1L, maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1L,
+      s"winnow screenAt: minShared must be >= 1, got $minShared")
+    require(maxDf >= 1,
+      s"winnow screenAt: maxDf must be >= 1, got $maxDf")
+    val rows = store.readAt(indexTable, gen)
+    val stats = rows.filter(col("component") === "stats")
+      .select(col("meta")).collect()
+    require(stats.length == 1,
+      s"winnow index $indexTable@$gen: expected one stats row, " +
+        s"got ${stats.length}")
+    val m = AnnIndex.parseJson(stats.head.getString(0))
+    val bb = fpFrame(batch, idCol, textCol, m("k").toInt,
+        m("w").toInt, m("salt"))
+      .select(col("doc_id").as("id_b"), col("fp"))
+    val ix = rows.filter(col("component") === "fp")
+      .select(col("doc_id").as("id_a"), col("fp"))
+    val kept = ix.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    kept.join(bb, Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The ADMISSION decision for an ingest batch — [[screen]] turned
     * into a filter ([[DedupIndex.admit]]'s policy for passages): drop
     * every batch doc sharing ≥ `minShared` fingerprints with the

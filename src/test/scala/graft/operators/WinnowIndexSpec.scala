@@ -139,6 +139,27 @@ class WinnowIndexSpec extends SparkSpec {
     assert(hits.map(_._1) == (1L to 12L).toSet, hits.toString)
   }
 
+  test("screenAt: a pinned generation re-serves across refreshes") {
+    val store = freshStore()
+    store.append("corpus", docs.filter(col("doc_id") < 30))
+    WinnowIndex.buildFromCorpus(store, "corpus", "wix", "doc_id", "text")
+    val pin = store.generations("wix").last
+    val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 55)
+    val before = shared(WinnowIndex.screenAt(store, "wix", pin, batch,
+      "doc_id", "text"))
+    // live screen agrees with the pin while nothing has changed
+    assert(before == shared(WinnowIndex.screen(store, "wix", batch,
+      "doc_id", "text")))
+    // churn + refresh: the LIVE screen may change; the PIN must not
+    store.append("corpus",
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 40))
+    WinnowIndex.refreshFromCorpus(store, "corpus", "wix", "doc_id",
+      "text")
+    assert(shared(WinnowIndex.screenAt(store, "wix", pin, batch,
+      "doc_id", "text")) == before,
+      "pinned screen drifted after a refresh")
+  }
+
   test("loud envelopes") {
     val store = freshStore()
     store.append("corpus", docs.limit(5))
