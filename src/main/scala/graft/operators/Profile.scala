@@ -485,6 +485,46 @@ object Profile {
           .orderBy(col("__c").desc, col("t"))))
   }
 
+  /** Exact Gini concentration of the per-group token-frequency
+    * distribution — the vocabulary-inequality companion to [[zipfFit]]
+    * and [[heapsFit]]: G near 0 = frequencies spread evenly (id-spam /
+    * templated vocab), G near 1 = a few tokens dominate (boilerplate
+    * flood). Computed from the rank form
+    * G = (2·Σᵢ i·c₍ᵢ₎ − (n+1)·Σc) / (n·Σc) over counts sorted
+    * ascending (token tie-break) — ALL integers, reported as
+    * ⌊scale·G⌋; the numerator is non-negative by Chebyshev's sum
+    * inequality (ranks and sorted counts are similarly ordered), so
+    * `div` ⇄ `//` agree (the zipfFit sign discipline). Sums ride
+    * decimal(38,0) ⇄ HUGEINT. Returns
+    * (groupCol, n_types, n_tokens, gini_scaled).
+    *
+    * One (group, token) counting exchange + the vocabulary-scale rank
+    * window (the [[zipfFit]] shape — vocabulary ≪ corpus).
+    */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        textCol: String,
+                        scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val c = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+    c.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("c"), col("t"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(D)).as("__s0"),
+        sum(col("rk").cast(D) * col("c").cast(D)).as("__s1"))
+      .select(col("grp").as(groupCol),
+        col("n").cast("long").as("n_types"),
+        col("__s0").cast("long").as("n_tokens"),
+        expr(s"(CAST($scale AS $D) * (2 * __s1 - (n + 1) * __s0)) " +
+          "div (CAST(n AS decimal(38,0)) * __s0)")
+          .cast("long").as("gini_scaled"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift: for every group, the
     * KS statistic D = max_v |F_g(v) − F_rest(v)| between the group's
     * distribution of an integral `valueCol` and the REST of the

@@ -2451,9 +2451,37 @@ object TextQueries {
       FROM dev d JOIN med USING (source) JOIN mad USING (source)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** q166 — exact Gini vocabulary concentration
+    * ([[graft.operators.Profile.giniConcentration]], round 11): the
+    * inequality companion to q141's Zipf and q145's Heaps fits — all
+    * exact integers, Chebyshev-non-negative numerator so `div` ⇄ `//`
+    * agree, sums in decimal(38,0) ⇄ HUGEINT.
+    */
+  private val q166 = Q("q166_gini_concentration",
+    (s, dir) => graft.operators.Profile
+      .giniConcentration(t(s, dir, "documents"), "source", "text")
+      .orderBy(col("source")),
+    Some(s"""WITH toks AS (SELECT source,
+          UNNEST(STRING_SPLIT(${normSql("text")}, ' ')) AS t
+        FROM documents WHERE LENGTH(${normSql("text")}) > 0),
+      c AS (SELECT source, t, COUNT(*) AS c FROM toks
+        WHERE LENGTH(t) > 0 GROUP BY 1, 2),
+      r AS (SELECT source, c,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, t) AS rk
+        FROM c),
+      s AS (SELECT source, COUNT(*) AS n,
+          SUM(CAST(c AS HUGEINT)) AS s0,
+          SUM(CAST(rk AS HUGEINT) * c) AS s1
+        FROM r GROUP BY source)
+      SELECT source, CAST(n AS BIGINT) AS n_types,
+        CAST(s0 AS BIGINT) AS n_tokens,
+        CAST((1000000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+          AS BIGINT) AS gini_scaled
+      FROM s ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157)
+    q149, q151, q152, q156, q157, q166)
 }

@@ -279,6 +279,38 @@ class ProfileSpec extends SparkSpec {
     assert(r == Seq(("a", 2L, 0L, None)), s"got $r")
   }
 
+  test("giniConcentration matches a BigInt reference; extremes behave") {
+    // group "even": all tokens distinct (minimum concentration);
+    // group "hot": one token dominates (high concentration)
+    val rows = Seq(
+      ("even", (1 to 20).map(i => s"t$i").mkString(" ")),
+      ("hot", (Seq.fill(50)("aaa") ++ Seq("bb", "cc")).mkString(" ")))
+    val df = rows.toDF("grp", "text")
+    val got = Profile.giniConcentration(df, "grp", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    // reference in BigInt over the same normalize/tokenize
+    rows.foreach { case (g, tx) =>
+      val counts = tx.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").toSeq.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy { case (t, c) => (c, t) }.map(_._2.toLong)
+      val n = BigInt(counts.size)
+      val s0 = counts.map(BigInt(_)).sum
+      val s1 = counts.zipWithIndex
+        .map { case (c, i) => BigInt(i + 1) * c }.sum
+      val expect =
+        ((BigInt(1000000) * (2 * s1 - (n + 1) * s0)) / (n * s0)).toLong
+      assert(got(g) == ((g, n.toLong, s0.toLong, expect)),
+        s"group $g: got ${got(g)}, expected ($n, $s0, $expect)")
+    }
+    // uniform counts -> gini 0; dominated -> decisively larger
+    assert(got("even")._4 == 0L, got.toString)
+    assert(got("hot")._4 > 500000L, got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.giniConcentration(df, "grp", "text", scale = 0L)
+    }
+  }
+
   test("madOutliers matches a sorted-reference on a planted fixture") {
     // group a: tight cluster around 100 with two wild outliers a mean
     // would chase; group b: clean ramp, no outliers
