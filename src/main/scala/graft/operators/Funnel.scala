@@ -134,6 +134,45 @@ object Funnel {
           .cast("long").as("p_ppm"))
   }
 
+  /** Top user-journey paths — the exploratory sibling of the fixed
+    * funnel: take each user's FIRST `pathLen` events in (t, id) order,
+    * join their types with `>` into a path string, and report the
+    * `k` most common paths (ties break on the path string, so the
+    * report is deterministic). The classic "what do users actually
+    * do" product-analytics view that funnels are then built from.
+    *
+    * Scale: ONE user-partitioned window ranks each user's history
+    * (a mega-user costs one sort run — the q67 (user, bucket) stitch
+    * is the escape), the per-user path build reuses that exchange's
+    * user partitioning, and the path count is a map-side-combined
+    * aggregate whose output is bounded by |types|^pathLen distinct
+    * paths (keep pathLen small — it is a report knob, not a corpus
+    * knob). The final top-k is a single bounded-input rank.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsMicrosCol: String,
+               idCol: String, typeCol: String, pathLen: Int,
+               k: Int): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy(col(tsMicrosCol).cast("long"), col(idCol))
+    val paths = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+        col(tsMicrosCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col("__u"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__ty")))),
+        x => x.getField("__ty")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    TopK.perGroup(paths, Seq(lit(1)),
+        Seq(col("n_users").desc, col("path")), k)
+      .drop("rk")
+  }
+
   /** Retention cohort table — the funnel's longitudinal sibling:
     * bucket time into `bucketMicros` periods, assign each user to the
     * cohort of their FIRST active bucket, and report

@@ -936,7 +936,35 @@ object MiscQueries {
         CAST((1000000 * c.n) // tot.tn AS BIGINT) AS p_ppm
       FROM c JOIN tot USING (prv) ORDER BY prev_type, next_type"""))
 
+  /** q167 — top user-journey paths
+    * ([[graft.operators.Funnel.topPaths]], round 12): each user's
+    * first-5-events type sequence, the 20 most common (count desc,
+    * path asc — tie-free).
+    */
+  private val q167 = Q("q167_event_paths",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.topPaths(e, "user_id", "t_us",
+          "event_id", "event_type", pathLen = 5, k = 20)
+        .orderBy(col("n_users").desc, col("path"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      r AS (SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY t, event_id) AS rn FROM e),
+      p AS (SELECT user_id,
+          STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id),
+      c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+      SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
+      QUALIFY ROW_NUMBER() OVER (ORDER BY n_users DESC, path) <= 20
+      ORDER BY n_users DESC, path"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164)
+    q159, q161, q162, q164, q167)
 }

@@ -107,6 +107,31 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("topPaths: first-pathLen prefixes, deterministic top-k ties") {
+    // u1: A>B>C (3 events, pathLen 2 -> A>B); u2: A>B; u3: B>A
+    // (tie on t at u3 breaks by id: A(40) before B(41) -> A>B)
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "C", 30L, 3L),
+      (2L, "A", 10L, 4L), (2L, "B", 20L, 5L),
+      (3L, "B", 100L, 41L), (3L, "A", 100L, 40L),
+      (4L, "C", 10L, 50L)
+    ).toDF("u", "ty", "t", "id")
+    val got = Funnel.topPaths(ev, "u", "t", "id", "ty", 2, 10)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("A>B", 3L), ("C", 1L)), got.toString)
+    // k cuts on (n_users desc, path asc): with k=1 only A>B survives
+    val top1 = Funnel.topPaths(ev, "u", "t", "id", "ty", 2, 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("A>B", 3L)))
+    // shorter-than-pathLen histories keep their full prefix (u4: "C")
+    intercept[IllegalArgumentException] {
+      Funnel.topPaths(ev, "u", "t", "id", "ty", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.topPaths(ev, "u", "t", "id", "ty", 2, 0)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
