@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer segmentation surfaces over a transaction table — the
+  * marketing-analytics counterpart of the event funnels (the reference
+  * pipelines profile listings per area the same way; SURVEY.md §2.4
+  * A2's profile-ratio family applied to the buyer axis).
+  */
+object Segments {
+
+  /** RFM quintile segmentation (Hughes 1994, the standard direct-
+    * marketing form): per customer compute Recency (whole days from
+    * their last transaction to the table's max date — an exact
+    * `div` on epoch micros), Frequency (transaction count) and
+    * Monetary (exact cents: `round(amount·100)` per row, summed as
+    * longs), then grade each axis into quintiles with `NTILE(5)`
+    * over a tie-free order (metric, then customer key — best grade
+    * 1). Returns one row per (r_q, f_q, m_q) cell:
+    * (r_q, f_q, m_q, n_customers, sum_m_cents).
+    *
+    * Scale: the per-customer rollup is ONE customer-keyed aggregate
+    * with map-side partials over the transaction scan; the anchor
+    * date is a one-row broadcast (the q114 N/V precedent). The three
+    * NTILE windows are global-order ranks over the PER-CUSTOMER
+    * frame (|customers| rows, not |transactions|) — the exact audit
+    * form; at billions of customers swap in broadcast GK-sketch
+    * quintile boundaries (quantileTrimApprox's shape) and grade with
+    * a narrow CASE, no global sort. The cell report is ≤ 125 rows.
+    */
+  def rfm(tx: DataFrame, custCol: String, tsMicrosCol: String,
+          amountCol: String, tiles: Int = 5): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val per = tx.select(col(custCol).as("__c"),
+        col(tsMicrosCol).cast("long").as("__t"),
+        round(col(amountCol) * 100, 0).cast("long").as("__cents"))
+      .groupBy(col("__c"))
+      .agg(max(col("__t")).as("__last"),
+        count(lit(1)).as("f_n"),
+        sum(col("__cents")).as("m_cents"))
+    val anchor = per.agg(max(col("__last")).as("__a"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        expr("(__a - __last) div 86400000000"))
+      .withColumn("r_q",
+        ntile(tiles).over(Window.orderBy(col("r_days"), col("__c"))))
+      .withColumn("f_q",
+        ntile(tiles).over(
+          Window.orderBy(col("f_n").desc, col("__c"))))
+      .withColumn("m_q",
+        ntile(tiles).over(
+          Window.orderBy(col("m_cents").desc, col("__c"))))
+    scored.groupBy(col("r_q").cast("long").as("r_q"),
+        col("f_q").cast("long").as("f_q"),
+        col("m_q").cast("long").as("m_q"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("m_cents")).cast("long").as("sum_m_cents"))
+  }
+}

@@ -964,7 +964,39 @@ object MiscQueries {
       QUALIFY ROW_NUMBER() OVER (ORDER BY n_users DESC, path) <= 20
       ORDER BY n_users DESC, path"""))
 
+  /** q168 — RFM quintile segmentation
+    * ([[graft.operators.Segments.rfm]], round 12): recency/frequency/
+    * monetary quintile cells over orders — exact day/cent integer
+    * arithmetic, tie-free NTILE grading on both engines.
+    */
+  private val q168 = Q("q168_rfm_segments",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"),
+        col("o_totalprice"))
+      graft.operators.Segments.rfm(o, "o_custkey", "t_us",
+          "o_totalprice")
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+          MAX(epoch_us(o_orderdate)) AS last_t,
+          COUNT(*) AS f_n,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m_cents
+        FROM orders GROUP BY o_custkey),
+      anchor AS (SELECT MAX(last_t) AS a FROM per),
+      scored AS (SELECT o_custkey, m_cents,
+          NTILE(5) OVER (ORDER BY (a - last_t) // 86400000000,
+            o_custkey) AS r_q,
+          NTILE(5) OVER (ORDER BY f_n DESC, o_custkey) AS f_q,
+          NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
+        FROM per, anchor)
+      SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        CAST(m_q AS BIGINT) AS m_q,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167)
+    q159, q161, q162, q164, q167, q168)
 }
