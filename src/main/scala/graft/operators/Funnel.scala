@@ -134,6 +134,47 @@ object Funnel {
           .cast("long").as("p_ppm"))
   }
 
+  /** Engagement stickiness — per day: DAU (distinct active users),
+    * trailing-`horizon`-day MAU (distinct users active in
+    * [d−horizon+1, d]) and the DAU/MAU ratio as exact ppm
+    * (10⁶·dau div mau). Days are exact epoch-micros `div` buckets,
+    * so the table is engine-portable; only days with activity are
+    * reported.
+    *
+    * Scale: the trailing-window distinct is NOT a per-day re-scan —
+    * the (user, day) activity frame is deduped ONCE (corpus-scale but
+    * map-side combined), then each activity row fans out to the ≤
+    * `horizon` target days it keeps a user active in (a narrow
+    * `sequence` explode of the DEDUPED frame — horizon× its size,
+    * independent of raw event volume), and a second distinct+count
+    * lands MAU. Both counts share day-keyed aggregates; no window,
+    * no sort, no per-day self-join.
+    */
+  def stickiness(events: DataFrame, userCol: String,
+                 tsMicrosCol: String, horizon: Int = 28,
+                 dayMicros: Long = 86400000000L): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val act = events.select(col(userCol).as("__u"),
+        expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros").as("__d"))
+      .distinct()
+    val dau = act.groupBy(col("__d"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = act
+      .select(col("__u"),
+        explode(sequence(col("__d"),
+          col("__d") + (horizon - 1))).as("__td"))
+      .distinct()
+      .groupBy(col("__td").as("__d"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("__d"))
+      .select(col("__d").cast("long").as("day"),
+        col("dau").cast("long").as("dau"),
+        col("mau").cast("long").as("mau"),
+        expr("(CAST(1000000 AS decimal(38,0)) * dau) div mau")
+          .cast("long").as("stickiness_ppm"))
+  }
+
   /** Top user-journey paths — the exploratory sibling of the fixed
     * funnel: take each user's FIRST `pathLen` events in (t, id) order,
     * join their types with `>` into a path string, and report the

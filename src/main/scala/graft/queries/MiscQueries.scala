@@ -996,7 +996,30 @@ object MiscQueries {
         CAST(SUM(m_cents) AS BIGINT) AS sum_m_cents
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** q169 — DAU/MAU stickiness
+    * ([[graft.operators.Funnel.stickiness]], round 12): per-day
+    * distinct actives, trailing-28-day distinct actives, exact ppm
+    * ratio — the engagement companion to q159's cohorts.
+    */
+  private val q169 = Q("q169_stickiness",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"))
+      graft.operators.Funnel.stickiness(e, "user_id", "t_us")
+        .orderBy(col("day"))
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 AS d FROM events),
+      dau AS (SELECT d, COUNT(*) AS dau FROM act GROUP BY d),
+      contrib AS (SELECT DISTINCT user_id, d + g.x AS td
+        FROM act, (SELECT UNNEST(GENERATE_SERIES(0, 27)) AS x) g),
+      mau AS (SELECT td AS d, COUNT(*) AS mau FROM contrib GROUP BY td)
+      SELECT CAST(dau.d AS BIGINT) AS day, CAST(dau.dau AS BIGINT) AS dau,
+        CAST(mau.mau AS BIGINT) AS mau,
+        CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+      FROM dau JOIN mau USING (d) ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168)
+    q159, q161, q162, q164, q167, q168, q169)
 }

@@ -132,6 +132,27 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("stickiness: trailing-window distincts, exact ppm ratio") {
+    val day = 86400000000L
+    // u1 active d0,d1; u2 active d0; u3 active d2 (twice — dedupes)
+    val ev = Seq((1L, 0L), (1L, day), (2L, 0L), (3L, 2 * day),
+      (3L, 2 * day + 5L)).toDF("u", "t")
+    val got = Funnel.stickiness(ev, "u", "t", horizon = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // d0: dau {u1,u2}=2, mau(window d-1..d0) {u1,u2}=2 -> 1.0
+    // d1: dau {u1}=1, mau {u1,u2}=2 -> 0.5
+    // d2: dau {u3}=1, mau {u1,u3}=2 -> 0.5
+    assert(got == Set((0L, 2L, 2L, 1000000L), (1L, 1L, 2L, 500000L),
+      (2L, 1L, 2L, 500000L)), got.toString)
+    // horizon=1 degenerates to dau==mau everywhere
+    val h1 = Funnel.stickiness(ev, "u", "t", horizon = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h1.forall(r => r._2 == r._3 && r._4 == 1000000L))
+    intercept[IllegalArgumentException] {
+      Funnel.stickiness(ev, "u", "t", horizon = 0)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
