@@ -1019,7 +1019,33 @@ object MiscQueries {
         CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
       FROM dau JOIN mau USING (d) ORDER BY day"""))
 
+  /** q170 — exact EWMA of daily order volume
+    * ([[graft.operators.Timeseries.ewmaCounts]], round 12): α=1/2
+    * truncated-horizon smoothing with power-of-two integer weights —
+    * the bit-exact cross-engine trajectory (scaled numerator,
+    * denominator 2^16).
+    */
+  private val q170 = Q("q170_ewma_orders",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.ewmaCounts(o, "t_us", horizon = 16)
+        .orderBy(col("day"))
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+            AS d, COUNT(*) AS n
+          FROM orders GROUP BY 1),
+      bounds AS (SELECT MAX(d) AS hi FROM cnt),
+      contrib AS (SELECT c.d + g.x AS td,
+          c.n * (1::BIGINT << (16 - 1 - g.x)) AS w
+        FROM cnt c, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS x) g,
+          bounds b
+        WHERE c.d + g.x <= b.hi)
+      SELECT CAST(td AS BIGINT) AS day,
+        CAST(SUM(w) AS BIGINT) AS ewma_scaled
+      FROM contrib GROUP BY td ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168, q169)
+    q159, q161, q162, q164, q167, q168, q169, q170)
 }
