@@ -642,6 +642,40 @@ object SamplingQueries {
       $packSelect"""
     })
 
+  /** q171 — deterministic Poisson bootstrap replicate means
+    * ([[graft.operators.Bootstrap.replicateMeans]], round 12,
+    * Chamandy 2012): 64 single-pass resampling replicates of the mean
+    * order value in exact micro-cents; the oracle replays the 60-bit
+    * uniform digit-by-digit and the SAME scaled Poisson(1) CDF
+    * threshold ladder (integer constants — no transcendental
+    * evaluated by either engine). The CI over these means is
+    * [[graft.operators.Bootstrap.ci]] (spec-pinned rank form).
+    */
+  private val q171 = Q("q171_poisson_bootstrap",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Bootstrap.replicateMeans(o, "o_orderkey",
+          "cents", replicates = 64, salt = "boot")
+        .orderBy(col("b"))
+    },
+    Some {
+      val h = hashSql("boot",
+        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      s"""WITH rows_b AS (SELECT o_orderkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, g.b
+        FROM orders,
+          (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g),
+      h AS (SELECT x, b, $h AS h FROM rows_b),
+      u AS (SELECT x, b, ${bucketSql15("h")} AS u FROM h),
+      w AS (SELECT x, b,
+          ${graft.operators.Bootstrap.poissonOneWeightSql("u")} AS w
+        FROM u)
+      SELECT CAST(b AS BIGINT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        CAST((1000000 * SUM(w * x)) // SUM(w) AS BIGINT) AS mean_micro
+      FROM w GROUP BY b ORDER BY b"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150, q165)
+    q87, q92, q134, q146, q150, q165, q171)
 }
