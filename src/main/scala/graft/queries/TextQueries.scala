@@ -2479,9 +2479,40 @@ object TextQueries {
           AS BIGINT) AS gini_scaled
       FROM s ORDER BY source"""))
 
+  /** q172 — per-document TF-IDF keywords
+    * ([[graft.operators.Keywords.tfidfTopK]], round 12): top-5 terms
+    * per document under the corpus tokenization, quantized-ln idf
+    * (margin audited ≥ 3.5e-3 at both SFs — see operator scaladoc),
+    * exact long scores.
+    */
+  private val q172 = Q("q172_tfidf_keywords",
+    (s, dir) =>
+      graft.operators.Keywords.tfidfTopK(t(s, dir, "documents"),
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("score_micro").desc, col("term")),
+    Some(s"""WITH toks AS (SELECT doc_id,
+          UNNEST(STRING_SPLIT(${normSql("text")}, ' ')) AS t
+        FROM documents),
+      tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t <> '' GROUP BY 1, 2),
+      d AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      idf AS (SELECT t, CAST(FLOOR(1000000 * LN(CAST(n AS DOUBLE)
+            / df)) AS BIGINT) AS idf_micro
+        FROM d, n),
+      sc AS (SELECT tf.doc_id, tf.t AS term, tf.tf,
+          tf.tf * idf.idf_micro AS score_micro
+        FROM tf JOIN idf ON tf.t = idf.t)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        CAST(score_micro AS BIGINT) AS score_micro
+      FROM sc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, term) <= 5
+      ORDER BY doc_id, score_micro DESC, term"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166)
+    q149, q151, q152, q156, q157, q166, q172)
 }
