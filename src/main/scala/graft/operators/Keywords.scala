@@ -58,4 +58,82 @@ object Keywords {
       .select(col("__id").as("doc_id"), col("__t").as("term"),
         col("tf"), col("score_micro"))
   }
+
+  /** The default RAKE stopword/phrase-delimiter list — a fixed small
+    * function-word vocabulary (the operator takes any list; this one
+    * is the gate's).
+    */
+  val DefaultStopwords: Seq[String] = Seq("a", "an", "the", "of",
+    "and", "to", "in", "is", "it", "for", "on", "with", "as", "at",
+    "by", "be", "this", "that", "or", "are", "was", "were", "from",
+    "but", "not")
+
+  /** Top-k RAKE keyphrases per document (Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs of ≤ `maxWords`
+    * words (longer runs are discarded entirely, rake-nltk's
+    * convention — they also don't feed the word statistics); each
+    * word scores deg(w)/freq(w) within its document (deg = Σ lengths
+    * of candidate phrases containing it, freq = its candidate
+    * occurrences) and a phrase scores the sum over its word
+    * occurrences. Scores are exact scaled integrals — each word
+    * contributes ⌊10⁶·deg/freq⌋ (`div`, never a float ratio), summed
+    * as longs, so the ranking is engine-portable. One deviation from
+    * the paper is pinned in the contract: the corpus normalization
+    * ([[TextFunctions.normalizeText]]) folds punctuation to spaces
+    * BEFORE phrase splitting, so stopwords are the only phrase
+    * delimiters (the reference pipelines normalize the same way).
+    * Returns (doc_id, phrase, score_micro); duplicate phrases within
+    * a doc report once.
+    *
+    * Scale: every exchange is doc-keyed — the position window, the
+    * phrase/word aggregates and their joins all reuse ONE doc hash
+    * partitioning (Catalyst collapses them to a single shuffle of the
+    * token frame); no corpus-wide key ever forms. A giant document
+    * costs one sort run (documents are chunk-bounded upstream —
+    * [[Chunker]]).
+    */
+  def rakeTopK(corpus: DataFrame, idCol: String, textCol: String,
+               k: Int, maxWords: Int = 6,
+               stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val stopArr = array(stopwords.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__i"))
+    val g = corpus
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("__i", "__w")))
+      .filter(col("__w") =!= "")
+      .withColumn("__stop", array_contains(stopArr, col("__w")))
+      .withColumn("__grp",
+        sum(col("__stop").cast("long")).over(w))
+    val nonStop = g.filter(!col("__stop"))
+      .select(col("__id"), col("__grp"), col("__i"), col("__w"))
+    val ph = nonStop
+      .groupBy(col("__id"), col("__grp"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__w")))),
+          x => x.getField("__w")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") <= maxWords)
+    val pw = nonStop.join(ph, Seq("__id", "__grp"))
+      .select(col("__id"), col("__grp"), col("__w"), col("__len"))
+    val ws = pw.groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val psc = pw.join(ws, Seq("__id", "__w"))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(sum(expr(
+        "(CAST(1000000 AS decimal(38,0)) * __deg) div __freq"))
+        .as("__s"))
+    val uniq = ph.join(psc, Seq("__id", "__grp"))
+      .groupBy(col("__id"), col("phrase"))
+      .agg(max(col("__s")).cast("long").as("score_micro"))
+    TopK.perGroup(uniq, Seq(col("__id")),
+        Seq(col("score_micro").desc, col("phrase")), k)
+      .select(col("__id").as("doc_id"), col("phrase"),
+        col("score_micro"))
+  }
 }

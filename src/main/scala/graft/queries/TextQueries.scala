@@ -2510,9 +2510,57 @@ object TextQueries {
         ORDER BY score_micro DESC, term) <= 5
       ORDER BY doc_id, score_micro DESC, term"""))
 
+  /** q173 — RAKE keyphrases
+    * ([[graft.operators.Keywords.rakeTopK]], round 12): top-3
+    * stopword-delimited phrases per document, exact scaled
+    * deg/freq word scores — all integer arithmetic, no ln.
+    */
+  private val q173 = Q("q173_rake_keyphrases",
+    (s, dir) =>
+      graft.operators.Keywords.rakeTopK(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, maxWords = 6)
+        .orderBy(col("doc_id"), col("score_micro").desc,
+          col("phrase")),
+    Some {
+      val stops = graft.operators.Keywords.DefaultStopwords
+        .map(s => s"'$s'").mkString("(", ",", ")")
+      s"""WITH sp AS (SELECT doc_id,
+          STRING_SPLIT(${normSql("text")}, ' ') AS l
+        FROM documents WHERE ${normSql("text")} <> ''),
+      toks AS (SELECT doc_id, UNNEST(l) AS w,
+          UNNEST(RANGE(1, LEN(l) + 1)) AS i FROM sp),
+      g AS (SELECT doc_id, w, i,
+          SUM(CASE WHEN w IN $stops THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY i) AS grp,
+          (w IN $stops) AS stop FROM toks),
+      ph AS (SELECT doc_id, grp,
+          STRING_AGG(w, ' ' ORDER BY i) AS phrase,
+          COUNT(*) AS len FROM g WHERE NOT stop
+        GROUP BY doc_id, grp
+        HAVING COUNT(*) <= 6),
+      pw AS (SELECT g.doc_id, g.grp, g.w, ph.len FROM g JOIN ph
+          ON g.doc_id = ph.doc_id AND g.grp = ph.grp
+        WHERE NOT g.stop),
+      ws AS (SELECT doc_id, w, COUNT(*) AS freq, SUM(len) AS deg
+        FROM pw GROUP BY doc_id, w),
+      psc AS (SELECT pw.doc_id, pw.grp,
+          SUM((1000000 * ws.deg) // ws.freq) AS s
+        FROM pw JOIN ws ON pw.doc_id = ws.doc_id AND pw.w = ws.w
+        GROUP BY pw.doc_id, pw.grp),
+      uniq AS (SELECT ph.doc_id, ph.phrase,
+          CAST(MAX(psc.s) AS BIGINT) AS score_micro
+        FROM ph JOIN psc ON ph.doc_id = psc.doc_id
+          AND ph.grp = psc.grp
+        GROUP BY ph.doc_id, ph.phrase)
+      SELECT doc_id, phrase, score_micro FROM uniq
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, phrase) <= 3
+      ORDER BY doc_id, score_micro DESC, phrase"""
+    })
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166, q172)
+    q149, q151, q152, q156, q157, q166, q172, q173)
 }

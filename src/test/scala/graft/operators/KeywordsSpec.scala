@@ -37,6 +37,47 @@ class KeywordsSpec extends SparkSpec {
     }
   }
 
+  test("rakeTopK: deg/freq phrase scores on the classic hand example") {
+    val d = Seq((1L, "Deep learning of deep networks, and learning!"))
+      .toDF("doc_id", "text")
+    val got = Keywords.rakeTopK(d, "doc_id", "text", k = 5)
+      .orderBy($"score_micro".desc, $"phrase")
+      .as[(Long, String, Long)].collect().toSeq
+    // phrases: "deep learning"(2), "deep networks"(2), "learning"(1)
+    // deep: freq 2, deg 4 -> 2_000_000 ; learning: freq 2, deg 3 ->
+    // 1_500_000 ; networks: freq 1, deg 2 -> 2_000_000
+    assert(got == Seq(
+      (1L, "deep networks", 4000000L),
+      (1L, "deep learning", 3500000L),
+      (1L, "learning", 1500000L)), got.toString)
+  }
+
+  test("rakeTopK: over-length candidates vanish from the statistics") {
+    val d = Seq((1L, "deep learning of deep networks and learning"))
+      .toDF("doc_id", "text")
+    // maxWords=1: both 2-word runs are discarded entirely, so the
+    // sole candidate "learning" scores deg=freq=1 -> 1.0
+    val got = Keywords.rakeTopK(d, "doc_id", "text", k = 5,
+        maxWords = 1)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "learning", 1000000L)), got.toString)
+    // duplicate phrases report once
+    val dup = Seq((2L, "red car and red car")).toDF("doc_id", "text")
+    val phrases = Keywords.rakeTopK(dup, "doc_id", "text", k = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(phrases.map(_._2) == Seq("red car"), phrases.toString)
+    intercept[IllegalArgumentException] {
+      Keywords.rakeTopK(d, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Keywords.rakeTopK(d, "doc_id", "text", k = 1, maxWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Keywords.rakeTopK(d, "doc_id", "text", k = 1,
+        stopwords = Seq.empty)
+    }
+  }
+
   test("plan: tf/df map-side combine; idf N is a broadcast, not a scan") {
     val plan = Keywords.tfidfTopK(docs, "doc_id", "text", k = 3)
       .queryExecution.executedPlan.toString
