@@ -251,4 +251,59 @@ object GraphRank {
       labels
     } finally e.unpersist(blocking = false)
   }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009 —
+    * the strongest of the classic local similarity indices): for
+    * every non-adjacent pair (u, v) with common neighbors, score
+    * Σ_{z ∈ N(u)∩N(v)} 1/deg(z), as the exact integral
+    * Σ ⌊10⁶/deg(z)⌋ (`div` per z, summed as longs — engine-portable,
+    * and 1/deg is already the quantity, so no transcendental).
+    * Edges canonicalize undirected (self-loops and duplicates
+    * dropped). Returns the top `k` candidate pairs
+    * (u, v, score_micro, common), u < v, ties on (u, v).
+    *
+    * Scale: the wedge generation is the z-keyed adjacency self-join —
+    * Σ deg(z)² pairs, the same budget triangleCounts pays, EXCEPT
+    * hubs: a node with deg > `maxDeg` is excluded as a wedge CENTER
+    * (its endpoints keep their other wedges). That cap is the
+    * standard production guard — a hub's 1/deg contribution is
+    * negligible while its deg² fan-out is the whole cost; the cap
+    * makes the skew bounded and the tradeoff explicit. The non-edge
+    * screen is one anti-join against the canonical edge set on the
+    * pair key; the final top-k is a single bounded rank.
+    */
+  def raLinkPrediction(edges: DataFrame, srcCol: String,
+                       dstCol: String, k: Int,
+                       maxDeg: Int = 64): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(maxDeg >= 2, s"maxDeg >= 2, got $maxDeg")
+    val canon = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    // e feeds three consumers (both wedge legs via keep + the
+    // non-edge anti-join): pin it, engine-wide release point
+    // unpersists later (the triangleCounts discipline)
+    val e = track(canon.persist())
+    val adj = e.select(col("a").as("z"), col("b").as("x"))
+      .unionByName(e.select(col("b").as("z"), col("a").as("x")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val keep = adj.join(deg, Seq("z")).filter(col("d") <= maxDeg)
+    val pairs = keep.select(col("z"), col("x").as("u"), col("d"))
+      .join(keep.select(col("z"), col("x").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val scored = pairs.groupBy(col("u"), col("v"))
+      .agg(sum(expr("1000000 div d")).cast("long")
+        .as("score_micro"),
+        count(lit(1)).cast("long").as("common"))
+    val nonEdge = scored.join(
+      e.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+    TopK.perGroup(nonEdge, Seq(lit(1)),
+        Seq(col("score_micro").desc, col("u"), col("v")), k)
+      .drop("rk")
+  }
 }

@@ -1045,7 +1045,59 @@ object MiscQueries {
         CAST(SUM(w) AS BIGINT) AS ewma_scaled
       FROM contrib GROUP BY td ORDER BY day"""))
 
+  /** q174 — resource-allocation link prediction
+    * ([[graft.operators.GraphRank.raLinkPrediction]], round 12,
+    * Zhou 2009): top-30 predicted links over the q113 synthetic
+    * graph — exact Σ⌊10⁶/deg(z)⌋ scores, hub-capped wedge centers.
+    */
+  private val q174 = Q("q174_ra_link_prediction",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      def ring(off: Int) =
+        docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+      val edges = ring(1)
+        .unionByName(ring(2))
+        .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+          .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+        .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+          .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+      GraphRank.raLinkPrediction(edges, "src", "dst", k = 30)
+        .orderBy(col("score_micro").desc, col("u"), col("v"))
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+          (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 5 = 0),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+          GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+      adj AS (SELECT a AS z, b AS x FROM und
+        UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z),
+      keep AS (SELECT adj.z, adj.x, deg.d FROM adj JOIN deg USING (z)
+        WHERE deg.d <= 64),
+      pairs AS (SELECT k1.x AS u, k2.x AS v, k1.d
+        FROM keep k1 JOIN keep k2 ON k1.z = k2.z AND k1.x < k2.x),
+      scored AS (SELECT u, v, SUM(1000000 // d) AS score_micro,
+          COUNT(*) AS common FROM pairs GROUP BY u, v),
+      nonedge AS (SELECT s.* FROM scored s LEFT JOIN und
+          ON s.u = und.a AND s.v = und.b
+        WHERE und.a IS NULL)
+      SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        CAST(score_micro AS BIGINT) AS score_micro,
+        CAST(common AS BIGINT) AS common
+      FROM nonedge
+      QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, u, v) <= 30
+      ORDER BY score_micro DESC, u, v"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168, q169, q170)
+    q159, q161, q162, q164, q167, q168, q169, q170, q174)
 }

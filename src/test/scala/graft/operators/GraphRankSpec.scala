@@ -130,4 +130,31 @@ class GraphRankSpec extends SparkSpec {
     assert(got1 == got)
     GraphRank.releaseIntermediates()
   }
+
+  test("raLinkPrediction: exact 1/deg sums, non-edges only, hub cap") {
+    import spark.implicits._
+    // path 1-2-3-4 plus spoke 2-5: candidates via common neighbors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L),
+      (2L, 1L) /* reverse dup collapses */).toDF("s", "d")
+    val got = GraphRank.raLinkPrediction(e, "s", "d", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // deg: 1->1, 2->3, 3->2, 4->1, 5->1
+    // wedges at 2 (deg 3): (1,3),(1,5),(3,5) each 1/3 -> 333333
+    // wedges at 3 (deg 2): (2,4) but 2-4 not an edge -> 1/2 = 500000
+    assert(got == Set((2L, 4L, 500000L, 1L), (1L, 3L, 333333L, 1L),
+      (1L, 5L, 333333L, 1L), (3L, 5L, 333333L, 1L)), got.toString)
+    // hub cap: maxDeg=2 removes node 2 as a wedge center
+    val capped = GraphRank.raLinkPrediction(e, "s", "d", k = 10,
+        maxDeg = 2).as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((2L, 4L, 500000L, 1L)), capped.toString)
+    // existing edges never predicted
+    assert(!got.exists(p => (p._1, p._2) == ((1L, 2L))))
+    intercept[IllegalArgumentException] {
+      GraphRank.raLinkPrediction(e, "s", "d", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphRank.raLinkPrediction(e, "s", "d", k = 1, maxDeg = 1)
+    }
+    GraphRank.releaseIntermediates()
+  }
 }
