@@ -638,4 +638,54 @@ object Profile {
       .select(col("grp").as(groupCol), col("n_a"), col("n_b"),
         col("d_scaled"))
   }
+
+  /** Population stability index between two cohorts — the third drift
+    * monitor next to [[tokenDriftChi2]] (categorical) and [[ksDrift]]
+    * (distribution-free): per pre-binned cell,
+    * term = (p_a − p_b)·ln(p_a/p_b) with Laplace-(+1)-smoothed
+    * proportions p = (n+1)/(total+B), reported as ⌊10⁶·term⌋ — the
+    * classic credit-scoring monitor (PSI > 0.1 investigate, > 0.25
+    * act). Returns (bin, n_a, n_b, term_micro) ordered by bin; PSI is
+    * the client-side sum. Callers bin the value FIRST (the q162
+    * declared-grid principle — bin layout is a contract, never
+    * inferred); smoothing keeps one-sided bins finite with no epsilon
+    * knob.
+    *
+    * Determinism: proportions are correctly-rounded divisions of
+    * exact integers (identical doubles on every engine); ln is the
+    * one non-correctly-rounded step — the q72 margin rule applies
+    * (gate fixtures audited ≥ 1.2e-2 from every floor boundary at
+    * both SFs vs ~1e-9 double-eval drift). The term multiplication
+    * `(p_a−p_b)·ln(...)` has no fused multiply-add shape, so engine
+    * FMA contraction (the q90 1-ulp lesson) cannot bite.
+    *
+    * Scale: ONE (group, bin)-keyed count over the scan (map-side
+    * combined, output ≤ 2·|bins| cells); totals and the bin count
+    * ride a one-row broadcast. Everything after runs on the bounded
+    * bin grid.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, binCol: String,
+               groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val c = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(binCol).isNotNull)
+      .groupBy(col(binCol).cast("long").as("bin"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("n_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L))
+          .as("n_b"))
+    val tot = c.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"), count(lit(1)).as("__nb"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("__pa", (col("n_a") + 1).cast("double") /
+        (col("__ta") + col("__nb")).cast("double"))
+      .withColumn("__pb", (col("n_b") + 1).cast("double") /
+        (col("__tb") + col("__nb")).cast("double"))
+      .select(col("bin"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        floor(lit(1000000.0) * ((col("__pa") - col("__pb")) *
+          log(col("__pa") / col("__pb")))).cast("long")
+          .as("term_micro"))
+  }
 }

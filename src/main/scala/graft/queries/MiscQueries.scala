@@ -1097,7 +1097,43 @@ object MiscQueries {
       QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, u, v) <= 30
       ORDER BY score_micro DESC, u, v"""))
 
+  /** q175 — population stability index drift
+    * ([[graft.operators.Profile.psiDrift]], round 12): event values
+    * in 10 declared 50-wide bins, first-half vs second-half cohorts,
+    * Laplace-smoothed quantized terms (margins audited ≥ 1.2e-2 at
+    * both SFs — operator scaladoc).
+    */
+  private val q175 = Q("q175_psi_drift",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        when(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          < 19738L, "a").otherwise("b").as("g"),
+        least(lit(9L), greatest(lit(0L),
+          floor(col("value") / 50).cast("long"))).as("bin"))
+      graft.operators.Profile.psiDrift(e, "g", "bin", "a", "b")
+        .orderBy(col("bin"))
+    },
+    Some("""WITH e AS (SELECT CASE WHEN epoch_us(ts) // 86400000000
+            < 19738 THEN 'a' ELSE 'b' END AS g,
+          LEAST(9, GREATEST(0, CAST(FLOOR(value / 50) AS BIGINT)))
+            AS bin FROM events),
+      c AS (SELECT bin,
+          SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS n_a,
+          SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS n_b
+        FROM e GROUP BY bin),
+      tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb,
+          COUNT(*) AS nb FROM c)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        CAST(FLOOR(1000000 * ((CAST(n_a + 1 AS DOUBLE)
+              / CAST(ta + nb AS DOUBLE)
+            - CAST(n_b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))
+          * LN((CAST(n_a + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))
+            / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)))))
+          AS BIGINT) AS term_micro
+      FROM c, tot ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168, q169, q170, q174)
+    q159, q161, q162, q164, q167, q168, q169, q170, q174, q175)
 }

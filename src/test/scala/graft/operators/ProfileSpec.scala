@@ -339,4 +339,34 @@ class ProfileSpec extends SparkSpec {
       Profile.madOutliers(df, "grp", "v", "id", k = 0L)
     }
   }
+
+  test("psiDrift matches a driver-side replay; smoothing covers zeros") {
+    import spark.implicits._
+    // bins 0..2; group a: 10/5/0, group b: 5/5/5 — bin 2 is one-sided
+    val rows =
+      Seq.fill(10)(("a", 0L)) ++ Seq.fill(5)(("a", 1L)) ++
+        Seq.fill(5)(("b", 0L)) ++ Seq.fill(5)(("b", 1L)) ++
+        Seq.fill(5)(("b", 2L)) ++ Seq(("c", 0L)) // other group ignored
+    val df = rows.toDF("g", "bin")
+    val got = Profile.psiDrift(df, "g", "bin", "a", "b")
+      .orderBy($"bin").as[(Long, Long, Long, Long)].collect().toSeq
+    val (ta, tb, nb) = (15.0, 15.0, 3.0)
+    def term(na: Long, nbn: Long): Long = {
+      val pa = (na + 1) / (ta + nb); val pb = (nbn + 1) / (tb + nb)
+      math.floor(1e6 * ((pa - pb) * math.log(pa / pb))).toLong
+    }
+    assert(got == Seq((0L, 10L, 5L, term(10, 5)),
+      (1L, 5L, 5L, term(5, 5)), (2L, 0L, 5L, term(0, 5))),
+      got.toString)
+    // identical cohorts -> every term is 0 (ln 1 = 0 exactly)
+    val same = (rows.filter(_._1 == "b") ++
+      rows.filter(_._1 == "b").map { case (_, b) => ("a", b) })
+      .toDF("g", "bin")
+    val zero = Profile.psiDrift(same, "g", "bin", "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(zero.forall(_._4 == 0L), zero.mkString(","))
+    intercept[IllegalArgumentException] {
+      Profile.psiDrift(df, "g", "bin", "a", "a")
+    }
+  }
 }
