@@ -266,4 +266,50 @@ object Eval {
           expr("(1000000 * __num) div (2 * n_pos * n_neg)"))
           .otherwise(lit(0L)).as("auc_ppm"))
   }
+
+  /** Calibration-by-bins + per-bin Brier accounting for a fixed-point
+    * probability column (a [[Classifier]] `p` in [0, scale]): bin p
+    * into `bins` equal-width cells and report, per bin, the count,
+    * the positive count, the MEAN PREDICTED probability and the
+    * OBSERVED positive rate (both exact ppm — a calibrated scorer has
+    * them close per bin), plus the bin's Brier contribution
+    * Σ(p − y·scale)² scaled to ppm of n·scale². All integer
+    * arithmetic in decimal(38,0) — p is already fixed-point, y is
+    * 0/1, so no float ever forms (the q122 zero-transcendental
+    * discipline extends to its evaluation).
+    *
+    * Returns (bin, n, n_pos, mean_p_ppm, pos_rate_ppm, brier_ppm)
+    * — reliability-diagram rows; overall Brier/ECE are client-side
+    * folds of this ≤ `bins`-row frame.
+    *
+    * Scale: ONE bin-keyed aggregate over the scored scan with
+    * map-side partials; output is `bins` rows. Nothing else moves.
+    */
+  def calibrationBins(scored: DataFrame, pCol: String, yCol: String,
+                      scale: Long, bins: Int = 10): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val D = "decimal(38,0)"
+    scored
+      .select(least(lit(bins - 1),
+        expr(s"(CAST($bins AS $D) * $pCol) div $scale"))
+        .cast("long").as("bin"),
+        col(pCol).cast("long").as("__p"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__p").cast(D)).as("__sp"),
+        sum(expr(s"CAST(__p - __y * $scale AS $D) " +
+          s"* CAST(__p - __y * $scale AS $D)")).as("__sq"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("n_pos").cast("long").as("n_pos"),
+        expr(s"(CAST(1000000 AS $D) * __sp) div " +
+          s"(CAST(n AS $D) * $scale)").cast("long").as("mean_p_ppm"),
+        expr(s"(CAST(1000000 AS $D) * n_pos) div n").cast("long")
+          .as("pos_rate_ppm"),
+        expr(s"(CAST(1000000 AS $D) * __sq) div " +
+          s"(CAST(n AS $D) * CAST($scale AS $D) * $scale)")
+          .cast("long").as("brier_ppm"))
+  }
 }

@@ -1573,18 +1573,14 @@ object TextQueries {
     * w1..w6/b1..b6 (AS MATERIALIZED per the q97 lesson) and scores
     * with the last.
     */
-  private val q122 = {
-    val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
-    val qcfg = graft.functions.QualityRules.Config()
-    Q("q122_train_classifier",
-      (s, dir) => {
-        graft.operators.Classifier.trainAndScore(
-          t(s, dir, "documents"), "doc_id", "text",
-          graft.functions.QualityRules.keep(col("text"), qcfg), cfg)
-          .withColumnRenamed("id", "doc_id")
-          .orderBy(col("doc_id"))
-      },
-      Some {
+  /** The q122 training replay as a reusable CTE chain ending in a
+    * `scores(doc_id, y, z, p, pred)` CTE — q122 selects it directly,
+    * q176 appends calibration CTEs on top (same bit-exact unrolled
+    * GD; one builder so the two gates can never drift apart).
+    */
+  private[queries] def classifierScoresCtesSql(
+      cfg: graft.operators.Classifier.Config,
+      qcfg: graft.functions.QualityRules.Config): String = {
         val S = cfg.scale
         val dim = cfg.dim
         def tdiv(a: String, b: String) =
@@ -1632,12 +1628,25 @@ object TextQueries {
           zf AS (SELECT f.doc_id, MAX(f.y) AS y,
               (SELECT b FROM b$k) + COALESCE(SUM(w.w * f.cnt), 0) AS z
             FROM feats f LEFT JOIN w$k w ON w.bucket = f.bucket
-            GROUP BY f.doc_id)
-          SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(z AS BIGINT) AS z,
-            CAST($p AS BIGINT) AS p,
-            CAST(2 * $p > $S AS BIGINT) AS pred
-          FROM zf ORDER BY doc_id"""
-      })
+            GROUP BY f.doc_id),
+          scores AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+            CAST(z AS BIGINT) AS z, CAST($p AS BIGINT) AS p,
+            CAST(2 * $p > $S AS BIGINT) AS pred FROM zf)"""
+  }
+
+  private val q122 = {
+    val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
+    val qcfg = graft.functions.QualityRules.Config()
+    Q("q122_train_classifier",
+      (s, dir) => {
+        graft.operators.Classifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.functions.QualityRules.keep(col("text"), qcfg), cfg)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${classifierScoresCtesSql(cfg, qcfg)}
+        SELECT doc_id, y, z, p, pred FROM scores ORDER BY doc_id"""))
   }
 
   /** q99 — count-min-sketch point-frequency estimates
@@ -2558,9 +2567,46 @@ object TextQueries {
       ORDER BY doc_id, score_micro DESC, phrase"""
     })
 
+  /** q176 — classifier calibration bins + Brier accounting
+    * ([[graft.operators.Eval.calibrationBins]], round 12): the q122
+    * model's reliability diagram — 10 equal-width probability bins,
+    * exact ppm mean-predicted vs observed-positive rates and per-bin
+    * Brier terms; the oracle replays training via the SHARED q122
+    * CTE builder then re-derives every bin row.
+    */
+  private val q176 = {
+    val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
+    val qcfg = graft.functions.QualityRules.Config()
+    Q("q176_calibration_bins",
+      (s, dir) => {
+        val scored = graft.operators.Classifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.functions.QualityRules.keep(col("text"), qcfg), cfg)
+        graft.operators.Eval.calibrationBins(scored, "p", "y",
+            scale = cfg.scale, bins = 10)
+          .orderBy(col("bin"))
+      },
+      Some {
+        val S = cfg.scale
+        s"""${classifierScoresCtesSql(cfg, qcfg)},
+        cal AS (SELECT LEAST(9, (10 * p) // $S) AS bin, p, y
+          FROM scores)
+        SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS n_pos,
+          CAST((1000000 * SUM(p)) // (COUNT(*) * $S) AS BIGINT)
+            AS mean_p_ppm,
+          CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT)
+            AS pos_rate_ppm,
+          CAST((1000000 * SUM((p - y * $S) * (p - y * $S)))
+            // (COUNT(*) * $S * $S) AS BIGINT) AS brier_ppm
+        FROM cal GROUP BY bin ORDER BY bin"""
+      })
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166, q172, q173)
+    q149, q151, q152, q156, q157, q166, q172, q173, q176)
 }

@@ -280,4 +280,31 @@ class EvalSpec extends SparkSpec {
     val want = 1000000L * num / (2L * pos.length * neg.length)
     assert(auc(rows) == ((pos.length.toLong, neg.length.toLong, want)))
   }
+
+  test("calibrationBins: exact ppm reliability rows on a hand fixture") {
+    import spark.implicits._
+    // scale 8, 4 bins (width 2): p=8 must clamp into the last bin
+    val rows = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L),
+      (6L, 1L), (7L, 1L), (8L, 1L), (8L, 0L)).toDF("p", "y")
+    val got = Eval.calibrationBins(rows, "p", "y", scale = 8L,
+        bins = 4)
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bin 0 (p 0,1): n=2 pos=0 meanp=(1e6*1)/(2*8)=62500 rate=0
+    //   brier=(1e6*(0+1))/(2*64)=7812
+    // bin 1 (p 2,3): n=2 pos=1 meanp=(1e6*5)/16=312500 rate=500000
+    //   brier=(1e6*(4+25))/128=226562
+    // bin 3 (p 6,7,8,8): n=4 pos=3 meanp=(1e6*29)/32=906250
+    //   rate=750000 brier=(1e6*(4+1+0+64))/256=269531
+    assert(got == Seq(
+      (0L, 2L, 0L, 62500L, 0L, 7812L),
+      (1L, 2L, 1L, 312500L, 500000L, 226562L),
+      (3L, 4L, 3L, 906250L, 750000L, 269531L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Eval.calibrationBins(rows, "p", "y", scale = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.calibrationBins(rows, "p", "y", scale = 8L, bins = 0)
+    }
+  }
 }
