@@ -1282,7 +1282,48 @@ object CorpusQueries {
     },
     Some(bpeSegmentOracleSql))
 
+  /** q177 — write-expectation accounting
+    * ([[graft.operators.Expectations.accounting]], round 12): the
+    * ingestion audit frame for three declared constraints over
+    * documents — per-rule violation counts (NULL predicate =
+    * violation) plus admitted/total summary rows. The split-and-
+    * quarantine write path over the same rules is spec-gated
+    * (ExpectationsSpec, TableStore appends).
+    */
+  private val q177 = Q("q177_expectation_audit",
+    (s, dir) => {
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      Expectations.accounting(t(s, dir, "documents"), Seq(
+          Rule("chars_min", col("n_chars") >= 200),
+          Rule("lang_allowed",
+            col("lang").isin("en", "fr", "de", "es")),
+          Rule("text_nonempty", length(col("text")) > 0)))
+        .orderBy(col("rule"))
+    },
+    Some("""SELECT rule, n_rows FROM (
+        SELECT 'chars_min' AS rule, CAST(SUM(CASE WHEN NOT
+            COALESCE(n_chars >= 200, FALSE) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rows FROM documents
+        UNION ALL
+        SELECT 'lang_allowed', CAST(SUM(CASE WHEN NOT
+            COALESCE(lang IN ('en','fr','de','es'), FALSE)
+          THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'text_nonempty', CAST(SUM(CASE WHEN NOT
+            COALESCE(LENGTH(text) > 0, FALSE) THEN 1 ELSE 0 END)
+          AS BIGINT) FROM documents
+        UNION ALL
+        SELECT '__admitted', CAST(SUM(CASE WHEN
+            COALESCE(n_chars >= 200, FALSE)
+            AND COALESCE(lang IN ('en','fr','de','es'), FALSE)
+            AND COALESCE(LENGTH(text) > 0, FALSE)
+          THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT '__total', CAST(COUNT(*) AS BIGINT) FROM documents)
+      ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(q35, q36, q50, q56, q57, q62, q70, q72, q74, q77,
     q93, q94, q97, q98, q111, q112, q114, q117, q124, q127, q129,
-    q140, q143, q144)
+    q140, q143, q144, q177)
 }
