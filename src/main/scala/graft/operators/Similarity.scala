@@ -164,6 +164,37 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * Karpukhin 2020 DPR recipe): for each anchor, the k most similar
+    * corpus vectors whose label DIFFERS from the anchor's — the
+    * negatives that actually move a contrastive loss. Same movement
+    * contract as [[bruteForceTopK]] (anchor batch broadcasts, only
+    * (qid, nid, sim) reaches the top-k window); the label inequality
+    * is a broadcast-side predicate evaluated BEFORE the window, so
+    * same-label pairs never rank. NULL-labeled rows are dropped on
+    * both sides (a null label can't certify "different"). This is
+    * the exact audit form — at corpus scale feed the same label
+    * filter through [[ivfTopK]]'s probed cells instead.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    qidCol: String, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val q = anchors.filter(col(labelCol).isNotNull)
+      .select(col(qidCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("__ql"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).as("__nl"))
+    val scored = filterOnce(
+        c.crossJoin(broadcast(q)).filter(col("__nl") =!= col("__ql")),
+        "sim", VectorFunctions.cosine(col("qv"), col("nv")),
+        _.isNotNull)
+      .select(col("qid"), col("nid"), col("sim"))
+    TopK.perGroup(scored, Seq(col("qid")),
+      Seq(col("sim").desc, col("nid")), k)
+      .select(col("qid"), col("nid"), col("sim"), col("rk"))
+  }
+
   /** Int8-quantized maximum-inner-product top-k — the serving-scale
     * memory path: 4× smaller vectors than float32 (the quantized corpus
     * column is `array<tinyint>` + one double scale per vector), and the

@@ -1000,7 +1000,40 @@ object VectorQueries {
       })
   }
 
+  /** q178 — hard-negative mining
+    * ([[graft.operators.Similarity.hardNegatives]], round 12, the
+    * DPR recipe): per anchor, the 10 most-similar DIFFERENT-label
+    * vectors — the q20 movement contract with a broadcast-side label
+    * inequality ahead of the window.
+    */
+  private val q178 = Q("q178_hard_negatives",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+          anchors = e.filter(col("vec_id") < 5),
+          corpus = e, qidCol = "vec_id", idCol = "vec_id",
+          vecCol = "embedding", labelCol = "label", k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid,
+        CAST(embedding AS DOUBLE[]) AS av, label AS ql
+      FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS bv,
+          label AS nl FROM embeddings WHERE label IS NOT NULL),
+      scored AS (SELECT qid, nid,
+        (list_dot_product(bv, av) /
+          (SQRT(list_dot_product(av, av)) *
+            SQRT(list_dot_product(bv, bv)))) AS sim
+        FROM c, q WHERE nl <> ql),
+      ranked AS (SELECT qid, nid, sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, nid) AS rk
+        FROM scored WHERE sim IS NOT NULL)
+      SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119, q126, q128)
+      q102, q103, q104, q105, q119, q126, q128, q178)
 }

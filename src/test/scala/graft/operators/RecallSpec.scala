@@ -70,4 +70,32 @@ class RecallSpec extends SparkSpec {
     info(f"pqTopK recall@10 (m=$m, ksub=$ksub) = $r%.3f")
     assert(r >= 0.7, f"PQ recall $r%.3f below target 0.7")
   }
+
+  test("hardNegatives: same-label (incl. self) never ranks; nulls drop") {
+    // axis-aligned vectors: 1 and 2 share label 7 and point the same
+    // way; 3 (label 8) is orthogonal-ish, 4 has a null label
+    val e = Seq(
+      (1L, Array(1f, 0f), java.lang.Integer.valueOf(7)),
+      (2L, Array(0.9f, 0.1f), java.lang.Integer.valueOf(7)),
+      (3L, Array(0f, 1f), java.lang.Integer.valueOf(8)),
+      (4L, Array(1f, 0f), null.asInstanceOf[java.lang.Integer])
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e.filter($"vec_id" === 1L), e,
+        "vec_id", "vec_id", "embedding", "label", k = 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    // anchor 1 (label 7): 2 excluded (same label), self excluded,
+    // 4 excluded (null label) -> only 3 survives
+    assert(got == Set((1L, 3L)), got.toString)
+    // agreement with the exact top-k restricted by label post-hoc
+    val brute = Similarity.bruteForceTopK(
+        e.filter($"vec_id" === 1L), e.filter($"label" === 8),
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select($"qid", $"nid", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val hn = Similarity.hardNegatives(e.filter($"vec_id" === 1L), e,
+        "vec_id", "vec_id", "embedding", "label", k = 10)
+      .select($"qid", $"nid", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hn == brute, s"hn $hn vs brute $brute")
+  }
 }
