@@ -267,6 +267,42 @@ object Eval {
           .otherwise(lit(0L)).as("auc_ppm"))
   }
 
+  /** Binary confusion matrix + exact ppm operating point for a
+    * 0/1 prediction column vs a 0/1 label column: one row
+    * (tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm), all
+    * integral (`div` ratios; F1 via the single-division identity
+    * 2·tp/(2·tp+fp+fn) — no intermediate float precision/recall).
+    * Zero-denominator cells report 0 (no positives predicted /
+    * present ⇒ the metric is vacuous, and a NULL would poison
+    * downstream arithmetic). ONE map-side-combined scalar aggregate
+    * over the scored scan.
+    */
+  def confusionPpm(scored: DataFrame, predCol: String,
+                   yCol: String): DataFrame = {
+    val p = col(predCol).cast("long")
+    val y = col(yCol).cast("long")
+    scored
+      .agg(sum(when(p === 1L && y === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(p === 1L && y === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(p === 0L && y === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(p === 0L && y === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(
+        coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+        coalesce(col("fp"), lit(0L)).cast("long").as("fp"),
+        coalesce(col("fn"), lit(0L)).cast("long").as("fn"),
+        coalesce(col("tn"), lit(0L)).cast("long").as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(1000000 * tp) div (tp + fp)")).otherwise(lit(0L))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("(1000000 * tp) div (tp + fn)")).otherwise(lit(0L))
+          .as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+          .otherwise(lit(0L)).as("f1_ppm"))
+  }
+
   /** Calibration-by-bins + per-bin Brier accounting for a fixed-point
     * probability column (a [[Classifier]] `p` in [0, scale]): bin p
     * into `bins` equal-width cells and report, per bin, the count,

@@ -2604,9 +2604,52 @@ object TextQueries {
       })
   }
 
+  /** q179 — classifier confusion matrix + F1 operating point
+    * ([[graft.operators.Eval.confusionPpm]], round 12): the q122
+    * model's tp/fp/fn/tn cells and exact ppm precision/recall/F1
+    * (single-division F1 identity) — with q137's AUC and q176's
+    * calibration this completes the scorer-evaluation kit.
+    */
+  private val q179 = {
+    val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
+    val qcfg = graft.functions.QualityRules.Config()
+    Q("q179_confusion_f1",
+      (s, dir) => {
+        val scored = graft.operators.Classifier.trainAndScore(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.functions.QualityRules.keep(col("text"), qcfg), cfg)
+        graft.operators.Eval.confusionPpm(scored, "pred", "y")
+      },
+      Some(s"""${classifierScoresCtesSql(cfg, qcfg)}
+        SELECT CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+          CAST(CASE WHEN SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) > 0
+            THEN (1000000 * SUM(CASE WHEN pred = 1 AND y = 1 THEN 1
+              ELSE 0 END)) // SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS precision_ppm,
+          CAST(CASE WHEN SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0
+            THEN (1000000 * SUM(CASE WHEN pred = 1 AND y = 1 THEN 1
+              ELSE 0 END)) // SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS recall_ppm,
+          CAST(CASE WHEN SUM(CASE WHEN pred = 1 OR y = 1 THEN
+              CASE WHEN pred = 1 AND y = 1 THEN 2 ELSE 1 END
+              ELSE 0 END) > 0
+            THEN (2000000 * SUM(CASE WHEN pred = 1 AND y = 1 THEN 1
+              ELSE 0 END)) // SUM(CASE WHEN pred = 1 OR y = 1 THEN
+              CASE WHEN pred = 1 AND y = 1 THEN 2 ELSE 1 END ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS f1_ppm
+        FROM scores"""))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166, q172, q173, q176)
+    q149, q151, q152, q156, q157, q166, q172, q173, q176, q179)
 }

@@ -281,6 +281,25 @@ class EvalSpec extends SparkSpec {
     assert(auc(rows) == ((pos.length.toLong, neg.length.toLong, want)))
   }
 
+  test("confusionPpm: exact cells and single-division F1") {
+    import spark.implicits._
+    // tp=3 fp=1 fn=2 tn=4
+    val rows = Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 0L), (0L, 1L),
+      (0L, 1L), (0L, 0L), (0L, 0L), (0L, 0L), (0L, 0L))
+      .toDF("pred", "y")
+    val got = Eval.confusionPpm(rows, "pred", "y")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // precision 3/4 = 750000; recall 3/5 = 600000;
+    // f1 = 2*3/(6+1+2) = 6/9 -> 666666
+    assert(got == ((3L, 1L, 2L, 4L, 750000L, 600000L, 666666L)),
+      got.toString)
+    // degenerate: no positives anywhere -> zeros, not nulls
+    val none = Seq((0L, 0L), (0L, 0L)).toDF("pred", "y")
+    val z = Eval.confusionPpm(none, "pred", "y")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(z == ((0L, 0L, 0L, 2L, 0L, 0L, 0L)), z.toString)
+  }
+
   test("calibrationBins: exact ppm reliability rows on a hand fixture") {
     import spark.implicits._
     // scale 8, 4 bins (width 2): p=8 must clamp into the last bin
