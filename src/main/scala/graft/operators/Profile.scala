@@ -639,6 +639,60 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Per-group winsorized statistics — outlier clipping at rank-based
+    * percentile bounds (the robust pre-training normalizer: clip,
+    * then compute stats that a single fat-finger value can't drag):
+    * lo/hi are the values at ranks ⌈loPpm·n/10⁶⌉ / ⌈hiPpm·n/10⁶⌉ of
+    * the tie-free (value, id) order (DISCRETE quantiles, the q47
+    * convention — never interpolated), every value clips into
+    * [lo, hi], and the report is (group, n, lo, hi, winsorized sum,
+    * clip counts below/above). All exact integer arithmetic — pass an
+    * integer value column (cents, micros); rank cut-points are exact
+    * `div` expressions.
+    *
+    * Scale: this is the exact audit form — one rank window per group
+    * (a giant group costs one sort run) + a broadcast bounds join; at
+    * billions of rows per group swap GK-sketch bounds
+    * (quantileTrimApprox's shape) into the same clip-and-aggregate,
+    * which needs no window at all. The final stats aggregate
+    * map-side combines; sums ride decimal(38,0).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, loPpm: Long = 50000L,
+                      hiPpm: Long = 950000L): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm < hiPpm,
+      s"need 0 <= loPpm < hiPpm <= 1000000, got ($loPpm, $hiPpm)")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("__c"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__c"), col("__id"))
+    val r = v.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+    val b = r.groupBy(col("grp"))
+      .agg(max(col("__n")).as("__n"),
+        max(when(col("__rn") === greatest(lit(1L),
+          expr(s"($loPpm * __n + 999999) div 1000000")), col("__c")))
+          .as("__lo"),
+        max(when(col("__rn") ===
+          expr(s"($hiPpm * __n + 999999) div 1000000"), col("__c")))
+          .as("__hi"))
+    v.join(b, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__lo")).cast("long").as("lo"),
+        max(col("__hi")).cast("long").as("hi"),
+        sum(least(greatest(col("__c"), col("__lo")), col("__hi"))
+          .cast("decimal(38,0)")).cast("long").as("sum_wins"),
+        sum(when(col("__c") < col("__lo"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_lo"),
+        sum(when(col("__c") > col("__hi"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_hi"))
+      .select(col("grp").as(groupCol), col("n"), col("lo"), col("hi"),
+        col("sum_wins"), col("n_clip_lo"), col("n_clip_hi"))
+  }
+
   /** Population stability index between two cohorts — the third drift
     * monitor next to [[tokenDriftChi2]] (categorical) and [[ksDrift]]
     * (distribution-free): per pre-binned cell,

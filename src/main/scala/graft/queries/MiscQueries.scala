@@ -1133,7 +1133,48 @@ object MiscQueries {
           AS BIGINT) AS term_micro
       FROM c, tot ORDER BY bin"""))
 
+  /** q180 — winsorized robust statistics
+    * ([[graft.operators.Profile.winsorizedStats]], round 12):
+    * per-priority order values clipped at discrete p05/p95 ranks —
+    * exact cents, exact clip accounting (q157's MAD sibling for the
+    * clip-don't-drop policy).
+    */
+  private val q180 = Q("q180_winsorized_stats",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderkey"))
+      graft.operators.Profile.winsorizedStats(o, "o_orderpriority",
+          "cents", "o_orderkey")
+        .withColumnsRenamed(Map("lo" -> "lo_cents", "hi" -> "hi_cents",
+          "sum_wins" -> "sum_wins_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH v AS (SELECT o_orderpriority AS grp,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+          o_orderkey AS id FROM orders),
+      r AS (SELECT grp, c, id,
+          ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c, id) AS rn,
+          COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
+      b AS (SELECT grp, MAX(n) AS n,
+          MAX(CASE WHEN rn = GREATEST(1,
+            (50000 * n + 999999) // 1000000) THEN c END) AS lo,
+          MAX(CASE WHEN rn = (950000 * n + 999999) // 1000000
+            THEN c END) AS hi
+        FROM r GROUP BY grp)
+      SELECT v.grp AS o_orderpriority, CAST(MAX(b.n) AS BIGINT) AS n,
+        CAST(MAX(b.lo) AS BIGINT) AS lo_cents,
+        CAST(MAX(b.hi) AS BIGINT) AS hi_cents,
+        CAST(SUM(LEAST(GREATEST(v.c, b.lo), b.hi)) AS BIGINT)
+          AS sum_wins_cents,
+        CAST(SUM(CASE WHEN v.c < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clip_lo,
+        CAST(SUM(CASE WHEN v.c > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clip_hi
+      FROM v JOIN b ON v.grp = b.grp GROUP BY v.grp
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168, q169, q170, q174, q175)
+    q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180)
 }

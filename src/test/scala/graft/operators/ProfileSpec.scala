@@ -340,6 +340,28 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats: discrete rank bounds, exact clip accounting") {
+    import spark.implicits._
+    // group g: values 1..10 (ids = values); loPpm/hiPpm = 10%/90%
+    // ranks: lo = ceil(0.1*10)=1 -> 1 ; hi = ceil(0.9*10)=9 -> 9
+    val df = (1L to 10L).map(v => ("g", v, v)).toDF("grp", "v", "id")
+    val got = Profile.winsorizedStats(df, "grp", "v", "id",
+        loPpm = 100000L, hiPpm = 900000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // clipped sum: 1..9 + (10 -> 9) = 45 + 9 = 54; one high clip
+    assert(got == (("g", 10L, 1L, 9L, 54L, 0L, 1L)), got.toString)
+    // n=1 group: lo=hi=the value, nothing clips
+    val one = Seq(("h", 7L, 1L)).toDF("grp", "v", "id")
+    val g1 = Profile.winsorizedStats(one, "grp", "v", "id")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(g1 == (("h", 1L, 7L, 7L, 7L, 0L, 0L)), g1.toString)
+    intercept[IllegalArgumentException] {
+      Profile.winsorizedStats(df, "grp", "v", "id", 900000L, 100000L)
+    }
+  }
+
   test("psiDrift matches a driver-side replay; smoothing covers zeros") {
     import spark.implicits._
     // bins 0..2; group a: 10/5/0, group b: 5/5/5 — bin 2 is one-sided
