@@ -639,6 +639,43 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Simpson diversity of a categorical mix per group — the
+    * probability two random group members share a category,
+    * unbiased (sampling WITHOUT replacement: Σn_i(n_i−1)/(N(N−1))),
+    * and its complement — the ecology-standard concentration pair to
+    * q166's Gini (which is economic, rank-weighted). Exact ppm
+    * integrals in decimal(38,0); a group of ≤ 1 row reports 0/0 (the
+    * index is undefined there, and zeros keep downstream folds
+    * finite). Returns (group, n_rows, n_cats, simpson_ppm,
+    * diversity_ppm).
+    *
+    * Scale: ONE (group, category) count (map-side combined) then a
+    * group-keyed fold over the bounded category frame. No window, no
+    * join.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    df.groupBy(col(groupCol).as("grp"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__n")).as("__nn"),
+        sum(expr(s"CAST(__n AS $D) * (__n - 1)")).as("__num"),
+        count(lit(1)).as("__k"))
+      .select(col("grp").as(groupCol),
+        col("__nn").cast("long").as("n_rows"),
+        col("__k").cast("long").as("n_cats"),
+        when(col("__nn") > 1,
+          expr(s"(CAST(1000000 AS $D) * __num) div " +
+            s"(CAST(__nn AS $D) * (__nn - 1))"))
+          .otherwise(lit(0L)).cast("long").as("simpson_ppm"),
+        when(col("__nn") > 1,
+          expr(s"(CAST(1000000 AS $D) * (CAST(__nn AS $D) " +
+            s"* (__nn - 1) - __num)) div " +
+            s"(CAST(__nn AS $D) * (__nn - 1))"))
+          .otherwise(lit(0L)).cast("long").as("diversity_ppm"))
+  }
+
   /** Per-group winsorized statistics — outlier clipping at rank-based
     * percentile bounds (the robust pre-training normalizer: clip,
     * then compute stats that a single fat-finger value can't drag):

@@ -1174,7 +1174,33 @@ object MiscQueries {
       FROM v JOIN b ON v.grp = b.grp GROUP BY v.grp
       ORDER BY o_orderpriority"""))
 
+  /** q181 — Simpson source-mix diversity per language
+    * ([[graft.operators.Profile.simpsonDiversity]], round 12): the
+    * unbiased two-draw concentration index over each language's
+    * source composition — q166 Gini's ecological sibling, all exact
+    * ppm integrals.
+    */
+  private val q181 = Q("q181_simpson_diversity",
+    (s, dir) =>
+      graft.operators.Profile.simpsonDiversity(
+          t(s, dir, "documents"), "lang", "source")
+        .withColumnsRenamed(Map("n_rows" -> "n_docs",
+          "n_cats" -> "n_sources"))
+        .orderBy(col("lang")),
+    Some("""WITH c AS (SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      g AS (SELECT lang, SUM(n) AS nn, SUM(n * (n - 1)) AS num,
+          COUNT(*) AS k FROM c GROUP BY lang)
+      SELECT lang, CAST(nn AS BIGINT) AS n_docs,
+        CAST(k AS BIGINT) AS n_sources,
+        CAST(CASE WHEN nn > 1 THEN (1000000 * num) // (nn * (nn - 1))
+          ELSE 0 END AS BIGINT) AS simpson_ppm,
+        CAST(CASE WHEN nn > 1 THEN (1000000 * (nn * (nn - 1) - num))
+          // (nn * (nn - 1)) ELSE 0 END AS BIGINT) AS diversity_ppm
+      FROM g ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
-    q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180)
+    q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
+    q181)
 }

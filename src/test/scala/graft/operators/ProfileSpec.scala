@@ -340,6 +340,24 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("simpsonDiversity: exact ppm two-draw probabilities") {
+    import spark.implicits._
+    // g1: 3 of a, 1 of b -> num = 3*2 + 0 = 6; N(N-1) = 12 -> 500000
+    // g2: singleton -> undefined, reports 0/0
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "x")).toDF("grp", "cat")
+    val got = Profile.simpsonDiversity(df, "grp", "cat")
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g1", 4L, 2L, 500000L, 500000L),
+      ("g2", 1L, 1L, 0L, 0L)), got.toString)
+    // uniform mix of k singletons -> simpson 0, diversity 1000000
+    val uni = Seq(("u", "a"), ("u", "b"), ("u", "c")).toDF("grp", "cat")
+    val u = Profile.simpsonDiversity(uni, "grp", "cat")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(u == (("u", 3L, 3L, 0L, 1000000L)), u.toString)
+  }
+
   test("winsorizedStats: discrete rank bounds, exact clip accounting") {
     import spark.implicits._
     // group g: values 1..10 (ids = values); loPpm/hiPpm = 10%/90%
