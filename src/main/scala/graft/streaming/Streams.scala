@@ -562,6 +562,51 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming write expectations — the
+    * [[graft.operators.Expectations]] admission gate over a stream:
+    * each micro-batch splits on the declared rules; admissible rows
+    * land in `table`, violating rows (with the joined `__violations`
+    * string) in `quarantine`, BOTH through the exactly-once
+    * (streamId, batchId) fence, so a crash-replayed batch can
+    * neither double-admit nor double-quarantine (the quarantine
+    * fence rides its own stream token `<streamId>#q`). Rules are
+    * row-local (stateless), so the union of all micro-batch splits
+    * is EXACTLY the batch split of the union — the differential spec
+    * pins stream ≡ batch. Admission commits before quarantine within
+    * a batch (the batch form's ordering contract: a crash between
+    * the two loses only quarantine rows, never admits a bad row).
+    */
+  def expectIngestExactlyOnce(df: DataFrame,
+                              store: graft.sources.TableStore,
+                              table: String, quarantine: String,
+                              rules: Seq[graft.operators.Expectations.Rule],
+                              streamId: String,
+                              checkpointDir: String,
+                              partitionBy: Seq[String] = Nil): Unit = {
+    import graft.operators.Expectations
+    require(!streamId.contains('#'),
+      s"streamId must not contain '#' (reserved), got $streamId")
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ann = Expectations.annotate(batch, rules)
+        val good = ann.filter(size(col("__violations")) === 0)
+          .drop("__violations")
+        val bad = ann.filter(size(col("__violations")) > 0)
+          .withColumn("__violations",
+            org.apache.spark.sql.functions
+              .array_join(col("__violations"), ","))
+        store.appendExactlyOnce(table, good, streamId, batchId,
+          partitionBy)
+        store.appendExactlyOnce(quarantine, bad, s"$streamId#q",
+          batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC upsert — stream → [[graft.sources.TableStore.merge]]
     * with the EXACTLY-ONCE (streamId, batchId) fence riding each
     * merge's own commit CAS: a crash between the table commit and the

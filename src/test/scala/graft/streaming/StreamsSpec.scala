@@ -254,6 +254,60 @@ class StreamsSpec extends SparkSpec {
   }
 
 
+  test("expectIngestExactlyOnce: stream split == batch split; replays skip") {
+    import graft.sources.TableStore
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val in = Files.createTempDirectory("graft_exp_in").toString
+    val ckpt = Files.createTempDirectory("graft_exp_ckpt").toString
+    val store =
+      new TableStore(spark, Files.createTempDirectory("graft_exp").toString)
+    val sch = StructType.fromDDL("id long, lang string, n long")
+    val rules = Seq(Rule("n_min", col("n") >= 100L),
+      Rule("lang_ok", col("lang").isin("en", "fr")))
+    writeBatch(in, "b1.json", Seq(
+      """{"id":1,"lang":"en","n":200}""",
+      """{"id":2,"lang":"zh","n":200}"""))
+    def run(): Unit = Streams.expectIngestExactlyOnce(
+      Streams.jsonStream(spark, sch, in), store, "docs", "docs_bad",
+      rules, "ing", ckpt)
+    run()
+    writeBatch(in, "b2.json", Seq(
+      """{"id":3,"lang":"en","n":5}""",
+      """{"id":4,"lang":"fr","n":300}"""))
+    run()
+    // drained restart: nothing duplicates
+    run()
+    assert(store.read("docs").select($"id").as[Long].collect().toSet
+      == Set(1L, 4L))
+    val bad = store.read("docs_bad")
+      .select($"id", $"__violations").as[(Long, String)]
+      .collect().toMap
+    assert(bad == Map(2L -> "lang_ok", 3L -> "n_min"), bad.toString)
+    // differential: the batch split of the union produces the same
+    // routing (rules are stateless/row-local)
+    val union = Seq((1L, "en", 200L), (2L, "zh", 200L),
+      (3L, "en", 5L), (4L, "fr", 300L)).toDF("id", "lang", "n")
+    val store2 =
+      new TableStore(spark, Files.createTempDirectory("graft_exp2").toString)
+    Expectations.appendExpect(store2, "docs", "docs_bad", union, rules)
+    assert(store2.read("docs").select($"id").as[Long].collect().toSet
+      == store.read("docs").select($"id").as[Long].collect().toSet)
+    assert(store2.read("docs_bad")
+      .select($"id", $"__violations").as[(Long, String)]
+      .collect().toMap == bad)
+    // fence replay: both streams' fences reject redelivery
+    (0L to store.lastTxn("docs", "ing")).foreach { b =>
+      assert(!store.appendExactlyOnce("docs",
+        Seq((99L, "en", 999L)).toDF("id", "lang", "n"), "ing", b))
+    }
+    intercept[IllegalArgumentException] {
+      Streams.expectIngestExactlyOnce(
+        Streams.jsonStream(spark, sch, in), store, "x", "xq",
+        rules, "bad#id", ckpt)
+    }
+  }
+
   test("mergeStreamExactlyOnce: CDC upsert folds batches once, replays skipped") {
     import graft.sources.TableStore
     val in = Files.createTempDirectory("graft_cdc_in").toString
