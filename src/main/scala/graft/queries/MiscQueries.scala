@@ -1199,8 +1199,45 @@ object MiscQueries {
           // (nn * (nn - 1)) ELSE 0 END AS BIGINT) AS diversity_ppm
       FROM g ORDER BY lang"""))
 
+  /** q182 — market-basket association rules
+    * ([[graft.operators.Basket.associationRules]], round 12): brand
+    * co-occurrence within orders — exact support / confidence / lift
+    * integrals, min-support pruned, lift-ranked top 25.
+    */
+  private val q182 = Q("q182_association_rules",
+    (s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Basket.associationRules(baskets, "l_orderkey",
+          "p_brand", minSupport = 20L, k = 25)
+        .orderBy(col("lift_ppm").desc, col("antecedent"),
+          col("consequent"))
+    },
+    Some("""WITH items AS (SELECT DISTINCT l.l_orderkey AS o,
+          p.p_brand AS i
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+      sup AS (SELECT i, COUNT(*) AS n_i FROM items GROUP BY i),
+      pairs AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.i <> b.i
+        GROUP BY a.i, b.i),
+      r AS (SELECT ia, ib, n_ab, sa.n_i AS n_a, sb.n_i AS n_b
+        FROM pairs JOIN sup sa ON pairs.ia = sa.i
+          JOIN sup sb ON pairs.ib = sb.i)
+      SELECT ia AS antecedent, ib AS consequent,
+        CAST(n_ab AS BIGINT) AS n_both,
+        CAST((1000000 * n_ab) // n_a AS BIGINT) AS conf_ppm,
+        CAST((1000000 * n_ab * (SELECT n FROM nb)) // (n_a * n_b)
+          AS BIGINT) AS lift_ppm
+      FROM r WHERE n_ab >= 20
+      QUALIFY ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, antecedent,
+        consequent) <= 25
+      ORDER BY lift_ppm DESC, antecedent, consequent"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181)
+    q181, q182)
 }
