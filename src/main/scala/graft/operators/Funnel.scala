@@ -134,6 +134,52 @@ object Funnel {
           .cast("long").as("p_ppm"))
   }
 
+  /** Revenue attribution — credit each conversion's value to an
+    * acquisition channel under the two standard single-touch models:
+    * FIRST-touch (the type of the user's first event ever) and
+    * LAST-touch (the type of the user's latest NON-conversion event
+    * strictly before the conversion; a conversion with no prior
+    * touch credits the `[NONE]` sentinel). Values are exact integer
+    * units (pass cents); ties on the timestamp break on the event id
+    * (the q43 convention). Returns (model, channel, n_purchases,
+    * sum_cents), one row per model × channel.
+    *
+    * Scale: ONE user-partitioned window pass computes both lookups
+    * (first_value, and ignore-nulls last over the strictly-before
+    * frame — no self-join, no as-of shuffle), then a bounded
+    * (model × channel) aggregate with map-side partials. A mega-user
+    * costs one sort run — the q67 stitch escape applies.
+    */
+  def attribution(events: DataFrame, userCol: String,
+                  tsMicrosCol: String, idCol: String, typeCol: String,
+                  centsCol: String,
+                  conversionType: String = "purchase"): DataFrame = {
+    require(conversionType.nonEmpty, "conversionType must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy(col("__t"), col("__id"))
+    val before = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val p = events.select(col(userCol).as("__u"),
+        col(typeCol).as("__ty"),
+        col(tsMicrosCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__id"),
+        col(centsCol).cast("long").as("__c"))
+      .withColumn("__first", first(col("__ty")).over(w))
+      .withColumn("__last",
+        last(when(col("__ty") =!= conversionType, col("__ty")),
+          ignoreNulls = true).over(before))
+      .filter(col("__ty") === conversionType)
+    p.select(lit("first").as("model"), col("__first").as("channel"),
+        col("__c"))
+      .unionByName(p.select(lit("last").as("model"),
+        coalesce(col("__last"), lit("[NONE]")).as("channel"),
+        col("__c")))
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_purchases"),
+        sum(col("__c")).cast("long").as("sum_cents"))
+  }
+
   /** Engagement stickiness — per day: DAU (distinct active users),
     * trailing-`horizon`-day MAU (distinct users active in
     * [d−horizon+1, d]) and the DAU/MAU ratio as exact ppm

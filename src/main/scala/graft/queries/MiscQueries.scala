@@ -1236,8 +1236,45 @@ object MiscQueries {
         consequent) <= 25
       ORDER BY lift_ppm DESC, antecedent, consequent"""))
 
+  /** q183 — first/last-touch revenue attribution
+    * ([[graft.operators.Funnel.attribution]], round 12): purchase
+    * cents credited to acquisition channels under both single-touch
+    * models in one window pass — exact integers end to end.
+    */
+  private val q183 = Q("q183_attribution",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Funnel.attribution(e, "user_id", "t_us",
+          "event_id", "event_type", "cents")
+        .orderBy(col("model"), col("channel"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      w AS (SELECT user_id, event_type, cents,
+          FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+            ORDER BY t, event_id) AS first_ch,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase'
+              THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_ch
+        FROM e),
+      p AS (SELECT * FROM w WHERE event_type = 'purchase')
+      SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM (
+        SELECT 'first' AS model, first_ch AS channel, cents FROM p
+        UNION ALL
+        SELECT 'last', COALESCE(last_ch, '[NONE]'), cents FROM p)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182)
+    q181, q182, q183)
 }

@@ -153,6 +153,30 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("attribution: first/last-touch crediting, [NONE] sentinel") {
+    // u1: view -> click -> purchase(50) ; first=view last=click
+    // u2: purchase(30) with no prior touch ; first=purchase last=[NONE]
+    // u3: click -> purchase(20) -> purchase(10): second purchase's
+    //     last touch is still click (purchases never self-credit)
+    val ev = Seq(
+      (1L, "view", 10L, 1L, 0L), (1L, "click", 20L, 2L, 0L),
+      (1L, "purchase", 30L, 3L, 50L),
+      (2L, "purchase", 10L, 10L, 30L),
+      (3L, "click", 10L, 20L, 0L), (3L, "purchase", 20L, 21L, 20L),
+      (3L, "purchase", 30L, 22L, 10L)
+    ).toDF("u", "ty", "t", "id", "cents")
+    val got = Funnel.attribution(ev, "u", "t", "id", "ty", "cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("first", "view", 1L, 50L), ("first", "purchase", 1L, 30L),
+      ("first", "click", 2L, 30L),
+      ("last", "click", 3L, 80L), ("last", "[NONE]", 1L, 30L)),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.attribution(ev, "u", "t", "id", "ty", "cents", "")
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
