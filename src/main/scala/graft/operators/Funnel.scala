@@ -134,6 +134,52 @@ object Funnel {
           .cast("long").as("p_ppm"))
   }
 
+  /** Conversion-latency percentiles — how long converting users take:
+    * for every step ≥ 2 of a [[completions]] funnel, the distribution
+    * of (step-k binding time − step-1 binding time) per converted
+    * user, reported as DISCRETE rank quantiles (the q47 convention —
+    * the value at rank ⌈ppm·n/10⁶⌉ of the tie-free (delta, user)
+    * order, never interpolated). Returns
+    * (step, event_type, n_users, p50_us, p90_us).
+    *
+    * Scale: completions is the audited funnel shape (user-keyed
+    * joins, ≤ one row per user per step); the latency frame is one
+    * user-keyed join of two bounded per-user frames, and the
+    * quantile windows partition by STEP over at most |users| rows
+    * per step — the exact audit form (GK sketches swap in at
+    * billions of conversions, the q157 escape).
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+                        tsMicrosCol: String, idCol: String,
+                        typeCol: String, steps: Seq[String],
+                        maxSpanMicros: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"latency needs >= 2 steps, got $steps")
+    val c = completions(events, userCol, tsMicrosCol, idCol, typeCol,
+      steps, maxSpanMicros)
+    val t1 = c.filter(col("step") === 1L)
+      .select(col(userCol).as("__u"), col("t").as("__t1"))
+    val d = c.filter(col("step") > 1L)
+      .select(col(userCol).as("__u"), col("step"), col("event_type"),
+        col("t"))
+      .join(t1, Seq("__u"))
+      .select(col("step"), col("event_type"), col("__u"),
+        (col("t") - col("__t1")).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("step"))
+      .orderBy(col("__d"), col("__u"))
+    def atRank(ppm: Long) =
+      max(when(col("__rn") === greatest(lit(1L),
+        expr(s"($ppm * __n + 999999) div 1000000")), col("__d")))
+    d.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("step"))))
+      .groupBy(col("step"), col("event_type"))
+      .agg(max(col("__n")).cast("long").as("n_users"),
+        atRank(500000L).cast("long").as("p50_us"),
+        atRank(900000L).cast("long").as("p90_us"))
+  }
+
   /** Revenue attribution — credit each conversion's value to an
     * acquisition channel under the two standard single-touch models:
     * FIRST-touch (the type of the user's first event ever) and

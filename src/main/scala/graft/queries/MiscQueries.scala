@@ -1273,8 +1273,67 @@ object MiscQueries {
         SELECT 'last', COALESCE(last_ch, '[NONE]'), cents FROM p)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q184 — funnel conversion-latency percentiles
+    * ([[graft.operators.Funnel.conversionLatency]], round 12):
+    * discrete p50/p90 of time-from-first-step for the q158 funnel's
+    * converting users — exact epoch-micros deltas, rank quantiles.
+    */
+  private val q184 = Q("q184_funnel_latency",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.conversionLatency(e, "user_id", "t_us",
+          "event_id", "event_type",
+          Seq("view", "click", "purchase"),
+          maxSpanMicros = Some(24L * 3600 * 1000000))
+        .orderBy(col("step"))
+    },
+    Some {
+      val span = 24L * 3600 * 1000000
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+        s1 AS (SELECT user_id,
+            MIN(struct_pack(t := t, id := event_id)) AS k1
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k2,
+            MIN((s1.k1).t) AS t0
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND struct_pack(t := e.t, id := e.event_id) > s1.k1
+            AND e.t - (s1.k1).t <= $span
+          GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k3,
+            MIN(s2.t0) AS t0
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND struct_pack(t := e.t, id := e.event_id) > s2.k2
+            AND e.t - s2.t0 <= $span
+          GROUP BY e.user_id),
+        d AS (SELECT 2 AS step, 'click' AS event_type, user_id,
+            (k2).t - t0 AS delta FROM s2
+          UNION ALL SELECT 3, 'purchase', user_id, (k3).t - t0 FROM s3),
+        r AS (SELECT step, event_type, delta,
+            ROW_NUMBER() OVER (PARTITION BY step
+              ORDER BY delta, user_id) AS rn,
+            COUNT(*) OVER (PARTITION BY step) AS n FROM d)
+        SELECT CAST(step AS BIGINT) AS step, MAX(event_type)
+            AS event_type,
+          CAST(MAX(n) AS BIGINT) AS n_users,
+          CAST(MAX(CASE WHEN rn = GREATEST(1,
+            (500000 * n + 999999) // 1000000) THEN delta END)
+            AS BIGINT) AS p50_us,
+          CAST(MAX(CASE WHEN rn = GREATEST(1,
+            (900000 * n + 999999) // 1000000) THEN delta END)
+            AS BIGINT) AS p90_us
+        FROM r GROUP BY step ORDER BY step"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183)
+    q181, q182, q183, q184)
 }

@@ -177,6 +177,24 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("conversionLatency: deltas vs first-step binding, rank quantiles") {
+    // A->B funnel; deltas: u1 = 100, u2 = 300, u3 = 200
+    val ev = Seq(
+      (1L, "A", 0L, 1L), (1L, "B", 100L, 2L),
+      (2L, "A", 0L, 3L), (2L, "B", 300L, 4L),
+      (3L, "A", 0L, 5L), (3L, "B", 200L, 6L),
+      (4L, "A", 0L, 7L) // never converts: no latency row
+    ).toDF("u", "ty", "t", "id")
+    val got = Funnel.conversionLatency(ev, "u", "t", "id", "ty",
+        Seq("A", "B"))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // n=3: p50 rank ceil(1.5)=2 -> 200 ; p90 rank ceil(2.7)=3 -> 300
+    assert(got == Seq((2L, "B", 3L, 200L, 300L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.conversionLatency(ev, "u", "t", "id", "ty", Seq("A"))
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
