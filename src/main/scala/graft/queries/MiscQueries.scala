@@ -1332,8 +1332,32 @@ object MiscQueries {
         FROM r GROUP BY step ORDER BY step"""
     })
 
+  /** q185 — CUBE subtotals (round 12): the full 2^d grouping lattice
+    * over (lang, source) — q161 ROLLUP's sibling surface, ONE Expand
+    * + one aggregate exchange (plan-spec in OperatorsSpec). The
+    * `[ALL]` sentinel renders the aggregated-out dimension on both
+    * engines (this data holds no NULL/'[ALL]' lang or source — the
+    * sentinel cannot collide).
+    */
+  private val q185 = Q("q185_cube_subtotals",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(coalesce(col("lang"), lit("[ALL]")).as("lang"),
+          coalesce(col("source"), lit("[ALL]")).as("source"),
+          col("n"), col("sum_chars"))
+        .orderBy(col("lang"), col("source")),
+    Some("""SELECT COALESCE(lang, '[ALL]') AS lang,
+        COALESCE(source, '[ALL]') AS source,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY CUBE (lang, source)
+      ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184)
+    q181, q182, q183, q184, q185)
 }

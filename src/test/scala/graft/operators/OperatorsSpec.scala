@@ -140,6 +140,17 @@ class LimitSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"no per-level re-scan union:\n$plan")
   }
 
+  test("cube is one Expand + one aggregate pass (q185's shape)") {
+    val q = graft.queries.Registry
+      .queries("q185_cube_subtotals")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size >= 1,
+      s"cube must Expand, not re-scan per lattice cell:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one aggregate exchange:\n$plan")
+    assert(!plan.contains("Union"), s"no per-cell re-scan union:\n$plan")
+  }
+
   test("pivot with explicit values runs without a discovery pass") {
     val q = graft.queries.Registry
       .queries("q162_pivot_events")(spark, "/root/testdata/sf0.001")
