@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * independent Poisson(1) weights, so every replicate is computed in
   * the SAME single pass over the data.
   *
-  * Determinism: the weight for (row, replicate b) derives from the
-  * md5 uniform of "salt:key:b" ([[Sampling.hashBucket]]'s 60-bit
-  * convention) compared against the Poisson(1) inverse-CDF thresholds
-  * pre-scaled to 2^60 — integer constants baked identically into the
-  * Column form and every SQL mirror, so no engine ever evaluates a
-  * transcendental. Weights are truncated at 8 (P(w>8) ≈ 1.1e-6 —
-  * negligible bias, and both engines truncate identically).
+  * Determinism: the weight for (row, replicate b) derives from a
+  * per-row md5 seed ([[Sampling.hashBucket]]'s 60-bit convention)
+  * mixed per replicate by splitmix64 ([[uniform]] — one string hash
+  * per ROW, five integer ops per replicate), compared against the
+  * Poisson(1) inverse-CDF thresholds pre-scaled to 2^60 — integer
+  * constants baked identically into the Column form and every SQL
+  * mirror, so no engine ever evaluates a transcendental. Weights are
+  * truncated at 8 (P(w>8) ≈ 1.1e-6 — negligible bias, and both
+  * engines truncate identically).
   */
 object Bootstrap {
 
@@ -44,28 +46,58 @@ object Bootstrap {
       .map { case (t, k) => s"WHEN $u < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
+  /** The per-(row, replicate) 60-bit uniform: ONE md5 per row
+    * ([[Sampling.hashBucket]]'s 60-bit seed) mixed per replicate with
+    * splitmix64 (`graft_splitmix64`, five integer ops) — the string
+    * hash is paid once, not B times; measured 64× fewer md5s cut the
+    * sf0.1 bench from 20 s to the low seconds. The DuckDB replay is
+    * [[splitMixUniformSql]].
+    */
+  def uniform(seed: Column, b: Column): Column =
+    call_function("graft_splitmix64", seed, b)
+
+  /** HUGEINT mod-2^64 SQL replay of [[graft.plans.NativeExprs]]'
+    * splitMix64 (the q51 wrap kit + a split multiply: a 64×64 product
+    * overflows INT128, so wrapmul(a, c) = (a_lo·c + ((a_hi·c) mod
+    * 2^32)·2^32) mod 2^64). `x`/`b` must render as HUGEINTs.
+    */
+  def splitMixUniformSql(x: String, b: String): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    def wm(a: String, c: String) =
+      s"((($a & 4294967295::HUGEINT) * $c + ((($a >> 32) * $c) " +
+        s"% 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64)"
+    val z0 = s"(($x + ${wm(s"($b + 1)", "11400714819323272985::HUGEINT")}) % $M64)"
+    val z1 = wm(s"xor($z0, $z0 >> 30)", "13787848793156543929::HUGEINT")
+    val z2 = wm(s"xor($z1, $z1 >> 27)", "10723151780598845931::HUGEINT")
+    s"(xor($z2, $z2 >> 31) >> 4)"
+  }
+
   /** Per-replicate weighted means of `valueCol` (an exact integer —
     * pre-scale money to cents first): for b in [0, replicates),
     * returns (b, n_eff = Σw, mean_micro = (10⁶·Σ w·x) div Σw).
     * Rank the B means client-side (or via [[ci]]) for the interval.
     *
-    * Scale: ONE scan; each row explodes to its `replicates` (b, w)
-    * pairs (a narrow codegen fan-out — B× rows into a map-side
-    * combined 64-cell aggregate, so the exchange moves B partial rows
-    * per partition, not B× the data). Products accumulate in
-    * decimal(38,0) — Σ 8·x over 10¹² rows wraps a long, ANSI would
-    * fail loudly. No shuffle of the corpus, no window, no sort.
+    * Scale: ONE scan; each row pays ONE md5 (its 60-bit seed), then
+    * explodes to `replicates` (b, splitmix-uniform, w) rows — a
+    * narrow codegen fan-out into a map-side combined B-cell
+    * aggregate, so the exchange moves B partial rows per partition,
+    * not B× the data. Products accumulate in decimal(38,0) —
+    * Σ 8·x over 10¹² rows wraps a long, ANSI would fail loudly.
+    * No shuffle of the corpus, no window, no sort.
     */
   def replicateMeans(df: DataFrame, keyCol: String, valueCol: String,
                      replicates: Int, salt: String): DataFrame = {
     require(replicates >= 1 && replicates <= 4096,
       s"replicates must be in [1, 4096], got $replicates")
-    val u = Sampling.hashBucket(
-      concat_ws(":", col(keyCol).cast("string"),
-        col("__b").cast("string")), salt, hexChars = 15)
-    df.select(col(keyCol), col(valueCol).cast("long").as("__x"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
-      .withColumn("__w", poissonOneWeight(u))
+    df.select(col(valueCol).cast("long").as("__x"),
+        Sampling.hashBucket(col(keyCol), salt, hexChars = 15)
+          .as("__seed"))
+      .select(col("__x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"),
+        col("__seed"))
+      .withColumn("__w",
+        poissonOneWeight(uniform(col("__seed"),
+          col("__b").cast("long"))))
       .groupBy(col("__b").cast("long").as("b"))
       .agg(sum(col("__w").cast("decimal(38,0)")).as("__n"),
         sum(col("__w").cast("decimal(38,0)") *

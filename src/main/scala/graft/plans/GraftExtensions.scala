@@ -33,6 +33,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => SimHashMd5Expr(c(0))),
     (FunctionIdentifier("graft_rolling_hash"), info("graft_rolling_hash"),
       (c: Seq[Expression]) => RollingHashExpr(c(0))),
+    (FunctionIdentifier("graft_splitmix64"), info("graft_splitmix64"),
+      (c: Seq[Expression]) => SplitMix64Expr(c(0), c(1))),
     (FunctionIdentifier("graft_canonical_url"), info("graft_canonical_url"),
       (c: Seq[Expression]) => CanonicalUrlExpr(c(0))),
     (FunctionIdentifier("graft_nfc"), info("graft_nfc"),

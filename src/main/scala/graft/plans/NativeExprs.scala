@@ -181,6 +181,21 @@ object NativeKernels extends Serializable {
     v
   }
 
+  /** See [[SplitMix64Expr]]. Java's wrapping two's-complement ops ARE
+    * the mod-2^64 arithmetic of the reference (Vigna/Steele splitmix64,
+    * gamma 0x9E3779B97F4B9F19); `>>>` is the unsigned shift the C
+    * reference uses; the final `>>> 4` returns the TOP 60 bits as a
+    * non-negative long — the [[graft.operators.Sampling.hashBucket]]
+    * 60-bit uniform convention.
+    */
+  def splitMix64(x: Long, b: Long): Long = {
+    var z = x + (b + 1L) * 0x9E3779B97F4B9F19L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z >>> 4
+  }
+
   /** See [[HashEmbeddingExpr]]. */
   def hashEmbedding(s: UTF8String, dim: Int): ArrayData = {
     val h1 = XxHash64Function.hash(s, StringType, 42L)
@@ -614,6 +629,42 @@ case class RollingHashExpr(child: Expression)
 
   override protected def withNewChildInternal(n: Expression): RollingHashExpr =
     copy(child = n)
+}
+
+/** Per-(seed, stream) 60-bit uniform via splitmix64 — the cheap
+  * integer mixer that lets hash-per-(row, replicate) families (the
+  * Poisson bootstrap) pay ONE md5 per row and derive every replicate's
+  * uniform with five integer ops instead of a fresh string hash.
+  * Wrapping 64-bit arithmetic — must be a native kernel (ANSI mode
+  * errors on composed Column overflow, the RollingHashExpr rule); the
+  * DuckDB replay is HUGEINT mod-2^64 with the split-multiply
+  * decomposition ([[graft.operators.Bootstrap.splitMixUniformSql]]).
+  */
+case class SplitMix64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_splitmix64"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_splitmix64 needs (bigint, bigint), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(x: Any, b: Any): Any =
+    NativeKernels.splitMix64(x.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = NativeKernels.ref(ctx)
+    defineCodeGen(ctx, ev, (x, b) => s"$kernel.splitMix64($x, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SplitMix64Expr = copy(l, r)
 }
 
 /** Deterministic hash-embedding (the U5 stub) as one pass: element i =

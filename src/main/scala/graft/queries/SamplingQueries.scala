@@ -660,14 +660,16 @@ object SamplingQueries {
         .orderBy(col("b"))
     },
     Some {
-      val h = hashSql("boot",
-        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
-      s"""WITH rows_b AS (SELECT o_orderkey,
-          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, g.b
-        FROM orders,
+      val h = hashSql("boot", "o_orderkey")
+      val u = graft.operators.Bootstrap.splitMixUniformSql(
+        "CAST(seed AS HUGEINT)", "CAST(b AS HUGEINT)")
+      s"""WITH r AS (SELECT o_orderkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, $h AS h
+        FROM orders),
+      sd AS (SELECT x, ${bucketSql15("h")} AS seed FROM r),
+      rows_b AS (SELECT x, seed, g.b FROM sd,
           (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g),
-      h AS (SELECT x, b, $h AS h FROM rows_b),
-      u AS (SELECT x, b, ${bucketSql15("h")} AS u FROM h),
+      u AS (SELECT x, b, CAST($u AS BIGINT) AS u FROM rows_b),
       w AS (SELECT x, b,
           ${graft.operators.Bootstrap.poissonOneWeightSql("u")} AS w
         FROM u)

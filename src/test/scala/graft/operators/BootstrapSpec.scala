@@ -30,9 +30,16 @@ class BootstrapSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     val md = java.security.MessageDigest.getInstance("MD5")
     def u(key: Long, b: Int): Long = {
-      val hex = md.digest(s"s:$key:$b".getBytes("UTF-8"))
+      val hex = md.digest(s"s:$key".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
+      val seed = java.lang.Long.parseLong(hex.take(15), 16)
+      // independent splitmix64 replay (the reference recurrence),
+      // NOT a call into the kernel under test
+      var z = seed + (b + 1L) * 0x9E3779B97F4B9F19L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      z >>> 4
     }
     def w(uu: Long): Long =
       Bootstrap.PoissonOneThresholds.count(_ <= uu).toLong
