@@ -678,6 +678,45 @@ object SamplingQueries {
       FROM w GROUP BY b ORDER BY b"""
     })
 
+  /** q186 — the bootstrap percentile interval itself
+    * ([[graft.operators.Bootstrap.ci]], round 12): the 95% rank-based
+    * CI over q171's 64 replicate means — one audit row
+    * (n_replicates, lo_micro, hi_micro); the oracle replays the whole
+    * replicate chain then the discrete rank cut.
+    */
+  private val q186 = Q("q186_bootstrap_ci",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val means = graft.operators.Bootstrap.replicateMeans(o,
+        "o_orderkey", "cents", replicates = 64, salt = "boot")
+      graft.operators.Bootstrap.ci(means, alpha = 0.025)
+    },
+    Some {
+      val h = hashSql("boot", "o_orderkey")
+      val u = graft.operators.Bootstrap.splitMixUniformSql(
+        "CAST(seed AS HUGEINT)", "CAST(b AS HUGEINT)")
+      // loRk = max(1, ceil(0.025*64)) = 2 ; hiRk = ceil(0.975*64) = 63
+      s"""WITH r AS (SELECT o_orderkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, $h AS h
+        FROM orders),
+      sd AS (SELECT x, ${bucketSql15("h")} AS seed FROM r),
+      rows_b AS (SELECT x, seed, g.b FROM sd,
+          (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g),
+      u AS (SELECT x, b, CAST($u AS BIGINT) AS u FROM rows_b),
+      w AS (SELECT x, b,
+          ${graft.operators.Bootstrap.poissonOneWeightSql("u")} AS w
+        FROM u),
+      m AS (SELECT b, CAST((1000000 * SUM(w * x)) // SUM(w) AS BIGINT)
+          AS mean_micro FROM w GROUP BY b),
+      rk AS (SELECT mean_micro, ROW_NUMBER() OVER
+          (ORDER BY mean_micro, b) AS rn FROM m)
+      SELECT CAST(64 AS BIGINT) AS n_replicates,
+        CAST(MIN(mean_micro) AS BIGINT) AS lo_micro,
+        CAST(MAX(mean_micro) AS BIGINT) AS hi_micro
+      FROM rk WHERE rn = 2 OR rn = 63"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150, q165, q171)
+    q87, q92, q134, q146, q150, q165, q171, q186)
 }
