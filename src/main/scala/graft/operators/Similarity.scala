@@ -195,6 +195,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
 
+  /** [[hardNegatives]]' corpus-scale serving path: the label
+    * inequality riding [[ivfTopK]]'s probed inverted lists — the
+    * anchor probes its `nprobe` best coarse cells, candidates come
+    * only from those cells, same-label candidates are dropped BEFORE
+    * the exact rerank. Identical probe/assignment plan to q31's
+    * audited IVF shape plus two bounded label joins on the CANDIDATE
+    * frame (probe-bounded, never corpus-wide). Recall contract
+    * matches IVF's: a true hard negative in an unprobed cell is
+    * missed — raise `nprobe` to trade cost for recall (the q126
+    * recall gate measures exactly this family).
+    */
+  def hardNegativesIvf(anchors: DataFrame, corpus: DataFrame,
+                       qidCol: String, idCol: String, vecCol: String,
+                       labelCol: String, k: Int,
+                       centroidEvery: Int = 32,
+                       nprobe: Int = 3): DataFrame = {
+    val q = anchors.filter(col(labelCol).isNotNull)
+    val c = corpus.filter(col(labelCol).isNotNull)
+    val cents = c
+      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    val qv = q.select(col(qidCol).as("qid"), col(vecCol).as("qid_v"))
+    val cv = c.select(col(idCol).as("nid"), col(vecCol).as("nid_v"))
+    val corpusAssigned = assignToCentroids(cv, "nid", cents)
+    val queryProbes = TopK.perGroup(centroidScores(qv, "qid", cents),
+      Seq(col("qid")), Seq(col("csim").desc, col("cent_id")), nprobe)
+      .select(col("qid"), col("cent_id"))
+    val candIds = corpusAssigned
+      .join(broadcast(queryProbes), Seq("cent_id"))
+      .select(col("qid"), col("nid")).distinct()
+    val ql = q.select(col(qidCol).as("qid"), col(labelCol).as("__ql"))
+    val nl = c.select(col(idCol).as("nid"), col(labelCol).as("__nl"))
+    val filtered = candIds
+      .join(broadcast(ql), Seq("qid"))
+      .join(nl, Seq("nid"))
+      .filter(col("__nl") =!= col("__ql"))
+      .select(col("qid"), col("nid"))
+    rankCandidates(filtered, cv, qv, k)
+  }
+
   /** Int8-quantized maximum-inner-product top-k — the serving-scale
     * memory path: 4× smaller vectors than float32 (the quantized corpus
     * column is `array<tinyint>` + one double scale per vector), and the

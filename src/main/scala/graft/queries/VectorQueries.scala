@@ -1033,7 +1033,61 @@ object VectorQueries {
       SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
       ORDER BY qid, rk"""))
 
+  /** q187 — hard negatives SERVED through IVF probes
+    * ([[graft.operators.Similarity.hardNegativesIvf]], round 12):
+    * q178's label screen riding q31's audited probe/assignment plan —
+    * candidates only from the anchor's probed cells, same-label drops
+    * before the exact rerank.
+    */
+  private val q187 = Q("q187_hard_negatives_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegativesIvf(
+          anchors = e.filter(col("vec_id") < 5),
+          corpus = e, qidCol = "vec_id", idCol = "vec_id",
+          vecCol = "embedding", labelCol = "label", k = 10,
+          centroidEvery = 16, nprobe = 8)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv,
+          label FROM embeddings WHERE label IS NOT NULL),
+      c AS (SELECT vec_id AS cent_id, vv AS cv FROM v
+        WHERE vec_id % 16 = 0),
+      scored AS (SELECT v.vec_id, c.cent_id,
+          (list_dot_product(v.vv, c.cv) /
+            (SQRT(list_dot_product(v.vv, v.vv)) *
+             SQRT(list_dot_product(c.cv, c.cv)))) AS csim
+        FROM v CROSS JOIN c),
+      ranked_assign AS (SELECT vec_id, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cent_id) AS ark
+        FROM scored WHERE csim IS NOT NULL),
+      corpus_assign AS (SELECT vec_id AS nid, cent_id
+        FROM ranked_assign WHERE ark = 1),
+      qprobes AS (SELECT vec_id AS qid, cent_id FROM ranked_assign
+        WHERE vec_id < 5 AND ark <= 8),
+      cand AS (SELECT DISTINCT q.qid, ca.nid
+        FROM corpus_assign ca JOIN qprobes q ON ca.cent_id = q.cent_id),
+      lab AS (SELECT cand.qid, cand.nid FROM cand
+        JOIN v qv ON qv.vec_id = cand.qid
+        JOIN v nv ON nv.vec_id = cand.nid
+        WHERE nv.label <> qv.label),
+      simsc AS (SELECT lab.qid, lab.nid,
+          (list_dot_product(qv.vv, nv.vv) /
+            (SQRT(list_dot_product(qv.vv, qv.vv)) *
+             SQRT(list_dot_product(nv.vv, nv.vv)))) AS sim
+        FROM lab
+        JOIN v nv ON nv.vec_id = lab.nid
+        JOIN v qv ON qv.vec_id = lab.qid),
+      ranked AS (SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, nid) AS rk
+        FROM simsc WHERE sim IS NOT NULL)
+      SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
+      ORDER BY qid, rk"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119, q126, q128, q178)
+      q102, q103, q104, q105, q119, q126, q128, q178, q187)
 }

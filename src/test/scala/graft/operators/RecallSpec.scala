@@ -71,6 +71,26 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.7, f"PQ recall $r%.3f below target 0.7")
   }
 
+  test("hardNegativesIvf: recall@10 >= 0.8 vs exact label-filtered brute") {
+    // labels = id % 10 on the structured fixture; anchors = first 10
+    val lab = emb.withColumn("label",
+      org.apache.spark.sql.functions.pmod($"vec_id", org.apache.spark
+        .sql.functions.lit(10)).cast("int"))
+    val anchors = lab.filter($"vec_id" < 10)
+    val exact = pairs(Similarity.hardNegatives(anchors, lab, "vec_id",
+      "vec_id", "embedding", "label", k = 10))
+    val served = pairs(Similarity.hardNegativesIvf(anchors, lab,
+      "vec_id", "vec_id", "embedding", "label", k = 10,
+      centroidEvery = 16, nprobe = 8))
+    // probe-bounded candidates: same-label never appears at all
+    val labels = lab.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    assert(served.forall { case (q, n) => labels(q) != labels(n) })
+    val r = recall(served, exact)
+    info(f"hardNegativesIvf recall@10 (nprobe=8) = $r%.3f")
+    assert(r >= 0.8, f"IVF hard-negative recall $r%.3f below 0.8")
+  }
+
   test("hardNegatives: same-label (incl. self) never ranks; nulls drop") {
     // axis-aligned vectors: 1 and 2 share label 7 and point the same
     // way; 3 (label 8) is orthogonal-ish, 4 has a null label
