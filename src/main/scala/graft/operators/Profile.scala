@@ -639,6 +639,48 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Quantile normalization across groups (Bolstad 2003, the
+    * batch-effect corrector): each row's value is replaced by the
+    * POOLED distribution's value at the row's within-group rank
+    * position, so every group ends up with (discretely) the same
+    * distribution — mixing corpora whose quality scores were scored
+    * by different raters/models is the curation use. Discrete exact
+    * form: a row at rank r of n_g maps to pooled rank
+    * max(1, ⌈⌈10⁶·r/n_g⌉·N/10⁶⌉) (all integer `div` ceilings, the
+    * q47 never-interpolate convention; ties ordered by (value, group,
+    * id) so the map is total and engine-portable). Returns the
+    * per-row frame (group, id, value, norm_value).
+    *
+    * Scale: one within-group rank window + ONE global rank window
+    * over the pooled values (the exact audit form — the global sort
+    * is the cost; at billions of rows swap broadcast GK pooled
+    * quantiles into the same rank map, no global window), then a
+    * 1:1 join on the pooled rank.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("__c"), col(idCol).as("__id"))
+    val gw = Window.partitionBy(col("grp"))
+      .orderBy(col("__c"), col("__id"))
+    val r = v.withColumn("__rn", row_number().over(gw))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val pooled = v
+      .withColumn("__prn", row_number().over(
+        Window.orderBy(col("__c"), col("grp"), col("__id"))))
+      .select(col("__prn"), col("__c").as("__nc"))
+    val nt = v.agg(count(lit(1)).as("__nt"))
+    r.crossJoin(broadcast(nt))
+      .withColumn("__prank", greatest(lit(1L).cast("decimal(38,0)"),
+        expr("((((CAST(1000000 AS decimal(38,0)) * __rn + __n - 1) " +
+          "div __n) * __nt + 999999) div 1000000)")))
+      .join(pooled, col("__prank") === col("__prn"))
+      .select(col("grp").as(groupCol), col("__id").as(idCol),
+        col("__c").as(valueCol), col("__nc").as("norm_value"))
+  }
+
   /** Simpson diversity of a categorical mix per group — the
     * probability two random group members share a category,
     * unbiased (sampling WITHOUT replacement: Σn_i(n_i−1)/(N(N−1))),

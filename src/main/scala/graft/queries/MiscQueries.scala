@@ -1356,8 +1356,50 @@ object MiscQueries {
       FROM documents GROUP BY CUBE (lang, source)
       ORDER BY lang, source"""))
 
+  /** q188 — quantile normalization across groups
+    * ([[graft.operators.Profile.quantileNormalize]], round 12,
+    * Bolstad 2003): event values re-mapped onto the pooled
+    * distribution per event-type group — the aggregate gate pins
+    * every group's normalized sum/extremes (aligned distributions),
+    * which hashes the full per-row rank map transitively.
+    */
+  private val q188 = Q("q188_quantile_normalize",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("event_id"))
+      graft.operators.Profile.quantileNormalize(e, "event_type",
+          "cents", "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("norm_value")).cast("long").as("sum_norm"),
+          min(col("norm_value")).cast("long").as("min_norm"),
+          max(col("norm_value")).cast("long").as("max_norm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH v AS (SELECT event_type AS g,
+          CAST(ROUND(value * 100) AS BIGINT) AS c, event_id AS id
+        FROM events),
+      r AS (SELECT g, c, id,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+          COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+      pooled AS (SELECT c,
+          ROW_NUMBER() OVER (ORDER BY c, g, id) AS prn FROM v),
+      nn AS (SELECT COUNT(*) AS nt FROM v),
+      m AS (SELECT g, rn, n, GREATEST(1,
+          ((((1000000 * rn + n - 1) // n) * nt + 999999) // 1000000))
+          AS prank
+        FROM r, nn),
+      norm AS (SELECT m.g, p.c AS nc FROM m
+        JOIN pooled p ON p.prn = m.prank)
+      SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(nc) AS BIGINT) AS sum_norm,
+        CAST(MIN(nc) AS BIGINT) AS min_norm,
+        CAST(MAX(nc) AS BIGINT) AS max_norm
+      FROM norm GROUP BY g ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q188)
 }

@@ -340,6 +340,33 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("quantileNormalize: per-row pooled rank map on a hand fixture") {
+    import spark.implicits._
+    // group a: 10, 30 ; group b: 100, 200, 300
+    // pooled order: 10, 30, 100, 200, 300 (N=5)
+    val df = Seq(("a", 10L, 1L), ("a", 30L, 2L), ("b", 100L, 3L),
+      ("b", 200L, 4L), ("b", 300L, 5L)).toDF("g", "v", "id")
+    val got = Profile.quantileNormalize(df, "g", "v", "id")
+      .orderBy($"g", $"id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // a(rank 1 of 2): ppm 500000 -> pooled rank ceil(.5*5)=3 -> 100
+    // a(rank 2 of 2): ppm 1e6 -> pooled rank 5 -> 300
+    // b(rank 1 of 3): ppm ceil(1e6/3)=333334 -> rank ceil(1.66..)=2 -> 30
+    // b(rank 2 of 3): ppm 666667 -> rank ceil(3.33)=4 -> 200
+    // b(rank 3 of 3): -> rank 5 -> 300
+    assert(got == Seq(("a", 1L, 10L, 100L), ("a", 2L, 30L, 300L),
+      ("b", 3L, 100L, 30L), ("b", 4L, 200L, 200L),
+      ("b", 5L, 300L, 300L)), got.toString)
+    // identical group sizes: normalization is a pure pooled re-rank —
+    // every group ends with the SAME multiset
+    val eq = Seq(("x", 1L, 1L), ("x", 9L, 2L), ("y", 4L, 3L),
+      ("y", 6L, 4L)).toDF("g", "v", "id")
+    val sets = Profile.quantileNormalize(eq, "g", "v", "id")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(sets("x") == sets("y"), sets.toString)
+  }
+
   test("simpsonDiversity: exact ppm two-draw probabilities") {
     import spark.implicits._
     // g1: 3 of a, 1 of b -> num = 3*2 + 0 = 6; N(N-1) = 12 -> 500000
