@@ -58,4 +58,44 @@ object Segments {
       .agg(count(lit(1)).cast("long").as("n_customers"),
         sum(col("m_cents")).cast("long").as("sum_m_cents"))
   }
+
+  /** Activity-decile value concentration — "the top 10% of users
+    * drive X% of revenue": rank users into `tiles` NTILE buckets by
+    * activity (event count desc, tie-free on the user key, decile 1 =
+    * most active) and report each decile's user count, activity,
+    * exact value sum and exact ppm share of total value. The Pareto
+    * report every engagement review opens with. Returns
+    * (decile, n_users, n_events, rev_cents, rev_share_ppm).
+    *
+    * Scale: one user-keyed rollup (map-side combined) then the NTILE
+    * rank over the per-USER frame (the [[rfm]] caveat and GK swap
+    * apply); the total rides a one-row broadcast; products in
+    * decimal(38,0). Output is `tiles` rows.
+    */
+  def activityDeciles(events: DataFrame, userCol: String,
+                      typeCol: String, centsCol: String,
+                      conversionType: String = "purchase",
+                      tiles: Int = 10): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    require(conversionType.nonEmpty, "conversionType must be non-empty")
+    val D = "decimal(38,0)"
+    val act = events.select(col(userCol).as("__u"),
+        col(typeCol).as("__ty"), col(centsCol).cast("long").as("__c"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("__ne"),
+        sum(when(col("__ty") === conversionType, col("__c"))
+          .otherwise(0L)).as("__rev"))
+    val d = act.withColumn("decile",
+      ntile(tiles).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__ne").desc, col("__u"))))
+    val tot = d.agg(sum(col("__rev")).as("__tr"))
+    d.crossJoin(broadcast(tot))
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("__ne")).cast("long").as("n_events"),
+        sum(col("__rev")).cast("long").as("rev_cents"),
+        when(max(col("__tr")) > 0,
+          expr(s"(CAST(1000000 AS $D) * SUM(__rev)) div MAX(__tr)"))
+          .otherwise(lit(0L)).cast("long").as("rev_share_ppm"))
+  }
 }

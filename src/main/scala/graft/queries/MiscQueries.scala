@@ -1398,8 +1398,38 @@ object MiscQueries {
         CAST(MAX(nc) AS BIGINT) AS max_norm
       FROM norm GROUP BY g ORDER BY event_type"""))
 
+  /** q189 — activity-decile revenue concentration
+    * ([[graft.operators.Segments.activityDeciles]], round 12): the
+    * Pareto view — users ranked into activity deciles, exact purchase
+    * cents and ppm revenue share per decile.
+    */
+  private val q189 = Q("q189_activity_deciles",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Segments.activityDeciles(e, "user_id",
+          "event_type", "cents")
+        .orderBy(col("decile"))
+    },
+    Some("""WITH act AS (SELECT user_id, COUNT(*) AS n_events,
+          SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS rev
+        FROM events GROUP BY user_id),
+      d AS (SELECT user_id, n_events, rev,
+          NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        FROM act),
+      tot AS (SELECT SUM(rev) AS tr FROM d)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(SUM(rev) AS BIGINT) AS rev_cents,
+        CAST(CASE WHEN tr > 0 THEN (1000000 * SUM(rev)) // tr
+          ELSE 0 END AS BIGINT) AS rev_share_ppm
+      FROM d, tot GROUP BY decile, tr ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188)
+    q181, q182, q183, q184, q185, q188, q189)
 }

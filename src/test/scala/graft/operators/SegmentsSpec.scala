@@ -38,6 +38,35 @@ class SegmentsSpec extends SparkSpec {
     assert(cells == Seq((1L, 1L, 1L, 2L, 130L)), cells.toString)
   }
 
+  test("activityDeciles: exact shares, most-active first") {
+    // u1: 3 events incl. purchase 100c ; u2: 2 events, purchase 300c
+    // u3: 1 event, no purchase ; u4: 1 event, purchase 100c
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "view", 0L), (1L, "purchase", 100L),
+      (2L, "view", 0L), (2L, "purchase", 300L),
+      (3L, "view", 0L),
+      (4L, "purchase", 100L)
+    ).toDF("u", "ty", "cents")
+    val got = Segments.activityDeciles(ev, "u", "ty", "cents",
+        tiles = 2)
+      .orderBy($"decile")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // tile 1 (most active): u1, u2 -> 5 events, 400c, share 400/500
+    // tile 2: u3, u4 -> 2 events, 100c, share 100/500
+    assert(got == Seq((1L, 2L, 5L, 400L, 800000L),
+      (2L, 2L, 2L, 100L, 200000L)), got.toString)
+    // zero total revenue -> all shares 0, not division errors
+    val none = Seq((1L, "view", 0L), (2L, "view", 0L))
+      .toDF("u", "ty", "cents")
+    val z = Segments.activityDeciles(none, "u", "ty", "cents",
+        tiles = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(z.forall(_._5 == 0L), z.mkString(","))
+    intercept[IllegalArgumentException] {
+      Segments.activityDeciles(ev, "u", "ty", "cents", tiles = 0)
+    }
+  }
+
   test("rfm: guards are loud") {
     intercept[IllegalArgumentException] {
       Segments.rfm(tx, "c", "t", "amt", tiles = 0)
