@@ -1428,8 +1428,64 @@ object MiscQueries {
           ELSE 0 END AS BIGINT) AS rev_share_ppm
       FROM d, tot GROUP BY decile, tr ORDER BY decile"""))
 
+  /** q190 — session-basket association rules (round 12): a
+    * COMPOSITION gate over two audited shapes — q44's session
+    * assignment becomes the basket key and q182's rule algebra runs
+    * over event types within each session ("what do users do
+    * together in one sitting"). The oracle chains the q44 session
+    * CTE verbatim into the q182 rule SQL, so gap drift and rule
+    * drift both fail one hash.
+    */
+  private val q190 = Q("q190_session_baskets",
+    (s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      val sess = graft.operators.Sessionize
+        .assign(e, "user_id", "ts_us", gapUs, tieCol = "event_id")
+        .select(concat_ws(":", col("user_id"), col("session_ord"))
+          .as("basket"), col("event_type"))
+      graft.operators.Basket.associationRules(sess, "basket",
+          "event_type", minSupport = 20L, k = 20)
+        .orderBy(col("lift_ppm").desc, col("antecedent"),
+          col("consequent"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+          epoch_us(ts) AS ts_us FROM events),
+      l AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+            OR ts_us - LAG(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, event_type,
+          SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+            AS session_ord
+        FROM l),
+      items AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+          CAST(session_ord AS VARCHAR) AS o, event_type AS i FROM s),
+      nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+      sup AS (SELECT i, COUNT(*) AS n_i FROM items GROUP BY i),
+      pairs AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.i <> b.i
+        GROUP BY a.i, b.i),
+      r AS (SELECT ia, ib, n_ab, sa.n_i AS n_a, sb.n_i AS n_b
+        FROM pairs JOIN sup sa ON pairs.ia = sa.i
+          JOIN sup sb ON pairs.ib = sb.i)
+      SELECT ia AS antecedent, ib AS consequent,
+        CAST(n_ab AS BIGINT) AS n_both,
+        CAST((1000000 * n_ab) // n_a AS BIGINT) AS conf_ppm,
+        CAST((1000000 * n_ab * (SELECT n FROM nb)) // (n_a * n_b)
+          AS BIGINT) AS lift_ppm
+      FROM r WHERE n_ab >= 20
+      QUALIFY ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, antecedent,
+        consequent) <= 20
+      ORDER BY lift_ppm DESC, antecedent, consequent"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188, q189)
+    q181, q182, q183, q184, q185, q188, q189, q190)
 }
