@@ -2574,6 +2574,93 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   /** Retained generations currently resolvable, ascending. */
+  // ------------------------------------------------------ named tags
+
+  private def tagPath(table: String, name: String) =
+    new Path(root, s"$table._graft_tag_$name")
+
+  private def requireTagName(name: String): Unit =
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
+      s"tag name must be [A-Za-z0-9_-]+ (no dots — they would collide with temp files), got '$name'")
+
+  /** Name a generation — the human handle on [[readAt]]'s pins
+    * (release "v12" instead of generation 847): writes a tiny
+    * sidecar file via the stats sidecar's write-temp-then-rename, so
+    * a tag is always wholly old or wholly new. Re-tagging an existing
+    * name moves it (documented: tags are mutable refs, generations
+    * are the immutable truth); the tagged generation must be readable
+    * NOW (current, or retained) — tagging the unretainable fails
+    * loudly rather than minting a dangling name. Returns the tagged
+    * generation.
+    */
+  def tag(table: String, name: String,
+          gen: Option[Long] = None): Long = {
+    requireTagName(name)
+    val cur = readManifest(table).map(_.gen).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val g = gen.getOrElse(cur)
+    if (g != cur) readAt(table, g) // loud existence/retention probe
+    val p = tagPath(table, name)
+    val fs = fsOf(p)
+    val tmp = new Path(p.toString + ".tmp." +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    val out = fs.create(tmp, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"tag: could not move tag $name into place for $table")
+    }
+    g
+  }
+
+  /** The generation a tag names, or None. A torn/corrupt tag file
+    * reads as None (the sidecar degrade rule — never a crash).
+    */
+  def tagGeneration(table: String, name: String): Option[Long] = {
+    requireTagName(name)
+    val p = tagPath(table, name)
+    val fs = fsOf(p)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        txt.toLongOption
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[readAt]] by name: the table as of the tagged generation. */
+  def readTag(table: String, name: String): DataFrame =
+    readAt(table, tagGeneration(table, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $table: no tag '$name'")))
+
+  /** All tags on `table` (name → generation). */
+  def tags(table: String): Map[String, Long] = {
+    val fs = fsOf(new Path(root))
+    val prefix = s"$table._graft_tag_"
+    val hits = fs.globStatus(new Path(new Path(root), prefix + "*"))
+    if (hits == null) Map.empty
+    else hits.toSeq.flatMap { st =>
+      val n = st.getPath.getName.stripPrefix(prefix)
+      // glob also sees in-flight temps: skip anything not a pure name
+      if (!n.matches("[A-Za-z0-9_-]+")) None
+      else tagGeneration(table, n).map(n -> _)
+    }.toMap
+  }
+
+  /** Delete a tag (the generation itself is untouched). */
+  def dropTag(table: String, name: String): Unit = {
+    requireTagName(name)
+    val p = tagPath(table, name)
+    fsOf(p).delete(p, false)
+    ()
+  }
+
   def generations(table: String): Seq[Long] = {
     val fs = fsOf(new Path(root))
     val snaps = fs.globStatus(new Path(new Path(root),

@@ -984,4 +984,45 @@ class TableStoreSpec extends SparkSpec {
     assert(ts.readAt("g", g2).as[Long].collect().toSet ==
       (0L until 10L).toSet)
   }
+
+  test("named tags: human handles on pinned generations") {
+    val ts = retainedStore(10)
+    ts.append("t", spark.range(0, 5).toDF("id"))
+    val g1 = ts.tag("t", "v1")
+    ts.append("t", spark.range(5, 10).toDF("id"))
+    val g2 = ts.tag("t", "v2")
+    // v1 still reads the first five rows after the append
+    assert(ts.readTag("t", "v1").as[Long].collect().toSet ==
+      (0L until 5L).toSet)
+    assert(ts.readTag("t", "v2").as[Long].collect().toSet ==
+      (0L until 10L).toSet)
+    assert(ts.tags("t") == Map("v1" -> g1, "v2" -> g2))
+    // re-tag moves the name; drop removes only the name
+    ts.tag("t", "v1", Some(g2))
+    assert(ts.readTag("t", "v1").count() == 10L)
+    ts.dropTag("t", "v1")
+    assert(ts.tagGeneration("t", "v1").isEmpty)
+    assert(ts.readAt("t", g1).count() == 5L) // generation untouched
+    // explicit past-generation tagging works through retention
+    ts.tag("t", "first", Some(g1))
+    assert(ts.readTag("t", "first").count() == 5L)
+    // guards are loud
+    intercept[IllegalArgumentException] { ts.readTag("t", "nope") }
+    intercept[IllegalArgumentException] { ts.tag("t", "bad.name") }
+    intercept[IllegalArgumentException] { ts.tag("t", "") }
+    intercept[IllegalArgumentException] {
+      ts.tag("t", "future", Some(g2 + 50))
+    }
+    // unretained store: tagging a vacuumed generation fails loudly
+    val bare = freshStore()
+    bare.append("u", spark.range(0, 3).toDF("id"))
+    val h1 = bare.tags("u") // no tags yet
+    assert(h1.isEmpty)
+    bare.append("u", spark.range(3, 6).toDF("id"))
+    val old = bare.generations("u").head
+    if (old < bare.generations("u").last)
+      intercept[IllegalArgumentException] {
+        bare.tag("u", "gone", Some(old))
+      }
+  }
 }
