@@ -242,6 +242,51 @@ object Streams {
       .toDF(userCol, "step", "event_type", "t", "id")
   }
 
+  /** Streaming transition-matrix maintenance — the online form of
+    * [[graft.operators.Funnel.transitionMatrix]]: O(1) per-user state
+    * (the last event's type, t, id) bridges micro-batch boundaries,
+    * so a user's first event of batch k pairs with their last event
+    * of batch k−1 exactly as the batch window would. Emits (prev_type,
+    * next_type, n) pair-count INCREMENTS per batch (append-sink rows;
+    * readers SUM n by cell) — under event-ordered ingestion per user
+    * the summed cells equal the batch operator's counts for the union
+    * of all batches, whatever the split (spec-pinned). Out-of-order
+    * arrivals degrade conservatively like [[funnelMaintain]]: a late
+    * event is paired after the state's frontier, never re-orders
+    * already-emitted pairs.
+    */
+  def transitionMaintain(df: DataFrame, userCol: String,
+                         tsMicrosCol: String, idCol: String,
+                         typeCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long"),
+        col(typeCol).cast("string"), col(tsMicrosCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, String, Long, Long)]
+    def advance(u: Long, rows: Iterator[(Long, String, Long, Long)],
+                state: GroupState[(String, Long, Long)])
+        : Iterator[(String, String, Long)] = {
+      var prev = state.getOption
+      val counts =
+        scala.collection.mutable.Map.empty[(String, String), Long]
+      rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, ty, t, id) =>
+        prev.foreach { case (pty, _, _) =>
+          val k = (pty, ty)
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        }
+        prev = Some((ty, t, id))
+      }
+      prev.foreach(state.update)
+      counts.iterator.map { case ((p, n), c) => (p, n, c) }
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advance)
+      .toDF("prev_type", "next_type", "n")
+  }
+
   /** Streaming count-min sketch maintenance — the stream form of
     * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
     * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are

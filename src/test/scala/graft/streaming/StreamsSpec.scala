@@ -498,6 +498,51 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == got.size.toLong)
   }
 
+  test("transitionMaintain: summed increments == batch matrix counts") {
+    import graft.operators.Funnel
+    val in = Files.createTempDirectory("graft_trm_in").toString
+    val out = Files.createTempDirectory("graft_trm_out").toString
+    val ckpt = Files.createTempDirectory("graft_trm_ckpt").toString
+    val sch = StructType.fromDDL("u long, ty string, t long, id long")
+    val all = Seq(
+      (1L, "A", 100L, 1L), (1L, "B", 200L, 2L), (1L, "A", 300L, 3L),
+      (2L, "A", 100L, 10L), (2L, "B", 150L, 11L),
+      (3L, "B", 110L, 20L), (3L, "A", 110L, 21L) // t-tie: id orders
+    )
+    def js(rows: Seq[(Long, String, Long, Long)]) = rows.map(r =>
+      s"""{"u":${r._1},"ty":"${r._2}","t":${r._3},"id":${r._4}}""")
+    // split at t <= 120: u1's B@200 and A@300 arrive in batch 2 — the
+    // A@100->B@200 pair only exists if state bridges the batches
+    val (b1, b2) = all.sortBy(r => (r._3, r._4)).partition(_._3 <= 120)
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.transitionMaintain(
+        spark.readStream.schema(sch).json(in), "u", "t", "id", "ty"),
+      out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val got = spark.read.parquet(out)
+      .groupBy($"prev_type", $"next_type")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    val expect = Funnel.transitionMatrix(all.toDF("u", "ty", "t", "id"),
+        "u", "t", "id", "ty")
+      .select($"prev_type", $"next_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expect, s"streamed $got != batch $expect")
+    // the cross-batch pair must exist for the test to mean anything
+    assert(expect.contains(("A", "B", 3L)) ||
+      expect.exists(e => e._1 == "A" && e._2 == "B"))
+    // drained restart emits nothing new
+    run()
+    val again = spark.read.parquet(out)
+      .groupBy($"prev_type", $"next_type")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("winnowIndexMaintain: streamed passage admission tracks the index") {
     import graft.sources.TableStore
     import graft.operators.WinnowIndex
