@@ -107,6 +107,63 @@ object Bootstrap {
           .cast("long").as("mean_micro"))
   }
 
+  /** [[replicateMeans]] per group — every segment gets its B
+    * replicate means in the SAME single pass (the aggregate keys on
+    * (group, b): |groups|·B cells, still map-side combined; nothing
+    * else changes). Returns (group, b, n_eff, mean_micro).
+    */
+  def replicateMeansBy(df: DataFrame, groupCol: String, keyCol: String,
+                       valueCol: String, replicates: Int,
+                       salt: String): DataFrame = {
+    require(replicates >= 1 && replicates <= 4096,
+      s"replicates must be in [1, 4096], got $replicates")
+    df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("__x"),
+        Sampling.hashBucket(col(keyCol), salt, hexChars = 15)
+          .as("__seed"))
+      .select(col("grp"), col("__x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"),
+        col("__seed"))
+      .withColumn("__w",
+        poissonOneWeight(uniform(col("__seed"),
+          col("__b").cast("long"))))
+      .groupBy(col("grp"), col("__b").cast("long").as("b"))
+      .agg(sum(col("__w").cast("decimal(38,0)")).as("__n"),
+        sum(col("__w").cast("decimal(38,0)") *
+          col("__x").cast("decimal(38,0)")).as("__wx"))
+      .filter(col("__n") > 0) // a tiny group can draw all-zero weights
+      .select(col("grp").as(groupCol), col("b"),
+        col("__n").cast("long").as("n_eff"),
+        expr("(CAST(1000000 AS decimal(38,0)) * __wx) div __n")
+          .cast("long").as("mean_micro"))
+  }
+
+  /** Per-group rank-based percentile intervals over
+    * [[replicateMeansBy]] output: one row per group
+    * (group, n_replicates, lo_micro, hi_micro) — the discrete-rank
+    * [[ci]] applied within each group's replicate frame (group
+    * windows over B-row partitions; no driver count needed since the
+    * per-group B rides the window).
+    */
+  def ciBy(means: DataFrame, groupCol: String,
+           alpha: Double = 0.025): DataFrame = {
+    require(alpha > 0.0 && alpha < 0.5, s"alpha in (0, 0.5), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("mean_micro"), col("b"))
+    means
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).cast("long").as("n_replicates"),
+        min(when(col("__rk") === greatest(lit(1L),
+          ceil(lit(alpha) * col("__n"))), col("mean_micro")))
+          .cast("long").as("lo_micro"),
+        max(when(col("__rk") === ceil(lit(1.0 - alpha) * col("__n")),
+          col("mean_micro"))).cast("long").as("hi_micro"))
+  }
+
   /** Rank-based percentile interval over [[replicateMeans]] output
     * (discrete quantiles — the q47 convention, never interpolated):
     * one row (n_replicates, lo_micro, hi_micro) where lo/hi are the

@@ -717,6 +717,54 @@ object SamplingQueries {
       FROM rk WHERE rn = 2 OR rn = 63"""
     })
 
+  /** q191 — grouped Poisson bootstrap CIs
+    * ([[graft.operators.Bootstrap.replicateMeansBy]]/[[graft.operators.Bootstrap.ciBy]],
+    * round 12): per-priority 95% intervals on mean order value, every
+    * segment's 64 replicates computed in the SAME single pass.
+    */
+  private val q191 = Q("q191_bootstrap_by_group",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val means = graft.operators.Bootstrap.replicateMeansBy(o,
+        "o_orderpriority", "o_orderkey", "cents", replicates = 64,
+        salt = "boot")
+      graft.operators.Bootstrap.ciBy(means, "o_orderpriority",
+          alpha = 0.025)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some {
+      val h = hashSql("boot", "o_orderkey")
+      val u = graft.operators.Bootstrap.splitMixUniformSql(
+        "CAST(seed AS HUGEINT)", "CAST(b AS HUGEINT)")
+      s"""WITH r AS (SELECT o_orderpriority AS g, o_orderkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, $h AS h
+        FROM orders),
+      sd AS (SELECT g, x, ${bucketSql15("h")} AS seed FROM r),
+      rows_b AS (SELECT g, x, seed, gb.b FROM sd,
+          (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) gb),
+      u AS (SELECT g, x, b, CAST($u AS BIGINT) AS u FROM rows_b),
+      w AS (SELECT g, x, b,
+          ${graft.operators.Bootstrap.poissonOneWeightSql("u")} AS w
+        FROM u),
+      m AS (SELECT g, b,
+          CAST((1000000 * SUM(w * x)) // SUM(w) AS BIGINT)
+            AS mean_micro
+        FROM w GROUP BY g, b HAVING SUM(w) > 0),
+      rk AS (SELECT g, b, mean_micro,
+          ROW_NUMBER() OVER (PARTITION BY g
+            ORDER BY mean_micro, b) AS rn,
+          COUNT(*) OVER (PARTITION BY g) AS n FROM m)
+      SELECT g AS o_orderpriority,
+        CAST(MAX(n) AS BIGINT) AS n_replicates,
+        CAST(MIN(CASE WHEN rn = GREATEST(1, CEIL(0.025 * n))
+          THEN mean_micro END) AS BIGINT) AS lo_micro,
+        CAST(MAX(CASE WHEN rn = CEIL(0.975 * n)
+          THEN mean_micro END) AS BIGINT) AS hi_micro
+      FROM rk GROUP BY g ORDER BY o_orderpriority"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150, q165, q171, q186)
+    q87, q92, q134, q146, q150, q165, q171, q186, q191)
 }

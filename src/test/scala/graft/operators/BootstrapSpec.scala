@@ -52,6 +52,37 @@ class BootstrapSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("replicateMeansBy/ciBy: grouped pass == per-group single pass") {
+    val rows = (1L to 30L).map(k =>
+      (if (k % 2 == 0) "even" else "odd", k, k * 3L))
+    val df = rows.toDF("g", "k", "x")
+    val grouped = Bootstrap.replicateMeansBy(df, "g", "k", "x", 7, "s")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // each group's replicate frame equals replicateMeans run on that
+    // group alone (weights depend only on (salt, key, b))
+    Seq("even", "odd").foreach { g =>
+      val solo = Bootstrap.replicateMeans(df.filter($"g" === g)
+          .select($"k", $"x"), "k", "x", 7, "s")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (g, r._1, r._2, r._3)).toSet
+      assert(grouped.filter(_._1 == g) == solo, g)
+    }
+    // ciBy rank semantics on a hand frame: two groups, alpha=0.1
+    val means = ((0L until 10L).map(b => ("a", b, 1L, (b + 1) * 10L))
+      ++ (0L until 4L).map(b => ("b", b, 1L, (b + 1) * 100L)))
+      .toDF("g", "b", "n_eff", "mean_micro")
+    val ci = Bootstrap.ciBy(means, "g", alpha = 0.1)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // a: ranks 1..10 -> lo rank 1 = 10, hi rank 9 = 90
+    // b: n=4 -> lo rank max(1, ceil(.4))=1 = 100, hi ceil(3.6)=4 = 400
+    assert(ci == Set(("a", 10L, 10L, 90L), ("b", 4L, 100L, 400L)),
+      ci.toString)
+    intercept[IllegalArgumentException] { Bootstrap.ciBy(means, "g", 0.5) }
+    intercept[IllegalArgumentException] {
+      Bootstrap.replicateMeansBy(df, "g", "k", "x", 0, "s")
+    }
+  }
+
   test("ci: rank-based discrete interval, deterministic ties") {
     // 10 replicate means 10,20,...,100; alpha=0.1 -> lo rank 1, hi rank 9
     val means = (0L until 10L).map(b => (b, 1L, (b + 1) * 10L))
