@@ -639,6 +639,54 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Mann–Whitney U rank-sum comparison of two cohorts — the
+    * nonparametric "is A stochastically larger than B" companion to
+    * [[ksDrift]] (KS asks "are they different anywhere", U measures
+    * the DIRECTION as the probability a random A beats a random B).
+    * Exact integers throughout: ties take the statistically-correct
+    * MIDRANKS, kept integral by working in doubled ranks — a tied run
+    * occupying ranks [c+1, c+k] has midrank·2 = 2c+k+1 — so
+    * U·2 = ΣR_A·2 − n_A(n_A+1) is exact and the common-language
+    * effect size ρ = U/(n_A·n_B) reports as the usual exact ppm
+    * integral. Returns one row (n_a, n_b, u_x2, rho_ppm);
+    * ρ ≈ 500 000 means no stochastic dominance.
+    *
+    * Scale: ONE corpus-scale (value) count keyed by distinct value
+    * (map-side combined — the ksDrift exchange), then a cumulative
+    * window over the bounded distinct-value frame and a scalar fold.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val c = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("__na"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L))
+          .as("__nb"))
+    // cumulative count BEFORE each distinct value — the bounded
+    // |values|-row frame, explicitly un-partitioned (ksDrift contract)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    c.withColumn("__cum",
+        coalesce(sum(col("__na") + col("__nb")).over(w), lit(0L)))
+      .agg(sum(col("__na")).as("__n1"), sum(col("__nb")).as("__n2"),
+        sum(expr(s"CAST(__na AS $D) * " +
+          "(2 * __cum + __na + __nb + 1)")).as("__r1x2"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        expr(s"CAST(__r1x2 - CAST(__n1 AS $D) * (__n1 + 1) AS BIGINT)")
+          .as("u_x2"),
+        when(col("__n1") > 0 && col("__n2") > 0,
+          expr(s"(CAST(1000000 AS $D) * (__r1x2 - CAST(__n1 AS $D) " +
+            s"* (__n1 + 1))) div (CAST(2 AS $D) * __n1 * __n2)"))
+          .otherwise(lit(0L)).cast("long").as("rho_ppm"))
+  }
+
   /** Quantile normalization across groups (Bolstad 2003, the
     * batch-effect corrector): each row's value is replaced by the
     * POOLED distribution's value at the row's within-group rank

@@ -1484,8 +1484,41 @@ object MiscQueries {
         consequent) <= 20
       ORDER BY lift_ppm DESC, antecedent, consequent"""))
 
+  /** q192 — Mann–Whitney U rank-sum drift
+    * ([[graft.operators.Profile.mannWhitney]], round 12): first-half
+    * vs second-half event values, exact doubled-midrank U and the
+    * common-language effect size — the directional member of the
+    * drift kit (χ² q135, KS q152, PSI q175).
+    */
+  private val q192 = Q("q192_mann_whitney",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        when(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          < 19738L, "a").otherwise("b").as("g"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      graft.operators.Profile.mannWhitney(e, "g", "v", "a", "b")
+    },
+    Some("""WITH e AS (SELECT CASE WHEN epoch_us(ts) // 86400000000
+            < 19738 THEN 'a' ELSE 'b' END AS g,
+          CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+      c AS (SELECT v, SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+          SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb
+        FROM e GROUP BY v),
+      w AS (SELECT v, na, nb,
+          COALESCE(SUM(na + nb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum
+        FROM c),
+      t AS (SELECT SUM(na) AS n1, SUM(nb) AS n2,
+          SUM(na * (2 * cum + na + nb + 1)) AS r1x2 FROM w)
+      SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+        CAST((1000000 * (r1x2 - n1 * (n1 + 1))) // (2 * n1 * n2)
+          AS BIGINT) AS rho_ppm
+      FROM t"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188, q189, q190)
+    q181, q182, q183, q184, q185, q188, q189, q190, q192)
 }

@@ -340,6 +340,30 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney: doubled midranks, dominance extremes, ties") {
+    import spark.implicits._
+    // complete separation: every a < every b -> U_A = 0, rho = 0
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L),
+      ("b", 30L)).toDF("g", "v")
+    val lo = Profile.mannWhitney(sep, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(lo == ((2L, 3L, 0L, 0L)), lo.toString)
+    // reversed: U_A = n1*n2 -> rho = 1
+    val hi = Profile.mannWhitney(sep, "g", "v", "b", "a")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(hi == ((3L, 2L, 12L, 1000000L)), hi.toString)
+    // all-tied: midranks give U = n1*n2/2 exactly -> rho = 0.5
+    val tie = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val mid = Profile.mannWhitney(tie, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    // R_A·2 = 2·(2·0+4+1) = 10 ; U·2 = 10 − 2·3 = 4 ; rho = 4/8
+    assert(mid == ((2L, 2L, 4L, 500000L)), mid.toString)
+    intercept[IllegalArgumentException] {
+      Profile.mannWhitney(tie, "g", "v", "a", "a")
+    }
+  }
+
   test("quantileNormalize: per-row pooled rank map on a hand fixture") {
     import spark.implicits._
     // group a: 10, 30 ; group b: 100, 200, 300
