@@ -267,6 +267,28 @@ object Eval {
           .otherwise(lit(0L)).as("auc_ppm"))
   }
 
+  /** Multiclass confusion matrix: (actual, predicted, n,
+    * row_share_ppm) — the per-cell count and its exact ppm share of
+    * the actual class's row (the recall diagonal reads directly;
+    * precision is the column-wise fold of the same frame). ONE
+    * (actual, predicted) map-side aggregate; the row totals ride a
+    * bounded |classes|-row broadcast join.
+    */
+  def confusionMatrix(scored: DataFrame, actualCol: String,
+                      predCol: String): DataFrame = {
+    val c = scored
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).as("actual"),
+        col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("actual")).agg(sum(col("n")).as("__t"))
+    c.join(broadcast(tot), Seq("actual"))
+      .select(col("actual"), col("predicted"),
+        col("n").cast("long").as("n"),
+        expr("(1000000 * n) div __t").cast("long")
+          .as("row_share_ppm"))
+  }
+
   /** Binary confusion matrix + exact ppm operating point for a
     * 0/1 prediction column vs a 0/1 label column: one row
     * (tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm), all

@@ -2647,9 +2647,39 @@ object TextQueries {
         FROM scores"""))
   }
 
+  /** q193 — language-ID confusion matrix
+    * ([[graft.operators.Eval.confusionMatrix]], round 12): the
+    * n-gram langId heuristic scored against the labeled `lang`
+    * column, cell counts + exact ppm row shares — the multiclass
+    * sibling of q179's binary cells, and the quality audit every
+    * langID screen needs before it gates a corpus.
+    */
+  private val q193 = Q("q193_langid_confusion",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = t(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("pred"))
+      graft.operators.Eval.confusionMatrix(scored, "lang", "pred")
+        .orderBy(col("actual"), col("predicted"))
+    },
+    Some(s"""WITH nt AS (SELECT lang,
+          STRING_SPLIT(${normSql("text")}, ' ') AS toks
+        FROM documents),
+      p AS (SELECT lang AS actual, ${langIdSql("toks")} AS predicted
+        FROM nt),
+      c AS (SELECT actual, predicted, COUNT(*) AS n FROM p
+        WHERE actual IS NOT NULL AND predicted IS NOT NULL
+        GROUP BY 1, 2),
+      tot AS (SELECT actual, SUM(n) AS t FROM c GROUP BY actual)
+      SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+        CAST((1000000 * c.n) // tot.t AS BIGINT) AS row_share_ppm
+      FROM c JOIN tot USING (actual)
+      ORDER BY actual, predicted"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166, q172, q173, q176, q179)
+    q149, q151, q152, q156, q157, q166, q172, q173, q176, q179, q193)
 }

@@ -281,6 +281,20 @@ class EvalSpec extends SparkSpec {
     assert(auc(rows) == ((pos.length.toLong, neg.length.toLong, want)))
   }
 
+  test("confusionMatrix: multiclass cells with exact row shares") {
+    import spark.implicits._
+    val rows = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), ("fr", "en"), ("fr", null))
+      .toDF("actual", "pred")
+    val got = Eval.confusionMatrix(rows, "actual", "pred")
+      .as[(String, String, Long, Long)].collect().toSet
+    // en: 2/3 correct (666666), 1/3 de ; de: 1/1 ; fr: null dropped,
+    // remaining 1 row -> en 100%
+    assert(got == Set(("en", "en", 2L, 666666L),
+      ("en", "de", 1L, 333333L), ("de", "de", 1L, 1000000L),
+      ("fr", "en", 1L, 1000000L)), got.toString)
+  }
+
   test("confusionPpm: exact cells and single-division F1") {
     import spark.implicits._
     // tp=3 fp=1 fn=2 tn=4
