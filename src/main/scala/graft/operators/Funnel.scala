@@ -306,6 +306,40 @@ object Funnel {
       .drop("rk")
   }
 
+  /** Higher-order sequence mining — counts of contiguous event-type
+    * k-grams within per-user (t, id)-ordered histories (k = 3 is the
+    * classic "what leads to what leads to what" view one order above
+    * [[transitionMatrix]]'s bigrams). Returns the top `k` grams
+    * (types joined with `>`) by (count desc, gram asc).
+    *
+    * Scale: ONE user window computes the n−1 lags in a single pass
+    * (they share the frame), then a map-side-combined aggregate
+    * bounded by |types|^n; the top-k is one bounded rank. Same
+    * mega-user caveat and q67 stitch escape as the bigram form.
+    */
+  def topKgrams(events: DataFrame, userCol: String, tsMicrosCol: String,
+                idCol: String, typeCol: String, n: Int,
+                k: Int): DataFrame = {
+    require(n >= 2 && n <= 6, s"n must be in [2, 6], got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"))
+      .orderBy(col(tsMicrosCol).cast("long"), col(idCol))
+    val base = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"), col(tsMicrosCol), col(idCol))
+    val withLags = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"__l$i", lag(col("__ty"), i).over(w))
+    }
+    val gram = concat_ws(">",
+      ((n - 1) to 1 by -1).map(i => col(s"__l$i")) :+ col("__ty"): _*)
+    withLags.filter(col(s"__l${n - 1}").isNotNull)
+      .select(gram.as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+      .transform(df => TopK.perGroup(df, Seq(lit(1)),
+        Seq(col("n_grams").desc, col("gram")), k).drop("rk"))
+  }
+
   /** Retention cohort table — the funnel's longitudinal sibling:
     * bucket time into `bucketMicros` periods, assign each user to the
     * cohort of their FIRST active bucket, and report

@@ -1517,8 +1517,36 @@ object MiscQueries {
           AS BIGINT) AS rho_ppm
       FROM t"""))
 
+  /** q194 — top event trigrams
+    * ([[graft.operators.Funnel.topKgrams]], round 12): contiguous
+    * 3-step type sequences over per-user histories — the order-3
+    * extension of q164's transition bigrams, one window pass.
+    */
+  private val q194 = Q("q194_event_trigrams",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.topKgrams(e, "user_id", "t_us",
+          "event_id", "event_type", n = 3, k = 25)
+        .orderBy(col("n_grams").desc, col("gram"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      l AS (SELECT user_id, event_type AS c,
+          LAG(event_type, 1) OVER w AS b,
+          LAG(event_type, 2) OVER w AS a
+        FROM e WINDOW w AS (PARTITION BY user_id
+          ORDER BY t, event_id)),
+      g AS (SELECT a || '>' || b || '>' || c AS gram, COUNT(*) AS n
+        FROM l WHERE a IS NOT NULL GROUP BY 1)
+      SELECT gram, CAST(n AS BIGINT) AS n_grams FROM g
+      QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, gram) <= 25
+      ORDER BY n_grams DESC, gram"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188, q189, q190, q192)
+    q181, q182, q183, q184, q185, q188, q189, q190, q192, q194)
 }

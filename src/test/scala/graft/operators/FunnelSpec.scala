@@ -195,6 +195,28 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("topKgrams: contiguous k-grams per user, cross-user isolation") {
+    // u1: A B A B -> trigrams A>B>A, B>A>B ; u2: B A B -> B>A>B
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (1L, "B", 40L, 4L),
+      (2L, "B", 10L, 10L), (2L, "A", 20L, 11L), (2L, "B", 30L, 12L)
+    ).toDF("u", "ty", "t", "id")
+    val got = Funnel.topKgrams(ev, "u", "t", "id", "ty", n = 3, k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("B>A>B", 2L), ("A>B>A", 1L)), got.toString)
+    // n=2 degenerates to the transition counts
+    val bi = Funnel.topKgrams(ev, "u", "t", "id", "ty", n = 2, k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(bi == Set(("A>B", 3L), ("B>A", 2L)), bi.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.topKgrams(ev, "u", "t", "id", "ty", n = 1, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.topKgrams(ev, "u", "t", "id", "ty", n = 3, k = 0)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
