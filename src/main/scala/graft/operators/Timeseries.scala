@@ -27,6 +27,50 @@ object Timeseries {
     * long under ANSI; decimal keeps the gate loud-proof and exact.
     * No window, no sort, no self-join.
     */
+  /** CUSUM change detection over daily row counts (Page 1954): the
+    * upper cumulative sum s_d = max(0, s_{d−1} + x_d − μ − slack)
+    * with μ = ⌊total/days⌋ derived from the series itself and an
+    * integer `slack` absorbing drift (the fractional remainder of the
+    * true mean accumulates without it — slack ≥ 1 keeps a stationary
+    * series hugging 0 so genuine level shifts stand out). Flags days
+    * where s_d > threshold·μ. All exact longs — CUSUM's recursion has
+    * the CLOSED FORM s_d = P_d − min(0, min_{j≤d} P_j) over the
+    * prefix sums P of (x − μ − slack), so no sequential fold is
+    * needed: two ordered windows over the BOUNDED daily frame
+    * (spec-pinned against the sequential reference). Days with no
+    * rows at all do not appear and contribute nothing (present-days
+    * semantics — fill the grid upstream if silence itself is the
+    * signal). Returns (day, n, cusum, flagged).
+    *
+    * Scale: one day-keyed map-side count collapses the corpus to
+    * |days| rows; everything after runs on that bounded frame.
+    */
+  def cusumCounts(df: DataFrame, tsMicrosCol: String, slack: Long = 1L,
+                  threshold: Long = 10L,
+                  dayMicros: Long = 86400000000L): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"))
+    val mu = cnt.agg(expr("SUM(n) div COUNT(*)").as("__mu"))
+    val w = Window.orderBy(col("day"))
+    cnt.crossJoin(broadcast(mu))
+      .withColumn("__p",
+        sum(col("n") - col("__mu") - slack).over(w))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .select(col("day").cast("long").as("day"),
+        col("n").cast("long").as("n"),
+        col("cusum").cast("long").as("cusum"),
+        (col("cusum") > lit(threshold) * col("__mu")).cast("long")
+          .as("flagged"))
+  }
+
   def ewmaCounts(df: DataFrame, tsMicrosCol: String, horizon: Int = 16,
                  dayMicros: Long = 86400000000L): DataFrame = {
     require(horizon >= 1 && horizon <= 62,

@@ -1545,8 +1545,34 @@ object MiscQueries {
       QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, gram) <= 25
       ORDER BY n_grams DESC, gram"""))
 
+  /** q195 — CUSUM change detection on daily order volume
+    * ([[graft.operators.Timeseries.cusumCounts]], round 12, Page
+    * 1954): the closed-form prefix-min cumulative sum — exact longs,
+    * spec-pinned against the sequential recursion; EWMA (q170) tracks
+    * the level, CUSUM flags when it SHIFTED.
+    */
+  private val q195 = Q("q195_cusum_changepoints",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.cusumCounts(o, "t_us", slack = 1L,
+          threshold = 10L)
+        .orderBy(col("day"))
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+            AS d, COUNT(*) AS n FROM orders GROUP BY 1),
+      mu AS (SELECT SUM(n) // COUNT(*) AS mu FROM cnt),
+      p AS (SELECT d, n, mu,
+          SUM(n - mu - 1) OVER (ORDER BY d) AS pf FROM cnt, mu),
+      s AS (SELECT d, n, mu,
+          pf - LEAST(0, MIN(pf) OVER (ORDER BY d)) AS cusum FROM p)
+      SELECT CAST(d AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        CAST(cusum AS BIGINT) AS cusum,
+        CAST(cusum > 10 * mu AS BIGINT) AS flagged
+      FROM s ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188, q189, q190, q192, q194)
+    q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195)
 }

@@ -27,6 +27,34 @@ class TimeseriesSpec extends SparkSpec {
     assert(got == Seq((0L, 2L), (1L, 1L)), got.toString)
   }
 
+  test("cusumCounts: closed form equals the sequential recursion") {
+    // counts per day: 5,5,5,20,20,5 (level shift at day 3)
+    val counts = Seq(5, 5, 5, 20, 20, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(d.toLong * day)
+    }
+    val got = Timeseries.cusumCounts(rows.toDF("t"), "t", slack = 1L,
+        threshold = 1L)
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect().toSeq
+    // mu = 60/6 = 10; sequential s_d = max(0, s + (x - 11))
+    val mu = counts.sum / counts.length
+    var s = 0L
+    val want = counts.zipWithIndex.map { case (c, d) =>
+      s = math.max(0L, s + (c - mu - 1))
+      (d.toLong, c.toLong, s, if (s > 1L * mu) 1L else 0L)
+    }
+    assert(got == want, s"got $got want $want")
+    // the shift is detected (some flagged day exists) and the
+    // stationary head is not flagged
+    assert(got.exists(_._4 == 1L) && got.head._4 == 0L)
+    intercept[IllegalArgumentException] {
+      Timeseries.cusumCounts(rows.toDF("t"), "t", slack = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.cusumCounts(rows.toDF("t"), "t", threshold = 0L)
+    }
+  }
+
   test("ewmaCounts: guards are loud") {
     val df = Seq(0L).toDF("t")
     intercept[IllegalArgumentException] {
