@@ -639,6 +639,67 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Spearman rank correlation between two integer columns, exact:
+    * midranks kept integral by doubling (the [[mannWhitney]] trick),
+    * then the Pearson-over-midranks identity with n-scaled integer
+    * accumulators A = nΣxy−ΣxΣy, Vx = nΣx²−(Σx)², Vy likewise —
+    * ρ = A/√(VxVy) never forms as a float; the report is the SIGNED
+    * SQUARE sign(A)·⌊⌊A²/Vx⌋·10⁶/Vy⌋ ppm — the divide-CHAIN
+    * quantization, chosen because every intermediate stays ≤ Vy
+    * (Cauchy–Schwarz: A² ≤ Vx·Vy): Spark's `div` RETURNS A LONG and
+    * silently truncates a wider decimal quotient (no ANSI error —
+    * measured: Vx·Vy div 10⁶ at 10²⁶ wrapped), so the formula must
+    * never ask `div` for a >64-bit result; the SQL mirror replays the
+    * same chain in HUGEINT so the two floors agree bit-for-bit.
+    * |ρ| = √(|value|/10⁶), sign is ρ's sign. Degenerate variance (a
+    * constant column) reports 0. Returns one row
+    * (n, rho2_signed_ppm).
+    *
+    * Exact-range contract: accumulators live in decimal(38,0) ⇄
+    * HUGEINT; the chain's long quotients are Cauchy–Schwarz-bounded
+    * by Vy ≈ 4n⁴, which tops a long near n ≈ 3.9·10⁴ PAIRS — this is
+    * the exact audit form over grouped/rolled-up frames (customers,
+    * days, shards); rank-sample first beyond that.
+    *
+    * Scale: two distinct-value count frames (map-side combined — the
+    * ksDrift exchange, one per variable), two bounded cumulative
+    * windows, one scalar fold.
+    */
+  def spearmanRho2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def midranks(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn(s"${c}_r2",
+          lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+            col("__c") + 1L)
+        .select(col(c), col(s"${c}_r2"))
+    }
+    base.join(midranks("__x"), Seq("__x"))
+      .join(midranks("__y"), Seq("__y"))
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(col("__x_r2").cast(D)).as("__sx"),
+        sum(col("__y_r2").cast(D)).as("__sy"),
+        sum(col("__x_r2").cast(D) * col("__y_r2").cast(D)).as("__sxy"),
+        sum(col("__x_r2").cast(D) * col("__x_r2").cast(D)).as("__sxx"),
+        sum(col("__y_r2").cast(D) * col("__y_r2").cast(D)).as("__syy"))
+      .select(col("__n").cast("long").as("n"),
+        expr(s"""CAST(CASE WHEN (__n * __sxx - __sx * __sx) > 0
+            AND (__n * __syy - __sy * __sy) > 0
+          THEN (CASE WHEN __n * __sxy - __sx * __sy >= 0
+              THEN 1 ELSE -1 END)
+            * ((CAST((((__n * __sxy - __sx * __sy)
+                * (__n * __sxy - __sx * __sy))
+                div (__n * __sxx - __sx * __sx)) AS decimal(38,0))
+              * 1000000) div (__n * __syy - __sy * __sy))
+          ELSE 0 END AS BIGINT)""").as("rho2_signed_ppm"))
+  }
+
   /** Mann–Whitney U rank-sum comparison of two cohorts — the
     * nonparametric "is A stochastically larger than B" companion to
     * [[ksDrift]] (KS asks "are they different anywhere", U measures

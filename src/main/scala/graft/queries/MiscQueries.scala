@@ -1571,8 +1571,49 @@ object MiscQueries {
         CAST(cusum > 10 * mu AS BIGINT) AS flagged
       FROM s ORDER BY day"""))
 
+  /** q196 — Spearman rank correlation
+    * ([[graft.operators.Profile.spearmanRho2]], round 12): order
+    * frequency vs revenue per customer — exact doubled-midrank signed
+    * ρ², no float ever forms.
+    */
+  private val q196 = Q("q196_spearman_rho",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("y"))
+      graft.operators.Profile.spearmanRho2(per, "x", "y")
+    },
+    Some("""WITH per AS (SELECT o_custkey, COUNT(*) AS x,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      rx AS (SELECT x, COUNT(*) AS c FROM per GROUP BY x),
+      rxm AS (SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1 AS r2 FROM rx),
+      ry AS (SELECT y, COUNT(*) AS c FROM per GROUP BY y),
+      rym AS (SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1 AS r2 FROM ry),
+      j AS (SELECT rxm.r2 AS rx2, rym.r2 AS ry2 FROM per
+        JOIN rxm ON per.x = rxm.x JOIN rym ON per.y = rym.y),
+      t AS (SELECT COUNT(*)::HUGEINT AS n, SUM(rx2)::HUGEINT AS sx,
+          SUM(ry2)::HUGEINT AS sy, SUM(rx2 * ry2)::HUGEINT AS sxy,
+          SUM(rx2 * rx2)::HUGEINT AS sxx,
+          SUM(ry2 * ry2)::HUGEINT AS syy FROM j),
+      f AS (SELECT n, (n * sxy - sx * sy) AS a,
+          (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy FROM t)
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN vx > 0 AND vy > 0
+          THEN (CASE WHEN a >= 0 THEN 1 ELSE -1 END)
+            * ((((a * a) // vx) * 1000000) // vy)
+          ELSE 0 END AS BIGINT) AS rho2_signed_ppm
+      FROM f"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
-    q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195)
+    q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
+    q196)
 }

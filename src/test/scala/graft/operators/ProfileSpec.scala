@@ -340,6 +340,33 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("spearmanRho2: exact signed squares at the extremes and ties") {
+    import spark.implicits._
+    // perfect monotone: rho = 1 -> +1e6 (up to the div-chain floor)
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("x", "y")
+    val g1 = Profile.spearmanRho2(up, "x", "y")
+      .as[(Long, Long)].collect().head
+    assert(g1 == ((4L, 1000000L)), g1.toString)
+    // perfect antitone: -1e6
+    val down = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))
+      .toDF("x", "y")
+    val g2 = Profile.spearmanRho2(down, "x", "y")
+      .as[(Long, Long)].collect().head
+    assert(g2 == ((4L, -1000000L)), g2.toString)
+    // constant column: degenerate variance reports 0
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val g3 = Profile.spearmanRho2(const, "x", "y")
+      .as[(Long, Long)].collect().head
+    assert(g3 == ((3L, 0L)), g3.toString)
+    // ties take midranks: x = (1,1,2,2), y = (1,2,1,2) -> rho = 0
+    val tie = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("x", "y")
+    val g4 = Profile.spearmanRho2(tie, "x", "y")
+      .as[(Long, Long)].collect().head
+    assert(g4 == ((4L, 0L)), g4.toString)
+  }
+
   test("mannWhitney: doubled midranks, dominance extremes, ties") {
     import spark.implicits._
     // complete separation: every a < every b -> U_A = 0, rho = 0
