@@ -639,6 +639,46 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Cramér's V association between two CATEGORICAL columns — the
+    * column-pair profiler ("is source predictive of language?"):
+    * χ² over the full r×c contingency grid (absent cells still
+    * contribute their expectation) with every term the exact
+    * integral ⌊10⁶·(O·N − R·C)²/(R·C·N)⌋ (per-cell quantization is
+    * the contract; quotients are bounded by 10⁶·N so `div` never
+    * exceeds a long — the q196 rule), and V² = χ²/(N·(min(r,c)−1))
+    * reported as exact ppm. Returns one row
+    * (n, dof_min, chi2_micro, v2_ppm); V = √(v2_ppm/10⁶).
+    *
+    * Scale: ONE (a, b) map-side count; the grid is the bounded
+    * |r|×|c| cross of the two marginal frames. Declared-vocabulary
+    * rule applies — categorical columns, not open ids.
+    */
+  def cramersV2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val o = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__r"), col(bCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = o.groupBy(col("__r")).agg(sum(col("__o")).as("__rn"))
+    val ct = o.groupBy(col("__c")).agg(sum(col("__o")).as("__cn"))
+    val nn = o.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc"))
+    rt.crossJoin(ct)
+      .join(o, Seq("__r", "__c"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(nn))
+      .select(expr(s"""(CAST(1000000 AS $D)
+          * (CAST(__o AS $D) * __n - CAST(__rn AS $D) * __cn)
+          * (CAST(__o AS $D) * __n - CAST(__rn AS $D) * __cn))
+        div (CAST(__rn AS $D) * __cn * __n)""").as("__t"),
+        col("__n"), least(col("__nr"), col("__nc")).as("__k"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        (max(col("__k")) - 1).cast("long").as("dof_min"),
+        sum(col("__t")).cast("long").as("chi2_micro"),
+        expr(s"""CAST(SUM(__t) div (CAST(MAX(__n) AS $D)
+          * (MAX(__k) - 1)) AS BIGINT)""").as("v2_ppm"))
+  }
+
   /** Spearman rank correlation between two integer columns, exact:
     * midranks kept integral by doubling (the [[mannWhitney]] trick),
     * then the Pearson-over-midranks identity with n-scaled integer

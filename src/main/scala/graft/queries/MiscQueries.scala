@@ -1611,9 +1611,39 @@ object MiscQueries {
           ELSE 0 END AS BIGINT) AS rho2_signed_ppm
       FROM f"""))
 
+  /** q197 — Cramér's V categorical association
+    * ([[graft.operators.Profile.cramersV2]], round 12): is a
+    * document's source predictive of its language — exact per-cell
+    * χ² integrals over the full contingency grid, exact ppm V².
+    */
+  private val q197 = Q("q197_cramers_v",
+    (s, dir) =>
+      graft.operators.Profile.cramersV2(t(s, dir, "documents"),
+        "lang", "source"),
+    Some("""WITH o AS (SELECT lang AS r, source AS c, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT r, SUM(o) AS rn FROM o GROUP BY r),
+      ct AS (SELECT c, SUM(o) AS cn FROM o GROUP BY c),
+      nn AS (SELECT SUM(o)::HUGEINT AS n FROM o),
+      grid AS (SELECT rt.r, ct.c, rt.rn::HUGEINT AS rn,
+          ct.cn::HUGEINT AS cn, COALESCE(o.o, 0)::HUGEINT AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN o ON o.r = rt.r AND o.c = ct.c),
+      terms AS (SELECT (1000000 * (o * n - rn * cn)
+            * (o * n - rn * cn)) // (rn * cn * n) AS t
+        FROM grid, nn),
+      k AS (SELECT LEAST((SELECT COUNT(*) FROM rt),
+          (SELECT COUNT(*) FROM ct)) - 1 AS kk)
+      SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+        CAST((SELECT kk FROM k) AS BIGINT) AS dof_min,
+        CAST(SUM(t) AS BIGINT) AS chi2_micro,
+        CAST(SUM(t) // ((SELECT n FROM nn) * (SELECT kk FROM k))
+          AS BIGINT) AS v2_ppm
+      FROM terms"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196)
+    q196, q197)
 }

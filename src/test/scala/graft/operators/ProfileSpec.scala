@@ -340,6 +340,33 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("cramersV2: independence -> 0, perfect association -> 1e6") {
+    import spark.implicits._
+    // perfectly dependent 2x2: a determines b
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val g1 = Profile.cramersV2(dep, "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    // chi2 = n = 4 -> chi2_micro = 4e6 ; v2 = 4e6/(4*1) = 1e6
+    assert(g1 == ((4L, 1L, 4000000L, 1000000L)), g1.toString)
+    // exact independence: uniform 2x2 -> chi2 = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val g2 = Profile.cramersV2(ind, "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(g2 == ((4L, 1L, 0L, 0L)), g2.toString)
+    // absent cells still contribute expectation: 2x2 with an empty
+    // cell — driver-side replay
+    val hole = Seq(("x", "p"), ("x", "q"), ("y", "p")).toDF("a", "b")
+    val g3 = Profile.cramersV2(hole, "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    def term(o: Long, rn: Long, cn: Long, n: Long): Long =
+      1000000L * (o * n - rn * cn) * (o * n - rn * cn) / (rn * cn * n)
+    val chi = term(1, 2, 2, 3) + term(1, 2, 1, 3) +
+      term(1, 1, 2, 3) + term(0, 1, 1, 3)
+    assert(g3 == ((3L, 1L, chi, chi / 3L)), s"$g3 vs chi=$chi")
+  }
+
   test("spearmanRho2: exact signed squares at the extremes and ties") {
     import spark.implicits._
     // perfect monotone: rho = 1 -> +1e6 (up to the div-chain floor)
