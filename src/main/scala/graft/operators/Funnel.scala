@@ -306,6 +306,43 @@ object Funnel {
       .drop("rk")
   }
 
+  /** Cohort value curves — [[retentionCohorts]]' revenue sibling
+    * (LTV by cohort age): users bucket into the cohort of their
+    * first active period; each conversion's exact integer value lands
+    * in (cohort, k = periods since cohort), and the report carries
+    * both the per-age value and the RUNNING cumulative — the curve
+    * whose flattening says when a cohort stops paying back. Returns
+    * (cohort, k, rev_cents, cum_rev_cents).
+    *
+    * Scale: the per-user first-bucket frame and the (cohort, k)
+    * value aggregate are the retentionCohorts shapes (map-side
+    * combined, user-keyed join of bounded frames); the cumulative is
+    * one window over the |cohorts|·|ages| report grid.
+    */
+  def cohortValue(events: DataFrame, userCol: String,
+                  tsMicrosCol: String, centsCol: String,
+                  bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0,
+      s"bucketMicros must be positive, got $bucketMicros")
+    val act = events.select(col(userCol).as("__u"),
+      expr(s"CAST($tsMicrosCol AS BIGINT) div $bucketMicros").as("__b"),
+      col(centsCol).cast("long").as("__c"))
+    val coh = act.groupBy(col("__u")).agg(min(col("__b")).as("__coh"))
+    val cells = act.join(coh, Seq("__u"))
+      .groupBy(col("__coh").as("cohort"),
+        (col("__b") - col("__coh")).as("k"))
+      .agg(sum(col("__c")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort").cast("long").as("cohort"),
+        col("k").cast("long").as("k"),
+        col("rev_cents").cast("long").as("rev_cents"),
+        col("cum_rev_cents").cast("long").as("cum_rev_cents"))
+  }
+
   /** Higher-order sequence mining — counts of contiguous event-type
     * k-grams within per-user (t, id)-ordered histories (k = 3 is the
     * classic "what leads to what leads to what" view one order above

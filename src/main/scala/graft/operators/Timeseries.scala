@@ -27,6 +27,68 @@ object Timeseries {
     * long under ANSI; decimal keeps the gate loud-proof and exact.
     * No window, no sort, no self-join.
     */
+  /** Day-of-week seasonality profile + uniformity test: per weekday
+    * (0 = Monday, epoch-day arithmetic — day 0 was a Thursday, so
+    * dow = (d + 3) mod 7), the row count, its exact ppm share, and
+    * the cell's χ²-against-uniform term ⌊10⁶·(7·O − N)²/(7·N)⌋ (all
+    * integral — the [[Profile.cramersV2]] per-cell quantization);
+    * Σ terms ≈ 10⁶·χ²(dof 6). Returns (dow, n, share_ppm,
+    * chi2_term_micro) — the "is volume weekday-shaped" monitor.
+    *
+    * Scale: ONE dow-keyed map-side count (7 cells); the total rides
+    * a one-row broadcast.
+    */
+  def dowProfile(df: DataFrame, tsMicrosCol: String,
+                 dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    val c = df
+      .select(expr(s"pmod(CAST($tsMicrosCol AS BIGINT) " +
+        s"div $dayMicros + 3, 7)").as("dow"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("__t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"),
+        col("n").cast("long").as("n"),
+        expr(s"(CAST(1000000 AS $D) * n) div __t").cast("long")
+          .as("share_ppm"),
+        expr(s"""(CAST(1000000 AS $D) * (7 * CAST(n AS $D) - __t)
+          * (7 * CAST(n AS $D) - __t))
+          div (CAST(7 AS $D) * __t)""").cast("long")
+          .as("chi2_term_micro"))
+  }
+
+  /** Trailing-window running sum over daily totals via a RANGE frame:
+    * per day, the exact sum of `centsCol` across days in
+    * [d − window + 1, d] — VALUE-based framing, so silent days inside
+    * the window genuinely contribute nothing and a gap wider than the
+    * window resets the sum (ROWS frames get this wrong; the gate
+    * pins the distinction). Returns (day, n, cents, trail_cents).
+    *
+    * Scale: one day-keyed map-side rollup, then ONE ordered window
+    * over the bounded daily frame.
+    */
+  def trailingDailySum(df: DataFrame, tsMicrosCol: String,
+                       centsCol: String, window: Int = 7,
+                       dayMicros: Long = 86400000000L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("day"), col(centsCol).cast("long").as("__c"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("cents"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(window - 1).toLong, 0L)
+    daily.withColumn("trail_cents", sum(col("cents")).over(w))
+      .select(col("day").cast("long").as("day"),
+        col("n").cast("long").as("n"),
+        col("cents").cast("long").as("cents"),
+        col("trail_cents").cast("long").as("trail_cents"))
+  }
+
   /** CUSUM change detection over daily row counts (Page 1954): the
     * upper cumulative sum s_d = max(0, s_{d−1} + x_d − μ − slack)
     * with μ = ⌊total/days⌋ derived from the series itself and an

@@ -1641,9 +1641,85 @@ object MiscQueries {
           AS BIGINT) AS v2_ppm
       FROM terms"""))
 
+  /** q198 — day-of-week seasonality + uniformity χ²
+    * ([[graft.operators.Timeseries.dowProfile]], round 12): order
+    * volume by weekday with exact ppm shares and per-cell χ² terms.
+    */
+  private val q198 = Q("q198_dow_seasonality",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.dowProfile(o, "t_us")
+        .orderBy(col("dow"))
+    },
+    Some("""WITH c AS (SELECT (epoch_us(o_orderdate) // 86400000000
+            + 3) % 7 AS dow, COUNT(*) AS n
+          FROM orders GROUP BY 1),
+      tot AS (SELECT SUM(n) AS t FROM c)
+      SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+        CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
+        CAST((1000000::HUGEINT * (7 * n - t) * (7 * n - t))
+          // (7 * t) AS BIGINT) AS chi2_term_micro
+      FROM c, tot ORDER BY dow"""))
+
+  /** q199 — trailing 7-day revenue via a RANGE window frame
+    * ([[graft.operators.Timeseries.trailingDailySum]], round 12):
+    * value-based framing over daily order cents — silent days inside
+    * the window contribute nothing; gaps wider than the window reset.
+    */
+  private val q199 = Q("q199_trailing_revenue",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Timeseries.trailingDailySum(o, "t_us", "cents",
+          window = 7)
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+            AS day, COUNT(*) AS n,
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1)
+      SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        CAST(cents AS BIGINT) AS cents,
+        CAST(SUM(cents) OVER (ORDER BY day
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS trail_cents
+      FROM daily ORDER BY day"""))
+
+  /** q200 — cohort LTV curves
+    * ([[graft.operators.Funnel.cohortValue]], round 12): purchase
+    * cents by (first-active-day cohort, days since) with running
+    * cumulative — q159 retention's revenue sibling.
+    */
+  private val q200 = Q("q200_cohort_ltv",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.Funnel.cohortValue(e, "user_id", "t_us",
+          "cents", bucketMicros = 86400000000L)
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+          epoch_us(ts) // 86400000000 AS b,
+          CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      coh AS (SELECT user_id, MIN(b) AS coh FROM e GROUP BY user_id),
+      cells AS (SELECT coh.coh AS cohort, e.b - coh.coh AS k,
+          SUM(e.c) AS rev FROM e JOIN coh USING (user_id)
+        GROUP BY 1, 2)
+      SELECT CAST(cohort AS BIGINT) AS cohort, CAST(k AS BIGINT) AS k,
+        CAST(rev AS BIGINT) AS rev_cents,
+        CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY k
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      FROM cells ORDER BY cohort, k"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196, q197)
+    q196, q197, q198, q199, q200)
 }

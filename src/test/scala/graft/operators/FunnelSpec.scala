@@ -217,6 +217,22 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("cohortValue: first-bucket cohorts, running cumulative") {
+    val day = 86400000000L
+    // u1 first pays day 0 (10c), again day 2 (20c);
+    // u2 first pays day 2 (40c) — its k=0 is cohort 2, not 0
+    val ev = Seq((1L, 0L, 10L), (1L, 2 * day, 20L),
+      (2L, 2 * day, 40L)).toDF("u", "t", "cents")
+    val got = Funnel.cohortValue(ev, "u", "t", "cents", day)
+      .orderBy($"cohort", $"k")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 10L, 10L), (0L, 2L, 20L, 30L),
+      (2L, 0L, 40L, 40L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.cohortValue(ev, "u", "t", "cents", 0L)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString

@@ -55,6 +55,33 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("dowProfile: epoch-day weekday math, exact chi2 terms") {
+    // day 0 = Thursday -> dow 3; day 4 = Monday -> dow 0
+    val df = Seq(0L, 4 * day, 4 * day).toDF("t")
+    val got = Timeseries.dowProfile(df, "t")
+      .orderBy($"dow").as[(Long, Long, Long, Long)].collect().toSeq
+    // n=3: dow0 has 2 (share 666666), dow3 has 1 (333333)
+    // chi2 terms: (7*2-3)^2*1e6/(7*3) = 121e6/21 = 5761904
+    //             (7*1-3)^2*1e6/21 = 16e6/21 = 761904
+    assert(got == Seq((0L, 2L, 666666L, 5761904L),
+      (3L, 1L, 333333L, 761904L)), got.toString)
+  }
+
+  test("trailingDailySum: RANGE framing skips silent days, gaps reset") {
+    // days 0 (10c), 1 (20c), 9 (5c) — window 3
+    val df = Seq((0L, 10L), (day, 20L), (9 * day, 5L))
+      .toDF("t", "cents")
+    val got = Timeseries.trailingDailySum(df, "t", "cents", window = 3)
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect().toSeq
+    // day 1 trails 30; day 9 is farther than 2 days from everything
+    // -> trails only itself (a ROWS frame would wrongly carry 20+5)
+    assert(got == Seq((0L, 1L, 10L, 10L), (1L, 1L, 20L, 30L),
+      (9L, 1L, 5L, 5L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Timeseries.trailingDailySum(df, "t", "cents", window = 0)
+    }
+  }
+
   test("ewmaCounts: guards are loud") {
     val df = Seq(0L).toDF("t")
     intercept[IllegalArgumentException] {
