@@ -639,6 +639,53 @@ object Profile {
         col("d_scaled"))
   }
 
+  /** Per-group exact-duplicate scorecard: content fingerprints
+    * ([[graft.functions.TextFunctions.fingerprint]]'s md5-of-
+    * normalized convention) counted vs distinct per group — the
+    * "which source is feeding us copies" triage view in front of the
+    * [[Dedup]] machinery. Returns (group, n_docs, n_distinct,
+    * dup_ppm). ONE (group, fp) map-side distinct + a group rollup.
+    */
+  def dupRateBy(docs: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    val f = docs.select(col(groupCol).as("grp"),
+      graft.functions.TextFunctions.fingerprint(col(textCol))
+        .as("__fp"))
+    f.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_distinct"))
+      .select(col("grp").as(groupCol),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("(1000000 * (n_docs - n_distinct)) div n_docs")
+          .cast("long").as("dup_ppm"))
+  }
+
+  /** Hapax-legomenon ratio per group — the lexical-richness screen
+    * next to Zipf (q141) / Heaps (q145) / Gini (q166): the fraction
+    * of a group's VOCABULARY seen exactly once (template-generated
+    * text runs hapax-poor; rich natural text runs ~40-60%). Returns
+    * (group, vocab, hapax, hapax_ppm). One (group, token) map-side
+    * count, one group rollup.
+    */
+  def hapaxRatio(docs: DataFrame, groupCol: String,
+                 textCol: String): DataFrame = {
+    val c = docs.select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("grp"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+    c.groupBy(col("grp"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("grp").as(groupCol),
+        col("vocab").cast("long").as("vocab"),
+        col("hapax").cast("long").as("hapax"),
+        expr("(1000000 * hapax) div vocab").cast("long")
+          .as("hapax_ppm"))
+  }
+
   /** Cramér's V association between two CATEGORICAL columns — the
     * column-pair profiler ("is source predictive of language?"):
     * χ² over the full r×c contingency grid (absent cells still

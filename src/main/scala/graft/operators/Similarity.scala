@@ -235,6 +235,31 @@ object Similarity {
     rankCandidates(filtered, cv, qv, k)
   }
 
+  /** Embedding-norm hygiene profile — the vector-column sanity screen
+    * run before any ANN index build (un-normalized batches, zeroed
+    * rows and scale drift between embedding-model versions all show
+    * up as norm² outliers): per label, the count and min/max/mean of
+    * ⌊10⁶·‖v‖²⌋. The squared norm is the q20-contract left-to-right
+    * double fold (bit-equal to DuckDB's list_dot_product), quantized
+    * PER ROW before the exact long aggregation — so the profile is
+    * engine-portable with no float accumulation order anywhere.
+    * Returns (label, n, min_norm2_micro, max_norm2_micro,
+    * mean_norm2_micro). One label-keyed map-side aggregate.
+    */
+  def normProfile(vectors: DataFrame, vecCol: String,
+                  labelCol: String): DataFrame =
+    vectors.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"),
+        floor(lit(1000000.0) *
+          VectorFunctions.dot(col(vecCol), col(vecCol)))
+          .cast("long").as("__n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("__n2")).cast("long").as("min_norm2_micro"),
+        max(col("__n2")).cast("long").as("max_norm2_micro"),
+        expr("SUM(__n2) div COUNT(*)").cast("long")
+          .as("mean_norm2_micro"))
+
   /** Int8-quantized maximum-inner-product top-k — the serving-scale
     * memory path: 4× smaller vectors than float32 (the quantized corpus
     * column is `array<tinyint>` + one double scale per vector), and the

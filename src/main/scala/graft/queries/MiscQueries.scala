@@ -1717,9 +1717,70 @@ object MiscQueries {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
       FROM cells ORDER BY cohort, k"""))
 
+  /** q201 — per-source exact-duplicate scorecard
+    * ([[graft.operators.Profile.dupRateBy]], round 12): fingerprint
+    * counts vs distincts per source — the copy-feed triage in front
+    * of the dedup machinery (clean at sf0.01, real dups at sf0.1).
+    */
+  private val q201 = Q("q201_dup_scorecard",
+    (s, dir) =>
+      graft.operators.Profile.dupRateBy(t(s, dir, "documents"),
+          "source", "text")
+        .orderBy(col("source")),
+    Some(s"""WITH f AS (SELECT source, md5(${TextQueries.normSql("text")}) AS fp
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+        CAST((1000000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*)
+          AS BIGINT) AS dup_ppm
+      FROM f GROUP BY source ORDER BY source"""))
+
+  /** q202 — hapax-legomenon lexical richness per language
+    * ([[graft.operators.Profile.hapaxRatio]], round 12): the
+    * once-only vocabulary fraction — template text runs hapax-poor.
+    */
+  private val q202 = Q("q202_hapax_ratio",
+    (s, dir) =>
+      graft.operators.Profile.hapaxRatio(t(s, dir, "documents"),
+          "lang", "text")
+        .orderBy(col("lang")),
+    Some(s"""WITH toks AS (SELECT lang,
+          UNNEST(STRING_SPLIT(${TextQueries.normSql("text")}, ' ')) AS w
+        FROM documents),
+      c AS (SELECT lang, w, COUNT(*) AS n FROM toks
+        WHERE w <> '' GROUP BY 1, 2)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hapax,
+        CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS hapax_ppm
+      FROM c GROUP BY lang ORDER BY lang"""))
+
+  /** q203 — embedding-norm hygiene profile
+    * ([[graft.operators.Similarity.normProfile]], round 12):
+    * per-label ⌊10⁶·‖v‖²⌋ extremes and mean — the pre-index vector
+    * sanity screen, q20-contract fold quantized per row.
+    */
+  private val q203 = Q("q203_embedding_norms",
+    (s, dir) =>
+      graft.operators.Similarity.normProfile(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy(col("label")),
+    Some("""WITH v AS (SELECT label,
+          CAST(FLOOR(1000000 * list_dot_product(
+            CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            AS BIGINT) AS n2
+        FROM embeddings WHERE label IS NOT NULL)
+      SELECT CAST(label AS BIGINT) AS label,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(n2) AS BIGINT) AS min_norm2_micro,
+        CAST(MAX(n2) AS BIGINT) AS max_norm2_micro,
+        CAST(SUM(n2) // COUNT(*) AS BIGINT) AS mean_norm2_micro
+      FROM v GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196, q197, q198, q199, q200)
+    q196, q197, q198, q199, q200, q201, q202, q203)
 }

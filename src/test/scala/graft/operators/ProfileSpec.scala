@@ -340,6 +340,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("dupRateBy / hapaxRatio: scorecard arithmetic on fixtures") {
+    import spark.implicits._
+    // s1: 3 docs, two share normalized content (case differs)
+    val docs = Seq(("s1", "Hello World"), ("s1", "hello   world!"),
+      ("s1", "other text"), ("s2", "unique one"))
+      .toDF("source", "text")
+    val dup = Profile.dupRateBy(docs, "source", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(dup == Set(("s1", 3L, 2L, 333333L), ("s2", 1L, 1L, 0L)),
+      dup.toString)
+    // hapax: lang x tokens "a a b" -> vocab 2, hapax 1
+    val h = Profile.hapaxRatio(
+        Seq(("en", "a a b"), ("de", "x y")).toDF("lang", "text"),
+        "lang", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(h == Set(("en", 2L, 1L, 500000L), ("de", 2L, 2L, 1000000L)),
+      h.toString)
+  }
+
   test("cramersV2: independence -> 0, perfect association -> 1e6") {
     import spark.implicits._
     // perfectly dependent 2x2: a determines b

@@ -91,6 +91,20 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, f"IVF hard-negative recall $r%.3f below 0.8")
   }
 
+  test("normProfile: per-row quantized norms, exact extremes") {
+    val e = Seq(
+      (1L, Array(3f, 4f), java.lang.Integer.valueOf(0)),   // norm2 25
+      (2L, Array(1f, 0f), java.lang.Integer.valueOf(0)),   // norm2 1
+      (3L, Array(0f, 0f), java.lang.Integer.valueOf(1)),   // norm2 0
+      (4L, Array(2f, 0f), null.asInstanceOf[java.lang.Integer])
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.normProfile(e, "embedding", "label")
+      .orderBy($"label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1000000L, 25000000L, 13000000L),
+      (1L, 1L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("hardNegatives: same-label (incl. self) never ranks; nulls drop") {
     // axis-aligned vectors: 1 and 2 share label 7 and point the same
     // way; 3 (label 8) is orthogonal-ish, 4 has a null label
