@@ -68,6 +68,27 @@ object Expectations {
         col("__e.n_rows").as("n_rows"))
   }
 
+  /** [[accounting]] per group — the data-quality TREND view (violation
+    * counts per day/source/shard, the monitor that catches an
+    * upstream feed going bad at 3am): one row per group with
+    * (group, n_rows, one violation-count column PER RULE in
+    * declaration order, admitted). ONE group-keyed map-side
+    * aggregate.
+    */
+  def accountingBy(df: DataFrame, groupCol: String,
+                   rules: Seq[Rule]): DataFrame = {
+    val rs = validated(rules)
+    val viol = rs.map(r =>
+      (!coalesce(r.cond, lit(false))).cast("long"))
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n_rows")) ++
+        rs.zip(viol).map { case (r, v) =>
+          sum(v).cast("long").as(r.name) } ++
+        Seq(sum(when(viol.reduce(_ + _) === 0L, 1L).otherwise(0L))
+          .cast("long").as("admitted"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Split-and-write: admissible rows append to `table`, violating
     * rows (with `__violations` joined to a comma string) append to
     * `quarantine`. Returns (admitted, quarantined) exact counts.

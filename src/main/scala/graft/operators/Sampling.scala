@@ -87,6 +87,54 @@ object Sampling {
     * broadcasts it when it fits), then the same narrow no-shuffle
     * bucket projection as [[assignSplits]]. Adds `repCol` + `splitCol`.
     */
+  /** Sample-ratio-mismatch check over [[assignSplits]] — the
+    * experimentation guardrail (an SRM means the assignment or the
+    * logging is broken and every downstream metric is suspect):
+    * per split, the observed count against its EXACT bucket-span
+    * expectation (spans are the real `round(cum·2^32)` boundaries,
+    * not the nominal weights — the check audits what assignSplits
+    * actually does), with the χ² term as the exact integral
+    * ⌊10⁶·(2³²·O − N·span)²/(2³²·N·span)⌋ (per-cell quantization,
+    * the cramersV2 convention; Σ terms ≈ 10⁶·χ²(dof = splits−1)).
+    * Unassigned rows (weights summing < 1) audit against the holdout
+    * span under the `[HOLDOUT]` name. Returns
+    * (split, n_obs, span, chi2_term_micro) ordered by split.
+    *
+    * Scale: assignment is the narrow md5 projection; ONE split-keyed
+    * map-side count (≤ splits+1 cells); N rides a one-row broadcast.
+    */
+  def srmCheck(df: DataFrame, keyCol: String,
+               splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
+    val D = "decimal(38,0)"
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * BucketSpace))
+    val spans = splits.map(_._1).zip(
+      bounds.zip(0L +: bounds.init).map { case (hi, lo) => hi - lo })
+    val holdout = BucketSpace - bounds.last
+    val all = if (holdout > 0) spans :+ ("[HOLDOUT]" -> holdout)
+      else spans
+    require(all.forall(_._2 > 0),
+      s"every split needs a positive bucket span, got $all")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spanDf = all.toDF("split", "span")
+    val assigned = assignSplits(df, keyCol, splits, salt)
+      .select(coalesce(col("split"), lit("[HOLDOUT]")).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("__o"))
+    val n = assigned.agg(sum(col("__o")).as("__n"))
+    spanDf.join(assigned, Seq("split"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(n))
+      .select(col("split"), col("__o").cast("long").as("n_obs"),
+        col("span").cast("long").as("span"),
+        expr(s"""(CAST(1000000 AS $D)
+          * (CAST($BucketSpace AS $D) * __o - CAST(__n AS $D) * span)
+          * (CAST($BucketSpace AS $D) * __o - CAST(__n AS $D) * span))
+          div (CAST($BucketSpace AS $D) * __n * span)""")
+          .cast("long").as("chi2_term_micro"))
+  }
+
   def assignSplitsLeakageFree(df: DataFrame, idCol: String,
       labels: DataFrame, splits: Seq[(String, Double)], salt: String,
       splitCol: String = "split", repCol: String = "rep_id"): DataFrame = {

@@ -1778,9 +1778,44 @@ object MiscQueries {
         CAST(SUM(n2) // COUNT(*) AS BIGINT) AS mean_norm2_micro
       FROM v GROUP BY label ORDER BY label"""))
 
+  /** q204 — expectation-violation trend
+    * ([[graft.operators.Expectations.accountingBy]], round 12):
+    * per-day violation counts for two declared rules over events —
+    * the data-quality monitor that catches a feed going bad, q177's
+    * audit frame over time.
+    */
+  private val q204 = Q("q204_expectation_trend",
+    (s, dir) => {
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      val e = t(s, dir, "events").select(
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"),
+        col("value"), col("event_type"))
+      Expectations.accountingBy(e, "day", Seq(
+          Rule("value_min", col("value") >= 1.0),
+          Rule("type_allowed", col("event_type")
+            .isin("click", "view", "purchase", "signup"))))
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          NOT COALESCE(value >= 1.0, FALSE) AS v1,
+          NOT COALESCE(event_type IN
+            ('click','view','purchase','signup'), FALSE) AS v2
+        FROM events)
+      SELECT CAST(day AS BIGINT) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS value_min,
+        CAST(SUM(CASE WHEN v2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS type_allowed,
+        CAST(SUM(CASE WHEN NOT v1 AND NOT v2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS admitted
+      FROM e GROUP BY day ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196, q197, q198, q199, q200, q201, q202, q203)
+    q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

@@ -765,6 +765,50 @@ object SamplingQueries {
       FROM rk GROUP BY g ORDER BY o_orderpriority"""
     })
 
+  /** q205 — sample-ratio-mismatch check
+    * ([[graft.operators.Sampling.srmCheck]], round 12): the q40
+    * train/val/test assignment audited against its EXACT bucket
+    * spans — per-split χ² terms as exact integrals; the
+    * experimentation guardrail in front of every split-keyed metric.
+    */
+  private val q205 = Q("q205_srm_check",
+    (s, dir) =>
+      Sampling.srmCheck(t(s, dir, "documents"), "doc_id", splits,
+          salt = "graft")
+        .orderBy(col("split")),
+    Some {
+      val bounds = splitBounds.map(_._2)
+      val spans = splits.map(_._1)
+        .zip(bounds.zip(0L +: bounds.init).map { case (h, l) => h - l })
+      val holdout = Sampling.BucketSpace - bounds.last
+      val all0 = if (holdout > 0) spans :+ ("[HOLDOUT]" -> holdout)
+        else spans
+      val spanRows = all0.map { case (n, sp) => s"('$n', $sp)" }
+        .mkString(", ")
+      val cases = splitBounds
+        .map { case (n, b) => s"WHEN bucket < $b THEN '$n'" }
+        .mkString(" ")
+      val B = Sampling.BucketSpace
+      s"""WITH d AS (SELECT ${hashSql("graft", "doc_id")} AS h
+          FROM documents),
+        b AS (SELECT CAST(${bucketSql("h")} AS BIGINT) AS bucket
+          FROM d),
+        a AS (SELECT COALESCE(CASE $cases ELSE NULL END, '[HOLDOUT]')
+            AS split FROM b),
+        o AS (SELECT split, COUNT(*) AS n_obs FROM a GROUP BY split),
+        sp AS (SELECT * FROM (VALUES $spanRows) v(split, span)),
+        nn AS (SELECT SUM(n_obs)::HUGEINT AS n FROM o)
+      SELECT sp.split, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        CAST(sp.span AS BIGINT) AS span,
+        CAST((1000000::HUGEINT
+          * ($B::HUGEINT * COALESCE(o.n_obs, 0) - n * sp.span)
+          * ($B::HUGEINT * COALESCE(o.n_obs, 0) - n * sp.span))
+          // ($B::HUGEINT * n * sp.span) AS BIGINT)
+          AS chi2_term_micro
+      FROM sp LEFT JOIN o ON sp.split = o.split, nn
+      ORDER BY sp.split"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150, q165, q171, q186, q191)
+    q87, q92, q134, q146, q150, q165, q171, q186, q191, q205)
 }

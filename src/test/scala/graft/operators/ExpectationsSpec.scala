@@ -51,6 +51,22 @@ class ExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("accountingBy: per-group violation trend columns") {
+    val grouped = Seq(
+      ("d1", "en", 250L), ("d1", "zh", 250L), ("d1", "en", 10L),
+      ("d2", "fr", 300L))
+      .toDF("day", "lang", "n")
+    val got = Expectations.accountingBy(grouped, "day", rules)
+      .orderBy($"day")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // d1: 3 rows, 1 chars violation, 1 lang violation, 1 admitted
+    assert(got == Seq(("d1", 3L, 1L, 1L, 1L), ("d2", 1L, 0L, 0L, 1L)),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Expectations.accountingBy(grouped, "day", Seq.empty)
+    }
+  }
+
   test("appendExpect: admits clean rows, quarantines the rest") {
     val store =
       new TableStore(spark, Files.createTempDirectory("graft_ex").toString)

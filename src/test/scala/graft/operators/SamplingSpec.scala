@@ -449,4 +449,35 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedTopK(docs.filter($"doc_id" < 0), "doc_id",
       "n_chars", 3, "wrs", minQuantMargin = Some(0.5)).count() == 0)
   }
+
+  test("srmCheck: spans audit the real boundaries; holdout covered") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(0, 2000).toDF("id")
+    val splits = Seq("a" -> 0.5, "b" -> 0.25) // 25% holdout
+    val got = Sampling.srmCheck(ids, "id", splits, "s")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // spans are the exact round(cum*2^32) deltas; counts match a
+    // direct assignSplits replay, holdout catches the unassigned
+    val assigned = Sampling.assignSplits(ids, "id", splits, "s")
+      .groupBy(coalesce(col("split"), lit("[HOLDOUT]")).as("s"))
+      .count().as[(String, Long)].collect().toMap
+    Seq("a", "b", "[HOLDOUT]").foreach { s =>
+      assert(got(s)._1 == assigned(s), s)
+    }
+    assert(got.values.map(_._2).sum == Sampling.BucketSpace)
+    // a near-fair split: every chi2 term small (< 10 == chi2 < 1e-5
+    // per cell is too strict; just bound by a loose 10e6)
+    assert(got.values.forall(_._3 < 10000000L), got.toString)
+    // a REAL mismatch — lossy logging that drops half of split-a's
+    // bucket range before the audit — must inflate a's chi2 term
+    val aBound = math.round(0.5 * Sampling.BucketSpace)
+    val lossy = ids.filter(
+      Sampling.hashBucket(col("id"), "s") >= aBound / 2)
+    val bad = Sampling.srmCheck(lossy, "id", splits, "s")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(bad("a") > got("a")._3 * 100,
+      s"dropped rows must inflate chi2: $bad vs $got")
+  }
 }
