@@ -306,6 +306,55 @@ object Funnel {
       .drop("rk")
   }
 
+  /** Funnel conversion rates WITH bootstrap uncertainty — the
+    * composition that turns the funnel report into a decision: per
+    * step ≥ 2, the exact conversion rate among step-1 enterers plus
+    * a 95% Poisson-bootstrap percentile interval over users
+    * ([[Bootstrap.replicateMeansBy]] on the 0/1 reached indicator —
+    * a replicate mean of 0/1 IS a rate in ppm, and resampling USERS
+    * is the right unit: a user's events are dependent). Same
+    * replicate weights per user across steps (content-addressed
+    * seed), so step CIs are comparable. Returns
+    * (step, n_entered, n_reached, rate_ppm, lo_ppm, hi_ppm).
+    *
+    * Scale: completions' audited user-keyed shape; the indicator
+    * grid is |enterers|·(steps−1) rows; the bootstrap is the q191
+    * single-pass (step, b)-keyed aggregate; CIs rank B-row frames.
+    */
+  def conversionRateCi(events: DataFrame, userCol: String,
+                       tsMicrosCol: String, idCol: String,
+                       typeCol: String, steps: Seq[String],
+                       maxSpanMicros: Option[Long] = None,
+                       replicates: Int = 64,
+                       salt: String = "funl"): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got $steps")
+    val c = completions(events, userCol, tsMicrosCol, idCol, typeCol,
+      steps, maxSpanMicros)
+    val entered = c.filter(col("step") === 1L)
+      .select(col(userCol).as("__u"))
+    val rows = steps.indices.tail.map { i =>
+      val reached = c.filter(col("step") === (i + 1).toLong)
+        .select(col(userCol).as("__u"), lit(1L).as("__r"))
+      entered.join(reached, Seq("__u"), "left")
+        .select(lit((i + 1).toLong).as("stp"), col("__u"),
+          coalesce(col("__r"), lit(0L)).as("x"))
+    }.reduce(_.unionByName(_))
+    val means = Bootstrap.replicateMeansBy(rows, "stp", "__u", "x",
+      replicates, salt)
+    val ci = Bootstrap.ciBy(means, "stp")
+      .select(col("stp"), col("lo_micro").as("lo_ppm"),
+        col("hi_micro").as("hi_ppm"))
+    rows.groupBy(col("stp"))
+      .agg(count(lit(1)).cast("long").as("n_entered"),
+        sum(col("x")).cast("long").as("n_reached"),
+        expr("(1000000 * SUM(x)) div COUNT(*)").cast("long")
+          .as("rate_ppm"))
+      .join(ci, Seq("stp"))
+      .select(col("stp").cast("long").as("step"), col("n_entered"),
+        col("n_reached"), col("rate_ppm"), col("lo_ppm"),
+        col("hi_ppm"))
+  }
+
   /** Cohort value curves — [[retentionCohorts]]' revenue sibling
     * (LTV by cohort age): users bucket into the cohort of their
     * first active period; each conversion's exact integer value lands

@@ -1813,9 +1813,94 @@ object MiscQueries {
           AS BIGINT) AS admitted
       FROM e GROUP BY day ORDER BY day"""))
 
+  /** q206 — funnel conversion rates with bootstrap CIs
+    * ([[graft.operators.Funnel.conversionRateCi]], round 12): the
+    * q158 funnel's step rates with 95% user-resampled Poisson
+    * bootstrap intervals — funnel × q191 composition; the oracle
+    * chains the funnel replay into the replicate/rank-cut chain.
+    */
+  private val q206 = Q("q206_funnel_rate_ci",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.conversionRateCi(e, "user_id", "t_us",
+          "event_id", "event_type", Seq("view", "click", "purchase"),
+          maxSpanMicros = Some(24L * 3600 * 1000000))
+        .orderBy(col("step"))
+    },
+    Some {
+      val span = 24L * 3600 * 1000000
+      val h = SamplingQueries.hashSql("funl", "user_id")
+      val u = graft.operators.Bootstrap.splitMixUniformSql(
+        "CAST(seed AS HUGEINT)", "CAST(b AS HUGEINT)")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+        s1 AS (SELECT user_id,
+            MIN(struct_pack(t := t, id := event_id)) AS k1
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k2,
+            MIN((s1.k1).t) AS t0
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND struct_pack(t := e.t, id := e.event_id) > s1.k1
+            AND e.t - (s1.k1).t <= $span
+          GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id,
+            MIN(struct_pack(t := e.t, id := e.event_id)) AS k3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND struct_pack(t := e.t, id := e.event_id) > s2.k2
+            AND e.t - s2.t0 <= $span
+          GROUP BY e.user_id),
+        ind AS (
+          SELECT 2 AS stp, s1.user_id,
+              CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END AS x
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          UNION ALL
+          SELECT 3, s1.user_id,
+              CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+            FROM s1 LEFT JOIN s3 ON s1.user_id = s3.user_id),
+        sd AS (SELECT stp, x,
+            ${SamplingQueries.bucketSql15("h")} AS seed
+          FROM (SELECT stp, x, $h AS h FROM ind)),
+        rows_b AS (SELECT stp, x, seed, g.b FROM sd,
+            (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g),
+        uu AS (SELECT stp, x, b, CAST($u AS BIGINT) AS u FROM rows_b),
+        w AS (SELECT stp, x, b,
+            ${graft.operators.Bootstrap.poissonOneWeightSql("u")} AS w
+          FROM uu),
+        m AS (SELECT stp, b,
+            CAST((1000000 * SUM(w * x)) // SUM(w) AS BIGINT)
+              AS mean_micro
+          FROM w GROUP BY stp, b HAVING SUM(w) > 0),
+        rk AS (SELECT stp, b, mean_micro,
+            ROW_NUMBER() OVER (PARTITION BY stp
+              ORDER BY mean_micro, b) AS rn,
+            COUNT(*) OVER (PARTITION BY stp) AS n FROM m),
+        ci AS (SELECT stp,
+            MIN(CASE WHEN rn = GREATEST(1, CEIL(0.025 * n))
+              THEN mean_micro END) AS lo,
+            MAX(CASE WHEN rn = CEIL(0.975 * n) THEN mean_micro END)
+              AS hi
+          FROM rk GROUP BY stp),
+        pt AS (SELECT stp, COUNT(*) AS n_entered, SUM(x) AS n_reached,
+            (1000000 * SUM(x)) // COUNT(*) AS rate_ppm
+          FROM ind GROUP BY stp)
+      SELECT CAST(pt.stp AS BIGINT) AS step,
+        CAST(n_entered AS BIGINT) AS n_entered,
+        CAST(n_reached AS BIGINT) AS n_reached,
+        CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        CAST(ci.lo AS BIGINT) AS lo_ppm,
+        CAST(ci.hi AS BIGINT) AS hi_ppm
+      FROM pt JOIN ci ON pt.stp = ci.stp ORDER BY step"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q196, q197, q198, q199, q200, q201, q202, q203, q204, q206)
 }

@@ -233,6 +233,27 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("conversionRateCi: exact rates, CI brackets the point estimate") {
+    // 20 enterers, 10 reach B: rate 500000
+    val ev = (1L to 20L).flatMap { u =>
+      Seq((u, "A", 10L, u * 10)) ++
+        (if (u <= 10) Seq((u, "B", 20L, u * 10 + 1)) else Nil)
+    }.toDF("u", "ty", "t", "id")
+    val got = Funnel.conversionRateCi(ev, "u", "t", "id", "ty",
+        Seq("A", "B"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert((got._1, got._2, got._3, got._4) == ((2L, 20L, 10L,
+      500000L)), got.toString)
+    // the 95% interval brackets the point and is non-degenerate
+    assert(got._5 <= 500000L && 500000L <= got._6, got.toString)
+    assert(got._5 < got._6, got.toString)
+    // and stays inside [0, 1e6]
+    assert(got._5 >= 0L && got._6 <= 1000000L)
+    intercept[IllegalArgumentException] {
+      Funnel.conversionRateCi(ev, "u", "t", "id", "ty", Seq("A"))
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString
