@@ -306,4 +306,83 @@ object GraphRank {
         Seq(col("score_micro").desc, col("u"), col("v")), k)
       .drop("rk")
   }
+
+  /** k-core extraction by iterative peeling (Seidman 1983; the
+    * Batagelj–Zavrsnik bucket algorithm's distributed form): drop
+    * every node whose degree in the SURVIVING subgraph is < k, and
+    * repeat until a fixpoint — what remains is the maximal subgraph
+    * with minimum degree ≥ k, the standard dense-region extractor
+    * (spam-farm and community kernels in link graphs; the "keep only
+    * well-embedded hosts" quality prior next to [[pageRank]]).
+    * Edges canonicalize undirected (self-loops and duplicates
+    * dropped). Returns (id, core_deg) for the surviving nodes —
+    * core_deg is the node's degree WITHIN the core.
+    *
+    * Convergence is detected by node COUNT: surviving sets shrink
+    * monotonically (a dropped node's degree can never recover), so an
+    * unchanged count is an unchanged set. Peel depth is bounded by
+    * the graph's degeneracy ordering, not |V| — a chain of length L
+    * hanging off a dense kernel peels in L rounds; `maxRounds` fails
+    * LOUDLY if the fixpoint isn't reached (raise it for pathological
+    * chains rather than silently returning a non-core).
+    *
+    * Scale shape per round: ONE node-keyed map-side degree aggregate
+    * over the current edge set + two semi-joins restricting edges to
+    * survivors; the edge frame shrinks monotonically and each round's
+    * frame is persisted while its predecessor is released (the
+    * [[labelPropagation]] discipline). The convergence probe is the
+    * aggregate's single-long count.
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds >= 1, got $maxRounds")
+    val canon = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    var cached = track(canon.persist())
+    cached.count()
+    // lineage-truncate each round (the labelPropagation discipline):
+    // a round's plan references its predecessor TWICE (both semi-join
+    // legs), so un-truncated lineage doubles per round and the
+    // analyzer heap-exhausts near 8-10 rounds
+    var cur = cached.sparkSession.createDataFrame(cached.rdd,
+      cached.schema)
+    var prevNodes = -1L
+    var rounds = 0
+    var survivors: DataFrame = null
+    var done = false
+    while (!done) {
+      survivors = cur.select(col("a").as("id"))
+        .unionByName(cur.select(col("b").as("id")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+      val n = survivors.count() // convergence probe: one long
+      if (n == prevNodes) done = true
+      else {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"kcore: no fixpoint after $maxRounds peel rounds " +
+            s"($n survivors) — raise maxRounds")
+        prevNodes = n
+        val keep = survivors.select(col("id"))
+        val next = cur
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .persist()
+        track(next)
+        next.count() // materialize before releasing the predecessor
+        release(cached)
+        cached = next
+        cur = next.sparkSession.createDataFrame(next.rdd, next.schema)
+      }
+    }
+    survivors.select(col("id"), col("core_deg").cast("long")
+      .as("core_deg"))
+  }
 }

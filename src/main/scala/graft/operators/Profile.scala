@@ -1017,4 +1017,115 @@ object Profile {
           log(col("__pa") / col("__pb")))).cast("long")
           .as("term_micro"))
   }
+
+  /** Kendall rank correlation (τ-b) between two integer columns of a
+    * BOUNDED keyed frame — the concordance-counting sibling of
+    * [[spearmanRho2]] (τ is the probability a random pair agrees in
+    * order minus the probability it disagrees; more robust to
+    * outliers than ρ, and its pair accounting is exact integers with
+    * no midranks needed). Every unordered pair (keyed by `keyCol`,
+    * a < b) classifies as concordant, discordant, x-tied-only,
+    * y-tied-only, or both-tied; τ-b = (C−D)/√((C+D+Tx)(C+D+Ty)).
+    * The report is the SIGNED SQUARE
+    * sign(C−D)·⌊⌊(C−D)²/(C+D+Tx)⌋·10⁶/(C+D+Ty)⌋ ppm — the
+    * [[spearmanRho2]] divide-CHAIN, every quotient bounded ≤ 10⁶·
+    * (C+D+Ty) by Cauchy–Schwarz so Spark's long-returning `div`
+    * never truncates. Degenerate frames (all x tied or all y tied)
+    * report 0. Returns one row
+    * (n, n_pairs, concordant, discordant, tau2_signed_ppm).
+    *
+    * Bounded-frame contract: pairing is the n²/2 self-join — this is
+    * the exact audit form over grouped/rolled-up frames (nations,
+    * days, shards; n ≤ ~10⁴). Accumulators in decimal(38,0) ⇄
+    * HUGEINT.
+    */
+  def kendallTau2(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val base = df.filter(col(keyCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    base.select(col("__k").as("__k1"), col("__x").as("__x1"),
+        col("__y").as("__y1"))
+      .join(base.select(col("__k").as("__k2"), col("__x").as("__x2"),
+        col("__y").as("__y2")), col("__k1") < col("__k2"))
+      .agg(
+        count(lit(1)).cast(D).as("__np"),
+        sum(when((col("__x1") < col("__x2") &&
+            col("__y1") < col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") > col("__y2")),
+          1L).otherwise(0L)).cast(D).as("__c"),
+        sum(when((col("__x1") < col("__x2") &&
+            col("__y1") > col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") < col("__y2")),
+          1L).otherwise(0L)).cast(D).as("__d"),
+        sum(when(col("__x1") === col("__x2") &&
+          col("__y1") =!= col("__y2"), 1L).otherwise(0L))
+          .cast(D).as("__tx"),
+        sum(when(col("__y1") === col("__y2") &&
+          col("__x1") =!= col("__x2"), 1L).otherwise(0L))
+          .cast(D).as("__ty"))
+      .crossJoin(broadcast(n))
+      .select(col("__n").cast("long").as("n"),
+        col("__np").cast("long").as("n_pairs"),
+        col("__c").cast("long").as("concordant"),
+        col("__d").cast("long").as("discordant"),
+        expr(s"""CAST(CASE WHEN (__c + __d + __tx) > 0
+            AND (__c + __d + __ty) > 0
+          THEN (CASE WHEN __c >= __d THEN 1 ELSE -1 END)
+            * ((CAST((((__c - __d) * (__c - __d))
+                div (__c + __d + __tx)) AS decimal(38,0))
+              * 1000000) div (__c + __d + __ty))
+          ELSE 0 END AS BIGINT)""").as("tau2_signed_ppm"))
+  }
+
+  /** Per-group word-complexity profile — the readability family's
+    * sentence-free core (Flesch/LIX need sentence boundaries; corpus
+    * text routinely has none, so this reports the word-level signals
+    * those formulas are built from): per group, total words
+    * (maximal `[a-z]+` runs of the lowercased text), exact mean word
+    * length in milli-chars, vowel-GROUP density (maximal
+    * `[aeiouy]+` runs — the standard syllable-count proxy) in
+    * milli-groups-per-word, and the LIX long-word (≥ `longLen`
+    * chars) share in ppm. All integer: per-doc counts are exact,
+    * group ratios are single floor divisions of decimal(38,0) sums.
+    * Returns (grp, n_docs, words, wordlen_milli, vgroups_milli,
+    * longword_ppm).
+    *
+    * Scale: ONE map-side group aggregate over the scan; the regex
+    * extraction is per-row codegen'd work, no exchange beyond the
+    * |groups| rollup.
+    */
+  def wordComplexity(df: DataFrame, grpCol: String, textCol: String,
+                     longLen: Int = 6): DataFrame = {
+    require(longLen >= 1, s"longLen >= 1, got $longLen")
+    val D = "decimal(38,0)"
+    df.filter(col(grpCol).isNotNull && col(textCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
+          .as("__w"),
+        expr(s"CAST(length(regexp_replace(lower($textCol), " +
+          s"'[^a-z]', '')) AS $D)").as("__c"),
+        expr(s"CAST(size(regexp_extract_all(lower($textCol), " +
+          s"'[aeiouy]+', 0)) AS $D)").as("__y"))
+      .select(col("grp"), col("__c"), col("__y"),
+        expr(s"CAST(size(__w) AS $D)").as("__wn"),
+        expr(s"CAST(size(filter(__w, t -> length(t) >= $longLen)) " +
+          s"AS $D)").as("__lw"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__wn")).as("__sw"), sum(col("__c")).as("__sc"),
+        sum(col("__y")).as("__sy"), sum(col("__lw")).as("__sl"))
+      .filter(col("__sw") > 0)
+      .select(col("grp"), col("n_docs"),
+        col("__sw").cast("long").as("words"),
+        expr(s"CAST((CAST(1000 AS $D) * __sc) div __sw AS BIGINT)")
+          .as("wordlen_milli"),
+        expr(s"CAST((CAST(1000 AS $D) * __sy) div __sw AS BIGINT)")
+          .as("vgroups_milli"),
+        expr(s"CAST((CAST(1000000 AS $D) * __sl) div __sw AS BIGINT)")
+          .as("longword_ppm"))
+  }
 }

@@ -155,4 +155,121 @@ object Timeseries {
       .groupBy(col("day"))
       .agg(sum(col("__w")).cast("long").as("ewma_scaled"))
   }
+
+  /** Autocorrelation of daily row counts at calendar lags 1..`maxLag`
+    * — the "is volume self-similar week over week" diagnostic that
+    * complements [[dowProfile]] (which fixes the period at 7; ACF
+    * finds it). Pairing is CALENDAR lag — day d pairs with day d+ℓ
+    * via a join on the day key, so silent days produce no pair
+    * (rather than shifting rows as a ROWS-frame lag would — the q199
+    * RANGE/ROWS distinction again). Per lag, Pearson r is computed
+    * over exact integer accumulators A = nΣxy−ΣxΣy,
+    * Vx = nΣx²−(Σx)², Vy likewise, and reported as the SIGNED SQUARE
+    * sign(A)·⌊⌊A²/Vx⌋·10⁶/Vy⌋ ppm — [[Profile.spearmanRho2]]'s
+    * divide-CHAIN quantization, every intermediate Cauchy–Schwarz-
+    * bounded ≤ Vy so Spark's long-returning `div` never truncates.
+    * Returns (lag, n_pairs, r2_signed_ppm); degenerate variance
+    * (constant series) reports 0.
+    *
+    * Scale: ONE day-keyed map-side count over the scan (|days| rows
+    * out), then a broadcast ≤maxLag× fan-out of that BOUNDED daily
+    * frame self-joined on the day key, and one lag-keyed fold. The
+    * raw stream is scanned once; no window, no sort.
+    */
+  def acfDaily(df: DataFrame, tsMicrosCol: String, maxLag: Int = 7,
+               dayMicros: Long = 86400000000L): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1, got $maxLag")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast(D).as("__n"))
+    val lags = cnt.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    cnt.select(col("__d").as("__xd"), col("__n").as("__xv"))
+      .crossJoin(broadcast(lags))
+      .join(cnt.select(col("__d").as("__yd"), col("__n").as("__yv")),
+        col("__yd") === col("__xd") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(col("__xv")).as("__sx"), sum(col("__yv")).as("__sy"),
+        sum(col("__xv") * col("__yv")).as("__sxy"),
+        sum(col("__xv") * col("__xv")).as("__sxx"),
+        sum(col("__yv") * col("__yv")).as("__syy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("__n").cast("long").as("n_pairs"),
+        expr(s"""CAST(CASE WHEN (__n * __sxx - __sx * __sx) > 0
+            AND (__n * __syy - __sy * __sy) > 0
+          THEN (CASE WHEN __n * __sxy - __sx * __sy >= 0
+              THEN 1 ELSE -1 END)
+            * ((CAST((((__n * __sxy - __sx * __sy)
+                * (__n * __sxy - __sx * __sy))
+                div (__n * __sxx - __sx * __sx)) AS decimal(38,0))
+              * 1000000) div (__n * __syy - __sy * __sy))
+          ELSE 0 END AS BIGINT)""").as("r2_signed_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  /** Theil–Sen robust trend of daily row counts (Theil 1950 / Sen
+    * 1968): the median over all day pairs (d₁ < d₂) of the pairwise
+    * slope (n₂−n₁)/(d₂−d₁) — the outlier-immune "is volume trending"
+    * estimator (one anomalous day corrupts OLS; the pairwise median
+    * shrugs it off, breakdown point 29%). Slopes quantize exactly as
+    * sign(Δy)·⌊10⁶·|Δy|/Δx⌋ — sign extracted FIRST so both engines
+    * floor a NON-NEGATIVE quotient (DuckDB `//` floors toward −∞
+    * where Spark `div` truncates toward zero; on negatives they
+    * disagree by one). Returns one row (n_days, n_pairs,
+    * slope_p10_ppm, slope_ppm, slope_p90_ppm) — the p10/p90 pairwise-
+    * slope band is the robust trend envelope; ranks cut at
+    * ⌊(m+1)/10⌋∨1, ⌊(m+1)/2⌋, ⌊9(m+1)/10⌋ (lower median, documented).
+    *
+    * Scale: ONE day-keyed map-side count (|days| rows), then the
+    * |days|²/2 pairwise self-join — the EXACT audit form over the
+    * bounded day frame (2 400 days → 2.9M pairs; the [[Profile]]
+    * bounded-frame contract). The rank cut is one global ordered
+    * window over those pairs; at 10⁵+ days swap the exact median for
+    * a GK quantile and sample the pairs (Sen's √n subsampling) —
+    * documented, not silently applied.
+    */
+  def theilSen(df: DataFrame, tsMicrosCol: String,
+               dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val nDays = cnt.agg(count(lit(1)).as("__nd"))
+    val slopes = cnt.select(col("__d").as("__d1"), col("__n").as("__n1"))
+      .join(cnt.select(col("__d").as("__d2"), col("__n").as("__n2")),
+        col("__d1") < col("__d2"))
+      .select(expr(s"""(CASE WHEN __n2 >= __n1 THEN 1 ELSE -1 END)
+          * CAST((CAST(1000000 AS $D)
+              * (CASE WHEN __n2 >= __n1 THEN __n2 - __n1
+                 ELSE __n1 - __n2 END))
+            div (__d2 - __d1) AS BIGINT)""").as("__s"))
+    val w = Window.orderBy(col("__s"))
+    slopes
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(
+        max(col("__m")).cast("long").as("n_pairs"),
+        max(when(col("__r") ===
+          expr("greatest(CAST(1 AS BIGINT), (__m + 1) div 10)"),
+          col("__s"))).cast("long").as("slope_p10_ppm"),
+        max(when(col("__r") === expr("(__m + 1) div 2"), col("__s")))
+          .cast("long").as("slope_ppm"),
+        max(when(col("__r") === expr("(9 * (__m + 1)) div 10"),
+          col("__s"))).cast("long").as("slope_p90_ppm"))
+      .crossJoin(broadcast(nDays))
+      .select(col("__nd").cast("long").as("n_days"),
+        col("n_pairs"), col("slope_p10_ppm"), col("slope_ppm"),
+        col("slope_p90_ppm"))
+  }
 }

@@ -1898,9 +1898,183 @@ object MiscQueries {
       FROM pt JOIN ci ON pt.stp = ci.stp ORDER BY step"""
     })
 
+  /** q207 — k-core extraction by iterative peeling
+    * ([[graft.operators.GraphRank.kcore]], round 12, Seidman 1983):
+    * the 2-core of a kernel-ring-plus-tentacle fixture — 50 dense
+    * kernel nodes (ring chords +10/+20 over multiples of 10, a +30
+    * chord on multiples of 30) each anchoring a 9-node chain that
+    * peels one node per round, a 9-round n-INDEPENDENT cascade (the
+    * engine detects the fixpoint; the oracle unrolls 10 rounds —
+    * peeling is monotone, so the spare round is a no-op).
+    */
+  private val q207 = {
+    val k = 2
+    val unroll = 10
+    Q("q207_kcore",
+      (s, dir) => {
+        import graft.operators.GraphRank
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val d = col("doc_id")
+        val edges = docs.filter(pmod(d, lit(10)) === 0)
+          .select(d.as("src"), pmod(d + 10, lit(n)).as("dst"))
+          .unionByName(docs.filter(pmod(d, lit(10)) === 0)
+            .select(d.as("src"), pmod(d + 20, lit(n)).as("dst")))
+          .unionByName(docs.filter(pmod(d, lit(30)) === 0)
+            .select(d.as("src"), pmod(d + 30, lit(n)).as("dst")))
+          .unionByName(docs.filter(pmod(d, lit(10)) =!= 0)
+            .select(d.as("src"), (d - 1).as("dst")))
+        GraphRank.kcore(edges, "src", "dst", k).orderBy(col("id"))
+      },
+      Some {
+        // every round CTE MATERIALIZED: e_i is referenced three times
+        // (twice by k_{i+1}'s union, once by e_{i+1}) — inlined CTEs
+        // re-evaluate per reference, a 3^rounds blowup
+        def rnd(i: Int, prev: String): String =
+          s"""k$i AS MATERIALIZED (SELECT id FROM
+            (SELECT a AS id FROM $prev
+            UNION ALL SELECT b FROM $prev) GROUP BY id
+            HAVING COUNT(*) >= $k),
+          e$i AS MATERIALIZED (SELECT a, b FROM $prev
+            WHERE a IN (SELECT id FROM k$i)
+              AND b IN (SELECT id FROM k$i))"""
+        val rounds = (1 to unroll)
+          .map(i => rnd(i, if (i == 1) "e0" else s"e${i - 1}"))
+          .mkString(",\n        ")
+        s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (SELECT doc_id AS src,
+            (doc_id + 10) % (SELECT n FROM nn) AS dst
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL SELECT doc_id, (doc_id + 20) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL SELECT doc_id, (doc_id + 30) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 30 = 0
+          UNION ALL SELECT doc_id, doc_id - 1
+          FROM documents WHERE doc_id % 10 <> 0),
+        e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM raw WHERE src <> dst),
+        $rounds
+        SELECT id, COUNT(*) AS core_deg
+        FROM (SELECT a AS id FROM e$unroll
+          UNION ALL SELECT b FROM e$unroll)
+        GROUP BY id ORDER BY id"""
+      })
+  }
+
+  /** q208 — daily-count autocorrelation at calendar lags 1..7
+    * ([[graft.operators.Timeseries.acfDaily]], round 12): is order
+    * volume self-similar at short lags — exact signed-r² ppm per lag
+    * via the q196 divide chain; silent days pair with nobody
+    * (calendar join, not a ROWS lag).
+    */
+  private val q208 = Q("q208_acf_daily",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.acfDaily(o, "t_us", maxLag = 7)
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      lags(lag) AS (VALUES (1),(2),(3),(4),(5),(6),(7)),
+      p AS (SELECT lags.lag AS lag, x.n AS xv, y.n AS yv
+        FROM cnt x JOIN lags ON TRUE
+        JOIN cnt y ON y.d = x.d + lags.lag),
+      t AS (SELECT lag, COUNT(*)::HUGEINT AS n, SUM(xv) AS sx,
+          SUM(yv) AS sy, SUM(xv*yv) AS sxy, SUM(xv*xv) AS sxx,
+          SUM(yv*yv) AS syy
+        FROM p GROUP BY lag),
+      f AS (SELECT lag, n, (n*sxy - sx*sy) AS a,
+          (n*sxx - sx*sx) AS vx, (n*syy - sy*sy) AS vy FROM t)
+      SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        CAST(CASE WHEN vx > 0 AND vy > 0
+          THEN (CASE WHEN a >= 0 THEN 1 ELSE -1 END)
+            * ((((a*a) // vx) * 1000000) // vy)
+          ELSE 0 END AS BIGINT) AS r2_signed_ppm
+      FROM f ORDER BY lag"""))
+
+  /** q209 — Kendall τ-b rank concordance
+    * ([[graft.operators.Profile.kendallTau2]], round 12): does a
+    * nation's order count rank-agree with its revenue — exact
+    * concordant/discordant/tie accounting over the 25-nation frame,
+    * signed τ² ppm via the divide chain.
+    */
+  private val q209 = Q("q209_kendall_tau",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("y"))
+      graft.operators.Profile.kendallTau2(per, "c_nationkey", "x", "y")
+    },
+    Some("""WITH per AS (SELECT c.c_nationkey AS nk,
+          COUNT(*)::HUGEINT AS x,
+          SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))::HUGEINT
+            AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      pr AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM per a JOIN per b ON a.nk < b.nk),
+      cl AS (SELECT
+          SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+            OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END)::HUGEINT
+            AS conc,
+          SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+            OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END)::HUGEINT
+            AS disc,
+          SUM(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0
+            END)::HUGEINT AS tx,
+          SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0
+            END)::HUGEINT AS ty,
+          COUNT(*)::HUGEINT AS np
+        FROM pr)
+      SELECT CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS n,
+        CAST(np AS BIGINT) AS n_pairs, CAST(conc AS BIGINT)
+          AS concordant,
+        CAST(disc AS BIGINT) AS discordant,
+        CAST(CASE WHEN (conc+disc+tx) > 0 AND (conc+disc+ty) > 0
+          THEN (CASE WHEN conc >= disc THEN 1 ELSE -1 END)
+            * ((((conc-disc)*(conc-disc)) // (conc+disc+tx))
+              * 1000000) // (conc+disc+ty)
+          ELSE 0 END AS BIGINT) AS tau2_signed_ppm
+      FROM cl"""))
+
+  /** q210 — Theil–Sen robust trend of daily order volume
+    * ([[graft.operators.Timeseries.theilSen]], round 12): the median
+    * (and p10/p90 band) of all pairwise day slopes in exact ppm —
+    * sign extracted before the floor so DuckDB's floor-`//` and
+    * Spark's truncating `div` agree on every pair.
+    */
+  private val q210 = Q("q210_theil_sen",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.theilSen(o, "t_us")
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      pr AS (SELECT (CASE WHEN b.n >= a.n THEN 1 ELSE -1 END)
+          * ((1000000 * (CASE WHEN b.n >= a.n THEN b.n - a.n
+              ELSE a.n - b.n END)) // (b.d - a.d)) AS s
+        FROM cnt a JOIN cnt b ON a.d < b.d),
+      rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r,
+          COUNT(*) OVER () AS m FROM pr)
+      SELECT CAST((SELECT COUNT(*) FROM cnt) AS BIGINT) AS n_days,
+        CAST(MAX(m) AS BIGINT) AS n_pairs,
+        CAST(MAX(CASE WHEN r = GREATEST(1, (m + 1) // 10) THEN s END)
+          AS BIGINT) AS slope_p10_ppm,
+        CAST(MAX(CASE WHEN r = (m + 1) // 2 THEN s END) AS BIGINT)
+          AS slope_ppm,
+        CAST(MAX(CASE WHEN r = (9 * (m + 1)) // 10 THEN s END)
+          AS BIGINT) AS slope_p90_ppm
+      FROM rk"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
-    q196, q197, q198, q199, q200, q201, q202, q203, q204, q206)
+    q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
+    q208, q209, q210)
 }

@@ -2677,9 +2677,40 @@ object TextQueries {
       FROM c JOIN tot USING (actual)
       ORDER BY actual, predicted"""))
 
+  /** q211 — per-language word-complexity profile
+    * ([[graft.operators.Profile.wordComplexity]], round 12): the
+    * sentence-free readability core — mean word length, vowel-group
+    * (syllable-proxy) density, LIX long-word share — as exact
+    * milli/ppm integers per language.
+    */
+  private val q211 = Q("q211_word_complexity",
+    (s, dir) =>
+      graft.operators.Profile.wordComplexity(
+          t(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+    Some("""WITH d AS (SELECT lang,
+          regexp_extract_all(lower(text), '[a-z]+') AS w,
+          length(regexp_replace(lower(text), '[^a-z]', '',
+            'g'))::HUGEINT AS c,
+          len(regexp_extract_all(lower(text),
+            '[aeiouy]+'))::HUGEINT AS y
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      per AS (SELECT lang, len(w)::HUGEINT AS wn, c, y,
+          len(list_filter(w, t -> length(t) >= 6))::HUGEINT AS lw
+        FROM d)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(wn) AS BIGINT) AS words,
+        CAST((1000 * SUM(c)) // SUM(wn) AS BIGINT) AS wordlen_milli,
+        CAST((1000 * SUM(y)) // SUM(wn) AS BIGINT) AS vgroups_milli,
+        CAST((1000000 * SUM(lw)) // SUM(wn) AS BIGINT)
+          AS longword_ppm
+      FROM per GROUP BY lang HAVING SUM(wn) > 0 ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
-    q149, q151, q152, q156, q157, q166, q172, q173, q176, q179, q193)
+    q149, q151, q152, q156, q157, q166, q172, q173, q176, q179, q193,
+    q211)
 }

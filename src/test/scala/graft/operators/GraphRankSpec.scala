@@ -157,4 +157,37 @@ class GraphRankSpec extends SparkSpec {
     }
     GraphRank.releaseIntermediates()
   }
+
+  test("kcore: cascading peel, canonicalization, degenerate cases") {
+    import spark.implicits._
+    // triangle 1-2-3 (the 2-core) with a chain 3-4-5-6 hanging off:
+    // 6 peels (deg 1), then 5, then 4 — a 3-round cascade
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L),
+      (2L, 1L), /* reverse dup collapses */
+      (4L, 4L) /* self-loop dropped */).toDF("s", "d")
+    val core2 = GraphRank.kcore(e, "s", "d", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(core2 == Set((1L, 2L), (2L, 2L), (3L, 2L)), core2.toString)
+    // k=3: the triangle's internal degree is 2 — nothing survives
+    assert(GraphRank.kcore(e, "s", "d", k = 3).count() == 0L)
+    // k=1: any edge endpoint survives (no peeling needed); chain
+    // degrees reported within the full graph
+    val core1 = GraphRank.kcore(e, "s", "d", k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L,
+      5L -> 2L, 6L -> 1L), core1.toString)
+    // partitioning invariance
+    val repart = GraphRank.kcore(e.repartition(7), "s", "d", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(repart == core2)
+    // maxRounds fails loudly before the fixpoint
+    intercept[IllegalArgumentException] {
+      GraphRank.kcore(e, "s", "d", k = 2, maxRounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphRank.kcore(e, "s", "d", k = 0)
+    }
+    GraphRank.releaseIntermediates()
+  }
 }

@@ -533,4 +533,63 @@ class ProfileSpec extends SparkSpec {
       Profile.psiDrift(df, "g", "bin", "a", "a")
     }
   }
+
+  test("kendallTau2: concordance accounting, ties, degenerate frames") {
+    import spark.implicits._
+    // perfect agreement: every pair concordant -> +10^6
+    val up = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L),
+      (4L, 4L, 40L)).toDF("k", "x", "y")
+    val gotUp = Profile.kendallTau2(up, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotUp == ((4L, 6L, 6L, 0L, 1000000L)), gotUp.toString)
+    // perfect reversal -> -10^6
+    val down = Seq((1L, 1L, 40L), (2L, 2L, 30L), (3L, 3L, 20L),
+      (4L, 4L, 10L)).toDF("k", "x", "y")
+    val gotDn = Profile.kendallTau2(down, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotDn == ((4L, 6L, 0L, 6L, -1000000L)), gotDn.toString)
+    // ties: x = (1,1,2), y = (5,6,7) — pairs: (1,2) x-tied (Tx),
+    // (1,3),(2,3) concordant; tau-b^2 = (2-0)^2/((2+1)*(2+0))
+    // chain: (4 div 3)*1e6 div 2 = 500000
+    val tied = Seq((1L, 1L, 5L), (2L, 1L, 6L), (3L, 2L, 7L))
+      .toDF("k", "x", "y")
+    val gotT = Profile.kendallTau2(tied, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotT == ((3L, 3L, 2L, 0L, 500000L)), gotT.toString)
+    // all-x-tied: no orderable pair -> 0, not a crash
+    val degen = Seq((1L, 7L, 1L), (2L, 7L, 2L)).toDF("k", "x", "y")
+    val gotD = Profile.kendallTau2(degen, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotD._5 == 0L, gotD.toString)
+    // nulls drop before pairing
+    val withNull = Seq((Some(1L), Some(1L), Some(10L)),
+      (Some(2L), None, Some(20L)), (Some(3L), Some(3L), Some(30L)),
+      (None, Some(4L), Some(40L))).toDF("k", "x", "y")
+    val gotN = Profile.kendallTau2(withNull, "k", "x", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
+  }
+
+  test("wordComplexity: exact word/vowel-group/long-word accounting") {
+    import spark.implicits._
+    // "the cat runs": 3 words, 10 alpha chars, vowel groups e/a/u,
+    // no word >= 6 chars. Digits and punctuation never count.
+    // "strength99 strength!" -> 2 words of 8 chars, 1 vowel group
+    // each, both long
+    val df = Seq(("en", "the cat runs"),
+      ("en", "strength99 strength!"),
+      ("xx", "zzz 123"), // 1 word, 0 vowel groups
+      ("yy", "999 ...")) // 0 words -> group drops (guarded div)
+      .toDF("lang", "text")
+    val got = Profile.wordComplexity(df, "lang", "text")
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // en: 5 words, 26 chars, 5 vowel groups, 2 long
+    assert(got == Seq(
+      ("en", 2L, 5L, 5200L, 1000L, 400000L),
+      ("xx", 1L, 1L, 3000L, 0L, 0L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.wordComplexity(df, "lang", "text", longLen = 0)
+    }
+  }
 }

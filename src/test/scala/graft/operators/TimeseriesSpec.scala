@@ -94,4 +94,60 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.ewmaCounts(df, "t", horizon = 3, dayMicros = 0L)
     }
   }
+
+  test("acfDaily: exact linear series saturates, constant degenerates," +
+      " silent days pair with nobody") {
+    // counts 1,2,...,8 on days 0..7 — exactly linear, so Pearson r
+    // is exactly 1 at every lag and the divide chain lands on 10^6
+    val ramp = (0L until 8L).flatMap(d =>
+      Seq.fill((d + 1).toInt)(d * day)).toDF("t")
+    val got = Timeseries.acfDaily(ramp, "t", maxLag = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L, 1000000L), (2L, 6L, 1000000L),
+      (3L, 5L, 1000000L)), got.toString)
+    // constant series: zero variance -> degenerate 0, not a crash
+    val const = (0L until 6L).map(d => d * day).toDF("t")
+    val gotC = Timeseries.acfDaily(const, "t", maxLag = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotC == Seq((1L, 5L, 0L), (2L, 4L, 0L)), gotC.toString)
+    // calendar pairing: days 0,1,5,6 — lag 1 pairs (0,1),(5,6) only;
+    // the lag-1 pairs are (1,2) and (1,2) counts -> perfectly
+    // correlated... both pairs identical -> zero variance -> 0; what
+    // matters is n_pairs = 2, NOT 3 (a ROWS lag would pair 1 with 5)
+    val gap = Seq(0L -> 1, 1L -> 2, 5L -> 1, 6L -> 2).flatMap {
+      case (d, n) => Seq.fill(n)(d * day)
+    }.toDF("t")
+    val gotG = Timeseries.acfDaily(gap, "t", maxLag = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotG == Seq((1L, 2L, 0L)), gotG.toString)
+    intercept[IllegalArgumentException] {
+      Timeseries.acfDaily(ramp, "t", maxLag = 0)
+    }
+  }
+
+  test("theilSen: median slope is outlier-immune where the mean is not") {
+    // counts 2,4,6,8,10 on days 0..4: every pairwise slope is exactly
+    // 2 -> 2e6 ppm at p10/p50/p90
+    val ramp = (0L until 5L).flatMap(d =>
+      Seq.fill((2 * d + 2).toInt)(d * day)).toDF("t")
+    val got = Timeseries.theilSen(ramp, "t")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((5L, 10L, 2000000L, 2000000L, 2000000L)),
+      got.toString)
+    // one wild spike day (count 100 on day 2): 10 pairs, only the 4
+    // touching the spike are corrupted — the median survives at 2e6
+    val spiked = ((0L until 5L).flatMap(d =>
+      Seq.fill((2 * d + 2).toInt)(d * day)) ++
+      Seq.fill(94)(2L * day)).toDF("t")
+    val gotS = Timeseries.theilSen(spiked, "t")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotS._1 == 5L && gotS._2 == 10L && gotS._4 == 2000000L,
+      gotS.toString)
+    // p90 picks up the spike's steep ascent, p10 its descent: the
+    // band widens while the point estimate holds
+    assert(gotS._3 < 2000000L && gotS._5 > 2000000L, gotS.toString)
+    intercept[IllegalArgumentException] {
+      Timeseries.theilSen(ramp, "t", dayMicros = 0L)
+    }
+  }
 }
