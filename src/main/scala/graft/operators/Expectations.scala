@@ -114,4 +114,39 @@ object Expectations {
     if (quarantined > 0) store.append(quarantine, bad, Nil)
     (admitted, quarantined)
   }
+
+  /** Referential-integrity audit of one foreign-key relation: how
+    * many child rows carry a NULL key, and how many carry a non-NULL
+    * key that matches NO parent — the orphan rate every join in a
+    * pipeline silently depends on (an inner join downstream of a 1%
+    * orphan rate is a 1% data loss nobody declared). Returns one row
+    * (relation, n_child, n_null_keys, n_orphans, orphan_ppm) with
+    * orphan_ppm over ALL child rows.
+    *
+    * Scale: parent keys reduce to a distinct key set (map-side
+    * combined) before ONE left join keyed on the FK — the child is
+    * scanned once, and the aggregate is map-side; no row ever
+    * widens beyond (key, matched).
+    */
+  def riAudit(child: DataFrame, childKeyCol: String,
+              parent: DataFrame, parentKeyCol: String,
+              relation: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val pk = parent.select(col(parentKeyCol).as("__pk"))
+      .filter(col("__pk").isNotNull).distinct()
+      .withColumn("__hit", lit(1L))
+    child.select(col(childKeyCol).as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(when(col("__ck").isNull, 1L).otherwise(0L)).cast(D)
+          .as("__nulls"),
+        sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).cast(D).as("__orphans"))
+      .select(lit(relation).as("relation"),
+        col("__n").cast("long").as("n_child"),
+        col("__nulls").cast("long").as("n_null_keys"),
+        col("__orphans").cast("long").as("n_orphans"),
+        expr(s"(CAST(1000000 AS $D) * __orphans) div __n")
+          .cast("long").as("orphan_ppm"))
+  }
 }

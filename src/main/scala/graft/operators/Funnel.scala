@@ -134,6 +134,52 @@ object Funnel {
           .cast("long").as("p_ppm"))
   }
 
+  /** First-order Markov next-event predictability: for each previous
+    * event type, the argmax next type under [[transitionMatrix]]'s
+    * counts (ties break next-type-ascending — deterministic) and the
+    * top-1 accuracy that predictor achieves ON THE SAME transitions.
+    * The key identity: the argmax cell's own count IS the number of
+    * correct predictions, so accuracy needs NO second pass over the
+    * events — n_correct(prev) = max-cell n, acc = that over Σn.
+    * Returns (prev_type, predicted_next, n_transitions, n_correct,
+    * acc_ppm) — the "how mechanical are user journeys" ceiling for
+    * any next-event model (a learned model that can't beat this table
+    * isn't learning).
+    *
+    * Scale: one user-keyed window pass over the events (the
+    * [[transitionMatrix]] exchange), then everything is the
+    * |types|²-bounded cell frame — one rank, one rollup.
+    */
+  def markovAccuracy(events: DataFrame, userCol: String,
+                     tsMicrosCol: String, idCol: String,
+                     typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsMicrosCol).cast("long"), col(idCol))
+    val c = events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        col(tsMicrosCol), col(idCol))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val pred = c.withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev_type"))
+          .orderBy(col("n").desc, col("next_type"))))
+      .filter(col("__rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"),
+        col("n").as("__correct"))
+    val tot = c.groupBy(col("prev_type"))
+      .agg(sum(col("n")).cast("decimal(38,0)").as("__tn"))
+    pred.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("predicted_next"),
+        col("__tn").cast("long").as("n_transitions"),
+        col("__correct").cast("long").as("n_correct"),
+        expr("(CAST(1000000 AS decimal(38,0)) * __correct) div __tn")
+          .cast("long").as("acc_ppm"))
+  }
+
   /** Conversion-latency percentiles — how long converting users take:
     * for every step ≥ 2 of a [[completions]] funnel, the distribution
     * of (step-k binding time − step-1 binding time) per converted

@@ -385,4 +385,68 @@ object GraphRank {
     survivors.select(col("id"), col("core_deg").cast("long")
       .as("core_deg"))
   }
+
+  /** Multi-source BFS hop labeling with a depth cap: each node
+    * reachable from the seed set within `maxDepth` undirected hops
+    * gets its MINIMUM hop distance — the crawl-depth / blast-radius
+    * primitive (how far is every host from the trusted seed list; a
+    * node beyond the cap is simply absent, the standard frontier
+    * cutoff). Level-synchronous BFS is inherently min-correct: a node
+    * joins the visited set the FIRST round it appears, so no
+    * min-aggregation is ever needed. Returns (id, depth), seeds at
+    * depth 0 (seeds need not touch any edge).
+    *
+    * Scale shape per round: ONE adjacency⋈frontier hash join keyed on
+    * the frontier node + a distinct + one anti-join against the
+    * visited set — the Pregel frontier norm; rounds are capped at
+    * `maxDepth` by CONTRACT (not a convergence failure), with an
+    * early exit when a frontier empties. Frontier/visited frames are
+    * persisted per round with lineage truncation (the [[kcore]]
+    * discipline — visited is referenced by both the anti-join and the
+    * union).
+    */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedIdCol: String,
+                maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth >= 1, got $maxDepth")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val adj = track(raw
+      .unionByName(raw.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().persist())
+    adj.count()
+    var cached = track(seeds.select(col(seedIdCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("depth")).persist())
+    var nVisited = cached.count()
+    var visited = cached.sparkSession.createDataFrame(cached.rdd,
+      cached.schema)
+    var frontierDepth = 0L
+    var done = false
+    while (!done && frontierDepth < maxDepth) {
+      val frontier = visited.filter(col("depth") === frontierDepth)
+        .select(col("id"))
+      val next = adj.join(frontier, adj("src") === frontier("id"),
+          "inner")
+        .select(adj("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(frontierDepth + 1L).as("depth"))
+      val grown = visited.unionByName(next).persist()
+      track(grown)
+      val after = grown.count() // materialize + probe in one pass
+      if (after == nVisited) {
+        release(grown)
+        done = true
+      } else {
+        release(cached)
+        cached = grown
+        nVisited = after
+        visited = grown.sparkSession.createDataFrame(grown.rdd,
+          grown.schema)
+        frontierDepth += 1L
+      }
+    }
+    visited
+  }
 }

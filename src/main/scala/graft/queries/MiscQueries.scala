@@ -2071,10 +2071,179 @@ object MiscQueries {
           AS BIGINT) AS slope_p90_ppm
       FROM rk"""))
 
+  /** q212 — weekday-adjusted anomaly days
+    * ([[graft.operators.Timeseries.dowAdjustedOutliers]], round 12):
+    * q198's seasonality removed, then the q157 MAD rule on the
+    * residuals — "big for a Tuesday", not "big".
+    */
+  private val q212 = Q("q212_dow_outliers",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.dowAdjustedOutliers(o, "t_us")
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      ds AS (SELECT (d + 3) % 7 AS dow, COUNT(*)::HUGEINT AS days_cnt,
+          SUM(n) AS sum_n FROM daily GROUP BY 1),
+      r AS (SELECT d, n,
+          (1000000 * n * ds.days_cnt) // ds.sum_n AS r_ppm
+        FROM daily JOIN ds ON (daily.d + 3) % 7 = ds.dow),
+      rk AS (SELECT d, n, r_ppm,
+          ROW_NUMBER() OVER (ORDER BY r_ppm, d) AS rn,
+          COUNT(*) OVER () AS m FROM r),
+      med AS (SELECT r_ppm AS med FROM rk WHERE rn = (m + 1) // 2),
+      dev AS (SELECT d, n, r_ppm,
+          ABS(r_ppm - (SELECT med FROM med)) AS dv FROM rk),
+      rk2 AS (SELECT d, dv, ROW_NUMBER() OVER (ORDER BY dv, d) AS rn,
+          COUNT(*) OVER () AS m FROM dev),
+      mad AS (SELECT dv AS mad FROM rk2 WHERE rn = (m + 1) // 2)
+      SELECT CAST(d AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        CAST(r_ppm AS BIGINT) AS resid_ppm,
+        CAST(CASE WHEN dv > 3 * (SELECT mad FROM mad)
+          THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM dev ORDER BY day"""))
+
+  /** q213 — multi-source BFS hop labels with a depth cap
+    * ([[graft.operators.GraphRank.bfsLayers]], round 12): minimum hop
+    * distance from the every-100th seed set on q113's ring+chord
+    * graph, capped at 4 hops — the oracle unrolls the four
+    * level-synchronous rounds as MATERIALIZED CTEs.
+    */
+  private val q213 = {
+    val maxDepth = 4
+    Q("q213_bfs_layers",
+      (s, dir) => {
+        import graft.operators.GraphRank
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val n = docs.count()
+        val d = col("doc_id")
+        def ring(off: Int) =
+          docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+        val edges = ring(1)
+          .unionByName(ring(2))
+          .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+            .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+          .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+            .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+        val seeds = docs.filter(pmod(d, lit(100)) === 0)
+        GraphRank.bfsLayers(edges, "src", "dst", seeds, "doc_id",
+            maxDepth)
+          .orderBy(col("id"))
+      },
+      Some {
+        val rounds = (1 to maxDepth).map { i =>
+          s"""f$i AS MATERIALIZED (SELECT DISTINCT adj.dst AS id
+            FROM adj JOIN v${i - 1} p ON adj.src = p.id
+              AND p.depth = ${i - 1}
+            WHERE adj.dst NOT IN (SELECT id FROM v${i - 1})),
+          v$i AS MATERIALIZED (SELECT id, depth FROM v${i - 1}
+            UNION ALL SELECT id, $i AS depth FROM f$i)"""
+        }.mkString(",\n        ")
+        s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+            (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+          UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+            FROM documents
+          UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 3 = 0
+          UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+            FROM documents WHERE doc_id % 5 = 0),
+        adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0 WHERE src <> dst
+          UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        v0 AS MATERIALIZED (SELECT doc_id AS id, 0 AS depth
+          FROM documents WHERE doc_id % 100 = 0),
+        $rounds
+        SELECT CAST(id AS BIGINT) AS id, CAST(depth AS BIGINT) AS depth
+        FROM v$maxDepth ORDER BY id"""
+      })
+  }
+
+  /** q214 — Markov next-event predictability
+    * ([[graft.operators.Funnel.markovAccuracy]], round 12): q164's
+    * transition matrix reduced to its argmax predictor and the top-1
+    * accuracy it achieves — the learned-model baseline.
+    */
+  private val q214 = Q("q214_markov_accuracy",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.markovAccuracy(e, "user_id", "t_us",
+          "event_id", "event_type")
+        .orderBy(col("prev_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      w AS (SELECT event_type AS nxt,
+          LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY t, event_id) AS prv FROM e),
+      c AS (SELECT prv, nxt, COUNT(*)::HUGEINT AS n FROM w
+        WHERE prv IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT prv, nxt AS predicted_next, n AS n_correct,
+          ROW_NUMBER() OVER (PARTITION BY prv
+            ORDER BY n DESC, nxt) AS rk FROM c),
+      tot AS (SELECT prv, SUM(n)::HUGEINT AS tn FROM c GROUP BY prv)
+      SELECT p.prv AS prev_type, p.predicted_next,
+        CAST(tot.tn AS BIGINT) AS n_transitions,
+        CAST(p.n_correct AS BIGINT) AS n_correct,
+        CAST((1000000 * p.n_correct) // tot.tn AS BIGINT) AS acc_ppm
+      FROM p JOIN tot USING (prv) WHERE p.rk = 1
+      ORDER BY prev_type"""))
+
+  /** q215 — referential-integrity scorecard
+    * ([[graft.operators.Expectations.riAudit]], round 12): orphan and
+    * null-key rates for the three FK relations every TPC-H-shaped
+    * join depends on. Exact zeros are the expected state — the gate
+    * pins the accounting, the spec plants orphans.
+    */
+  private val q215 = Q("q215_ri_audit",
+    (s, dir) => {
+      import graft.operators.Expectations
+      Expectations.riAudit(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+        .unionByName(Expectations.riAudit(t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey",
+          "lineitem->part"))
+        .unionByName(Expectations.riAudit(t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey",
+          "orders->customer"))
+        .orderBy(col("relation"))
+    },
+    Some("""WITH r1 AS (SELECT 'lineitem->orders' AS relation,
+          COUNT(*)::HUGEINT AS n_child,
+          SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+            END)::HUGEINT AS n_null,
+          SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+            THEN 1 ELSE 0 END)::HUGEINT AS n_orphans
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+      r2 AS (SELECT 'lineitem->part', COUNT(*)::HUGEINT,
+          SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0
+            END)::HUGEINT,
+          SUM(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+            THEN 1 ELSE 0 END)::HUGEINT
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey),
+      r3 AS (SELECT 'orders->customer', COUNT(*)::HUGEINT,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+            END)::HUGEINT,
+          SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+            THEN 1 ELSE 0 END)::HUGEINT
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3)
+      SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+        CAST(n_null AS BIGINT) AS n_null_keys,
+        CAST(n_orphans AS BIGINT) AS n_orphans,
+        CAST((1000000 * n_orphans) // n_child AS BIGINT) AS orphan_ppm
+      FROM u ORDER BY relation"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
-    q208, q209, q210)
+    q208, q209, q210, q212, q213, q214, q215)
 }

@@ -88,4 +88,25 @@ class ExpectationsSpec extends SparkSpec {
     assert(store.read("docs").count() == 2L)
     assert(store.read("docs_bad").count() == 4L)
   }
+
+  test("riAudit: planted orphans, null keys, duplicate parents") {
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk") // dup must not inflate
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(7L), Some(8L),
+      None).toDF("fk")
+    val got = Expectations.riAudit(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // 6 child rows, 1 null, orphans 7 and 8 -> 2; ppm = 2e6 div 6
+    assert(got == (("c->p", 6L, 1L, 2L, 333333L)), got.toString)
+    // null parent keys never match anything (no null-join surprises)
+    val pNull = Seq(Some(1L), None).toDF("pk")
+    val gotN = Expectations.riAudit(
+        Seq(Some(1L), None).toDF("fk"), "fk", pNull, "pk", "r")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gotN == (("r", 2L, 1L, 0L, 0L)), gotN.toString)
+    // clean relation reports exact zeros
+    val gotC = Expectations.riAudit(
+        Seq(1L, 2L).toDF("fk"), "fk", parent, "pk", "ok")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gotC == (("ok", 2L, 0L, 0L, 0L)), gotC.toString)
+  }
 }

@@ -254,6 +254,34 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("markovAccuracy: argmax prediction, tie-break, accuracy identity") {
+    import spark.implicits._
+    // user 1: A B A B A  -> transitions A>B, B>A, A>B, B>A
+    // user 2: A C        -> A>C
+    // A: {B:2, C:1} -> predict B, acc 2/3; B: {A:2} -> predict A, 1.0
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 1L, 2L, "B"),
+      (1L, 2L, 3L, "A"), (1L, 3L, 4L, "B"), (1L, 4L, 5L, "A"),
+      (2L, 0L, 6L, "A"), (2L, 1L, 7L, "C"))
+      .toDF("u", "t", "id", "ty")
+    val got = Funnel.markovAccuracy(ev, "u", "t", "id", "ty")
+      .orderBy($"prev_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 3L, 2L, 666666L),
+      ("B", "A", 2L, 2L, 1000000L)), got.toString)
+    // count tie breaks to the lexicographically smaller next type
+    val tie = Seq((1L, 0L, 1L, "X"), (1L, 1L, 2L, "B"),
+      (2L, 0L, 3L, "X"), (2L, 1L, 4L, "A")).toDF("u", "t", "id", "ty")
+    val gotT = Funnel.markovAccuracy(tie, "u", "t", "id", "ty")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(gotT == Seq(("X", "A", 2L, 1L, 500000L)), gotT.toString)
+    // simultaneous timestamps order by the id column (deterministic)
+    val sim = Seq((1L, 5L, 1L, "P"), (1L, 5L, 2L, "Q"))
+      .toDF("u", "t", "id", "ty")
+    val gotS = Funnel.markovAccuracy(sim, "u", "t", "id", "ty")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(gotS == Seq(("P", "Q", 1L, 1L, 1000000L)), gotS.toString)
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString

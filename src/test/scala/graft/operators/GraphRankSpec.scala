@@ -190,4 +190,33 @@ class GraphRankSpec extends SparkSpec {
     }
     GraphRank.releaseIntermediates()
   }
+
+  test("bfsLayers: min hop distance, depth cap, multi-seed, early exit") {
+    import spark.implicits._
+    // path 1-2-3-4-5, plus island 8-9 no seed can reach
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("s", "d")
+    val seed1 = Seq(1L).toDF("id")
+    val got = GraphRank.bfsLayers(e, "s", "d", seed1, "id",
+      maxDepth = 3).as[(Long, Long)].collect().toMap
+    // node 5 is 4 hops out -> absent under the cap; island absent
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      got.toString)
+    // two seeds: distances are MINIMUM over seeds (edges undirected)
+    val got2 = GraphRank.bfsLayers(e, "s", "d",
+      Seq(1L, 5L).toDF("id"), "id", maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L), got2.toString)
+    // early exit: whole component exhausted before the cap — extra
+    // depth budget changes nothing; an edge-less seed still labels 0
+    val got3 = GraphRank.bfsLayers(e, "s", "d",
+      Seq(8L, 42L).toDF("id"), "id", maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == Map(8L -> 0L, 42L -> 0L, 9L -> 1L), got3.toString)
+    intercept[IllegalArgumentException] {
+      GraphRank.bfsLayers(e, "s", "d", seed1, "id", maxDepth = 0)
+    }
+    GraphRank.releaseIntermediates()
+  }
 }

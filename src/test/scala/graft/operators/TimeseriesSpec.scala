@@ -125,6 +125,36 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("dowAdjustedOutliers: weekly shape is normal, a spike flags " +
+      "only against its own weekday") {
+    // 4 full weeks where epoch-weekday w always gets count w+1 —
+    // strongly weekly-shaped; every residual is exactly 10^6
+    val weekly = (0L until 28L).flatMap(d =>
+      Seq.fill(((d + 3) % 7 + 1).toInt)(d * day))
+    val got = Timeseries.dowAdjustedOutliers(weekly.toDF("t"), "t")
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 28 && got.forall(r =>
+      r._3 == 1000000L && r._4 == 0L), got.mkString(","))
+    // spike one day 8x: it flags; every OTHER day stays unflagged
+    // (a raw-count MAD would flag the naturally-big weekdays too)
+    val spikeDay = 10L
+    val spiked = (weekly ++ Seq.fill(
+      (((spikeDay + 3) % 7 + 1) * 7).toInt)(spikeDay * day))
+      .toDF("t")
+    val gotS = Timeseries.dowAdjustedOutliers(spiked, "t")
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect()
+    val flagged = gotS.filter(_._4 == 1L).map(_._1).toSet
+    assert(flagged.contains(spikeDay), gotS.mkString(","))
+    // the noiseless fixture has MAD = 0, so the spike's own weekday
+    // siblings (whose mean it dragged) may flag as collateral — but
+    // no day of any OTHER weekday ever does
+    assert(flagged.forall(d => (d + 3) % 7 == (spikeDay + 3) % 7),
+      gotS.mkString(","))
+    intercept[IllegalArgumentException] {
+      Timeseries.dowAdjustedOutliers(spiked, "t", kMad = 0)
+    }
+  }
+
   test("theilSen: median slope is outlier-immune where the mean is not") {
     // counts 2,4,6,8,10 on days 0..4: every pairwise slope is exactly
     // 2 -> 2e6 ppm at p10/p50/p90
