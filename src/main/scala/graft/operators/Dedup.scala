@@ -61,6 +61,28 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact-duplicate CLUSTER-SIZE histogram — the distribution view
+    * of [[exactSurvivors]]: for each cluster size s (rows sharing a
+    * normalized fingerprint), how many clusters and how many rows
+    * they hold. The shape is the triage signal the per-source rate
+    * ([[graft.operators.Profile.dupRateBy]]) flattens away: a fat
+    * tail (one 10⁴-row cluster) means a template/mirror feed; many
+    * 2-clusters mean organic near-misses. Returns
+    * (cluster_size, n_clusters, n_docs).
+    *
+    * Scale: two map-side-combined aggregates — fingerprint (corpus
+    * exchange, the [[exactSurvivors]] one) then size (|distinct
+    * sizes| rows, trivially bounded). Nothing else moves.
+    */
+  def clusterSizeHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("__sz").cast("long").as("cluster_size"),
+        col("n_clusters").cast("long").as("n_clusters"),
+        (col("__sz") * col("n_clusters")).cast("long").as("n_docs"))
+
   /** CONTENT-DEFINED CHUNK dedup at word granularity — the
     * storage-dedup shape (Muthitacharoen et al. 2001 LBFS; FastCDC's
     * gear-hash boundary rule) applied to corpus text: chunk boundaries

@@ -180,6 +180,40 @@ object Funnel {
           .cast("long").as("acc_ppm"))
   }
 
+  /** Rapid-repeat (double-fire) telemetry screen: per event type, how
+    * many events arrive within `withinMicros` of the SAME user's
+    * previous event of the SAME type — the double-click / retry-storm
+    * / duplicate-delivery detector that exact-id dedup misses (the
+    * rows are distinct; the BEHAVIOR is the duplicate). One lag
+    * window per (user, type), ties broken on the id column. Returns
+    * (event_type, n_events, n_rapid, rapid_ppm).
+    *
+    * Scale: ONE (user, type)-keyed window pass over the events, then
+    * a |types|-bounded map-side rollup — no join, no self-pairing.
+    */
+  def rapidRepeats(events: DataFrame, userCol: String,
+                   tsMicrosCol: String, idCol: String,
+                   typeCol: String, withinMicros: Long): DataFrame = {
+    require(withinMicros >= 1, s"withinMicros >= 1, got $withinMicros")
+    val D = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("event_type"))
+      .orderBy(col("__t"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("event_type"),
+        col(tsMicrosCol).cast("long").as("__t"), col(idCol))
+      .withColumn("__dt", col("__t") - lag(col("__t"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__dt").isNotNull &&
+          col("__dt") <= withinMicros, 1L).otherwise(0L)).as("__r"))
+      .select(col("event_type"),
+        col("__n").cast("long").as("n_events"),
+        col("__r").cast("long").as("n_rapid"),
+        expr(s"(CAST(1000000 AS $D) * __r) div __n").cast("long")
+          .as("rapid_ppm"))
+  }
+
   /** Conversion-latency percentiles — how long converting users take:
     * for every step ≥ 2 of a [[completions]] funnel, the distribution
     * of (step-k binding time − step-1 binding time) per converted

@@ -386,6 +386,62 @@ object GraphRank {
       .as("core_deg"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all DIRECTED edge slots (each undirected
+    * edge contributes both orientations — the standard convention, so
+    * Σx = Σy and the statistic is symmetric). Positive = hubs attach
+    * to hubs (social cores); negative = hubs attach to leaves
+    * (star/infrastructure topology — most web and link graphs).
+    * Exact integers end to end: degrees are counts, and the report is
+    * the SIGNED SQUARE sign(A)·⌊⌊A²/Vx⌋·10⁶/Vy⌋ ppm
+    * ([[graft.operators.Profile.spearmanRho2]]'s divide chain, every
+    * quotient Cauchy–Schwarz-bounded so Spark's long-returning `div`
+    * never truncates). Returns one row (m_directed, assort2_signed_ppm).
+    *
+    * Scale: one degree aggregate (map-side), two broadcast-or-hash
+    * joins decorating each edge slot with its endpoint degrees, one
+    * scalar fold. Accumulator range: A ≤ m·Σxy ≤ m²·d_max² must stay
+    * inside decimal(38,0) when squared — fine through ~10⁸ directed
+    * edges at d_max 10³; beyond that, sample edge slots (documented,
+    * not silent).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val canon = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sym = canon.select(col("a").as("s"), col("b").as("d"))
+      .unionByName(canon.select(col("b").as("s"), col("a").as("d")))
+    val deg = sym.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("dg"))
+    sym
+      .join(deg.select(col("id").as("s"), col("dg").as("__x")),
+        Seq("s"))
+      .join(deg.select(col("id").as("d"), col("dg").as("__y")),
+        Seq("d"))
+      .agg(count(lit(1)).cast(D).as("__m"),
+        sum(col("__x").cast(D)).as("__sx"),
+        sum(col("__y").cast(D)).as("__sy"),
+        sum(col("__x").cast(D) * col("__y").cast(D)).as("__sxy"),
+        sum(col("__x").cast(D) * col("__x").cast(D)).as("__sxx"),
+        sum(col("__y").cast(D) * col("__y").cast(D)).as("__syy"))
+      .select(col("__m").cast("long").as("m_directed"),
+        expr(s"""CAST(CASE WHEN (__m * __sxx - __sx * __sx) > 0
+            AND (__m * __syy - __sy * __sy) > 0
+          THEN (CASE WHEN __m * __sxy - __sx * __sy >= 0
+              THEN 1 ELSE -1 END)
+            * ((CAST((((__m * __sxy - __sx * __sy)
+                * (__m * __sxy - __sx * __sy))
+                div (__m * __sxx - __sx * __sx)) AS decimal(38,0))
+              * 1000000) div (__m * __syy - __sy * __sy))
+          ELSE 0 END AS BIGINT)""").as("assort2_signed_ppm"))
+  }
+
   /** Multi-source BFS hop labeling with a depth cap: each node
     * reachable from the seed set within `maxDepth` undirected hops
     * gets its MINIMUM hop distance — the crawl-depth / blast-radius

@@ -517,4 +517,38 @@ object Sampling {
           .withColumn("rk", col("rk").cast("long"))
     }
   }
+
+  /** Effective sample size of a weighted frame (Kish 1965):
+    * ESS = (Σw)²/Σw² — how many EQUAL-weight rows this weighted set
+    * is worth; the design-effect diagnostic for every weighted
+    * corpus mix ([[temperatureMix]], [[weightedSample]], DSIR
+    * importance weights): ESS/n near 1 means the weights are doing
+    * nothing, near 0 means a few heavy rows dominate and the mix's
+    * nominal size is a lie. Exact integers: per group,
+    * ess_rows = ⌊(Σw)²/Σw²⌋ and ess_ppm = ⌊⌊(Σw)²/Σw²⌋·10⁶/n⌋ — a
+    * divide CHAIN whose quotients are Cauchy–Schwarz-bounded
+    * ((Σw)² ≤ n·Σw², so ess_rows ≤ n and ess_ppm ≤ 10⁶ — `div` can
+    * never truncate). Rows with NULL or non-positive weight are
+    * excluded. Returns (grp, n_rows, sum_w, ess_rows, ess_ppm).
+    *
+    * Scale: ONE group-keyed map-side aggregate over the scan.
+    */
+  def essWeights(df: DataFrame, grpCol: String,
+                 weightCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    df.filter(col(grpCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(grpCol).as("grp"),
+        col(weightCol).cast("long").cast(D).as("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast(D).as("__m"),
+        sum(col("__w")).as("__s1"),
+        sum(col("__w") * col("__w")).as("__s2"))
+      .select(col("grp"),
+        col("__m").cast("long").as("n_rows"),
+        col("__s1").cast("long").as("sum_w"),
+        expr("CAST((__s1 * __s1) div __s2 AS BIGINT)").as("ess_rows"),
+        expr(s"""CAST((CAST((__s1 * __s1) div __s2 AS $D)
+          * 1000000) div __m AS BIGINT)""").as("ess_ppm"))
+  }
 }

@@ -212,6 +212,58 @@ object Timeseries {
       .orderBy(col("lag"))
   }
 
+  /** CROSS-correlation of two daily-count series at calendar lags
+    * −maxLag..maxLag — which series LEADS: r²(ℓ) correlates x(d) with
+    * y(d+ℓ), so a peak at positive ℓ means x moves first (orders
+    * placed → lineitems shipped), the pipeline-lag detector that
+    * [[acfDaily]] (x against itself) can't see. Same exact machinery:
+    * calendar-keyed pairing (silent days pair with nobody) and the
+    * signed-square divide-chain ppm. Returns
+    * (lag, n_pairs, r2_signed_ppm) ordered by lag.
+    *
+    * Scale: one day-keyed map-side count per input (each scanned
+    * once), a broadcast (2·maxLag+1)× fan-out of the bounded x daily
+    * frame joined to the y daily frame on the day key, one lag-keyed
+    * fold.
+    */
+  def xcfDaily(dfX: DataFrame, tsXMicrosCol: String, dfY: DataFrame,
+               tsYMicrosCol: String, maxLag: Int = 3,
+               dayMicros: Long = 86400000000L): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1, got $maxLag")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    def daily(df: DataFrame, c: String) = df
+      .select(expr(s"CAST($c AS BIGINT) div $dayMicros").as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast(D).as("__n"))
+    val cx = daily(dfX, tsXMicrosCol)
+    val cy = daily(dfY, tsYMicrosCol)
+    val lags = cx.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    cx.select(col("__d").as("__xd"), col("__n").as("__xv"))
+      .crossJoin(broadcast(lags))
+      .join(cy.select(col("__d").as("__yd"), col("__n").as("__yv")),
+        col("__yd") === col("__xd") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(col("__xv")).as("__sx"), sum(col("__yv")).as("__sy"),
+        sum(col("__xv") * col("__yv")).as("__sxy"),
+        sum(col("__xv") * col("__xv")).as("__sxx"),
+        sum(col("__yv") * col("__yv")).as("__syy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("__n").cast("long").as("n_pairs"),
+        expr(s"""CAST(CASE WHEN (__n * __sxx - __sx * __sx) > 0
+            AND (__n * __syy - __sy * __sy) > 0
+          THEN (CASE WHEN __n * __sxy - __sx * __sy >= 0
+              THEN 1 ELSE -1 END)
+            * ((CAST((((__n * __sxy - __sx * __sy)
+                * (__n * __sxy - __sx * __sy))
+                div (__n * __sxx - __sx * __sx)) AS decimal(38,0))
+              * 1000000) div (__n * __syy - __sy * __sy))
+          ELSE 0 END AS BIGINT)""").as("r2_signed_ppm"))
+      .orderBy(col("lag"))
+  }
+
   /** Theil–Sen robust trend of daily row counts (Theil 1950 / Sen
     * 1968): the median over all day pairs (d₁ < d₂) of the pairwise
     * slope (n₂−n₁)/(d₂−d₁) — the outlier-immune "is volume trending"

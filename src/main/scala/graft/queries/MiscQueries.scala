@@ -2240,10 +2240,120 @@ object MiscQueries {
         CAST((1000000 * n_orphans) // n_child AS BIGINT) AS orphan_ppm
       FROM u ORDER BY relation"""))
 
+  /** q216 — degree assortativity
+    * ([[graft.operators.GraphRank.assortativity]], round 12, Newman
+    * 2002): do hubs attach to hubs on q113's ring+chord graph —
+    * signed-square ppm over exact endpoint-degree integers.
+    */
+  private val q216 = Q("q216_assortativity",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      def ring(off: Int) =
+        docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+      val edges = ring(1)
+        .unionByName(ring(2))
+        .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+          .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+        .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+          .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+      GraphRank.assortativity(edges, "src", "dst")
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+          (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 5 = 0),
+      ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+          GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+      sym AS (SELECT a AS s, b AS d FROM ce
+        UNION ALL SELECT b, a FROM ce),
+      deg AS (SELECT s AS id, COUNT(*)::HUGEINT AS dg FROM sym
+        GROUP BY 1),
+      ed AS (SELECT dx.dg AS x, dy.dg AS y FROM sym
+        JOIN deg dx ON sym.s = dx.id JOIN deg dy ON sym.d = dy.id),
+      t AS (SELECT COUNT(*)::HUGEINT AS m, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy FROM ed),
+      f AS (SELECT m, (m*sxy - sx*sy) AS a, (m*sxx - sx*sx) AS vx,
+          (m*syy - sy*sy) AS vy FROM t)
+      SELECT CAST(m AS BIGINT) AS m_directed,
+        CAST(CASE WHEN vx > 0 AND vy > 0
+          THEN (CASE WHEN a >= 0 THEN 1 ELSE -1 END)
+            * ((((a*a) // vx) * 1000000) // vy)
+          ELSE 0 END AS BIGINT) AS assort2_signed_ppm
+      FROM f"""))
+
+  /** q217 — order→shipment cross-correlation
+    * ([[graft.operators.Timeseries.xcfDaily]], round 12): daily
+    * orders-placed vs lineitems-shipped at calendar lags −3..3 —
+    * the pipeline-lag view q208's autocorrelation can't see.
+    */
+  private val q217 = Q("q217_xcf_daily",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      val l = t(s, dir, "lineitem").select(
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.xcfDaily(o, "t_us", l, "t_us",
+        maxLag = 3)
+    },
+    Some("""WITH cx AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      cy AS (SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+          COUNT(*)::HUGEINT AS n FROM lineitem GROUP BY 1),
+      lags(lag) AS (VALUES (-3),(-2),(-1),(0),(1),(2),(3)),
+      p AS (SELECT lags.lag AS lag, x.n AS xv, y.n AS yv
+        FROM cx x JOIN lags ON TRUE
+        JOIN cy y ON y.d = x.d + lags.lag),
+      t AS (SELECT lag, COUNT(*)::HUGEINT AS n, SUM(xv) AS sx,
+          SUM(yv) AS sy, SUM(xv*yv) AS sxy, SUM(xv*xv) AS sxx,
+          SUM(yv*yv) AS syy FROM p GROUP BY lag),
+      f AS (SELECT lag, n, (n*sxy - sx*sy) AS a,
+          (n*sxx - sx*sx) AS vx, (n*syy - sy*sy) AS vy FROM t)
+      SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        CAST(CASE WHEN vx > 0 AND vy > 0
+          THEN (CASE WHEN a >= 0 THEN 1 ELSE -1 END)
+            * ((((a*a) // vx) * 1000000) // vy)
+          ELSE 0 END AS BIGINT) AS r2_signed_ppm
+      FROM f ORDER BY lag"""))
+
+  /** q218 — rapid-repeat telemetry screen
+    * ([[graft.operators.Funnel.rapidRepeats]], round 12): per event
+    * type, same-user same-type events within one hour of the previous
+    * — the behavioral-duplicate detector next to exact-id dedup.
+    */
+  private val q218 = Q("q218_rapid_repeats",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.rapidRepeats(e, "user_id", "t_us",
+          "event_id", "event_type", withinMicros = 3600000000L)
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      w AS (SELECT event_type, t - LAG(t) OVER (PARTITION BY user_id,
+          event_type ORDER BY t, event_id) AS dt FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(COALESCE(SUM(CASE WHEN dt IS NOT NULL
+          AND dt <= 3600000000 THEN 1 END), 0) AS BIGINT) AS n_rapid,
+        CAST((1000000 * COALESCE(SUM(CASE WHEN dt IS NOT NULL
+          AND dt <= 3600000000 THEN 1 END), 0)) // COUNT(*)
+          AS BIGINT) AS rapid_ppm
+      FROM w GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
-    q208, q209, q210, q212, q213, q214, q215)
+    q208, q209, q210, q212, q213, q214, q215, q216, q217, q218)
 }

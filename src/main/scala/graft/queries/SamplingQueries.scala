@@ -809,6 +809,27 @@ object SamplingQueries {
       ORDER BY sp.split"""
     })
 
+  /** q220 — effective sample size of a weighted frame
+    * ([[graft.operators.Sampling.essWeights]], round 12, Kish 1965):
+    * per language, how many equal-weight documents the n_chars-weighted
+    * corpus is actually worth — the design-effect check on every
+    * weighted mix; divide chain Cauchy–Schwarz-bounded (ess ≤ n).
+    */
+  private val q220 = Q("q220_ess_weights",
+    (s, dir) =>
+      Sampling.essWeights(t(s, dir, "documents"), "lang", "n_chars")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+    Some("""WITH w AS (SELECT lang, n_chars::HUGEINT AS w
+        FROM documents WHERE lang IS NOT NULL AND n_chars > 0),
+      t AS (SELECT lang, COUNT(*)::HUGEINT AS m, SUM(w) AS s1,
+          SUM(w*w) AS s2 FROM w GROUP BY lang)
+      SELECT lang, CAST(m AS BIGINT) AS n_rows,
+        CAST(s1 AS BIGINT) AS sum_w,
+        CAST((s1*s1) // s2 AS BIGINT) AS ess_rows,
+        CAST((((s1*s1) // s2) * 1000000) // m AS BIGINT) AS ess_ppm
+      FROM t ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q40, q41, q45, q53, q63, q64, q68, q69, q71, q76,
-    q87, q92, q134, q146, q150, q165, q171, q186, q191, q205)
+    q87, q92, q134, q146, q150, q165, q171, q186, q191, q205, q220)
 }

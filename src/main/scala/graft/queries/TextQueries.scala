@@ -2707,10 +2707,27 @@ object TextQueries {
           AS longword_ppm
       FROM per GROUP BY lang HAVING SUM(wn) > 0 ORDER BY lang"""))
 
+  /** q219 — exact-duplicate cluster-size histogram
+    * ([[graft.operators.Dedup.clusterSizeHistogram]], round 12):
+    * q16's fingerprint clusters rolled up by SIZE — fat tail =
+    * template feed, many 2-clusters = organic near-misses.
+    */
+  private val q219 = Q("q219_dup_cluster_hist",
+    (s, dir) =>
+      graft.operators.Dedup.clusterSizeHistogram(
+          t(s, dir, "documents"), "text")
+        .orderBy(col("cluster_size")),
+    Some(s"""WITH fp AS (SELECT MD5(${normSql("text")}) AS f,
+          COUNT(*) AS sz FROM documents GROUP BY 1)
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+        COUNT(*) AS n_clusters,
+        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      FROM fp GROUP BY sz ORDER BY sz"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q42, q47, q51, q55, q59,
     q60, q61, q65, q66, q75, q83, q84, q85, q88, q89, q95, q96, q99,
     q107, q108, q110, q115, q116, q118, q120, q121, q122, q123, q125,
     q130, q131, q132, q135, q136, q137, q138, q139, q141, q142, q145,
     q149, q151, q152, q156, q157, q166, q172, q173, q176, q179, q193,
-    q211)
+    q211, q219)
 }

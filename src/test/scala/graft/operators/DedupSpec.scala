@@ -1242,4 +1242,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("clusterSizeHistogram: normalized fingerprints roll up by size") {
+    import spark.implicits._
+    // "A b" / "a   B" / "a b." collapse under normalization (3-cluster),
+    // "x y" / "X Y" pair up (2-cluster), "solo" stands alone
+    val docs = Seq("A b", "a   B", "a b.", "x y", "X Y", "solo")
+      .toDF("text")
+    val got = Dedup.clusterSizeHistogram(docs, "text")
+      .orderBy($"cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)),
+      got.toString)
+    // row accounting: histogram covers every input row exactly once
+    assert(got.map(_._3).sum == 6L)
+    // histogram is two aggregates — no window, no join
+    val plan = Dedup.clusterSizeHistogram(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }

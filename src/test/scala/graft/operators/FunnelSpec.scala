@@ -282,6 +282,26 @@ class FunnelSpec extends SparkSpec {
     assert(gotS == Seq(("P", "Q", 1L, 1L, 1000000L)), gotS.toString)
   }
 
+  test("rapidRepeats: same-user same-type gaps only, threshold edge") {
+    import spark.implicits._
+    // user 1 type A at t=0, 5, 100; user 2 type A at t=7 (no pair
+    // across users); user 1 type B at t=6 (no pair across types)
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "A"),
+      (1L, 100L, 3L, "A"), (2L, 7L, 4L, "A"), (1L, 6L, 5L, "B"))
+      .toDF("u", "t", "id", "ty")
+    val got = Funnel.rapidRepeats(ev, "u", "t", "id", "ty",
+        withinMicros = 5L)
+      .orderBy($"event_type")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // A: 4 events, one gap of exactly 5 (inclusive) counts; the
+    // 95-gap doesn't; cross-user 7 never pairs. B: single event.
+    assert(got == Seq(("A", 4L, 1L, 250000L), ("B", 1L, 0L, 0L)),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.rapidRepeats(ev, "u", "t", "id", "ty", withinMicros = 0L)
+    }
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString

@@ -191,6 +191,27 @@ class GraphRankSpec extends SparkSpec {
     GraphRank.releaseIntermediates()
   }
 
+  test("assortativity: star is perfectly disassortative, cycle degenerates") {
+    import spark.implicits._
+    // star K1,3: every directed slot pairs degree 3 with degree 1 —
+    // endpoint degrees are perfectly ANTI-correlated -> -10^6
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val gotS = GraphRank.assortativity(star, "s", "d")
+      .as[(Long, Long)].collect().head
+    assert(gotS == ((6L, -1000000L)), gotS.toString)
+    // 4-cycle: all degrees 2 -> zero variance -> 0, not a crash
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "d")
+    val gotC = GraphRank.assortativity(cyc, "s", "d")
+      .as[(Long, Long)].collect().head
+    assert(gotC == ((8L, 0L)), gotC.toString)
+    // dup/reversed/self-loop edges canonicalize first
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 0L), (0L, 2L), (0L, 3L))
+      .toDF("s", "d")
+    val gotM = GraphRank.assortativity(messy, "s", "d")
+      .as[(Long, Long)].collect().head
+    assert(gotM == gotS, gotM.toString)
+  }
+
   test("bfsLayers: min hop distance, depth cap, multi-seed, early exit") {
     import spark.implicits._
     // path 1-2-3-4-5, plus island 8-9 no seed can reach

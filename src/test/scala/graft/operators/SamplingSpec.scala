@@ -480,4 +480,26 @@ class SamplingSpec extends SparkSpec {
     assert(bad("a") > got("a")._3 * 100,
       s"dropped rows must inflate chi2: $bad vs $got")
   }
+
+  test("essWeights: equal weights are free, one heavy row collapses") {
+    import spark.implicits._
+    // equal weights: ESS == n exactly, ppm == 10^6
+    val eq = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L))
+      .toDF("g", "w")
+    val gotE = Sampling.essWeights(eq, "g", "w")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gotE == (("a", 4L, 28L, 4L, 1000000L)), gotE.toString)
+    // one dominant weight: (1+1+98)^2 // (1+1+9604) = 10000//9606 = 1
+    val dom = Seq(("b", 1L), ("b", 1L), ("b", 98L)).toDF("g", "w")
+    val gotD = Sampling.essWeights(dom, "g", "w")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gotD == (("b", 3L, 100L, 1L, 333333L)), gotD.toString)
+    // zero/negative/null weights and null groups drop
+    val messy = Seq((Some("c"), Some(5L)), (Some("c"), Some(0L)),
+      (Some("c"), Some(-3L)), (Some("c"), None), (None, Some(9L)),
+      (Some("c"), Some(5L))).toDF("g", "w")
+    val gotM = Sampling.essWeights(messy, "g", "w")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gotM == (("c", 2L, 10L, 2L, 1000000L)), gotM.toString)
+  }
 }

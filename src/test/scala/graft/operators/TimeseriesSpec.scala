@@ -125,6 +125,31 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("xcfDaily: a shifted copy peaks exactly at its shift") {
+    // x: counts 1..8 on days 0..7; y: the same ramp shifted +2 days —
+    // at lag 2 y(d+2) == x(d)+0 shape exactly -> 10^6; other lags
+    // still correlate (a ramp against a ramp) but over FEWER pairs
+    val x = (0L until 8L).flatMap(d => Seq.fill((d + 1).toInt)(d * day))
+    val y = (0L until 8L).flatMap(d =>
+      Seq.fill((d + 1).toInt)((d + 2) * day))
+    val got = Timeseries.xcfDaily(x.toDF("t"), "t", y.toDF("t"), "t",
+      maxLag = 3).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) == ((8L, 1000000L)), got.toString)
+    assert(got(-3L)._1 == 3L && got(3L)._1 == 7L, got.toString)
+    // every lag of ramp-vs-ramp is exactly linear -> all saturate
+    assert(got.values.forall(_._2 == 1000000L), got.toString)
+    // disjoint calendars -> zero pairs at every lag, no crash
+    val far = (100L until 104L).map(d => d * day)
+    val gotF = Timeseries.xcfDaily(x.toDF("t"), "t", far.toDF("t"),
+      "t", maxLag = 1).as[(Long, Long, Long)].collect()
+    assert(gotF.isEmpty, gotF.mkString(","))
+    intercept[IllegalArgumentException] {
+      Timeseries.xcfDaily(x.toDF("t"), "t", y.toDF("t"), "t",
+        maxLag = 0)
+    }
+  }
+
   test("dowAdjustedOutliers: weekly shape is normal, a spike flags " +
       "only against its own weekday") {
     // 4 full weeks where epoch-weekday w always gets count w+1 —
