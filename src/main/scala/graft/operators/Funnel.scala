@@ -214,6 +214,45 @@ object Funnel {
           .as("rapid_ppm"))
   }
 
+  /** Inter-arrival burstiness per event type: the variance-to-mean
+    * ratio (Fano factor) of same-user same-type gaps — the
+    * distribution view behind [[rapidRepeats]]'s threshold count
+    * (VMR ≈ mean gap is the memoryless/Poisson baseline; VMR ≫ mean
+    * means retry storms and batchy delivery, VMR ≪ mean means
+    * metronome traffic, i.e. bots). Exact integers: VMR in µs is the
+    * single floor ⌊(n·Σg² − (Σg)²)/(n·Σg)⌋ of decimal(38,0)
+    * accumulators — the quotient is VMR itself (µs-scaled, ≤ the
+    * largest gap by construction), so `div`'s long return never
+    * truncates. Returns (event_type, n_gaps, mean_gap_us, vmr_us).
+    *
+    * Scale: ONE (user, type)-keyed window pass (the [[rapidRepeats]]
+    * exchange), then a |types|-bounded map-side fold.
+    */
+  def interarrivalVmr(events: DataFrame, userCol: String,
+                      tsMicrosCol: String, idCol: String,
+                      typeCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("event_type"))
+      .orderBy(col("__t"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("event_type"),
+        col(tsMicrosCol).cast("long").as("__t"), col(idCol))
+      .withColumn("__dt",
+        (col("__t") - lag(col("__t"), 1).over(w)).cast(D))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(col("__dt")).as("__s1"),
+        sum(col("__dt") * col("__dt")).as("__s2"))
+      .select(col("event_type"),
+        col("__n").cast("long").as("n_gaps"),
+        expr("CAST(__s1 div __n AS BIGINT)").as("mean_gap_us"),
+        expr(s"""CAST(CASE WHEN __s1 > 0
+          THEN (__n * __s2 - __s1 * __s1) div (__n * __s1)
+          ELSE 0 END AS BIGINT)""").as("vmr_us"))
+  }
+
   /** Conversion-latency percentiles — how long converting users take:
     * for every step ≥ 2 of a [[completions]] funnel, the distribution
     * of (step-k binding time − step-1 binding time) per converted

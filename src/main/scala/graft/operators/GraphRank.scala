@@ -386,6 +386,43 @@ object GraphRank {
       .as("core_deg"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * cc(v) = triangles(v) / C(deg(v), 2) — what fraction of a node's
+    * neighbor pairs are themselves connected, the "is this node
+    * inside a clique or a star" signal that composes [[triangleCounts]]
+    * (the numerator) with the degree frame (the denominator). Exact
+    * ppm: ⌊2·10⁶·tri/(deg·(deg−1))⌋, one division of non-negative
+    * integers (quotient ≤ 10⁶ — triangles ≤ C(deg,2) always); deg < 2
+    * reports 0. Returns (id, deg, triangles, cc_ppm) for every node
+    * touching an edge.
+    *
+    * Scale: [[triangleCounts]]'s Σdeg² wedge budget dominates; the
+    * coefficient itself adds one degree aggregate and one left join
+    * keyed on the node.
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val canon = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("id"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("id"), col("deg").cast("long").as("deg"),
+        col("triangles").cast("long").as("triangles"),
+        expr(s"""CAST(CASE WHEN deg >= 2
+          THEN (CAST(2000000 AS $D) * triangles)
+            div (CAST(deg AS $D) * (deg - 1))
+          ELSE 0 END AS BIGINT)""").as("cc_ppm"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over all DIRECTED edge slots (each undirected
     * edge contributes both orientations — the standard convention, so

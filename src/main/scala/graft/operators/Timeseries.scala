@@ -264,6 +264,116 @@ object Timeseries {
       .orderBy(col("lag"))
   }
 
+  /** Seasonal-naive forecast backtest on daily counts: compares the
+    * weekly seasonal-naive forecast (ŷ(d) = y(d−7)) against the naive
+    * one (ŷ(d) = y(d−1)) by total absolute error, reporting the
+    * MASE-style ratio ⌊10⁶·MAE₇/MAE₁⌋ — under 10⁶ means the weekly
+    * pattern genuinely predicts (use it); ~10⁶ means the series is
+    * memoryless at a week. All exact integers: |Δ| via a sign split,
+    * the ratio one guarded division of decimal(38,0) products
+    * (quotient ~ the MAE ratio — bounded in practice; a degenerate
+    * MAE₁ = 0 reports 0). Calendar joins — silent days produce no
+    * forecast pair. Returns one row (n_seasonal, abs_err_seasonal,
+    * n_naive, abs_err_naive, mase_ppm).
+    *
+    * Scale: one day-keyed map-side count, two self-joins of the
+    * BOUNDED daily frame on shifted day keys, one scalar fold.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, tsMicrosCol: String,
+                            period: Int = 7,
+                            dayMicros: Long = 86400000000L): DataFrame = {
+    require(period >= 2, s"period >= 2, got $period")
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"))
+    def err(shift: Int) = cnt
+      .select(col("__d").as("__da"), col("__n").as("__na"))
+      .join(cnt.select(col("__d").as("__db"), col("__n").as("__nb")),
+        col("__da") === col("__db") + shift)
+      .agg(count(lit(1)).cast(D).as("n"),
+        sum(expr(s"""CAST(CASE WHEN __na >= __nb THEN __na - __nb
+          ELSE __nb - __na END AS $D)""")).as("s"))
+    err(period).select(col("n").as("__n7"), col("s").as("__s7"))
+      .crossJoin(err(1).select(col("n").as("__n1"),
+        col("s").as("__s1")))
+      .select(col("__n7").cast("long").as("n_seasonal"),
+        col("__s7").cast("long").as("abs_err_seasonal"),
+        col("__n1").cast("long").as("n_naive"),
+        col("__s1").cast("long").as("abs_err_naive"),
+        expr(s"""CAST(CASE WHEN __s1 > 0
+          THEN (CAST(1000000 AS $D) * __s7 * __n1)
+            div (__s1 * __n7)
+          ELSE 0 END AS BIGINT)""").as("mase_ppm"))
+  }
+
+  /** Exact higher central moments of daily counts — skewness and
+    * kurtosis over the bounded day frame, the tail-shape companions
+    * to [[dowAdjustedOutliers]] (MAD says WHICH days are odd; these
+    * say whether the whole series is lopsided or heavy-tailed).
+    * From raw power sums S1..S4: M2 = m·S2−S1² (= m²·variance),
+    * A3 = m²·S3−3m·S1·S2+2S1³ (= m³·Σ(x−x̄)³),
+    * A4 = m³·S4−4m²·S1·S3+6m·S1²·S2−3S1⁴ (= m⁴·Σ(x−x̄)⁴ · m⁻¹ —
+    * scalings chosen so skew² = A3²/M2³ and kurtosis = A4/M2²
+    * exactly). Reports sign(A3)·⌊⌊⌊A3/M2⌋·|A3|/M2⌋·10⁶/M2⌋ and
+    * ⌊⌊A4/M2⌋·10⁶/M2⌋ — divide CHAINS whose every quotient is
+    * moment-bounded (skew² ≤ m, kurt ≤ m by Cauchy–Schwarz), so
+    * Spark's long-returning `div` never truncates; the floor-then-
+    * multiply chain is mirrored verbatim in the oracle (both floors
+    * identical — the chain IS the definition, not an approximation
+    * of the real-valued moment). Returns one row
+    * (n_days, skew2_signed_ppm, kurt_ppm).
+    *
+    * Range contract: power sums S4 ≤ m·x⁴ must fit decimal(38,0) ⇄
+    * HUGEINT — fine through m ~ 10⁵ days of x ~ 10⁷ rows/day. The
+    * chains' INTERMEDIATE quotients are bounded by moment·M2 (M2 =
+    * m²·variance), which must stay under 2⁶³ for `div`'s long
+    * return: holds whenever m²·var ≲ 10¹⁷ — any practical day frame
+    * (decades of days, millions of rows/day); for wider frames,
+    * rescale counts to thousands first (documented, not silent).
+    *
+    * Scale: ONE day-keyed map-side count, one scalar fold.
+    */
+  def momentsDaily(df: DataFrame, tsMicrosCol: String,
+                   dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    df.select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast(D).as("__n"))
+      .agg(count(lit(1)).cast(D).as("__m"),
+        sum(col("__n")).as("__s1"),
+        sum(col("__n") * col("__n")).as("__s2"),
+        sum(col("__n") * col("__n") * col("__n")).as("__s3"),
+        sum(col("__n") * col("__n") * col("__n") * col("__n"))
+          .as("__s4"))
+      .select(col("__m"),
+        expr("__m * __s2 - __s1 * __s1").as("__m2"),
+        expr("__m * __m * __s3 - 3 * __m * __s1 * __s2 " +
+          "+ 2 * __s1 * __s1 * __s1").as("__a3"),
+        expr("__m * __m * __m * __s4 - 4 * __m * __m * __s1 * __s3 " +
+          "+ 6 * __m * __s1 * __s1 * __s2 " +
+          "- 3 * __s1 * __s1 * __s1 * __s1").as("__a4"))
+      .select(
+        col("__m").cast("long").as("n_days"),
+        // sign split FIRST: every div sees a NON-NEGATIVE dividend
+        // (DuckDB // floors toward -inf, Spark div truncates toward
+        // zero — they disagree on negatives by one); A4 is a sum of
+        // fourth powers, never negative
+        expr(s"""CAST(CASE WHEN __m2 > 0
+          THEN (CASE WHEN __a3 >= 0 THEN 1 ELSE -1 END)
+            * ((CAST((CAST(ABS(__a3) div __m2 AS $D) * ABS(__a3))
+                div __m2 AS $D) * 1000000) div __m2)
+          ELSE 0 END AS BIGINT)""").as("skew2_signed_ppm"),
+        expr(s"""CAST(CASE WHEN __m2 > 0
+          THEN (CAST(__a4 div __m2 AS $D) * 1000000) div __m2
+          ELSE 0 END AS BIGINT)""").as("kurt_ppm"))
+  }
+
   /** Theil–Sen robust trend of daily row counts (Theil 1950 / Sen
     * 1968): the median over all day pairs (d₁ < d₂) of the pairwise
     * slope (n₂−n₁)/(d₂−d₁) — the outlier-immune "is volume trending"

@@ -2350,10 +2350,151 @@ object MiscQueries {
           AS BIGINT) AS rapid_ppm
       FROM w GROUP BY event_type ORDER BY event_type"""))
 
+  /** q221 — seasonal-naive forecast backtest
+    * ([[graft.operators.Timeseries.seasonalNaiveBacktest]], round 12):
+    * does y(d−7) predict order volume better than y(d−1) — the
+    * MASE-style exact ratio; ~10⁶ on this Poisson-flat series.
+    */
+  private val q221 = Q("q221_seasonal_naive",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.seasonalNaiveBacktest(o, "t_us")
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      e7 AS (SELECT (CASE WHEN a.n >= b.n THEN a.n - b.n
+            ELSE b.n - a.n END) AS e
+        FROM cnt a JOIN cnt b ON a.d = b.d + 7),
+      e1 AS (SELECT (CASE WHEN a.n >= b.n THEN a.n - b.n
+            ELSE b.n - a.n END) AS e
+        FROM cnt a JOIN cnt b ON a.d = b.d + 1),
+      t AS (SELECT (SELECT COUNT(*) FROM e7)::HUGEINT AS n7,
+          (SELECT SUM(e) FROM e7)::HUGEINT AS s7,
+          (SELECT COUNT(*) FROM e1)::HUGEINT AS n1,
+          (SELECT SUM(e) FROM e1)::HUGEINT AS s1)
+      SELECT CAST(n7 AS BIGINT) AS n_seasonal,
+        CAST(s7 AS BIGINT) AS abs_err_seasonal,
+        CAST(n1 AS BIGINT) AS n_naive,
+        CAST(s1 AS BIGINT) AS abs_err_naive,
+        CAST(CASE WHEN s1 > 0
+          THEN (1000000 * s7 * n1) // (s1 * n7)
+          ELSE 0 END AS BIGINT) AS mase_ppm
+      FROM t"""))
+
+  /** q222 — inter-arrival burstiness (Fano factor)
+    * ([[graft.operators.Funnel.interarrivalVmr]], round 12): per
+    * event type, the variance-to-mean ratio of same-user gaps in µs —
+    * ≈ mean gap on this memoryless fixture.
+    */
+  private val q222 = Q("q222_interarrival_vmr",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.interarrivalVmr(e, "user_id", "t_us",
+          "event_id", "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      g AS (SELECT event_type, (t - LAG(t) OVER (PARTITION BY
+          user_id, event_type ORDER BY t, event_id))::HUGEINT AS dt
+        FROM e),
+      s AS (SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(dt) AS s1,
+          SUM(dt*dt) AS s2
+        FROM g WHERE dt IS NOT NULL GROUP BY event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        CAST(s1 // n AS BIGINT) AS mean_gap_us,
+        CAST(CASE WHEN s1 > 0 THEN (n*s2 - s1*s1) // (n * s1)
+          ELSE 0 END AS BIGINT) AS vmr_us
+      FROM s ORDER BY event_type"""))
+
+  /** q223 — local clustering coefficients
+    * ([[graft.operators.GraphRank.clusteringCoeff]], round 12):
+    * q113's triangle counts normalized per node by C(deg, 2) — clique
+    * membership vs star centers on the ring+chord graph.
+    */
+  private val q223 = Q("q223_clustering_coeff",
+    (s, dir) => {
+      import graft.operators.GraphRank
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      def ring(off: Int) =
+        docs.select(d.as("src"), pmod(d + off, lit(n)).as("dst"))
+      val edges = ring(1)
+        .unionByName(ring(2))
+        .unionByName(docs.filter(pmod(d, lit(3)) === 0)
+          .select(d.as("src"), pmod(d + 4, lit(n)).as("dst")))
+        .unionByName(docs.filter(pmod(d, lit(5)) === 0)
+          .select(d.as("src"), pmod(d * 3, lit(n)).as("dst")))
+      GraphRank.clusteringCoeff(edges, "src", "dst")
+        .orderBy(col("id"))
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+          (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+          FROM documents
+        UNION ALL SELECT doc_id, (doc_id + 4) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, (doc_id * 3) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 5 = 0),
+      ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+          GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+      perv AS (SELECT UNNEST([x, y, z]) AS id FROM tri),
+      tc AS (SELECT id, COUNT(*)::HUGEINT AS tri FROM perv
+        GROUP BY id),
+      deg AS (SELECT id, COUNT(*)::HUGEINT AS dg FROM
+        (SELECT a AS id FROM ce UNION ALL SELECT b FROM ce)
+        GROUP BY id)
+      SELECT deg.id AS id, CAST(deg.dg AS BIGINT) AS deg,
+        CAST(COALESCE(tc.tri, 0) AS BIGINT) AS triangles,
+        CAST(CASE WHEN deg.dg >= 2
+          THEN (2000000 * COALESCE(tc.tri, 0))
+            // (deg.dg * (deg.dg - 1))
+          ELSE 0 END AS BIGINT) AS cc_ppm
+      FROM deg LEFT JOIN tc ON deg.id = tc.id ORDER BY id"""))
+
+  /** q224 — exact skewness/kurtosis of daily volume
+    * ([[graft.operators.Timeseries.momentsDaily]], round 12): tail
+    * shape of the day frame via raw power sums — Poisson sanity:
+    * skew² ≈ 1/λ, kurtosis ≈ 3 + 1/λ.
+    */
+  private val q224 = Q("q224_moments_daily",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.momentsDaily(o, "t_us")
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      s AS (SELECT COUNT(*)::HUGEINT AS m, SUM(n) AS s1,
+          SUM(n*n) AS s2, SUM(n*n*n) AS s3, SUM(n*n*n*n) AS s4
+        FROM cnt),
+      f AS (SELECT m, (m*s2 - s1*s1) AS m2,
+          (m*m*s3 - 3*m*s1*s2 + 2*s1*s1*s1) AS a3,
+          (m*m*m*s4 - 4*m*m*s1*s3 + 6*m*s1*s1*s2
+            - 3*s1*s1*s1*s1) AS a4 FROM s)
+      SELECT CAST(m AS BIGINT) AS n_days,
+        CAST(CASE WHEN m2 > 0
+          THEN (CASE WHEN a3 >= 0 THEN 1 ELSE -1 END)
+            * ((((ABS(a3) // m2) * ABS(a3)) // m2) * 1000000) // m2
+          ELSE 0 END AS BIGINT) AS skew2_signed_ppm,
+        CAST(CASE WHEN m2 > 0 THEN ((a4 // m2) * 1000000) // m2
+          ELSE 0 END AS BIGINT) AS kurt_ppm
+      FROM f"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
-    q208, q209, q210, q212, q213, q214, q215, q216, q217, q218)
+    q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
+    q222, q223, q224)
 }

@@ -302,6 +302,27 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("interarrivalVmr: metronome is zero-variance, burst spreads") {
+    import spark.implicits._
+    // user 1 type A at 0,100,200,300: constant gaps -> VMR 0
+    val met = Seq((1L, 0L, 1L, "A"), (1L, 100L, 2L, "A"),
+      (1L, 200L, 3L, "A"), (1L, 300L, 4L, "A")).toDF("u", "t", "id", "ty")
+    val gotM = Funnel.interarrivalVmr(met, "u", "t", "id", "ty")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(gotM == (("A", 3L, 100L, 0L)), gotM.toString)
+    // gaps (100, 300): mean 200, variance 10000 -> VMR 50 exactly
+    val burst = Seq((1L, 0L, 1L, "B"), (1L, 100L, 2L, "B"),
+      (1L, 400L, 3L, "B")).toDF("u", "t", "id", "ty")
+    val gotB = Funnel.interarrivalVmr(burst, "u", "t", "id", "ty")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(gotB == (("B", 2L, 200L, 50L)), gotB.toString)
+    // gaps never cross users or types: two singleton streams -> empty
+    val iso = Seq((1L, 0L, 1L, "C"), (2L, 5L, 2L, "C"),
+      (1L, 9L, 3L, "D")).toDF("u", "t", "id", "ty")
+    assert(Funnel.interarrivalVmr(iso, "u", "t", "id", "ty")
+      .count() == 0L)
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString

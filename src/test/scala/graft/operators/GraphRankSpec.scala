@@ -191,6 +191,21 @@ class GraphRankSpec extends SparkSpec {
     GraphRank.releaseIntermediates()
   }
 
+  test("clusteringCoeff: triangle membership over C(deg,2) exactly") {
+    import spark.implicits._
+    // triangle 1-2-3 with tail 3-4-5-6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("s", "d")
+    val got = GraphRank.clusteringCoeff(e, "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((2L, 0L, 0L)),
+      5L -> ((2L, 0L, 0L)), 6L -> ((1L, 0L, 0L))), got.toString)
+    GraphRank.releaseIntermediates()
+  }
+
   test("assortativity: star is perfectly disassortative, cycle degenerates") {
     import spark.implicits._
     // star K1,3: every directed slot pairs degree 3 with degree 1 —

@@ -180,6 +180,52 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalNaiveBacktest: a perfectly weekly series zeroes MASE") {
+    // period-7 repeating counts 1..7: y(d-7) predicts exactly
+    // (abs_err_seasonal = 0) while y(d-1) keeps missing
+    val weekly = (0L until 21L).flatMap(d =>
+      Seq.fill((d % 7 + 1).toInt)(d * day)).toDF("t")
+    val got = Timeseries.seasonalNaiveBacktest(weekly, "t")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 == 14L && got._2 == 0L && got._3 == 20L &&
+      got._4 > 0L && got._5 == 0L, got.toString)
+    // a flat series: both forecasts are perfect -> degenerate 0 mase
+    val flat = (0L until 10L).map(d => d * day).toDF("t")
+    val gotF = Timeseries.seasonalNaiveBacktest(flat, "t")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotF == ((3L, 0L, 9L, 0L, 0L)), gotF.toString)
+    intercept[IllegalArgumentException] {
+      Timeseries.seasonalNaiveBacktest(flat, "t", period = 1)
+    }
+  }
+
+  test("momentsDaily: exact skew/kurt chains on hand fixtures") {
+    // counts (1,3): symmetric -> skew 0; kurtosis of a two-point
+    // symmetric distribution is exactly 1
+    val two = (Seq(0L) ++ Seq.fill(3)(day)).toDF("t")
+    val gotT = Timeseries.momentsDaily(two, "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotT == ((2L, 0L, 1000000L)), gotT.toString)
+    // counts (1,1,4): skew^2 = 0.5 and kurt = 1.5 EXACTLY (A3 = 54,
+    // M2 = 18, A4 = 486 — the chain floors land on the true values)
+    val asym = (Seq(0L, day) ++ Seq.fill(4)(2 * day)).toDF("t")
+    val gotA = Timeseries.momentsDaily(asym, "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotA == ((3L, 500000L, 1500000L)), gotA.toString)
+    // mirrored counts (1,4,4): same magnitudes, NEGATIVE skew — the
+    // sign splits before the floor, so the value mirrors exactly
+    val neg = (Seq(0L) ++ Seq.fill(4)(day) ++ Seq.fill(4)(2 * day))
+      .toDF("t")
+    val gotN = Timeseries.momentsDaily(neg, "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotN == ((3L, -500000L, 1500000L)), gotN.toString)
+    // constant series degenerates to 0/0 reported as zeros
+    val const = (0L until 4L).map(d => d * day).toDF("t")
+    val gotC = Timeseries.momentsDaily(const, "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotC == ((4L, 0L, 0L)), gotC.toString)
+  }
+
   test("theilSen: median slope is outlier-immune where the mean is not") {
     // counts 2,4,6,8,10 on days 0..4: every pairwise slope is exactly
     // 2 -> 2e6 ppm at p10/p50/p90
