@@ -253,6 +253,72 @@ object Funnel {
           ELSE 0 END AS BIGINT)""").as("vmr_us"))
   }
 
+  /** Discrete Kaplan–Meier survival curve for time-to-first-`target`
+    * (Kaplan & Meier 1958): each user enters at their first event
+    * day; the event is their first `target`-type day, and users who
+    * never convert are right-censored at the observation end (the
+    * corpus's last day) — the estimator that plain conversion rates
+    * get wrong by silently dropping censored users. Exact integers:
+    * per event day t, the factor ⌊10⁶·(n_t−d_t)/n_t⌋ and the running
+    * product folded in ppm via the higher-order `aggregate` over the
+    * day-ordered factor list — s′ = ⌊s·f/10⁶⌋ stays ≤ 10¹² so the
+    * long fold can't overflow, and the oracle replays the identical
+    * fold with `list_reduce` (floors compound identically — the
+    * quantized fold IS the statistic). Returns
+    * (t_days, n_events, n_at_risk, surv_ppm) for event days only.
+    *
+    * Scale: two user-keyed aggregates over the events (entry day,
+    * first target day) + one user-keyed join — each user reduces to
+    * ONE duration row; everything after is the bounded |days| frame
+    * (a cumulative window + the in-plan fold over its collected
+    * factor list — bounded by contract, never the raw events).
+    */
+  def survivalCurve(events: DataFrame, userCol: String,
+                    tsMicrosCol: String, typeCol: String,
+                    target: String,
+                    dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val e = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"),
+      expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros").as("__d"))
+    val entry = e.groupBy(col("__u")).agg(min(col("__d")).as("__ud"))
+    val firstT = e.filter(col("__ty") === target)
+      .groupBy(col("__u")).agg(min(col("__d")).as("__pd"))
+    val horizon = e.agg(max(col("__d")).as("__d1"))
+    val dur = entry
+      .join(firstT, entry("__u") === firstT("__u") &&
+        col("__pd") >= col("__ud"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("__pd").isNotNull, col("__pd") - col("__ud"))
+          .otherwise(col("__d1") - col("__ud")).as("__t"),
+        when(col("__pd").isNotNull, 1L).otherwise(0L).as("__ev"))
+    val days = dur.groupBy(col("__t"))
+      .agg(sum(col("__ev")).as("__di"), count(lit(1)).as("__leave"))
+    val pre = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val risk = days
+      .withColumn("__n", sum(col("__leave")).over(all) -
+        coalesce(sum(col("__leave")).over(pre), lit(0L)))
+      .filter(col("__di") > 0)
+      .select(col("__t"), col("__di"), col("__n"),
+        expr(s"CAST((CAST(1000000 AS $D) * (__n - __di)) div __n " +
+          "AS BIGINT)").as("__f"))
+    val cum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("__fs", collect_list(col("__f")).over(cum))
+      .select(col("__t").cast("long").as("t_days"),
+        col("__di").cast("long").as("n_events"),
+        col("__n").cast("long").as("n_at_risk"),
+        expr("aggregate(__fs, CAST(1000000 AS BIGINT), " +
+          "(s, x) -> (s * x) div 1000000)").as("surv_ppm"))
+  }
+
   /** Conversion-latency percentiles — how long converting users take:
     * for every step ≥ 2 of a [[completions]] funnel, the distribution
     * of (step-k binding time − step-1 binding time) per converted

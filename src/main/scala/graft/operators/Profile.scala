@@ -1018,6 +1018,51 @@ object Profile {
           .as("term_micro"))
   }
 
+  /** Pareto concentration point: the minimum number of top keys (by
+    * summed value, ties on key) whose cumulative value reaches
+    * `targetNum/targetDen` of the total — "how many customers are
+    * 80% of revenue", the single-number Lorenz summary next to
+    * [[giniConcentration]] (Gini says HOW concentrated; this says
+    * WHO you can't lose). Exact integers: the threshold test is the
+    * cross-multiplied `targetDen·cum ≥ targetNum·total` (no division
+    * until the final ppm share). Returns one row
+    * (n_keys, k_top, k_share_ppm, total).
+    *
+    * Scale: one key-summed map-side aggregate, then ONE ordered
+    * window over the bounded key frame — the exact audit form (a
+    * 10⁹-key frame swaps in a quantile sketch of per-key totals,
+    * documented not silent).
+    */
+  def paretoPoint(df: DataFrame, keyCol: String, valueCol: String,
+                  targetNum: Int = 4, targetDen: Int = 5): DataFrame = {
+    require(targetDen >= 1 && targetNum >= 1 && targetNum <= targetDen,
+      s"need 0 < targetNum/targetDen <= 1, got $targetNum/$targetDen")
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val per = df.filter(col(keyCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("long")).cast(D).as("__v"))
+    val ord = Window.orderBy(col("__v").desc, col("__k"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__r", row_number().over(ord))
+      .withColumn("__cum", sum(col("__v")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__v")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .agg(max(col("__n")).cast("long").as("n_keys"),
+        min(when(lit(targetDen) * col("__cum") >=
+          lit(targetNum) * col("__tot"), col("__r")))
+          .cast("long").as("k_top"),
+        max(col("__tot")).cast("long").as("total"))
+      .select(col("n_keys"), col("k_top"),
+        expr(s"CAST((CAST(1000000 AS $D) * k_top) div n_keys " +
+          "AS BIGINT)").as("k_share_ppm"),
+        col("total"))
+  }
+
   /** Kendall rank correlation (τ-b) between two integer columns of a
     * BOUNDED keyed frame — the concordance-counting sibling of
     * [[spearmanRho2]] (τ is the probability a random pair agrees in

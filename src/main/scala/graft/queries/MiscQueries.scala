@@ -2490,11 +2490,89 @@ object MiscQueries {
           ELSE 0 END AS BIGINT) AS kurt_ppm
       FROM f"""))
 
+  /** q225 — Pareto concentration point
+    * ([[graft.operators.Profile.paretoPoint]], round 12): the minimum
+    * number of top customers holding 80% of revenue — q166 Gini's
+    * "who you can't lose" companion, cross-multiplied exact test.
+    */
+  private val q225 = Q("q225_pareto_point",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Profile.paretoPoint(o, "o_custkey", "cents")
+    },
+    Some("""WITH per AS (SELECT o_custkey AS ck,
+          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::HUGEINT
+            AS cents
+        FROM orders GROUP BY 1),
+      rk AS (SELECT cents,
+          ROW_NUMBER() OVER (ORDER BY cents DESC, ck) AS r,
+          SUM(cents) OVER (ORDER BY cents DESC, ck
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(cents) OVER () AS tot, COUNT(*) OVER () AS n FROM per)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+        CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN r END) AS BIGINT)
+          AS k_top,
+        CAST((1000000 * MIN(CASE WHEN 5 * cum >= 4 * tot THEN r END))
+          // MAX(n) AS BIGINT) AS k_share_ppm,
+        CAST(MAX(tot) AS BIGINT) AS total
+      FROM rk"""))
+
+  /** q226 — Kaplan–Meier time-to-first-purchase survival
+    * ([[graft.operators.Funnel.survivalCurve]], round 12): per event
+    * day, the at-risk set and the ppm survival product — censored
+    * users stay in the denominator until the horizon; the quantized
+    * ppm fold is replayed verbatim by `list_reduce`.
+    */
+  private val q226 = Q("q226_survival_km",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"))
+      graft.operators.Funnel.survivalCurve(e, "user_id", "t_us",
+          "event_type", "purchase")
+        .orderBy(col("t_days"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_us(ts) // 86400000000 AS d FROM events),
+      bounds AS (SELECT MAX(d) AS d1 FROM e),
+      firstp AS (SELECT user_id, MIN(d) AS pd FROM e
+        WHERE event_type = 'purchase' GROUP BY 1),
+      users AS (SELECT user_id, MIN(d) AS ud FROM e GROUP BY 1),
+      obs AS (SELECT u.user_id, (f.pd - u.ud) AS t_event,
+          ((SELECT d1 FROM bounds) - u.ud) AS t_cens
+        FROM users u LEFT JOIN firstp f
+          ON u.user_id = f.user_id AND f.pd >= u.ud),
+      dur AS (SELECT CASE WHEN t_event IS NOT NULL THEN t_event
+            ELSE t_cens END AS t,
+          CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM obs),
+      days AS (SELECT t, SUM(ev)::HUGEINT AS d_i,
+          COUNT(*)::HUGEINT AS leave_i FROM dur GROUP BY t),
+      risk AS (SELECT t, d_i,
+          (SELECT COUNT(*) FROM dur)
+            - COALESCE(SUM(leave_i) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_i
+        FROM days),
+      seq AS (SELECT t, d_i, n_i FROM risk WHERE d_i > 0),
+      folded AS (SELECT t, d_i, n_i,
+          list_reduce(list_prepend(1000000::HUGEINT,
+              LIST((1000000 * (n_i - d_i)) // n_i)
+                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+            (s, x) -> (s * x) // 1000000) AS surv_ppm
+        FROM seq)
+      SELECT CAST(t AS BIGINT) AS t_days, CAST(d_i AS BIGINT)
+          AS n_events,
+        CAST(n_i AS BIGINT) AS n_at_risk,
+        CAST(surv_ppm AS BIGINT) AS surv_ppm
+      FROM folded ORDER BY t_days"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
-    q222, q223, q224)
+    q222, q223, q224, q225, q226)
 }

@@ -323,6 +323,33 @@ class FunnelSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("survivalCurve: censoring holds the at-risk set, ppm fold exact") {
+    import spark.implicits._
+    val day = 86400000000L
+    // B converts at entry (t=0); A and D convert at t=1; C never
+    // converts and is censored at the horizon (day 5)
+    val ev = Seq((1L, 0L, "view"), (1L, day, "purchase"),
+      (2L, 0L, "purchase"),
+      (3L, 0L, "view"), (3L, 5 * day, "view"),
+      (4L, 0L, "view"), (4L, day, "purchase"))
+      .toDF("u", "t", "ty")
+    val got = Funnel.survivalCurve(ev, "u", "t", "ty", "purchase")
+      .orderBy($"t_days")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // t=0: 1 of 4 converts -> 750000; t=1: 2 of 3 at risk ->
+    // (750000 * 333333) div 1e6 = 249999 (the quantized fold IS the
+    // statistic); censored C never emits an event row
+    assert(got == Seq((0L, 1L, 4L, 750000L), (1L, 2L, 3L, 249999L)),
+      got.toString)
+    // without the censored user the day-1 risk set shrinks to 2
+    val noC = ev.filter($"u" =!= 3L)
+    val gotN = Funnel.survivalCurve(noC, "u", "t", "ty", "purchase")
+      .orderBy($"t_days")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotN == Seq((0L, 1L, 3L, 666666L), (1L, 2L, 2L, 0L)),
+      gotN.toString)
+  }
+
   test("plan: user-keyed joins and aggregates, no window, no sort") {
     val plan = Funnel.completions(events, "u", "t", "id", "ty",
       Seq("A", "B", "C")).queryExecution.executedPlan.toString

@@ -570,6 +570,34 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("paretoPoint: exact cross-multiplied threshold, tie order") {
+    import spark.implicits._
+    // values 80/10/5/5: the top key alone reaches 80% of 100
+    val skewed = Seq((1L, 80L), (2L, 10L), (3L, 5L), (4L, 5L))
+      .toDF("k", "v")
+    val gotS = Profile.paretoPoint(skewed, "k", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gotS == ((4L, 1L, 250000L, 100L)), gotS.toString)
+    // uniform 25x4: cum hits 80 only at the 4th key (75 < 80 at 3)
+    val unif = Seq((1L, 25L), (2L, 25L), (3L, 25L), (4L, 25L))
+      .toDF("k", "v")
+    val gotU = Profile.paretoPoint(unif, "k", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gotU == ((4L, 4L, 1000000L, 100L)), gotU.toString)
+    // 50% target: 2 uniform keys suffice
+    val gotH = Profile.paretoPoint(unif, "k", "v", targetNum = 1,
+      targetDen = 2).as[(Long, Long, Long, Long)].collect().head
+    assert(gotH._2 == 2L, gotH.toString)
+    // values aggregate per key before ranking
+    val multi = Seq((1L, 40L), (1L, 40L), (2L, 20L)).toDF("k", "v")
+    val gotM = Profile.paretoPoint(multi, "k", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gotM == ((2L, 1L, 500000L, 100L)), gotM.toString)
+    intercept[IllegalArgumentException] {
+      Profile.paretoPoint(unif, "k", "v", targetNum = 3, targetDen = 2)
+    }
+  }
+
   test("wordComplexity: exact word/vowel-group/long-word accounting") {
     import spark.implicits._
     // "the cat runs": 3 words, 10 alpha chars, vowel groups e/a/u,
