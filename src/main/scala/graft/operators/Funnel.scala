@@ -319,6 +319,44 @@ object Funnel {
           "(s, x) -> (s * x) div 1000000)").as("surv_ppm"))
   }
 
+  /** Log₂-bucketed inter-arrival histogram per event type — the
+    * HDR-histogram view behind [[interarrivalVmr]]'s single number:
+    * bucket = number of binary digits of the µs gap (via
+    * `length(bin(x))` — EXACT integer arithmetic in both engines,
+    * where `floor(log2(x))` would ride a transcendental), bucket 0
+    * for same-microsecond gaps. A retry storm is mass in low
+    * buckets; a bot is a spike in exactly one. Returns
+    * (event_type, log2_bucket, n, share_ppm).
+    *
+    * Scale: the [[rapidRepeats]] window pass, then a
+    * (|types|·64)-bounded map-side rollup.
+    */
+  def gapHistogram(events: DataFrame, userCol: String,
+                   tsMicrosCol: String, idCol: String,
+                   typeCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("event_type"))
+      .orderBy(col("__t"), col(idCol))
+    val c = events
+      .select(col(userCol), col(typeCol).as("event_type"),
+        col(tsMicrosCol).cast("long").as("__t"), col(idCol))
+      .withColumn("__dt", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__dt").isNotNull)
+      .select(col("event_type"),
+        when(col("__dt") >= 1, length(bin(col("__dt"))))
+          .otherwise(0).cast("long").as("log2_bucket"))
+      .groupBy(col("event_type"), col("log2_bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = c.groupBy(col("event_type"))
+      .agg(sum(col("__n")).cast(D).as("__tn"))
+    c.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("log2_bucket"),
+        col("__n").cast("long").as("n"),
+        expr(s"(CAST(1000000 AS $D) * __n) div __tn").cast("long")
+          .as("share_ppm"))
+  }
+
   /** Conversion-latency percentiles — how long converting users take:
     * for every step ≥ 2 of a [[completions]] funnel, the distribution
     * of (step-k binding time − step-1 binding time) per converted

@@ -1063,6 +1063,42 @@ object Profile {
         col("total"))
   }
 
+  /** Per-group discrete rank quantiles of an integer column — the
+    * q47 convention generalized: the value at rank ⌈p·n⌉ of the
+    * tie-free (value, tie keys) order, NEVER interpolated (an
+    * interpolated percentile averages two longs into a float and the
+    * gate flakes), with the rank cut in INTEGER arithmetic
+    * (⌈a·n/b⌉ = (a·n + b − 1) div b — q47's `ceil(n·0.95)` double
+    * happens to be exact for those constants, this form is exact for
+    * ALL of them). Returns (grp, n, p25, p50, p75, p95).
+    *
+    * Scale: one ranked window per group over the grouped frame — the
+    * exact audit form; at billions of rows per group swap in GK
+    * sketches (the q157 escape, documented not silent).
+    */
+  def groupQuantiles(df: DataFrame, grpCol: String, valueCol: String,
+                     tieCols: Seq[String]): DataFrame = {
+    require(tieCols.nonEmpty, "tieCols must pin a total order")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+    val ranked = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(grpCol))))
+    def q(num: Int, den: Int) =
+      max(when(col("__rn") ===
+        expr(s"($num * __n + ${den - 1}) div $den"),
+        col(valueCol)))
+    ranked.groupBy(col(grpCol).as("grp"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        q(1, 4).cast("long").as("p25"),
+        q(1, 2).cast("long").as("p50"),
+        q(3, 4).cast("long").as("p75"),
+        q(19, 20).cast("long").as("p95"))
+  }
+
   /** Kendall rank correlation (τ-b) between two integer columns of a
     * BOUNDED keyed frame — the concordance-counting sibling of
     * [[spearmanRho2]] (τ is the probability a random pair agrees in

@@ -2568,11 +2568,86 @@ object MiscQueries {
         CAST(surv_ppm AS BIGINT) AS surv_ppm
       FROM folded ORDER BY t_days"""))
 
+  /** q227 — order→ship lag quantiles per priority
+    * ([[graft.operators.Profile.groupQuantiles]], round 12): discrete
+    * rank quantiles of the DAY-minus-DAY lag (each day floored on a
+    * POSITIVE epoch before subtracting — flooring the negative
+    * difference directly would hit the `div`-vs-`//` negative-floor
+    * divergence).
+    */
+  private val q227 = Q("q227_ship_lag_quantiles",
+    (s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (expr("unix_micros(cast(l_shipdate as timestamp)) " +
+            "div 86400000000") -
+           expr("unix_micros(cast(o_orderdate as timestamp)) " +
+             "div 86400000000")).as("lag_days"),
+          col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Profile.groupQuantiles(j, "o_orderpriority",
+          "lag_days", Seq("l_orderkey", "l_linenumber"))
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH j AS (SELECT o.o_orderpriority AS pri,
+          (epoch_us(l.l_shipdate) // 86400000000)
+            - (epoch_us(o.o_orderdate) // 86400000000) AS lag,
+          l.l_orderkey AS ok, l.l_linenumber AS ln
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      r AS (SELECT pri, lag,
+          CAST(ROW_NUMBER() OVER (PARTITION BY pri
+            ORDER BY lag, ok, ln) AS BIGINT) AS rn,
+          COUNT(*) OVER (PARTITION BY pri) AS n FROM j)
+      SELECT pri AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN lag END)
+          AS BIGINT) AS p25,
+        CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag END)
+          AS BIGINT) AS p50,
+        CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN lag END)
+          AS BIGINT) AS p75,
+        CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN lag END)
+          AS BIGINT) AS p95
+      FROM r GROUP BY pri ORDER BY pri"""))
+
+  /** q228 — log₂ inter-arrival histogram
+    * ([[graft.operators.Funnel.gapHistogram]], round 12): the HDR
+    * view of q222's Fano factor — bucket = binary digit count of the
+    * µs gap (`length(bin(x))` ⇄ exact in both engines, no log2
+    * transcendental).
+    */
+  private val q228 = Q("q228_gap_histogram",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.gapHistogram(e, "user_id", "t_us",
+          "event_id", "event_type")
+        .orderBy(col("event_type"), col("log2_bucket"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      g AS (SELECT event_type, t - LAG(t) OVER (PARTITION BY user_id,
+          event_type ORDER BY t, event_id) AS dt FROM e),
+      b AS (SELECT event_type, CASE WHEN dt >= 1
+          THEN length(bin(dt)) ELSE 0 END AS bucket
+        FROM g WHERE dt IS NOT NULL),
+      c AS (SELECT event_type, bucket, COUNT(*) AS n
+        FROM b GROUP BY 1, 2),
+      tot AS (SELECT event_type, SUM(n) AS tn FROM c GROUP BY 1)
+      SELECT c.event_type, CAST(bucket AS BIGINT) AS log2_bucket,
+        CAST(n AS BIGINT) AS n,
+        CAST((1000000 * n) // tn AS BIGINT) AS share_ppm
+      FROM c JOIN tot USING (event_type)
+      ORDER BY event_type, log2_bucket"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
-    q222, q223, q224, q225, q226)
+    q222, q223, q224, q225, q226, q227, q228)
 }

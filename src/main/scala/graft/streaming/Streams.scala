@@ -287,6 +287,50 @@ object Streams {
       .toDF("prev_type", "next_type", "n")
   }
 
+  /** Streaming rapid-repeat monitor — the stream form of
+    * [[graft.operators.Funnel.rapidRepeats]]: each user's LAST SEEN
+    * timestamp PER EVENT TYPE rides the group state, so a double-fire
+    * straddling a micro-batch boundary is still caught; each batch
+    * emits ADDITIVE (event_type, n, n_rapid) increments, so the
+    * summed output converges to the batch screen of everything
+    * ingested regardless of the split (spec-proven differential, the
+    * [[transitionMaintain]] convention; splits are time-ordered per
+    * user — the shared contract of every twin here). State: ≤ |types|
+    * longs per user.
+    */
+  def rapidRepeatMaintain(df: DataFrame, userCol: String,
+                          tsMicrosCol: String, idCol: String,
+                          typeCol: String,
+                          withinMicros: Long): DataFrame = {
+    require(withinMicros >= 1, s"withinMicros >= 1, got $withinMicros")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(userCol).cast("long"),
+        col(typeCol).cast("string"), col(tsMicrosCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, String, Long, Long)]
+    def advance(u: Long, rows: Iterator[(Long, String, Long, Long)],
+                state: GroupState[Map[String, Long]])
+        : Iterator[(String, Long, Long)] = {
+      var last = state.getOption.getOrElse(Map.empty[String, Long])
+      val acc =
+        scala.collection.mutable.Map.empty[String, (Long, Long)]
+      rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, ty, t, _) =>
+        val (e, r) = acc.getOrElse(ty, (0L, 0L))
+        val rapid = last.get(ty).exists(lt => t - lt <= withinMicros)
+        acc(ty) = (e + 1L, r + (if (rapid) 1L else 0L))
+        last = last.updated(ty, t)
+      }
+      state.update(last)
+      acc.iterator.map { case (ty, (e, r)) => (ty, e, r) }
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advance)
+      .toDF("event_type", "n", "n_rapid")
+  }
+
   /** Streaming count-min sketch maintenance — the stream form of
     * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
     * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are

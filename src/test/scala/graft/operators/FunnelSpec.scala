@@ -323,6 +323,20 @@ class FunnelSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("gapHistogram: binary-digit buckets, zero gap lands in bucket 0") {
+    import spark.implicits._
+    // user 1 type A at t = 10,10,11,16,24 (ids order the tie):
+    // gaps 0 -> bucket 0, 1 -> 1, 5 -> 3 ('101'), 8 -> 4 ('1000')
+    val ev = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "A"),
+      (1L, 11L, 3L, "A"), (1L, 16L, 4L, "A"), (1L, 24L, 5L, "A"))
+      .toDF("u", "t", "id", "ty")
+    val got = Funnel.gapHistogram(ev, "u", "t", "id", "ty")
+      .orderBy($"log2_bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 0L, 1L, 250000L), ("A", 1L, 1L, 250000L),
+      ("A", 3L, 1L, 250000L), ("A", 4L, 1L, 250000L)), got.toString)
+  }
+
   test("survivalCurve: censoring holds the at-risk set, ppm fold exact") {
     import spark.implicits._
     val day = 86400000000L

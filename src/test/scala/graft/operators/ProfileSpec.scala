@@ -570,6 +570,25 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("groupQuantiles: integer rank cuts, singleton group, null drops") {
+    import spark.implicits._
+    // values 1..20: ranks ceil(n/4)=5, 10, 15, ceil(19n/20)=19
+    val a = (1L to 20L).map(v => ("a", v, v))
+    val b = Seq(("b", 42L, 1L)) // singleton: every cut is rank 1
+    val nul = Seq(("c", -1L, 0L)).map { case (g, v, k) =>
+      (g, Option.empty[Long], k) }
+    val df = (a ++ b).map { case (g, v, k) => (g, Option(v), k) }
+      .++(nul).toDF("g", "v", "k")
+    val got = Profile.groupQuantiles(df, "g", "v", Seq("k"))
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 20L, 5L, 10L, 15L, 19L),
+      ("b", 1L, 42L, 42L, 42L, 42L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.groupQuantiles(df, "g", "v", Seq.empty)
+    }
+  }
+
   test("paretoPoint: exact cross-multiplied threshold, tie order") {
     import spark.implicits._
     // values 80/10/5/5: the top key alone reaches 80% of 100

@@ -543,6 +543,55 @@ class StreamsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("rapidRepeatMaintain: summed increments == batch double-fire counts") {
+    import graft.operators.Funnel
+    val in = Files.createTempDirectory("graft_rrm_in").toString
+    val out = Files.createTempDirectory("graft_rrm_out").toString
+    val ckpt = Files.createTempDirectory("graft_rrm_ckpt").toString
+    val sch = StructType.fromDDL("u long, ty string, t long, id long")
+    val all = Seq(
+      (1L, "A", 100L, 1L), (1L, "A", 104L, 2L), // rapid (gap 4)
+      (1L, "A", 130L, 3L),                      // rapid ACROSS batches? gap 26 > 5: no
+      (1L, "A", 133L, 4L),                      // rapid (gap 3), cross-batch pair
+      (2L, "A", 100L, 10L), (2L, "B", 103L, 11L), // cross-type: never
+      (3L, "B", 110L, 20L), (3L, "B", 115L, 21L)  // rapid (gap 5 inclusive)
+    )
+    def js(rows: Seq[(Long, String, Long, Long)]) = rows.map(r =>
+      s"""{"u":${r._1},"ty":"${r._2}","t":${r._3},"id":${r._4}}""")
+    // split so u1's t=130 lands in batch 1 and t=133 in batch 2: the
+    // rapid pair exists only if last-seen state bridges the batches
+    val (b1, b2) = all.sortBy(r => (r._3, r._4)).partition(_._3 <= 130)
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.rapidRepeatMaintain(
+        spark.readStream.schema(sch).json(in), "u", "t", "id", "ty",
+        withinMicros = 5L),
+      out, ckpt)
+    writeBatch(in, "b1.json", js(b1))
+    run()
+    writeBatch(in, "b2.json", js(b2))
+    run()
+    val got = spark.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"),
+        org.apache.spark.sql.functions.sum($"n_rapid").as("r"))
+      .as[(String, Long, Long)].collect().toSet
+    val expect = Funnel.rapidRepeats(all.toDF("u", "ty", "t", "id"),
+        "u", "t", "id", "ty", withinMicros = 5L)
+      .select($"event_type", $"n_events", $"n_rapid")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expect, s"streamed $got != batch $expect")
+    // the cross-batch rapid pair must exist for the test to bite
+    assert(expect.contains(("A", 5L, 2L)), expect.toString)
+    // drained restart emits nothing new
+    run()
+    val again = spark.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"),
+        org.apache.spark.sql.functions.sum($"n_rapid").as("r"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("winnowIndexMaintain: streamed passage admission tracks the index") {
     import graft.sources.TableStore
     import graft.operators.WinnowIndex
