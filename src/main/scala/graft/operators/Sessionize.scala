@@ -71,6 +71,34 @@ object Sessionize {
     assigned.groupBy(col(keyCol), col("session_ord")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Daily bounce rate — sessions that never got a second event, per
+    * session-START day: the engagement KPI that composes [[stats]]
+    * (one row per session) into a |days|-bounded scorecard. A session
+    * belongs to the day it STARTS (midnight-spanning sessions count
+    * once — the convention that keeps Σn_sessions equal to the total
+    * session count). Returns (day, n_sessions, n_bounces, bounce_ppm).
+    *
+    * Scale: [[stats]]'s audited (key, ord) shape, then ONE day-keyed
+    * map-side rollup of the session frame.
+    */
+  def bounceRate(df: DataFrame, keyCol: String, tsCol: String,
+                 maxGap: Long, tieCol: String,
+                 dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    stats(df, keyCol, tsCol, maxGap, tieCol)
+      .select(expr(s"CAST(start_ts AS BIGINT) div $dayMicros")
+        .as("day"), col("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("__b"))
+      .select(col("day").cast("long").as("day"),
+        col("__n").cast("long").as("n_sessions"),
+        col("__b").cast("long").as("n_bounces"),
+        expr(s"(CAST(1000000 AS $D) * __b) div __n").cast("long")
+          .as("bounce_ppm"))
+  }
+
   /** Scale twin of [[assign]], same answer (differential-tested):
     * sessionize within (key, time-bucket) partitions, then stitch
     * sessions that span a bucket boundary. `bucketWidth` must be ≥

@@ -260,6 +260,38 @@ object Similarity {
         expr("SUM(__n2) div COUNT(*)").cast("long")
           .as("mean_norm2_micro"))
 
+  /** Per-DIMENSION embedding profile — the coordinate-level sibling
+    * of [[normProfile]]: for every dimension, the quantized
+    * ⌊10³·v⌋ milli extremes and mean — dead dimensions (all zero),
+    * clipped ones (pinned extremes) and batch drift (mean walking off
+    * 0) all show here before they poison an index. float32→double is
+    * exact and ×10³ is one correctly-rounded IEEE op, so the per-row
+    * floors are engine-portable (the [[normProfile]] argument); the
+    * MEAN sign-splits before its division (negative sums floor
+    * differently across engines). Returns
+    * (dim, n, mean_milli, min_milli, max_milli).
+    *
+    * Scale: one posexplode (rows × dim — a narrow long pair) into a
+    * dim-keyed map-side aggregate; |dims| rows out.
+    */
+  def dimProfile(vectors: DataFrame, vecCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(lit(1000.0) * col("__v").cast("double")).cast("long")
+          .as("__q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__q")).cast(D).as("__s"),
+        min(col("__q")).cast("long").as("min_milli"),
+        max(col("__q")).cast("long").as("max_milli"))
+      .select(col("dim"), col("n"),
+        expr(s"""CAST((CASE WHEN __s >= 0 THEN 1 ELSE -1 END)
+          * (ABS(__s) div n) AS BIGINT)""").as("mean_milli"),
+        col("min_milli"), col("max_milli"))
+  }
+
   /** Int8-quantized maximum-inner-product top-k — the serving-scale
     * memory path: 4× smaller vectors than float32 (the quantized corpus
     * column is `array<tinyint>` + one double scale per vector), and the

@@ -264,6 +264,34 @@ object Timeseries {
       .orderBy(col("lag"))
   }
 
+  /** Day-of-week × hour-of-day activity heatmap: the 168-cell grid
+    * behind [[dowProfile]]'s 7 rows — weekday-shaped AND
+    * hour-shaped traffic reads directly (the on-call "when is it
+    * safe to deploy" view). Exact epoch arithmetic: dow = (epoch
+    * day + 3) mod 7, hour = (epoch µs mod day) div hour. Returns
+    * (dow, hr, n, share_ppm).
+    *
+    * Scale: ONE (dow, hr)-keyed map-side count over the scan —
+    * 168 cells; the total rides a one-row broadcast.
+    */
+  def dowHourHeatmap(df: DataFrame, tsMicrosCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val c = df.select(
+        expr(s"pmod(CAST($tsMicrosCol AS BIGINT) div 86400000000 + 3, 7)")
+          .as("dow"),
+        expr(s"pmod(CAST($tsMicrosCol AS BIGINT), 86400000000) " +
+          "div 3600000000").as("hr"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = c.agg(sum(col("__n")).cast(D).as("__t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"),
+        col("hr").cast("long").as("hr"),
+        col("__n").cast("long").as("n"),
+        expr(s"(CAST(1000000 AS $D) * __n) div __t").cast("long")
+          .as("share_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest on daily counts: compares the
     * weekly seasonal-naive forecast (ŷ(d) = y(d−7)) against the naive
     * one (ŷ(d) = y(d−1)) by total absolute error, reporting the

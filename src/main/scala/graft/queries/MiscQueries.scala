@@ -2643,11 +2643,71 @@ object MiscQueries {
       FROM c JOIN tot USING (event_type)
       ORDER BY event_type, log2_bucket"""))
 
+  /** q230 — daily session bounce rate
+    * ([[graft.operators.Sessionize.bounceRate]], round 12): q44's
+    * sessions rolled up to the single-event share per start day —
+    * the engagement KPI over the audited sessionize shape.
+    */
+  private val q230 = Q("q230_bounce_rate",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      graft.operators.Sessionize.bounceRate(e, "user_id", "ts_us",
+          maxGap = 1800000000L, tieCol = "event_id")
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events),
+      l AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+            OR ts_us - LAG(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, ts_us,
+          SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM l),
+      sess AS (SELECT user_id, sid, MIN(ts_us) // 86400000000 AS day,
+          COUNT(*) AS ne
+        FROM s GROUP BY 1, 2),
+      d AS (SELECT day, COUNT(*) AS n_sessions,
+          SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS n_bounces
+        FROM sess GROUP BY day)
+      SELECT CAST(day AS BIGINT) AS day,
+        CAST(n_sessions AS BIGINT) AS n_sessions,
+        CAST(n_bounces AS BIGINT) AS n_bounces,
+        CAST((1000000 * n_bounces) // n_sessions AS BIGINT)
+          AS bounce_ppm
+      FROM d ORDER BY day"""))
+
+  /** q231 — day-of-week × hour heatmap
+    * ([[graft.operators.Timeseries.dowHourHeatmap]], round 12): the
+    * 168-cell deploy-window grid with exact ppm shares.
+    */
+  private val q231 = Q("q231_dow_hour_heatmap",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"))
+      graft.operators.Timeseries.dowHourHeatmap(e, "t_us")
+        .orderBy(col("dow"), col("hr"))
+    },
+    Some("""WITH c AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7
+          AS dow, (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+          COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT SUM(n) AS t FROM c)
+      SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+        CAST(n AS BIGINT) AS n,
+        CAST((1000000 * n) // t AS BIGINT) AS share_ppm
+      FROM c, tot ORDER BY dow, hr"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
-    q222, q223, q224, q225, q226, q227, q228)
+    q222, q223, q224, q225, q226, q227, q228, q230, q231)
 }

@@ -1087,7 +1087,30 @@ object VectorQueries {
       SELECT qid, nid, sim, rk FROM ranked WHERE rk <= 10
       ORDER BY qid, rk"""))
 
+  /** q229 — per-dimension embedding profile
+    * ([[graft.operators.Similarity.dimProfile]], round 12): quantized
+    * milli extremes and sign-split mean per coordinate — dead/clipped/
+    * drifted dimensions surface before they poison an index.
+    */
+  private val q229 = Q("q229_embedding_dims",
+    (s, dir) =>
+      graft.operators.Similarity.dimProfile(
+          t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim")),
+    Some("""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      x AS (SELECT UNNEST(RANGE(LEN(vv))) AS dim,
+          CAST(FLOOR(1000 * UNNEST(vv)) AS HUGEINT) AS q FROM v),
+      s AS (SELECT dim, COUNT(*)::HUGEINT AS n, SUM(q) AS sq,
+          MIN(q) AS mn, MAX(q) AS mx FROM x GROUP BY dim)
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        CAST((CASE WHEN sq >= 0 THEN 1 ELSE -1 END) * (ABS(sq) // n)
+          AS BIGINT) AS mean_milli,
+        CAST(mn AS BIGINT) AS min_milli,
+        CAST(mx AS BIGINT) AS max_milli
+      FROM s ORDER BY dim"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119, q126, q128, q178, q187)
+      q102, q103, q104, q105, q119, q126, q128, q178, q187, q229)
 }

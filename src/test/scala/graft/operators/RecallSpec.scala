@@ -132,4 +132,28 @@ class RecallSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(hn == brute, s"hn $hn vs brute $brute")
   }
+
+  test("dimProfile: per-dim quantized extremes, sign-split mean") {
+    import spark.implicits._
+    // float-exact values: dim0 floors to 1000/250, dim1 to -500/-250
+    val v = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(0.25f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimProfile(v, "embedding")
+      .orderBy($"dim")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // dim1 mean: sum -750 over 2 -> sign-split ABS(750) div 2 = -375
+    // (a floor-division -750 // 2 would also be -375 here; the
+    // sign-split matters when ABS(sum) is odd — next case)
+    assert(got == Seq((0L, 2L, 625L, 250L, 1000L),
+      (1L, 2L, -375L, -500L, -250L)), got.toString)
+    // odd negative sum: floors -500 and -501 (from the float-exact
+    // -513/1024 = -0.5009765625) sum to -1001 over 2 -> the
+    // sign-split gives -500 (trunc), where floor division = -501 —
+    // the case the oracle's ABS form exists for
+    val odd = Seq((1L, Array(-0.5f)), (2L, Array(-513f / 1024f)))
+      .toDF("vec_id", "embedding")
+    val gotO = Similarity.dimProfile(odd, "embedding")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotO == ((0L, 2L, -500L, -501L, -500L)), gotO.toString)
+  }
 }

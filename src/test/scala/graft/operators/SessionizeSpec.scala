@@ -150,4 +150,26 @@ class SessionizeSpec extends SparkSpec {
     assert("hashpartitioning\\(k".r.findAllIn(plan).size >= 1)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("bounceRate: singleton sessions per start day, midnight spans" +
+      " count once") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev2 = Seq(
+      (1L, 0L, 1L),                         // day 0: solo -> bounce
+      (1L, day, 2L), (1L, day + 100L, 3L),  // day 1: 2-event session
+      (2L, day, 4L),                        // day 1: solo -> bounce
+      // day 2, 23:59 -> day 3, 00:04 within the gap: ONE session,
+      // counted on its START day (2), not a bounce
+      (3L, 3 * day - 60000000L, 5L), (3L, 3 * day + 240000000L, 6L))
+      .toDF("k", "ts", "id")
+    val got = Sessionize.bounceRate(ev2, "k", "ts",
+        maxGap = 1800000000L, tieCol = "id")
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 1000000L),
+      (1L, 2L, 1L, 500000L), (2L, 1L, 0L, 0L)), got.toString)
+    // total session accounting: sums match the stats frame
+    assert(got.map(_._2).sum ==
+      Sessionize.stats(ev2, "k", "ts", 1800000000L, "id").count())
+  }
 }

@@ -180,6 +180,17 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("dowHourHeatmap: epoch grid cells and exact shares") {
+    // epoch day 0 was a Thursday (dow 3); hour from the µs remainder
+    val hr = 3600000000L
+    val df = Seq(0L, hr, hr, 7 * day + 23 * hr).toDF("t")
+    val got = Timeseries.dowHourHeatmap(df, "t")
+      .orderBy($"dow", $"hr")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 0L, 1L, 250000L), (3L, 1L, 2L, 500000L),
+      (3L, 23L, 1L, 250000L)), got.toString)
+  }
+
   test("seasonalNaiveBacktest: a perfectly weekly series zeroes MASE") {
     // period-7 repeating counts 1..7: y(d-7) predicts exactly
     // (abs_err_seasonal = 0) while y(d-1) keeps missing
