@@ -319,6 +319,39 @@ object Funnel {
           "(s, x) -> (s * x) div 1000000)").as("surv_ppm"))
   }
 
+  /** Daily user-growth scorecard: active users, NEW users (first day
+    * seen), and the running cumulative user count per day — the
+    * new-vs-returning split behind every growth chart (and the
+    * denominator sanity for [[retentionCohorts]]: cum_users on day d
+    * = Σ cohort sizes through d). Returns
+    * (day, n_active, n_new, cum_users).
+    *
+    * Scale: one (day, user) distinct + one user-keyed min — both
+    * map-side combined — then a |days|-bounded left join and one
+    * cumulative window over the day frame.
+    */
+  def userGrowth(events: DataFrame, userCol: String,
+                 tsMicrosCol: String,
+                 dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col(userCol).as("__u"),
+      expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros").as("__d"))
+    val act = e.groupBy(col("__d"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+    val nw = e.groupBy(col("__u")).agg(min(col("__d")).as("__fd"))
+      .groupBy(col("__fd")).agg(count(lit(1)).as("__nn"))
+    act.join(nw, act("__d") === nw("__fd"), "left")
+      .na.fill(0L, Seq("__nn"))
+      .withColumn("cum_users", sum(col("__nn")).over(
+        Window.orderBy(col("__d")).rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__d").cast("long").as("day"),
+        col("n_active").cast("long").as("n_active"),
+        col("__nn").cast("long").as("n_new"),
+        col("cum_users").cast("long").as("cum_users"))
+  }
+
   /** Log₂-bucketed inter-arrival histogram per event type — the
     * HDR-histogram view behind [[interarrivalVmr]]'s single number:
     * bucket = number of binary digits of the µs gap (via

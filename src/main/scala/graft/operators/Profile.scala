@@ -1018,6 +1018,73 @@ object Profile {
           .as("term_micro"))
   }
 
+  /** Per-group WEIGHTED median: the smallest value whose cumulative
+    * weight reaches half the group's total (2·cumw ≥ totw — the
+    * cross-multiplied test, no division) — the mass-weighted center
+    * that the unweighted [[groupQuantiles]] median misses (median
+    * document length says half the DOCS are shorter; the
+    * n_chars-weighted one says half the BYTES live in shorter docs —
+    * the number a packing/budget plan actually needs). Ties on
+    * `tieCol` pin the cross-engine order. Returns
+    * (grp, n, total_w, wmedian).
+    *
+    * Scale: one cumulative window per group over the grouped frame —
+    * the exact audit form (GK-with-weights swap documented, not
+    * silent).
+    */
+  def weightedMedian(df: DataFrame, grpCol: String, valueCol: String,
+                     weightCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val base = df.filter(col(grpCol).isNotNull &&
+        col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(grpCol).as("grp"),
+        col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").cast(D).as("__w"),
+        col(tieCol).as("__t"))
+    val ord = Window.partitionBy(col("grp"))
+      .orderBy(col("__v"), col("__t"))
+    base
+      .withColumn("__cumw", sum(col("__w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__totw", sum(col("__w")).over(
+        Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        max(col("__totw")).cast("long").as("total_w"),
+        min(when(lit(2) * col("__cumw") >= col("__totw"),
+          col("__v"))).cast("long").as("wmedian"))
+  }
+
+  /** Generic numeric column profiler — the DESCRIBE every feed needs
+    * before anything joins it: per named column, row count, null
+    * count, exact distinct count, min/max/sum as longs (callers cast
+    * or quantize non-integral columns FIRST — the engine never emits
+    * a raw double). Returns one row per column
+    * (column, n, n_null, n_distinct, min, max, sum).
+    *
+    * Scale: one pass per column (a distinct aggregate needs its own
+    * exchange); columns are enumerated by the caller so the union is
+    * |cols| bounded one-row frames.
+    */
+  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val D = "decimal(38,0)"
+    cols.map { c =>
+      df.select(col(c).cast("long").as("__v"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          countDistinct(col("__v")).cast("long").as("n_distinct"),
+          min(col("__v")).cast("long").as("min"),
+          max(col("__v")).cast("long").as("max"),
+          sum(col("__v").cast(D)).cast("long").as("sum"))
+        .select(lit(c).as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("min"), col("max"), col("sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pareto concentration point: the minimum number of top keys (by
     * summed value, ties on key) whose cumulative value reaches
     * `targetNum/targetDen` of the total — "how many customers are

@@ -2703,11 +2703,102 @@ object MiscQueries {
         CAST((1000000 * n) // t AS BIGINT) AS share_ppm
       FROM c, tot ORDER BY dow, hr"""))
 
+  /** q232 — weighted median document length
+    * ([[graft.operators.Profile.weightedMedian]], round 12): the
+    * length such that half the corpus's CHARACTERS live in shorter
+    * documents — the packing-plan number the unweighted median isn't.
+    */
+  private val q232 = Q("q232_weighted_median",
+    (s, dir) =>
+      graft.operators.Profile.weightedMedian(
+          t(s, dir, "documents"), "lang", "n_chars", "n_chars",
+          "doc_id")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")),
+    Some("""WITH w AS (SELECT lang, n_chars::HUGEINT AS v, doc_id
+        FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+          AND n_chars > 0),
+      r AS (SELECT lang, v, doc_id,
+          SUM(v) OVER (PARTITION BY lang ORDER BY v, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cumw,
+          SUM(v) OVER (PARTITION BY lang) AS totw,
+          COUNT(*) OVER (PARTITION BY lang) AS n FROM w)
+      SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(totw) AS BIGINT) AS total_w,
+        CAST(MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS BIGINT)
+          AS wmedian
+      FROM r GROUP BY lang ORDER BY lang"""))
+
+  /** q233 — daily user growth
+    * ([[graft.operators.Funnel.userGrowth]], round 12): active / new
+    * / cumulative users per day — the new-vs-returning split whose
+    * cumulative ties out to q159's cohort sizes.
+    */
+  private val q233 = Q("q233_user_growth",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"))
+      graft.operators.Funnel.userGrowth(e, "user_id", "t_us")
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+          epoch_us(ts) // 86400000000 AS d FROM events),
+      act AS (SELECT d, COUNT(DISTINCT user_id) AS n_active
+        FROM e GROUP BY d),
+      fst AS (SELECT user_id, MIN(d) AS fd FROM e GROUP BY user_id),
+      nw AS (SELECT fd AS d, COUNT(*) AS n_new FROM fst GROUP BY fd)
+      SELECT CAST(act.d AS BIGINT) AS day,
+        CAST(n_active AS BIGINT) AS n_active,
+        CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY act.d
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM act LEFT JOIN nw ON act.d = nw.d ORDER BY day"""))
+
+  /** q234 — numeric column profile of the orders feed
+    * ([[graft.operators.Profile.describeNumeric]], round 12): the
+    * DESCRIBE scorecard — counts, nulls, exact distincts, extremes,
+    * sums — over integral projections (cents for the price).
+    */
+  private val q234 = Q("q234_column_profile",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Profile.describeNumeric(o,
+          Seq("o_orderkey", "o_custkey", "cents"))
+        .orderBy(col("column"))
+    },
+    Some("""WITH src AS (SELECT o_orderkey, o_custkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      u AS (
+        SELECT 'cents' AS col, COUNT(*) AS n,
+          SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS n_null,
+          COUNT(DISTINCT cents) AS nd, MIN(cents) AS mn,
+          MAX(cents) AS mx, SUM(cents::HUGEINT) AS s FROM src
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+          COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey),
+          SUM(o_custkey::HUGEINT) FROM src
+        UNION ALL
+        SELECT 'o_orderkey', COUNT(*),
+          SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+          COUNT(DISTINCT o_orderkey), MIN(o_orderkey),
+          MAX(o_orderkey), SUM(o_orderkey::HUGEINT) FROM src)
+      SELECT col AS "column", CAST(n AS BIGINT) AS n,
+        CAST(n_null AS BIGINT) AS n_null,
+        CAST(nd AS BIGINT) AS n_distinct, CAST(mn AS BIGINT) AS min,
+        CAST(mx AS BIGINT) AS max, CAST(s AS BIGINT) AS sum
+      FROM u ORDER BY col"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
     q181, q182, q183, q184, q185, q188, q189, q190, q192, q194, q195,
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
-    q222, q223, q224, q225, q226, q227, q228, q230, q231)
+    q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
+    q234)
 }

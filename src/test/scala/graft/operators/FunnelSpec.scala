@@ -323,6 +323,21 @@ class FunnelSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("userGrowth: new-vs-returning split, cumulative ties out") {
+    import spark.implicits._
+    val day = 86400000000L
+    // day 0: users 1,2 (both new); day 1: 1 returns, 3 is new;
+    // day 2: only 2 returns (0 new)
+    val ev = Seq((1L, 0L), (2L, 100L), (1L, day), (3L, day + 5L),
+      (2L, 2 * day)).toDF("u", "t")
+    val got = Funnel.userGrowth(ev, "u", "t")
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L),
+      (2L, 1L, 0L, 3L)), got.toString)
+    // cum on the last day == total distinct users
+    assert(got.last._4 == 3L)
+  }
+
   test("gapHistogram: binary-digit buckets, zero gap lands in bucket 0") {
     import spark.implicits._
     // user 1 type A at t = 10,10,11,16,24 (ids order the tie):

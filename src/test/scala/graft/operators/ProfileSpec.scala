@@ -570,6 +570,44 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("weightedMedian: mass cut, not row cut; non-positive weights drop") {
+    import spark.implicits._
+    // (1, w=1) vs (10, w=9): 90% of the mass sits at 10
+    val heavy = Seq(("a", 1L, 1L, 1L), ("a", 10L, 9L, 2L))
+      .toDF("g", "v", "w", "k")
+    val gotH = Profile.weightedMedian(heavy, "g", "v", "w", "k")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(gotH == (("a", 2L, 10L, 10L)), gotH.toString)
+    // an even split takes the LOWER value (2·cumw >= totw at v=1)
+    val even = Seq(("b", 1L, 5L, 1L), ("b", 10L, 5L, 2L))
+      .toDF("g", "v", "w", "k")
+    val gotE = Profile.weightedMedian(even, "g", "v", "w", "k")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(gotE == (("b", 2L, 10L, 1L)), gotE.toString)
+    // zero/negative weights and nulls drop before the cut
+    val messy = Seq(("c", Some(7L), Some(3L), 1L),
+      ("c", Some(99L), Some(0L), 2L), ("c", Some(98L), Some(-4L), 3L),
+      ("c", None, Some(5L), 4L)).toDF("g", "v", "w", "k")
+    val gotM = Profile.weightedMedian(messy, "g", "v", "w", "k")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(gotM == (("c", 1L, 3L, 7L)), gotM.toString)
+  }
+
+  test("describeNumeric: nulls counted, distincts exact, per-column rows") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(4L)), (Some(1L), None),
+      (None, Some(4L)), (Some(5L), Some(6L))).toDF("x", "y")
+    val got = Profile.describeNumeric(df, Seq("x", "y"))
+      .orderBy($"column")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("x", 4L, 1L, 2L, 1L, 5L, 7L),
+      ("y", 4L, 1L, 2L, 4L, 6L, 14L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.describeNumeric(df, Seq.empty)
+    }
+  }
+
   test("groupQuantiles: integer rank cuts, singleton group, null drops") {
     import spark.implicits._
     // values 1..20: ranks ceil(n/4)=5, 10, 15, ceil(19n/20)=19
