@@ -1085,6 +1085,36 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Herfindahl–Hirschman concentration index per group: each key's
+    * value share in ppm (floored FIRST — the quantization both
+    * engines replay), then HHI = ⌊Σ share²/10⁶⌋ ppm — 10⁶ =
+    * monopoly, 10⁶/k = k equal players; the antitrust-grade
+    * concentration number next to [[giniConcentration]] (Gini
+    * measures inequality of the whole curve, HHI weights the top).
+    * Returns (grp, n_keys, hhi_ppm).
+    *
+    * Scale: one (group, key) map-side rollup, a group-total
+    * broadcast-or-hash join, one group fold; share² ≤ 10¹² so the
+    * decimal sum never strains.
+    */
+  def hhiConcentration(df: DataFrame, grpCol: String, keyCol: String,
+                       valueCol: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val rev = df.filter(col(grpCol).isNotNull && col(keyCol).isNotNull
+        && col(valueCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"), col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("long").cast(D)).as("__v"))
+    val tot = rev.groupBy(col("grp"))
+      .agg(sum(col("__v")).as("__t"), count(lit(1)).as("__ns"))
+    rev.join(tot, Seq("grp"))
+      .select(col("grp"), col("__ns"),
+        expr(s"(CAST(1000000 AS $D) * __v) div __t").as("__s"))
+      .groupBy(col("grp"))
+      .agg(max(col("__ns")).cast("long").as("n_keys"),
+        expr("CAST(SUM(__s * __s) div 1000000 AS BIGINT)")
+          .as("hhi_ppm"))
+  }
+
   /** Pareto concentration point: the minimum number of top keys (by
     * summed value, ties on key) whose cumulative value reaches
     * `targetNum/targetDen` of the total — "how many customers are

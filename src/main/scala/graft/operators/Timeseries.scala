@@ -292,6 +292,37 @@ object Timeseries {
           .as("share_ppm"))
   }
 
+  /** Period-over-period delta: per period (year, month, week — any
+    * integer period key the caller derives), the row count, summed
+    * value, and the SIGNED ppm change versus the previous period —
+    * sign split before the floor (the engines disagree on negative
+    * division), NULL for the first period and after a zero base (a
+    * delta off zero is undefined, not infinite). Returns
+    * (period, n, value, delta_ppm) — the YoY/MoM table every revenue
+    * review opens with.
+    *
+    * Scale: one period-keyed map-side rollup, then a lag window over
+    * the bounded period grid.
+    */
+  def periodDelta(df: DataFrame, periodCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    df.filter(col(periodCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(periodCol).cast("long").as("period"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(valueCol).cast("long").cast(D)).as("__v"))
+      .withColumn("__prev",
+        lag(col("__v"), 1).over(Window.orderBy(col("period"))))
+      .select(col("period"), col("n"),
+        col("__v").cast("long").as("value"),
+        expr(s"""CAST(CASE WHEN __prev IS NOT NULL AND __prev > 0
+          THEN (CASE WHEN __v >= __prev THEN 1 ELSE -1 END)
+            * ((CAST(1000000 AS $D) * (CASE WHEN __v >= __prev
+                THEN __v - __prev ELSE __prev - __v END)) div __prev)
+          END AS BIGINT)""").as("delta_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest on daily counts: compares the
     * weekly seasonal-naive forecast (ŷ(d) = y(d−7)) against the naive
     * one (ŷ(d) = y(d−1)) by total absolute error, reporting the

@@ -2793,6 +2793,71 @@ object MiscQueries {
         CAST(mx AS BIGINT) AS max, CAST(s AS BIGINT) AS sum
       FROM u ORDER BY col"""))
 
+  /** q235 — year-over-year revenue deltas
+    * ([[graft.operators.Timeseries.periodDelta]], round 12): the
+    * review-opening table — yearly cents with signed ppm change,
+    * sign split before the floor.
+    */
+  private val q235 = Q("q235_yoy_revenue",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("year(cast(o_orderdate as timestamp))").as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Timeseries.periodDelta(o, "yr", "cents")
+        .orderBy(col("period"))
+    },
+    Some("""WITH y AS (SELECT EXTRACT(year FROM o_orderdate)::BIGINT
+          AS yr,
+          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::HUGEINT
+            AS cents,
+          COUNT(*)::HUGEINT AS n
+        FROM orders GROUP BY 1),
+      l AS (SELECT yr, n, cents,
+          LAG(cents) OVER (ORDER BY yr) AS prev FROM y)
+      SELECT CAST(yr AS BIGINT) AS period, CAST(n AS BIGINT) AS n,
+        CAST(cents AS BIGINT) AS value,
+        CAST(CASE WHEN prev IS NOT NULL AND prev > 0
+          THEN (CASE WHEN cents >= prev THEN 1 ELSE -1 END)
+            * ((1000000 * (CASE WHEN cents >= prev THEN cents - prev
+                ELSE prev - cents END)) // prev)
+          END AS BIGINT) AS delta_ppm
+      FROM l ORDER BY period"""))
+
+  /** q236 — supplier revenue concentration per nation
+    * ([[graft.operators.Profile.hhiConcentration]], round 12): HHI
+    * over ppm-floored supplier shares — the "is this nation's supply
+    * one vendor deep" screen.
+    */
+  private val q236 = Q("q236_supplier_hhi",
+    (s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("s_nationkey"),
+          col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents"))
+      graft.operators.Profile.hhiConcentration(j, "s_nationkey",
+          "l_suppkey", "cents")
+        .withColumnRenamed("grp", "s_nationkey")
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""WITH rev AS (SELECT s.s_nationkey AS nk,
+          l.l_suppkey AS sk,
+          SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))::HUGEINT
+            AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      tot AS (SELECT nk, SUM(cents) AS t, COUNT(*) AS ns
+        FROM rev GROUP BY nk),
+      sh AS (SELECT rev.nk, (1000000 * rev.cents) // tot.t AS s_ppm
+        FROM rev JOIN tot USING (nk))
+      SELECT CAST(sh.nk AS BIGINT) AS s_nationkey,
+        CAST(MAX(tot.ns) AS BIGINT) AS n_keys,
+        CAST(SUM(s_ppm * s_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+      FROM sh JOIN tot ON sh.nk = tot.nk GROUP BY sh.nk
+      ORDER BY s_nationkey"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -2800,5 +2865,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234)
+    q234, q235, q236)
 }

@@ -570,6 +570,25 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("hhiConcentration: monopoly 1e6, k equal players 1e6/k") {
+    import spark.implicits._
+    val df = Seq(("mono", 1L, 500L),
+      ("quad", 1L, 25L), ("quad", 2L, 25L), ("quad", 3L, 25L),
+      ("quad", 4L, 25L),
+      ("skew", 1L, 90L), ("skew", 2L, 10L)).toDF("g", "k", "v")
+    val got = Profile.hhiConcentration(df, "g", "k", "v")
+      .orderBy($"grp").as[(String, Long, Long)].collect().toSeq
+    // skew: shares 900000/100000 -> (81e10 + 1e10) // 1e6 = 820000
+    assert(got == Seq(("mono", 1L, 1000000L), ("quad", 4L, 250000L),
+      ("skew", 2L, 820000L)), got.toString)
+    // values aggregate per key first
+    val multi = Seq(("m", 1L, 50L), ("m", 1L, 40L), ("m", 2L, 10L))
+      .toDF("g", "k", "v")
+    val gotM = Profile.hhiConcentration(multi, "g", "k", "v")
+      .as[(String, Long, Long)].collect().head
+    assert(gotM == (("m", 2L, 820000L)), gotM.toString)
+  }
+
   test("weightedMedian: mass cut, not row cut; non-positive weights drop") {
     import spark.implicits._
     // (1, w=1) vs (10, w=9): 90% of the mass sits at 10

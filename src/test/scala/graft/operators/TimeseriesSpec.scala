@@ -180,6 +180,21 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("periodDelta: signed ppm vs previous, zero base yields NULL") {
+    // values 100 -> 150 -> 75 -> 0 -> 50 per period
+    val rows = Seq((2020L, 100L), (2021L, 150L), (2022L, 75L),
+      (2023L, 0L), (2024L, 50L)).flatMap { case (p, v) =>
+      Seq((p, v)) } // one row per period, value summed as-is
+    val got = Timeseries.periodDelta(rows.toDF("p", "v"), "p", "v")
+      .orderBy($"period")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((2020L, 1L, 100L, None),
+      (2021L, 1L, 150L, Some(500000L)),
+      (2022L, 1L, 75L, Some(-500000L)),
+      (2023L, 1L, 0L, Some(-1000000L)),
+      (2024L, 1L, 50L, None)), got.toString)
+  }
+
   test("dowHourHeatmap: epoch grid cells and exact shares") {
     // epoch day 0 was a Thursday (dow 3); hour from the µs remainder
     val hr = 3600000000L
