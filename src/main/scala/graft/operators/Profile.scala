@@ -1085,6 +1085,24 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Group-size histogram: how many keys have exactly s rows, and how
+    * many rows those keys hold — [[graft.operators.Dedup.clusterSizeHistogram]]'s
+    * shape for ANY grouping key (items per order, events per user,
+    * chunks per doc); the fan-out-distribution view every join plan
+    * implicitly bets on. Returns (size, n_groups, n_rows).
+    *
+    * Scale: two map-side aggregates (key count, then size rollup).
+    */
+  def groupSizeHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("__sz").cast("long").as("size"),
+        col("n_groups").cast("long").as("n_groups"),
+        (col("__sz") * col("n_groups")).cast("long").as("n_rows"))
+
   /** Herfindahl–Hirschman concentration index per group: each key's
     * value share in ppm (floored FIRST — the quantization both
     * engines replay), then HHI = ⌊Σ share²/10⁶⌋ ppm — 10⁶ =

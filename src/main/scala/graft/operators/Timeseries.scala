@@ -292,6 +292,52 @@ object Timeseries {
           .as("share_ppm"))
   }
 
+  /** Seasonal STRENGTH of daily counts — the one-way-ANOVA η²:
+    * what fraction of day-to-day variance the weekday explains
+    * (η² → 1: rigid weekly shape, [[dowProfile]]'s χ² will scream;
+    * η² → 0: the weekday tells you nothing and [[seasonalNaiveBacktest]]
+    * will show MASE ≈ 1). Exact quantized integers: per-weekday
+    * within-variance terms ⌊10⁶·(n_w·Σx²−(Σx)²)/n_w⌋ and the total
+    * term ⌊10⁶·(m·Σx²−(Σx)²)/m⌋, η²ppm = 10⁶ − ⌊10⁶·SSE/SST⌋ — the
+    * floors are mirrored verbatim (quantization may shave ±|groups|
+    * µ-units; the chain IS the statistic). Returns one row
+    * (n_days, sst_micro, sse_micro, eta2_ppm).
+    *
+    * Scale: one day-keyed map-side count, a 7-cell rollup, one
+    * scalar fold.
+    */
+  def seasonalStrength(df: DataFrame, tsMicrosCol: String,
+                       dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    val D = "decimal(38,0)"
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $dayMicros")
+        .as("__d"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).cast(D).as("__n"))
+    val tot = cnt.agg(count(lit(1)).cast(D).as("__m"),
+        sum(col("__n")).as("__s"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .select(col("__m"),
+        expr(s"""(CAST(1000000 AS $D) * (__m * __s2 - __s * __s))
+          div __m""").as("__sst"))
+    val sse = cnt
+      .groupBy(expr("pmod(__d + 3, 7)").as("__w"))
+      .agg(count(lit(1)).cast(D).as("__nw"),
+        sum(col("__n")).as("__sw"),
+        sum(col("__n") * col("__n")).as("__sw2"))
+      .select(expr(s"""(CAST(1000000 AS $D)
+        * (__nw * __sw2 - __sw * __sw)) div __nw""").as("__e"))
+      .agg(sum(col("__e")).as("__sse"))
+    tot.crossJoin(broadcast(sse))
+      .select(col("__m").cast("long").as("n_days"),
+        col("__sst").cast("long").as("sst_micro"),
+        col("__sse").cast("long").as("sse_micro"),
+        expr(s"""CAST(CASE WHEN __sst > 0
+          THEN 1000000 - ((CAST(1000000 AS $D) * __sse) div __sst)
+          ELSE 0 END AS BIGINT)""").as("eta2_ppm"))
+  }
+
   /** Period-over-period delta: per period (year, month, week — any
     * integer period key the caller derives), the row count, summed
     * value, and the SIGNED ppm change versus the previous period —

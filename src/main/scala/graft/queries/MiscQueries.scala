@@ -2858,6 +2858,50 @@ object MiscQueries {
       FROM sh JOIN tot ON sh.nk = tot.nk GROUP BY sh.nk
       ORDER BY s_nationkey"""))
 
+  /** q237 — seasonal strength (one-way η²)
+    * ([[graft.operators.Timeseries.seasonalStrength]], round 12):
+    * what share of daily-volume variance the weekday explains —
+    * near 0 on this Poisson-flat series, the claim q221's MASE ≈ 1
+    * makes from the forecasting side.
+    */
+  private val q237 = Q("q237_seasonal_strength",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("t_us"))
+      graft.operators.Timeseries.seasonalStrength(o, "t_us")
+    },
+    Some("""WITH cnt AS (SELECT epoch_us(o_orderdate) // 86400000000
+          AS d, COUNT(*)::HUGEINT AS n FROM orders GROUP BY 1),
+      t AS (SELECT COUNT(*)::HUGEINT AS m, SUM(n) AS s,
+          SUM(n*n) AS s2 FROM cnt),
+      g AS (SELECT (d + 3) % 7 AS w, COUNT(*)::HUGEINT AS nw,
+          SUM(n) AS sw, SUM(n*n) AS sw2 FROM cnt GROUP BY 1),
+      sse AS (SELECT SUM(((1000000 * (nw * sw2 - sw * sw)) // nw))
+        AS e FROM g),
+      sst AS (SELECT ((1000000 * (m * s2 - s * s)) // m) AS t FROM t)
+      SELECT CAST((SELECT m FROM t) AS BIGINT) AS n_days,
+        CAST((SELECT t FROM sst) AS BIGINT) AS sst_micro,
+        CAST((SELECT e FROM sse) AS BIGINT) AS sse_micro,
+        CAST(CASE WHEN (SELECT t FROM sst) > 0
+          THEN 1000000 - ((1000000 * (SELECT e FROM sse))
+            // (SELECT t FROM sst))
+          ELSE 0 END AS BIGINT) AS eta2_ppm"""))
+
+  /** q238 — items-per-order histogram
+    * ([[graft.operators.Profile.groupSizeHistogram]], round 12): the
+    * fan-out distribution every orders⋈lineitem plan bets on.
+    */
+  private val q238 = Q("q238_order_size_hist",
+    (s, dir) =>
+      graft.operators.Profile.groupSizeHistogram(
+          t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("size")),
+    Some("""WITH per AS (SELECT l_orderkey, COUNT(*) AS sz
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(sz AS BIGINT) AS size, COUNT(*) AS n_groups,
+        CAST(sz * COUNT(*) AS BIGINT) AS n_rows
+      FROM per GROUP BY sz ORDER BY sz"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -2865,5 +2909,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236)
+    q234, q235, q236, q237, q238)
 }

@@ -570,6 +570,18 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("groupSizeHistogram: sizes roll up, rows tie out") {
+    import spark.implicits._
+    // key sizes: a=1, b=2, c=2, d=3 -> hist (1,1,1),(2,2,4),(3,1,3)
+    val df = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(3)("d")).toDF("k")
+    val got = Profile.groupSizeHistogram(df, "k")
+      .orderBy($"size").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)),
+      got.toString)
+    assert(got.map(_._3).sum == 8L) // every row counted exactly once
+  }
+
   test("hhiConcentration: monopoly 1e6, k equal players 1e6/k") {
     import spark.implicits._
     val df = Seq(("mono", 1L, 500L),

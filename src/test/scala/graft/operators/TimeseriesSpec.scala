@@ -180,6 +180,22 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalStrength: rigid week saturates, flat degenerates") {
+    // counts (w+1) per weekday over 4 full weeks: zero within-weekday
+    // variance -> eta^2 = exactly 10^6
+    val weekly = (0L until 28L).flatMap(d =>
+      Seq.fill(((d + 3) % 7 + 1).toInt)(d * day)).toDF("t")
+    val got = Timeseries.seasonalStrength(weekly, "t")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._1 == 28L && got._3 == 0L && got._4 == 1000000L,
+      got.toString)
+    // constant series: SST = 0 -> degenerate 0, not a crash
+    val flat = (0L until 14L).map(d => d * day).toDF("t")
+    val gotF = Timeseries.seasonalStrength(flat, "t")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gotF == ((14L, 0L, 0L, 0L)), gotF.toString)
+  }
+
   test("periodDelta: signed ppm vs previous, zero base yields NULL") {
     // values 100 -> 150 -> 75 -> 0 -> 50 per period
     val rows = Seq((2020L, 100L), (2021L, 150L), (2022L, 75L),
