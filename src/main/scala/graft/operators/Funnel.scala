@@ -319,6 +319,54 @@ object Funnel {
           "(s, x) -> (s * x) div 1000000)").as("surv_ppm"))
   }
 
+  /** First-touch channel conversion: users grouped by the event TYPE
+    * of their very first event (ties on the id column), scored on
+    * whether a `target` event lands within `windowMicros` of that
+    * first touch — "which front door actually converts", the
+    * acquisition-quality split behind [[attribution]]'s revenue
+    * credit. The window bound is what keeps the rate meaningful
+    * (unbounded, every long-lived user converts eventually and the
+    * column saturates). Returns
+    * (channel, n_users, n_converted, cvr_ppm).
+    *
+    * Scale: one user-keyed rank window (first touch), one user-keyed
+    * join of the target events against the one-row-per-user frame,
+    * then a |types|-bounded rollup.
+    */
+  def channelConversion(events: DataFrame, userCol: String,
+                        tsMicrosCol: String, idCol: String,
+                        typeCol: String, target: String,
+                        windowMicros: Long): DataFrame = {
+    require(windowMicros >= 1, s"windowMicros >= 1, got $windowMicros")
+    val D = "decimal(38,0)"
+    val e = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__ty"),
+      col(tsMicrosCol).cast("long").as("__t"), col(idCol).as("__id"))
+    val fst = e.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u"))
+          .orderBy(col("__t"), col("__id"))))
+      .filter(col("__rn") === 1)
+      .select(col("__u"), col("__ty").as("channel"),
+        col("__t").as("__ft"))
+    val conv = e.filter(col("__ty") === target)
+      .select(col("__u"), col("__t").as("__ct"))
+      .join(fst.select(col("__u"), col("__ft")), Seq("__u"))
+      .filter(col("__ct") >= col("__ft") &&
+        col("__ct") <= col("__ft") + windowMicros)
+      .select(col("__u")).distinct()
+      .withColumn("__hit", lit(1L))
+    fst.join(conv, Seq("__u"), "left")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("__c"))
+      .select(col("channel"), col("__n").cast("long").as("n_users"),
+        col("__c").cast("long").as("n_converted"),
+        expr(s"(CAST(1000000 AS $D) * __c) div __n").cast("long")
+          .as("cvr_ppm"))
+  }
+
   /** Daily user-growth scorecard: active users, NEW users (first day
     * seen), and the running cumulative user count per day — the
     * new-vs-returning split behind every growth chart (and the

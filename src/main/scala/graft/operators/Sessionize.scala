@@ -99,6 +99,41 @@ object Sessionize {
           .as("bounce_ppm"))
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning sweep:
+    * each session emits +1 at its start and −1 at end+1 (sessions
+    * are end-INCLUSIVE: one spanning [s, e] still counts at e, and
+    * two sessions sharing a single µs overlap), the running sum over
+    * the (t, delta) order is the live-session count, and its per-day
+    * max is the peak; at equal t the −1 sorts first, so a release at
+    * exactly t lands before a new join at t. Returns
+    * (day, peak_concurrent).
+    *
+    * Scale: [[stats]]'s audited shape down to one row per session,
+    * then ONE ordered window over the 2·|sessions| sweep points —
+    * the exact audit form (per-day partitioned sweeps swap in at
+    * billions of sessions; a session spanning midnight then needs
+    * boundary carry — documented, not silently approximated).
+    */
+  def peakConcurrency(df: DataFrame, keyCol: String, tsCol: String,
+                      maxGap: Long, tieCol: String,
+                      dayMicros: Long = 86400000000L): DataFrame = {
+    require(dayMicros > 0, s"dayMicros must be positive, got $dayMicros")
+    import org.apache.spark.sql.expressions.Window
+    val sess = stats(df, keyCol, tsCol, maxGap, tieCol)
+    val pts = sess.select(col("start_ts").cast("long").as("__t"),
+        lit(1L).as("__d"))
+      .unionByName(sess.select((col("end_ts").cast("long") + 1L)
+        .as("__t"), lit(-1L).as("__d")))
+    pts
+      .withColumn("__cur", sum(col("__d")).over(
+        Window.orderBy(col("__t"), col("__d")).rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(expr(s"__t div $dayMicros").as("day"))
+      .agg(max(col("__cur")).cast("long").as("peak_concurrent"))
+      .select(col("day").cast("long").as("day"),
+        col("peak_concurrent"))
+  }
+
   /** Scale twin of [[assign]], same answer (differential-tested):
     * sessionize within (key, time-bucket) partitions, then stitch
     * sessions that span a bucket boundary. `bucketWidth` must be ≥

@@ -2902,6 +2902,78 @@ object MiscQueries {
         CAST(sz * COUNT(*) AS BIGINT) AS n_rows
       FROM per GROUP BY sz ORDER BY sz"""))
 
+  /** q239 — first-touch channel conversion
+    * ([[graft.operators.Funnel.channelConversion]], round 12): which
+    * entry event type converts to a purchase within 3 days — the
+    * acquisition-quality split (unbounded windows saturate at 10⁶ on
+    * long-lived users; the bound is the semantics).
+    */
+  private val q239 = Q("q239_channel_cvr",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("t_us"),
+        col("event_id"))
+      graft.operators.Funnel.channelConversion(e, "user_id", "t_us",
+          "event_id", "event_type", target = "purchase",
+          windowMicros = 259200000000L)
+        .orderBy(col("channel"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+          event_id FROM events),
+      fst AS (SELECT user_id, event_type AS ch, t AS ft FROM (
+        SELECT user_id, event_type, t,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY t, event_id) AS rn FROM e)
+        WHERE rn = 1),
+      conv AS (SELECT DISTINCT e.user_id FROM e JOIN fst
+          USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t >= fst.ft
+          AND e.t <= fst.ft + 259200000000)
+      SELECT ch AS channel, COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0
+          END) AS BIGINT) AS n_converted,
+        CAST((1000000 * SUM(CASE WHEN conv.user_id IS NOT NULL
+          THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS cvr_ppm
+      FROM fst LEFT JOIN conv USING (user_id)
+      GROUP BY ch ORDER BY channel"""))
+
+  /** q240 — peak concurrent sessions per day
+    * ([[graft.operators.Sessionize.peakConcurrency]], round 12): the
+    * capacity-planning sweep over q44's sessions — releases sort
+    * before joins at the same instant.
+    */
+  private val q240 = Q("q240_peak_concurrency",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      graft.operators.Sessionize.peakConcurrency(e, "user_id",
+          "ts_us", maxGap = 1800000000L, tieCol = "event_id")
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts)
+          AS ts_us FROM events),
+      l AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN LAG(ts_us) OVER w IS NULL
+            OR ts_us - LAG(ts_us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, ts_us,
+          SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM l),
+      sess AS (SELECT user_id, sid, MIN(ts_us) AS st, MAX(ts_us) AS en
+        FROM s GROUP BY 1, 2),
+      pts AS (SELECT st AS t, 1 AS dlt FROM sess
+        UNION ALL SELECT en + 1, -1 FROM sess),
+      run AS (SELECT t, SUM(dlt) OVER (ORDER BY t, dlt
+          ROWS UNBOUNDED PRECEDING) AS cur FROM pts)
+      SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+        CAST(MAX(cur) AS BIGINT) AS peak_concurrent
+      FROM run GROUP BY 1 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -2909,5 +2981,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238)
+    q234, q235, q236, q237, q238, q239, q240)
 }

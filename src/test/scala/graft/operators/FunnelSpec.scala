@@ -323,6 +323,29 @@ class FunnelSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("channelConversion: first touch groups, window bounds the hit") {
+    import spark.implicits._
+    // u1: first "ad", purchase at 50 (inside window 100) -> hit
+    // u2: first "ad", purchase at 200 (outside) -> miss
+    // u3: first event IS the purchase -> hit at its own channel
+    // u4: first "organic", never purchases -> miss
+    val ev = Seq((1L, 0L, 1L, "ad"), (1L, 50L, 2L, "purchase"),
+      (2L, 0L, 3L, "ad"), (2L, 200L, 4L, "purchase"),
+      (3L, 0L, 5L, "purchase"),
+      (4L, 0L, 6L, "organic")).toDF("u", "t", "id", "ty")
+    val got = Funnel.channelConversion(ev, "u", "t", "id", "ty",
+        "purchase", windowMicros = 100L)
+      .orderBy($"channel")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("ad", 2L, 1L, 500000L),
+      ("organic", 1L, 0L, 0L), ("purchase", 1L, 1L, 1000000L)),
+      got.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.channelConversion(ev, "u", "t", "id", "ty", "purchase",
+        windowMicros = 0L)
+    }
+  }
+
   test("userGrowth: new-vs-returning split, cumulative ties out") {
     import spark.implicits._
     val day = 86400000000L

@@ -151,6 +151,30 @@ class SessionizeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("peakConcurrency: sweep counts overlaps, touching shares a µs," +
+      " back-to-back does not") {
+    import spark.implicits._
+    val day = 86400000000L
+    // sessions (gap 15): u1 [0,10] ∥ u2 [5,20] -> peak 2;
+    // u4 [40,50] and u5 [50,60] TOUCH at 50 -> overlap (peak 2);
+    // u6 [70,80] then u7 [81,90] back-to-back -> never 2;
+    // day 1: one singleton session -> peak 1
+    val ev2 = Seq((1L, 0L, 1L), (1L, 10L, 2L), (2L, 5L, 3L),
+      (2L, 20L, 4L), (4L, 40L, 5L), (4L, 50L, 6L), (5L, 50L, 7L),
+      (5L, 60L, 8L), (6L, 70L, 9L), (6L, 80L, 10L), (7L, 81L, 11L),
+      (7L, 90L, 12L), (8L, day + 5L, 13L)).toDF("k", "ts", "id")
+    val got = Sessionize.peakConcurrency(ev2, "k", "ts", maxGap = 15L,
+        tieCol = "id")
+      .orderBy($"day").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L)), got.toString)
+    // remove u5: the only remaining overlap is u1/u2
+    val noTouch = ev2.filter($"k" =!= 5L)
+    val got2 = Sessionize.peakConcurrency(noTouch, "k", "ts",
+        maxGap = 15L, tieCol = "id")
+      .orderBy($"day").as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq((0L, 2L), (1L, 1L)), got2.toString)
+  }
+
   test("bounceRate: singleton sessions per start day, midnight spans" +
       " count once") {
     import spark.implicits._
