@@ -787,6 +787,90 @@ object Profile {
           ELSE 0 END AS BIGINT)""").as("rho2_signed_ppm"))
   }
 
+  /** Category share + uniformity χ² over a DECLARED cell count — the
+    * [[graft.operators.Timeseries.dowProfile]] arithmetic for any
+    * categorical key (month-of-year k=12, shard id k=N, bucket k=B):
+    * per observed category, the count, exact ppm share, and the
+    * per-cell χ²-against-uniform term ⌊10⁶·(k·O−N)²/(k·N)⌋; absent
+    * categories contribute k·0−N terms only through the declared k in
+    * the expectation (callers wanting absent-cell terms union the
+    * category domain in first). Returns (cat, n, share_ppm,
+    * chi2_term_micro).
+    *
+    * Scale: ONE category-keyed map-side count; the total rides a
+    * one-row broadcast.
+    */
+  def categoryShareChi2(df: DataFrame, catCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"k >= 2, got $k")
+    val D = "decimal(38,0)"
+    val c = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("__t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n").cast("long").as("n"),
+        expr(s"(CAST(1000000 AS $D) * n) div __t").cast("long")
+          .as("share_ppm"),
+        expr(s"""(CAST(1000000 AS $D) * ($k * CAST(n AS $D) - __t)
+          * ($k * CAST(n AS $D) - __t))
+          div (CAST($k AS $D) * __t)""").cast("long")
+          .as("chi2_term_micro"))
+  }
+
+  /** Per-GROUP Spearman rank correlation — [[spearmanRho2]] with the
+    * midrank windows partitioned by a segment column: one ρ² row per
+    * group, the correlation-by-segment matrix every "does X drive Y
+    * HERE" question needs (a global ρ happily averages away a
+    * Simpson's-paradox sign flip between segments). Same exact
+    * machinery: doubled midranks, n-scaled accumulators, the
+    * Cauchy–Schwarz-bounded signed-square divide chain. Returns
+    * (grp, n, rho2_signed_ppm); same bounded-frame contract per
+    * group.
+    *
+    * Scale: two (group, value) count frames (map-side combined), two
+    * group-partitioned cumulative windows, one group-keyed fold —
+    * the [[spearmanRho2]] exchanges with `grp` prepended to every
+    * key, so no new shuffle class appears.
+    */
+  def spearmanRho2By(df: DataFrame, grpCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val base = df.filter(col(grpCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def midranks(c: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn(s"${c}_r2",
+          lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+            col("__c") + 1L)
+        .select(col("grp"), col(c), col(s"${c}_r2"))
+    }
+    base.join(midranks("__x"), Seq("grp", "__x"))
+      .join(midranks("__y"), Seq("grp", "__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast(D).as("__n"),
+        sum(col("__x_r2").cast(D)).as("__sx"),
+        sum(col("__y_r2").cast(D)).as("__sy"),
+        sum(col("__x_r2").cast(D) * col("__y_r2").cast(D)).as("__sxy"),
+        sum(col("__x_r2").cast(D) * col("__x_r2").cast(D)).as("__sxx"),
+        sum(col("__y_r2").cast(D) * col("__y_r2").cast(D)).as("__syy"))
+      .select(col("grp"), col("__n").cast("long").as("n"),
+        expr(s"""CAST(CASE WHEN (__n * __sxx - __sx * __sx) > 0
+            AND (__n * __syy - __sy * __sy) > 0
+          THEN (CASE WHEN __n * __sxy - __sx * __sy >= 0
+              THEN 1 ELSE -1 END)
+            * ((CAST((((__n * __sxy - __sx * __sy)
+                * (__n * __sxy - __sx * __sy))
+                div (__n * __sxx - __sx * __sx)) AS decimal(38,0))
+              * 1000000) div (__n * __syy - __sy * __sy))
+          ELSE 0 END AS BIGINT)""").as("rho2_signed_ppm"))
+  }
+
   /** Mann–Whitney U rank-sum comparison of two cohorts — the
     * nonparametric "is A stochastically larger than B" companion to
     * [[ksDrift]] (KS asks "are they different anywhere", U measures

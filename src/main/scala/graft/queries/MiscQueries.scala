@@ -2974,6 +2974,75 @@ object MiscQueries {
         CAST(MAX(cur) AS BIGINT) AS peak_concurrent
       FROM run GROUP BY 1 ORDER BY day"""))
 
+  /** q241 — per-brand discount↔quantity rank correlation
+    * ([[graft.operators.Profile.spearmanRho2By]], round 12): q196's
+    * Spearman with the midrank windows partitioned by brand — the
+    * by-segment correlation matrix that catches sign flips a global
+    * ρ averages away.
+    */
+  private val q241 = Q("q241_spearman_by_brand",
+    (s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_discount") * 100, 0).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      graft.operators.Profile.spearmanRho2By(j, "p_brand", "x", "y")
+        .withColumnRenamed("grp", "p_brand")
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH j AS (SELECT p.p_brand AS g,
+          CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+          CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      rx AS (SELECT g, x, COUNT(*) AS c FROM j GROUP BY g, x),
+      rxm AS (SELECT g, x, 2 * COALESCE(SUM(c) OVER (PARTITION BY g
+          ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+          PRECEDING), 0) + c + 1 AS r2 FROM rx),
+      ry AS (SELECT g, y, COUNT(*) AS c FROM j GROUP BY g, y),
+      rym AS (SELECT g, y, 2 * COALESCE(SUM(c) OVER (PARTITION BY g
+          ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+          PRECEDING), 0) + c + 1 AS r2 FROM ry),
+      m AS (SELECT j.g, rxm.r2 AS rx2, rym.r2 AS ry2 FROM j
+        JOIN rxm ON j.g = rxm.g AND j.x = rxm.x
+        JOIN rym ON j.g = rym.g AND j.y = rym.y),
+      t AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(rx2)::HUGEINT AS sx,
+          SUM(ry2)::HUGEINT AS sy, SUM(rx2 * ry2)::HUGEINT AS sxy,
+          SUM(rx2 * rx2)::HUGEINT AS sxx,
+          SUM(ry2 * ry2)::HUGEINT AS syy FROM m GROUP BY g),
+      f AS (SELECT g, n, (n * sxy - sx * sy) AS a,
+          (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy FROM t)
+      SELECT g AS p_brand, CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN vx > 0 AND vy > 0
+          THEN (CASE WHEN a >= 0 THEN 1 ELSE -1 END)
+            * ((((a * a) // vx) * 1000000) // vy)
+          ELSE 0 END AS BIGINT) AS rho2_signed_ppm
+      FROM f ORDER BY p_brand"""))
+
+  /** q242 — month-of-year seasonality
+    * ([[graft.operators.Profile.categoryShareChi2]], round 12): the
+    * dowProfile arithmetic generalized to a declared k — order volume
+    * by calendar month, exact shares and uniform-χ² terms (k=12).
+    */
+  private val q242 = Q("q242_month_seasonality",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        expr("month(cast(o_orderdate as timestamp))").cast("long")
+          .as("mo"))
+      graft.operators.Profile.categoryShareChi2(o, "mo", k = 12)
+        .withColumnRenamed("cat", "mo")
+        .orderBy(col("mo"))
+    },
+    Some("""WITH c AS (SELECT EXTRACT(month FROM o_orderdate)::BIGINT
+          AS mo, COUNT(*) AS n FROM orders GROUP BY 1),
+      tot AS (SELECT SUM(n) AS t FROM c)
+      SELECT mo, CAST(n AS BIGINT) AS n,
+        CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
+        CAST((1000000::HUGEINT * (12 * n - t) * (12 * n - t))
+          // (12 * t) AS BIGINT) AS chi2_term_micro
+      FROM c, tot ORDER BY mo"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -2981,5 +3050,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242)
 }

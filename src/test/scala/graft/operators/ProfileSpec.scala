@@ -570,6 +570,40 @@ class ProfileSpec extends SparkSpec {
     assert(gotN == ((2L, 1L, 1L, 0L, 1000000L)), gotN.toString)
   }
 
+  test("spearmanRho2By: per-group extremes isolate; single group == global") {
+    import spark.implicits._
+    // group up: ascending pairs (+1e6); group dn: reversed (-1e6);
+    // group tie: constant x -> degenerate 0
+    val df = (1L to 5L).flatMap(i => Seq(("up", i, i * 10),
+      ("dn", i, 60 - i * 10), ("tie", 7L, i))).toDF("g", "x", "y")
+    val got = Profile.spearmanRho2By(df, "g", "x", "y")
+      .orderBy($"grp").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("dn", 5L, -1000000L), ("tie", 5L, 0L),
+      ("up", 5L, 1000000L)), got.toString)
+    // a single-group frame reproduces the global operator exactly
+    val one = df.filter($"g" === "up")
+    val gBy = Profile.spearmanRho2By(one, "g", "x", "y")
+      .select($"n", $"rho2_signed_ppm")
+      .as[(Long, Long)].collect().head
+    val gGl = Profile.spearmanRho2(one, "x", "y")
+      .as[(Long, Long)].collect().head
+    assert(gBy == gGl, s"$gBy vs $gGl")
+  }
+
+  test("categoryShareChi2: declared-k expectation, exact cell terms") {
+    import spark.implicits._
+    // counts a=3, b=1, k=4: N=4; a's term 1e6*(12-4)^2/(4*4) = 4e6,
+    // b's term (4-4)^2 = 0
+    val df = (Seq.fill(3)("a") ++ Seq("b")).toDF("c")
+    val got = Profile.categoryShareChi2(df, "c", k = 4)
+      .orderBy($"cat").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 750000L, 4000000L),
+      ("b", 1L, 250000L, 0L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.categoryShareChi2(df, "c", k = 1)
+    }
+  }
+
   test("groupSizeHistogram: sizes roll up, rows tie out") {
     import spark.implicits._
     // key sizes: a=1, b=2, c=2, d=3 -> hist (1,1,1),(2,2,4),(3,1,3)
