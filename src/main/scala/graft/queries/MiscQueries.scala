@@ -3043,6 +3043,64 @@ object MiscQueries {
           // (12 * t) AS BIGINT) AS chi2_term_micro
       FROM c, tot ORDER BY mo"""))
 
+  /** q243 — local-supplier revenue by nation (the TPC-H Q5 shape):
+    * a SIX-table join — lineitem⋈orders⋈customer with the
+    * customer-nation = supplier-nation co-location condition, dims
+    * (supplier⋈nation⋈region) pre-reduced and BROADCAST — the
+    * deep-join coverage row: region/nation/supplier collapse to one
+    * small broadcast side before the fact tables join on their keys,
+    * so the only shuffles are the two fact-key exchanges Catalyst
+    * needs anyway. Region pinned to MIN(r_name) (a 5-row metadata
+    * collect) and a two-year date band.
+    */
+  private val q243 = Q("q243_local_supplier_revenue",
+    (s, dir) => {
+      val rname = t(s, dir, "region")
+        .agg(min(col("r_name"))).head.getString(0)
+      val nat = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === rname),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100, 0).cast("long").as("cents"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("nation"))
+    },
+    Some("""SELECT n.n_name AS nation,
+        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+          * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        COUNT(*) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n.n_name
+      ORDER BY revenue_cents DESC, nation"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3050,5 +3108,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
 }
