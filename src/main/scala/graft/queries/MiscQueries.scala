@@ -3101,6 +3101,57 @@ object MiscQueries {
       GROUP BY n.n_name
       ORDER BY revenue_cents DESC, nation"""))
 
+  /** q244 — top unshipped orders by revenue (the TPC-H Q3 shape):
+    * segment-filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff
+    * lineitems, rolled up per order and cut to the global top 10 —
+    * the fact-fact join + TakeOrdered pattern (the per-order rollup
+    * keeps only (orderkey, cents, day) moving into the final cut).
+    * Segment pinned to MIN(c_mktsegment) (bounded metadata collect,
+    * the q243 convention).
+    */
+  private val q244 = Q("q244_top_unshipped",
+    (s, dir) => {
+      val seg = t(s, dir, "customer")
+        .agg(min(col("c_mktsegment"))).head.getString(0)
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === seg).select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") <
+          lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("order_day"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >
+          lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100, 0).cast("long").as("cents"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderkey"), col("order_day"))
+        .agg(sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("revenue_cents"))
+        .select(col("o_orderkey"), col("revenue_cents"),
+          col("order_day"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o.o_orderkey,
+        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+          * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+          AS order_day
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment =
+          (SELECT MIN(c_mktsegment) FROM customer)
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3108,5 +3159,5 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
 }
