@@ -8,13 +8,24 @@ import org.apache.spark.sql.SparkSession
   * materialization of every column, unlike count() which lets Spark
   * prune work).
   *
+  * Adaptive passes (BENCH_r12 hit the driver's 3,600 s wrapper cap at
+  * rc=124 with the fixed 2-warmup + 2-timed protocol over 244
+  * queries): a query whose FIRST warmup lands under 0.5 s is "fast"
+  * and gets exactly one warmup and one timed pass — unless that timed
+  * pass disagrees with its warmup by > 25 % (the stall scenario) or
+  * errors, in which case it re-enters the full second-pass protocol.
+  * Slow queries keep the original two-warmup/two-timed schedule. A
+  * fast query's reported time is min(timed, warmup): both are
+  * identical executions, and the warmup floor guards against a
+  * one-pass ambient stall exactly as min-of-two did.
+  *
   * Stall defense: a single-JVM harness occasionally absorbs one
   * multi-second environmental pause (observed: a trivial groupBy at
   * 33 s in BOTH timed passes vs 0.55 s reproduced on the same
   * machine/jar). Min-of-two is not enough when the stall spans both
   * passes, so (a) any query whose two timed passes disagree by > 25%
   * gets an immediate third pass (min of three), and (b) after the
-  * passes any outlier query — time > 5× the min of its two warmups or
+  * passes any outlier query — time > 5× the min of its warmups or
   * > 10× the cross-query median (failed queries excluded) — gets up
   * to two extra passes, taking the min. Per-query GC-time deltas go
   * to stderr, and the output JSON carries `load_avg`/`load_max`
@@ -82,14 +93,21 @@ object Bench {
         (if (errors.contains(name)) " FAILED" else ""))
       dt
     }
-    // Two warmups: the first absorbs JVM/JIT/codegen cost (inflated for
-    // early queries); min of the two is each query's steady-state
-    // reference for outlier detection below.
+    // First warmup absorbs JVM/JIT/codegen cost (inflated for early
+    // queries). Queries landing under 0.5 s here are "fast" and skip
+    // the second warmup and (usually) the second timed pass — the
+    // adaptive schedule that keeps 244 queries inside the driver's
+    // wrapper timeout. A warmup error does NOT make a query fast: it
+    // must run the full confirmation protocol.
     val warm1 = names.map(n => n -> timed("warmup")(n)).toMap
-    val warm2 = names.map(n => n -> timed("warmup2")(n)).toMap
-    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
+    val warmErrs = errors.keySet.toSet
+    val fast = names.filter(n => warm1(n) < 0.5 && !warmErrs(n)).toSet
+    val warm2 = names.filterNot(fast)
+      .map(n => n -> timed("warmup2")(n)).toMap
+    val warm = names.map(n =>
+      n -> math.min(warm1(n), warm2.getOrElse(n, warm1(n)))).toMap
     errors.clear()                 // only report steady-state failures
-    // Two timed passes, min per query. Failures: a query is FAILED only
+    // Timed passes, min per query. Failures: a query is FAILED only
     // if BOTH passes failed (a one-pass transient is the pause
     // scenario); a persistent failure contributes a LARGE positive
     // penalty to the total, so a crashing query can never read as a
@@ -97,12 +115,27 @@ object Bench {
     val passA = names.map(n => n -> timed("timed")(n)).toMap
     val errsA = errors.keySet.toSet
     errors.clear()
-    val passB = names.map(n => n -> timed("timed2")(n)).toMap
+    // Second timed pass: slow queries always; fast queries only when
+    // pass A errored (failure needs two-pass confirmation) or drifted
+    // > 25% from the warmup floor (one of the two was disturbed).
+    val needB = names.filter { n =>
+      !fast(n) || errsA.contains(n) || {
+        val (a, w) = (passA(n), warm1(n))
+        val lo = math.min(a, w)
+        lo > 0.2 && math.abs(a - w) > 0.25 * lo
+      }
+    }.toSet
+    val passB = names.filter(needB)
+      .map(n => n -> timed("timed2")(n)).toMap
     val errsB = errors.keySet.toSet
     val failed = errsA.intersect(errsB)
     errors.filterInPlace((k, _) => failed.contains(k))
     val minAB = names.map { n =>
       n -> ((errsA.contains(n), errsB.contains(n)) match {
+        case (false, false) if !needB(n) =>
+          // adaptive single-pass query: warmup and timed pass agree
+          // within 25%; both are full executions, min is the floor
+          math.min(passA(n), warm1(n))
         case (false, false) =>
           // high variance between the two passes (> 25% of the faster
           // one, above jitter scale) means at least one pass was
