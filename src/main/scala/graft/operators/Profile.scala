@@ -561,10 +561,9 @@ object Profile {
     *
     * Exact audit form: two group-partitioned rank windows (value
     * order, then deviation order) — correct and gate-able, but a
-    * giant group serializes its reducer's sort; at corpus scale swap
-    * the median/MAD extraction for the GK-sketch path
-    * ([[quantileTrimApprox]]'s shape) and keep the outlier filter,
-    * which is a narrow broadcast-join projection either way.
+    * giant group serializes its reducer's sort; at corpus scale
+    * [[madOutliersApprox]] is the production twin (GK median/MAD
+    * sketches, no window anywhere).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   idCol: String, k: Long = 3L): DataFrame = {
@@ -589,6 +588,45 @@ object Profile {
     dev.join(broadcast(mad), Seq("grp"))
       .groupBy(col("grp"))
       .agg(max(col("n")).cast("long").as("n_rows"),
+        max(col("med")).cast("long").as("med"),
+        max(col("mad")).cast("long").as("mad"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("med"),
+        col("mad"), col("n_outliers"))
+  }
+
+  /** [[madOutliers]]'s production twin: median and MAD from
+    * Greenwald–Khanna `percentile_approx` sketches (two ordinary
+    * aggregation exchanges with map-side partials — one for the
+    * median, one for the deviation median — each broadcast back),
+    * outlier filter unchanged. No window, no per-group sort: a giant
+    * group never serializes one reducer. The sketch returns an ACTUAL
+    * data value (GK keeps samples, never interpolates), so med/mad
+    * stay integral; rank error is bounded by 1/accuracy relative
+    * rank, and the exact twin stays the oracle/audit form
+    * ([[quantileTrimApprox]]'s split). Tie-break differences at the
+    * median rank can shift med/mad by one neighboring VALUE — the
+    * spec bounds both against the exact answers.
+    */
+  def madOutliersApprox(df: DataFrame, groupCol: String,
+                        valueCol: String, k: Long = 3L,
+                        accuracy: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val med = base.groupBy(col("grp"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(accuracy))
+        .as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("grp"))
+      .agg(percentile_approx(col("d"), lit(0.5), lit(accuracy))
+        .as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
         max(col("med")).cast("long").as("med"),
         max(col("mad")).cast("long").as("mad"),
         sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
@@ -933,9 +971,9 @@ object Profile {
     *
     * Scale: one within-group rank window + ONE global rank window
     * over the pooled values (the exact audit form — the global sort
-    * is the cost; at billions of rows swap broadcast GK pooled
-    * quantiles into the same rank map, no global window), then a
-    * 1:1 join on the pooled rank.
+    * is the cost; [[quantileNormalizeApprox]] is the production twin:
+    * broadcast GK pooled quantiles into the same rank map, no global
+    * window), then a 1:1 join on the pooled rank.
     */
   def quantileNormalize(df: DataFrame, groupCol: String,
                         valueCol: String, idCol: String): DataFrame = {
@@ -959,6 +997,44 @@ object Profile {
       .join(pooled, col("__prank") === col("__prn"))
       .select(col("grp").as(groupCol), col("__id").as(idCol),
         col("__c").as(valueCol), col("__nc").as("norm_value"))
+  }
+
+  /** [[quantileNormalize]]'s production twin: the pooled
+    * distribution is summarized ONCE as a `gridBins`-point
+    * Greenwald–Khanna quantile grid (one sketch aggregate → a one-row
+    * broadcast array; GK returns actual pooled data values, so
+    * norm_value stays integral), and each row's within-group rank
+    * r/n_g maps to grid cell ⌈gridBins·r/n_g⌉ — no global window, no
+    * global sort, no pooled-rank join. The within-group rank window
+    * remains (partitioned BY GROUP: groups sort in parallel, the
+    * scale-safe kind). Differs from the exact form by pooled-rank
+    * quantization ≤ N/gridBins + N/accuracy ranks — the spec bounds
+    * the drift; the exact twin stays the oracle/audit form.
+    */
+  def quantileNormalizeApprox(df: DataFrame, groupCol: String,
+                              valueCol: String, idCol: String,
+                              gridBins: Int = 1000,
+                              accuracy: Int = 10000): DataFrame = {
+    require(gridBins >= 1, s"gridBins must be >= 1, got $gridBins")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("__c"), col(idCol).as("__id"))
+    val gw = Window.partitionBy(col("grp"))
+      .orderBy(col("__c"), col("__id"))
+    val r = v.withColumn("__rn", row_number().over(gw))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val ps = (1 to gridBins).map(_.toDouble / gridBins)
+    val grid = v.agg(percentile_approx(col("__c"),
+      array(ps.map(lit): _*), lit(accuracy)).as("__grid"))
+    r.crossJoin(broadcast(grid))
+      .withColumn("__gi",
+        expr(s"CAST(($gridBins * CAST(__rn AS BIGINT) + __n - 1) " +
+          "div __n AS INT)"))
+      .select(col("grp").as(groupCol), col("__id").as(idCol),
+        col("__c").as(valueCol),
+        element_at(col("__grid"), col("__gi")).cast("long")
+          .as("norm_value"))
   }
 
   /** Simpson diversity of a categorical mix per group — the
@@ -1011,9 +1087,9 @@ object Profile {
     *
     * Scale: this is the exact audit form — one rank window per group
     * (a giant group costs one sort run) + a broadcast bounds join; at
-    * billions of rows per group swap GK-sketch bounds
-    * (quantileTrimApprox's shape) into the same clip-and-aggregate,
-    * which needs no window at all. The final stats aggregate
+    * billions of rows per group [[winsorizedStatsApprox]] is the
+    * production twin (GK-sketch bounds into the same
+    * clip-and-aggregate, no window at all). The final stats aggregate
     * map-side combines; sums ride decimal(38,0).
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
@@ -1040,6 +1116,43 @@ object Profile {
     v.join(b, Seq("grp"))
       .groupBy(col("grp"))
       .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__lo")).cast("long").as("lo"),
+        max(col("__hi")).cast("long").as("hi"),
+        sum(least(greatest(col("__c"), col("__lo")), col("__hi"))
+          .cast("decimal(38,0)")).cast("long").as("sum_wins"),
+        sum(when(col("__c") < col("__lo"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_lo"),
+        sum(when(col("__c") > col("__hi"), 1L).otherwise(0L))
+          .cast("long").as("n_clip_hi"))
+      .select(col("grp").as(groupCol), col("n"), col("lo"), col("hi"),
+        col("sum_wins"), col("n_clip_lo"), col("n_clip_hi"))
+  }
+
+  /** [[winsorizedStats]]'s production twin: clip bounds from one
+    * Greenwald–Khanna `percentile_approx` aggregate per group (map-
+    * side partial sketches, one exchange), broadcast back, then the
+    * identical clip-and-aggregate. No window, no per-group sort.
+    * Bounds are actual data values with rank error ≤ n/accuracy, so
+    * the clipped sum differs from the exact form only by values
+    * between the exact and sketched bounds (the spec bounds both);
+    * the exact twin stays the oracle/audit form.
+    */
+  def winsorizedStatsApprox(df: DataFrame, groupCol: String,
+                            valueCol: String, loPpm: Long = 50000L,
+                            hiPpm: Long = 950000L,
+                            accuracy: Int = 10000): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm < hiPpm,
+      s"need 0 <= loPpm < hiPpm <= 1000000, got ($loPpm, $hiPpm)")
+    val v = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("__c"))
+    val b = v.groupBy(col("grp")).agg(
+      percentile_approx(col("__c"), lit(loPpm / 1e6), lit(accuracy))
+        .as("__lo"),
+      percentile_approx(col("__c"), lit(hiPpm / 1e6), lit(accuracy))
+        .as("__hi"))
+    v.join(broadcast(b), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
         max(col("__lo")).cast("long").as("lo"),
         max(col("__hi")).cast("long").as("hi"),
         sum(least(greatest(col("__c"), col("__lo")), col("__hi"))
@@ -1113,8 +1226,9 @@ object Profile {
     * (grp, n, total_w, wmedian).
     *
     * Scale: one cumulative window per group over the grouped frame —
-    * the exact audit form (GK-with-weights swap documented, not
-    * silent).
+    * the exact audit form; [[weightedMedianBucketed]] is the
+    * production twin (same answer, window over the DISTINCT-value
+    * frame instead of the row frame).
     */
   def weightedMedian(df: DataFrame, grpCol: String, valueCol: String,
                      weightCol: String, tieCol: String): DataFrame = {
@@ -1136,6 +1250,46 @@ object Profile {
         Window.partitionBy(col("grp"))))
       .groupBy(col("grp"))
       .agg(count(lit(1)).cast("long").as("n"),
+        max(col("__totw")).cast("long").as("total_w"),
+        min(when(lit(2) * col("__cumw") >= col("__totw"),
+          col("__v"))).cast("long").as("wmedian"))
+  }
+
+  /** [[weightedMedian]]'s production twin — and EXACTLY the same
+    * answer: the weighted median (smallest v with 2·cumw(≤v) ≥ totw)
+    * depends only on the per-VALUE weight totals, never on the order
+    * within a value tie, so pre-aggregating to (group, value, Σw)
+    * first (one map-side-combined exchange) and running the
+    * cumulative window over that DISTINCT-VALUE frame is a pure plan
+    * change. The window's partitions are groups and its rows are
+    * distinct values — bounded by the value domain (the engine's
+    * integral-value contract: cents, micros, token counts), not by
+    * corpus rows, so a billion-row group with a few thousand distinct
+    * values sorts a few thousand rows. The spec asserts bit-equality
+    * with the exact row-frame form; `n` counts rows (not distinct
+    * values), matching the exact twin.
+    */
+  def weightedMedianBucketed(df: DataFrame, grpCol: String,
+                             valueCol: String,
+                             weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = "decimal(38,0)"
+    val grouped = df.filter(col(grpCol).isNotNull &&
+        col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(grpCol).as("grp"),
+        col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").cast(D).as("__w"))
+      .groupBy(col("grp"), col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__w")).as("__wv"))
+    val ord = Window.partitionBy(col("grp")).orderBy(col("__v"))
+    grouped
+      .withColumn("__cumw", sum(col("__wv")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__totw", sum(col("__wv")).over(
+        Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(sum(col("__c")).cast("long").as("n"),
         max(col("__totw")).cast("long").as("total_w"),
         min(when(lit(2) * col("__cumw") >= col("__totw"),
           col("__v"))).cast("long").as("wmedian"))
@@ -1272,8 +1426,9 @@ object Profile {
     * ALL of them). Returns (grp, n, p25, p50, p75, p95).
     *
     * Scale: one ranked window per group over the grouped frame — the
-    * exact audit form; at billions of rows per group swap in GK
-    * sketches (the q157 escape, documented not silent).
+    * exact audit form; at billions of rows per group
+    * [[groupQuantilesApprox]] is the production twin (one GK sketch
+    * aggregate, the q157 escape made real).
     */
   def groupQuantiles(df: DataFrame, grpCol: String, valueCol: String,
                      tieCols: Seq[String]): DataFrame = {
@@ -1296,6 +1451,31 @@ object Profile {
         q(1, 2).cast("long").as("p50"),
         q(3, 4).cast("long").as("p75"),
         q(19, 20).cast("long").as("p95"))
+  }
+
+  /** [[groupQuantiles]]'s production twin: all four quantiles from
+    * ONE Greenwald–Khanna `percentile_approx` aggregate per group —
+    * map-side partial sketches through a single ordinary aggregation
+    * exchange, no window, no per-group sort (the
+    * [[tokenQuantilesApprox]] shape applied to a pre-computed value
+    * column). GK returns actual data values (never interpolates), so
+    * the columns stay integral; rank error ≤ n/accuracy per group,
+    * and the exact rank form stays the oracle/audit twin.
+    */
+  def groupQuantilesApprox(df: DataFrame, grpCol: String,
+                           valueCol: String,
+                           accuracy: Int = 10000): DataFrame = {
+    def q(p: Double) =
+      percentile_approx(col("__v"), lit(p), lit(accuracy))
+    df.filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        q(0.25).cast("long").as("p25"),
+        q(0.50).cast("long").as("p50"),
+        q(0.75).cast("long").as("p75"),
+        q(0.95).cast("long").as("p95"))
   }
 
   /** Kendall rank correlation (τ-b) between two integer columns of a
