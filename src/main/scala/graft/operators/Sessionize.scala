@@ -108,6 +108,16 @@ object Sessionize {
     * exactly t lands before a new join at t. Returns
     * (day, peak_concurrent).
     *
+    * Exact form of the report: a day appears ONLY if it contains at
+    * least one sweep point (a session start or end+1) — a day fully
+    * inside a multi-day session emits no row — and a day's peak
+    * reflects only its IN-DAY sweep points, so a day holding only
+    * releases reports the count after its first in-day event, which
+    * can understate a carry-in peak that stood at midnight. Both are
+    * properties of the sweep-point contract, not bugs; a
+    * boundary-carry row per day would close them at the cost of a
+    * per-day anchor join.
+    *
     * Scale: [[stats]]'s audited shape down to one row per session,
     * then ONE ordered window over the 2·|sessions| sweep points —
     * the exact audit form (per-day partitioned sweeps swap in at

@@ -59,7 +59,8 @@ object GeoQueries {
       s"""WITH pts AS (SELECT c_custkey, ${cx("c_custkey")} AS px,
           ${cy("c_custkey")} AS py FROM customer),
         polys(poly_id, dcx, dcy, dr) AS (VALUES $polyValues)
-        SELECT poly_id, COUNT(*) AS n_points, MIN(c_custkey) AS first_key
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+          COUNT(*) AS n_points, MIN(c_custkey) AS first_key
         FROM pts JOIN polys
           ON ABS(px - dcx) + ABS(py - dcy) <= dr
         GROUP BY poly_id ORDER BY poly_id"""

@@ -170,8 +170,8 @@ object MiscQueries {
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey,
-      to_json(struct_pack(name := c_name, seg := c_mktsegment,
-        nation := CAST(c_nationkey AS BIGINT))) AS doc,
+      CAST(to_json(struct_pack(name := c_name, seg := c_mktsegment,
+        nation := CAST(c_nationkey AS BIGINT))) AS VARCHAR) AS doc,
       json_extract_string(to_json(struct_pack(name := c_name,
         seg := c_mktsegment, nation := CAST(c_nationkey AS BIGINT))),
         '$.seg') AS seg_back
@@ -2219,19 +2219,22 @@ object MiscQueries {
             END)::HUGEINT AS n_null,
           SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
             THEN 1 ELSE 0 END)::HUGEINT AS n_orphans
-        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l_orderkey = o_orderkey),
       r2 AS (SELECT 'lineitem->part', COUNT(*)::HUGEINT,
           SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0
             END)::HUGEINT,
           SUM(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
             THEN 1 ELSE 0 END)::HUGEINT
-        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey),
+        FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON l_partkey = p_partkey),
       r3 AS (SELECT 'orders->customer', COUNT(*)::HUGEINT,
           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
             END)::HUGEINT,
           SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
             THEN 1 ELSE 0 END)::HUGEINT
-        FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o_custkey = c_custkey),
       u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
         UNION ALL SELECT * FROM r3)
       SELECT relation, CAST(n_child AS BIGINT) AS n_child,
