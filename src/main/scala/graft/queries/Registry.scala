@@ -7,7 +7,7 @@ object Registry {
   val all: Seq[Q] = CoreQueries.all ++ TextQueries.all ++
     VectorQueries.all ++ GeoQueries.all ++ MultimodalQueries.all ++
     MiscQueries.all ++ CorpusQueries.all ++ ZoningQueries.all ++
-    SamplingQueries.all
+    SamplingQueries.all ++ LifecycleQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

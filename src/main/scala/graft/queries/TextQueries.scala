@@ -2255,8 +2255,17 @@ object TextQueries {
         "lsh", "doc_id", "text")
       graft.operators.Release.record(store, "releases", "r1",
         Seq("corpus", "lsh"))
-      graft.operators.Release.readPinned(store, "releases", "r1",
-          "corpus")
+      // r13: the release's corpus pin also gets a NAMED TAG, and the
+      // released rollup is read THROUGH the tag — so tag write +
+      // readTag serve real bytes under this gate (same generation as
+      // the pin, so the oracle is untouched); the cross-check makes a
+      // tag/pin drift fail loudly here rather than hash-diff later
+      val pinned = graft.operators.Release.pins(store, "releases",
+        "r1")("corpus")
+      store.tag("corpus", "release-r1", Some(pinned))
+      require(store.tagGeneration("corpus", "release-r1")
+        .contains(pinned), "release tag drifted from the pin")
+      store.readTag("corpus", "release-r1")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(graft.functions.TextFunctions.tokenCount(col("text")))

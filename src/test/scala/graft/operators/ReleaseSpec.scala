@@ -59,6 +59,29 @@ class ReleaseSpec extends SparkSpec {
     assert(Release.pins(store, "releases", "r3")("corpus") == g)
   }
 
+  test("release pin <-> named tag round-trip serves the same bytes (q149's shape)") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_rel_tag").toString,
+      retainGenerations = 10)
+    store.append("corpus", Seq((1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text"))
+    Release.record(store, "releases", "r1", Seq("corpus"))
+    // tag the release's corpus pin by name, then churn the table:
+    // readTag must keep serving the PINNED snapshot, bit-identical
+    // to readPinned — the q149 gate's release-r1 wiring
+    val pinned = Release.pins(store, "releases", "r1")("corpus")
+    store.tag("corpus", "release-r1", Some(pinned))
+    store.append("corpus", Seq((3L, "gamma")).toDF("doc_id", "text"))
+    assert(store.tagGeneration("corpus", "release-r1")
+      .contains(pinned))
+    assert(store.readTag("corpus", "release-r1")
+      .as[(Long, String)].collect().toSet ==
+      Release.readPinned(store, "releases", "r1", "corpus")
+        .as[(Long, String)].collect().toSet)
+    assert(store.readTag("corpus", "release-r1").count() == 2)
+    assert(store.read("corpus").count() == 3)
+  }
+
   test("aged-out pins are reported, not silently misread") {
     val store = new TableStore(spark,
       Files.createTempDirectory("graft_rel2").toString,
