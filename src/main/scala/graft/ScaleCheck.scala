@@ -5,8 +5,9 @@ import org.apache.spark.sql.types._
 
 /** One-command reproduction of the 10× scale sweep PLANS.md records as
   * ad-hoc spark-shell runs: regenerates the seeded sf1-style fixture
-  * (documents ×10, embeddings ×10, other tables copied from the base
-  * SF), times the named control + production-default queries on BOTH
+  * (documents ×10, embeddings ×10; r13: events and the TPC-H tables
+  * ×10 as consistent key-offset copies, nation/region as true dims),
+  * times the named control + production-default queries on BOTH
   * directories (one warmup, min of two timed passes into a noop sink —
   * the Bench discipline), and emits ONE JSON line with per-query
   * base/scaled seconds and the ratio. A ratio ≳ 10× on a linear
@@ -126,9 +127,57 @@ object ScaleCheck {
         spark.sparkContext.parallelize(genEmbeddings(nEmb, dim), 16),
         embSchema)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // remaining tables ride along unchanged (same-run controls)
-    val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+    // r13: events and the TPC-H fact/dim tables scale 10× too —
+    // 10 key-offset copies with CONSISTENT foreign keys (copy i of
+    // orders references copy i of customers, etc.), so the funnel/
+    // session/survival/join families measure real growth instead of
+    // an unchanged rider fixture. nation/region stay (true dims:
+    // 10× customers per nation is the realistic scale-out). Offsets
+    // are (max base key + 1), so copies never collide.
+    val copies = spark.range(10)
+      .select(col("id").cast("long").as("__i"))
+    def keyMax(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
+    // uniquify: entity-NAME columns get a per-copy suffix — md5-of-
+    // name uuid joins (q245's enrichment keys) would otherwise fan
+    // out 10× on copy-duplicated names and read as a false quadratic
+    def replicate(t: String, uniquify: Seq[String],
+                  keyOffsets: (String, Long)*): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      val off = keyOffsets.toMap
+      val outCols = base.columns.map { c =>
+        off.get(c) match {
+          case Some(m) => (col(c) + col("__i") * m).as(c)
+          case None if uniquify.contains(c) =>
+            concat(col(c), lit("#"), col("__i")).as(c)
+          case None => col(c)
+        }
+      }
+      base.crossJoin(copies).select(outCols.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    val custOff = keyMax(
+      spark.read.parquet(s"$baseDir/customer.parquet"), "c_custkey")
+    val suppOff = keyMax(
+      spark.read.parquet(s"$baseDir/supplier.parquet"), "s_suppkey")
+    val partOff = keyMax(
+      spark.read.parquet(s"$baseDir/part.parquet"), "p_partkey")
+    val orderOff = keyMax(
+      spark.read.parquet(s"$baseDir/orders.parquet"), "o_orderkey")
+    val evOff = keyMax(
+      spark.read.parquet(s"$baseDir/events.parquet"), "event_id")
+    val userOff = keyMax(
+      spark.read.parquet(s"$baseDir/events.parquet"), "user_id")
+    replicate("customer", Seq("c_name"), "c_custkey" -> custOff)
+    replicate("supplier", Seq("s_name"), "s_suppkey" -> suppOff)
+    replicate("part", Nil, "p_partkey" -> partOff)
+    replicate("orders", Nil, "o_orderkey" -> orderOff,
+      "o_custkey" -> custOff)
+    replicate("lineitem", Nil, "l_orderkey" -> orderOff,
+      "l_partkey" -> partOff, "l_suppkey" -> suppOff)
+    replicate("events", Nil, "event_id" -> evOff,
+      "user_id" -> userOff)
+    val others = Seq("region", "nation")
     others.foreach { t =>
       val src = new Path(s"$baseDir/$t.parquet")
       if (fs.exists(src))
@@ -152,13 +201,18 @@ object ScaleCheck {
     // training, leakage-free splits
     "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
     "q123",
-    // round 11 (documents-scaling ops only — orders/events ride along
-    // unchanged in the fixture, so their queries would measure noise):
-    // release capstone, packing, winnowing pairs + persisted screen,
-    // KS drift, dHash / envelope / silence decodes, content digest,
-    // MAD outliers
+    // round 11 (documents-scaling ops; at the time orders/events rode
+    // along unchanged): release capstone, packing, winnowing pairs +
+    // persisted screen, KS drift, dHash / envelope / silence decodes,
+    // content digest, MAD outliers
     "q149", "q150", "q151", "q152", "q153", "q154", "q155", "q156",
-    "q157", "q160")
+    "q157", "q160",
+    // round 13 (the fixture now scales events + TPC-H tables 10× with
+    // consistent FKs, so these measure real growth): event funnel,
+    // poisson + grouped bootstrap, Kaplan-Meier survival, peak
+    // session concurrency, the six-table Q5-shape and Q3-shape joins,
+    // and the full listings lifecycle (customer/supplier/part-fed)
+    "q158", "q171", "q191", "q226", "q240", "q243", "q244", "q245")
 
   def main(args: Array[String]): Unit = {
     val baseDir =

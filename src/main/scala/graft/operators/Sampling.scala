@@ -104,7 +104,24 @@ object Sampling {
     * map-side count (≤ splits+1 cells); N rides a one-row broadcast.
     */
   def srmCheck(df: DataFrame, keyCol: String,
-               splits: Seq[(String, Double)], salt: String): DataFrame = {
+               splits: Seq[(String, Double)], salt: String): DataFrame =
+    srmFromCounts(
+      assignSplits(df, keyCol, splits, salt)
+        .select(coalesce(col("split"), lit("[HOLDOUT]")).as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_obs")),
+      splits)
+
+  /** The SRM report from PRE-AGGREGATED (split, n_obs) observation
+    * counts — [[srmCheck]]'s finisher, split out so the streaming
+    * twin ([[graft.streaming.Streams.srmMaintain]]) can sum its
+    * per-batch additive increments and hand the totals here: counts
+    * are additive across batches, the χ² term (which divides by the
+    * grand total N) is not. Same spans, same exact integral term,
+    * same output schema as [[srmCheck]]; splits absent from `counts`
+    * report n_obs = 0 against their span.
+    */
+  def srmFromCounts(counts: DataFrame,
+                    splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
     val D = "decimal(38,0)"
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
@@ -116,14 +133,13 @@ object Sampling {
       else spans
     require(all.forall(_._2 > 0),
       s"every split needs a positive bucket span, got $all")
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val spanDf = all.toDF("split", "span")
-    val assigned = assignSplits(df, keyCol, splits, salt)
-      .select(coalesce(col("split"), lit("[HOLDOUT]")).as("split"))
-      .groupBy(col("split")).agg(count(lit(1)).as("__o"))
-    val n = assigned.agg(sum(col("__o")).as("__n"))
-    spanDf.join(assigned, Seq("split"), "left")
+    val obs = counts.groupBy(col("split"))
+      .agg(sum(col("n_obs")).as("__o"))
+    val n = obs.agg(sum(col("__o")).as("__n"))
+    spanDf.join(obs, Seq("split"), "left")
       .na.fill(0L, Seq("__o"))
       .crossJoin(broadcast(n))
       .select(col("split"), col("__o").cast("long").as("n_obs"),

@@ -331,6 +331,87 @@ object Streams {
       .toDF("event_type", "n", "n_rapid")
   }
 
+  /** Streaming expectations accounting — the stream form of
+    * [[graft.operators.Expectations.accountingBy]] (the 3am
+    * data-quality trend monitor): rule predicates are pure per-row
+    * classifications, so every micro-batch emits ADDITIVE
+    * (group, rule, n_rows) increments — per declared rule plus the
+    * `__total` / `__admitted` synthetics — and the summed output
+    * converges to the batch accounting of everything ingested
+    * regardless of the split (spec-proven differential, the
+    * [[transitionMaintain]] convention; the batch twin's wide
+    * one-column-per-rule frame is this long frame pivoted). No
+    * cross-batch state is needed; the unused GroupState slot is the
+    * price of an Append-mode per-group rollup.
+    */
+  def accountingByMaintain(df: DataFrame, groupCol: String,
+      rules: Seq[graft.operators.Expectations.Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"rule names must be distinct, got ${rules.map(_.name)}")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = rules.map(_.name)
+    val keyed = df.select(col(groupCol).cast("string"),
+        array(rules.map(r =>
+          (!coalesce(r.cond, lit(false))).cast("long")): _*))
+      .as[(String, Seq[Long])]
+    def roll(g: String, rows: Iterator[(String, Seq[Long])],
+             state: GroupState[Long]): Iterator[(String, String, Long)] = {
+      var n = 0L
+      var admitted = 0L
+      val viol = Array.fill(names.size)(0L)
+      rows.foreach { case (_, flags) =>
+        n += 1L
+        var any = false
+        var i = 0
+        while (i < viol.length) {
+          viol(i) += flags(i)
+          if (flags(i) != 0L) any = true
+          i += 1
+        }
+        if (!any) admitted += 1L
+      }
+      (names.indices.map(i => (g, names(i), viol(i))) ++
+        Seq((g, "__admitted", admitted), (g, "__total", n))).iterator
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(roll)
+      .toDF(groupCol, "rule", "n_rows")
+  }
+
+  /** Streaming SRM observation counter — the stream form of
+    * [[graft.operators.Sampling.srmCheck]]: split assignment is the
+    * same narrow deterministic md5-bucket projection
+    * ([[graft.operators.Sampling.assignSplits]]), so each micro-batch
+    * emits ADDITIVE (split, n_obs) increments; the χ² report divides
+    * by the grand total and is NOT additive, so the finisher
+    * [[graft.operators.Sampling.srmFromCounts]] runs over the SUMMED
+    * increments and reproduces the batch report exactly (spec-proven
+    * differential). Unassigned rows count under `[HOLDOUT]`, matching
+    * the batch twin.
+    */
+  def srmMaintain(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = graft.operators.Sampling
+      .assignSplits(df, keyCol, splits, salt)
+      .select(coalesce(col("split"), lit("[HOLDOUT]")).as("split"))
+      .as[String]
+    def bump(split: String, rows: Iterator[String],
+             state: GroupState[Long]): Iterator[(String, Long)] =
+      Iterator.single((split, rows.size.toLong))
+    assigned.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(bump)
+      .toDF("split", "n_obs")
+  }
+
   /** Streaming count-min sketch maintenance — the stream form of
     * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
     * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are

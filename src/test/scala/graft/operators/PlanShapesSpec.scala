@@ -66,6 +66,38 @@ class PlanShapesSpec extends SparkSpec {
       !p2.contains("CartesianProduct"), p2)
   }
 
+  test("q243: dim chain broadcasts; no sort-merge on any dim leg") {
+    // the TPC-H Q5 shape: supplier⋈nation⋈region collapse into ONE
+    // broadcast side before the fact joins — a stats change must not
+    // silently flip a dim leg to a shuffle join
+    val q = graft.queries.Registry.queries("q243_local_supplier_revenue")
+    val p = plan(q(spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val smjDimLines = p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filter(l => l.contains("s_suppkey") || l.contains("n_nationkey")
+        || l.contains("n_regionkey") || l.contains("r_regionkey"))
+      .toSeq
+    assert(smjDimLines.isEmpty,
+      s"dim leg fell off broadcast:\n${smjDimLines.mkString("\n")}\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q244: global top-10 is TakeOrdered, never a full sort") {
+    // the TPC-H Q3 shape: orderBy(...).limit(10) must collapse to
+    // TakeOrderedAndProject (per-partition top-10 + driver merge) —
+    // a refactor that materializes a global Sort before the limit
+    // re-serializes the whole rollup through one range exchange
+    val q = graft.queries.Registry.queries("q244_top_unshipped")
+    val df = q(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the segment filter is a semi join: customers must never
+    // multiply lineitem rows
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("markovAccuracy: exactly one window pass over the events") {
     val ev = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "B"))
       .toDF("u", "t", "id", "ty")

@@ -915,4 +915,96 @@ class StreamsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("accountingByMaintain: summed increments == batch accounting of the union") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val in = Files.createTempDirectory("graft_abm_in").toString
+    val out = Files.createTempDirectory("graft_abm_out").toString
+    val ckpt = Files.createTempDirectory("graft_abm_ckpt").toString
+    val sch = StructType.fromDDL("src string, v long, ty string")
+    // nulls MUST violate (the pinned three-valued-logic stance) and a
+    // row violating both rules counts under each but admits once
+    val all = Seq(
+      ("a", Some(5L), Some("x")), ("a", Some(-1L), Some("x")),
+      ("a", None, Some("y")), ("a", Some(-2L), None),
+      ("b", Some(1L), Some("y")), ("b", Some(2L), Some("z")))
+    def js(rows: Seq[(String, Option[Long], Option[String])]) =
+      rows.map { case (g, v, ty) =>
+        val vs = v.map(_.toString).getOrElse("null")
+        val ts = ty.map("\"" + _ + "\"").getOrElse("null")
+        s"""{"src":"$g","v":$vs,"ty":$ts}"""
+      }
+    def rules = Seq(
+      Rule("v_positive", col("v") > 0),
+      Rule("ty_known", col("ty").isin("x", "y")))
+    val (b1, b2) = all.splitAt(3) // the both-rules row crosses batches
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.accountingByMaintain(
+        spark.readStream.schema(sch).json(in), "src", rules),
+      out, ckpt)
+    writeBatch(in, "b1.json", js(b1)); run()
+    writeBatch(in, "b2.json", js(b2)); run()
+    val got = spark.read.parquet(out)
+      .groupBy($"src", $"rule")
+      .agg(org.apache.spark.sql.functions.sum($"n_rows").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    // batch twin pivoted to the long shape
+    val batch = Expectations.accountingBy(
+        all.toDF("src", "v", "ty"), "src", rules)
+      .collect().flatMap { r =>
+        val g = r.getString(0)
+        Seq((g, "__total", r.getLong(1)),
+          (g, "v_positive", r.getLong(2)),
+          (g, "ty_known", r.getLong(3)),
+          (g, "__admitted", r.getLong(4)))
+      }.toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+    // the fixture must actually exercise the null-violates stance
+    // (None value and None type both count) + a double-violation row
+    assert(batch.contains(("a", "v_positive", 3L)), batch.toString)
+    assert(batch.contains(("a", "ty_known", 1L)), batch.toString)
+    assert(batch.contains(("a", "__admitted", 1L)), batch.toString)
+    run() // drained restart emits nothing new
+    val again = spark.read.parquet(out)
+      .groupBy($"src", $"rule")
+      .agg(org.apache.spark.sql.functions.sum($"n_rows").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("srmMaintain: srmFromCounts over summed increments == batch srmCheck") {
+    import graft.operators.Sampling
+    val in = Files.createTempDirectory("graft_srm_in").toString
+    val out = Files.createTempDirectory("graft_srm_out").toString
+    val ckpt = Files.createTempDirectory("graft_srm_ckpt").toString
+    val sch = StructType.fromDDL("id long")
+    val splits = Seq("train" -> 0.6, "test" -> 0.3) // 10% holdout
+    val ids = (0L until 400L).toSeq
+    def js(rows: Seq[Long]) = rows.map(i => s"""{"id":$i}""")
+    val (b1, b2) = ids.splitAt(170)
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.srmMaintain(
+        spark.readStream.schema(sch).json(in), "id", splits, "srm"),
+      out, ckpt)
+    writeBatch(in, "b1.json", js(b1)); run()
+    writeBatch(in, "b2.json", js(b2)); run()
+    val summed = spark.read.parquet(out)
+      .groupBy($"split")
+      .agg(org.apache.spark.sql.functions.sum($"n_obs").as("n_obs"))
+    val got = Sampling.srmFromCounts(summed, splits)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = Sampling.srmCheck(ids.toDF("id"), "id", splits, "srm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+    // all three cells observed (holdout included) and N conserved
+    assert(got.map(_._1) == Set("train", "test", "[HOLDOUT]"))
+    assert(got.toSeq.map(_._2).sum == 400L)
+    run() // drained restart emits nothing new
+    val again = Sampling.srmFromCounts(
+      spark.read.parquet(out).groupBy($"split")
+        .agg(org.apache.spark.sql.functions.sum($"n_obs").as("n_obs")),
+      splits).as[(String, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }
