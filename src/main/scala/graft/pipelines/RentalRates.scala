@@ -60,10 +60,20 @@ final class RentalRates(spark: SparkSession, store: TableStore) {
       .na.drop(Seq("rate_num", "latitude", "longitude"))
       .withColumn("utm",
         GeoFunctions.toUtm(col("longitude"), col("latitude"), 12))
-      .withColumn("grid_id", GeoFunctions.gridCellId(
-        col("utm.easting"), col("utm.northing"),
-        origin._1, origin._2, cellSize, nCellsX))
-      .filter(col("grid_id") >= 0 && col("grid_id") < nCellsX * nCellsX)
+      // PER-AXIS range filter, not a packed-id range: a point west of
+      // the grid with a positive row index (cx = -28, cy = 10) packs
+      // to a legal-LOOKING id (10·64 − 28 = 612) and would silently
+      // alias into cell (612 % 64, 612 div 64) — the reference's
+      // containment join (aggregate_rental_rates.py:122-123) admits
+      // only true containment, so must we (r13 fix, found while
+      // mirroring this leg for the q246 lifecycle gate)
+      .withColumn("__cx", GeoFunctions.gridCellX(
+        col("utm.easting"), origin._1, cellSize))
+      .withColumn("__cy", GeoFunctions.gridCellX(
+        col("utm.northing"), origin._2, cellSize))
+      .filter(col("__cx") >= 0 && col("__cx") < nCellsX &&
+        col("__cy") >= 0 && col("__cy") < nCellsX)
+      .withColumn("grid_id", col("__cy") * nCellsX + col("__cx"))
     val out = rents.groupBy(col("grid_id"), col("bedrooms"))
       .agg(
         ExactAgg.avgFx(col("rate_num")).as("avg_rate"),

@@ -172,39 +172,63 @@ object GeoQueriesSqlMirror {
   private val EP2 = E2 / (1 - E2)
   private val lon0 = -111.0 // zone 12
 
-  val utmSql: String = {
+  /** The q26 synthesized Edmonton-area coordinates (keep the Scala
+    * Column and SQL forms in GeoQueries/LifecycleQueries identical).
+    */
+  def lonSql(k: String): String =
+    s"(-114.2 + CAST(($k * 37) % 1200 AS DOUBLE) / 1000.0)"
+  def latSql(k: String): String =
+    s"(53.2 + CAST(($k * 53) % 700 AS DOUBLE) / 1000.0)"
+
+  /** The Krüger-series CTE chain `tm → terms → parts → utm`, carrying
+    * `carry` columns through from a `pts` CTE that must provide
+    * (lon, lat, carry…); `utm` holds UNROUNDED easting/northing.
+    * Formula shape (operator order, literals) is identical to
+    * [[graft.functions.GeoFunctions.toUtm]] — reused by q26 (rounded
+    * comparison) and q246 (grid-cell floor; boundary margins audited,
+    * see LifecycleQueries.q246).
+    */
+  def utmChain(carry: Seq[String]): String = {
+    val cs = carry.mkString(", ")
     val m1 = 1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256
     val m2 = 3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024
     val m3 = 15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024
     val m4 = 35 * E2 * E2 * E2 / 3072
-    s"""WITH pts AS (SELECT c_custkey,
-        (-114.2 + CAST((c_custkey * 37) % 1200 AS DOUBLE) / 1000.0) AS lon,
-        (53.2 + CAST((c_custkey * 53) % 700 AS DOUBLE) / 1000.0) AS lat
-        FROM customer),
-      tm AS (SELECT c_custkey,
+    s"""tm AS (SELECT $cs,
         (lat * ${math.Pi / 180.0}) AS phi,
         ((lon - $lon0) * ${math.Pi / 180.0}) AS dlam
         FROM pts),
-      terms AS (SELECT c_custkey, phi, dlam,
+      terms AS (SELECT $cs, phi, dlam,
         SIN(phi) AS sinphi, COS(phi) AS cosphi,
         (SIN(phi) / COS(phi)) AS tanphi,
         ($A / SQRT(1.0 - $E2 * SIN(phi) * SIN(phi))) AS nrad
         FROM tm),
-      parts AS (SELECT c_custkey, phi, dlam, sinphi, cosphi, tanphi, nrad,
+      parts AS (SELECT $cs, phi, dlam, sinphi, cosphi, tanphi, nrad,
         (tanphi * tanphi) AS t,
         ($EP2 * cosphi * cosphi) AS c,
         (cosphi * dlam) AS aa,
         ($A * ($m1 * phi - $m2 * SIN(phi * 2) + $m3 * SIN(phi * 4)
           - $m4 * SIN(phi * 6))) AS m
-        FROM terms)
-      SELECT c_custkey,
-        ROUND($K0 * nrad * (aa + (1.0 - t + c) * POW(aa, 3) / 6
+        FROM terms),
+      utm AS (SELECT $cs,
+        ($K0 * nrad * (aa + (1.0 - t + c) * POW(aa, 3) / 6
           + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * $EP2)
-            * POW(aa, 5) / 120) + 500000.0, 4) AS easting,
-        ROUND($K0 * (m + nrad * tanphi * (POW(aa, 2) / 2
+            * POW(aa, 5) / 120) + 500000.0) AS easting,
+        ($K0 * (m + nrad * tanphi * (POW(aa, 2) / 2
           + (5.0 - t + 9.0 * c + 4.0 * c * c) * POW(aa, 4) / 24
           + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * $EP2)
-            * POW(aa, 6) / 720)), 4) AS northing
-      FROM parts ORDER BY c_custkey"""
+            * POW(aa, 6) / 720))) AS northing
+        FROM parts)"""
   }
+
+  val utmSql: String =
+    s"""WITH pts AS (SELECT c_custkey,
+        ${lonSql("c_custkey")} AS lon,
+        ${latSql("c_custkey")} AS lat
+        FROM customer),
+      ${utmChain(Seq("c_custkey"))}
+      SELECT c_custkey,
+        ROUND(easting, 4) AS easting,
+        ROUND(northing, 4) AS northing
+      FROM utm ORDER BY c_custkey"""
 }

@@ -285,5 +285,226 @@ object LifecycleQueries {
       FROM rep GROUP BY tbl, brokerage, tag
       ORDER BY tbl, brokerage, tag"""))
 
-  val all: Seq[Q] = Seq(q245)
+  /** Deterministic §3.2 liv.rent-shaped buildings feed: one row per
+    * customer with a 1–3 element `units` array<struct> (the U3
+    * explode input), generation-parameterized — generation 2 drops
+    * every ninth building and re-prices every fourth building's units
+    * +$50 (a changed rate is a NEW 6-column listing key: the
+    * reference's re-list-at-new-rate semantics). Coordinates are
+    * q26's synthesized Edmonton points, so the oracle reuses the
+    * proven Krüger-series SQL mirror.
+    */
+  private def livBuildings(customer: DataFrame, g: Int): DataFrame = {
+    val k = col("c_custkey")
+    def unit(j: Int) = struct(
+      lit(s"u$j").as("unit_no"),
+      concat(lit("$1,"), lpad(((k * 7 + j * 13) % 900 +
+        (if (g == 2) when(k % 4 === 0, 50).otherwise(0)
+         else lit(0))).cast("string"), 3, "0")).as("rate"),
+      (lit(1) + (k + j) % 3).cast("string").as("beds"),
+      (lit(1) + j % 2).cast("string").as("baths"),
+      (lit(500) + (k % 10) * 25).cast("string").as("size"),
+      lit("2026-01-01").as("date"))
+    val base = customer.select(
+      k.as("k"),
+      col("c_name").as("name"),
+      concat(lit("addr-"), k).as("address"),
+      (lit(53.2) + ((k * 53) % 700).cast("double") / 1000.0)
+        .cast("string").as("lat"),
+      (lit(-114.2) + ((k * 37) % 1200).cast("double") / 1000.0)
+        .cast("string").as("lng"),
+      slice(array(unit(1), unit(2), unit(3)), lit(1),
+        (k % 3 + 1).cast("int")).as("units"))
+    if (g == 2) base.filter(col("k") % 9 =!= 0) else base
+  }
+
+  /** q246 — the §3.2 RENTAL-RATES LIFECYCLE capstone: two full
+    * generations through [[graft.pipelines.RentalRates]] — GraphQL-
+    * shaped buildings→units explode (U3), 6-column-key
+    * ON-CONFLICT-DO-NOTHING dedupe-upsert
+    * (combine_and_format.py:85-131), then the aggregation leg
+    * (aggregate_rental_rates.py:93-170): $,-strip numeric coercion,
+    * dropna, the REAL Krüger-series WGS84→UTM projection, closed-form
+    * 64×64×500 m grid cells with PER-AXIS containment, and the
+    * per-(cell, bedrooms) avg/count/stddev report in ExactAgg fixed
+    * point. The oracle replays everything — including the UTM series
+    * (q26's mirror, trig drift ~1e-6 m) — and the grid floor is safe
+    * because the fixture's minimum distance to any 500 m cell
+    * boundary is 4.7 mm (audited over custkeys 0–15000, i.e. through
+    * sf0.1; the q72 margin rule).
+    */
+  private val q246 = Q("q246_rentals_lifecycle",
+    (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q246_rent").toString
+      val store = new graft.sources.TableStore(s, root)
+      val pipe = new graft.pipelines.RentalRates(s, store)
+      for (g <- Seq(1, 2))
+        pipe.combineAndFormat(
+          pipe.explodeUnits(livBuildings(customer, g).drop("k")))
+      pipe.aggregate(origin = (300000.0, 5900000.0))
+        .select(col("grid_id"), col("bedrooms"), col("avg_rate"),
+          col("listing_count"), col("std_dev"))
+        .orderBy(col("grid_id"), col("bedrooms"))
+    },
+    Some {
+      val lon = GeoQueriesSqlMirror.lonSql("k")
+      val lat = GeoQueriesSqlMirror.latSql("k")
+      val chain = GeoQueriesSqlMirror.utmChain(
+        Seq("rate_num", "bedrooms"))
+      s"""WITH gens AS (SELECT UNNEST([1, 2]) AS g),
+        units AS (
+          SELECT c_custkey AS k, g, j, c_name AS building,
+            'addr-' || c_custkey AS address,
+            '$$1,' || LPAD(CAST((c_custkey * 7 + j * 13) % 900
+              + CASE WHEN g = 2 AND c_custkey % 4 = 0 THEN 50
+                ELSE 0 END AS VARCHAR), 3, '0') AS rental_rate,
+            CAST(1 + (c_custkey + j) % 3 AS INT) AS bedrooms,
+            CAST(1 + j % 2 AS VARCHAR) AS bathrooms,
+            CAST(500 + (c_custkey % 10) * 25 AS VARCHAR) AS size
+          FROM customer, gens,
+            UNNEST(generate_series(1, 1 + c_custkey % 3)) AS u(j)
+          WHERE NOT (g = 2 AND c_custkey % 9 = 0)),
+        g1 AS (SELECT * FROM units WHERE g = 1),
+        g2 AS (SELECT * FROM units WHERE g = 2),
+        final AS (
+          SELECT * FROM g1
+          UNION ALL
+          SELECT g2.* FROM g2 ANTI JOIN g1
+            USING (building, address, rental_rate, bedrooms,
+              bathrooms, size)),
+        pts AS (SELECT
+            TRY_CAST(REGEXP_REPLACE(rental_rate, '[$$,]', '', 'g')
+              AS DOUBLE) AS rate_num,
+            bedrooms, $lon AS lon, $lat AS lat
+          FROM final),
+        $chain,
+        cells AS (SELECT rate_num, bedrooms,
+            CAST(FLOOR((easting - 300000.0) / 500.0) AS BIGINT) AS cx,
+            CAST(FLOOR((northing - 5900000.0) / 500.0) AS BIGINT) AS cy
+          FROM utm WHERE rate_num IS NOT NULL)
+      SELECT (cy * 64 + cx) AS grid_id, bedrooms,
+        ${graft.functions.Sql.avgFx("rate_num")} AS avg_rate,
+        COUNT(*) AS listing_count,
+        ${graft.functions.Sql.stddevFx("rate_num")} AS std_dev
+      FROM cells
+      WHERE cx >= 0 AND cx < 64 AND cy >= 0 AND cy < 64
+      GROUP BY grid_id, bedrooms
+      ORDER BY grid_id, bedrooms"""
+    })
+
+  /** Deterministic §3.3 scraped-transcript feed: each document becomes
+    * a council meeting whose `transcript` map holds up to 12
+    * eight-token snippets keyed by a seconds offset (the S9 scraper's
+    * output contract). Pure projection — the oracle rebuilds the same
+    * snippet grid from the raw space-split tokens.
+    */
+  private def councilFeed(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val m = least(ceil(size(tk).cast("double") / 8.0).cast("long"),
+      lit(12L))
+    docs.select(
+      concat(lit("v-"), col("doc_id")).as("video_url"),
+      array_join(slice(tk, 1, 5), " ").as("title"),
+      lit("2026-01-05").as("date"),
+      map_from_entries(transform(sequence(lit(0L), m - 1),
+        j => struct((j * 10L).as("ts"),
+          array_join(slice(tk, (j * lit(8) + 1).cast("int"), lit(8)),
+            " ").as("text")))).as("transcript"),
+      col("doc_id"))
+  }
+
+  /** q247 — the §3.3 COUNCIL-TRANSCRIPTS LIFECYCLE capstone: the full
+    * ingest → chunk+embed+index → reconcile → retrieve+summarize DAG
+    * against one TableStore, with the reference's failure modes
+    * choreographed in-gate: (1) ingest half the meetings and vectorize
+    * them; (2) ingest the full feed — the DO-NOTHING url upsert must
+    * skip the half already present; (3) CORRUPT a subset of the new
+    * meetings' `vectorized` flags without vectors (the DB-vs-store
+    * disagreement of transcripts_to_vector_db.py:317-381); (4)
+    * [[graft.pipelines.Transcripts.reconcile]] must re-queue exactly
+    * those; (5) a second vectorize must chunk each remaining meeting
+    * ONCE (incremental L6 — double-chunking doubles n_chunks and
+    * fails the hash); (6) summarize with k ≥ every meeting's chunk
+    * count, so the report is invariant to the cosine retrieval ORDER
+    * (hash embeddings aren't SQL-mirrorable; the [NONE] sentinel
+    * decision — any normalized token longer than 3 chars in the
+    * meeting's covered text — is order-free and mirrored exactly).
+    * Report: per meeting, chunk/snippet accounting, both flags, and
+    * whether a summary row landed.
+    */
+  private val q247 = Q("q247_transcripts_lifecycle",
+    (s, dir) => {
+      val feed = councilFeed(t(s, dir, "documents"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q247_tx").toString
+      val store = new graft.sources.TableStore(s, root)
+      val pipe = new graft.pipelines.Transcripts(s, store)
+      pipe.ingest(feed.filter(col("doc_id") % 2 === 0).drop("doc_id"))
+      pipe.vectorize(n = 5, overlap = 2)
+      pipe.ingest(feed.drop("doc_id"))
+      // inject the reference's crash inconsistency: flagged vectorized
+      // with no vectors in the store
+      store.updateFlag("council_transcripts",
+        feed.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 1)
+          .select(col("video_url")),
+        Seq("video_url"), "vectorized", 1)
+      pipe.reconcile()
+      pipe.vectorize(n = 5, overlap = 2)
+      pipe.summarize(k = 1000)
+      val flags = store.read("council_transcripts")
+        .select(col("video_url"),
+          col("vectorized").cast("long").as("vectorized"),
+          col("summarized").cast("long").as("summarized"))
+      val chunks = store.read("transcript_vectors")
+        .groupBy(col("video_url"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_items")).cast("long").as("sum_items"))
+      val summaries = store.read("transcript_summaries")
+        .groupBy(col("video_url"))
+        .agg(count(lit(1)).as("n_summary"))
+      flags.join(chunks, Seq("video_url"), "left")
+        .join(summaries, Seq("video_url"), "left")
+        .na.fill(0L, Seq("n_chunks", "sum_items", "n_summary"))
+        .select(col("video_url"), col("n_chunks"), col("sum_items"),
+          col("vectorized"), col("summarized"), col("n_summary"))
+        .orderBy(col("video_url"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          STRING_SPLIT(text, ' ') AS tk FROM documents),
+      mm AS (SELECT doc_id, tk,
+          LEAST(CAST(CEIL(LEN(tk) / 8.0) AS BIGINT), 12) AS m
+        FROM toks),
+      sn AS (SELECT doc_id,
+          UNNEST(generate_series(1, CAST(m AS INT))) AS rn
+        FROM mm),
+      ex AS (SELECT doc_id, rn,
+          UNNEST(range(GREATEST(0, CAST(CEIL((rn - 5) / 3.0)
+            AS BIGINT)), CAST(FLOOR((rn - 1) / 3.0) AS BIGINT) + 1))
+            AS chunk_id
+        FROM sn),
+      ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_items
+        FROM ex GROUP BY doc_id, chunk_id),
+      agg AS (SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(n_items) AS BIGINT) AS sum_items
+        FROM ch GROUP BY doc_id),
+      ctx AS (SELECT doc_id,
+          ${TextQueries.normSql(
+            "ARRAY_TO_STRING(tk[1 : CAST(m * 8 AS INT)], ' ')")}
+            AS nrm
+        FROM mm),
+      kept AS (SELECT doc_id,
+          CASE WHEN LENGTH(nrm) = 0 THEN 0
+            WHEN LEN(LIST_FILTER(STRING_SPLIT(nrm, ' '),
+              x -> LENGTH(x) > 3)) > 0 THEN 1 ELSE 0 END AS n_summary
+        FROM ctx)
+      SELECT 'v-' || a.doc_id AS video_url, a.n_chunks, a.sum_items,
+        CAST(1 AS BIGINT) AS vectorized,
+        CAST(1 AS BIGINT) AS summarized,
+        CAST(k.n_summary AS BIGINT) AS n_summary
+      FROM agg a JOIN kept k USING (doc_id)
+      ORDER BY video_url"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247)
 }
