@@ -1478,6 +1478,81 @@ object Profile {
         q(0.95).cast("long").as("p95"))
   }
 
+  /** Per-group EQUI-DEPTH histogram of an integer column: `bins`
+    * buckets of (near-)equal ROW COUNT — the adaptive binning every
+    * skewed metric needs (equi-WIDTH bins put 99% of a long-tailed
+    * length distribution in bucket 0; equi-depth puts 1/B
+    * everywhere). Exact rank form: a row at rank rn of the tie-free
+    * (value, tie) order lands in bin ⌊(rn−1)·B/n⌋ (all-integer, bin
+    * sizes differ by at most one, deterministic). Returns
+    * (grp, bin, n_rows, lo, hi) — lo/hi are ACTUAL data values, and
+    * adjacent bins may share a boundary value when ties straddle a
+    * cut (rank semantics, the q47 never-interpolate convention).
+    *
+    * Scale: one rank window per group — the exact audit form;
+    * [[equiDepthBinsApprox]] is the GK production twin (value-banded
+    * bins, no window).
+    */
+  def equiDepthBins(df: DataFrame, grpCol: String, valueCol: String,
+                    tieCols: Seq[String], bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(tieCols.nonEmpty, "tieCols must pin a total order")
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select((Seq(col(grpCol).as("grp"),
+        col(valueCol).cast("long").as("__v")) ++
+        tieCols.map(col)): _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy((col("__v") +: tieCols.map(col)).map(_.asc): _*))
+        .cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("bin", expr(s"((__rn - 1) * $bins) div __n"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("__v")).cast("long").as("lo"),
+        max(col("__v")).cast("long").as("hi"))
+  }
+
+  /** [[equiDepthBins]]'s production twin: bin BOUNDARY VALUES from one
+    * Greenwald–Khanna `percentile_approx` aggregate per group
+    * (boundaries at i/B, i = 1..B−1), broadcast back, each row graded
+    * into the first bin whose upper boundary admits it — no window,
+    * no per-group sort. Semantics differ from the rank form exactly
+    * where value grading must: a tie run spanning a rank cut lands
+    * WHOLE in one bin here (bin sizes drift by the tie mass, plus GK
+    * rank error ≤ n/accuracy), and bins emptied by heavy ties are
+    * absent. The spec bounds sizes and boundary ranks against the
+    * exact twin.
+    */
+  def equiDepthBinsApprox(df: DataFrame, grpCol: String,
+                          valueCol: String, bins: Int,
+                          accuracy: Int = 10000): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = df.filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        col(valueCol).cast("long").as("__v"))
+    if (bins == 1)
+      return v.groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("__v")).cast("long").as("lo"),
+          max(col("__v")).cast("long").as("hi"))
+        .select(col("grp"), lit(0L).as("bin"), col("n_rows"),
+          col("lo"), col("hi"))
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bd = v.groupBy(col("grp"))
+      .agg(percentile_approx(col("__v"), array(ps.map(lit): _*),
+        lit(accuracy)).as("__b"))
+    v.join(broadcast(bd), Seq("grp"))
+      .withColumn("bin",
+        size(filter(col("__b"), b => b < col("__v"))).cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("__v")).cast("long").as("lo"),
+        max(col("__v")).cast("long").as("hi"))
+  }
+
   /** Kendall rank correlation (τ-b) between two integer columns of a
     * BOUNDED keyed frame — the concordance-counting sibling of
     * [[spearmanRho2]] (τ is the probability a random pair agrees in

@@ -3155,6 +3155,44 @@ object MiscQueries {
       GROUP BY o.o_orderkey, o.o_orderdate
       ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""))
 
+  /** q248 — per-group EQUI-DEPTH histogram
+    * ([[graft.operators.Profile.equiDepthBins]], r13): order totals in
+    * exact cents cut into 8 equal-count rank bins per priority class —
+    * the adaptive binning a skewed metric needs (equi-width would pile
+    * everything into bucket 0). All-integer rank cuts
+    * (⌊(rn−1)·B/n⌋ div-mirrored, non-negative so the div ⇄ //
+    * divergence can't bite); lo/hi are actual data values. The GK
+    * production twin is spec-bounded (ApproxStatsSpec).
+    */
+  private val q248 = Q("q248_equidepth_bins",
+    (s, dir) => {
+      import graft.operators.Profile
+      Profile.equiDepthBins(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"), col("o_orderkey")),
+        "o_orderpriority", "cents", Seq("o_orderkey"), bins = 8)
+        .select(col("grp").as("o_orderpriority"), col("bin"),
+          col("n_rows"), col("lo"), col("hi"))
+        .orderBy(col("o_orderpriority"), col("bin"))
+    },
+    Some("""WITH v AS (SELECT o_orderpriority,
+          CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+          o_orderkey
+        FROM orders WHERE o_orderpriority IS NOT NULL),
+      r AS (SELECT o_orderpriority, cents,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY cents, o_orderkey) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM v)
+      SELECT o_orderpriority,
+        CAST(((rn - 1) * 8) // n AS BIGINT) AS bin,
+        COUNT(*) AS n_rows,
+        CAST(MIN(cents) AS BIGINT) AS lo,
+        CAST(MAX(cents) AS BIGINT) AS hi
+      FROM r GROUP BY o_orderpriority, bin
+      ORDER BY o_orderpriority, bin"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3162,5 +3200,6 @@ object MiscQueries {
     q196, q197, q198, q199, q200, q201, q202, q203, q204, q206, q207,
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
+    q248)
 }

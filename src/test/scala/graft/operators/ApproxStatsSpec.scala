@@ -230,6 +230,47 @@ class ApproxStatsSpec extends SparkSpec {
       s"decile 1 mean activity below bottom decile")
   }
 
+  test("equiDepthBinsApprox: windowless; mass conserved, sizes track exact") {
+    val df = orders.select($"o_custkey".cast("string").as("seg"),
+      ($"o_totalprice" * 100).cast("long").as("v"), $"o_orderkey")
+      .withColumn("seg", substring($"seg", -1, 1)) // 10 groups
+    val B = 8
+    val exact = Profile.equiDepthBins(df, "seg", "v",
+      Seq("o_orderkey"), B)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val aDf = Profile.equiDepthBinsApprox(df, "seg", "v", B)
+    assert(!plan(aDf).contains("Window"), plan(aDf))
+    val approx = aDf.as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(approx.keySet == exact.keySet)
+    for ((g, ebins) <- exact) {
+      val abins = approx(g)
+      val n = ebins.map(_._3).sum
+      // mass conserved, bin ids legal, value envelope identical
+      assert(abins.map(_._3).sum == n, s"$g mass")
+      assert(abins.forall(b => b._2 >= 0 && b._2 < B))
+      assert(abins.map(_._4).min == ebins.map(_._4).min, s"$g lo")
+      assert(abins.map(_._5).max == ebins.map(_._5).max, s"$g hi")
+      // value-banded sizes drift from n/B only by tie mass + GK rank
+      // error; totalprice cents are near-unique, so bound generously
+      val maxTie = df.filter($"seg" === g).groupBy($"v")
+        .count().agg(max($"count")).head().getLong(0)
+      val tol = maxTie + n / 100 + 2
+      abins.foreach { b =>
+        assert(math.abs(b._3 - n.toDouble / B) <= tol,
+          s"$g bin ${b._2}: size ${b._3} vs ~${n / B} (tol $tol)")
+      }
+      // bins are value-ordered and internally consistent
+      val sorted = abins.sortBy(_._2)
+      sorted.foreach(b => assert(b._4 <= b._5))
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._5 <= y._4, s"$g overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("theilSenApprox: sampled pairs, no pair blowup, slope near exact") {
     val ts = events.select(
       (unix_micros($"ts".cast("timestamp"))).as("t"))
