@@ -506,5 +506,54 @@ object LifecycleQueries {
       FROM agg a JOIN kept k USING (doc_id)
       ORDER BY video_url"""))
 
-  val all: Seq[Q] = Seq(q245, q246, q247)
+  /** q249 — CSV source round-trip with dead-letter quarantine
+    * ([[graft.sources.Sources.csvTableQuarantined]], r13): customer
+    * rows serialize to headerless CSV text (exact cents — no double
+    * formatting), two deliberately malformed lines (a type mismatch
+    * and an unterminated quote) ride along, and the one-scan
+    * quarantined read must route exactly those two to the dead-letter
+    * frame while the good half aggregates bit-identically to the
+    * source table. The oracle never sees the temp file — it predicts
+    * the semantic result from `customer` plus the two constants,
+    * which is the point: a reader that silently nulls or drops
+    * malformed lines changes n_good/n_quarantine and fails the hash.
+    */
+  private val q249 = Q("q249_csv_quarantine",
+    (s, dir) => {
+      import org.apache.spark.sql.types.StructType
+      val customer = t(s, dir, "customer")
+      val malformed = {
+        import s.implicits._
+        Seq("notanumber,Broken Row,0,1,AUTO",
+          "7,\"unterminated quote,3,2,RAIL").toDF("value")
+      }
+      val lines = customer.select(concat_ws(",",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long"),
+        col("c_mktsegment")).as("value"))
+        .unionByName(malformed)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q249_csv").toString
+      lines.write.mode("overwrite").text(root)
+      val schema = StructType.fromDDL("custkey long, name string, " +
+        "nationkey long, cents long, seg string")
+      val (good, quarantine) =
+        graft.sources.Sources.csvTableQuarantined(s, schema,
+          s"$root/*.txt")
+      good.agg(count(lit(1)).as("n_good"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          countDistinct(col("seg")).as("n_seg"))
+        .crossJoin(broadcast(
+          quarantine.agg(count(lit(1)).as("n_quarantine"))))
+        .select(col("n_good"), col("n_quarantine"), col("sum_cents"),
+          col("n_seg"))
+    },
+    Some("""SELECT COUNT(*) AS n_good,
+        CAST(2 AS BIGINT) AS n_quarantine,
+        CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+          AS sum_cents,
+        COUNT(DISTINCT c_mktsegment) AS n_seg
+      FROM customer"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q249)
 }

@@ -53,6 +53,46 @@ object Sources {
     (good, quarantine)
   }
 
+  /** CSV counterpart of [[jsonTable]]: headerless, schema-declared
+    * delimited files (the splittable, scale-correct layout — a header
+    * row per file is a driver-side convenience the declared schema
+    * replaces, and headerless parts concatenate/split cleanly).
+    */
+  def csvTable(spark: SparkSession, schema: StructType,
+               pathGlob: String, sep: String = ","): DataFrame =
+    spark.read.schema(schema).option("sep", sep).csv(pathGlob)
+
+  /** [[csvTable]] with the [[jsonTableQuarantined]] dead-letter
+    * contract: malformed lines (type mismatches, extra columns,
+    * unterminated quotes) come back raw in the quarantine frame
+    * instead of silently nulling into the data (PERMISSIVE default)
+    * or vanishing (DROPMALFORMED). Same one-splittable-text-scan
+    * trick — `from_csv` in a projection dodges the reader's
+    * corrupt-column-only restriction and serves both halves from one
+    * scan. NOTE `from_csv` is stricter than the file reader: a SHORT
+    * row (missing trailing fields) quarantines too, where the file
+    * reader would pad with nulls — a schema-width mismatch is treated
+    * as evidence, not data (spec-pinned).
+    */
+  def csvTableQuarantined(spark: SparkSession, schema: StructType,
+                          pathGlob: String, sep: String = ",",
+                          corruptCol: String = "_corrupt_record")
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parsed = spark.read.text(pathGlob).select(
+      col("value"),
+      from_csv(col("value"), withCorrupt,
+        Map("sep" -> sep, "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("p"))
+    val good = parsed.filter(col(s"p.`$corruptCol`").isNull)
+      .select(schema.fieldNames.map(n => col(s"p.`$n`")).toIndexedSeq: _*)
+    val quarantine = parsed.filter(col(s"p.`$corruptCol`").isNotNull)
+      .select(col("value").as("raw"))
+    (good, quarantine)
+  }
+
   /** JSON documents where each FILE is one array of records (the
     * reference's GCS blob layout, combine_broker_listings.py:67-75).
     */

@@ -36,6 +36,29 @@ class SourcesSpec extends SparkSpec {
     assert(bad.exists(_.contains("not-a-long")))
   }
 
+  test("csvTableQuarantined: every width/type/quote mismatch quarantines with raw evidence") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csvq").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.txt"),
+      Seq(
+        "1,alpha,10",          // clean
+        "2,beta",              // short row: width mismatch quarantines
+        "notanumber,gamma,30", // type mismatch: quarantined
+        "4,\"unterminated,40", // quote error: quarantined
+        "5,delta,50,extra"     // extra column: quarantined
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id long, name string, cents long")
+    val (good, quarantine) = graft.sources.Sources
+      .csvTableQuarantined(spark, schema, s"$dir/*.txt")
+    val g = good.as[(Option[Long], Option[String], Option[Long])]
+      .collect().toSet
+    assert(g == Set((Some(1L), Some("alpha"), Some(10L))), g.toString)
+    val q = quarantine.as[String].collect().toSet
+    assert(q == Set("2,beta", "notanumber,gamma,30",
+      "4,\"unterminated,40", "5,delta,50,extra"), q.toString)
+  }
+
   test("geoJsonFeatures: FeatureCollection explodes to one row per feature") {
     val dir = Files.createTempDirectory("graft_geo").toString
     val geojson = """{"type":"FeatureCollection","features":[
