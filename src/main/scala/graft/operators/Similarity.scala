@@ -164,6 +164,85 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rk"))
   }
 
+  /** k-NN majority-vote classification over a labeled embedding
+    * corpus (Fix & Hodges 1951 via Cover & Hart 1967): each query's k
+    * most-cosine-similar LABELED neighbors vote; the winner (ties by
+    * smallest label — deterministic) is the prediction. `excludeSelf`
+    * drops qid == nid pairs BEFORE ranking (leave-one-out evaluation:
+    * a held-out query that still lives in the corpus must not vote
+    * for itself). NULL-labeled corpus rows never rank (they can't
+    * vote). Returns (qid, pred_label, votes).
+    *
+    * Exact audit form: [[bruteForceTopK]]'s movement contract — the
+    * query batch broadcasts, only (qid, nid, label, sim) enters the
+    * per-query top-k window, the vote argmax is a second ≤ k-row
+    * window. At corpus scale use [[knnClassifyIvf]] (probe-routed
+    * candidates, identical vote).
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+                  qidCol: String, idCol: String, vecCol: String,
+                  labelCol: String, k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).cast("long").as("label"))
+    val paired = c.crossJoin(broadcast(q))
+    val base =
+      if (excludeSelf) paired.filter(col("qid") =!= col("nid"))
+      else paired
+    val scored = filterOnce(base, "sim",
+        VectorFunctions.cosine(col("qv"), col("nv")), _.isNotNull)
+      .select(col("qid"), col("nid"), col("label"), col("sim"))
+    voteOf(TopK.perGroup(scored, Seq(col("qid")),
+      Seq(col("sim").desc, col("nid")), k))
+  }
+
+  /** [[knnClassify]]'s production twin: candidates come from
+    * [[ivfTopK]]'s probed inverted lists instead of the full-corpus
+    * cross join (labels ride a post-rank hash join against the ≤
+    * |queries|·k winner frame), identical vote. Approximate exactly
+    * where IVF is (recall < 1 when a true neighbor lives outside the
+    * probed cells); the spec bounds prediction agreement against the
+    * exact form. `excludeSelf` contract matches [[knnClassify]].
+    */
+  def knnClassifyIvf(queries: DataFrame, corpus: DataFrame,
+                     qidCol: String, idCol: String, vecCol: String,
+                     labelCol: String, k: Int,
+                     centroidEvery: Int = 32, nprobe: Int = 3,
+                     excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val labeled = corpus.filter(col(labelCol).isNotNull)
+    // rank k+1 then drop self: the self pair (sim = 1) occupies one
+    // slot whenever the query is in the corpus, so k true neighbors
+    // survive; without excludeSelf plain k
+    val kk = if (excludeSelf) k + 1 else k
+    val ranked = ivfTopK(queries, labeled, qidCol, idCol, vecCol,
+      kk, centroidEvery, nprobe)
+    val noSelf =
+      if (excludeSelf) ranked.filter(col("qid") =!= col("nid"))
+      else ranked
+    val rek = TopK.perGroup(
+      noSelf.select(col("qid"), col("nid"), col("sim")),
+      Seq(col("qid")), Seq(col("sim").desc, col("nid")), k, "rk2")
+    val labels = labeled.select(col(idCol).as("nid"),
+      col(labelCol).cast("long").as("label"))
+    voteOf(rek.join(labels, Seq("nid")))
+  }
+
+  /** The shared majority vote: count labels per query, argmax with
+    * (votes desc, label asc) — one ≤ k-row window per query
+    * (WindowGroupLimit shape). */
+  private def voteOf(topk: DataFrame): DataFrame = {
+    val votes = topk.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    TopK.perGroup(votes, Seq(col("qid")),
+      Seq(col("votes").desc, col("label").asc), 1, "__vr")
+      .select(col("qid"), col("label").as("pred_label"),
+        col("votes").cast("long").as("votes"))
+  }
+
   /** Hard-negative mining for contrastive/retrieval training (the
     * Karpukhin 2020 DPR recipe): for each anchor, the k most similar
     * corpus vectors whose label DIFFERS from the anchor's — the

@@ -1110,7 +1110,61 @@ object VectorQueries {
         CAST(mx AS BIGINT) AS max_milli
       FROM s ORDER BY dim"""))
 
+  /** q250 — k-NN majority-vote classification
+    * ([[graft.operators.Similarity.knnClassify]], r13): leave-one-out
+    * evaluation over the labeled embeddings — every ~97th vector is a
+    * held-out query, its 7 nearest LABELED neighbors (self excluded
+    * BEFORE ranking) vote, ties break to the smallest label. The
+    * oracle replays q20's proven bit-equal cosine chain plus the vote
+    * argmax; the output adds the truth join and a correctness bit, so
+    * the gate pins prediction AND evaluation accounting. The IVF
+    * production twin is spec-bounded (SimilaritySpec).
+    */
+  private val q250 = Q("q250_knn_classify",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 97 === 3)
+      Similarity.knnClassify(qs, e, "vec_id", "vec_id", "embedding",
+          "label", k = 7)
+        .join(qs.select(col("vec_id").as("qid"),
+          col("label").cast("long").as("true_label")), Seq("qid"))
+        .select(col("qid"), col("true_label"), col("pred_label"),
+          col("votes"),
+          when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L).as("correct"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid,
+          CAST(embedding AS DOUBLE[]) AS av,
+          CAST(label AS BIGINT) AS tl
+        FROM embeddings WHERE vec_id % 97 = 3),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS bv,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings WHERE label IS NOT NULL),
+      scored AS (SELECT qid, nid, label,
+          (list_dot_product(bv, av) /
+            (SQRT(list_dot_product(av, av))
+              * SQRT(list_dot_product(bv, bv)))) AS sim
+        FROM c, q WHERE qid <> nid),
+      ranked AS (SELECT qid, nid, label,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, nid) AS rk
+        FROM scored WHERE sim IS NOT NULL),
+      votes AS (SELECT qid, label, COUNT(*) AS votes
+        FROM ranked WHERE rk <= 7 GROUP BY qid, label),
+      win AS (SELECT qid, label AS pred_label, votes,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY votes DESC, label) AS vr
+        FROM votes)
+      SELECT w.qid, t.tl AS true_label, w.pred_label,
+        CAST(w.votes AS BIGINT) AS votes,
+        CAST(CASE WHEN w.pred_label = t.tl THEN 1 ELSE 0 END
+          AS BIGINT) AS correct
+      FROM win w JOIN (SELECT qid, tl FROM q) t USING (qid)
+      WHERE w.vr = 1 ORDER BY w.qid"""))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
-      q102, q103, q104, q105, q119, q126, q128, q178, q187, q229)
+      q102, q103, q104, q105, q119, q126, q128, q178, q187, q229,
+      q250)
 }

@@ -210,6 +210,65 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(servedR) == rows(inlineR))
   }
 
+  test("knnClassify: clustered truth recovered; IVF twin tracks; self-exclusion bites") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // deterministic 4-cluster corpus: the label axis dominates, noise
+    // is small and index-derived (no RNG) — k-NN must recover labels,
+    // and probed IVF cells see the same neighborhoods
+    val dim = 8
+    val rows = (0L until 200L).map { i =>
+      val label = (i % 4).toInt
+      val v = Array.tabulate(dim) { d =>
+        val noise = (((i * 31 + d * 17) % 11) - 5).toFloat / 10f
+        if (d == label) 10f + (i % 7).toFloat else noise
+      }
+      (i, v.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = rows.filter(col("vec_id") % 9 === 0)
+    val exact = Similarity.knnClassify(qs, rows, "vec_id", "vec_id",
+        "embedding", "label", k = 7)
+      .select(col("qid").cast("long"), col("pred_label"), col("votes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(exact.nonEmpty)
+    // clustered truth: every prediction is the query's own cluster,
+    // unanimously (49 same-label neighbors available, k = 7)
+    exact.foreach { case (q, (l, v)) =>
+      assert(l == q % 4, s"q$q predicted $l")
+      assert(v == 7L, s"q$q votes $v")
+    }
+    // re-run bit-identical
+    val again = Similarity.knnClassify(qs, rows, "vec_id", "vec_id",
+        "embedding", "label", k = 7)
+      .select(col("qid").cast("long"), col("pred_label"), col("votes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(again == exact)
+    // the probe-routed production twin recovers the same predictions
+    // (clustered data is the contract IVF serves; on structureless
+    // noise no candidate router can track a brute-force vote)
+    val ivf = Similarity.knnClassifyIvf(qs, rows, "vec_id", "vec_id",
+        "embedding", "label", k = 7, centroidEvery = 16, nprobe = 3)
+      .select(col("qid").cast("long"), col("pred_label"), col("votes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(ivf.keySet == exact.keySet)
+    val agree = exact.count { case (q, (l, _)) => ivf(q)._1 == l }
+    assert(agree.toDouble >= 0.9 * exact.size,
+      s"IVF twin agrees on only $agree/${exact.size}")
+    // self-exclusion bites: with excludeSelf=false every in-corpus
+    // query's own label gets a guaranteed vote (sim = 1 ranks first)
+    val selfIn = Similarity.knnClassify(qs, rows, "vec_id", "vec_id",
+        "embedding", "label", k = 1, excludeSelf = false)
+      .select(col("qid").cast("long"), col("pred_label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = qs.select(col("vec_id").cast("long"),
+        col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfIn == truth)
+  }
+
   test("params round-trip through the meta row incl. escaping") {
     val m0 = Map("dim" -> "64", "note" -> "a\"b\\c\nd", "z" -> "")
     assert(AnnIndex.parseJson(AnnIndex.jsonOf(m0)) == m0)
