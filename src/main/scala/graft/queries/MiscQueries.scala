@@ -3193,6 +3193,46 @@ object MiscQueries {
       FROM r GROUP BY o_orderpriority, bin
       ORDER BY o_orderpriority, bin"""))
 
+  /** q251 — large-volume orders (the TPC-H Q18 shape): the third
+    * classic deep-join pattern next to q243 (Q5) and q244 (Q3) —
+    * aggregate the big fact, FILTER ON THE AGGREGATE (HAVING), then
+    * join the survivors BACK to the dimension chain and cut the
+    * global top 100. Physically distinct from both: the HAVING
+    * pre-reduces lineitem to a small winner set before any join, so
+    * the customer/orders joins see thousands of rows, not millions.
+    * Quantities sum as exact longs.
+    */
+  private val q251 = Q("q251_big_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("order_day"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("order_day"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+          AS order_day,
+        CAST(b.sum_qty AS BIGINT) AS sum_qty
+      FROM (SELECT l_orderkey,
+          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 100"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3201,5 +3241,5 @@ object MiscQueries {
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-    q248)
+    q248, q251)
 }
