@@ -555,5 +555,46 @@ object LifecycleQueries {
         COUNT(DISTINCT c_mktsegment) AS n_seg
       FROM customer"""))
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q249)
+  /** q252 — ORC sink/source round-trip with partition pruning
+    * ([[graft.sources.Sources.orcTable]], r13): customer lands as an
+    * ORC table partitioned by market segment, is read back through
+    * the schema-declared scan with a two-segment filter (the
+    * partition-pruning path — only those directories are listed), and
+    * aggregates per segment in exact cents. The oracle predicts the
+    * result from `customer` directly, so a roundtrip that drops rows,
+    * mangles a type, or prunes the wrong partitions fails the hash.
+    * Format coverage: parquet (everywhere), JSONL (q-S10 family), CSV
+    * (q249), text, binary — and now ORC.
+    */
+  private val q252 = Q("q252_orc_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.types.StructType
+      val customer = t(s, dir, "customer")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q252_orc").toString
+      customer.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        .write.mode("overwrite").partitionBy("seg")
+        .orc(s"$root/cust_orc")
+      val schema = StructType.fromDDL("c_custkey long, c_name string," +
+        " c_nationkey long, cents long, seg string")
+      graft.sources.Sources.orcTable(s, schema, s"$root/cust_orc")
+        .filter(col("seg").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          min(col("c_custkey")).cast("long").as("min_key"),
+          max(col("c_custkey")).cast("long").as("max_key"))
+        .orderBy(col("seg"))
+    },
+    Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+          AS sum_cents,
+        MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment ORDER BY seg"""))
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q249, q252)
 }

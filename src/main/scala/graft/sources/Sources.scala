@@ -93,6 +93,16 @@ object Sources {
     (good, quarantine)
   }
 
+  /** ORC table scan — the second columnar format next to parquet
+    * (ORC ships in Spark's core jars; predicate pushdown, column
+    * pruning and partition pruning all apply exactly as for parquet).
+    * Schema declared, never inferred twice — the same
+    * projection-or-die stance as [[jsonTable]].
+    */
+  def orcTable(spark: SparkSession, schema: StructType,
+               pathGlob: String): DataFrame =
+    spark.read.schema(schema).orc(pathGlob)
+
   /** JSON documents where each FILE is one array of records (the
     * reference's GCS blob layout, combine_broker_listings.py:67-75).
     */

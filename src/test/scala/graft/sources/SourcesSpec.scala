@@ -74,6 +74,26 @@ class SourcesSpec extends SparkSpec {
       ("Point", "shop", "business")))
   }
 
+  test("orcTable: schema'd scan; partition filter prunes directories") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    spark.range(100)
+      .withColumn("day", concat(lit("d"), $"id" % 5))
+      .withColumn("v", $"id" * 2)
+      .write.partitionBy("day").orc(s"$dir/t")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id long, v long, day string")
+    val pruned = Sources.orcTable(spark, schema, s"$dir/t")
+      .filter($"day" === "d3")
+    assert(pruned.count() == 20)
+    assert(pruned.agg(sum($"v")).head().getLong(0) ==
+      (0L until 100L).filter(_ % 5 == 3).map(_ * 2).sum)
+    val scanExec = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val pf = scanExec.partitionFilters.mkString(";")
+    assert(pf.contains("day") && pf.contains("d3"), s"PartitionFilters: $pf")
+  }
+
   test("partitioned TableStore writes prune partitions at scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     val ts = new TableStore(spark, dir)
