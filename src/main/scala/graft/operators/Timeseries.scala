@@ -9,24 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
-  /** Exact exponentially-weighted moving average of daily row counts
-    * with α = 1/2 and a truncated `horizon`: for each day d the
-    * smoothed level is Σ_{j=0..H−1} count(d−j)·2^{H−1−j}, reported as
-    * the exact integer numerator `ewma_scaled` (denominator 2^H —
-    * divide client-side if a float is wanted). Power-of-two weights
-    * keep every step in integer arithmetic (the q105 λ=1/2 precedent),
-    * so the trajectory is bit-equal on any engine — no float
-    * accumulation order to drift. Days are exact epoch-micros `div`
-    * buckets; a day appears iff some activity falls in its trailing
-    * window (absent days in the window contribute 0 by construction).
-    *
-    * Scale: ONE day-keyed count over the scan (map-side combined,
-    * output = |days| rows), then a ≤ horizon× fan-out of that BOUNDED
-    * daily frame (never the raw stream) and a second day-keyed
-    * aggregate in decimal(38,0) — counts near 2^63/2^H would wrap a
-    * long under ANSI; decimal keeps the gate loud-proof and exact.
-    * No window, no sort, no self-join.
-    */
   /** Day-of-week seasonality profile + uniformity test: per weekday
     * (0 = Monday, epoch-day arithmetic — day 0 was a Thursday, so
     * dow = (d + 3) mod 7), the row count, its exact ppm share, and
@@ -89,6 +71,40 @@ object Timeseries {
         col("trail_cents").cast("long").as("trail_cents"))
   }
 
+  /** Bucketed row counts with SILENT BUCKETS PRESENT: the
+    * [min, max] bucket spine (bounds from one broadcast one-row
+    * aggregate, materialized by one explode(sequence)) left-joins the
+    * bucket-keyed counts; absent buckets report n = 0. This is the
+    * upstream FILL the present-days operators ([[cusumCounts]],
+    * [[dowAdjustedOutliers]], …) document for when silence itself is
+    * the signal — a feed that stops emitting produces zero rows,
+    * which no present-days monitor can see. Returns (day, n) ordered
+    * frames keyed by `bucketMicros` buckets (86400000000 for days,
+    * 3600000000 for hours).
+    *
+    * Scale: ONE bucket-keyed map-side count collapses the scan; the
+    * spine is |buckets| rows generated from a broadcast bound pair —
+    * no window, no second scan. An empty input yields an empty frame
+    * (no bounds — the caller's alert, not a zero row).
+    */
+  def dailyCountsFilled(df: DataFrame, tsMicrosCol: String,
+                        bucketMicros: Long = 86400000000L): DataFrame = {
+    require(bucketMicros > 0,
+      s"bucketMicros must be positive, got $bucketMicros")
+    val cnt = df
+      .select(expr(s"CAST($tsMicrosCol AS BIGINT) div $bucketMicros")
+        .as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("__n"))
+    val bounds = cnt.agg(min(col("day")).as("__lo"),
+      max(col("day")).as("__hi"))
+    bounds.filter(col("__lo").isNotNull)
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+      .join(cnt, Seq("day"), "left")
+      .select(col("day").cast("long").as("day"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n"))
+  }
+
   /** CUSUM change detection over daily row counts (Page 1954): the
     * upper cumulative sum s_d = max(0, s_{d−1} + x_d − μ − slack)
     * with μ = ⌊total/days⌋ derived from the series itself and an
@@ -133,6 +149,24 @@ object Timeseries {
           .as("flagged"))
   }
 
+  /** Exact exponentially-weighted moving average of daily row counts
+    * with α = 1/2 and a truncated `horizon`: for each day d the
+    * smoothed level is Σ_{j=0..H−1} count(d−j)·2^{H−1−j}, reported as
+    * the exact integer numerator `ewma_scaled` (denominator 2^H —
+    * divide client-side if a float is wanted). Power-of-two weights
+    * keep every step in integer arithmetic (the q105 λ=1/2 precedent),
+    * so the trajectory is bit-equal on any engine — no float
+    * accumulation order to drift. Days are exact epoch-micros `div`
+    * buckets; a day appears iff some activity falls in its trailing
+    * window (absent days in the window contribute 0 by construction).
+    *
+    * Scale: ONE day-keyed count over the scan (map-side combined,
+    * output = |days| rows), then a ≤ horizon× fan-out of that BOUNDED
+    * daily frame (never the raw stream) and a second day-keyed
+    * aggregate in decimal(38,0) — counts near 2^63/2^H would wrap a
+    * long under ANSI; decimal keeps the gate loud-proof and exact.
+    * No window, no sort, no self-join.
+    */
   def ewmaCounts(df: DataFrame, tsMicrosCol: String, horizon: Int = 16,
                  dayMicros: Long = 86400000000L): DataFrame = {
     require(horizon >= 1 && horizon <= 62,

@@ -3233,6 +3233,35 @@ object MiscQueries {
       JOIN customer c ON o.o_custkey = c.c_custkey
       ORDER BY sum_qty DESC, o_orderkey LIMIT 100"""))
 
+  /** q253 — gap-filled bucket counts
+    * ([[graft.operators.Timeseries.dailyCountsFilled]], r13): a
+    * deliberately sparse event sample (every 499th id) counted into
+    * HOURLY buckets over the [min, max] spine — silent hours appear
+    * as explicit zeros, which no present-days frame can show (the
+    * feed-went-quiet monitor the cusum/dow operators document as an
+    * upstream fill). Zero rows exist at every SF by construction
+    * (≤ ~200 sampled events across a 720-hour span).
+    */
+  private val q253 = Q("q253_gapfilled_counts",
+    (s, dir) => {
+      import graft.operators.Timeseries
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") % 499 === 0)
+        .select(expr("unix_micros(cast(ts as timestamp))").as("tm"))
+      Timeseries.dailyCountsFilled(ev, "tm",
+          bucketMicros = 3600000000L)
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS day
+          FROM events WHERE event_id % 499 = 0),
+        c AS (SELECT day, COUNT(*) AS n FROM e GROUP BY day),
+        b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+        spine AS (SELECT UNNEST(generate_series(lo, hi)) AS day
+          FROM b WHERE lo IS NOT NULL)
+      SELECT CAST(s.day AS BIGINT) AS day,
+        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN c USING (day) ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3241,5 +3270,5 @@ object MiscQueries {
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-    q248, q251)
+    q248, q251, q253)
 }
