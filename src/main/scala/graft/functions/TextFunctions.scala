@@ -178,24 +178,6 @@ object TextFunctions {
     f"$h%d:$m%02d:$s%02d"
   }
 
-  /** URL canonicalization — the standard web-corpus dedup key (two
-    * crawls of one page under trivially-different URLs must collide
-    * BEFORE content dedup ever runs): lowercase scheme and host, strip
-    * default ports (http:80, https:443), empty path → `/`, drop the
-    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid`), and
-    * sort the remaining query params byte-wise. Pure column algebra —
-    * regexp extracts + a higher-order filter/sort — fully codegen'd,
-    * no UDF. Unparseable URLs (no scheme://host) canonicalize to NULL
-    * rather than a half-normalized string.
-    *
-    * [[canonicalUrl]] delegates to the native
-    * [[graft.plans.CanonicalUrlExpr]] — one string pass instead of ~8
-    * regexp extractions plus an interpreted higher-order filter/sort
-    * per row (material at once-per-crawled-page cardinality);
-    * [[canonicalUrlColumns]] is the composed-builtin reference the
-    * native kernel is differential-tested against (the
-    * planeSignatureHof precedent).
-    */
   /** Unicode NFC normalization (native codegen kernel,
     * [[graft.plans.NfcNormalizeExpr]]): run BEFORE any fingerprint /
     * shingle / equality dedup so canonically-equivalent text (combining
@@ -275,6 +257,24 @@ object TextFunctions {
   def unigramScore(c: Column, model: String): Column =
     call_function("graft_unigram_score", c, lit(model))
 
+  /** URL canonicalization — the standard web-corpus dedup key (two
+    * crawls of one page under trivially-different URLs must collide
+    * BEFORE content dedup ever runs): lowercase scheme and host, strip
+    * default ports (http:80, https:443), empty path → `/`, drop the
+    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid`), and
+    * sort the remaining query params byte-wise. Pure column algebra —
+    * regexp extracts + a higher-order filter/sort — fully codegen'd,
+    * no UDF. Unparseable URLs (no scheme://host) canonicalize to NULL
+    * rather than a half-normalized string.
+    *
+    * [[canonicalUrl]] delegates to the native
+    * [[graft.plans.CanonicalUrlExpr]] — one string pass instead of ~8
+    * regexp extractions plus an interpreted higher-order filter/sort
+    * per row (material at once-per-crawled-page cardinality);
+    * [[canonicalUrlColumns]] is the composed-builtin reference the
+    * native kernel is differential-tested against (the
+    * planeSignatureHof precedent).
+    */
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("graft_canonical_url", url)
 

@@ -150,6 +150,27 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_ppm"))
   }
 
+  /** The ONE bloom-screen construction [[newAgainstCorpus]] and the
+    * streaming twin (`Streams.screenAgainstCorpus`) share: fold the
+    * corpus fingerprints into a mergeable bloom, return the
+    * `might_contain` predicate over `textCol`'s fingerprint. None =
+    * empty corpus (nothing can be a dup).
+    */
+  private[graft] def corpusBloomScreen(corpus: DataFrame, textCol: String,
+                                       estItems: Long): Option[Column] = {
+    require(estItems > 0, s"estItems > 0, got $estItems")
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val bloomBytes = corpus
+      .select(xxhash64(fp).as("h"))
+      .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
+        .as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    // empty corpus -> aggregate yields null
+    if (bloomBytes == null) None
+    else Some(call_function("graft_bloom_contains", lit(bloomBytes),
+      xxhash64(fp)))
+  }
+
   /** EXACT incremental dedup of an ingest batch against a standing
     * corpus: batch rows whose content fingerprint already exists in the
     * corpus are dropped; everything else passes. The result is exact
@@ -180,27 +201,6 @@ object Dedup {
     * ~7.2 bits/item at this ctor, ~3% fpp); a bad estimate only
     * degrades the prefilter rate, never correctness.
     */
-  /** The ONE bloom-screen construction [[newAgainstCorpus]] and the
-    * streaming twin (`Streams.screenAgainstCorpus`) share: fold the
-    * corpus fingerprints into a mergeable bloom, return the
-    * `might_contain` predicate over `textCol`'s fingerprint. None =
-    * empty corpus (nothing can be a dup).
-    */
-  private[graft] def corpusBloomScreen(corpus: DataFrame, textCol: String,
-                                       estItems: Long): Option[Column] = {
-    require(estItems > 0, s"estItems > 0, got $estItems")
-    val fp = TextFunctions.fingerprint(col(textCol))
-    val bloomBytes = corpus
-      .select(xxhash64(fp).as("h"))
-      .agg(call_function("graft_bloom_agg", col("h"), lit(estItems))
-        .as("bloom"))
-      .head().getAs[Array[Byte]](0)
-    // empty corpus -> aggregate yields null
-    if (bloomBytes == null) None
-    else Some(call_function("graft_bloom_contains", lit(bloomBytes),
-      xxhash64(fp)))
-  }
-
   def newAgainstCorpus(corpus: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
                        estItems: Long = 1000000L): DataFrame = {
@@ -280,9 +280,6 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
-  /** Candidate id pairs (idA < idB) sharing at least one LSH band.
-    * One shuffle on the band key; distinct to merge multi-band hits.
-    */
   /** THE banding projection — (outId, band) rows from text — shared
     * by [[lshCandidatePairs]], [[lshCandidatePairsAgainst]], AND the
     * persisted [[DedupIndex]] build: ONE definition, so the stored
@@ -308,6 +305,9 @@ object Dedup {
       .select(col(outId), col("band"))
   }
 
+  /** Candidate id pairs (idA < idB) sharing at least one LSH band.
+    * One shuffle on the band key; distinct to merge multi-band hits.
+    */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4)
       : DataFrame = {

@@ -525,29 +525,6 @@ object Profile {
           .cast("long").as("gini_scaled"))
   }
 
-  /** Exact two-sample Kolmogorov–Smirnov drift: for every group, the
-    * KS statistic D = max_v |F_g(v) − F_rest(v)| between the group's
-    * distribution of an integral `valueCol` and the REST of the
-    * corpus — the distribution-shape companion to [[tokenDriftChi2]]
-    * (χ² sees per-cell mass, KS sees the worst cumulative gap, so a
-    * shifted-median source lights up KS even when every individual
-    * cell stays small). Returns (groupCol, n_a, n_b, d_scaled):
-    * n_a = group rows, n_b = rest rows, d_scaled = ⌊scale·D⌋ from the
-    * EXACT integer cross-multiplied form
-    * max_v |cum_g(v)·n_b − cum_rest(v)·n_a| · scale div (n_a·n_b) —
-    * no floats anywhere, so the statistic is engine-portable and
-    * gate-able (products ride decimal(38,0); corpora past 2^63 rows
-    * stay exact). A group that IS the whole corpus (n_b = 0) reports
-    * NULL.
-    *
-    * `valueCol` must be discrete (integral or pre-quantized): the
-    * evaluation grid is (distinct groups) × (distinct values), one
-    * bounded frame — bucket continuous metrics first (the
-    * [[tokenQuantilesApprox]] output, a `div`-bucketed score, …). The
-    * global value-CDF window is a single-task sort over that bounded
-    * distinct-value frame, never over the corpus; the corpus itself
-    * is touched by exactly ONE (group, value) counting exchange.
-    */
   /** Robust per-group outlier accounting: median and MAD (median
     * absolute deviation) of an integral `valueCol` by the exact
     * rank-based lower-median convention (q47's discrete quantiles —
@@ -635,6 +612,29 @@ object Profile {
         col("mad"), col("n_outliers"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift: for every group, the
+    * KS statistic D = max_v |F_g(v) − F_rest(v)| between the group's
+    * distribution of an integral `valueCol` and the REST of the
+    * corpus — the distribution-shape companion to [[tokenDriftChi2]]
+    * (χ² sees per-cell mass, KS sees the worst cumulative gap, so a
+    * shifted-median source lights up KS even when every individual
+    * cell stays small). Returns (groupCol, n_a, n_b, d_scaled):
+    * n_a = group rows, n_b = rest rows, d_scaled = ⌊scale·D⌋ from the
+    * EXACT integer cross-multiplied form
+    * max_v |cum_g(v)·n_b − cum_rest(v)·n_a| · scale div (n_a·n_b) —
+    * no floats anywhere, so the statistic is engine-portable and
+    * gate-able (products ride decimal(38,0); corpora past 2^63 rows
+    * stay exact). A group that IS the whole corpus (n_b = 0) reports
+    * NULL.
+    *
+    * `valueCol` must be discrete (integral or pre-quantized): the
+    * evaluation grid is (distinct groups) × (distinct values), one
+    * bounded frame — bucket continuous metrics first (the
+    * [[tokenQuantilesApprox]] output, a `div`-bucketed score, …). The
+    * global value-CDF window is a single-task sort over that bounded
+    * distinct-value frame, never over the corpus; the corpus itself
+    * is touched by exactly ONE (group, value) counting exchange.
+    */
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
               scale: Long = 1000000L): DataFrame = {
     require(scale >= 1, s"scale must be >= 1, got $scale")

@@ -73,20 +73,6 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
-  /** Leakage-free (dedup-aware) [[assignSplits]]: every member of a
-    * near-dup component is keyed by the component REPRESENTATIVE (its
-    * min member id — the `comp` label from
-    * [[Dedup.connectedComponents]]), singletons by their own id — so a
-    * train/test split can never straddle a duplicate cluster. This is
-    * eval decontamination by construction: with per-doc keys (q40's
-    * shape) a near-dup pair lands train+test with probability
-    * 2·p·(1−p), leaking the answer into training.
-    *
-    * Scale: one left join against the label frame (only CLUSTERED docs
-    * appear in it — typically a small fraction of the corpus, so AQE
-    * broadcasts it when it fits), then the same narrow no-shuffle
-    * bucket projection as [[assignSplits]]. Adds `repCol` + `splitCol`.
-    */
   /** Sample-ratio-mismatch check over [[assignSplits]] — the
     * experimentation guardrail (an SRM means the assignment or the
     * logging is broken and every downstream metric is suspect):
@@ -151,6 +137,20 @@ object Sampling {
           .cast("long").as("chi2_term_micro"))
   }
 
+  /** Leakage-free (dedup-aware) [[assignSplits]]: every member of a
+    * near-dup component is keyed by the component REPRESENTATIVE (its
+    * min member id — the `comp` label from
+    * [[Dedup.connectedComponents]]), singletons by their own id — so a
+    * train/test split can never straddle a duplicate cluster. This is
+    * eval decontamination by construction: with per-doc keys (q40's
+    * shape) a near-dup pair lands train+test with probability
+    * 2·p·(1−p), leaking the answer into training.
+    *
+    * Scale: one left join against the label frame (only CLUSTERED docs
+    * appear in it — typically a small fraction of the corpus, so AQE
+    * broadcasts it when it fits), then the same narrow no-shuffle
+    * bucket projection as [[assignSplits]]. Adds `repCol` + `splitCol`.
+    */
   def assignSplitsLeakageFree(df: DataFrame, idCol: String,
       labels: DataFrame, splits: Seq[(String, Double)], salt: String,
       splitCol: String = "split", repCol: String = "rep_id"): DataFrame = {
@@ -356,6 +356,20 @@ object Sampling {
       .drop("__stratum")
   }
 
+  /** Replace score/cost with fail-fast-checked versions: NULL score or
+    * NULL/negative cost raises instead of silently corrupting the
+    * prefix/subset semantics both budget forms promise.
+    */
+  private def checkBudgetCols(df: DataFrame, scoreCol: String,
+                              costCol: String): DataFrame =
+    df.withColumn(scoreCol, when(col(scoreCol).isNotNull, col(scoreCol))
+        .otherwise(raise_error(lit(
+          s"budgetSelect: NULL $scoreCol (scores must be non-null)"))))
+      .withColumn(costCol,
+        when(col(costCol).isNotNull && col(costCol) >= 0, col(costCol))
+          .otherwise(raise_error(lit(
+            s"budgetSelect: NULL or negative $costCol (costs must be >= 0)"))))
+
   /** Token-budget-constrained selection — the data-mixing primitive:
     * per `srcCol` group, take documents in (`scoreCol` desc, `idCol`)
     * order while the running `costCol` sum stays ≤ `budget` (the kept
@@ -376,20 +390,6 @@ object Sampling {
     * [[budgetSelectApprox]]: same greedy semantics at score-group
     * granularity with ZERO corpus-side window or shuffle.
     */
-  /** Replace score/cost with fail-fast-checked versions: NULL score or
-    * NULL/negative cost raises instead of silently corrupting the
-    * prefix/subset semantics both budget forms promise.
-    */
-  private def checkBudgetCols(df: DataFrame, scoreCol: String,
-                              costCol: String): DataFrame =
-    df.withColumn(scoreCol, when(col(scoreCol).isNotNull, col(scoreCol))
-        .otherwise(raise_error(lit(
-          s"budgetSelect: NULL $scoreCol (scores must be non-null)"))))
-      .withColumn(costCol,
-        when(col(costCol).isNotNull && col(costCol) >= 0, col(costCol))
-          .otherwise(raise_error(lit(
-            s"budgetSelect: NULL or negative $costCol (costs must be >= 0)"))))
-
   def budgetSelect(df: DataFrame, srcCol: String, scoreCol: String,
                    costCol: String, idCol: String,
                    budget: Long): DataFrame = {
@@ -439,6 +439,30 @@ object Sampling {
     * keys are ⌊10⁶ · ln(u)/w⌋ longs. */
   val WrsKeyScale: Long = 1000000L
 
+  /** The UNQUANTIZED exponential key 10⁶·ln(u)/w with the fail-fast
+    * weight guard — shared by [[wrsKey]] and the margin audit. */
+  private def wrsRaw(key: Column, weight: Column, salt: String): Column = {
+    val w = weight.cast("double")
+    val wChecked = when(w.isNotNull && w > 0, w)
+      .otherwise(raise_error(lit(
+        "weightedTopK: NULL or non-positive weight (weights " +
+          "must be > 0; filter or reweight first)")))
+    val u = (hashBucket(key, salt).cast("double") + lit(1.0)) /
+      lit(BucketSpace.toDouble)
+    lit(WrsKeyScale.toDouble) * log(u) / wChecked
+  }
+
+  /** The quantized exponential rank key `⌊10⁶ · ln(u)/w⌋` of
+    * [[weightedTopK]] as a standalone Column — content-addressed
+    * (same (salt, key, weight) → same key anywhere), which is what
+    * lets the STREAMING reservoir
+    * ([[graft.streaming.Streams.weightedReservoir]]) converge to the
+    * batch sample regardless of arrival order. Raises on NULL or
+    * non-positive weights.
+    */
+  def wrsKey(key: Column, weight: Column, salt: String): Column =
+    floor(wrsRaw(key, weight, salt)).cast("long")
+
   /** Weighted sampling WITHOUT replacement (the Efraimidis–Spirakis
     * exponential-key scheme, A-ES: draw k rows with inclusion
     * probability proportional to `weightCol`) — deterministic like
@@ -471,30 +495,6 @@ object Sampling {
     * quantized exponential key) and `rk` (1-based rank within the
     * stratum / globally).
     */
-  /** The UNQUANTIZED exponential key 10⁶·ln(u)/w with the fail-fast
-    * weight guard — shared by [[wrsKey]] and the margin audit. */
-  private def wrsRaw(key: Column, weight: Column, salt: String): Column = {
-    val w = weight.cast("double")
-    val wChecked = when(w.isNotNull && w > 0, w)
-      .otherwise(raise_error(lit(
-        "weightedTopK: NULL or non-positive weight (weights " +
-          "must be > 0; filter or reweight first)")))
-    val u = (hashBucket(key, salt).cast("double") + lit(1.0)) /
-      lit(BucketSpace.toDouble)
-    lit(WrsKeyScale.toDouble) * log(u) / wChecked
-  }
-
-  /** The quantized exponential rank key `⌊10⁶ · ln(u)/w⌋` of
-    * [[weightedTopK]] as a standalone Column — content-addressed
-    * (same (salt, key, weight) → same key anywhere), which is what
-    * lets the STREAMING reservoir
-    * ([[graft.streaming.Streams.weightedReservoir]]) converge to the
-    * batch sample regardless of arrival order. Raises on NULL or
-    * non-positive weights.
-    */
-  def wrsKey(key: Column, weight: Column, salt: String): Column =
-    floor(wrsRaw(key, weight, salt)).cast("long")
-
   def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
                    k: Int, salt: String,
                    strataCol: Option[String] = None,

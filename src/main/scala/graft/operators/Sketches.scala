@@ -141,23 +141,6 @@ object Sketches {
         col("res_ppm"))
   }
 
-  /** HyperLogLog register relation (Flajolet et al. 2007) — the
-    * distinct sketch whose STATE is 2^p bytes per group versus KMV's
-    * k longs: registers merge by `max`, so shards, days, or streaming
-    * micro-batches combine with one grouped aggregate and the sketch
-    * never revisits data. Unlike `approx_count_distinct` (whose
-    * HLL++ register layout is Spark-private and unverifiable), every
-    * piece here is the engine's portable md5 algebra: bucket = first
-    * 16 hash bits mod 2^p, rho = leading-zero count of an INDEPENDENT
-    * 48-bit hash + 1, computed by hex-char CASE arithmetic that any
-    * SQL engine reproduces bit-for-bit (q108 gates it in DuckDB).
-    *
-    * Scale shape: narrow projection → grouped max (map-side combine
-    * collapses each partition to ≤ 2^p registers per group before the
-    * ONE exchange — the mergeability argument, same as CMS/MG).
-    * Output: (groupCols…, bucket, m) for OBSERVED buckets; absent
-    * bucket ⇒ register 0.
-    */
   /** The ONE (bucket, rho) convention [[hllRegisters]] and the
     * streaming [[graft.streaming.Streams.hllMaintain]] twin share —
     * and the q108 oracle mirrors. Bucket: first 16 hash bits mod 2^p;
@@ -183,6 +166,23 @@ object Sketches {
     (bucket, rho)
   }
 
+  /** HyperLogLog register relation (Flajolet et al. 2007) — the
+    * distinct sketch whose STATE is 2^p bytes per group versus KMV's
+    * k longs: registers merge by `max`, so shards, days, or streaming
+    * micro-batches combine with one grouped aggregate and the sketch
+    * never revisits data. Unlike `approx_count_distinct` (whose
+    * HLL++ register layout is Spark-private and unverifiable), every
+    * piece here is the engine's portable md5 algebra: bucket = first
+    * 16 hash bits mod 2^p, rho = leading-zero count of an INDEPENDENT
+    * 48-bit hash + 1, computed by hex-char CASE arithmetic that any
+    * SQL engine reproduces bit-for-bit (q108 gates it in DuckDB).
+    *
+    * Scale shape: narrow projection → grouped max (map-side combine
+    * collapses each partition to ≤ 2^p registers per group before the
+    * ONE exchange — the mergeability argument, same as CMS/MG).
+    * Output: (groupCols…, bucket, m) for OBSERVED buckets; absent
+    * bucket ⇒ register 0.
+    */
   def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
                    p: Int, salt: String): DataFrame = {
     require(p >= 4 && p <= 14, s"HLL p in [4,14], got $p")

@@ -1559,20 +1559,6 @@ object TextQueries {
         SamplingQueries.hashSql("graft", "rep_id"))} AS BIGINT)
         AS bucket FROM r)"""
 
-  /** q122 — in-engine trainable quality classifier
-    * ([[graft.operators.Classifier]]): distill the Gopher rule cascade
-    * (q42's keep gate = the labels) into a hashed bag-of-words linear
-    * model — the fastText-style cheap proxy scorer curation pipelines
-    * train so the full corpus can be scored at scan speed. Six
-    * full-batch GD steps with the halving schedule η_t = 2^-(t+1);
-    * accuracy on the fixture goes 64% (majority) → 78% — the oracle
-    * replays EVERY step bit-exactly because training is all integer
-    * arithmetic (fixed-point weights, hard-sigmoid surrogate,
-    * truncating division — zero transcendentals, so no margin kit).
-    * The unrolled SQL materializes per-iteration weight/bias tables
-    * w1..w6/b1..b6 (AS MATERIALIZED per the q97 lesson) and scores
-    * with the last.
-    */
   /** The q122 training replay as a reusable CTE chain ending in a
     * `scores(doc_id, y, z, p, pred)` CTE — q122 selects it directly,
     * q176 appends calibration CTEs on top (same bit-exact unrolled
@@ -1634,6 +1620,20 @@ object TextQueries {
             CAST(2 * $p > $S AS BIGINT) AS pred FROM zf)"""
   }
 
+  /** q122 — in-engine trainable quality classifier
+    * ([[graft.operators.Classifier]]): distill the Gopher rule cascade
+    * (q42's keep gate = the labels) into a hashed bag-of-words linear
+    * model — the fastText-style cheap proxy scorer curation pipelines
+    * train so the full corpus can be scored at scan speed. Six
+    * full-batch GD steps with the halving schedule η_t = 2^-(t+1);
+    * accuracy on the fixture goes 64% (majority) → 78% — the oracle
+    * replays EVERY step bit-exactly because training is all integer
+    * arithmetic (fixed-point weights, hard-sigmoid surrogate,
+    * truncating division — zero transcendentals, so no margin kit).
+    * The unrolled SQL materializes per-iteration weight/bias tables
+    * w1..w6/b1..b6 (AS MATERIALIZED per the q97 lesson) and scores
+    * with the last.
+    */
   private val q122 = {
     val cfg = graft.operators.Classifier.Config(dim = 256, iters = 6)
     val qcfg = graft.functions.QualityRules.Config()

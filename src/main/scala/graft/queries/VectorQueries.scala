@@ -407,17 +407,6 @@ object VectorQueries {
       WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id = a.id)
       ORDER BY a.id"""))
 
-  /** q100 — product-quantization ADC top-k
-    * ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/[[Similarity.pqTopK]],
-    * Jégou et al. 2011): per-sub-block deterministic k-means codebooks,
-    * m-byte codes, and asymmetric-distance ranking. Gateable end to end
-    * because every stage reuses an already-gated determinism contract:
-    * the q86 Lloyd trajectory per sub-block, the struct-min argmin for
-    * encoding, and fixed-order double folds for both the distance
-    * tables and the Σⱼ score. The oracle unrolls the m training chains
-    * (q86's CTE shape, MATERIALIZED per the q97 lesson) then replays
-    * encode + ADC relationally.
-    */
   /** q86-shape unrolled k-means chain over source CTE `src` (rows
     * (vec_id, v)), names prefixed `pre`: `{pre}cent0` … `{pre}cent$iters`.
     * Every stage MATERIALIZED (the q97 lesson).
@@ -541,6 +530,17 @@ object VectorQueries {
         (PARTITION BY qid ORDER BY dist, id) AS rk FROM sc)
     WHERE rk <= $k ORDER BY qid, rk"""
 
+  /** q100 — product-quantization ADC top-k
+    * ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/[[Similarity.pqTopK]],
+    * Jégou et al. 2011): per-sub-block deterministic k-means codebooks,
+    * m-byte codes, and asymmetric-distance ranking. Gateable end to end
+    * because every stage reuses an already-gated determinism contract:
+    * the q86 Lloyd trajectory per sub-block, the struct-min argmin for
+    * encoding, and fixed-order double folds for both the distance
+    * tables and the Σⱼ score. The oracle unrolls the m training chains
+    * (q86's CTE shape, MATERIALIZED per the q97 lesson) then replays
+    * encode + ADC relationally.
+    */
   private val q100 = {
     val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
     Q("q100_pq_adc_topk",
@@ -564,15 +564,6 @@ object VectorQueries {
       })
   }
 
-  /** q101 — composed IVF-PQ ([[Similarity.ivfPqTopK]]): coarse k-means
-    * cells route each query to its nprobe nearest lists (cosine
-    * assignment, the q31/q91 argmax), and ADC scoring runs only over
-    * codes in probed cells. The oracle extends q100's chain with the
-    * coarse k-means chain on full vectors, the cosine
-    * assignment/probe ranks (q91's SQL shape), and the probe
-    * restriction on the score join — upgrading the composition from
-    * spec-gated to oracle-gated.
-    */
   /** The q101 oracle body, shared verbatim with q119 (a SERVED saved
     * index must equal the inline-trained pipeline, so one SQL replay
     * gates both).
@@ -594,6 +585,15 @@ object VectorQueries {
     "WITH " + ctes.mkString(",\n") + "\n" + pqRankSql(k)
   }
 
+  /** q101 — composed IVF-PQ ([[Similarity.ivfPqTopK]]): coarse k-means
+    * cells route each query to its nprobe nearest lists (cosine
+    * assignment, the q31/q91 argmax), and ADC scoring runs only over
+    * codes in probed cells. The oracle extends q100's chain with the
+    * coarse k-means chain on full vectors, the cosine
+    * assignment/probe ranks (q91's SQL shape), and the probe
+    * restriction on the score join — upgrading the composition from
+    * spec-gated to oracle-gated.
+    */
   private val q101 = {
     val (dim, m, ksub, iters, k) = (64, 4, 8, 2, 10)
     val (kCoarse, nprobe, coarseIters) = (6, 2, 2)

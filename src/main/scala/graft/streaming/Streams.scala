@@ -777,16 +777,6 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** Streaming CDC upsert — stream → [[graft.sources.TableStore.merge]]
-    * with the EXACTLY-ONCE (streamId, batchId) fence riding each
-    * merge's own commit CAS: a crash between the table commit and the
-    * checkpoint advance re-delivers the batch, the fence skips it, and
-    * the table never applies a batch twice — the streaming MERGE INTO
-    * shape (change feeds folding into a keyed corpus table, updates
-    * and inserts in one atomic commit per micro-batch, file-level
-    * key-range targeting inside). Batches must carry unique non-null
-    * keys ([[graft.sources.TableStore.merge]]'s loud guard).
-    */
   /** Streaming CDC -> corpus table -> INVERTED INDEX, end to end: each
     * micro-batch upserts into the corpus exactly-once (the
     * [[mergeStreamExactlyOnce]] fence riding the merge's own commit
@@ -958,6 +948,16 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC upsert — stream → [[graft.sources.TableStore.merge]]
+    * with the EXACTLY-ONCE (streamId, batchId) fence riding each
+    * merge's own commit CAS: a crash between the table commit and the
+    * checkpoint advance re-delivers the batch, the fence skips it, and
+    * the table never applies a batch twice — the streaming MERGE INTO
+    * shape (change feeds folding into a keyed corpus table, updates
+    * and inserts in one atomic commit per micro-batch, file-level
+    * key-range targeting inside). Batches must carry unique non-null
+    * keys ([[graft.sources.TableStore.merge]]'s loud guard).
+    */
   def mergeStreamExactlyOnce(df: DataFrame,
                              store: graft.sources.TableStore,
                              table: String, keyCol: String,
