@@ -212,7 +212,10 @@ object ScaleCheck {
     // poisson + grouped bootstrap, Kaplan-Meier survival, peak
     // session concurrency, the six-table Q5-shape and Q3-shape joins,
     // and the full listings lifecycle (customer/supplier/part-fed)
-    "q158", "q171", "q191", "q226", "q240", "q243", "q244", "q245")
+    "q158", "q171", "q191", "q226", "q240", "q243", "q244", "q245",
+    // round 13 late additions: rentals + transcripts lifecycles,
+    // equi-depth bins, Q18 join-back, knn classification, gap fill
+    "q246", "q247", "q248", "q250", "q251", "q253")
 
   def main(args: Array[String]): Unit = {
     val baseDir =
