@@ -1163,8 +1163,67 @@ object VectorQueries {
       FROM win w JOIN (SELECT qid, tl FROM q) t USING (qid)
       WHERE w.vr = 1 ORDER BY w.qid"""))
 
+  /** q254 — CORPUS-SIZED embedding near-dup pairs
+    * ([[graft.operators.Similarity.cosineNearDupPairsSized]], r13):
+    * the production twin of q38's fixed-parameter audit form. Band
+    * width derives from the corpus count —
+    * bits = clamp(⌈ln(n/64)/ln 2⌉, 4, 15), constant expected bucket
+    * occupancy — which is the measured fix for the fixed-parameter
+    * Θ(N²/2^bits) law (q38 ran 23.7× at the 10× fixture; sizing keeps
+    * the candidate join linear-ish). The oracle computes the SAME
+    * sizing from COUNT(*) (margins to every ceil boundary ≥ 0.03 at
+    * all gate SFs — the q72 rule) and restricts one inlined
+    * 60-plane matrix to the first 4·bits rows: `hyperplanes(p)` fills
+    * row-major from one seeded stream, so a longer matrix's prefix IS
+    * the shorter matrix (spec-pinned below via the q38 equivalence at
+    * the small SF, where bits clamps to 4 and the two forms coincide).
+    */
+  private val q254 = Q("q254_embed_neardup_sized",
+    (s, dir) => {
+      Similarity.cosineNearDupPairsSized(t(s, dir, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val hp = Similarity.hyperplanes(60, 64)
+      val hpValues = hp.zipWithIndex.map { case (p, i) =>
+        s"(${i}, [${p.mkString(", ")}])"
+      }.mkString(",\n        ")
+      s"""WITH nn AS (SELECT LEAST(15, GREATEST(4,
+          CAST(CEIL(LN(COUNT(*) / 64.0) / LN(2.0)) AS INTEGER)))
+          AS bits FROM embeddings),
+      hp(plane_id, pv) AS (VALUES
+        $hpValues),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        FROM embeddings),
+      sigs AS (SELECT v.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(v.vv, hp.pv) > 0
+            THEN (CAST(1 AS BIGINT) << hp.plane_id) ELSE 0 END) AS BIGINT)
+            AS sig
+        FROM v CROSS JOIN hp, nn
+        WHERE hp.plane_id < 4 * nn.bits GROUP BY v.vec_id),
+      bands AS (SELECT UNNEST(RANGE(4)) AS b),
+      banded AS (SELECT s.vec_id AS id, bands.b,
+          (s.sig >> (CAST(bands.b AS INTEGER) *
+            (SELECT bits FROM nn))) &
+            ((CAST(1 AS BIGINT) << (SELECT bits FROM nn)) - 1) AS bv
+        FROM sigs s CROSS JOIN bands),
+      cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.bv = y.bv AND x.id < y.id),
+      scored AS (SELECT cand.id_a, cand.id_b,
+          (list_dot_product(a.vv, b.vv) /
+            (SQRT(list_dot_product(a.vv, a.vv)) *
+             SQRT(list_dot_product(b.vv, b.vv)))) AS sim
+        FROM cand JOIN v a ON cand.id_a = a.vec_id
+        JOIN v b ON cand.id_b = b.vec_id)
+      SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+      ORDER BY id_a, id_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q31, q38, q49, q58, q73, q86, q91, q100, q101,
       q102, q103, q104, q105, q119, q126, q128, q178, q187, q229,
-      q250)
+      q250, q254)
 }

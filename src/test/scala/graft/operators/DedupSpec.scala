@@ -640,6 +640,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplanes: longer matrices are prefix-stable (q254 oracle inlining contract)") {
+    // the q254 oracle inlines ONE 60-plane matrix and restricts to the
+    // first 4*bits rows; that is only sound because hyperplanes() fills
+    // row-major from one seeded stream, so a longer matrix's prefix IS
+    // the shorter matrix
+    val long = Similarity.hyperplanes(60, 64)
+    val short = Similarity.hyperplanes(16, 64)
+    assert(long.take(16).map(_.toSeq).toSeq ==
+      short.map(_.toSeq).toSeq)
+    val mid = Similarity.hyperplanes(20, 64)
+    assert(long.take(20).map(_.toSeq).toSeq ==
+      mid.map(_.toSeq).toSeq)
+  }
+
   test("self-sized forms are the fixed forms at the derived parameters") {
     val n = emb.count()
     val bb = Similarity.sizedBandBits(n)
