@@ -215,7 +215,8 @@ object ScaleCheck {
     "q158", "q171", "q191", "q226", "q240", "q243", "q244", "q245",
     // round 13 late additions: rentals + transcripts lifecycles,
     // equi-depth bins, Q18 join-back, knn classification, gap fill
-    "q246", "q247", "q248", "q250", "q251", "q253", "q254")
+    "q246", "q247", "q248", "q250", "q251", "q252", "q253",
+    "q254")
 
   def main(args: Array[String]): Unit = {
     val baseDir =
