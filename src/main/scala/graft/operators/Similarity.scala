@@ -234,7 +234,7 @@ object Similarity {
   /** The shared majority vote: count labels per query, argmax with
     * (votes desc, label asc) — one ≤ k-row window per query
     * (WindowGroupLimit shape). */
-  private def voteOf(topk: DataFrame): DataFrame = {
+  private[operators] def voteOf(topk: DataFrame): DataFrame = {
     val votes = topk.groupBy(col("qid"), col("label"))
       .agg(count(lit(1)).as("votes"))
     TopK.perGroup(votes, Seq(col("qid")),

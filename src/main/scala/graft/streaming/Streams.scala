@@ -412,6 +412,34 @@ object Streams {
       .toDF("split", "n_obs")
   }
 
+  /** Streaming bucket counter — the stream form of
+    * [[graft.operators.Timeseries.dailyCountsFilled]]: each
+    * micro-batch emits ADDITIVE (day, n) increments per touched
+    * bucket; the spine fill (which needs the global [min, max]) runs
+    * as the batch finisher
+    * [[graft.operators.Timeseries.dailyCountsFilledFromCounts]] over
+    * the summed increments and reproduces the batch report exactly
+    * (spec-proven differential, the [[srmMaintain]] convention).
+    */
+  def bucketCountsMaintain(df: DataFrame, tsMicrosCol: String,
+      bucketMicros: Long = 86400000000L): DataFrame = {
+    require(bucketMicros > 0,
+      s"bucketMicros must be positive, got $bucketMicros")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+        expr(s"CAST($tsMicrosCol AS BIGINT) div $bucketMicros")
+          .as("day")).as[Long]
+    def bump(day: Long, rows: Iterator[Long],
+             state: GroupState[Long]): Iterator[(Long, Long)] =
+      Iterator.single((day, rows.size.toLong))
+    keyed.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(bump)
+      .toDF("day", "n")
+  }
+
   /** Streaming count-min sketch maintenance — the stream form of
     * [[graft.operators.Sketches.cmsBuild]]: per-cell running counters
     * in `flatMapGroupsWithState` keyed by (row, bucket). CMS cells are

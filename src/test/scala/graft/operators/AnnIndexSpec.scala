@@ -269,6 +269,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(selfIn == truth)
   }
 
+  test("knnClassifyOnCodes: served vote recovers clustered truth from saved codes") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the knnClassify clustered fixture: label axis dominates
+    val cdim = 8
+    val rows = (0L until 200L).map { i =>
+      val label = (i % 4).toInt
+      val v = Array.tabulate(cdim) { d =>
+        val noise = (((i * 31 + d * 17) % 11) - 5).toFloat / 10f
+        if (d == label) 10f + (i % 7).toFloat else noise
+      }
+      (i, v.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_knn_codes").toString)
+    val idx = AnnIndex.trainIvfPq(rows, "vec_id", "embedding",
+      dim = cdim, m = 4, ksub = 8, kCoarse = 8)
+    AnnIndex.save(store, "ix", idx)
+    AnnIndex.encodeAndSaveCodes(store, "codes", rows, "vec_id",
+      "embedding", idx)
+    val served = AnnIndex.load(store, "ix")
+    val qs = rows.filter(col("vec_id") % 9 === 0)
+    val pred = AnnIndex.knnClassifyOnCodes(qs,
+        store.read("codes"), rows, "vec_id", "embedding", "vec_id",
+        "label", k = 7, nprobe = 3, served)
+      .select(col("qid").cast("long"), col("pred_label"), col("votes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val exact = Similarity.knnClassify(qs, rows, "vec_id", "vec_id",
+        "embedding", "label", k = 7)
+      .select(col("qid").cast("long"), col("pred_label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pred.keySet == exact.keySet)
+    // quantized + probe-routed serving still recovers the clusters
+    val agree = exact.count { case (q, l) => pred(q)._1 == l }
+    assert(agree.toDouble >= 0.9 * exact.size,
+      s"served vote agrees on only $agree/${exact.size}")
+    assert(pred.values.forall { case (l, v) =>
+      l >= 0 && l <= 3 && v >= 1 && v <= 7 })
+  }
+
   test("params round-trip through the meta row incl. escaping") {
     val m0 = Map("dim" -> "64", "note" -> "a\"b\\c\nd", "z" -> "")
     assert(AnnIndex.parseJson(AnnIndex.jsonOf(m0)) == m0)

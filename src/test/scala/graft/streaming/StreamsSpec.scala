@@ -973,6 +973,44 @@ class StreamsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bucketCountsMaintain: spine-filled sums == batch dailyCountsFilled") {
+    import graft.operators.Timeseries
+    val in = Files.createTempDirectory("graft_bcm_in").toString
+    val out = Files.createTempDirectory("graft_bcm_out").toString
+    val ckpt = Files.createTempDirectory("graft_bcm_ckpt").toString
+    val sch = StructType.fromDDL("tm long")
+    val day = 86400000000L
+    // days 10, 12, 15 active (11, 13, 14 silent); day 12 straddles
+    // the batch split so its increments must SUM
+    val all = Seq(10L * day + 5, 10L * day + 9, 12L * day + 1,
+      12L * day + 2, 12L * day + 3, 15L * day + 7)
+    def js(rows: Seq[Long]) = rows.map(t => s"""{"tm":$t}""")
+    val (b1, b2) = all.splitAt(4)
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.bucketCountsMaintain(
+        spark.readStream.schema(sch).json(in), "tm"),
+      out, ckpt)
+    writeBatch(in, "b1.json", js(b1)); run()
+    writeBatch(in, "b2.json", js(b2)); run()
+    val summed = spark.read.parquet(out)
+      .groupBy($"day")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+    val got = Timeseries.dailyCountsFilledFromCounts(summed)
+      .as[(Long, Long)].collect().toSet
+    val batch = Timeseries.dailyCountsFilled(all.toDF("tm"), "tm")
+      .as[(Long, Long)].collect().toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+    // silent days really are present as zeros
+    assert(batch == Set((10L, 2L), (11L, 0L), (12L, 3L), (13L, 0L),
+      (14L, 0L), (15L, 1L)))
+    run() // drained restart emits nothing new
+    val again = Timeseries.dailyCountsFilledFromCounts(
+      spark.read.parquet(out).groupBy($"day")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n")))
+      .as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("srmMaintain: srmFromCounts over summed increments == batch srmCheck") {
     import graft.operators.Sampling
     val in = Files.createTempDirectory("graft_srm_in").toString
