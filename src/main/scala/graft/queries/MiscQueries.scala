@@ -3262,6 +3262,40 @@ object MiscQueries {
         CAST(COALESCE(c.n, 0) AS BIGINT) AS n
       FROM spine s LEFT JOIN c USING (day) ORDER BY day"""))
 
+  /** q255 — the SQL ENTRY surface (r13): the TPC-H Q1 pricing
+    * summary run as a `spark.sql` TEXT query over registered temp
+    * views — every other gate drives the DataFrame API; this one pins
+    * the parser/view path AND that the GraftExtensions-registered
+    * `graft_*` functions resolve from SQL text (`graft_nfc` on the
+    * ASCII flag is an identity, so the oracle is unchanged — but an
+    * extensions-registration regression fails this gate with
+    * UNRESOLVED_ROUTINE instead of surfacing in some ad-hoc shell).
+    * Revenue in exact cents, quantities as exact longs.
+    */
+  private val q255 = Q("q255_sql_surface",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT graft_nfc(l_returnflag) AS rf, l_linestatus AS ls,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+            * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          COUNT(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate < TIMESTAMP '1997-09-01'
+        GROUP BY graft_nfc(l_returnflag), l_linestatus
+        ORDER BY rf, ls""")
+    },
+    Some("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+          * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1997-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY rf, ls"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q32, q33, q34, q43, q44, q46,
     q48, q52, q67, q81, q82, q90, q113, q133, q147, q148, q155, q158,
     q159, q161, q162, q164, q167, q168, q169, q170, q174, q175, q180,
@@ -3270,5 +3304,5 @@ object MiscQueries {
     q208, q209, q210, q212, q213, q214, q215, q216, q217, q218, q221,
     q222, q223, q224, q225, q226, q227, q228, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-    q248, q251, q253)
+    q248, q251, q253, q255)
 }
