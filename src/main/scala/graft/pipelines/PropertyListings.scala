@@ -90,14 +90,22 @@ final class PropertyListings(spark: SparkSession, store: TableStore) {
       lit(null).cast("string").as("brokers"),
       lit(null).cast("array<string>").as("brochure_urls"))
 
-  /** combine_broker_listings.py:78-94 (F7): contains-based classifier. */
+  /** combine_broker_listings.py:78-94 (F7): contains-based classifier,
+    * branch-for-branch: sale+lease → "sale_or_lease"; sale → "sale";
+    * sublease → "sublease" (checked BEFORE plain lease — but note
+    * "sublease" contains "lease", so sale+sublease still lands in the
+    * first branch, exactly as the reference's `in` checks do); lease →
+    * "lease"; an unmatched value passes through UNCHANGED; a null
+    * (the reference's `.lower()` AttributeError → bare except) → "".
+    */
   def saleOrLease(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val t = lower(coalesce(c, lit("")))
-    when(t.contains("sale") && (t.contains("lease") || t.contains("rent")),
-      "Sale or Lease")
-      .when(t.contains("sale"), "Sale")
-      .when(t.contains("lease") || t.contains("rent"), "Lease")
-      .otherwise("Unknown")
+    val t = lower(c)
+    when(c.isNull, "")
+      .when(t.contains("sale") && t.contains("lease"), "sale_or_lease")
+      .when(t.contains("sale"), "sale")
+      .when(t.contains("sublease"), "sublease")
+      .when(t.contains("lease"), "lease")
+      .otherwise(c)
   }
 
   /** combine_broker_listings.py:63-228 (§3.1 step 4): union (O2), F7,

@@ -552,17 +552,17 @@ object CorpusQueries {
   private val q140 = Q("q140_stupid_backoff_served",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q140_lm").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("target",
-        docs.filter(col("source").isin("src0", "src1"))
-          .select(col("doc_id"), col("text")))
-      graft.operators.LmIndex.buildFromCorpus(store, "target", "lm",
-        "text")
-      graft.operators.LmIndex.stupidBackoffScoresServed(store, "lm",
-          docs, "doc_id", "text")
-        .orderBy(col("doc_id"))
+      Scratch.withDir("graft_q140_lm") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("target",
+          docs.filter(col("source").isin("src0", "src1"))
+            .select(col("doc_id"), col("text")))
+        graft.operators.LmIndex.buildFromCorpus(store, "target", "lm",
+          "text")
+        graft.operators.LmIndex.stupidBackoffScoresServed(store, "lm",
+            docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }(s)
     },
     Some(stupidBackoffOracleSql))
 
@@ -1240,18 +1240,18 @@ object CorpusQueries {
   private val q143 = Q("q143_unigram_served",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q143_tok").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("corpus", docs.select(col("doc_id"), col("text")))
-      graft.operators.TokenizerIndex.buildUnigramFromCorpus(store,
-        "corpus", "uni", "text", vocabSize = 40)
-      graft.operators.TokenizerIndex.unigramScoreServed(store, "uni",
-          docs, "doc_id", "text", minQuantMargin = Some(1e-6))
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("uni_q"), lit(0L)).as("uni_q"))
-        .orderBy(col("doc_id"))
+      Scratch.withDir("graft_q143_tok") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("corpus", docs.select(col("doc_id"), col("text")))
+        graft.operators.TokenizerIndex.buildUnigramFromCorpus(store,
+          "corpus", "uni", "text", vocabSize = 40)
+        graft.operators.TokenizerIndex.unigramScoreServed(store, "uni",
+            docs, "doc_id", "text", minQuantMargin = Some(1e-6))
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("uni_q"), lit(0L)).as("uni_q"))
+          .orderBy(col("doc_id"))
+      }(s)
     },
     Some(unigramScoreOracleSql))
 
@@ -1266,19 +1266,19 @@ object CorpusQueries {
   private val q144 = Q("q144_bpe_segment_served",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q144_bpe").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("corpus", docs.select(col("doc_id"), col("text")))
-      graft.operators.TokenizerIndex.buildBpeFromCorpus(store,
-        "corpus", "bpe", "text", numMerges = 6)
-      val kept = docs.filter(col("text").isNotNull &&
-        length(TextFunctions.normalizeText(col("text"))) > 0)
-      graft.operators.TokenizerIndex.bpeSegmentServed(store, "bpe",
-          kept, "text")
-        .select(explode(col("bpe_tokens")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(30)
+      Scratch.withDir("graft_q144_bpe") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("corpus", docs.select(col("doc_id"), col("text")))
+        graft.operators.TokenizerIndex.buildBpeFromCorpus(store,
+          "corpus", "bpe", "text", numMerges = 6)
+        val kept = docs.filter(col("text").isNotNull &&
+          length(TextFunctions.normalizeText(col("text"))) > 0)
+        graft.operators.TokenizerIndex.bpeSegmentServed(store, "bpe",
+            kept, "text")
+          .select(explode(col("bpe_tokens")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(30)
+      }(s)
     },
     Some(bpeSegmentOracleSql))
 

@@ -40,9 +40,10 @@ object LifecycleQueries {
       when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
         .otherwise(col("c_mktsegment")).as("price"),
       col("c_mktsegment").as("size"),
-      when(col("c_custkey") % 4 === 0, "Retail for Sale")
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 4 === 0, "Retail for Sale")
         .when(col("c_custkey") % 4 === 1, "Office for Lease")
-        .when(col("c_custkey") % 4 === 2, "Industrial for Sale or Rent")
+        .when(col("c_custkey") % 4 === 2, "Industrial for Sale or Lease")
         .otherwise("Bare Land").as("propertyType"),
       lit(s"gen$g").as("description"),
       struct((col("c_custkey") % 90).cast("string").as("lat"),
@@ -86,8 +87,9 @@ object LifecycleQueries {
       when(col("p_partkey") % 6 === 0, lit(null).cast("string"))
         .otherwise(col("p_brand")).as("price"),
       col("p_size").cast("string").as("building_size"),
-      when(col("p_partkey") % 2 === 0, col("p_type"))
-        .otherwise(concat(col("p_type"), lit(" lease"))).as("type"),
+      when(col("p_partkey") % 4 === 1, concat(col("p_type"), lit(" sublease")))
+        .when(col("p_partkey") % 4 === 3, concat(col("p_type"), lit(" lease")))
+        .otherwise(col("p_type")).as("type"),
       lit(s"gen$g").as("post_content"),
       (col("p_partkey") % 95).cast("string").as("latitude"),
       (col("p_partkey") % 125).cast("string").as("longitude"))
@@ -122,40 +124,46 @@ object LifecycleQueries {
       val zoning = part.filter(col("p_partkey") % 2 === 0)
         .select(md5(concat(lit("royal_park:rp-"), col("p_partkey")))
           .as("uuid"), col("p_brand").as("zone"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q245_life").toString
-      val store = new graft.sources.TableStore(s, root)
-      val pipe = new graft.pipelines.PropertyListings(s, store)
-      for (g <- Seq(1, 2))
-        pipe.run(avFeed(customer, g).drop("k"),
-          omadaFeed(supplier, g).drop("k"),
-          royalParkFeed(part, g).drop("k"),
-          brochure, osm, zoning)
-      val live = store.read("property_listings")
-        .withColumn("tbl", lit("live"))
-      val archived = store.read("archived_listings")
-        .withColumn("tbl", lit("archived"))
-      live.unionByName(archived)
-        .groupBy(col("tbl"), col("brokerage"),
-          col("description").as("tag"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("sale_or_lease") === "Sale", 1L).otherwise(0L))
-            .as("n_sale"),
-          sum(when(col("sale_or_lease") === "Lease", 1L).otherwise(0L))
-            .as("n_lease"),
-          sum(when(col("sale_or_lease") === "Sale or Lease", 1L)
-            .otherwise(0L)).as("n_sol"),
-          sum(when(col("sale_or_lease") === "Unknown", 1L)
-            .otherwise(0L)).as("n_unk"),
-          sum(when(col("price") === "Unknown", 1L).otherwise(0L))
-            .as("n_price_unknown"),
-          sum(when(coalesce(col("extra_brochure"), col("osm_tag"),
-            col("zone")).isNotNull, 1L).otherwise(0L))
-            .as("n_enriched"),
-          sum(col("latitude").cast("long")).as("sum_lat"),
-          min(col("url")).as("min_url"),
-          max(col("url")).as("max_url"))
-        .orderBy(col("tbl"), col("brokerage"), col("tag"))
+      Scratch.withDir("graft_q245_life") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        val pipe = new graft.pipelines.PropertyListings(s, store)
+        for (g <- Seq(1, 2))
+          pipe.run(avFeed(customer, g).drop("k"),
+            omadaFeed(supplier, g).drop("k"),
+            royalParkFeed(part, g).drop("k"),
+            brochure, osm, zoning)
+        val live = store.read("property_listings")
+          .withColumn("tbl", lit("live"))
+        val archived = store.read("archived_listings")
+          .withColumn("tbl", lit("archived"))
+        val labels = Seq("sale", "lease", "sale_or_lease", "sublease", "")
+        val passthru = !col("sale_or_lease").isin(labels: _*)
+        live.unionByName(archived)
+          .groupBy(col("tbl"), col("brokerage"),
+            col("description").as("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sale_or_lease") === "sale", 1L).otherwise(0L))
+              .as("n_sale"),
+            sum(when(col("sale_or_lease") === "lease", 1L).otherwise(0L))
+              .as("n_lease"),
+            sum(when(col("sale_or_lease") === "sale_or_lease", 1L)
+              .otherwise(0L)).as("n_sol"),
+            sum(when(col("sale_or_lease") === "sublease", 1L)
+              .otherwise(0L)).as("n_sub"),
+            sum(when(col("sale_or_lease") === "", 1L)
+              .otherwise(0L)).as("n_empty"),
+            sum(when(passthru, 1L).otherwise(0L)).as("n_passthru"),
+            max(when(passthru, col("sale_or_lease"))).as("max_passthru"),
+            sum(when(col("price") === "Unknown", 1L).otherwise(0L))
+              .as("n_price_unknown"),
+            sum(when(coalesce(col("extra_brochure"), col("osm_tag"),
+              col("zone")).isNotNull, 1L).otherwise(0L))
+              .as("n_enriched"),
+            sum(col("latitude").cast("long")).as("sum_lat"),
+            min(col("url")).as("min_url"),
+            max(col("url")).as("max_url"))
+          .orderBy(col("tbl"), col("brokerage"), col("tag"))
+      }(s)
     },
     Some("""WITH
       av_raw AS (
@@ -165,9 +173,10 @@ object LifecycleQueries {
             ELSE 'Calgary' END AS city,
           CASE WHEN c_custkey % 7 = 0 THEN NULL
             ELSE c_mktsegment END AS price,
-          CASE c_custkey % 4 WHEN 0 THEN 'Retail for Sale'
-            WHEN 1 THEN 'Office for Lease'
-            WHEN 2 THEN 'Industrial for Sale or Rent'
+          CASE WHEN c_custkey % 11 = 0 THEN NULL
+            WHEN c_custkey % 4 = 0 THEN 'Retail for Sale'
+            WHEN c_custkey % 4 = 1 THEN 'Office for Lease'
+            WHEN c_custkey % 4 = 2 THEN 'Industrial for Sale or Lease'
             ELSE 'Bare Land' END AS property_type,
           CAST(c_custkey % 90 AS DOUBLE) AS latitude,
           CAST(c_custkey % 120 AS DOUBLE) AS longitude
@@ -208,8 +217,9 @@ object LifecycleQueries {
           'paddr-' || p_partkey AS address,
           CASE WHEN p_partkey % 6 = 0 THEN NULL
             ELSE p_brand END AS price,
-          CASE WHEN p_partkey % 2 = 0 THEN p_type
-            ELSE p_type || ' lease' END AS property_type,
+          CASE WHEN p_partkey % 4 = 1 THEN p_type || ' sublease'
+            WHEN p_partkey % 4 = 3 THEN p_type || ' lease'
+            ELSE p_type END AS property_type,
           CAST(p_partkey % 95 AS DOUBLE) AS latitude,
           CAST(p_partkey % 125 AS DOUBLE) AS longitude
         FROM part),
@@ -236,16 +246,14 @@ object LifecycleQueries {
         SELECT u.g, u.brokerage, u.tag, u.address,
           u.latitude, u.longitude,
           CASE
-            WHEN LOWER(COALESCE(u.property_type, '')) LIKE '%sale%'
-              AND (LOWER(COALESCE(u.property_type, '')) LIKE '%lease%'
-                OR LOWER(COALESCE(u.property_type, '')) LIKE '%rent%')
-              THEN 'Sale or Lease'
-            WHEN LOWER(COALESCE(u.property_type, '')) LIKE '%sale%'
-              THEN 'Sale'
-            WHEN LOWER(COALESCE(u.property_type, '')) LIKE '%lease%'
-              OR LOWER(COALESCE(u.property_type, '')) LIKE '%rent%'
-              THEN 'Lease'
-            ELSE 'Unknown' END AS sale_or_lease,
+            WHEN u.property_type IS NULL THEN ''
+            WHEN LOWER(u.property_type) LIKE '%sale%'
+              AND LOWER(u.property_type) LIKE '%lease%'
+              THEN 'sale_or_lease'
+            WHEN LOWER(u.property_type) LIKE '%sale%' THEN 'sale'
+            WHEN LOWER(u.property_type) LIKE '%sublease%' THEN 'sublease'
+            WHEN LOWER(u.property_type) LIKE '%lease%' THEN 'lease'
+            ELSE u.property_type END AS sale_or_lease,
           COALESCE(u.price, 'Unknown') AS price,
           b.extra_brochure, o.osm_tag, z.zone, u.url
         FROM unioned u
@@ -268,14 +276,22 @@ object LifecycleQueries {
         SELECT 'live' AS tbl, * FROM live
         UNION ALL SELECT 'archived', * FROM archived)
       SELECT tbl, brokerage, tag, COUNT(*) AS n,
-        CAST(SUM(CASE WHEN sale_or_lease = 'Sale' THEN 1 ELSE 0 END)
+        CAST(SUM(CASE WHEN sale_or_lease = 'sale' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_sale,
-        CAST(SUM(CASE WHEN sale_or_lease = 'Lease' THEN 1 ELSE 0 END)
+        CAST(SUM(CASE WHEN sale_or_lease = 'lease' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_lease,
-        CAST(SUM(CASE WHEN sale_or_lease = 'Sale or Lease' THEN 1
+        CAST(SUM(CASE WHEN sale_or_lease = 'sale_or_lease' THEN 1
           ELSE 0 END) AS BIGINT) AS n_sol,
-        CAST(SUM(CASE WHEN sale_or_lease = 'Unknown' THEN 1 ELSE 0
-          END) AS BIGINT) AS n_unk,
+        CAST(SUM(CASE WHEN sale_or_lease = 'sublease' THEN 1 ELSE 0
+          END) AS BIGINT) AS n_sub,
+        CAST(SUM(CASE WHEN sale_or_lease = '' THEN 1 ELSE 0
+          END) AS BIGINT) AS n_empty,
+        CAST(SUM(CASE WHEN sale_or_lease NOT IN ('sale', 'lease',
+          'sale_or_lease', 'sublease', '') THEN 1 ELSE 0
+          END) AS BIGINT) AS n_passthru,
+        MAX(CASE WHEN sale_or_lease NOT IN ('sale', 'lease',
+          'sale_or_lease', 'sublease', '') THEN sale_or_lease
+          END) AS max_passthru,
         CAST(SUM(CASE WHEN price = 'Unknown' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_price_unknown,
         CAST(SUM(CASE WHEN COALESCE(extra_brochure, osm_tag, zone)
@@ -336,17 +352,17 @@ object LifecycleQueries {
   private val q246 = Q("q246_rentals_lifecycle",
     (s, dir) => {
       val customer = t(s, dir, "customer")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q246_rent").toString
-      val store = new graft.sources.TableStore(s, root)
-      val pipe = new graft.pipelines.RentalRates(s, store)
-      for (g <- Seq(1, 2))
-        pipe.combineAndFormat(
-          pipe.explodeUnits(livBuildings(customer, g).drop("k")))
-      pipe.aggregate(origin = (300000.0, 5900000.0))
-        .select(col("grid_id"), col("bedrooms"), col("avg_rate"),
-          col("listing_count"), col("std_dev"))
-        .orderBy(col("grid_id"), col("bedrooms"))
+      Scratch.withDir("graft_q246_rent") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        val pipe = new graft.pipelines.RentalRates(s, store)
+        for (g <- Seq(1, 2))
+          pipe.combineAndFormat(
+            pipe.explodeUnits(livBuildings(customer, g).drop("k")))
+        pipe.aggregate(origin = (300000.0, 5900000.0))
+          .select(col("grid_id"), col("bedrooms"), col("avg_rate"),
+            col("listing_count"), col("std_dev"))
+          .orderBy(col("grid_id"), col("bedrooms"))
+      }(s)
     },
     Some {
       val lon = GeoQueriesSqlMirror.lonSql("k")
@@ -437,8 +453,7 @@ object LifecycleQueries {
   private val q247 = Q("q247_transcripts_lifecycle",
     (s, dir) => {
       val feed = councilFeed(t(s, dir, "documents"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q247_tx").toString
+      Scratch.withDir("graft_q247_tx") { root =>
       val store = new graft.sources.TableStore(s, root)
       val pipe = new graft.pipelines.Transcripts(s, store)
       pipe.ingest(feed.filter(col("doc_id") % 2 === 0).drop("doc_id"))
@@ -470,6 +485,7 @@ object LifecycleQueries {
         .select(col("video_url"), col("n_chunks"), col("sum_items"),
           col("vectorized"), col("summarized"), col("n_summary"))
         .orderBy(col("video_url"))
+      }(s)
     },
     Some(s"""WITH toks AS (SELECT doc_id,
           STRING_SPLIT(text, ' ') AS tk FROM documents),
@@ -532,21 +548,21 @@ object LifecycleQueries {
         round(col("c_acctbal") * 100, 0).cast("long"),
         col("c_mktsegment")).as("value"))
         .unionByName(malformed)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q249_csv").toString
-      lines.write.mode("overwrite").text(root)
-      val schema = StructType.fromDDL("custkey long, name string, " +
-        "nationkey long, cents long, seg string")
-      val (good, quarantine) =
-        graft.sources.Sources.csvTableQuarantined(s, schema,
-          s"$root/*.txt")
-      good.agg(count(lit(1)).as("n_good"),
-          sum(col("cents")).cast("long").as("sum_cents"),
-          countDistinct(col("seg")).as("n_seg"))
-        .crossJoin(broadcast(
-          quarantine.agg(count(lit(1)).as("n_quarantine"))))
-        .select(col("n_good"), col("n_quarantine"), col("sum_cents"),
-          col("n_seg"))
+      Scratch.withDir("graft_q249_csv") { root =>
+        lines.write.mode("overwrite").text(root)
+        val schema = StructType.fromDDL("custkey long, name string, " +
+          "nationkey long, cents long, seg string")
+        val (good, quarantine) =
+          graft.sources.Sources.csvTableQuarantined(s, schema,
+            s"$root/*.txt")
+        good.agg(count(lit(1)).as("n_good"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("seg")).as("n_seg"))
+          .crossJoin(broadcast(
+            quarantine.agg(count(lit(1)).as("n_quarantine"))))
+          .select(col("n_good"), col("n_quarantine"), col("sum_cents"),
+            col("n_seg"))
+      }(s)
     },
     Some("""SELECT COUNT(*) AS n_good,
         CAST(2 AS BIGINT) AS n_quarantine,
@@ -570,24 +586,24 @@ object LifecycleQueries {
     (s, dir) => {
       import org.apache.spark.sql.types.StructType
       val customer = t(s, dir, "customer")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q252_orc").toString
-      customer.select(col("c_custkey"), col("c_name"),
-          col("c_nationkey"),
-          round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
-          col("c_mktsegment").as("seg"))
-        .write.mode("overwrite").partitionBy("seg")
-        .orc(s"$root/cust_orc")
-      val schema = StructType.fromDDL("c_custkey long, c_name string," +
-        " c_nationkey long, cents long, seg string")
-      graft.sources.Sources.orcTable(s, schema, s"$root/cust_orc")
-        .filter(col("seg").isin("BUILDING", "MACHINERY"))
-        .groupBy(col("seg"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("cents")).cast("long").as("sum_cents"),
-          min(col("c_custkey")).cast("long").as("min_key"),
-          max(col("c_custkey")).cast("long").as("max_key"))
-        .orderBy(col("seg"))
+      Scratch.withDir("graft_q252_orc") { root =>
+        customer.select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+            col("c_mktsegment").as("seg"))
+          .write.mode("overwrite").partitionBy("seg")
+          .orc(s"$root/cust_orc")
+        val schema = StructType.fromDDL("c_custkey long, c_name string," +
+          " c_nationkey long, cents long, seg string")
+        graft.sources.Sources.orcTable(s, schema, s"$root/cust_orc")
+          .filter(col("seg").isin("BUILDING", "MACHINERY"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            min(col("c_custkey")).cast("long").as("min_key"),
+            max(col("c_custkey")).cast("long").as("max_key"))
+          .orderBy(col("seg"))
+      }(s)
     },
     Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
         CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)

@@ -710,21 +710,21 @@ object MiscQueries {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), cents.as("cents"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q148_st").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.rewrite("ord",
-        orders.repartitionByRange(8, col("o_orderkey"))
-          .sortWithinPartitions(col("o_orderkey")))
-      store.analyze("ord", Seq("o_orderkey", "cents"))
-      val a = store.aggWhere("ord",
-        col("o_orderkey") >= 5000 && col("o_orderkey") < 50000, "cents")
-      def l(v: Option[java.math.BigDecimal]) =
-        v.map(b => lit(b.longValueExact()))
-          .getOrElse(lit(null).cast("long"))
-      s.range(1).select(lit(a.count).as("cnt"),
-        lit(a.sum.longValueExact()).as("sum_cents"),
-        l(a.min).as("min_cents"), l(a.max).as("max_cents"))
+      Scratch.withDir("graft_q148_st") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.rewrite("ord",
+          orders.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey")))
+        store.analyze("ord", Seq("o_orderkey", "cents"))
+        val a = store.aggWhere("ord",
+          col("o_orderkey") >= 5000 && col("o_orderkey") < 50000, "cents")
+        def l(v: Option[java.math.BigDecimal]) =
+          v.map(b => lit(b.longValueExact()))
+            .getOrElse(lit(null).cast("long"))
+        s.range(1).select(lit(a.count).as("cnt"),
+          lit(a.sum.longValueExact()).as("sum_cents"),
+          l(a.min).as("min_cents"), l(a.max).as("max_cents"))
+      }(s)
     },
     Some("""SELECT COUNT(*) AS cnt, CAST(SUM(c) AS BIGINT) AS sum_cents,
         MIN(c) AS min_cents, MAX(c) AS max_cents

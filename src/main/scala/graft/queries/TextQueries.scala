@@ -903,15 +903,15 @@ object TextQueries {
     */
   private val q125 = Q("q125_bm25_served_index",
     (s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q125_lex").toString
-      val store = new graft.sources.TableStore(s, root)
-      graft.operators.LexIndex.buildAndSave(store, "lex",
-        t(s, dir, "documents"), "doc_id", "text")
-      graft.operators.LexIndex.topKServed(store, "lex", bm25Queries,
-          k = 10, minQuantMargin = Some(5e-4))
-        .withColumn("rk", col("rk").cast("long"))
-        .orderBy(col("qid"), col("rk"))
+      Scratch.withDir("graft_q125_lex") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        graft.operators.LexIndex.buildAndSave(store, "lex",
+          t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.LexIndex.topKServed(store, "lex", bm25Queries,
+            k = 10, minQuantMargin = Some(5e-4))
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy(col("qid"), col("rk"))
+      }(s)
     },
     Some(bm25OracleSql(10)))
 
@@ -959,17 +959,17 @@ object TextQueries {
     */
   private val q130 = Q("q130_hybrid_rrf_served",
     (s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q130_lex").toString
-      val store = new graft.sources.TableStore(s, root)
-      graft.operators.LexIndex.buildAndSave(store, "lex",
-        t(s, dir, "documents"), "doc_id", "text")
-      val lex = graft.operators.LexIndex.topKServed(store, "lex",
-          bm25Queries, k = 20, minQuantMargin = Some(5e-4))
-        .select(col("qid"), col("doc_id"), col("rk"))
-      graft.operators.Fusion.rrf(lex, hybridVecChannel(s, dir), k = 10)
-        .withColumn("rk", col("rk").cast("long"))
-        .orderBy(col("qid"), col("rk"))
+      Scratch.withDir("graft_q130_lex") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        graft.operators.LexIndex.buildAndSave(store, "lex",
+          t(s, dir, "documents"), "doc_id", "text")
+        val lex = graft.operators.LexIndex.topKServed(store, "lex",
+            bm25Queries, k = 20, minQuantMargin = Some(5e-4))
+          .select(col("qid"), col("doc_id"), col("rk"))
+        graft.operators.Fusion.rrf(lex, hybridVecChannel(s, dir), k = 10)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy(col("qid"), col("rk"))
+      }(s)
     },
     Some(hybridRrfOracleSql))
 
@@ -1963,19 +1963,19 @@ object TextQueries {
       val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
       val corpus = docs.filter(bucket < cut)
       val batch = docs.filter(bucket >= cut)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q138_ix").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("corpus", corpus.select(col("doc_id"), col("text")))
-      graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
-        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
-      val cands = graft.operators.DedupIndex.screen(store, "lsh", batch,
-        "doc_id", "text")
-      Dedup.verifyJaccard(cands, docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.2)
-        .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
-          col("jaccard"))
-        .orderBy(col("corpus_id"), col("batch_id"))
+      Scratch.withDir("graft_q138_ix") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("corpus", corpus.select(col("doc_id"), col("text")))
+        graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+        val cands = graft.operators.DedupIndex.screen(store, "lsh", batch,
+          "doc_id", "text")
+        Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.2)
+          .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"),
+            col("jaccard"))
+          .orderBy(col("corpus_id"), col("batch_id"))
+      }(s)
     },
     Some(incrementalDedupOracleSql))
 
@@ -1996,16 +1996,16 @@ object TextQueries {
       val bucket = Sampling.hashBucket(col("doc_id"), "ingest")
       val corpus = docs.filter(bucket < cut)
       val batch = docs.filter(bucket >= cut)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q139_ix").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("corpus", corpus.select(col("doc_id"), col("text")))
-      graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
-        "doc_id", "text", shingleN = 3, k = 16, bands = 4)
-      graft.operators.DedupIndex.admit(store, "lsh", "corpus",
-          batch.select(col("doc_id"), col("text")), "doc_id", "text",
-          threshold = 0.2)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+      Scratch.withDir("graft_q139_ix") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("corpus", corpus.select(col("doc_id"), col("text")))
+        graft.operators.DedupIndex.buildFromCorpus(store, "corpus", "lsh",
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+        graft.operators.DedupIndex.admit(store, "lsh", "corpus",
+            batch.select(col("doc_id"), col("text")), "doc_id", "text",
+            threshold = 0.2)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      }(s)
     },
     Some(s"""WITH $admissionCtes
         SELECT doc_id FROM sides
@@ -2238,8 +2238,7 @@ object TextQueries {
       val sel = Seq(col("doc_id"), col("text"), col("source"))
       val corpus = docs.filter(bucket < cut).select(sel: _*)
       val batch = docs.filter(bucket >= cut).select(sel: _*)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q149_rel").toString
+      Scratch.withDir("graft_q149_rel") { root =>
       // retention on: the index refresh reads the corpus change feed
       // and the release pins replay via time travel
       val store = new graft.sources.TableStore(s, root,
@@ -2271,6 +2270,7 @@ object TextQueries {
           sum(graft.functions.TextFunctions.tokenCount(col("text")))
             .cast("long").as("n_tokens"))
         .orderBy(col("source"))
+      }(s)
     },
     Some(s"""WITH $admissionCtes,
         released AS (SELECT doc_id FROM sides WHERE side = 'corpus'
@@ -2400,15 +2400,15 @@ object TextQueries {
       val sel = Seq(col("doc_id"), col("text"))
       val corpus = docs.filter(bucket < cut).select(sel: _*)
       val batch = docs.filter(bucket >= cut).select(sel: _*)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q156_wix").toString
-      val store = new graft.sources.TableStore(s, root)
-      store.append("corpus", corpus)
-      graft.operators.WinnowIndex.buildFromCorpus(store, "corpus",
-        "wix", "doc_id", "text", k = 4, w = 5)
-      graft.operators.WinnowIndex.screen(store, "wix", batch,
-          "doc_id", "text", minShared = 3L, maxDf = 8)
-        .orderBy(col("id_a"), col("id_b"))
+      Scratch.withDir("graft_q156_wix") { root =>
+        val store = new graft.sources.TableStore(s, root)
+        store.append("corpus", corpus)
+        graft.operators.WinnowIndex.buildFromCorpus(store, "corpus",
+          "wix", "doc_id", "text", k = 4, w = 5)
+        graft.operators.WinnowIndex.screen(store, "wix", batch,
+            "doc_id", "text", minShared = 3L, maxDf = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      }(s)
     },
     Some {
       val h = SamplingQueries.hashSql("ingest", "doc_id")

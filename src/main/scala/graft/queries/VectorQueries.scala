@@ -627,17 +627,17 @@ object VectorQueries {
     Q("q119_ivfpq_served_index",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q119_idx").toString
-        val store = new graft.sources.TableStore(s, root)
-        val gen = graft.operators.AnnIndex.save(store, "ix",
-          graft.operators.AnnIndex.trainIvfPq(e, "vec_id", "embedding",
-            dim, m, ksub, kCoarse, coarseIters = coarseIters,
-            pqIters = iters))
-        val idx = graft.operators.AnnIndex.loadAt(store, "ix", gen)
-        graft.operators.AnnIndex.ivfPqTopK(e.filter(col("vec_id") < 5),
-          e, "vec_id", "vec_id", "embedding", k, nprobe, idx)
-          .orderBy(col("qid"), col("rk"))
+        Scratch.withDir("graft_q119_idx") { root =>
+          val store = new graft.sources.TableStore(s, root)
+          val gen = graft.operators.AnnIndex.save(store, "ix",
+            graft.operators.AnnIndex.trainIvfPq(e, "vec_id", "embedding",
+              dim, m, ksub, kCoarse, coarseIters = coarseIters,
+              pqIters = iters))
+          val idx = graft.operators.AnnIndex.loadAt(store, "ix", gen)
+          graft.operators.AnnIndex.ivfPqTopK(e.filter(col("vec_id") < 5),
+            e, "vec_id", "vec_id", "embedding", k, nprobe, idx)
+            .orderBy(col("qid"), col("rk"))
+        }(s)
       },
       Some(ivfPqOracleSql(dim, m, ksub, iters, kCoarse, nprobe,
         coarseIters, k)))

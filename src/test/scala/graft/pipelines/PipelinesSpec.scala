@@ -76,9 +76,9 @@ class PropertyListingsSpec extends SparkSpec with StoreFixture {
       assert(t.count() == 3) // closed + non-Edmonton filtered out
       val byBrokerage = t.select($"brokerage", $"sale_or_lease")
         .as[(String, String)].collect().toMap
-      assert(byBrokerage("av") == "Sale")
-      assert(byBrokerage("omada") == "Lease")
-      assert(byBrokerage("royal_park") == "Sale or Lease")
+      assert(byBrokerage("av") == "sale")
+      assert(byBrokerage("omada") == "lease")
+      assert(byBrokerage("royal_park") == "sale_or_lease")
       // html stripped, size range concatenated
       val om = t.filter($"brokerage" === "omada").head()
       assert(om.getAs[String]("title") == "Retail Bay")
@@ -99,6 +99,23 @@ class PropertyListingsSpec extends SparkSpec with StoreFixture {
       assert(store.read("archived_listings").count() == 1)
       assert(store.read("archived_listings").head()
         .getAs[String]("brokerage") == "royal_park")
+    }
+  }
+
+  test("saleOrLease matches the reference classifier branch-for-branch") {
+    withStore { store =>
+      val p = new PropertyListings(spark, store)
+      val in = Seq("Industrial for Sale or Lease", "Retail for Sale",
+        "Office Sublease", "Sublease or Sale", "office for lease",
+        "Warehouse for rent", "Bare Land", null)
+      val out = in.toDF("t").select(p.saleOrLease($"t").as("c"))
+        .as[String].collect().toSeq
+      // "Sublease or Sale" lands in the sale+lease branch ("sublease"
+      // CONTAINS "lease"), exactly as the reference's `in` checks do;
+      // "rent" has no synonym branch and passes through unchanged;
+      // null is the reference's bare-except -> '' path.
+      assert(out == Seq("sale_or_lease", "sale", "sublease",
+        "sale_or_lease", "lease", "Warehouse for rent", "Bare Land", ""))
     }
   }
 
