@@ -69,11 +69,18 @@ object Enrichment {
   }
 
   /** Geocoder stub: deterministic jittered point from the address hash
-    * (get_edm_building_permits.py:49-80 fallback geocode).
+    * (get_edm_building_permits.py:49-80 fallback geocode). Hash is the
+    * md5+hex-parse kit (not xxhash64) so a DuckDB oracle can replay the
+    * point exactly (q256 gates the geocode-fallback leg end-to-end);
+    * lat lands in [53.5, 53.6), lon in [-113.6, -113.5).
     */
-  def geocode(address: Column): Column = struct(
-    (lit(53.5) + (pmod(xxhash64(address), lit(1000L)).cast("double") /
-      lit(10000.0))).as("lat"),
-    (lit(-113.6) + (pmod(xxhash64(address, lit(1)), lit(1000L)).cast("double") /
-      lit(10000.0))).as("lon"))
+  def geocode(address: Column): Column = {
+    def h(salt: String) = conv(substring(md5(concat_ws(":", lit(salt),
+      coalesce(address, lit("")))), 1, 8), 16, 10).cast("long")
+    struct(
+      (lit(53.5) + ((h("geo_lat") % 1000L).cast("double") /
+        lit(10000.0))).as("lat"),
+      (lit(-113.6) + ((h("geo_lon") % 1000L).cast("double") /
+        lit(10000.0))).as("lon"))
+  }
 }

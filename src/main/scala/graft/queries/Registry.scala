@@ -7,7 +7,8 @@ object Registry {
   val all: Seq[Q] = CoreQueries.all ++ TextQueries.all ++
     VectorQueries.all ++ GeoQueries.all ++ MultimodalQueries.all ++
     MiscQueries.all ++ CorpusQueries.all ++ ZoningQueries.all ++
-    SamplingQueries.all ++ LifecycleQueries.all
+    SamplingQueries.all ++ LifecycleQueries.all ++
+    CivicLifecycleQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
