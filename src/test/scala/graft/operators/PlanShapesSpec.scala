@@ -98,6 +98,20 @@ class PlanShapesSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("SQL-text twins plan like their DataFrame forms (q260/q261)") {
+    // the parsed entry path must reach the same physical shapes the
+    // DataFrame gates pin: q260's dim chain broadcasts with no
+    // cartesian, and q261's rank filter earns the WindowGroupLimit
+    // pushdown — SQL text is not a second-class plan source
+    val pJoin = plan(graft.queries.Registry
+      .queries("q260_sql_join_surface")(spark, "/root/testdata/sf0.001"))
+    assert(pJoin.contains("BroadcastHashJoin"), pJoin)
+    assert(!pJoin.contains("CartesianProduct"), pJoin)
+    val pWin = plan(graft.queries.Registry
+      .queries("q261_sql_window_surface")(spark, "/root/testdata/sf0.001"))
+    assert(pWin.contains("WindowGroupLimit"), pWin)
+  }
+
   test("markovAccuracy: exactly one window pass over the events") {
     val ev = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "B"))
       .toDF("u", "t", "id", "ty")
