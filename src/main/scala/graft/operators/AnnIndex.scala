@@ -437,8 +437,18 @@ object AnnIndex {
                          index: AnnIndex,
                          excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val lab = labels.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("label"))
+    // unlabeled corpus rows are excluded BEFORE ranking (the
+    // knnClassifyIvf contract: corpus.filter(labelCol.isNotNull)) —
+    // ranking the full codes relation and label-joining afterwards
+    // would let unlabeled rows occupy neighbor slots and then be
+    // silently dropped, starving the vote below k voters
+    val labeledCodes = codes.join(lab.select(col("id")), Seq("id"),
+      "left_semi")
     val kk = if (excludeSelf) k + 1 else k
-    val ranked = ivfPqTopKOnCodes(queries, codes, qidCol, vecCol,
+    val ranked = ivfPqTopKOnCodes(queries, labeledCodes, qidCol, vecCol,
       kk, nprobe, index)
     val noSelf =
       if (excludeSelf) ranked.filter(col("qid") =!= col("id"))
@@ -446,9 +456,6 @@ object AnnIndex {
     val rek = TopK.perGroup(
       noSelf.select(col("qid"), col("id"), col("dist")),
       Seq(col("qid")), Seq(col("dist").asc, col("id")), k, "rk2")
-    val lab = labels.filter(col(labelCol).isNotNull)
-      .select(col(idCol).as("id"),
-        col(labelCol).cast("long").as("label"))
     Similarity.voteOf(rek.join(lab, Seq("id")))
   }
 

@@ -104,7 +104,13 @@ object Sampling {
     * are additive across batches, the χ² term (which divides by the
     * grand total N) is not. Same spans, same exact integral term,
     * same output schema as [[srmCheck]]; splits absent from `counts`
-    * report n_obs = 0 against their span.
+    * report n_obs = 0 against their span. Counts rows whose split
+    * name is NOT in the span frame (possible for hand-built or
+    * drifted persisted counts) fail LOUDLY: they would otherwise fold
+    * silently into the grand total N and deflate every reported
+    * split's expected count and χ² term — a skewed SRM verdict with
+    * no symptom. The guard is one bounded job over the pre-aggregated
+    * (≤ splits+1 row) counts frame.
     */
   def srmFromCounts(counts: DataFrame,
                     splits: Seq[(String, Double)]): DataFrame = {
@@ -122,6 +128,15 @@ object Sampling {
     val spark = counts.sparkSession
     import spark.implicits._
     val spanDf = all.toDF("split", "span")
+    val unknown = counts
+      .select(coalesce(col("split").cast("string"), lit("[NULL]"))
+        .as("split"))
+      .join(spanDf.select(col("split")), Seq("split"), "left_anti")
+      .distinct().limit(6).collect().map(_.getString(0))
+    require(unknown.isEmpty,
+      s"counts carry split names absent from the span frame: " +
+        s"${unknown.mkString(", ")} — stale or mislabeled persisted " +
+        "counts would silently deflate every split's chi2 comparison")
     val obs = counts.groupBy(col("split"))
       .agg(sum(col("n_obs")).as("__o"))
     val n = obs.agg(sum(col("__o")).as("__n"))

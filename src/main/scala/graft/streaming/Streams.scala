@@ -343,9 +343,16 @@ object Streams {
     * one-column-per-rule frame is this long frame pivoted). No
     * cross-batch state is needed; the unused GroupState slot is the
     * price of an Append-mode per-group rollup.
+    *
+    * The group column keeps its INPUT type: the typed groupByKey
+    * internally keys on the string form (injective for the atomic
+    * types), but the output re-casts the group column back, so joins
+    * and differential comparisons against the batch twin need no
+    * hidden cast.
     */
   def accountingByMaintain(df: DataFrame, groupCol: String,
       rules: Seq[graft.operators.Expectations.Rule]): DataFrame = {
+    val groupType = df.schema(groupCol).dataType
     require(rules.nonEmpty, "at least one expectation rule")
     require(rules.map(_.name).distinct.size == rules.size,
       s"rule names must be distinct, got ${rules.map(_.name)}")
@@ -380,6 +387,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(roll)
       .toDF(groupCol, "rule", "n_rows")
+      .withColumn(groupCol, col(groupCol).cast(groupType))
   }
 
   /** Streaming SRM observation counter — the stream form of

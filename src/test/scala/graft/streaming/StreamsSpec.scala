@@ -973,6 +973,36 @@ class StreamsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("accountingByMaintain preserves a non-string group key's type") {
+    import graft.operators.Expectations.Rule
+    val in = Files.createTempDirectory("graft_abm2_in").toString
+    val out = Files.createTempDirectory("graft_abm2_out").toString
+    val ckpt = Files.createTempDirectory("graft_abm2_ckpt").toString
+    val sch = StructType.fromDDL("day long, v long")
+    // a LONG group key (e.g. a day number): the streamed frame must
+    // come back typed long, not the groupByKey-internal string — a
+    // join against the batch twin needs no hidden cast
+    writeBatch(in, "b1.json", Seq(
+      """{"day":1,"v":5}""", """{"day":1,"v":-1}""",
+      """{"day":20260101,"v":2}"""))
+    Streams.runAvailableNow(
+      Streams.accountingByMaintain(
+        spark.readStream.schema(sch).json(in), "day",
+        Seq(Rule("v_positive", col("v") > 0))),
+      out, ckpt)
+    val res = spark.read.parquet(out)
+    assert(res.schema("day").dataType ==
+      org.apache.spark.sql.types.LongType, res.schema.treeString)
+    val got = res.groupBy($"day", $"rule")
+      .agg(org.apache.spark.sql.functions.sum($"n_rows").as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "v_positive", 1L), (1L, "__admitted", 1L),
+      (1L, "__total", 2L),
+      (20260101L, "v_positive", 0L), (20260101L, "__admitted", 1L),
+      (20260101L, "__total", 1L)), got.toString)
+  }
+
   test("bucketCountsMaintain: spine-filled sums == batch dailyCountsFilled") {
     import graft.operators.Timeseries
     val in = Files.createTempDirectory("graft_bcm_in").toString
@@ -1044,5 +1074,25 @@ class StreamsSpec extends SparkSpec {
         .agg(org.apache.spark.sql.functions.sum($"n_obs").as("n_obs")),
       splits).as[(String, Long, Long, Long)].collect().toSet
     assert(again == got)
+  }
+
+  test("srmFromCounts refuses counts with unknown split names") {
+    import graft.operators.Sampling
+    val splits = Seq("train" -> 0.6, "test" -> 0.3)
+    // a drifted persisted counts table: a renamed split would
+    // otherwise fold silently into N and deflate every chi2 term
+    val counts = Seq(("train", 100L), ("validation", 40L),
+      ("test", 50L)).toDF("split", "n_obs")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.srmFromCounts(counts, splits)
+    }
+    assert(e.getMessage.contains("validation"), e.getMessage)
+    // null split names are reported too, not swallowed
+    val withNull = Seq((Some("train"), 100L), (None, 7L))
+      .toDF("split", "n_obs")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.srmFromCounts(withNull, splits)
+    }
+    assert(e2.getMessage.contains("[NULL]"), e2.getMessage)
   }
 }
