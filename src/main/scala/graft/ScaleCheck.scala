@@ -216,7 +216,11 @@ object ScaleCheck {
     // round 13 late additions: rentals + transcripts lifecycles,
     // equi-depth bins, Q18 join-back, knn classification, gap fill
     "q246", "q247", "q248", "q250", "q251", "q252", "q253",
-    "q254")
+    "q254",
+    // round 14: the four remaining DAG lifecycles (permits, rezoning,
+    // bylaws, financial reports) + the SQL-text twins (q260 must track
+    // q243's join growth, q261 q04's window, q262 q115's kernel scan)
+    "q256", "q257", "q258", "q259", "q260", "q261", "q262")
 
   def main(args: Array[String]): Unit = {
     val baseDir =

@@ -165,8 +165,17 @@ object TextFunctions {
   /** Lenient cast with default (reference F11 safe_cast,
     * combine_broker_listings.py:167-175).
     */
-  def safeCast(c: Column, to: String, default: Column): Column =
-    coalesce(c.try_cast(to), default)
+  def safeCast(c: Column, to: String, default: Column): Column = {
+    val v = c.try_cast(to)
+    // the reference's safe_cast (get_edm_building_permits.py:33-41)
+    // returns the DEFAULT for "NaN"/"nan" strings and NaN floats
+    // (the explicit sentinel check + pd.isna), while try_cast parses
+    // 'NaN' into a real NaN double — map it back to the default for
+    // floating targets so no NaN ever leaks into a sink column
+    if (to == "double" || to == "float")
+      coalesce(when(isnan(v), lit(null)).otherwise(v), default)
+    else coalesce(v, default)
+  }
 
   /** Seconds → "H:MM:SS" (hours unpadded, may exceed 24 — the
     * reference folds timedelta days back into hours;

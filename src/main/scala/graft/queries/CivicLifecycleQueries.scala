@@ -25,8 +25,10 @@ object CivicLifecycleQueries {
   /** Deterministic Socrata-shaped permit feed
     * (get_edm_building_permits.py field shapes), all columns strings
     * as a JSON feed delivers them. Exercises every normalize leg: the
-    * cutoff pushdown, try-cast junk defaults ("n/a", "x", "m", a
-    * null), the (0,0)-coordinate geocode fallback (k%5), the
+    * cutoff pushdown, safe-cast junk defaults ("NaN" — the
+    * reference's explicit sentinel, mapped to the default, never a
+    * real NaN — plus "n/a", "x", "m", a null), the
+    * (0,0)-coordinate geocode fallback (k%5), the
     * Unknown-address skip rule (k%10 ⊂ k%5, so those rows drop), and
     * day/month extraction. `job_description` carries the generation
     * tag — the DO-NOTHING proof. Generation 1 is the even-key half;
@@ -47,7 +49,7 @@ object CivicLifecycleQueries {
         .otherwise(concat(lit("-113."),
           lpad(((k / 1000).cast("long") % 1000).cast("string"), 3, "0")))
         .as("longitude"),
-      when(k % 3 === 0, "n/a")
+      when(k % 6 === 0, "NaN").when(k % 6 === 3, "n/a")
         .otherwise((k % 500).cast("string")).as("floor_area"),
       when(k % 10 === 0, "Unknown")
         .otherwise(concat(lit("addr-"), k.cast("string"))).as("address"),
@@ -121,7 +123,8 @@ object CivicLifecycleQueries {
           CASE WHEN o_orderkey % 5 = 0 THEN '0.0'
             ELSE '-113.' || LPAD(CAST((o_orderkey // 1000) % 1000
               AS VARCHAR), 3, '0') END AS lon_raw,
-          CASE WHEN o_orderkey % 3 = 0 THEN 'n/a'
+          CASE WHEN o_orderkey % 6 = 0 THEN 'NaN'
+            WHEN o_orderkey % 6 = 3 THEN 'n/a'
             ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS floor_raw,
           CASE WHEN o_orderkey % 10 = 0 THEN 'Unknown'
             ELSE 'addr-' || o_orderkey END AS address,
@@ -146,7 +149,9 @@ object CivicLifecycleQueries {
         SELECT *,
           COALESCE(TRY_CAST(lat_raw AS DOUBLE), 0.0) AS lat0,
           COALESCE(TRY_CAST(lon_raw AS DOUBLE), 0.0) AS lon0,
-          COALESCE(TRY_CAST(floor_raw AS DOUBLE), 0.0) AS floor_area,
+          COALESCE(CASE WHEN ISNAN(TRY_CAST(floor_raw AS DOUBLE))
+            THEN NULL ELSE TRY_CAST(floor_raw AS DOUBLE) END, 0.0)
+            AS floor_area,
           COALESCE(TRY_CAST(cv_raw AS DOUBLE), 0.0) AS construction_value,
           COALESCE(TRY_CAST(units_raw AS INT), 0) AS num_units,
           COALESCE(TRY_CAST(month_raw AS INT), 0) AS permit_month,
@@ -378,23 +383,41 @@ object CivicLifecycleQueries {
         val store = new graft.sources.TableStore(s, root)
         val pipe = new graft.pipelines.ZoningBylaws(s, store)
         for (g <- Seq(1, 2)) pipe.run(bylawPages(orders, g))
-        store.read("zoning_bylaws").select(
-          col("o_orderkey"), col("tag"), col("zone_key"),
-          col("section"), col("zone_code"), col("zone_name"),
-          col("storeys"),
-          array_join(array_sort(transform(map_entries(col("regulations")),
-            e => concat(e.getField("key"), lit("="),
-              e.getField("value")))), "|").as("regs"),
-          array_join(array_sort(col("permitted_uses")), ",").as("uses"))
-          .orderBy(col("o_orderkey"))
+        // bounded scorecard (the per-zone frame is ~|orders|/7 rows —
+        // 190k at the 10x fixture): every assembled column folds into
+        // an md5 row hash summed per (tag, k%6) group, so ANY row
+        // drift still flips the hash while the collect stays ≤ 12 rows
+        def f(c: org.apache.spark.sql.Column) = coalesce(c, lit("[N]"))
+        val rows = store.read("zoning_bylaws").select(
+          col("tag"), (col("o_orderkey") % 6).cast("long").as("c"),
+          col("zone_key"),
+          concat_ws("\u0001", f(col("zone_key")), f(col("section")),
+            f(col("zone_code")), f(col("zone_name")), f(col("storeys")),
+            f(array_join(array_sort(transform(
+              map_entries(col("regulations")),
+              e => concat(e.getField("key"), lit("="),
+                e.getField("value")))), "|")),
+            f(array_join(array_sort(col("permitted_uses")), ",")))
+            .as("rowstr"))
+        rows
+          .withColumn("h", conv(substring(md5(col("rowstr")), 1, 8),
+            16, 10).cast("long"))
+          .groupBy(col("tag"), col("c"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("zone_key")).as("n_keys"),
+            sum(col("h")).as("sum_hash"),
+            sum(length(col("rowstr"))).cast("long").as("sum_len"),
+            min(col("zone_key")).as("min_key"),
+            max(col("zone_key")).as("max_key"))
+          .orderBy(col("tag"), col("c"))
       }(s)
     },
-    Some("""WITH src AS (
+    Some(s"""WITH src AS (
         SELECT o_orderkey AS k,
           CAST(o_orderkey % 30 + 2 AS VARCHAR) AS xs,
           CAST(o_orderkey % 6 AS VARCHAR) AS c
-        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0)
-      SELECT k AS o_orderkey, 'gen2' AS tag,
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0),
+      zone AS (SELECT k, 'gen2' AS tag, k % 6 AS c,
         'Z' || k || CASE WHEN k % 2 = 0 THEN ' f' || c ELSE '' END
           AS zone_key,
         xs || '.' || c AS section,
@@ -416,7 +439,22 @@ object CivicLifecycleQueries {
                 ELSE '' END AS regs,
         CASE WHEN k % 4 = 0 THEN NULL
              ELSE 'a' || xs || ',b' || c END AS uses
-      FROM src ORDER BY o_orderkey"""))
+      FROM src),
+      rowstrs AS (SELECT tag, c, zone_key,
+          zone_key || CHR(1) || section || CHR(1) || zone_code
+            || CHR(1) || zone_name || CHR(1) || COALESCE(storeys, '[N]')
+            || CHR(1) || regs || CHR(1) || COALESCE(uses, '[N]')
+            AS rowstr
+        FROM zone),
+      hashed AS (SELECT tag, c, zone_key, rowstr,
+          ${SamplingQueries.bucketSql("md5(rowstr)")} AS h
+        FROM rowstrs)
+      SELECT tag, c, COUNT(*) AS n,
+        COUNT(DISTINCT zone_key) AS n_keys,
+        CAST(SUM(h) AS BIGINT) AS sum_hash,
+        CAST(SUM(LENGTH(rowstr)) AS BIGINT) AS sum_len,
+        MIN(zone_key) AS min_key, MAX(zone_key) AS max_key
+      FROM hashed GROUP BY tag, c ORDER BY tag, c"""))
 
   /** Deterministic REIT-report fixture: one "PDF" per fiftieth
     * customer — UTF-8 text with form-feed page separators (the
