@@ -25,8 +25,11 @@ class RegistrySpec extends AnyFunSuite {
     // crude but effective: every FROM/JOIN target that isn't a CTE or
     // subquery must be a known table
     for (q <- Registry.all; oracle <- q.oracle) {
-      // EXTRACT(part FROM col) is the one non-relation use of FROM
-      val sql = oracle.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
+      // string literals first ("funds FROM operations" in q259's
+      // metric descriptions is prose, not a relation), then
+      // EXTRACT(part FROM col) — the one non-relation SQL use of FROM
+      val sql = oracle.replaceAll("'(?:[^']|'')*'", "''")
+        .replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
       val ctes =
         "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
