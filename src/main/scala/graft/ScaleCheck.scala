@@ -220,7 +220,10 @@ object ScaleCheck {
     // round 14: the four remaining DAG lifecycles (permits, rezoning,
     // bylaws, financial reports) + the SQL-text twins (q260 must track
     // q243's join growth, q261 q04's window, q262 q115's kernel scan)
-    "q256", "q257", "q258", "q259", "q260", "q261", "q262")
+    "q256", "q257", "q258", "q259", "q260", "q261", "q262",
+    // round 14 join shapes: Q10 returned-revenue TakeOrdered, Q7
+    // two-nation pair residual, Q19 disjunctive bracket residual
+    "q263", "q264", "q265")
 
   def main(args: Array[String]): Unit = {
     val baseDir =

@@ -8,7 +8,8 @@ object Registry {
     VectorQueries.all ++ GeoQueries.all ++ MultimodalQueries.all ++
     MiscQueries.all ++ CorpusQueries.all ++ ZoningQueries.all ++
     SamplingQueries.all ++ LifecycleQueries.all ++
-    CivicLifecycleQueries.all ++ SqlSurfaceQueries.all
+    CivicLifecycleQueries.all ++ SqlSurfaceQueries.all ++
+    JoinShapeQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -112,6 +112,22 @@ class PlanShapesSpec extends SparkSpec {
     assert(pWin.contains("WindowGroupLimit"), pWin)
   }
 
+  test("q263/q265: top-20 is TakeOrdered; bracket join stays an equi hash join") {
+    // Q10 shape: the global top-20 must collapse to
+    // TakeOrderedAndProject, never a full sort; Q19 shape: the
+    // disjunctive residual must ride the partkey equi join, never
+    // degrade it to a nested loop or cartesian
+    val p10 = plan(graft.queries.Registry
+      .queries("q263_returned_revenue")(spark, "/root/testdata/sf0.001"))
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+    val p19 = plan(graft.queries.Registry
+      .queries("q265_bracket_join")(spark, "/root/testdata/sf0.001"))
+    assert(!p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"), p19)
+    assert(p19.contains("Join"), p19)
+  }
+
   test("markovAccuracy: exactly one window pass over the events") {
     val ev = Seq((1L, 0L, 1L, "A"), (1L, 5L, 2L, "B"))
       .toDF("u", "t", "id", "ty")
