@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * (unit-tested against a fake clock in BenchSpec): one warmup + one
   * timed pass per query guaranteed; queries whose first TIMED pass
   * lands under 0.5 s are accepted at min(timed, warmup); slow queries
-  * get a second warmup + second timed pass, variance-triggered third
+  * get a second timed pass (min-of-two), variance-triggered third
   * passes, and outlier retries — every extra pass budget-gated by
   * SPARK_GRAFT_WALL_BUDGET (default 2,400 s) so a slow or contended
   * box degrades to single-pass evidence instead of being killed at

@@ -43,14 +43,17 @@ final case class BenchOutcome(
   *     codegen. passA ok && passA < fastCutoff && warmup ok → accept
   *     min(passA, warmup), done (both are identical executions; the
   *     warmup floor guards the one-pass ambient-stall scenario);
-  *  4. slow or errored queries get warmup2 + timed pass B, a
+  *  4. slow or errored queries get timed pass B (min-of-two), a
   *     variance-triggered third pass (two timed passes disagreeing by
   *     more than 25% of the faster one, above the 0.5 s jitter floor,
   *     means at least one was disturbed), and outlier retries (time
-  *     still above 5x the warmup floor or 10x the cross-query
-  *     median). Every one of these EXTRA passes is skipped once
-  *     elapsed wall time passes `wallBudget` — the run keeps whatever
-  *     evidence it already has and still prints its JSON line.
+  *     still above 5x the cold warmup or 10x the cross-query median —
+  *     the median guard is the real stall detector). No second
+  *     warmup: pass A is already post-JIT, so warmup2 was a third
+  *     steady-state sample bought at ~180 extra executions per full
+  *     run. Every EXTRA pass is skipped once elapsed wall time passes
+  *     `wallBudget` — the run keeps whatever evidence it already has
+  *     and still prints its JSON line.
   *
   * Failure semantics: a query is FAILED only when every pass that
   * actually executed errored; a one-pass error with a green sibling
@@ -89,21 +92,18 @@ object BenchProtocol {
         if (budgetLeft) Some(n -> exec(tag, n))
         else { degraded += n; None }
       }.toMap
-    val warm2 = gated("warmup2", slow)
     val passB = gated("timed2", slow)
 
-    // Steady-state floor per query: min over successful warmups (used
-    // only for outlier detection, never as the reported result unless
-    // it is also a pass minimum — every pass is a full execution).
-    def warmFloor(n: String): Double = {
-      val xs = Seq(warm1(n)) ++ warm2.get(n)
-      val ok = xs.filter(_.ok).map(_.sec)
-      if (ok.isEmpty) 0.05 else ok.min
-    }
+    // Floor per query for outlier detection (never the reported
+    // result unless it is also the pass minimum — every pass is a
+    // full execution). The cold warmup over-estimates, which only
+    // weakens the 5x arm; the 10x-median arm catches what it misses.
+    def warmFloor(n: String): Double =
+      if (warm1(n).ok) warm1(n).sec else 0.05
 
     val base = names.map { n =>
       val timedPasses = Seq(passA(n)) ++ passB.get(n)
-      val allPasses = Seq(warm1(n), passA(n)) ++ warm2.get(n) ++ passB.get(n)
+      val allPasses = Seq(warm1(n), passA(n)) ++ passB.get(n)
       val okTimes = allPasses.filter(_.ok).map(_.sec)
       if (okTimes.isEmpty) {
         // every executed pass errored: persistent failure, penalty

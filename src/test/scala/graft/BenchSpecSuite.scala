@@ -48,16 +48,16 @@ class BenchSpecSuite extends AnyFunSuite {
     assert(rig.trace.size == 2)
   }
 
-  test("slow query gets warmup2 + timed2, result is min over all passes") {
-    val rig = new Rig(Map("q" -> Seq(ok(3.0), ok(2.0), ok(1.9), ok(1.8))))
+  test("slow query gets a second timed pass, result is min over all passes") {
+    val rig = new Rig(Map("q" -> Seq(ok(3.0), ok(2.0), ok(1.8))))
     val out = rig.run(Seq("q"))
-    assert(rig.trace.map(_._1) == Seq("warmup", "timed", "warmup2", "timed2"))
+    assert(rig.trace.map(_._1) == Seq("warmup", "timed", "timed2"))
     assert(out.results("q") == 1.8)
   }
 
   test("variance above 25% of the faster pass triggers a third timed pass") {
     // timed=2.0, timed2=4.0 → |4-2| > 0.25*2 and 2.0 > jitter floor
-    val rig = new Rig(Map("q" -> Seq(ok(3.0), ok(2.0), ok(2.0), ok(4.0), ok(1.5))))
+    val rig = new Rig(Map("q" -> Seq(ok(3.0), ok(2.0), ok(4.0), ok(1.5))))
     val out = rig.run(Seq("q"))
     assert(rig.trace.map(_._1).contains("timed3"))
     assert(out.results("q") == 1.5)
@@ -66,20 +66,20 @@ class BenchSpecSuite extends AnyFunSuite {
   test("variance below the 0.5 s jitter floor does NOT trigger a third pass") {
     // passes 0.30 vs 0.45: 50% apart but min is under the jitter floor.
     // warmup errors so the query is not fast-classified.
-    val rig = new Rig(Map("q" -> Seq(err(0.1), ok(0.30), ok(0.2), ok(0.45))))
+    val rig = new Rig(Map("q" -> Seq(err(0.1), ok(0.30), ok(0.45))))
     val out = rig.run(Seq("q"))
     assert(!rig.trace.map(_._1).contains("timed3"))
-    assert(out.results("q") == 0.2)
+    assert(out.results("q") == 0.3)
   }
 
   test("a warmup error disqualifies fast classification") {
-    val rig = new Rig(Map("q" -> Seq(err(0.1), ok(0.3), ok(0.3), ok(0.3))))
+    val rig = new Rig(Map("q" -> Seq(err(0.1), ok(0.3), ok(0.3))))
     rig.run(Seq("q"))
-    assert(rig.trace.map(_._1) == Seq("warmup", "timed", "warmup2", "timed2"))
+    assert(rig.trace.map(_._1) == Seq("warmup", "timed", "timed2"))
   }
 
   test("both timed passes failing yields the 600 s penalty and failed flag") {
-    val rig = new Rig(Map("q" -> Seq(err(1.0), err(1.0), err(1.0), err(1.0))))
+    val rig = new Rig(Map("q" -> Seq(err(1.0), err(1.0), err(1.0))))
     val out = rig.run(Seq("q"))
     assert(out.results("q") == BenchProtocol.FailurePenalty)
     assert(out.failed == Set("q"))
@@ -87,7 +87,7 @@ class BenchSpecSuite extends AnyFunSuite {
   }
 
   test("a one-pass transient error is absorbed by the green sibling pass") {
-    val rig = new Rig(Map("q" -> Seq(ok(3.0), err(0.1), ok(2.5), ok(2.2))))
+    val rig = new Rig(Map("q" -> Seq(ok(3.0), err(0.1), ok(2.2))))
     val out = rig.run(Seq("q"))
     assert(out.results("q") == 2.2)
     assert(out.failed.isEmpty)
@@ -103,7 +103,7 @@ class BenchSpecSuite extends AnyFunSuite {
     val out = rig.run(Seq("q1", "q2"), budget = 10.0)
     assert(out.results("q1") == 3.0 && out.results("q2") == 3.0)
     assert(out.degraded == Set("q1", "q2"))
-    assert(!rig.trace.map(_._1).exists(Set("warmup2", "timed2")))
+    assert(!rig.trace.map(_._1).contains("timed2"))
   }
 
   test("wall budget never cancels the guaranteed warmup + first timed pass") {
@@ -124,10 +124,10 @@ class BenchSpecSuite extends AnyFunSuite {
     "c3" -> Seq(ok(0.6), ok(0.2)))
 
   test("outlier retry: a stall spanning every pass is retried down") {
-    // all four passes stalled at ~6 s (>10x the 0.2 s cross-query
+    // all three passes stalled at ~6 s (>10x the 0.2 s cross-query
     // median, >1 s absolute) → retry recovers the honest 0.9 s.
     val rig = new Rig(controls ++ Map("q" ->
-      Seq(ok(6.0), ok(6.0), ok(6.0), ok(6.1), ok(0.9))))
+      Seq(ok(6.0), ok(6.0), ok(6.1), ok(0.9))))
     val out = rig.run(Seq("c1", "c2", "c3", "q"))
     assert(rig.trace.map(_._1).count(_.startsWith("retry")) >= 1)
     assert(out.results("q") == 0.9)
@@ -135,7 +135,7 @@ class BenchSpecSuite extends AnyFunSuite {
 
   test("a failed retry never overwrites the best green time") {
     val rig = new Rig(controls ++ Map("q" ->
-      Seq(ok(6.0), ok(6.0), ok(6.0), ok(6.1), err(0.1), err(0.1))))
+      Seq(ok(6.0), ok(6.0), ok(6.1), err(0.1), err(0.1))))
     val out = rig.run(Seq("c1", "c2", "c3", "q"))
     assert(out.results("q") == 6.0)
     assert(out.failed.isEmpty)
@@ -143,13 +143,13 @@ class BenchSpecSuite extends AnyFunSuite {
 
   test("realistic mixed registry stays within a small pass budget") {
     // 200 fast queries + 5 slow ones: the schedule should cost about
-    // 2 passes per fast query and about 4 per slow one — the property
-    // that keeps the full registry inside the driver wrapper timeout.
+    // 2 passes per fast query and 3 per slow one — the property that
+    // keeps the full registry inside the driver wrapper timeout.
     val fast = (1 to 200).map(i => f"f$i%03d" -> Seq(ok(0.6), ok(0.2)))
-    val slow = (1 to 5).map(i => f"s$i" -> Seq(ok(3.0), ok(2.0), ok(2.0), ok(2.1)))
+    val slow = (1 to 5).map(i => f"s$i" -> Seq(ok(3.0), ok(2.0), ok(2.1)))
     val rig = new Rig((fast ++ slow).toMap)
     val out = rig.run((fast ++ slow).map(_._1))
-    assert(rig.trace.size == 200 * 2 + 5 * 4)
+    assert(rig.trace.size == 200 * 2 + 5 * 3)
     assert(out.failed.isEmpty && out.degraded.isEmpty)
   }
 }
