@@ -26,9 +26,12 @@ class RegistrySpec extends AnyFunSuite {
     // subquery must be a known table
     for (q <- Registry.all; oracle <- q.oracle) {
       // string literals first ("funds FROM operations" in q259's
-      // metric descriptions is prose, not a relation), then
+      // metric descriptions is prose, not a relation), then line
+      // comments (q132 documents its join-key CTE with `--` prose
+      // containing the words "join condition"), then
       // EXTRACT(part FROM col) — the one non-relation SQL use of FROM
       val sql = oracle.replaceAll("'(?:[^']|'')*'", "''")
+        .replaceAll("(?m)--.*$", "")
         .replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
       val ctes =
         "(?i)([a-z0-9_]+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
