@@ -30,6 +30,15 @@ object Dedup {
   private def track(df: DataFrame): DataFrame = synchronized {
     pinned += df; df
   }
+  // checkpoint pins from Loops.truncate enroll HERE too (release
+  // closures, since checkpoint blocks aren't Dataset.unpersist-able) —
+  // Dedup.releaseIntermediates stays the one owned release path for
+  // everything a Dedup run pinned
+  private val pinnedReleases =
+    scala.collection.mutable.ListBuffer.empty[() => Unit]
+  private def trackRelease(f: () => Unit): () => Unit = synchronized {
+    pinnedReleases += f; f
+  }
   // one-line enrollment in the engine-wide release point
   graft.Engine.register("Dedup")(() => releaseIntermediates())
   // loop rounds unpersist their predecessor inline: drop it from the
@@ -43,12 +52,15 @@ object Dedup {
   /** Unpersist every intermediate frame the Dedup operators have pinned
     * so far (session-wide, like a cache clear, but scoped to this
     * object's pins). Returned pair/label frames stay VALID — evaluated
-    * again they recompute from source — so call this once downstream
-    * results are materialized, or when abandoning a run.
+    * again they recompute from source (persisted pins) or fail loudly
+    * (checkpointed label frames — re-run the labeling) — so call this
+    * once downstream results are materialized, or when abandoning a run.
     */
   def releaseIntermediates(): Unit = synchronized {
     pinned.foreach(_.unpersist(blocking = false))
     pinned.clear()
+    pinnedReleases.foreach(f => f())
+    pinnedReleases.clear()
   }
 
   // ---------------------------------------------------------------- exact
@@ -677,30 +689,30 @@ object Dedup {
     * list is |verified pairs| ≪ corpus — the loop never touches
     * document text, only (id, id) pairs.
     *
-    * The returned frame is backed by one persisted (id, comp) dataset —
-    * two longs per paired doc, the smallest possible pin; callers done
-    * with it release it via [[releaseIntermediates]] (or unpersist it
-    * directly). Each
-    * round's label frame is rebuilt from its (persisted) RDD:
-    * the round's plan references the previous round TWICE (directly and
-    * through the neighbor aggregate), so carrying the logical plan
-    * forward doubles its size per round — Catalyst re-analysis goes
-    * exponential around diameter ~15. The RDD rebuild truncates the
-    * LOGICAL plan only; the RDD lineage stays recomputable back to the
-    * source on executor loss (unlike a localCheckpoint, which dies with
-    * its executors).
+    * The returned frame is backed by one checkpointed (id, comp)
+    * dataset — two longs per paired doc, the smallest possible pin;
+    * callers done with it release it via
+    * [[Loops.releaseIntermediates]]. Each round's label frame is
+    * lineage-truncated via [[Loops.truncate]]: the round's plan
+    * references the previous round TWICE (directly and through the
+    * neighbor aggregate), so carrying the logical plan forward doubles
+    * its size per round — Catalyst re-analysis goes exponential around
+    * diameter ~15 (see Loops for the fault-tolerance trade).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // dst-partitioned once (the pageRank discipline): the per-round
+    // neighbor-min join is keyed on dst, so the persisted edge list
+    // never re-shuffles inside the loop
     val edges = track(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+      .distinct().repartition(col("dst"))
       .persist())
-    var cached = track(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .persist())
-    var labels = cached
+    var (labels, relLbl0) = Loops.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+    var relLbl = trackRelease(relLbl0)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -709,20 +721,16 @@ object Dedup {
       // component min, so the fixpoint is exactly the component labeling
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-      // tracked at persist time so even the non-convergence throw path
-      // leaves nothing unreleasable (rounds unpersist their predecessor;
-      // double-release on the registry is harmless)
-      val step = track(labels.as("l")
+      // lazy: the convergence count below materializes the checkpoint
+      val (step, relStep) = Loops.truncate(labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"), col("l.comp").as("old"),
           least(col("l.comp"), coalesce(col("nbr"), col("l.comp")))
-            .as("comp"))
-        .persist())
+            .as("comp")), eager = false)
       changed = step.filter(col("comp") < col("old")).count()
-      release(cached)
-      cached = step
-      val next = step.select(col("id"), col("comp"))
-      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
+      relLbl()
+      relLbl = trackRelease(relStep)
+      labels = step.select(col("id"), col("comp"))
       iter += 1
     }
     release(edges)
@@ -805,24 +813,26 @@ object Dedup {
           lit(0L).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getLong(1), r.getDecimal(2))
     }
-    var cached = track(dedup(pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))).persist())
-    var cur = cached
+    var (cur, relCur0) = Loops.truncate(dedup(pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))))
+    var relCur = trackRelease(relCur0)
     var sigCur = signature(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val stepped = track(smallStar(largeStar(cur)).persist())
+      // plan truncation per round (see connectedComponents): the next
+      // round references this frame several times, so the logical plan
+      // would otherwise compound
+      // lazy: the signature aggregate materializes the checkpoint
+      val (stepped, relStep) =
+        Loops.truncate(smallStar(largeStar(cur)), eager = false)
       // convergence: the round reproduced its input edge set
       val sigStep = signature(stepped)
       converged = sigStep == sigCur
       sigCur = sigStep
-      release(cached)
-      cached = stepped
-      // plan truncation (see connectedComponents): the next round
-      // references this frame several times — rebuild from the RDD so
-      // the logical plan doesn't compound, lineage stays recomputable
-      cur = spark0.createDataFrame(stepped.rdd, stepped.schema)
+      relCur()
+      relCur = trackRelease(relStep)
+      cur = stepped
       iter += 1
     }
     if (!converged)

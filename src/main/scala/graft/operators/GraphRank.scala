@@ -61,10 +61,10 @@ object GraphRank {
     * row (c=0, deg) unioned into the same exchange, so nodes with no
     * in-edges still emerge and the former per-round deg join-back is
     * folded away (round 8; was join + agg + join per round). All rows
-    * are bare (id, deg, rank); lineage truncates per round (the
-    * [[Dedup.connectedComponents]] RDD pattern) so round i never
-    * re-executes rounds 1..i−1, and the edge list persists for the
-    * loop.
+    * are bare (id, deg, rank); lineage truncates per round via
+    * [[Loops.truncate]] so round i never re-executes rounds 1..i−1,
+    * and the edge list persists src-partitioned for the loop — the
+    * contrib join is exchange-free on the edge side every round.
     *
     * Returns (id, r_q, r): the exact long rank and its double form
     * (one division — deterministic).
@@ -78,29 +78,38 @@ object GraphRank {
     require(scale >= 1000000L, s"scale >= 1e6, got $scale")
     require(scale <= Long.MaxValue / dampingDen,
       "scale * dampingDen must stay inside Long")
+    // hash-partition the (distinct) edge list by src ONCE: every
+    // round's contrib join is keyed on src, so a src-partitioned
+    // persisted edge list is never re-shuffled inside the loop (the
+    // previous layout — distinct's (src,dst) partitioning — moved the
+    // full edge list over an Exchange EVERY round)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     try {
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
-      val dangling = nodes
-        .join(deg, nodes("id") === deg("src"), "left_anti").count()
+      // degrees, node set, dangling check and |V| in ONE aggregate
+      // pass (was: distinct-nodes ×2 + anti-join + two counts — ~40%
+      // of the q90 wall): a node's out-degree is the number of rows
+      // where it appears as src; a dst-only node (out-degree 0) is
+      // exactly the dangling case
+      val degAll = e.select(col("src").as("id"), lit(1L).as("out"))
+        .unionByName(e.select(col("dst").as("id"), lit(0L).as("out")))
+        .groupBy(col("id")).agg(sum(col("out")).as("deg"))
+      // lazy: the header aggregate materializes the checkpoint
+      val (deg0, relDeg) = Loops.truncate(degAll, eager = false)
+      val hdr = deg0.agg(count(lit(1)).as("n"),
+        sum((col("deg") === 0L).cast("long")).as("dangling")).head()
+      val n = hdr.getLong(0)
+      val dangling = if (hdr.isNullAt(1)) 0L else hdr.getLong(1)
       if (dangling > 0) throw new IllegalArgumentException(
         s"$dangling dangling node(s) (dst with no out-edges) would " +
           "leak rank mass - symmetrize the edge list or drop sinks")
-      val n = nodes.count()
       require(n > 0, "empty graph")
       // exact long constants (any engine recomputing them agrees)
       val r0q = scale / n
       val baseQ = (scale - scale * dampingNum / dampingDen) / n
-      // every round's pin is TRACKED at persist time: a failure
-      // mid-loop (executor loss, OOM) leaves no frame
-      // releaseIntermediates() cannot free
-      var cached = track(deg.select(col("src").as("id"), col("deg"),
-        lit(r0q).as("r_q")).persist())
-      var ranks = cached
+      var release = relDeg
+      var ranks = deg0.select(col("id"), col("deg"), lit(r0q).as("r_q"))
       for (_ <- 1 to iters) {
         val contrib = e.join(ranks, e("src") === ranks("id"))
           .select(col("dst"), expr("r_q div deg").as("c"),
@@ -118,14 +127,14 @@ object GraphRank {
             (lit(baseQ) +
               expr(s"csum * $dampingNum div $dampingDen"))
               .as("r_q"))
-          .persist()
-        track(step)
-        step.count() // materialize before releasing the predecessor
-        release(cached)
-        cached = step
-        ranks = step.sparkSession.createDataFrame(step.rdd, step.schema)
+        // one materializing job per round; predecessor released after
+        val (ck, rel) = Loops.truncate(step)
+        release()
+        release = rel
+        ranks = ck
       }
-      // cached is already tracked; returned pinned — releaseIntermediates()
+      // final round's blocks stay pinned for the caller —
+      // Loops.releaseIntermediates() frees them at session idle points
       ranks.select(col("id"), col("r_q"),
         (col("r_q").cast("double") / lit(scale.toDouble)).as("r"))
     } finally e.unpersist(blocking = false)
@@ -227,13 +236,17 @@ object GraphRank {
     require(iters >= 1, s"iters >= 1, got $iters")
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // src-partitioned once, like pageRank: the per-round vote join is
+    // keyed on src, so the persisted edge list never re-shuffles
     val e = raw
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     try {
-      var cached = track(e.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).persist())
-      var labels = cached
+      val (lbl0, relLbl) = Loops.truncate(
+        e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")))
+      var release = relLbl
+      var labels = lbl0
       for (_ <- 1 to iters) {
         val votes = e.join(labels, e("src") === labels("id"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -241,12 +254,10 @@ object GraphRank {
           .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
             .as("m"))
           .select(col("dst").as("id"), col("m.l").as("lbl"))
-          .persist()
-        track(step)
-        step.count() // materialize before releasing the predecessor
-        release(cached)
-        cached = step
-        labels = step.sparkSession.createDataFrame(step.rdd, step.schema)
+        val (ck, rel) = Loops.truncate(step)
+        release()
+        release = rel
+        labels = ck
       }
       labels
     } finally e.unpersist(blocking = false)
@@ -344,25 +355,29 @@ object GraphRank {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    var cached = track(canon.persist())
-    cached.count()
     // lineage-truncate each round (the labelPropagation discipline):
     // a round's plan references its predecessor TWICE (both semi-join
     // legs), so un-truncated lineage doubles per round and the
-    // analyzer heap-exhausts near 8-10 rounds
-    var cur = cached.sparkSession.createDataFrame(cached.rdd,
-      cached.schema)
+    // analyzer heap-exhausts near 8-10 rounds. Each round's survivor
+    // aggregate is ALSO checkpointed: the old shape recomputed it
+    // three times per round (convergence count + both semi-join legs)
+    var (cur, relCur) = Loops.truncate(canon)
+    var relSurv: () => Unit = () => ()
     var prevNodes = -1L
     var rounds = 0
     var survivors: DataFrame = null
     var done = false
     while (!done) {
-      survivors = cur.select(col("a").as("id"))
+      relSurv() // previous round's survivor blocks
+      // lazy: the convergence count below materializes the checkpoint
+      val (surv, rel) = Loops.truncate(cur.select(col("a").as("id"))
         .unionByName(cur.select(col("b").as("id")))
         .groupBy(col("id"))
         .agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k)
-      val n = survivors.count() // convergence probe: one long
+        .filter(col("core_deg") >= k), eager = false)
+      survivors = surv
+      relSurv = rel
+      val n = survivors.count() // convergence probe over cached blocks
       if (n == prevNodes) done = true
       else {
         rounds += 1
@@ -374,14 +389,13 @@ object GraphRank {
         val next = cur
           .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-          .persist()
-        track(next)
-        next.count() // materialize before releasing the predecessor
-        release(cached)
-        cached = next
-        cur = next.sparkSession.createDataFrame(next.rdd, next.schema)
+        val (ck, rel2) = Loops.truncate(next)
+        relCur()
+        cur = ck
+        relCur = rel2
       }
     }
+    // final survivors stay pinned for the caller (Loops release point)
     survivors.select(col("id"), col("core_deg").cast("long")
       .as("core_deg"))
   }
@@ -505,41 +519,43 @@ object GraphRank {
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val adj = track(raw
+    // src-partitioned once (the pageRank discipline): the per-round
+    // frontier join is keyed on src, so adj never re-shuffles
+    val adj = raw
       .unionByName(raw.select(col("dst").as("src"),
         col("src").as("dst")))
-      .distinct().persist())
-    adj.count()
-    var cached = track(seeds.select(col(seedIdCol).as("id")).distinct()
-      .select(col("id"), lit(0L).as("depth")).persist())
-    var nVisited = cached.count()
-    var visited = cached.sparkSession.createDataFrame(cached.rdd,
-      cached.schema)
-    var frontierDepth = 0L
-    var done = false
-    while (!done && frontierDepth < maxDepth) {
-      val frontier = visited.filter(col("depth") === frontierDepth)
-        .select(col("id"))
-      val next = adj.join(frontier, adj("src") === frontier("id"),
-          "inner")
-        .select(adj("dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(frontierDepth + 1L).as("depth"))
-      val grown = visited.unionByName(next).persist()
-      track(grown)
-      val after = grown.count() // materialize + probe in one pass
-      if (after == nVisited) {
-        release(grown)
-        done = true
-      } else {
-        release(cached)
-        cached = grown
-        nVisited = after
-        visited = grown.sparkSession.createDataFrame(grown.rdd,
-          grown.schema)
-        frontierDepth += 1L
+      .distinct().repartition(col("src")).persist()
+    try {
+      var (visited, relVis) = Loops.truncate(
+        seeds.select(col(seedIdCol).as("id")).distinct()
+          .select(col("id"), lit(0L).as("depth")))
+      var nVisited = visited.count()
+      var frontierDepth = 0L
+      var done = false
+      while (!done && frontierDepth < maxDepth) {
+        val frontier = visited.filter(col("depth") === frontierDepth)
+          .select(col("id"))
+        val next = adj.join(frontier, adj("src") === frontier("id"),
+            "inner")
+          .select(adj("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(frontierDepth + 1L).as("depth"))
+        // lazy: the probe count materializes the checkpoint
+        val (grown, relGrown) = Loops.truncate(
+          visited.unionByName(next), eager = false)
+        val after = grown.count() // probe materializes + counts
+        if (after == nVisited) {
+          relGrown()
+          done = true
+        } else {
+          relVis()
+          relVis = relGrown
+          visited = grown
+          nVisited = after
+          frontierDepth += 1L
+        }
       }
-    }
-    visited
+      visited
+    } finally adj.unpersist(blocking = false)
   }
 }

@@ -446,8 +446,12 @@ class DedupSpec extends SparkSpec {
       Thread.sleep(50)
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
       s"still pinned: ${spark.sparkContext.getPersistentRDDs.keySet -- before}")
-    // released frames stay valid — they recompute from source
-    assert(labels.count() == got)
+    // round-14 contract change: the label frame is localCheckpoint-
+    // backed (Loops.truncate — lineage truncated so loop rounds never
+    // re-execute and the round join stays co-partitioned), so a
+    // RELEASED labeling is gone rather than recomputable — consuming
+    // it fails loudly instead of silently recomputing rounds
+    intercept[Exception] { labels.count() }
   }
 
   // ------------------------------------------------- LSH planning
