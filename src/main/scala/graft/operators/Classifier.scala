@@ -46,15 +46,21 @@ import graft.functions.TextFunctions
 object Classifier {
 
   // [[trainAndScore]] pins its feature frame across the training loop;
-  // same owned-release registry pattern as [[Dedup]] (the returned
-  // score plan stays valid after release — it recomputes from source).
+  // same owned-release registry pattern as [[Dedup]]. Round 14: the
+  // pin is a [[Loops.truncate]] checkpoint (release closures, not
+  // Dataset.unpersist) — a released score plan no longer recomputes,
+  // consume it before releasing.
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val pinnedReleases =
+    scala.collection.mutable.ListBuffer.empty[() => Unit]
   graft.Engine.register("Classifier")(() => releaseIntermediates())
 
-  /** Unpersist every feature frame pinned so far. */
+  /** Release every feature frame pinned so far. */
   def releaseIntermediates(): Unit = synchronized {
     pinned.foreach(_.unpersist(blocking = false))
     pinned.clear()
+    pinnedReleases.foreach(f => f())
+    pinnedReleases.clear()
   }
 
   /** @param dim        hashed feature space (weight vector length)
@@ -79,7 +85,15 @@ object Classifier {
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      label: Column, cfg: Config = Config()): DataFrame =
     docs
-      .repartition(col(idCol))
+      // EXPLICIT partition count (cluster-adaptive, not a constant):
+      // the expensive per-row work (tokenize + md5 per token) runs
+      // AFTER this exchange, whose input bytes are tiny — a bare
+      // repartition(col) lets AQE coalesce it to one partition by
+      // byte-size and serialize the whole feature build into a single
+      // task (measured 27 s for a 2.4 s build at sf0.1). A
+      // user-specified count is exempt from AQE coalescing.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol).as("id"), label.cast("long").as("y"),
         explode(filter(TextFunctions.tokens(col(textCol)),
           t => length(t) > 0)).as("w"))
@@ -133,7 +147,11 @@ object Classifier {
   private def gradient(feats: DataFrame, weights: Array[Long], bias: Long,
                        cfg: Config): Array[(Long, BigInt)] = {
     val errDf = perDocErr(feats, weights, bias, cfg)
-    val terms = feats.join(errDf, Seq("id"))
+    // SHUFFLE_HASH, not the default sort-merge: both sides are already
+    // id-partitioned (zero exchange either way), but SMJ re-SORTS the
+    // full feature frame every iteration; hashing the per-doc err side
+    // (one row per doc — always the smaller side) streams feats as-is
+    val terms = feats.join(errDf.hint("shuffle_hash"), Seq("id"))
       .select(col("bucket"), (col("err") * col("cnt"))
         .cast("decimal(38,0)").as("term"))
       .union(errDf.select(lit(-1L).as("bucket"),
@@ -299,9 +317,15 @@ object Classifier {
     */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, cfg: Config = Config()): DataFrame = {
+    // checkpoint, not persist: the frame is scanned 2× per iteration +
+    // once for scoring, so (a) the tiny LogicalRDD plan saves Catalyst
+    // re-analysis of the tokenize/hash lineage on every one of those
+    // plans, and (b) the id HashPartitioning survives, keeping every
+    // per-iteration aggregate and join exchange-free
     val feats = synchronized {
-      val f = hashedFeatures(docs, idCol, textCol, label, cfg).persist()
-      pinned += f; f
+      val (f, rel) = Loops.truncate(
+        hashedFeatures(docs, idCol, textCol, label, cfg))
+      pinnedReleases += rel; f
     }
     val (w, b) = train(feats, cfg)
     score(feats, w, b, cfg)
