@@ -32,9 +32,10 @@ object BenchOne {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (recording) jobs(js.jobId) = JobRec(js.jobId, js.time,
-          desc = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .getOrElse(""))
+          desc = Option(js.properties).map { p =>
+            Seq("spark.job.description", "callSite.short")
+              .flatMap(k => Option(p.getProperty(k))).mkString(" | ")
+          }.getOrElse(""))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.get(je.jobId).foreach(_.end = je.time)
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {

@@ -171,6 +171,30 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  // Committed-SCHEMA cache, keyed by (table, head manifest sequence):
+  // every mutation consults the committed schema (column-order
+  // normalization, type-conflict validation, assignment checks), and a
+  // parquet schema inference pays a listing + footer read (~90 ms
+  // measured) each time — the dominant fixed cost of small commits.
+  // The committed schema can only change when a commit bumps the head
+  // sequence, and the key is re-read from the ON-DISK head manifest,
+  // so an external writer's commit invalidates naturally (the
+  // Delta/Iceberg metadata-caching norm; data is never cached). One
+  // entry per table: superseded generations evict.
+  private val schemaCache = scala.collection.mutable.HashMap
+    .empty[String, (Long, org.apache.spark.sql.types.StructType)]
+  private def committedSchema(table: String)
+      : org.apache.spark.sql.types.StructType = {
+    val seq = readManifest(table).map(_.seq).getOrElse(-1L)
+    schemaCache.synchronized { schemaCache.get(table) } match {
+      case Some((s, sch)) if s == seq => sch
+      case _ =>
+        val sch = read(table).schema
+        schemaCache.synchronized { schemaCache.update(table, (seq, sch)) }
+        sch
+    }
+  }
+
   private[sources] def readManifest(table: String): Option[Manifest] = {
     // a concurrent writer prunes superseded manifests AFTER creating
     // its successor: the file we globbed can vanish before our open.
@@ -420,6 +444,42 @@ final class TableStore(spark: SparkSession, root: String,
     * sidecars (`_SUCCESS`, checksums) are not part of the committed
     * generation's rows and are skipped.
     */
+  /** Target size for data files this store writes (bytes). Read from
+    * `spark.graft.targetFileBytes` with the parquet-standard 128 MiB
+    * default — scale-adaptive via conf, never a constant tuned to one
+    * box.
+    */
+  private lazy val targetFileBytes: Long =
+    spark.conf.getOption("spark.graft.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  /** Compact a freshly-written FLAT staging dir whose output came out
+    * badly fragmented — many files far below [[targetFileBytes]] (a
+    * frame whose last stage was a 32-partition scan or a frozen cached
+    * partitioning writes one near-empty file per task). Small files
+    * hurt twice (guide: listing/planning per commit, footer-per-file
+    * on every later read of the table), and at lifecycle-query scale
+    * the read-back cost dominates the one extra tiny job this pays.
+    * At production scale files approach the target and this never
+    * triggers. Partitioned layouts pass through untouched (per-dir
+    * sizing is the compact()/z-order path's business). Staging-only:
+    * a crash here aborts cleanly, nothing has touched the live tree.
+    */
+  private def compactStaging(tmp: Path, fs: FileSystem,
+                             partitionBy: Seq[String]): Unit = {
+    if (partitionBy.nonEmpty) return
+    val files = dataFiles(fs, tmp)
+    if (files.size <= 1) return
+    val bytes = files.map(r => fs.getFileStatus(sub(tmp, r)).getLen).sum
+    val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    if (files.size <= 4 * ideal) return
+    val tmp2 = new Path(tmp.getParent, tmp.getName + ".c")
+    spark.read.parquet(tmp.toString).coalesce(ideal.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp2.toString)
+    fs.delete(tmp, true)
+    fs.rename(tmp2, tmp)
+  }
+
   private def dataFiles(fs: FileSystem, dir: Path, rel: String = ""): Seq[String] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.flatMap { st =>
@@ -783,7 +843,7 @@ final class TableStore(spark: SparkSession, root: String,
       val frame =
         if (committed.isEmpty) frame0 // emptied table: no schema to match
         else scala.util.Try {
-          val committedCols = read(table).schema.map(_.name)
+          val committedCols = committedSchema(table).map(_.name)
           if (committedCols.toSet == frame0.columns.toSet &&
               committedCols != frame0.columns.toSeq)
             frame0.select(committedCols.map(
@@ -804,6 +864,7 @@ final class TableStore(spark: SparkSession, root: String,
       val w = frame.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)
+      compactStaging(tmp, fs, partitionBy)
       val incoming = dataFiles(fs, tmp)
       if (incoming.isEmpty) { fs.delete(tmp, true); return gen }
       beforeBeginCommit()
@@ -892,7 +953,7 @@ final class TableStore(spark: SparkSession, root: String,
     settleOrRecover(table)
     if (!exists(table)) { rewriteBody(table, df, partitionBy); () }
     else {
-      val tableSchema = read(table).schema
+      val tableSchema = committedSchema(table)
       val batchSchema = df.schema
       val conflicts = tableSchema.flatMap { tf =>
         batchSchema.find(_.name == tf.name)
@@ -1105,7 +1166,7 @@ final class TableStore(spark: SparkSession, root: String,
     require(assignments.nonEmpty, "updateWhere: name at least one assignment")
     require(assignments.map(_._1).distinct.size == assignments.size,
       "updateWhere: duplicate assignment targets")
-    val schema = read(table).schema
+    val schema = committedSchema(table)
     assignments.foreach { case (c, _) =>
       require(schema.exists(_.name == c),
         s"updateWhere: column $c not in ${schema.map(_.name).mkString(",")}")
@@ -1199,7 +1260,7 @@ final class TableStore(spark: SparkSession, root: String,
       } finally srcAll.unpersist(blocking = false)
       return 0L
     }
-    val tableSchema = read(table).schema
+    val tableSchema = committedSchema(table)
     require(tableSchema.exists(_.name == keyCol),
       s"merge: key $keyCol not in table")
     require(source.columns.contains(keyCol),
@@ -1493,7 +1554,7 @@ final class TableStore(spark: SparkSession, root: String,
         (partitionCols ++ sortBy).map(col): _*)
     if (partitionCols.isEmpty) {
       rewriteBody(table, clustered(read(table).repartition(targetFiles)),
-        Nil)
+        Nil, preSized = true)
     } else {
       // input_file_name() is nondeterministic, so it must be projected
       // before the aggregate; the scan reads no data columns (footer
@@ -1549,7 +1610,7 @@ final class TableStore(spark: SparkSession, root: String,
         .drop("__graft_z")
     }
     if (partitionCols.isEmpty)
-      rewriteBody(table, clustered(read(table)), Nil)
+      rewriteBody(table, clustered(read(table)), Nil, preSized = true)
     else {
       rewriteAffectedBody(table, partitionCols,
         read(table).select(partitionCols.map(col): _*).distinct(),
@@ -1571,7 +1632,12 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def rewrite(table: String, df: DataFrame,
               partitionBy: Seq[String] = Nil): Long =
-    retryCommit(rewriteBody(table, df, partitionBy))
+    // preSized: a public rewrite loads EXACTLY the caller's frame —
+    // its partitioning (a repartitionByRange clustering, a bucketing
+    // precursor) is deliberate layout, not accidental fragmentation,
+    // so staging compaction keeps out; append/upsert/merge layouts
+    // are store-owned and do compact
+    retryCommit(rewriteBody(table, df, partitionBy, preSized = true))
 
   /** `df` BY-NAME for the same reason as [[appendBody]]: a rewrite
     * derived from the table's own state (deleteByKeys, updateFlag,
@@ -1590,7 +1656,8 @@ final class TableStore(spark: SparkSession, root: String,
                           partitionBy: Seq[String],
                           txnUpdate: Option[(String, Long)] = None,
                           expectedFence: Option[(String, Long)] = None,
-                          preCommit: () => Unit = () => ()): Long = {
+                          preCommit: () => Unit = () => (),
+                          preSized: Boolean = false): Long = {
     settleOrRecover(table)
     val dst = hpath(table)
     val tmp = freshStaging(table, "__tmp")
@@ -1608,6 +1675,9 @@ final class TableStore(spark: SparkSession, root: String,
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
+    // callers that SIZE their output deliberately (compact/z-order's
+    // targetFiles) opt out of staging compaction
+    if (!preSized) compactStaging(tmp, fs, partitionBy)
     try {
       // a first-time rewrite has no committed copy to fall back to: the
       // whole table is `fresh` (rollback = delete), not a swapped dir
@@ -2196,7 +2266,7 @@ final class TableStore(spark: SparkSession, root: String,
       valueCol: String): (TableStore.AggWhere, Int, Int, Int) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val schema = read(table).schema
+    val schema = committedSchema(table)
     require(schema.exists(_.name == valueCol),
       s"aggWhere: column $valueCol not in " +
         schema.map(_.name).mkString(","))
@@ -2360,7 +2430,7 @@ final class TableStore(spark: SparkSession, root: String,
     if (newFiles.isEmpty && !rebuild && n >= 0) 0L
     else {
     def widenSum(c: String): org.apache.spark.sql.Column =
-      read(src).schema.find(_.name == c).map(_.dataType) match {
+      committedSchema(src).find(_.name == c).map(_.dataType) match {
         case Some(d: org.apache.spark.sql.types.DecimalType) =>
           col(c).cast(org.apache.spark.sql.types.DecimalType(38, d.scale))
         case _ => col(c)
