@@ -796,51 +796,87 @@ object Similarity {
   private def lloyd(points: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int,
                     scale: Long): (DataFrame, DataFrame) = {
+    val (cells, cents) = lloydGrouped(
+      points.select(lit(0).as("__g"), col(idCol).as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv")),
+      k, iters, scale)
+    (cells.select(col("cid"), col("pos"), col("n"), col("mean")),
+      cents.select(col("cid"), col("__cv")))
+  }
+
+  /** GROUPED Lloyd's loop — `iters` rounds over a (__g, __pid, __pv)
+    * frame training one INDEPENDENT k-means per group value, all
+    * groups in the same pass. Groups never interact (per-group argmin,
+    * per-group exact means), so each group's trajectory is bit-equal
+    * to a standalone [[lloyd]] run on its slice — but [[pqTrain]]'s m
+    * sub-block codebooks now cost iters driver round-trips instead of
+    * m×iters, the win that motivated the grouping (round 14; a PQ
+    * train at m=8 ran 8 sequential single-block loops).
+    *
+    * Per-iteration scale shape: pts is hash-partitioned by __pid ONCE
+    * and persisted; the centroid relation (Σ_g k_g × dim quantized
+    * doubles) broadcasts into the per-group candidate join; the argmin
+    * is a (__pid, __g)-keyed min-struct aggregate whose partials
+    * combine map-side (candidates are generated colocated) so the
+    * exchange carries ~1 narrow row per (point, group); the mean pass
+    * joins assignments BACK to the pid-partitioned pts (vectors never
+    * ride an exchange) and moves only (group × k × dim) quantized-long
+    * cells. Centroids live driver-side between rounds — each round's
+    * plan starts from a local relation instead of an ever-deeper
+    * lineage. Collected doubles round-trip exactly; trajectories are
+    * partitioning-invariant (ExactAgg fixed-point partial sums).
+    */
+  private def lloydGrouped(points: DataFrame, k: Int, iters: Int,
+                           scale: Long): (DataFrame, DataFrame) = {
     require(k >= 1, s"k >= 1, got $k")
     require(iters >= 1, s"iters >= 1, got $iters")
     import graft.functions.ExactAgg
     val spark = points.sparkSession
     import spark.implicits._
-    // persisted for the loop: every iteration scans pts twice (argmin
-    // pass + mean pass); without the pin that is 2×iters source reads
-    val pts = points.select(col(idCol).as("__pid"),
-      col(vecCol).cast("array<double>").as("__pv")).persist()
+    val pts = points
+      .repartition(spark.sparkContext.defaultParallelism, col("__pid"))
+      .persist()
     try {
-      // Centroids live DRIVER-SIDE between iterations — k × dim
-      // doubles (≈ √N × dim at IVF sizing, megabytes at 10⁹ rows) —
-      // so each iteration's plan starts from a local relation instead
-      // of chaining every previous iteration's aggregations into one
-      // ever-deeper lineage that re-executes per round. The collected
-      // doubles round-trip exactly; the trajectory is unchanged.
-      // deterministic seed: the k smallest ids, centroid id = rank
-      var centsLocal: Seq[(Long, Seq[Double])] =
-        pts.orderBy(col("__pid")).limit(k)
-          .select(col("__pid"), col("__pv"))
-          .as[(Long, Seq[Double])].collect().toSeq
-          .sortBy(_._1).zipWithIndex
-          .map { case ((_, v), i) => (i.toLong, v) }
-      var cellsLocal: Seq[(Long, Long, Long, Double)] = null
+      // deterministic seed: the k smallest ids (same rule per group —
+      // every group covers the same id set by construction), centroid
+      // id = rank within group
+      val seedIds = pts.select(col("__pid")).distinct()
+        .orderBy(col("__pid")).limit(k).as[Long].collect().toSeq
+      // broadcast semi-join, not isin: k reaches √N at IVF sizing and
+      // a 10⁴-literal predicate is plan bloat
+      var centsLocal: Seq[(Int, Long, Seq[Double])] =
+        pts.join(broadcast(seedIds.toDF("__pid")), Seq("__pid"),
+            "left_semi")
+          .select(col("__g"), col("__pid"), col("__pv"))
+          .as[(Int, Long, Seq[Double])].collect().toSeq
+          .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+            rows.sortBy(_._2).zipWithIndex
+              .map { case ((_, _, v), i) => (g, i.toLong, v) }
+          }
+      var cellsLocal: Seq[(Int, Long, Long, Long, Double)] = null
       for (_ <- 1 to iters) {
-        val cents = centsLocal.toDF("cid", "__cv")
-        val assigned = pts.crossJoin(broadcast(cents))
+        val cents = centsLocal.toDF("__g", "cid", "__cv")
+        val assigned = pts.join(broadcast(cents), Seq("__g"))
           .withColumn("__d", l2Sq(col("__pv"), col("__cv")))
-          .groupBy(col("__pid"))
+          .groupBy(col("__pid"), col("__g"))
           .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-          .select(col("__pid"), col("__m.cid").as("cid"))
-        cellsLocal = assigned.join(pts, Seq("__pid"))
-          .select(col("cid"), posexplode(col("__pv"))
+          .select(col("__pid"), col("__g"), col("__m.cid").as("cid"))
+        cellsLocal = assigned.join(pts, Seq("__pid", "__g"))
+          .select(col("__g"), col("cid"), posexplode(col("__pv"))
             .as(Seq("pos", "val")))
-          .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+          .groupBy(col("__g"), col("cid"),
+            col("pos").cast("long").as("pos"))
           .agg(count(lit(1)).as("n"),
             ExactAgg.avgFx(col("val"), scale).as("mean"))
-          .as[(Long, Long, Long, Double)].collect().toSeq
-        centsLocal = cellsLocal.groupBy(_._1).toSeq.map { case (cid, cs) =>
-          (cid, cs.sortBy(_._2).map(_._4))
-        }.sortBy(_._1)
+          .as[(Int, Long, Long, Long, Double)].collect().toSeq
+        centsLocal = cellsLocal.groupBy(c => (c._1, c._2)).toSeq
+          .map { case ((g, cid), cs) =>
+            (g, cid, cs.sortBy(_._3).map(_._5))
+          }.sortBy(c => (c._1, c._2))
       }
-      val cells = cellsLocal.sortBy(c => (c._1, c._2))
-        .toDF("cid", "pos", "n", "mean")
-      val cents = centsLocal.toDF("cid", "__cv")
+      val cells = cellsLocal.sortBy(c => (c._1, c._2, c._3))
+        .toDF("__g", "cid", "pos", "n", "mean")
+      val cents = centsLocal.toDF("__g", "cid", "__cv")
       (cells, cents)
     } finally pts.unpersist(blocking = false)
   }
@@ -873,16 +909,16 @@ object Similarity {
               dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m must divide dim: $m, $dim")
     require(ksub >= 1, s"ksub >= 1, got $ksub")
-    val w = dim / m
-    (0 until m).map { j =>
-      kmeansCentroids(
-        corpus.select(col(idCol).as("__sid"),
-          slice(col(vecCol).cast("array<double>"), j * w + 1, w)
-            .as("__sv")),
-        "__sid", "__sv", ksub, iters)
-        .select(lit(j).as("sub"), col("cent_id").as("cid"),
-          col("cent_v").as("cv"))
-    }.reduce(_ unionByName _)
+    // ONE grouped Lloyd's loop over all m sub-blocks (group = sub):
+    // blocks are independent, so per-block codebooks are bit-equal to
+    // the former m sequential single-block loops — at iters driver
+    // round-trips total instead of m×iters
+    val sliced = corpus.select(col(idCol).as("__pid"),
+        explode(subSlices(col(vecCol), dim, m)).as("__s"))
+      .select(col("__s.sub").as("__g"), col("__pid"),
+        col("__s.sv").cast("array<double>").as("__pv"))
+    lloydGrouped(sliced, ksub, iters, 1000000L)._2
+      .select(col("__g").as("sub"), col("cid"), col("__cv").as("cv"))
   }
 
   /** Encode every vector as m sub-block centroid ids — the ~(dim·4 →
