@@ -46,7 +46,13 @@ object Basket {
       .agg(count(lit(1)).as("__m"))
       .filter(col("__m") <= maxBasketItems)
       .select(col("__o"))
-    val kept = items.join(sized, Seq("__o"))
+    // the deduped size-capped (basket, item) frame feeds FOUR
+    // consumers (N, item supports, both self-join legs); un-pinned it
+    // re-executed source→distinct→cap per consumer (40 parquet scans
+    // in the q182 plan). Checkpointed it computes once, and since the
+    // hub-guard join leaves it hash-partitioned by basket, the pair
+    // self-join below runs exchange-free on both legs
+    val (kept, _) = Loops.truncate(items.join(sized, Seq("__o")))
     val nb = kept.agg(countDistinct(col("__o")).as("__n"))
     val sup = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = kept.select(col("__o"), col("__i").as("ia"))

@@ -128,20 +128,25 @@ object Dedup {
           .as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val gear = conv(substring(md5(
-      concat_ws(" ", lag(col("w"), 1).over(byDoc), col("w"))),
-      1, 8), 16, 10).cast("long")
+    val gear = call_function("graft_md5_prefix",
+      concat_ws(" ", lag(col("w"), 1).over(byDoc), col("w")), lit(8))
     val bounded = wp.withColumn("__b",
       when(row_number().over(byDoc) === 1, 1L)
         .when(gear % divisor === 0, 1L).otherwise(0L))
     val ch = bounded.withColumn("__cid",
       sum(col("__b")).over(byDoc.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)))
-    val chunks = ch.groupBy(col("doc_id"), col("__cid"))
-      .agg(md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ")).as("fp"),
-        count(lit(1)).as("len"))
+    // the chunk frame feeds BOTH the corpus-wide fingerprint count and
+    // the join back — unpinned, the per-doc window chain above ran
+    // twice per action; checkpointed it runs once (release enrolled in
+    // the Dedup registry, freed by releaseIntermediates/clearCaches)
+    val (chunks, relChunks) = Loops.truncate(
+      ch.groupBy(col("doc_id"), col("__cid"))
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ")).as("fp"),
+          count(lit(1)).as("len")))
+    trackRelease(relChunks)
     val cnt = chunks.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
     val agg = chunks.join(cnt, Seq("fp"))
       .groupBy(col("doc_id"))

@@ -39,9 +39,13 @@ object Sampling {
     */
   def hashBucket(key: Column, salt: String, hexChars: Int = 8): Column = {
     require(hexChars >= 1 && hexChars <= 15)
-    conv(substring(md5(concat_ws(":", lit(salt),
-      coalesce(key.cast("string"), lit(NullKey)))), 1, hexChars), 16, 10)
-      .cast("long")
+    // one native digest+extract ([[graft.plans.Md5PrefixExpr]]) —
+    // bit-equal to the composed conv(substring(md5(..),1,n),16,10)
+    // chain the SQL mirrors replay, without the hex-string round trip
+    // (the chain measured ~2.4× the bare digest per token)
+    call_function("graft_md5_prefix",
+      concat_ws(":", lit(salt),
+        coalesce(key.cast("string"), lit(NullKey))), lit(hexChars))
   }
 
   /** Keep each row with probability `fraction`, decided by its key:

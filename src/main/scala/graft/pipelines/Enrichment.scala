@@ -75,8 +75,8 @@ object Enrichment {
     * lat lands in [53.5, 53.6), lon in [-113.6, -113.5).
     */
   def geocode(address: Column): Column = {
-    def h(salt: String) = conv(substring(md5(concat_ws(":", lit(salt),
-      coalesce(address, lit("")))), 1, 8), 16, 10).cast("long")
+    def h(salt: String) = call_function("graft_md5_prefix",
+      concat_ws(":", lit(salt), coalesce(address, lit(""))), lit(8))
     struct(
       (lit(53.5) + ((h("geo_lat") % 1000L).cast("double") /
         lit(10000.0))).as("lat"),

@@ -35,6 +35,8 @@ object GraftExtensions {
       (c: Seq[Expression]) => RollingHashExpr(c(0))),
     (FunctionIdentifier("graft_splitmix64"), info("graft_splitmix64"),
       (c: Seq[Expression]) => SplitMix64Expr(c(0), c(1))),
+    (FunctionIdentifier("graft_md5_prefix"), info("graft_md5_prefix"),
+      (c: Seq[Expression]) => Md5PrefixExpr(c(0), c(1))),
     (FunctionIdentifier("graft_canonical_url"), info("graft_canonical_url"),
       (c: Seq[Expression]) => CanonicalUrlExpr(c(0))),
     (FunctionIdentifier("graft_nfc"), info("graft_nfc"),

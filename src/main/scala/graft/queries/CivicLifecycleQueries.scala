@@ -400,8 +400,8 @@ object CivicLifecycleQueries {
             f(array_join(array_sort(col("permitted_uses")), ",")))
             .as("rowstr"))
         rows
-          .withColumn("h", conv(substring(md5(col("rowstr")), 1, 8),
-            16, 10).cast("long"))
+          .withColumn("h", call_function("graft_md5_prefix",
+            col("rowstr"), lit(8)))
           .groupBy(col("tag"), col("c"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("zone_key")).as("n_keys"),

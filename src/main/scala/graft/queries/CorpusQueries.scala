@@ -232,10 +232,14 @@ object CorpusQueries {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         val bench = docs.filter(col("doc_id") % 97 === 0)
-        val quality = QualityRules.gate(corpus, "text", qCfg)
+        // quality feeds two consumers (the repetition measures and the
+        // gated join) and gated feeds two more (decontamination and
+        // the clean join): unpinned, the scan + Gopher gate +
+        // tokenization chain re-executed 3x inside the one action
+        val quality = QualityRules.gate(corpus, "text", qCfg).persist()
         val rep = RepetitionRules.measures(quality, "doc_id", "text", rCfg)
           .filter(col("keep") === 1L).select(col("doc_id"))
-        val gated = quality.join(rep, Seq("doc_id"))
+        val gated = quality.join(rep, Seq("doc_id")).persist()
         val dec = graft.operators.Decontaminate
           .overlap(gated, bench, "doc_id", "text", shingleN = 3,
             flagFrac = 0.05)
