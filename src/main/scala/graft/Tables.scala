@@ -10,8 +10,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Schema cache (metadata only — never data): parquet schema
+  // INFERENCE costs ~250 ms per spark.read.parquet call (footer read +
+  // merge) while a provided schema plans in ~15 ms, and a full bench
+  // pass opens these ten tables ~700 times. Guarded by (mtime, size)
+  // so a regenerated dataset re-infers; the cached StructType comes
+  // from the same session config (nanosAsLong guard included), so the
+  // frame is identical to the inferred one.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, org.apache.spark.sql.types.StructType)]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val (mt, len) = (f.lastModified, f.length)
+    val hit = schemaCache.get(path)
+    val sch =
+      if (hit != null && hit._1 == mt && hit._2 == len) hit._3
+      else {
+        val s = spark.read.parquet(path).schema
+        schemaCache.put(path, (mt, len, s))
+        s
+      }
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** Fail fast if `events.parquet`'s `ts` physical type regresses to
     * TIMESTAMP(NANOS). The session builders keep

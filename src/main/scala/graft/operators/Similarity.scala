@@ -799,7 +799,7 @@ object Similarity {
     val (cells, cents) = lloydGrouped(
       points.select(lit(0).as("__g"), col(idCol).as("__pid"),
         col(vecCol).cast("array<double>").as("__pv")),
-      k, iters, scale)
+      k, iters, scale, singleGroup = true)
     (cells.select(col("cid"), col("pos"), col("n"), col("mean")),
       cents.select(col("cid"), col("__cv")))
   }
@@ -827,7 +827,9 @@ object Similarity {
     * partitioning-invariant (ExactAgg fixed-point partial sums).
     */
   private def lloydGrouped(points: DataFrame, k: Int, iters: Int,
-                           scale: Long): (DataFrame, DataFrame) = {
+                           scale: Long,
+                           singleGroup: Boolean = false)
+      : (DataFrame, DataFrame) = {
     require(k >= 1, s"k >= 1, got $k")
     require(iters >= 1, s"iters >= 1, got $iters")
     import graft.functions.ExactAgg
@@ -839,16 +841,26 @@ object Similarity {
     try {
       // deterministic seed: the k smallest ids (same rule per group —
       // every group covers the same id set by construction), centroid
-      // id = rank within group
-      val seedIds = pts.select(col("__pid")).distinct()
-        .orderBy(col("__pid")).limit(k).as[Long].collect().toSeq
-      // broadcast semi-join, not isin: k reaches √N at IVF sizing and
-      // a 10⁴-literal predicate is plan bloat
+      // id = rank within group. Single-group callers take the direct
+      // TakeOrdered (one job); the grouped path needs the id set once
+      // (exchange-free distinct on the pid partitioning) and a
+      // broadcast semi-join — never an isin literal list, k reaches
+      // √N at IVF sizing and a 10⁴-literal predicate is plan bloat
+      val seedRows: Seq[(Int, Long, Seq[Double])] =
+        if (singleGroup)
+          pts.select(col("__g"), col("__pid"), col("__pv"))
+            .orderBy(col("__pid")).limit(k)
+            .as[(Int, Long, Seq[Double])].collect().toSeq
+        else {
+          val seedIds = pts.select(col("__pid")).distinct()
+            .orderBy(col("__pid")).limit(k).as[Long].collect().toSeq
+          pts.join(broadcast(seedIds.toDF("__pid")), Seq("__pid"),
+              "left_semi")
+            .select(col("__g"), col("__pid"), col("__pv"))
+            .as[(Int, Long, Seq[Double])].collect().toSeq
+        }
       var centsLocal: Seq[(Int, Long, Seq[Double])] =
-        pts.join(broadcast(seedIds.toDF("__pid")), Seq("__pid"),
-            "left_semi")
-          .select(col("__g"), col("__pid"), col("__pv"))
-          .as[(Int, Long, Seq[Double])].collect().toSeq
+        seedRows
           .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
             rows.sortBy(_._2).zipWithIndex
               .map { case ((_, _, v), i) => (g, i.toLong, v) }
@@ -856,14 +868,20 @@ object Similarity {
       var cellsLocal: Seq[(Int, Long, Long, Long, Double)] = null
       for (_ <- 1 to iters) {
         val cents = centsLocal.toDF("__g", "cid", "__cv")
+        // the vector rides THROUGH the argmin aggregate (every
+        // candidate row of one (point, group) key carries the same
+        // __pv, so first() is value-deterministic) — no join-back, and
+        // since pts is pid-partitioned the aggregate is exchange-free:
+        // the iteration's only exchange is the (group × k × dim) mean
+        // cells
         val assigned = pts.join(broadcast(cents), Seq("__g"))
           .withColumn("__d", l2Sq(col("__pv"), col("__cv")))
           .groupBy(col("__pid"), col("__g"))
-          .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-          .select(col("__pid"), col("__g"), col("__m.cid").as("cid"))
-        cellsLocal = assigned.join(pts, Seq("__pid", "__g"))
-          .select(col("__g"), col("cid"), posexplode(col("__pv"))
-            .as(Seq("pos", "val")))
+          .agg(min(struct(col("__d"), col("cid"))).as("__m"),
+            first(col("__pv")).as("__pv"))
+        cellsLocal = assigned
+          .select(col("__g"), col("__m.cid").as("cid"),
+            posexplode(col("__pv")).as(Seq("pos", "val")))
           .groupBy(col("__g"), col("cid"),
             col("pos").cast("long").as("pos"))
           .agg(count(lit(1)).as("n"),
