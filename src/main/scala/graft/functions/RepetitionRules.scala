@@ -65,7 +65,7 @@ object RepetitionRules {
     // repartition: the shingle projection is the CPU-heavy narrow stage
     // and must parallelize regardless of input splits (collapses into
     // the existing exchange structure when inputs arrive pre-split)
-    val grams = df.repartition(col(idCol)).select(
+    val grams = df.repartition(graft.Par.n, col(idCol)).select(
       col(idCol),
       TextFunctions.shingles(col(textCol), cfg.topN).as("gt"),
       TextFunctions.shingles(col(textCol), cfg.dupN).as("gd"))

@@ -177,8 +177,8 @@ object AnnIndex {
     // the generation comes from THIS commit's CAS — a post-commit
     // generations().last could race a concurrent writer and pin a
     // later generation as the reproducibility anchor
-    if (store.exists(table)) store.rewrite(table, df)
-    else store.append(table, df)
+    store.rewrite(table, df) // layout-preserving even first-time
+    // (see LexIndex.buildFrom)
   }
 
   /** Load the LIVE index generation. */
@@ -343,8 +343,8 @@ object AnnIndex {
                          vecCol: String, index: AnnIndex): Long = {
     val codes = encodeFor(corpus, idCol, vecCol, index)
     // generation from this commit's CAS, not a racy generations().last
-    if (store.exists(codesTable)) store.rewrite(codesTable, codes)
-    else store.append(codesTable, codes)
+    store.rewrite(codesTable, codes) // layout-preserving even
+    // first-time (see LexIndex.buildFrom)
   }
 
   /** INCREMENTAL code maintenance from a corpus CHANGE FEED

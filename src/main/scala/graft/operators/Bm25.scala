@@ -61,7 +61,7 @@ object Bm25 {
     // not pin to one task on a single small input file (the
     // lshCandidatePairs precedent); collapses into existing splits at
     // scale
-    val toks = corpus.repartition(col(idCol))
+    val toks = corpus.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"),
         TextFunctions.tokenCount(col(textCol)).as("dl"))
@@ -173,7 +173,7 @@ object Bm25 {
       "no query term survives normalization - queries must contain " +
         "at least one alphanumeric token")
 
-    val toks = corpus.repartition(col(idCol))
+    val toks = corpus.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"),
         TextFunctions.tokenCount(col(textCol)).as("dl"))

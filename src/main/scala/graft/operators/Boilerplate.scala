@@ -52,7 +52,7 @@ object Boilerplate {
     // repartition before the CPU-heavy narrow stage (same rationale as
     // Dedup): the upstream scan's partitioning, not the cluster, would
     // otherwise bound explode parallelism
-    val segs = df.repartition(col(idCol))
+    val segs = df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("__w"))
       .select(col(idCol), posexplode(
         transform(
@@ -176,7 +176,7 @@ object Boilerplate {
     require(n >= 1, s"n must be positive, got $n")
     // minDf <= 1 would mark EVERY window duplicated — never sane
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val base = df.filter(col(textCol).isNotNull).repartition(col(idCol))
+    val base = df.filter(col(textCol).isNotNull).repartition(graft.Par.n, col(idCol))
     // narrow, recomputed per consumer rather than pinning a
     // corpus-scale frame (the removeSegments/Decontaminate trade)
     def gramRel = base
@@ -245,7 +245,7 @@ object Boilerplate {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"n must be positive, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val base = df.filter(col(textCol).isNotNull).repartition(col(idCol))
+    val base = df.filter(col(textCol).isNotNull).repartition(graft.Par.n, col(idCol))
     def gramRel = base
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.shingles(col(textCol), n))

@@ -37,7 +37,7 @@ object Decontaminate {
     // repartition: shingling is the CPU-heavy narrow stage (same
     // rationale as Dedup); the join stays broadcast so the corpus is
     // never redistributed by shingle
-    val corpSh = corpus.repartition(col(idCol))
+    val corpSh = corpus.repartition(graft.Par.n, col(idCol))
       .select(col(idCol), explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("sh"))
     corpSh.join(broadcast(benchSh), Seq("sh"), "left")

@@ -122,7 +122,7 @@ object Dedup {
                     divisor: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(divisor >= 2, s"divisor >= 2, got $divisor")
-    val wp = df.repartition(col(idCol))
+    val wp = df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("pos", "w")))
@@ -313,7 +313,7 @@ object Dedup {
                                         bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    df.repartition(col(idCol))
+    df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as(outId),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN))
           .as("sh"))
@@ -449,7 +449,7 @@ object Dedup {
     // thresholded-DP verify in one task (the q107 9 s lesson)
     val t = df
       .filter(col(strCol).isNotNull)
-      .repartition(col(idCol))
+      .repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("b", floor(length(col("s")) / w))
     val probes = t.select(col("id").as("id_b"), col("s").as("sb"),
@@ -504,7 +504,7 @@ object Dedup {
       g => length(g) > 0))
     val sigs = track(df
       .filter(col(strCol).isNotNull)
-      .repartition(col(idCol))
+      .repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("sig", minhashSignature(grams, k))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, k / bands)))
@@ -532,7 +532,7 @@ object Dedup {
     // repartition: parallelize shingling regardless of input splits;
     // persist: the inverted index feeds three consumers (both join
     // sides + sizes) — compute the heavy projection once, fault-tolerantly.
-    val shAll = track(df.repartition(col(idCol))
+    val shAll = track(df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
           .as("sh"))
@@ -618,7 +618,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     val t = lit(threshold)
-    val index = track(df.repartition(col(idCol))
+    val index = track(df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
           .as("sh"))
@@ -656,7 +656,7 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int,
                     threshold: Double): DataFrame = {
-    val sets = df.repartition(col(idCol))
+    val sets = df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.shingles(col(textCol), shingleN))
           .as("sh"))
@@ -712,7 +712,7 @@ object Dedup {
     val edges = track(pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().repartition(col("dst"))
+      .distinct().repartition(graft.Par.n, col("dst"))
       .persist())
     var (labels, relLbl0) = Loops.truncate(
       edges.select(col("src").as("id")).distinct()
@@ -982,7 +982,7 @@ object Dedup {
       struct(lit(b).as("b"),
         shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
           .as("bits"))): _*)
-    val banded = track(df.repartition(col(idCol))
+    val banded = track(df.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .withColumn("key", explode(bandKeys))
       .persist()) // feeds both self-join sides, recomputable

@@ -80,8 +80,8 @@ object DedupIndex {
     val clustered = ranged
       .sortWithinPartitions(col("component"), col("band"), col("doc_id"))
     val committed =
-      if (store.exists(indexTable)) store.rewrite(indexTable, clustered)
-      else store.append(indexTable, clustered)
+      store.rewrite(indexTable, clustered) // layout-preserving even
+      // first-time (see LexIndex.buildFrom)
     store.analyze(indexTable, Seq("component", "band", "doc_id"),
       bloomCols = Seq("band"))
     committed

@@ -159,7 +159,7 @@ object Eval {
     def grams(c: String) = coalesce(
       TextFunctions.shingles(col(c), n),
       array().cast("array<string>"))
-    val base = pairs.repartition(col(pairIdCol))
+    val base = pairs.repartition(graft.Par.n, col(pairIdCol))
       .select(col(pairIdCol).cast("long").as("pair_id"),
         grams(candCol).as("__cg"), grams(refCol).as("__rg"))
     // narrow, recomputed per consumer rather than pinning (the

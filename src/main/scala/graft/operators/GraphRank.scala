@@ -85,7 +85,7 @@ object GraphRank {
     // full edge list over an Exchange EVERY round)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(graft.Par.n, col("src")).persist()
     try {
       // degrees, node set, dangling check and |V| in ONE aggregate
       // pass (was: distinct-nodes ×2 + anti-join + two counts — ~40%
@@ -240,7 +240,7 @@ object GraphRank {
     // keyed on src, so the persisted edge list never re-shuffles
     val e = raw
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(graft.Par.n, col("src")).persist()
     try {
       val (lbl0, relLbl) = Loops.truncate(
         e.select(col("src").as("id")).distinct()
@@ -524,7 +524,7 @@ object GraphRank {
     val adj = raw
       .unionByName(raw.select(col("dst").as("src"),
         col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+      .distinct().repartition(graft.Par.n, col("src")).persist()
     try {
       var (visited, relVis) = Loops.truncate(
         seeds.select(col(seedIdCol).as("id")).distinct()

@@ -121,8 +121,9 @@ object LexIndex {
     // generations().last could observe a concurrent writer's LATER
     // generation and anchor the wrong snapshot
     val committedGen =
-      if (store.exists(table)) store.rewrite(table, clustered)
-      else store.append(table, clustered)
+      store.rewrite(table, clustered) // rewrite even first-time:
+      // the caller OWNS this range-clustered layout (rewrite is the
+      // layout-preserving op; a first-time append would compact it)
     store.analyze(table, Seq("component", "term", "doc_id"),
       bloomCols = Seq("term"))
     committedGen
@@ -291,7 +292,7 @@ object LexIndex {
 
   private def tokFrame(corpus: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    corpus.repartition(col(idCol))
+    corpus.repartition(graft.Par.n, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"),
         TextFunctions.tokenCount(col(textCol)).as("dl"))

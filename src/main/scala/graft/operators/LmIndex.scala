@@ -94,8 +94,8 @@ object LmIndex {
     val clustered = rows.repartitionByRange(col("mkey"))
       .sortWithinPartitions(col("mkey"))
     val committed =
-      if (store.exists(modelTable)) store.rewrite(modelTable, clustered)
-      else store.append(modelTable, clustered)
+      store.rewrite(modelTable, clustered) // layout-preserving even
+      // first-time (see LexIndex.buildFrom)
     store.analyze(modelTable, Seq("mkey", "component"))
     committed
   }

@@ -72,8 +72,8 @@ object TokenizerIndex {
     val clustered = rows.repartitionByRange(col("mkey"))
       .sortWithinPartitions(col("mkey"))
     val committed =
-      if (store.exists(table)) store.rewrite(table, clustered)
-      else store.append(table, clustered)
+      store.rewrite(table, clustered) // layout-preserving even
+      // first-time (see LexIndex.buildFrom)
     store.analyze(table, Seq("mkey", "component"))
     committed
   }

@@ -79,8 +79,8 @@ object WinnowIndex {
     val clustered = ranged
       .sortWithinPartitions(col("component"), col("fp"), col("doc_id"))
     val committed =
-      if (store.exists(indexTable)) store.rewrite(indexTable, clustered)
-      else store.append(indexTable, clustered)
+      store.rewrite(indexTable, clustered) // layout-preserving even
+      // first-time (see LexIndex.buildFrom)
     store.analyze(indexTable, Seq("component", "fp", "doc_id"),
       bloomCols = Seq("fp"))
     committed

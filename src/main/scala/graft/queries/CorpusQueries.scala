@@ -49,7 +49,7 @@ object CorpusQueries {
     */
   private val q35 = Q("q35_corpus_clean",
     (s, dir) => {
-      val d = t(s, dir, "documents").repartition(col("doc_id"))
+      val d = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
         .withColumn("alpha",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
@@ -134,7 +134,7 @@ object CorpusQueries {
         // repartition only the CPU-heavy gate path; the join-back scan
         // needs no redistribution (broadcast here, AQE-chosen SMJ at scale)
         val kept = QualityRules.gate(
-          raw.repartition(col("doc_id")), "text", cfg)
+          raw.repartition(graft.Par.n, col("doc_id")), "text", cfg)
         val surv = Dedup.exactSurvivors(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         val enriched = surv.join(raw, Seq("doc_id"))

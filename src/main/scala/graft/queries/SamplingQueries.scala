@@ -136,7 +136,7 @@ object SamplingQueries {
     */
   private val q53 = Q("q53_kmv_distinct",
     (s, dir) => {
-      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("source"),
           graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       graft.operators.Sketches
@@ -266,7 +266,7 @@ object SamplingQueries {
     */
   private val q69 = Q("q69_kmv_estimate",
     (s, dir) => {
-      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val docs = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("source"),
           graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       graft.operators.Sketches
@@ -342,7 +342,7 @@ object SamplingQueries {
     Q("q76_budget_select",
       (s, dir) => {
         import graft.functions.TextFunctions
-        val d = t(s, dir, "documents").repartition(col("doc_id"))
+        val d = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
           .select(col("source"), col("doc_id"),
             TextFunctions.normalizeText(col("text")).as("__nrm"),
             TextFunctions.tokens(col("text")).as("__toks"))

@@ -85,7 +85,7 @@ object TextQueries {
     */
   private val q15 = Q("q15_text_stats",
     (s, dir) => {
-      val d = t(s, dir, "documents").repartition(col("doc_id"))
+      val d = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
       // tokens/nrm in their own projection: the measures are HOF
       // consumers, which block codegen CSE — without the hoist the text
       // is re-tokenized once per measure (see TextFunctions.tokenCountOf)
@@ -273,7 +273,7 @@ object TextQueries {
     (s, dir) => {
       // repartition BEFORE the 64-bit-plane fold so it parallelizes even
       // from a single input split
-      val sigs = t(s, dir, "documents").repartition(col("doc_id"))
+      val sigs = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("doc_id"),
           Dedup.simhashMd5(TextFunctions.tokens(col("text"))).as("sig"))
       Dedup.simhashPairs(sigs, "doc_id", "sig", maxDist = 3, bands = 4)
@@ -323,7 +323,7 @@ object TextQueries {
     Q("q42_quality_rules",
       (s, dir) => {
         graft.functions.QualityRules
-          .annotate(t(s, dir, "documents").repartition(col("doc_id")), "text", cfg)
+          .annotate(t(s, dir, "documents").repartition(graft.Par.n, col("doc_id")), "text", cfg)
           .select(col("doc_id"), col("n_words"), col("mean_word_len"),
             col("symbol_ratio"), col("alpha_word_frac"), col("stopword_hits"),
             col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
@@ -356,7 +356,7 @@ object TextQueries {
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
-      val d = t(s, dir, "documents").repartition(col("doc_id"))
+      val d = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("source"), col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tok"))
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -397,7 +397,7 @@ object TextQueries {
     */
   private val q51 = Q("q51_subwords_fingerprint",
     (s, dir) => {
-      t(s, dir, "documents").repartition(col("doc_id"))
+      t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("doc_id"),
           TextFunctions.subwordCount(col("text")).as("n_subwords"),
           TextFunctions.rollingHash(col("text")).as("rhash"))
@@ -486,7 +486,7 @@ object TextQueries {
     */
   private val q59 = Q("q59_vocab_topk",
     (s, dir) => {
-      t(s, dir, "documents").repartition(col("doc_id"))
+      t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy(col("token"))
@@ -511,7 +511,7 @@ object TextQueries {
     val cfg = graft.functions.PiiRules
     Q("q60_pii_redaction",
       (s, dir) => {
-        val planted = t(s, dir, "documents").repartition(col("doc_id"))
+        val planted = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
           .select(col("doc_id"), concat(col("text"),
             lit(" contact user"), col("doc_id").cast("string"),
             lit("@mail.example.com"),
@@ -1929,7 +1929,7 @@ object TextQueries {
     Q("q137_signal_auc",
       (s, dir) => {
         val ann = graft.functions.QualityRules
-          .annotate(t(s, dir, "documents").repartition(col("doc_id")),
+          .annotate(t(s, dir, "documents").repartition(graft.Par.n, col("doc_id")),
             "text", cfg)
           .select(col("n_words"), col("keep").cast("long").as("y"))
         graft.operators.Eval.aucPpm(ann, "n_words", "y")
@@ -2115,7 +2115,7 @@ object TextQueries {
       val chk = cfg.luhnCheckDigit(pfx)
       val ok16 = concat(pfx, chk.cast("string"))
       val bad16 = concat(pfx, ((chk + 5) % 10).cast("string"))
-      val planted = t(s, dir, "documents").repartition(col("doc_id"))
+      val planted = t(s, dir, "documents").repartition(graft.Par.n, col("doc_id"))
         .select(col("doc_id"), concat(col("text"), lit(" pay "),
           substring(ok16, 1, 4), lit(" "), substring(ok16, 5, 4),
           lit(" "), substring(ok16, 9, 4), lit(" "),

@@ -126,7 +126,7 @@ object ZoningQueries {
         // the operator's real domain is ~10^3 zone pages, not the full
         // orders table; k%7 keeps every mod-2/3/4/5/6 branch populated
         .filter(k % 7 === 0)
-        .repartition(col("o_orderkey")).select(
+        .repartition(graft.Par.n, col("o_orderkey")).select(
         k.as("o_orderkey"),
         concat(xs, lit("."), c, lit(" Z"), k.cast("string"),
           lit(" - Test Zone "), c).as("zone_title"),
